@@ -1,0 +1,120 @@
+package graft.storage
+
+import java.nio.file.{Files, Paths}
+
+/** Compaction tuning knobs, defaults matching the reference
+  * (columnar_storage/src/config.rs:38-50). */
+final case class CompactionConfig(
+    inputSstMinNum: Int = 5,
+    inputSstMaxNum: Int = 30,
+    newSstMaxSize: Long = 1L << 30,     // 1 GB output cap
+    sizeHeadroom: Double = 1.1,         // picker.rs:170-171
+    ttlMs: Option[Long] = None,
+    memoryLimit: Long = 2L << 30)       // admission gate (executor.rs:93-114)
+
+final case class CompactionTask(inputs: Seq[SstFile], expired: Seq[SstFile]) {
+  def estimatedMemory: Long = inputs.map(_.sizeBytes).sum
+}
+
+/** Port of the reference's TimeWindowCompactionStrategy picker
+  * (columnar_storage/src/picker.rs:62-189): group non-compacting files by
+  * segment, newest segment first; candidates sorted size-ascending ("prefer
+  * to compact smaller files first", picker.rs:165-167); take at most
+  * `inputSstMaxNum` while the running size stays within
+  * `sizeHeadroom * newSstMaxSize`; require at least `inputSstMinNum`; also
+  * collect TTL-expired files for wholesale deletion (sst.rs:109-114). */
+final class Picker(cfg: CompactionConfig, segmentMs: Long) {
+
+  def pick(files: Seq[SstFile], nowMs: Long): Option[CompactionTask] = {
+    val (expired, live) = files.partition(_.isExpired(nowMs, cfg.ttlMs))
+    val candidates = live.filterNot(_.compacting)
+    val bySegment = candidates.groupBy(f => TimeRange.truncate(f.timeRange.start, segmentMs))
+    val inputs = bySegment.toSeq.sortBy(-_._1).iterator.map { case (_, segFiles) =>
+      val sorted = segFiles.sortBy(_.sizeBytes)
+      val picked = Seq.newBuilder[SstFile]
+      var total = 0L
+      var n = 0
+      val budget = (cfg.newSstMaxSize * cfg.sizeHeadroom).toLong
+      sorted.foreach { f =>
+        if (n < cfg.inputSstMaxNum && total + f.sizeBytes <= budget) {
+          picked += f; total += f.sizeBytes; n += 1
+        }
+      }
+      picked.result()
+    }.find(_.size >= cfg.inputSstMinNum).getOrElse(Nil)
+
+    if (inputs.isEmpty && expired.isEmpty) None
+    else Some(CompactionTask(inputs, expired))
+  }
+}
+
+/** Compaction executor: re-runs the scan plan with keepBuiltins=true over the
+  * input SSTs, writes one merged SST, then commits manifest (add new, delete
+  * inputs+expired) BEFORE physical deletes — after the manifest update no
+  * error may surface (reference executor.rs:155-253, commit-order comment at
+  * executor.rs:218-219). */
+final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
+  import org.apache.spark.sql.functions._
+
+  private val picker = new Picker(cfg, storage.segmentMs)
+  @volatile private var inUse = 0L
+
+  def runOnce(nowMs: Long = System.currentTimeMillis()): Boolean = {
+    picker.pick(storage.manifest.allSsts(), nowMs) match {
+      case None => false
+      case Some(task) =>
+        // memory admission gate (executor.rs:93-114)
+        if (inUse + task.estimatedMemory > cfg.memoryLimit) return false
+        inUse += task.estimatedMemory
+        try execute(task) finally inUse -= task.estimatedMemory
+        true
+    }
+  }
+
+  private def execute(task: CompactionTask): Unit = {
+    val m = storage.manifest
+    m.markCompacting(task.inputs.map(_.id), flag = true)
+    try {
+      val newSsts: Seq[SstFile] =
+        if (task.inputs.nonEmpty) {
+          val range = task.inputs.map(_.timeRange).reduce(_ merge _)
+          val id = storage.allocId()
+          val merged = MergeOps.dedupMerge(
+            storage.spark.read.schema(storage.schema.fullSchema)
+              .parquet(task.inputs.map(_.path): _*),
+            storage.schema.primaryKeys,
+            storage.schema.valueColumns,
+            storage.schema.updateMode)
+            .withColumn(StorageSchema.ReservedCol, lit(null).cast("long"))
+            .select(storage.schema.fullSchema.fieldNames.map(col(_)).toIndexedSeq: _*)
+            .sortWithinPartitions(storage.schema.primaryKeys.map(col(_).asc_nulls_first): _*)
+          val tmp = Paths.get(storage.root, "data", s"tmp-$id")
+          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dest = Paths.get(storage.root, "data", s"$id.parquet")
+          Files.move(part, dest)
+          storage.deleteRecursively(tmp)
+          val rows = storage.spark.read.parquet(dest.toString).count()
+          Seq(SstFile(id, dest.toString, rows, Files.size(dest), range))
+        } else Nil
+
+      val deletes = task.inputs ++ task.expired
+      m.update(newSsts, deletes.map(_.id)) // commit FIRST (executor.rs:204-217)
+      // From here on, best-effort physical deletes (executor.rs:218-221).
+      deletes.foreach(f => try Files.deleteIfExists(Paths.get(f.path)) catch { case _: Throwable => () })
+    } finally m.markCompacting(task.inputs.map(_.id), flag = false)
+  }
+}
+
+/** Driver-side scheduler: periodic tick kicking the compactor, the analog of
+  * the reference's picker loop (scheduler.rs:40-160; 10 s default tick,
+  * config.rs:41). */
+final class CompactionScheduler(compactor: Compactor, intervalMs: Long = 10000L) {
+  private val timer = new java.util.Timer("graft-compaction", true)
+  def start(): Unit = timer.scheduleAtFixedRate(new java.util.TimerTask {
+    def run(): Unit = try compactor.runOnce() catch { case _: Throwable => () }
+  }, intervalMs, intervalMs)
+  def stop(): Unit = timer.cancel()
+}

@@ -1,0 +1,122 @@
+package graft.storage
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Half-open time range [start, end) over epoch-millis, mirroring the
+  * reference's TimeRange (columnar_storage/src/types.rs:45-133). */
+final case class TimeRange(start: Long, end: Long) {
+  require(start < end, s"empty TimeRange [$start,$end)")
+  def overlaps(o: TimeRange): Boolean = start < o.end && end > o.start // types.rs:125-127
+  def merge(o: TimeRange): TimeRange = TimeRange(math.min(start, o.start), math.max(end, o.end))
+}
+
+object TimeRange {
+  /** Segment id of a timestamp: floor-divide toward negative infinity
+    * (types.rs:82-86 truncate_by). */
+  def truncate(ts: Long, segmentMs: Long): Long = Math.floorDiv(ts, segmentMs) * segmentMs
+}
+
+/** Immutable sorted parquet file + metadata
+  * (reference columnar_storage/src/sst.rs:48-160). `id` doubles as the write
+  * sequence `__seq__` (storage.rs:205-206). */
+final case class SstFile(
+    id: Long,
+    path: String,
+    numRows: Long,
+    sizeBytes: Long,
+    timeRange: TimeRange,
+    compacting: Boolean = false) {
+  /** File is entirely expired under `ttlMs` as of `nowMs` (sst.rs:109-114). */
+  def isExpired(nowMs: Long, ttlMs: Option[Long]): Boolean =
+    ttlMs.exists(ttl => timeRange.end < nowMs - ttl)
+}
+
+/** Snapshot + delta log of SST adds/deletes, kept as JSON-lines files under
+  * `<root>/manifest/` with an in-memory cache, background-mergeable into a
+  * snapshot once deltas accumulate (reference columnar_storage/src/manifest/mod.rs:67-334).
+  *
+  * Single-writer: in Spark the driver is the only manifest writer, which
+  * gives the same serialization guarantee as the reference's RwLock + single
+  * merger task (manifest/mod.rs:67-177). At 100 TB scale (~10^6 files) the
+  * listing stays out of query-path driver memory hot loops: `findSsts` is an
+  * O(n) scan of a compact case-class vector (~100 MB for 10^6 entries), and
+  * the snapshot file is parquet-convertible for DataFrame-side pruning if it
+  * outgrows that.
+  */
+final class Manifest(root: String, mergeThreshold: Int = 50) {
+  private val dir: Path = Paths.get(root, "manifest")
+  Files.createDirectories(dir)
+  private val snapshotFile = dir.resolve("snapshot.jsonl")
+  private val files = mutable.LinkedHashMap.empty[Long, SstFile]
+  private var deltaCount = 0
+  load()
+
+  private def fmt(f: SstFile, op: String): String =
+    s"""{"op":"$op","id":${f.id},"path":"${f.path}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}}"""
+
+  private def parse(line: String): (String, SstFile) = {
+    def field(k: String): String = {
+      val m = (s""""$k":"?([^,"}]*)"?""").r.findFirstMatchIn(line)
+      m.getOrElse(sys.error(s"bad manifest line: $line")).group(1)
+    }
+    (field("op"), SstFile(field("id").toLong, field("path"), field("numRows").toLong,
+      field("sizeBytes").toLong, TimeRange(field("start").toLong, field("end").toLong)))
+  }
+
+  private def load(): Unit = synchronized {
+    val deltas = Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("delta-")).sortBy(_.getFileName.toString)
+    val all = (Seq(snapshotFile) ++ deltas).filter(Files.exists(_))
+    for (p <- all; line <- Files.readAllLines(p, StandardCharsets.UTF_8).asScala if line.nonEmpty) {
+      val (op, f) = parse(line)
+      if (op == "add") files(f.id) = f else files.remove(f.id)
+    }
+    deltaCount = deltas.size
+  }
+
+  private def writeDelta(lines: Seq[String]): Unit = {
+    val p = dir.resolve(f"delta-${System.nanoTime()}%020d.jsonl")
+    Files.write(p, lines.asJava, StandardCharsets.UTF_8)
+    deltaCount += 1
+    if (deltaCount >= mergeThreshold) mergeSnapshot()
+  }
+
+  /** Atomic add of new SSTs + delete of replaced ones — one delta file, the
+    * reference's single manifest update (manifest/mod.rs:120-157). */
+  def update(adds: Seq[SstFile], deleteIds: Seq[Long] = Nil): Unit = synchronized {
+    val delLines = deleteIds.flatMap(id => files.get(id)).map(fmt(_, "del"))
+    // Mutate the cache BEFORE writing the delta: writeDelta may trigger a
+    // snapshot merge, which serializes the cache and drops the delta files.
+    adds.foreach(f => files(f.id) = f)
+    deleteIds.foreach(files.remove)
+    writeDelta(adds.map(fmt(_, "add")) ++ delLines)
+  }
+
+  def addFile(f: SstFile): Unit = update(Seq(f))
+
+  /** SSTs overlapping the query range — file-level partition pruning before
+    * any I/O (manifest/mod.rs:165-172 find_ssts). */
+  def findSsts(range: TimeRange): Seq[SstFile] = synchronized {
+    files.values.filter(_.timeRange.overlaps(range)).toSeq
+  }
+
+  def allSsts(): Seq[SstFile] = synchronized(files.values.toSeq)
+
+  def markCompacting(ids: Seq[Long], flag: Boolean): Unit = synchronized {
+    ids.foreach(id => files.get(id).foreach(f => files(id) = f.copy(compacting = flag)))
+  }
+
+  /** Merge deltas into the snapshot (manifest/mod.rs:184-334). */
+  def mergeSnapshot(): Unit = synchronized {
+    val tmp = dir.resolve("snapshot.tmp")
+    Files.write(tmp, files.values.map(fmt(_, "add")).toSeq.asJava, StandardCharsets.UTF_8)
+    Files.move(tmp, snapshotFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("delta-")).foreach(Files.delete(_))
+    deltaCount = 0
+  }
+}

@@ -1,0 +1,64 @@
+package graft.storage
+
+import org.apache.spark.sql.types._
+
+/** Update semantics for rows sharing a primary key, mirroring the
+  * reference's per-table choice (reference: columnar_storage/src/config.rs:166-172).
+  *
+  *  - [[UpdateMode.Overwrite]]: last write (highest `__seq__`) wins
+  *    (reference operator.rs:36-44, LastValueOperator).
+  *  - [[UpdateMode.Append]]: binary/array value columns are concatenated in
+  *    `__seq__` order; other value columns take the first row
+  *    (reference operator.rs:46-111, BytesMergeOperator).
+  */
+sealed trait UpdateMode
+object UpdateMode {
+  case object Overwrite extends UpdateMode
+  case object Append extends UpdateMode
+}
+
+/** Schema of a time-merge table: a user schema whose first `numPrimaryKeys`
+  * columns form the sort/merge key, plus engine-internal builtin columns
+  * appended at the end (reference: columnar_storage/src/types.rs:143-196).
+  *
+  * Builtins:
+  *  - `__seq__` LongType — write sequence (= SST file id, monotonically
+  *    increasing; reference storage.rs:205-206, sst.rs:39-46)
+  *  - `__reserved__` LongType — reserved, always null
+  *    (reference types.rs:35-41,176-180)
+  */
+final case class StorageSchema(
+    userSchema: StructType,
+    numPrimaryKeys: Int,
+    updateMode: UpdateMode = UpdateMode.Overwrite) {
+  require(numPrimaryKeys > 0 && numPrimaryKeys <= userSchema.length,
+    s"numPrimaryKeys=$numPrimaryKeys out of range for ${userSchema.length} cols")
+
+  val primaryKeys: Seq[String] = userSchema.fieldNames.take(numPrimaryKeys).toSeq
+  val valueColumns: Seq[String] = userSchema.fieldNames.drop(numPrimaryKeys).toSeq
+
+  /** Full on-disk schema: user columns then builtins (types.rs:159-196). */
+  val fullSchema: StructType = StructType(
+    userSchema.fields ++ Array(
+      StructField(StorageSchema.SeqCol, LongType, nullable = true),
+      StructField(StorageSchema.ReservedCol, LongType, nullable = true)))
+
+  /** Widen a user projection so the merge step always sees every primary key
+    * plus `__seq__`; engine strips the extras after merging
+    * (reference types.rs:202-216 fill_required_projections).
+    * Returns (widened column names, user-facing column names).
+    */
+  def widenProjection(projection: Option[Seq[String]]): (Seq[String], Seq[String]) =
+    projection match {
+      case None => (fullSchema.fieldNames.dropRight(1).toSeq, userSchema.fieldNames.toSeq) // all user cols + __seq__
+      case Some(cols) =>
+        val widened = (cols ++ primaryKeys.filterNot(cols.contains) :+ StorageSchema.SeqCol).distinct
+        (widened, cols)
+    }
+}
+
+object StorageSchema {
+  val SeqCol = "__seq__"
+  val ReservedCol = "__reserved__"
+  val Builtins: Seq[String] = Seq(SeqCol, ReservedCol)
+}

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Mirrors the reference's storage tests (storage.rs:377-537, read.rs:512-573,
+  * operator.rs:113-159, types.rs:241-303, picker.rs:191-237). */
+class StorageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-storage").toString
+
+  private val abSchema = StructType(Seq(
+    StructField("pk1", IntegerType), StructField("pk2", IntegerType),
+    StructField("value", LongType)))
+
+  private def mkStorage(root: String, mode: UpdateMode = UpdateMode.Overwrite) =
+    new TimeMergeStorage(spark, root,
+      StorageSchema(abSchema, numPrimaryKeys = 2, mode), segmentMs = 7200 * 1000L)
+
+  private def writeBatch(s: TimeMergeStorage, range: TimeRange, rows: Seq[(Int, Int, Long)]): Unit = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 1), abSchema)
+    s.write(df, range)
+  }
+
+  test("write + scan round-trip with last-write-wins (storage.rs:391-491)") {
+    val s = mkStorage(tmpRoot())
+    // batch1 @ [1,10), batch2 @ [10,20) — FIXTURES §A
+    writeBatch(s, TimeRange(1, 10),
+      Seq((11, 100, 2L), (11, 100, 7L), (9, 1, 4L), (10, 2, 6L), (5, 3, 1L)))
+    writeBatch(s, TimeRange(10, 20),
+      Seq((11, 100, 22L), (11, 99, 77L), (9, 1, 44L), (10, 2, 66L)))
+
+    val got = s.scanSorted().collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    // Within batch1, (11,100) appears twice with same seq: reference keeps the
+    // later row of the sorted run; our max_by over equal seq is tie-broken by
+    // struct comparison — assert on the cross-batch winner only, plus keys.
+    assert(got.map(t => (t._1, t._2)) == Seq((5, 3), (9, 1), (10, 2), (11, 99), (11, 100)))
+    assert(got.find(t => t._1 == 11 && t._2 == 100).get._3 == 22L) // batch2 wins
+    assert(got.find(t => t._1 == 9).get._3 == 44L)
+    assert(got.find(t => t._1 == 5).get._3 == 1L)
+  }
+
+  test("scan with predicate pk1 = 11 (storage.rs:466-488)") {
+    val s = mkStorage(tmpRoot())
+    writeBatch(s, TimeRange(1, 10),
+      Seq((11, 100, 2L), (11, 100, 7L), (9, 1, 4L), (10, 2, 6L), (5, 3, 1L)))
+    writeBatch(s, TimeRange(10, 20),
+      Seq((11, 100, 22L), (11, 99, 77L), (9, 1, 44L), (10, 2, 66L)))
+    import org.apache.spark.sql.functions.col
+    val got = s.scanSorted(ScanRequest(predicates = Seq(col("pk1") === 11)))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((11, 99, 77L), (11, 100, 22L)))
+  }
+
+  test("projection widening (types.rs:202-216,292-301)") {
+    val ss = StorageSchema(abSchema, 2)
+    assert(ss.widenProjection(None)._1 == Seq("pk1", "pk2", "value", "__seq__"))
+    val (w, u) = ss.widenProjection(Some(Seq("value")))
+    assert(w == Seq("value", "pk1", "pk2", "__seq__") && u == Seq("value"))
+    val s = mkStorage(tmpRoot())
+    writeBatch(s, TimeRange(1, 10), Seq((1, 2, 3L)))
+    assert(s.scan(ScanRequest(projection = Some(Seq("value"))))
+      .schema.fieldNames.toSeq == Seq("value"))
+  }
+
+  test("append-mode merge concatenates in seq order (read.rs:526-536, operator.rs:46-111)") {
+    val schema = StructType(Seq(
+      StructField("pk1", IntegerType), StructField("chunk", StringType)))
+    val s = new TimeMergeStorage(spark, tmpRoot(),
+      StorageSchema(schema, 1, UpdateMode.Append), segmentMs = 1000L)
+    def w(rows: Seq[(Int, String)]): Unit =
+      s.write(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), schema),
+        TimeRange(0, 1000))
+    w(Seq((11, "1"), (11, "2"), (12, "3"), (12, "4"), (13, "5")))
+    w(Seq((13, "6"), (13, "7")))
+    w(Seq((13, "8"), (14, "9")))
+    val got = s.scanSorted().collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // Within-file order is pk-sorted collect_list (single row per key here per
+    // file except 11/12/13 — file-internal order of equal keys is the row
+    // order, combined across files by seq).
+    assert(got.map(_._1) == Seq(11, 12, 13, 14))
+    assert(got.find(_._1 == 13).get._2 == "5678")
+    assert(got.find(_._1 == 14).get._2 == "9")
+  }
+
+  test("append-mode binary concat (operator.rs:119-158)") {
+    val schema = StructType(Seq(
+      StructField("pk1", IntegerType), StructField("v", BinaryType)))
+    val s = new TimeMergeStorage(spark, tmpRoot(),
+      StorageSchema(schema, 1, UpdateMode.Append), segmentMs = 1000L)
+    for (b <- Seq("one", "two", "three", "four"))
+      s.write(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(11, b.getBytes("UTF-8"))), 1), schema),
+        TimeRange(0, 1000))
+    val got = s.scan().collect()
+    assert(got.length == 1)
+    assert(new String(got(0).getAs[Array[Byte]]("v"), "UTF-8") == "onetwothreefour")
+  }
+
+  test("segment truncation (types.rs:246-261)") {
+    val cases = Seq((0L, 0L), (10L, 0L), (20L, 20L), (30L, 20L), (40L, 40L), (41L, 40L))
+    cases.foreach { case (ts, want) => assert(TimeRange.truncate(ts, 20L) == want) }
+    assert(TimeRange.truncate(-1L, 20L) == -20L) // floor semantics
+  }
+
+  test("time-range overlap pruning via manifest (manifest/mod.rs:165-172)") {
+    val s = mkStorage(tmpRoot())
+    writeBatch(s, TimeRange(0, 7200000), Seq((1, 1, 1L)))
+    writeBatch(s, TimeRange(7200000, 14400000), Seq((2, 2, 2L)))
+    assert(s.manifest.findSsts(TimeRange(0, 1)).size == 1)
+    assert(s.manifest.findSsts(TimeRange(0, 14400000)).size == 2)
+    assert(s.manifest.findSsts(TimeRange(20000000, 30000000)).isEmpty)
+  }
+
+  test("manifest persistence + snapshot merge (manifest/mod.rs:184-334)") {
+    val root = tmpRoot()
+    val m1 = new Manifest(root, mergeThreshold = 3)
+    m1.addFile(SstFile(1, "/a", 10, 100, TimeRange(0, 10)))
+    m1.addFile(SstFile(2, "/b", 10, 100, TimeRange(10, 20)))
+    m1.update(Seq(SstFile(3, "/c", 20, 200, TimeRange(0, 20))), deleteIds = Seq(1, 2))
+    val m2 = new Manifest(root) // reload from disk (snapshot merged at 3 deltas)
+    assert(m2.allSsts().map(_.id).sorted == Seq(3L))
+  }
+
+  test("compaction picker (picker.rs:201-236)") {
+    // 5 SSTs, id i, range [10i,10i+10), size 100-i, segment 20ms, expire at 15
+    val files = (0 to 4).map(i =>
+      SstFile(i, s"/f$i", 10, 100 - i, TimeRange(10L * i, 10L * i + 10)))
+    val cfg = CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 10,
+      newSstMaxSize = 9999, ttlMs = Some(0L))
+    val picker = new Picker(cfg, segmentMs = 20L)
+    val task = picker.pick(files, nowMs = 15L).get
+    assert(task.expired.map(_.id) == Seq(0L))
+    // newest segment [40,60) has only sst4 (<minNum) → next is [20,40): sst2,sst3
+    assert(task.inputs.map(_.id).sorted == Seq(2L, 3L))
+    assert(task.inputs.map(_.id) == Seq(3L, 2L)) // size-ascending: 97 < 98
+  }
+
+  test("compaction executor merges + commits manifest before deletes (executor.rs:155-253)") {
+    val root = tmpRoot()
+    val s = mkStorage(root)
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 1L), (2, 2, 2L)))
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 10L)))
+    writeBatch(s, TimeRange(1, 10), Seq((2, 2, 20L)))
+    val compactor = new Compactor(s, CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 30))
+    assert(compactor.runOnce())
+    val ssts = s.manifest.allSsts()
+    assert(ssts.size == 1 && ssts.head.numRows == 2)
+    val got = s.scanSorted().collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 10L), (2, 20L))) // merged result preserved after compaction
+  }
+
+  test("TTL expiry drops whole files (sst.rs:109-114, picker TTL path)") {
+    val root = tmpRoot()
+    val s = mkStorage(root)
+    writeBatch(s, TimeRange(0, 10), Seq((1, 1, 1L)))
+    writeBatch(s, TimeRange(7200000, 7200010), Seq((2, 2, 2L)))
+    val compactor = new Compactor(s,
+      CompactionConfig(inputSstMinNum = 99, ttlMs = Some(1000L)))
+    assert(compactor.runOnce(nowMs = 7200000))     // file1 end=10 < 7200000-1000
+    assert(s.manifest.allSsts().map(_.timeRange.start) == Seq(7200000L))
+  }
+}
