@@ -1,13 +1,610 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rate
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * each with a DuckDB oracle over the same parquet tables.
+  *
+  * Conventions keeping Spark and DuckDB hash-identical:
+  *  - every derived integer is cast to BIGINT on both sides (DuckDB `len`/
+  *    `sum` widen differently than Spark);
+  *  - every float aggregate is `round(x, n)` on both sides;
+  *  - timestamps are compared/emitted as epoch-millis BIGINT
+  *    (`unix_millis(cast)` vs `epoch_ms(ts::TIMESTAMP)` — both truncate);
+  *  - hashing is md5 hex (identical in any engine), never engine-private;
+  *  - window ranks always carry a unique-id tiebreak.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS): Spark 4 only reads it with the
+    // nanosAsLong legacy conf, as a raw epoch-nanos Long.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** epoch-nanos Long → epoch-millis BIGINT via exact integer division
+    * (`div`, not `/`: double division loses ns precision above 2^53). */
+  private val tsMs: Column = expr("ts div 1000000")
+
+  private def nanos(isoDate: String): Long =
+    java.time.LocalDate.parse(isoDate).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000000L
+
+  /** epoch-ms bucketed to `ms` — BIGINT on both sides. */
+  private def bucket(ms: Long): Column = floor(tsMs / lit(ms)).cast("long") * ms
+
+  /** Exact money arithmetic: `round(x*100)` as BIGINT cents — immune to the
+    * round-half boundary disagreements engines have on binary doubles. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1+P1+P3: projection + filter, both pushed into the parquet scan.
+    "s1_project_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))),
+
+    // S2+F2/F3: time-range pruning (manifest overlap / partition pruning).
+    "s2_time_prune" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") >= lit(nanos("2024-01-10")) &&
+                col("ts") < lit(nanos("2024-01-20")))
+        .select(col("event_id"), tsMs.as("ts_ms"), col("user_id"),
+          col("event_type"), col("value"))),
+
+    // A1+A2+O2: merge-on-read last-write-wins dedup (MergeExec + LastValue).
+    "a1_last_write_wins" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("value").as("last_value"),
+          col("event_id").as("last_seq"))
+    }),
+
+    // A3: append-mode merge — seq-ordered string concat per key.
+    "a2_append_concat" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("user_id")
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("event_id"), col("props")))),
+          x => x("props"))).as("chunk"))),
+
+    // A4: 30-minute chunk bucketing (RFC 30-min sample batching).
+    "a4_chunk30m" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), bucket(1800000L).as("bucket_ms"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          min(tsMs).as("first_ts"), max(tsMs).as("last_ts"))),
+
+    // A5: PromQL pushdown aggregates — sum/min/max by label over day buckets.
+    "a5_promql_day" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), bucket(86400000L).as("day_ms"))
+        .agg(round(sum("value"), 2).as("sum_v"), round(min("value"), 2).as("min_v"),
+          round(max("value"), 2).as("max_v"), count(lit(1)).as("n"))),
+
+    // F2: segment bucketing (12h segments, the soak default).
+    "f2_segment_count" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(tsMs / lit(43200000L)).cast("long").as("segment"))
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))),
+
+    // A5/rate: PromQL rate with counter-reset handling.
+    "rate1_counter" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_type") === "purchase")
+      val delta = Rate.resetAwareDelta(col("value"), Seq(col("user_id")),
+        Seq(col("ts"), col("event_id")))
+      e.withColumn("d", delta).withColumn("tms", tsMs)
+        .groupBy("user_id")
+        .agg(round(sum("d"), 2).as("increase"),
+          (max("tms") - min("tms")).as("range_ms"),
+          count(lit(1)).as("n_samples"),
+          round(sum("d") / ((max("tms") - min("tms")) / 1000.0), 6).as("rate_per_sec"))
+    }),
+
+    // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
+    "j1_label_semijoin" -> ((s, dir) => {
+      val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      t(s, dir, "orders")
+        .join(broadcast(bld), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    "j2_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // Multi-label AND = intersection of TSID sets via repeated semi-join.
+    "j3_two_label_and" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchasers = ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      ev.filter(col("event_type") === "error").select("user_id").distinct()
+        .join(broadcast(purchasers), Seq("user_id"), "left_semi")
+    }),
+
+    // RFC two-step read: label lookup (distinct series) → data semi-join → agg.
+    "m1_two_step" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tsids = ev.filter(col("event_type") === "error" && col("value") > 190)
+        .select("user_id").distinct()
+      ev.join(broadcast(tsids), Seq("user_id"), "left_semi")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    }),
+
+    // F1: series/metric id population (md5 — portable across engines; the
+    // engine-internal path uses xxhash64, see graft.metric).
+    "f1_series_id" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("metric_id", md5(col("event_type")))
+        .withColumn("series_key",
+          md5(concat(col("event_type"), lit("|"), col("user_id").cast("string"))))),
+
+    // T5: TTL expiry — retention filter relative to the newest sample.
+    "ttl1_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tms", tsMs)
+      val mx = ev.agg(max("tms").as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .filter(col("tms") >= col("mx") - lit(604800000L))
+        .agg(count(lit(1)).as("n_retained"), min("tms").as("oldest_ms"))
+    }),
+
+    // O3/§2.7: set op — distinct union of two label selections.
+    "set1_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .union(ev.filter(col("event_type") === "error").select("user_id"))
+        .distinct()
+    }),
+
+    // TPC-H-ish pricing summary (hash agg with partial aggregation).
+    "q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("sum_disc_c4"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // 3-way broadcast join + agg.
+    "q3_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_c4"))
+    }),
+
+    // 5-way join through the region→nation→customer→orders→lineitem chain.
+    "q5_regional" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val joined = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      joined.groupBy("r_name", "n_name")
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_c4"))
+    }),
+
+    // Window top-k per group (beyond-reference analytic op).
+    "w1_top_orders" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    }),
+
+    // Running (prefix) aggregation window.
+    "w2_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(sum("value").over(w), 2).as("running"))
+    }),
+
+    // Dedup: exact content-hash groups.
+    "d1_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Dedup: MinHash signatures (4 hashes).
+    "d2_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(t(s, dir, "documents"), "doc_id", "text", numHashes = 4)),
+
+    // Dedup: LSH candidate pairs (8 hashes, 4 bands × 2).
+    "d3_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(t(s, dir, "documents"), "doc_id", "text", 8),
+        "doc_id", numHashes = 8, bandSize = 2)),
+
+    // Dedup: 16-bit SimHash signatures.
+    "d4_simhash16" -> ((s, dir) =>
+      Dedup.simhash16(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Dedup: n-gram Jaccard verification over a bounded pair set.
+    "d5_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3)
+    }),
+
+    // Similarity: embedding-cosine near-duplicate pairs (bounded subset).
+    "e1_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 100), "vec_id", "embedding",
+        threshold = 0.2)),
+
+    // Similarity: brute-force exact top-3 neighbors for 10 query vectors.
+    "e2_knn_top3" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Similarity: LSH bucket assignment (the ANN scale path).
+    "e3_lsh_buckets" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), dim = 64, k = 4).as("bucket"))),
+
+    // Text: stopword-heuristic language ID.
+    "t1_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))),
+
+    // Text: quality scoring.
+    "t2_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("q_chars").cast("long").as("q_chars"),
+          col("q_tokens").cast("long").as("q_tokens"),
+          col("q_mean_tok_len"), col("q_stop_ratio"))),
+
+    // Text: token counting (whitespace + BPE-ish regex).
+    "t3_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"))),
+
+    // Text: normalized-content fingerprint.
+    "t4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Multimodal: opaque binary payload + typed metadata (decode is stubbed;
+    // the oracle checks the portable subset: byte length + content digest).
+    "mm1_media_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          md5(col("text").cast("binary")).as("payload_md5")))
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val stopEn = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString(", ")
+  private val stopEs = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString(", ")
+  private val stopDe = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "s1_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45""".stripMargin,
+
+    "s2_time_prune" ->
+      """SELECT event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'""".stripMargin,
+
+    "a1_last_write_wins" ->
+      """SELECT user_id, event_type, value AS last_value, event_id AS last_seq
+        |FROM (SELECT user_id, event_type, value, event_id,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "a2_append_concat" ->
+      """SELECT user_id, string_agg(props, '' ORDER BY event_id) AS chunk
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a4_chunk30m" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 1800000) AS BIGINT) * 1800000 AS bucket_ms,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  min(epoch_ms(ts::TIMESTAMP)) AS first_ts,
+        |  max(epoch_ms(ts::TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY user_id, bucket_ms""".stripMargin,
+
+    "a5_promql_day" ->
+      """SELECT event_type,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000 AS day_ms,
+        |  round(sum(value), 2) AS sum_v, round(min(value), 2) AS min_v,
+        |  round(max(value), 2) AS max_v, count(*) AS n
+        |FROM events GROUP BY event_type, day_ms""".stripMargin,
+
+    "f2_segment_count" ->
+      """SELECT CAST(floor(epoch_ms(ts::TIMESTAMP) / 43200000) AS BIGINT) AS segment,
+        |  count(*) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY segment""".stripMargin,
+
+    "rate1_counter" ->
+      """WITH d AS (
+        |  SELECT user_id, value, epoch_ms(ts::TIMESTAMP) AS tms,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id,
+        |  round(sum(CASE WHEN prev IS NULL THEN 0
+        |                 WHEN value >= prev THEN value - prev
+        |                 ELSE value END), 2) AS increase,
+        |  max(tms) - min(tms) AS range_ms, count(*) AS n_samples,
+        |  round(sum(CASE WHEN prev IS NULL THEN 0
+        |                 WHEN value >= prev THEN value - prev
+        |                 ELSE value END) / ((max(tms) - min(tms)) / 1000.0), 6)
+        |    AS rate_per_sec
+        |FROM d GROUP BY user_id""".stripMargin,
+
+    "j1_label_semijoin" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "j2_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "j3_two_label_and" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'error'
+        |  AND user_id IN (SELECT user_id FROM events
+        |                  WHERE event_type = 'purchase')""".stripMargin,
+
+    "m1_two_step" ->
+      """WITH tsids AS (SELECT DISTINCT user_id FROM events
+        |               WHERE event_type = 'error' AND value > 190)
+        |SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events WHERE user_id IN (SELECT user_id FROM tsids)
+        |GROUP BY user_id""".stripMargin,
+
+    "f1_series_id" ->
+      """SELECT DISTINCT event_type, user_id,
+        |  md5(event_type) AS metric_id,
+        |  md5(event_type || '|' || CAST(user_id AS VARCHAR)) AS series_key
+        |FROM events""".stripMargin,
+
+    "ttl1_retention" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS m FROM events)
+        |SELECT count(*) AS n_retained, min(epoch_ms(ts::TIMESTAMP)) AS oldest_ms
+        |FROM events, mx WHERE epoch_ms(ts::TIMESTAMP) >= m - 604800000""".stripMargin,
+
+    "set1_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderkey, o_orderpriority""".stripMargin,
+
+    "q5_regional" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "w1_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events""".stripMargin,
+
+    "d1_exact_groups" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY content_key""".stripMargin,
+
+    "d2_minhash_sig" ->
+      """SELECT doc_id,
+        |  min(md5('0|' || t)) AS mh0, min(md5('1|' || t)) AS mh1,
+        |  min(md5('2|' || t)) AS mh2, min(md5('3|' || t)) AS mh3
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY doc_id""".stripMargin,
+
+    "d3_lsh_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |sig AS (SELECT doc_id,
+        |  min(md5('0|' || t)) AS mh0, min(md5('1|' || t)) AS mh1,
+        |  min(md5('2|' || t)) AS mh2, min(md5('3|' || t)) AS mh3,
+        |  min(md5('4|' || t)) AS mh4, min(md5('5|' || t)) AS mh5,
+        |  min(md5('6|' || t)) AS mh6, min(md5('7|' || t)) AS mh7
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (
+        |  SELECT 0 AS band, mh0 || '|' || mh1 AS band_key, doc_id FROM sig
+        |  UNION ALL SELECT 1, mh2 || '|' || mh3, doc_id FROM sig
+        |  UNION ALL SELECT 2, mh4 || '|' || mh5, doc_id FROM sig
+        |  UNION ALL SELECT 3, mh6 || '|' || mh7, doc_id FROM sig)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b USING (band, band_key)
+        |WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "d4_simhash16" ->
+      """WITH tok AS (SELECT doc_id, md5(t) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |votes AS (SELECT doc_id, j,
+        |    sum(CASE WHEN substr(h, CAST(j AS INTEGER) + 1, 1)
+        |             IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN generate_series(0, 15) AS g(j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS simhash16
+        |FROM votes GROUP BY doc_id""".stripMargin,
+
+    "d5_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |           i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+        |  FROM d),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY id_a, id_b)
+        |SELECT id_a, id_b,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin,
+
+    "e1_cosine_pairs" ->
+      """SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |      AS cos
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.2""".stripMargin,
+
+    "e2_knn_top3" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6)
+        |      AS cos
+        |  FROM embeddings q CROSS JOIN embeddings v
+        |  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    "e3_lsh_buckets" ->
+      """WITH comp AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |dots AS (SELECT vec_id, j, sum(x * (((i * 7 + j * 13) % 5) - 2)) AS dot
+        |  FROM comp CROSS JOIN generate_series(0, 3) AS g(j)
+        |  GROUP BY vec_id, j)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS bucket
+        |FROM dots GROUP BY vec_id""".stripMargin,
+
+    "t1_langid" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      tk -> tk IN ($stopEn))) AS en,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      tk -> tk IN ($stopEs))) AS es,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      tk -> tk IN ($stopDe))) AS de
+        |  FROM documents)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'und'
+        |       WHEN en >= es AND en >= de THEN 'en'
+        |       WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "t2_quality" ->
+      s"""SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS q_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS q_tokens,
+        |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS q_mean_tok_len,
+        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |      tk -> tk IN ($stopEn))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS q_stop_ratio
+        |FROM documents""".stripMargin,
+
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS BIGINT) AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp
+        |FROM documents""".stripMargin,
+
+    "mm1_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed as a
+  * shuffle-once DataFrame transform:
+  *
+  *  - exact: hash-groupBy on a content digest — one shuffle on the digest;
+  *  - MinHash + LSH: signature is a single groupBy over exploded tokens
+  *    (partial aggregation collapses per-token rows map-side), candidate
+  *    pairs come from an equi-join on band keys — never an O(n²) cross join;
+  *  - SimHash: pure column expressions, zero shuffles for the signature;
+  *  - n-gram Jaccard: verification step over LSH candidates only.
+  *
+  * Portable hashing: md5 hex (identical across engines) rather than
+  * engine-private hash functions, so every operator is oracle-checkable.
+  */
+object Dedup {
+
+  /** Content digest for exact dedup. */
+  def contentKey(text: Column): Column = md5(text)
+
+  /** Exact dedup: one representative (min id) per distinct content. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentKey(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: for seed i, `min(md5(i || '|' || token))` over the
+    * document's tokens. One explode + one groupBy with k aggregates (not k
+    * passes). Hex-string min == numeric min of the 128-bit hash. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("__tok__"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("__tok__")))).as(s"mh$i"))
+    tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature: band key = concat of the band's
+    * hashes. Emits (band, key, id); equal keys within a band are candidate
+    * near-duplicates. */
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
+    val numBands = numHashes / bandSize
+    val bands = (0 until numBands).map { b =>
+      val key = concat_ws("|", (0 until bandSize).map(i => col(s"mh${b * bandSize + i}")): _*)
+      sig.select(lit(b).as("band"), key.as("band_key"), col(idCol))
+    }
+    bands.reduce(_ unionAll _)
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band — an equi-join on
+    * (band, band_key), broadcastable when the bucketed side is small and
+    * AQE-skew-safe otherwise. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
+      bandSize: Int): DataFrame = {
+    val bands = lshBands(sig, idCol, numHashes, bandSize)
+    val l = bands.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val r = bands.select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Hex digits with odd nibble value — parity test portable to any engine
+    * via `substr(h, j, 1) IN ('1','3','5','7','9','b','d','f')`. */
+  private val OddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  /** 16-bit SimHash from md5 nibble parities: bit j (0-based) of a token's
+    * sketch is the parity of hex digit j+1 of md5(token); the signature bit
+    * is the sign of the per-bit vote sum across tokens. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col(idCol), md5(col("t")).as("h"))
+    val votes = tok.select(col(idCol), posexplode(transform(sequence(lit(1), lit(16)),
+        j => when(substr(col("h"), j, lit(1)).isin(OddHex: _*), lit(1)).otherwise(lit(-1)))))
+      .withColumnRenamed("pos", "bit").withColumnRenamed("col", "vote")
+    votes.groupBy(col(idCol), col("bit")).agg(sum(col("vote")).as("v"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("bit")).cast("long"))
+        .otherwise(lit(0L))).as("simhash16"))
+  }
+
+  /** n-gram Jaccard similarity for candidate verification: character
+    * n-gram shingle sets, |A ∩ B| / |A ∪ B|. Run over candidate `pairs`
+    * (id_a, id_b) only — never all-pairs. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val shingles = docs.select(col(idCol).as("id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+        i => col(textCol).substr(i, lit(n))))).as("sh"))
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(shingles.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(shingles.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`).
+  *
+  * Scale design: brute-force cosine is the exact baseline — at 100 TB it is a
+  * broadcast of the (small) query set against a full scan, O(n·q). The LSH
+  * path buckets vectors by random-hyperplane sign bits so candidate
+  * generation becomes an equi-join on the bucket id (shuffle on a 2^k-ary
+  * key), the standard IVF/LSH trade: recall for a ~2^k reduction in pairs.
+  * All math is double-precision column expressions (codegen, no UDFs).
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (brute force): broadcast the
+    * query set, rank by (rounded cosine desc, id asc) for determinism. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane `j` for dimension `dim`:
+    * component i = ((i*7 + j*13) mod 5) - 2 ∈ {-2..2}. Reproducible in any
+    * engine with integer arithmetic — no RNG state. */
+  def hyperplane(j: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => ((i * 7 + lit(j) * 13) % 5 - 2).cast("double"))
+
+  /** LSH bucket id: k sign bits of dot products with k deterministic
+    * hyperplanes → integer in [0, 2^k). The scale path for ANN: vectors
+    * hash-partition by bucket, queries probe only their bucket. */
+  def lshBucket(vec: Column, dim: Int, k: Int = 4): Column =
+    (0 until k).map { j =>
+      when(dot(vec, hyperplane(j, dim)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN top-k: same contract as [[bruteForceTopK]] but candidates
+    * are restricted to the query's LSH bucket. */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, bits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vb = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      lshBucket(col(vecCol), dim, bits).as("bucket"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dim, bits).as("bucket")))
+    val scored = vb.join(qb, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** All pairs (a<b) with cosine above `threshold` within a candidate set —
+    * embedding-based near-duplicate detection. Callers bound the input
+    * (e.g. LSH buckets) at scale. */
+  def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}
