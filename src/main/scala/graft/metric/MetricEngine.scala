@@ -1,0 +1,192 @@
+package graft.metric
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.storage._
+
+/** A single time-series sample, the write-path unit
+  * (reference src/metric_engine/src/types.rs:18-36). */
+case class Sample(name: String, labels: Map[String, String], timestamp: Long,
+    value: Double)
+
+/** Aggregations the PromQL-shaped read path can push down (reference RFC
+  * docs/rfcs/20220702-prometheus-read-extension.md:78-99: "HoraeDB supports
+  * sum and rate"; we add the rest of the obvious set). */
+sealed trait MetricAgg
+object MetricAgg {
+  case object Sum extends MetricAgg
+  case object Min extends MetricAgg
+  case object Max extends MetricAgg
+  case object Avg extends MetricAgg
+  case object Count extends MetricAgg
+}
+
+/** PromQL-shaped query: instant/range selection + label filters + optional
+  * per-step bucketing + aggregation + optional reset-aware rate. */
+final case class MetricQuery(
+    metric: String,
+    labelFilters: Map[String, String] = Map.empty,
+    range: TimeRange = TimeRange(Long.MinValue, Long.MaxValue),
+    stepMs: Option[Long] = None,
+    agg: MetricAgg = MetricAgg.Sum,
+    groupByTag: Option[String] = None,
+    rate: Boolean = false)
+
+/** The metric engine: five storage tables + id population + the two-step
+  * label→TSID read path (reference RFC docs/rfcs/20240827-metric-engine.md:
+  * 106-137 index tables, :218-226 data table, :121-126 two-step lookup).
+  *
+  * Ids are `xxhash64` (Spark-native 64-bit hash) of the canonicalized
+  * name/labels — the analog of the reference's seahash MetricId/SeriesId
+  * (src/metric_engine/src/types.rs:38-40); only internal consistency
+  * matters, the concrete hash differs from the reference.
+  *
+  * Scale: the data table is partitioned (segment, tsid) — aggregation
+  * shuffles on tsid which is a uniform 64-bit hash, so no skew; index/series
+  * lookups produce small TSID sets that broadcast into the data scan.
+  */
+final class MetricEngine(spark: SparkSession, root: String,
+    segmentMs: Long = 12L * 3600 * 1000) {
+
+  import MetricEngine._
+
+  val metrics = new TimeMergeStorage(spark, s"$root/metrics",
+    StorageSchema(metricsSchema, numPrimaryKeys = 2), MetaSegmentMs)
+  val series = new TimeMergeStorage(spark, s"$root/series",
+    StorageSchema(seriesSchema, numPrimaryKeys = 2), MetaSegmentMs)
+  val tags = new TimeMergeStorage(spark, s"$root/tags",
+    StorageSchema(tagsSchema, numPrimaryKeys = 3), MetaSegmentMs)
+  val index = new TimeMergeStorage(spark, s"$root/index",
+    StorageSchema(indexSchema, numPrimaryKeys = 4), MetaSegmentMs)
+  val data = new TimeMergeStorage(spark, s"$root/data",
+    StorageSchema(dataSchema, numPrimaryKeys = 3), segmentMs,
+    timestampColumn = Some("ts"))
+
+  /** Canonical series key: `name{k1=v1,k2=v2}` with keys sorted — the
+    * `hash(metric + sorted_tags)` input (RFC 20240827-metric-engine.md:34). */
+  private def seriesKeyCol: Column =
+    concat(col("name"), lit("{"),
+      concat_ws(",", transform(array_sort(map_entries(col("labels"))),
+        e => concat(e("key"), lit("="), e("value")))), lit("}"))
+
+  /** Id population (reference metric/mod.rs:30-40, index/mod.rs:28-37):
+    * metric_id = hash(name), tsid = hash(canonical series key). */
+  def withIds(samples: DataFrame): DataFrame =
+    samples
+      .withColumn("series_key", seriesKeyCol)
+      .withColumn("metric_id", xxhash64(col("name")))
+      .withColumn("tsid", xxhash64(col("series_key")))
+
+  /** Ingest one batch of samples: populate ids, upsert the four meta tables,
+    * write data per segment (writes may not cross a segment —
+    * reference storage.rs:307-316). */
+  def write(samples: DataFrame): Unit = {
+    val ided = withIds(samples).cache()
+    try {
+      metrics.write(
+        ided.select(col("name").as("metric_name"), col("metric_id")).distinct()
+          .withColumn("field_id", lit(0))
+          .select("metric_name", "metric_id", "field_id"),
+        MetaRange)
+      series.write(
+        ided.select(col("metric_id"), col("tsid"),
+          col("series_key").cast(BinaryType).as("series_key")).distinct(),
+        MetaRange)
+      val exploded = ided.select(col("metric_id"), col("tsid"),
+        explode(col("labels")).as(Seq("tag_key", "tag_value")))
+      tags.write(
+        exploded.select("metric_id", "tag_key", "tag_value").distinct(), MetaRange)
+      index.write(
+        exploded.select("metric_id", "tag_key", "tag_value", "tsid").distinct(),
+        MetaRange)
+      val dataRows = ided.select(col("metric_id"), col("tsid"),
+        col("timestamp").as("ts"), col("value"))
+        .withColumn("__seg__", floor(col("ts") / lit(segmentMs)).cast("long"))
+      // One sorted SST per segment touched by the batch (bounded by the
+      // batch's time span, typically 1).
+      val segs = dataRows.select("__seg__").distinct().collect().map(_.getLong(0))
+      segs.foreach { g =>
+        data.write(dataRows.filter(col("__seg__") === g).drop("__seg__"),
+          TimeRange(g * segmentMs, (g + 1) * segmentMs))
+      }
+    } finally ided.unpersist()
+  }
+
+  /** TSIDs matching every label filter — the RFC two-step lookup, step 1
+    * (20240827-metric-engine.md:121-126): filter the index table per label,
+    * intersect via repeated semi-join. */
+  def lookupTsids(metricId: Long, labelFilters: Map[String, String]): DataFrame = {
+    if (labelFilters.isEmpty)
+      return series.scan(ScanRequest(predicates = Seq(col("metric_id") === metricId)))
+        .select("tsid").distinct()
+    labelFilters.map { case (k, v) =>
+      index.scan(ScanRequest(predicates = Seq(
+        col("metric_id") === metricId, col("tag_key") === k, col("tag_value") === v)))
+        .select("tsid").distinct()
+    }.reduce((a, b) => a.join(b, Seq("tsid"), "left_semi"))
+  }
+
+  private def metricIdOf(name: String): Option[Long] = {
+    val rows = metrics.scan(ScanRequest(
+      predicates = Seq(col("metric_name") === name),
+      projection = Some(Seq("metric_id")))).limit(1).collect()
+    rows.headOption.map(_.getLong(0))
+  }
+
+  /** Step 2: probe the data table with the TSID set (broadcast semi-join),
+    * bucket by step, aggregate; optional per-tag grouping joins the index
+    * back for the tag value; optional reset-aware rate. */
+  def query(q: MetricQuery): DataFrame = {
+    val mid = metricIdOf(q.metric).getOrElse(
+      return spark.emptyDataFrame.withColumn("value", lit(0.0)).limit(0))
+    val tsids = lookupTsids(mid, q.labelFilters)
+    var rows = data.scan(ScanRequest(range = q.range,
+        predicates = Seq(col("metric_id") === mid)))
+      .join(broadcast(tsids), Seq("tsid"), "left_semi")
+    if (q.rate)
+      rows = rows.withColumn("value", graft.functions.Rate.resetAwareDelta(
+        col("value"), Seq(col("tsid")), Seq(col("ts"))))
+    val bucketCol = q.stepMs.map(st => (floor(col("ts") / lit(st)).cast("long") * st).as("bucket_ms"))
+    val tagCol = q.groupByTag.map { tag =>
+      val tagVals = index.scan(ScanRequest(predicates = Seq(
+        col("metric_id") === mid, col("tag_key") === tag)))
+        .select(col("tsid"), col("tag_value").as(tag))
+      rows = rows.join(broadcast(tagVals), Seq("tsid"))
+      col(tag)
+    }
+    val keys = (tagCol.toSeq ++ bucketCol.toSeq)
+    val valueAgg = q.agg match {
+      case MetricAgg.Sum => sum(col("value"))
+      case MetricAgg.Min => min(col("value"))
+      case MetricAgg.Max => max(col("value"))
+      case MetricAgg.Avg => avg(col("value"))
+      case MetricAgg.Count => count(lit(1)).cast("double")
+    }
+    if (keys.isEmpty) rows.agg(valueAgg.as("value"))
+    else rows.groupBy(keys: _*).agg(valueAgg.as("value"))
+  }
+}
+
+object MetricEngine {
+  /** Meta tables are not time-partitioned: single fixed segment. */
+  private val MetaSegmentMs = Long.MaxValue
+  private val MetaRange = TimeRange(0L, 1L)
+
+  val metricsSchema: StructType = StructType(Seq(
+    StructField("metric_name", StringType), StructField("metric_id", LongType),
+    StructField("field_id", IntegerType)))
+  val seriesSchema: StructType = StructType(Seq(
+    StructField("metric_id", LongType), StructField("tsid", LongType),
+    StructField("series_key", BinaryType)))
+  val tagsSchema: StructType = StructType(Seq(
+    StructField("metric_id", LongType), StructField("tag_key", StringType),
+    StructField("tag_value", StringType)))
+  val indexSchema: StructType = StructType(Seq(
+    StructField("metric_id", LongType), StructField("tag_key", StringType),
+    StructField("tag_value", StringType), StructField("tsid", LongType)))
+  val dataSchema: StructType = StructType(Seq(
+    StructField("metric_id", LongType), StructField("tsid", LongType),
+    StructField("ts", LongType), StructField("value", DoubleType)))
+}

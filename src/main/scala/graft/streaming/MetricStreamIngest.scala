@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.metric.{MetricEngine, Sample}
+
+/** Structured Streaming ingest path (reference T1-T4, SURVEY §2.9): a stream
+  * of snappy-/raw-framed remote-write protobuf payloads → decode →
+  * `Dataset[Sample]` → `foreachBatch` segment-bounded sorted writes into the
+  * metric engine.
+  *
+  * Late data policy mirrors the reference (storage.rs write check only):
+  * no watermark on the sink path — any timestamp landing in an existing
+  * segment is accepted as a new SST; merge-on-read dedup restores
+  * correctness at query time (SURVEY §2.9 T4).
+  *
+  * Scale: each micro-batch produces one sorted SST per touched segment; the
+  * 100 TB path swaps the single-writer engine call for per-partition writes
+  * keyed by (segment, bucket(tsid)) with the same manifest commit.
+  */
+object MetricStreamIngest {
+
+  /** Decode a stream of raw remote-write payloads into samples. */
+  def decodePayloads(payloads: Dataset[Array[Byte]]): Dataset[Sample] = {
+    import payloads.sparkSession.implicits._
+    payloads.flatMap(RemoteWrite.decode(_))
+  }
+
+  /** Start the ingest query: payload stream → engine tables. */
+  def start(engine: MetricEngine, payloads: Dataset[Array[Byte]],
+      checkpointDir: String, triggerMs: Long = 500L): StreamingQuery =
+    decodePayloads(payloads).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: Dataset[Sample], _: Long) =>
+        if (!batch.isEmpty) engine.write(batch.toDF())
+      }
+      .start()
+
+  /** Batch convenience: ingest a static set of payload blobs. */
+  def ingestBatch(engine: MetricEngine, spark: SparkSession,
+      payloads: Seq[Array[Byte]]): Unit = {
+    import spark.implicits._
+    engine.write(payloads.toDS().flatMap(RemoteWrite.decode(_)).toDF())
+  }
+}

@@ -1,0 +1,67 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.metric._
+import graft.storage.{CompactionConfig, Compactor, TimeRange}
+import graft.streaming.{MetricStreamIngest, RemoteWrite}
+
+/** Soak-harness analog of the reference server (server/src/main.rs:187-233):
+  * pushes N batches of encoded remote-write payloads through the streaming
+  * ingest path, then compacts and queries.
+  * Run: `sbt "runMain graft.tools.MetricSoak [numBatches] [rowsPerBatch]"` */
+object MetricSoak {
+  def main(args: Array[String]): Unit = {
+    val numBatches = args.headOption.map(_.toInt).getOrElse(6)
+    val rows = args.lift(1).map(_.toInt).getOrElse(1000)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = Files.createTempDirectory("graft-soak").toString
+    println(s"[soak] root=$root batches=$numBatches rows=$rows")
+    val engine = new MetricEngine(spark, root)
+    val stream = MemoryStream[Array[Byte]]
+    val q = MetricStreamIngest.start(engine, stream.toDS(),
+      Files.createTempDirectory("graft-soak-ckpt").toString, triggerMs = 100L)
+
+    val t0 = 1723680000000L
+    val rnd = new scala.util.Random(42)
+    val start = System.nanoTime()
+    (0 until numBatches).foreach { b =>
+      val samples = (0 until rows).map { i =>
+        Sample("soak_metric",
+          Map("worker" -> s"w${i % 4}", "host" -> s"host${i % 16}"),
+          t0 + (b.toLong * rows + i) * 500L, rnd.nextDouble() * 100)
+      }
+      stream.addData(RemoteWrite.encode(samples))
+      q.processAllAvailable()
+      println(s"[soak] batch $b ingested; data SSTs=${engine.data.manifest.allSsts().size}")
+    }
+    q.stop()
+    val ingestSec = (System.nanoTime() - start) / 1e9
+
+    val compactor = new Compactor(engine.data,
+      CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 30))
+    var n = 0
+    while (compactor.runOnce()) n += 1
+    println(s"[soak] compaction passes=$n; data SSTs now=${engine.data.manifest.allSsts().size}")
+
+    val cnt = engine.query(MetricQuery("soak_metric", agg = MetricAgg.Count)).collect()(0).getDouble(0)
+    val perWorker = engine.query(MetricQuery("soak_metric",
+      labelFilters = Map("worker" -> "w1"), agg = MetricAgg.Count)).collect()(0).getDouble(0)
+    val rate = engine.query(MetricQuery("soak_metric",
+      labelFilters = Map("host" -> "host3"), agg = MetricAgg.Sum, rate = true,
+      range = TimeRange(t0, t0 + 3600L * 1000))).collect()(0).getDouble(0)
+    println(f"[soak] ingest=${ingestSec}%.1fs total_samples=$cnt%.0f worker_w1=$perWorker%.0f host3_rate_sum=$rate%.2f")
+    assert(cnt == numBatches.toLong * rows, s"lost samples: $cnt")
+    println("[soak] OK")
+    spark.stop()
+  }
+}

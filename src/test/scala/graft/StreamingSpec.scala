@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.metric._
+import graft.streaming._
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val t0 = 1723680000000L
+
+  private def samples(n: Int, offset: Int = 0): Seq[Sample] =
+    (0 until n).map(i => Sample("cpu_seconds_total",
+      Map("host" -> s"h${i % 3}", "mode" -> "user"), t0 + (offset + i) * 1000L,
+      (offset + i) * 1.5))
+
+  test("remote-write codec round-trips (equivalence_test.rs analog)") {
+    val in = samples(10) ++ Seq(
+      Sample("mem_bytes", Map.empty, t0, 42.5),
+      Sample("weird", Map("k" -> "v=,{}"), t0 + 5, -1.25))
+    val decoded = RemoteWrite.decode(RemoteWrite.encode(in))
+    assert(decoded.toSet == in.toSet)
+    assert(decoded.size == in.size)
+  }
+
+  test("decode skips unknown fields (forward compat)") {
+    // append an unknown field 9 (varint) at top level
+    val bytes = RemoteWrite.encode(samples(2)) ++ Array[Byte](
+      ((9 << 3) | 0).toByte, 0x7f.toByte)
+    assert(RemoteWrite.decode(bytes).size == 2)
+  }
+
+  test("streaming ingest lands samples in the engine (T1-T4 pipeline)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-stream").toString)
+    val stream = MemoryStream[Array[Byte]]
+    val q = MetricStreamIngest.start(engine, stream.toDS(),
+      Files.createTempDirectory("graft-ckpt").toString, triggerMs = 100L)
+    try {
+      stream.addData(RemoteWrite.encode(samples(5)))
+      q.processAllAvailable()
+      stream.addData(RemoteWrite.encode(samples(5, offset = 5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(engine.data.scan().count() == 10)
+    assert(engine.series.scan().count() == 3) // 3 hosts
+    val total = engine.query(MetricQuery("cpu_seconds_total",
+      labelFilters = Map("host" -> "h0"), agg = MetricAgg.Count)).collect()
+    assert(total(0).getDouble(0) == 4.0) // i = 0,3,6,9
+  }
+}
