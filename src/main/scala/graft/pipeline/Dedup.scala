@@ -40,14 +40,16 @@ object Dedup {
 
   /** LSH banding over a minhash signature: band key = concat of the band's
     * hashes. Emits (band, key, id); equal keys within a band are candidate
-    * near-duplicates. */
+    * near-duplicates. Single `posexplode` over an array of band keys — the
+    * signature aggregation is computed once, not once per band, and the
+    * downstream self-join's two sides share (and reuse) one exchange. */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
     val numBands = numHashes / bandSize
-    val bands = (0 until numBands).map { b =>
-      val key = concat_ws("|", (0 until bandSize).map(i => col(s"mh${b * bandSize + i}")): _*)
-      sig.select(lit(b).as("band"), key.as("band_key"), col(idCol))
-    }
-    bands.reduce(_ unionAll _)
+    val bandKeys = array((0 until numBands).map { b =>
+      concat_ws("|", (0 until bandSize).map(i => col(s"mh${b * bandSize + i}")): _*)
+    }: _*)
+    sig.select(col(idCol), posexplode(bandKeys).as(Seq("band", "band_key")))
+      .select(col("band"), col("band_key"), col(idCol))
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band — an equi-join on
@@ -55,7 +57,11 @@ object Dedup {
     * AQE-skew-safe otherwise. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
       bandSize: Int): DataFrame = {
+    // Persist the banded signature: the self-join would otherwise recompute
+    // the full tokenize+minhash aggregation on both sides. (At cluster scale
+    // the same intermediate would be a written/bucketed table.)
     val bands = lshBands(sig, idCol, numHashes, bandSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.select(col("band"), col("band_key"), col(idCol).as("id_a"))
     val r = bands.select(col("band"), col("band_key"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "band_key"))
@@ -73,13 +79,14 @@ object Dedup {
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col(idCol), md5(col("t")).as("h"))
-    val votes = tok.select(col(idCol), posexplode(transform(sequence(lit(1), lit(16)),
-        j => when(substr(col("h"), j, lit(1)).isin(OddHex: _*), lit(1)).otherwise(lit(-1)))))
-      .withColumnRenamed("pos", "bit").withColumnRenamed("col", "vote")
-    votes.groupBy(col(idCol), col("bit")).agg(sum(col("vote")).as("v"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("bit")).cast("long"))
-        .otherwise(lit(0L))).as("simhash16"))
+    // 16 vote sums as sibling aggregates over one shuffle (no 16x explode).
+    val votes = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1).isin(OddHex: _*), lit(1L)).otherwise(lit(-1L)))
+        .as(s"v$j"))
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (1 to 16).map(j => when(col(s"v$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash16"))
   }
 
   /** n-gram Jaccard similarity for candidate verification: character
