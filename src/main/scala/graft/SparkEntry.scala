@@ -314,7 +314,81 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
           length(col("text").cast("binary")).cast("long").as("n_bytes"),
-          md5(col("text").cast("binary")).as("payload_md5")))
+          md5(col("text").cast("binary")).as("payload_md5"))),
+
+    // Multimodal: full plumbing — binary payload + meta struct through the
+    // per-partition feature extractor (stub decode). Rows-only check: the
+    // mapPartitions batch shape is not SQL-expressible.
+    "mm2_features" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.toMedia(
+        t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "text/plain")
+      graft.pipeline.Multimodal.extractFeatures(media, targetPartitions = 8)
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("feature"), 1), 4).as("f0"))
+    }),
+
+    // Beyond-reference analytics: rollup (grouping sets family).
+    "x1_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .rollup(col("event_type"), bucket(86400000L).as("day_ms"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))),
+
+    // Multi distinct aggregation.
+    "x2_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(bucket(86400000L)).as("n_days"),
+          count(lit(1)).as("n"))),
+
+    // Global top-k (sort + limit with deterministic tiebreak).
+    "x3_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100).select("o_orderkey", "o_totalprice")),
+
+    // As-of join: each purchase gets the most recent strictly-earlier error
+    // of the same user (graft.operators.AsOfJoin — union + running window,
+    // one shuffle, no range-join blowup).
+    "x4_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), tsMs.as("tms"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), tsMs.as("err_tms"))
+      graft.operators.AsOfJoin.joinPrior(purchases, errors, Seq("user_id"),
+          "tms", "err_tms", payload = Nil, strict = true)
+        .select(col("user_id"), col("event_id"), col("tms"),
+          col("asof_err_tms").as("last_err"))
+    }),
+
+    // Sessionization: 30-min-gap sessions per user (streaming-style analytic
+    // expressed as two windows + aggregation).
+    "x5_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tms"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(col("user_id"), col("event_id"), tsMs.as("tms"))
+        .withColumn("new_s",
+          when(col("tms") - lag("tms", 1).over(w) > 1800000L, 1L)
+            .when(lag("tms", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_s").over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max("tms") - min("tms")).as("duration_ms"))
+    }),
+
+    // Exact interpolated quantiles per group.
+    "x6_quantiles" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.5)), 4).as("med"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"))),
+
+    // Pivot: per-user event-type counts as columns.
+    "x7_pivot" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -605,6 +679,64 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "x1_rollup" ->
+      """SELECT event_type,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000 AS day_ms,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY ROLLUP (event_type, day_ms)""".stripMargin,
+
+    "x2_distinct_agg" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000)
+        |    AS BIGINT) AS n_days,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x3_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "x4_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, ts, epoch_ms(ts::TIMESTAMP) AS tms, event_type,
+        |    CASE WHEN event_type = 'error' THEN epoch_ms(ts::TIMESTAMP) END AS err_ts
+        |  FROM events WHERE event_type IN ('purchase', 'error'))
+        |SELECT user_id, event_id, tms, last_err FROM (
+        |  SELECT user_id, event_id, tms, event_type,
+        |    max(err_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err
+        |  FROM u) WHERE event_type = 'purchase'""".stripMargin,
+
+    "x5_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS tms FROM events),
+        |d AS (SELECT user_id, event_id, tms,
+        |    CASE WHEN lag(tms) OVER w IS NULL THEN 1
+        |         WHEN tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |s AS (SELECT user_id, tms,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, max(tms) - min(tms) AS duration_ms
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "x6_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS med,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x7_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }
