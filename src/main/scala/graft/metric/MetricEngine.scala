@@ -85,22 +85,36 @@ final class MetricEngine(spark: SparkSession, root: String,
   def write(samples: DataFrame): Unit = {
     val ided = withIds(samples).cache()
     try {
-      metrics.write(
-        ided.select(col("name").as("metric_name"), col("metric_id")).distinct()
-          .withColumn("field_id", lit(0))
-          .select("metric_name", "metric_id", "field_id"),
-        MetaRange)
-      series.write(
-        ided.select(col("metric_id"), col("tsid"),
-          col("series_key").cast(BinaryType).as("series_key")).distinct(),
-        MetaRange)
-      val exploded = ided.select(col("metric_id"), col("tsid"),
-        explode(col("labels")).as(Seq("tag_key", "tag_value")))
-      tags.write(
-        exploded.select("metric_id", "tag_key", "tag_value").distinct(), MetaRange)
-      index.write(
-        exploded.select("metric_id", "tag_key", "tag_value", "tsid").distinct(),
-        MetaRange)
+      // Register only series not yet in the series table — steady-state
+      // batches carry no new series, so the four meta-table writes are
+      // skipped entirely (the reference's populate-then-persist wiring,
+      // metric/mod.rs:30-40, with an existence check in front).
+      val known = series.scan(ScanRequest(projection = Some(Seq("tsid"))))
+      val fresh = ided
+        .select(col("name"), col("metric_id"), col("tsid"), col("series_key"),
+          col("labels"))
+        .dropDuplicates("tsid")
+        .join(known, Seq("tsid"), "left_anti") // AQE picks build side: batch vs catalog
+        .cache()
+      if (!fresh.isEmpty) {
+        metrics.write(
+          fresh.select(col("name").as("metric_name"), col("metric_id")).distinct()
+            .withColumn("field_id", lit(0))
+            .select("metric_name", "metric_id", "field_id"),
+          MetaRange)
+        series.write(
+          fresh.select(col("metric_id"), col("tsid"),
+            col("series_key").cast(BinaryType).as("series_key")).distinct(),
+          MetaRange)
+        val exploded = fresh.select(col("metric_id"), col("tsid"),
+          explode(col("labels")).as(Seq("tag_key", "tag_value")))
+        tags.write(
+          exploded.select("metric_id", "tag_key", "tag_value").distinct(), MetaRange)
+        index.write(
+          exploded.select("metric_id", "tag_key", "tag_value", "tsid").distinct(),
+          MetaRange)
+      }
+      fresh.unpersist()
       val dataRows = ided.select(col("metric_id"), col("tsid"),
         col("timestamp").as("ts"), col("value"))
         .withColumn("__seg__", floor(col("ts") / lit(segmentMs)).cast("long"))

@@ -85,6 +85,40 @@ final class TimeMergeStorage(
     sst
   }
 
+  /** Bucketed segment write — the 100 TB shape. One write produces
+    * `numBuckets` pk-sorted SSTs, hash-partitioned on the leading primary
+    * keys (`pmod(xxhash64(pks), n)`), so a 1000-executor cluster writes all
+    * buckets in parallel and later merges/compactions of one bucket never
+    * touch another. Each part file registers as its own SST in the manifest
+    * (single-file [[write]] stays the reference-faithful small path). */
+  def writeBucketed(df: DataFrame, range: TimeRange, numBuckets: Int): Seq[SstFile] = {
+    require(TimeRange.truncate(range.start, segmentMs) ==
+            TimeRange.truncate(range.end - 1, segmentMs),
+      s"write crosses segment boundary: $range at segment=${segmentMs}ms")
+    val batchId = allocId()
+    val tmp = dataDir.resolve(s"tmp-bucketed-$batchId")
+    // hash-partition directly on the pk columns (repartition re-hashes its
+    // expressions — deriving a bucket id first would collide buckets)
+    df.repartition(numBuckets, schema.primaryKeys.map(col): _*)
+      .sortWithinPartitions(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
+      .withColumn(SeqCol, lit(batchId))
+      .withColumn(ReservedCol, lit(null).cast("long"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // one read-back job collects per-file row counts for the manifest
+    val counts = spark.read.parquet(tmp.toString)
+      .groupBy(input_file_name().as("f")).count().collect()
+      .map(r => (r.getString(0).stripPrefix("file:"), r.getLong(1)))
+    val ssts = counts.map { case (src, rows) =>
+      val id = allocId()
+      val dest = dataDir.resolve(s"$id.parquet")
+      Files.move(Paths.get(src), dest, StandardCopyOption.ATOMIC_MOVE)
+      SstFile(id, dest.toString, rows, Files.size(dest), range)
+    }.toSeq
+    deleteRecursively(tmp)
+    manifest.update(ssts)
+    ssts
+  }
+
   /** Merge-on-read scan (reference storage.rs:336-369 + read.rs:95-391):
     * manifest prune → parquet read (pushdown) → filter → widen projection →
     * per-pk merge (Overwrite/Append) → strip builtins → project → per-segment

@@ -51,6 +51,13 @@ object StorageSmoke {
     val crossed = try { store.write(batch(Seq((1, 1, 1L))), TimeRange(1, 7200001L)); "ACCEPTED (BUG)" }
       catch { case e: IllegalArgumentException => s"rejected: ${e.getMessage.take(60)}" }
     println(s"[smoke] cross-segment write: $crossed")
+    // bucketed (multi-file) write path
+    val store2 = new TimeMergeStorage(spark, Files.createTempDirectory("graft-smoke-b").toString,
+      StorageSchema(schema, numPrimaryKeys = 2), segmentMs = 7200000L)
+    val big = spark.createDataFrame(spark.sparkContext.parallelize(
+      (1 to 1000).map(i => Row(i % 50, i, i.toLong)), 8), schema)
+    val ssts = store2.writeBucketed(big, TimeRange(0, 7200000L), numBuckets = 8)
+    println(s"[smoke] bucketed write: ${ssts.size} SSTs, rows=${ssts.map(_.numRows).sum}, scan=${store2.scan().count()}")
     spark.stop()
   }
 }

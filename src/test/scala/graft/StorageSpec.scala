@@ -169,6 +169,25 @@ class StorageSpec extends AnyFunSuite {
     assert(got == Seq((1, 10L), (2, 20L))) // merged result preserved after compaction
   }
 
+  test("bucketed write: N sorted SSTs per segment, scan merges across buckets") {
+    val s = mkStorage(tmpRoot())
+    val rows = (1 to 100).map(i => (i % 10, i, i.toLong))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 4), abSchema)
+    val ssts = s.writeBucketed(df, TimeRange(1, 10), numBuckets = 4)
+    assert(ssts.size >= 2 && ssts.size <= 4) // empty buckets produce no file
+    assert(ssts.map(_.numRows).sum == 100)
+    assert(s.scan().count() == 100)
+    // overwrite a key via a second bucketed write: merge still wins globally
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(5, 5, 999L)), 1), abSchema)
+    s.writeBucketed(df2, TimeRange(1, 10), numBuckets = 2)
+    import org.apache.spark.sql.functions.col
+    val v = s.scan(ScanRequest(predicates = Seq(col("pk1") === 5, col("pk2") === 5)))
+      .collect()
+    assert(v.map(_.getLong(2)).toSeq == Seq(999L))
+  }
+
   test("TTL expiry drops whole files (sst.rs:109-114, picker TTL path)") {
     val root = tmpRoot()
     val s = mkStorage(root)
