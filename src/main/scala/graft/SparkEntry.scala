@@ -96,6 +96,25 @@ object SparkEntry {
         .agg(round(sum("value"), 2).as("sum_v"), round(min("value"), 2).as("min_v"),
           round(max("value"), 2).as("max_v"), count(lit(1)).as("n"))),
 
+    // A4/RFC chunk mode: encode 30-min array-of-struct chunks, decode, and
+    // aggregate — proves the chunk layer is lossless (oracle aggregates the
+    // raw rows directly).
+    "a6_chunk_roundtrip" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), tsMs.as("tms"), col("value"))
+      val chunked = graft.storage.Chunks.encode(ev, Seq("user_id"), "tms", "value",
+        chunkMs = 1800000L)
+      graft.storage.Chunks.decode(chunked, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    }),
+
+    // SQL surface: same engine, ANSI SQL through a registered view.
+    "sql1_view_query" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_v FROM events_v GROUP BY event_type""")
+    }),
+
     // F2: segment bucketing (12h segments, the soak default).
     "f2_segment_count" -> ((s, dir) =>
       t(s, dir, "events")
@@ -433,6 +452,14 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_v, round(min(value), 2) AS min_v,
         |  round(max(value), 2) AS max_v, count(*) AS n
         |FROM events GROUP BY event_type, day_ms""".stripMargin,
+
+    "a6_chunk_roundtrip" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "sql1_view_query" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "f2_segment_count" ->
       """SELECT CAST(floor(epoch_ms(ts::TIMESTAMP) / 43200000) AS BIGINT) AS segment,
