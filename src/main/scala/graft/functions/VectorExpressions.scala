@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding hot path: double-precision
+  * dot product of two float-vector columns.
+  *
+  * The composable form (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) builds an
+  * intermediate array per row and interprets a lambda per element; this
+  * expression stays inside whole-stage codegen as a tight primitive loop —
+  * the "(b) custom Catalyst Expression" rung of the operator preference
+  * ladder, used by [[graft.pipeline.Similarity]] for brute-force/LSH ANN.
+  *
+  * Assumes non-null elements (embedding vectors), accumulates left-to-right
+  * in double — same order and precision as the composable form it replaces.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<float> arguments, " +
+            s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $l.getFloat($i) * (double) $r.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.GraftShims
+  /** Column API for [[FloatDotProduct]]. */
+  def floatDot(a: Column, b: Column): Column =
+    GraftShims.column(FloatDotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+}

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns. */
+  /** Double-precision dot product of two float-array columns — a native
+    * codegen'd Catalyst expression ([[graft.functions.FloatDotProduct]]);
+    * same left-to-right double accumulation as the composable
+    * `aggregate(zip_with(...))` form it replaces, without the per-row
+    * intermediate array. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.floatDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -42,7 +45,7 @@ object Similarity {
     * engine with integer arithmetic — no RNG state. */
   def hyperplane(j: Int, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
-      i => ((i * 7 + lit(j) * 13) % 5 - 2).cast("double"))
+      i => ((i * 7 + lit(j) * 13) % 5 - 2).cast("float")) // small ints: exact in float
 
   /** LSH bucket id: k sign bits of dot products with k deterministic
     * hyperplanes → integer in [0, 2^k). The scale path for ANN: vectors
