@@ -20,7 +20,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (w <- Seq("q1_pricing", "a1_last_write_wins", "e2_knn_top3"))
+    // st1 warmup also performs the one-time storage ingest (write path),
+    // so its timed run measures the scan, not the load.
+    for (w <- Seq("q1_pricing", "a1_last_write_wins", "e2_knn_top3", "st1_storage_scan"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
 

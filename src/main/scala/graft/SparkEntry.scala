@@ -43,6 +43,34 @@ object SparkEntry {
     * round-half boundary disagreements engines have on binary doubles. */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Events ingested once per JVM into a TimeMergeStorage (7-day segments,
+    * 4-way bucketed SSTs) so storage-backed queries exercise the engine's
+    * full manifest→prune→scan→merge read path. */
+  private val storageCache =
+    scala.collection.mutable.Map.empty[String, graft.storage.TimeMergeStorage]
+
+  private def eventsStorage(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
+    storageCache.synchronized {
+      storageCache.getOrElseUpdate(dir, {
+        import graft.storage._
+        val segMs = 7L * 86400000L
+        val ev = t(s, dir, "events").select(col("event_id"), tsMs.as("tms"),
+          col("user_id"), col("event_type"), col("value"))
+        val store = new TimeMergeStorage(s,
+          java.nio.file.Files.createTempDirectory("graft-events-store").toString,
+          StorageSchema(org.apache.spark.sql.types.StructType(ev.schema.fields),
+            numPrimaryKeys = 1),
+          segmentMs = segMs, timestampColumn = Some("tms"))
+        val segs = ev.select((col("tms") - pmod(col("tms"), lit(segMs))).as("seg"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        segs.foreach { g =>
+          store.writeBucketed(ev.filter(col("tms") >= g && col("tms") < g + segMs),
+            TimeRange(g, g + segMs), numBuckets = 4)
+        }
+        store
+      })
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
@@ -65,6 +93,21 @@ object SparkEntry {
                 col("ts") < lit(nanos("2024-01-20")))
         .select(col("event_id"), tsMs.as("ts_ms"), col("user_id"),
           col("event_type"), col("value"))),
+
+    // The engine's own storage serving an analytic query: events ingested
+    // into TimeMergeStorage (bucketed SSTs + manifest), then
+    // prune→scan→merge→aggregate — the full reference read pipeline
+    // (storage.rs scan contract) hash-checked against the raw-data oracle.
+    "st1_storage_scan" -> ((s, dir) => {
+      import graft.storage._
+      eventsStorage(s, dir)
+        .scan(ScanRequest(
+          range = TimeRange(1704844800000L, 1705708800000L), // [Jan 10, Jan 20)
+          predicates = Seq(col("event_type") =!= "view")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
+          countDistinct("user_id").as("n_users"))
+    }),
 
     // A1+A2+O2: merge-on-read last-write-wins dedup (MergeExec + LastValue).
     "a1_last_write_wins" -> ((s, dir) => {
@@ -426,6 +469,15 @@ object SparkEntry {
       """SELECT event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, user_id, event_type, value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'""".stripMargin,
+
+    "st1_storage_scan" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE epoch_ms(ts::TIMESTAMP) >= 1704844800000
+        |  AND epoch_ms(ts::TIMESTAMP) < 1705708800000
+        |  AND event_type <> 'view'
+        |GROUP BY event_type""".stripMargin,
 
     "a1_last_write_wins" ->
       """SELECT user_id, event_type, value AS last_value, event_id AS last_seq
