@@ -445,6 +445,33 @@ object SparkEntry {
         .agg(round(percentile(col("value"), lit(0.5)), 4).as("med"),
           round(percentile(col("value"), lit(0.9)), 4).as("p90"))),
 
+    // Cube over two dimensions (grouping-sets family).
+    "x8_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))),
+
+    // PromQL instant-vector semantics: a 6h step grid per series, each step
+    // takes the latest sample at-or-before it (as-of join) within a 24h
+    // staleness lookback — gap filling the way a PromQL range query does.
+    "x9_gapfill" -> ((s, dir) => {
+      val start = 1704067200000L // 2024-01-01
+      val stepMs = 21600000L     // 6h
+      val steps = 120
+      val ev = t(s, dir, "events")
+      // collapse ms-precision ties so both engines pick the same sample
+      val pts = ev.select(col("user_id"), tsMs.as("tms"), col("value"))
+        .groupBy("user_id", "tms").agg(max("value").as("value"))
+      val grid = ev.select("user_id").distinct()
+        .select(col("user_id"), explode(sequence(lit(start),
+          lit(start + (steps - 1) * stepMs), lit(stepMs))).as("step_ms"))
+      graft.operators.AsOfJoin.joinPrior(grid, pts, Seq("user_id"),
+          "step_ms", "tms", payload = Seq("value"), strict = false)
+        .select(col("user_id"), col("step_ms"),
+          when(col("step_ms") - col("asof_tms") <= 86400000L, col("asof_value"))
+            .as("val"))
+    }),
+
     // Pivot: per-user event-type counts as columns.
     "x7_pivot" -> ((s, dir) =>
       t(s, dir, "events").groupBy("user_id")
@@ -808,6 +835,24 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 4) AS med,
         |  round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "x8_cube" ->
+      """SELECT event_type, user_id, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY CUBE (event_type, user_id)""".stripMargin,
+
+    "x9_gapfill" ->
+      """WITH pts AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, max(value) AS value
+        |  FROM events GROUP BY user_id, tms),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(list_transform(generate_series(0, 119),
+        |           i -> 1704067200000 + i * 21600000)) AS step_ms
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT g.user_id, g.step_ms,
+        |  CASE WHEN g.step_ms - p.tms <= 86400000 THEN p.value END AS val
+        |FROM grid g ASOF LEFT JOIN pts p
+        |  ON g.user_id = p.user_id AND g.step_ms >= p.tms""".stripMargin,
 
     "x7_pivot" ->
       """SELECT user_id,
