@@ -812,8 +812,8 @@ object SparkEntry {
         |  FROM events WHERE event_type IN ('purchase', 'error'))
         |SELECT user_id, event_id, tms, last_err FROM (
         |  SELECT user_id, event_id, tms, event_type,
-        |    max(err_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err
+        |    max(err_ts) OVER (PARTITION BY user_id ORDER BY tms
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err
         |  FROM u) WHERE event_type = 'purchase'""".stripMargin,
 
     "x5_sessionize" ->

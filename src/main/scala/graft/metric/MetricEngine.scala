@@ -64,12 +64,17 @@ final class MetricEngine(spark: SparkSession, root: String,
     StorageSchema(dataSchema, numPrimaryKeys = 3), segmentMs,
     timestampColumn = Some("ts"))
 
-  /** Canonical series key: `name{k1=v1,k2=v2}` with keys sorted — the
-    * `hash(metric + sorted_tags)` input (RFC 20240827-metric-engine.md:34). */
+  /** Canonical series key: name + sorted `\u0001 key \u0002 value` pairs
+    * with keys
+    * sorted — the `hash(metric + sorted_tags)` input (RFC
+    * 20240827-metric-engine.md:34). Control-character separators cannot occur
+    * in Prometheus label names/values, so distinct label sets can never
+    * collide to one key (a `,`/`=` join would let `{a:"1,b=2"}` equal
+    * `{a:"1",b:"2"}`). */
   private def seriesKeyCol: Column =
-    concat(col("name"), lit("{"),
-      concat_ws(",", transform(array_sort(map_entries(col("labels"))),
-        e => concat(e("key"), lit("="), e("value")))), lit("}"))
+    concat(col("name"),
+      concat_ws("", transform(array_sort(map_entries(col("labels"))),
+        e => concat(lit("\u0001"), e("key"), lit("\u0002"), e("value")))))
 
   /** Id population (reference metric/mod.rs:30-40, index/mod.rs:28-37):
     * metric_id = hash(name), tsid = hash(canonical series key). */

@@ -23,24 +23,46 @@ final case class CompactionTask(inputs: Seq[SstFile], expired: Seq[SstFile]) {
   * `inputSstMaxNum` while the running size stays within
   * `sizeHeadroom * newSstMaxSize`; require at least `inputSstMinNum`; also
   * collect TTL-expired files for wholesale deletion (sst.rs:109-114). */
-final class Picker(cfg: CompactionConfig, segmentMs: Long) {
+final class Picker(cfg: CompactionConfig, segmentMs: Long,
+    updateMode: UpdateMode = UpdateMode.Overwrite) {
 
   def pick(files: Seq[SstFile], nowMs: Long): Option[CompactionTask] = {
     val (expired, live) = files.partition(_.isExpired(nowMs, cfg.ttlMs))
     val candidates = live.filterNot(_.compacting)
     val bySegment = candidates.groupBy(f => TimeRange.truncate(f.timeRange.start, segmentMs))
+    val budget = (cfg.newSstMaxSize * cfg.sizeHeadroom).toLong
     val inputs = bySegment.toSeq.sortBy(-_._1).iterator.map { case (_, segFiles) =>
-      val sorted = segFiles.sortBy(_.sizeBytes)
-      val picked = Seq.newBuilder[SstFile]
-      var total = 0L
-      var n = 0
-      val budget = (cfg.newSstMaxSize * cfg.sizeHeadroom).toLong
-      sorted.foreach { f =>
-        if (n < cfg.inputSstMaxNum && total + f.sizeBytes <= budget) {
-          picked += f; total += f.sizeBytes; n += 1
-        }
+      updateMode match {
+        case UpdateMode.Overwrite =>
+          // size-ascending greedy (reference heuristic, picker.rs:165-180);
+          // gaps in the seq range are safe: each merged row keeps its
+          // winning row's __seq__, so later merges still order correctly.
+          val sorted = segFiles.sortBy(_.sizeBytes)
+          val picked = Seq.newBuilder[SstFile]
+          var total = 0L
+          var n = 0
+          sorted.foreach { f =>
+            if (n < cfg.inputSstMaxNum && total + f.sizeBytes <= budget) {
+              picked += f; total += f.sizeBytes; n += 1
+            }
+          }
+          picked.result()
+        case UpdateMode.Append =>
+          // Append concat collapses a group to min(__seq__): inputs MUST be a
+          // seq-contiguous oldest-first prefix of the segment, else a skipped
+          // middle file would later concatenate out of order.
+          val sorted = segFiles.sortBy(_.id)
+          val picked = Seq.newBuilder[SstFile]
+          var total = 0L
+          var n = 0
+          var stop = false
+          sorted.foreach { f =>
+            if (!stop && n < cfg.inputSstMaxNum && total + f.sizeBytes <= budget) {
+              picked += f; total += f.sizeBytes; n += 1
+            } else stop = true
+          }
+          picked.result()
       }
-      picked.result()
     }.find(_.size >= cfg.inputSstMinNum).getOrElse(Nil)
 
     if (inputs.isEmpty && expired.isEmpty) None
@@ -56,7 +78,7 @@ final class Picker(cfg: CompactionConfig, segmentMs: Long) {
 final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
   import org.apache.spark.sql.functions._
 
-  private val picker = new Picker(cfg, storage.segmentMs)
+  private val picker = new Picker(cfg, storage.segmentMs, storage.schema.updateMode)
   @volatile private var inUse = 0L
 
   def runOnce(nowMs: Long = System.currentTimeMillis()): Boolean = {

@@ -52,33 +52,54 @@ final class Manifest(root: String, mergeThreshold: Int = 50) {
   private val snapshotFile = dir.resolve("snapshot.jsonl")
   private val files = mutable.LinkedHashMap.empty[Long, SstFile]
   private var deltaCount = 0
+  // Replay-order counter: strictly greater than every delta ever written
+  // under this root (wall clocks and nanoTime may go backwards on restart;
+  // a persisted max guarantees ordering across sessions).
+  private var deltaSeq = 0L
   load()
+
+  /** Largest SST id ever recorded — lets id allocation stay monotonic across
+    * restarts (the reference's "mustn't go backwards" invariant, sst.rs:35-46). */
+  def maxSstId: Long = synchronized {
+    if (files.isEmpty) 0L else files.keys.max
+  }
+
+  private def listDeltas(): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList
+      .filter(_.getFileName.toString.startsWith("delta-"))
+      .sortBy(_.getFileName.toString)
+    finally s.close()
+  }
 
   private def fmt(f: SstFile, op: String): String =
     s"""{"op":"$op","id":${f.id},"path":"${f.path}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}}"""
 
   private def parse(line: String): (String, SstFile) = {
-    def field(k: String): String = {
-      val m = (s""""$k":"?([^,"}]*)"?""").r.findFirstMatchIn(line)
-      m.getOrElse(sys.error(s"bad manifest line: $line")).group(1)
-    }
-    (field("op"), SstFile(field("id").toLong, field("path"), field("numRows").toLong,
-      field("sizeBytes").toLong, TimeRange(field("start").toLong, field("end").toLong)))
+    def num(k: String): Long = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line)
+      .getOrElse(sys.error(s"bad manifest line: $line")).group(1).toLong
+    def str(k: String): String = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(line)
+      .getOrElse(sys.error(s"bad manifest line: $line")).group(1)
+    (str("op"), SstFile(num("id"), str("path"), num("numRows"),
+      num("sizeBytes"), TimeRange(num("start"), num("end"))))
   }
 
   private def load(): Unit = synchronized {
-    val deltas = Files.list(dir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("delta-")).sortBy(_.getFileName.toString)
+    val deltas = listDeltas()
     val all = (Seq(snapshotFile) ++ deltas).filter(Files.exists(_))
     for (p <- all; line <- Files.readAllLines(p, StandardCharsets.UTF_8).asScala if line.nonEmpty) {
       val (op, f) = parse(line)
       if (op == "add") files(f.id) = f else files.remove(f.id)
     }
     deltaCount = deltas.size
+    deltaSeq = deltas.lastOption
+      .map(_.getFileName.toString.stripPrefix("delta-").stripSuffix(".jsonl").toLong)
+      .getOrElse(0L)
   }
 
   private def writeDelta(lines: Seq[String]): Unit = {
-    val p = dir.resolve(f"delta-${System.nanoTime()}%020d.jsonl")
+    deltaSeq += 1
+    val p = dir.resolve(f"delta-$deltaSeq%020d.jsonl")
     Files.write(p, lines.asJava, StandardCharsets.UTF_8)
     deltaCount += 1
     if (deltaCount >= mergeThreshold) mergeSnapshot()
@@ -115,8 +136,7 @@ final class Manifest(root: String, mergeThreshold: Int = 50) {
     Files.write(tmp, files.values.map(fmt(_, "add")).toSeq.asJava, StandardCharsets.UTF_8)
     Files.move(tmp, snapshotFile, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    Files.list(dir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("delta-")).foreach(Files.delete(_))
+    listDeltas().foreach(Files.delete(_))
     deltaCount = 0
   }
 }

@@ -51,9 +51,22 @@ final class TimeMergeStorage(
   val manifest = new Manifest(root)
   private val dataDir: Path = Paths.get(root, "data")
   Files.createDirectories(dataDir)
-  // Nanos-epoch counter: unique, monotonically increasing file ids that double
-  // as the write sequence (reference sst.rs:35-46,120-122).
-  private val nextId = new AtomicLong(System.nanoTime())
+  // Epoch-nanos counter seeded above every id already in the manifest: ids
+  // double as the write sequence and "mustn't go backwards on restarts,
+  // otherwise file id collisions are possible" (reference sst.rs:35-46) —
+  // epoch (not boot-relative nanoTime) plus the persisted max keeps
+  // last-write-wins correct across reopen.
+  private val nextId = new AtomicLong(
+    math.max(System.currentTimeMillis() * 1000000L, manifest.maxSstId))
+
+  /** URI-safe path from `input_file_name()` / listing output. */
+  private def asPath(src: String): Path =
+    if (src.startsWith("file:")) Paths.get(java.net.URI.create(src)) else Paths.get(src)
+
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
 
   def allocId(): Long = nextId.incrementAndGet()
 
@@ -73,7 +86,7 @@ final class TimeMergeStorage(
     sorted.coalesce(1).write
       .option("parquet.block.size", (8 << 20).toString)
       .mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
+    val part = listDir(tmp)
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(sys.error(s"no parquet part written under $tmp"))
     val dest = dataDir.resolve(s"$id.parquet")
@@ -107,11 +120,11 @@ final class TimeMergeStorage(
     // one read-back job collects per-file row counts for the manifest
     val counts = spark.read.parquet(tmp.toString)
       .groupBy(input_file_name().as("f")).count().collect()
-      .map(r => (r.getString(0).stripPrefix("file:"), r.getLong(1)))
+      .map(r => (r.getString(0), r.getLong(1)))
     val ssts = counts.map { case (src, rows) =>
       val id = allocId()
       val dest = dataDir.resolve(s"$id.parquet")
-      Files.move(Paths.get(src), dest, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(asPath(src), dest, StandardCopyOption.ATOMIC_MOVE)
       SstFile(id, dest.toString, rows, Files.size(dest), range)
     }.toSeq
     deleteRecursively(tmp)
@@ -162,8 +175,11 @@ final class TimeMergeStorage(
   }
 
   def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
 }
 
 /** The merge operators (reference operator.rs + read.rs MergeExec), expressed
@@ -189,8 +205,13 @@ object MergeOps {
     mode match {
       case UpdateMode.Overwrite =>
         val packed = struct((valueCols :+ SeqCol).map(col): _*)
+        // Order by (seq, values): seq ties cannot occur ACROSS files (ids are
+        // unique, sst.rs:39-46) but CAN occur within one write batch — the
+        // value tiebreak makes the winner deterministic across runs and
+        // partitionings instead of partition-order-dependent.
+        val ordering = struct(col(SeqCol) +: valueCols.map(col): _*)
         df.groupBy(pks.map(col): _*)
-          .agg(max_by(packed, col(SeqCol)).as("__m__"))
+          .agg(max_by(packed, ordering).as("__m__"))
           .select(pks.map(col) ++ (valueCols :+ SeqCol).map(c => col(s"__m__.$c").as(c)): _*)
       case UpdateMode.Append =>
         val aggs = valueCols.map { c =>
