@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call session factory with every setting the engine depends on — the
+  * entry point a user of the library starts from.
+  *
+  *  - `spark.sql.shuffle.partitions` sized to the core count (local mode);
+  *    on a real cluster leave AQE to coalesce from a higher initial number;
+  *  - AQE on: runtime re-planning, skew-join splitting, partition coalescing;
+  *  - UTC session timezone (oracle parity and sane epoch arithmetic);
+  *  - `nanosAsLong`: parquet TIMESTAMP(NANOS) columns (e.g. the events
+  *    table) read as epoch-nanos Longs instead of failing the scan.
+  */
+object GraftSession {
+
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def create(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Register every parquet table under `dir` as a temp view, so the whole
+    * surface is reachable from `spark.sql(...)`. */
+  def registerTables(spark: SparkSession, dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val tables = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+    tables.foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    tables.toSeq.sorted
+  }
+}

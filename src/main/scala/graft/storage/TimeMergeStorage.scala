@@ -17,6 +17,26 @@ final case class ScanRequest(
     projection: Option[Seq[String]] = None,
     keepBuiltins: Boolean = false)
 
+/** Physical write tuning, mirroring the reference's WriteConfig
+  * (columnar_storage/src/config.rs:105-133): compression codec, dictionary
+  * encoding, per-column bloom filters, row-group sizing. Defaults match the
+  * reference's shipped values (snappy, dict/bloom off). */
+final case class WriteOptions(
+    compression: String = "snappy",            // config.rs:129
+    enableDictionary: Boolean = false,         // config.rs:126
+    bloomFilterColumns: Seq[String] = Nil,     // config.rs:127, 96-103
+    rowGroupBytes: Long = 8L << 20) {
+  def apply[T](w: org.apache.spark.sql.DataFrameWriter[T]): org.apache.spark.sql.DataFrameWriter[T] = {
+    var out = w.option("compression", compression)
+      .option("parquet.enable.dictionary", enableDictionary.toString)
+      .option("parquet.block.size", rowGroupBytes.toString)
+    bloomFilterColumns.foreach { c =>
+      out = out.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    out
+  }
+}
+
 /** Time-partitioned, primary-key-sorted, merge-on-read columnar store —
   * the Spark-native analog of the reference's ObjectBasedStorage
   * (columnar_storage/src/storage.rs:138-374).
@@ -44,7 +64,8 @@ final class TimeMergeStorage(
     val root: String,
     val schema: StorageSchema,
     val segmentMs: Long,
-    val timestampColumn: Option[String] = None) {
+    val timestampColumn: Option[String] = None,
+    val writeOptions: WriteOptions = WriteOptions()) {
 
   import StorageSchema.{SeqCol, ReservedCol}
 
@@ -83,9 +104,7 @@ final class TimeMergeStorage(
       .withColumn(SeqCol, lit(id))                        // types.rs:219-239
       .withColumn(ReservedCol, lit(null).cast("long"))
     val tmp = dataDir.resolve(s"tmp-$id")
-    sorted.coalesce(1).write
-      .option("parquet.block.size", (8 << 20).toString)
-      .mode("overwrite").parquet(tmp.toString)
+    writeOptions(sorted.coalesce(1).write).mode("overwrite").parquet(tmp.toString)
     val part = listDir(tmp)
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(sys.error(s"no parquet part written under $tmp"))
@@ -112,11 +131,12 @@ final class TimeMergeStorage(
     val tmp = dataDir.resolve(s"tmp-bucketed-$batchId")
     // hash-partition directly on the pk columns (repartition re-hashes its
     // expressions — deriving a bucket id first would collide buckets)
-    df.repartition(numBuckets, schema.primaryKeys.map(col): _*)
-      .sortWithinPartitions(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
-      .withColumn(SeqCol, lit(batchId))
-      .withColumn(ReservedCol, lit(null).cast("long"))
-      .write.mode("overwrite").parquet(tmp.toString)
+    writeOptions(
+      df.repartition(numBuckets, schema.primaryKeys.map(col): _*)
+        .sortWithinPartitions(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
+        .withColumn(SeqCol, lit(batchId))
+        .withColumn(ReservedCol, lit(null).cast("long"))
+        .write).mode("overwrite").parquet(tmp.toString)
     // one read-back job collects per-file row counts for the manifest
     val counts = spark.read.parquet(tmp.toString)
       .groupBy(input_file_name().as("f")).count().collect()

@@ -6,17 +6,20 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.metric._
-import graft.storage.{CompactionConfig, Compactor, TimeRange}
+import graft.storage.{CompactionConfig, CompactionScheduler, Compactor, TimeRange}
 import graft.streaming.{MetricStreamIngest, RemoteWrite}
 
 /** Soak-harness analog of the reference server (server/src/main.rs:187-233):
   * pushes N batches of encoded remote-write payloads through the streaming
-  * ingest path, then compacts and queries.
-  * Run: `sbt "runMain graft.tools.MetricSoak [numBatches] [rowsPerBatch]"` */
+  * ingest path, then compacts and queries. With a third arg `scheduler`,
+  * a background CompactionScheduler runs CONCURRENTLY with ingest (the
+  * reference's 10s-tick picker loop, scheduler.rs:40-160, at a 1s tick).
+  * Run: `sbt "runMain graft.tools.MetricSoak [numBatches] [rowsPerBatch] [scheduler]"` */
 object MetricSoak {
   def main(args: Array[String]): Unit = {
     val numBatches = args.headOption.map(_.toInt).getOrElse(6)
     val rows = args.lift(1).map(_.toInt).getOrElse(1000)
+    val useScheduler = args.lift(2).contains("scheduler")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -33,6 +36,10 @@ object MetricSoak {
 
     val t0 = 1723680000000L
     val rnd = new scala.util.Random(42)
+    val bgCompactor = new Compactor(engine.data,
+      CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 30))
+    val scheduler = new CompactionScheduler(bgCompactor, intervalMs = 1000L)
+    if (useScheduler) { scheduler.start(); println("[soak] background compaction scheduler ON (1s tick)") }
     val start = System.nanoTime()
     (0 until numBatches).foreach { b =>
       val samples = (0 until rows).map { i =>
@@ -45,6 +52,7 @@ object MetricSoak {
       println(s"[soak] batch $b ingested; data SSTs=${engine.data.manifest.allSsts().size}")
     }
     q.stop()
+    if (useScheduler) scheduler.stop()
     val ingestSec = (System.nanoTime() - start) / 1e9
 
     val compactor = new Compactor(engine.data,
