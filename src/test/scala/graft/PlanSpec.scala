@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage._
+
+/** Plan-shape assertions — the analog of the reference's golden physical-plan
+  * test (read.rs:575-617), kept to stable substrings rather than full plan
+  * text (Spark plan rendering changes across versions). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def scanPlan(): String = {
+    val schema = StructType(Seq(
+      StructField("pk1", IntegerType), StructField("pk2", IntegerType),
+      StructField("value", LongType)))
+    val s = new TimeMergeStorage(spark,
+      Files.createTempDirectory("graft-plan").toString,
+      StorageSchema(schema, 2), segmentMs = 7200000L)
+    s.write(spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(1, 1, 1L), Row(2, 2, 2L)), 1), schema), TimeRange(1, 10))
+    val df = s.scan(ScanRequest(predicates = Seq(col("pk1") === 1)))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan plan: predicate pushed to parquet, merge agg present, builtins stripped") {
+    val plan = scanPlan()
+    // predicate reaches the scan (reference: pruning_predicate on ParquetExec)
+    assert(plan.contains("PushedFilters") && plan.contains("pk1"), plan)
+    // merge-on-read dedup planned as hash aggregation on the pks
+    assert(plan.contains("max_by") || plan.contains("HashAggregate"), plan)
+    // builtins do not appear in the output schema
+    assert(!plan.linesIterator.next().contains("__seq__"), plan.linesIterator.next())
+  }
+
+  test("query plans: q3 broadcasts the filtered dimension (no shuffle join on customer)") {
+    val df = SparkEntry.queries("q3_revenue")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("s1 reads only the projected columns") {
+    val df = SparkEntry.queries("s1_project_filter")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"), readSchema)
+  }
+}
