@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+import graft.pipeline._
+
+/** Unit fixtures for the pipeline operators (the oracle queries check them
+  * end-to-end on testdata; these pin the semantics on tiny known inputs). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("identical documents share minhash signatures; disjoint ones don't") {
+    val df = docs(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota"))
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", numHashes = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("LSH candidate pairs find exact duplicates") {
+    val df = docs(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota"), (4L, "completely different words here"))
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", 8)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: identical docs equal; jaccard: identical=1, disjoint absent") {
+    val df = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota"))
+    val sh = Dedup.simhash16(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(df, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) < 0.2) // "beta"/"zeta"/"theta" share the 3-gram "eta"
+  }
+
+  test("cosine: self = 1, orthogonal = 0; brute-force top-k ranks correctly") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)), (3L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs,
+      vecs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    assert(topk.head._1 == 2L)              // most similar
+    assert(topk.last._1 == 3L && topk.last._2 == -1.0) // opposite direction last
+    val mid = topk(1)
+    assert(mid._1 == 1L && mid._2 == 0.0)   // orthogonal
+  }
+
+  test("language ID picks the stopword-majority language") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa de la madre que"),
+      (3L, "der hund und die katze ist von mit"),
+      (4L, "xylophone quartz")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("as-of join: strict vs at-or-before on an exact-tie timeline") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 150L, 15.0)).toDF("k", "rt", "v")
+    def run(strict: Boolean) =
+      AsOfJoin.joinPrior(left, right, Seq("k"), "t", "rt", Seq("v"), strict)
+        .collect().map(r => r.getAs[String]("tag") ->
+          Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    val strictRes = run(strict = true)
+    assert(strictRes("p1").isEmpty)          // rt=100 not strictly before t=100
+    assert(strictRes("p2").contains(15.0))
+    val atOrBefore = run(strict = false)
+    assert(atOrBefore("p1").contains(10.0))  // tie included
+    assert(atOrBefore("p2").contains(15.0))
+  }
+
+  test("multimodal feature extraction preserves ids and batch shape") {
+    val df = Seq((1L, "abc"), (2L, "defgh")).toDF("doc_id", "payload_str")
+      .withColumn("payload", org.apache.spark.sql.functions.col("payload_str").cast("binary"))
+    val media = Multimodal.toMedia(df, "doc_id", "payload", "text/plain")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val feats = Multimodal.extractFeatures(media, targetPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats == Map(1L -> 3L, 2L -> 5L)) // n_bytes from the real payload
+  }
+}
