@@ -33,6 +33,12 @@ object MetricSoak {
     val stream = MemoryStream[Array[Byte]]
     val q = MetricStreamIngest.start(engine, stream.toDS(),
       Files.createTempDirectory("graft-soak-ckpt").toString, triggerMs = 100L)
+    // live continuous queries over the same payload stream
+    val decoded = MetricStreamIngest.decodePayloads(stream.toDS())
+    val qAgg = graft.streaming.StreamAggregates.promqlWindowed(decoded)
+      .writeStream.outputMode("append").format("memory").queryName("soak_agg").start()
+    val qLast = graft.streaming.StreamAggregates.liveLastValue(decoded)
+      .writeStream.outputMode("update").format("memory").queryName("soak_last").start()
 
     val t0 = 1723680000000L
     val rnd = new scala.util.Random(42)
@@ -51,8 +57,11 @@ object MetricSoak {
       q.processAllAvailable()
       println(s"[soak] batch $b ingested; data SSTs=${engine.data.manifest.allSsts().size}")
     }
-    q.stop()
+    qAgg.processAllAvailable(); qLast.processAllAvailable()
+    q.stop(); qAgg.stop(); qLast.stop()
     if (useScheduler) scheduler.stop()
+    val nSeries = spark.sql("SELECT count(DISTINCT seriesKey) FROM soak_last").collect()(0).getLong(0)
+    println(s"[soak] live last-value state tracks $nSeries series")
     val ingestSec = (System.nanoTime() - start) / 1e9
 
     val compactor = new Compactor(engine.data,

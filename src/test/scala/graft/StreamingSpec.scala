@@ -34,6 +34,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(RemoteWrite.decode(bytes).size == 2)
   }
 
+  test("watermarked 30-min chunk building over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    val q = StreamAggregates.chunked30m(stream.toDS(), watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("chunks").start()
+    try {
+      stream.addData(samples(10)) // t0 .. t0+9s, all one 30-min window
+      q.processAllAvailable()
+      // advance event time far past the watermark so the window closes
+      stream.addData(Sample("cpu_seconds_total", Map("host" -> "h0", "mode" -> "user"),
+        t0 + 3 * 3600 * 1000L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT name, chunk_start, n_samples FROM chunks").collect()
+    assert(rows.length == 1) // the closed first window emitted, later one still open
+    assert(rows(0).getLong(2) == 10)
+    assert(rows(0).getLong(1) == t0 - (t0 % 1800000L))
+  }
+
+  test("mapGroupsWithState live last-value per series") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    val q = StreamAggregates.liveLastValue(stream.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("lastv").start()
+    try {
+      stream.addData(samples(6)) // hosts h0..h2, two samples each
+      q.processAllAvailable()
+      stream.addData(Sample("cpu_seconds_total", Map("host" -> "h0", "mode" -> "user"),
+        t0 + 999000L, 777.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.sql(
+      "SELECT seriesKey, value FROM lastv WHERE seriesKey LIKE 'host=h0%'")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // update mode appends each revision; the final h0 row carries the override
+    assert(last.map(_._2).contains(777.0))
+    val latestRun = spark.sql(
+      """SELECT value FROM lastv WHERE seriesKey LIKE 'host=h0%' AND ts = (
+        |  SELECT max(ts) FROM lastv WHERE seriesKey LIKE 'host=h0%')""".stripMargin)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(latestRun == Seq(777.0))
+  }
+
   test("streaming ingest lands samples in the engine (T1-T4 pipeline)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
