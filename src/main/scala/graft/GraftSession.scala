@@ -18,6 +18,7 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -18,6 +18,18 @@ object OptionsSmoke {
     println(s"[opts] registered views: ${tables.mkString(",")}")
     println("[opts] sql over view: " +
       spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0))
+    println("[opts] sql float_dot via extensions: " +
+      spark.sql("""SELECT round(float_dot(
+                     cast(array(1.0, 2.0, 3.0) as array<float>),
+                     cast(array(4.0, 5.0, 6.0) as array<float>)), 1)""")
+        .collect()(0).getDouble(0)) // 4+10+18 = 32.0
+    // probes: wrong arity and wrong element type must fail cleanly
+    def expectFail(sql: String): String =
+      try { spark.sql(sql).collect(); "ACCEPTED (BUG)" }
+      catch { case e: Exception => e.getMessage.linesIterator.next().take(70) }
+    println("[opts] probe arity: " + expectFail("SELECT float_dot(array(1.0f))"))
+    println("[opts] probe types: " + expectFail(
+      "SELECT float_dot(array(1.0, 2.0), array(3.0, 4.0))"))
 
     val schema = StructType(Seq(
       StructField("pk1", IntegerType), StructField("v", LongType)))
