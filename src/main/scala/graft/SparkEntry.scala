@@ -324,6 +324,21 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3)
     }),
 
+    // Dedup endgame: candidate pairs -> connected components -> keeper/drop.
+    "d6_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
+      val ids = docs.select(col("doc_id"))
+      val allPairs = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val nearDups = Dedup.ngramJaccard(docs, allPairs, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.35)
+        .select("id_a", "id_b")
+      Dedup.duplicateClusters(nearDups)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_keeper"))
+    }),
+
     // Similarity: embedding-cosine near-duplicate pairs (bounded subset).
     "e1_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(
@@ -704,6 +719,31 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin,
+
+    "d6_dup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |           i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+        |  FROM d),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY id_a, id_b),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.35),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT node AS doc_id, min(r) AS cluster_id,
+        |  node = min(r) AS is_keeper
+        |FROM reach GROUP BY node""".stripMargin,
 
     "e1_cosine_pairs" ->
       """SELECT * FROM (

@@ -93,6 +93,47 @@ object Dedup {
           .reduce(_ + _).as("simhash16"))
   }
 
+  /** Duplicate clusters from candidate pairs: connected components by
+    * min-label propagation — every node ends labeled with the smallest id
+    * reachable from it, so `cluster_id == id` marks the keeper and the rest
+    * are drops. Iterates join+min to a fixpoint (driver-checked; component
+    * diameters of dedup graphs are tiny). At 100 TB swap the naive loop for
+    * the large-star/small-star contraction — same output contract.
+    *
+    * @param pairs (id_a, id_b) undirected candidate edges
+    * @return (id, cluster_id) for every node appearing in `pairs`
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    // localCheckpoint per iteration truncates lineage — without it the plan
+    // tree doubles every round and long chains OOM the driver on plan
+    // strings alone (on a cluster, prefer reliable checkpointing to a
+    // configured checkpoint dir).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("n_label").as("n_min"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") < col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** n-gram Jaccard similarity for candidate verification: character
     * n-gram shingle sets, |A ∩ B| / |A ∪ B|. Run over candidate `pairs`
     * (id_a, id_b) only — never all-pairs. */

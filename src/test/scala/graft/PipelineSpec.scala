@@ -89,6 +89,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(atOrBefore("p2").contains(15.0))
   }
 
+  test("duplicate clustering: components, keepers, chains") {
+    // components {1,2,3} (chain 1-2, 2-3), {10,11}, node 20-21 pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // long chain: min label must propagate the full diameter
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainGot = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot.values.toSet == Set(1L) && chainGot.size == 10)
+  }
+
   test("multimodal feature extraction preserves ids and batch shape") {
     val df = Seq((1L, "abc"), (2L, "defgh")).toDF("doc_id", "payload_str")
       .withColumn("payload", org.apache.spark.sql.functions.col("payload_str").cast("binary"))
