@@ -49,6 +49,9 @@ object SparkEntry {
   private val storageCache =
     scala.collection.mutable.Map.empty[String, graft.storage.TimeMergeStorage]
 
+  private val ivfCache =
+    scala.collection.mutable.Map.empty[String, (DataFrame, Array[Array[Double]])]
+
   private def eventsStorage(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
     storageCache.synchronized {
       storageCache.getOrElseUpdate(dir, {
@@ -350,6 +353,23 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Similarity: IVF (k-means cell) ANN — rows-only check: k-means centroids
+    // are not reproducible in SQL. nProbe=4 of k=8 cells. Index built once
+    // per JVM per dataset (index construction is write-path work).
+    "e4_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (indexed, centroids) = ivfCache.synchronized {
+        ivfCache.getOrElseUpdate(dir, {
+          val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8)
+          (ix.cache(), c)
+        })
+      }
+      Similarity.ivfTopK(indexed, emb.filter(col("vec_id") < 10), centroids,
+        "vec_id", "embedding", topK = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           col("rank").cast("long").as("rank"))
     }),

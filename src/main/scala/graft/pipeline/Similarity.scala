@@ -71,6 +71,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN index: k-means centroids over a training sample,
+    * every vector assigned to its nearest cell. Queries probe only the
+    * `nProbe` nearest cells — the coarse-quantization scale path (vs
+    * [[lshBucket]]'s hash path): at 100 TB the per-cell lists are the
+    * shuffle partitions and a query touches nProbe/k of the data. */
+  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = vectors.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = model.transform(train)
+      .select(col(idCol), col("prediction").as("cell"))
+    (vectors.join(assigned, Seq(idCol)), centroids)
+  }
+
+  /** ANN top-k over an IVF index: each query probes its `nProbe` nearest
+    * cells and ranks candidates by exact cosine (same contract/tiebreaks as
+    * [[bruteForceTopK]]). */
+  def ivfTopK(indexed: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], idCol: String, vecCol: String,
+      topK: Int, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroidLit = (j: Int) => typedLit(centroids(j).map(_.toFloat))
+    // per-query distance to every centroid -> nProbe nearest cells
+    val cellScores = (0 until centroids.length).map { j =>
+      struct(dot(col("qv"), centroidLit(j))
+        .as("score"), lit(j).as("cell"))
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probed",
+        slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe))
+      .select(col("query_id"), col("qv"), explode(col("probed.cell")).as("cell")))
+    val scored = indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col("cell"))
+      .join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos")) // dedupe multi-cell hits
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
   /** All pairs (a<b) with cosine above `threshold` within a candidate set —
     * embedding-based near-duplicate detection. Callers bound the input
     * (e.g. LSH buckets) at scale. */

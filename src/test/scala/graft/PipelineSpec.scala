@@ -63,6 +63,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(mid._1 == 1L && mid._2 == 0.0)   // orthogonal
   }
 
+  test("IVF with nProbe=k equals brute force exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val (indexed, cents) = Similarity.ivfIndex(vecs, "vec_id", "embedding", k = 4)
+    val ivf = Similarity.ivfTopK(indexed, queries, cents, "vec_id", "embedding",
+      topK = 5, nProbe = 4) // probe ALL cells -> must equal brute force
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(ivf == brute)
+  }
+
   test("language ID picks the stopword-majority language") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
