@@ -27,9 +27,24 @@ object GraftSession {
 
   def create(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = builder(cores).getOrCreate()
+    // getOrCreate ignores builder configs/extensions when a session already
+    // exists in the JVM — re-apply the runtime-settable confs and register
+    // the SQL functions directly so create() keeps its promise either way.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    registerFunctions(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Register the engine's SQL functions on an existing session (the
+    * non-extensions path for sessions created elsewhere). */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot",
+      exprs => graft.functions.FloatDotProduct(exprs(0), exprs(1)),
+      "scala_udf")
 
   /** Register every parquet table under `dir` as a temp view, so the whole
     * surface is reachable from `spark.sql(...)`. */

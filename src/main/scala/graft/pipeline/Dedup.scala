@@ -103,7 +103,7 @@ object Dedup {
     * @param pairs (id_a, id_b) undirected candidate edges
     * @return (id, cluster_id) for every node appearing in `pairs`
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -131,6 +131,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // Returning non-converged labels would split components and mark false
+    // keepers with no signal to the caller — fail loudly instead.
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateClusters did not converge within $maxIter iterations " +
+        s"($changed labels still changing) — raise maxIter for high-diameter graphs")
     labels
   }
 

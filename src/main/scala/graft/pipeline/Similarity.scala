@@ -24,7 +24,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; null (not NaN) for zero-norm inputs, so degenerate
+    * vectors drop out of thresholds and rank windows instead of sorting
+    * first (Spark orders NaN above every real double in DESC). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   /** Exact top-k neighbors for each query vector (brute force): broadcast the
     * query set, rank by (rounded cosine desc, id asc) for determinism. */
@@ -98,10 +104,14 @@ object Similarity {
       topK: Int, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroidLit = (j: Int) => typedLit(centroids(j).map(_.toFloat))
-    // per-query distance to every centroid -> nProbe nearest cells
-    val cellScores = (0 until centroids.length).map { j =>
-      struct(dot(col("qv"), centroidLit(j))
-        .as("score"), lit(j).as("cell"))
+    // Probe by the same metric k-means assigned with (euclidean): for fixed
+    // |q|, argmin |q-c|^2 = argmax (2 q·c - |c|^2). A raw-dot probe would
+    // disagree with the assignment for unnormalized vectors and could skip
+    // the query's own cell.
+    val cellScores = centroids.indices.map { j =>
+      val cNormSq = centroids(j).map(x => x * x).sum
+      struct((dot(col("qv"), centroidLit(j)) * 2 - lit(cNormSq)).as("score"),
+        lit(j).as("cell"))
     }
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))

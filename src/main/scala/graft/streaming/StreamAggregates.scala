@@ -23,21 +23,29 @@ import graft.metric.Sample
   */
 object StreamAggregates {
 
-  /** Sample stream keyed with event-time timestamp column `ts_ts`. */
+  /** Sample stream keyed with event-time timestamp column `ts_ts` and the
+    * canonical series key (name + sorted labels, same shape as
+    * MetricEngine.seriesKeyCol — chunks are PER SERIES, not per metric:
+    * grouping by name alone would interleave all series of a metric). */
   private def withEventTime(samples: Dataset[Sample]): DataFrame =
-    samples.toDF().withColumn("ts_ts", timestamp_millis(col("timestamp")))
+    samples.toDF()
+      .withColumn("ts_ts", timestamp_millis(col("timestamp")))
+      .withColumn("series_key", concat(col("name"),
+        concat_ws("", transform(array_sort(map_entries(col("labels"))),
+          e => concat(lit("\u0001"), e("key"), lit("\u0002"), e("value"))))))
 
   /** Watermarked 30-minute chunk builder (append mode): one row per
-    * (name, window) holding the time-sorted chunk built so far. */
+    * (series, window) holding the time-sorted chunk built so far. */
   def chunked30m(samples: Dataset[Sample], watermark: String = "10 minutes"): DataFrame =
     withEventTime(samples)
       .withWatermark("ts_ts", watermark)
-      .groupBy(col("name"), window(col("ts_ts"), "30 minutes"))
+      .groupBy(col("name"), col("series_key"), window(col("ts_ts"), "30 minutes"))
       .agg(
         sort_array(collect_list(struct(col("timestamp").as("ts"), col("value"))))
           .as("chunk"),
         count(lit(1)).as("n_samples"))
-      .select(col("name"), unix_millis(col("window.start")).as("chunk_start"),
+      .select(col("name"), col("series_key"),
+        unix_millis(col("window.start")).as("chunk_start"),
         col("chunk"), col("n_samples"))
 
   /** Watermarked PromQL-style windowed aggregates per metric. */
@@ -64,10 +72,16 @@ object StreamAggregates {
         .mkString(",")))
       .mapGroupsWithState[SeriesLast, SeriesLast](GroupStateTimeout.NoTimeout) {
         (key: (String, String), batch: Iterator[Sample], state: GroupState[SeriesLast]) =>
-          val newest = (batch ++ state.getOption.map(s =>
-            Sample(s.name, Map.empty, s.ts, s.value)))
-            .maxBy(s => (s.timestamp, s.value))
-          val out = SeriesLast(key._1, key._2, newest.timestamp, newest.value)
+          // last-write-wins with ARRIVAL-ORDER ties (>=): a correction sample
+          // at an existing timestamp replaces the old value, matching the
+          // storage path's seq-based Overwrite semantics.
+          val init = state.getOption.map(s => (s.ts, s.value))
+          val newest = batch.foldLeft(init) {
+            case (acc, s) if acc.forall(s.timestamp >= _._1) =>
+              Some((s.timestamp, s.value))
+            case (acc, _) => acc
+          }.get
+          val out = SeriesLast(key._1, key._2, newest._1, newest._2)
           state.update(out)
           out
       }

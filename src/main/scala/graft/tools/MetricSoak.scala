@@ -30,14 +30,18 @@ object MetricSoak {
     val root = Files.createTempDirectory("graft-soak").toString
     println(s"[soak] root=$root batches=$numBatches rows=$rows")
     val engine = new MetricEngine(spark, root)
+    // One MemoryStream per query: MemoryStream.commit trims the shared batch
+    // buffer, so a single instance only supports a single reader.
     val stream = MemoryStream[Array[Byte]]
+    val streamAgg = MemoryStream[Array[Byte]]
+    val streamLast = MemoryStream[Array[Byte]]
     val q = MetricStreamIngest.start(engine, stream.toDS(),
       Files.createTempDirectory("graft-soak-ckpt").toString, triggerMs = 100L)
-    // live continuous queries over the same payload stream
-    val decoded = MetricStreamIngest.decodePayloads(stream.toDS())
-    val qAgg = graft.streaming.StreamAggregates.promqlWindowed(decoded)
+    val qAgg = graft.streaming.StreamAggregates
+      .promqlWindowed(MetricStreamIngest.decodePayloads(streamAgg.toDS()))
       .writeStream.outputMode("append").format("memory").queryName("soak_agg").start()
-    val qLast = graft.streaming.StreamAggregates.liveLastValue(decoded)
+    val qLast = graft.streaming.StreamAggregates
+      .liveLastValue(MetricStreamIngest.decodePayloads(streamLast.toDS()))
       .writeStream.outputMode("update").format("memory").queryName("soak_last").start()
 
     val t0 = 1723680000000L
@@ -53,16 +57,20 @@ object MetricSoak {
           Map("worker" -> s"w${i % 4}", "host" -> s"host${i % 16}"),
           t0 + (b.toLong * rows + i) * 500L, rnd.nextDouble() * 100)
       }
-      stream.addData(RemoteWrite.encode(samples))
+      val payload = RemoteWrite.encode(samples)
+      stream.addData(payload)
+      streamAgg.addData(payload)
+      streamLast.addData(payload)
       q.processAllAvailable()
       println(s"[soak] batch $b ingested; data SSTs=${engine.data.manifest.allSsts().size}")
     }
+    q.stop()
+    val ingestSec = (System.nanoTime() - start) / 1e9 // ingest path only
     qAgg.processAllAvailable(); qLast.processAllAvailable()
-    q.stop(); qAgg.stop(); qLast.stop()
+    qAgg.stop(); qLast.stop()
     if (useScheduler) scheduler.stop()
     val nSeries = spark.sql("SELECT count(DISTINCT seriesKey) FROM soak_last").collect()(0).getLong(0)
     println(s"[soak] live last-value state tracks $nSeries series")
-    val ingestSec = (System.nanoTime() - start) / 1e9
 
     val compactor = new Compactor(engine.data,
       CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 30))

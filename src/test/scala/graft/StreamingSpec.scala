@@ -49,9 +49,10 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.sql("SELECT name, chunk_start, n_samples FROM chunks").collect()
-    assert(rows.length == 1) // the closed first window emitted, later one still open
-    assert(rows(0).getLong(2) == 10)
-    assert(rows(0).getLong(1) == t0 - (t0 % 1800000L))
+    // one closed-window chunk PER SERIES (3 hosts); later window still open
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(2)).sum == 10)
+    assert(rows.forall(_.getLong(1) == t0 - (t0 % 1800000L)))
   }
 
   test("mapGroupsWithState live last-value per series") {
