@@ -14,6 +14,8 @@ import graft.storage._
 object OptionsSmoke {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(cores = 4)
+    // the driver's t1 smoke contract: entry(spark) returns rows > 0
+    println(s"[opts] entry rows=${graft.SparkEntry.entry(spark).count()}")
     val tables = GraftSession.registerTables(spark, "/root/testdata/sf0.001")
     println(s"[opts] registered views: ${tables.mkString(",")}")
     println("[opts] sql over view: " +
