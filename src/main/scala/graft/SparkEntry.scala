@@ -400,6 +400,20 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
           TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"))),
 
+    // Text: normalization (lowercase, strip non-alnum, collapse whitespace).
+    "t5_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ").as("norm_text"))),
+
+    // Value histogram: fixed-width bins per event type.
+    "x10_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / lit(25.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))),
+
     // Text: normalized-content fingerprint.
     "t4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -840,6 +854,17 @@ object SparkEntry {
     "t4_fingerprint" ->
       """SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp
         |FROM documents""".stripMargin,
+
+    "t5_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g') AS norm_text
+        |FROM documents""".stripMargin,
+
+    "x10_histogram" ->
+      """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type, bin""".stripMargin,
 
     "mm1_media_meta" ->
       """SELECT doc_id AS media_id,
