@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "float_dot takes exactly 2 arguments")
         FloatDotProduct(children(0), children(1))
       }))
+    // Physical planning for the native sorted-run merge operator (the
+    // reference MergeExec analog, graft.plans.MergeDedup).
+    e.injectPlannerStrategy(_ => graft.plans.MergeDedupStrategy)
   }
 }

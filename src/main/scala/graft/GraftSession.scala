@@ -38,13 +38,16 @@ object GraftSession {
     spark
   }
 
-  /** Register the engine's SQL functions on an existing session (the
-    * non-extensions path for sessions created elsewhere). */
-  def registerFunctions(spark: SparkSession): Unit =
+  /** Register the engine's SQL functions and planner strategies on an
+    * existing session (the non-extensions path for sessions created
+    * elsewhere). */
+  def registerFunctions(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot",
       exprs => graft.functions.FloatDotProduct(exprs(0), exprs(1)),
       "scala_udf")
+    org.apache.spark.sql.GraftShims.addStrategy(spark, graft.plans.MergeDedupStrategy)
+  }
 
   /** Register every parquet table under `dir` as a temp view, so the whole
     * surface is reachable from `spark.sql(...)`. */

@@ -156,7 +156,28 @@ final class TimeMergeStorage(
     * manifest prune → parquet read (pushdown) → filter → widen projection →
     * per-pk merge (Overwrite/Append) → strip builtins → project → per-segment
     * time order. */
-  def scan(req: ScanRequest = ScanRequest()): DataFrame = {
+  def scan(req: ScanRequest = ScanRequest()): DataFrame =
+    scanWith(req, merge = df => MergeOps.dedupMerge(
+      df, schema.primaryKeys,
+      df.columns.filterNot(c => schema.primaryKeys.contains(c) || c == SeqCol).toSeq,
+      schema.updateMode))
+
+  /** Output-ordering contract of the reference scan ("sorted by time, old →
+    * latest", storage.rs:82-84). `native=true` (default) plans the custom
+    * [[graft.plans.MergeDedupExec]] with a range-partitioned requirement:
+    * ONE shuffle produces both the merge and the global pk order —
+    * vs the hash-agg path's two (agg exchange + sort exchange). */
+  def scanSorted(req: ScanRequest = ScanRequest(), native: Boolean = true): DataFrame =
+    if (native)
+      scanWith(req, merge = df => graft.plans.MergeDedupOps.nativeDedupMerge(
+        df, schema.primaryKeys, schema.updateMode, globalSort = true))
+    else
+      scan(req).sort(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
+
+  /** Shared scan pipeline (reference storage.rs:336-369 + read.rs:95-391):
+    * manifest prune → parquet read (pushdown) → filter → widen projection →
+    * per-pk `merge` → strip builtins → project. */
+  private def scanWith(req: ScanRequest, merge: DataFrame => DataFrame): DataFrame = {
     val ssts = manifest.findSsts(req.range)
     if (ssts.isEmpty) // storage.rs:336-341 empty short-circuit
       return spark.createDataFrame(
@@ -170,21 +191,12 @@ final class TimeMergeStorage(
         df = df.filter(col(ts) >= lit(req.range.start) && col(ts) < lit(req.range.end))
       }
     req.predicates.foreach(p => df = df.filter(p)) // pushed to parquet by Catalyst
-    df = MergeOps.dedupMerge(
-      df.select(widened.map(col): _*), schema.primaryKeys,
-      widened.filterNot(c => schema.primaryKeys.contains(c) || c == SeqCol),
-      schema.updateMode)
+    df = merge(df.select(widened.map(col): _*))
     val out =
       if (req.keepBuiltins) df.withColumn(ReservedCol, lit(null).cast("long"))
       else df.drop(SeqCol, ReservedCol)
     if (req.keepBuiltins) out else out.select(userCols.map(col): _*)
   }
-
-  /** Output-ordering contract of the reference scan ("sorted by time, old →
-    * latest", storage.rs:82-84): explicit sort by pk. Costed: range-partitioned
-    * sort on already-clustered data. Opt-in — most analytics don't need it. */
-  def scanSorted(req: ScanRequest = ScanRequest()): DataFrame =
-    scan(req).sort(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
 
   private def selectSchema(req: ScanRequest) = {
     val base = if (req.keepBuiltins) schema.fullSchema

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.MergeDedupOps
+import graft.storage._
+
+/** The native sorted-run merge operator (graft.plans.MergeDedupExec — the
+  * reference MergeExec analog, read.rs:95-391) must agree with the
+  * aggregation-based MergeOps.dedupMerge on every input, and must plan with
+  * exactly one exchange when asked for globally sorted output. */
+class MergeDedupExecSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("pk", IntegerType), StructField("v", StringType),
+    StructField("n", LongType), StructField("__seq__", LongType)))
+
+  /** Unique (pk, seq) per row — the shape real inputs have (seq = file id;
+    * a file holds one row per pk after its own write-side sort). */
+  private val rowsGen: Gen[List[(Int, String, Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      pk <- Gen.choose(0, 6)
+      v <- Gen.alphaStr.map(_.take(4))
+      m <- Gen.choose(-5L, 5L)
+    } yield (pk, v, m))
+  } yield rows.zipWithIndex.map { case ((pk, v, m), i) => (pk, v, m, i.toLong) }
+
+  private def sample(i: Long) = rowsGen.apply(Gen.Parameters.default, Seed(i)).get
+
+  private def df(rows: List[(Int, String, Long, Long)], shuffleSeed: Long) = {
+    val shuffled = new scala.util.Random(shuffleSeed).shuffle(rows)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(shuffled.map(r => Row(r._1, r._2, r._3, r._4)), 4), schema)
+  }
+
+  private def canon(r: Row) = (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))
+
+  test("native Overwrite == dedupMerge Overwrite (randomized, any partitioning)") {
+    for (i <- 0L until 10L) {
+      val rows = sample(i)
+      val in = df(rows, i * 13)
+      val want = MergeOps.dedupMerge(in, Seq("pk"), Seq("v", "n"), UpdateMode.Overwrite)
+        .collect().map(canon).toSet
+      for (global <- Seq(true, false)) {
+        val got = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), UpdateMode.Overwrite, global)
+          .select("pk", "v", "n", "__seq__").collect().map(canon).toSet
+        assert(got == want, s"case $i global=$global: $rows")
+      }
+    }
+  }
+
+  test("native Append == dedupMerge Append (string concat + first-row scalars + min seq)") {
+    for (i <- 0L until 10L) {
+      val rows = sample(i)
+      val in = df(rows, i * 7)
+      val want = MergeOps.dedupMerge(in, Seq("pk"), Seq("v", "n"), UpdateMode.Append)
+        .select("pk", "v", "n", "__seq__").collect().map(canon).toSet
+      for (global <- Seq(true, false)) {
+        val got = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), UpdateMode.Append, global)
+          .select("pk", "v", "n", "__seq__").collect().map(canon).toSet
+        assert(got == want, s"case $i global=$global: $rows")
+      }
+    }
+  }
+
+  test("native Append concatenates binary and array columns in seq order") {
+    val schema2 = StructType(Seq(
+      StructField("pk", IntegerType), StructField("b", BinaryType),
+      StructField("arr", ArrayType(LongType)), StructField("__seq__", LongType)))
+    val rows = Seq(
+      Row(1, Array[Byte](3, 4), Seq(30L), 2L),
+      Row(1, Array[Byte](1, 2), Seq(10L, 20L), 1L),
+      Row(2, Array[Byte](9), null, 5L),
+      Row(2, null, Seq(99L), 6L))
+    val in = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema2)
+    val got = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), UpdateMode.Append, globalSort = true)
+      .collect().map(r => (r.getInt(0),
+        Option(r.get(1)).map(_.asInstanceOf[Array[Byte]].toSeq).orNull,
+        Option(r.get(2)).map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq).orNull,
+        r.getLong(3))).toList.sortBy(_._1)
+    assert(got == List(
+      (1, Seq[Byte](1, 2, 3, 4), Seq(10L, 20L, 30L), 1L),
+      (2, Seq[Byte](9), Seq(99L), 5L)))
+  }
+
+  test("globally sorted native merge output is pk-ordered with one exchange, no post-sort") {
+    val rows = sample(3L)
+    val in = df(rows, 99L)
+    val out = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), UpdateMode.Overwrite, globalSort = true)
+    val pks = out.select("pk").collect().map(_.getInt(0)).toList
+    assert(pks == pks.sorted, "output must be globally pk-sorted")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("MergeDedup"), plan)
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size == 1, plan)
+    // exactly one exchange in the whole plan — merge and order share it
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("scanSorted(native) over storage == scanSorted(fallback), sorted, fewer exchanges") {
+    val dir = java.nio.file.Files.createTempDirectory("mdx").toString
+    val st = new TimeMergeStorage(spark, dir,
+      StorageSchema(StructType(Seq(
+        StructField("k", IntegerType), StructField("ts", LongType),
+        StructField("val", DoubleType))), 2, UpdateMode.Overwrite),
+      segmentMs = 1000L, timestampColumn = Some("ts"))
+    val mk = (rows: Seq[Row]) => spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(st.schema.userSchema.fields))
+    st.write(mk(Seq(Row(1, 10L, 1.0), Row(2, 20L, 2.0), Row(1, 30L, 3.0))), TimeRange(0, 1000))
+    st.write(mk(Seq(Row(1, 10L, 9.0), Row(3, 40L, 4.0))), TimeRange(0, 1000))
+
+    val native = st.scanSorted()
+    val fallback = st.scanSorted(native = false)
+    val a = native.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    val b = fallback.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    assert(a == b)
+    assert(a == a.sortBy(t => (t._1, t._2)), "scanSorted contract: pk-ordered")
+    assert(a.contains((1, 10L, 9.0)) && !a.contains((1, 10L, 1.0)), "LWW by seq")
+    val nNative = "Exchange".r.findAllIn(native.queryExecution.executedPlan.toString).size
+    val nFallback = "Exchange".r.findAllIn(fallback.queryExecution.executedPlan.toString).size
+    assert(nNative < nFallback,
+      s"native path must shuffle less: native=$nNative fallback=$nFallback")
+  }
+}
