@@ -21,6 +21,10 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // The engine's query surface spans ~50 distinct plan shapes; the
+      // default 100-entry codegen class cache thrashes across them and
+      // re-janino-compiles hot stages (JVM-wide, set before first use).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -113,29 +113,45 @@ object Dedup {
     // configured checkpoint dir).
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()
-    var changed = 1L
+    // Labels only ever decrease (least of self and neighbors), so
+    // Σ cluster_id is strictly monotone while anything changes: the
+    // convergence test is one cheap aggregate over the just-checkpointed
+    // frame instead of a join-and-count against the previous round.
+    // Decimal sum — a long Σ over petabyte-scale 64-bit ids can overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    // The node set is fixed across iterations, so pick the join strategy
+    // once: a label table under ~4M rows (~64 MB) broadcasts to every
+    // executor and the per-round join loses both its exchanges; bigger
+    // graphs fall back to the shuffle join (labels is O(nodes) — at 100 TB
+    // it cannot be assumed broadcastable). The checkpointed localCheckpoint
+    // blocks make this count cheap.
+    val smallGraph = labels.count() < (1L << 22)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("n_label").as("n_min"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
+    while (!converged && iter < maxIter) {
+      // One fused shuffle per round: neighbor labels and own label feed the
+      // same min-aggregate (vs join + groupBy + left-join = two exchanges).
+      val labelsByDst = labels.select(col("id").as("dst"), col("cluster_id").as("n_label"))
+      val next = edges
+        .join(if (smallGraph) broadcast(labelsByDst) else labelsByDst, Seq("dst"))
+        .select(col("src").as("id"), col("n_label").as("cluster_id"))
+        .union(labels)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") < col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
     edges.unpersist()
     // Returning non-converged labels would split components and mark false
     // keepers with no signal to the caller — fail loudly instead.
-    if (changed > 0) throw new IllegalStateException(
+    if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge within $maxIter iterations " +
-        s"($changed labels still changing) — raise maxIter for high-diameter graphs")
+        "— raise maxIter for high-diameter graphs")
     labels
   }
 
