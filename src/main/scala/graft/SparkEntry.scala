@@ -74,6 +74,14 @@ object SparkEntry {
       })
     }
 
+  /** The events table bound to PromQL's data model: metric = event_type,
+    * one label `uid` = user_id, ms timestamps, (ts, event_id) series order
+    * for deterministic reset-aware rates (same tiebreak as rate1). */
+  private def promqlCtx(s: SparkSession, dir: String): graft.promql.PromQLContext =
+    new graft.promql.PromQLContext(t(s, dir, "events"), "event_type", tsMs,
+      "value", Map("uid" -> "user_id"),
+      ordering = Seq(col("ts"), col("event_id")))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
@@ -179,6 +187,25 @@ object SparkEntry {
           count(lit(1)).as("n_samples"),
           round(sum("d") / ((max("tms") - min("tms")) / 1000.0), 6).as("rate_per_sec"))
     }),
+
+    // PromQL text surface (graft.promql): parse → evaluate over the events
+    // table bound as (metric=event_type, label uid=user_id). Anchored-regex
+    // matcher selection.
+    "p1_promql_select" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""purchase{uid=~"1[0-9]"}""")),
+
+    // PromQL stepped aggregation: max by (uid) at 1-day step (max is
+    // arithmetic-free, so no rounding is needed for oracle parity).
+    "p2_promql_agg" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""max by (uid) (purchase{uid=~"[1-3][0-9]"})""",
+        stepMs = Some(86400000L))),
+
+    // PromQL reset-aware per-second rate over 1-day tumbling windows,
+    // summed per series group.
+    "p3_promql_rate" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""sum by (uid) (rate(purchase{uid=~"[1-9]"}[1d]))""")
+        .withColumn("value", round(col("value"), 6))),
 
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
     "j1_label_semijoin" -> ((s, dir) => {
@@ -593,6 +620,36 @@ object SparkEntry {
       """SELECT CAST(floor(epoch_ms(ts::TIMESTAMP) / 43200000) AS BIGINT) AS segment,
         |  count(*) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY segment""".stripMargin,
+
+    "p1_promql_select" ->
+      """SELECT user_id AS uid, epoch_ms(ts::TIMESTAMP) AS ts_ms, value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '1[0-9]')""".stripMargin,
+
+    "p2_promql_agg" ->
+      """SELECT user_id AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  max(value) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[1-3][0-9]')
+        |GROUP BY uid, bucket_ms""".stripMargin,
+
+    "p3_promql_rate" ->
+      """WITH d AS (
+        |  SELECT user_id, value, epoch_ms(ts::TIMESTAMP) AS tms,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-9]'))
+        |SELECT user_id AS uid,
+        |  CAST(floor(tms / 86400000) AS BIGINT) * 86400000 AS bucket_ms,
+        |  round(sum(CASE WHEN prev IS NULL THEN 0
+        |                 WHEN value >= prev THEN value - prev
+        |                 ELSE value END) / 86400.0, 6) AS value
+        |FROM d GROUP BY uid, bucket_ms""".stripMargin,
 
     "rate1_counter" ->
       """WITH d AS (

@@ -186,6 +186,58 @@ final class MetricEngine(spark: SparkSession, root: String,
     if (keys.isEmpty) rows.agg(valueAgg.as("value"))
     else rows.groupBy(keys: _*).agg(valueAgg.as("value"))
   }
+
+  /** PromQL text → the engine's two-step read path. Parses with
+    * [[graft.promql.PromQLParser]] and lowers onto [[MetricQuery]]; the
+    * supported shapes are exactly the reference RFC's scope
+    * (20220702-prometheus-read-extension.md:78-99, sum+rate pushdown,
+    * generalized to every [[MetricAgg]]):
+    *
+    *  - `metric{tags}` → raw (tsid, ts, value) selection
+    *  - `agg by (tag) (metric{tags})` → bucketed aggregation
+    *  - `sum by (tag) (rate(metric{tags}[w]))` → reset-aware per-second
+    *    rate, bucketed at the window (sum only: the engine aggregates
+    *    deltas, which commutes with the per-series division for sum alone)
+    *
+    * Matchers must be `=` on the engine path — the index lookup is an
+    * exact-value semi-join; regex/negative matchers evaluate on the
+    * un-indexed path via [[graft.promql.PromQLContext]] instead.
+    */
+  def queryPromQL(text: String, range: TimeRange,
+      stepMs: Option[Long] = None): DataFrame = {
+    import graft.promql._
+    def eqFilters(sel: Selector): Map[String, String] = sel.matchers.map {
+      case LabelMatcher(l, MatchOp.Eq, v) => l -> v
+      case m => throw new IllegalArgumentException(
+        s"engine path supports only '=' matchers, got $m (use PromQLContext)")
+    }.toMap
+    def oneTag(by: Seq[String]): Option[String] = by match {
+      case Seq() => None
+      case Seq(t) => Some(t)
+      case _ => throw new IllegalArgumentException(
+        s"engine path supports at most one grouping tag, got ${by.mkString(",")}")
+    }
+    PromQLParser.parse(text) match {
+      case sel: Selector =>
+        val mid = metricIdOf(sel.metric).getOrElse(
+          return spark.emptyDataFrame.withColumn("value", lit(0.0)).limit(0))
+        data.scan(ScanRequest(range = range,
+            predicates = Seq(col("metric_id") === mid)))
+          .join(broadcast(lookupTsids(mid, eqFilters(sel))), Seq("tsid"), "left_semi")
+          .select(col("tsid"), col("ts").as("ts_ms"), col("value"))
+      case Agg(op, by, sel: Selector) =>
+        query(MetricQuery(sel.metric, eqFilters(sel), range, stepMs, op, oneTag(by)))
+      case Agg(MetricAgg.Sum, by, RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win)) =>
+        stepMs.filter(_ != win).foreach(st => throw new IllegalArgumentException(
+          s"step ($st ms) must equal the rate window ($win ms) on the engine path"))
+        val inc = query(MetricQuery(sel.metric, eqFilters(sel), range,
+          Some(win), MetricAgg.Sum, oneTag(by), rate = true))
+        if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
+        else inc
+      case other => throw new IllegalArgumentException(
+        s"unsupported engine-path PromQL shape: $other (use PromQLContext)")
+    }
+  }
 }
 
 object MetricEngine {

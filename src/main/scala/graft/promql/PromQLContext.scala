@@ -1,0 +1,140 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.metric.MetricAgg
+import graft.storage.TimeRange
+
+/** Evaluates a parsed PromQL [[Expr]] over a flat samples DataFrame — the
+  * binding from PromQL's (metric, labels, ts, value) data model onto any
+  * wide table. Per-metric storage isn't required: the reference RFC's data
+  * model maps metrics onto shared tables the same way (20240827-metric-
+  * engine.md:218-226), and the engine path (MetricEngine.queryPromQL) runs
+  * the identical AST through the two-step index lookup instead.
+  *
+  * Windowing semantics — documented deviation from Prometheus: range
+  * windows and steps are epoch-aligned tumbling buckets
+  * (`floor(ts/w)*w`), not per-step lookback windows; `rate`/`increase`
+  * are reset-aware over the series' full sorted stream, then bucketed.
+  * With step == window the two models agree on dense counters; tumbling
+  * buckets keep every operator a single hash aggregation at 100 TB
+  * (a per-step lookback self-joins each sample into window/step buckets).
+  *
+  * All shuffles key on (series labels[, bucket]) — the natural cluster
+  * partitioning; the per-series sort inside `rate` is window-function
+  * local work after one exchange on the series key.
+  *
+  * @param samples   flat frame of samples
+  * @param metricCol column holding the metric name
+  * @param tsMs      epoch-millis expression (bucketing + output)
+  * @param valueCol  sample value column (double)
+  * @param labels    PromQL label name → source column name
+  * @param ordering  per-series window order for rate/increase/delta —
+  *                  defaults to `tsMs`; pass the full-precision timestamp
+  *                  plus a unique tiebreak for deterministic same-ms merges
+  */
+final class PromQLContext(
+    samples: DataFrame,
+    metricCol: String,
+    tsMs: Column,
+    valueCol: String,
+    labels: Map[String, String],
+    ordering: Seq[Column] = Nil) {
+
+  import PromQLContext._
+
+  /** Evaluate `expr`, optionally restricted to `range` (on epoch-ms) and
+    * bucketed by `stepMs`.
+    *
+    * Output schema:
+    *  - selector: every mapped label (PromQL names) + `ts_ms` + `value`
+    *  - range fn: series labels + `bucket_ms` + `value`
+    *  - agg: `by` labels + `bucket_ms` (when stepped) + `value`
+    */
+  def eval(expr: Expr, stepMs: Option[Long] = None,
+      range: Option[TimeRange] = None): DataFrame = expr match {
+
+    case Selector(metric, matchers) =>
+      val base = select(metric, matchers, range)
+      base.select(labels.keys.toSeq.sorted.map(l => col(labels(l)).as(l)) ++
+        Seq(tsMs.as("ts_ms"), col(valueCol).as("value")): _*)
+
+    case RangeFn(fn, sel, windowMs) =>
+      val seriesCols = labels.keys.toSeq.sorted
+      val rows = select(sel.metric, sel.matchers, range)
+      val ord = if (ordering.nonEmpty) ordering else Seq(tsMs)
+      val bucket = (floor(tsMs / lit(windowMs)).cast("long") * windowMs).as("bucket_ms")
+      fn match {
+        case RangeF.Rate | RangeF.Increase =>
+          // reset-aware delta across the series' full stream, then one
+          // aggregation per (series, bucket); first sample contributes 0
+          val d = graft.functions.Rate.resetAwareDelta(
+            col(valueCol), labels.values.toSeq.map(col), ord)
+          val inc = rows.withColumn("__d__", d)
+            .groupBy(seriesCols.map(l => col(labels(l)).as(l)) :+ bucket: _*)
+            .agg(sum("__d__").as("__inc__"))
+          val v = if (fn == RangeF.Rate) col("__inc__") / (windowMs / 1000.0)
+                  else col("__inc__")
+          inc.select(seriesCols.map(col) ++ Seq(col("bucket_ms"), v.as("value")): _*)
+        case RangeF.Delta =>
+          // gauge delta: last minus first within the bucket (ordered by the
+          // series ordering; struct key makes the pick deterministic)
+          val key = struct(ord: _*)
+          rows.groupBy(seriesCols.map(l => col(labels(l)).as(l)) :+ bucket: _*)
+            .agg((max_by(col(valueCol), key) - min_by(col(valueCol), key)).as("value"))
+            .select(seriesCols.map(col) ++ Seq(col("bucket_ms"), col("value")): _*)
+      }
+
+    case Agg(op, by, child) =>
+      by.find(l => !labels.contains(l)).foreach(l =>
+        throw new IllegalArgumentException(
+          s"unknown grouping label '$l' (known: ${labels.keys.toSeq.sorted.mkString(", ")})"))
+      val in = eval(child, stepMs, range)
+      // a stepped agg over a raw selector buckets ts_ms; over a range fn the
+      // child's window bucket stands (re-bucketing would mix window sums)
+      val bucketCol: Option[Column] =
+        if (in.columns.contains("bucket_ms")) Some(col("bucket_ms"))
+        else stepMs.map(st =>
+          (floor(col("ts_ms") / lit(st)).cast("long") * st).as("bucket_ms"))
+      val keys = by.sorted.map(col) ++ bucketCol.toSeq
+      val agg = (op match {
+        case MetricAgg.Sum => sum(col("value"))
+        case MetricAgg.Min => min(col("value"))
+        case MetricAgg.Max => max(col("value"))
+        case MetricAgg.Avg => avg(col("value"))
+        case MetricAgg.Count => count(lit(1)).cast("double")
+      }).as("value")
+      if (keys.isEmpty) in.agg(agg) else in.groupBy(keys: _*).agg(agg)
+  }
+
+  /** Parse and evaluate in one call. */
+  def sql(promql: String, stepMs: Option[Long] = None,
+      range: Option[TimeRange] = None): DataFrame =
+    eval(PromQLParser.parse(promql), stepMs, range)
+
+  private def select(metric: String, matchers: Seq[LabelMatcher],
+      range: Option[TimeRange]): DataFrame = {
+    var df = samples.filter(col(metricCol) === metric)
+    range.foreach(r => df = df.filter(tsMs >= r.start && tsMs < r.end))
+    matchers.foreach { m =>
+      val c = col(labels.getOrElse(m.label,
+        throw new IllegalArgumentException(s"unknown label '${m.label}'")))
+      df = df.filter(matcherPredicate(c, m))
+    }
+    df
+  }
+}
+
+object PromQLContext {
+  /** Prometheus regex matchers are fully anchored. Eq/Ne compare with the
+    * column's native type (Catalyst casts the literal — keeps pushdown);
+    * regexes match against the string form. */
+  private def matcherPredicate(c: Column, m: LabelMatcher): Column = m.op match {
+    case MatchOp.Eq => c === m.value
+    case MatchOp.Ne => c =!= m.value
+    case MatchOp.Re => c.cast("string").rlike(anchor(m.value))
+    case MatchOp.Nre => !c.cast("string").rlike(anchor(m.value))
+  }
+  private def anchor(re: String): String = s"^(?:$re)$$"
+}

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.metric._
+import graft.promql._
+import graft.storage.TimeRange
+
+/** PromQL text surface: parser AST, flat-frame evaluation (PromQLContext),
+  * and the engine two-step path (MetricEngine.queryPromQL) — the reference
+  * RFC's sum+rate scope (20220702-prometheus-read-extension.md:78-99)
+  * generalized. */
+class PromQLSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // ------------------------------------------------------------------ parser
+
+  test("parser: full shape with grouping, range fn, matchers, compound duration") {
+    val ast = PromQLParser.parse(
+      """sum by (dc) (rate(requests_total{env="prod", dc!~"eu.*", code=~"5\\d\\d"}[1h30m]))""")
+    assert(ast == Agg(MetricAgg.Sum, Seq("dc"),
+      RangeFn(RangeF.Rate,
+        Selector("requests_total", Seq(
+          LabelMatcher("env", MatchOp.Eq, "prod"),
+          LabelMatcher("dc", MatchOp.Nre, "eu.*"),
+          LabelMatcher("code", MatchOp.Re, "5\\d\\d"))),
+        90 * 60 * 1000L)))
+  }
+
+  test("parser: by clause after the body; bare selector; empty matcher set") {
+    assert(PromQLParser.parse("max(cpu) by (host)") ==
+      Agg(MetricAgg.Max, Seq("host"), Selector("cpu", Nil)))
+    assert(PromQLParser.parse("cpu{}") == Selector("cpu", Nil))
+    assert(PromQLParser.parse("up") == Selector("up", Nil))
+  }
+
+  test("parser: agg names are contextual keywords — sum{...} is a metric") {
+    assert(PromQLParser.parse("""sum{a="b"}""") ==
+      Selector("sum", Seq(LabelMatcher("a", MatchOp.Eq, "b"))))
+    assert(PromQLParser.parse("count(sum)") ==
+      Agg(MetricAgg.Count, Nil, Selector("sum", Nil)))
+  }
+
+  test("parser: every duration unit") {
+    def win(s: String) =
+      PromQLParser.parse(s"increase(c[$s])").asInstanceOf[RangeFn].windowMs
+    assert(win("500ms") == 500L)
+    assert(win("90s") == 90000L)
+    assert(win("2m") == 120000L)
+    assert(win("1h") == 3600000L)
+    assert(win("1d") == 86400000L)
+    assert(win("1w") == 604800000L)
+  }
+
+  test("parser: rejects malformed input with positions") {
+    for (bad <- Seq("sum by (dc) (cpu) by (dc)", "cpu{env=prod}", "cpu[5m",
+        "rate(cpu[5x])", "cpu{env=\"p", "cpu up", "sum()", ""))
+      assertThrows[PromQLParseException](PromQLParser.parse(bad))
+  }
+
+  // ----------------------------------------------------------------- context
+
+  private val samplesSchema = StructType(Seq(
+    StructField("m", StringType), StructField("host", StringType),
+    StructField("dc", StringType), StructField("tms", LongType),
+    StructField("v", DoubleType)))
+
+  private def ctxOf(rows: Seq[Row]): PromQLContext = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), samplesSchema)
+    new PromQLContext(df, "m", col("tms"), "v",
+      Map("host" -> "host", "dc" -> "dc"), ordering = Seq(col("tms")))
+  }
+
+  private val H = 3600000L
+
+  test("context: selector filters metric, matchers (anchored regex), range") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a1", "us", 0L, 1.0), Row("cpu", "a2", "eu", H, 2.0),
+      Row("cpu", "xa1", "us", 2 * H, 9.0), Row("mem", "a1", "us", 0L, 3.0)))
+    val got = ctx.sql("""cpu{host=~"a\\d"}""").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // host "xa1" excluded: Prometheus regexes are fully anchored
+    assert(got == Set(("a1", 0L, 1.0), ("a2", H, 2.0)))
+    val ranged = ctx.sql("""cpu{host=~"a\\d"}""",
+      range = Some(TimeRange(0, H))).collect()
+    assert(ranged.map(_.getString(1)).toSeq == Seq("a1"))
+  }
+
+  test("context: stepped agg by label over a selector") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", "us", 10L, 5.0),
+      Row("cpu", "a", "us", H + 1, 3.0), Row("cpu", "a", "us", H + 2, 4.0)))
+    val got = ctx.sql("sum by (dc) (cpu)", stepMs = Some(H)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("us", 0L, 6.0), ("us", H, 7.0)))
+    // no step -> one row per by-group over the whole range
+    val flat = ctx.sql("avg(cpu) by (host)").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(flat == Set(("a", 8.0 / 3), ("b", 5.0)))
+  }
+
+  test("context: rate/increase are reset-aware and per-series; rate divides by window") {
+    // counter: 0→10→4 (reset: contributes 4)→9; deltas 10, 4, 5 = 19
+    val ctx = ctxOf(Seq(
+      Row("reqs", "a", "us", 0L, 0.0), Row("reqs", "a", "us", 1000L, 10.0),
+      Row("reqs", "a", "us", 2000L, 4.0), Row("reqs", "a", "us", 3000L, 9.0),
+      Row("reqs", "b", "us", 1000L, 100.0))) // single sample: increase 0
+    val inc = ctx.sql("increase(reqs[1h])").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap // (dc,host,bucket,value)
+    assert(inc == Map("a" -> 19.0, "b" -> 0.0))
+    val rate = ctx.sql("sum(rate(reqs[1h]))").collect()
+    assert(rate.length == 1)
+    assert(math.abs(rate.head.getDouble(1) - 19.0 / 3600) < 1e-12)
+  }
+
+  test("context: delta is last-minus-first per bucket; agg keeps fn buckets") {
+    val ctx = ctxOf(Seq(
+      Row("temp", "a", "us", 0L, 20.0), Row("temp", "a", "us", 1000L, 25.5),
+      Row("temp", "a", "us", H, 30.0), Row("temp", "a", "us", H + 1, 10.0)))
+    val got = ctx.sql("delta(temp[1h])").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(0L -> 5.5, H -> -20.0))
+    // step is ignored when the child already carries window buckets
+    val agg = ctx.sql("max by (host) (delta(temp[1h]))", stepMs = Some(2 * H))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(agg == Map(0L -> 5.5, H -> -20.0))
+  }
+
+  test("context: unknown labels fail loudly") {
+    val ctx = ctxOf(Seq(Row("cpu", "a", "us", 0L, 1.0)))
+    assertThrows[IllegalArgumentException](ctx.sql("""cpu{zone="x"}"""))
+    assertThrows[IllegalArgumentException](ctx.sql("sum by (zone) (cpu)"))
+  }
+
+  // ------------------------------------------------------------ engine path
+
+  private lazy val engine: MetricEngine = {
+    val eng = new MetricEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-promql").toString)
+    import spark.implicits._
+    val rows = for {
+      (host, dc) <- Seq(("h1", "us"), ("h2", "us"), ("h3", "eu"))
+      i <- 0 until 6
+    } yield Sample("reqs", Map("host" -> host, "dc" -> dc),
+      i * 600000L, i * i * 1.0) // nonlinear counter
+    eng.write(rows.toDF())
+    eng
+  }
+
+  test("engine: text query == programmatic MetricQuery") {
+    val viaText = engine.queryPromQL("""sum by (dc) (reqs{dc="us"})""",
+      TimeRange(0, H), stepMs = Some(H)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaApi = engine.query(MetricQuery("reqs", Map("dc" -> "us"),
+      TimeRange(0, H), Some(H), MetricAgg.Sum, Some("dc"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaText == viaApi && viaText.nonEmpty)
+  }
+
+  test("engine: rate text query divides the increase by the window") {
+    val inc = engine.queryPromQL("sum(increase(reqs[1h]))", TimeRange(0, H))
+      .select("value").collect().head.getDouble(0)
+    val rate = engine.queryPromQL("sum(rate(reqs[1h]))", TimeRange(0, H))
+      .select("value").collect().head.getDouble(0)
+    // per host: 0,1,4,9,16,25 → increase 25; 3 hosts → 75
+    assert(inc == 75.0)
+    assert(math.abs(rate - 75.0 / 3600) < 1e-12)
+  }
+
+  test("engine: raw selector returns (tsid, ts_ms, value)") {
+    val rows = engine.queryPromQL("""reqs{dc="eu"}""", TimeRange(0, H))
+    assert(rows.columns.toSeq == Seq("tsid", "ts_ms", "value"))
+    assert(rows.count() == 6)
+  }
+
+  test("engine: unsupported shapes point at the context path") {
+    assertThrows[IllegalArgumentException](
+      engine.queryPromQL("""sum(reqs{dc=~"us|eu"})""", TimeRange(0, H)))
+    assertThrows[IllegalArgumentException](
+      engine.queryPromQL("avg(rate(reqs[1h]))", TimeRange(0, H)))
+    assertThrows[IllegalArgumentException](
+      engine.queryPromQL("sum by (a, b) (reqs)", TimeRange(0, H)))
+    assertThrows[IllegalArgumentException](
+      engine.queryPromQL("sum(rate(reqs[1h]))", TimeRange(0, H), stepMs = Some(1L)))
+  }
+}
