@@ -427,6 +427,19 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
           TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"))),
 
+    // Shard assembly: token-budget packing via the two-phase scalable
+    // global prefix sum (one range exchange; no single-partition window).
+    "t6_shard_pack" -> ((s, dir) =>
+      graft.pipeline.Sharding.packByTokenBudget(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "text", tokenBudget = 4000L, orderCols = Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_tokens"), col("shard"))),
+
+    // Deterministic rerun-stable train/val split on a portable content hash.
+    "t7_hash_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.pipeline.Sharding.hashSplit(col("doc_id")).as("split"))),
+
     // Text: normalization (lowercase, strip non-alnum, collapse whitespace).
     "t5_normalize" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -916,6 +929,24 @@ object SparkEntry {
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |    ' +', ' ', 'g') AS norm_text
+        |FROM documents""".stripMargin,
+
+    "t6_shard_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 4000.0) AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+
+    "t7_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+        |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
 
     "x10_histogram" ->

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shard assembly for training-data pipelines: global prefix sums, token-
+  * budget packing, and deterministic hash splits.
+  *
+  * The prefix sum is the scale-critical piece. The naive form — a window
+  * over a global `ORDER BY` with no partition key — collapses the whole
+  * dataset into ONE task (Spark warns `No Partition Defined for Window`;
+  * at 100 TB that's one executor sorting everything). This implementation
+  * is the classic two-phase scan: range-partition by the order key, local
+  * cumsum per partition, then add each partition's broadcast prefix
+  * offset — every stage stays fully parallel and the only driver-side
+  * state is one row per partition.
+  */
+object Sharding {
+
+  /** `df` plus `outCol` = running total of integer `value` (nulls count 0)
+    * over the global `orderCols` order, inclusive of the current row.
+    *
+    * `orderCols` must be a total order (add a unique tiebreak if the
+    * leading key can repeat) — with ties the per-row cumsum would be
+    * partitioner-dependent.
+    */
+  def withRunningTotal(df: DataFrame, orderCols: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val valCol = "__graft_val__"
+    val safeValue = coalesce(value.cast("long"), lit(0L))
+    // ONE exchange total: range partitioning gives globally ordered
+    // partitions (equal keys land together), the local sort is bounded per
+    // task, and the cached frame feeds both passes without recompute.
+    val parted = df.withColumn(valCol, safeValue)
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vIdx = parted.schema.fieldIndex(valCol)
+    // Both passes use RDD mapPartitionsWithIndex, NOT TaskContext/
+    // spark_partition_id(): those report the *task's* partition id, which
+    // diverges from the parent split under any downstream narrow merge — a
+    // plain `.coalesce(1)` silently re-seeds every partition with the wrong
+    // offset. The split index bound here is the true range-partition rank
+    // no matter how the plan above is rearranged.
+    // Pass 1 — per-partition totals: one (pid, sum) pair per partition, so
+    // the driver holds O(partitions) state and its prefix scan is trivial.
+    val totals = parted.rdd
+      .mapPartitionsWithIndex { (idx, iter) =>
+        var t = 0L
+        iter.foreach(r => t += r.getLong(vIdx))
+        Iterator(idx -> t)
+      }
+      .collect().toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p))).toMap
+    // Pass 2 — sequential accumulation inside each already-sorted cached
+    // partition, seeded with the partition's prefix offset. A prefix sum is
+    // inherently serial per partition, which is exactly mapPartitions'
+    // legitimate use: the Window alternative (partitionBy(pid) over the
+    // same data) plans a SECOND full-data exchange just to re-cluster rows
+    // that are already clustered.
+    val outSchema = StructType(parted.schema.fields.dropRight(1) :+
+      StructField(outCol, LongType, nullable = false))
+    val out = parted.rdd.mapPartitionsWithIndex { (idx, iter) =>
+      var acc = offsets.getOrElse(idx, 0L)
+      iter.map { r =>
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ acc)
+      }
+    }
+    df.sparkSession.createDataFrame(out, outSchema)
+  }
+
+  /** Pack documents into shards of ~`tokenBudget` tokens, filling shards in
+    * `orderCols` order: a document goes to shard
+    * `floor(tokens_before_it / budget)` — shards fill to the watermark and
+    * the crossing document spills into its shard (never splits), so every
+    * shard holds ≥ 1 document and ≤ budget + one document's tokens.
+    *
+    * Output: `df` + `n_tokens` + `shard` (0-based, dense). */
+  def packByTokenBudget(df: DataFrame, textCol: String, tokenBudget: Long,
+      orderCols: Seq[Column]): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val withTokens = df.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    withRunningTotal(withTokens, orderCols, col("n_tokens"), "__cum__")
+      .withColumn("shard",
+        floor((col("__cum__") - col("n_tokens")) / lit(tokenBudget)).cast("long"))
+      .drop("__cum__")
+  }
+
+  /** Deterministic, rerun-stable train/val split on a portable content hash:
+    * md5 of the id, first hex digit < 'd' → "train" (13/16 ≈ 81%). Engine-
+    * independent (any system computing md5 agrees), skew-free (md5 is
+    * uniform), and stable under re-partitioning and re-runs — the property
+    * a 100 TB pipeline needs so a document never migrates between splits. */
+  def hashSplit(id: Column): Column =
+    when(substring(md5(id.cast("string")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b", "c"),
+      lit("train")).otherwise(lit("val"))
+}

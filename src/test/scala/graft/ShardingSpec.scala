@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Sharding
+
+/** Shard assembly: the two-phase global prefix sum must equal the
+  * single-partition window reference on any input/partitioning, and the
+  * packing/split operators must honor their contracts. */
+class ShardingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+
+  private def df(rows: Seq[(Long, java.lang.Long)], parts: Int) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, v) => Row(i, v) }, parts), schema)
+
+  test("running total == global window reference (randomized, any partitioning)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 1 + rnd.nextInt(200)
+      val rows = (0 until n).map(i =>
+        (i.toLong, java.lang.Long.valueOf(rnd.nextInt(50).toLong)))
+      val shuffled = rnd.shuffle(rows)
+      val in = df(shuffled, 1 + rnd.nextInt(7))
+      val got = Sharding.withRunningTotal(in, Seq(col("id")), col("v"), "cum")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val want = df(rows, 1)
+        .withColumn("cum", sum("v").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"trial $trial n=$n")
+    }
+  }
+
+  test("running total survives a downstream coalesce(1)") {
+    // Regression: coalesce merges parent partitions into one task, so
+    // TaskContext-based partition ids would re-seed every partition with
+    // offset 0 — the split index bound by mapPartitionsWithIndex must win.
+    val rows = (0L until 300L).map(i => (i, java.lang.Long.valueOf(i % 17)))
+    val in = df(scala.util.Random.shuffle(rows), 6)
+    val got = Sharding.withRunningTotal(in, Seq(col("id")), col("v"), "cum")
+      .coalesce(1).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    val want = rows.map { case (i, v) => acc += v; i -> acc }.toMap
+    assert(got == want)
+  }
+
+  test("running total treats null values as zero and keeps the row") {
+    val in = df(Seq((1L, java.lang.Long.valueOf(5L)), (2L, null),
+      (3L, java.lang.Long.valueOf(2L))), 3)
+    val got = Sharding.withRunningTotal(in, Seq(col("id")), col("v"), "cum")
+      .orderBy("id").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(5L, 5L, 7L))
+  }
+
+  test("packByTokenBudget: shards fill to the watermark, crossing doc spills") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a b c"),        // 3 tokens, before=0  -> shard 0
+        Row(2L, "d e f g"),      // 4 tokens, before=3  -> shard 0 (crosses 5)
+        Row(3L, "h"),            // before=7 -> shard 1
+        Row(4L, "i j k l m n")), // 6 tokens, before=8 -> shard 1 (> budget alone)
+        2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val got = Sharding.packByTokenBudget(docs, "text", 5L, Seq(col("doc_id")))
+      .select("doc_id", "n_tokens", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 0L), (2L, 4L, 0L), (3L, 1L, 1L), (4L, 6L, 1L)))
+  }
+
+  test("hashSplit is deterministic, total, and roughly 13/16 train") {
+    val ids = spark.range(0, 2000).select(col("id"),
+      Sharding.hashSplit(col("id")).as("split"))
+    val counts = ids.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val"))
+    assert(counts.values.sum == 2000L)
+    val trainFrac = counts("train").toDouble / 2000
+    assert(math.abs(trainFrac - 13.0 / 16) < 0.05, s"train fraction $trainFrac")
+    // stable across evaluations
+    assert(ids.collect().toSeq == ids.collect().toSeq)
+  }
+}
