@@ -16,15 +16,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.create(cpus) // canonical engine session factory
 
-    // Warmup and sample back-to-back per query (Criterion's shape): with 48
+    // Warmup and sample back-to-back per query (Criterion's shape): with 50+
     // queries a single global warmup pass evicts the earlier entries from
-    // the 100-slot codegen class cache before their timed run.
+    // the codegen class cache before their timed run. Two timed samples,
+    // min reported — single samples swing ±50% from GC/JIT interference.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

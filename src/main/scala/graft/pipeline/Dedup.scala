@@ -54,23 +54,51 @@ object Dedup {
 
   /** Candidate pairs (a < b) sharing at least one LSH band — an equi-join on
     * (band, band_key), broadcastable when the bucketed side is small and
-    * AQE-skew-safe otherwise. */
+    * AQE-skew-safe otherwise.
+    *
+    * `maxBucket` caps quadratic blowup at scale: a bucket of m ids emits
+    * m(m-1)/2 pairs, and at 100 TB a boilerplate-heavy corpus produces
+    * million-document buckets (≈ 10^12 pairs from ONE bucket). Buckets
+    * larger than the cap are near-certain duplicate clusters already; pair
+    * enumeration there is wasted work, so they are star-expanded instead —
+    * every member pairs with the bucket's minimum id (m-1 pairs), which
+    * keeps the bucket a single connected component for the downstream
+    * clustering while bounding output at O(m). Default Int.MaxValue =
+    * exact behavior. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
-      bandSize: Int): DataFrame = {
+      bandSize: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     // Self-join on the band key, with the banded signature persisted so the
     // tokenize+minhash aggregation runs once, not once per join side. A
     // bucket-local collect_list + nested-transform variant was measured 4x
     // SLOWER here: a skewed bucket of m ids emits m(m-1)/2 pairs inside ONE
     // task, while the join spreads the same quadratic output across the
-    // cluster. (At 100 TB additionally cap/salt giant buckets — they are
-    // all-duplicate clusters that don't need exact pair enumeration.)
+    // cluster.
     val bands = lshBands(sig, idCol, numHashes, bandSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = bands.select(col("band"), col("band_key"), col(idCol).as("id_a"))
-    val r = bands.select(col("band"), col("band_key"), col(idCol).as("id_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val sized =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val bucketStats = bands.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("__m__"), min(col(idCol)).as("__hub__"))
+        bands.join(bucketStats, Seq("band", "band_key"))
+      }
+    val pairJoin = {
+      val small = if (maxBucket == Int.MaxValue) sized
+        else sized.filter(col("__m__") <= maxBucket)
+          .select(col("band"), col("band_key"), col(idCol))
+      val l = small.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+      val r = small.select(col("band"), col("band_key"), col(idCol).as("id_b"))
+      l.join(r, Seq("band", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    val capped =
+      if (maxBucket == Int.MaxValue) pairJoin
+      else pairJoin.union(
+        // star expansion: hub = min id, spokes = everyone else, O(m) pairs
+        sized.filter(col("__m__") > maxBucket && col(idCol) =!= col("__hub__"))
+          .select(col("__hub__").as("id_a"), col(idCol).as("id_b")))
+    capped.distinct()
   }
 
   /** Hex digits with odd nibble value — parity test portable to any engine

@@ -129,8 +129,9 @@ final class PromQLContext(
 object PromQLContext {
   /** Prometheus regex matchers are fully anchored. Eq/Ne compare with the
     * column's native type (Catalyst casts the literal — keeps pushdown);
-    * regexes match against the string form. */
-  private def matcherPredicate(c: Column, m: LabelMatcher): Column = m.op match {
+    * regexes match against the string form. Shared by the flat-frame and
+    * streaming evaluators. */
+  def matcherPredicate(c: Column, m: LabelMatcher): Column = m.op match {
     case MatchOp.Eq => c === m.value
     case MatchOp.Ne => c =!= m.value
     case MatchOp.Re => c.cast("string").rlike(anchor(m.value))

@@ -59,6 +59,53 @@ object StreamAggregates {
       .select(col("name"), unix_millis(col("window.start")).as("window_start"),
         col("sum_v"), col("min_v"), col("max_v"), col("n"))
 
+  /** PromQL text as a continuous query: `agg by (labels) (metric{matchers})`
+    * parsed with [[graft.promql.PromQLParser]] and planned as a watermarked
+    * tumbling-window aggregation over the ingest stream — the same
+    * epoch-aligned window semantics as the batch evaluator
+    * (PromQLContext), so a streaming result and a later storage-side
+    * replay of the same text agree on dense data.
+    *
+    * The step is PromQL-side (`stepMs`), the watermark bounds state. Label
+    * matchers evaluate against the sample's label map (`element_at`), with
+    * the same anchored-regex semantics as the batch path.
+    *
+    * Range functions (`rate`/...) are not continuous queries here: chaining
+    * per-series delta state into a windowed aggregation needs two stateful
+    * operators with aligned watermarks; the engine serves rates from
+    * storage at read time instead (the reference's model — its streaming
+    * layer is ingest-only, SURVEY §2.9). Fail loudly toward the batch path.
+    */
+  def promqlStream(samples: Dataset[Sample], promql: String, stepMs: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.metric.MetricAgg
+    import graft.promql._
+    PromQLParser.parse(promql) match {
+      case Agg(op, by, Selector(metric, matchers)) =>
+        var rows = withEventTime(samples).filter(col("name") === metric)
+        matchers.foreach { m =>
+          rows = rows.filter(
+            PromQLContext.matcherPredicate(element_at(col("labels"), m.label), m))
+        }
+        val byCols = by.sorted.map(l => element_at(col("labels"), l).as(l))
+        val agg = (op match {
+          case MetricAgg.Sum => sum(col("value"))
+          case MetricAgg.Min => min(col("value"))
+          case MetricAgg.Max => max(col("value"))
+          case MetricAgg.Avg => avg(col("value"))
+          case MetricAgg.Count => count(lit(1)).cast("double")
+        }).as("value")
+        rows.withWatermark("ts_ts", watermark)
+          .groupBy(byCols :+ window(col("ts_ts"), s"$stepMs milliseconds").as("w"): _*)
+          .agg(agg)
+          .select(by.sorted.map(col) ++
+            Seq(unix_millis(col("w.start")).as("bucket_ms"), col("value")): _*)
+      case other => throw new IllegalArgumentException(
+        s"streaming PromQL supports agg-over-selector shapes, got: $other " +
+          "(rate/increase/delta are storage-read queries - see PromQLContext)")
+    }
+  }
+
   /** Per-series live last value: (name, sorted labels) -> newest sample.
     * Keyed state via mapGroupsWithState — emits the current latest on every
     * trigger that touches the series (update mode). */

@@ -35,6 +35,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("LSH maxBucket: giant buckets star-expand, stay one component, O(m) pairs") {
+    // 6 identical docs (one giant bucket) + 2 identical docs (small bucket)
+    val df = docs((1L to 6L).map(i => i -> "same same text here") ++
+      Seq(10L -> "other words entirely now", 11L -> "other words entirely now"): _*)
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", 8)
+    val exact = Dedup.lshCandidatePairs(sig, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.lshCandidatePairs(sig, "doc_id", 8, 2, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.count(p => p._1 <= 6 && p._2 <= 6) == 15) // 6C2 exact pairs
+    // star expansion: the giant bucket contributes only hub pairs (1,x)
+    assert(capped.filter(p => p._1 <= 6 && p._2 <= 6) ==
+      (2L to 6L).map(x => (1L, x)).toSet)
+    // the small bucket is untouched by the cap
+    assert(exact.contains((10L, 11L)) && capped.contains((10L, 11L)))
+    // same connected components either way
+    val cExact = Dedup.duplicateClusters(
+      spark.createDataFrame(exact.toSeq).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cCapped = Dedup.duplicateClusters(
+      spark.createDataFrame(capped.toSeq).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cExact == cCapped)
+  }
+
   test("simhash: identical docs equal; jaccard: identical=1, disjoint absent") {
     val df = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota"))

@@ -55,6 +55,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) == t0 - (t0 % 1800000L)))
   }
 
+  test("PromQL text as a continuous query: windowed max by host with matchers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    val step = 60000L
+    val q = StreamAggregates.promqlStream(stream.toDS(),
+      """max by (host) (cpu_seconds_total{mode="user", host=~"h[01]"})""",
+      stepMs = step, watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("pql").start()
+    try {
+      stream.addData(
+        Sample("cpu_seconds_total", Map("host" -> "h0", "mode" -> "user"), t0, 2.0),
+        Sample("cpu_seconds_total", Map("host" -> "h0", "mode" -> "user"), t0 + 1000, 7.0),
+        Sample("cpu_seconds_total", Map("host" -> "h1", "mode" -> "user"), t0 + 2000, 3.0),
+        Sample("cpu_seconds_total", Map("host" -> "h1", "mode" -> "sys"), t0, 99.0),   // mode filtered
+        Sample("cpu_seconds_total", Map("host" -> "h2", "mode" -> "user"), t0, 50.0),  // host regex filtered
+        Sample("mem_bytes", Map("host" -> "h0", "mode" -> "user"), t0, 123.0))         // metric filtered
+      q.processAllAvailable()
+      // push event time past the watermark so the first window closes
+      stream.addData(Sample("cpu_seconds_total",
+        Map("host" -> "h0", "mode" -> "user"), t0 + 3600 * 1000L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT host, bucket_ms, value FROM pql").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(
+      ("h0", t0 - t0 % step, 7.0),
+      ("h1", t0 - t0 % step, 3.0)))
+  }
+
+  test("streaming PromQL rejects range-function shapes toward the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    assertThrows[IllegalArgumentException](
+      StreamAggregates.promqlStream(stream.toDS(), "sum(rate(cpu[5m]))", 60000L))
+  }
+
   test("mapGroupsWithState live last-value per series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
