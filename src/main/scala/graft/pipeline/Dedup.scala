@@ -132,15 +132,29 @@ object Dedup {
     * @return (id, cluster_id) for every node appearing in `pairs`
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Symmetrize with ONE scan of `pairs` (explode of both directions) — a
+    // self-union would run the caller's candidate-pair pipeline twice.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
-    // localCheckpoint per iteration truncates lineage — without it the plan
-    // tree doubles every round and long chains OOM the driver on plan
-    // strings alone (on a cluster, prefer reliable checkpointing to a
-    // configured checkpoint dir).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).localCheckpoint()
+    // Periodic localCheckpoint truncates lineage — without it the plan tree
+    // doubles every round and long chains OOM the driver on plan strings
+    // alone (on a cluster, prefer reliable checkpointing to a configured
+    // checkpoint dir). Checkpointing EVERY round costs one materialization
+    // job per round; dedup graphs converge in a handful of rounds, so cache
+    // + every-4th-round checkpoint keeps lineage bounded at a quarter of
+    // the job count.
+    val checkpointEvery = 4
+    // Fused init: round 1 IS the initialization — every node's label after
+    // one round is least(self, min neighbor), one aggregation over the
+    // symmetrized edges (a separate identity-label init would pay the same
+    // shuffle just to throw it away next round).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__mn__"))
+      .select(col("id"), least(col("id"), col("__mn__")).as("cluster_id"))
+      .localCheckpoint()
     // Labels only ever decrease (least of self and neighbors), so
     // Σ cluster_id is strictly monotone while anything changes: the
     // convergence test is one cheap aggregate over the just-checkpointed
@@ -162,15 +176,20 @@ object Dedup {
       // One fused shuffle per round: neighbor labels and own label feed the
       // same min-aggregate (vs join + groupBy + left-join = two exchanges).
       val labelsByDst = labels.select(col("id").as("dst"), col("cluster_id").as("n_label"))
-      val next = edges
+      val step = edges
         .join(if (smallGraph) broadcast(labelsByDst) else labelsByDst, Seq("dst"))
         .select(col("src").as("id"), col("n_label").as("cluster_id"))
         .union(labels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) step.localCheckpoint()
+        else step.cache()
+      // labelSum is the round's one action: it materializes the cache (or
+      // reads the fresh checkpoint) and decides convergence in the same job.
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      labels.unpersist()
       labels = next
       iter += 1
     }
