@@ -240,7 +240,14 @@ object MergeDedupOps {
       seqCol: String = graft.storage.StorageSchema.SeqCol): DataFrame = {
     // Self-register (idempotent): sessions built outside GraftSession /
     // GraftExtensions must still be able to plan the node they're handed.
+    // The ACTIVE session is registered too — Structured Streaming plans
+    // foreachBatch bodies under a session cloned at stream start, and the
+    // clone snapshots extraStrategies from before this call: planning a
+    // storage scan inside a micro-batch would otherwise die with
+    // "No plan for MergeDedup" on sessions registered only lazily.
     GraftShims.addStrategy(df.sparkSession, MergeDedupStrategy)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftShims.addStrategy(_, MergeDedupStrategy))
     GraftShims.ofRows(df.sparkSession,
       MergeDedup(pks, seqCol, mode, globalSort, GraftShims.logicalPlan(df)))
   }
