@@ -158,8 +158,15 @@ final class MetricEngine(spark: SparkSession, root: String,
     * bucket by step, aggregate; optional per-tag grouping joins the index
     * back for the tag value; optional reset-aware rate. */
   def query(q: MetricQuery): DataFrame = {
+    // unknown metric → empty frame with the query's real output schema
+    // (tag, bucket, value as applicable), not a bare [value] stub
     val mid = metricIdOf(q.metric).getOrElse(
-      return spark.emptyDataFrame.withColumn("value", lit(0.0)).limit(0))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(
+          q.groupByTag.map(t => StructField(t, StringType)).toSeq ++
+          q.stepMs.map(_ => StructField("bucket_ms", LongType)).toSeq :+
+          StructField("value", DoubleType))))
     val tsids = lookupTsids(mid, q.labelFilters)
     var rows = data.scan(ScanRequest(range = q.range,
         predicates = Seq(col("metric_id") === mid)))
@@ -219,8 +226,14 @@ final class MetricEngine(spark: SparkSession, root: String,
     }
     PromQLParser.parse(text) match {
       case sel: Selector =>
+        // unknown metric → empty frame with the SELECTOR's schema, so
+        // unions/projections behave the same as for a known metric
         val mid = metricIdOf(sel.metric).getOrElse(
-          return spark.emptyDataFrame.withColumn("value", lit(0.0)).limit(0))
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("tsid", LongType, nullable = false),
+              StructField("ts_ms", LongType, nullable = false),
+              StructField("value", DoubleType, nullable = false)))))
         data.scan(ScanRequest(range = range,
             predicates = Seq(col("metric_id") === mid)))
           .join(broadcast(lookupTsids(mid, eqFilters(sel))), Seq("tsid"), "left_semi")

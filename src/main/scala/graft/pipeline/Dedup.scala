@@ -160,8 +160,10 @@ object Dedup {
     // convergence test is one cheap aggregate over the just-checkpointed
     // frame instead of a join-and-count against the previous round.
     // Decimal sum — a long Σ over petabyte-scale 64-bit ids can overflow.
+    // coalesce: sum over an EMPTY frame is null (no pairs → converge at 0).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     // The node set is fixed across iterations, so pick the join strategy
     // once: a label table under ~4M rows (~64 MB) broadcasts to every
@@ -171,6 +173,7 @@ object Dedup {
     // blocks make this count cheap.
     val smallGraph = labels.count() < (1L << 22)
     var converged = false
+    var prevWasCheckpoint = true // the init frame is localCheckpoint()ed
     var iter = 0
     while (!converged && iter < maxIter) {
       // One fused shuffle per round: neighbor labels and own label feed the
@@ -181,15 +184,20 @@ object Dedup {
         .select(col("src").as("id"), col("n_label").as("cluster_id"))
         .union(labels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-      val next =
-        if ((iter + 1) % checkpointEvery == 0) step.localCheckpoint()
-        else step.cache()
+      val checkpointRound = (iter + 1) % checkpointEvery == 0
+      val next = if (checkpointRound) step.localCheckpoint() else step.cache()
       // labelSum is the round's one action: it materializes the cache (or
       // reads the fresh checkpoint) and decides convergence in the same job.
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
+      // Only cache()-round frames are safe to free eagerly: their blocks
+      // recompute through lineage rooted at the last checkpoint. A
+      // checkpointed frame's blocks ARE later rounds' lineage root —
+      // unpersisting them would make any evicted downstream block
+      // unrecoverable; the context cleaner frees them on GC instead.
+      if (!prevWasCheckpoint) labels.unpersist()
+      prevWasCheckpoint = checkpointRound
       labels = next
       iter += 1
     }

@@ -70,16 +70,23 @@ object Sharding {
         Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ acc)
       }
     }
-    df.sparkSession.createDataFrame(out, outSchema)
+    // Materialize the result eagerly so the input cache (same size) can be
+    // released NOW rather than pinning a full dataset copy for the session
+    // lifetime; the result's blocks free with the returned frame. On a
+    // cluster job, prefer writing the result to a table over caching either.
+    val result = df.sparkSession.createDataFrame(out, outSchema).localCheckpoint()
+    parted.unpersist()
+    result
   }
 
   /** Pack documents into shards of ~`tokenBudget` tokens, filling shards in
     * `orderCols` order: a document goes to shard
     * `floor(tokens_before_it / budget)` — shards fill to the watermark and
-    * the crossing document spills into its shard (never splits), so every
-    * shard holds ≥ 1 document and ≤ budget + one document's tokens.
+    * the crossing document spills into its shard (never splits).
     *
-    * Output: `df` + `n_tokens` + `shard` (0-based, dense). */
+    * Output: `df` + `n_tokens` + `shard` (0-based, monotone in the pack
+    * order; a single document spanning k budgets advances the index by k,
+    * so ids can skip — treat them as ordered labels, not array offsets). */
   def packByTokenBudget(df: DataFrame, textCol: String, tokenBudget: Long,
       orderCols: Seq[Column]): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")

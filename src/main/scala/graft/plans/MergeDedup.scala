@@ -94,8 +94,14 @@ final case class MergeDedupExec(
   private def fullOrdering: Seq[SortOrder] =
     (pkAttrs ++ (seqAttr +: valueAttrs)).map(a => SortOrder(a, Ascending, NullsFirst, Seq.empty))
 
+  /** The DISTRIBUTION must range-partition on the pk prefix ONLY: ranging
+    * over (pks, __seq__, ...) would let a partition boundary fall between
+    * two versions of the same pk, and each side would emit its own "merged"
+    * row — duplicate/stale output. Equal pk tuples always land in one range
+    * partition; the full in-run order is enforced separately by
+    * [[requiredChildOrdering]]. */
   override def requiredChildDistribution: Seq[Distribution] =
-    if (globalSort) OrderedDistribution(fullOrdering) :: Nil
+    if (globalSort) OrderedDistribution(fullOrdering.take(pkNames.length)) :: Nil
     else ClusteredDistribution(pkAttrs) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(fullOrdering)

@@ -113,7 +113,22 @@ object PromQLParser {
         val sb = new StringBuilder
         i += 1
         while (i < s.length && s(i) != c) {
-          if (s(i) == '\\' && i + 1 < s.length) { sb += s(i + 1); i += 2 }
+          if (s(i) == '\\' && i + 1 < s.length) {
+            // Go-string escape set, like Prometheus: an unknown escape is a
+            // loud parse error, not a silently stripped backslash (\d would
+            // otherwise become the literal regex "d").
+            sb += (s(i + 1) match {
+              case '\\' => '\\'
+              case '"' => '"'
+              case '\'' => '\''
+              case 'n' => '\n'
+              case 't' => '\t'
+              case 'r' => '\r'
+              case bad => throw PromQLParseException(
+                s"invalid escape sequence '\\$bad' (escape the backslash: \\\\$bad)", i)
+            })
+            i += 2
+          }
           else { sb += s(i); i += 1 }
         }
         if (i >= s.length) throw PromQLParseException("unterminated string", start)

@@ -127,15 +127,23 @@ final class PromQLContext(
 }
 
 object PromQLContext {
-  /** Prometheus regex matchers are fully anchored. Eq/Ne compare with the
-    * column's native type (Catalyst casts the literal — keeps pushdown);
-    * regexes match against the string form. Shared by the flat-frame and
-    * streaming evaluators. */
-  def matcherPredicate(c: Column, m: LabelMatcher): Column = m.op match {
-    case MatchOp.Eq => c === m.value
-    case MatchOp.Ne => c =!= m.value
-    case MatchOp.Re => c.cast("string").rlike(anchor(m.value))
-    case MatchOp.Nre => !c.cast("string").rlike(anchor(m.value))
+  /** Prometheus regex matchers are fully anchored, and an absent label is
+    * the empty string: `{a!="x"}` and `{a!~"x.*"}` MATCH rows without the
+    * label, `{a=""}` matches absence, `{a=~""}` matches when the regex
+    * accepts empty. Null label values are folded to "" before comparing
+    * (null-propagating `=!=` would silently DROP label-less rows).
+    * Positive `=` on a non-empty value keeps the native-typed comparison —
+    * nulls can't match it anyway, and the untouched column predicate
+    * reaches the parquet scan. Shared by the flat-frame and streaming
+    * evaluators. */
+  def matcherPredicate(c: Column, m: LabelMatcher): Column = {
+    val s = coalesce(c.cast("string"), lit(""))
+    m.op match {
+      case MatchOp.Eq => if (m.value.isEmpty) s === "" else c === m.value
+      case MatchOp.Ne => s =!= m.value
+      case MatchOp.Re => s.rlike(anchor(m.value))
+      case MatchOp.Nre => !s.rlike(anchor(m.value))
+    }
   }
   private def anchor(re: String): String = s"^(?:$re)$$"
 }

@@ -152,10 +152,6 @@ final class TimeMergeStorage(
     ssts
   }
 
-  /** Merge-on-read scan (reference storage.rs:336-369 + read.rs:95-391):
-    * manifest prune → parquet read (pushdown) → filter → widen projection →
-    * per-pk merge (Overwrite/Append) → strip builtins → project → per-segment
-    * time order. */
   /** Merge-on-read scan. `nativeMerge=true` (default) plans the sorted-run
     * [[graft.plans.MergeDedupExec]] — measured 1.6× the hash-agg merge at
     * 10M rows (one clustered exchange + linear run reduction, no hash

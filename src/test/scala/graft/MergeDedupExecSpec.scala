@@ -90,6 +90,25 @@ class MergeDedupExecSpec extends AnyFunSuite {
       (2, Seq[Byte](9), Seq(99L), 5L)))
   }
 
+  test("globalSort range boundaries never split a pk run (few pks, many versions)") {
+    // 2 pks x 1000 versions: ranging over (pk, __seq__, ...) would place
+    // partition boundaries inside the runs and emit duplicate "merged"
+    // rows; ranging over the pk prefix alone must not. AQE is disabled so
+    // the 4-partition range exchange isn't coalesced to one partition
+    // (which would mask the boundary placement entirely).
+    val rows = for (pk <- List(1, 2); s <- 0L until 1000L)
+      yield (pk, s"v$s", s, s)
+    val in = df(scala.util.Random.shuffle(rows), 5L)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), UpdateMode.Overwrite,
+        globalSort = true)
+      val got = out.collect().map(r => (r.getInt(0), r.getLong(3))).toList
+      assert(got == List((1, 999L), (2, 999L)), s"got $got")
+      assert(out.rdd.getNumPartitions > 1, "test needs a real multi-partition exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("globally sorted native merge output is pk-ordered with one exchange, no post-sort") {
     val rows = sample(3L)
     val in = df(rows, 99L)

@@ -142,6 +142,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(chainGot.values.toSet == Set(1L) && chainGot.size == 10)
   }
 
+  test("duplicate clustering of an empty pair set returns an empty frame") {
+    val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+  }
+
   test("multimodal feature extraction preserves ids and batch shape") {
     val df = Seq((1L, "abc"), (2L, "defgh")).toDF("doc_id", "payload_str")
       .withColumn("payload", org.apache.spark.sql.functions.col("payload_str").cast("binary"))

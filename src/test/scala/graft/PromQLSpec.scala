@@ -130,6 +130,40 @@ class PromQLSpec extends AnyFunSuite {
     assert(agg == Map(0L -> 5.5, H -> -20.0))
   }
 
+  test("parser: unknown string escapes fail loudly; known ones decode") {
+    // \d must not silently become the literal "d" — Prometheus rejects it
+    assertThrows[PromQLParseException](PromQLParser.parse("""cpu{host=~"h\d"}"""))
+    assert(PromQLParser.parse("""cpu{host="a\\b\"c"}""") ==
+      Selector("cpu", Seq(LabelMatcher("host", MatchOp.Eq, "a\\b\"c"))))
+  }
+
+  test("context: absent labels are empty strings for matchers (Prometheus semantics)") {
+    // dc is null on one row: != and !~ must MATCH it, ="" must select it
+    val schema = StructType(Seq(
+      StructField("m", StringType), StructField("host", StringType),
+      StructField("dc", StringType), StructField("tms", LongType),
+      StructField("v", DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", null, 0L, 2.0)), 2), schema)
+    val ctx = new PromQLContext(df, "m", col("tms"), "v",
+      Map("host" -> "host", "dc" -> "dc"))
+    def hosts(q: String) = ctx.sql(q).collect().map(_.getString(1)).toSet
+    assert(hosts("""cpu{dc!="us"}""") == Set("b"))
+    assert(hosts("""cpu{dc!~"u."}""") == Set("b"))
+    assert(hosts("""cpu{dc=""}""") == Set("b"))
+    assert(hosts("""cpu{dc=~""}""") == Set("b"))
+    assert(hosts("""cpu{dc=~".*"}""") == Set("a", "b"))
+    assert(hosts("""cpu{dc="us"}""") == Set("a"))
+  }
+
+  test("engine: unknown metric keeps the declared output schemas") {
+    val sel = engine.queryPromQL("""nope{dc="us"}""", TimeRange(0, H))
+    assert(sel.columns.toSeq == Seq("tsid", "ts_ms", "value") && sel.count() == 0)
+    val agg = engine.query(MetricQuery("nope", Map.empty, TimeRange(0, H),
+      Some(H), MetricAgg.Sum, Some("dc")))
+    assert(agg.columns.toSeq == Seq("dc", "bucket_ms", "value") && agg.count() == 0)
+  }
+
   test("context: unknown labels fail loudly") {
     val ctx = ctxOf(Seq(Row("cpu", "a", "us", 0L, 1.0)))
     assertThrows[IllegalArgumentException](ctx.sql("""cpu{zone="x"}"""))
