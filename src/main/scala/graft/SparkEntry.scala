@@ -207,6 +207,17 @@ object SparkEntry {
         .sql("""sum by (uid) (rate(purchase{uid=~"[1-9]"}[1d]))""")
         .withColumn("value", round(col("value"), 6))),
 
+    // PromQL parameterized aggregation: per-day top-3 samples by value
+    // (deterministic tiebreak on every output column).
+    "p4_promql_topk" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""topk(3, purchase{uid=~"[1-9][0-9]"})""",
+        stepMs = Some(86400000L))),
+
+    // PromQL exact interpolated quantile per day bucket.
+    "p5_promql_quantile" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""quantile(0.9, purchase)""", stepMs = Some(86400000L))
+        .withColumn("value", round(col("value"), 4))),
+
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
     "j1_label_semijoin" -> ((s, dir) => {
       val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -663,6 +674,28 @@ object SparkEntry {
         |                 WHEN value >= prev THEN value - prev
         |                 ELSE value END) / 86400.0, 6) AS value
         |FROM d GROUP BY uid, bucket_ms""".stripMargin,
+
+    "p4_promql_topk" ->
+      """WITH s AS (
+        |  SELECT user_id AS uid, epoch_ms(ts::TIMESTAMP) AS ts_ms, value,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |      AS bucket_ms
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-9][0-9]')),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY bucket_ms ORDER BY value DESC, ts_ms, uid) AS rk
+        |  FROM s)
+        |SELECT uid, ts_ms, value, bucket_ms FROM r WHERE rk <= 3""".stripMargin,
+
+    "p5_promql_quantile" ->
+      """SELECT
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  round(quantile_cont(value, 0.9), 4) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY bucket_ms""".stripMargin,
 
     "rate1_counter" ->
       """WITH d AS (

@@ -56,6 +56,18 @@ final case class RangeFn(fn: RangeF, sel: Selector, windowMs: Long) extends Expr
 /** `sum by (dc) (...)`. Empty `by` aggregates everything to one series. */
 final case class Agg(op: MetricAgg, by: Seq[String], child: Expr) extends Expr
 
+/** Parameterized aggregations: `topk(3, ...)`, `bottomk(3, ...)`,
+  * `quantile(0.9, ...)`. `by` scopes the ranking / quantile group. */
+sealed trait ParamOp
+object ParamOp {
+  case object TopK extends ParamOp
+  case object BottomK extends ParamOp
+  case object Quantile extends ParamOp
+}
+
+final case class ParamAgg(op: ParamOp, param: Double, by: Seq[String],
+    child: Expr) extends Expr
+
 final case class PromQLParseException(msg: String, pos: Int)
   extends IllegalArgumentException(s"PromQL parse error at $pos: $msg")
 
@@ -65,12 +77,16 @@ object PromQLParser {
   private final case class TIdent(s: String, pos: Int) extends Tok
   private final case class TStr(s: String, pos: Int) extends Tok
   private final case class TDur(ms: Long, pos: Int) extends Tok
+  private final case class TNum(d: Double, pos: Int) extends Tok
   private final case class TPunct(s: String, pos: Int) extends Tok
   private final case class TEnd(pos: Int) extends Tok
 
   private val AggOps = Map(
     "sum" -> MetricAgg.Sum, "min" -> MetricAgg.Min, "max" -> MetricAgg.Max,
     "avg" -> MetricAgg.Avg, "count" -> MetricAgg.Count)
+  private val ParamOps = Map(
+    "topk" -> ParamOp.TopK, "bottomk" -> ParamOp.BottomK,
+    "quantile" -> ParamOp.Quantile)
   private val RangeFns = Map(
     "rate" -> RangeF.Rate, "increase" -> RangeF.Increase, "delta" -> RangeF.Delta)
   private val DurUnits = List( // longest-match first
@@ -94,20 +110,36 @@ object PromQLParser {
         while (i < s.length && isIdent(s(i))) i += 1
         out += TIdent(s.substring(start, i), start)
       } else if (c.isDigit) {
-        // duration literal (only numeric context in the grammar)
+        // number or duration: digits followed by a unit start a compound
+        // duration (1h30m); a fraction or bare digits are a plain number
+        // (topk's k, quantile's q)
         val start = i
-        var ms = 0L
-        var ok = true
-        while (ok && i < s.length && s(i).isDigit) {
-          var n = 0L
-          while (i < s.length && s(i).isDigit) { n = n * 10 + (s(i) - '0'); i += 1 }
-          DurUnits.find { case (u, _) => s.startsWith(u, i) } match {
-            case Some((u, mult)) => ms += n * mult; i += u.length
-            case None => ok = false
-          }
+        var n = 0L
+        while (i < s.length && s(i).isDigit) { n = n * 10 + (s(i) - '0'); i += 1 }
+        if (i < s.length && s(i) == '.') {
+          i += 1
+          var frac = 0.0
+          var scale = 0.1
+          if (i >= s.length || !s(i).isDigit)
+            throw PromQLParseException("expected digits after '.'", i)
+          while (i < s.length && s(i).isDigit) { frac += (s(i) - '0') * scale; scale /= 10; i += 1 }
+          out += TNum(n + frac, start)
+        } else DurUnits.find { case (u, _) => s.startsWith(u, i) } match {
+          case Some((u, mult)) =>
+            var ms = n * mult
+            i += u.length
+            while (i < s.length && s(i).isDigit) { // compound: 1h30m
+              var m = 0L
+              while (i < s.length && s(i).isDigit) { m = m * 10 + (s(i) - '0'); i += 1 }
+              DurUnits.find { case (u2, _) => s.startsWith(u2, i) } match {
+                case Some((u2, mult2)) => ms += m * mult2; i += u2.length
+                case None =>
+                  throw PromQLParseException("expected duration unit (ms|s|m|h|d|w)", i)
+              }
+            }
+            out += TDur(ms, start)
+          case None => out += TNum(n.toDouble, start)
         }
-        if (!ok) throw PromQLParseException("expected duration unit (ms|s|m|h|d|w)", i)
-        out += TDur(ms, start)
       } else if (c == '"' || c == '\'') {
         val start = i
         val sb = new StringBuilder
@@ -168,6 +200,7 @@ object PromQLParser {
       // contextual keyword: an aggop is only an aggregation when followed
       // by '(' or 'by' — `sum{...}` stays a metric named "sum"
       case TIdent(name, _) if AggOps.contains(name) && startsAgg => parseAgg()
+      case TIdent(name, _) if ParamOps.contains(name) && startsAgg => parseParamAgg()
       case _ => parseVector()
     }
 
@@ -187,6 +220,28 @@ object PromQLParser {
       if (byBefore.nonEmpty && byAfter.nonEmpty)
         fail("duplicate 'by' clause")
       Agg(AggOps(name), byBefore ++ byAfter, child)
+    }
+
+    private def parseParamAgg(): Expr = {
+      val TIdent(name, _) = next(): @unchecked
+      val byBefore = parseByOpt()
+      expect("(")
+      val param = next() match {
+        case TNum(d, _) => d
+        case t => throw PromQLParseException(
+          s"$name requires a leading scalar parameter, e.g. $name(3, ...)", t.pos)
+      }
+      expect(",")
+      val child = parseExpr()
+      expect(")")
+      val byAfter = parseByOpt()
+      if (byBefore.nonEmpty && byAfter.nonEmpty) fail("duplicate 'by' clause")
+      val op = ParamOps(name)
+      if (op == ParamOp.Quantile && (param < 0 || param > 1))
+        fail(s"quantile parameter must be in [0, 1], got $param")
+      if (op != ParamOp.Quantile && (param < 1 || param != math.floor(param)))
+        fail(s"$name parameter must be a positive integer, got $param")
+      ParamAgg(op, param, byBefore ++ byAfter, child)
     }
 
     private def parseByOpt(): Seq[String] = peek match {

@@ -86,6 +86,43 @@ final class PromQLContext(
             .select(seriesCols.map(col) ++ Seq(col("bucket_ms"), col("value")): _*)
       }
 
+    case ParamAgg(op, param, by, child) =>
+      val in = eval(child, stepMs, range)
+      by.find(l => !in.columns.contains(l)).foreach(l =>
+        throw new IllegalArgumentException(
+          s"unknown grouping label '$l' (available: ${in.columns.mkString(", ")})"))
+      val bucketed =
+        if (in.columns.contains("bucket_ms") || stepMs.isEmpty) in
+        else in.withColumn("bucket_ms",
+          (floor(col("ts_ms") / lit(stepMs.get)).cast("long") * stepMs.get))
+      val groupCols = by.sorted ++
+        (if (bucketed.columns.contains("bucket_ms")) Seq("bucket_ms") else Nil)
+      op match {
+        case ParamOp.TopK | ParamOp.BottomK =>
+          // rank ROWS within the (by, bucket) group; ties broken by every
+          // remaining output column so the pick is deterministic (identical
+          // rows are interchangeable)
+          val dir = if (op == ParamOp.TopK) col("value").desc else col("value").asc
+          val tiebreak = bucketed.columns
+            .filterNot(c => c == "value" || groupCols.contains(c)).sorted.map(col)
+          if (groupCols.isEmpty)
+            // global top-k: TakeOrdered (per-partition heads + driver merge
+            // of k rows), never a one-partition window
+            bucketed.orderBy(dir +: tiebreak: _*).limit(param.toInt)
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(groupCols.map(col): _*).orderBy(dir +: tiebreak: _*)
+            bucketed.withColumn("__rk__", row_number().over(w))
+              .filter(col("__rk__") <= param.toLong).drop("__rk__")
+          }
+        case ParamOp.Quantile =>
+          // exact interpolated quantile across the group (percentile ==
+          // DuckDB quantile_cont — the engine-portable pairing)
+          val agg = percentile(col("value"), lit(param)).as("value")
+          if (groupCols.isEmpty) bucketed.agg(agg)
+          else bucketed.groupBy(groupCols.map(col): _*).agg(agg)
+      }
+
     case Agg(op, by, child) =>
       by.find(l => !labels.contains(l)).foreach(l =>
         throw new IllegalArgumentException(

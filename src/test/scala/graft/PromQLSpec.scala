@@ -55,6 +55,40 @@ class PromQLSpec extends AnyFunSuite {
     assert(win("1w") == 604800000L)
   }
 
+  test("parser: parameterized aggregations topk/bottomk/quantile") {
+    assert(PromQLParser.parse("topk(3, cpu)") ==
+      ParamAgg(ParamOp.TopK, 3.0, Nil, Selector("cpu", Nil)))
+    assert(PromQLParser.parse("""quantile by (dc) (0.9, rate(reqs[5m]))""") ==
+      ParamAgg(ParamOp.Quantile, 0.9, Seq("dc"),
+        RangeFn(RangeF.Rate, Selector("reqs", Nil), 300000L)))
+    assert(PromQLParser.parse("bottomk(2, cpu) by (host)") ==
+      ParamAgg(ParamOp.BottomK, 2.0, Seq("host"), Selector("cpu", Nil)))
+    assertThrows[PromQLParseException](PromQLParser.parse("topk(0, cpu)"))
+    assertThrows[PromQLParseException](PromQLParser.parse("topk(1.5, cpu)"))
+    assertThrows[PromQLParseException](PromQLParser.parse("quantile(1.2, cpu)"))
+    assertThrows[PromQLParseException](PromQLParser.parse("topk(cpu, 3)"))
+  }
+
+  test("context: topk/bottomk rank rows per bucket group; quantile interpolates") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", "us", 1L, 5.0),
+      Row("cpu", "c", "us", 2L, 3.0), Row("cpu", "d", "eu", 3L, 4.0),
+      Row("cpu", "a", "us", H, 9.0), Row("cpu", "b", "us", H + 1, 2.0)))
+    // selector output is (dc, host, ts_ms, value) + appended bucket_ms
+    val top2 = ctx.sql("topk(2, cpu)", stepMs = Some(H)).collect()
+      .map(r => (r.getLong(4), r.getString(1))).toSet // (bucket, host)
+    assert(top2 == Set((0L, "b"), (0L, "d"), (H, "a"), (H, "b")))
+    val bottom1 = ctx.sql("bottomk(1, cpu)", stepMs = Some(H)).collect()
+      .map(r => (r.getLong(4), r.getString(1))).toSet
+    assert(bottom1 == Set((0L, "a"), (H, "b")))
+    // global top-k without step: TakeOrdered path
+    val g = ctx.sql("topk(2, cpu)").collect().map(_.getString(1)).toSet
+    assert(g == Set("a", "b")) // 9.0 and 5.0
+    val q = ctx.sql("quantile(0.5, cpu)", stepMs = Some(H)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(q == Map(0L -> 3.5, H -> 5.5)) // medians of (1,3,4,5) and (2,9)
+  }
+
   test("parser: rejects malformed input with positions") {
     for (bad <- Seq("sum by (dc) (cpu) by (dc)", "cpu{env=prod}", "cpu[5m",
         "rate(cpu[5x])", "cpu{env=\"p", "cpu up", "sum()", ""))
