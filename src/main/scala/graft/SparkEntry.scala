@@ -218,6 +218,14 @@ object SparkEntry {
       promqlCtx(s, dir).sql("""quantile(0.9, purchase)""", stepMs = Some(86400000L))
         .withColumn("value", round(col("value"), 4))),
 
+    // PromQL binary op: label-matched vector ratio (purchase/view value
+    // share per user-day; inner-match semantics on (uid, bucket)).
+    "p6_promql_ratio" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("sum by (uid) (purchase) / sum by (uid) (view)",
+          stepMs = Some(86400000L))
+        .withColumn("value", round(col("value"), 6))),
+
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
     "j1_label_semijoin" -> ((s, dir) => {
       val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -696,6 +704,22 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 4) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY bucket_ms""".stripMargin,
+
+    "p6_promql_ratio" ->
+      """WITH p AS (
+        |  SELECT user_id AS uid,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |      AS bucket_ms,
+        |    sum(value) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id AS uid,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |      AS bucket_ms,
+        |    sum(value) AS v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.uid, p.bucket_ms, round(p.v / w.v, 6) AS value
+        |FROM p JOIN w USING (uid, bucket_ms)""".stripMargin,
 
     "rate1_counter" ->
       """WITH d AS (

@@ -68,6 +68,15 @@ object ParamOp {
 final case class ParamAgg(op: ParamOp, param: Double, by: Seq[String],
     child: Expr) extends Expr
 
+/** Scalar literal in a binary expression (`cpu * 100`, `2 * cpu`). */
+final case class NumLit(value: Double) extends Expr
+
+/** Binary operation. Arithmetic (`+ - * / %`) combines values; comparisons
+  * (`> >= < <= == !=`) FILTER the left side (Prometheus semantics without
+  * the `bool` modifier). Vector∘vector matches on the intersection of the
+  * two sides' label/bucket columns. */
+final case class BinOp(op: String, lhs: Expr, rhs: Expr) extends Expr
+
 final case class PromQLParseException(msg: String, pos: Int)
   extends IllegalArgumentException(s"PromQL parse error at $pos: $msg")
 
@@ -166,9 +175,10 @@ object PromQLParser {
         if (i >= s.length) throw PromQLParseException("unterminated string", start)
         i += 1
         out += TStr(sb.toString, start)
-      } else if (s.startsWith("=~", i) || s.startsWith("!~", i) || s.startsWith("!=", i)) {
+      } else if (s.startsWith("=~", i) || s.startsWith("!~", i) || s.startsWith("!=", i)
+          || s.startsWith("==", i) || s.startsWith(">=", i) || s.startsWith("<=", i)) {
         out += TPunct(s.substring(i, i + 2), i); i += 2
-      } else if ("{}()[],=".indexOf(c) >= 0) {
+      } else if ("{}()[],=+-*/%<>".indexOf(c) >= 0) {
         out += TPunct(c.toString, i); i += 1
       } else throw PromQLParseException(s"unexpected character '$c'", i)
     }
@@ -196,11 +206,33 @@ object PromQLParser {
       }
     }
 
-    private def parseExpr(): Expr = peek match {
+    // Precedence climbing, Prometheus order: * / %  >  + -  >  comparisons.
+    private def parseExpr(): Expr = parseBinary(0)
+
+    private val Precedence = List(
+      Set("==", "!=", "<", "<=", ">", ">="), Set("+", "-"), Set("*", "/", "%"))
+
+    private def parseBinary(level: Int): Expr =
+      if (level == Precedence.length) parseAtom()
+      else {
+        var l = parseBinary(level + 1)
+        var more = true
+        while (more) peek match {
+          case TPunct(op, _) if Precedence(level).contains(op) =>
+            next()
+            l = BinOp(op, l, parseBinary(level + 1))
+          case _ => more = false
+        }
+        l
+      }
+
+    private def parseAtom(): Expr = peek match {
       // contextual keyword: an aggop is only an aggregation when followed
       // by '(' or 'by' — `sum{...}` stays a metric named "sum"
       case TIdent(name, _) if AggOps.contains(name) && startsAgg => parseAgg()
       case TIdent(name, _) if ParamOps.contains(name) && startsAgg => parseParamAgg()
+      case TNum(d, _) => next(); NumLit(d)
+      case TPunct("(", _) => next(); val e = parseExpr(); expect(")"); e
       case _ => parseVector()
     }
 

@@ -86,6 +86,40 @@ final class PromQLContext(
             .select(seriesCols.map(col) ++ Seq(col("bucket_ms"), col("value")): _*)
       }
 
+    case NumLit(_) => throw new IllegalArgumentException(
+      "scalar-only expression: combine the number with a vector (e.g. cpu * 2)")
+
+    case BinOp(op, lhs, rhs) => (lhs, rhs) match {
+      case (NumLit(_), NumLit(_)) => throw new IllegalArgumentException(
+        s"scalar-only expression: $lhs $op $rhs has no vector side")
+      // vector ∘ scalar: arithmetic maps the value column; comparison
+      // FILTERS rows (Prometheus semantics without the `bool` modifier)
+      case (v, NumLit(b)) =>
+        val in = eval(v, stepMs, range)
+        if (isCmp(op)) in.filter(applyOp(op, col("value"), lit(b)))
+        else in.withColumn("value", applyOp(op, col("value"), lit(b)))
+      case (NumLit(a), v) =>
+        val in = eval(v, stepMs, range)
+        if (isCmp(op)) in.filter(applyOp(op, lit(a), col("value")))
+        else in.withColumn("value", applyOp(op, lit(a), col("value")))
+      // vector ∘ vector: match on the intersection of the sides' label /
+      // bucket columns (both singletons → cross join, e.g. sum(a) / sum(b));
+      // a skew-free equi-join on group keys at scale
+      case (l, r) =>
+        val lf = eval(l, stepMs, range)
+        val rf = eval(r, stepMs, range)
+        val keys = lf.columns.filterNot(_ == "value")
+          .intersect(rf.columns.filterNot(_ == "value")).toSeq
+        val rr = rf.select((keys.map(col) :+ col("value").as("__rv__")): _*)
+        val joined = if (keys.isEmpty) lf.crossJoin(rr) else lf.join(rr, keys)
+        if (isCmp(op))
+          joined.filter(applyOp(op, col("value"), col("__rv__")))
+            .select(lf.columns.map(col): _*)
+        else
+          joined.select((keys.map(col) :+
+            applyOp(op, col("value"), col("__rv__")).as("value")): _*)
+    }
+
     case ParamAgg(op, param, by, child) =>
       val in = eval(child, stepMs, range)
       by.find(l => !in.columns.contains(l)).foreach(l =>
@@ -143,6 +177,23 @@ final class PromQLContext(
         case MetricAgg.Count => count(lit(1)).cast("double")
       }).as("value")
       if (keys.isEmpty) in.agg(agg) else in.groupBy(keys: _*).agg(agg)
+  }
+
+  private def isCmp(op: String): Boolean =
+    op == "==" || op == "!=" || op == ">" || op == ">=" || op == "<" || op == "<="
+
+  private def applyOp(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b // x/0 is null here (Prometheus: ±Inf) — documented
+    case "%" => a % b
+    case "==" => a === b
+    case "!=" => a =!= b
+    case ">" => a > b
+    case ">=" => a >= b
+    case "<" => a < b
+    case "<=" => a <= b
   }
 
   /** Parse and evaluate in one call. */

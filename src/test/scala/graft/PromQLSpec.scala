@@ -89,6 +89,49 @@ class PromQLSpec extends AnyFunSuite {
     assert(q == Map(0L -> 3.5, H -> 5.5)) // medians of (1,3,4,5) and (2,9)
   }
 
+  test("parser: binary operators with Prometheus precedence") {
+    assert(PromQLParser.parse("a + b * c") ==
+      BinOp("+", Selector("a", Nil),
+        BinOp("*", Selector("b", Nil), Selector("c", Nil))))
+    assert(PromQLParser.parse("(a + b) * 2") ==
+      BinOp("*", BinOp("+", Selector("a", Nil), Selector("b", Nil)), NumLit(2.0)))
+    assert(PromQLParser.parse("sum(a) / sum(b) > 0.5") ==
+      BinOp(">",
+        BinOp("/", Agg(MetricAgg.Sum, Nil, Selector("a", Nil)),
+          Agg(MetricAgg.Sum, Nil, Selector("b", Nil))),
+        NumLit(0.5)))
+  }
+
+  test("context: scalar arithmetic maps values; comparisons filter rows") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 0.2), Row("cpu", "b", "us", 0L, 0.8)))
+    val scaled = ctx.sql("cpu * 100").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toSet
+    assert(scaled == Set(("a", 20.0), ("b", 80.0)))
+    val hot = ctx.sql("cpu > 0.5").collect().map(_.getString(1)).toSet
+    assert(hot == Set("b"))
+    assertThrows[IllegalArgumentException](ctx.sql("2 + 2"))
+  }
+
+  test("context: vector/vector ops match on shared label and bucket columns") {
+    val ctx = ctxOf(Seq(
+      Row("err", "a", "us", 0L, 1.0), Row("err", "b", "us", 0L, 3.0),
+      Row("req", "a", "us", 0L, 10.0), Row("req", "b", "us", 0L, 10.0),
+      Row("err", "a", "us", H, 5.0), Row("req", "a", "us", H, 10.0)))
+    val ratio = ctx.sql("sum by (host) (err) / sum by (host) (req)",
+      stepMs = Some(H)).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ratio == Map(("a", 0L) -> 0.1, ("b", 0L) -> 0.3, ("a", H) -> 0.5))
+    // ungrouped singletons: cross join
+    val total = ctx.sql("sum(err) / sum(req)").collect()
+    assert(total.length == 1 && total.head.getDouble(0) == 9.0 / 30.0)
+    // comparison between vectors keeps lhs rows where the predicate holds
+    val bad = ctx.sql("sum by (host) (err) >= sum by (host) (req) * 0.25",
+      stepMs = Some(H)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(bad == Set(("b", 0L), ("a", H)))
+  }
+
   test("parser: rejects malformed input with positions") {
     for (bad <- Seq("sum by (dc) (cpu) by (dc)", "cpu{env=prod}", "cpu[5m",
         "rate(cpu[5x])", "cpu{env=\"p", "cpu up", "sum()", ""))
