@@ -194,38 +194,37 @@ final class MetricEngine(spark: SparkSession, root: String,
     else rows.groupBy(keys: _*).agg(valueAgg.as("value"))
   }
 
-  /** PromQL text → the engine's two-step read path. Parses with
-    * [[graft.promql.PromQLParser]] and lowers onto [[MetricQuery]]; the
-    * supported shapes are exactly the reference RFC's scope
-    * (20220702-prometheus-read-extension.md:78-99, sum+rate pushdown,
-    * generalized to every [[MetricAgg]]):
+  /** PromQL text → the engine's storage. Two execution tiers:
     *
-    *  - `metric{tags}` → raw (tsid, ts, value) selection
+    * FAST PATH — the reference RFC's scope (20220702-prometheus-read-
+    * extension.md:78-99, sum+rate pushdown, generalized to every
+    * [[MetricAgg]]), taken when every matcher is `=` (index-prunable) and
+    * the shape lowers onto [[MetricQuery]]'s two-step TSID semi-join:
+    *  - `metric{tags}` → raw (tsid, ts_ms, value) selection
     *  - `agg by (tag) (metric{tags})` → bucketed aggregation
     *  - `sum by (tag) (rate(metric{tags}[w]))` → reset-aware per-second
-    *    rate, bucketed at the window (sum only: the engine aggregates
-    *    deltas, which commutes with the per-series division for sum alone)
+    *    rate at the window (sum commutes with the per-series division)
     *
-    * Matchers must be `=` on the engine path — the index lookup is an
-    * exact-value semi-join; regex/negative matchers evaluate on the
-    * un-indexed path via [[graft.promql.PromQLContext]] instead.
+    * GENERAL PATH — everything else (regex/negative matchers, multi-label
+    * grouping, topk/bottomk/quantile, binary operators): the referenced
+    * label columns are joined onto the data scan from the index tables
+    * (broadcast; tag dictionaries are small) and the full
+    * [[graft.promql.PromQLContext]] evaluator runs with tsid as the series
+    * identity. Matchers evaluate post-join here — regex selection is not
+    * index-prunable by design. Binary operators match on grouped label
+    * columns, so combine DIFFERENT metrics through aggregations
+    * (`sum(a)/sum(b)`), as raw range-vector operands carry per-metric tsids.
     */
   def queryPromQL(text: String, range: TimeRange,
       stepMs: Option[Long] = None): DataFrame = {
     import graft.promql._
-    def eqFilters(sel: Selector): Map[String, String] = sel.matchers.map {
-      case LabelMatcher(l, MatchOp.Eq, v) => l -> v
-      case m => throw new IllegalArgumentException(
-        s"engine path supports only '=' matchers, got $m (use PromQLContext)")
-    }.toMap
-    def oneTag(by: Seq[String]): Option[String] = by match {
-      case Seq() => None
-      case Seq(t) => Some(t)
-      case _ => throw new IllegalArgumentException(
-        s"engine path supports at most one grouping tag, got ${by.mkString(",")}")
+    def eqFilters(sel: Selector): Option[Map[String, String]] = {
+      val eqs = sel.matchers.collect { case LabelMatcher(l, MatchOp.Eq, v) => l -> v }
+      if (eqs.length == sel.matchers.length) Some(eqs.toMap) else None
     }
-    PromQLParser.parse(text) match {
-      case sel: Selector =>
+    val ast = PromQLParser.parse(text)
+    ast match {
+      case sel: Selector if eqFilters(sel).isDefined =>
         // unknown metric → empty frame with the SELECTOR's schema, so
         // unions/projections behave the same as for a known metric
         val mid = metricIdOf(sel.metric).getOrElse(
@@ -236,20 +235,66 @@ final class MetricEngine(spark: SparkSession, root: String,
               StructField("value", DoubleType, nullable = false)))))
         data.scan(ScanRequest(range = range,
             predicates = Seq(col("metric_id") === mid)))
-          .join(broadcast(lookupTsids(mid, eqFilters(sel))), Seq("tsid"), "left_semi")
+          .join(broadcast(lookupTsids(mid, eqFilters(sel).get)), Seq("tsid"), "left_semi")
           .select(col("tsid"), col("ts").as("ts_ms"), col("value"))
-      case Agg(op, by, sel: Selector) =>
-        query(MetricQuery(sel.metric, eqFilters(sel), range, stepMs, op, oneTag(by)))
-      case Agg(MetricAgg.Sum, by, RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win)) =>
-        stepMs.filter(_ != win).foreach(st => throw new IllegalArgumentException(
-          s"step ($st ms) must equal the rate window ($win ms) on the engine path"))
-        val inc = query(MetricQuery(sel.metric, eqFilters(sel), range,
-          Some(win), MetricAgg.Sum, oneTag(by), rate = true))
+      case Agg(op, by, sel: Selector) if by.length <= 1 && eqFilters(sel).isDefined =>
+        query(MetricQuery(sel.metric, eqFilters(sel).get, range, stepMs, op,
+          by.headOption))
+      case Agg(MetricAgg.Sum, by, RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win))
+          if by.length <= 1 && eqFilters(sel).isDefined && stepMs.forall(_ == win) =>
+        val inc = query(MetricQuery(sel.metric, eqFilters(sel).get, range,
+          Some(win), MetricAgg.Sum, by.headOption, rate = true))
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
         else inc
-      case other => throw new IllegalArgumentException(
-        s"unsupported engine-path PromQL shape: $other (use PromQLContext)")
+      case other => promqlContextFor(other, range).eval(other, stepMs, Some(range))
     }
+  }
+
+  /** Build a [[graft.promql.PromQLContext]] over the engine's storage for
+    * the metrics and labels `expr` references: per metric, the data scan is
+    * label-enriched by broadcast-joining the index table's (tsid, tag_value)
+    * pairs per referenced label; metrics union into one frame with
+    * `__name__`. Absent labels are null → the evaluator's absent-is-empty
+    * matcher semantics apply unchanged. */
+  private def promqlContextFor(expr: graft.promql.Expr,
+      range: TimeRange): graft.promql.PromQLContext = {
+    import graft.promql._
+    def walk(e: Expr): (Set[String], Set[String]) = e match {
+      case Selector(m, ms) => (Set(m), ms.map(_.label).toSet)
+      case RangeFn(_, sel, _) => walk(sel)
+      case Agg(_, by, c) => val (m, l) = walk(c); (m, l ++ by)
+      case ParamAgg(_, _, by, c) => val (m, l) = walk(c); (m, l ++ by)
+      case BinOp(_, a, b) =>
+        val (m1, l1) = walk(a); val (m2, l2) = walk(b); (m1 ++ m2, l1 ++ l2)
+      case NumLit(_) => (Set.empty, Set.empty)
+    }
+    val (metrics, labelSet) = walk(expr)
+    val labelCols = labelSet.toSeq.sorted
+    val frames = metrics.toSeq.sorted.flatMap { m =>
+      metricIdOf(m).map { mid =>
+        var rows = data.scan(ScanRequest(range = range,
+            predicates = Seq(col("metric_id") === mid)))
+          .select(lit(m).as("__name__"), col("tsid"), col("ts"), col("value"))
+        labelCols.foreach { l =>
+          val tagVals = index.scan(ScanRequest(predicates = Seq(
+            col("metric_id") === mid, col("tag_key") === l)))
+            .select(col("tsid"), col("tag_value").as(s"__lbl_$l"))
+          rows = rows.join(broadcast(tagVals), Seq("tsid"), "left")
+        }
+        rows
+      }
+    }
+    val samples = frames.reduceOption(_.unionByName(_)).getOrElse {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("__name__", StringType),
+          StructField("tsid", LongType), StructField("ts", LongType),
+          StructField("value", DoubleType)) ++
+          labelCols.map(l => StructField(s"__lbl_$l", StringType))))
+    }
+    new PromQLContext(samples, "__name__", col("ts"), "value",
+      labelCols.map(l => l -> s"__lbl_$l").toMap,
+      ordering = Seq(col("ts"), col("tsid")), seriesCols = Seq("tsid"))
   }
 }
 

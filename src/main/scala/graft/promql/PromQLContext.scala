@@ -25,14 +25,19 @@ import graft.storage.TimeRange
   * partitioning; the per-series sort inside `rate` is window-function
   * local work after one exchange on the series key.
   *
-  * @param samples   flat frame of samples
-  * @param metricCol column holding the metric name
-  * @param tsMs      epoch-millis expression (bucketing + output)
-  * @param valueCol  sample value column (double)
-  * @param labels    PromQL label name → source column name
-  * @param ordering  per-series window order for rate/increase/delta —
-  *                  defaults to `tsMs`; pass the full-precision timestamp
-  *                  plus a unique tiebreak for deterministic same-ms merges
+  * @param samples    flat frame of samples
+  * @param metricCol  column holding the metric name
+  * @param tsMs       epoch-millis expression (bucketing + output)
+  * @param valueCol   sample value column (double)
+  * @param labels     PromQL label name → source column name
+  * @param ordering   per-series window order for rate/increase/delta —
+  *                   defaults to `tsMs`; pass the full-precision timestamp
+  *                   plus a unique tiebreak for deterministic same-ms merges
+  * @param seriesCols extra series-identity columns (e.g. the engine's tsid):
+  *                   rate/increase/delta partition per (seriesCols, labels)
+  *                   so distinct series sharing the projected label values
+  *                   don't fuse; they ride through range-fn output (and feed
+  *                   ranked-agg tiebreaks) but never act as grouping labels
   */
 final class PromQLContext(
     samples: DataFrame,
@@ -40,7 +45,8 @@ final class PromQLContext(
     tsMs: Column,
     valueCol: String,
     labels: Map[String, String],
-    ordering: Seq[Column] = Nil) {
+    ordering: Seq[Column] = Nil,
+    seriesCols: Seq[String] = Nil) {
 
   import PromQLContext._
 
@@ -58,32 +64,37 @@ final class PromQLContext(
     case Selector(metric, matchers) =>
       val base = select(metric, matchers, range)
       base.select(labels.keys.toSeq.sorted.map(l => col(labels(l)).as(l)) ++
+        seriesCols.map(col) ++
         Seq(tsMs.as("ts_ms"), col(valueCol).as("value")): _*)
 
     case RangeFn(fn, sel, windowMs) =>
-      val seriesCols = labels.keys.toSeq.sorted
+      val labelOut = labels.keys.toSeq.sorted
       val rows = select(sel.metric, sel.matchers, range)
       val ord = if (ordering.nonEmpty) ordering else Seq(tsMs)
       val bucket = (floor(tsMs / lit(windowMs)).cast("long") * windowMs).as("bucket_ms")
+      // series identity = extra identity cols + every label column
+      val seriesPart = seriesCols.map(col) ++ labels.values.toSeq.map(col)
+      val groupKeys = labelOut.map(l => col(labels(l)).as(l)) ++
+        seriesCols.map(col) :+ bucket
+      val outCols = labelOut.map(col) ++ seriesCols.map(col) :+ col("bucket_ms")
       fn match {
         case RangeF.Rate | RangeF.Increase =>
           // reset-aware delta across the series' full stream, then one
           // aggregation per (series, bucket); first sample contributes 0
-          val d = graft.functions.Rate.resetAwareDelta(
-            col(valueCol), labels.values.toSeq.map(col), ord)
+          val d = graft.functions.Rate.resetAwareDelta(col(valueCol), seriesPart, ord)
           val inc = rows.withColumn("__d__", d)
-            .groupBy(seriesCols.map(l => col(labels(l)).as(l)) :+ bucket: _*)
+            .groupBy(groupKeys: _*)
             .agg(sum("__d__").as("__inc__"))
           val v = if (fn == RangeF.Rate) col("__inc__") / (windowMs / 1000.0)
                   else col("__inc__")
-          inc.select(seriesCols.map(col) ++ Seq(col("bucket_ms"), v.as("value")): _*)
+          inc.select(outCols :+ v.as("value"): _*)
         case RangeF.Delta =>
           // gauge delta: last minus first within the bucket (ordered by the
           // series ordering; struct key makes the pick deterministic)
           val key = struct(ord: _*)
-          rows.groupBy(seriesCols.map(l => col(labels(l)).as(l)) :+ bucket: _*)
+          rows.groupBy(groupKeys: _*)
             .agg((max_by(col(valueCol), key) - min_by(col(valueCol), key)).as("value"))
-            .select(seriesCols.map(col) ++ Seq(col("bucket_ms"), col("value")): _*)
+            .select(outCols :+ col("value"): _*)
       }
 
     case NumLit(_) => throw new IllegalArgumentException(

@@ -288,14 +288,28 @@ class PromQLSpec extends AnyFunSuite {
     assert(rows.count() == 6)
   }
 
-  test("engine: unsupported shapes point at the context path") {
-    assertThrows[IllegalArgumentException](
-      engine.queryPromQL("""sum(reqs{dc=~"us|eu"})""", TimeRange(0, H)))
-    assertThrows[IllegalArgumentException](
-      engine.queryPromQL("avg(rate(reqs[1h]))", TimeRange(0, H)))
-    assertThrows[IllegalArgumentException](
-      engine.queryPromQL("sum by (a, b) (reqs)", TimeRange(0, H)))
-    assertThrows[IllegalArgumentException](
-      engine.queryPromQL("sum(rate(reqs[1h]))", TimeRange(0, H), stepMs = Some(1L)))
+  test("engine general path: regex matchers, multi-label by, non-sum rate aggs") {
+    // regex matcher over the joined label columns: us hosts h1,h2 only
+    val us = engine.queryPromQL("""sum(reqs{host=~"h[12]"})""", TimeRange(0, H))
+      .select("value").collect().map(_.getDouble(0))
+    // per host values 0,1,4,9,16,25 → 55; two hosts
+    assert(us.toSeq == Seq(110.0))
+    // multi-label grouping (not expressible via MetricQuery's single tag)
+    val byBoth = engine.queryPromQL("max by (host, dc) (reqs)", TimeRange(0, H))
+      .collect().map(r => ((r.getString(1), r.getString(0)), r.getDouble(2))).toMap
+    assert(byBoth == Map(("h1", "us") -> 25.0, ("h2", "us") -> 25.0,
+      ("h3", "eu") -> 25.0))
+    // avg of per-series rates (sum-only on the fast path; general here)
+    val avgRate = engine.queryPromQL("avg(rate(reqs[1h]))", TimeRange(0, H))
+      .select("value").collect().head.getDouble(0)
+    assert(math.abs(avgRate - 25.0 / 3600) < 1e-12)
+    // ranked selection straight against storage
+    val top = engine.queryPromQL("topk by (dc) (1, sum by (host, dc) (reqs))",
+      TimeRange(0, H)).collect()
+    assert(top.length == 2) // one winner per dc
+    // binary op over aggregated operands
+    val ratio = engine.queryPromQL("""sum(reqs{dc="eu"}) / sum(reqs)""",
+      TimeRange(0, H)).collect().head.getDouble(0)
+    assert(math.abs(ratio - 1.0 / 3) < 1e-12)
   }
 }
