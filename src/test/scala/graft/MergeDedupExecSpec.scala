@@ -90,6 +90,22 @@ class MergeDedupExecSpec extends AnyFunSuite {
       (2, Seq[Byte](9), Seq(99L), 5L)))
   }
 
+  test("null pks form their own run, matching the hash-agg merge") {
+    val schemaN = StructType(Seq(
+      StructField("pk", IntegerType), StructField("v", StringType),
+      StructField("__seq__", LongType)))
+    val rows = Seq(Row(null, "a", 1L), Row(null, "b", 2L), Row(1, "c", 3L),
+      Row(1, "d", 4L), Row(null, "e", 5L))
+    val in = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schemaN)
+    val want = MergeOps.dedupMerge(in, Seq("pk"), Seq("v"), UpdateMode.Overwrite)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    for (global <- Seq(true, false)) {
+      val got = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), UpdateMode.Overwrite, global)
+        .select("pk", "v").collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+      assert(got == want && got == Set((None, "e"), (Some(1), "d")), s"global=$global: $got")
+    }
+  }
+
   test("globalSort range boundaries never split a pk run (few pks, many versions)") {
     // 2 pks x 1000 versions: ranging over (pk, __seq__, ...) would place
     // partition boundaries inside the runs and emit duplicate "merged"
