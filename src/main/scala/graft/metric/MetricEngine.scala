@@ -179,7 +179,11 @@ final class MetricEngine(spark: SparkSession, root: String,
       val tagVals = index.scan(ScanRequest(predicates = Seq(
         col("metric_id") === mid, col("tag_key") === tag)))
         .select(col("tsid"), col("tag_value").as(tag))
-      rows = rows.join(broadcast(tagVals), Seq("tsid"))
+      // left join + "" default: series without the tag stay in the result
+      // as the empty-label group (Prometheus by() semantics; an inner join
+      // would silently drop them)
+      rows = rows.join(broadcast(tagVals), Seq("tsid"), "left")
+        .withColumn(tag, coalesce(col(tag), lit("")))
       col(tag)
     }
     val keys = (tagCol.toSeq ++ bucketCol.toSeq)
@@ -218,11 +222,32 @@ final class MetricEngine(spark: SparkSession, root: String,
   def queryPromQL(text: String, range: TimeRange,
       stepMs: Option[Long] = None): DataFrame = {
     import graft.promql._
+    // Fast-path eligible matcher sets: all `=`, no duplicates on one label
+    // (toMap would keep only the last — a contradictory selector must reach
+    // the general path's conjunctive filters), and no empty values (the
+    // index semi-join can't represent "label absent"; `=""` matches absence
+    // only on the general path's coalesced label columns).
     def eqFilters(sel: Selector): Option[Map[String, String]] = {
       val eqs = sel.matchers.collect { case LabelMatcher(l, MatchOp.Eq, v) => l -> v }
-      if (eqs.length == sel.matchers.length) Some(eqs.toMap) else None
+      if (eqs.length == sel.matchers.length && eqs.forall(_._2.nonEmpty) &&
+          eqs.map(_._1).distinct.length == eqs.length) Some(eqs.toMap)
+      else None
     }
     val ast = PromQLParser.parse(text)
+    // A requested step that disagrees with a range-function window would be
+    // silently ignored (windows own their buckets) — reject it up front on
+    // BOTH paths.
+    def windows(e: Expr): Seq[Long] = e match {
+      case RangeFn(_, _, w) => Seq(w)
+      case Agg(_, _, c) => windows(c)
+      case ParamAgg(_, _, _, c) => windows(c)
+      case BinOp(_, a, b) => windows(a) ++ windows(b)
+      case _ => Nil
+    }
+    for (st <- stepMs; w <- windows(ast) if w != st)
+      throw new IllegalArgumentException(
+        s"step ($st ms) must equal the range-function window ($w ms): " +
+          "windowed functions define their own buckets")
     ast match {
       case sel: Selector if eqFilters(sel).isDefined =>
         // unknown metric → empty frame with the SELECTOR's schema, so
@@ -246,7 +271,14 @@ final class MetricEngine(spark: SparkSession, root: String,
           Some(win), MetricAgg.Sum, by.headOption, rate = true))
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
         else inc
-      case other => promqlContextFor(other, range).eval(other, stepMs, Some(range))
+      case other =>
+        val out = promqlContextFor(other, range).eval(other, stepMs, Some(range))
+        other match {
+          // bare selector: same (tsid, ts_ms, value) contract as the fast
+          // path, whichever matcher spelling routed it here
+          case _: Selector => out.select("tsid", "ts_ms", "value")
+          case _ => out
+        }
     }
   }
 
@@ -270,16 +302,43 @@ final class MetricEngine(spark: SparkSession, root: String,
     }
     val (metrics, labelSet) = walk(expr)
     val labelCols = labelSet.toSeq.sorted
+    // Per-metric Eq-prefilter pruning: each selector's `=` matchers bound a
+    // superset of the series it can touch, so the union of those TSID sets
+    // over the metric's selectors is a sound semi-join prune of the data
+    // scan even when regex/negative matchers remain (they re-filter after
+    // the label join). A selector with no non-empty Eq matchers needs every
+    // series — skip the join for that metric.
+    def selectors(e: Expr): Seq[Selector] = e match {
+      case s: Selector => Seq(s)
+      case RangeFn(_, s, _) => Seq(s)
+      case Agg(_, _, c) => selectors(c)
+      case ParamAgg(_, _, _, c) => selectors(c)
+      case BinOp(_, a, b) => selectors(a) ++ selectors(b)
+      case NumLit(_) => Nil
+    }
+    val byMetric = selectors(expr).groupBy(_.metric)
     val frames = metrics.toSeq.sorted.flatMap { m =>
       metricIdOf(m).map { mid =>
         var rows = data.scan(ScanRequest(range = range,
             predicates = Seq(col("metric_id") === mid)))
           .select(lit(m).as("__name__"), col("tsid"), col("ts"), col("value"))
+        val eqSets = byMetric(m).map(_.matchers
+          .collect { case LabelMatcher(l, MatchOp.Eq, v) if v.nonEmpty => l -> v }.toMap)
+        if (eqSets.forall(_.nonEmpty)) {
+          val prunable = eqSets.map(eqs => lookupTsids(mid, eqs))
+            .reduce(_ union _).distinct()
+          rows = rows.join(broadcast(prunable), Seq("tsid"), "left_semi")
+        }
         labelCols.foreach { l =>
           val tagVals = index.scan(ScanRequest(predicates = Seq(
             col("metric_id") === mid, col("tag_key") === l)))
             .select(col("tsid"), col("tag_value").as(s"__lbl_$l"))
           rows = rows.join(broadcast(tagVals), Seq("tsid"), "left")
+        }
+        // absent label = empty string (Prometheus) — also keeps these
+        // columns usable as equi-join keys in binary-operator matching
+        labelCols.foreach { l =>
+          rows = rows.withColumn(s"__lbl_$l", coalesce(col(s"__lbl_$l"), lit("")))
         }
         rows
       }

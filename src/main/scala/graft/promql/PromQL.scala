@@ -233,6 +233,8 @@ object PromQLParser {
       case TIdent(name, _) if ParamOps.contains(name) && startsAgg => parseParamAgg()
       case TNum(d, _) => next(); NumLit(d)
       case TPunct("(", _) => next(); val e = parseExpr(); expect(")"); e
+      case TPunct(op, _) if Precedence.exists(_.contains(op)) =>
+        fail(s"unexpected operator '$op' (unary +/- is not supported; write 0 - x)")
       case _ => parseVector()
     }
 

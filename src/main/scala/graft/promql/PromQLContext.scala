@@ -114,15 +114,28 @@ final class PromQLContext(
         if (isCmp(op)) in.filter(applyOp(op, lit(a), col("value")))
         else in.withColumn("value", applyOp(op, lit(a), col("value")))
       // vector ∘ vector: match on the intersection of the sides' label /
-      // bucket columns (both singletons → cross join, e.g. sum(a) / sum(b));
-      // a skew-free equi-join on group keys at scale
+      // bucket columns — a skew-free equi-join on group keys at scale.
+      // Keys compare null-safely (an absent/null label value is still a
+      // matchable group). Two fully-aggregated scalars (value-only on both
+      // sides) combine directly; anything else without shared columns is a
+      // shape error, not a silent cartesian product.
       case (l, r) =>
         val lf = eval(l, stepMs, range)
         val rf = eval(r, stepMs, range)
         val keys = lf.columns.filterNot(_ == "value")
           .intersect(rf.columns.filterNot(_ == "value")).toSeq
-        val rr = rf.select((keys.map(col) :+ col("value").as("__rv__")): _*)
-        val joined = if (keys.isEmpty) lf.crossJoin(rr) else lf.join(rr, keys)
+        if (keys.isEmpty &&
+            (lf.columns.length > 1 || rf.columns.length > 1))
+          throw new IllegalArgumentException(
+            s"operands of '$op' share no matching columns " +
+              s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")}): " +
+              "aggregate both sides to the same grouping first")
+        val rr = rf.select(
+          (keys.map(k => col(k).as(s"__rk_$k")) :+ col("value").as("__rv__")): _*)
+        val joined =
+          if (keys.isEmpty) lf.crossJoin(rr) // 1×1 scalars
+          else lf.join(rr,
+            keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _))
         if (isCmp(op))
           joined.filter(applyOp(op, col("value"), col("__rv__")))
             .select(lf.columns.map(col): _*)
@@ -136,10 +149,7 @@ final class PromQLContext(
       by.find(l => !in.columns.contains(l)).foreach(l =>
         throw new IllegalArgumentException(
           s"unknown grouping label '$l' (available: ${in.columns.mkString(", ")})"))
-      val bucketed =
-        if (in.columns.contains("bucket_ms") || stepMs.isEmpty) in
-        else in.withColumn("bucket_ms",
-          (floor(col("ts_ms") / lit(stepMs.get)).cast("long") * stepMs.get))
+      val bucketed = withStepBucket(in, stepMs)
       val groupCols = by.sorted ++
         (if (bucketed.columns.contains("bucket_ms")) Seq("bucket_ms") else Nil)
       op match {
@@ -172,14 +182,11 @@ final class PromQLContext(
       by.find(l => !labels.contains(l)).foreach(l =>
         throw new IllegalArgumentException(
           s"unknown grouping label '$l' (known: ${labels.keys.toSeq.sorted.mkString(", ")})"))
-      val in = eval(child, stepMs, range)
       // a stepped agg over a raw selector buckets ts_ms; over a range fn the
       // child's window bucket stands (re-bucketing would mix window sums)
-      val bucketCol: Option[Column] =
-        if (in.columns.contains("bucket_ms")) Some(col("bucket_ms"))
-        else stepMs.map(st =>
-          (floor(col("ts_ms") / lit(st)).cast("long") * st).as("bucket_ms"))
-      val keys = by.sorted.map(col) ++ bucketCol.toSeq
+      val in = withStepBucket(eval(child, stepMs, range), stepMs)
+      val keys = by.sorted.map(col) ++
+        (if (in.columns.contains("bucket_ms")) Seq(col("bucket_ms")) else Nil)
       val agg = (op match {
         case MetricAgg.Sum => sum(col("value"))
         case MetricAgg.Min => min(col("value"))
@@ -189,6 +196,13 @@ final class PromQLContext(
       }).as("value")
       if (keys.isEmpty) in.agg(agg) else in.groupBy(keys: _*).agg(agg)
   }
+
+  /** Epoch-aligned step bucket over `ts_ms`, unless the frame already
+    * carries window buckets (range functions own their buckets). */
+  private def withStepBucket(in: DataFrame, stepMs: Option[Long]): DataFrame =
+    if (in.columns.contains("bucket_ms") || stepMs.isEmpty) in
+    else in.withColumn("bucket_ms",
+      floor(col("ts_ms") / lit(stepMs.get)).cast("long") * stepMs.get)
 
   private def isCmp(op: String): Boolean =
     op == "==" || op == "!=" || op == ">" || op == ">=" || op == "<" || op == "<="

@@ -288,6 +288,47 @@ class PromQLSpec extends AnyFunSuite {
     assert(rows.count() == 6)
   }
 
+  test("context: mismatched binary operands are a shape error, not a cartesian") {
+    val ctx = ctxOf(Seq(Row("cpu", "a", "us", 0L, 1.0)))
+    assertThrows[IllegalArgumentException](
+      ctx.sql("cpu > avg(cpu)", stepMs = Some(H)).collect())
+    assertThrows[PromQLParseException](ctx.sql("cpu * -1"))
+  }
+
+  test("engine: partially-labeled series — empty-string groups, ='' routing") {
+    val eng = new MetricEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-promql2").toString)
+    import spark.implicits._
+    eng.write(Seq(
+      Sample("jobs", Map("host" -> "h1", "dc" -> "us"), 0L, 10.0),
+      Sample("jobs", Map("host" -> "h2"), 0L, 3.0), // no dc label
+      Sample("jobs", Map("host" -> "h2"), 60000L, 4.0)).toDF())
+    // fast path by(dc): the dc-less series lands in the "" group, not dropped
+    val byDc = eng.query(MetricQuery("jobs", Map.empty, TimeRange(0, H),
+      None, MetricAgg.Sum, Some("dc"))).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byDc == Map("us" -> 10.0, "" -> 7.0))
+    // {dc=""} must route to the general path and select ONLY label-less
+    // series (the index semi-join can't represent absence)
+    val absent = eng.queryPromQL("""jobs{dc=""}""", TimeRange(0, H))
+    assert(absent.columns.toSeq == Seq("tsid", "ts_ms", "value"))
+    assert(absent.select("value").collect().map(_.getDouble(0)).toSet == Set(3.0, 4.0))
+    // contradictory duplicate matchers conjunct (not last-one-wins)
+    assert(eng.queryPromQL("""jobs{host="h1", host="h2"}""", TimeRange(0, H))
+      .count() == 0)
+    // binary op: the "" dc group matches across operands (null-safe keys)
+    val share = eng.queryPromQL("sum by (dc) (jobs) / sum by (dc) (jobs)",
+      TimeRange(0, H)).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(share == Map("us" -> 1.0, "" -> 1.0))
+  }
+
+  test("engine: step disagreeing with a range window is rejected on every path") {
+    assertThrows[IllegalArgumentException](
+      engine.queryPromQL("sum(rate(reqs[1h]))", TimeRange(0, H), stepMs = Some(1L)))
+    assertThrows[IllegalArgumentException](
+      engine.queryPromQL("avg(rate(reqs[1h]))", TimeRange(0, H), stepMs = Some(1L)))
+  }
+
   test("engine general path: regex matchers, multi-label by, non-sum rate aggs") {
     // regex matcher over the joined label columns: us hosts h1,h2 only
     val us = engine.queryPromQL("""sum(reqs{host=~"h[12]"})""", TimeRange(0, H))
