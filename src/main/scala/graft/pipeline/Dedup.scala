@@ -155,16 +155,36 @@ object Dedup {
       .agg(min(col("dst")).as("__mn__"))
       .select(col("id"), least(col("id"), col("__mn__")).as("cluster_id"))
       .localCheckpoint()
-    // Labels only ever decrease (least of self and neighbors), so
-    // Σ cluster_id is strictly monotone while anything changes: the
-    // convergence test is one cheap aggregate over the just-checkpointed
+    // Labels only ever decrease (least of self and neighbors), so for
+    // INTEGRAL ids Σ cluster_id is strictly monotone while anything changes:
+    // the convergence test is one cheap aggregate over the just-checkpointed
     // frame instead of a join-and-count against the previous round.
     // Decimal sum — a long Σ over petabyte-scale 64-bit ids can overflow.
     // coalesce: sum over an EMPTY frame is null (no pairs → converge at 0).
+    // The sum test is only sound when the cast to decimal(38,0) is exact:
+    // string/UUID ids would throw under ANSI (or null out and fake instant
+    // convergence with ANSI off), and fractional doubles can round to an
+    // unchanged sum while labels still changed — those fall back to a
+    // pointwise changed-label count, run every checkpointEvery rounds.
+    // That amortized cadence is sound because labels are pointwise
+    // non-increasing: labels_i == labels_{i+k} implies every intermediate
+    // round was equal too, so "no change across k rounds" == converged.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, DecimalType}
+    val idIsIntegral = labels.schema("id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0 => true
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    def changedCount(cur: DataFrame, prev: DataFrame): Long =
+      cur.select(col("id"), col("cluster_id").as("__cur__"))
+        .join(prev.select(col("id"), col("cluster_id").as("__prev__")), "id")
+        .filter(col("__cur__") =!= col("__prev__")).count()
+    var prevSum = if (idIsIntegral) labelSum(labels) else null
+    // Non-integral path: the frame the next changed-count compares against.
+    var lastChecked = labels
     // The node set is fixed across iterations, so pick the join strategy
     // once: a label table under ~4M rows (~64 MB) broadcasts to every
     // executor and the per-round join loses both its exchanges; bigger
@@ -186,11 +206,19 @@ object Dedup {
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
       val checkpointRound = (iter + 1) % checkpointEvery == 0
       val next = if (checkpointRound) step.localCheckpoint() else step.cache()
-      // labelSum is the round's one action: it materializes the cache (or
-      // reads the fresh checkpoint) and decides convergence in the same job.
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      if (idIsIntegral) {
+        // labelSum is the round's one action: it materializes the cache (or
+        // reads the fresh checkpoint) and decides convergence in the same job.
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else if (checkpointRound || iter + 1 == maxIter) {
+        // Amortized pointwise check; between checks no action runs, so the
+        // intermediate rounds fuse into this one job (lineage stays bounded
+        // by the checkpoint cadence).
+        converged = changedCount(next, lastChecked) == 0L
+        lastChecked = next
+      }
       // Only cache()-round frames are safe to free eagerly: their blocks
       // recompute through lineage rooted at the last checkpoint. A
       // checkpointed frame's blocks ARE later rounds' lineage root —

@@ -3,12 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, GenericInternalRow, NullsFirst, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, KnownFloatingPointNormalized, NullsFirst, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.storage.UpdateMode
@@ -90,9 +91,26 @@ final case class MergeDedupExec(
   private def valueAttrs: Seq[Attribute] =
     child.output.filterNot(a => pkNames.contains(a.name) || a.name == seqName)
 
-  /** (pks, seq, values) ascending nulls-first — run grouping + in-run order. */
+  /** Float/double pks normalize -0.0 → 0.0 and non-canonical NaN bit
+    * patterns (legal in parquet data) to the canonical NaN BEFORE grouping:
+    * run boundaries are detected by UnsafeRow byte equality, and the range/
+    * hash partitioning must agree with that equality, or a float pk of -0.0
+    * vs 0.0 would split one logical group across runs (or partitions) and
+    * emit duplicate "merged" rows. The hash-agg fallback gets the identical
+    * treatment from Catalyst's NormalizeFloatingNumbers rule, so the two
+    * paths keep agreeing on float pks. */
+  private def normalized(a: Attribute): Expression = a.dataType match {
+    case FloatType | DoubleType => KnownFloatingPointNormalized(NormalizeNaNAndZero(a))
+    case _ => a
+  }
+
+  private def normalizedPks: Seq[Expression] = pkAttrs.map(normalized)
+
+  /** (pks, seq, values) ascending nulls-first — run grouping + in-run order.
+    * Pks enter normalized so the sort co-locates -0.0/0.0/NaN-variant keys
+    * exactly as the run-splitting byte compare will group them. */
   private def fullOrdering: Seq[SortOrder] =
-    (pkAttrs ++ (seqAttr +: valueAttrs)).map(a => SortOrder(a, Ascending, NullsFirst, Seq.empty))
+    (normalizedPks ++ (seqAttr +: valueAttrs)).map(e => SortOrder(e, Ascending, NullsFirst, Seq.empty))
 
   /** The DISTRIBUTION must range-partition on the pk prefix ONLY: ranging
     * over (pks, __seq__, ...) would let a partition boundary fall between
@@ -102,7 +120,7 @@ final case class MergeDedupExec(
     * [[requiredChildOrdering]]. */
   override def requiredChildDistribution: Seq[Distribution] =
     if (globalSort) OrderedDistribution(fullOrdering.take(pkNames.length)) :: Nil
-    else ClusteredDistribution(pkAttrs) :: Nil
+    else ClusteredDistribution(normalizedPks) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(fullOrdering)
 
@@ -127,8 +145,13 @@ final case class MergeDedupExec(
       case (a, i) if !pkNames.contains(a.name) && a.name != seqName &&
         (a.dataType.isInstanceOf[ArrayType] || a.dataType == BinaryType || a.dataType == StringType) => i
     }.toArray
+    val keyExprs = pkAttrs.map {
+      case a if a.dataType == FloatType || a.dataType == DoubleType =>
+        KnownFloatingPointNormalized(NormalizeNaNAndZero(a))
+      case a => a
+    }
     child.execute().mapPartitions ({ iter =>
-      val keyProj = UnsafeProjection.create(pkAttrs, out)
+      val keyProj = UnsafeProjection.create(keyExprs, out)
       val toUnsafe = UnsafeProjection.create(out, out)
       new Iterator[InternalRow] {
         private var prevKey: InternalRow = _

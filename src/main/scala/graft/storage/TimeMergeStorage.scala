@@ -252,24 +252,35 @@ object MergeOps {
           .agg(max_by(packed, ordering).as("__m__"))
           .select(pks.map(col) ++ (valueCols :+ SeqCol).map(c => col(s"__m__.$c").as(c)): _*)
       case UpdateMode.Append =>
-        val aggs = valueCols.map { c =>
+        // ONE sorted run per group, ordered by (seq, v1..vK) — the same full
+        // ordering MergeDedupExec sorts runs by, so the two paths agree even
+        // on same-seq duplicate pks (single-write-batch edge case): every
+        // concat column concatenates in the one shared row order, and
+        // first-row columns take the first row of that order. Null chunks
+        // are dropped before concatenation (the reference's Arrow
+        // BytesMergeOperator skips null buffers, operator.rs:69-89); a group
+        // whose chunks are ALL null merges to null, not an empty value.
+        val packed = struct((SeqCol +: valueCols).map(col): _*)
+        val merged = df.groupBy(pks.map(col): _*)
+          .agg(array_sort(collect_list(packed)).as("__run__"))
+        val first = col("__run__").getItem(0)
+        val outCols = pks.map(col) ++ (valueCols.map { c =>
+          def chunks = filter(transform(col("__run__"), x => x(c)), _.isNotNull)
           df.schema(c).dataType match {
             case BinaryType =>
-              // byte-exact concat in seq order: fold the seq-sorted chunk list
-              aggregate(
-                transform(array_sort(collect_list(struct(col(SeqCol), col(c)))), x => x(c)),
-                lit(Array.emptyByteArray),
-                (acc, x) => concat(acc, x)).as(c)
+              when(size(chunks) === 0, lit(null).cast(BinaryType)).otherwise(
+                aggregate(chunks, lit(Array.emptyByteArray),
+                  (acc, x) => concat(acc, x))).as(c)
             case StringType =>
-              concat_ws("", transform(array_sort(collect_list(struct(col(SeqCol), col(c)))),
-                x => x(c))).as(c)
-            case ArrayType(_, _) =>
-              flatten(transform(array_sort(collect_list(struct(col(SeqCol), col(c)))),
-                x => x(c))).as(c)
-            case _ => min_by(col(c), col(SeqCol)).as(c) // first row wins (operator.rs:95-101)
+              when(size(chunks) === 0, lit(null).cast(StringType)).otherwise(
+                concat_ws("", chunks)).as(c)
+            case at: ArrayType =>
+              when(size(chunks) === 0, lit(null).cast(at)).otherwise(
+                flatten(chunks)).as(c)
+            case _ => first(c).as(c) // first row wins (operator.rs:95-101)
           }
-        } :+ min(col(SeqCol)).as(SeqCol)
-        df.groupBy(pks.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        } :+ first(SeqCol).as(SeqCol))
+        merged.select(outCols: _*)
     }
   }
 }

@@ -87,7 +87,12 @@ object StreamAggregates {
           rows = rows.filter(
             PromQLContext.matcherPredicate(element_at(col("labels"), m.label), m))
         }
-        val byCols = by.sorted.map(l => element_at(col("labels"), l).as(l))
+        // absent label -> "" (Prometheus semantics), matching the batch
+        // evaluators (PromQLContext/MetricEngine): raw element_at is null for
+        // a series missing the grouped label, which would split a null group
+        // off from the "" group and break streaming-vs-replay agreement.
+        val byCols = by.sorted.map(l =>
+          coalesce(element_at(col("labels"), l), lit("")).as(l))
         val agg = (op match {
           case MetricAgg.Sum => sum(col("value"))
           case MetricAgg.Min => min(col("value"))

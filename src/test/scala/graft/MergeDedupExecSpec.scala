@@ -90,6 +90,86 @@ class MergeDedupExecSpec extends AnyFunSuite {
       (2, Seq[Byte](9), Seq(99L), 5L)))
   }
 
+  test("native Append == dedupMerge Append with null chunks dropped (all-null -> null)") {
+    val schema3 = StructType(Seq(
+      StructField("pk", IntegerType), StructField("b", BinaryType),
+      StructField("arr", ArrayType(LongType)), StructField("s", StringType),
+      StructField("__seq__", LongType)))
+    val rows = Seq(
+      Row(1, Array[Byte](3), Seq(30L), "x", 2L),
+      Row(1, null, null, null, 1L),          // null chunks between real ones
+      Row(1, Array[Byte](7), null, "y", 3L),
+      Row(2, null, null, null, 5L),          // ALL chunks null -> null value
+      Row(2, null, null, null, 6L),
+      Row(3, Array[Byte](1, 2), Seq(9L), "z", 8L))
+    val in = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema3)
+    def canon3(r: Row) = (r.getInt(0),
+      Option(r.get(1)).map(_.asInstanceOf[Array[Byte]].toSeq).orNull,
+      Option(r.get(2)).map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq).orNull,
+      r.getString(3), r.getLong(4))
+    val want = MergeOps.dedupMerge(in, Seq("pk"), Seq("b", "arr", "s"), UpdateMode.Append)
+      .select("pk", "b", "arr", "s", "__seq__").collect().map(canon3).toSet
+    for (global <- Seq(true, false)) {
+      val got = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), UpdateMode.Append, global)
+        .select("pk", "b", "arr", "s", "__seq__").collect().map(canon3).toSet
+      assert(got == want, s"global=$global: got=$got want=$want")
+    }
+    assert(want == Set(
+      (1, Seq[Byte](3, 7), Seq(30L), "xy", 1L),
+      (2, null, null, null, 5L),
+      (3, Seq[Byte](1, 2), Seq(9L), "z", 8L)), want)
+  }
+
+  test("same-seq duplicate pks: both paths concat multiple columns in one shared order") {
+    // Two concat columns, duplicates at the SAME __seq__ (single-write-batch
+    // edge case): both paths must order the run by (seq, v1, v2) so every
+    // column concatenates in the one shared row order.
+    val schema2 = StructType(Seq(
+      StructField("pk", IntegerType), StructField("v1", StringType),
+      StructField("v2", StringType), StructField("__seq__", LongType)))
+    val rows = Seq(
+      Row(1, "b", "x", 1L), Row(1, "a", "y", 1L), Row(1, "c", "w", 0L),
+      Row(2, "q", "q", 4L), Row(2, "p", "r", 4L))
+    val in = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema2)
+    def canon2(r: Row) = (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))
+    val want = MergeOps.dedupMerge(in, Seq("pk"), Seq("v1", "v2"), UpdateMode.Append)
+      .select("pk", "v1", "v2", "__seq__").collect().map(canon2).toSet
+    for (global <- Seq(true, false)) {
+      val got = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), UpdateMode.Append, global)
+        .select("pk", "v1", "v2", "__seq__").collect().map(canon2).toSet
+      assert(got == want, s"global=$global: got=$got want=$want")
+    }
+    // order within pk=1: (0,c,w) < (1,a,y) < (1,b,x)  ->  v1=cab, v2=wyx
+    assert(want == Set((1, "cab", "wyx", 0L), (2, "pq", "rq", 4L)), want)
+  }
+
+  test("float pks: -0.0/0.0 and NaN bit patterns form ONE group on both paths") {
+    val schemaF = StructType(Seq(
+      StructField("pk", DoubleType), StructField("v", StringType),
+      StructField("__seq__", LongType)))
+    val nanCanon = java.lang.Double.longBitsToDouble(0x7ff8000000000000L)
+    val nanOther = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val rows = Seq(
+      Row(0.0, "a", 1L), Row(-0.0, "b", 2L),
+      Row(nanCanon, "x", 3L), Row(nanOther, "y", 4L),
+      Row(1.5, "z", 5L))
+    val in = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schemaF)
+    // pk representation may be the RAW winning row (-0.0, native path) or
+    // the normalized group key (0.0, hash-agg path) — both mean one group.
+    def canonF(r: Row) = {
+      val d = r.getDouble(0)
+      (if (d.isNaN) "NaN" else if (d == 0.0) "0.0" else d.toString, r.getString(1))
+    }
+    val want = MergeOps.dedupMerge(in, Seq("pk"), Seq("v"), UpdateMode.Overwrite)
+      .select("pk", "v").collect().map(canonF).toSet
+    assert(want == Set(("0.0", "b"), ("NaN", "y"), ("1.5", "z")), want)
+    for (global <- Seq(true, false)) {
+      val got = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), UpdateMode.Overwrite, global)
+        .select("pk", "v").collect().map(canonF).toSet
+      assert(got == want, s"global=$global: got=$got want=$want")
+    }
+  }
+
   test("null pks form their own run, matching the hash-agg merge") {
     val schemaN = StructType(Seq(
       StructField("pk", IntegerType), StructField("v", StringType),

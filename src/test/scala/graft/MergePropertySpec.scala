@@ -46,6 +46,30 @@ class MergePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Append merge drops null chunks; all-null group merges to null") {
+    val rowsGenN: Gen[List[(Int, Option[String], Long)]] = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        pk <- Gen.choose(0, 5)
+        v <- Gen.option(Gen.alphaStr.map(_.take(3)))
+      } yield (pk, v))
+    } yield rows.zipWithIndex.map { case ((pk, v), i) => (pk, v, i.toLong) }
+    for (i <- 0L until 8L) {
+      val rows = rowsGenN.apply(Gen.Parameters.default, Seed(i * 101 + 7)).get
+      val shuffled = new scala.util.Random(i).shuffle(rows)
+      val in = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          shuffled.map(r => Row(r._1, r._2.orNull, r._3)), 3), schema)
+      val got = MergeOps.dedupMerge(in, Seq("pk"), Seq("v"), UpdateMode.Append)
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+      val want = rows.groupBy(_._1).map { case (pk, g) =>
+        val parts = g.sortBy(_._3).flatMap(_._2)
+        pk -> (if (parts.isEmpty) None else Some(parts.mkString))
+      }
+      assert(got == want, s"case $i: $rows")
+    }
+  }
+
   test("Append merge == seq-ordered concat per key, independent of arrival order") {
     for (i <- 0L until 8L) {
       val rows = sample(i)

@@ -142,6 +142,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(chainGot.values.toSet == Set(1L) && chainGot.size == 10)
   }
 
+  test("duplicate clustering with STRING ids (non-integral convergence path)") {
+    // string ids can't take the decimal-sum convergence shortcut — this
+    // exercises the amortized changed-count path, including a chain long
+    // enough that one 4-round block is not enough to converge
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"),
+      ("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d4", "d5"), ("d5", "d6"),
+      ("d6", "d7"), ("d7", "d8"), ("d8", "d9")).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "a" && got("b") == "a" && got("c") == "a")
+    assert(got("x") == "x" && got("y") == "x")
+    assert((1 to 9).forall(i => got(s"d$i") == "d1"), got)
+    assert(got.size == 14)
+  }
+
+  test("duplicate clustering with fractional double ids") {
+    // 0.25/0.5 etc are exact binary fractions; sum-based convergence is
+    // unsound for doubles, so these also route to the changed-count path
+    val pairs = Seq((0.5, 0.25), (0.25, 1.5), (7.5, 8.5)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0.25 -> 0.25, 0.5 -> 0.25, 1.5 -> 0.25, 7.5 -> 7.5, 8.5 -> 7.5))
+  }
+
   test("duplicate clustering of an empty pair set returns an empty frame") {
     val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() == 0)

@@ -85,6 +85,30 @@ class StreamingSpec extends AnyFunSuite {
       ("h1", t0 - t0 % step, 3.0)))
   }
 
+  test("streaming PromQL groups absent by-labels as \"\" like the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    val step = 60000L
+    val q = StreamAggregates.promqlStream(stream.toDS(),
+      "sum by (mode) (cpu_seconds_total)", stepMs = step, watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("pql_nolabel").start()
+    try {
+      stream.addData(
+        Sample("cpu_seconds_total", Map("host" -> "h0", "mode" -> "user"), t0, 2.0),
+        Sample("cpu_seconds_total", Map("host" -> "h1"), t0 + 1000, 3.0), // no mode label
+        Sample("cpu_seconds_total", Map("host" -> "h2"), t0 + 2000, 4.0)) // no mode label
+      q.processAllAvailable()
+      stream.addData(Sample("cpu_seconds_total",
+        Map("host" -> "h0", "mode" -> "user"), t0 + 3600 * 1000L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT mode, value FROM pql_nolabel").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    // label-less series aggregate under "" (Prometheus semantics), not null
+    assert(rows == Set(("user", 2.0), ("", 7.0)), rows)
+  }
+
   test("streaming PromQL rejects range-function shapes toward the batch path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
