@@ -226,6 +226,38 @@ object SparkEntry {
           stepMs = Some(86400000L))
         .withColumn("value", round(col("value"), 6))),
 
+    // PromQL offset modifier: data shifted 1 day forward onto the query
+    // timeline, then bucketed/aggregated there.
+    "p7_promql_offset" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""sum by (uid) (purchase{uid=~"[1-5]"} offset 1d)""",
+          stepMs = Some(86400000L))
+        .withColumn("value", round(col("value"), 2))),
+
+    // PromQL *_over_time range function: newest sample per series per
+    // 1-day window, ordered by the context's (ts, event_id) tiebreak.
+    "p8_promql_lastot" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""last_over_time(purchase{uid=~"[1-4][0-9]"}[1d])""")),
+
+    // PromQL bool modifier: comparison as a 0/1 indicator, not a filter.
+    "p9_promql_bool" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("sum by (uid) (purchase) > bool 250.7")),
+
+    // PromQL explicit vector matching: on(uid) group_left total ratio.
+    "p10_promql_groupleft" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("sum by (uid) (purchase) / on(uid) group_left sum by (uid) (view)")
+        .withColumn("value", round(col("value"), 6))),
+
+    // PromQL without-grouping + clamp scalar function: daily totals with
+    // the uid label dropped (complement grouping), clamped to [50, 500].
+    "p11_promql_without_clamp" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("clamp(sum without (uid) (purchase), 50, 500)",
+          stepMs = Some(86400000L))
+        .withColumn("value", round(col("value"), 2))),
+
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
     "j1_label_semijoin" -> ((s, dir) => {
       val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -720,6 +752,54 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT p.uid, p.bucket_ms, round(p.v / w.v, 6) AS value
         |FROM p JOIN w USING (uid, bucket_ms)""".stripMargin,
+
+    "p7_promql_offset" ->
+      """SELECT user_id AS uid,
+        |  CAST(floor((epoch_ms(ts::TIMESTAMP) + 86400000) / 86400000) AS BIGINT)
+        |    * 86400000 AS bucket_ms,
+        |  round(sum(value), 2) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[1-5]')
+        |GROUP BY uid, bucket_ms""".stripMargin,
+
+    "p8_promql_lastot" ->
+      """WITH r AS (
+        |  SELECT user_id AS uid, value,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |      AS bucket_ms,
+        |    row_number() OVER (
+        |      PARTITION BY user_id,
+        |        CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-4][0-9]'))
+        |SELECT uid, bucket_ms, value FROM r WHERE rk = 1""".stripMargin,
+
+    "p9_promql_bool" ->
+      """SELECT user_id AS uid,
+        |  CASE WHEN sum(value) > 250.7 THEN 1.0 ELSE 0.0 END AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY uid""".stripMargin,
+
+    "p10_promql_groupleft" ->
+      """WITH p AS (
+        |  SELECT user_id AS uid, sum(value) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (
+        |  SELECT user_id AS uid, sum(value) AS v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT p.uid, round(p.v / w.v, 6) AS value
+        |FROM p JOIN w USING (uid)""".stripMargin,
+
+    "p11_promql_without_clamp" ->
+      """SELECT
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  round(least(greatest(sum(value), 50), 500), 2) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY bucket_ms""".stripMargin,
 
     "rate1_counter" ->
       """WITH d AS (

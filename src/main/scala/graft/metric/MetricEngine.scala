@@ -239,9 +239,11 @@ final class MetricEngine(spark: SparkSession, root: String,
     // BOTH paths.
     def windows(e: Expr): Seq[Long] = e match {
       case RangeFn(_, _, w) => Seq(w)
-      case Agg(_, _, c) => windows(c)
+      case Agg(_, _, c, _) => windows(c)
       case ParamAgg(_, _, _, c) => windows(c)
-      case BinOp(_, a, b) => windows(a) ++ windows(b)
+      case BinOp(_, a, b, _, _) => windows(a) ++ windows(b)
+      case FnCall(_, c, _) => windows(c)
+      case HistogramQuantile(_, c) => windows(c)
       case _ => Nil
     }
     for (st <- stepMs; w <- windows(ast) if w != st)
@@ -249,7 +251,7 @@ final class MetricEngine(spark: SparkSession, root: String,
         s"step ($st ms) must equal the range-function window ($w ms): " +
           "windowed functions define their own buckets")
     ast match {
-      case sel: Selector if eqFilters(sel).isDefined =>
+      case sel: Selector if eqFilters(sel).isDefined && sel.offsetMs == 0L =>
         // unknown metric → empty frame with the SELECTOR's schema, so
         // unions/projections behave the same as for a known metric
         val mid = metricIdOf(sel.metric).getOrElse(
@@ -262,11 +264,14 @@ final class MetricEngine(spark: SparkSession, root: String,
             predicates = Seq(col("metric_id") === mid)))
           .join(broadcast(lookupTsids(mid, eqFilters(sel).get)), Seq("tsid"), "left_semi")
           .select(col("tsid"), col("ts").as("ts_ms"), col("value"))
-      case Agg(op, by, sel: Selector) if by.length <= 1 && eqFilters(sel).isDefined =>
+      case Agg(op, by, sel: Selector, false)
+          if by.length <= 1 && eqFilters(sel).isDefined && sel.offsetMs == 0L =>
         query(MetricQuery(sel.metric, eqFilters(sel).get, range, stepMs, op,
           by.headOption))
-      case Agg(MetricAgg.Sum, by, RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win))
-          if by.length <= 1 && eqFilters(sel).isDefined && stepMs.forall(_ == win) =>
+      case Agg(MetricAgg.Sum, by,
+            RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win), false)
+          if by.length <= 1 && eqFilters(sel).isDefined && sel.offsetMs == 0L &&
+            stepMs.forall(_ == win) =>
         val inc = query(MetricQuery(sel.metric, eqFilters(sel).get, range,
           Some(win), MetricAgg.Sum, by.headOption, rate = true))
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
@@ -292,16 +297,39 @@ final class MetricEngine(spark: SparkSession, root: String,
       range: TimeRange): graft.promql.PromQLContext = {
     import graft.promql._
     def walk(e: Expr): (Set[String], Set[String]) = e match {
-      case Selector(m, ms) => (Set(m), ms.map(_.label).toSet)
+      case Selector(m, ms, _) => (Set(m), ms.map(_.label).toSet)
       case RangeFn(_, sel, _) => walk(sel)
-      case Agg(_, by, c) => val (m, l) = walk(c); (m, l ++ by)
+      case Agg(_, by, c, _) => val (m, l) = walk(c); (m, l ++ by)
       case ParamAgg(_, _, by, c) => val (m, l) = walk(c); (m, l ++ by)
-      case BinOp(_, a, b) =>
-        val (m1, l1) = walk(a); val (m2, l2) = walk(b); (m1 ++ m2, l1 ++ l2)
+      case BinOp(_, a, b, _, matching) =>
+        val (m1, l1) = walk(a); val (m2, l2) = walk(b)
+        (m1 ++ m2, l1 ++ l2 ++
+          matching.map(vm => (vm.labels ++ vm.include).toSet).getOrElse(Set.empty))
+      case FnCall(_, c, _) => walk(c)
+      case HistogramQuantile(_, c) => val (m, l) = walk(c); (m, l + "le")
       case NumLit(_) => (Set.empty, Set.empty)
     }
+    // `agg without (...)` groups by every label EXCEPT the listed ones — the
+    // full label-key set of the referenced metrics must be joined on, not
+    // just the explicitly referenced labels.
+    def hasWithout(e: Expr): Boolean = e match {
+      case Agg(_, _, c, w) => w || hasWithout(c)
+      case ParamAgg(_, _, _, c) => hasWithout(c)
+      case BinOp(_, a, b, _, _) => hasWithout(a) || hasWithout(b)
+      case FnCall(_, c, _) => hasWithout(c)
+      case HistogramQuantile(_, c) => hasWithout(c)
+      case _ => false
+    }
     val (metrics, labelSet) = walk(expr)
-    val labelCols = labelSet.toSeq.sorted
+    val allKeys: Set[String] =
+      if (!hasWithout(expr)) Set.empty
+      else metrics.flatMap(m => metricIdOf(m).toSeq.flatMap { mid =>
+        tags.scan(ScanRequest(
+            predicates = Seq(col("metric_id") === mid),
+            projection = Some(Seq("tag_key"))))
+          .distinct().collect().map(_.getString(0)).toSeq
+      })
+    val labelCols = (labelSet ++ allKeys).toSeq.sorted
     // Per-metric Eq-prefilter pruning: each selector's `=` matchers bound a
     // superset of the series it can touch, so the union of those TSID sets
     // over the metric's selectors is a sound semi-join prune of the data
@@ -311,15 +339,24 @@ final class MetricEngine(spark: SparkSession, root: String,
     def selectors(e: Expr): Seq[Selector] = e match {
       case s: Selector => Seq(s)
       case RangeFn(_, s, _) => Seq(s)
-      case Agg(_, _, c) => selectors(c)
+      case Agg(_, _, c, _) => selectors(c)
       case ParamAgg(_, _, _, c) => selectors(c)
-      case BinOp(_, a, b) => selectors(a) ++ selectors(b)
+      case BinOp(_, a, b, _, _) => selectors(a) ++ selectors(b)
+      case FnCall(_, c, _) => selectors(c)
+      case HistogramQuantile(_, c) => selectors(c)
       case NumLit(_) => Nil
     }
     val byMetric = selectors(expr).groupBy(_.metric)
     val frames = metrics.toSeq.sorted.flatMap { m =>
       metricIdOf(m).map { mid =>
-        var rows = data.scan(ScanRequest(range = range,
+        // offset selectors read data BEFORE the query range — widen the
+        // manifest prune by the largest offset on this metric (the
+        // evaluator's own shifted range filter re-tightens per selector)
+        val maxOff = byMetric(m).map(_.offsetMs).max
+        val scanRange =
+          if (maxOff == 0L || range.start == Long.MinValue) range
+          else TimeRange(range.start - maxOff, range.end)
+        var rows = data.scan(ScanRequest(range = scanRange,
             predicates = Seq(col("metric_id") === mid)))
           .select(lit(m).as("__name__"), col("tsid"), col("ts"), col("value"))
         val eqSets = byMetric(m).map(_.matchers

@@ -12,12 +12,20 @@ import graft.metric.MetricAgg
   *
   * Supported grammar (a deliberate superset of the RFC's sum+rate):
   * {{{
-  *   expr     := agg | vector
+  *   expr     := binary over: agg | paramagg | fncall | histq | vector | num
+  *   binary   := expr op ('bool')? (matching)? expr     (Prometheus precedence)
+  *   matching := ('on'|'ignoring') '(' labels? ')'
+  *               (('group_left'|'group_right') ('(' labels? ')')?)?
   *   agg      := aggop grouping? '(' expr ')' grouping?
   *   aggop    := sum | min | max | avg | count
-  *   grouping := 'by' '(' label (',' label)* ')'
-  *   vector   := rangefn '(' selector '[' duration ']' ')' | selector
-  *   rangefn  := rate | increase | delta
+  *   grouping := ('by'|'without') '(' label (',' label)* ')'
+  *   paramagg := (topk|bottomk|quantile) grouping? '(' num ',' expr ')' grouping?
+  *   fncall   := scalarfn '(' expr (',' num)* ')'
+  *   scalarfn := abs|ceil|floor|sqrt|exp|ln|log2|log10|round|clamp|clamp_min|clamp_max
+  *   histq    := 'histogram_quantile' '(' num ',' expr ')'
+  *   vector   := rangefn '(' selector '[' duration ']' offset? ')' | selector offset?
+  *   rangefn  := rate | increase | delta | (avg|min|max|sum|count|last)_over_time
+  *   offset   := 'offset' duration
   *   selector := metric ('{' matcher (',' matcher)* '}')? | '{' ... '}'
   *   matcher  := label ('=' | '!=' | '=~' | '!~') string
   *   duration := (int ('ms'|'s'|'m'|'h'|'d'|'w'))+      e.g. 1h30m
@@ -37,8 +45,11 @@ object MatchOp {
 
 final case class LabelMatcher(label: String, op: MatchOp, value: String)
 
-/** `metric{label=~"v", ...}` — instant-vector selection. */
-final case class Selector(metric: String, matchers: Seq[LabelMatcher]) extends Expr
+/** `metric{label=~"v", ...} offset 5m` — instant-vector selection.
+  * `offsetMs` shifts the evaluation window back in time: the value at query
+  * time t is the underlying value at t - offset, re-stamped to t. */
+final case class Selector(metric: String, matchers: Seq[LabelMatcher],
+    offsetMs: Long = 0L) extends Expr
 
 /** Range-vector functions over a window. */
 sealed trait RangeF
@@ -49,12 +60,23 @@ object RangeF {
   case object Increase extends RangeF
   /** Last-minus-first gauge delta over the window. */
   case object Delta extends RangeF
+  /** `avg_over_time` etc. — plain aggregates over the window's samples. */
+  case object AvgOverTime extends RangeF
+  case object MinOverTime extends RangeF
+  case object MaxOverTime extends RangeF
+  case object SumOverTime extends RangeF
+  case object CountOverTime extends RangeF
+  /** Newest sample in the window (by the context's series ordering). */
+  case object LastOverTime extends RangeF
 }
 
 final case class RangeFn(fn: RangeF, sel: Selector, windowMs: Long) extends Expr
 
-/** `sum by (dc) (...)`. Empty `by` aggregates everything to one series. */
-final case class Agg(op: MetricAgg, by: Seq[String], child: Expr) extends Expr
+/** `sum by (dc) (...)`. Empty `by` aggregates everything to one series;
+  * `without = true` inverts the listed labels (group by every label EXCEPT
+  * these, Prometheus `sum without (instance) (...)`). */
+final case class Agg(op: MetricAgg, by: Seq[String], child: Expr,
+    without: Boolean = false) extends Expr
 
 /** Parameterized aggregations: `topk(3, ...)`, `bottomk(3, ...)`,
   * `quantile(0.9, ...)`. `by` scopes the ranking / quantile group. */
@@ -71,11 +93,36 @@ final case class ParamAgg(op: ParamOp, param: Double, by: Seq[String],
 /** Scalar literal in a binary expression (`cpu * 100`, `2 * cpu`). */
 final case class NumLit(value: Double) extends Expr
 
+/** Many-to-one side of a vector match (`group_left` / `group_right`). */
+sealed trait GroupSide
+object GroupSide {
+  case object Left extends GroupSide
+  case object Right extends GroupSide
+}
+
+/** `on(l1, l2)` / `ignoring(l1)` vector-matching modifier, with an optional
+  * `group_left(include...)` / `group_right(include...)` many-to-one side.
+  * `on = true` restricts matching to exactly `labels`; `on = false`
+  * (ignoring) matches on everything BUT `labels`. `include` copies the
+  * listed labels from the "one" side into the result. */
+final case class VectorMatch(on: Boolean, labels: Seq[String],
+    group: Option[GroupSide] = None, include: Seq[String] = Nil)
+
 /** Binary operation. Arithmetic (`+ - * / %`) combines values; comparisons
-  * (`> >= < <= == !=`) FILTER the left side (Prometheus semantics without
-  * the `bool` modifier). Vector∘vector matches on the intersection of the
-  * two sides' label/bucket columns. */
-final case class BinOp(op: String, lhs: Expr, rhs: Expr) extends Expr
+  * (`> >= < <= == !=`) FILTER the left side unless `bool` is set, in which
+  * case they return 1.0/0.0. Vector∘vector matches on the intersection of
+  * the two sides' label/bucket columns unless `matching` overrides it. */
+final case class BinOp(op: String, lhs: Expr, rhs: Expr,
+    bool: Boolean = false, matching: Option[VectorMatch] = None) extends Expr
+
+/** Scalar math mapped over an instant vector's values: `abs(v)`,
+  * `round(v, to_nearest)`, `clamp(v, min, max)`, ... Extra scalar arguments
+  * ride in `args` (Prometheus argument order, vector first). */
+final case class FnCall(name: String, child: Expr, args: Seq[Double] = Nil)
+  extends Expr
+
+/** `histogram_quantile(q, expr)` over classic `le`-bucketed counters. */
+final case class HistogramQuantile(q: Double, child: Expr) extends Expr
 
 final case class PromQLParseException(msg: String, pos: Int)
   extends IllegalArgumentException(s"PromQL parse error at $pos: $msg")
@@ -97,7 +144,17 @@ object PromQLParser {
     "topk" -> ParamOp.TopK, "bottomk" -> ParamOp.BottomK,
     "quantile" -> ParamOp.Quantile)
   private val RangeFns = Map(
-    "rate" -> RangeF.Rate, "increase" -> RangeF.Increase, "delta" -> RangeF.Delta)
+    "rate" -> RangeF.Rate, "increase" -> RangeF.Increase, "delta" -> RangeF.Delta,
+    "avg_over_time" -> RangeF.AvgOverTime, "min_over_time" -> RangeF.MinOverTime,
+    "max_over_time" -> RangeF.MaxOverTime, "sum_over_time" -> RangeF.SumOverTime,
+    "count_over_time" -> RangeF.CountOverTime,
+    "last_over_time" -> RangeF.LastOverTime)
+  /** Scalar vector functions: name → (min extra args, max extra args). */
+  private val ScalarFns = Map(
+    "abs" -> (0, 0), "ceil" -> (0, 0), "floor" -> (0, 0), "sqrt" -> (0, 0),
+    "exp" -> (0, 0), "ln" -> (0, 0), "log2" -> (0, 0), "log10" -> (0, 0),
+    "round" -> (0, 1), "clamp" -> (2, 2), "clamp_min" -> (1, 1),
+    "clamp_max" -> (1, 1))
   private val DurUnits = List( // longest-match first
     "ms" -> 1L, "w" -> 604800000L, "d" -> 86400000L, "h" -> 3600000L,
     "m" -> 60000L, "s" -> 1000L)
@@ -220,17 +277,81 @@ object PromQLParser {
         while (more) peek match {
           case TPunct(op, _) if Precedence(level).contains(op) =>
             next()
-            l = BinOp(op, l, parseBinary(level + 1))
+            val isCmp = level == 0
+            val bool = peek match {
+              case TIdent("bool", p) =>
+                if (!isCmp) throw PromQLParseException(
+                  s"'bool' modifier only applies to comparison operators, not '$op'", p)
+                next(); true
+              case _ => false
+            }
+            val matching = parseMatchingOpt()
+            l = BinOp(op, l, parseBinary(level + 1), bool, matching)
           case _ => more = false
         }
         l
       }
 
+    /** `on(...)` / `ignoring(...)` with optional `group_left`/`group_right`
+      * and its optional include-label list. After `group_left`/`group_right`
+      * a '(' always starts the include list (Prometheus's own ambiguity
+      * resolution) — parenthesize the RHS as `group_left () (expr)` never,
+      * just write the RHS unparenthesized. */
+    private def parseMatchingOpt(): Option[VectorMatch] = peek match {
+      case TIdent(kw @ ("on" | "ignoring"), _) =>
+        next()
+        val labels = parseParenLabels(allowEmpty = true)
+        val group = peek match {
+          case TIdent(g @ ("group_left" | "group_right"), _) =>
+            next()
+            val include = peek match {
+              case TPunct("(", _) => parseParenLabels(allowEmpty = true)
+              case _ => Nil
+            }
+            Some((if (g == "group_left") GroupSide.Left else GroupSide.Right,
+              include))
+          case _ => None
+        }
+        Some(VectorMatch(kw == "on", labels, group.map(_._1),
+          group.map(_._2).getOrElse(Nil)))
+      case TIdent(g @ ("group_left" | "group_right"), p) =>
+        throw PromQLParseException(
+          s"'$g' requires an 'on(...)' or 'ignoring(...)' clause before it", p)
+      case _ => None
+    }
+
+    /** '(' label (',' label)* ')' — empty list allowed when `allowEmpty`. */
+    private def parseParenLabels(allowEmpty: Boolean): Seq[String] = {
+      expect("(")
+      val labels = Seq.newBuilder[String]
+      peek match {
+        case TPunct(")", p) =>
+          if (!allowEmpty) throw PromQLParseException("expected label name", p)
+          next()
+        case _ =>
+          var done = false
+          while (!done) next() match {
+            case TIdent(l, _) =>
+              labels += l
+              next() match {
+                case TPunct(",", _) => ()
+                case TPunct(")", _) => done = true
+                case t => throw PromQLParseException("expected ',' or ')'", t.pos)
+              }
+            case t => throw PromQLParseException("expected label name", t.pos)
+          }
+      }
+      labels.result()
+    }
+
     private def parseAtom(): Expr = peek match {
       // contextual keyword: an aggop is only an aggregation when followed
-      // by '(' or 'by' — `sum{...}` stays a metric named "sum"
+      // by '(' or 'by'/'without' — `sum{...}` stays a metric named "sum"
       case TIdent(name, _) if AggOps.contains(name) && startsAgg => parseAgg()
       case TIdent(name, _) if ParamOps.contains(name) && startsAgg => parseParamAgg()
+      case TIdent("histogram_quantile", _) if nextIsParen => parseHistQ()
+      case TIdent(name, _) if ScalarFns.contains(name) && nextIsParen =>
+        parseFnCall()
       case TNum(d, _) => next(); NumLit(d)
       case TPunct("(", _) => next(); val e = parseExpr(); expect(")"); e
       case TPunct(op, _) if Precedence.exists(_.contains(op)) =>
@@ -241,7 +362,50 @@ object PromQLParser {
     private def startsAgg: Boolean = toks(k + 1) match {
       case TPunct("(", _) => true
       case TIdent("by", _) => true
+      case TIdent("without", _) => true
       case _ => false
+    }
+
+    private def nextIsParen: Boolean = toks(k + 1) match {
+      case TPunct("(", _) => true
+      case _ => false
+    }
+
+    private def parseHistQ(): Expr = {
+      next(); expect("(")
+      val q = next() match {
+        case TNum(d, _) => d
+        case t => throw PromQLParseException(
+          "histogram_quantile requires a leading quantile, e.g. histogram_quantile(0.9, ...)", t.pos)
+      }
+      if (q < 0 || q > 1) fail(s"histogram_quantile parameter must be in [0, 1], got $q")
+      expect(",")
+      val child = parseExpr()
+      expect(")")
+      HistogramQuantile(q, child)
+    }
+
+    private def parseFnCall(): Expr = {
+      val TIdent(name, _) = next(): @unchecked
+      val (minA, maxA) = ScalarFns(name)
+      expect("(")
+      val child = parseExpr()
+      val args = Seq.newBuilder[Double]
+      var n = 0
+      var done = false
+      while (!done) next() match {
+        case TPunct(")", _) => done = true
+        case TPunct(",", _) => next() match {
+          case TNum(d, _) => args += d; n += 1
+          case t => throw PromQLParseException(
+            s"$name takes scalar arguments after the vector", t.pos)
+        }
+        case t => throw PromQLParseException("expected ',' or ')'", t.pos)
+      }
+      if (n < minA || n > maxA) fail(
+        s"$name takes ${if (minA == maxA) s"$minA" else s"$minA to $maxA"} " +
+          s"scalar argument(s) after the vector, got $n")
+      FnCall(name, child, args.result())
     }
 
     private def parseAgg(): Expr = {
@@ -251,9 +415,12 @@ object PromQLParser {
       val child = parseExpr()
       expect(")")
       val byAfter = parseByOpt()
-      if (byBefore.nonEmpty && byAfter.nonEmpty)
-        fail("duplicate 'by' clause")
-      Agg(AggOps(name), byBefore ++ byAfter, child)
+      if (byBefore.isDefined && byAfter.isDefined)
+        fail("duplicate grouping clause")
+      val (labels, without) = byBefore.orElse(byAfter).getOrElse((Nil, false))
+      if (without && labels.isEmpty)
+        fail("'without' requires at least one label")
+      Agg(AggOps(name), labels, child, without)
     }
 
     private def parseParamAgg(): Expr = {
@@ -269,38 +436,27 @@ object PromQLParser {
       val child = parseExpr()
       expect(")")
       val byAfter = parseByOpt()
-      if (byBefore.nonEmpty && byAfter.nonEmpty) fail("duplicate 'by' clause")
+      if (byBefore.isDefined && byAfter.isDefined) fail("duplicate grouping clause")
+      val (labels, without) = byBefore.orElse(byAfter).getOrElse((Nil, false))
+      if (without) fail(s"'without' grouping is not supported for $name — list the ranking labels with 'by'")
       val op = ParamOps(name)
       if (op == ParamOp.Quantile && (param < 0 || param > 1))
         fail(s"quantile parameter must be in [0, 1], got $param")
       if (op != ParamOp.Quantile && (param < 1 || param != math.floor(param)))
         fail(s"$name parameter must be a positive integer, got $param")
-      ParamAgg(op, param, byBefore ++ byAfter, child)
+      ParamAgg(op, param, labels, child)
     }
 
-    private def parseByOpt(): Seq[String] = peek match {
-      case TIdent("by", _) =>
+    /** `by (l, ...)` → (labels, false); `without (l, ...)` → (labels, true). */
+    private def parseByOpt(): Option[(Seq[String], Boolean)] = peek match {
+      case TIdent(kw @ ("by" | "without"), _) =>
         next()
-        expect("(")
-        val labels = Seq.newBuilder[String]
-        var done = false
-        while (!done) next() match {
-          case TIdent(l, _) =>
-            labels += l
-            next() match {
-              case TPunct(",", _) => ()
-              case TPunct(")", _) => done = true
-              case t => throw PromQLParseException("expected ',' or ')'", t.pos)
-            }
-          case t => throw PromQLParseException("expected label name", t.pos)
-        }
-        labels.result()
-      case _ => Nil
+        Some((parseParenLabels(allowEmpty = kw == "by"), kw == "without"))
+      case _ => None
     }
 
     private def parseVector(): Expr = peek match {
-      case TIdent(fn, _) if RangeFns.contains(fn) && toks(k + 1).isInstanceOf[TPunct]
-          && toks(k + 1).asInstanceOf[TPunct].s == "(" =>
+      case TIdent(fn, _) if RangeFns.contains(fn) && nextIsParen =>
         next(); expect("(")
         val sel = parseSelector()
         expect("[")
@@ -309,9 +465,24 @@ object PromQLParser {
           case t => throw PromQLParseException("expected duration", t.pos)
         }
         expect("]")
+        val off = parseOffsetOpt()
         expect(")")
-        RangeFn(RangeFns(fn), sel, win)
-      case _ => parseSelector()
+        RangeFn(RangeFns(fn), sel.copy(offsetMs = off), win)
+      case _ =>
+        val sel = parseSelector()
+        sel.copy(offsetMs = parseOffsetOpt())
+    }
+
+    /** `offset 5m` after a selector or range. Negative offsets (Prometheus
+      * `offset -5m`) are not supported — the tokenizer has no unary minus. */
+    private def parseOffsetOpt(): Long = peek match {
+      case TIdent("offset", _) =>
+        next()
+        next() match {
+          case TDur(ms, _) => ms
+          case t => throw PromQLParseException("expected duration after 'offset'", t.pos)
+        }
+      case _ => 0L
     }
 
     private def parseSelector(): Selector = {

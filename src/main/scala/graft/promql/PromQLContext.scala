@@ -61,17 +61,18 @@ final class PromQLContext(
   def eval(expr: Expr, stepMs: Option[Long] = None,
       range: Option[TimeRange] = None): DataFrame = expr match {
 
-    case Selector(metric, matchers) =>
-      val base = select(metric, matchers, range)
+    case Selector(metric, matchers, offsetMs) =>
+      val base = select(metric, matchers, offsetMs, range)
       base.select(labels.keys.toSeq.sorted.map(l => col(labels(l)).as(l)) ++
         seriesCols.map(col) ++
-        Seq(tsMs.as("ts_ms"), col(valueCol).as("value")): _*)
+        Seq(shifted(offsetMs).as("ts_ms"), col(valueCol).as("value")): _*)
 
     case RangeFn(fn, sel, windowMs) =>
       val labelOut = labels.keys.toSeq.sorted
-      val rows = select(sel.metric, sel.matchers, range)
+      val rows = select(sel.metric, sel.matchers, sel.offsetMs, range)
+      val ts = shifted(sel.offsetMs)
       val ord = if (ordering.nonEmpty) ordering else Seq(tsMs)
-      val bucket = (floor(tsMs / lit(windowMs)).cast("long") * windowMs).as("bucket_ms")
+      val bucket = (floor(ts / lit(windowMs)).cast("long") * windowMs).as("bucket_ms")
       // series identity = extra identity cols + every label column
       val seriesPart = seriesCols.map(col) ++ labels.values.toSeq.map(col)
       val groupKeys = labelOut.map(l => col(labels(l)).as(l)) ++
@@ -95,54 +96,128 @@ final class PromQLContext(
           rows.groupBy(groupKeys: _*)
             .agg((max_by(col(valueCol), key) - min_by(col(valueCol), key)).as("value"))
             .select(outCols :+ col("value"): _*)
+        case _ =>
+          // *_over_time: one plain aggregate per (series, window bucket)
+          val agg = (fn match {
+            case RangeF.AvgOverTime => avg(col(valueCol))
+            case RangeF.MinOverTime => min(col(valueCol))
+            case RangeF.MaxOverTime => max(col(valueCol))
+            case RangeF.SumOverTime => sum(col(valueCol))
+            case RangeF.CountOverTime => count(lit(1)).cast("double")
+            case RangeF.LastOverTime => max_by(col(valueCol), struct(ord: _*))
+            case other => throw new IllegalStateException(s"unhandled range fn $other")
+          }).as("value")
+          rows.groupBy(groupKeys: _*).agg(agg)
+            .select(outCols :+ col("value"): _*)
       }
 
     case NumLit(_) => throw new IllegalArgumentException(
       "scalar-only expression: combine the number with a vector (e.g. cpu * 2)")
 
-    case BinOp(op, lhs, rhs) => (lhs, rhs) match {
-      case (NumLit(_), NumLit(_)) => throw new IllegalArgumentException(
-        s"scalar-only expression: $lhs $op $rhs has no vector side")
-      // vector ∘ scalar: arithmetic maps the value column; comparison
-      // FILTERS rows (Prometheus semantics without the `bool` modifier)
-      case (v, NumLit(b)) =>
-        val in = eval(v, stepMs, range)
-        if (isCmp(op)) in.filter(applyOp(op, col("value"), lit(b)))
-        else in.withColumn("value", applyOp(op, col("value"), lit(b)))
-      case (NumLit(a), v) =>
-        val in = eval(v, stepMs, range)
-        if (isCmp(op)) in.filter(applyOp(op, lit(a), col("value")))
-        else in.withColumn("value", applyOp(op, lit(a), col("value")))
-      // vector ∘ vector: match on the intersection of the sides' label /
-      // bucket columns — a skew-free equi-join on group keys at scale.
-      // Keys compare null-safely (an absent/null label value is still a
-      // matchable group). Two fully-aggregated scalars (value-only on both
-      // sides) combine directly; anything else without shared columns is a
-      // shape error, not a silent cartesian product.
-      case (l, r) =>
-        val lf = eval(l, stepMs, range)
-        val rf = eval(r, stepMs, range)
-        val keys = lf.columns.filterNot(_ == "value")
-          .intersect(rf.columns.filterNot(_ == "value")).toSeq
-        if (keys.isEmpty &&
-            (lf.columns.length > 1 || rf.columns.length > 1))
-          throw new IllegalArgumentException(
-            s"operands of '$op' share no matching columns " +
-              s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")}): " +
-              "aggregate both sides to the same grouping first")
-        val rr = rf.select(
-          (keys.map(k => col(k).as(s"__rk_$k")) :+ col("value").as("__rv__")): _*)
-        val joined =
-          if (keys.isEmpty) lf.crossJoin(rr) // 1×1 scalars
-          else lf.join(rr,
-            keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _))
-        if (isCmp(op))
-          joined.filter(applyOp(op, col("value"), col("__rv__")))
-            .select(lf.columns.map(col): _*)
-        else
-          joined.select((keys.map(col) :+
-            applyOp(op, col("value"), col("__rv__")).as("value")): _*)
-    }
+    case BinOp(op, lhs, rhs, bool, matching) =>
+      // `bool` turns a comparison into a 1.0/0.0 indicator instead of a
+      // row filter (Prometheus `>` vs `> bool`).
+      def cmpOrMap(in: DataFrame, cond: Column, mapped: Column): DataFrame =
+        if (isCmp(op) && bool)
+          in.withColumn("value", when(cond, lit(1.0)).otherwise(lit(0.0)))
+        else if (isCmp(op)) in.filter(cond)
+        else in.withColumn("value", mapped)
+      (lhs, rhs) match {
+        case (NumLit(_), NumLit(_)) => throw new IllegalArgumentException(
+          s"scalar-only expression: $lhs $op $rhs has no vector side")
+        // vector ∘ scalar: arithmetic maps the value column; comparison
+        // FILTERS rows (or maps to 0/1 under `bool`)
+        case (v, NumLit(b)) =>
+          val in = eval(v, stepMs, range)
+          cmpOrMap(in, applyOp(op, col("value"), lit(b)),
+            applyOp(op, col("value"), lit(b)))
+        case (NumLit(a), v) =>
+          val in = eval(v, stepMs, range)
+          cmpOrMap(in, applyOp(op, lit(a), col("value")),
+            applyOp(op, lit(a), col("value")))
+        // vector ∘ vector: match on the intersection of the sides' label /
+        // bucket columns — a skew-free equi-join on group keys at scale —
+        // unless on()/ignoring() overrides the key set. Keys compare
+        // null-safely (an absent/null label value is still a matchable
+        // group). Two fully-aggregated scalars (value-only on both sides)
+        // combine directly; anything else without shared columns is a shape
+        // error, not a silent cartesian product.
+        case (l, r) =>
+          val lf = eval(l, stepMs, range)
+          val rf = eval(r, stepMs, range)
+          val auto = lf.columns.filterNot(_ == "value")
+            .intersect(rf.columns.filterNot(_ == "value")).toSeq
+          val keys = matching match {
+            case Some(vm) if vm.on =>
+              // on(...): the listed labels, plus the time column both sides
+              // already share (Prometheus matches per evaluation timestamp
+              // implicitly; our buckets make that explicit)
+              val timeCols = Seq("bucket_ms", "ts_ms").filter(auto.contains)
+              vm.labels.foreach { lbl =>
+                if (!lf.columns.contains(lbl) || !rf.columns.contains(lbl))
+                  throw new IllegalArgumentException(
+                    s"on($lbl): label not present on both operands " +
+                      s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")})")
+              }
+              (vm.labels ++ timeCols).distinct
+            case Some(vm) => auto.filterNot(vm.labels.contains)
+            case None => auto
+          }
+          if (keys.isEmpty &&
+              (lf.columns.length > 1 || rf.columns.length > 1) && matching.isEmpty)
+            throw new IllegalArgumentException(
+              s"operands of '$op' share no matching columns " +
+                s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")}): " +
+                "aggregate both sides to the same grouping first, or use on()/ignoring()")
+          // group_left/group_right: the flagged side is the MANY side; its
+          // full column set survives, and `include` copies extra labels from
+          // the one side. Without a group modifier the result keeps only the
+          // matching keys (1:1 matching).
+          val (many, one, oneSideName) = matching.flatMap(_.group) match {
+            case Some(GroupSide.Left) => (lf, rf, "right")
+            case Some(GroupSide.Right) => (rf, lf, "left")
+            case None => (lf, rf, "right")
+          }
+          val grouped = matching.exists(_.group.isDefined)
+          val include = matching.map(_.include).getOrElse(Nil)
+          include.foreach { lbl =>
+            if (!one.columns.contains(lbl))
+              throw new IllegalArgumentException(
+                s"group_*($lbl): include label not present on the $oneSideName operand " +
+                  s"(${one.columns.mkString(",")})")
+          }
+          val oneSel = one.select(
+            keys.map(k => col(k).as(s"__rk_$k")) ++
+              include.filterNot(keys.contains).map(k => col(k).as(s"__ri_$k")) :+
+              col("value").as("__rv__"): _*)
+          val joined =
+            if (keys.isEmpty) many.crossJoin(oneSel) // scalar one side / 1×1
+            else many.join(oneSel,
+              keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _))
+          // value expression respects operand order even when group_right
+          // swapped the join sides
+          val (a, b) = if (matching.flatMap(_.group).contains(GroupSide.Right))
+            (col("__rv__"), col("value")) else (col("value"), col("__rv__"))
+          // include labels REPLACE any same-named label on the many side
+          // (Prometheus: the one side's label wins on conflict)
+          val incl = include.filterNot(keys.contains)
+          val outCols: Seq[Column] =
+            if (grouped)
+              many.columns.filterNot(c => c == "value" || incl.contains(c))
+                .toSeq.map(col) ++ incl.map(k => col(s"__ri_$k").as(k))
+            else keys.map(col)
+          if (isCmp(op) && bool)
+            joined.select(outCols :+
+              when(applyOp(op, a, b), lit(1.0)).otherwise(lit(0.0)).as("value"): _*)
+          else if (isCmp(op))
+            // comparison filter keeps the MANY side's rows (Prometheus
+            // keeps the left side; with group_right the left IS the one
+            // side, so rows surviving are still the left operand's shape)
+            joined.filter(applyOp(op, a, b))
+              .select(many.columns.map(col): _*)
+          else
+            joined.select(outCols :+ applyOp(op, a, b).as("value"): _*)
+      }
 
     case ParamAgg(op, param, by, child) =>
       val in = eval(child, stepMs, range)
@@ -178,14 +253,83 @@ final class PromQLContext(
           else bucketed.groupBy(groupCols.map(col): _*).agg(agg)
       }
 
-    case Agg(op, by, child) =>
+    case FnCall(name, child, args) =>
+      val in = eval(child, stepMs, range)
+      val v = col("value")
+      val mapped = name match {
+        case "abs" => abs(v)
+        case "ceil" => ceil(v).cast("double")
+        case "floor" => floor(v).cast("double")
+        case "sqrt" => sqrt(v)
+        case "exp" => exp(v)
+        case "ln" => log(v)
+        case "log2" => log2(v)
+        case "log10" => log10(v)
+        case "round" =>
+          // Prometheus rounds half UP to the nearest multiple:
+          // floor(v/n + 0.5) * n — spelled out (not engine round()) so the
+          // half-way rule is identical across engines/oracles
+          val n = args.headOption.getOrElse(1.0)
+          floor(v / lit(n) + lit(0.5)) * lit(n)
+        case "clamp" => least(greatest(v, lit(args(0))), lit(args(1)))
+        case "clamp_min" => greatest(v, lit(args(0)))
+        case "clamp_max" => least(v, lit(args(0)))
+        case other => throw new IllegalArgumentException(s"unknown function '$other'")
+      }
+      in.withColumn("value", mapped)
+
+    case HistogramQuantile(q, child) =>
+      // classic le-bucketed histogram quantile (Prometheus bucketQuantile):
+      // buckets are CUMULATIVE counts per upper bound `le`; find the first
+      // bucket whose count reaches rank = q * total and interpolate linearly
+      // inside it. Group identity = every label except `le` (+ the window
+      // bucket); series-identity cols are dropped — each le-bucket IS its
+      // own series, and the quantile fuses them.
+      val in = eval(child, stepMs, range)
+      if (!in.columns.contains("le"))
+        throw new IllegalArgumentException(
+          "histogram_quantile requires an 'le' label on its input " +
+            s"(got: ${in.columns.mkString(", ")})")
+      val groupCols = in.columns
+        .filterNot(c => c == "value" || c == "le" || seriesCols.contains(c)).toSeq
+      val leNum = when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+        .otherwise(col("le").cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(leNum)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*)
+      val staged = in
+        .withColumn("__le__", leNum)
+        .withColumn("__prev_le__", lag(leNum, 1).over(w))
+        .withColumn("__prev_v__", lag(col("value"), 1, 0.0).over(w))
+        .withColumn("__total__", max(col("value")).over(wAll))
+        .withColumn("__max_fin_le__",
+          max(when(col("__le__") =!= Double.PositiveInfinity, col("__le__"))).over(wAll))
+        .withColumn("__rank__", lit(q) * col("__total__"))
+      // first bucket (ascending le) whose cumulative count reaches the rank
+      val candidates = staged.filter(col("value") >= col("__rank__"))
+      val pick = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col("__le__"))
+      val chosen = candidates
+        .withColumn("__rn__", row_number().over(pick)).filter(col("__rn__") === 1)
+      val loLe = coalesce(col("__prev_le__"), lit(0.0))
+      val quantile =
+        when(col("__le__") === Double.PositiveInfinity, col("__max_fin_le__"))
+          .when(col("__prev_le__").isNull && col("__le__") <= 0, col("__le__"))
+          .otherwise(loLe + (col("__le__") - loLe) *
+            (col("__rank__") - col("__prev_v__")) / (col("value") - col("__prev_v__")))
+      chosen.select(groupCols.map(col) :+ quantile.as("value"): _*)
+
+    case Agg(op, by, child, without) =>
       by.find(l => !labels.contains(l)).foreach(l =>
         throw new IllegalArgumentException(
           s"unknown grouping label '$l' (known: ${labels.keys.toSeq.sorted.mkString(", ")})"))
+      // `without (l...)` inverts: group by every known label except these
+      val effBy = if (without) labels.keys.toSeq.filterNot(by.contains) else by
       // a stepped agg over a raw selector buckets ts_ms; over a range fn the
       // child's window bucket stands (re-bucketing would mix window sums)
       val in = withStepBucket(eval(child, stepMs, range), stepMs)
-      val keys = by.sorted.map(col) ++
+      val keys = effBy.sorted.map(col) ++
         (if (in.columns.contains("bucket_ms")) Seq(col("bucket_ms")) else Nil)
       val agg = (op match {
         case MetricAgg.Sum => sum(col("value"))
@@ -226,10 +370,18 @@ final class PromQLContext(
       range: Option[TimeRange] = None): DataFrame =
     eval(PromQLParser.parse(promql), stepMs, range)
 
+  /** Offset-shifted timestamp: a selector `offset 5m` reads data 5m back and
+    * re-stamps it onto the query timeline, so buckets/joins line up with
+    * unshifted operands. */
+  private def shifted(offsetMs: Long): Column =
+    if (offsetMs == 0L) tsMs else tsMs + lit(offsetMs)
+
   private def select(metric: String, matchers: Seq[LabelMatcher],
-      range: Option[TimeRange]): DataFrame = {
+      offsetMs: Long, range: Option[TimeRange]): DataFrame = {
     var df = samples.filter(col(metricCol) === metric)
-    range.foreach(r => df = df.filter(tsMs >= r.start && tsMs < r.end))
+    // the range applies on the QUERY timeline; the scan window shifts back
+    range.foreach(r =>
+      df = df.filter(tsMs >= r.start - offsetMs && tsMs < r.end - offsetMs))
     matchers.foreach { m =>
       val c = col(labels.getOrElse(m.label,
         throw new IllegalArgumentException(s"unknown label '${m.label}'")))

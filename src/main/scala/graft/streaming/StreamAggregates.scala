@@ -81,7 +81,15 @@ object StreamAggregates {
     import graft.metric.MetricAgg
     import graft.promql._
     PromQLParser.parse(promql) match {
-      case Agg(op, by, Selector(metric, matchers)) =>
+      case Agg(_, _, Selector(_, _, off), _) if off != 0L =>
+        throw new IllegalArgumentException(
+          "streaming PromQL cannot evaluate 'offset' (no look-back over the " +
+            "stream) - replay the query against storage instead")
+      case Agg(_, _, _, true) =>
+        throw new IllegalArgumentException(
+          "streaming PromQL supports 'by' grouping only - 'without' needs " +
+            "the full label-key universe, which an unbounded stream cannot know")
+      case Agg(op, by, Selector(metric, matchers, _), _) =>
         var rows = withEventTime(samples).filter(col("name") === metric)
         matchers.foreach { m =>
           rows = rows.filter(

@@ -138,6 +138,41 @@ class PromQLSpec extends AnyFunSuite {
       assertThrows[PromQLParseException](PromQLParser.parse(bad))
   }
 
+  test("parser: offset, over_time fns, bool, on/ignoring, without, fns, histq") {
+    assert(PromQLParser.parse("cpu offset 5m") == Selector("cpu", Nil, 300000L))
+    assert(PromQLParser.parse("""rate(cpu{dc="us"}[5m] offset 1h)""") ==
+      RangeFn(RangeF.Rate,
+        Selector("cpu", Seq(LabelMatcher("dc", MatchOp.Eq, "us")), 3600000L),
+        300000L))
+    assert(PromQLParser.parse("avg_over_time(cpu[30m])") ==
+      RangeFn(RangeF.AvgOverTime, Selector("cpu", Nil), 1800000L))
+    assert(PromQLParser.parse("last_over_time(cpu[1h])") ==
+      RangeFn(RangeF.LastOverTime, Selector("cpu", Nil), 3600000L))
+    assert(PromQLParser.parse("a > bool b") ==
+      BinOp(">", Selector("a", Nil), Selector("b", Nil), bool = true))
+    assert(PromQLParser.parse("a / on(host) b") ==
+      BinOp("/", Selector("a", Nil), Selector("b", Nil), false,
+        Some(VectorMatch(on = true, Seq("host")))))
+    assert(PromQLParser.parse("a * ignoring(dc) group_left(role) b") ==
+      BinOp("*", Selector("a", Nil), Selector("b", Nil), false,
+        Some(VectorMatch(on = false, Seq("dc"), Some(GroupSide.Left), Seq("role")))))
+    assert(PromQLParser.parse("a == bool on() b") ==
+      BinOp("==", Selector("a", Nil), Selector("b", Nil), bool = true,
+        Some(VectorMatch(on = true, Nil))))
+    assert(PromQLParser.parse("sum without (host) (cpu)") ==
+      Agg(MetricAgg.Sum, Seq("host"), Selector("cpu", Nil), without = true))
+    assert(PromQLParser.parse("clamp(cpu, 0, 10)") ==
+      FnCall("clamp", Selector("cpu", Nil), Seq(0.0, 10.0)))
+    assert(PromQLParser.parse("round(sum(cpu), 0.5)") ==
+      FnCall("round", Agg(MetricAgg.Sum, Nil, Selector("cpu", Nil)), Seq(0.5)))
+    assert(PromQLParser.parse("histogram_quantile(0.9, rate(h_bucket[5m]))") ==
+      HistogramQuantile(0.9, RangeFn(RangeF.Rate, Selector("h_bucket", Nil), 300000L)))
+    for (bad <- Seq("a + bool b", "a group_left b", "topk without (h) (3, cpu)",
+        "cpu offset", "round(cpu, 1, 2)", "clamp(cpu)", "sum without () (cpu)",
+        "histogram_quantile(1.5, x)"))
+      assertThrows[PromQLParseException](PromQLParser.parse(bad))
+  }
+
   // ----------------------------------------------------------------- context
 
   private val samplesSchema = StructType(Seq(
@@ -320,6 +355,157 @@ class PromQLSpec extends AnyFunSuite {
     val share = eng.queryPromQL("sum by (dc) (jobs) / sum by (dc) (jobs)",
       TimeRange(0, H)).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(share == Map("us" -> 1.0, "" -> 1.0))
+  }
+
+  test("context: offset re-stamps shifted data onto the query timeline") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", H, 5.0)))
+    // value at query time t = underlying value at t - 1h
+    val all = ctx.sql("cpu offset 1h").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(all == Set((H, 1.0), (2 * H, 5.0)))
+    // the range applies on the QUERY timeline (scan shifts back underneath)
+    val ranged = ctx.sql("cpu offset 1h", range = Some(TimeRange(H, 2 * H)))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(ranged == Set((H, 1.0)))
+    // offset operand joins against the unshifted side on the query timeline
+    val diff = ctx.sql("cpu - cpu offset 1h").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(diff == Set((H, 4.0)))
+  }
+
+  test("context: *_over_time aggregate the window's samples per series") {
+    val ctx = ctxOf(Seq(
+      Row("m", "a", "us", 0L, 1.0), Row("m", "a", "us", 1000L, 3.0),
+      Row("m", "a", "us", H, 10.0)))
+    def vals(q: String) = ctx.sql(q).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(vals("avg_over_time(m[1h])") == Map(0L -> 2.0, H -> 10.0))
+    assert(vals("sum_over_time(m[1h])") == Map(0L -> 4.0, H -> 10.0))
+    assert(vals("min_over_time(m[1h])") == Map(0L -> 1.0, H -> 10.0))
+    assert(vals("max_over_time(m[1h])") == Map(0L -> 3.0, H -> 10.0))
+    assert(vals("count_over_time(m[1h])") == Map(0L -> 2.0, H -> 1.0))
+    assert(vals("last_over_time(m[1h])") == Map(0L -> 3.0, H -> 10.0))
+  }
+
+  test("context: bool comparisons return 1/0 instead of filtering") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 0.2), Row("cpu", "b", "us", 0L, 0.8)))
+    val ind = ctx.sql("cpu > bool 0.5").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(ind == Map("a" -> 0.0, "b" -> 1.0))
+    // grouped side vs scalar-shaped side needs on() group_left (Prometheus
+    // many-to-one); bool returns the indicator with the many side's labels
+    val vv = ctx.sql("sum by (host) (cpu) >= bool on() group_left sum(cpu) / 2")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(vv == Map("a" -> 0.0, "b" -> 1.0))
+  }
+
+  test("context: on()/ignoring() override keys; group_left/right carry the many side") {
+    val ctx = ctxOf(Seq(
+      Row("err", "a", "us", 0L, 1.0), Row("err", "b", "eu", 0L, 3.0),
+      Row("req", "a", "us", 0L, 10.0), Row("req", "b", "eu", 0L, 10.0)))
+    // sides grouped differently: on(host) joins them anyway
+    val on = ctx.sql("sum by (host, dc) (err) / on(host) sum by (host) (req)")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(on == Map("a" -> 0.1, "b" -> 0.3))
+    // ignoring(dc) drops dc from the auto keys
+    val ign = ctx.sql(
+      "sum by (host, dc) (err) / ignoring(dc) sum by (host, dc) (req)")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(ign == Map("a" -> 0.1, "b" -> 0.3))
+    // group_left(dc): many side keeps its shape, dc copied from the one side
+    val gl = ctx.sql(
+      "sum by (host) (err) * on(host) group_left(dc) sum by (host, dc) (req)")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(gl == Map(("a", "us") -> 10.0, ("b", "eu") -> 30.0))
+    // group_right: right side is the many side; operand order still left-right
+    val gr = ctx.sql(
+      "sum by (host) (err) - on(host) group_right sum by (host, dc) (req)")
+      .collect().map(r => ((r.getString(1), r.getString(0)), r.getDouble(2))).toMap
+    assert(gr == Map(("a", "us") -> -9.0, ("b", "eu") -> -7.0))
+    // unknown on-label is a shape error
+    assertThrows[IllegalArgumentException](
+      ctx.sql("sum by (host) (err) / on(zone) sum by (host) (req)").collect())
+  }
+
+  test("context: without groups by the complement of the listed labels") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", "us", 0L, 2.0),
+      Row("cpu", "c", "eu", 0L, 5.0)))
+    val got = ctx.sql("sum without (host) (cpu)").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("us" -> 3.0, "eu" -> 5.0))
+  }
+
+  test("context: scalar functions map values; round uses half-up to-nearest") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 2.4), Row("cpu", "b", "us", 0L, -1.2),
+      Row("cpu", "c", "us", 0L, 9.0)))
+    def vals(q: String) = ctx.sql(q).collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(vals("abs(cpu)") == Map("a" -> 2.4, "b" -> 1.2, "c" -> 9.0))
+    assert(vals("ceil(cpu)") == Map("a" -> 3.0, "b" -> -1.0, "c" -> 9.0))
+    assert(vals("floor(cpu)") == Map("a" -> 2.0, "b" -> -2.0, "c" -> 9.0))
+    assert(vals("round(cpu)") == Map("a" -> 2.0, "b" -> -1.0, "c" -> 9.0))
+    assert(vals("round(cpu, 0.5)") == Map("a" -> 2.5, "b" -> -1.0, "c" -> 9.0))
+    assert(vals("clamp(cpu, 0, 5)") == Map("a" -> 2.4, "b" -> 0.0, "c" -> 5.0))
+    assert(vals("clamp_min(cpu, 0)") == Map("a" -> 2.4, "b" -> 0.0, "c" -> 9.0))
+    assert(vals("clamp_max(cpu, 5)") == Map("a" -> 2.4, "b" -> -1.2, "c" -> 5.0))
+  }
+
+  test("context: histogram_quantile interpolates classic le buckets") {
+    val schema = StructType(Seq(
+      StructField("m", StringType), StructField("le", StringType),
+      StructField("host", StringType), StructField("tms", LongType),
+      StructField("v", DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("lat", "0.1", "a", 0L, 2.0), Row("lat", "0.5", "a", 0L, 3.0),
+      Row("lat", "+Inf", "a", 0L, 4.0),
+      Row("lat", "0.1", "b", 0L, 5.0), Row("lat", "0.5", "b", 0L, 8.0),
+      Row("lat", "+Inf", "b", 0L, 8.0)), 3), schema)
+    val ctx = new PromQLContext(df, "m", col("tms"), "v",
+      Map("le" -> "le", "host" -> "host"))
+    def q(phi: Double) = ctx.sql(s"histogram_quantile($phi, lat)").collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    // host a, q=0.5: rank 2 lands in the first bucket → interpolate from 0
+    // host b, q=0.5: rank 4 lands in le=0.1 (count 5) → 0.1*(4/5)
+    val q50 = q(0.5)
+    assert(math.abs(q50("a") - 0.1) < 1e-12 && math.abs(q50("b") - 0.08) < 1e-12)
+    // host a, q=0.75: rank 3 → le=0.5 bucket: 0.1 + 0.4*(3-2)/(3-2) = 0.5
+    // host b, q=0.75: rank 6 → le=0.5 bucket: 0.1 + 0.4*(6-5)/(8-5)
+    val q75 = q(0.75)
+    assert(math.abs(q75("a") - 0.5) < 1e-12)
+    assert(math.abs(q75("b") - (0.1 + 0.4 / 3)) < 1e-12)
+    // q=0.95: host a rank 3.8 → +Inf bucket → highest finite le
+    assert(math.abs(q(0.95)("a") - 0.5) < 1e-12)
+    // missing le label is a loud error
+    val ctx2 = ctxOf(Seq(Row("cpu", "a", "us", 0L, 1.0)))
+    assertThrows[IllegalArgumentException](ctx2.sql("histogram_quantile(0.9, cpu)"))
+  }
+
+  test("engine: offset, without, and histogram_quantile run against storage") {
+    // offset: sum over [10m, 1h) of data shifted by 10m == unshifted [0, 50m)
+    val off = engine.queryPromQL("sum(reqs offset 10m)", TimeRange(600000L, H))
+      .select("value").collect().head.getDouble(0)
+    val direct = engine.queryPromQL("sum(reqs)", TimeRange(0L, 3000000L))
+      .select("value").collect().head.getDouble(0)
+    assert(off == direct && off == 90.0) // 0+1+4+9+16 = 30 per host × 3
+    // without(host): label-key universe from the tags table → group by dc
+    val wo = engine.queryPromQL("sum without (host) (reqs)", TimeRange(0, H))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(wo == Map("us" -> 110.0, "eu" -> 55.0))
+    // histogram_quantile over a le-labeled metric in storage
+    val eng2 = new MetricEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-promql3").toString)
+    import spark.implicits._
+    eng2.write(Seq(
+      Sample("lat_bucket", Map("host" -> "h1", "le" -> "0.1"), 0L, 2.0),
+      Sample("lat_bucket", Map("host" -> "h1", "le" -> "0.5"), 0L, 3.0),
+      Sample("lat_bucket", Map("host" -> "h1", "le" -> "+Inf"), 0L, 4.0)).toDF())
+    val hq = eng2.queryPromQL("histogram_quantile(0.75, lat_bucket)", TimeRange(0, H))
+      .collect()
+    assert(hq.length == 1 && math.abs(hq.head.getAs[Double]("value") - 0.5) < 1e-12)
   }
 
   test("engine: step disagreeing with a range window is rejected on every path") {
