@@ -214,8 +214,10 @@ final class MetricEngine(spark: SparkSession, root: String,
     * label columns are joined onto the data scan from the index tables
     * (broadcast; tag dictionaries are small) and the full
     * [[graft.promql.PromQLContext]] evaluator runs with tsid as the series
-    * identity. Matchers evaluate post-join here — regex selection is not
-    * index-prunable by design. Binary operators match on grouped label
+    * identity. `=` and positive non-empty-matching regex matchers push down
+    * into the index as a TSID semi-join prune; the rest (negative /
+    * empty-matching, which select ABSENT labels) evaluate post-join on the
+    * coalesced label columns. Binary operators match on grouped label
     * columns, so combine DIFFERENT metrics through aggregations
     * (`sum(a)/sum(b)`), as raw range-vector operands carry per-metric tsids.
     */
@@ -346,6 +348,28 @@ final class MetricEngine(spark: SparkSession, root: String,
       case HistogramQuantile(_, c) => selectors(c)
       case NumLit(_) => Nil
     }
+    // Index-side matcher pushdown for one selector: every `=` matcher and
+    // every POSITIVE regex matcher whose pattern cannot match "" bounds a
+    // superset of the touchable series via the (tag_value, tsid) index
+    // dictionary; their intersection (AND over matchers) is a sound TSID
+    // prune even when other matchers remain (those re-filter after the
+    // label join). Negative matchers and empty-matching regexes select
+    // absent labels, which the index cannot represent — never pruned on.
+    def prunableTsids(mid: Long, sel: Selector): Option[DataFrame] = {
+      val per = sel.matchers.flatMap {
+        case LabelMatcher(l, MatchOp.Eq, v) if v.nonEmpty =>
+          Some(index.scan(ScanRequest(predicates = Seq(
+            col("metric_id") === mid, col("tag_key") === l, col("tag_value") === v)))
+            .select("tsid").distinct())
+        case LabelMatcher(l, MatchOp.Re, re) if !"".matches(s"^(?:$re)$$") =>
+          Some(index.scan(ScanRequest(predicates = Seq(
+            col("metric_id") === mid, col("tag_key") === l,
+            col("tag_value").rlike(s"^(?:$re)$$"))))
+            .select("tsid").distinct())
+        case _ => None
+      }
+      per.reduceOption((a, b) => a.join(b, Seq("tsid"), "left_semi"))
+    }
     val byMetric = selectors(expr).groupBy(_.metric)
     val frames = metrics.toSeq.sorted.flatMap { m =>
       metricIdOf(m).map { mid =>
@@ -359,11 +383,11 @@ final class MetricEngine(spark: SparkSession, root: String,
         var rows = data.scan(ScanRequest(range = scanRange,
             predicates = Seq(col("metric_id") === mid)))
           .select(lit(m).as("__name__"), col("tsid"), col("ts"), col("value"))
-        val eqSets = byMetric(m).map(_.matchers
-          .collect { case LabelMatcher(l, MatchOp.Eq, v) if v.nonEmpty => l -> v }.toMap)
-        if (eqSets.forall(_.nonEmpty)) {
-          val prunable = eqSets.map(eqs => lookupTsids(mid, eqs))
-            .reduce(_ union _).distinct()
+        // Union of per-selector prunes (a selector with nothing prunable
+        // needs every series — no prune for the whole metric then).
+        val perSel = byMetric(m).map(prunableTsids(mid, _))
+        if (perSel.forall(_.isDefined)) {
+          val prunable = perSel.flatten.reduce(_ union _).distinct()
           rows = rows.join(broadcast(prunable), Seq("tsid"), "left_semi")
         }
         labelCols.foreach { l =>

@@ -508,6 +508,31 @@ class PromQLSpec extends AnyFunSuite {
     assert(hq.length == 1 && math.abs(hq.head.getAs[Double]("value") - 0.5) < 1e-12)
   }
 
+  test("engine: regex matchers prune the TSID set via the index dictionary") {
+    // positive, non-empty-matching regex → index semi-join prune planned
+    val q = engine.queryPromQL("""sum(reqs{host=~"h[12]"})""", TimeRange(0, H))
+    assert(q.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "regex matcher should plan an index TSID semi-join prune")
+    assert(q.select("value").collect().map(_.getDouble(0)).toSeq == Seq(110.0))
+    // a regex that can match "" selects ABSENT labels too — must NOT prune
+    val eng = new MetricEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-promql4").toString)
+    import spark.implicits._
+    eng.write(Seq(
+      Sample("jobs", Map("host" -> "h1", "dc" -> "us"), 0L, 10.0),
+      Sample("jobs", Map("host" -> "h2"), 0L, 3.0)).toDF()) // no dc label
+    val loose = eng.queryPromQL("""jobs{dc=~"us|"}""", TimeRange(0, H))
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(loose == Set(10.0, 3.0), "empty-matching regex must keep label-less series")
+    val tight = eng.queryPromQL("""jobs{dc=~"us"}""", TimeRange(0, H))
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(tight == Set(10.0))
+    // intersection across matchers on ONE selector: regex AND eq must both hold
+    val both = eng.queryPromQL("""sum(jobs{dc=~"u.", host="h1"})""", TimeRange(0, H))
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(both == Seq(10.0))
+  }
+
   test("engine: step disagreeing with a range window is rejected on every path") {
     assertThrows[IllegalArgumentException](
       engine.queryPromQL("sum(rate(reqs[1h]))", TimeRange(0, H), stepMs = Some(1L)))
