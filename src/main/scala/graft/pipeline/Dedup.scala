@@ -208,14 +208,19 @@ object Dedup {
       val next = if (checkpointRound) step.localCheckpoint() else step.cache()
       if (idIsIntegral) {
         // labelSum is the round's one action: it materializes the cache (or
-        // reads the fresh checkpoint) and decides convergence in the same job.
+        // reads the fresh checkpoint) and decides convergence in the same
+        // job. Checking EVERY round beats amortized checking here — sparse
+        // checks run up to k-1 dead propagation rounds (full shuffles) past
+        // convergence, which measured slower than the per-round job launch
+        // they save.
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
       } else if (checkpointRound || iter + 1 == maxIter) {
-        // Amortized pointwise check; between checks no action runs, so the
-        // intermediate rounds fuse into this one job (lineage stays bounded
-        // by the checkpoint cadence).
+        // Amortized pointwise check (the join is too costly per round);
+        // between checks no action runs, so the intermediate rounds fuse
+        // into this one job. Sound by monotonicity: labels only decrease,
+        // so labels_i == labels_{i+k} implies no intermediate round changed.
         converged = changedCount(next, lastChecked) == 0L
         lastChecked = next
       }
