@@ -106,11 +106,16 @@ final case class MergeDedupExec(
 
   private def normalizedPks: Seq[Expression] = pkAttrs.map(normalized)
 
-  /** (pks, seq, values) ascending nulls-first — run grouping + in-run order.
-    * Pks enter normalized so the sort co-locates -0.0/0.0/NaN-variant keys
-    * exactly as the run-splitting byte compare will group them. */
+  /** (pks, seq, orderable values) ascending nulls-first — run grouping +
+    * in-run order. Pks enter normalized so the sort co-locates
+    * -0.0/0.0/NaN-variant keys exactly as the run-splitting byte compare
+    * will group them. Non-orderable value columns (maps) are excluded from
+    * the tiebreak — Spark cannot sort them; same-seq winners then tie-break
+    * on the orderable columns only, identically to MergeOps.dedupMerge. */
   private def fullOrdering: Seq[SortOrder] =
-    (normalizedPks ++ (seqAttr +: valueAttrs)).map(e => SortOrder(e, Ascending, NullsFirst, Seq.empty))
+    (normalizedPks ++ (seqAttr +: valueAttrs.filter(a =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType))))
+      .map(e => SortOrder(e, Ascending, NullsFirst, Seq.empty))
 
   /** The DISTRIBUTION must range-partition on the pk prefix ONLY: ranging
     * over (pks, __seq__, ...) would let a partition boundary fall between
@@ -145,11 +150,7 @@ final case class MergeDedupExec(
       case (a, i) if !pkNames.contains(a.name) && a.name != seqName &&
         (a.dataType.isInstanceOf[ArrayType] || a.dataType == BinaryType || a.dataType == StringType) => i
     }.toArray
-    val keyExprs = pkAttrs.map {
-      case a if a.dataType == FloatType || a.dataType == DoubleType =>
-        KnownFloatingPointNormalized(NormalizeNaNAndZero(a))
-      case a => a
-    }
+    val keyExprs = normalizedPks
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, out)
       val toUnsafe = UnsafeProjection.create(out, out)

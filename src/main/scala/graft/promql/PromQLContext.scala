@@ -122,16 +122,23 @@ final class PromQLContext(
           in.withColumn("value", when(cond, lit(1.0)).otherwise(lit(0.0)))
         else if (isCmp(op)) in.filter(cond)
         else in.withColumn("value", mapped)
+      // on()/ignoring() with a scalar literal operand is a user error
+      // (Prometheus rejects it at parse time) — never silently ignored
+      def rejectMatchingOnScalar(): Unit = matching.foreach(_ =>
+        throw new IllegalArgumentException(
+          "vector matching (on/ignoring/group_*) requires vector operands on both sides"))
       (lhs, rhs) match {
         case (NumLit(_), NumLit(_)) => throw new IllegalArgumentException(
           s"scalar-only expression: $lhs $op $rhs has no vector side")
         // vector ∘ scalar: arithmetic maps the value column; comparison
         // FILTERS rows (or maps to 0/1 under `bool`)
         case (v, NumLit(b)) =>
+          rejectMatchingOnScalar()
           val in = eval(v, stepMs, range)
           cmpOrMap(in, applyOp(op, col("value"), lit(b)),
             applyOp(op, col("value"), lit(b)))
         case (NumLit(a), v) =>
+          rejectMatchingOnScalar()
           val in = eval(v, stepMs, range)
           cmpOrMap(in, applyOp(op, lit(a), col("value")),
             applyOp(op, lit(a), col("value")))
@@ -145,6 +152,19 @@ final class PromQLContext(
         case (l, r) =>
           val lf = eval(l, stepMs, range)
           val rf = eval(r, stepMs, range)
+          // Operands at DIFFERENT time grains (raw ts_ms vs window
+          // bucket_ms) would join only on labels and pair rows across
+          // arbitrary timestamps — reject instead of silently multiplying.
+          // One side carrying NO time column (fully time-aggregated) is
+          // fine: joining a per-timestamp side against a per-range constant
+          // is the intended many-to-one shape.
+          val lTime = Seq("bucket_ms", "ts_ms").filter(lf.columns.contains)
+          val rTime = Seq("bucket_ms", "ts_ms").filter(rf.columns.contains)
+          if (lTime.nonEmpty && rTime.nonEmpty && lTime != rTime)
+            throw new IllegalArgumentException(
+              s"operands of '$op' carry different time grains " +
+                s"(${lTime.mkString(",")} vs ${rTime.mkString(",")}): " +
+                "bucket both sides to the same step/window first")
           val auto = lf.columns.filterNot(_ == "value")
             .intersect(rf.columns.filterNot(_ == "value")).toSeq
           val keys = matching match {
@@ -163,12 +183,6 @@ final class PromQLContext(
             case Some(vm) => auto.filterNot(vm.labels.contains)
             case None => auto
           }
-          if (keys.isEmpty &&
-              (lf.columns.length > 1 || rf.columns.length > 1) && matching.isEmpty)
-            throw new IllegalArgumentException(
-              s"operands of '$op' share no matching columns " +
-                s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")}): " +
-                "aggregate both sides to the same grouping first, or use on()/ignoring()")
           // group_left/group_right: the flagged side is the MANY side; its
           // full column set survives, and `include` copies extra labels from
           // the one side. Without a group modifier the result keeps only the
@@ -179,6 +193,22 @@ final class PromQLContext(
             case None => (lf, rf, "right")
           }
           val grouped = matching.exists(_.group.isDefined)
+          // An empty key set means a cross join — only sound when the sides
+          // it multiplies are single-row scalar shapes. Explicit on()/
+          // ignoring() that EMPTIES the key set gets the same guard: a
+          // silent labeled cartesian is never the user's intent.
+          if (keys.isEmpty) {
+            if (!grouped && (lf.columns.length > 1 || rf.columns.length > 1))
+              throw new IllegalArgumentException(
+                s"operands of '$op' share no matching columns " +
+                  s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")}): " +
+                  "aggregate both sides to the same grouping first, or use " +
+                  "on()/ignoring() with group_left/group_right")
+            if (grouped && one.columns.length > 1)
+              throw new IllegalArgumentException(
+                s"group_* with no matching keys requires a fully-aggregated " +
+                  s"(scalar) $oneSideName operand, got (${one.columns.mkString(",")})")
+          }
           val include = matching.map(_.include).getOrElse(Nil)
           include.foreach { lbl =>
             if (!one.columns.contains(lbl))
@@ -209,13 +239,15 @@ final class PromQLContext(
           if (isCmp(op) && bool)
             joined.select(outCols :+
               when(applyOp(op, a, b), lit(1.0)).otherwise(lit(0.0)).as("value"): _*)
-          else if (isCmp(op))
-            // comparison filter keeps the MANY side's rows (Prometheus
-            // keeps the left side; with group_right the left IS the one
-            // side, so rows surviving are still the left operand's shape)
-            joined.filter(applyOp(op, a, b))
-              .select(many.columns.map(col): _*)
-          else
+          else if (isCmp(op)) {
+            // comparison filter: surviving rows take the MANY side's
+            // identity (plus include labels) with the LEFT operand's value
+            // — Prometheus keeps the left value on the grouping side's
+            // labels (engine vectorElemBinop returns the lhs value)
+            val filtered = joined.filter(applyOp(op, a, b))
+            if (grouped) filtered.select(outCols :+ a.as("value"): _*)
+            else filtered.select(many.columns.map(col): _*)
+          } else
             joined.select(outCols :+ applyOp(op, a, b).as("value"): _*)
       }
 
@@ -379,9 +411,13 @@ final class PromQLContext(
   private def select(metric: String, matchers: Seq[LabelMatcher],
       offsetMs: Long, range: Option[TimeRange]): DataFrame = {
     var df = samples.filter(col(metricCol) === metric)
-    // the range applies on the QUERY timeline; the scan window shifts back
-    range.foreach(r =>
-      df = df.filter(tsMs >= r.start - offsetMs && tsMs < r.end - offsetMs))
+    // the range applies on the QUERY timeline; the scan window shifts back.
+    // Unbounded sentinels stay put — Long.MinValue - offset would wrap.
+    range.foreach { r =>
+      val lo = if (r.start == Long.MinValue) r.start else r.start - offsetMs
+      val hi = if (r.end == Long.MaxValue) r.end else r.end - offsetMs
+      df = df.filter(tsMs >= lo && tsMs < hi)
+    }
     matchers.foreach { m =>
       val c = col(labels.getOrElse(m.label,
         throw new IllegalArgumentException(s"unknown label '${m.label}'")))

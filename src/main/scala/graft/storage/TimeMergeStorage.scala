@@ -243,26 +243,39 @@ object MergeOps {
     mode match {
       case UpdateMode.Overwrite =>
         val packed = struct((valueCols :+ SeqCol).map(col): _*)
-        // Order by (seq, values): seq ties cannot occur ACROSS files (ids are
-        // unique, sst.rs:39-46) but CAN occur within one write batch — the
-        // value tiebreak makes the winner deterministic across runs and
-        // partitionings instead of partition-order-dependent.
-        val ordering = struct(col(SeqCol) +: valueCols.map(col): _*)
+        // Order by (seq, orderable values): seq ties cannot occur ACROSS
+        // files (ids are unique, sst.rs:39-46) but CAN occur within one
+        // write batch — the value tiebreak makes the winner deterministic
+        // across runs and partitionings instead of partition-order-
+        // dependent. Non-orderable columns (maps) stay in the payload but
+        // out of the ordering, matching MergeDedupExec's required ordering.
+        val ordering = struct(col(SeqCol) +: valueCols.filter(c =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(df.schema(c).dataType)).map(col): _*)
         df.groupBy(pks.map(col): _*)
           .agg(max_by(packed, ordering).as("__m__"))
           .select(pks.map(col) ++ (valueCols :+ SeqCol).map(c => col(s"__m__.$c").as(c)): _*)
       case UpdateMode.Append =>
-        // ONE sorted run per group, ordered by (seq, v1..vK) — the same full
-        // ordering MergeDedupExec sorts runs by, so the two paths agree even
-        // on same-seq duplicate pks (single-write-batch edge case): every
-        // concat column concatenates in the one shared row order, and
-        // first-row columns take the first row of that order. Null chunks
-        // are dropped before concatenation (the reference's Arrow
-        // BytesMergeOperator skips null buffers, operator.rs:69-89); a group
-        // whose chunks are ALL null merges to null, not an empty value.
+        // ONE sorted run per group, ordered by (seq, orderable v1..vK) — the
+        // same full ordering MergeDedupExec sorts runs by, so the two paths
+        // agree even on same-seq duplicate pks (single-write-batch edge
+        // case): every concat column concatenates in the one shared row
+        // order, and first-row columns take the first row of that order.
+        // The sort runs through an explicit comparator on the ORDERABLE
+        // columns only, so non-orderable payload columns (maps) ride along
+        // in the run without breaking the sort. Null chunks are dropped
+        // before concatenation (the reference's Arrow BytesMergeOperator
+        // skips null buffers, operator.rs:69-89); a group whose chunks are
+        // ALL null merges to null, not an empty value.
+        import org.apache.spark.sql.catalyst.expressions.RowOrdering
         val packed = struct((SeqCol +: valueCols).map(col): _*)
+        val sortCols = SeqCol +: valueCols.filter(c =>
+          RowOrdering.isOrderable(df.schema(c).dataType))
+        def key(x: Column) = struct(sortCols.map(n => x(n)): _*)
         val merged = df.groupBy(pks.map(col): _*)
-          .agg(array_sort(collect_list(packed)).as("__run__"))
+          .agg(array_sort(collect_list(packed), (l, r) =>
+            when(key(l) < key(r), lit(-1)).when(key(l) > key(r), lit(1))
+              .otherwise(lit(0))).as("__run__"))
         val first = col("__run__").getItem(0)
         val outCols = pks.map(col) ++ (valueCols.map { c =>
           def chunks = filter(transform(col("__run__"), x => x(c)), _.isNotNull)

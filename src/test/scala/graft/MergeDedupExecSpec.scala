@@ -170,6 +170,30 @@ class MergeDedupExecSpec extends AnyFunSuite {
     }
   }
 
+  test("map-typed value columns merge on both paths (excluded from the tiebreak)") {
+    val schemaM = StructType(Seq(
+      StructField("pk", IntegerType),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("s", StringType), StructField("__seq__", LongType)))
+    val rows = Seq(
+      Row(1, Map("a" -> 1L), "x", 1L), Row(1, Map("b" -> 2L), "y", 2L),
+      Row(2, Map.empty[String, Long], "z", 3L))
+    val in = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schemaM)
+    def canonM(r: Row) = (r.getInt(0), r.getMap[String, Long](1).toString,
+      r.getString(2), r.getLong(3))
+    for (mode <- Seq(UpdateMode.Overwrite, UpdateMode.Append)) {
+      val want = MergeOps.dedupMerge(in, Seq("pk"), Seq("m", "s"), mode)
+        .select("pk", "m", "s", "__seq__").collect().map(canonM).toSet
+      val got = MergeDedupOps.nativeDedupMerge(in, Seq("pk"), mode)
+        .select("pk", "m", "s", "__seq__").collect().map(canonM).toSet
+      assert(got == want, s"mode=$mode: got=$got want=$want")
+      if (mode == UpdateMode.Overwrite)
+        assert(want.map(t => (t._1, t._3, t._4)) == Set((1, "y", 2L), (2, "z", 3L)))
+      else // map takes the first (min-seq) row; string concats in seq order
+        assert(want.map(t => (t._1, t._3, t._4)) == Set((1, "xy", 1L), (2, "z", 3L)))
+    }
+  }
+
   test("null pks form their own run, matching the hash-agg merge") {
     val schemaN = StructType(Seq(
       StructField("pk", IntegerType), StructField("v", StringType),

@@ -429,6 +429,36 @@ class PromQLSpec extends AnyFunSuite {
       ctx.sql("sum by (host) (err) / on(zone) sum by (host) (req)").collect())
   }
 
+  test("context: match-shape guards — empty keys, time grains, scalar matching") {
+    val ctx = ctxOf(Seq(
+      Row("err", "a", "us", 0L, 1.0), Row("err", "b", "eu", 0L, 3.0),
+      Row("req", "a", "us", 0L, 10.0), Row("req", "b", "eu", 0L, 10.0)))
+    // ignoring() that EMPTIES the key set is a shape error, not a cartesian
+    assertThrows[IllegalArgumentException](
+      ctx.sql("sum by (host) (err) / ignoring(host) sum by (host) (req)").collect())
+    // group_* with no keys needs a fully-aggregated (scalar) one side
+    assertThrows[IllegalArgumentException](
+      ctx.sql("sum by (host) (err) / on() group_left sum by (host) (req)").collect())
+    // vector matching against a scalar literal is rejected, never ignored
+    assertThrows[IllegalArgumentException](ctx.sql("err / on(host) 2"))
+    // mixed time grains (window bucket vs raw timestamps) are rejected
+    assertThrows[IllegalArgumentException](
+      ctx.sql("delta(err[1h]) / on(host) group_left req").collect())
+    // grouped comparison: many side's labels (+include), LEFT operand's value
+    val gl = ctx.sql(
+      "sum by (host) (err) < on(host) group_left(dc) sum by (host, dc) (req)")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(gl == Map(("a", "us") -> 1.0, ("b", "eu") -> 3.0))
+  }
+
+  test("context: offset works over an unbounded range (no sentinel underflow)") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", H, 5.0)))
+    val got = ctx.sql("sum(cpu offset 1h)",
+      range = Some(TimeRange(Long.MinValue, Long.MaxValue))).collect()
+    assert(got.length == 1 && got.head.getDouble(0) == 6.0)
+  }
+
   test("context: without groups by the complement of the listed labels") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", "us", 0L, 2.0),
