@@ -89,34 +89,66 @@ object StreamAggregates {
         throw new IllegalArgumentException(
           "streaming PromQL supports 'by' grouping only - 'without' needs " +
             "the full label-key universe, which an unbounded stream cannot know")
-      case Agg(op, by, Selector(metric, matchers, _), _) =>
-        var rows = withEventTime(samples).filter(col("name") === metric)
-        matchers.foreach { m =>
-          rows = rows.filter(
-            PromQLContext.matcherPredicate(element_at(col("labels"), m.label), m))
+      // agg-over-*_over_time with step == window and a DECOMPOSABLE pair
+      // (agg of the window aggregate == one flat aggregate over the window:
+      // sum∘sum, min∘min, max∘max, sum∘count) collapses to a single
+      // stateful aggregation — the only shape one watermarked operator can
+      // express. Non-decomposable pairs (avg∘avg, last, rate) need chained
+      // stateful operators; those replay against storage.
+      case Agg(op, by, RangeFn(fn, Selector(metric, matchers, 0L), win), false)
+          if win == stepMs &&
+            ((op, fn) match {
+              case (MetricAgg.Sum, RangeF.SumOverTime) => true
+              case (MetricAgg.Min, RangeF.MinOverTime) => true
+              case (MetricAgg.Max, RangeF.MaxOverTime) => true
+              case (MetricAgg.Sum, RangeF.CountOverTime) => true
+              case _ => false
+            }) =>
+        val flat = (op, fn) match {
+          case (_, RangeF.CountOverTime) => count(lit(1)).cast("double")
+          case (MetricAgg.Sum, _) => sum(col("value"))
+          case (MetricAgg.Min, _) => min(col("value"))
+          case (_, _) => max(col("value"))
         }
-        // absent label -> "" (Prometheus semantics), matching the batch
-        // evaluators (PromQLContext/MetricEngine): raw element_at is null for
-        // a series missing the grouped label, which would split a null group
-        // off from the "" group and break streaming-vs-replay agreement.
-        val byCols = by.sorted.map(l =>
-          coalesce(element_at(col("labels"), l), lit("")).as(l))
-        val agg = (op match {
+        aggStream(metric, matchers, by, flat, stepMs, watermark, samples)
+      case Agg(op, by, Selector(metric, matchers, _), _) =>
+        val agg = op match {
           case MetricAgg.Sum => sum(col("value"))
           case MetricAgg.Min => min(col("value"))
           case MetricAgg.Max => max(col("value"))
           case MetricAgg.Avg => avg(col("value"))
           case MetricAgg.Count => count(lit(1)).cast("double")
-        }).as("value")
-        rows.withWatermark("ts_ts", watermark)
-          .groupBy(byCols :+ window(col("ts_ts"), s"$stepMs milliseconds").as("w"): _*)
-          .agg(agg)
-          .select(by.sorted.map(col) ++
-            Seq(unix_millis(col("w.start")).as("bucket_ms"), col("value")): _*)
+        }
+        aggStream(metric, matchers, by, agg, stepMs, watermark, samples)
       case other => throw new IllegalArgumentException(
-        s"streaming PromQL supports agg-over-selector shapes, got: $other " +
+        s"streaming PromQL supports agg-over-selector shapes (plus " +
+          s"decomposable agg-over-*_over_time at step == window), got: $other " +
           "(rate/increase/delta are storage-read queries - see PromQLContext)")
     }
+  }
+
+  /** One watermarked tumbling aggregation: matcher-filtered samples grouped
+    * by the coalesced by-labels and the step window. */
+  private def aggStream(metric: String, matchers: Seq[graft.promql.LabelMatcher],
+      by: Seq[String], agg: org.apache.spark.sql.Column, stepMs: Long,
+      watermark: String, samples: Dataset[Sample]): DataFrame = {
+    import graft.promql.PromQLContext
+    var rows = withEventTime(samples).filter(col("name") === metric)
+    matchers.foreach { m =>
+      rows = rows.filter(
+        PromQLContext.matcherPredicate(element_at(col("labels"), m.label), m))
+    }
+    // absent label -> "" (Prometheus semantics), matching the batch
+    // evaluators (PromQLContext/MetricEngine): raw element_at is null for
+    // a series missing the grouped label, which would split a null group
+    // off from the "" group and break streaming-vs-replay agreement.
+    val byCols = by.sorted.map(l =>
+      coalesce(element_at(col("labels"), l), lit("")).as(l))
+    rows.withWatermark("ts_ts", watermark)
+      .groupBy(byCols :+ window(col("ts_ts"), s"$stepMs milliseconds").as("w"): _*)
+      .agg(agg.as("value"))
+      .select(by.sorted.map(col) ++
+        Seq(unix_millis(col("w.start")).as("bucket_ms"), col("value")): _*)
   }
 
   /** Per-series live last value: (name, sorted labels) -> newest sample.

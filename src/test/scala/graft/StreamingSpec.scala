@@ -115,6 +115,48 @@ class StreamingSpec extends AnyFunSuite {
     val stream = MemoryStream[Sample]
     assertThrows[IllegalArgumentException](
       StreamAggregates.promqlStream(stream.toDS(), "sum(rate(cpu[5m]))", 60000L))
+    // non-decomposable over_time pair and mismatched step are also rejected
+    assertThrows[IllegalArgumentException](
+      StreamAggregates.promqlStream(stream.toDS(),
+        "avg(avg_over_time(cpu[1m]))", 60000L))
+    assertThrows[IllegalArgumentException](
+      StreamAggregates.promqlStream(stream.toDS(),
+        "sum(sum_over_time(cpu[5m]))", 60000L))
+  }
+
+  test("streaming decomposable agg-over-*_over_time == batch evaluation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    val step = 60000L
+    val text = "max by (host) (max_over_time(cpu_seconds_total[1m]))"
+    val q = StreamAggregates.promqlStream(stream.toDS(), text, stepMs = step,
+      watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("pql_ot").start()
+    val batch = Seq(
+      Sample("cpu_seconds_total", Map("host" -> "h0"), t0, 2.0),
+      Sample("cpu_seconds_total", Map("host" -> "h0"), t0 + 1000, 7.0),
+      Sample("cpu_seconds_total", Map("host" -> "h1"), t0 + 2000, 3.0))
+    try {
+      stream.addData(batch: _*)
+      q.processAllAvailable()
+      stream.addData(Sample("cpu_seconds_total", Map("host" -> "h0"),
+        t0 + 3600 * 1000L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT host, bucket_ms, value FROM pql_ot").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // replay the same text over the same samples through the batch evaluator
+    import org.apache.spark.sql.functions.{col, element_at}
+    val flat = batch.toDF()
+      .select(col("name"), element_at(col("labels"), "host").as("host"),
+        col("timestamp"), col("value"))
+    val replayed = new graft.promql.PromQLContext(flat, "name",
+      col("timestamp"), "value", Map("host" -> "host"))
+      .sql(text, stepMs = Some(step)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == replayed && streamed ==
+      Set(("h0", t0 - t0 % step, 7.0), ("h1", t0 - t0 % step, 3.0)))
   }
 
   test("mapGroupsWithState live last-value per series") {
