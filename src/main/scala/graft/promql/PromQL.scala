@@ -149,12 +149,14 @@ object PromQLParser {
     "max_over_time" -> RangeF.MaxOverTime, "sum_over_time" -> RangeF.SumOverTime,
     "count_over_time" -> RangeF.CountOverTime,
     "last_over_time" -> RangeF.LastOverTime)
-  /** Scalar vector functions: name → (min extra args, max extra args). */
+  /** Scalar vector functions: name → (min extra args, max extra args).
+    * `absent` and `timestamp` are shape functions evaluated specially. */
   private val ScalarFns = Map(
     "abs" -> (0, 0), "ceil" -> (0, 0), "floor" -> (0, 0), "sqrt" -> (0, 0),
     "exp" -> (0, 0), "ln" -> (0, 0), "log2" -> (0, 0), "log10" -> (0, 0),
-    "round" -> (0, 1), "clamp" -> (2, 2), "clamp_min" -> (1, 1),
-    "clamp_max" -> (1, 1))
+    "sgn" -> (0, 0), "round" -> (0, 1), "clamp" -> (2, 2),
+    "clamp_min" -> (1, 1), "clamp_max" -> (1, 1), "absent" -> (0, 0),
+    "timestamp" -> (0, 0))
   private val DurUnits = List( // longest-match first
     "ms" -> 1L, "w" -> 604800000L, "d" -> 86400000L, "h" -> 3600000L,
     "m" -> 60000L, "s" -> 1000L)

@@ -285,11 +285,30 @@ final class PromQLContext(
           else bucketed.groupBy(groupCols.map(col): _*).agg(agg)
       }
 
+    case FnCall("absent", child, _) =>
+      // one 1.0 row when the selection is EMPTY, else empty — the alerting
+      // primitive. A global count aggregate (one row either way), filtered;
+      // labels are not reconstructed from matchers (documented deviation).
+      eval(child, stepMs, range)
+        .agg(count(lit(1)).as("__n__"))
+        .filter(col("__n__") === 0)
+        .select(lit(1.0).as("value"))
+
+    case FnCall("timestamp", child, _) =>
+      // value := the sample's own timestamp in seconds
+      val in = eval(child, stepMs, range)
+      val tcol = Seq("ts_ms", "bucket_ms").find(in.columns.contains).getOrElse(
+        throw new IllegalArgumentException(
+          "timestamp() needs a per-sample or per-bucket time column " +
+            s"(got: ${in.columns.mkString(", ")})"))
+      in.withColumn("value", col(tcol).cast("double") / 1000.0)
+
     case FnCall(name, child, args) =>
       val in = eval(child, stepMs, range)
       val v = col("value")
       val mapped = name match {
         case "abs" => abs(v)
+        case "sgn" => signum(v)
         case "ceil" => ceil(v).cast("double")
         case "floor" => floor(v).cast("double")
         case "sqrt" => sqrt(v)

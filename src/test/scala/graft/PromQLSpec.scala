@@ -484,6 +484,21 @@ class PromQLSpec extends AnyFunSuite {
     assert(vals("clamp_max(cpu, 5)") == Map("a" -> 2.4, "b" -> -1.2, "c" -> 5.0))
   }
 
+  test("context: absent/sgn/timestamp shape and map functions") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 5000L, -2.5), Row("cpu", "b", "us", 6000L, 4.0)))
+    // absent: empty selection -> one 1.0 row; non-empty -> empty
+    val missing = ctx.sql("""absent(cpu{host="zzz"})""").collect()
+    assert(missing.length == 1 && missing.head.getDouble(0) == 1.0)
+    assert(ctx.sql("absent(cpu)").count() == 0)
+    val sgn = ctx.sql("sgn(cpu)").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(sgn == Map("a" -> -1.0, "b" -> 1.0))
+    val ts = ctx.sql("timestamp(cpu)").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(ts == Map("a" -> 5.0, "b" -> 6.0))
+  }
+
   test("context: histogram_quantile interpolates classic le buckets") {
     val schema = StructType(Seq(
       StructField("m", StringType), StructField("le", StringType),
