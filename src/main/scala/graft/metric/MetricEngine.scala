@@ -253,7 +253,10 @@ final class MetricEngine(spark: SparkSession, root: String,
         s"step ($st ms) must equal the range-function window ($w ms): " +
           "windowed functions define their own buckets")
     ast match {
-      case sel: Selector if eqFilters(sel).isDefined && sel.offsetMs == 0L =>
+      // metric == "" (bare {...} selector) always takes the general path —
+      // it selects across metrics resolved from __name__ matchers
+      case sel: Selector
+          if sel.metric.nonEmpty && eqFilters(sel).isDefined && sel.offsetMs == 0L =>
         // unknown metric → empty frame with the SELECTOR's schema, so
         // unions/projections behave the same as for a known metric
         val mid = metricIdOf(sel.metric).getOrElse(
@@ -267,13 +270,14 @@ final class MetricEngine(spark: SparkSession, root: String,
           .join(broadcast(lookupTsids(mid, eqFilters(sel).get)), Seq("tsid"), "left_semi")
           .select(col("tsid"), col("ts").as("ts_ms"), col("value"))
       case Agg(op, by, sel: Selector, false)
-          if by.length <= 1 && eqFilters(sel).isDefined && sel.offsetMs == 0L =>
+          if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
+            sel.offsetMs == 0L =>
         query(MetricQuery(sel.metric, eqFilters(sel).get, range, stepMs, op,
           by.headOption))
       case Agg(MetricAgg.Sum, by,
             RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win), false)
-          if by.length <= 1 && eqFilters(sel).isDefined && sel.offsetMs == 0L &&
-            stepMs.forall(_ == win) =>
+          if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
+            sel.offsetMs == 0L && stepMs.forall(_ == win) =>
         val inc = query(MetricQuery(sel.metric, eqFilters(sel).get, range,
           Some(win), MetricAgg.Sum, by.headOption, rate = true))
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
@@ -322,22 +326,6 @@ final class MetricEngine(spark: SparkSession, root: String,
       case HistogramQuantile(_, c) => hasWithout(c)
       case _ => false
     }
-    val (metrics, labelSet) = walk(expr)
-    val allKeys: Set[String] =
-      if (!hasWithout(expr)) Set.empty
-      else metrics.flatMap(m => metricIdOf(m).toSeq.flatMap { mid =>
-        tags.scan(ScanRequest(
-            predicates = Seq(col("metric_id") === mid),
-            projection = Some(Seq("tag_key"))))
-          .distinct().collect().map(_.getString(0)).toSeq
-      })
-    val labelCols = (labelSet ++ allKeys).toSeq.sorted
-    // Per-metric Eq-prefilter pruning: each selector's `=` matchers bound a
-    // superset of the series it can touch, so the union of those TSID sets
-    // over the metric's selectors is a sound semi-join prune of the data
-    // scan even when regex/negative matchers remain (they re-filter after
-    // the label join). A selector with no non-empty Eq matchers needs every
-    // series — skip the join for that metric.
     def selectors(e: Expr): Seq[Selector] = e match {
       case s: Selector => Seq(s)
       case RangeFn(_, s, _) => Seq(s)
@@ -348,6 +336,36 @@ final class MetricEngine(spark: SparkSession, root: String,
       case HistogramQuantile(_, c) => selectors(c)
       case NumLit(_) => Nil
     }
+    val selectorList = selectors(expr)
+    // A bare `{...}` selector resolves its metric set from the metrics
+    // dictionary (small) via its __name__ matchers; the data scan then
+    // unions the resolved metrics exactly like explicitly-named ones.
+    def resolveMetrics(sel: Selector): Set[String] =
+      if (sel.metric.nonEmpty) Set(sel.metric)
+      else {
+        var names = this.metrics.scan(ScanRequest(
+          projection = Some(Seq("metric_name")))).distinct()
+        sel.matchers.filter(_.label == "__name__").foreach(m =>
+          names = names.filter(
+            PromQLContext.matcherPredicate(col("metric_name"), m)))
+        names.collect().map(_.getString(0)).toSet
+      }
+    val resolved: Map[Selector, Set[String]] = selectorList.map(s => s -> resolveMetrics(s)).toMap
+    val metricNames: Set[String] = resolved.values.flatten.toSet
+    val (_, labelSetRaw) = walk(expr)
+    // __name__ binds to the frame's metric column, never to an index join
+    val labelSet = labelSetRaw - "__name__"
+    val nameReferenced = labelSetRaw.contains("__name__") ||
+      selectorList.exists(_.metric.isEmpty)
+    val allKeys: Set[String] =
+      if (!hasWithout(expr)) Set.empty
+      else metricNames.flatMap(m => metricIdOf(m).toSeq.flatMap { mid =>
+        tags.scan(ScanRequest(
+            predicates = Seq(col("metric_id") === mid),
+            projection = Some(Seq("tag_key"))))
+          .distinct().collect().map(_.getString(0)).toSeq
+      })
+    val labelCols = (labelSet ++ allKeys).toSeq.sorted
     // Index-side matcher pushdown for one selector: every `=` matcher and
     // every POSITIVE regex matcher whose pattern cannot match "" bounds a
     // superset of the touchable series via the (tag_value, tsid) index
@@ -357,6 +375,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     // absent labels, which the index cannot represent — never pruned on.
     def prunableTsids(mid: Long, sel: Selector): Option[DataFrame] = {
       val per = sel.matchers.flatMap {
+        // __name__ matchers are resolved at the metric level, not the index
+        case LabelMatcher("__name__", _, _) => None
         case LabelMatcher(l, MatchOp.Eq, v) if v.nonEmpty =>
           Some(index.scan(ScanRequest(predicates = Seq(
             col("metric_id") === mid, col("tag_key") === l, col("tag_value") === v)))
@@ -370,8 +390,9 @@ final class MetricEngine(spark: SparkSession, root: String,
       }
       per.reduceOption((a, b) => a.join(b, Seq("tsid"), "left_semi"))
     }
-    val byMetric = selectors(expr).groupBy(_.metric)
-    val frames = metrics.toSeq.sorted.flatMap { m =>
+    val byMetric: String => Seq[Selector] =
+      m => selectorList.filter(s => resolved(s).contains(m))
+    val frames = metricNames.toSeq.sorted.flatMap { m =>
       metricIdOf(m).map { mid =>
         // offset selectors read data BEFORE the query range — widen the
         // manifest prune by the largest offset on this metric (the
@@ -412,8 +433,12 @@ final class MetricEngine(spark: SparkSession, root: String,
           StructField("value", DoubleType)) ++
           labelCols.map(l => StructField(s"__lbl_$l", StringType))))
     }
-    new PromQLContext(samples, "__name__", col("ts"), "value",
-      labelCols.map(l => l -> s"__lbl_$l").toMap,
+    // __name__ rides as a first-class label binding (to the metric column
+    // itself) only when the query references it — grouping by (__name__)
+    // and multi-metric selection then work without an index join.
+    val labelMap = labelCols.map(l => l -> s"__lbl_$l").toMap ++
+      (if (nameReferenced) Map("__name__" -> "__name__") else Map.empty)
+    new PromQLContext(samples, "__name__", col("ts"), "value", labelMap,
       ordering = Seq(col("ts"), col("tsid")), seriesCols = Seq("tsid"))
   }
 }

@@ -488,9 +488,14 @@ object PromQLParser {
     }
 
     private def parseSelector(): Selector = {
-      val metric = next() match {
-        case TIdent(m, _) => m
-        case t => throw PromQLParseException("expected metric name", t.pos)
+      // bare `{...}` selector: metric comes from a __name__ matcher (or
+      // stays "" for multi-metric regex selection)
+      val metric = peek match {
+        case TPunct("{", _) => ""
+        case _ => next() match {
+          case TIdent(m, _) => m
+          case t => throw PromQLParseException("expected metric name", t.pos)
+        }
       }
       val matchers = peek match {
         case TPunct("{", _) =>
@@ -523,7 +528,21 @@ object PromQLParser {
           ms.result()
         case _ => Nil
       }
-      Selector(metric, matchers)
+      // canonicalize: an Eq __name__ matcher IS the metric name; other
+      // __name__ matcher ops stay as matchers (multi-metric selection)
+      val (nameEqs, rest) = matchers.partition(m =>
+        m.label == "__name__" && m.op == MatchOp.Eq)
+      (metric, nameEqs) match {
+        case ("", Seq(one)) => Selector(one.value, rest)
+        case ("", Nil) =>
+          if (rest.isEmpty) throw PromQLParseException(
+            "a selector needs a metric name or a __name__ matcher", peek.pos)
+          Selector("", rest)
+        case (m, Nil) => Selector(m, rest)
+        case _ => throw PromQLParseException(
+          "duplicate metric name (__name__ matcher plus a metric name, or " +
+            "two __name__= matchers)", peek.pos)
+      }
     }
   }
 }

@@ -429,7 +429,11 @@ final class PromQLContext(
 
   private def select(metric: String, matchers: Seq[LabelMatcher],
       offsetMs: Long, range: Option[TimeRange]): DataFrame = {
-    var df = samples.filter(col(metricCol) === metric)
+    // metric == "": multi-metric selection via __name__ matchers (bare
+    // `{...}` selector form); per-series ops stay safe when seriesCols (or
+    // a bound __name__ label) carry the metric identity.
+    var df = if (metric.isEmpty) samples
+      else samples.filter(col(metricCol) === metric)
     // the range applies on the QUERY timeline; the scan window shifts back.
     // Unbounded sentinels stay put — Long.MinValue - offset would wrap.
     range.foreach { r =>
@@ -438,8 +442,10 @@ final class PromQLContext(
       df = df.filter(tsMs >= lo && tsMs < hi)
     }
     matchers.foreach { m =>
-      val c = col(labels.getOrElse(m.label,
-        throw new IllegalArgumentException(s"unknown label '${m.label}'")))
+      // __name__ always addresses the metric column, bound or not
+      val c = if (m.label == "__name__") col(metricCol)
+        else col(labels.getOrElse(m.label,
+          throw new IllegalArgumentException(s"unknown label '${m.label}'")))
       df = df.filter(matcherPredicate(c, m))
     }
     df

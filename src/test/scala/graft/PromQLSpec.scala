@@ -357,6 +357,53 @@ class PromQLSpec extends AnyFunSuite {
     assert(share == Map("us" -> 1.0, "" -> 1.0))
   }
 
+  test("parser: bare {...} selectors canonicalize __name__ matchers") {
+    assert(PromQLParser.parse("""{__name__="cpu", host="a"}""") ==
+      Selector("cpu", Seq(LabelMatcher("host", MatchOp.Eq, "a"))))
+    assert(PromQLParser.parse("""{__name__=~"cpu|mem"}""") ==
+      Selector("", Seq(LabelMatcher("__name__", MatchOp.Re, "cpu|mem"))))
+    assert(PromQLParser.parse("""{host="a"}""") ==
+      Selector("", Seq(LabelMatcher("host", MatchOp.Eq, "a"))))
+    for (bad <- Seq("""cpu{__name__="mem"}""",
+        """{__name__="a", __name__="b"}""", "{}"))
+      assertThrows[PromQLParseException](PromQLParser.parse(bad))
+  }
+
+  test("context: multi-metric selection via __name__ matchers") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("mem", "a", "us", 0L, 10.0),
+      Row("disk", "a", "us", 0L, 100.0)))
+    val total = ctx.sql("""sum({__name__=~"cpu|mem"})""").collect()
+    assert(total.length == 1 && total.head.getDouble(0) == 11.0)
+    // canonicalized eq form selects exactly like the named form
+    val viaEq = ctx.sql("""{__name__="cpu"}""").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toSet
+    val named = ctx.sql("cpu").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toSet
+    assert(viaEq == named && named == Set(("a", 1.0)))
+    // {label-only} spans every metric
+    val all = ctx.sql("""sum({host="a"})""").collect()
+    assert(all.head.getDouble(0) == 111.0)
+  }
+
+  test("engine: multi-metric __name__ selection with by (__name__) grouping") {
+    val eng = new MetricEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-promql5").toString)
+    import spark.implicits._
+    eng.write(Seq(
+      Sample("cpu", Map("host" -> "h1"), 0L, 1.0),
+      Sample("cpu", Map("host" -> "h2"), 0L, 2.0),
+      Sample("mem", Map("host" -> "h1"), 0L, 10.0),
+      Sample("disk", Map("host" -> "h1"), 0L, 100.0)).toDF())
+    val byName = eng.queryPromQL("""sum by (__name__) ({__name__=~"cpu|mem"})""",
+      TimeRange(0, H)).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(byName == Map("cpu" -> 3.0, "mem" -> 10.0))
+    val regex = eng.queryPromQL("""sum({__name__=~"c.*"})""", TimeRange(0, H))
+      .collect().head.getDouble(0)
+    assert(regex == 3.0)
+  }
+
   test("context: offset re-stamps shifted data onto the query timeline") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", H, 5.0)))
