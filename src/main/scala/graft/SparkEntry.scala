@@ -74,6 +74,26 @@ object SparkEntry {
       })
     }
 
+  /** Events ingested once per JVM through the FULL metric engine (id
+    * population, the four meta tables, segmented data SSTs) so an oracle
+    * query can hash-check the entire ingest→index→PromQL pipeline. */
+  private val engineCache =
+    scala.collection.mutable.Map.empty[String, graft.metric.MetricEngine]
+
+  private def metricEngine(s: SparkSession, dir: String): graft.metric.MetricEngine =
+    engineCache.synchronized {
+      engineCache.getOrElseUpdate(dir, {
+        val eng = new graft.metric.MetricEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-events-engine").toString,
+          segmentMs = 7L * 86400000L)
+        eng.write(t(s, dir, "events").select(
+          col("event_type").as("name"),
+          map(lit("uid"), col("user_id").cast("string")).as("labels"),
+          tsMs.as("timestamp"), col("value")))
+        eng
+      })
+    }
+
   /** The events table bound to PromQL's data model: metric = event_type,
     * one label `uid` = user_id, ms timestamps, (ts, event_id) series order
     * for deterministic reset-aware rates (same tiebreak as rate1). */
@@ -256,6 +276,15 @@ object SparkEntry {
       promqlCtx(s, dir)
         .sql("clamp(sum without (uid) (purchase), 50, 500)",
           stepMs = Some(86400000L))
+        .withColumn("value", round(col("value"), 2))),
+
+    // Full engine end-to-end: events ingested through MetricEngine (xxhash
+    // ids, meta tables, segmented SSTs), then a PromQL text query served by
+    // the two-step index lookup — hash-checked against the raw-data oracle.
+    "m2_engine_e2e" -> ((s, dir) =>
+      metricEngine(s, dir)
+        .queryPromQL("sum by (uid) (purchase)",
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
         .withColumn("value", round(col("value"), 2))),
 
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
@@ -752,6 +781,11 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT p.uid, p.bucket_ms, round(p.v / w.v, 6) AS value
         |FROM p JOIN w USING (uid, bucket_ms)""".stripMargin,
+
+    "m2_engine_e2e" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY uid""".stripMargin,
 
     "p7_promql_offset" ->
       """SELECT user_id AS uid,
