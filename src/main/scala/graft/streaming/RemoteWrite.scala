@@ -18,32 +18,61 @@ import graft.metric.Sample
   * Zero dependencies: protobuf wire encoding is varints + length-delimited
   * records (the reference's pooled zero-copy parser is the same idea,
   * src/remote_write/src/pb_reader.rs:85-467 — JVM-side we parse straight to
-  * [[Sample]]s). Unknown fields are skipped, so v2 payload extensions
-  * (exemplars, metadata) pass through harmlessly.
+  * [[Sample]]s). The full request surface the reference parses — exemplars
+  * (TimeSeries field 3) and metric metadata (WriteRequest field 3,
+  * remote_write.proto:22-77) — decodes via [[decodeRequest]]; [[decode]]
+  * stays the samples-only fast path the ingest pipeline consumes.
   */
 object RemoteWrite {
 
   val NameLabel = "__name__"
 
-  def decode(bytes: Array[Byte]): Seq[Sample] = {
-    val out = mutable.ArrayBuffer.empty[Sample]
+  /** Exemplar attached to a series (proto Exemplar: labels/value/ts). */
+  final case class Exemplar(name: String, seriesLabels: Map[String, String],
+      labels: Map[String, String], value: Double, timestamp: Long)
+
+  /** MetricMetadata (proto field numbers 1/2/4/5; `metricType` is the raw
+    * enum ordinal — 1=counter, 2=gauge, ... as in prompb). */
+  final case class Metadata(metricType: Int, familyName: String,
+      help: String, unit: String)
+
+  final case class Request(samples: Seq[Sample], exemplars: Seq[Exemplar],
+      metadata: Seq[Metadata])
+
+  def decode(bytes: Array[Byte]): Seq[Sample] = decodeRequest(bytes).samples
+
+  /** Full WriteRequest decode: timeseries (labels + samples + exemplars)
+    * and metadata records. Unknown fields are skipped. */
+  def decodeRequest(bytes: Array[Byte]): Request = {
+    val samples = mutable.ArrayBuffer.empty[Sample]
+    val exemplars = mutable.ArrayBuffer.empty[Exemplar]
+    val metadata = mutable.ArrayBuffer.empty[Metadata]
     var pos = 0
     while (pos < bytes.length) {
       val (tag, p1) = varint(bytes, pos)
       pos = p1
-      if ((tag >> 3) == 1 && (tag & 7) == 2) { // timeseries
-        val (len, p2) = varint(bytes, pos)
-        out ++= decodeTimeSeries(bytes, p2, p2 + len.toInt)
-        pos = p2 + len.toInt
-      } else pos = skip(bytes, pos, (tag & 7).toInt)
+      (tag >> 3, tag & 7) match {
+        case (1, 2) => // timeseries
+          val (len, p2) = varint(bytes, pos)
+          decodeTimeSeries(bytes, p2, p2 + len.toInt, samples, exemplars)
+          pos = p2 + len.toInt
+        case (3, 2) => // metadata
+          val (len, p2) = varint(bytes, pos)
+          metadata += decodeMetadata(bytes, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case (_, wt) => pos = skip(bytes, pos, wt.toInt)
+      }
     }
-    out.toSeq
+    Request(samples.toSeq, exemplars.toSeq, metadata.toSeq)
   }
 
-  private def decodeTimeSeries(b: Array[Byte], start: Int, end: Int): Seq[Sample] = {
+  private def decodeTimeSeries(b: Array[Byte], start: Int, end: Int,
+      samplesOut: mutable.ArrayBuffer[Sample],
+      exemplarsOut: mutable.ArrayBuffer[Exemplar]): Unit = {
     var pos = start
     val labels = mutable.LinkedHashMap.empty[String, String]
     val samples = mutable.ArrayBuffer.empty[(Double, Long)]
+    val exemplars = mutable.ArrayBuffer.empty[(Map[String, String], Double, Long)]
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
       pos = p1
@@ -57,12 +86,65 @@ object RemoteWrite {
           val (len, p2) = varint(b, pos)
           samples += decodeSample(b, p2, p2 + len.toInt)
           pos = p2 + len.toInt
+        case (3, 2) => // exemplar
+          val (len, p2) = varint(b, pos)
+          exemplars += decodeExemplar(b, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
     val name = labels.getOrElse(NameLabel, "")
     val rest = (labels - NameLabel).toMap
-    samples.map { case (v, ts) => Sample(name, rest, ts, v) }.toSeq
+    samplesOut ++= samples.map { case (v, ts) => Sample(name, rest, ts, v) }
+    exemplarsOut ++= exemplars.map { case (ls, v, ts) =>
+      Exemplar(name, rest, ls, v, ts) }
+  }
+
+  private def decodeExemplar(b: Array[Byte], start: Int,
+      end: Int): (Map[String, String], Double, Long) = {
+    var pos = start
+    val labels = mutable.LinkedHashMap.empty[String, String]
+    var value = 0.0
+    var ts = 0L
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = varint(b, pos)
+          val (n, v) = decodeLabel(b, p2, p2 + len.toInt)
+          labels(n) = v
+          pos = p2 + len.toInt
+        case (2, 1) =>
+          value = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
+        case (3, 0) =>
+          val (t, p2) = varint(b, pos); ts = t; pos = p2
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    (labels.toMap, value, ts)
+  }
+
+  private def decodeMetadata(b: Array[Byte], start: Int, end: Int): Metadata = {
+    var pos = start
+    var tpe = 0
+    var family = ""
+    var help = ""
+    var unit = ""
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 0) => val (t, p2) = varint(b, pos); tpe = t.toInt; pos = p2
+        case (f, 2) if f == 2 || f == 4 || f == 5 =>
+          val (len, p2) = varint(b, pos)
+          val s = new String(b, p2, len.toInt, "UTF-8")
+          if (f == 2) family = s else if (f == 4) help = s else unit = s
+          pos = p2 + len.toInt
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    Metadata(tpe, family, help, unit)
   }
 
   private def decodeLabel(b: Array[Byte], start: Int, end: Int): (String, String) = {
@@ -129,26 +211,58 @@ object RemoteWrite {
   // Minimal writer for tests and the soak harness (differential fixture
   // analog of the reference's equivalence_test.rs).
 
-  def encode(samples: Seq[Sample]): Array[Byte] = {
+  def encode(samples: Seq[Sample]): Array[Byte] =
+    encodeRequest(Request(samples, Nil, Nil))
+
+  def encodeRequest(req: Request): Array[Byte] = {
     val out = mutable.ArrayBuffer.empty[Byte]
-    samples.groupBy(s => (s.name, s.labels)).foreach { case ((name, labels), group) =>
+    val exBySeries = req.exemplars.groupBy(e => (e.name, e.seriesLabels))
+    val seriesKeys = (req.samples.map(s => (s.name, s.labels)) ++
+      exBySeries.keys).distinct
+    val byKey = req.samples.groupBy(s => (s.name, s.labels))
+    seriesKeys.foreach { case key @ (name, labels) =>
       val ts = mutable.ArrayBuffer.empty[Byte]
       (Seq(NameLabel -> name) ++ labels.toSeq.sortBy(_._1)).foreach { case (k, v) =>
         val lbl = lenDelim(1, k.getBytes("UTF-8")) ++ lenDelim(2, v.getBytes("UTF-8"))
         ts ++= lenDelim(1, lbl.toArray)
       }
-      group.foreach { s =>
+      byKey.getOrElse(key, Nil).foreach { s =>
         val sm = mutable.ArrayBuffer.empty[Byte]
         sm += ((1 << 3) | 1).toByte
-        val bits = java.lang.Double.doubleToLongBits(s.value)
-        for (i <- 0 until 8) sm += ((bits >> (8 * i)) & 0xff).toByte
+        sm ++= fixed64Bytes(s.value)
         sm += ((2 << 3) | 0).toByte
         sm ++= writeVarint(s.timestamp)
         ts ++= lenDelim(2, sm.toArray)
       }
+      exBySeries.getOrElse(key, Nil).foreach { e =>
+        val ex = mutable.ArrayBuffer.empty[Byte]
+        e.labels.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val lbl = lenDelim(1, k.getBytes("UTF-8")) ++ lenDelim(2, v.getBytes("UTF-8"))
+          ex ++= lenDelim(1, lbl.toArray)
+        }
+        ex += ((2 << 3) | 1).toByte
+        ex ++= fixed64Bytes(e.value)
+        ex += ((3 << 3) | 0).toByte
+        ex ++= writeVarint(e.timestamp)
+        ts ++= lenDelim(3, ex.toArray)
+      }
       out ++= lenDelim(1, ts.toArray)
     }
+    req.metadata.foreach { m =>
+      val md = mutable.ArrayBuffer.empty[Byte]
+      md += ((1 << 3) | 0).toByte
+      md ++= writeVarint(m.metricType.toLong)
+      md ++= lenDelim(2, m.familyName.getBytes("UTF-8"))
+      md ++= lenDelim(4, m.help.getBytes("UTF-8"))
+      md ++= lenDelim(5, m.unit.getBytes("UTF-8"))
+      out ++= lenDelim(3, md.toArray)
+    }
     out.toArray
+  }
+
+  private def fixed64Bytes(d: Double): Seq[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    (0 until 8).map(i => ((bits >> (8 * i)) & 0xff).toByte)
   }
 
   private def lenDelim(field: Int, payload: Array[Byte]): mutable.ArrayBuffer[Byte] = {

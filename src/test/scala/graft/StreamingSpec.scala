@@ -109,6 +109,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("user", 2.0), ("", 7.0)), rows)
   }
 
+  test("remote-write exemplars and metadata round-trip; decode() ignores them") {
+    import graft.streaming.RemoteWrite
+    import graft.streaming.RemoteWrite.{Exemplar, Metadata, Request}
+    val samples = Seq(
+      Sample("http_requests_total", Map("code" -> "200"), 1000L, 5.0),
+      Sample("http_requests_total", Map("code" -> "200"), 2000L, 7.0))
+    val exemplars = Seq(
+      Exemplar("http_requests_total", Map("code" -> "200"),
+        Map("trace_id" -> "abc123"), 0.25, 1500L),
+      // exemplar on a series with NO samples in this request
+      Exemplar("http_latency", Map("path" -> "/x"),
+        Map("span_id" -> "s1"), 1.5, 1700L))
+    val metadata = Seq(Metadata(1, "http_requests_total", "requests", "1"))
+    val bytes = RemoteWrite.encodeRequest(Request(samples, exemplars, metadata))
+    val got = RemoteWrite.decodeRequest(bytes)
+    assert(got.samples.toSet == samples.toSet)
+    assert(got.exemplars.toSet == exemplars.toSet)
+    assert(got.metadata == metadata)
+    // the ingest fast path still reads the same samples, skipping the rest
+    assert(RemoteWrite.decode(bytes).toSet == samples.toSet)
+  }
+
   test("streaming PromQL rejects range-function shapes toward the batch path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
