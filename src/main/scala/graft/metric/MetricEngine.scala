@@ -269,15 +269,18 @@ final class MetricEngine(spark: SparkSession, root: String,
             predicates = Seq(col("metric_id") === mid)))
           .join(broadcast(lookupTsids(mid, eqFilters(sel).get)), Seq("tsid"), "left_semi")
           .select(col("tsid"), col("ts").as("ts_ms"), col("value"))
+      // by (__name__) must take the general path — the fast path's index
+      // join has no __name__ tag and would label the group "" silently
       case Agg(op, by, sel: Selector, false)
           if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
-            sel.offsetMs == 0L =>
+            sel.offsetMs == 0L && !by.contains("__name__") =>
         query(MetricQuery(sel.metric, eqFilters(sel).get, range, stepMs, op,
           by.headOption))
       case Agg(MetricAgg.Sum, by,
             RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win), false)
           if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
-            sel.offsetMs == 0L && stepMs.forall(_ == win) =>
+            sel.offsetMs == 0L && stepMs.forall(_ == win) &&
+            !by.contains("__name__") =>
         val inc = query(MetricQuery(sel.metric, eqFilters(sel).get, range,
           Some(win), MetricAgg.Sum, by.headOption, rate = true))
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))

@@ -73,10 +73,17 @@ final class PromQLContext(
       val ts = shifted(sel.offsetMs)
       val ord = if (ordering.nonEmpty) ordering else Seq(tsMs)
       val bucket = (floor(ts / lit(windowMs)).cast("long") * windowMs).as("bucket_ms")
-      // series identity = extra identity cols + every label column
-      val seriesPart = seriesCols.map(col) ++ labels.values.toSeq.map(col)
+      // series identity = metric + extra identity cols + every label column.
+      // metricCol matters for bare {...} multi-metric selectors with no
+      // seriesCols: without it, distinct metrics sharing label values would
+      // fuse into one pseudo-series (garbage deltas). It groups but is not
+      // projected (Prometheus drops __name__ from range-fn output); for
+      // named selectors it is constant, so the groups are unchanged.
+      val metricKey = // skip when a bound label already carries the metric col
+        if (labels.values.toSeq.contains(metricCol)) Nil else Seq(col(metricCol))
+      val seriesPart = metricKey ++ seriesCols.map(col) ++ labels.values.toSeq.map(col)
       val groupKeys = labelOut.map(l => col(labels(l)).as(l)) ++
-        seriesCols.map(col) :+ bucket
+        seriesCols.map(col) ++ metricKey :+ bucket
       val outCols = labelOut.map(col) ++ seriesCols.map(col) :+ col("bucket_ms")
       fn match {
         case RangeF.Rate | RangeF.Increase =>
@@ -286,13 +293,29 @@ final class PromQLContext(
       }
 
     case FnCall("absent", child, _) =>
-      // one 1.0 row when the selection is EMPTY, else empty — the alerting
-      // primitive. A global count aggregate (one row either way), filtered;
-      // labels are not reconstructed from matchers (documented deviation).
-      eval(child, stepMs, range)
-        .agg(count(lit(1)).as("__n__"))
-        .filter(col("__n__") === 0)
-        .select(lit(1.0).as("value"))
+      // the alerting primitive: 1.0 where the selection is EMPTY. Unstepped:
+      // a global count aggregate (one row either way), filtered. Stepped:
+      // one row per step bucket of the (bounded) range with no samples —
+      // an anti-join of the step grid against the observed buckets. Labels
+      // are not reconstructed from matchers (documented deviation).
+      val in = eval(child, stepMs, range)
+      stepMs match {
+        case Some(st) =>
+          val r = range.filter(r =>
+            r.start != Long.MinValue && r.end != Long.MaxValue).getOrElse(
+            throw new IllegalArgumentException(
+              "absent() with a step needs an explicit bounded range"))
+          val lo = math.floorDiv(r.start, st) * st
+          val hi = math.floorDiv(r.end - 1, st) * st
+          val grid = samples.sparkSession.range(lo, hi + 1, st).toDF("bucket_ms")
+          val present = withStepBucket(in, stepMs).select("bucket_ms").distinct()
+          grid.join(present, Seq("bucket_ms"), "left_anti")
+            .withColumn("value", lit(1.0))
+        case None =>
+          in.agg(count(lit(1)).as("__n__"))
+            .filter(col("__n__") === 0)
+            .select(lit(1.0).as("value"))
+      }
 
     case FnCall("timestamp", child, _) =>
       // value := the sample's own timestamp in seconds
@@ -374,9 +397,15 @@ final class PromQLContext(
     case Agg(op, by, child, without) =>
       by.find(l => !labels.contains(l)).foreach(l =>
         throw new IllegalArgumentException(
-          s"unknown grouping label '$l' (known: ${labels.keys.toSeq.sorted.mkString(", ")})"))
-      // `without (l...)` inverts: group by every known label except these
-      val effBy = if (without) labels.keys.toSeq.filterNot(by.contains) else by
+          if (l == "__name__")
+            "group by (__name__) needs \"__name__\" bound to the metric " +
+              "column in the labels map (the engine tier binds it automatically)"
+          else s"unknown grouping label '$l' (known: ${labels.keys.toSeq.sorted.mkString(", ")})"))
+      // `without (l...)` inverts: group by every known label except these.
+      // __name__ is ALWAYS dropped under without (Prometheus aggregations
+      // strip the metric name), even when it is bound as a label.
+      val effBy = if (without) labels.keys.toSeq.filterNot(by.contains)
+        .filterNot(_ == "__name__") else by
       // a stepped agg over a raw selector buckets ts_ms; over a range fn the
       // child's window bucket stands (re-bucketing would mix window sums)
       val in = withStepBucket(eval(child, stepMs, range), stepMs)
@@ -393,9 +422,11 @@ final class PromQLContext(
   }
 
   /** Epoch-aligned step bucket over `ts_ms`, unless the frame already
-    * carries window buckets (range functions own their buckets). */
+    * carries window buckets (range functions own their buckets) or has no
+    * time column at all (fully-aggregated / shape-fn outputs pass through). */
   private def withStepBucket(in: DataFrame, stepMs: Option[Long]): DataFrame =
-    if (in.columns.contains("bucket_ms") || stepMs.isEmpty) in
+    if (in.columns.contains("bucket_ms") || stepMs.isEmpty ||
+        !in.columns.contains("ts_ms")) in
     else in.withColumn("bucket_ms",
       floor(col("ts_ms") / lit(stepMs.get)).cast("long") * stepMs.get)
 

@@ -39,11 +39,18 @@ object RemoteWrite {
   final case class Request(samples: Seq[Sample], exemplars: Seq[Exemplar],
       metadata: Seq[Metadata])
 
-  def decode(bytes: Array[Byte]): Seq[Sample] = decodeRequest(bytes).samples
+  /** Samples-only fast path for the ingest pipeline: exemplar and metadata
+    * bodies are SKIPPED at the wire level (zero allocation for them), as
+    * before the full-request decode existed. */
+  def decode(bytes: Array[Byte]): Seq[Sample] =
+    decodeImpl(bytes, collectExtras = false).samples
 
   /** Full WriteRequest decode: timeseries (labels + samples + exemplars)
     * and metadata records. Unknown fields are skipped. */
-  def decodeRequest(bytes: Array[Byte]): Request = {
+  def decodeRequest(bytes: Array[Byte]): Request =
+    decodeImpl(bytes, collectExtras = true)
+
+  private def decodeImpl(bytes: Array[Byte], collectExtras: Boolean): Request = {
     val samples = mutable.ArrayBuffer.empty[Sample]
     val exemplars = mutable.ArrayBuffer.empty[Exemplar]
     val metadata = mutable.ArrayBuffer.empty[Metadata]
@@ -54,9 +61,10 @@ object RemoteWrite {
       (tag >> 3, tag & 7) match {
         case (1, 2) => // timeseries
           val (len, p2) = varint(bytes, pos)
-          decodeTimeSeries(bytes, p2, p2 + len.toInt, samples, exemplars)
+          decodeTimeSeries(bytes, p2, p2 + len.toInt, samples,
+            if (collectExtras) Some(exemplars) else None)
           pos = p2 + len.toInt
-        case (3, 2) => // metadata
+        case (3, 2) if collectExtras => // metadata
           val (len, p2) = varint(bytes, pos)
           metadata += decodeMetadata(bytes, p2, p2 + len.toInt)
           pos = p2 + len.toInt
@@ -68,7 +76,7 @@ object RemoteWrite {
 
   private def decodeTimeSeries(b: Array[Byte], start: Int, end: Int,
       samplesOut: mutable.ArrayBuffer[Sample],
-      exemplarsOut: mutable.ArrayBuffer[Exemplar]): Unit = {
+      exemplarsOut: Option[mutable.ArrayBuffer[Exemplar]]): Unit = {
     var pos = start
     val labels = mutable.LinkedHashMap.empty[String, String]
     val samples = mutable.ArrayBuffer.empty[(Double, Long)]
@@ -86,9 +94,10 @@ object RemoteWrite {
           val (len, p2) = varint(b, pos)
           samples += decodeSample(b, p2, p2 + len.toInt)
           pos = p2 + len.toInt
-        case (3, 2) => // exemplar
+        case (3, 2) => // exemplar — parsed only for the full-request path
           val (len, p2) = varint(b, pos)
-          exemplars += decodeExemplar(b, p2, p2 + len.toInt)
+          if (exemplarsOut.isDefined)
+            exemplars += decodeExemplar(b, p2, p2 + len.toInt)
           pos = p2 + len.toInt
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
@@ -96,8 +105,8 @@ object RemoteWrite {
     val name = labels.getOrElse(NameLabel, "")
     val rest = (labels - NameLabel).toMap
     samplesOut ++= samples.map { case (v, ts) => Sample(name, rest, ts, v) }
-    exemplarsOut ++= exemplars.map { case (ls, v, ts) =>
-      Exemplar(name, rest, ls, v, ts) }
+    exemplarsOut.foreach(_ ++= exemplars.map { case (ls, v, ts) =>
+      Exemplar(name, rest, ls, v, ts) })
   }
 
   private def decodeExemplar(b: Array[Byte], start: Int,

@@ -128,22 +128,27 @@ object StreamAggregates {
   }
 
   /** One watermarked tumbling aggregation: matcher-filtered samples grouped
-    * by the coalesced by-labels and the step window. */
+    * by the coalesced by-labels and the step window. `metric == ""` (bare
+    * `{...}` selector) spans every metric; `__name__` matchers and
+    * groupings address the stream's name column, matching the batch tiers. */
   private def aggStream(metric: String, matchers: Seq[graft.promql.LabelMatcher],
       by: Seq[String], agg: org.apache.spark.sql.Column, stepMs: Long,
       watermark: String, samples: Dataset[Sample]): DataFrame = {
     import graft.promql.PromQLContext
-    var rows = withEventTime(samples).filter(col("name") === metric)
+    var rows = withEventTime(samples)
+    if (metric.nonEmpty) rows = rows.filter(col("name") === metric)
     matchers.foreach { m =>
-      rows = rows.filter(
-        PromQLContext.matcherPredicate(element_at(col("labels"), m.label), m))
+      val c = if (m.label == "__name__") col("name")
+        else element_at(col("labels"), m.label)
+      rows = rows.filter(PromQLContext.matcherPredicate(c, m))
     }
     // absent label -> "" (Prometheus semantics), matching the batch
     // evaluators (PromQLContext/MetricEngine): raw element_at is null for
     // a series missing the grouped label, which would split a null group
     // off from the "" group and break streaming-vs-replay agreement.
     val byCols = by.sorted.map(l =>
-      coalesce(element_at(col("labels"), l), lit("")).as(l))
+      if (l == "__name__") col("name").as(l)
+      else coalesce(element_at(col("labels"), l), lit("")).as(l))
     rows.withWatermark("ts_ts", watermark)
       .groupBy(byCols :+ window(col("ts_ts"), s"$stepMs milliseconds").as("w"): _*)
       .agg(agg.as("value"))

@@ -402,6 +402,36 @@ class PromQLSpec extends AnyFunSuite {
     val regex = eng.queryPromQL("""sum({__name__=~"c.*"})""", TimeRange(0, H))
       .collect().head.getDouble(0)
     assert(regex == 3.0)
+    // by (__name__) on a NAMED all-eq selector must not take the fast path
+    // (whose index join has no __name__ tag and would emit a "" group)
+    val named = eng.queryPromQL("sum by (__name__) (cpu)", TimeRange(0, H))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(named == Map("cpu" -> 3.0))
+    // without always drops __name__: cpu+mem aggregate together
+    val wo = eng.queryPromQL("""sum without (host) ({__name__=~"cpu|mem"})""",
+      TimeRange(0, H)).collect()
+    assert(wo.length == 1 && wo.head.getAs[Double]("value") == 13.0)
+  }
+
+  test("context: multi-metric range fns keep metric identity; stepped absent") {
+    // cpu and mem share host "a": increase must NOT fuse them into one series
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 0.0), Row("cpu", "a", "us", 1000L, 5.0),
+      Row("mem", "a", "us", 500L, 100.0), Row("mem", "a", "us", 1500L, 110.0)))
+    val inc = ctx.sql("""increase({__name__=~"cpu|mem"}[1h])""").collect()
+      .map(r => r.getDouble(3)).toSeq.sorted
+    assert(inc == Seq(5.0, 10.0), s"got $inc") // fused would give garbage resets
+    // stepped absent: one 1.0 row per EMPTY step bucket of the range
+    val ab = ctx.sql("""absent(cpu{host="zzz"})""", stepMs = Some(1000L),
+      range = Some(TimeRange(0L, 3000L))).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(ab == Set((0L, 1.0), (1000L, 1.0), (2000L, 1.0)))
+    val partial = ctx.sql("absent(cpu)", stepMs = Some(1000L),
+      range = Some(TimeRange(0L, 3000L))).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(partial == Set(2000L)) // cpu present in buckets 0 and 1000 only
+    assertThrows[IllegalArgumentException](
+      ctx.sql("absent(cpu)", stepMs = Some(1000L)))
   }
 
   test("context: offset re-stamps shifted data onto the query timeline") {
