@@ -278,6 +278,20 @@ object SparkEntry {
           stepMs = Some(86400000L))
         .withColumn("value", round(col("value"), 2))),
 
+    // PromQL stddev aggregation (population, Prometheus semantics) per
+    // user-day.
+    "p12_promql_stddev" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""stddev by (uid) (purchase{uid=~"[1-2][0-9]"})""",
+          stepMs = Some(86400000L))
+        .withColumn("value", round(col("value"), 4))),
+
+    // PromQL count_values: distribution of floored purchase values per day
+    // (the stringified value becomes a new label).
+    "p13_promql_countvalues" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""count_values("v", floor(purchase))""", stepMs = Some(86400000L))),
+
     // Full engine end-to-end: events ingested through MetricEngine (xxhash
     // ids, meta tables, segmented SSTs), then a PromQL text query served by
     // the two-step index lookup — hash-checked against the raw-data oracle.
@@ -786,6 +800,25 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY uid""".stripMargin,
+
+    "p12_promql_stddev" ->
+      """SELECT user_id AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  round(stddev_pop(value), 4) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[1-2][0-9]')
+        |GROUP BY uid, bucket_ms""".stripMargin,
+
+    "p13_promql_countvalues" ->
+      """SELECT
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  CAST(floor(value) AS VARCHAR) AS v,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY bucket_ms, v""".stripMargin,
 
     "p7_promql_offset" ->
       """SELECT user_id AS uid,

@@ -21,6 +21,11 @@ object MetricAgg {
   case object Max extends MetricAgg
   case object Avg extends MetricAgg
   case object Count extends MetricAgg
+  /** Population stddev/variance (Prometheus stddev/stdvar). */
+  case object Stddev extends MetricAgg
+  case object Stdvar extends MetricAgg
+  /** Prometheus `group`: 1.0 per group. */
+  case object Group extends MetricAgg
 }
 
 /** PromQL-shaped query: instant/range selection + label filters + optional
@@ -193,6 +198,9 @@ final class MetricEngine(spark: SparkSession, root: String,
       case MetricAgg.Max => max(col("value"))
       case MetricAgg.Avg => avg(col("value"))
       case MetricAgg.Count => count(lit(1)).cast("double")
+      case MetricAgg.Stddev => stddev_pop(col("value"))
+      case MetricAgg.Stdvar => var_pop(col("value"))
+      case MetricAgg.Group => max(lit(1.0))
     }
     if (keys.isEmpty) rows.agg(valueAgg.as("value"))
     else rows.groupBy(keys: _*).agg(valueAgg.as("value"))
@@ -243,6 +251,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case RangeFn(_, _, w) => Seq(w)
       case Agg(_, _, c, _) => windows(c)
       case ParamAgg(_, _, _, c) => windows(c)
+      case CountValues(_, _, c) => windows(c)
       case BinOp(_, a, b, _, _) => windows(a) ++ windows(b)
       case FnCall(_, c, _) => windows(c)
       case HistogramQuantile(_, c) => windows(c)
@@ -310,6 +319,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case RangeFn(_, sel, _) => walk(sel)
       case Agg(_, by, c, _) => val (m, l) = walk(c); (m, l ++ by)
       case ParamAgg(_, _, by, c) => val (m, l) = walk(c); (m, l ++ by)
+      case CountValues(_, by, c) => val (m, l) = walk(c); (m, l ++ by)
       case BinOp(_, a, b, _, matching) =>
         val (m1, l1) = walk(a); val (m2, l2) = walk(b)
         (m1 ++ m2, l1 ++ l2 ++
@@ -324,6 +334,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     def hasWithout(e: Expr): Boolean = e match {
       case Agg(_, _, c, w) => w || hasWithout(c)
       case ParamAgg(_, _, _, c) => hasWithout(c)
+      case CountValues(_, _, c) => hasWithout(c)
       case BinOp(_, a, b, _, _) => hasWithout(a) || hasWithout(b)
       case FnCall(_, c, _) => hasWithout(c)
       case HistogramQuantile(_, c) => hasWithout(c)
@@ -334,6 +345,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case RangeFn(_, s, _) => Seq(s)
       case Agg(_, _, c, _) => selectors(c)
       case ParamAgg(_, _, _, c) => selectors(c)
+      case CountValues(_, _, c) => selectors(c)
       case BinOp(_, a, b, _, _) => selectors(a) ++ selectors(b)
       case FnCall(_, c, _) => selectors(c)
       case HistogramQuantile(_, c) => selectors(c)

@@ -90,6 +90,11 @@ object ParamOp {
 final case class ParamAgg(op: ParamOp, param: Double, by: Seq[String],
     child: Expr) extends Expr
 
+/** `count_values("label", expr)` — samples counted per distinct value,
+  * the stringified value emitted as a NEW label named `label`. */
+final case class CountValues(label: String, by: Seq[String], child: Expr)
+  extends Expr
+
 /** Scalar literal in a binary expression (`cpu * 100`, `2 * cpu`). */
 final case class NumLit(value: Double) extends Expr
 
@@ -139,7 +144,9 @@ object PromQLParser {
 
   private val AggOps = Map(
     "sum" -> MetricAgg.Sum, "min" -> MetricAgg.Min, "max" -> MetricAgg.Max,
-    "avg" -> MetricAgg.Avg, "count" -> MetricAgg.Count)
+    "avg" -> MetricAgg.Avg, "count" -> MetricAgg.Count,
+    "stddev" -> MetricAgg.Stddev, "stdvar" -> MetricAgg.Stdvar,
+    "group" -> MetricAgg.Group)
   private val ParamOps = Map(
     "topk" -> ParamOp.TopK, "bottomk" -> ParamOp.BottomK,
     "quantile" -> ParamOp.Quantile)
@@ -351,6 +358,7 @@ object PromQLParser {
       // by '(' or 'by'/'without' — `sum{...}` stays a metric named "sum"
       case TIdent(name, _) if AggOps.contains(name) && startsAgg => parseAgg()
       case TIdent(name, _) if ParamOps.contains(name) && startsAgg => parseParamAgg()
+      case TIdent("count_values", _) if startsAgg => parseCountValues()
       case TIdent("histogram_quantile", _) if nextIsParen => parseHistQ()
       case TIdent(name, _) if ScalarFns.contains(name) && nextIsParen =>
         parseFnCall()
@@ -447,6 +455,25 @@ object PromQLParser {
       if (op != ParamOp.Quantile && (param < 1 || param != math.floor(param)))
         fail(s"$name parameter must be a positive integer, got $param")
       ParamAgg(op, param, labels, child)
+    }
+
+    private def parseCountValues(): Expr = {
+      next()
+      val byBefore = parseByOpt()
+      expect("(")
+      val lbl = next() match {
+        case TStr(s, _) => s
+        case t => throw PromQLParseException(
+          "count_values requires a quoted label name, e.g. count_values(\"v\", ...)", t.pos)
+      }
+      expect(",")
+      val child = parseExpr()
+      expect(")")
+      val byAfter = parseByOpt()
+      if (byBefore.isDefined && byAfter.isDefined) fail("duplicate grouping clause")
+      val (labels, without) = byBefore.orElse(byAfter).getOrElse((Nil, false))
+      if (without) fail("'without' grouping is not supported for count_values — list the labels with 'by'")
+      CountValues(lbl, labels, child)
     }
 
     /** `by (l, ...)` → (labels, false); `without (l, ...)` → (labels, true). */

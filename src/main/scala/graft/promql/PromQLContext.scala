@@ -394,6 +394,17 @@ final class PromQLContext(
             (col("__rank__") - col("__prev_v__")) / (col("value") - col("__prev_v__")))
       chosen.select(groupCols.map(col) :+ quantile.as("value"): _*)
 
+    case CountValues(lbl, by, child) =>
+      by.find(l => !labels.contains(l)).foreach(l =>
+        throw new IllegalArgumentException(
+          s"unknown grouping label '$l' (known: ${labels.keys.toSeq.sorted.mkString(", ")})"))
+      val in = withStepBucket(eval(child, stepMs, range), stepMs)
+      val keys = by.sorted.map(col) ++
+        (if (in.columns.contains("bucket_ms")) Seq(col("bucket_ms")) else Nil)
+      // the stringified sample value becomes a NEW label column
+      in.groupBy(keys :+ col("value").cast("string").as(lbl): _*)
+        .agg(count(lit(1)).cast("double").as("value"))
+
     case Agg(op, by, child, without) =>
       by.find(l => !labels.contains(l)).foreach(l =>
         throw new IllegalArgumentException(
@@ -417,6 +428,9 @@ final class PromQLContext(
         case MetricAgg.Max => max(col("value"))
         case MetricAgg.Avg => avg(col("value"))
         case MetricAgg.Count => count(lit(1)).cast("double")
+        case MetricAgg.Stddev => stddev_pop(col("value"))
+        case MetricAgg.Stdvar => var_pop(col("value"))
+        case MetricAgg.Group => max(lit(1.0))
       }).as("value")
       if (keys.isEmpty) in.agg(agg) else in.groupBy(keys: _*).agg(agg)
   }

@@ -118,6 +118,9 @@ object StreamAggregates {
           case MetricAgg.Max => max(col("value"))
           case MetricAgg.Avg => avg(col("value"))
           case MetricAgg.Count => count(lit(1)).cast("double")
+          case MetricAgg.Stddev => stddev_pop(col("value"))
+          case MetricAgg.Stdvar => var_pop(col("value"))
+          case MetricAgg.Group => max(lit(1.0))
         }
         aggStream(metric, matchers, by, agg, stepMs, watermark, samples)
       case other => throw new IllegalArgumentException(

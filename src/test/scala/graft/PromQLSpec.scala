@@ -357,6 +357,33 @@ class PromQLSpec extends AnyFunSuite {
     assert(share == Map("us" -> 1.0, "" -> 1.0))
   }
 
+  test("context: stddev/stdvar/group aggregations and count_values") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", "us", 0L, 3.0),
+      Row("cpu", "c", "eu", 0L, 3.0)))
+    assert(PromQLParser.parse("stddev by (dc) (cpu)") ==
+      Agg(MetricAgg.Stddev, Seq("dc"), Selector("cpu", Nil)))
+    val sd = ctx.sql("stddev by (dc) (cpu)").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(sd == Map("us" -> 1.0, "eu" -> 0.0)) // population stddev of {1,3}
+    val sv = ctx.sql("stdvar(cpu)").collect().head.getDouble(0)
+    assert(math.abs(sv - 8.0 / 9.0) < 1e-12) // var_pop of {1,3,3}
+    val grp = ctx.sql("group by (dc) (cpu)").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(grp == Map("us" -> 1.0, "eu" -> 1.0))
+    assert(PromQLParser.parse("""count_values("v", cpu)""") ==
+      CountValues("v", Nil, Selector("cpu", Nil)))
+    val cv = ctx.sql("""count_values by (dc) ("v", cpu)""").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(cv == Map(("us", "1.0") -> 1.0, ("us", "3.0") -> 1.0,
+      ("eu", "3.0") -> 1.0))
+    val cvFlat = ctx.sql("""count_values("v", cpu)""").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(cvFlat == Map("1.0" -> 1.0, "3.0" -> 2.0))
+    assertThrows[PromQLParseException](
+      PromQLParser.parse("""count_values without (dc) ("v", cpu)"""))
+  }
+
   test("parser: bare {...} selectors canonicalize __name__ matchers") {
     assert(PromQLParser.parse("""{__name__="cpu", host="a"}""") ==
       Selector("cpu", Seq(LabelMatcher("host", MatchOp.Eq, "a"))))
