@@ -395,10 +395,21 @@ final class PromQLContext(
       chosen.select(groupCols.map(col) :+ quantile.as("value"): _*)
 
     case CountValues(lbl, by, child) =>
-      by.find(l => !labels.contains(l)).foreach(l =>
-        throw new IllegalArgumentException(
-          s"unknown grouping label '$l' (known: ${labels.keys.toSeq.sorted.mkString(", ")})"))
       val in = withStepBucket(eval(child, stepMs, range), stepMs)
+      // grouping labels validate against the CHILD FRAME's columns (a child
+      // may synthesize labels, e.g. nested count_values)
+      by.find(l => !in.columns.contains(l)).foreach(l =>
+        throw new IllegalArgumentException(
+          s"unknown grouping label '$l' (available: ${in.columns.mkString(", ")})"))
+      // the synthesized label must be a valid, non-colliding label name
+      if (!lbl.matches("[a-zA-Z_][a-zA-Z0-9_]*") || lbl == "value" ||
+          lbl == "bucket_ms" || lbl == "ts_ms")
+        throw new IllegalArgumentException(
+          s"count_values label '$lbl' is not a usable label name")
+      if (in.columns.contains(lbl))
+        throw new IllegalArgumentException(
+          s"count_values label '$lbl' collides with an existing column " +
+            s"(${in.columns.mkString(", ")})")
       val keys = by.sorted.map(col) ++
         (if (in.columns.contains("bucket_ms")) Seq(col("bucket_ms")) else Nil)
       // the stringified sample value becomes a NEW label column
@@ -406,20 +417,25 @@ final class PromQLContext(
         .agg(count(lit(1)).cast("double").as("value"))
 
     case Agg(op, by, child, without) =>
-      by.find(l => !labels.contains(l)).foreach(l =>
+      // a stepped agg over a raw selector buckets ts_ms; over a range fn the
+      // child's window bucket stands (re-bucketing would mix window sums)
+      val in = withStepBucket(eval(child, stepMs, range), stepMs)
+      // `by` labels validate against the CHILD FRAME's columns — a child can
+      // synthesize labels the static map doesn't know (count_values), and a
+      // selector child emits every bound label as a column. `without` skips
+      // the check: excluding an unknown label is a no-op (Prometheus).
+      if (!without) by.find(l => !in.columns.contains(l)).foreach(l =>
         throw new IllegalArgumentException(
           if (l == "__name__")
             "group by (__name__) needs \"__name__\" bound to the metric " +
               "column in the labels map (the engine tier binds it automatically)"
-          else s"unknown grouping label '$l' (known: ${labels.keys.toSeq.sorted.mkString(", ")})"))
+          else s"unknown grouping label '$l' (available: ${in.columns.mkString(", ")})"))
       // `without (l...)` inverts: group by every known label except these.
       // __name__ is ALWAYS dropped under without (Prometheus aggregations
-      // strip the metric name), even when it is bound as a label.
+      // strip the metric name), even when it is bound as a label; only
+      // labels actually present on the child frame survive as keys.
       val effBy = if (without) labels.keys.toSeq.filterNot(by.contains)
-        .filterNot(_ == "__name__") else by
-      // a stepped agg over a raw selector buckets ts_ms; over a range fn the
-      // child's window bucket stands (re-bucketing would mix window sums)
-      val in = withStepBucket(eval(child, stepMs, range), stepMs)
+        .filterNot(_ == "__name__").filter(in.columns.contains) else by
       val keys = effBy.sorted.map(col) ++
         (if (in.columns.contains("bucket_ms")) Seq(col("bucket_ms")) else Nil)
       val agg = (op match {

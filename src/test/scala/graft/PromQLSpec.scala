@@ -382,6 +382,34 @@ class PromQLSpec extends AnyFunSuite {
     assert(cvFlat == Map("1.0" -> 1.0, "3.0" -> 2.0))
     assertThrows[PromQLParseException](
       PromQLParser.parse("""count_values without (dc) ("v", cpu)"""))
+    // aggregating over the SYNTHESIZED label works (validated vs the child
+    // frame, not the static label map)
+    val over = ctx.sql("""sum by (v) (count_values("v", cpu))""").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(over == Map("1.0" -> 1.0, "3.0" -> 2.0))
+    // reserved / colliding / invalid label names are loud errors
+    for (bad <- Seq("value", "dc", "ts_ms", "0v"))
+      assertThrows[IllegalArgumentException](
+        ctx.sql(s"""count_values("$bad", cpu)"""))
+  }
+
+  test("engine: stddev/group fast path == general path; count_values") {
+    // all-eq selector → fast path; a regex matcher forces the general path:
+    // both must agree
+    val fast = engine.queryPromQL("stddev by (dc) (reqs)", TimeRange(0, H))
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 1e9))).toMap
+    val general = engine.queryPromQL("""stddev by (dc) (reqs{host=~".+"})""",
+      TimeRange(0, H))
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 1e9))).toMap
+    assert(fast == general && fast.keySet == Set("us", "eu"))
+    val grp = engine.queryPromQL("group by (dc) (reqs)", TimeRange(0, H))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(grp == Map("us" -> 1.0, "eu" -> 1.0))
+    // count_values routes to the general path; reqs values are i*i per host
+    val cv = engine.queryPromQL("""count_values("val", reqs)""", TimeRange(0, H))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(cv == Map("0.0" -> 3.0, "1.0" -> 3.0, "4.0" -> 3.0, "9.0" -> 3.0,
+      "16.0" -> 3.0, "25.0" -> 3.0))
   }
 
   test("parser: bare {...} selectors canonicalize __name__ matchers") {
