@@ -125,13 +125,21 @@ object Dedup {
     * min-label propagation — every node ends labeled with the smallest id
     * reachable from it, so `cluster_id == id` marks the keeper and the rest
     * are drops. Iterates join+min to a fixpoint (driver-checked; component
-    * diameters of dedup graphs are tiny). At 100 TB swap the naive loop for
-    * the large-star/small-star contraction — same output contract.
+    * diameters of dedup graphs are tiny).
+    *
+    * `compressPaths = true` adds one pointer-jumping self-join per round
+    * (`label := min(label, label(label))`): labels then roughly SQUARE
+    * their reach each round, so convergence takes O(log diameter) rounds
+    * instead of O(diameter) — the 100 TB shape for high-diameter graphs
+    * (boilerplate chains), at the cost of one extra shuffle per round.
+    * Output is identical (property-tested): compression only accelerates
+    * the same monotone fixpoint.
     *
     * @param pairs (id_a, id_b) undirected candidate edges
     * @return (id, cluster_id) for every node appearing in `pairs`
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50,
+      compressPaths: Boolean = false): DataFrame = {
     // Symmetrize with ONE scan of `pairs` (explode of both directions) — a
     // self-union would run the caller's candidate-pair pipeline twice.
     val edges = pairs.select(explode(array(
@@ -199,11 +207,24 @@ object Dedup {
       // One fused shuffle per round: neighbor labels and own label feed the
       // same min-aggregate (vs join + groupBy + left-join = two exchanges).
       val labelsByDst = labels.select(col("id").as("dst"), col("cluster_id").as("n_label"))
-      val step = edges
+      var step = edges
         .join(if (smallGraph) broadcast(labelsByDst) else labelsByDst, Seq("dst"))
         .select(col("src").as("id"), col("n_label").as("cluster_id"))
         .union(labels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      if (compressPaths) {
+        // pointer jumping: follow the label's own label once. Sound because
+        // label values ARE node ids and labels only decrease — label(label)
+        // <= label always points within the component, so the min keeps the
+        // fixpoint identical while roughly squaring per-round reach.
+        val parent = step.select(col("id").as("__pid__"), col("cluster_id").as("__pl__"))
+        step = step
+          .join(if (smallGraph) broadcast(parent) else parent,
+            col("cluster_id") === col("__pid__"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("__pl__"), col("cluster_id")))
+              .as("cluster_id"))
+      }
       val checkpointRound = (iter + 1) % checkpointEvery == 0
       val next = if (checkpointRound) step.localCheckpoint() else step.cache()
       if (idIsIntegral) {

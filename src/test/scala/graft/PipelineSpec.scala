@@ -166,6 +166,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(0.25 -> 0.25, 0.5 -> 0.25, 1.5 -> 0.25, 7.5 -> 7.5, 8.5 -> 7.5))
   }
 
+  test("path-compressed clustering == naive on random graphs and long chains") {
+    // randomized equivalence: compression must only ACCELERATE the fixpoint
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 20
+      val pairs = (1 to n).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val naive = Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = Dedup.duplicateClusters(pairs, compressPaths = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == naive, s"trial $trial")
+    }
+    // a 40-node chain has diameter 39: the compressed loop must converge
+    // well within an iteration budget the naive loop would blow through
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain, maxIter = 12, compressPaths = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40 && got.values.forall(_ == 1L))
+    assertThrows[IllegalStateException](
+      Dedup.duplicateClusters(chain, maxIter = 12).collect())
+  }
+
   test("duplicate clustering of an empty pair set returns an empty frame") {
     val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() == 0)
