@@ -19,17 +19,23 @@ final case class ScanRequest(
 
 /** Physical write tuning, mirroring the reference's WriteConfig
   * (columnar_storage/src/config.rs:105-133): compression codec, dictionary
-  * encoding, per-column bloom filters, row-group sizing. Defaults match the
-  * reference's shipped values (snappy, dict/bloom off). */
+  * encoding (global default + per-column overrides, the reference's
+  * ColumnOptions, config.rs:96-103), per-column bloom filters, row-group
+  * sizing. Defaults match the reference's shipped values (snappy,
+  * dict/bloom off). */
 final case class WriteOptions(
     compression: String = "snappy",            // config.rs:129
     enableDictionary: Boolean = false,         // config.rs:126
+    dictionaryColumns: Seq[String] = Nil,      // config.rs:96-103 per-column
     bloomFilterColumns: Seq[String] = Nil,     // config.rs:127, 96-103
     rowGroupBytes: Long = 8L << 20) {
   def apply[T](w: org.apache.spark.sql.DataFrameWriter[T]): org.apache.spark.sql.DataFrameWriter[T] = {
     var out = w.option("compression", compression)
       .option("parquet.enable.dictionary", enableDictionary.toString)
       .option("parquet.block.size", rowGroupBytes.toString)
+    dictionaryColumns.foreach { c =>
+      out = out.option(s"parquet.enable.dictionary#$c", "true")
+    }
     bloomFilterColumns.foreach { c =>
       out = out.option(s"parquet.bloom.filter.enabled#$c", "true")
     }

@@ -188,6 +188,40 @@ class StorageSpec extends AnyFunSuite {
     assert(v.map(_.getLong(2)).toSeq == Seq(999L))
   }
 
+  test("per-column write options land in the parquet footer (config.rs:96-103)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val root = tmpRoot()
+    val s = new TimeMergeStorage(spark, root,
+      StorageSchema(abSchema, numPrimaryKeys = 2), segmentMs = 7200 * 1000L,
+      writeOptions = WriteOptions(compression = "zstd",
+        enableDictionary = false, dictionaryColumns = Seq("value"),
+        bloomFilterColumns = Seq("pk1")))
+    // low-cardinality values so the dictionary encoder actually engages
+    val rows = (1 to 400).map(i => (i, i % 3, (i % 5).toLong))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 1), abSchema)
+    val sst = s.write(df, TimeRange(0, 1000))
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(sst.path), new Configuration()))
+    try {
+      val meta = reader.getFooter
+      val block = meta.getBlocks.get(0)
+      import scala.jdk.CollectionConverters._
+      val byName = block.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("value").getEncodings.asScala.exists(_.usesDictionary),
+        s"value should dictionary-encode: ${byName("value").getEncodings}")
+      assert(!byName("pk1").getEncodings.asScala.exists(_.usesDictionary),
+        "pk1 keeps the global dictionary=off default")
+      assert(byName("pk1").getBloomFilterOffset >= 0, "pk1 bloom filter missing")
+      assert(byName("pk2").getBloomFilterOffset < 0, "pk2 must have no bloom filter")
+      assert(byName("value").getCodec.toString.toLowerCase.contains("zstd"))
+    } finally reader.close()
+  }
+
   test("TTL expiry drops whole files (sst.rs:109-114, picker TTL path)") {
     val root = tmpRoot()
     val s = mkStorage(root)
