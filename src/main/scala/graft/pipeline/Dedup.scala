@@ -212,13 +212,20 @@ object Dedup {
         .select(col("src").as("id"), col("n_label").as("cluster_id"))
         .union(labels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      var intermediate: DataFrame = null
       if (compressPaths) {
         // pointer jumping: follow the label's own label once. Sound because
         // label values ARE node ids and labels only decrease — label(label)
         // <= label always points within the component, so the min keeps the
         // fixpoint identical while roughly squaring per-round reach.
-        val parent = step.select(col("id").as("__pid__"), col("cluster_id").as("__pl__"))
-        step = step
+        // The propagate step is CACHED before the self-join: both join
+        // sides reference it, and without materialization the whole
+        // propagate subtree would be planned (and its final aggregate
+        // executed) twice per round.
+        intermediate = step.cache()
+        val parent = intermediate.select(
+          col("id").as("__pid__"), col("cluster_id").as("__pl__"))
+        step = intermediate
           .join(if (smallGraph) broadcast(parent) else parent,
             col("cluster_id") === col("__pid__"), "left")
           .select(col("id"),
@@ -251,6 +258,9 @@ object Dedup {
       // unpersisting them would make any evicted downstream block
       // unrecoverable; the context cleaner frees them on GC instead.
       if (!prevWasCheckpoint) labels.unpersist()
+      // the compress round's propagate cache served its double read; evicted
+      // blocks recompute through lineage if next's cache later needs them
+      if (intermediate != null) intermediate.unpersist()
       prevWasCheckpoint = checkpointRound
       labels = next
       iter += 1

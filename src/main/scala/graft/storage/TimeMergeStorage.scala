@@ -26,15 +26,17 @@ final case class ScanRequest(
 final case class WriteOptions(
     compression: String = "snappy",            // config.rs:129
     enableDictionary: Boolean = false,         // config.rs:126
-    dictionaryColumns: Seq[String] = Nil,      // config.rs:96-103 per-column
+    // per-column dictionary override in BOTH directions (true enables over a
+    // global off, false disables over a global on) — config.rs:96-103
+    dictionaryColumns: Map[String, Boolean] = Map.empty,
     bloomFilterColumns: Seq[String] = Nil,     // config.rs:127, 96-103
     rowGroupBytes: Long = 8L << 20) {
   def apply[T](w: org.apache.spark.sql.DataFrameWriter[T]): org.apache.spark.sql.DataFrameWriter[T] = {
     var out = w.option("compression", compression)
       .option("parquet.enable.dictionary", enableDictionary.toString)
       .option("parquet.block.size", rowGroupBytes.toString)
-    dictionaryColumns.foreach { c =>
-      out = out.option(s"parquet.enable.dictionary#$c", "true")
+    dictionaryColumns.foreach { case (c, on) =>
+      out = out.option(s"parquet.enable.dictionary#$c", on.toString)
     }
     bloomFilterColumns.foreach { c =>
       out = out.option(s"parquet.bloom.filter.enabled#$c", "true")

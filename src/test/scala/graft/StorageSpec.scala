@@ -197,7 +197,7 @@ class StorageSpec extends AnyFunSuite {
     val s = new TimeMergeStorage(spark, root,
       StorageSchema(abSchema, numPrimaryKeys = 2), segmentMs = 7200 * 1000L,
       writeOptions = WriteOptions(compression = "zstd",
-        enableDictionary = false, dictionaryColumns = Seq("value"),
+        enableDictionary = false, dictionaryColumns = Map("value" -> true),
         bloomFilterColumns = Seq("pk1")))
     // low-cardinality values so the dictionary encoder actually engages
     val rows = (1 to 400).map(i => (i, i % 3, (i % 5).toLong))
@@ -220,6 +220,23 @@ class StorageSpec extends AnyFunSuite {
       assert(byName("pk2").getBloomFilterOffset < 0, "pk2 must have no bloom filter")
       assert(byName("value").getCodec.toString.toLowerCase.contains("zstd"))
     } finally reader.close()
+    // the override works in the OTHER direction too: global on, one column off
+    val s2 = new TimeMergeStorage(spark, tmpRoot(),
+      StorageSchema(abSchema, numPrimaryKeys = 2), segmentMs = 7200 * 1000L,
+      writeOptions = WriteOptions(enableDictionary = true,
+        dictionaryColumns = Map("value" -> false)))
+    val sst2 = s2.write(df, TimeRange(0, 1000))
+    val reader2 = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(sst2.path), new Configuration()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val byName2 = reader2.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName2("pk2").getEncodings.asScala.exists(_.usesDictionary),
+        "pk2 should dictionary-encode under the global on")
+      assert(!byName2("value").getEncodings.asScala.exists(_.usesDictionary),
+        "value dictionary disabled per-column over the global on")
+    } finally reader2.close()
   }
 
   test("TTL expiry drops whole files (sst.rs:109-114, picker TTL path)") {
