@@ -292,6 +292,42 @@ object SparkEntry {
       promqlCtx(s, dir)
         .sql("""count_values("v", floor(purchase))""", stepMs = Some(86400000L))),
 
+    // PromQL resets: counter-reset counts per series per day (transitions
+    // over the sorted series stream, attributed to the later sample's
+    // bucket — same attribution as rate's reset deltas).
+    "p14_promql_resets" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""resets(purchase{uid=~"[1-3][0-9]"}[1d])""")),
+
+    // PromQL deriv: per-second least-squares slope per series per day.
+    "p15_promql_deriv" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""deriv(purchase{uid=~"[1-5]"}[1d])""")
+        .withColumn("value", round(col("value"), 6))),
+
+    // PromQL quantile_over_time: exact interpolated 0.75-quantile of each
+    // series' samples per day.
+    "p16_promql_quantile_ot" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""quantile_over_time(0.75, purchase{uid=~"[2-4][0-9]"}[1d])""")
+        .withColumn("value", round(col("value"), 4))),
+
+    // PromQL label_replace: synthesize a "decade" label (uid sans last
+    // digit) via anchored-regex capture, then aggregate by it.
+    "p17_promql_label_replace" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""sum by (decade) (label_replace(purchase, "decade", "$1", "uid", "([0-9]*)[0-9]"))""",
+          stepMs = Some(86400000L))
+        .withColumn("value", round(col("value"), 2))),
+
+    // PromQL predict_linear: regression forecast 1h past each day window.
+    "p18_promql_predict" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""predict_linear(purchase{uid=~"[1-3]"}[1d], 3600)""")
+        .withColumn("value", round(col("value"), 2))),
+
+    // PromQL irate: instant rate from the last two samples of each day
+    // window (reset-aware, requires distinct sample timestamps).
+    "p19_promql_irate" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""irate(purchase{uid=~"[1-2][0-9]"}[1d])""")
+        .withColumn("value", round(col("value"), 6))),
+
     // Full engine end-to-end: events ingested through MetricEngine (xxhash
     // ids, meta tables, segmented SSTs), then a PromQL text query served by
     // the two-step index lookup — hash-checked against the raw-data oracle.
@@ -533,6 +569,25 @@ object SparkEntry {
     "t7_hash_split" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.pipeline.Sharding.hashSplit(col("doc_id")).as("split"))),
+
+    // Text: Gopher-style repetition/boilerplate metrics (dup-token fraction,
+    // top/duplicate 2-gram fractions, symbol ratio) as pure array exprs.
+    "t8_repetition" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.repetition(t(s, dir, "documents"), "text")
+        .select("doc_id", "r_dup_tok_frac", "r_top2gram_frac",
+          "r_dup2gram_frac", "r_symbol_ratio")),
+
+    // Deterministic hash sampling (~30%): pure pushdown filter, rerun-stable.
+    "t9_hash_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(graft.pipeline.Sharding.hashSample(col("doc_id"), 0.3))
+        .select("doc_id")),
+
+    // Per-stratum quota sample: 50 rows per event_type by md5 order.
+    "t10_stratified" -> ((s, dir) =>
+      graft.pipeline.Sharding.stratifiedSample(
+        t(s, dir, "events").select("event_type", "event_id", "user_id"),
+        Seq("event_type"), "event_id", k = 50)),
 
     // Text: normalization (lowercase, strip non-alnum, collapse whitespace).
     "t5_normalize" -> ((s, dir) =>
@@ -800,6 +855,88 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY uid""".stripMargin,
+
+    "p14_promql_resets" ->
+      """WITH d AS (
+        |  SELECT user_id, value, epoch_ms(ts::TIMESTAMP) AS tms,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-3][0-9]'))
+        |SELECT user_id AS uid,
+        |  CAST(floor(tms / 86400000) AS BIGINT) * 86400000 AS bucket_ms,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev
+        |               THEN 1 ELSE 0 END) AS DOUBLE) AS value
+        |FROM d GROUP BY uid, bucket_ms""".stripMargin,
+
+    "p15_promql_deriv" ->
+      """SELECT user_id AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  round(regr_slope(value, epoch_ms(ts::TIMESTAMP) / 1000.0), 6) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[1-5]')
+        |GROUP BY uid, bucket_ms
+        |HAVING regr_slope(value, epoch_ms(ts::TIMESTAMP) / 1000.0) IS NOT NULL""".stripMargin,
+
+    "p16_promql_quantile_ot" ->
+      """SELECT user_id AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  round(quantile_cont(value, 0.75), 4) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[2-4][0-9]')
+        |GROUP BY uid, bucket_ms""".stripMargin,
+
+    "p17_promql_label_replace" ->
+      """SELECT regexp_extract(user_id::VARCHAR, '^(?:([0-9]*)[0-9])$', 1) AS decade,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  round(sum(value), 2) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY decade, bucket_ms""".stripMargin,
+
+    "p18_promql_predict" ->
+      """WITH g AS (
+        |  SELECT user_id AS uid,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |      AS bucket_ms,
+        |    regr_slope(value, epoch_ms(ts::TIMESTAMP) / 1000.0) AS sl,
+        |    regr_intercept(value, epoch_ms(ts::TIMESTAMP) / 1000.0) AS ic
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-3]')
+        |  GROUP BY uid, bucket_ms)
+        |SELECT uid, bucket_ms,
+        |  round(ic + sl * ((bucket_ms + 86400000) / 1000.0 + 3600), 2) AS value
+        |FROM g WHERE sl IS NOT NULL""".stripMargin,
+
+    "p19_promql_irate" ->
+      """WITH r AS (
+        |  SELECT user_id, value, epoch_ms(ts::TIMESTAMP) AS tms,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |      AS bucket_ms,
+        |    row_number() OVER (
+        |      PARTITION BY user_id,
+        |        CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-2][0-9]')),
+        |p AS (
+        |  SELECT user_id AS uid, bucket_ms,
+        |    max(CASE WHEN rn = 1 THEN value END) AS v1,
+        |    max(CASE WHEN rn = 2 THEN value END) AS v2,
+        |    max(CASE WHEN rn = 1 THEN tms END) AS t1,
+        |    max(CASE WHEN rn = 2 THEN tms END) AS t2,
+        |    count(*) AS n
+        |  FROM r WHERE rn <= 2 GROUP BY uid, bucket_ms)
+        |SELECT uid, bucket_ms,
+        |  round((CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END)
+        |    / ((t1 - t2) / 1000.0), 6) AS value
+        |FROM p WHERE n >= 2 AND t1 > t2""".stripMargin,
 
     "p12_promql_stddev" ->
       """SELECT user_id AS uid,
@@ -1152,6 +1289,41 @@ object SparkEntry {
         |         IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+
+    "t8_repetition" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+        |g AS (SELECT doc_id, text, toks, len(toks) AS nt,
+        |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |      i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]) AS grams
+        |  FROM s),
+        |c AS (SELECT doc_id, text, toks, nt, grams, len(grams) AS n2,
+        |    list_transform(list_distinct(grams),
+        |      gr -> len(list_filter(grams, x -> x = gr))) AS counts
+        |  FROM g)
+        |SELECT doc_id,
+        |  round(CAST(nt - len(list_distinct(toks)) AS DOUBLE) / nt, 4)
+        |    AS r_dup_tok_frac,
+        |  CASE WHEN n2 < 1 THEN 0.0
+        |       ELSE round(CAST(list_max(counts) AS DOUBLE) / n2, 4)
+        |  END AS r_top2gram_frac,
+        |  CASE WHEN n2 < 1 THEN 0.0
+        |       ELSE round(CAST(list_sum(list_transform(counts,
+        |              c2 -> CASE WHEN c2 > 1 THEN c2 ELSE 0 END)) AS DOUBLE) / n2, 4)
+        |  END AS r_dup2gram_frac,
+        |  round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / nt, 4)
+        |    AS r_symbol_ratio
+        |FROM c""".stripMargin,
+
+    "t9_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '4ccc'""".stripMargin,
+
+    "t10_stratified" ->
+      """SELECT event_type, event_id, user_id FROM (
+        |  SELECT event_type, event_id, user_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_id::VARCHAR), event_id) AS rk
+        |  FROM events) WHERE rk <= 50""".stripMargin,
 
     "x10_histogram" ->
       """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,

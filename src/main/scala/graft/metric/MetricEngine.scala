@@ -255,6 +255,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case BinOp(_, a, b, _, _) => windows(a) ++ windows(b)
       case FnCall(_, c, _) => windows(c)
       case HistogramQuantile(_, c) => windows(c)
+      case LabelFn(_, c, _, _) => windows(c)
       case _ => Nil
     }
     for (st <- stepMs; w <- windows(ast) if w != st)
@@ -326,6 +327,11 @@ final class MetricEngine(spark: SparkSession, root: String,
           matching.map(vm => (vm.labels ++ vm.include).toSet).getOrElse(Set.empty))
       case FnCall(_, c, _) => walk(c)
       case HistogramQuantile(_, c) => val (m, l) = walk(c); (m, l + "le")
+      case LabelFn(n, c, _, args) =>
+        // source labels must be joined from the index; dst is synthesized
+        val (m, l) = walk(c)
+        val srcs = if (n == "label_join") args.drop(1) else Seq(args(1))
+        (m, l ++ srcs)
       case NumLit(_) => (Set.empty, Set.empty)
     }
     // `agg without (...)` groups by every label EXCEPT the listed ones — the
@@ -338,6 +344,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case BinOp(_, a, b, _, _) => hasWithout(a) || hasWithout(b)
       case FnCall(_, c, _) => hasWithout(c)
       case HistogramQuantile(_, c) => hasWithout(c)
+      case LabelFn(_, c, _, _) => hasWithout(c)
       case _ => false
     }
     def selectors(e: Expr): Seq[Selector] = e match {
@@ -349,6 +356,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case BinOp(_, a, b, _, _) => selectors(a) ++ selectors(b)
       case FnCall(_, c, _) => selectors(c)
       case HistogramQuantile(_, c) => selectors(c)
+      case LabelFn(_, c, _, _) => selectors(c)
       case NumLit(_) => Nil
     }
     val selectorList = selectors(expr)

@@ -107,4 +107,32 @@ object Sharding {
     when(substring(md5(id.cast("string")), 1, 1)
         .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b", "c"),
       lit("train")).otherwise(lit("val"))
+
+  /** Deterministic hash sampling at 1/65536 granularity: keep a row when
+    * the first 4 hex digits of md5(id) fall below `floor(fraction·65536)`.
+    * Lowercase fixed-width hex compares lexicographically == numerically,
+    * so the predicate is a plain string comparison any engine reproduces
+    * bit-identically. Pure filter: pushes to the scan, no shuffle, stable
+    * under re-runs and re-partitioning (the sampling property a 100 TB
+    * pipeline needs — a row never flickers in/out between runs). */
+  def hashSample(id: Column, fraction: Double): Column = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    val thr = f"${math.floor(fraction * 65536).toLong}%04x"
+    substring(md5(id.cast("string")), 1, 4) < lit(thr)
+  }
+
+  /** Per-stratum quota sample: the `k` rows of each stratum with the
+    * smallest md5(id) — a deterministic, engine-portable "random" pick
+    * (md5 order is uniform and uncorrelated with the data). One shuffle on
+    * the stratum key; the per-stratum top-k is a window head, so memory is
+    * O(k) per group with no global sort. */
+  def stratifiedSample(df: DataFrame, stratumCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk__", row_number().over(w))
+      .filter(col("__rk__") <= k).drop("__rk__")
+  }
 }

@@ -60,4 +60,46 @@ object TextAnalysis {
   /** Normalized-content fingerprint: md5 over lowercased text with spaces
     * removed — catches whitespace/case-only near-duplicates exactly. */
   def fingerprint(text: Column): Column = md5(regexp_replace(lower(text), " ", ""))
+
+  /** Repetition / boilerplate metrics in the style of the Gopher quality
+    * rules (Rae et al. 2021, "Scaling Language Models", table A1) at token
+    * granularity:
+    *
+    *  - `dup_tok_frac`     — fraction of tokens that are repeats of an
+    *    earlier token: 1 - distinct/total;
+    *  - `top2gram_frac`    — occurrences of the most frequent word 2-gram
+    *    over the total 2-gram count;
+    *  - `dup2gram_frac`    — fraction of 2-gram positions whose 2-gram
+    *    occurs more than once;
+    *  - `symbol_ratio`     — non-alphanumeric characters per token.
+    *
+    * Documents shorter than 2 tokens score 0.0 on the 2-gram metrics.
+    * Pure array expressions: per-row work is O(distinct·n) with no explode
+    * and no shuffle — the shape that stays embarrassingly parallel at
+    * 100 TB. Rounded to 4 decimals for cross-engine oracle parity. */
+  def repetition(df: DataFrame, textCol: String, outPrefix: String = "r_"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    // adjacent-pair 2-grams: slice off the last token, then pair each with
+    // its successor (transform's index is 0-based, element_at 1-based)
+    val grams = transform(slice(toks, lit(1), greatest(nTok - 1, lit(0))),
+      (t, i) => concat_ws(" ", t, element_at(toks, i + 2)))
+    val n2 = size(grams)
+    // per-distinct-gram occurrence counts (array_distinct preserves nothing
+    // we rely on; only max/sum of the counts are used)
+    val counts = transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))
+    val top2 = when(n2 < 1, lit(0.0)).otherwise(
+      round(array_max(counts).cast("double") / n2, 4))
+    val dup2 = when(n2 < 1, lit(0.0)).otherwise(
+      round(aggregate(counts, lit(0),
+        (acc, c) => acc + when(c > 1, c).otherwise(lit(0))).cast("double") / n2, 4))
+    df.withColumn(s"${outPrefix}dup_tok_frac",
+        round((nTok - size(array_distinct(toks))).cast("double") / nTok, 4))
+      .withColumn(s"${outPrefix}top2gram_frac", top2)
+      .withColumn(s"${outPrefix}dup2gram_frac", dup2)
+      .withColumn(s"${outPrefix}symbol_ratio",
+        round(size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"), lit(0)))
+          .cast("double") / nTok, 4))
+  }
 }

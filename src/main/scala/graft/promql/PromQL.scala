@@ -24,7 +24,12 @@ import graft.metric.MetricAgg
   *   scalarfn := abs|ceil|floor|sqrt|exp|ln|log2|log10|round|clamp|clamp_min|clamp_max
   *   histq    := 'histogram_quantile' '(' num ',' expr ')'
   *   vector   := rangefn '(' selector '[' duration ']' offset? ')' | selector offset?
-  *   rangefn  := rate | increase | delta | (avg|min|max|sum|count|last)_over_time
+  *             | 'quantile_over_time' '(' num ',' selector '[' duration ']' offset? ')'
+  *             | 'predict_linear' '(' selector '[' duration ']' offset? ',' num ')'
+  *             | ('label_replace'|'label_join') '(' expr (',' string)+ ')'
+  *   rangefn  := rate | increase | delta | irate | idelta | deriv
+  *             | resets | changes
+  *             | (avg|min|max|sum|count|last|present)_over_time
   *   offset   := 'offset' duration
   *   selector := metric ('{' matcher (',' matcher)* '}')? | '{' ... '}'
   *   matcher  := label ('=' | '!=' | '=~' | '!~') string
@@ -68,6 +73,24 @@ object RangeF {
   case object CountOverTime extends RangeF
   /** Newest sample in the window (by the context's series ordering). */
   case object LastOverTime extends RangeF
+  /** 1.0 for every window that contains at least one sample. */
+  case object PresentOverTime extends RangeF
+  /** Count of counter resets (value drops between consecutive samples). */
+  case object Resets extends RangeF
+  /** Count of value changes between consecutive samples. */
+  case object Changes extends RangeF
+  /** Newest minus second-newest sample (gauge instant delta). */
+  case object Idelta extends RangeF
+  /** Reset-aware per-second rate from the last two samples. */
+  case object Irate extends RangeF
+  /** Per-second least-squares slope over the window's samples. */
+  case object Deriv extends RangeF
+  /** Exact interpolated quantile of the window's samples,
+    * `quantile_over_time(q, sel[w])`. */
+  final case class QuantileOverTime(q: Double) extends RangeF
+  /** Least-squares prediction `tSec` seconds past the window end,
+    * `predict_linear(sel[w], tSec)`. */
+  final case class PredictLinear(tSec: Double) extends RangeF
 }
 
 final case class RangeFn(fn: RangeF, sel: Selector, windowMs: Long) extends Expr
@@ -129,6 +152,16 @@ final case class FnCall(name: String, child: Expr, args: Seq[Double] = Nil)
 /** `histogram_quantile(q, expr)` over classic `le`-bucketed counters. */
 final case class HistogramQuantile(q: Double, child: Expr) extends Expr
 
+/** Label-manipulation functions:
+  *  - `label_replace(v, dst, replacement, src, regex)` —
+  *    `args = Seq(replacement, src, regex)`; where the anchored regex
+  *    matches the src label value, dst := replacement with `$n` capture
+  *    references expanded; elsewhere the row is unchanged;
+  *  - `label_join(v, dst, sep, src...)` — `args = sep +: srcLabels`;
+  *    dst := the src label values joined with sep (absent labels = ""). */
+final case class LabelFn(name: String, child: Expr, dst: String,
+    args: Seq[String]) extends Expr
+
 final case class PromQLParseException(msg: String, pos: Int)
   extends IllegalArgumentException(s"PromQL parse error at $pos: $msg")
 
@@ -155,7 +188,11 @@ object PromQLParser {
     "avg_over_time" -> RangeF.AvgOverTime, "min_over_time" -> RangeF.MinOverTime,
     "max_over_time" -> RangeF.MaxOverTime, "sum_over_time" -> RangeF.SumOverTime,
     "count_over_time" -> RangeF.CountOverTime,
-    "last_over_time" -> RangeF.LastOverTime)
+    "last_over_time" -> RangeF.LastOverTime,
+    "present_over_time" -> RangeF.PresentOverTime,
+    "resets" -> RangeF.Resets, "changes" -> RangeF.Changes,
+    "idelta" -> RangeF.Idelta, "irate" -> RangeF.Irate,
+    "deriv" -> RangeF.Deriv)
   /** Scalar vector functions: name → (min extra args, max extra args).
     * `absent` and `timestamp` are shape functions evaluated specially. */
   private val ScalarFns = Map(
@@ -360,6 +397,10 @@ object PromQLParser {
       case TIdent(name, _) if ParamOps.contains(name) && startsAgg => parseParamAgg()
       case TIdent("count_values", _) if startsAgg => parseCountValues()
       case TIdent("histogram_quantile", _) if nextIsParen => parseHistQ()
+      case TIdent("quantile_over_time", _) if nextIsParen => parseQuantileOT()
+      case TIdent("predict_linear", _) if nextIsParen => parsePredictLinear()
+      case TIdent(name @ ("label_replace" | "label_join"), _) if nextIsParen =>
+        parseLabelFn(name)
       case TIdent(name, _) if ScalarFns.contains(name) && nextIsParen =>
         parseFnCall()
       case TNum(d, _) => next(); NumLit(d)
@@ -393,6 +434,75 @@ object PromQLParser {
       val child = parseExpr()
       expect(")")
       HistogramQuantile(q, child)
+    }
+
+    /** `quantile_over_time(q, sel[w] offset?)` — scalar parameter FIRST
+      * (Prometheus argument order), then a range vector. */
+    private def parseQuantileOT(): Expr = {
+      next(); expect("(")
+      val q = next() match {
+        case TNum(d, _) => d
+        case t => throw PromQLParseException(
+          "quantile_over_time requires a leading quantile, e.g. quantile_over_time(0.9, x[5m])", t.pos)
+      }
+      if (q < 0 || q > 1) fail(s"quantile_over_time parameter must be in [0, 1], got $q")
+      expect(",")
+      val (sel, win, off) = parseRangeVector()
+      expect(")")
+      RangeFn(RangeF.QuantileOverTime(q), sel.copy(offsetMs = off), win)
+    }
+
+    /** `predict_linear(sel[w] offset?, tSec)` — range vector first, then the
+      * prediction horizon in seconds. */
+    private def parsePredictLinear(): Expr = {
+      next(); expect("(")
+      val (sel, win, off) = parseRangeVector()
+      expect(",")
+      val t = next() match {
+        case TNum(d, _) => d
+        case TDur(ms, _) => ms / 1000.0 // allow predict_linear(x[1h], 4h)
+        case tk => throw PromQLParseException(
+          "predict_linear requires a scalar horizon in seconds after the range vector", tk.pos)
+      }
+      expect(")")
+      RangeFn(RangeF.PredictLinear(t), sel.copy(offsetMs = off), win)
+    }
+
+    /** `selector '[' duration ']' offset?` shared by all range-fn forms. */
+    private def parseRangeVector(): (Selector, Long, Long) = {
+      val sel = parseSelector()
+      expect("[")
+      val win = next() match {
+        case TDur(ms, _) => ms
+        case t => throw PromQLParseException("expected duration", t.pos)
+      }
+      expect("]")
+      (sel, win, parseOffsetOpt())
+    }
+
+    /** `label_replace(v, "dst", "repl", "src", "regex")` /
+      * `label_join(v, "dst", "sep", "src", ...)`. */
+    private def parseLabelFn(name: String): Expr = {
+      next(); expect("(")
+      val child = parseExpr()
+      val strs = Seq.newBuilder[String]
+      var n = 0
+      var done = false
+      while (!done) next() match {
+        case TPunct(")", _) => done = true
+        case TPunct(",", _) => next() match {
+          case TStr(s, _) => strs += s; n += 1
+          case t => throw PromQLParseException(
+            s"$name takes quoted string arguments after the vector", t.pos)
+        }
+        case t => throw PromQLParseException("expected ',' or ')'", t.pos)
+      }
+      val args = strs.result()
+      if (name == "label_replace" && n != 4) fail(
+        s"label_replace takes exactly 4 string arguments (dst, replacement, src, regex), got $n")
+      if (name == "label_join" && n < 3) fail(
+        s"label_join takes at least 3 string arguments (dst, sep, src...), got $n")
+      LabelFn(name, child, args.head, args.tail)
     }
 
     private def parseFnCall(): Expr = {
@@ -487,14 +597,7 @@ object PromQLParser {
     private def parseVector(): Expr = peek match {
       case TIdent(fn, _) if RangeFns.contains(fn) && nextIsParen =>
         next(); expect("(")
-        val sel = parseSelector()
-        expect("[")
-        val win = next() match {
-          case TDur(ms, _) => ms
-          case t => throw PromQLParseException("expected duration", t.pos)
-        }
-        expect("]")
-        val off = parseOffsetOpt()
+        val (sel, win, off) = parseRangeVector()
         expect(")")
         RangeFn(RangeFns(fn), sel.copy(offsetMs = off), win)
       case _ =>

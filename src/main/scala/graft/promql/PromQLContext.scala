@@ -72,7 +72,8 @@ final class PromQLContext(
       val rows = select(sel.metric, sel.matchers, sel.offsetMs, range)
       val ts = shifted(sel.offsetMs)
       val ord = if (ordering.nonEmpty) ordering else Seq(tsMs)
-      val bucket = (floor(ts / lit(windowMs)).cast("long") * windowMs).as("bucket_ms")
+      val bucketRaw = floor(ts / lit(windowMs)).cast("long") * windowMs
+      val bucket = bucketRaw.as("bucket_ms")
       // series identity = metric + extra identity cols + every label column.
       // metricCol matters for bare {...} multi-metric selectors with no
       // seriesCols: without it, distinct metrics sharing label values would
@@ -103,6 +104,66 @@ final class PromQLContext(
           rows.groupBy(groupKeys: _*)
             .agg((max_by(col(valueCol), key) - min_by(col(valueCol), key)).as("value"))
             .select(outCols :+ col("value"): _*)
+        case RangeF.Resets | RangeF.Changes =>
+          // transition counts over the series' full sorted stream, bucketed
+          // by the LATER sample (same attribution as rate's reset deltas:
+          // a boundary-crossing transition lands in the later bucket); same
+          // two-stage shape as rate — series-key window, then bucket agg.
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(seriesPart: _*).orderBy(ord: _*)
+          val prev = lag(col(valueCol), 1).over(w)
+          val ind = fn match {
+            case RangeF.Resets =>
+              when(prev.isNotNull && col(valueCol) < prev, 1.0).otherwise(0.0)
+            case _ =>
+              when(prev.isNotNull && col(valueCol) =!= prev, 1.0).otherwise(0.0)
+          }
+          rows.withColumn("__i__", ind)
+            .groupBy(groupKeys: _*).agg(sum("__i__").as("value"))
+            .select(outCols :+ col("value"): _*)
+        case RangeF.Irate | RangeF.Idelta =>
+          // instant functions: the two newest samples per (series, bucket).
+          // Rank newest-first with a window (bounded memory — never a
+          // per-bucket collect), keep ranks 1-2, then pivot them into one
+          // row; the groupBy reuses the window's exchange. Prometheus
+          // requires >= 2 samples (and distinct timestamps for irate) —
+          // buckets failing that emit nothing.
+          val wN = org.apache.spark.sql.expressions.Window
+            .partitionBy(seriesPart :+ bucketRaw: _*).orderBy(ord.map(_.desc): _*)
+          val picked = rows
+            .withColumn("__rn__", row_number().over(wN))
+            .filter(col("__rn__") <= 2)
+            .withColumn("__t__", ts)
+          val g = picked.groupBy(groupKeys: _*).agg(
+            count(lit(1)).as("__n__"),
+            max(when(col("__rn__") === 1, col(valueCol))).as("__v1__"),
+            max(when(col("__rn__") === 2, col(valueCol))).as("__v2__"),
+            max(when(col("__rn__") === 1, col("__t__"))).as("__t1__"),
+            max(when(col("__rn__") === 2, col("__t__"))).as("__t2__"))
+            .filter(col("__n__") >= 2)
+          val v =
+            if (fn == RangeF.Idelta) col("__v1__") - col("__v2__")
+            else // reset-aware instant rate over the last sample interval
+              when(col("__v1__") >= col("__v2__"), col("__v1__") - col("__v2__"))
+                .otherwise(col("__v1__")) / ((col("__t1__") - col("__t2__")) / 1000.0)
+          val g2 = if (fn == RangeF.Irate) g.filter(col("__t1__") > col("__t2__")) else g
+          g2.select(outCols :+ v.as("value"): _*)
+        case RangeF.Deriv =>
+          // per-second least-squares slope; null (< 2 distinct points) drops
+          rows.groupBy(groupKeys: _*)
+            .agg(regr_slope(col(valueCol), ts / 1000.0).as("value"))
+            .filter(col("value").isNotNull)
+            .select(outCols :+ col("value"): _*)
+        case RangeF.PredictLinear(tSec) =>
+          // regression on absolute seconds; predict tSec past the WINDOW END
+          // (the tumbling-bucket analog of Prometheus's evaluation timestamp)
+          rows.groupBy(groupKeys: _*)
+            .agg(regr_slope(col(valueCol), ts / 1000.0).as("__sl__"),
+              regr_intercept(col(valueCol), ts / 1000.0).as("__ic__"))
+            .filter(col("__sl__").isNotNull)
+            .select(outCols :+ (col("__ic__") + col("__sl__") *
+              ((col("bucket_ms") + lit(windowMs)).cast("double") / 1000.0 + tSec))
+              .as("value"): _*)
         case _ =>
           // *_over_time: one plain aggregate per (series, window bucket)
           val agg = (fn match {
@@ -112,6 +173,8 @@ final class PromQLContext(
             case RangeF.SumOverTime => sum(col(valueCol))
             case RangeF.CountOverTime => count(lit(1)).cast("double")
             case RangeF.LastOverTime => max_by(col(valueCol), struct(ord: _*))
+            case RangeF.PresentOverTime => max(lit(1.0))
+            case RangeF.QuantileOverTime(q) => percentile(col(valueCol), lit(q))
             case other => throw new IllegalStateException(s"unhandled range fn $other")
           }).as("value")
           rows.groupBy(groupKeys: _*).agg(agg)
@@ -393,6 +456,38 @@ final class PromQLContext(
           .otherwise(loLe + (col("__le__") - loLe) *
             (col("__rank__") - col("__prev_v__")) / (col("value") - col("__prev_v__")))
       chosen.select(groupCols.map(col) :+ quantile.as("value"): _*)
+
+    case LabelFn(name, child, dst, args) =>
+      // label manipulation over the child frame's label columns. Absent /
+      // null labels read as "" (Prometheus); the synthesized dst column
+      // behaves as a label for downstream grouping/matching. dst may
+      // overwrite an existing label but never a structural column.
+      val in = eval(child, stepMs, range)
+      if (!dst.matches("[a-zA-Z_][a-zA-Z0-9_]*") || dst == "value" ||
+          dst == "bucket_ms" || dst == "ts_ms")
+        throw new IllegalArgumentException(
+          s"$name destination '$dst' is not a usable label name")
+      def lbl(c: String): Column =
+        if (in.columns.contains(c)) coalesce(col(c).cast("string"), lit(""))
+        else lit("")
+      name match {
+        case "label_join" => // args = sep +: srcLabels
+          in.withColumn(dst, concat_ws(args.head, args.tail.map(lbl): _*))
+        case "label_replace" => // args = Seq(replacement, src, regex)
+          val Seq(repl, src, regex) = args: @unchecked
+          val anchored =
+            try s"^(?:${java.util.regex.Pattern.compile(regex).pattern})$$"
+            catch { case e: java.util.regex.PatternSyntaxException =>
+              throw new IllegalArgumentException(
+                s"label_replace regex does not compile: ${e.getMessage}") }
+          val srcS = lbl(src)
+          val existing = if (in.columns.contains(dst)) lbl(dst) else lit("")
+          in.withColumn(dst,
+            when(srcS.rlike(anchored), regexp_replace(srcS, lit(anchored), lit(repl)))
+              .otherwise(existing))
+        case other =>
+          throw new IllegalArgumentException(s"unknown label function '$other'")
+      }
 
     case CountValues(lbl, by, child) =>
       val in = withStepBucket(eval(child, stepMs, range), stepMs)

@@ -741,4 +741,100 @@ class PromQLSpec extends AnyFunSuite {
       TimeRange(0, H)).collect().head.getDouble(0)
     assert(math.abs(ratio - 1.0 / 3) < 1e-12)
   }
+
+  test("parser: extended range functions and label functions") {
+    assert(PromQLParser.parse("resets(c[5m])") ==
+      RangeFn(RangeF.Resets, Selector("c", Nil), 300000L))
+    assert(PromQLParser.parse("changes(c[5m])") ==
+      RangeFn(RangeF.Changes, Selector("c", Nil), 300000L))
+    assert(PromQLParser.parse("irate(c[5m])") ==
+      RangeFn(RangeF.Irate, Selector("c", Nil), 300000L))
+    assert(PromQLParser.parse("idelta(c[5m])") ==
+      RangeFn(RangeF.Idelta, Selector("c", Nil), 300000L))
+    assert(PromQLParser.parse("deriv(c[5m])") ==
+      RangeFn(RangeF.Deriv, Selector("c", Nil), 300000L))
+    assert(PromQLParser.parse("present_over_time(c[5m])") ==
+      RangeFn(RangeF.PresentOverTime, Selector("c", Nil), 300000L))
+    assert(PromQLParser.parse("quantile_over_time(0.9, c[5m])") ==
+      RangeFn(RangeF.QuantileOverTime(0.9), Selector("c", Nil), 300000L))
+    assert(PromQLParser.parse("predict_linear(c[5m], 300)") ==
+      RangeFn(RangeF.PredictLinear(300.0), Selector("c", Nil), 300000L))
+    // duration-literal horizon + offset modifier inside the range vector
+    assert(PromQLParser.parse("predict_linear(c[5m] offset 1h, 2m)") ==
+      RangeFn(RangeF.PredictLinear(120.0), Selector("c", Nil, 3600000L), 300000L))
+    assert(PromQLParser.parse("""label_join(up, "hd", "-", "host", "dc")""") ==
+      LabelFn("label_join", Selector("up", Nil), "hd", Seq("-", "host", "dc")))
+    assert(PromQLParser.parse("""label_replace(up, "h2", "$1", "host", "(.*)")""") ==
+      LabelFn("label_replace", Selector("up", Nil), "h2", Seq("$1", "host", "(.*)")))
+    assertThrows[PromQLParseException](
+      PromQLParser.parse("quantile_over_time(1.5, c[5m])"))
+    assertThrows[PromQLParseException](
+      PromQLParser.parse("""label_replace(up, "h2", "$1", "host")"""))
+    assertThrows[PromQLParseException](
+      PromQLParser.parse("""label_join(up, "hd")"""))
+  }
+
+  test("context: resets/changes count transitions per series per bucket") {
+    // one series, values 1,3,2,2,5 — resets: 3→2; changes: 1→3, 3→2, 2→5
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", 1000L, 3.0),
+      Row("cpu", "a", "us", 2000L, 2.0), Row("cpu", "a", "us", 3000L, 2.0),
+      Row("cpu", "a", "us", 4000L, 5.0)))
+    val r = ctx.sql("resets(cpu[1h])").collect()
+    assert(r.length == 1 && r.head.getDouble(3) == 1.0)
+    val c = ctx.sql("changes(cpu[1h])").collect()
+    assert(c.length == 1 && c.head.getDouble(3) == 3.0)
+  }
+
+  test("context: irate/idelta use the two newest samples; single-sample buckets drop") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", 60000L, 4.0),
+      Row("cpu", "a", "us", 120000L, 2.0),
+      Row("cpu", "b", "us", 0L, 7.0))) // single sample → no instant value
+    val id = ctx.sql("idelta(cpu[1h])").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(id == Map("a" -> -2.0)) // 2 - 4; host b dropped
+    val ir = ctx.sql("irate(cpu[1h])").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap
+    // v1=2 < v2=4 → reset: 2 / 60s
+    assert(ir.keySet == Set("a") && math.abs(ir("a") - 2.0 / 60.0) < 1e-12)
+  }
+
+  test("context: deriv, predict_linear, quantile/present over time") {
+    // exact line through (0s, 0) and (600s, 10): slope 1/60, intercept 0
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 0.0), Row("cpu", "a", "us", 600000L, 10.0),
+      Row("mem", "q", "us", 0L, 1.0), Row("mem", "q", "us", 1000L, 2.0),
+      Row("mem", "q", "us", 2000L, 3.0), Row("mem", "q", "us", 3000L, 4.0)))
+    val d = ctx.sql("deriv(cpu[1h])").collect()
+    assert(d.length == 1 && math.abs(d.head.getDouble(3) - 1.0 / 60) < 1e-12)
+    // prediction 100s past the window end (3600s): (3600+100)/60
+    val p = ctx.sql("predict_linear(cpu[1h], 100)").collect()
+    assert(p.length == 1 && math.abs(p.head.getDouble(3) - 3700.0 / 60) < 1e-9)
+    val q = ctx.sql("quantile_over_time(0.5, mem[1h])").collect()
+    assert(q.length == 1 && q.head.getDouble(3) == 2.5)
+    val pr = ctx.sql("present_over_time(mem[1h])").collect()
+    assert(pr.length == 1 && pr.head.getDouble(3) == 1.0)
+  }
+
+  test("context: label_join and label_replace synthesize label columns") {
+    val ctx = ctxOf(Seq(
+      Row("up", "web1", "us", 0L, 1.0), Row("up", "db2", "eu", 0L, 2.0)))
+    val joined = ctx.sql("""label_join(up, "hd", "-", "host", "dc")""")
+      .collect().map(r => (r.getString(1), r.getString(4))).toSet
+    assert(joined == Set(("web1", "web1-us"), ("db2", "db2-eu")))
+    // capture group: strip the trailing digit into a "role" label
+    val repl = ctx.sql(
+      """sum by (role) (label_replace(up, "role", "$1", "host", "([a-z]+)[0-9]"))""")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(repl == Map("web" -> 1.0, "db" -> 2.0))
+    // non-matching regex leaves the destination untouched (absent → "")
+    val miss = ctx.sql(
+      """label_replace(up, "role", "$1", "host", "zzz([0-9])")""")
+      .collect().map(_.getString(4)).toSet
+    assert(miss == Set(""))
+    // structural column collision is a loud error
+    assertThrows[IllegalArgumentException](
+      ctx.sql("""label_join(up, "value", "-", "host")""").collect())
+  }
 }
