@@ -20,7 +20,11 @@ object Bench {
     // queries a single global warmup pass evicts the earlier entries from
     // the codegen class cache before their timed run. Two timed samples,
     // min reported — single samples swing ±50% from GC/JIT interference.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: bench only the named queries (dev-side triage)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
       val samples = (1 to 2).map { _ =>

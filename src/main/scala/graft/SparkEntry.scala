@@ -589,6 +589,10 @@ object SparkEntry {
         t(s, dir, "events").select("event_type", "event_id", "user_id"),
         Seq("event_type"), "event_id", k = 50)),
 
+    // Corpus vocabulary: top-100 tokens by frequency (deterministic cut).
+    "t11_vocab" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
+
     // Text: normalization (lowercase, strip non-alnum, collapse whitespace).
     "t5_normalize" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1317,6 +1321,13 @@ object SparkEntry {
     "t9_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '4ccc'""".stripMargin,
+
+    "t11_vocab" ->
+      """SELECT token, n FROM (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "t10_stratified" ->
       """SELECT event_type, event_id, user_id FROM (

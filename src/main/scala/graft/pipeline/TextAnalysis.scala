@@ -61,6 +61,19 @@ object TextAnalysis {
     * removed — catches whitespace/case-only near-duplicates exactly. */
   def fingerprint(text: Column): Column = md5(regexp_replace(lower(text), " ", ""))
 
+  /** Corpus vocabulary: the `k` most frequent tokens with their counts,
+    * ties broken by token string so the cut is deterministic. One explode
+    * feeding one hash aggregation (partial aggregation collapses per-token
+    * rows map-side), then a global top-k — TakeOrdered (per-partition heads
+    * merged on the driver), never a single-partition sort, so the shape
+    * holds at 100 TB where the distinct-token set still fits a driver merge
+    * of k-row heads. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Repetition / boilerplate metrics in the style of the Gopher quality
     * rules (Rae et al. 2021, "Scaling Language Models", table A1) at token
     * granularity:
