@@ -22,10 +22,13 @@ import graft.metric.MetricAgg
   *   paramagg := (topk|bottomk|quantile) grouping? '(' num ',' expr ')' grouping?
   *   fncall   := scalarfn '(' expr (',' num)* ')'
   *   scalarfn := abs|ceil|floor|sqrt|exp|ln|log2|log10|round|clamp|clamp_min|clamp_max
+  *             | minute|hour|day_of_week|day_of_month|day_of_year
+  *             | days_in_month|month|year | sort|sort_desc
   *   histq    := 'histogram_quantile' '(' num ',' expr ')'
   *   vector   := rangefn '(' selector '[' duration ']' offset? ')' | selector offset?
   *             | 'quantile_over_time' '(' num ',' selector '[' duration ']' offset? ')'
   *             | 'predict_linear' '(' selector '[' duration ']' offset? ',' num ')'
+  *             | 'holt_winters' '(' selector '[' duration ']' offset? ',' num ',' num ')'
   *             | ('label_replace'|'label_join') '(' expr (',' string)+ ')'
   *   rangefn  := rate | increase | delta | irate | idelta | deriv
   *             | resets | changes
@@ -91,6 +94,10 @@ object RangeF {
   /** Least-squares prediction `tSec` seconds past the window end,
     * `predict_linear(sel[w], tSec)`. */
   final case class PredictLinear(tSec: Double) extends RangeF
+  /** Holt-Winters double exponential smoothing of the window's samples,
+    * `holt_winters(sel[w], sf, tf)`: sf smooths the level, tf the trend;
+    * the result is the final smoothed level. Requires ≥ 2 samples. */
+  final case class HoltWinters(sf: Double, tf: Double) extends RangeF
 }
 
 final case class RangeFn(fn: RangeF, sel: Selector, windowMs: Long) extends Expr
@@ -194,13 +201,19 @@ object PromQLParser {
     "idelta" -> RangeF.Idelta, "irate" -> RangeF.Irate,
     "deriv" -> RangeF.Deriv)
   /** Scalar vector functions: name → (min extra args, max extra args).
-    * `absent` and `timestamp` are shape functions evaluated specially. */
+    * `absent` and `timestamp` are shape functions evaluated specially.
+    * Calendar functions interpret the sample VALUE as epoch seconds (UTC),
+    * as Prometheus does; `sort`/`sort_desc` order the output vector. */
   private val ScalarFns = Map(
     "abs" -> (0, 0), "ceil" -> (0, 0), "floor" -> (0, 0), "sqrt" -> (0, 0),
     "exp" -> (0, 0), "ln" -> (0, 0), "log2" -> (0, 0), "log10" -> (0, 0),
     "sgn" -> (0, 0), "round" -> (0, 1), "clamp" -> (2, 2),
     "clamp_min" -> (1, 1), "clamp_max" -> (1, 1), "absent" -> (0, 0),
-    "timestamp" -> (0, 0))
+    "timestamp" -> (0, 0),
+    "minute" -> (0, 0), "hour" -> (0, 0), "day_of_week" -> (0, 0),
+    "day_of_month" -> (0, 0), "day_of_year" -> (0, 0),
+    "days_in_month" -> (0, 0), "month" -> (0, 0), "year" -> (0, 0),
+    "sort" -> (0, 0), "sort_desc" -> (0, 0))
   private val DurUnits = List( // longest-match first
     "ms" -> 1L, "w" -> 604800000L, "d" -> 86400000L, "h" -> 3600000L,
     "m" -> 60000L, "s" -> 1000L)
@@ -399,6 +412,7 @@ object PromQLParser {
       case TIdent("histogram_quantile", _) if nextIsParen => parseHistQ()
       case TIdent("quantile_over_time", _) if nextIsParen => parseQuantileOT()
       case TIdent("predict_linear", _) if nextIsParen => parsePredictLinear()
+      case TIdent("holt_winters", _) if nextIsParen => parseHoltWinters()
       case TIdent(name @ ("label_replace" | "label_join"), _) if nextIsParen =>
         parseLabelFn(name)
       case TIdent(name, _) if ScalarFns.contains(name) && nextIsParen =>
@@ -466,6 +480,28 @@ object PromQLParser {
       }
       expect(")")
       RangeFn(RangeF.PredictLinear(t), sel.copy(offsetMs = off), win)
+    }
+
+    /** `holt_winters(sel[w] offset?, sf, tf)` — range vector first, then the
+      * level and trend smoothing factors, both strictly inside (0, 1)
+      * (Prometheus rejects the boundaries too). */
+    private def parseHoltWinters(): Expr = {
+      next(); expect("(")
+      val (sel, win, off) = parseRangeVector()
+      def factor(what: String): Double = {
+        expect(",")
+        next() match {
+          case TNum(d, _) if d > 0 && d < 1 => d
+          case TNum(d, p) => throw PromQLParseException(
+            s"holt_winters $what factor must be in (0, 1) exclusive, got $d", p)
+          case tk => throw PromQLParseException(
+            s"holt_winters requires a scalar $what factor", tk.pos)
+        }
+      }
+      val sf = factor("smoothing")
+      val tf = factor("trend")
+      expect(")")
+      RangeFn(RangeF.HoltWinters(sf, tf), sel.copy(offsetMs = off), win)
     }
 
     /** `selector '[' duration ']' offset?` shared by all range-fn forms. */

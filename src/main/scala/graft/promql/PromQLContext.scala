@@ -164,6 +164,42 @@ final class PromQLContext(
             .select(outCols :+ (col("__ic__") + col("__sl__") *
               ((col("bucket_ms") + lit(windowMs)).cast("double") / 1000.0 + tSec))
               .as("value"): _*)
+        case RangeF.HoltWinters(sf, tf) =>
+          // double exponential smoothing (Prometheus funcHoltWinters): an
+          // ordered recurrence over each (series, bucket)'s samples. The
+          // sequential fold runs as a higher-order `aggregate` over the
+          // bucket's COLLECTED sample array — bounded by samples-per-window
+          // (a per-series-window quantity, never a whole-partition collect),
+          // after the same single exchange every *_over_time agg uses.
+          //   init (from v0, v1):  sp = v0; b = v1 - v0; s = sf·v1 + (1-sf)(v0 + b)
+          //   step (v2..):         b' = tf·(s - sp) + (1-tf)·b
+          //                        s' = sf·x + (1-sf)(s + b');  sp' = s
+          //   result: final s.  Buckets with < 2 samples emit nothing.
+          val sortKey = struct(ord.zipWithIndex.map { case (c, i) =>
+            c.as(s"__o$i") } :+ col(valueCol).as("__v"): _*)
+          val vals = transform(array_sort(col("__arr__")), x => x.getField("__v"))
+          val v0 = element_at(col("__vals__"), 1)
+          val v1 = element_at(col("__vals__"), 2)
+          val initB = v1 - v0
+          val init = struct(v0.as("sp"),
+            (lit(sf) * v1 + lit(1 - sf) * (v0 + initB)).as("s"), initB.as("b"))
+          val smoothed = aggregate(
+            slice(col("__vals__"), lit(3),
+              greatest(size(col("__vals__")) - 2, lit(0))),
+            init,
+            (acc, x) => {
+              val bNew = lit(tf) * (acc.getField("s") - acc.getField("sp")) +
+                lit(1 - tf) * acc.getField("b")
+              struct(acc.getField("s").as("sp"),
+                (lit(sf) * x + lit(1 - sf) * (acc.getField("s") + bNew)).as("s"),
+                bNew.as("b"))
+            },
+            acc => acc.getField("s"))
+          rows.groupBy(groupKeys: _*)
+            .agg(collect_list(sortKey).as("__arr__"))
+            .filter(size(col("__arr__")) >= 2)
+            .withColumn("__vals__", vals)
+            .select(outCols :+ smoothed.as("value"): _*)
         case _ =>
           // *_over_time: one plain aggregate per (series, window bucket)
           val agg = (fn match {
@@ -389,10 +425,34 @@ final class PromQLContext(
             s"(got: ${in.columns.mkString(", ")})"))
       in.withColumn("value", col(tcol).cast("double") / 1000.0)
 
+    case FnCall(name @ ("sort" | "sort_desc"), child, _) =>
+      // presentation ordering by value (Prometheus sorts instant vectors for
+      // display). A DataFrame's order is only observable through collect /
+      // write, so this is a final global sort — ties broken by the remaining
+      // columns for a deterministic layout.
+      val in = eval(child, stepMs, range)
+      val dir = if (name == "sort") col("value").asc else col("value").desc
+      val tiebreak = in.columns.filterNot(_ == "value").sorted.map(col)
+      in.orderBy(dir +: tiebreak.toSeq: _*)
+
     case FnCall(name, child, args) =>
       val in = eval(child, stepMs, range)
       val v = col("value")
+      // Calendar functions read the sample VALUE as epoch seconds in UTC
+      // (Prometheus semantics: hour(process_start_time_seconds)); compose
+      // with timestamp() to read the sample's own time instead.
+      val vTime = timestamp_seconds(floor(v).cast("long"))
       val mapped = name match {
+        case "minute" => minute(vTime).cast("double")
+        case "hour" => hour(vTime).cast("double")
+        // Prometheus day_of_week: 0 = Sunday; Spark dayofweek: 1 = Sunday
+        case "day_of_week" => (dayofweek(vTime) - 1).cast("double")
+        case "day_of_month" => dayofmonth(vTime).cast("double")
+        case "day_of_year" => dayofyear(vTime).cast("double")
+        case "days_in_month" =>
+          dayofmonth(last_day(vTime.cast("date"))).cast("double")
+        case "month" => month(vTime).cast("double")
+        case "year" => year(vTime).cast("double")
         case "abs" => abs(v)
         case "sgn" => signum(v)
         case "ceil" => ceil(v).cast("double")

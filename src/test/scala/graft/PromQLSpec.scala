@@ -837,4 +837,76 @@ class PromQLSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       ctx.sql("""label_join(up, "value", "-", "host")""").collect())
   }
+
+  test("parser: holt_winters, calendar functions, sort/sort_desc") {
+    assert(PromQLParser.parse("holt_winters(cpu[1h], 0.5, 0.3)") ==
+      RangeFn(RangeF.HoltWinters(0.5, 0.3), Selector("cpu", Nil), H))
+    assert(PromQLParser.parse("holt_winters(cpu[1h] offset 5m, 0.5, 0.3)") ==
+      RangeFn(RangeF.HoltWinters(0.5, 0.3), Selector("cpu", Nil, 300000L), H))
+    // factors are strictly inside (0, 1)
+    assertThrows[PromQLParseException](
+      PromQLParser.parse("holt_winters(cpu[1h], 0, 0.3)"))
+    assertThrows[PromQLParseException](
+      PromQLParser.parse("holt_winters(cpu[1h], 0.5, 1)"))
+    assert(PromQLParser.parse("hour(cpu)") == FnCall("hour", Selector("cpu", Nil)))
+    assert(PromQLParser.parse("sort_desc(sum(cpu))") ==
+      FnCall("sort_desc", Agg(MetricAgg.Sum, Nil, Selector("cpu", Nil))))
+    // calendar names stay usable as metric names (contextual keywords)
+    assert(PromQLParser.parse("""month{a="b"}""") ==
+      Selector("month", Seq(LabelMatcher("a", MatchOp.Eq, "b"))))
+  }
+
+  test("context: holt_winters runs the Prometheus double-smoothing recurrence") {
+    // one series, one bucket, values 1, 4, 9, 16 at 1s spacing
+    val vals = Seq(1.0, 4.0, 9.0, 16.0)
+    val ctx = ctxOf(vals.zipWithIndex.map { case (v, i) =>
+      Row("cpu", "a", "us", i * 1000L, v) })
+    val (sf, tf) = (0.5, 0.3)
+    // reference recurrence (Prometheus funcHoltWinters)
+    var sPrev = vals.head
+    var b = vals(1) - vals.head
+    var s = sf * vals(1) + (1 - sf) * (vals.head + b)
+    vals.drop(2).foreach { x =>
+      val bNew = tf * (s - sPrev) + (1 - tf) * b
+      val sNew = sf * x + (1 - sf) * (s + bNew)
+      sPrev = s; s = sNew; b = bNew
+    }
+    val got = ctx.sql("holt_winters(cpu[1h], 0.5, 0.3)").collect()
+    assert(got.length == 1 && math.abs(got.head.getDouble(3) - s) < 1e-12)
+    // a single-sample series emits nothing (Prometheus requires >= 2)
+    val one = ctxOf(Seq(Row("cpu", "a", "us", 0L, 5.0)))
+    assert(one.sql("holt_winters(cpu[1h], 0.5, 0.3)").collect().isEmpty)
+  }
+
+  test("context: calendar functions read the value as epoch seconds (UTC)") {
+    // 2024-03-15 is a Friday; 2024-02-10 12:34 UTC in a leap February
+    val t1 = java.time.Instant.parse("2024-03-15T07:05:09Z").getEpochSecond
+    val t2 = java.time.Instant.parse("2024-02-10T12:34:56Z").getEpochSecond
+    val ctx = ctxOf(Seq(
+      Row("st", "a", "us", 0L, t1.toDouble), Row("st", "b", "us", 0L, t2.toDouble)))
+    def run(fn: String): Map[String, Double] =
+      ctx.sql(s"$fn(st)").collect()
+        .map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(run("hour") == Map("a" -> 7.0, "b" -> 12.0))
+    assert(run("minute") == Map("a" -> 5.0, "b" -> 34.0))
+    assert(run("day_of_week") == Map("a" -> 5.0, "b" -> 6.0)) // Fri=5, Sat=6
+    assert(run("day_of_month") == Map("a" -> 15.0, "b" -> 10.0))
+    assert(run("month") == Map("a" -> 3.0, "b" -> 2.0))
+    assert(run("year") == Map("a" -> 2024.0, "b" -> 2024.0))
+    assert(run("days_in_month") == Map("a" -> 31.0, "b" -> 29.0)) // leap Feb
+    assert(run("day_of_year") == Map("a" -> 75.0, "b" -> 41.0))
+    // timestamp() composes: hour of the sample's own time (epoch 0 = 00:00)
+    val viaTs = ctx.sql("hour(timestamp(st))").collect().map(_.getDouble(3)).toSet
+    assert(viaTs == Set(0.0))
+  }
+
+  test("context: sort/sort_desc order the output vector by value") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 3.0), Row("cpu", "b", "us", 0L, 1.0),
+      Row("cpu", "c", "us", 0L, 2.0)))
+    val asc = ctx.sql("sort(sum by (host) (cpu))").collect().map(_.getString(0))
+    assert(asc.toSeq == Seq("b", "c", "a"))
+    val desc = ctx.sql("sort_desc(sum by (host) (cpu))").collect().map(_.getString(0))
+    assert(desc.toSeq == Seq("a", "c", "b"))
+  }
 }
