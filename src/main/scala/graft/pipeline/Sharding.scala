@@ -117,8 +117,13 @@ object Sharding {
     * pipeline needs — a row never flickers in/out between runs). */
   def hashSample(id: Column, fraction: Double): Column = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
-    val thr = f"${math.floor(fraction * 65536).toLong}%04x"
-    substring(md5(id.cast("string")), 1, 4) < lit(thr)
+    val thrN = math.floor(fraction * 65536).toLong
+    // Boundary cases: fraction 1.0 would format as the 5-char "10000", which
+    // compares lexicographically BELOW most 4-char prefixes and silently
+    // drops ~94% of rows; fraction 0 formats as "0000" which no prefix is <.
+    if (thrN >= 65536) lit(true)
+    else if (thrN <= 0) lit(false)
+    else substring(md5(id.cast("string")), 1, 4) < lit(f"$thrN%04x")
   }
 
   /** Per-stratum quota sample: the `k` rows of each stratum with the

@@ -243,12 +243,13 @@ object PromQLParser {
         while (i < s.length && s(i).isDigit) { n = n * 10 + (s(i) - '0'); i += 1 }
         if (i < s.length && s(i) == '.') {
           i += 1
-          var frac = 0.0
-          var scale = 0.1
           if (i >= s.length || !s(i).isDigit)
             throw PromQLParseException("expected digits after '.'", i)
-          while (i < s.length && s(i).isDigit) { frac += (s(i) - '0') * scale; scale /= 10; i += 1 }
-          out += TNum(n + frac, start)
+          while (i < s.length && s(i).isDigit) i += 1
+          // Parse the sliced literal with Double.parseDouble so decimals like
+          // 0.3 round-trip exactly (digit-by-digit accumulation drifts by ULPs;
+          // Prometheus itself uses strconv.ParseFloat on the slice).
+          out += TNum(java.lang.Double.parseDouble(s.substring(start, i)), start)
         } else DurUnits.find { case (u, _) => s.startsWith(u, i) } match {
           case Some((u, mult)) =>
             var ms = n * mult

@@ -146,7 +146,10 @@ final class PromQLContext(
             else // reset-aware instant rate over the last sample interval
               when(col("__v1__") >= col("__v2__"), col("__v1__") - col("__v2__"))
                 .otherwise(col("__v1__")) / ((col("__t1__") - col("__t2__")) / 1000.0)
-          val g2 = if (fn == RangeF.Irate) g.filter(col("__t1__") > col("__t2__")) else g
+          // Prometheus instantValue drops the point when the sampled interval
+          // is 0 — for BOTH irate and idelta (the division guard is only part
+          // of the reason; the semantics are "no instant over zero time").
+          val g2 = g.filter(col("__t1__") > col("__t2__"))
           g2.select(outCols :+ v.as("value"): _*)
         case RangeF.Deriv =>
           // per-second least-squares slope; null (< 2 distinct points) drops
@@ -524,7 +527,8 @@ final class PromQLContext(
       // overwrite an existing label but never a structural column.
       val in = eval(child, stepMs, range)
       if (!dst.matches("[a-zA-Z_][a-zA-Z0-9_]*") || dst == "value" ||
-          dst == "bucket_ms" || dst == "ts_ms")
+          dst == "bucket_ms" || dst == "ts_ms" ||
+          dst == metricCol || seriesCols.contains(dst))
         throw new IllegalArgumentException(
           s"$name destination '$dst' is not a usable label name")
       def lbl(c: String): Column =
@@ -535,15 +539,17 @@ final class PromQLContext(
           in.withColumn(dst, concat_ws(args.head, args.tail.map(lbl): _*))
         case "label_replace" => // args = Seq(replacement, src, regex)
           val Seq(repl, src, regex) = args: @unchecked
-          val anchored =
-            try s"^(?:${java.util.regex.Pattern.compile(regex).pattern})$$"
+          val pat =
+            try java.util.regex.Pattern.compile(regex)
             catch { case e: java.util.regex.PatternSyntaxException =>
               throw new IllegalArgumentException(
                 s"label_replace regex does not compile: ${e.getMessage}") }
+          val anchored = s"^(?:${pat.pattern})$$"
           val srcS = lbl(src)
           val existing = if (in.columns.contains(dst)) lbl(dst) else lit("")
           in.withColumn(dst,
-            when(srcS.rlike(anchored), regexp_replace(srcS, lit(anchored), lit(repl)))
+            when(srcS.rlike(anchored),
+              regexp_replace(srcS, lit(anchored), lit(goTemplate(repl, pat))))
               .otherwise(existing))
         case other =>
           throw new IllegalArgumentException(s"unknown label function '$other'")
@@ -558,7 +564,8 @@ final class PromQLContext(
           s"unknown grouping label '$l' (available: ${in.columns.mkString(", ")})"))
       // the synthesized label must be a valid, non-colliding label name
       if (!lbl.matches("[a-zA-Z_][a-zA-Z0-9_]*") || lbl == "value" ||
-          lbl == "bucket_ms" || lbl == "ts_ms")
+          lbl == "bucket_ms" || lbl == "ts_ms" ||
+          lbl == metricCol || seriesCols.contains(lbl))
         throw new IllegalArgumentException(
           s"count_values label '$lbl' is not a usable label name")
       if (in.columns.contains(lbl))
@@ -688,4 +695,58 @@ object PromQLContext {
     }
   }
   private def anchor(re: String): String = s"^(?:$re)$$"
+
+  /** Translate a Go `Regexp.Expand` replacement template into a Java
+    * `regexp_replace` replacement. Go semantics (what Prometheus's
+    * label_replace uses): `$name`/`${name}` reference a capture group by
+    * number or name, a reference to a group the pattern doesn't have
+    * expands to the EMPTY STRING (Java throws), `$$` is a literal `$`,
+    * and a `$` that starts no valid name is literal. Literal `\` and `$`
+    * in the output are escaped for Java's replacement-string parser. */
+  private[promql] def goTemplate(template: String,
+      pat: java.util.regex.Pattern): String = {
+    val namedGroups =
+      "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findAllMatchIn(pat.pattern())
+        .map(_.group(1)).toSet
+    val groupCount = pat.matcher("").groupCount()
+    val sb = new StringBuilder
+    def emitLit(c: Char): Unit = c match {
+      case '$' => sb.append("\\$")
+      case '\\' => sb.append("\\\\")
+      case other => sb.append(other)
+    }
+    var i = 0
+    while (i < template.length) {
+      val c = template.charAt(i)
+      if (c == '$' && i + 1 < template.length) {
+        if (template.charAt(i + 1) == '$') { sb.append("\\$"); i += 2 }
+        else {
+          val braced = template.charAt(i + 1) == '{'
+          var j = i + (if (braced) 2 else 1)
+          val start = j
+          while (j < template.length &&
+              (template.charAt(j).isLetterOrDigit || template.charAt(j) == '_'))
+            j += 1
+          val name = template.substring(start, j)
+          if (braced && (j >= template.length || template.charAt(j) != '}')) {
+            // malformed ${... with no closing brace: Go emits nothing for
+            // the rest of the reference; treat the bare `$` as literal and
+            // continue after it, which matches Expand's recovery closely
+            // enough for label values
+            emitLit(c); i += 1
+          } else if (name.isEmpty) { emitLit(c); i += 1 }
+          else {
+            val numeric = name.forall(_.isDigit)
+            val valid = // $0 is the whole match; absurd numbers can't overflow
+              if (numeric) name.length <= 4 && name.toInt <= groupCount
+              else namedGroups.contains(name)
+            if (valid) sb.append(if (numeric) "$" + name.toInt else "$" + "{" + name + "}")
+            // invalid reference → empty string (Go), instead of Java's throw
+            i = j + (if (braced) 1 else 0)
+          }
+        }
+      } else { emitLit(c); i += 1 }
+    }
+    sb.toString
+  }
 }

@@ -838,6 +838,39 @@ class PromQLSpec extends AnyFunSuite {
       ctx.sql("""label_join(up, "value", "-", "host")""").collect())
   }
 
+  test("context: label_replace Go template semantics ($$, invalid refs, named)") {
+    val ctx = ctxOf(Seq(Row("up", "web1", "us", 0L, 1.0)))
+    // a reference to a group the pattern doesn't have expands to the EMPTY
+    // string (Go ExpandString), never a runtime throw
+    val bad = ctx.sql("""label_replace(up, "role", "$2", "host", "([a-z]+)[0-9]")""")
+      .collect().map(_.getString(4)).toSet
+    assert(bad == Set(""))
+    // $$ is a literal dollar; a $ that starts no name is literal too
+    val dollar = ctx.sql(
+      """label_replace(up, "role", "$$-$1-$", "host", "([a-z]+)[0-9]")""")
+      .collect().map(_.getString(4)).toSet
+    assert(dollar == Set("$-web-$"))
+    // named capture groups resolve via ${name}
+    val named = ctx.sql(
+      """label_replace(up, "role", "${w}", "host", "(?<w>[a-z]+)[0-9]")""")
+      .collect().map(_.getString(4)).toSet
+    assert(named == Set("web"))
+    // the metric/series identity columns are structural: dst can't hit them
+    assertThrows[IllegalArgumentException](
+      ctx.sql("""label_join(up, "m", "-", "host")""").collect())
+  }
+
+  test("context: idelta drops buckets whose newest samples share a timestamp") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 60000L, 4.0), Row("cpu", "a", "us", 60000L, 2.0),
+      Row("cpu", "b", "us", 0L, 1.0), Row("cpu", "b", "us", 60000L, 5.0)))
+    // Prometheus instantValue: sampled interval of 0 yields no point, for
+    // idelta exactly as for irate
+    val id = ctx.sql("idelta(cpu[1h])").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(id == Map("b" -> 4.0))
+  }
+
   test("parser: holt_winters, calendar functions, sort/sort_desc") {
     assert(PromQLParser.parse("holt_winters(cpu[1h], 0.5, 0.3)") ==
       RangeFn(RangeF.HoltWinters(0.5, 0.3), Selector("cpu", Nil), H))

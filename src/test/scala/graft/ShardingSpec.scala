@@ -88,4 +88,14 @@ class ShardingSpec extends AnyFunSuite {
     // stable across evaluations
     assert(ids.collect().toSeq == ids.collect().toSeq)
   }
+
+  test("hashSample keeps everything at fraction 1.0, nothing at 0.0") {
+    // Regression: 1.0 used to format its threshold as the 5-char "10000",
+    // which lexicographically drops ~94% of 4-char md5 prefixes.
+    val ids = spark.range(0, 1000)
+    assert(ids.filter(Sharding.hashSample(col("id"), 1.0)).count() == 1000L)
+    assert(ids.filter(Sharding.hashSample(col("id"), 0.0)).count() == 0L)
+    val mid = ids.filter(Sharding.hashSample(col("id"), 0.5)).count()
+    assert(mid > 400 && mid < 600, s"0.5 kept $mid of 1000")
+  }
 }
