@@ -535,9 +535,10 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
-    // Similarity: IVF (k-means cell) ANN — rows-only check: k-means centroids
-    // are not reproducible in SQL. nProbe=4 of k=8 cells. Index built once
-    // per JVM per dataset (index construction is write-path work).
+    // Similarity: IVF (k-means cell) ANN — nProbe=4 of k=8 cells. Index built
+    // once per JVM per dataset (index construction is write-path work). The
+    // oracle embeds the trained centroids as literals (see ivfOracleEntry),
+    // so assignment + probe + rerank hash-check against DuckDB.
     "e4_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (indexed, centroids) = ivfCache.synchronized {
@@ -642,8 +643,8 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("payload_md5"))),
 
     // Multimodal: full plumbing — binary payload + meta struct through the
-    // per-partition feature extractor (stub decode). Rows-only check: the
-    // mapPartitions batch shape is not SQL-expressible.
+    // per-partition feature extractor (stub decode). The stub feature is
+    // first-byte/255, which the oracle reproduces via hex(encode(text)).
     "mm2_features" -> ((s, dir) => {
       val media = graft.pipeline.Multimodal.toMedia(
         t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
@@ -1368,6 +1369,16 @@ object SparkEntry {
         |  md5(text) AS payload_md5
         |FROM documents""".stripMargin,
 
+    // The stub feature f0 = first payload byte (unsigned) / 255; DuckDB has
+    // no blob subscript, so the byte comes out of the hex dump.
+    "mm2_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+        |       ELSE round(('0x' || substr(hex(encode(text)), 1, 2))::INT / 255.0, 4)
+        |  END AS f0
+        |FROM documents""".stripMargin,
+
     "x1_rollup" ->
       """SELECT event_type,
         |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000 AS day_ms,
@@ -1443,5 +1454,54 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id""".stripMargin
-  )
+  ) ++ ivfOracleEntry
+
+  /** e4's oracle is generated from the centroids the IVF index actually
+    * trained this run: `oracleSql` is a def and Verify dumps it AFTER running
+    * the queries, so the fixed-seed centroids the e4 query used are in
+    * `ivfCache`. Embedded as double literals, cell assignment, probe and
+    * cosine rerank become plain arithmetic DuckDB reproduces bit-for-bit
+    * (float products accumulated left-to-right in double on both engines).
+    * If no index was built this run, the entry is omitted and the driver
+    * falls back to the weaker rows-only check. */
+  private def ivfOracleEntry: Option[(String, String)] =
+    ivfCache.synchronized { ivfCache.keys.toSeq.sorted.headOption }.map { dir =>
+      val centroids = ivfCache.synchronized(ivfCache(dir)._2)
+      val cent = centroids.zipWithIndex.map { case (c, j) =>
+        val lst = c.map(_.toString).mkString("[", ", ", "]")
+        val cn = c.map(x => x * x).sum
+        s"($j, $lst::DOUBLE[], $cn)"
+      }.mkString(",\n")
+      "e4_ivf_topk" ->
+        s"""WITH cent(cell, c, cn) AS (VALUES $cent),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell, row_number() OVER (
+           |        PARTITION BY v.vec_id
+           |        ORDER BY 2 * list_dot_product(v.embedding::DOUBLE[], c.c) - c.cn DESC,
+           |                 c.cell ASC) AS rn
+           |    FROM embeddings v CROSS JOIN cent c) WHERE rn = 1),
+           |probed AS (
+           |  SELECT query_id, cell FROM (
+           |    SELECT q.vec_id AS query_id, c.cell, row_number() OVER (
+           |        PARTITION BY q.vec_id
+           |        ORDER BY 2 * list_dot_product(q.embedding::DOUBLE[], c.c) - c.cn DESC,
+           |                 c.cell DESC) AS rn
+           |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    round(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) /
+           |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+           |       sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6)
+           |      AS cos
+           |  FROM probed p
+           |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+           |  JOIN embeddings q ON q.vec_id = p.query_id
+           |  JOIN embeddings v ON v.vec_id = a.vec_id)
+           |SELECT query_id, neighbor_id, cos, rank FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           |  FROM scored) WHERE rank <= 3""".stripMargin
+    }
 }

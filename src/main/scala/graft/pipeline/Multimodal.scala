@@ -53,10 +53,12 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(r.fieldIndex("media_id"))
           val payload = r.getAs[Array[Byte]]("payload")
-          // ??? real decode goes here; deterministic stub feature instead:
+          // ??? real decode goes here; deterministic stub feature instead
+          // (unsigned byte view: feature space is [0,1], and the stub stays
+          // reproducible in engines without signed bytes):
           val feat = Array.tabulate(4)(i =>
             if (payload.isEmpty) 0.0
-            else payload(i % payload.length).toDouble / 255.0)
+            else (payload(i % payload.length) & 0xFF).toDouble / 255.0)
           Row(id, payload.length.toLong, feat)
         }
       }(enc)

@@ -77,23 +77,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-cell assignment score `2·v·c_j − |c_j|²`: for fixed `|v|`,
+    * argmax over j ⇔ argmin euclidean `|v − c_j|²`. Centroid components are
+    * float-rounded and the arithmetic is exact float products accumulated
+    * left-to-right in double ([[dot]]), so any engine with IEEE doubles
+    * reproduces the score bit-for-bit — what lets the IVF path be
+    * oracle-checked in plain SQL. */
+  private def cellScore(vec: Column, c: Array[Double]): Column =
+    dot(vec, typedLit(c.map(_.toFloat))) * 2 - lit(c.map(x => x * x).sum)
+
+  /** Nearest-cell assignment as a pure column expression (ties → lowest
+    * cell). Replaces `KMeansModel.transform` on the read path: codegen'd,
+    * no ml.Vector conversion, no join against a transform output. */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.indices.map { j =>
+      struct(cellScore(vec, centroids(j)).as("score"), lit(-j).as("negCell"))
+    }
+    (-array_max(array(scored: _*)).getField("negCell")).cast("int")
+  }
+
   /** IVF (inverted-file) ANN index: k-means centroids over a training sample,
     * every vector assigned to its nearest cell. Queries probe only the
     * `nProbe` nearest cells — the coarse-quantization scale path (vs
     * [[lshBucket]]'s hash path): at 100 TB the per-cell lists are the
-    * shuffle partitions and a query touches nProbe/k of the data. */
+    * shuffle partitions and a query touches nProbe/k of the data.
+    * Returned centroids are float-rounded: assignment ([[ivfAssign]]),
+    * probe ([[ivfTopK]]) and any external oracle all see identical values. */
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = vectors.select(col(idCol),
+    val train = vectors.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val assigned = model.transform(train)
-      .select(col(idCol), col("prediction").as("cell"))
-    (vectors.join(assigned, Seq(idCol)), centroids)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat.toDouble))
+    (vectors.withColumn("cell", ivfAssign(col(vecCol), centroids)), centroids)
   }
 
   /** ANN top-k over an IVF index: each query probes its `nProbe` nearest
@@ -103,15 +122,12 @@ object Similarity {
       centroids: Array[Array[Double]], idCol: String, vecCol: String,
       topK: Int, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroidLit = (j: Int) => typedLit(centroids(j).map(_.toFloat))
-    // Probe by the same metric k-means assigned with (euclidean): for fixed
+    // Probe by the same metric the index assigned with (euclidean): for fixed
     // |q|, argmin |q-c|^2 = argmax (2 q·c - |c|^2). A raw-dot probe would
     // disagree with the assignment for unnormalized vectors and could skip
     // the query's own cell.
     val cellScores = centroids.indices.map { j =>
-      val cNormSq = centroids(j).map(x => x * x).sum
-      struct((dot(col("qv"), centroidLit(j)) * 2 - lit(cNormSq)).as("score"),
-        lit(j).as("cell"))
+      struct(cellScore(col("qv"), centroids(j)).as("score"), lit(j).as("cell"))
     }
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
