@@ -69,6 +69,22 @@ final class MetricEngine(spark: SparkSession, root: String,
     StorageSchema(dataSchema, numPrimaryKeys = 3), segmentMs,
     timestampColumn = Some("ts"))
 
+  /** Broadcast-when-small (SURVEY §2.3 "broadcast when small, else shuffle
+    * hash"): hint only while the optimizer's size estimate (parquet bytes
+    * after pruning/filter estimation) stays under
+    * `graft.metric.broadcastMaxBytes` (default 64 MB). Above it the join
+    * shape is left to AQE — which still converts genuinely-small runtime
+    * sides to broadcast, but never forces a driver collect of an
+    * unexpectedly huge TSID set (a low-selectivity matcher over a
+    * million-series metric would OOM the driver under an unconditional
+    * hint). Cost-free: a plan-stats read, no extra Spark job. */
+  private def maybeBroadcast(df: DataFrame): DataFrame = {
+    val cap = spark.conf.getOption("graft.metric.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap) broadcast(df)
+    else df
+  }
+
   /** Canonical series key: name + sorted `\u0001 key \u0002 value` pairs
     * with keys
     * sorted — the `hash(metric + sorted_tags)` input (RFC
@@ -175,7 +191,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     val tsids = lookupTsids(mid, q.labelFilters)
     var rows = data.scan(ScanRequest(range = q.range,
         predicates = Seq(col("metric_id") === mid)))
-      .join(broadcast(tsids), Seq("tsid"), "left_semi")
+      .join(maybeBroadcast(tsids), Seq("tsid"), "left_semi")
     if (q.rate)
       rows = rows.withColumn("value", graft.functions.Rate.resetAwareDelta(
         col("value"), Seq(col("tsid")), Seq(col("ts"))))
@@ -187,7 +203,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       // left join + "" default: series without the tag stay in the result
       // as the empty-label group (Prometheus by() semantics; an inner join
       // would silently drop them)
-      rows = rows.join(broadcast(tagVals), Seq("tsid"), "left")
+      rows = rows.join(maybeBroadcast(tagVals), Seq("tsid"), "left")
         .withColumn(tag, coalesce(col(tag), lit("")))
       col(tag)
     }
@@ -277,7 +293,7 @@ final class MetricEngine(spark: SparkSession, root: String,
               StructField("value", DoubleType, nullable = false)))))
         data.scan(ScanRequest(range = range,
             predicates = Seq(col("metric_id") === mid)))
-          .join(broadcast(lookupTsids(mid, eqFilters(sel).get)), Seq("tsid"), "left_semi")
+          .join(maybeBroadcast(lookupTsids(mid, eqFilters(sel).get)), Seq("tsid"), "left_semi")
           .select(col("tsid"), col("ts").as("ts_ms"), col("value"))
       // by (__name__) must take the general path — the fast path's index
       // join has no __name__ tag and would label the group "" silently
@@ -432,13 +448,13 @@ final class MetricEngine(spark: SparkSession, root: String,
         val perSel = byMetric(m).map(prunableTsids(mid, _))
         if (perSel.forall(_.isDefined)) {
           val prunable = perSel.flatten.reduce(_ union _).distinct()
-          rows = rows.join(broadcast(prunable), Seq("tsid"), "left_semi")
+          rows = rows.join(maybeBroadcast(prunable), Seq("tsid"), "left_semi")
         }
         labelCols.foreach { l =>
           val tagVals = index.scan(ScanRequest(predicates = Seq(
             col("metric_id") === mid, col("tag_key") === l)))
             .select(col("tsid"), col("tag_value").as(s"__lbl_$l"))
-          rows = rows.join(broadcast(tagVals), Seq("tsid"), "left")
+          rows = rows.join(maybeBroadcast(tagVals), Seq("tsid"), "left")
         }
         // absent label = empty string (Prometheus) — also keeps these
         // columns usable as equi-join keys in binary-operator matching

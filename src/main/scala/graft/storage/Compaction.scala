@@ -10,7 +10,8 @@ final case class CompactionConfig(
     newSstMaxSize: Long = 1L << 30,     // 1 GB output cap
     sizeHeadroom: Double = 1.1,         // picker.rs:170-171
     ttlMs: Option[Long] = None,
-    memoryLimit: Long = 2L << 30)       // admission gate (executor.rs:93-114)
+    memoryLimit: Long = 2L << 30,       // admission gate (executor.rs:93-114)
+    maxPendingTasks: Int = 10)          // bounded in-flight (scheduler.rs:62, config.rs:42)
 
 final case class CompactionTask(inputs: Seq[SstFile], expired: Seq[SstFile]) {
   def estimatedMemory: Long = inputs.map(_.sizeBytes).sum
@@ -80,17 +81,25 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
 
   private val picker = new Picker(cfg, storage.segmentMs, storage.schema.updateMode)
   @volatile private var inUse = 0L
+  // Bounded in-flight tasks, the analog of the reference's fixed-capacity
+  // task channel (scheduler.rs:62, max_pending_compaction_tasks = 10,
+  // config.rs:42): concurrent runOnce callers beyond the bound are rejected
+  // instead of piling up unbounded concurrent Spark jobs.
+  private val pending = new java.util.concurrent.Semaphore(cfg.maxPendingTasks)
 
   def runOnce(nowMs: Long = System.currentTimeMillis()): Boolean = {
-    picker.pick(storage.manifest.allSsts(), nowMs) match {
-      case None => false
-      case Some(task) =>
-        // memory admission gate (executor.rs:93-114)
-        if (inUse + task.estimatedMemory > cfg.memoryLimit) return false
-        inUse += task.estimatedMemory
-        try execute(task) finally inUse -= task.estimatedMemory
-        true
-    }
+    if (!pending.tryAcquire()) return false
+    try {
+      picker.pick(storage.manifest.allSsts(), nowMs) match {
+        case None => false
+        case Some(task) =>
+          // memory admission gate (executor.rs:93-114)
+          if (inUse + task.estimatedMemory > cfg.memoryLimit) return false
+          inUse += task.estimatedMemory
+          try execute(task) finally inUse -= task.estimatedMemory
+          true
+      }
+    } finally pending.release()
   }
 
   private def execute(task: CompactionTask): Unit = {
@@ -101,12 +110,15 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
         if (task.inputs.nonEmpty) {
           val range = task.inputs.map(_.timeRange).reduce(_ merge _)
           val id = storage.allocId()
-          val merged = MergeOps.dedupMerge(
+          // Same native MergeDedupExec the scan path plans (read-path and
+          // compaction-path merges share ONE code path — a compacted Append
+          // table concatenates identically to a merge-on-read scan).
+          val merged = graft.plans.MergeDedupOps.nativeDedupMerge(
             storage.spark.read.schema(storage.schema.fullSchema)
               .parquet(task.inputs.map(_.path): _*),
             storage.schema.primaryKeys,
-            storage.schema.valueColumns,
-            storage.schema.updateMode)
+            storage.schema.updateMode,
+            globalSort = false)
             .withColumn(StorageSchema.ReservedCol, lit(null).cast("long"))
             .select(storage.schema.fullSchema.fieldNames.map(col(_)).toIndexedSeq: _*)
             .sortWithinPartitions(storage.schema.primaryKeys.map(col(_).asc_nulls_first): _*)

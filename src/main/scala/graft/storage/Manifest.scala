@@ -46,7 +46,8 @@ final case class SstFile(
   * the snapshot file is parquet-convertible for DataFrame-side pruning if it
   * outgrows that.
   */
-final class Manifest(root: String, mergeThreshold: Int = 50) {
+final class Manifest(root: String, mergeThreshold: Int = 50,
+    hardThreshold: Int = 90) {
   private val dir: Path = Paths.get(root, "manifest")
   Files.createDirectories(dir)
   private val snapshotFile = dir.resolve("snapshot.jsonl")
@@ -102,12 +103,26 @@ final class Manifest(root: String, mergeThreshold: Int = 50) {
     val p = dir.resolve(f"delta-$deltaSeq%020d.jsonl")
     Files.write(p, lines.asJava, StandardCharsets.UTF_8)
     deltaCount += 1
-    if (deltaCount >= mergeThreshold) mergeSnapshot()
+    // Soft threshold: merge, best-effort. A failed merge must not fail the
+    // write (the reference merges on a background task, manifest/mod.rs:
+    // 184-196); the backlog instead pushes back at the hard limit below.
+    if (deltaCount >= mergeThreshold)
+      try mergeSnapshot()
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Atomic add of new SSTs + delete of replaced ones — one delta file, the
-    * reference's single manifest update (manifest/mod.rs:120-157). */
+    * reference's single manifest update (manifest/mod.rs:120-157).
+    *
+    * Errors out when the delta backlog reaches `hardThreshold` (soft 50 /
+    * hard 90, reference manifest/mod.rs:248-256, config.rs:150-152): without
+    * this, a stalled snapshot merge under sustained ingest lets delta files
+    * grow without bound — the write path must push back, not degrade. */
   def update(adds: Seq[SstFile], deleteIds: Seq[Long] = Nil): Unit = synchronized {
+    if (deltaCount >= hardThreshold)
+      throw new IllegalStateException(
+        s"manifest delta backlog ($deltaCount) reached the hard limit " +
+          s"($hardThreshold): snapshot merge is stalled; rejecting write")
     val delLines = deleteIds.flatMap(id => files.get(id)).map(fmt(_, "del"))
     // Mutate the cache BEFORE writing the delta: writeDelta may trigger a
     // snapshot merge, which serializes the cache and drops the delta files.

@@ -59,6 +59,26 @@ class MetricEngineSpec extends AnyFunSuite {
     assert(got == Map("/api/put" -> 100.0, "/api/query" -> 10.0))
   }
 
+  test("TSID joins broadcast only while small (SURVEY §2.3 adaptive hint)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    val e = engine()
+    e.write(rfcSamples)
+    val q = MetricQuery("http_requests",
+      labelFilters = Map("url" -> "/api/put"), groupByTag = Some("url"))
+    val hinted = e.query(q)
+    assert(hintCount(hinted) > 0, "small TSID sets should carry the broadcast hint")
+    spark.conf.set("graft.metric.broadcastMaxBytes", "0")
+    try {
+      // over-cap: no hint — the join shape is AQE's call, never a forced
+      // driver collect of an unbounded TSID set
+      val unhinted = e.query(q)
+      assert(hintCount(unhinted) == 0)
+      assert(unhinted.collect().toSet == hinted.collect().toSet)
+    } finally spark.conf.unset("graft.metric.broadcastMaxBytes")
+  }
+
   test("last-write-wins on duplicate (series, ts) across writes") {
     import spark.implicits._
     val e = engine()

@@ -249,4 +249,34 @@ class StorageSpec extends AnyFunSuite {
     assert(compactor.runOnce(nowMs = 7200000))     // file1 end=10 < 7200000-1000
     assert(s.manifest.allSsts().map(_.timeRange.start) == Seq(7200000L))
   }
+
+  test("manifest hard-threshold push-back (manifest/mod.rs:248-256)") {
+    // soft merge disabled so the backlog can actually reach the hard limit
+    // (in production the soft merge at 50 drains it; this models a stalled
+    // merger under sustained ingest — the write path must error, not grow
+    // delta files without bound)
+    val m = new Manifest(tmpRoot(), mergeThreshold = Int.MaxValue, hardThreshold = 3)
+    (1 to 3).foreach(i => m.addFile(SstFile(i, s"/f$i", 1, 1, TimeRange(0, 10))))
+    val ex = intercept[IllegalStateException] {
+      m.addFile(SstFile(4, "/f4", 1, 1, TimeRange(0, 10)))
+    }
+    assert(ex.getMessage.contains("hard limit"))
+    m.mergeSnapshot() // draining the backlog re-admits writes
+    m.addFile(SstFile(4, "/f4", 1, 1, TimeRange(0, 10)))
+    assert(m.allSsts().size == 4)
+  }
+
+  test("compaction pending-task bound (scheduler.rs:62, config.rs:42)") {
+    val s = mkStorage(tmpRoot())
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 1L)))
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 2L)))
+    // bound 0: a pickable task exists but admission is rejected
+    val bounded = new Compactor(s,
+      CompactionConfig(inputSstMinNum = 2, maxPendingTasks = 0))
+    assert(!bounded.runOnce())
+    assert(s.manifest.allSsts().size == 2) // nothing ran
+    val ok = new Compactor(s, CompactionConfig(inputSstMinNum = 2))
+    assert(ok.runOnce())
+    assert(s.manifest.allSsts().size == 1)
+  }
 }
