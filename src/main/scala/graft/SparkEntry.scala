@@ -615,6 +615,17 @@ object SparkEntry {
     "t11_vocab" -> ((s, dir) =>
       graft.pipeline.TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
 
+    // PII redaction. The synthetic corpus carries no PII, so the input is
+    // salted deterministically from doc_id (same construction in the oracle)
+    // to make every redaction pattern actually fire.
+    "t12_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 192.168.0.1 or +1 555 123 4567")))
+            .as("clean_text"))),
+
     // Text: normalization (lowercase, strip non-alnum, collapse whitespace).
     "t5_normalize" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1350,6 +1361,18 @@ object SparkEntry {
         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |  GROUP BY token)
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "t12_redact" ->
+      ("""WITH s AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id::VARCHAR ||
+        |    '@example.com or 192.168.0.1 or +1 555 123 4567' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g') AS clean_text
+        |FROM s""").stripMargin,
 
     "t10_stratified" ->
       """SELECT event_type, event_id, user_id FROM (

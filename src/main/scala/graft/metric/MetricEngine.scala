@@ -53,7 +53,9 @@ final case class MetricQuery(
   * lookups produce small TSID sets that broadcast into the data scan.
   */
 final class MetricEngine(spark: SparkSession, root: String,
-    segmentMs: Long = 12L * 3600 * 1000) {
+    segmentMs: Long = 12L * 3600 * 1000,
+    dataBuckets: Int = 1) {
+  require(dataBuckets >= 1, s"dataBuckets must be >= 1, got $dataBuckets")
 
   import MetricEngine._
 
@@ -148,8 +150,14 @@ final class MetricEngine(spark: SparkSession, root: String,
       // batch's time span, typically 1).
       val segs = dataRows.select("__seg__").distinct().collect().map(_.getLong(0))
       segs.foreach { g =>
-        data.write(dataRows.filter(col("__seg__") === g).drop("__seg__"),
-          TimeRange(g * segmentMs, (g + 1) * segmentMs))
+        val batch = dataRows.filter(col("__seg__") === g).drop("__seg__")
+        val range = TimeRange(g * segmentMs, (g + 1) * segmentMs)
+        // dataBuckets > 1 is the cluster shape: N pk-hash-partitioned SSTs
+        // written in parallel per segment (a coalesce(1) single-file write
+        // serializes a large ingest batch through one task); 1 keeps the
+        // reference-faithful one-SST-per-write small path.
+        if (dataBuckets > 1) data.writeBucketed(batch, range, dataBuckets)
+        else data.write(batch, range)
       }
     } finally ided.unpersist()
   }

@@ -61,6 +61,26 @@ object TextAnalysis {
     * removed — catches whitespace/case-only near-duplicates exactly. */
   def fingerprint(text: Column): Column = md5(regexp_replace(lower(text), " ", ""))
 
+  /** PII patterns for training-corpus scrubbing. Deliberately RE2-compatible
+    * (no backreferences/lookaround; greedy character classes where Java's
+    * leftmost-first and RE2's leftmost-longest agree) so the DuckDB oracle
+    * reproduces the redaction bit-for-bit. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d() -]{6,}\\d"
+
+  /** PII redaction: emails, then IPv4 addresses, then phone-like digit runs
+    * each collapse to a typed placeholder (`<EMAIL>`/`<IP>`/`<PHONE>`). The
+    * order matters: IPs are replaced before the phone pass so a dotted quad
+    * is never half-eaten as a digit run. Pure regexp_replace chain —
+    * codegen'd, shuffle-free, embarrassingly parallel at 100 TB. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Corpus vocabulary: the `k` most frequent tokens with their counts,
     * ties broken by token string so the cut is deterministic. One explode
     * feeding one hash aggregation (partial aggregation collapses per-token

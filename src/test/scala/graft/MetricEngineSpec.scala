@@ -79,6 +79,24 @@ class MetricEngineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.metric.broadcastMaxBytes")
   }
 
+  test("bucketed data-table ingest: N SSTs per segment, queries unchanged") {
+    import spark.implicits._
+    val many = (1 to 64).map(i =>
+      Sample("http_requests", Map("url" -> s"/api/$i"), day, i.toDouble)).toDF()
+    val single = engine()
+    single.write(many)
+    val bucketed = new MetricEngine(spark,
+      Files.createTempDirectory("graft-metric").toString,
+      segmentMs = 12L * 3600 * 1000, dataBuckets = 4)
+    bucketed.write(many)
+    assert(bucketed.data.manifest.allSsts().size == 4) // one segment, 4 buckets
+    assert(single.data.manifest.allSsts().size == 1)
+    val q = MetricQuery("http_requests", groupByTag = Some("url"))
+    def run(e: MetricEngine) =
+      e.query(q).collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(run(bucketed) == run(single))
+  }
+
   test("last-write-wins on duplicate (series, ts) across writes") {
     import spark.implicits._
     val e = engine()

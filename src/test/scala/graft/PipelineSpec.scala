@@ -102,6 +102,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("PII redaction: emails, IPs, phones collapse; clean text untouched") {
+    import org.apache.spark.sql.functions.col
+    val df = docs(
+      (1L, "mail me at jane.doe+spam@sub.example.co.uk today"),
+      (2L, "server at 10.0.42.7 went down"),
+      (3L, "call +1 (555) 123-4567 or 555 867 5309 now"),
+      (4L, "no pii here just words"))
+    val got = df.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail me at <EMAIL> today")
+    assert(got(2L) == "server at <IP> went down")
+    assert(got(3L) == "call <PHONE> or <PHONE> now")
+    assert(got(4L) == "no pii here just words")
+  }
+
   test("language ID picks the stopword-majority language") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
