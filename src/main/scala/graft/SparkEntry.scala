@@ -559,6 +559,11 @@ object SparkEntry {
         .select(col("vec_id"),
           Similarity.lshBucket(col("embedding"), dim = 64, k = 4).as("bucket"))),
 
+    // Per-label mean embedding (class prototypes / k-means update step):
+    // map-side-combined (group, position) aggregate, then re-pack.
+    "e5_centroids" -> ((s, dir) =>
+      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")),
+
     // Text: stopword-heuristic language ID.
     "t1_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1265,6 +1270,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT)
         |    AS bucket
         |FROM dots GROUP BY vec_id""".stripMargin,
+
+    "e5_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |a AS (SELECT label, pos, avg(v) AS m, count(*) AS n
+        |  FROM e GROUP BY label, pos)
+        |SELECT label, list(round(m, 4) + 0.0 ORDER BY pos) AS centroid,
+        |  max(n) AS n_vectors
+        |FROM a GROUP BY label""".stripMargin,
 
     "t1_langid" ->
       s"""WITH s AS (SELECT doc_id, lang,

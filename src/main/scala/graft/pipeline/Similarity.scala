@@ -156,4 +156,25 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Per-group mean embedding (class prototypes / cluster centroids —
+    * the k-means update step and the standard corpus-curation primitive).
+    *
+    * Shape for 100 TB: posexplode then hash-aggregate on (group, position).
+    * The explode looks like a dim× blowup but partial aggregation collapses
+    * it map-side — each partition ships only |groups|·dim partial sums into
+    * ONE shuffle, independent of row count; the second (re-pack) aggregate
+    * moves |groups|·dim rows total. Means round to 4 decimals so the result
+    * is independent of float summation order (and DuckDB-reproducible;
+    * Spark's BigDecimal round never emits IEEE -0.0 — a cross-engine oracle
+    * must normalize its own negative zeros, e.g. `round(m,4) + 0.0`). */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => round(x("m"), 4)).as("centroid"),
+        max(col("n")).as("n_vectors"))
 }

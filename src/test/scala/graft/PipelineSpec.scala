@@ -102,6 +102,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("centroids: per-group element-wise mean + vector count") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.centroids(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    assert(got(0) == ((Seq(2.0, 3.0), 2L)))
+    assert(got(1) == ((Seq(10.0, 20.0), 1L)))
+  }
+
   test("PII redaction: emails, IPs, phones collapse; clean text untouched") {
     import org.apache.spark.sql.functions.col
     val df = docs(
