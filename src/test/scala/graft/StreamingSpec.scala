@@ -55,6 +55,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) == t0 - (t0 % 1800000L)))
   }
 
+  test("streaming exact dedup: same-fingerprint docs dropped within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val docs = stream.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamDedup.byFingerprint(docs, "text", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup").start()
+    try {
+      stream.addData((1L, "The Cat", 1000L), (3L, "other words", 2000L))
+      q.processAllAvailable()
+      // doc 2 normalizes to doc 1's fingerprint (case/space-insensitive) and
+      // arrives inside the watermark → dropped; doc 4 is new → kept
+      stream.addData((2L, "the cat", 3000L), (4L, "fresh content", 4000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT doc_id FROM sdedup").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L))
+  }
+
   test("PromQL text as a continuous query: windowed max by host with matchers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
