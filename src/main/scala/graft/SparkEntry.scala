@@ -417,6 +417,25 @@ object SparkEntry {
         .distinct()
     }),
 
+    // §2.7: intersect — users who both clicked AND errored. Plans as a
+    // left-semi hash join on the distinct sides (one shuffle per side).
+    "set2_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+    }),
+
+    // §2.7: except — (user, day) pairs with a click but no error that day
+    // (left-anti shape; day granularity keeps the result non-degenerate:
+    // every user eventually hits every event type over the full timeline).
+    "set3_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val day = floor(tsMs / lit(86400000L)).cast("long").as("day")
+      ev.filter(col("event_type") === "click").select(col("user_id"), day)
+        .except(ev.filter(col("event_type") === "error")
+          .select(col("user_id"), day))
+    }),
+
     // TPC-H-ish pricing summary (hash agg with partial aggregation).
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1100,6 +1119,20 @@ object SparkEntry {
       """SELECT user_id FROM events WHERE event_type = 'click'
         |UNION
         |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "set2_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "set3_except" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) AS day
+        |FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) AS day
+        |FROM events WHERE event_type = 'error'""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
