@@ -639,6 +639,13 @@ object SparkEntry {
     "t11_vocab" -> ((s, dir) =>
       graft.pipeline.TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
 
+    // Winnowing fingerprint set (MOSS): k=5-gram md5 minima over w=4
+    // windows — shared substrings >= k+w-1 chars guarantee a shared print.
+    "t13_winnow" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.winnow(col("text"), k = 5, w = 4).as("fps"))),
+
     // PII redaction. The synthetic corpus carries no PII, so the input is
     // salted deterministically from doc_id (same construction in the oracle)
     // to make every redaction pattern actually fire.
@@ -1409,6 +1416,22 @@ object SparkEntry {
         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |  GROUP BY token)
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "t13_winnow" ->
+      """WITH s AS (SELECT doc_id, replace(lower(text), ' ', '') AS norm
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(norm) - 4),
+        |      i -> substr(md5(substr(norm, CAST(i AS INTEGER), 5)), 1, 8))
+        |      AS grams
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN len(grams) - 3 < 1 THEN []::VARCHAR[]
+        |       ELSE list_sort(list_distinct(list_transform(
+        |              generate_series(1, len(grams) - 3),
+        |              j -> list_min(grams[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)]))))
+        |  END AS fps
+        |FROM g""".stripMargin,
 
     "t12_redact" ->
       ("""WITH s AS (SELECT doc_id,

@@ -61,6 +61,32 @@ object TextAnalysis {
     * removed — catches whitespace/case-only near-duplicates exactly. */
   def fingerprint(text: Column): Column = md5(regexp_replace(lower(text), " ", ""))
 
+  /** Winnowing fingerprint (Schleimer, Wilkerson, Aiken 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS scheme):
+    * hash every k-char gram of the normalized text, then keep the minimum
+    * hash of each w-gram window; the distinct minima are the document's
+    * fingerprint set. Guarantees a shared fingerprint for any common
+    * substring of length >= k + w - 1, at ~1/w the storage of full k-gram
+    * shingling.
+    *
+    * Hashes are 8-hex-char md5 prefixes — md5 is bit-identical across
+    * engines and the window minimum is a plain lexicographic min, so a
+    * DuckDB oracle reproduces the set exactly (a Rabin-Karp rolling
+    * polynomial would be faster per char but engine-specific). Pure array
+    * expressions: per-row work, no explode, no shuffle. */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val norm = regexp_replace(lower(text), " ", "")
+    val nGrams = length(norm) - (k - 1)
+    val grams = transform(sequence(lit(1), nGrams),
+      i => substring(md5(norm.substr(i, lit(k))), 1, 8))
+    val nWin = nGrams - (w - 1)
+    val minima = transform(sequence(lit(1), nWin),
+      j => array_min(slice(grams, j, lit(w))))
+    // sequence(1, n) ascends only for n >= 1 — short docs short-circuit
+    when(nWin < 1, array().cast("array<string>"))
+      .otherwise(array_sort(array_distinct(minima)))
+  }
+
   /** PII patterns for training-corpus scrubbing. Deliberately RE2-compatible
     * (no backreferences/lookaround; greedy character classes where Java's
     * leftmost-first and RE2's leftmost-longest agree) so the DuckDB oracle

@@ -112,6 +112,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1) == ((Seq(10.0, 20.0), 1L)))
   }
 
+  test("winnowing: shared >= k+w-1 substring shares a print; short docs empty") {
+    import org.apache.spark.sql.functions.col
+    val df = docs(
+      (1L, "the quick brown fox jumps over things"),
+      (2L, "a quick brown fox jumps over other stuff"), // shares >= 8 chars
+      (3L, "completely unrelated words entirely"),
+      (4L, "tiny")) // normalized length 4 < k: no grams
+    val got = df.select(col("doc_id"),
+        TextAnalysis.winnow(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((got(1L) & got(2L)).nonEmpty) // winnowing guarantee
+    assert((got(1L) & got(3L)).isEmpty)
+    assert(got(4L).isEmpty)
+    // deterministic: same text → identical fingerprint set
+    assert(got(1L) == df.filter(col("doc_id") === 1L)
+      .select(TextAnalysis.winnow(col("text"))).collect().head.getSeq[String](0).toSet)
+  }
+
   test("PII redaction: emails, IPs, phones collapse; clean text untouched") {
     import org.apache.spark.sql.functions.col
     val df = docs(
