@@ -29,8 +29,14 @@ object Bench {
     // min reported — single samples swing ±50% from GC/JIT interference.
     // optional args: bench only the named queries (dev-side triage)
     val only = args.toSet
+    // Streaming run-to-completion entries (bounded file-stream → memory
+    // sink) time Structured Streaming's micro-batch startup/teardown — a
+    // fixed multi-second overhead independent of data volume — not engine
+    // throughput. They stay correctness-gate-only unless named explicitly.
+    val streamingOnly = Set("sd1_stream_dedup", "sa1_promql_stream")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) =>
+        if (only.isEmpty) !streamingOnly(name) else only(name) }
       .map { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }

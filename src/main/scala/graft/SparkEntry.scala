@@ -17,7 +17,11 @@ import graft.pipeline.{Dedup, Similarity, TextAnalysis}
   *  - timestamps are compared/emitted as epoch-millis BIGINT
   *    (`unix_millis(cast)` vs `epoch_ms(ts::TIMESTAMP)` — both truncate);
   *  - hashing is md5 hex (identical in any engine), never engine-private;
-  *  - window ranks always carry a unique-id tiebreak.
+  *  - window ranks always carry a unique-id tiebreak;
+  *  - the driver comparator (pandas sort_values) CANNOT sort array columns
+  *    ("unhashable type: numpy.ndarray") — every query output must be
+  *    scalar-only: flatten arrays to one column per element (d2's mh0..mh3)
+  *    or explode to one row per element (t13's (doc_id, fp) rows).
   */
 object SparkEntry {
 
@@ -94,6 +98,33 @@ object SparkEntry {
       })
     }
 
+  /** Same ingest through the BUCKETED engine shape (dataBuckets = 4: N
+    * pk-hash-partitioned SSTs per segment, the declared 100 TB layout) so
+    * the bucketed write → merged read path is driver-hash-checked too. */
+  private val bucketedEngineCache =
+    scala.collection.mutable.Map.empty[String, graft.metric.MetricEngine]
+
+  private def bucketedEngine(s: SparkSession, dir: String): graft.metric.MetricEngine =
+    bucketedEngineCache.synchronized {
+      bucketedEngineCache.getOrElseUpdate(dir, {
+        val eng = new graft.metric.MetricEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-events-engine-b4").toString,
+          segmentMs = 7L * 86400000L, dataBuckets = 4)
+        eng.write(t(s, dir, "events").select(
+          col("event_type").as("name"),
+          map(lit("uid"), col("user_id").cast("string")).as("labels"),
+          tsMs.as("timestamp"), col("value")))
+        eng
+      })
+    }
+
+  /** Unique memory-sink names: streaming query entries may run repeatedly
+    * in one JVM (verify + bench prewarm), and a memory sink name collision
+    * fails the restart. */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger
+  private def sinkName(prefix: String): String =
+    s"${prefix}_${sinkSeq.incrementAndGet()}"
+
   /** The events table bound to PromQL's data model: metric = event_type,
     * one label `uid` = user_id, ms timestamps, (ts, event_id) series order
     * for deterministic reset-aware rates (same tiebreak as rate1). */
@@ -113,6 +144,7 @@ object SparkEntry {
   def prewarm(s: SparkSession, dir: String): Unit = {
     eventsStorage(s, dir)
     metricEngine(s, dir)
+    bucketedEngine(s, dir)
     val indexed = ivfCache.synchronized {
       ivfCache.getOrElseUpdate(dir, {
         val (ix, c) = Similarity.ivfIndex(t(s, dir, "embeddings"),
@@ -358,6 +390,83 @@ object SparkEntry {
           graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
         .withColumn("value", round(col("value"), 2))),
 
+    // T3 at the 100 TB layout: same ingest→index→PromQL pipeline but with
+    // dataBuckets=4 — per-segment pk-hash-bucketed SSTs, merged on read.
+    "m3_bucketed_engine" -> ((s, dir) =>
+      bucketedEngine(s, dir)
+        .queryPromQL("max by (uid) (purchase)",
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue))),
+
+    // Streaming exact dedup run to completion over a bounded 4-micro-batch
+    // MemoryStream (time-ordered arrival, synthetic event time = doc_id
+    // seconds). dropDuplicatesWithinWatermark keeps the FIRST arrival per
+    // fingerprint; which arrival survives is arrival-order-dependent but the
+    // fingerprint SET is not — the checked output is the deduped fp set.
+    // The 24 h watermark horizon covers the whole bounded stream (max
+    // duplicate span in the data is ~1 h), so stream dedup ≡ full dedup
+    // here; in production the horizon is the operator contract and
+    // cross-horizon dups fall to the batch path (StreamDedup doc).
+    "sd1_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect()
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val docs = stream.toDS().toDF("doc_id", "text")
+        .withColumn("ts", timestamp_millis(lit(1704067200000L) +
+          col("doc_id") * 1000L))
+      val sink = sinkName("sd1")
+      val q = graft.streaming.StreamDedup
+        .byFingerprint(docs, "text", "ts", watermark = "24 hours")
+        .select(col("fp"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }),
+
+    // PromQL text as a continuous query: the streaming evaluator over a
+    // bounded 4-micro-batch MemoryStream of events (time-ordered arrival,
+    // so nothing is watermark-late). Append mode emits exactly the
+    // day-windows whose end <= final watermark = max event time (0 s
+    // delay); the oracle applies the same cut.
+    "sa1_promql_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events").orderBy("ts", "event_id")
+        .select(col("event_type").as("name"),
+          map(lit("uid"), col("user_id").cast("string")).as("labels"),
+          tsMs.as("timestamp"), col("value"))
+        .as[graft.metric.Sample].collect()
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.metric.Sample]
+      val sink = sinkName("sa1")
+      val q = graft.streaming.StreamAggregates
+        .promqlStream(stream.toDS(), "sum by (uid) (purchase)",
+          stepMs = 86400000L, watermark = "0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).withColumn("value", round(col("value"), 2))
+    }),
+
+    // S3 + P2 through the driver gate: a narrow user projection (the merge
+    // internally widens to pk + __seq__, then projects back) unioned with an
+    // empty-range scan (no overlapping SST → short-circuit empty frame).
+    "st2_widen_empty" -> ((s, dir) => {
+      import graft.storage._
+      val store = eventsStorage(s, dir)
+      val proj = Some(Seq("event_id", "value"))
+      val narrow = store.scan(ScanRequest(
+        range = TimeRange(1704844800000L, 1705708800000L), projection = proj))
+      val empty = store.scan(ScanRequest( // year-2100 range: zero SSTs
+        range = TimeRange(4102444800000L, 4102444800001L), projection = proj))
+      narrow.unionAll(empty)
+    }),
+
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
     "j1_label_semijoin" -> ((s, dir) => {
       val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -579,7 +688,8 @@ object SparkEntry {
           Similarity.lshBucket(col("embedding"), dim = 64, k = 4).as("bucket"))),
 
     // Per-label mean embedding (class prototypes / k-means update step):
-    // map-side-combined (group, position) aggregate, then re-pack.
+    // map-side-combined (group, position) aggregate, one scalar row per
+    // (label, dimension).
     "e5_centroids" -> ((s, dir) =>
       Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")),
 
@@ -641,10 +751,12 @@ object SparkEntry {
 
     // Winnowing fingerprint set (MOSS): k=5-gram md5 minima over w=4
     // windows — shared substrings >= k+w-1 chars guarantee a shared print.
+    // Exploded to one (doc_id, fp) row per fingerprint: scalar output for
+    // the driver comparator, and the natural shape for overlap self-joins.
     "t13_winnow" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.winnow(col("text"), k = 5, w = 4).as("fps"))),
+          explode(TextAnalysis.winnow(col("text"), k = 5, w = 4)).as("fp"))),
 
     // PII redaction. The synthetic corpus carries no PII, so the input is
     // salted deterministically from doc_id (same construction in the oracle)
@@ -923,6 +1035,31 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY uid""".stripMargin,
+
+    "m3_bucketed_engine" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid, max(value) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY uid""".stripMargin,
+
+    "sd1_stream_dedup" ->
+      """SELECT DISTINCT md5(replace(lower(text), ' ', '')) AS fp
+        |FROM documents""".stripMargin,
+
+    "sa1_promql_stream" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS m FROM events),
+        |p AS (SELECT CAST(user_id AS VARCHAR) AS uid,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      * 86400000 AS bucket_ms,
+        |    value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT uid, bucket_ms, round(sum(value), 2) AS value
+        |FROM p, mx WHERE bucket_ms + 86400000 <= mx.m
+        |GROUP BY uid, bucket_ms""".stripMargin,
+
+    "st2_widen_empty" ->
+      """SELECT event_id, value FROM events
+        |WHERE epoch_ms(ts::TIMESTAMP) >= 1704844800000
+        |  AND epoch_ms(ts::TIMESTAMP) < 1705708800000""".stripMargin,
 
     "p14_promql_resets" ->
       """WITH d AS (
@@ -1313,13 +1450,12 @@ object SparkEntry {
 
     "e5_centroids" ->
       """WITH e AS (SELECT label, unnest(embedding) AS v,
-        |    generate_subscripts(embedding, 1) AS pos
-        |  FROM embeddings),
-        |a AS (SELECT label, pos, avg(v) AS m, count(*) AS n
-        |  FROM e GROUP BY label, pos)
-        |SELECT label, list(round(m, 4) + 0.0 ORDER BY pos) AS centroid,
-        |  max(n) AS n_vectors
-        |FROM a GROUP BY label""".stripMargin,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  round(avg(v), 4) + 0.0 AS m,
+        |  CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM e GROUP BY label, pos""".stripMargin,
 
     "t1_langid" ->
       s"""WITH s AS (SELECT doc_id, lang,
@@ -1424,14 +1560,15 @@ object SparkEntry {
         |    list_transform(generate_series(1, len(norm) - 4),
         |      i -> substr(md5(substr(norm, CAST(i AS INTEGER), 5)), 1, 8))
         |      AS grams
-        |  FROM s)
-        |SELECT doc_id,
+        |  FROM s),
+        |f AS (SELECT doc_id,
         |  CASE WHEN len(grams) - 3 < 1 THEN []::VARCHAR[]
         |       ELSE list_sort(list_distinct(list_transform(
         |              generate_series(1, len(grams) - 3),
         |              j -> list_min(grams[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)]))))
         |  END AS fps
-        |FROM g""".stripMargin,
+        |FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
 
     "t12_redact" ->
       ("""WITH s AS (SELECT doc_id,

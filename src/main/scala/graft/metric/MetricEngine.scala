@@ -81,8 +81,10 @@ final class MetricEngine(spark: SparkSession, root: String,
     * million-series metric would OOM the driver under an unconditional
     * hint). Cost-free: a plan-stats read, no extra Spark job. */
   private def maybeBroadcast(df: DataFrame): DataFrame = {
+    // Defensive parse: a malformed conf value must not throw from inside
+    // every query's planning path — fall back to the default cap.
     val cap = spark.conf.getOption("graft.metric.broadcastMaxBytes")
-      .map(_.toLong).getOrElse(64L << 20)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(64L << 20)
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap) broadcast(df)
     else df
   }

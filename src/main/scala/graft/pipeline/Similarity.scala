@@ -163,18 +163,19 @@ object Similarity {
     * Shape for 100 TB: posexplode then hash-aggregate on (group, position).
     * The explode looks like a dim× blowup but partial aggregation collapses
     * it map-side — each partition ships only |groups|·dim partial sums into
-    * ONE shuffle, independent of row count; the second (re-pack) aggregate
-    * moves |groups|·dim rows total. Means round to 4 decimals so the result
-    * is independent of float summation order (and DuckDB-reproducible;
+    * ONE shuffle, independent of row count. Means round to 4 decimals so the
+    * result is independent of float summation order (and DuckDB-reproducible;
     * Spark's BigDecimal round never emits IEEE -0.0 — a cross-engine oracle
-    * must normalize its own negative zeros, e.g. `round(m,4) + 0.0`). */
+    * must normalize its own negative zeros, e.g. `round(m,4) + 0.0`).
+    *
+    * Output is one ROW per (group, dimension) — `(group, pos, m, n_vectors)`
+    * with `pos` 0-based — not an array column: scalar rows join/compare
+    * cleanly downstream, and re-packing to `array<double>` is a trivial
+    * `collect_list` the caller can add when it actually wants a vector. */
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(groupCol), col("pos"))
-      .agg(avg(col("v")).as("m"), count(lit(1)).as("n"))
-      .groupBy(col(groupCol))
-      .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => round(x("m"), 4)).as("centroid"),
-        max(col("n")).as("n_vectors"))
+      .agg(round(avg(col("v")), 4).as("m"), count(lit(1)).as("n_vectors"))
+      .select(col(groupCol), col("pos").cast("long").as("pos"),
+        col("m"), col("n_vectors"))
 }

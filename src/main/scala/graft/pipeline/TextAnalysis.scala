@@ -75,16 +75,30 @@ object TextAnalysis {
     * polynomial would be faster per char but engine-specific). Pure array
     * expressions: per-row work, no explode, no shuffle. */
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val norm = regexp_replace(lower(text), " ", "")
-    val nGrams = length(norm) - (k - 1)
-    val grams = transform(sequence(lit(1), nGrams),
-      i => substring(md5(norm.substr(i, lit(k))), 1, 8))
-    val nWin = nGrams - (w - 1)
-    val minima = transform(sequence(lit(1), nWin),
-      j => array_min(slice(grams, j, lit(w))))
-    // sequence(1, n) ascends only for n >= 1 — short docs short-circuit
-    when(nWin < 1, array().cast("array<string>"))
-      .otherwise(array_sort(array_distinct(minima)))
+    // Evaluation-cost shape: higher-order functions run as CodegenFallback
+    // with NO common-subexpression elimination — any plain subexpression
+    // inside a lambda body is RE-EVALUATED on every iteration. Referencing
+    // `grams` (all nGrams md5 calls) from the per-window lambda therefore
+    // costs O(nGrams²) md5s per row. Binding norm and grams as LAMBDA
+    // VARIABLES (a 1-element `transform(array(x), v => ...)(0)` wrapper)
+    // makes each reference O(1): total work drops to the intended
+    // O(nGrams · w) comparisons + nGrams md5s per row.
+    val emptyA = array().cast("array<string>")
+    transform(array(regexp_replace(lower(text), " ", "")), norm => {
+      val nGrams = length(norm) - (k - 1)
+      // CaseWhen short-circuits: sequence(1, n) is evaluated only for
+      // n >= 1 (it would DESCEND for n < 1, not return empty).
+      val grams = when(nGrams < 1, emptyA)
+        .otherwise(transform(sequence(lit(1), nGrams),
+          i => substring(md5(norm.substr(i, lit(k))), 1, 8)))
+      transform(array(grams), gs => {
+        val nWin = size(gs) - (w - 1)
+        when(nWin < 1, emptyA)
+          .otherwise(array_sort(array_distinct(
+            transform(sequence(lit(1), nWin),
+              j => array_min(slice(gs, j, lit(w)))))))
+      })(0)
+    })(0)
   }
 
   /** PII patterns for training-corpus scrubbing. Deliberately RE2-compatible
@@ -137,28 +151,45 @@ object TextAnalysis {
     * and no shuffle — the shape that stays embarrassingly parallel at
     * 100 TB. Rounded to 4 decimals for cross-engine oracle parity. */
   def repetition(df: DataFrame, textCol: String, outPrefix: String = "r_"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = size(toks)
-    // adjacent-pair 2-grams: slice off the last token, then pair each with
-    // its successor (transform's index is 0-based, element_at 1-based)
-    val grams = transform(slice(toks, lit(1), greatest(nTok - 1, lit(0))),
-      (t, i) => concat_ws(" ", t, element_at(toks, i + 2)))
-    val n2 = size(grams)
-    // per-distinct-gram occurrence counts (array_distinct preserves nothing
-    // we rely on; only max/sum of the counts are used)
-    val counts = transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g)))
-    val top2 = when(n2 < 1, lit(0.0)).otherwise(
-      round(array_max(counts).cast("double") / n2, 4))
-    val dup2 = when(n2 < 1, lit(0.0)).otherwise(
-      round(aggregate(counts, lit(0),
-        (acc, c) => acc + when(c > 1, c).otherwise(lit(0))).cast("double") / n2, 4))
-    df.withColumn(s"${outPrefix}dup_tok_frac",
-        round((nTok - size(array_distinct(toks))).cast("double") / nTok, 4))
-      .withColumn(s"${outPrefix}top2gram_frac", top2)
-      .withColumn(s"${outPrefix}dup2gram_frac", dup2)
+    // toks, grams, and counts are bound as lambda variables (1-element
+    // transform wrappers) so each reference is O(1) — a plain subexpression
+    // inside a higher-order-function lambda is re-evaluated per iteration
+    // (CodegenFallback, no CSE), which would make the gram counting
+    // O(distinct · n²) tokenizations per row instead of O(distinct · n)
+    // comparisons (see winnow above for the same pattern).
+    val metrics = transform(array(tokens(col(textCol))), toks => {
+      val nTok = size(toks)
+      // adjacent-pair 2-grams: slice off the last token, then pair each with
+      // its successor (transform's index is 0-based, element_at 1-based)
+      val gramsE = transform(slice(toks, lit(1), greatest(nTok - 1, lit(0))),
+        (t, i) => concat_ws(" ", t, element_at(toks, i + 2)))
+      transform(array(gramsE), grams => {
+        val n2 = size(grams)
+        // per-distinct-gram occurrence counts (array_distinct preserves
+        // nothing we rely on; only max/sum of the counts are used)
+        val countsE = transform(array_distinct(grams),
+          g => size(filter(grams, x => x === g)))
+        transform(array(countsE), counts => {
+          val top2 = when(n2 < 1, lit(0.0)).otherwise(
+            round(array_max(counts).cast("double") / n2, 4))
+          val dup2 = when(n2 < 1, lit(0.0)).otherwise(
+            round(aggregate(counts, lit(0),
+              (acc, c) => acc + when(c > 1, c).otherwise(lit(0)))
+              .cast("double") / n2, 4))
+          struct(
+            round((nTok - size(array_distinct(toks))).cast("double") / nTok, 4)
+              .as("dup_tok"),
+            top2.as("top2"), dup2.as("dup2"))
+        })(0)
+      })(0)
+    })(0)
+    df.withColumn("__rep__", metrics)
+      .withColumn(s"${outPrefix}dup_tok_frac", col("__rep__")("dup_tok"))
+      .withColumn(s"${outPrefix}top2gram_frac", col("__rep__")("top2"))
+      .withColumn(s"${outPrefix}dup2gram_frac", col("__rep__")("dup2"))
       .withColumn(s"${outPrefix}symbol_ratio",
         round(size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"), lit(0)))
-          .cast("double") / nTok, 4))
+          .cast("double") / size(tokens(col(textCol))), 4))
+      .drop("__rep__")
   }
 }

@@ -28,7 +28,10 @@ final class Picker(cfg: CompactionConfig, segmentMs: Long,
     updateMode: UpdateMode = UpdateMode.Overwrite) {
 
   def pick(files: Seq[SstFile], nowMs: Long): Option[CompactionTask] = {
-    val (expired, live) = files.partition(_.isExpired(nowMs, cfg.ttlMs))
+    val (expiredAll, live) = files.partition(_.isExpired(nowMs, cfg.ttlMs))
+    // Expired files already claimed by an in-flight task are skipped too —
+    // two concurrent tasks must never race on the same physical deletes.
+    val expired = expiredAll.filterNot(_.compacting)
     val candidates = live.filterNot(_.compacting)
     val bySegment = candidates.groupBy(f => TimeRange.truncate(f.timeRange.start, segmentMs))
     val budget = (cfg.newSstMaxSize * cfg.sizeHeadroom).toLong
@@ -80,7 +83,12 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
   import org.apache.spark.sql.functions._
 
   private val picker = new Picker(cfg, storage.segmentMs, storage.schema.updateMode)
-  @volatile private var inUse = 0L
+  // Admission state (inUse + pick + claim) mutates only under this lock so
+  // concurrent runOnce callers can neither over-admit past the memory limit
+  // nor pick the same inputs (executor.rs:93-114 holds its runtime lock
+  // across admission for the same reason). execute() itself runs unlocked.
+  private val admission = new Object
+  private var inUse = 0L
   // Bounded in-flight tasks, the analog of the reference's fixed-capacity
   // task channel (scheduler.rs:62, max_pending_compaction_tasks = 10,
   // config.rs:42): concurrent runOnce callers beyond the bound are rejected
@@ -90,13 +98,28 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
   def runOnce(nowMs: Long = System.currentTimeMillis()): Boolean = {
     if (!pending.tryAcquire()) return false
     try {
-      picker.pick(storage.manifest.allSsts(), nowMs) match {
+      val admitted: Option[CompactionTask] = admission.synchronized {
+        picker.pick(storage.manifest.allSsts(), nowMs) match {
+          case None => None
+          case Some(task) =>
+            // memory admission gate (executor.rs:93-114)
+            if (inUse + task.estimatedMemory > cfg.memoryLimit) None
+            else {
+              inUse += task.estimatedMemory
+              // Claim inputs AND expired before releasing the lock: the
+              // compacting flag is what stops a concurrent pick from
+              // selecting the same files.
+              storage.manifest.markCompacting(
+                (task.inputs ++ task.expired).map(_.id), flag = true)
+              Some(task)
+            }
+        }
+      }
+      admitted match {
         case None => false
         case Some(task) =>
-          // memory admission gate (executor.rs:93-114)
-          if (inUse + task.estimatedMemory > cfg.memoryLimit) return false
-          inUse += task.estimatedMemory
-          try execute(task) finally inUse -= task.estimatedMemory
+          try execute(task)
+          finally admission.synchronized { inUse -= task.estimatedMemory }
           true
       }
     } finally pending.release()
@@ -104,7 +127,6 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
 
   private def execute(task: CompactionTask): Unit = {
     val m = storage.manifest
-    m.markCompacting(task.inputs.map(_.id), flag = true)
     try {
       val newSsts: Seq[SstFile] =
         if (task.inputs.nonEmpty) {
@@ -121,9 +143,13 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
             globalSort = false)
             .withColumn(StorageSchema.ReservedCol, lit(null).cast("long"))
             .select(storage.schema.fullSchema.fieldNames.map(col(_)).toIndexedSeq: _*)
-            .sortWithinPartitions(storage.schema.primaryKeys.map(col(_).asc_nulls_first): _*)
           val tmp = Paths.get(storage.root, "data", s"tmp-$id")
-          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          // Sort AFTER coalesce(1): sorting below the coalesce would only
+          // order each pre-coalesce partition, and their concatenation is
+          // not globally pk-sorted — the single output file must be.
+          merged.coalesce(1)
+            .sortWithinPartitions(storage.schema.primaryKeys.map(col(_).asc_nulls_first): _*)
+            .write.mode("overwrite").parquet(tmp.toString)
           import scala.jdk.CollectionConverters._
           val part = Files.list(tmp).iterator().asScala
             .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -138,7 +164,7 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
       m.update(newSsts, deletes.map(_.id)) // commit FIRST (executor.rs:204-217)
       // From here on, best-effort physical deletes (executor.rs:218-221).
       deletes.foreach(f => try Files.deleteIfExists(Paths.get(f.path)) catch { case _: Throwable => () })
-    } finally m.markCompacting(task.inputs.map(_.id), flag = false)
+    } finally m.markCompacting((task.inputs ++ task.expired).map(_.id), flag = false)
   }
 }
 

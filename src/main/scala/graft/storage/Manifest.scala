@@ -48,6 +48,7 @@ final case class SstFile(
   */
 final class Manifest(root: String, mergeThreshold: Int = 50,
     hardThreshold: Int = 90) {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Manifest])
   private val dir: Path = Paths.get(root, "manifest")
   Files.createDirectories(dir)
   private val snapshotFile = dir.resolve("snapshot.jsonl")
@@ -108,7 +109,14 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     // 184-196); the backlog instead pushes back at the hard limit below.
     if (deltaCount >= mergeThreshold)
       try mergeSnapshot()
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // Surface a stalled merger long before writes start erroring at
+          // the hard limit ~40 deltas later.
+          log.warn(s"manifest snapshot merge failed at $deltaCount deltas " +
+            s"(soft threshold $mergeThreshold); writes push back at " +
+            s"$hardThreshold", e)
+      }
   }
 
   /** Atomic add of new SSTs + delete of replaced ones — one delta file, the
@@ -119,10 +127,19 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     * this, a stalled snapshot merge under sustained ingest lets delta files
     * grow without bound — the write path must push back, not degrade. */
   def update(adds: Seq[SstFile], deleteIds: Seq[Long] = Nil): Unit = synchronized {
-    if (deltaCount >= hardThreshold)
-      throw new IllegalStateException(
-        s"manifest delta backlog ($deltaCount) reached the hard limit " +
-          s"($hardThreshold): snapshot merge is stalled; rejecting write")
+    if (deltaCount >= hardThreshold) {
+      // Self-heal first (the reference schedules a Hard merge before
+      // erroring, manifest/mod.rs:248-256): a transient merge failure at
+      // the soft threshold must not become permanent write rejection.
+      try mergeSnapshot()
+      catch { case scala.util.control.NonFatal(e) =>
+        log.warn(s"hard-threshold recovery merge failed at $deltaCount deltas", e)
+      }
+      if (deltaCount >= hardThreshold)
+        throw new IllegalStateException(
+          s"manifest delta backlog ($deltaCount) reached the hard limit " +
+            s"($hardThreshold): snapshot merge is stalled; rejecting write")
+    }
     val delLines = deleteIds.flatMap(id => files.get(id)).map(fmt(_, "del"))
     // Mutate the cache BEFORE writing the delta: writeDelta may trigger a
     // snapshot merge, which serializes the cache and drops the delta files.

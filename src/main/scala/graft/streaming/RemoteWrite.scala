@@ -39,16 +39,36 @@ object RemoteWrite {
   final case class Request(samples: Seq[Sample], exemplars: Seq[Exemplar],
       metadata: Seq[Metadata])
 
+  /** Snappy unframing: real Prometheus remote-write HTTP bodies are snappy
+    * BLOCK-compressed (prometheus remote-write 1.0 spec: the payload "MUST
+    * be compressed with snappy"); the reference parses pre-decoded bytes
+    * (remote_write/src/pooled_parser.rs:43-73) so raw protobuf must keep
+    * working for replayed captures. Snappy's block format carries no magic
+    * bytes, so sniff by validation: a valid snappy buffer is uncompressed,
+    * anything else passes through raw. (A raw WriteRequest starts 0x0a and
+    * its first varint would declare an uncompressed length equal to a label
+    * byte-length — snappy validation rejects it immediately, so the sniff
+    * cannot misfire on real payloads.) */
+  def unframe(bytes: Array[Byte]): Array[Byte] =
+    try {
+      if (bytes.nonEmpty &&
+          org.xerial.snappy.Snappy.isValidCompressedBuffer(bytes, 0, bytes.length))
+        org.xerial.snappy.Snappy.uncompress(bytes)
+      else bytes
+    } catch { case scala.util.control.NonFatal(_) => bytes }
+
   /** Samples-only fast path for the ingest pipeline: exemplar and metadata
     * bodies are SKIPPED at the wire level (zero allocation for them), as
-    * before the full-request decode existed. */
+    * before the full-request decode existed. Accepts snappy-framed or raw
+    * payloads (see [[unframe]]). */
   def decode(bytes: Array[Byte]): Seq[Sample] =
-    decodeImpl(bytes, collectExtras = false).samples
+    decodeImpl(unframe(bytes), collectExtras = false).samples
 
   /** Full WriteRequest decode: timeseries (labels + samples + exemplars)
-    * and metadata records. Unknown fields are skipped. */
+    * and metadata records. Unknown fields are skipped. Accepts snappy-framed
+    * or raw payloads (see [[unframe]]). */
   def decodeRequest(bytes: Array[Byte]): Request =
-    decodeImpl(bytes, collectExtras = true)
+    decodeImpl(unframe(bytes), collectExtras = true)
 
   private def decodeImpl(bytes: Array[Byte], collectExtras: Boolean): Request = {
     val samples = mutable.ArrayBuffer.empty[Sample]

@@ -107,9 +107,11 @@ class PipelineSpec extends AnyFunSuite {
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f))
     ).toDF("label", "embedding")
     val got = Similarity.centroids(df, "label", "embedding")
-      .collect().map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
-    assert(got(0) == ((Seq(2.0, 3.0), 2L)))
-    assert(got(1) == ((Seq(10.0, 20.0), 1L)))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got((0, 0L)) == ((2.0, 2L)) && got((0, 1L)) == ((3.0, 2L)))
+    assert(got((1, 0L)) == ((10.0, 1L)) && got((1, 1L)) == ((20.0, 1L)))
   }
 
   test("winnowing: shared >= k+w-1 substring shares a print; short docs empty") {
@@ -128,6 +130,47 @@ class PipelineSpec extends AnyFunSuite {
     // deterministic: same text → identical fingerprint set
     assert(got(1L) == df.filter(col("doc_id") === 1L)
       .select(TextAnalysis.winnow(col("text"))).collect().head.getSeq[String](0).toSet)
+  }
+
+  /** Plain-Scala winnowing oracle mirroring TextAnalysis.winnow exactly:
+    * normalize (lower, drop spaces), char k-grams -> 8-hex md5, window-of-w
+    * lexicographic minima, distinct+sorted. BMP-only inputs so Java's
+    * UTF-16 indexing and Spark's code-point indexing agree. */
+  private def winnowRef(text: String, k: Int, w: Int): Seq[String] = {
+    def md5hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val norm = text.toLowerCase.replace(" ", "")
+    val nGrams = norm.length - (k - 1)
+    if (nGrams - (w - 1) < 1) Seq.empty
+    else {
+      val grams = (0 until nGrams).map(i => md5hex8(norm.substring(i, i + k)))
+      (0 to grams.length - w).map(j => grams.slice(j, j + w).min)
+        .distinct.sorted
+    }
+  }
+
+  test("winnowing matches the reference impl on edge-shaped + multibyte docs") {
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Short docs straddling the k+w-1=8 boundary, all-space docs, and
+    // multibyte BMP chars (2- and 3-byte UTF-8) mixed with ASCII.
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(n, Gen.oneOf("abc 09é 中ü ".toSeq))
+    } yield cs.mkString
+    val sampled = (0L until 60L)
+      .flatMap(i => genDoc.apply(Gen.Parameters.default, Seed(i)))
+    val edges = Seq("", " ", "        ", "abcd", "abcdefg", "abcdefgh",
+      "A B C D E F G H I", "ééééééééééé", "中中中中中中中中中", "ab 中é 9ü xyz")
+    val all = (sampled ++ edges).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = all.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.winnow(col("text"), k = 5, w = 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    all.foreach { case (id, text) =>
+      assert(got(id) == winnowRef(text, 5, 4), s"doc $id: '$text'")
+    }
   }
 
   test("PII redaction: emails, IPs, phones collapse; clean text untouched") {

@@ -255,13 +255,21 @@ class StorageSpec extends AnyFunSuite {
     // (in production the soft merge at 50 drains it; this models a stalled
     // merger under sustained ingest — the write path must error, not grow
     // delta files without bound)
-    val m = new Manifest(tmpRoot(), mergeThreshold = Int.MaxValue, hardThreshold = 3)
+    val root = tmpRoot()
+    val m = new Manifest(root, mergeThreshold = Int.MaxValue, hardThreshold = 3)
+    // A directory squatting on snapshot.tmp makes every merge attempt fail —
+    // a genuinely stalled merger (update() first tries a recovery merge and
+    // only rejects the write when the backlog is STILL at the limit).
+    val squatter = java.nio.file.Paths.get(root, "manifest", "snapshot.tmp")
+    java.nio.file.Files.createDirectories(squatter)
     (1 to 3).foreach(i => m.addFile(SstFile(i, s"/f$i", 1, 1, TimeRange(0, 10))))
     val ex = intercept[IllegalStateException] {
       m.addFile(SstFile(4, "/f4", 1, 1, TimeRange(0, 10)))
     }
     assert(ex.getMessage.contains("hard limit"))
-    m.mergeSnapshot() // draining the backlog re-admits writes
+    // Once the merger unsticks, the NEXT write self-heals (recovery merge
+    // inside update) — no manual drain required.
+    java.nio.file.Files.delete(squatter)
     m.addFile(SstFile(4, "/f4", 1, 1, TimeRange(0, 10)))
     assert(m.allSsts().size == 4)
   }

@@ -27,6 +27,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(decoded.size == in.size)
   }
 
+  test("snappy-framed payloads round-trip; raw passes through (PRW 1.0 spec)") {
+    val in = samples(10) ++ Seq(
+      Sample("mem_bytes", Map.empty, t0, 42.5),
+      Sample("weird", Map("k" -> "v=,{}"), t0 + 5, -1.25))
+    val raw = RemoteWrite.encode(in)
+    val framed = org.xerial.snappy.Snappy.compress(raw)
+    assert(!java.util.Arrays.equals(framed, raw)) // actually compressed
+    assert(RemoteWrite.decode(framed).toSet == in.toSet)
+    assert(RemoteWrite.decode(raw).toSet == in.toSet) // raw still accepted
+    // full-request path too
+    assert(RemoteWrite.decodeRequest(framed).samples.toSet == in.toSet)
+    // garbage that is neither snappy nor protobuf must not throw in unframe
+    assert(RemoteWrite.unframe(Array[Byte]()).isEmpty)
+  }
+
   test("decode skips unknown fields (forward compat)") {
     // append an unknown field 9 (varint) at top level
     val bytes = RemoteWrite.encode(samples(2)) ++ Array[Byte](
