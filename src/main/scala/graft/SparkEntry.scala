@@ -623,6 +623,12 @@ object SparkEntry {
     "d4_simhash16" -> ((s, dir) =>
       Dedup.simhash16(t(s, dir, "documents"), "doc_id", "text")),
 
+    // SimHash near-dup PAIRS via banded hamming LSH (pigeonhole-complete
+    // for dist < bands), exact popcount verify — never all-pairs.
+    "d7_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 1, bands = 2)),
+
     // Dedup: n-gram Jaccard verification over a bounded pair set.
     "d5_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
@@ -757,6 +763,15 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextAnalysis.winnow(col("text"), k = 5, w = 4)).as("fp"))),
+
+    // Benchmark decontamination: docs sharing any 5-token n-gram with the
+    // held-out split (doc_id % 10 == 0 stands in for the benchmark set).
+    "t14_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminatedDocs(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", k = 5)
+    }),
 
     // PII redaction. The synthetic corpus carries no PII, so the input is
     // salted deterministically from doc_id (same construction in the oracle)
@@ -1368,6 +1383,23 @@ object SparkEntry {
         |    AS simhash16
         |FROM votes GROUP BY doc_id""".stripMargin,
 
+    "d7_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, md5(t) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |votes AS (SELECT doc_id, j,
+        |    sum(CASE WHEN substr(h, CAST(j AS INTEGER) + 1, 1)
+        |             IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN generate_series(0, 15) AS g(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 1""".stripMargin,
+
     "d5_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
         |sh AS (SELECT DISTINCT doc_id,
@@ -1569,6 +1601,23 @@ object SparkEntry {
         |  END AS fps
         |FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
+
+    "t14_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |tg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ')))
+        |      AS gram
+        |  FROM toks WHERE doc_id % 10 <> 0),
+        |bg AS (SELECT DISTINCT
+        |    unnest(list_transform(generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ')))
+        |      AS gram
+        |  FROM toks WHERE doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM tg WHERE gram IN (SELECT gram FROM bg)
+        |GROUP BY doc_id""".stripMargin,
 
     "t12_redact" ->
       ("""WITH s AS (SELECT doc_id,

@@ -121,6 +121,39 @@ object Dedup {
           .reduce(_ + _).as("simhash16"))
   }
 
+  /** SimHash near-duplicate pairs at hamming distance <= `maxDist`, found
+    * via banded LSH rather than all-pairs: the 16-bit signature splits into
+    * `bands` equal bands, and two signatures within hamming d < bands must
+    * agree on at least one band (pigeonhole) — so band-equality equi-joins
+    * produce EVERY qualifying pair, and an exact popcount filter drops the
+    * false candidates. One shuffle join on (band, key); bucket sizes are
+    * signature-space-bounded, never corpus-all-pairs. At 100 TB the
+    * signature frame would be persisted (it is recomputed per join side
+    * here) and the signature widened to 64 bits — the algebra is
+    * unchanged. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 1, bands: Int = 2): DataFrame = {
+    require(16 % bands == 0, s"bands must divide 16, got $bands")
+    require(maxDist < bands,
+      s"banded LSH is complete only for maxDist < bands ($maxDist >= $bands)")
+    val width = 16 / bands
+    val banded = simhash16(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash16"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash16"), b * width)
+            .bitwiseAND(lit((1 << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash16"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("simhash16").as("sh_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("simhash16").as("sh_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct() // a pair may collide in several bands
+  }
+
   /** Duplicate clusters from candidate pairs: connected components by
     * min-label propagation — every node ends labeled with the smallest id
     * reachable from it, so `cluster_id == id` marks the keeper and the rest

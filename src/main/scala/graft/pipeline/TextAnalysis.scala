@@ -101,6 +101,39 @@ object TextAnalysis {
     })(0)
   }
 
+  /** k-token word n-grams (space-joined), empty for docs shorter than k
+    * tokens. `toks` is bound as a lambda variable — see [[winnow]]: a plain
+    * subexpression inside a higher-order-function lambda re-evaluates per
+    * element. */
+  def wordGrams(text: Column, k: Int): Column =
+    transform(array(tokens(text)), toks => {
+      val n = size(toks) - (k - 1)
+      when(n < 1, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), n),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+    })(0)
+
+  /** Benchmark decontamination: training documents sharing any k-token
+    * n-gram with a benchmark/test corpus — the standard held-out-overlap
+    * pass in LLM data pipelines (GPT-3 appendix C / PaLM report use 8–13
+    * token rules; `k` is the caller's policy). Returns `(id, n_hits)` for
+    * CONTAMINATED documents only — the removal list.
+    *
+    * Scale shape: both sides shingle to flat gram rows and equi-join —
+    * never all-pairs. The benchmark side (test sets are tiny next to a
+    * 100 TB training corpus) is distinct'd and broadcast, so the only
+    * shuffle is the per-doc hit count on the already-filtered semi-join
+    * output. */
+  def contaminatedDocs(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 13): DataFrame = {
+    val tg = train.select(col(idCol),
+      explode(wordGrams(col(textCol), k)).as("gram"))
+    val bg = bench.select(explode(wordGrams(col(benchTextCol), k)).as("gram"))
+      .distinct()
+    tg.join(broadcast(bg), Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** PII patterns for training-corpus scrubbing. Deliberately RE2-compatible
     * (no backreferences/lookaround; greedy character classes where Java's
     * leftmost-first and RE2's leftmost-longest agree) so the DuckDB oracle

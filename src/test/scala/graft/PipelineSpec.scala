@@ -173,6 +173,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash banded pairs == brute-force hamming filter (completeness)") {
+    import org.apache.spark.sql.functions._
+    // 40 short docs, several exact/near duplicates: banded LSH (bands=2,
+    // maxDist=1) must find exactly the pairs an all-pairs popcount finds.
+    val df = docs((0L until 40L).map { i =>
+      val base = s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 5) % 13} common words"
+      (i, if (i % 9 == 0) "alpha beta gamma delta" else base)
+    }: _*)
+    val sh = Dedup.simhash16(df, "doc_id", "text")
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash16").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash16").as("sb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 1, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(brute.exists(_._3 == 0L)) // the planted duplicates are in there
+  }
+
+  test("decontamination: k-gram overlap flags docs, counts occurrences") {
+    import org.apache.spark.sql.functions.col
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon"), // grams: "alpha beta gamma", ...
+      (2L, "alpha beta gamma alpha beta gamma"), // hits the bench gram twice
+      (3L, "zeta eta theta"), // clean
+      (4L, "xy")) // shorter than k: no grams
+    val bench = docs((100L, "alpha beta gamma prime"))
+    val got = TextAnalysis.contaminatedDocs(train, "doc_id", "text",
+        bench, "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 contains "alpha beta gamma" once; doc 2 twice (positions 1, 4);
+    // docs 3 and 4 are absent from the removal list entirely
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+    // word-gram edge: doc shorter than k tokens yields an empty gram array
+    val grams = train.filter(col("doc_id") === 4L)
+      .select(TextAnalysis.wordGrams(col("text"), 3))
+      .collect().head.getSeq[String](0)
+    assert(grams.isEmpty)
+  }
+
   test("PII redaction: emails, IPs, phones collapse; clean text untouched") {
     import org.apache.spark.sql.functions.col
     val df = docs(
