@@ -660,6 +660,12 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 100), "vec_id", "embedding",
         threshold = 0.2)),
 
+    // Near-dup pairs over the FULL corpus via LSH bucketing + exact cosine
+    // verify — the scale path e1's bounded-candidate contract points to.
+    "e6_lsh_neardup" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.3)),
+
     // Similarity: brute-force exact top-3 neighbors for 10 query vectors.
     "e2_knn_top3" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1451,6 +1457,29 @@ object SparkEntry {
         |  FROM embeddings a CROSS JOIN embeddings b
         |  WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.2""".stripMargin,
+
+    "e6_lsh_neardup" ->
+      """WITH comp AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |dots AS (SELECT vec_id, j, sum(x * (((i * 7 + j * 13) % 5) - 2)) AS dot
+        |  FROM comp CROSS JOIN generate_series(0, 3) AS g(j)
+        |  GROUP BY vec_id, j),
+        |bk AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |e AS (SELECT b.bucket, x.vec_id, x.embedding
+        |  FROM embeddings x JOIN bk b USING (vec_id))
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |      AS cos
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.3""".stripMargin,
 
     "e2_knn_top3" ->
       """WITH scored AS (

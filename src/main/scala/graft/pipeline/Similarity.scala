@@ -157,6 +157,26 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Near-duplicate pairs at corpus scale: candidates restricted to equal
+    * LSH buckets (sign-bit hyperplane hash, [[lshBucket]]), then exact
+    * cosine verification — the documented 100 TB path behind
+    * [[cosinePairs]]' bounded-candidate contract. One equi-join shuffle on
+    * the bucket id; per-bucket pair counts are corpus-share-bounded, never
+    * all-pairs. Recall is the standard LSH trade: raise `bits` to shrink
+    * buckets, union several independent hyperplane families to recover
+    * missed cross-bucket pairs. */
+  def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int = 4): DataFrame = {
+    val b = vectors.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dim, bits).as("__bucket__"))
+    val l = b.select(col("__bucket__"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = b.select(col("__bucket__"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("__bucket__")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Per-group mean embedding (class prototypes / cluster centroids —
     * the k-means update step and the standard corpus-curation primitive).
     *

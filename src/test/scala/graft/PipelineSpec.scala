@@ -102,6 +102,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("LSH near-dup pairs: subset of all-pairs at threshold; dups found") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0 until 30).map { i =>
+      val v = (0 until 8).map(d => ((i % 5) * 7 + d * 3 + 1).toFloat / 10f)
+      (i.toLong, if (i % 10 == 0) Seq.fill(8)(0.5f) else v) // planted dups
+    }.toDF("vec_id", "embedding")
+    val banded = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 8, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(all)) // bucket restriction never invents pairs
+    // identical vectors share every sign bit -> same bucket -> always found
+    assert(banded.contains((0L, 10L)) && banded.contains((10L, 20L)))
+  }
+
   test("centroids: per-group element-wise mean + vector count") {
     val df = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f))
