@@ -287,4 +287,27 @@ class StorageSpec extends AnyFunSuite {
     assert(ok.runOnce())
     assert(s.manifest.allSsts().size == 1)
   }
+
+  test("concurrent runOnce admission is atomic: one winner, no double-pick") {
+    // Two racing callers, ONE pickable task: pick + compacting-claim +
+    // memory gate run under the admission lock, so exactly one caller may
+    // execute it — a double-pick would merge the same rows twice (data
+    // duplication under Append concat) and race physical deletes.
+    val s = mkStorage(tmpRoot())
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 1L)))
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 2L)))
+    val c = new Compactor(s, CompactionConfig(inputSstMinNum = 2))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val futures = (1 to 2).map(_ =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = { start.await(); c.runOnce(nowMs = 100) }
+      }))
+    start.countDown()
+    val results = futures.map(_.get())
+    pool.shutdown()
+    assert(results.count(identity) == 1, s"expected one winner, got $results")
+    assert(s.manifest.allSsts().size == 1)
+    assert(s.scan().count() == 1) // overwrite dedup intact, nothing doubled
+  }
 }
