@@ -59,4 +59,25 @@ class PlanSpec extends AnyFunSuite {
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"), readSchema)
   }
+
+  test("t14 decontamination broadcasts the benchmark gram set") {
+    val df = SparkEntry.queries("t14_decontaminate")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // test sets are tiny next to the training corpus: the semi-join must be
+    // a broadcast, never a shuffle of the shingled training side
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+  }
+
+  test("candidate-pair operators never plan an all-pairs join") {
+    // d7 (banded simhash) and e6 (LSH cosine) are equi-joins on band/bucket
+    // keys — a cartesian or nested-loop join in the plan would mean the
+    // candidate restriction silently degenerated to all-pairs.
+    for (q <- Seq("d7_simhash_pairs", "e6_lsh_neardup")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(2000)}")
+    }
+  }
 }
