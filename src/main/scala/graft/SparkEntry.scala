@@ -666,6 +666,10 @@ object SparkEntry {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3)),
 
+    // Symmetric int8 quantization: one row per (vector, dimension) + scale.
+    "e7_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
+
     // Similarity: brute-force exact top-3 neighbors for 10 query vectors.
     "e2_knn_top3" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1480,6 +1484,18 @@ object SparkEntry {
         |      AS cos
         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.3""".stripMargin,
+
+    "e7_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, max(abs(x)) AS scale FROM e GROUP BY vec_id)
+        |SELECT e.vec_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |            ELSE round(x / scale * 127) END AS BIGINT) AS q,
+        |  round(scale, 6) AS scale
+        |FROM e JOIN s USING (vec_id)""".stripMargin,
 
     "e2_knn_top3" ->
       """WITH scored AS (

@@ -177,6 +177,24 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Symmetric int8 per-vector quantization (the standard storage/serving
+    * compression for embedding tables): `scale = max(|x|)`, `q = round(x /
+    * scale * 127)` ∈ [-127, 127]. Emits one scalar row per (id, dimension)
+    * plus the per-vector scale, so dequantization is `q / 127 * scale`.
+    * All-zero vectors quantize to 0 with scale 0. Pure per-row expressions
+    * before one explode — no shuffle, embarrassingly parallel. Rounding is
+    * half-away-from-zero in both Spark (BigDecimal HALF_UP) and DuckDB, so
+    * the oracle reproduces boundary cases exactly. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        array_max(transform(col(vecCol), x => abs(x))).cast("double").as("__scale__"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        when(col("__scale__") === 0, lit(0L))
+          .otherwise(round(col("v").cast("double") / col("__scale__") * 127)
+            .cast("long")).as("q"),
+        round(col("__scale__"), 6).as("scale"))
+
   /** Per-group mean embedding (class prototypes / cluster centroids —
     * the k-means update step and the standard corpus-curation primitive).
     *

@@ -118,6 +118,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(banded.contains((0L, 10L)) && banded.contains((10L, 20L)))
   }
 
+  test("int8 quantization: scale/rounding semantics, zero-vector guard") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),  // scale 1.0: q = 127, -64 (63.5 away-from-zero), 32 (31.75)
+      (2L, Seq(0.0f, 0.0f, 0.0f))     // all-zero: q = 0, scale 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got((1L, 0L)) == ((127L, 1.0)))
+    assert(got((1L, 1L)) == ((-64L, 1.0))) // -63.5 rounds away from zero
+    assert(got((1L, 2L)) == ((32L, 1.0)))  // 31.75 rounds up
+    assert(got((2L, 0L)) == ((0L, 0.0)))
+  }
+
   test("centroids: per-group element-wise mean + vector count") {
     val df = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f))
