@@ -709,6 +709,23 @@ object SparkEntry {
     "e5_centroids" -> ((s, dir) =>
       Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")),
 
+    // End-to-end curation pipeline composing the verified primitives:
+    // quality filter → exact-dedup keepers → deterministic hash split →
+    // per-(split, lang) corpus summary. The shape a real training-data
+    // curation DAG has: codegen'd filters, one dedup shuffle, one summary
+    // shuffle — nothing driver-side.
+    "c1_curation" -> ((s, dir) => {
+      val scored = TextAnalysis.quality(t(s, dir, "documents"), "text")
+        .filter(col("q_tokens") >= 30 && col("q_stop_ratio") >= 0.05)
+      val keepers = Dedup.exactGroups(scored, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      scored.join(keepers, Seq("doc_id"), "left_semi")
+        .withColumn("split", graft.pipeline.Sharding.hashSplit(col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q_tokens")).cast("long").as("n_tokens"))
+    }),
+
     // Text: stopword-heuristic language ID.
     "t1_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1548,6 +1565,24 @@ object SparkEntry {
         |       WHEN en >= es AND en >= de THEN 'en'
         |       WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang
         |FROM s""".stripMargin,
+
+    "c1_curation" ->
+      s"""WITH q AS (SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS q_tokens,
+        |    round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |        tk -> tk IN ($stopEn))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS q_stop_ratio
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE q_tokens >= 30 AND q_stop_ratio >= 0.05),
+        |k AS (SELECT md5(text) AS ck, min(doc_id) AS keeper FROM f GROUP BY ck),
+        |kept AS (SELECT f.* FROM f JOIN k ON f.doc_id = k.keeper),
+        |s AS (SELECT *, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN
+        |    ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+        |    THEN 'train' ELSE 'val' END AS split
+        |  FROM kept)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(q_tokens) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY split, lang""".stripMargin,
 
     "t2_quality" ->
       s"""SELECT doc_id,
