@@ -453,6 +453,31 @@ object SparkEntry {
       s.table(sink).withColumn("value", round(col("value"), 2))
     }),
 
+    // Per-series live last value (mapGroupsWithState keyed state) over the
+    // same bounded 4-batch stream. Update-mode memory sink keeps one row
+    // per (series, trigger); the final state per series is its max-ts row —
+    // deterministic because the dataset has no (series, ts) duplicates and
+    // arrival is time-ordered.
+    "sl1_live_last" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events").orderBy("ts", "event_id")
+        .select(col("event_type").as("name"),
+          map(lit("uid"), col("user_id").cast("string")).as("labels"),
+          tsMs.as("timestamp"), col("value"))
+        .as[graft.metric.Sample].collect()
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.metric.Sample]
+      val sink = sinkName("sl1")
+      val q = graft.streaming.StreamAggregates.liveLastValue(stream.toDS()).toDF()
+        .writeStream.outputMode("update").format("memory").queryName(sink).start()
+      try rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).groupBy(col("name"), col("seriesKey").as("series_key"))
+        .agg(max(col("ts")).as("ts"), max_by(col("value"), col("ts")).as("value"))
+    }),
+
     // S3 + P2 through the driver gate: a narrow user projection (the merge
     // internally widens to pk + __seq__, then projects back) unioned with an
     // empty-range scan (no overlapping SST → short-circuit empty frame).
@@ -1097,6 +1122,16 @@ object SparkEntry {
         |SELECT uid, bucket_ms, round(sum(value), 2) AS value
         |FROM p, mx WHERE bucket_ms + 86400000 <= mx.m
         |GROUP BY uid, bucket_ms""".stripMargin,
+
+    "sl1_live_last" ->
+      """WITH m AS (SELECT event_type AS name,
+        |    'uid=' || CAST(user_id AS VARCHAR) AS series_key,
+        |    max(epoch_ms(ts::TIMESTAMP)) AS ts
+        |  FROM events GROUP BY 1, 2)
+        |SELECT m.name, m.series_key, m.ts, e.value
+        |FROM m JOIN events e ON e.event_type = m.name
+        |  AND 'uid=' || CAST(e.user_id AS VARCHAR) = m.series_key
+        |  AND epoch_ms(e.ts::TIMESTAMP) = m.ts""".stripMargin,
 
     "st2_widen_empty" ->
       """SELECT event_id, value FROM events
