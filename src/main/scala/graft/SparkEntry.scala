@@ -453,6 +453,35 @@ object SparkEntry {
       s.table(sink).withColumn("value", round(col("value"), 2))
     }),
 
+    // Watermarked 30-min chunk building run to completion: append mode
+    // emits chunks whose window closed under the final watermark; the
+    // posexplode verifies per-chunk CONTENT AND ORDER (sorted by ts)
+    // against a window-function oracle.
+    "sc1_stream_chunks" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events").orderBy("ts", "event_id")
+        .select(col("event_type").as("name"),
+          map(lit("uid"), col("user_id").cast("string")).as("labels"),
+          tsMs.as("timestamp"), col("value"))
+        .as[graft.metric.Sample].collect()
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.metric.Sample]
+      val sink = sinkName("sc1")
+      val q = graft.streaming.StreamAggregates
+        .chunked30m(stream.toDS(), watermark = "0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .select(col("name"), col("series_key"), col("chunk_start"),
+          posexplode(col("chunk")).as(Seq("pos", "c")), col("n_samples"))
+        .select(col("name"), col("series_key"), col("chunk_start"),
+          col("pos").cast("long").as("pos"), col("c.ts").as("ts"),
+          col("c.value").as("value"), col("n_samples"))
+    }),
+
     // Per-series live last value (mapGroupsWithState keyed state) over the
     // same bounded 4-batch stream. Update-mode memory sink keeps one row
     // per (series, trigger); the final state per series is its max-ts row —
@@ -1122,6 +1151,24 @@ object SparkEntry {
         |SELECT uid, bucket_ms, round(sum(value), 2) AS value
         |FROM p, mx WHERE bucket_ms + 86400000 <= mx.m
         |GROUP BY uid, bucket_ms""".stripMargin,
+
+    "sc1_stream_chunks" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS m FROM events),
+        |e AS (SELECT event_type AS name,
+        |    event_type || chr(1) || 'uid' || chr(2) || CAST(user_id AS VARCHAR)
+        |      AS series_key,
+        |    epoch_ms(ts::TIMESTAMP) AS tms, value
+        |  FROM events),
+        |w AS (SELECT *,
+        |    CAST(floor(tms / 1800000) AS BIGINT) * 1800000 AS chunk_start
+        |  FROM e)
+        |SELECT name, series_key, chunk_start,
+        |  CAST(row_number() OVER (PARTITION BY series_key, chunk_start
+        |                          ORDER BY tms) - 1 AS BIGINT) AS pos,
+        |  tms AS ts, value,
+        |  CAST(count(*) OVER (PARTITION BY series_key, chunk_start) AS BIGINT)
+        |    AS n_samples
+        |FROM w, mx WHERE chunk_start + 1800000 <= mx.m""".stripMargin,
 
     "sl1_live_last" ->
       """WITH m AS (SELECT event_type AS name,
