@@ -132,6 +132,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got((2L, 0L)) == ((0L, 0.0)))
   }
 
+  test("int8 quantization round-trips within half a quantization step") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L)
+      .map(i => (i, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 4f)))
+      .toDF("vec_id", "embedding")
+    val orig = vecs.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("v"))
+    // dequant = q/127*scale; |dequant - x| <= scale/254 (+ slack for the
+    // 6-decimal scale rounding)
+    val violations = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .join(orig, Seq("vec_id", "pos"))
+      .filter(abs(col("q").cast("double") / 127 * col("scale")
+        - col("v").cast("double")) > col("scale") / 254 + lit(1e-3))
+      .count()
+    assert(violations == 0)
+  }
+
   test("centroids: per-group element-wise mean + vector count") {
     val df = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f))
