@@ -118,6 +118,57 @@ object SparkEntry {
       })
     }
 
+  /** One segment of events ingested as 7 small same-segment SSTs — six
+    * disjoint `event_id % 6` slices plus a LATER value-doubling rewrite of
+    * slice 0 — then compacted to quiescence (C1 picker → C2 executor →
+    * manifest commit → physical deletes). Last-write-wins must survive the
+    * compaction rewrite: the merged SST keeps the doubled slice-0 values
+    * because the rewrite's `__seq__` (file id) is highest. The ct1 oracle
+    * hash-checks the compacted scan against raw data with the doubling
+    * applied in SQL. */
+  private val compactedCache =
+    scala.collection.mutable.Map.empty[String, graft.storage.TimeMergeStorage]
+
+  private def compactedEventsStore(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
+    compactedCache.synchronized {
+      compactedCache.getOrElseUpdate(dir, {
+        import graft.storage._
+        val segMs = 7L * 86400000L
+        val g = TimeRange.truncate(1704844800000L, segMs) // segment of Jan 10
+        val range = TimeRange(g, g + segMs)
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), tsMs.as("tms"), col("user_id"),
+            col("event_type"), col("value"))
+          .filter(col("tms") >= g && col("tms") < g + segMs)
+        val store = new TimeMergeStorage(s,
+          java.nio.file.Files.createTempDirectory("graft-events-compact").toString,
+          StorageSchema(org.apache.spark.sql.types.StructType(ev.schema.fields),
+            numPrimaryKeys = 1),
+          segmentMs = segMs, timestampColumn = Some("tms"))
+        (0 until 6).foreach { i =>
+          store.write(ev.filter(pmod(col("event_id"), lit(6)) === i), range)
+        }
+        store.write(ev.filter(pmod(col("event_id"), lit(6)) === 0)
+          .withColumn("value", col("value") * 2), range)
+        val before = store.manifest.allSsts()
+        val compactor = new Compactor(store,
+          CompactionConfig(inputSstMinNum = 2))
+        var rounds = 0
+        while (compactor.runOnce() && rounds < 20) rounds += 1
+        val after = store.manifest.allSsts()
+        // Quiescence contract: 7 inputs collapse to ONE merged SST, the
+        // replaced files are gone from the manifest AND from disk (commit-
+        // before-delete ordering), and the scan below can only read the
+        // compacted file set.
+        require(after.size == 1 && before.size == 7,
+          s"compaction did not quiesce 7 -> 1 (before=${before.size}, after=${after.size})")
+        require(before.forall(f => !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(f.path))),
+          "compaction left replaced SST files on disk")
+        store
+      })
+    }
+
   /** Unique memory-sink names: streaming query entries may run repeatedly
     * in one JVM (verify + bench prewarm), and a memory sink name collision
     * fails the restart. */
@@ -145,6 +196,7 @@ object SparkEntry {
     eventsStorage(s, dir)
     metricEngine(s, dir)
     bucketedEngine(s, dir)
+    compactedEventsStore(s, dir)
     val indexed = ivfCache.synchronized {
       ivfCache.getOrElseUpdate(dir, {
         val (ix, c) = Similarity.ivfIndex(t(s, dir, "embeddings"),
@@ -519,6 +571,19 @@ object SparkEntry {
       val empty = store.scan(ScanRequest( // year-2100 range: zero SSTs
         range = TimeRange(4102444800000L, 4102444800001L), projection = proj))
       narrow.unionAll(empty)
+    }),
+
+    // C1-C4 through the driver gate: 7 small same-segment SSTs compacted to
+    // quiescence (picker → executor → manifest commit → deletes), then a
+    // scan whose file set IS the compacted SST. Slice-0 values were
+    // rewritten doubled with the highest __seq__ before compaction, so the
+    // hash only matches if last-write-wins survived the rewrite.
+    "ct1_compact_scan" -> ((s, dir) => {
+      import graft.storage._
+      compactedEventsStore(s, dir).scan(ScanRequest())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
     }),
 
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
@@ -1018,6 +1083,17 @@ object SparkEntry {
         |WHERE epoch_ms(ts::TIMESTAMP) >= 1704844800000
         |  AND epoch_ms(ts::TIMESTAMP) < 1705708800000
         |  AND event_type <> 'view'
+        |GROUP BY event_type""".stripMargin,
+
+    // Raw data with the slice-0 doubling applied in SQL — matches only if
+    // compaction preserved last-write-wins and dropped the stale slice.
+    "ct1_compact_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(CASE WHEN event_id % 6 = 0 THEN value * 2 ELSE value END), 2) AS sum_v,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
+        |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
         |GROUP BY event_type""".stripMargin,
 
     "a1_last_write_wins" ->
