@@ -586,6 +586,49 @@ object SparkEntry {
           min("event_id").as("min_id"), max("event_id").as("max_id"))
     }),
 
+    // S5+T1 through the driver gate: a fixed WriteRequest spec (samples +
+    // exemplars + metadata, multibyte label value) is wire-encoded, snappy
+    // BLOCK-framed (the remote-write 1.0 transport), then decoded by the
+    // hand-rolled varint reader and emitted as scalar rows. The oracle is
+    // an independent hand-written VALUES list of the same spec — the hash
+    // matches only if encode → frame → unframe → decode is lossless (the
+    // reference's equivalence-test surface, remote_write/tests/
+    // equivalence_test.rs).
+    "rw1_decode" -> ((s, dir) => {
+      import graft.streaming.RemoteWrite
+      import graft.metric.Sample
+      val sA = Map("instance" -> "i1", "job" -> "api")
+      val sB = Map("job" -> "api", "zone" -> "eu-west-π")
+      val spec = RemoteWrite.Request(
+        samples = Seq(
+          Sample("http_requests_total", sA, 1000L, 1.5),
+          Sample("http_requests_total", sA, 2000L, 2.25),
+          Sample("cpu_seconds", sB, 1500L, -3.75)),
+        exemplars = Seq(
+          RemoteWrite.Exemplar("http_requests_total", sA,
+            Map("trace_id" -> "abc"), 0.5, 1750L),
+          RemoteWrite.Exemplar("cpu_seconds", sB,
+            Map("span" -> "s1", "trace_id" -> "def"), 7.0, 1600L)),
+        metadata = Seq(
+          RemoteWrite.Metadata(1, "http_requests_total", "Total requests", ""),
+          RemoteWrite.Metadata(2, "cpu_seconds", "CPU", "seconds")))
+      val framed = org.xerial.snappy.Snappy.compress(
+        RemoteWrite.encodeRequest(spec))
+      val req = RemoteWrite.decodeRequest(framed)
+      def lj(m: Map[String, String]): String =
+        m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+      import s.implicits._
+      (req.samples.map(x =>
+          ("sample", x.name, lj(x.labels), "", x.timestamp, x.value, "")) ++
+        req.exemplars.map(x =>
+          ("exemplar", x.name, lj(x.seriesLabels), lj(x.labels), x.timestamp,
+            x.value, "")) ++
+        req.metadata.map(m =>
+          ("meta", m.familyName, "", "", m.metricType.toLong, 0.0,
+            s"${m.help}|${m.unit}")))
+        .toDF("kind", "name", "labels", "xlabels", "ts", "value", "note")
+    }),
+
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
     "j1_label_semijoin" -> ((s, dir) => {
       val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -1095,6 +1138,26 @@ object SparkEntry {
         |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
         |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
         |GROUP BY event_type""".stripMargin,
+
+    // Hand-written expected rows for the fixed WriteRequest spec — built
+    // independently of the encoder/decoder under test.
+    "rw1_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('sample', 'http_requests_total', 'instance=i1,job=api', '',
+        |   CAST(1000 AS BIGINT), CAST(1.5 AS DOUBLE), ''),
+        |  ('sample', 'http_requests_total', 'instance=i1,job=api', '',
+        |   CAST(2000 AS BIGINT), CAST(2.25 AS DOUBLE), ''),
+        |  ('sample', 'cpu_seconds', 'job=api,zone=eu-west-π', '',
+        |   CAST(1500 AS BIGINT), CAST(-3.75 AS DOUBLE), ''),
+        |  ('exemplar', 'http_requests_total', 'instance=i1,job=api',
+        |   'trace_id=abc', CAST(1750 AS BIGINT), CAST(0.5 AS DOUBLE), ''),
+        |  ('exemplar', 'cpu_seconds', 'job=api,zone=eu-west-π',
+        |   'span=s1,trace_id=def', CAST(1600 AS BIGINT), CAST(7.0 AS DOUBLE), ''),
+        |  ('meta', 'http_requests_total', '', '', CAST(1 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), 'Total requests|'),
+        |  ('meta', 'cpu_seconds', '', '', CAST(2 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), 'CPU|seconds')
+        |) AS t(kind, name, labels, xlabels, ts, value, note)""".stripMargin,
 
     "a1_last_write_wins" ->
       """SELECT user_id, event_type, value AS last_value, event_id AS last_seq

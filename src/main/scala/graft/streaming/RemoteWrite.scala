@@ -48,14 +48,39 @@ object RemoteWrite {
     * anything else passes through raw. (A raw WriteRequest starts 0x0a and
     * its first varint would declare an uncompressed length equal to a label
     * byte-length — snappy validation rejects it immediately, so the sniff
-    * cannot misfire on real payloads.) */
+    * cannot misfire on real payloads.) Because that validation is
+    * structural, not a tagged encoding, a raw body that nonetheless
+    * validates as snappy must not be silently decompressed into garbage:
+    * the decompressed bytes are kept only when they walk as a protobuf
+    * message; otherwise a raw-parsable input passes through untouched. */
   def unframe(bytes: Array[Byte]): Array[Byte] =
     try {
       if (bytes.nonEmpty &&
-          org.xerial.snappy.Snappy.isValidCompressedBuffer(bytes, 0, bytes.length))
-        org.xerial.snappy.Snappy.uncompress(bytes)
-      else bytes
+          org.xerial.snappy.Snappy.isValidCompressedBuffer(bytes, 0, bytes.length)) {
+        val un = org.xerial.snappy.Snappy.uncompress(bytes)
+        if (walksAsMessage(un) || !walksAsMessage(bytes)) un else bytes
+      } else bytes
     } catch { case scala.util.control.NonFatal(_) => bytes }
+
+  /** Structural protobuf walk: every top-level record has a positive field
+    * number, a known wire type, and a body within bounds. Cheap (no
+    * allocation) and sufficient to tell a WriteRequest from snappy-
+    * decompressed garbage. */
+  private def walksAsMessage(b: Array[Byte]): Boolean =
+    try {
+      var pos = 0
+      var ok = true
+      while (ok && pos < b.length) {
+        val (tag, p1) = varint(b, pos)
+        val wt = (tag & 7).toInt
+        if ((tag >> 3) <= 0 || (wt != 0 && wt != 1 && wt != 2 && wt != 5)) ok = false
+        else {
+          pos = skip(b, p1, wt)
+          if (pos > b.length) ok = false
+        }
+      }
+      ok
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Samples-only fast path for the ingest pipeline: exemplar and metadata
     * bodies are SKIPPED at the wire level (zero allocation for them), as

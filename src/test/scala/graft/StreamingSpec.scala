@@ -42,6 +42,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(RemoteWrite.unframe(Array[Byte]()).isEmpty)
   }
 
+  test("raw body that also validates as snappy is NOT decompressed into garbage") {
+    // Crafted collision: as protobuf, field 1 wire 2 length 4 (a WriteRequest
+    // with one 4-byte timeseries); as snappy, declared size 10 = literal(2)
+    // [0x18 0x00] + copy-1(len 8, offset 1) — decompresses to garbage that
+    // does not walk as a protobuf message. unframe must keep the raw bytes.
+    val bytes = Array[Byte](0x0a, 0x04, 0x18, 0x00, 0x11, 0x01)
+    assert(org.xerial.snappy.Snappy.isValidCompressedBuffer(bytes, 0, bytes.length),
+      "collision premise: the crafted bytes must validate as snappy")
+    assert(RemoteWrite.unframe(bytes).sameElements(bytes))
+    // and a decode of the raw body is harmless (empty request, no throw)
+    assert(RemoteWrite.decodeRequest(bytes).samples.isEmpty)
+  }
+
   test("decode skips unknown fields (forward compat)") {
     // append an unknown field 9 (varint) at top level
     val bytes = RemoteWrite.encode(samples(2)) ++ Array[Byte](
