@@ -100,17 +100,30 @@ object TextAnalysis {
     * CONTAMINATED documents only — the removal list.
     *
     * Scale shape: both sides shingle to flat gram rows and equi-join —
-    * never all-pairs. The benchmark side (test sets are tiny next to a
-    * 100 TB training corpus) is distinct'd and broadcast, so the only
-    * shuffle is the per-doc hit count on the already-filtered semi-join
-    * output. */
+    * never all-pairs. The join key is `xxhash64(gram)` (8 bytes), not the
+    * raw k-token string (~8k bytes at k=13): gram text dominates the
+    * broadcast/shuffle width otherwise, and a 64-bit hash over even a
+    * billion distinct grams keeps the collision expectation ~1e-2 rows —
+    * and a collision only ever ADDS a false contamination hit (safe
+    * direction for a removal list). The benchmark side (test sets are tiny
+    * next to a 100 TB training corpus) is distinct'd and broadcast behind a
+    * plan-stats gate: an unexpectedly huge benchmark suite degrades to a
+    * shuffle semi-join instead of a driver OOM. */
   def contaminatedDocs(train: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, k: Int = 13): DataFrame = {
-    val tg = train.select(col(idCol),
-      explode(wordGrams(col(textCol), k)).as("gram"))
-    val bg = bench.select(explode(wordGrams(col(benchTextCol), k)).as("gram"))
+    val tg = train
+      .select(col(idCol), explode(wordGrams(col(textCol), k)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gh"))
+    val bg = bench
+      .select(explode(wordGrams(col(benchTextCol), k)).as("gram"))
+      .select(xxhash64(col("gram")).as("gh"))
       .distinct()
-    tg.join(broadcast(bg), Seq("gram"), "left_semi")
+    val cap = bench.sparkSession.conf.getOption("graft.pipeline.broadcastMaxBytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(64L << 20)
+    val bgSide =
+      if (bg.queryExecution.optimizedPlan.stats.sizeInBytes <= cap) broadcast(bg)
+      else bg
+    tg.join(bgSide, Seq("gh"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
