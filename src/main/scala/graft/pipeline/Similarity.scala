@@ -96,7 +96,8 @@ object Similarity {
     (-array_max(array(scored: _*)).getField("negCell")).cast("int")
   }
 
-  /** IVF (inverted-file) ANN index: k-means centroids over a training sample,
+  /** IVF (inverted-file) ANN index: k-means centroids over a seeded training
+    * sample (capped at `maxTrainVectors`; the full set when smaller),
     * every vector assigned to its nearest cell. Queries probe only the
     * `nProbe` nearest cells — the coarse-quantization scale path (vs
     * [[lshBucket]]'s hash path): at 100 TB the per-cell lists are the
@@ -104,10 +105,20 @@ object Similarity {
     * Returned centroids are float-rounded: assignment ([[ivfAssign]]),
     * probe ([[ivfTopK]]) and any external oracle all see identical values. */
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+      k: Int = 16, seed: Long = 42L,
+      maxTrainVectors: Long = 100000L): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = vectors.select(
+    // Bound the fit: k-means is a multi-pass job, and coarse-quantizer
+    // quality saturates long before 100k training vectors — at 100 TB an
+    // unbounded fit would iterate over the full corpus. The seeded sample
+    // keeps index construction deterministic per dataset.
+    val n = vectors.count()
+    val sampled =
+      if (n <= maxTrainVectors) vectors
+      else vectors.sample(withReplacement = false,
+        maxTrainVectors.toDouble / n, seed)
+    val train = sampled.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .fit(train)

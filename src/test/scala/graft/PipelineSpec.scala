@@ -102,6 +102,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("IVF sampled fit (cap below corpus size) still probes to brute force") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+    // force the sampling path: the k-means fit sees ~half the corpus, but
+    // with nProbe = k (all cells probed) the ANN result must still equal
+    // brute force regardless of centroid quality
+    val (indexed, cents) = Similarity.ivfIndex(vecs, "vec_id", "embedding",
+      k = 4, maxTrainVectors = 30L)
+    assert(cents.length == 4)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(indexed, queries, cents, "vec_id", "embedding",
+      topK = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(ivf == brute)
+  }
+
   test("LSH near-dup pairs: subset of all-pairs at threshold; dups found") {
     import org.apache.spark.sql.functions.col
     val vecs = (0 until 30).map { i =>
