@@ -74,14 +74,60 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     finally s.close()
   }
 
+  // JSON string escape/unescape for the path field: SST paths are engine-
+  // generated today, but a root directory containing a quote (legal on every
+  // POSIX filesystem) would otherwise corrupt the line — both the quoted
+  // string itself and the field regexes behind it (an embedded
+  // `"numRows":…` in a path would shadow the real field).
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o   => b += o; i += 2 // \" and \\ (and any future passthrough)
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
   private def fmt(f: SstFile, op: String): String =
-    s"""{"op":"$op","id":${f.id},"path":"${f.path}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}}"""
+    s"""{"op":"$op","id":${f.id},"path":"${esc(f.path)}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}}"""
 
   private def parse(line: String): (String, SstFile) = {
     def num(k: String): Long = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line)
       .getOrElse(sys.error(s"bad manifest line: $line")).group(1).toLong
-    def str(k: String): String = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(line)
-      .getOrElse(sys.error(s"bad manifest line: $line")).group(1)
+    // Scan to the first UNESCAPED closing quote (the old `[^"]*` regex
+    // stopped at an escaped one).
+    def str(k: String): String = {
+      val key = s""""$k":""""
+      val i = line.indexOf(key)
+      if (i < 0) sys.error(s"bad manifest line: $line")
+      var j = i + key.length
+      val b = new StringBuilder
+      while (j < line.length && line.charAt(j) != '"') {
+        if (line.charAt(j) == '\\' && j + 1 < line.length) {
+          b.append(line.charAt(j)).append(line.charAt(j + 1)); j += 2
+        } else { b.append(line.charAt(j)); j += 1 }
+      }
+      unesc(b.toString)
+    }
     (str("op"), SstFile(num("id"), str("path"), num("numRows"),
       num("sizeBytes"), TimeRange(num("start"), num("end"))))
   }

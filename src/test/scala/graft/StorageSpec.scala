@@ -141,6 +141,28 @@ class StorageSpec extends AnyFunSuite {
     assert(m2.allSsts().map(_.id).sorted == Seq(3L))
   }
 
+  test("manifest round-trips paths with quotes/backslashes/field-shadowing text") {
+    val root = tmpRoot()
+    val m1 = new Manifest(root)
+    // Hostile-but-legal POSIX paths: a quote, a backslash, a tab, and a
+    // substring that looks like a later numeric field.
+    val paths = Seq(
+      """/data/qu"ote/1.parquet""",
+      """/data/back\slash/2.parquet""",
+      "/data/tab\there/3.parquet",
+      """/data/evil"numRows":999"/4.parquet""")
+    paths.zipWithIndex.foreach { case (p, i) =>
+      m1.addFile(SstFile(i + 1L, p, 10 + i, 100 + i, TimeRange(i * 10L, i * 10L + 10)))
+    }
+    val m2 = new Manifest(root) // reload through parse()
+    val got = m2.allSsts().sortBy(_.id)
+    assert(got.map(_.path) == paths)
+    assert(got.map(_.numRows) == Seq(10L, 11L, 12L, 13L)) // no field shadowing
+    m2.mergeSnapshot()
+    val m3 = new Manifest(root) // and through the snapshot file too
+    assert(m3.allSsts().sortBy(_.id).map(_.path) == paths)
+  }
+
   test("compaction picker (picker.rs:201-236)") {
     // 5 SSTs, id i, range [10i,10i+10), size 100-i, segment 20ms, expire at 15
     val files = (0 to 4).map(i =>
