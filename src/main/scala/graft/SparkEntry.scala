@@ -791,6 +791,15 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxDist = 1, bands = 2)),
 
+    // Dedup: 64-bit SimHash near-dup pairs (the 100 TB signature width) —
+    // banded hamming LSH, 8 bands of 8 bits, pigeonhole-complete for
+    // dist <= 7. The oracle recomputes signatures lane-by-lane in SQL and
+    // takes brute-force all-pairs popcount, so the hash only matches if
+    // the banded join found EVERY qualifying pair.
+    "d8_simhash64_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs64(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 7, bands = 8)),
+
     // Dedup: n-gram Jaccard verification over a bounded pair set.
     "d5_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
@@ -1647,6 +1656,25 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 1""".stripMargin,
+
+    "d8_simhash64_pairs" ->
+      """WITH tok AS (SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |votes AS (SELECT doc_id, b,
+        |    sum(CASE WHEN substr(CASE WHEN b < 32 THEN h0 ELSE h1 END,
+        |                         CAST(b % 32 AS INTEGER) + 1, 1)
+        |             IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN generate_series(0, 63) AS g(b)
+        |  GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN v <= 0 THEN 0
+        |             WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |             ELSE (1::BIGINT << CAST(b AS INTEGER)) END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 7""".stripMargin,
 
     "d5_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),

@@ -121,38 +121,70 @@ object Dedup {
           .reduce(_ + _).as("simhash16"))
   }
 
+  /** 64-bit SimHash — the 100 TB signature width (16 bits saturate: at a
+    * billion docs random 16-bit signatures collide constantly; 64 bits keep
+    * hamming-distance discrimination meaningful). Bit b (0-based) is the
+    * vote-sum sign of the parity of hex digit (b mod 32)+1 of `md5(token)`
+    * (bits 0–31) / `md5('1' || token)` (bits 32–63): two md5 evaluations
+    * per token buy all 64 lanes, and every lane is oracle-portable via
+    * `substr(h, j, 1) IN (odd hex)`. 64 sibling vote aggregates over ONE
+    * shuffle, exactly like [[simhash16]]. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col(idCol), md5(col("t")).as("h0"),
+        md5(concat(lit("1"), col("t"))).as("h1"))
+    val votes = (0 until 64).map { b =>
+      sum(when(substring(col(if (b < 32) "h0" else "h1"), (b % 32) + 1, 1)
+        .isin(OddHex: _*), lit(1L)).otherwise(lit(-1L))).as(s"v$b")
+    }
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash64"))
+  }
+
   /** SimHash near-duplicate pairs at hamming distance <= `maxDist`, found
     * via banded LSH rather than all-pairs: the 16-bit signature splits into
     * `bands` equal bands, and two signatures within hamming d < bands must
     * agree on at least one band (pigeonhole) — so band-equality equi-joins
     * produce EVERY qualifying pair, and an exact popcount filter drops the
     * false candidates. One shuffle join on (band, key); bucket sizes are
-    * signature-space-bounded, never corpus-all-pairs. At 100 TB the
-    * signature frame would be persisted (it is recomputed per join side
-    * here) and the signature widened to 64 bits — the algebra is
-    * unchanged. */
+    * signature-space-bounded, never corpus-all-pairs. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 1, bands: Int = 2): DataFrame = {
-    require(16 % bands == 0, s"bands must divide 16, got $bands")
+      maxDist: Int = 1, bands: Int = 2): DataFrame =
+    bandedHammingPairs(simhash16(df, idCol, textCol), idCol, "simhash16",
+      bits = 16, maxDist = maxDist, bands = bands)
+
+  /** [[simhashPairs]] at the 64-bit signature width — same banded
+    * pigeonhole completeness (`maxDist < bands`), wider key space per band
+    * so buckets stay small even at corpus sizes where 16-bit keys saturate. */
+  def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, bands: Int = 8): DataFrame =
+    bandedHammingPairs(simhash64(df, idCol, textCol), idCol, "simhash64",
+      bits = 64, maxDist = maxDist, bands = bands)
+
+  private def bandedHammingPairs(sig0: DataFrame, idCol: String,
+      sigCol: String, bits: Int, maxDist: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, s"bands must divide $bits, got $bands")
     require(maxDist < bands,
       s"banded LSH is complete only for maxDist < bands ($maxDist >= $bands)")
-    val width = 16 / bands
+    val width = bits / bands
     // localCheckpoint: the signature frame feeds BOTH self-join sides —
-    // without it the tokenize + 16-agg shuffle runs twice (1.87 s → 1.54 s
+    // without it the tokenize + vote-agg shuffle runs twice (1.87 s → 1.54 s
     // on the d7 bench query; the band join dominates the rest). Same
     // per-query transient the bench/driver unpersists afterwards; a cluster
-    // deployment would persist signatures as a table anyway (see scale note
-    // above).
-    val banded = simhash16(df, idCol, textCol).localCheckpoint()
-      .select(col(idCol).as("id"), col("simhash16"),
+    // deployment would persist signatures as a table anyway.
+    val banded = sig0.localCheckpoint()
+      .select(col(idCol).as("id"), col(sigCol).as("sig"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          shiftright(col("simhash16"), b * width)
-            .bitwiseAND(lit((1 << width) - 1)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("simhash16"), col("bk.band"), col("bk.key"))
+          shiftright(col(sigCol), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("band"), col("key"),
-      col("id").as("id_a"), col("simhash16").as("sh_a"))
+      col("id").as("id_a"), col("sig").as("sh_a"))
     val b = banded.select(col("band"), col("key"),
-      col("id").as("id_b"), col("simhash16").as("sh_b"))
+      col("id").as("id_b"), col("sig").as("sh_b"))
     a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("dist"))

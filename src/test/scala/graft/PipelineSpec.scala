@@ -263,6 +263,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.exists(_._3 == 0L)) // the planted duplicates are in there
   }
 
+  test("simhash64 banded pairs == brute-force hamming filter (completeness)") {
+    import org.apache.spark.sql.functions._
+    val df = docs((0L until 40L).map { i =>
+      val base = s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 5) % 13} common words"
+      (i, if (i % 9 == 0) "alpha beta gamma delta" else base)
+    }: _*)
+    val sh = Dedup.simhash64(df, "doc_id", "text")
+    // signatures actually use the upper 32 lanes (second md5 salt)
+    assert(sh.collect().exists(r => (r.getLong(1) >>> 32) != 0L))
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash64").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash64").as("sb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("dist"))
+      .filter(col("dist") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashPairs64(df, "doc_id", "text", maxDist = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(brute.exists(_._3 == 0L)) // planted exact duplicates
+  }
+
   test("decontamination: k-gram overlap flags docs, counts occurrences") {
     import org.apache.spark.sql.functions.col
     val train = docs(
