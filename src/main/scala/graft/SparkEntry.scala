@@ -463,6 +463,14 @@ object SparkEntry {
       implicit val sqlCtx = s.sqlContext
       val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .orderBy("doc_id").as[(Long, String)].collect()
+      // The DISTINCT oracle is only equivalent while EVERY duplicate pair
+      // falls inside the 24 h watermark horizon (synthetic event time =
+      // doc_id seconds). Fail loudly if a larger verify SF ever breaks the
+      // premise instead of hash-mismatching.
+      require(rows.nonEmpty && rows.last._1 - rows.head._1 < 86400L,
+        s"sd1 premise broken: doc_id span ${rows.last._1 - rows.head._1}s " +
+          "exceeds the 24h dedup watermark horizon; cross-horizon dups " +
+          "would re-emit while the DISTINCT oracle keeps one")
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val docs = stream.toDS().toDF("doc_id", "text")
@@ -537,8 +545,11 @@ object SparkEntry {
     // Per-series live last value (mapGroupsWithState keyed state) over the
     // same bounded 4-batch stream. Update-mode memory sink keeps one row
     // per (series, trigger); the final state per series is its max-ts row —
-    // deterministic because the dataset has no (series, ts) duplicates and
-    // arrival is time-ordered.
+    // deterministic because the dataset has no (series, ts) duplicates
+    // (asserted below, since the oracle's ts = max(ts) join silently
+    // depends on it) and arrival is time-ordered. The sink-side max_by
+    // additionally tiebreaks on (ts, value) so even identical-ts re-emits
+    // of the same state pick a deterministic row.
     "sl1_live_last" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -547,6 +558,10 @@ object SparkEntry {
           map(lit("uid"), col("user_id").cast("string")).as("labels"),
           tsMs.as("timestamp"), col("value"))
         .as[graft.metric.Sample].collect()
+      require(rows.iterator.map(r => (r.name, r.labels, r.timestamp))
+          .toSet.size == rows.length,
+        "sl1 premise broken: duplicate (series, ts) rows make last-value " +
+          "arrival-order-dependent and the max-ts oracle join ambiguous")
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.metric.Sample]
       val sink = sinkName("sl1")
@@ -556,7 +571,8 @@ object SparkEntry {
         stream.addData(chunk.toSeq); q.processAllAvailable()
       } finally q.stop()
       s.table(sink).groupBy(col("name"), col("seriesKey").as("series_key"))
-        .agg(max(col("ts")).as("ts"), max_by(col("value"), col("ts")).as("value"))
+        .agg(max(col("ts")).as("ts"),
+          max_by(col("value"), struct(col("ts"), col("value"))).as("value"))
     }),
 
     // S3 + P2 through the driver gate: a narrow user projection (the merge
@@ -1748,7 +1764,9 @@ object SparkEntry {
         |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
         |      AS cos
-        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+        |    AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0)
         |WHERE cos >= 0.3""".stripMargin,
 
     "e7_quantize" ->
