@@ -25,8 +25,12 @@ object Bench {
 
     // Warmup and sample back-to-back per query (Criterion's shape): with 50+
     // queries a single global warmup pass evicts the earlier entries from
-    // the codegen class cache before their timed run. Two timed samples,
-    // min reported — single samples swing ±50% from GC/JIT interference.
+    // the codegen class cache before their timed run. THREE timed samples,
+    // median reported: single samples swing ±50% from GC/JIT interference,
+    // and min-of-2 still let one contaminated pair through — r4 flagged
+    // q1/q5 and r5 flagged j1/j2 at ~2.5× their isolated times because the
+    // async ContextCleaner (kicked by the previous query's unpersist+gc)
+    // overlaps the first timed run; the median discards that outlier.
     // optional args: bench only the named queries (dev-side triage)
     val only = args.toSet
     // Streaming run-to-completion entries (bounded file-stream → memory
@@ -34,14 +38,14 @@ object Bench {
     // fixed multi-second overhead independent of data volume — not engine
     // throughput. They stay correctness-gate-only unless named explicitly.
     val streamingOnly = Set("sd1_stream_dedup", "sa1_promql_stream",
-      "sl1_live_last", "sc1_stream_chunks")
+      "sl1_live_last", "sc1_stream_chunks", "sr1_stream_rate")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         if (only.isEmpty) !streamingOnly(name) else only(name) }
       .map { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -57,7 +61,7 @@ object Bench {
         if (!keep.contains(id)) rdd.unpersist(blocking = true)
       }
       System.gc()
-      name -> samples.min
+      name -> samples.sorted.apply(1) // median of 3
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -542,6 +542,35 @@ object SparkEntry {
           col("c.value").as("value"), col("n_samples"))
     }),
 
+    // Streaming PromQL rate over the bounded 4-batch stream: chained
+    // stateful operators — per-series reset-aware delta state
+    // (transformWithState, RocksDB provider) feeding an event-time windowed
+    // sum through the declared output event-time column. Append mode emits
+    // day windows whose end <= final watermark (global max event ts at 0 s
+    // delay); the oracle replays the same reset-aware increase from raw
+    // data with the same cut — closing the last documented streaming gap
+    // vs the batch PromQL surface (rate was storage-replay-only).
+    "sr1_stream_rate" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events").orderBy("ts", "event_id")
+        .select(col("event_type").as("name"),
+          map(lit("uid"), col("user_id").cast("string")).as("labels"),
+          tsMs.as("timestamp"), col("value"))
+        .as[graft.metric.Sample].collect()
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.metric.Sample]
+      val sink = sinkName("sr1")
+      val q = graft.streaming.StreamAggregates
+        .streamingRate(stream.toDS(), "purchase", "uid",
+          stepMs = 86400000L, watermark = "0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).withColumn("increase", round(col("increase"), 2))
+    }),
+
     // Per-series live last value (mapGroupsWithState keyed state) over the
     // same bounded 4-batch stream. Update-mode memory sink keeps one row
     // per (series, trigger); the final state per series is its max-ts row —
@@ -1314,6 +1343,27 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT uid, bucket_ms, round(sum(value), 2) AS value
         |FROM p, mx WHERE bucket_ms + 86400000 <= mx.m
+        |GROUP BY uid, bucket_ms""".stripMargin,
+
+    // Reset-aware increase replayed from raw data: lag() per series with
+    // the PromQL reset convention (drop below previous → the new value),
+    // summed over day buckets, emitted only for windows closed under the
+    // final watermark (global max event ts, matching sa1's cut). First
+    // sample per series contributes no delta, exactly like the streaming
+    // operator's state initialization.
+    "sr1_stream_rate" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS m FROM events),
+        |p AS (SELECT CAST(user_id AS VARCHAR) AS uid,
+        |    epoch_ms(ts::TIMESTAMP) AS tms, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT uid,
+        |    CAST(floor(tms / 86400000) AS BIGINT) * 86400000 AS bucket_ms,
+        |    CASE WHEN prev IS NULL THEN NULL
+        |         WHEN value >= prev THEN value - prev ELSE value END AS delta
+        |  FROM p)
+        |SELECT uid, bucket_ms, round(sum(delta), 2) AS increase
+        |FROM d, mx WHERE delta IS NOT NULL AND bucket_ms + 86400000 <= mx.m
         |GROUP BY uid, bucket_ms""".stripMargin,
 
     "sc1_stream_chunks" ->

@@ -70,11 +70,12 @@ object StreamAggregates {
     * matchers evaluate against the sample's label map (`element_at`), with
     * the same anchored-regex semantics as the batch path.
     *
-    * Range functions (`rate`/...) are not continuous queries here: chaining
-    * per-series delta state into a windowed aggregation needs two stateful
-    * operators with aligned watermarks; the engine serves rates from
-    * storage at read time instead (the reference's model — its streaming
-    * layer is ingest-only, SURVEY §2.9). Fail loudly toward the batch path.
+    * Range functions (`rate`/...) are not evaluated through THIS text
+    * surface: [[streamingRate]] serves them as the chained
+    * transformWithState → windowed-sum pair; other non-decomposable
+    * shapes replay against storage at read time (the reference's model —
+    * its streaming layer is ingest-only, SURVEY §2.9). Fail loudly toward
+    * those paths.
     */
   def promqlStream(samples: Dataset[Sample], promql: String, stepMs: Long,
       watermark: String = "10 minutes"): DataFrame = {
@@ -157,6 +158,95 @@ object StreamAggregates {
       .agg(agg.as("value"))
       .select(by.sorted.map(col) ++
         Seq(unix_millis(col("w.start")).as("bucket_ms"), col("value")): _*)
+  }
+
+  /** Per-series reset-aware delta row emitted by [[streamingRate]]'s first
+    * stateful operator; `ts_ts` is the declared event-time column that lets
+    * the downstream windowed aggregation chain off it. */
+  final case class SeriesDelta(name: String, uid: String,
+      ts_ts: java.sql.Timestamp, delta: Double)
+
+  /** Operator 1 of the chained pair: per-series last-(ts,value) state via
+    * the transformWithState API, emitting one reset-aware delta per sample
+    * that has a predecessor (counter reset → the new value itself, the
+    * PromQL `increase` convention shared with
+    * [[graft.functions.Rate.resetAwareDelta]]). Rows are sorted by ts
+    * within each batch; a cross-batch regression (sample older than the
+    * stored state) is dropped — the feed contract is per-series monotonic
+    * arrival, and truly late data is repaired by the storage replay path
+    * (T4 policy), not the live view. */
+  private class ResetDeltaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, String), Sample, SeriesDelta] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Double)]("last",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String),
+        rows: Iterator[Sample],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SeriesDelta] = {
+      val sorted = rows.toArray.sortBy(_.timestamp)
+      val out = Array.newBuilder[SeriesDelta]
+      var prev: Option[(Long, Double)] =
+        if (last.exists()) Option(last.get()) else None
+      sorted.foreach { s =>
+        prev match {
+          case Some((pts, pv)) if s.timestamp >= pts =>
+            val d = if (s.value >= pv) s.value - pv else s.value
+            out += SeriesDelta(key._1, key._2,
+              new java.sql.Timestamp(s.timestamp), d)
+            prev = Some((s.timestamp, s.value))
+          case Some(_) => // behind state: dropped (monotonic feed contract)
+          case None => prev = Some((s.timestamp, s.value))
+        }
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming PromQL rate — the chained-stateful-operator shape the batch
+    * evaluator refers rates to storage for: per-series reset-aware deltas
+    * (keyed transformWithState state, operator 1) feed an event-time
+    * windowed sum (operator 2), chained through the declared `ts_ts`
+    * output event-time column. Emits one append-mode row per
+    * (label value, step window) with the window's `increase` (sum of
+    * deltas) and per-second `rate`, exactly Prometheus' increase/rate over
+    * tumbling windows.
+    *
+    * Needs the RocksDB state store provider (the transformWithState
+    * requirement); [[streamingRate]] sets it on the session. At 100 TB the
+    * state is one (ts, value) pair per live series — the same cardinality
+    * bound as [[liveLastValue]]. */
+  def streamingRate(samples: Dataset[Sample], metric: String, byLabel: String,
+      stepMs: Long, watermark: String = "0 seconds"): DataFrame = {
+    val spark = samples.sparkSession
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val outEnc: org.apache.spark.sql.Encoder[SeriesDelta] =
+      Encoders.product[SeriesDelta]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val sampleEnc: org.apache.spark.sql.Encoder[Sample] =
+      Encoders.product[Sample]
+    val filtered = samples.toDF()
+      .withColumn("ts_ts", timestamp_millis(col("timestamp")))
+      .withWatermark("ts_ts", watermark)
+      .filter(col("name") === metric)
+      .as[Sample]
+    val deltas = filtered
+      .groupByKey(s => (s.name, s.labels.getOrElse(byLabel, "")))
+      .transformWithState(new ResetDeltaProcessor, "ts_ts", OutputMode.Append())
+    deltas.toDF()
+      .groupBy(col("uid"), window(col("ts_ts"), s"$stepMs milliseconds").as("w"))
+      .agg(sum(col("delta")).as("increase"))
+      .select(col("uid"), unix_millis(col("w.start")).as("bucket_ms"),
+        col("increase"))
   }
 
   /** Per-series live last value: (name, sorted labels) -> newest sample.

@@ -83,6 +83,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) == t0 - (t0 % 1800000L)))
   }
 
+  test("streaming rate: chained stateful delta + windowed sum, reset-aware") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    def s(host: String, sec: Long, v: Double) =
+      Sample("req_total", Map("host" -> host), t0 + sec * 1000L, v)
+    val q = StreamAggregates.streamingRate(stream.toDS(), "req_total", "host",
+        stepMs = 60000L, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("srate").start()
+    try {
+      // window [0,60s): h0 10 -> 13 -> 2 (counter reset: delta = 2) -> 4
+      //                 h1 100 -> 107
+      stream.addData(s("h0", 0, 10), s("h1", 1, 100), s("h0", 10, 13))
+      q.processAllAvailable()
+      stream.addData(s("h0", 20, 2), s("h0", 30, 4), s("h1", 40, 107))
+      q.processAllAvailable()
+      // window [60s,120s): h0 4 -> 9; then advance far past so it closes
+      stream.addData(s("h0", 70, 9))
+      q.processAllAvailable()
+      stream.addData(s("h0", 3600, 9))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT uid, bucket_ms, increase FROM srate").collect()
+      .map(r => (r.getString(0), r.getLong(1) - t0, r.getDouble(2))).toSet
+    // h0 [0,60): (13-10) + 2 + (4-2) = 7; h1 [0,60): 7; h0 [60,120): 9-4 = 5
+    assert(got == Set(("h0", 0L, 7.0), ("h1", 0L, 7.0), ("h0", 60000L, 5.0)))
+  }
+
   test("streaming exact dedup: same-fingerprint docs dropped within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
