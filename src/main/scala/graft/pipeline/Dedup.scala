@@ -109,15 +109,24 @@ object Dedup {
     * sketch is the parity of hex digit j+1 of md5(token); the signature bit
     * is the sign of the per-bit vote sum across tokens. */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Same conv-chunk parity extraction as [[simhash64]] (an odd hex digit
+    // is a nibble with its low bit set): digits 1–15 in one 60-bit chunk,
+    // digit 16 alone, then 16 sibling ones-count aggregates over one
+    // shuffle. Vote sign: v = 2*ones - n > 0  ⇔  2*ones > n.
     val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col(idCol), md5(col("t")).as("h"))
-    // 16 vote sums as sibling aggregates over one shuffle (no 16x explode).
-    val votes = (1 to 16).map(j =>
-      sum(when(substring(col("h"), j, 1).isin(OddHex: _*), lit(1L)).otherwise(lit(-1L)))
-        .as(s"v$j"))
-    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (1 to 16).map(j => when(col(s"v$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("ca"),
+        conv(substring(col("h"), 16, 1), 16, 10).cast("long").as("cb"))
+    def parityBit(j: Int): Column = // j = 1-based hex digit index
+      if (j <= 15) shiftright(col("ca"), (15 - j) * 4).bitwiseAND(lit(1L))
+      else col("cb").bitwiseAND(lit(1L))
+    val ones = (1 to 16).map(j => sum(parityBit(j)).as(s"o$j"))
+    tok.groupBy(col(idCol))
+      .agg(ones.head, (ones.tail :+ count(lit(1)).as("n")): _*)
+      .select(col(idCol),
+        (1 to 16).map(j =>
+          when(col(s"o$j") * 2 > col("n"), lit(1L << (j - 1))).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash16"))
   }
 
