@@ -688,6 +688,21 @@ object SparkEntry {
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
 
+    // Range join (the time-series interval join Spark lacks): per-user
+    // ordered event pairs within 1 hour via the bucketized equi-join — a
+    // raw theta join would plan nested-loop all-pairs. Aggregated per user
+    // so the oracle compares gap statistics, not O(pairs) rows.
+    "rj1_range_pairs" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), tsMs.as("tms"), col("event_id"))
+      graft.operators.RangeJoin
+        .selfWithinDelta(ev, Seq("user_id"), "tms", "event_id", delta = 3600000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("r_t") - col("l_t")).as("min_gap_ms"),
+          max(col("r_t") - col("l_t")).as("max_gap_ms"))
+    }),
+
     // Multi-label AND = intersection of TSID sets via repeated semi-join.
     "j3_two_label_and" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1015,6 +1030,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "text", k = 5)
     }),
+
+    // Characteristic terms per doc: rarity-weighted tf (tf * N / df — the
+    // log-free TF-IDF whose per-doc ranking equals the classic one), top-3
+    // with deterministic term tiebreak.
+    "t15_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+        k = 3)),
 
     // PII redaction. The synthetic corpus carries no PII, so the input is
     // salted deterministically from doc_id (same construction in the oracle)
@@ -1722,6 +1744,31 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 1""".stripMargin,
+
+    // Brute-force theta self-join replay of the bucketized range join.
+    "rj1_range_pairs" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, event_id
+        |  FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs,
+        |  min(b.tms - a.tms) AS min_gap_ms, max(b.tms - a.tms) AS max_gap_ms
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.tms - a.tms >= 0 AND b.tms - a.tms <= 3600000
+        |  AND (a.tms < b.tms OR (a.tms = b.tms AND a.event_id < b.event_id))
+        |GROUP BY a.user_id""".stripMargin,
+
+    "t15_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, round(score, 4) AS score, rank FROM (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    t.tf * n.n_docs / d.df AS score,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY t.tf * n.n_docs / d.df DESC, t.term ASC) AS rank
+        |  FROM tf t JOIN dfreq d USING (term), n)
+        |WHERE rank <= 3""".stripMargin,
 
     "d8_simhash64_pairs" ->
       """WITH tok AS (SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1

@@ -160,6 +160,38 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Top-`k` characteristic terms per document by rarity-weighted term
+    * frequency: `score = tf * N / df` — TF-IDF with the raw inverse
+    * document frequency in place of its log. The ranking per document is
+    * IDENTICAL to classic TF-IDF (log is monotone in N/df), and unlike
+    * `ln()`, the score is one exact-integer multiply and one IEEE divide,
+    * bit-identical across engines — a libm `ln` can differ in the last ulp
+    * and flip a rank.
+    *
+    * Shapes at 100 TB: (doc, term) tf is one shuffle with map-side partial
+    * aggregation; df is a count window over the term partition of the SAME
+    * frame (one shuffle on term, no aggregate+join round-trip — the corpus
+    * vocabulary is unbounded, so a broadcast would be the scale error);
+    * the per-doc top-k window shuffles on doc_id. Ties break on the term
+    * string, so the cut is deterministic. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Repetition / boilerplate metrics in the style of the Gopher quality
     * rules (Rae et al. 2021, "Scaling Language Models", table A1) at token
     * granularity:

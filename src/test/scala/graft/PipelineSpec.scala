@@ -348,6 +348,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(atOrBefore("p2").contains(15.0))
   }
 
+  test("range join: bucketized pairs == brute-force theta join") {
+    import graft.operators.RangeJoin
+    // rows straddling bucket boundaries (delta=10): pairs must be found
+    // across buckets, boundary distance == delta included, > delta excluded
+    val rows = Seq((1L, 0L, 1L), (1L, 9L, 2L), (1L, 10L, 3L), (1L, 21L, 4L),
+      (1L, 21L, 5L), (2L, 9L, 6L), (2L, 40L, 7L)).toDF("k", "t", "id")
+    val got = RangeJoin.selfWithinDelta(rows, Seq("k"), "t", "id", delta = 10L)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+    val brute = (for {
+      a <- Seq((1L, 0L, 1L), (1L, 9L, 2L), (1L, 10L, 3L), (1L, 21L, 4L),
+        (1L, 21L, 5L), (2L, 9L, 6L), (2L, 40L, 7L))
+      b <- Seq((1L, 0L, 1L), (1L, 9L, 2L), (1L, 10L, 3L), (1L, 21L, 4L),
+        (1L, 21L, 5L), (2L, 9L, 6L), (2L, 40L, 7L))
+      if a._1 == b._1 && b._2 - a._2 >= 0 && b._2 - a._2 <= 10 &&
+        (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3))
+    } yield (a._3, b._3)).toSet
+    assert(got == brute)
+    assert(got.contains((2L, 3L)) && got.contains((4L, 5L))) // tie pair once
+    assert(!got.contains((3L, 4L))) // 21 - 10 = 11 > delta
+  }
+
   test("duplicate clustering: components, keepers, chains") {
     // components {1,2,3} (chain 1-2, 2-3), {10,11}, node 20-21 pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")

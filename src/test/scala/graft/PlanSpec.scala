@@ -70,10 +70,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("candidate-pair operators never plan an all-pairs join") {
-    // d7 (banded simhash) and e6 (LSH cosine) are equi-joins on band/bucket
-    // keys — a cartesian or nested-loop join in the plan would mean the
-    // candidate restriction silently degenerated to all-pairs.
-    for (q <- Seq("d7_simhash_pairs", "e6_lsh_neardup")) {
+    // d7/d8 (banded simhash), e6 (LSH cosine) and rj1 (bucketized range
+    // join) are equi-joins on band/bucket keys — a cartesian or nested-loop
+    // join in the plan would mean the candidate restriction silently
+    // degenerated to all-pairs.
+    for (q <- Seq("d7_simhash_pairs", "d8_simhash64_pairs", "e6_lsh_neardup",
+        "rj1_range_pairs")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
