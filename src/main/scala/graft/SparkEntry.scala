@@ -1038,6 +1038,25 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         k = 3)),
 
+    // Composite embedding-dedup DAG: LSH-bucketed cosine near-dup pairs
+    // (the e6 scale path) → connected components → keeper/drop decision —
+    // the full near-duplicate removal pipeline over embeddings, chained
+    // from verified primitives exactly like c1 chains the text side.
+    // Cost note: the planted near-dup chains give this graph a 16-hop
+    // min-label diameter, so CC runs ~17 rounds; locally each round is
+    // job-launch latency (~10 s total at sf0.1 — measured, not a shuffle
+    // problem: AQE-off and path-compression variants were both slower).
+    // On a cluster the same rounds are shuffle-bound and the per-round
+    // driver latency vanishes.
+    "c2_embedding_dedup" -> ((s, dir) => {
+      val pairs = Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_keeper"))
+    }),
+
     // PII redaction. The synthetic corpus carries no PII, so the input is
     // salted deterministically from doc_id (same construction in the oracle)
     // to make every redaction pattern actually fire.
@@ -1865,6 +1884,42 @@ object SparkEntry {
         |  WHERE list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
         |    AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0)
         |WHERE cos >= 0.3""".stripMargin,
+
+    // e6's LSH pair derivation (incl. zero-norm guard) + d6's recursive
+    // min-label reachability — the independent replay of the composite DAG.
+    "c2_embedding_dedup" ->
+      """WITH RECURSIVE comp AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |dots AS (SELECT vec_id, j, sum(x * (((i * 7 + j * 13) % 5) - 2)) AS dot
+        |  FROM comp CROSS JOIN generate_series(0, 3) AS g(j)
+        |  GROUP BY vec_id, j),
+        |bk AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |e AS (SELECT b.bucket, x.vec_id, x.embedding
+        |  FROM embeddings x JOIN bk b USING (vec_id)),
+        |pairs AS (SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |      AS cos
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+        |    AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0)
+        |  WHERE cos >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src)
+        |SELECT node AS vec_id, min(r) AS cluster_id,
+        |  node = min(r) AS is_keeper
+        |FROM reach GROUP BY node""".stripMargin,
 
     "e7_quantize" ->
       """WITH e AS (SELECT vec_id,
