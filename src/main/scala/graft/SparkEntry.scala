@@ -449,6 +449,28 @@ object SparkEntry {
         .queryPromQL("max by (uid) (purchase)",
           graft.storage.TimeRange(Long.MinValue, Long.MaxValue))),
 
+    // histogram_quantile over classic le-buckets through the PromQL text
+    // surface: per-day cumulative purchase-value buckets (le 50/100/150/
+    // +Inf) built as a histogram frame, then the Prometheus bucketQuantile
+    // interpolation — the oracle replays the same interpolation as a CASE
+    // cascade over the bucket counts.
+    "p20_promql_histq" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(bucket(86400000L).as("day_ms"), col("value"))
+      val hist = Seq("50", "100", "150", "+Inf").map { le =>
+        val cond =
+          if (le == "+Inf") lit(true) else col("value") <= lit(le.toDouble)
+        ev.groupBy(col("day_ms"))
+          .agg(sum(when(cond, lit(1L)).otherwise(lit(0L))).cast("double").as("v"))
+          .withColumn("le", lit(le))
+      }.reduce(_ unionByName _)
+        .select(lit("lat").as("m"), col("le"), col("day_ms"), col("v"))
+      new graft.promql.PromQLContext(hist, "m", col("day_ms"), "v",
+        Map("le" -> "le"))
+        .sql("histogram_quantile(0.9, lat)")
+        .withColumn("value", round(col("value"), 6))
+    }),
+
     // Streaming exact dedup run to completion over a bounded 4-micro-batch
     // MemoryStream (time-ordered arrival, synthetic event time = doc_id
     // seconds). dropDuplicatesWithinWatermark keeps the FIRST arrival per
@@ -1385,6 +1407,27 @@ object SparkEntry {
         |SELECT uid, bucket_ms, round(sum(value), 2) AS value
         |FROM p, mx WHERE bucket_ms + 86400000 <= mx.m
         |GROUP BY uid, bucket_ms""".stripMargin,
+
+    // Prometheus bucketQuantile interpolation replayed as a CASE cascade
+    // over the four cumulative bucket counts (rank = 0.9 * total; first
+    // bucket reaching the rank interpolates linearly from the previous
+    // bound; the +Inf bucket clamps to the highest finite le).
+    "p20_promql_histq" ->
+      """WITH p AS (SELECT CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000)
+        |      AS BIGINT) * 86400000 AS ts_ms, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT ts_ms,
+        |    CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS DOUBLE) AS v50,
+        |    CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS DOUBLE) AS v100,
+        |    CAST(sum(CASE WHEN value <= 150 THEN 1 ELSE 0 END) AS DOUBLE) AS v150,
+        |    CAST(count(*) AS DOUBLE) AS vinf
+        |  FROM p GROUP BY ts_ms)
+        |SELECT ts_ms, round(CASE
+        |    WHEN v50 >= 0.9 * vinf THEN 50 * (0.9 * vinf) / v50
+        |    WHEN v100 >= 0.9 * vinf THEN 50 + 50 * (0.9 * vinf - v50) / (v100 - v50)
+        |    WHEN v150 >= 0.9 * vinf THEN 100 + 50 * (0.9 * vinf - v100) / (v150 - v100)
+        |    ELSE 150 END, 6) AS value
+        |FROM b""".stripMargin,
 
     // Reset-aware increase replayed from raw data: lag() per series with
     // the PromQL reset convention (drop below previous → the new value),
