@@ -224,6 +224,38 @@ object Dedup {
       .distinct() // a pair may collide in several bands
   }
 
+  /** Reachability-preserving bounded 2-hop closure: each pass adds an edge
+    * (a, b) for every length-2 path a–mid–b whose midpoint has degree
+    * <= `maxDegree`, roughly halving every component's diameter — the
+    * cheap preprocessing that turns a chain-shaped candidate graph
+    * (diameter d) into an O(d / 2^passes)-round [[duplicateClusters]] run.
+    * Components are EXACTLY preserved: every added edge connects nodes
+    * already connected through its midpoint.
+    *
+    * The degree cap bounds the quadratic midpoint expansion (a hub of
+    * degree m would emit m²/2 edges; hubs are already diameter-2 around
+    * themselves, so closing them buys nothing) — added edges are at most
+    * `maxDegree`× the kept midpoints' edges per pass. */
+  def boundedTwoHopClosure(pairs: DataFrame, passes: Int = 2,
+      maxDegree: Int = 32): DataFrame = {
+    var edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    (1 to passes).foreach { _ =>
+      val sym = edges.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val smallMids = sym.groupBy("src").agg(count(lit(1)).as("__d__"))
+        .filter(col("__d__") <= maxDegree).select(col("src"))
+      val viaSmall = sym.join(smallMids, "src")
+      val two = viaSmall.select(col("src").as("mid"), col("dst").as("a"))
+        .join(viaSmall.select(col("src").as("mid"), col("dst").as("b")), "mid")
+        .filter(col("a") < col("b"))
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      edges = edges.union(two).distinct().localCheckpoint()
+    }
+    edges
+  }
+
   /** Duplicate clusters from candidate pairs: connected components by
     * min-label propagation — every node ends labeled with the smallest id
     * reachable from it, so `cluster_id == id` marks the keeper and the rest

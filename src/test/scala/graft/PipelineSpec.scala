@@ -369,6 +369,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.contains((3L, 4L))) // 21 - 10 = 11 > delta
   }
 
+  test("bounded 2-hop closure preserves components exactly") {
+    // chain 1..9 (diameter 8), a hub star above the degree cap, an isolated
+    // pair — clusters must be IDENTICAL with and without closure
+    val chain = (1L until 9L).map(i => (i, i + 1))
+    val hub = (20L until 60L).map(i => (10L, i)) // degree 40 > cap 32
+    val pairs = (chain ++ hub ++ Seq((100L, 101L))).toDF("id_a", "id_b")
+    val direct = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val closed = Dedup.duplicateClusters(Dedup.boundedTwoHopClosure(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(closed == direct)
+    // the closure actually shortened the chain: node 9 gains an edge closer
+    // to 1 than its original neighbor 8
+    val closedEdges = Dedup.boundedTwoHopClosure(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(closedEdges.exists { case (a, b) => b == 9L && a < 8L })
+  }
+
   test("duplicate clustering: components, keepers, chains") {
     // components {1,2,3} (chain 1-2, 2-3), {10,11}, node 20-21 pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
