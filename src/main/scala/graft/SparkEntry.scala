@@ -640,6 +640,51 @@ object SparkEntry {
       narrow.unionAll(empty)
     }),
 
+    // S4 through the driver gate: one segment of events written through a
+    // non-default WriteOptions surface (zstd codec + dictionary + bloom
+    // filter on user_id, small row groups) and scanned back — the hash
+    // only matches the raw-data oracle if the tuned physical encoding is
+    // lossless end-to-end.
+    "s4_write_options" -> ((s, dir) => {
+      import graft.storage._
+      val segMs = 7L * 86400000L
+      val g = TimeRange.truncate(1704844800000L, segMs)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), tsMs.as("tms"), col("user_id"),
+          col("event_type"), col("value"))
+        .filter(col("tms") >= g && col("tms") < g + segMs)
+      val store = new TimeMergeStorage(s,
+        java.nio.file.Files.createTempDirectory("graft-events-opts").toString,
+        StorageSchema(org.apache.spark.sql.types.StructType(ev.schema.fields),
+          numPrimaryKeys = 1),
+        segmentMs = segMs, timestampColumn = Some("tms"),
+        writeOptions = WriteOptions(compression = "zstd",
+          enableDictionary = true, bloomFilterColumns = Seq("user_id"),
+          rowGroupBytes = 1L << 20))
+      store.write(ev, TimeRange(g, g + segMs))
+      store.scan(ScanRequest())
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
+
+    // F3 through the driver gate: the TimeRange algebra (overlaps + merge
+    // + truncate) evaluated on a fixed fixture of ranges, hash-checked
+    // against a hand-written VALUES oracle computed independently.
+    "f3_timerange" -> ((s, dir) => {
+      import graft.storage.TimeRange
+      val ranges = Seq( // (name, range) — half-open [start, end)
+        ("a", TimeRange(0L, 10L)), ("b", TimeRange(10L, 20L)),
+        ("c", TimeRange(5L, 15L)), ("d", TimeRange(-25L, -3L)))
+      import s.implicits._
+      (for { (na, ra) <- ranges; (nb, rb) <- ranges if na < nb } yield {
+        val m = ra.merge(rb)
+        (na, nb, ra.overlaps(rb), m.start, m.end,
+          TimeRange.truncate(m.start, 7L), TimeRange.truncate(m.end, 7L))
+      }).toDF("r_a", "r_b", "is_overlap", "m_start", "m_end",
+        "trunc_start", "trunc_end")
+    }),
+
     // C1-C4 through the driver gate: 7 small same-segment SSTs compacted to
     // quiescence (picker → executor → manifest commit → deletes), then a
     // scan whose file set IS the compacted SST. Slice-0 values were
@@ -1242,6 +1287,32 @@ object SparkEntry {
         |  AND epoch_ms(ts::TIMESTAMP) < 1705708800000
         |  AND event_type <> 'view'
         |GROUP BY event_type""".stripMargin,
+
+    "s4_write_options" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_v,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
+        |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
+        |GROUP BY user_id""".stripMargin,
+
+    // Hand-computed expectations for the fixed range fixture:
+    // a=[0,10) b=[10,20) c=[5,15) d=[-25,-3); trunc = floorDiv to 7 ms.
+    "f3_timerange" ->
+      """SELECT * FROM (VALUES
+        |  ('a', 'b', false, CAST(0 AS BIGINT), CAST(20 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(14 AS BIGINT)),
+        |  ('a', 'c', true, CAST(0 AS BIGINT), CAST(15 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(14 AS BIGINT)),
+        |  ('a', 'd', false, CAST(-25 AS BIGINT), CAST(10 AS BIGINT),
+        |   CAST(-28 AS BIGINT), CAST(7 AS BIGINT)),
+        |  ('b', 'c', true, CAST(5 AS BIGINT), CAST(20 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(14 AS BIGINT)),
+        |  ('b', 'd', false, CAST(-25 AS BIGINT), CAST(20 AS BIGINT),
+        |   CAST(-28 AS BIGINT), CAST(14 AS BIGINT)),
+        |  ('c', 'd', false, CAST(-25 AS BIGINT), CAST(15 AS BIGINT),
+        |   CAST(-28 AS BIGINT), CAST(14 AS BIGINT))
+        |) AS t(r_a, r_b, is_overlap, m_start, m_end, trunc_start, trunc_end)""".stripMargin,
 
     // Raw data with the slice-0 doubling applied in SQL — matches only if
     // compaction preserved last-write-wins and dropped the stale slice.
