@@ -471,6 +471,22 @@ object SparkEntry {
         .withColumn("value", round(col("value"), 6))
     }),
 
+    // PromQL subquery: daily max of the 6-hourly per-uid sums — the inner
+    // aggregation re-evaluated on the [1d:6h] step timeline, then
+    // max_over_time over those points. Two chained hash aggregations.
+    "p21_promql_subquery" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""max_over_time(sum by (uid) (purchase{uid=~"[1-4][0-9]"})[1d:6h])""")
+        .withColumn("value", round(col("value"), 4))),
+
+    // PromQL trig surface: unary fns chained with the infix atan2 operator
+    // (vector atan2 scalar at '*' precedence). Coarse rounding absorbs
+    // libm-vs-Java last-ULP transcendental drift.
+    "p22_promql_trig" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""deg(sin(purchase{uid=~"[1-5]"}) atan2 3)""")
+        .withColumn("value", round(col("value"), 4))),
+
     // Streaming exact dedup run to completion over a bounded 4-micro-batch
     // MemoryStream (time-ordered arrival, synthetic event time = doc_id
     // seconds). dropDuplicatesWithinWatermark keeps the FIRST arrival per
@@ -1497,6 +1513,28 @@ object SparkEntry {
         |    WHEN v150 >= 0.9 * vinf THEN 100 + 50 * (0.9 * vinf - v100) / (v150 - v100)
         |    ELSE 150 END, 6) AS value
         |FROM b""".stripMargin,
+
+    // Subquery replay: 6h-step inner sums, then the daily max of them.
+    "p21_promql_subquery" ->
+      """WITH sub AS (SELECT user_id AS uid,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 21600000) AS BIGINT)
+        |      * 21600000 AS sub_ms,
+        |    sum(value) AS v
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-4][0-9]')
+        |  GROUP BY uid, sub_ms)
+        |SELECT uid,
+        |  CAST(floor(sub_ms / 86400000) AS BIGINT) * 86400000 AS bucket_ms,
+        |  round(max(v), 4) AS value
+        |FROM sub GROUP BY uid, bucket_ms""".stripMargin,
+
+    "p22_promql_trig" ->
+      """SELECT user_id AS uid, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |  round(degrees(atan2(sin(value), 3.0)), 4) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[1-5]')""".stripMargin,
 
     // Reset-aware increase replayed from raw data: lag() per series with
     // the PromQL reset convention (drop below previous → the new value),

@@ -275,6 +275,9 @@ final class MetricEngine(spark: SparkSession, root: String,
     // BOTH paths.
     def windows(e: Expr): Seq[Long] = e match {
       case RangeFn(_, _, w) => Seq(w)
+      // a subquery's OUTPUT buckets come from its own window; the inner
+      // window-vs-step consistency is validated by the evaluator
+      case RangeSubquery(_, _, w, _) => Seq(w)
       case Agg(_, _, c, _) => windows(c)
       case ParamAgg(_, _, _, c) => windows(c)
       case CountValues(_, _, c) => windows(c)
@@ -344,6 +347,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     def walk(e: Expr): (Set[String], Set[String]) = e match {
       case Selector(m, ms, _) => (Set(m), ms.map(_.label).toSet)
       case RangeFn(_, sel, _) => walk(sel)
+      case RangeSubquery(_, c, _, _) => walk(c)
       case Agg(_, by, c, _) => val (m, l) = walk(c); (m, l ++ by)
       case ParamAgg(_, _, by, c) => val (m, l) = walk(c); (m, l ++ by)
       case CountValues(_, by, c) => val (m, l) = walk(c); (m, l ++ by)
@@ -365,6 +369,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     // just the explicitly referenced labels.
     def hasWithout(e: Expr): Boolean = e match {
       case Agg(_, _, c, w) => w || hasWithout(c)
+      case RangeSubquery(_, c, _, _) => hasWithout(c)
       case ParamAgg(_, _, _, c) => hasWithout(c)
       case CountValues(_, _, c) => hasWithout(c)
       case BinOp(_, a, b, _, _) => hasWithout(a) || hasWithout(b)
@@ -376,6 +381,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     def selectors(e: Expr): Seq[Selector] = e match {
       case s: Selector => Seq(s)
       case RangeFn(_, s, _) => Seq(s)
+      case RangeSubquery(_, c, _, _) => selectors(c)
       case Agg(_, _, c, _) => selectors(c)
       case ParamAgg(_, _, _, c) => selectors(c)
       case CountValues(_, _, c) => selectors(c)

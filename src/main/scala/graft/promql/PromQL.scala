@@ -24,6 +24,7 @@ import graft.metric.MetricAgg
   *   scalarfn := abs|ceil|floor|sqrt|exp|ln|log2|log10|round|clamp|clamp_min|clamp_max
   *             | minute|hour|day_of_week|day_of_month|day_of_year
   *             | days_in_month|month|year | sort|sort_desc
+  *             | sin|cos|tan|asin|acos|atan|sinh|cosh|tanh|deg|rad
   *   histq    := 'histogram_quantile' '(' num ',' expr ')'
   *   vector   := rangefn '(' selector '[' duration ']' offset? ')' | selector offset?
   *             | 'quantile_over_time' '(' num ',' selector '[' duration ']' offset? ')'
@@ -33,6 +34,9 @@ import graft.metric.MetricAgg
   *   rangefn  := rate | increase | delta | irate | idelta | deriv
   *             | resets | changes
   *             | (avg|min|max|sum|count|last|present)_over_time
+  *   subquery := rangefn '(' expr '[' duration ':' duration ']' ')'
+  *               (inner expr re-evaluated per step; binary 'atan2' at the
+  *               '*' precedence level)
   *   offset   := 'offset' duration
   *   selector := metric ('{' matcher (',' matcher)* '}')? | '{' ... '}'
   *   matcher  := label ('=' | '!=' | '=~' | '!~') string
@@ -101,6 +105,17 @@ object RangeF {
 }
 
 final case class RangeFn(fn: RangeF, sel: Selector, windowMs: Long) extends Expr
+
+/** Subquery range vector: `fn(expr[windowMs:stepMs])` — the inner expression
+  * is evaluated on the `stepMs` timeline (tumbling sub-buckets), then the
+  * range function runs over those per-step points exactly as it would over
+  * raw samples (Prometheus subqueries, e.g.
+  * `max_over_time(sum(job:rate)[1d:1h])` = daily max of hourly sums).
+  * `offset` on the subquery itself is not supported — offset the inner
+  * selector(s); inner range-function windows must equal `stepMs` (windowed
+  * functions own their buckets on the subquery's timeline). */
+final case class RangeSubquery(fn: RangeF, child: Expr, windowMs: Long,
+    stepMs: Long) extends Expr
 
 /** `sum by (dc) (...)`. Empty `by` aggregates everything to one series;
   * `without = true` inverts the listed labels (group by every label EXCEPT
@@ -213,7 +228,11 @@ object PromQLParser {
     "minute" -> (0, 0), "hour" -> (0, 0), "day_of_week" -> (0, 0),
     "day_of_month" -> (0, 0), "day_of_year" -> (0, 0),
     "days_in_month" -> (0, 0), "month" -> (0, 0), "year" -> (0, 0),
-    "sort" -> (0, 0), "sort_desc" -> (0, 0))
+    "sort" -> (0, 0), "sort_desc" -> (0, 0),
+    "sin" -> (0, 0), "cos" -> (0, 0), "tan" -> (0, 0),
+    "asin" -> (0, 0), "acos" -> (0, 0), "atan" -> (0, 0),
+    "sinh" -> (0, 0), "cosh" -> (0, 0), "tanh" -> (0, 0),
+    "deg" -> (0, 0), "rad" -> (0, 0))
   private val DurUnits = List( // longest-match first
     "ms" -> 1L, "w" -> 604800000L, "d" -> 86400000L, "h" -> 3600000L,
     "m" -> 60000L, "s" -> 1000L)
@@ -225,7 +244,10 @@ object PromQLParser {
   private def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
-    def isIdentStart(c: Char) = c.isLetter || c == '_' || c == ':'
+    // ':' continues an identifier (recording-rule names, job:rate5m) but
+    // never starts one — a leading ':' is the subquery step separator
+    // ([1d:1h]) and lexes as punctuation
+    def isIdentStart(c: Char) = c.isLetter || c == '_'
     def isIdent(c: Char) = c.isLetterOrDigit || c == '_' || c == ':'
     while (i < s.length) {
       val c = s(i)
@@ -295,7 +317,7 @@ object PromQLParser {
       } else if (s.startsWith("=~", i) || s.startsWith("!~", i) || s.startsWith("!=", i)
           || s.startsWith("==", i) || s.startsWith(">=", i) || s.startsWith("<=", i)) {
         out += TPunct(s.substring(i, i + 2), i); i += 2
-      } else if ("{}()[],=+-*/%<>".indexOf(c) >= 0) {
+      } else if ("{}()[],=+-*/%<>:".indexOf(c) >= 0) {
         out += TPunct(c.toString, i); i += 1
       } else throw PromQLParseException(s"unexpected character '$c'", i)
     }
@@ -347,6 +369,13 @@ object PromQLParser {
             }
             val matching = parseMatchingOpt()
             l = BinOp(op, l, parseBinary(level + 1), bool, matching)
+          // infix atan2 sits at the * / % precedence level (Prometheus);
+          // in operator position an ident can only be the operator, so this
+          // never shadows a metric named atan2
+          case TIdent("atan2", _) if Precedence(level).contains("*") =>
+            next()
+            val matching = parseMatchingOpt()
+            l = BinOp("atan2", l, parseBinary(level + 1), bool = false, matching)
           case _ => more = false
         }
         l
@@ -462,16 +491,16 @@ object PromQLParser {
       }
       if (q < 0 || q > 1) fail(s"quantile_over_time parameter must be in [0, 1], got $q")
       expect(",")
-      val (sel, win, off) = parseRangeVector()
+      val arg = parseRangeVector()
       expect(")")
-      RangeFn(RangeF.QuantileOverTime(q), sel.copy(offsetMs = off), win)
+      mkRange(RangeF.QuantileOverTime(q), arg)
     }
 
     /** `predict_linear(sel[w] offset?, tSec)` — range vector first, then the
       * prediction horizon in seconds. */
     private def parsePredictLinear(): Expr = {
       next(); expect("(")
-      val (sel, win, off) = parseRangeVector()
+      val arg = parseRangeVector()
       expect(",")
       val t = next() match {
         case TNum(d, _) => d
@@ -480,7 +509,7 @@ object PromQLParser {
           "predict_linear requires a scalar horizon in seconds after the range vector", tk.pos)
       }
       expect(")")
-      RangeFn(RangeF.PredictLinear(t), sel.copy(offsetMs = off), win)
+      mkRange(RangeF.PredictLinear(t), arg)
     }
 
     /** `holt_winters(sel[w] offset?, sf, tf)` — range vector first, then the
@@ -488,7 +517,7 @@ object PromQLParser {
       * (Prometheus rejects the boundaries too). */
     private def parseHoltWinters(): Expr = {
       next(); expect("(")
-      val (sel, win, off) = parseRangeVector()
+      val arg = parseRangeVector()
       def factor(what: String): Double = {
         expect(",")
         next() match {
@@ -502,19 +531,58 @@ object PromQLParser {
       val sf = factor("smoothing")
       val tf = factor("trend")
       expect(")")
-      RangeFn(RangeF.HoltWinters(sf, tf), sel.copy(offsetMs = off), win)
+      mkRange(RangeF.HoltWinters(sf, tf), arg)
     }
 
-    /** `selector '[' duration ']' offset?` shared by all range-fn forms. */
-    private def parseRangeVector(): (Selector, Long, Long) = {
-      val sel = parseSelector()
+    /** Range-vector argument shared by all range-fn forms: a plain
+      * `selector '[' dur ']' offset?`, or a subquery
+      * `expr '[' dur ':' dur ']'` (any vector expression re-evaluated on the
+      * step timeline). */
+    private sealed trait RangeArg
+    private final case class SelRange(sel: Selector, win: Long) extends RangeArg
+    private final case class SubRange(child: Expr, win: Long, step: Long)
+      extends RangeArg
+
+    private def mkRange(fn: RangeF, arg: RangeArg): Expr = arg match {
+      case SelRange(sel, win) => RangeFn(fn, sel, win)
+      case SubRange(c, w, s) => RangeSubquery(fn, c, w, s)
+    }
+
+    private def parseRangeVector(): RangeArg = {
+      val e = parseExpr()
       expect("[")
       val win = next() match {
         case TDur(ms, _) => ms
         case t => throw PromQLParseException("expected duration", t.pos)
       }
-      expect("]")
-      (sel, win, parseOffsetOpt())
+      peek match {
+        case TPunct(":", _) =>
+          next()
+          val step = next() match {
+            case TDur(ms, _) => ms
+            case t => throw PromQLParseException(
+              "expected step duration after ':' (explicit step required)", t.pos)
+          }
+          expect("]")
+          peek match {
+            case TIdent("offset", p) => throw PromQLParseException(
+              "offset on a subquery is not supported — offset the inner selector(s)", p)
+            case _ => ()
+          }
+          if (step > win)
+            fail(s"subquery step (${step}ms) exceeds its range (${win}ms)")
+          SubRange(e, win, step)
+        case _ =>
+          expect("]")
+          val off = parseOffsetOpt()
+          e match {
+            case sel: Selector =>
+              SelRange(sel.copy(offsetMs = sel.offsetMs + off), win)
+            case _ => throw PromQLParseException(
+              "a plain range needs a selector — use a [range:step] subquery " +
+                "over computed expressions", peek.pos)
+          }
+      }
     }
 
     /** `label_replace(v, "dst", "repl", "src", "regex")` /
@@ -634,9 +702,9 @@ object PromQLParser {
     private def parseVector(): Expr = peek match {
       case TIdent(fn, _) if RangeFns.contains(fn) && nextIsParen =>
         next(); expect("(")
-        val (sel, win, off) = parseRangeVector()
+        val arg = parseRangeVector()
         expect(")")
-        RangeFn(RangeFns(fn), sel.copy(offsetMs = off), win)
+        mkRange(RangeFns(fn), arg)
       case _ =>
         val sel = parseSelector()
         sel.copy(offsetMs = parseOffsetOpt())

@@ -220,6 +220,38 @@ final class PromQLContext(
             .select(outCols :+ col("value"): _*)
       }
 
+    case RangeSubquery(fn, child, windowMs, subStepMs) =>
+      // Prometheus subquery `fn(expr[w:s])`: evaluate the inner expression
+      // on the s-step timeline, then run the range function over those
+      // per-step points exactly as over raw samples — via a nested context
+      // whose "samples" are the inner result, so every range function
+      // (incl. rate/holt_winters) works unchanged. Plan shape: the inner
+      // eval's aggregation exchange, then ONE more aggregation keyed on
+      // (inner labels, outer bucket) — no extra scan, no driver-side state.
+      innerWindows(child).find(_ != subStepMs).foreach(w =>
+        throw new IllegalArgumentException(
+          s"inner range-function window ($w ms) must equal the subquery " +
+            s"step ($subStepMs ms): windowed functions own their buckets " +
+            "on the subquery timeline"))
+      val inner = eval(child, Some(subStepMs), range)
+      val tsName =
+        if (inner.columns.contains("ts_ms")) "ts_ms"
+        else if (inner.columns.contains("bucket_ms")) "bucket_ms"
+        else throw new IllegalArgumentException(
+          "subquery inner expression has no timeline (fully aggregated / " +
+            s"shape output: ${inner.columns.mkString(", ")})")
+      val innerSeries = seriesCols.filter(inner.columns.contains)
+      val lblCols = inner.columns.toSeq.filterNot(c =>
+        c == tsName || c == "value" || innerSeries.contains(c))
+      // per-step points are unique per (series, step bucket) after an
+      // aggregated inner, so ts-only ordering is deterministic; a bare
+      // selector child keeps raw samples (documented tumbling deviation)
+      val sub = new PromQLContext(
+        inner.withColumn("__sq__", lit("")), "__sq__", col(tsName), "value",
+        lblCols.map(l => l -> l).toMap,
+        ordering = Seq(col(tsName)), seriesCols = innerSeries)
+      sub.eval(RangeFn(fn, Selector("", Nil), windowMs))
+
     case NumLit(_) => throw new IllegalArgumentException(
       "scalar-only expression: combine the number with a vector (e.g. cpu * 2)")
 
@@ -474,6 +506,17 @@ final class PromQLContext(
         case "clamp" => least(greatest(v, lit(args(0))), lit(args(1)))
         case "clamp_min" => greatest(v, lit(args(0)))
         case "clamp_max" => least(v, lit(args(0)))
+        case "sin" => sin(v)
+        case "cos" => cos(v)
+        case "tan" => tan(v)
+        case "asin" => asin(v)
+        case "acos" => acos(v)
+        case "atan" => atan(v)
+        case "sinh" => sinh(v)
+        case "cosh" => cosh(v)
+        case "tanh" => tanh(v)
+        case "deg" => degrees(v)
+        case "rad" => radians(v)
         case other => throw new IllegalArgumentException(s"unknown function '$other'")
       }
       in.withColumn("value", mapped)
@@ -631,6 +674,7 @@ final class PromQLContext(
     case "*" => a * b
     case "/" => a / b // x/0 is null here (Prometheus: ±Inf) — documented
     case "%" => a % b
+    case "atan2" => atan2(a, b)
     case "==" => a === b
     case "!=" => a =!= b
     case ">" => a > b
@@ -676,6 +720,22 @@ final class PromQLContext(
 }
 
 object PromQLContext {
+  /** Range-function windows reachable in `e` WITHOUT crossing a nested
+    * subquery boundary (a nested subquery owns its own timeline). Used to
+    * reject inner windows that disagree with the enclosing step. */
+  private[graft] def innerWindows(e: Expr): Seq[Long] = e match {
+    case RangeFn(_, _, w) => Seq(w)
+    case RangeSubquery(_, _, w, _) => Seq(w)
+    case Agg(_, _, c, _) => innerWindows(c)
+    case ParamAgg(_, _, _, c) => innerWindows(c)
+    case CountValues(_, _, c) => innerWindows(c)
+    case BinOp(_, a, b, _, _) => innerWindows(a) ++ innerWindows(b)
+    case FnCall(_, c, _) => innerWindows(c)
+    case HistogramQuantile(_, c) => innerWindows(c)
+    case LabelFn(_, c, _, _) => innerWindows(c)
+    case _ => Nil
+  }
+
   /** Prometheus regex matchers are fully anchored, and an absent label is
     * the empty string: `{a!="x"}` and `{a!~"x.*"}` MATCH rows without the
     * label, `{a=""}` matches absence, `{a=~""}` matches when the regex

@@ -942,4 +942,52 @@ class PromQLSpec extends AnyFunSuite {
     val desc = ctx.sql("sort_desc(sum by (host) (cpu))").collect().map(_.getString(0))
     assert(desc.toSeq == Seq("a", "c", "b"))
   }
+
+  test("parser: subqueries [w:step] and infix atan2") {
+    assert(PromQLParser.parse("max_over_time(sum by (host) (cpu)[1d:1h])") ==
+      RangeSubquery(RangeF.MaxOverTime,
+        Agg(MetricAgg.Sum, Seq("host"), Selector("cpu", Nil)),
+        86400000L, 3600000L))
+    // a subquery over a bare selector is legal (Prometheus rate(x[5m:1m]))
+    assert(PromQLParser.parse("rate(cpu[5m:1m])") ==
+      RangeSubquery(RangeF.Rate, Selector("cpu", Nil), 300000L, 60000L))
+    // interior ':' still lexes as one recording-rule-style metric name
+    assert(PromQLParser.parse("job:rate5m") == Selector("job:rate5m", Nil))
+    // atan2 binds at the '*' precedence level, left-associative
+    assert(PromQLParser.parse("a atan2 b * 2") ==
+      BinOp("*", BinOp("atan2", Selector("a", Nil), Selector("b", Nil)),
+        NumLit(2.0)))
+    for (bad <- Seq(
+        "max_over_time(sum(cpu)[1d])", // computed expr needs [w:step]
+        "rate(cpu[5m:10m])", // step exceeds range
+        "rate(cpu[5m:1m] offset 1h)", // offset the inner selector instead
+        "avg_over_time(cpu[1d:])")) // explicit step required
+      assertThrows[PromQLParseException](PromQLParser.parse(bad))
+  }
+
+  test("context: subquery re-evaluates the inner expr on the step timeline") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", 10L, 5.0),
+      Row("cpu", "a", "us", H + 1, 3.0), Row("cpu", "b", "us", H + 2, 4.0)))
+    // inner hourly sums: (a, 0h)=6, (a, 1h)=3, (b, 1h)=4; daily max per host
+    val got = ctx.sql("max_over_time(sum by (host) (cpu)[1d:1h])").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 0L, 6.0), ("b", 0L, 4.0)))
+    // fully-grouped inner: one pseudo-series, daily sum of hourly sums
+    val s = ctx.sql("sum_over_time(sum(cpu)[1d:1h])").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(s == Set((0L, 13.0)))
+    // an inner windowed fn must own the subquery's step timeline
+    val ex = intercept[IllegalArgumentException](
+      ctx.sql("avg_over_time(rate(cpu[30m])[1d:1h])").collect())
+    assert(ex.getMessage.contains("must equal the subquery step"))
+  }
+
+  test("context: trig fns and the atan2 operator") {
+    val ctx = ctxOf(Seq(Row("cpu", "a", "us", 0L, 0.5)))
+    val v = ctx.sql("deg(sin(cpu) atan2 3)").collect().head.getDouble(3)
+    assert(math.abs(v - math.toDegrees(math.atan2(math.sin(0.5), 3.0))) < 1e-12)
+    val t = ctx.sql("tanh(rad(cpu))").collect().head.getDouble(3)
+    assert(math.abs(t - math.tanh(math.toRadians(0.5))) < 1e-12)
+  }
 }
