@@ -984,6 +984,14 @@ object SparkEntry {
     "e7_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // ANN over the int8-QUANTIZED corpus (asymmetric distance: float query
+    // vs 4×-smaller codes) — exact top-3 ranking against quantized vectors.
+    "e8_quantized_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+    }),
+
     // Similarity: brute-force exact top-3 neighbors for 10 query vectors.
     "e2_knn_top3" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2082,6 +2090,33 @@ object SparkEntry {
         |            ELSE round(x / scale * 127) END AS BIGINT) AS q,
         |  round(scale, 6) AS scale
         |FROM e JOIN s USING (vec_id)""".stripMargin,
+
+    // Codes built as ordered lists so list_dot_product matches the Spark
+    // side's left-to-right double accumulation exactly (grouped sums would
+    // reorder the addition).
+    "e8_quantized_ann" ->
+      """WITH c AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE
+        |      WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0
+        |        THEN 0.0
+        |      ELSE round(CAST(x AS DOUBLE) /
+        |        list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127)
+        |      END) AS codes
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.embedding::DOUBLE[], c.codes) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.codes, c.codes))), 6) AS qcos
+        |  FROM embeddings q CROSS JOIN c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |    AND list_dot_product(c.codes, c.codes) > 0
+        |    AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0)
+        |SELECT query_id, neighbor_id, qcos, rank FROM (
+        |  SELECT query_id, neighbor_id, qcos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
 
     "e2_knn_top3" ->
       """WITH scored AS (

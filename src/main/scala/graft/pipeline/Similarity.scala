@@ -206,6 +206,40 @@ object Similarity {
             .cast("long")).as("q"),
         round(col("__scale__"), 6).as("scale"))
 
+  /** Int8 code array for a float vector — the packed-array form of
+    * [[quantizeInt8]]'s per-row output (same `round(x / max|x| * 127)`
+    * formula), emitted as `array<float>` so the native dot expression
+    * applies directly. Codes are integers in [-127, 127]: exact in float. */
+  def int8Codes(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x))).cast("double")
+    when(scale === 0.0, transform(vec, _ => lit(0f)))
+      .otherwise(transform(vec,
+        x => round(x.cast("double") / scale * 127).cast("float")))
+  }
+
+  /** Exact-ranked top-k over the int8-QUANTIZED corpus — asymmetric
+    * distance computation: float queries score against quantized corpus
+    * codes. Cosine is invariant to the per-vector dequantization scale
+    * (`dequant = codes · scale/127` and the scalar cancels in the ratio),
+    * so the scan side needs ONLY the codes — a 4× smaller corpus table at
+    * 100 TB, with the scales left in storage for reconstruction. Same
+    * broadcast + rank plan as [[bruteForceTopK]]; zero-norm codes drop out
+    * (null cosine) rather than ranking nondeterministically. */
+  def quantizedTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = vectors
+      .select(col(idCol).as("neighbor_id"), int8Codes(col(vecCol)).as("nc"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nc")), 6).as("qcos"))
+      .filter(col("qcos").isNotNull)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-group mean embedding (class prototypes / cluster centroids —
     * the k-means update step and the standard corpus-curation primitive).
     *

@@ -170,6 +170,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(violations == 0)
   }
 
+  test("quantized ANN: scale invariance of codes; near-exact ranking") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L)
+      .map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    // cosine over codes == cosine over dequantized vectors (the per-vector
+    // scale cancels) — dequant differs only in float representation, so the
+    // two cosines agree to well under the 1e-6 ranking granularity
+    val codes = vecs.select($"vec_id",
+      Similarity.int8Codes($"embedding").as("codes"))
+    val dequant = vecs.select($"vec_id",
+      Similarity.int8Codes($"embedding").as("c"),
+      (array_max(transform($"embedding", x => abs(x))).cast("double") / 127)
+        .as("s"))
+      .select($"vec_id", transform($"c", q => (q * $"s").cast("float")).as("dq"))
+    val drift = codes.join(dequant, "vec_id")
+      .select(abs(Similarity.cosine($"codes", $"codes")
+        - Similarity.cosine($"dq", $"dq")).as("d"))
+      .agg(max($"d")).head.getDouble(0)
+    assert(drift < 1e-9)
+    // quantized ranking ≈ exact ranking: with 16 dims and 127 levels the
+    // top-1 neighbor survives quantization on this fixture
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quant = Similarity.quantizedTopK(vecs, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(quant == exact)
+  }
+
   test("centroids: per-group element-wise mean + vector count") {
     val df = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f))
