@@ -1146,6 +1146,26 @@ object SparkEntry {
           (col("id") === col("cluster_id")).as("is_keeper"))
     }),
 
+    // Composite MinHash dedup DAG over the FULL corpus — the canonical
+    // text-side near-dup pipeline: minhash signatures → banded LSH
+    // candidates with the maxBucket star-expansion (this corpus is
+    // hyper-duplicative: uncapped, 79% of ALL pairs share a band and the
+    // pipeline goes quadratic — the cap is what makes it run at 100 TB) →
+    // n-gram Jaccard verification at 0.5 on candidates only → connected
+    // components → keeper/drop decision.
+    "c3_minhash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(docs, "doc_id", "text", 8), "doc_id",
+        numHashes = 8, bandSize = 2, maxBucket = 16)
+      val verified = Dedup.ngramJaccard(docs, cand, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateClusters(Dedup.boundedTwoHopClosure(verified))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_keeper"))
+    }),
+
     // PII redaction. The synthetic corpus carries no PII, so the input is
     // salted deterministically from doc_id (same construction in the oracle)
     // to make every redaction pattern actually fire.
@@ -2076,6 +2096,58 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src)
         |SELECT node AS vec_id, min(r) AS cluster_id,
+        |  node = min(r) AS is_keeper
+        |FROM reach GROUP BY node""".stripMargin,
+
+    // d3's banded-LSH candidates with the maxBucket=16 star expansion
+    // (hub = bucket min id), verified by 3-gram Jaccard >= 0.5, clustered
+    // by d6's recursive min-label reachability.
+    "c3_minhash_dedup" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t FROM documents),
+        |sig AS (SELECT doc_id,
+        |  min(md5('0|' || t)) AS mh0, min(md5('1|' || t)) AS mh1,
+        |  min(md5('2|' || t)) AS mh2, min(md5('3|' || t)) AS mh3,
+        |  min(md5('4|' || t)) AS mh4, min(md5('5|' || t)) AS mh5,
+        |  min(md5('6|' || t)) AS mh6, min(md5('7|' || t)) AS mh7
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (
+        |  SELECT 0 AS band, mh0 || '|' || mh1 AS band_key, doc_id FROM sig
+        |  UNION ALL SELECT 1, mh2 || '|' || mh3, doc_id FROM sig
+        |  UNION ALL SELECT 2, mh4 || '|' || mh5, doc_id FROM sig
+        |  UNION ALL SELECT 3, mh6 || '|' || mh7, doc_id FROM sig),
+        |stats AS (SELECT band, band_key, count(*) AS m, min(doc_id) AS hub
+        |  FROM bands GROUP BY band, band_key),
+        |bb AS (SELECT b.band, b.band_key, b.doc_id, s.m, s.hub
+        |  FROM bands b JOIN stats s USING (band, band_key)),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bb a JOIN bb b USING (band, band_key)
+        |  WHERE a.m <= 16 AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT hub, doc_id FROM bb WHERE m > 16 AND doc_id <> hub)),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |           i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY c.id_a, c.id_b),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src)
+        |SELECT node AS doc_id, min(r) AS cluster_id,
         |  node = min(r) AS is_keeper
         |FROM reach GROUP BY node""".stripMargin,
 
