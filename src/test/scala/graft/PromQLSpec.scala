@@ -983,6 +983,17 @@ class PromQLSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("must equal the subquery step"))
   }
 
+  test("engine: subquery runs through the general path") {
+    // 10-min-step inner sums over both us hosts, hourly max of those.
+    // Samples are i² at i·10min per host; the two us hosts are identical, so
+    // inner sums are 2i² and the [1h:10m] max in hour 0 is 2·25 = 50.
+    val got = engine.queryPromQL(
+      """max_over_time(sum by (dc) (reqs{dc="us"})[1h:10m])""",
+      TimeRange(0, H)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("us", 0L, 50.0)))
+  }
+
   test("context: trig fns and the atan2 operator") {
     val ctx = ctxOf(Seq(Row("cpu", "a", "us", 0L, 0.5)))
     val v = ctx.sql("deg(sin(cpu) atan2 3)").collect().head.getDouble(3)
