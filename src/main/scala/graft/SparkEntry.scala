@@ -609,6 +609,30 @@ object SparkEntry {
       s.table(sink).withColumn("increase", round(col("increase"), 2))
     }),
 
+    // Streaming gap-based sessionization (session_window + watermark) over
+    // the same bounded 4-batch time-ordered stream. Append mode emits each
+    // session once the watermark (global max event ts, 0s delay) passes its
+    // end = last event + 30min; the oracle replays the identical lag-based
+    // sessionization and applies the same cut.
+    "ss1_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = t(s, dir, "events").orderBy("ts", "event_id")
+        .select(col("user_id"), tsMs.as("tms")).as[(Long, Long)].collect()
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val sink = sinkName("ss1")
+      val q = graft.streaming.StreamAggregates
+        .sessionize(stream.toDS().toDF("user_id", "tms")
+            .withColumn("ts", timestamp_millis(col("tms"))),
+          "user_id", "ts", gap = "30 minutes", watermark = "0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try ev.grouped(ev.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }),
+
     // Per-series live last value (mapGroupsWithState keyed state) over the
     // same bounded 4-batch stream. Update-mode memory sink keeps one row
     // per (series, trigger); the final state per series is its max-ts row —
@@ -1584,6 +1608,27 @@ object SparkEntry {
         |SELECT uid, bucket_ms, round(sum(delta), 2) AS increase
         |FROM d, mx WHERE delta IS NOT NULL AND bucket_ms + 86400000 <= mx.m
         |GROUP BY uid, bucket_ms""".stripMargin,
+
+    // Gap-based sessions replayed with lag(): new session when the gap to
+    // the previous event exceeds 30min; end = last event + 30min; emit only
+    // sessions closed under the final watermark (global max event ts).
+    "ss1_stream_sessions" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS m FROM events),
+        |e AS (SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, event_id,
+        |    lag(epoch_ms(ts::TIMESTAMP))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT user_id, tms,
+        |    sum(CASE WHEN prev IS NULL OR tms - prev > 1800000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |g AS (SELECT user_id, sid, min(tms) AS session_start,
+        |    max(tms) + 1800000 AS session_end, count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM g, mx WHERE session_end <= mx.m""".stripMargin,
 
     "sc1_stream_chunks" ->
       """WITH mx AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS m FROM events),

@@ -249,6 +249,25 @@ object StreamAggregates {
         col("increase"))
   }
 
+  /** Gap-based session windows over any event frame — Structured
+    * Streaming's `session_window` under a watermark, one count per
+    * (key, session). Append mode: a session emits once the watermark
+    * passes its end (last event + gap); closed sessions are evicted from
+    * the store, so state is bounded by (keys × open sessions) — the shape
+    * that holds at 100 TB, independent of event count. Output: key +
+    * `session_start`/`session_end` (epoch ms; end = last event + gap) +
+    * `n_events`. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String = "30 minutes", watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
   /** Per-series live last value: (name, sorted labels) -> newest sample.
     * Keyed state via mapGroupsWithState — emits the current latest on every
     * trigger that touches the series (update mode). */

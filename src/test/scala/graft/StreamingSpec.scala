@@ -111,6 +111,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("h0", 0L, 7.0), ("h1", 0L, 7.0), ("h0", 60000L, 5.0)))
   }
 
+  test("session windows merge across micro-batches; emit on watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val M = 60000L
+    val q = StreamAggregates.sessionize(
+        stream.toDS().toDF("user_id", "tms")
+          .withColumn("ts", timestamp_millis(col("tms"))),
+        "user_id", "ts", gap = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ssess").start()
+    try {
+      // u1's session spans two micro-batches (20min gap < 30min → merged);
+      // u2 opens, goes idle > gap, opens a second session
+      stream.addData((1L, 0L), (1L, 10 * M), (2L, 0L))
+      q.processAllAvailable()
+      stream.addData((1L, 30 * M), (2L, 45 * M))
+      q.processAllAvailable()
+      // advance the watermark far enough to close everything open
+      stream.addData((9L, 1000 * M))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM ssess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 60 * M, 3L),       // 0,10,30min merged; end = 30min + gap
+      (2L, 0L, 30 * M, 1L),       // closed by the 45min event's watermark
+      (2L, 45 * M, 75 * M, 1L)))  // second session after the idle gap
+  }
+
   test("streaming exact dedup: same-fingerprint docs dropped within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
