@@ -129,6 +129,34 @@ object SparkEntry {
   private val compactedCache =
     scala.collection.mutable.Map.empty[String, graft.storage.TimeMergeStorage]
 
+  /** Two-batch store for st3: batch 1 = the segment's event_id % 3 == 0
+    * slice, batch 2 = the rest, written in that order so the second SST
+    * carries the strictly larger `__seq__` file id. */
+  private val stampCache =
+    scala.collection.mutable.Map.empty[String, graft.storage.TimeMergeStorage]
+
+  private def builtinStampStore(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
+    stampCache.synchronized {
+      stampCache.getOrElseUpdate(dir, {
+        import graft.storage._
+        val segMs = 7L * 86400000L
+        val g = TimeRange.truncate(1704844800000L, segMs)
+        val range = TimeRange(g, g + segMs)
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), tsMs.as("tms"), col("user_id"),
+            col("event_type"), col("value"))
+          .filter(col("tms") >= g && col("tms") < g + segMs)
+        val store = new TimeMergeStorage(s,
+          java.nio.file.Files.createTempDirectory("graft-events-stamp").toString,
+          StorageSchema(org.apache.spark.sql.types.StructType(ev.schema.fields),
+            numPrimaryKeys = 1),
+          segmentMs = segMs, timestampColumn = Some("tms"))
+        store.write(ev.filter(pmod(col("event_id"), lit(3)) === 0), range)
+        store.write(ev.filter(pmod(col("event_id"), lit(3)) =!= 0), range)
+        store
+      })
+    }
+
   private def compactedEventsStore(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
     compactedCache.synchronized {
       compactedCache.getOrElseUpdate(dir, {
@@ -736,6 +764,26 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
+
+    // P4 through the driver gate: two write batches into one segment, SSTs
+    // read back as RAW parquet (no scan-path stripping) — every row must
+    // carry its batch's __seq__ stamp (ranked, since file ids are
+    // wall-clock-derived), __reserved__ must be all-null, and the SECOND
+    // batch must hold the strictly larger seq. The oracle recomputes each
+    // batch's row count and id bounds from the slice definitions.
+    "st3_builtin_stamp" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ssts = builtinStampStore(s, dir).manifest.allSsts().map(_.path)
+      val raw = s.read.parquet(ssts: _*)
+      val ranks = raw.select(col("__seq__")).distinct()
+        .withColumn("batch", row_number().over(Window.orderBy(col("__seq__"))))
+      raw.join(broadcast(ranks), "__seq__")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          sum(when(col("__reserved__").isNull, 0L).otherwise(1L))
+            .as("n_reserved_nonnull"))
     }),
 
     // S5+T1 through the driver gate: a fixed WriteRequest spec (samples +
@@ -1392,6 +1440,19 @@ object SparkEntry {
         |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
         |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
         |GROUP BY event_type""".stripMargin,
+
+    // Batch membership recomputed from the slice definitions; matching
+    // hashes prove the stamped seq RANKS track write order and that
+    // __reserved__ is all-null on disk.
+    "st3_builtin_stamp" ->
+      """SELECT CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS batch,
+        |  count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(0 AS BIGINT) AS n_reserved_nonnull
+        |FROM events
+        |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
+        |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
+        |GROUP BY 1""".stripMargin,
 
     // Hand-written expected rows for the fixed WriteRequest spec — built
     // independently of the encoder/decoder under test.
