@@ -98,6 +98,47 @@ object SparkEntry {
       })
     }
 
+  /** Engine built through the STREAMING ingest path for si1: purchase
+    * samples (uid < 40) wire-encoded into remote-write payloads, fed
+    * through MetricStreamIngest in 4 REVERSE-time micro-batches
+    * (alternating raw / snappy framing), so every batch after the first
+    * writes late into existing segments — the reference's no-watermark
+    * late-data policy (T4), repaired by merge-on-read. */
+  private val streamIngestCache =
+    scala.collection.mutable.Map.empty[String, graft.metric.MetricEngine]
+
+  private def streamIngestedEngine(s: SparkSession, dir: String): graft.metric.MetricEngine =
+    streamIngestCache.synchronized {
+      streamIngestCache.getOrElseUpdate(dir, {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val eng = new graft.metric.MetricEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-si1").toString,
+          segmentMs = 7L * 86400000L)
+        val rows = t(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("user_id") < 40)
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .select(col("event_type").as("name"),
+            map(lit("uid"), col("user_id").cast("string")).as("labels"),
+            tsMs.as("timestamp"), col("value"))
+          .as[graft.metric.Sample].collect()
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[Array[Byte]]
+        val q = graft.streaming.MetricStreamIngest.start(eng, stream.toDS(),
+          java.nio.file.Files.createTempDirectory("graft-si1-ckpt").toString,
+          triggerMs = 100L)
+        try rows.grouped(rows.length / 4 + 1).zipWithIndex.foreach {
+          case (chunk, i) =>
+            val payload = graft.streaming.RemoteWrite.encode(chunk.toSeq)
+            stream.addData(
+              if (i % 2 == 1) org.xerial.snappy.Snappy.compress(payload)
+              else payload)
+            q.processAllAvailable()
+        } finally q.stop()
+        eng
+      })
+    }
+
   /** Same ingest through the BUCKETED engine shape (dataBuckets = 4: N
     * pk-hash-partitioned SSTs per segment, the declared 100 TB layout) so
     * the bucketed write → merged read path is driver-hash-checked too. */
@@ -466,6 +507,21 @@ object SparkEntry {
     // the two-step index lookup — hash-checked against the raw-data oracle.
     "m2_engine_e2e" -> ((s, dir) =>
       metricEngine(s, dir)
+        .queryPromQL("sum by (uid) (purchase)",
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+        .withColumn("value", round(col("value"), 2))),
+
+    // T1–T4 through the driver gate END TO END: samples wire-encoded into
+    // remote-write payloads (alternating raw / snappy-framed), streamed in
+    // REVERSE time order so every micro-batch after the first lands late
+    // into already-written segments (the reference's no-watermark late
+    // policy — accepted as new SSTs, merged on read), decoded by the varint
+    // reader, segment-bounded-written, then served back through the PromQL
+    // index path. The oracle replays the aggregation from raw events — the
+    // hash matches only if encode → frame → stream-decode → late-write →
+    // merge → index-query is lossless.
+    "si1_stream_ingest" -> ((s, dir) =>
+      streamIngestedEngine(s, dir)
         .queryPromQL("sum by (uid) (purchase)",
           graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
         .withColumn("value", round(col("value"), 2))),
@@ -1584,6 +1640,13 @@ object SparkEntry {
     "m2_engine_e2e" ->
       """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
         |FROM events WHERE event_type = 'purchase'
+        |GROUP BY uid""".stripMargin,
+
+    // Late-arrival streaming ingest must converge to the same answer as
+    // the raw-data replay.
+    "si1_stream_ingest" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
+        |FROM events WHERE event_type = 'purchase' AND user_id < 40
         |GROUP BY uid""".stripMargin,
 
     "m3_bucketed_engine" ->
