@@ -571,6 +571,24 @@ object SparkEntry {
         .sql("""deg(sin(purchase{uid=~"[1-5]"}) atan2 3)""")
         .withColumn("value", round(col("value"), 4))),
 
+    // PromQL holt_winters: double exponential smoothing per (series, day).
+    // sf = tf = 0.5 are exactly representable, so the sequential fold is
+    // bit-identical across engines; the oracle replays the recurrence with
+    // a recursive CTE over row-numbered samples.
+    "p23_promql_holtwinters" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""holt_winters(purchase{uid=~"[1-3][0-9]"}[1d], 0.5, 0.5)""")
+        .withColumn("value", round(col("value"), 4))),
+
+    // PromQL set operators at Prometheus precedence ((P unless S) or E):
+    // per-uid purchase totals except uids that signed up in [10,49], plus
+    // error totals for 9x uids not already present. unless = anti-join,
+    // or = union + anti-join fill; left values pass through untouched.
+    "p24_promql_setops" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""sum by (uid) (purchase) unless sum by (uid) (signup{uid=~"[1-4][0-9]"}) or sum by (uid) (error{uid=~"9[0-9]"})""")
+        .withColumn("value", round(col("value"), 2))),
+
     // Streaming exact dedup run to completion over a bounded 4-micro-batch
     // MemoryStream (time-ordered arrival, synthetic event time = doc_id
     // seconds). dropDuplicatesWithinWatermark keeps the FIRST arrival per
@@ -1711,6 +1729,58 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'purchase'
         |  AND regexp_full_match(user_id::VARCHAR, '[1-5]')""".stripMargin,
+
+    // Holt-Winters recurrence replayed step by step:
+    //   init (v1, v2): sp = v1; b = v2 - v1; s = 0.5·v2 + 0.5·(v1 + b)
+    //   step (v_i):    b' = 0.5·(s - sp) + 0.5·b;
+    //                  s' = 0.5·v_i + 0.5·(s + b'); sp' = s
+    // final s per (series, day); groups need >= 2 samples.
+    "p23_promql_holtwinters" ->
+      """WITH RECURSIVE p AS (SELECT user_id AS uid,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      * 86400000 AS bucket_ms,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id,
+        |        CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      ORDER BY ts, event_id) AS i
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-3][0-9]')),
+        |n AS (SELECT uid, bucket_ms, max(i) AS n FROM p
+        |  GROUP BY uid, bucket_ms),
+        |rec AS (
+        |  SELECT p2.uid, p2.bucket_ms, 2 AS i,
+        |      p1.value AS sp,
+        |      0.5 * p2.value + 0.5 * (p1.value + (p2.value - p1.value)) AS s,
+        |      p2.value - p1.value AS b
+        |    FROM p p1 JOIN p p2 ON p1.uid = p2.uid
+        |      AND p1.bucket_ms = p2.bucket_ms AND p1.i = 1 AND p2.i = 2
+        |  UNION ALL
+        |  SELECT r.uid, r.bucket_ms, r.i + 1,
+        |      r.s,
+        |      0.5 * p.value + 0.5 * (r.s + (0.5 * (r.s - r.sp) + 0.5 * r.b)),
+        |      0.5 * (r.s - r.sp) + 0.5 * r.b
+        |    FROM rec r JOIN p ON p.uid = r.uid AND p.bucket_ms = r.bucket_ms
+        |      AND p.i = r.i + 1)
+        |SELECT r.uid, r.bucket_ms, round(r.s, 4) AS value
+        |FROM rec r JOIN n ON n.uid = r.uid AND n.bucket_ms = r.bucket_ms
+        |  AND r.i = n.n""".stripMargin,
+
+    "p24_promql_setops" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS uid, sum(value) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY uid),
+        |s AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid FROM events
+        |  WHERE event_type = 'signup'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-4][0-9]')),
+        |u AS (SELECT p.uid, p.value FROM p LEFT JOIN s ON s.uid = p.uid
+        |  WHERE s.uid IS NULL),
+        |e AS (SELECT CAST(user_id AS VARCHAR) AS uid, sum(value) AS value
+        |  FROM events WHERE event_type = 'error'
+        |    AND regexp_full_match(user_id::VARCHAR, '9[0-9]') GROUP BY uid)
+        |SELECT uid, round(value, 2) AS value FROM u
+        |UNION ALL
+        |SELECT e.uid, round(e.value, 2) AS value FROM e
+        |LEFT JOIN u ON u.uid = e.uid WHERE u.uid IS NULL""".stripMargin,
 
     // Reset-aware increase replayed from raw data: lag() per series with
     // the PromQL reset convention (drop below previous → the new value),

@@ -13,7 +13,9 @@ import graft.metric.MetricAgg
   * Supported grammar (a deliberate superset of the RFC's sum+rate):
   * {{{
   *   expr     := binary over: agg | paramagg | fncall | histq | vector | num
-  *   binary   := expr op ('bool')? (matching)? expr     (Prometheus precedence)
+  *   binary   := expr op ('bool')? (matching)? expr     (Prometheus precedence:
+  *               * / % atan2 > + - > comparisons > and/unless > or;
+  *               and = label-set semi-join, unless = anti, or = union+fill)
   *   matching := ('on'|'ignoring') '(' labels? ')'
   *               (('group_left'|'group_right') ('(' labels? ')')?)?
   *   agg      := aggop grouping? '(' expr ')' grouping?
@@ -345,11 +347,14 @@ object PromQLParser {
       }
     }
 
-    // Precedence climbing, Prometheus order: * / %  >  + -  >  comparisons.
+    // Precedence climbing, Prometheus order:
+    //   * / % atan2  >  + -  >  comparisons  >  and/unless  >  or
     private def parseExpr(): Expr = parseBinary(0)
 
+    private val CmpOps = Set("==", "!=", "<", "<=", ">", ">=")
     private val Precedence = List(
-      Set("==", "!=", "<", "<=", ">", ">="), Set("+", "-"), Set("*", "/", "%"))
+      Set("or"), Set("and", "unless"), CmpOps,
+      Set("+", "-"), Set("*", "/", "%"))
 
     private def parseBinary(level: Int): Expr =
       if (level == Precedence.length) parseAtom()
@@ -359,7 +364,7 @@ object PromQLParser {
         while (more) peek match {
           case TPunct(op, _) if Precedence(level).contains(op) =>
             next()
-            val isCmp = level == 0
+            val isCmp = CmpOps.contains(op)
             val bool = peek match {
               case TIdent("bool", p) =>
                 if (!isCmp) throw PromQLParseException(
@@ -369,9 +374,15 @@ object PromQLParser {
             }
             val matching = parseMatchingOpt()
             l = BinOp(op, l, parseBinary(level + 1), bool, matching)
-          // infix atan2 sits at the * / % precedence level (Prometheus);
-          // in operator position an ident can only be the operator, so this
-          // never shadows a metric named atan2
+          // word operators (set ops and atan2) — in operator position an
+          // ident can only be the operator, so these never shadow a metric
+          // of the same name
+          case TIdent(op @ ("or" | "and" | "unless"), _)
+              if Precedence(level).contains(op) =>
+            next()
+            val matching = parseMatchingOpt()
+            l = BinOp(op, l, parseBinary(level + 1), bool = false, matching)
+          // infix atan2 sits at the * / % precedence level (Prometheus)
           case TIdent("atan2", _) if Precedence(level).contains("*") =>
             next()
             val matching = parseMatchingOpt()

@@ -290,40 +290,45 @@ final class PromQLContext(
         // group). Two fully-aggregated scalars (value-only on both sides)
         // combine directly; anything else without shared columns is a shape
         // error, not a silent cartesian product.
+        // set operators: `and` keeps lhs rows whose label set appears on
+        // the rhs (semi-join), `unless` those absent (anti-join), `or`
+        // unions the lhs with rhs rows whose label sets the lhs lacks.
+        // LHS rows and VALUES pass through untouched (Prometheus). Keys
+        // follow the same intersection / on() / ignoring() rules as
+        // arithmetic matching; group_left/right make no sense here.
+        case (l, r) if op == "and" || op == "or" || op == "unless" =>
+          if (l.isInstanceOf[NumLit] || r.isInstanceOf[NumLit])
+            throw new IllegalArgumentException(
+              s"set operator '$op' requires vector operands on both sides")
+          matching.flatMap(_.group).foreach(_ =>
+            throw new IllegalArgumentException(
+              s"group_left/group_right cannot be used with set operator '$op'"))
+          val lf = eval(l, stepMs, range)
+          val rf = eval(r, stepMs, range)
+          val keys = vectorMatchKeys(lf, rf, matching, op)
+          if (keys.isEmpty) throw new IllegalArgumentException(
+            s"set operator '$op' has no matching columns " +
+              s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")})")
+          val cond = keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
+          op match {
+            case "and" | "unless" =>
+              val rk = rf.select(keys.map(k => col(k).as(s"__rk_$k")): _*)
+                .distinct()
+              lf.join(rk, cond, if (op == "and") "left_semi" else "left_anti")
+            case _ => // or: schemas must line up for the union to be sound
+              if (lf.columns.sorted.toSeq != rf.columns.sorted.toSeq)
+                throw new IllegalArgumentException(
+                  s"'or' requires both operands to carry the same columns " +
+                    s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")})")
+              val lk = lf.select(keys.map(k => col(k).as(s"__rk_$k")): _*)
+                .distinct()
+              lf.unionByName(rf.join(lk, cond, "left_anti"))
+          }
+
         case (l, r) =>
           val lf = eval(l, stepMs, range)
           val rf = eval(r, stepMs, range)
-          // Operands at DIFFERENT time grains (raw ts_ms vs window
-          // bucket_ms) would join only on labels and pair rows across
-          // arbitrary timestamps — reject instead of silently multiplying.
-          // One side carrying NO time column (fully time-aggregated) is
-          // fine: joining a per-timestamp side against a per-range constant
-          // is the intended many-to-one shape.
-          val lTime = Seq("bucket_ms", "ts_ms").filter(lf.columns.contains)
-          val rTime = Seq("bucket_ms", "ts_ms").filter(rf.columns.contains)
-          if (lTime.nonEmpty && rTime.nonEmpty && lTime != rTime)
-            throw new IllegalArgumentException(
-              s"operands of '$op' carry different time grains " +
-                s"(${lTime.mkString(",")} vs ${rTime.mkString(",")}): " +
-                "bucket both sides to the same step/window first")
-          val auto = lf.columns.filterNot(_ == "value")
-            .intersect(rf.columns.filterNot(_ == "value")).toSeq
-          val keys = matching match {
-            case Some(vm) if vm.on =>
-              // on(...): the listed labels, plus the time column both sides
-              // already share (Prometheus matches per evaluation timestamp
-              // implicitly; our buckets make that explicit)
-              val timeCols = Seq("bucket_ms", "ts_ms").filter(auto.contains)
-              vm.labels.foreach { lbl =>
-                if (!lf.columns.contains(lbl) || !rf.columns.contains(lbl))
-                  throw new IllegalArgumentException(
-                    s"on($lbl): label not present on both operands " +
-                      s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")})")
-              }
-              (vm.labels ++ timeCols).distinct
-            case Some(vm) => auto.filterNot(vm.labels.contains)
-            case None => auto
-          }
+          val keys = vectorMatchKeys(lf, rf, matching, op)
           // group_left/group_right: the flagged side is the MANY side; its
           // full column set survives, and `include` copies extra labels from
           // the one side. Without a group modifier the result keeps only the
@@ -665,6 +670,43 @@ final class PromQLContext(
     else in.withColumn("bucket_ms",
       floor(col("ts_ms") / lit(stepMs.get)).cast("long") * stepMs.get)
 
+  /** Matching key set for a vector∘vector operation: the intersection of
+    * the sides' non-value columns (labels + time), overridden by
+    * on()/ignoring(). Operands at DIFFERENT time grains (raw ts_ms vs
+    * window bucket_ms) would join only on labels and pair rows across
+    * arbitrary timestamps — rejected instead of silently multiplying. One
+    * side carrying NO time column (fully time-aggregated) is fine: joining
+    * a per-timestamp side against a per-range constant is the intended
+    * many-to-one shape. */
+  private def vectorMatchKeys(lf: DataFrame, rf: DataFrame,
+      matching: Option[VectorMatch], op: String): Seq[String] = {
+    val lTime = Seq("bucket_ms", "ts_ms").filter(lf.columns.contains)
+    val rTime = Seq("bucket_ms", "ts_ms").filter(rf.columns.contains)
+    if (lTime.nonEmpty && rTime.nonEmpty && lTime != rTime)
+      throw new IllegalArgumentException(
+        s"operands of '$op' carry different time grains " +
+          s"(${lTime.mkString(",")} vs ${rTime.mkString(",")}): " +
+          "bucket both sides to the same step/window first")
+    val auto = lf.columns.filterNot(_ == "value")
+      .intersect(rf.columns.filterNot(_ == "value")).toSeq
+    matching match {
+      case Some(vm) if vm.on =>
+        // on(...): the listed labels, plus the time column both sides
+        // already share (Prometheus matches per evaluation timestamp
+        // implicitly; our buckets make that explicit)
+        val timeCols = Seq("bucket_ms", "ts_ms").filter(auto.contains)
+        vm.labels.foreach { lbl =>
+          if (!lf.columns.contains(lbl) || !rf.columns.contains(lbl))
+            throw new IllegalArgumentException(
+              s"on($lbl): label not present on both operands " +
+                s"(${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")})")
+        }
+        (vm.labels ++ timeCols).distinct
+      case Some(vm) => auto.filterNot(vm.labels.contains)
+      case None => auto
+    }
+  }
+
   private def isCmp(op: String): Boolean =
     op == "==" || op == "!=" || op == ">" || op == ">=" || op == "<" || op == "<="
 
@@ -675,6 +717,8 @@ final class PromQLContext(
     case "/" => a / b // x/0 is null here (Prometheus: ±Inf) — documented
     case "%" => a % b
     case "atan2" => atan2(a, b)
+    case "and" | "or" | "unless" => throw new IllegalArgumentException(
+      s"set operator '$op' requires vector operands on both sides")
     case "==" => a === b
     case "!=" => a =!= b
     case ">" => a > b

@@ -994,6 +994,28 @@ class PromQLSpec extends AnyFunSuite {
     assert(got == Set(("us", 0L, 50.0)))
   }
 
+  test("context: set operators and/unless/or; precedence; scalar rejected") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", "us", 0L, 2.0),
+      Row("mem", "a", "us", 0L, 9.0), Row("mem", "c", "us", 0L, 8.0)))
+    def run(q: String) = ctx.sql(q).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    // left values pass through untouched
+    assert(run("sum by (host) (cpu) and sum by (host) (mem)") ==
+      Set(("a", 1.0)))
+    assert(run("sum by (host) (cpu) unless sum by (host) (mem)") ==
+      Set(("b", 2.0)))
+    assert(run("sum by (host) (cpu) or sum by (host) (mem)") ==
+      Set(("a", 1.0), ("b", 2.0), ("c", 8.0)))
+    // or binds loosest: a and b or c == (a and b) or c
+    assert(PromQLParser.parse("a and b or c") ==
+      BinOp("or", BinOp("and", Selector("a", Nil), Selector("b", Nil)),
+        Selector("c", Nil)))
+    assertThrows[IllegalArgumentException](ctx.sql("sum(cpu) and 2"))
+    assertThrows[IllegalArgumentException](
+      ctx.sql("sum by (host) (cpu) and on(host) group_left sum by (host) (mem)"))
+  }
+
   test("context: trig fns and the atan2 operator") {
     val ctx = ctxOf(Seq(Row("cpu", "a", "us", 0L, 0.5)))
     val v = ctx.sql("deg(sin(cpu) atan2 3)").collect().head.getDouble(3)
