@@ -589,6 +589,13 @@ object SparkEntry {
         .sql("""sum by (uid) (purchase) unless sum by (uid) (signup{uid=~"[1-4][0-9]"}) or sum by (uid) (error{uid=~"9[0-9]"})""")
         .withColumn("value", round(col("value"), 2))),
 
+    // PromQL @ modifier: reset-aware increase over the single pinned window
+    // [Jan 2, Jan 16) 2024 — time-pinned output (no bucket column).
+    "p25_promql_at" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""sum by (uid) (increase(purchase{uid=~"[1-9][0-9]"}[2w] @ 1705363200))""")
+        .withColumn("value", round(col("value"), 2))),
+
     // Streaming exact dedup run to completion over a bounded 4-micro-batch
     // MemoryStream (time-ordered arrival, synthetic event time = doc_id
     // seconds). dropDuplicatesWithinWatermark keeps the FIRST arrival per
@@ -1275,6 +1282,10 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         k = 3)),
 
+    // Text: per-doc token-distribution Shannon entropy (quality signal).
+    "t16_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
     // Composite embedding-dedup DAG: LSH-bucketed cosine near-dup pairs
     // (the e6 scale path) → connected components → keeper/drop decision —
     // the full near-duplicate removal pipeline over embeddings, chained
@@ -1782,6 +1793,21 @@ object SparkEntry {
         |SELECT e.uid, round(e.value, 2) AS value FROM e
         |LEFT JOIN u ON u.uid = e.uid WHERE u.uid IS NULL""".stripMargin,
 
+    // Reset-aware increase replayed with lag() inside the pinned window
+    // only; first sample per series contributes 0.
+    "p25_promql_at" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS uid, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-9][0-9]')
+        |    AND epoch_ms(ts::TIMESTAMP) >= 1704153600000
+        |    AND epoch_ms(ts::TIMESTAMP) < 1705363200000)
+        |SELECT uid, round(sum(CASE WHEN prev IS NULL THEN 0
+        |    WHEN value >= prev THEN value - prev ELSE value END), 2) AS value
+        |FROM p GROUP BY uid""".stripMargin,
+
     // Reset-aware increase replayed from raw data: lag() per series with
     // the PromQL reset convention (drop below previous → the new value),
     // summed over day buckets, emitted only for windows closed under the
@@ -2205,6 +2231,17 @@ object SparkEntry {
         |      ORDER BY t.tf * n.n_docs / d.df DESC, t.term ASC) AS rank
         |  FROM tf t JOIN dfreq d USING (term), n)
         |WHERE rank <= 3""".stripMargin,
+
+    // `+ 0.0` folds DuckDB's IEEE -0.0 (Spark's BigDecimal round never
+    // emits it).
+    "t16_entropy" ->
+      """WITH tc AS (SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t)
+        |SELECT doc_id,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) + 0.0 AS entropy
+        |FROM tc GROUP BY doc_id""".stripMargin,
 
     "d8_simhash64_pairs" ->
       """WITH tok AS (SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1

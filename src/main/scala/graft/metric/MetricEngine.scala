@@ -278,6 +278,8 @@ final class MetricEngine(spark: SparkSession, root: String,
       // a subquery's OUTPUT buckets come from its own window; the inner
       // window-vs-step consistency is validated by the evaluator
       case RangeSubquery(_, _, w, _) => Seq(w)
+      // a pinned window emits no bucket column — no step constraint
+      case AtRange(_, _, _, _) => Nil
       case Agg(_, _, c, _) => windows(c)
       case ParamAgg(_, _, _, c) => windows(c)
       case CountValues(_, _, c) => windows(c)
@@ -348,6 +350,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case Selector(m, ms, _) => (Set(m), ms.map(_.label).toSet)
       case RangeFn(_, sel, _) => walk(sel)
       case RangeSubquery(_, c, _, _) => walk(c)
+      case AtRange(_, sel, _, _) => walk(sel)
       case Agg(_, by, c, _) => val (m, l) = walk(c); (m, l ++ by)
       case ParamAgg(_, _, by, c) => val (m, l) = walk(c); (m, l ++ by)
       case CountValues(_, by, c) => val (m, l) = walk(c); (m, l ++ by)
@@ -382,6 +385,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case s: Selector => Seq(s)
       case RangeFn(_, s, _) => Seq(s)
       case RangeSubquery(_, c, _, _) => selectors(c)
+      case AtRange(_, s, _, _) => Seq(s)
       case Agg(_, _, c, _) => selectors(c)
       case ParamAgg(_, _, _, c) => selectors(c)
       case CountValues(_, _, c) => selectors(c)
@@ -391,6 +395,23 @@ final class MetricEngine(spark: SparkSession, root: String,
       case LabelFn(_, c, _, _) => selectors(c)
       case NumLit(_) => Nil
     }
+    // Pinned windows (`@`) read [at - w, at) on the query timeline — the
+    // raw scan needs [at - w - off, at - off), independent of the query
+    // range (Prometheus @ may look outside [start, end]).
+    def pins(e: Expr): Seq[(Selector, TimeRange)] = e match {
+      case AtRange(_, s, w, at) =>
+        Seq((s, TimeRange(at - w - s.offsetMs, at - s.offsetMs)))
+      case RangeSubquery(_, c, _, _) => pins(c)
+      case Agg(_, _, c, _) => pins(c)
+      case ParamAgg(_, _, _, c) => pins(c)
+      case CountValues(_, _, c) => pins(c)
+      case BinOp(_, a, b, _, _) => pins(a) ++ pins(b)
+      case FnCall(_, c, _) => pins(c)
+      case HistogramQuantile(_, c) => pins(c)
+      case LabelFn(_, c, _, _) => pins(c)
+      case _ => Nil
+    }
+    val pinList = pins(expr)
     val selectorList = selectors(expr)
     // A bare `{...}` selector resolves its metric set from the metrics
     // dictionary (small) via its __name__ matchers; the data scan then
@@ -453,9 +474,16 @@ final class MetricEngine(spark: SparkSession, root: String,
         // manifest prune by the largest offset on this metric (the
         // evaluator's own shifted range filter re-tightens per selector)
         val maxOff = byMetric(m).map(_.offsetMs).max
-        val scanRange =
+        val offWidened =
           if (maxOff == 0L || range.start == Long.MinValue) range
           else TimeRange(range.start - maxOff, range.end)
+        // widen further for this metric's pinned windows (the evaluator's
+        // own pinned filter re-tightens per @ selector)
+        val scanRange = pinList
+          .filter { case (s, _) => resolved(s).contains(m) }
+          .map(_._2)
+          .foldLeft(offWidened)((r, p) => TimeRange(
+            math.min(r.start, p.start), math.max(r.end, p.end)))
         var rows = data.scan(ScanRequest(range = scanRange,
             predicates = Seq(col("metric_id") === mid)))
           .select(lit(m).as("__name__"), col("tsid"), col("ts"), col("value"))

@@ -154,6 +154,22 @@ object TextAnalysis {
     * merged on the driver), never a single-partition sort, so the shape
     * holds at 100 TB where the distinct-token set still fits a driver merge
     * of k-row heads. */
+  /** Shannon entropy (bits) of the document's whitespace-token
+    * distribution — the standard gibberish-vs-natural-text quality signal
+    * (low = repetitive, high = diverse). Computed as
+    * `log2(n) - Σ c·log2(c) / n` so it needs only per-(doc, token) counts
+    * and ONE further aggregation — two map-side-combinable shuffles total,
+    * never a per-doc collect. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("__n__"),
+        sum(col("c").cast("double") * log2(col("c"))).as("__cl__"))
+      .select(col(idCol),
+        round(log2(col("__n__")) - col("__cl__") / col("__n__"), 4)
+          .as("entropy"))
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))

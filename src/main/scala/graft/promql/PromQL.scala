@@ -40,6 +40,8 @@ import graft.metric.MetricAgg
   *               (inner expr re-evaluated per step; binary 'atan2' at the
   *               '*' precedence level)
   *   offset   := 'offset' duration
+  *   at       := '@' number      (epoch seconds; range vectors only — pins
+  *               the window to [t-w, t), output has no time column)
   *   selector := metric ('{' matcher (',' matcher)* '}')? | '{' ... '}'
   *   matcher  := label ('=' | '!=' | '=~' | '!~') string
   *   duration := (int ('ms'|'s'|'m'|'h'|'d'|'w'))+      e.g. 1h30m
@@ -107,6 +109,15 @@ object RangeF {
 }
 
 final case class RangeFn(fn: RangeF, sel: Selector, windowMs: Long) extends Expr
+
+/** `fn(sel[w] @ t)` — the range function evaluated over the single pinned
+  * window `[t - w, t)` (Prometheus `@` modifier, t in epoch seconds at
+  * parse time, stored in ms). The output is TIME-PINNED: labels + value,
+  * no bucket column — it joins against stepped operands as a per-range
+  * constant (the evaluator's many-to-one convention), exactly the
+  * "ratio to a fixed baseline" use `@` exists for. */
+final case class AtRange(fn: RangeF, sel: Selector, windowMs: Long,
+    atMs: Long) extends Expr
 
 /** Subquery range vector: `fn(expr[windowMs:stepMs])` — the inner expression
   * is evaluated on the `stepMs` timeline (tumbling sub-buckets), then the
@@ -319,7 +330,7 @@ object PromQLParser {
       } else if (s.startsWith("=~", i) || s.startsWith("!~", i) || s.startsWith("!=", i)
           || s.startsWith("==", i) || s.startsWith(">=", i) || s.startsWith("<=", i)) {
         out += TPunct(s.substring(i, i + 2), i); i += 2
-      } else if ("{}()[],=+-*/%<>:".indexOf(c) >= 0) {
+      } else if ("{}()[],=+-*/%<>:@".indexOf(c) >= 0) {
         out += TPunct(c.toString, i); i += 1
       } else throw PromQLParseException(s"unexpected character '$c'", i)
     }
@@ -550,12 +561,14 @@ object PromQLParser {
       * `expr '[' dur ':' dur ']'` (any vector expression re-evaluated on the
       * step timeline). */
     private sealed trait RangeArg
-    private final case class SelRange(sel: Selector, win: Long) extends RangeArg
+    private final case class SelRange(sel: Selector, win: Long,
+      at: Option[Long]) extends RangeArg
     private final case class SubRange(child: Expr, win: Long, step: Long)
       extends RangeArg
 
     private def mkRange(fn: RangeF, arg: RangeArg): Expr = arg match {
-      case SelRange(sel, win) => RangeFn(fn, sel, win)
+      case SelRange(sel, win, None) => RangeFn(fn, sel, win)
+      case SelRange(sel, win, Some(at)) => AtRange(fn, sel, win, at)
       case SubRange(c, w, s) => RangeSubquery(fn, c, w, s)
     }
 
@@ -585,10 +598,32 @@ object PromQLParser {
           SubRange(e, win, step)
         case _ =>
           expect("]")
-          val off = parseOffsetOpt()
+          // zero-or-one `offset <dur>` and zero-or-one `@ <epoch seconds>`,
+          // in either order (Prometheus accepts both orderings)
+          var off = 0L
+          var offSeen = false
+          var at: Option[Long] = None
+          var going = true
+          while (going) peek match {
+            case TIdent("offset", _) if !offSeen =>
+              next(); offSeen = true
+              off = next() match {
+                case TDur(ms, _) => ms
+                case t => throw PromQLParseException(
+                  "expected duration after 'offset'", t.pos)
+              }
+            case TPunct("@", _) if at.isEmpty =>
+              next()
+              at = Some(next() match {
+                case TNum(d, _) => (d * 1000).toLong
+                case t => throw PromQLParseException(
+                  "expected a unix timestamp in seconds after '@'", t.pos)
+              })
+            case _ => going = false
+          }
           e match {
             case sel: Selector =>
-              SelRange(sel.copy(offsetMs = sel.offsetMs + off), win)
+              SelRange(sel.copy(offsetMs = sel.offsetMs + off), win, at)
             case _ => throw PromQLParseException(
               "a plain range needs a selector — use a [range:step] subquery " +
                 "over computed expressions", peek.pos)

@@ -220,6 +220,35 @@ final class PromQLContext(
             .select(outCols :+ col("value"): _*)
       }
 
+    case AtRange(fn0, sel, windowMs, atMs) =>
+      // `fn(sel[w] @ t)`: the range function over the single pinned window
+      // [t-w, t). Timestamps are shifted down by t mod w so the pinned
+      // window IS one epoch-aligned tumbling bucket, then the whole range-fn
+      // machinery runs unchanged on a nested context; the constant shift
+      // preserves ordering and every time DELTA (rate/irate/deriv), and
+      // predict_linear's horizon is re-anchored so predictions still target
+      // real time t + tSec. Output drops the bucket column — a time-pinned
+      // vector that joins stepped operands as a per-range constant. The
+      // outer query range deliberately does NOT clip the pinned read
+      // (Prometheus @ may look outside [start, end]).
+      if (sel.metric.isEmpty && !labels.values.toSeq.contains(metricCol))
+        throw new IllegalArgumentException(
+          "@ on a bare {...} multi-metric selector needs __name__ bound " +
+            "as a label (metric identity would be lost in the pinned window)")
+      val shift = math.floorMod(atMs, windowMs)
+      val fn = fn0 match {
+        case RangeF.PredictLinear(t) => RangeF.PredictLinear(t + shift / 1000.0)
+        case other => other
+      }
+      val pinned = TimeRange(atMs - windowMs, atMs)
+      val rows = select(sel.metric, sel.matchers, sel.offsetMs, Some(pinned))
+      val inner = rows
+        .withColumn("__at_ts__", shifted(sel.offsetMs) - lit(shift))
+        .withColumn("__at_m__", lit(""))
+      val sub = new PromQLContext(inner, "__at_m__", col("__at_ts__"),
+        valueCol, labels, ordering, seriesCols)
+      sub.eval(RangeFn(fn, Selector("", Nil), windowMs)).drop("bucket_ms")
+
     case RangeSubquery(fn, child, windowMs, subStepMs) =>
       // Prometheus subquery `fn(expr[w:s])`: evaluate the inner expression
       // on the s-step timeline, then run the range function over those

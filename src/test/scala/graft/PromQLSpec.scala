@@ -983,6 +983,14 @@ class PromQLSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("must equal the subquery step"))
   }
 
+  test("engine: @ pinned window scans outside the query range") {
+    // the query range [10h, 11h) holds no data; the pin reads [0, 1h)
+    // anyway (manifest prune widened per pinned selector)
+    val v = engine.queryPromQL("sum(increase(reqs[1h] @ 3600))",
+      TimeRange(10 * H, 11 * H)).select("value").collect()
+    assert(v.map(_.getDouble(0)).toSeq == Seq(75.0))
+  }
+
   test("engine: subquery runs through the general path") {
     // 10-min-step inner sums over both us hosts, hourly max of those.
     // Samples are i² at i·10min per host; the two us hosts are identical, so
@@ -1014,6 +1022,35 @@ class PromQLSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ctx.sql("sum(cpu) and 2"))
     assertThrows[IllegalArgumentException](
       ctx.sql("sum by (host) (cpu) and on(host) group_left sum by (host) (mem)"))
+  }
+
+  test("parser + context: @ pins a range window; output is time-pinned") {
+    assert(PromQLParser.parse("rate(cpu[5m] @ 900)") ==
+      AtRange(RangeF.Rate, Selector("cpu", Nil), 300000L, 900000L))
+    // offset and @ compose in either order; offset folds into the selector
+    assert(PromQLParser.parse("rate(cpu[5m] @ 900 offset 1m)") ==
+      PromQLParser.parse("rate(cpu[5m] offset 1m @ 900)"))
+    assertThrows[PromQLParseException](
+      PromQLParser.parse("rate(cpu[5m] @ 900 @ 901)"))
+    // counter per host a: 0 @ 0s, 10 @ 30m, 25 @ 70m; window [0, 1h) @ 1h
+    // sees 0→10 → increase 10; the 70m sample is outside the pin
+    val ctx = ctxOf(Seq(
+      Row("reqs", "a", "us", 0L, 0.0), Row("reqs", "a", "us", 30 * 60000L, 10.0),
+      Row("reqs", "a", "us", 70 * 60000L, 25.0)))
+    val got = ctx.sql("increase(reqs[1h] @ 3600)").collect()
+    assert(got.map(r => (r.getString(1), r.getDouble(2))).toSet ==
+      Set(("a", 10.0)))
+    assert(!got.head.schema.fieldNames.contains("bucket_ms"))
+    // a pinned vector joins a stepped one as a per-range constant (many
+    // stepped rows to one pinned row), and the pin is honored at a
+    // non-multiple-of-window timestamp (shifted bucketing): window
+    // [11m, 71m) @ 71m sees 10→25 → increase 15
+    val ratio = ctx.sql(
+        "sum by (host) (increase(reqs[1h])) / on(host) group_left " +
+          "sum by (host) (increase(reqs[1h] @ 4260))")
+      .collect()
+      .map(r => (r.getAs[Long]("bucket_ms"), r.getAs[Double]("value"))).toMap
+    assert(ratio == Map(0L -> 10.0 / 15.0, 3600000L -> 1.0))
   }
 
   test("context: trig fns and the atan2 operator") {
