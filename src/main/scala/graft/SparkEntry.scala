@@ -1407,6 +1407,21 @@ object SparkEntry {
           col("asof_err_tms").as("last_err"))
     }),
 
+    // As-of join with bounded staleness: the latest prior error only if it
+    // happened within the last hour (older priors null out).
+    "x11_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), tsMs.as("tms"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), tsMs.as("err_tms"))
+      graft.operators.AsOfJoin.joinPrior(purchases, errors, Seq("user_id"),
+          "tms", "err_tms", payload = Nil, strict = true,
+          toleranceMs = Some(3600000L))
+        .select(col("user_id"), col("event_id"), col("tms"),
+          col("asof_err_tms").as("recent_err"))
+    }),
+
     // Sessionization: 30-min-gap sessions per user (streaming-style analytic
     // expressed as two windows + aggregation).
     "x5_sessionize" -> ((s, dir) => {
@@ -2718,6 +2733,19 @@ object SparkEntry {
         |  SELECT user_id, event_id, tms, event_type,
         |    max(err_ts) OVER (PARTITION BY user_id ORDER BY tms
         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err
+        |  FROM u) WHERE event_type = 'purchase'""".stripMargin,
+
+    // Same replay with a bounded window frame: only errors in the last hour
+    // qualify.
+    "x11_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, ts, epoch_ms(ts::TIMESTAMP) AS tms, event_type,
+        |    CASE WHEN event_type = 'error' THEN epoch_ms(ts::TIMESTAMP) END AS err_ts
+        |  FROM events WHERE event_type IN ('purchase', 'error'))
+        |SELECT user_id, event_id, tms, recent_err FROM (
+        |  SELECT user_id, event_id, tms, event_type,
+        |    max(err_ts) OVER (PARTITION BY user_id ORDER BY tms
+        |      RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING) AS recent_err
         |  FROM u) WHERE event_type = 'purchase'""".stripMargin,
 
     "x5_sessionize" ->

@@ -26,10 +26,15 @@ object AsOfJoin {
     * @param rightTime  event-time column on `right`
     * @param payload    columns of `right` to attach (prefixed `asof_`)
     * @param strict     true = strictly-before (`<`), false = at-or-before (`<=`)
+    * @param toleranceMs max staleness: a prior row older than
+    *                    `leftTime - toleranceMs` is NOT attached (nulls
+    *                    instead) — the standard bounded as-of variant.
+    *                    Same single-shuffle plan; the bound is a per-row
+    *                    predicate on the attached struct, not a range join.
     */
   def joinPrior(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true, toleranceMs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.select(keys.map(col) ++
       Seq(lit(0).as("__side__"), col(leftTime).as("__t__")) ++
@@ -46,9 +51,14 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, -1)
     val prior = unioned.withColumn("__asof__",
       max(when(col("__side__") === 1, col("__p__"))).over(w))
+    val att = toleranceMs match {
+      case Some(tol) => when(
+        col(s"__asof__.$rightTime") >= col("__t__") - lit(tol), col("__asof__"))
+      case None => col("__asof__")
+    }
     prior.filter(col("__side__") === 0)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-        (rightTime +: payload).map(c => col(s"__asof__.$c").as(s"asof_$c")): _*)
+        (rightTime +: payload).map(c => att.getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -377,6 +377,15 @@ class PipelineSpec extends AnyFunSuite {
     val atOrBefore = run(strict = false)
     assert(atOrBefore("p1").contains(10.0))  // tie included
     assert(atOrBefore("p2").contains(15.0))
+    // bounded staleness: the latest prior nulls out beyond the tolerance
+    def tolRun(tol: Long) =
+      AsOfJoin.joinPrior(left, right, Seq("k"), "t", "rt", Seq("v"),
+          strict = true, toleranceMs = Some(tol))
+        .collect().map(r => r.getAs[String]("tag") ->
+          Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    assert(tolRun(40L)("p1").isEmpty)         // no prior at all
+    assert(tolRun(40L)("p2").isEmpty)         // 200 - 150 = 50 > 40: stale
+    assert(tolRun(50L)("p2").contains(15.0))  // 50 <= 50: attached
   }
 
   test("range join: bucketized pairs == brute-force theta join") {
