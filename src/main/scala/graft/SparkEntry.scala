@@ -1096,6 +1096,13 @@ object SparkEntry {
       Dedup.simhashPairs64(t(s, dir, "documents"), "doc_id", "text",
         maxDist = 7, bands = 8)),
 
+    // Dedup: line-level boilerplate removal (CCNet/RefinedWeb line-dedup) —
+    // 10-token lines whose corpus document-frequency exceeds 2 are dropped,
+    // documents reassembled from the survivors in original order.
+    "d9_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 10, maxDocFreq = 2)),
+
     // Dedup: n-gram Jaccard verification over a bounded pair set.
     "d5_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
@@ -2221,6 +2228,24 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 1""".stripMargin,
+
+    // Line-dedup replay: identical 10-token chunking via ordinal grouping,
+    // document-frequency threshold, ordered reassembly.
+    "d9_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS ord
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, (ord-1)//10 AS line_no,
+        |         string_agg(tok, ' ' ORDER BY ord) AS line
+        |  FROM toks GROUP BY doc_id, (ord-1)//10),
+        |boiler AS (
+        |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 2)
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+        |       count(*) AS n_kept
+        |FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+        |GROUP BY doc_id""".stripMargin,
 
     // Brute-force theta self-join replay of the bucketized range join.
     "rj1_range_pairs" ->

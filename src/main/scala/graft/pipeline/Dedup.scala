@@ -409,6 +409,51 @@ object Dedup {
     labels
   }
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb within-corpus
+    * line-dedup pass): split every document into non-overlapping
+    * `chunkTokens`-token lines, drop lines whose corpus-wide document
+    * frequency exceeds `maxDocFreq` (navigation chrome, license headers,
+    * templated boilerplate repeat across many documents; real content does
+    * not), and reassemble each document from its surviving lines in
+    * original order. Documents whose every line is boilerplate disappear
+    * from the output entirely — they carried no unique content.
+    *
+    * Scale shape: line building is pure per-row array work (zero shuffle);
+    * the frequency pass is one map-side-combinable aggregation keyed on the
+    * line; the removal join ships ONLY the boilerplate set (df > threshold
+    * — tiny by construction: boilerplate is the head of the line-frequency
+    * distribution) as a broadcast anti-join behind the same plan-stats gate
+    * as [[TextAnalysis.contaminatedDocs]]; reassembly is one aggregation on
+    * the document id. Nothing is ever all-pairs and no state is
+    * corpus-sized except the flat line rows themselves. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10, maxDocFreq: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val lines = df.select(col(idCol), posexplode(transform(
+        // greatest guards the degenerate empty string (sequence(0,-1) would
+        // run DESCENDING in Spark) — one "" line, dropped or kept harmlessly
+        sequence(lit(0), greatest(
+          ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int") - 1, lit(0))),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+      .as(Seq("line_no", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(count_distinct(col(idCol)).as("__df__"))
+      .filter(col("__df__") > maxDocFreq).select("line")
+    val cap = df.sparkSession.conf.getOption("graft.pipeline.broadcastMaxBytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(64L << 20)
+    val boilerSide =
+      if (boiler.queryExecution.optimizedPlan.stats.sizeInBytes <= cap)
+        broadcast(boiler)
+      else boiler
+    lines.join(boilerSide, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** n-gram Jaccard similarity for candidate verification: character
     * n-gram shingle sets, |A ∩ B| / |A ∪ B|. Run over candidate `pairs`
     * (id_a, id_b) only — never all-pairs. */

@@ -337,6 +337,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(grams.isEmpty)
   }
 
+  test("line dedup: boilerplate lines drop, order survives, empty docs vanish") {
+    // chunkTokens=2 lines; "nav bar" appears in 3 docs (> maxDocFreq=2)
+    val df = docs(
+      (1L, "nav bar alpha beta gamma delta"),
+      (2L, "nav bar zeta eta"),
+      (3L, "nav bar"),          // all-boilerplate -> disappears
+      (4L, "unique words only"))  // trailing short line "only" kept
+    val out = Dedup.lineDedup(df, "doc_id", "text", chunkTokens = 2, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) == ("alpha beta gamma delta", 2L)) // order preserved
+    assert(out(2L) == ("zeta eta", 1L))
+    assert(out(4L) == ("unique words only", 2L))
+  }
+
   test("PII redaction: emails, IPs, phones collapse; clean text untouched") {
     import org.apache.spark.sql.functions.col
     val df = docs(
