@@ -394,6 +394,12 @@ object SparkEntry {
       promqlCtx(s, dir).sql("""max by (uid) (purchase{uid=~"[1-3][0-9]"})""",
         stepMs = Some(86400000L))),
 
+    // PromQL unary minus: folds on literals, desugars to 0 - v on vectors
+    // (Prometheus shares scalar-arithmetic semantics); binds tighter than *.
+    "p26_promql_unary" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""-max by (uid) (purchase{uid=~"[1-3][0-9]"}) * 2""",
+        stepMs = Some(86400000L))),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -1631,6 +1637,20 @@ object SparkEntry {
         |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
         |    AS bucket_ms,
         |  max(value) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[1-3][0-9]')
+        |GROUP BY uid, bucket_ms""".stripMargin,
+
+    // Unary replay: the engine desugars -v to 0 - v, so the oracle spells
+    // 0 - max too — DuckDB's true unary negation would emit -0.0 where the
+    // subtraction emits +0.0 (the hash comparator distinguishes them).
+    // Negation and doubling are exact in IEEE — no rounding needed.
+    "p26_promql_unary" ->
+      """SELECT user_id AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  (0 - max(value)) * 2 AS value
         |FROM events
         |WHERE event_type = 'purchase'
         |  AND regexp_full_match(user_id::VARCHAR, '[1-3][0-9]')

@@ -471,8 +471,21 @@ object PromQLParser {
         parseFnCall()
       case TNum(d, _) => next(); NumLit(d)
       case TPunct("(", _) => next(); val e = parseExpr(); expect(")"); e
+      // unary +/- binds tighter than any binary operator (Prometheus: only
+      // '^' outranks unary; this dialect has no '^'), so the operand is one
+      // atom: `-a * b` is `(-a) * b`. Numeric literals fold in place;
+      // vectors desugar to `0 - e` — bit-identical to Prometheus, whose
+      // unary minus shares scalar-arithmetic semantics (name-dropping
+      // included).
+      case TPunct(op @ ("-" | "+"), _) =>
+        next()
+        parseAtom() match {
+          case NumLit(d) => NumLit(if (op == "-") -d else d)
+          case e if op == "+" => e
+          case e => BinOp("-", NumLit(0), e)
+        }
       case TPunct(op, _) if Precedence.exists(_.contains(op)) =>
-        fail(s"unexpected operator '$op' (unary +/- is not supported; write 0 - x)")
+        fail(s"unexpected operator '$op'")
       case _ => parseVector()
     }
 

@@ -102,6 +102,22 @@ class PromQLSpec extends AnyFunSuite {
         NumLit(0.5)))
   }
 
+  test("parser + context: unary minus folds literals, binds tighter than *") {
+    assert(PromQLParser.parse("-5") == NumLit(-5.0))
+    assert(PromQLParser.parse("+5") == NumLit(5.0))
+    assert(PromQLParser.parse("--5") == NumLit(5.0))
+    // (-a) * 2, NOT -(a * 2): unary outranks every binary operator
+    assert(PromQLParser.parse("-a * 2") ==
+      BinOp("*", BinOp("-", NumLit(0.0), Selector("a", Nil)), NumLit(2.0)))
+    assert(PromQLParser.parse("+a") == Selector("a", Nil))
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 0.2), Row("cpu", "b", "us", 0L, 0.8)))
+    val neg = ctx.sql("-cpu * 10").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toSet
+    assert(neg == Set(("a", -2.0), ("b", -8.0)))
+    assertThrows[IllegalArgumentException](ctx.sql("-(3)")) // scalar-only
+  }
+
   test("context: scalar arithmetic maps values; comparisons filter rows") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a", "us", 0L, 0.2), Row("cpu", "b", "us", 0L, 0.8)))
@@ -327,7 +343,8 @@ class PromQLSpec extends AnyFunSuite {
     val ctx = ctxOf(Seq(Row("cpu", "a", "us", 0L, 1.0)))
     assertThrows[IllegalArgumentException](
       ctx.sql("cpu > avg(cpu)", stepMs = Some(H)).collect())
-    assertThrows[PromQLParseException](ctx.sql("cpu * -1"))
+    // `-1` now parses as a folded negative literal operand
+    assert(ctx.sql("cpu * -1").collect().map(_.getDouble(3)).toSeq == Seq(-1.0))
   }
 
   test("engine: partially-labeled series — empty-string groups, ='' routing") {
