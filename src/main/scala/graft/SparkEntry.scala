@@ -1242,6 +1242,14 @@ object SparkEntry {
         "text", tokenBudget = 4000L, orderCols = Seq(col("doc_id")))
         .select(col("doc_id"), col("n_tokens"), col("shard"))),
 
+    // Deterministic seeded corpus shuffle: global training-order positions
+    // by md5(id || seed) rank — same two-phase prefix-sum shape as t6
+    // (one range exchange, never a single-task global window).
+    "t17_corpus_shuffle" -> ((s, dir) =>
+      graft.pipeline.Sharding.shufflePositions(
+        t(s, dir, "documents").select("doc_id"), "doc_id", seed = "epoch0")
+        .select(col("doc_id"), col("position"))),
+
     // Deterministic rerun-stable train/val split on a portable content hash.
     "t7_hash_split" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -2634,6 +2642,14 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  CAST(floor((cum - n_tokens) / 4000.0) AS BIGINT) AS shard
         |FROM c""".stripMargin,
+
+    // Shuffle replay: DuckDB ranks with a window (fine at oracle scale);
+    // the engine's prefix-sum rank must agree exactly.
+    "t17_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR || 'epoch0'), doc_id)
+        |    - 1 AS position
+        |FROM documents""".stripMargin,
 
     "t7_hash_split" ->
       """SELECT doc_id,

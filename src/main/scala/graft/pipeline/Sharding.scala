@@ -126,6 +126,27 @@ object Sharding {
     else substring(md5(id.cast("string")), 1, 4) < lit(f"$thrN%04x")
   }
 
+  /** Deterministic seeded corpus shuffle: assign every row a global
+    * training-order position 0..n-1 by ranking on `md5(id || seed)` — the
+    * "shuffle the corpus before sharding" step of a training pipeline,
+    * made rerun-stable (same seed ⇒ same order on any engine) and
+    * re-seedable per epoch (a new seed is a fresh permutation, no state
+    * to carry). md5 is uniform and uncorrelated with the data, so the
+    * order is statistically a uniform random permutation.
+    *
+    * Scale shape: rank-by-key via [[withRunningTotal]] with value 1 — one
+    * range exchange, per-partition local sort, O(partitions) driver state.
+    * The naive `row_number() OVER (ORDER BY ...)` form is the single-task
+    * global-sort anti-pattern this module exists to avoid. */
+  def shufflePositions(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val keyCol = "__graft_shuf__"
+    withRunningTotal(
+      df.withColumn(keyCol, md5(concat(col(idCol).cast("string"), lit(seed)))),
+      Seq(col(keyCol), col(idCol)), lit(1L), "__pos1__")
+      .withColumn("position", col("__pos1__") - 1)
+      .drop(keyCol, "__pos1__")
+  }
+
   /** Per-stratum quota sample: the `k` rows of each stratum with the
     * smallest md5(id) — a deterministic, engine-portable "random" pick
     * (md5 order is uniform and uncorrelated with the data). One shuffle on

@@ -337,6 +337,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(grams.isEmpty)
   }
 
+  test("corpus shuffle: a permutation, partitioning-stable, seed-sensitive") {
+    import spark.implicits._
+    val ids = (1L to 300L).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Sharding.shufflePositions(df, "id", seed)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("position")).toMap
+    val p1 = run(ids, "s1")
+    assert(p1.values.toSeq.sorted == (0L until 300L))      // exact permutation
+    assert(run(ids.repartition(7), "s1") == p1)            // layout-independent
+    assert(run(ids, "s2") != p1)                           // seed changes order
+  }
+
   test("line dedup: boilerplate lines drop, order survives, empty docs vanish") {
     // chunkTokens=2 lines; "nav bar" appears in 3 docs (> maxDocFreq=2)
     val df = docs(
