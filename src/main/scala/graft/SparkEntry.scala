@@ -666,6 +666,48 @@ object SparkEntry {
       s.table(sink).withColumn("value", round(col("value"), 2))
     }),
 
+    // Stream-stream interval join run to completion: purchases and errors
+    // as two MemoryStreams fed in global event-time order (4 interleaved
+    // windows), joined per user on "error within the purchase's trailing
+    // hour". Event-time-ordered replay keeps every row on time at any
+    // watermark delay, and the inner interval join emits each qualifying
+    // pair exactly once — so the bounded run ≡ the batch theta join the
+    // oracle replays. State stays bounded by the watermark + lookback even
+    // on an unbounded stream (the operator contract at scale).
+    "sj1_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          tsMs.as("tms"))
+        .orderBy("tms", "event_id")
+        .as[(Long, Long, String, Long)].collect()
+      val pStream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val eStream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val purchases = pStream.toDS().toDF("user_id", "p_id", "p_tms")
+        .withColumn("p_ts", timestamp_millis(col("p_tms")))
+      val errors = eStream.toDS().toDF("user_id", "e_id", "e_tms")
+        .withColumn("e_ts", timestamp_millis(col("e_tms")))
+      val sink = sinkName("sj1")
+      val q = graft.streaming.StreamJoins
+        .intervalJoin(purchases, "p_ts", errors, "e_ts", Seq("user_id"),
+          lookbackMs = 3600000L, watermark = "1 hour")
+        .select(col("user_id"), col("p_id"), col("e_id"),
+          (col("p_tms") - col("e_tms")).as("gap_ms"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try ev.grouped(ev.length / 4 + 1).foreach { chunk =>
+        pStream.addData(chunk.filter(_._3 == "purchase")
+          .map(r => (r._1, r._2, r._4)).toSeq)
+        eStream.addData(chunk.filter(_._3 == "error")
+          .map(r => (r._1, r._2, r._4)).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }),
+
     // Watermarked 30-min chunk building run to completion: append mode
     // emits chunks whose window closed under the final watermark; the
     // posexplode verifies per-chunk CONTENT AND ORDER (sorted by ts)
@@ -1899,6 +1941,18 @@ object SparkEntry {
         |  FROM s GROUP BY user_id, sid)
         |SELECT user_id, session_start, session_end, n_events
         |FROM g, mx WHERE session_end <= mx.m""".stripMargin,
+
+    // Interval-join replay: the bounded event-time-ordered run emits every
+    // qualifying (purchase, error-in-trailing-hour) pair exactly once — a
+    // plain batch theta join.
+    "sj1_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts::TIMESTAMP) AS tms FROM events)
+        |SELECT p.user_id, p.event_id AS p_id, x.event_id AS e_id,
+        |  p.tms - x.tms AS gap_ms
+        |FROM e p JOIN e x ON p.user_id = x.user_id
+        |  AND p.event_type = 'purchase' AND x.event_type = 'error'
+        |  AND x.tms BETWEEN p.tms - 3600000 AND p.tms""".stripMargin,
 
     "sc1_stream_chunks" ->
       """WITH mx AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS m FROM events),

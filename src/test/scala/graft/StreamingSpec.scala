@@ -143,6 +143,44 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 45 * M, 75 * M, 1L)))  // second session after the idle gap
   }
 
+  test("stream-stream interval join matches across micro-batches in-window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val M = 60000L
+    val lStream = MemoryStream[(Long, Long, Long)] // key, id, tms
+    val rStream = MemoryStream[(Long, Long, Long)]
+    val q = StreamJoins.intervalJoin(
+        lStream.toDS().toDF("k", "l_id", "l_tms")
+          .withColumn("l_ts", timestamp_millis(col("l_tms"))), "l_ts",
+        rStream.toDS().toDF("k", "r_id", "r_tms")
+          .withColumn("r_ts", timestamp_millis(col("r_tms"))), "r_ts",
+        Seq("k"), lookbackMs = 30 * M, watermark = "10 minutes")
+      .select(col("k"), col("l_id"), col("r_id"))
+      .writeStream.outputMode("append").format("memory").queryName("sij").start()
+    try {
+      // Timeline starts at 60min, NOT epoch 0 — a row sitting exactly on
+      // the initial watermark (epoch 0) is boundary-filtered by the join's
+      // state predicates; real event time is never at epoch 0.
+      // batch 1: right rows only — they wait in state for a future left
+      rStream.addData((1L, 100L, 60 * M), (1L, 101L, 85 * M), (2L, 200L, 60 * M))
+      q.processAllAvailable()
+      // batch 2: left at 90min matches r100 (boundary: 30min lookback
+      // includes 60min exactly) and r101; key 2's left at 100min misses
+      // r200 (gap 40min > 30min); key 3 has no right side at all
+      lStream.addData((1L, 10L, 90 * M), (2L, 20L, 100 * M), (3L, 30L, 70 * M))
+      q.processAllAvailable()
+      // batch 3: a later left still matches retained right state (r100 at
+      // 60min, gap 20min); r101 at 85min is AFTER l11 at 80min — lookback,
+      // not lookahead, so no pair
+      lStream.addData((1L, 11L, 80 * M))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT k, l_id, r_id FROM sij")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 100L), (1L, 10L, 101L), (1L, 11L, 100L)))
+  }
+
   test("streaming exact dedup: same-fingerprint docs dropped within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
