@@ -400,6 +400,13 @@ object SparkEntry {
       promqlCtx(s, dir).sql("""-max by (uid) (purchase{uid=~"[1-3][0-9]"}) * 2""",
         stepMs = Some(86400000L))),
 
+    // PromQL absent_over_time: 1.0 for each day-bucket of January 2024 in
+    // which uid 7 made no purchase — the missing-data alerting primitive,
+    // a grid anti-join over the bounded range.
+    "p27_promql_absent_ot" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""absent_over_time(purchase{uid="7"}[1d])""",
+        range = Some(graft.storage.TimeRange(1704067200000L, 1706745600000L)))),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -1705,6 +1712,19 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |  AND regexp_full_match(user_id::VARCHAR, '[1-3][0-9]')
         |GROUP BY uid, bucket_ms""".stripMargin,
+
+    // Absent replay: day grid minus the days uid 7 purchased.
+    "p27_promql_absent_ot" ->
+      """WITH g AS (SELECT unnest(generate_series(
+        |    1704067200000, 1706659200000, 86400000)) AS bucket_ms),
+        |p AS (SELECT DISTINCT
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      * 86400000 AS bucket_ms
+        |  FROM events WHERE event_type = 'purchase' AND user_id = 7
+        |    AND epoch_ms(ts::TIMESTAMP) >= 1704067200000
+        |    AND epoch_ms(ts::TIMESTAMP) < 1706745600000)
+        |SELECT g.bucket_ms, CAST(1.0 AS DOUBLE) AS value FROM g
+        |WHERE g.bucket_ms NOT IN (SELECT bucket_ms FROM p)""".stripMargin,
 
     "p3_promql_rate" ->
       """WITH d AS (

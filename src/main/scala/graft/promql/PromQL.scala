@@ -86,6 +86,10 @@ object RangeF {
   case object LastOverTime extends RangeF
   /** 1.0 for every window that contains at least one sample. */
   case object PresentOverTime extends RangeF
+  /** 1.0 for every window of the bounded range with NO samples at all —
+    * present's complement, over the step grid (value-only rows like
+    * `absent`; labels are not reconstructed from matchers). */
+  case object AbsentOverTime extends RangeF
   /** Count of counter resets (value drops between consecutive samples). */
   case object Resets extends RangeF
   /** Count of value changes between consecutive samples. */
@@ -225,6 +229,7 @@ object PromQLParser {
     "count_over_time" -> RangeF.CountOverTime,
     "last_over_time" -> RangeF.LastOverTime,
     "present_over_time" -> RangeF.PresentOverTime,
+    "absent_over_time" -> RangeF.AbsentOverTime,
     "resets" -> RangeF.Resets, "changes" -> RangeF.Changes,
     "idelta" -> RangeF.Idelta, "irate" -> RangeF.Irate,
     "deriv" -> RangeF.Deriv)

@@ -67,6 +67,31 @@ final class PromQLContext(
         seriesCols.map(col) ++
         Seq(shifted(offsetMs).as("ts_ms"), col(valueCol).as("value")): _*)
 
+    case RangeFn(RangeF.AbsentOverTime, sel, windowMs) =>
+      // present's complement over the step grid: 1.0 for every w-bucket of
+      // the bounded range containing NO samples of the selection — the same
+      // grid anti-join as stepped absent(), with the window AS the step
+      // (tumbling rule; an outer step must agree). Value-only rows.
+      stepMs.filter(_ != windowMs).foreach(st =>
+        throw new IllegalArgumentException(
+          s"absent_over_time window ${windowMs}ms must equal the " +
+            s"step ${st}ms (tumbling windows)"))
+      val r0 = range.filter(r =>
+        r.start != Long.MinValue && r.end != Long.MaxValue).getOrElse(
+        throw new IllegalArgumentException(
+          "absent_over_time needs an explicit bounded range"))
+      val aRows = select(sel.metric, sel.matchers, sel.offsetMs, range)
+      val aTs = shifted(sel.offsetMs)
+      val aLo = math.floorDiv(r0.start, windowMs) * windowMs
+      val aHi = math.floorDiv(r0.end - 1, windowMs) * windowMs
+      val aGrid = samples.sparkSession.range(aLo, aHi + 1, windowMs)
+        .toDF("bucket_ms")
+      val aPresent = aRows
+        .select((floor(aTs / lit(windowMs)).cast("long") * windowMs)
+          .as("bucket_ms")).distinct()
+      aGrid.join(aPresent, Seq("bucket_ms"), "left_anti")
+        .withColumn("value", lit(1.0))
+
     case RangeFn(fn, sel, windowMs) =>
       val labelOut = labels.keys.toSeq.sorted
       val rows = select(sel.metric, sel.matchers, sel.offsetMs, range)
@@ -214,6 +239,9 @@ final class PromQLContext(
             case RangeF.LastOverTime => max_by(col(valueCol), struct(ord: _*))
             case RangeF.PresentOverTime => max(lit(1.0))
             case RangeF.QuantileOverTime(q) => percentile(col(valueCol), lit(q))
+            case RangeF.AbsentOverTime => throw new IllegalArgumentException(
+              "absent_over_time is not supported inside subqueries or @ " +
+                "(it has no per-series rows to re-evaluate)")
             case other => throw new IllegalStateException(s"unhandled range fn $other")
           }).as("value")
           rows.groupBy(groupKeys: _*).agg(agg)

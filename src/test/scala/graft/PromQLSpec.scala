@@ -118,6 +118,25 @@ class PromQLSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ctx.sql("-(3)")) // scalar-only
   }
 
+  test("context: absent_over_time emits 1.0 exactly for the empty buckets") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0),          // hour 0 present
+      Row("cpu", "a", "us", 3 * H + 1, 2.0)))  // hour 3 present
+    val absent = ctx.sql("absent_over_time(cpu[1h])",
+        range = Some(graft.storage.TimeRange(0L, 4 * H)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(absent == Set((H, 1.0), (2 * H, 1.0)))  // hours 1, 2 empty
+    // matchers narrow the selection: host b never reports -> all 4 absent
+    assert(ctx.sql("""absent_over_time(cpu{host="b"}[1h])""",
+      range = Some(graft.storage.TimeRange(0L, 4 * H))).count() == 4)
+    // unbounded range and mismatched step fail loudly
+    assertThrows[IllegalArgumentException](
+      ctx.sql("absent_over_time(cpu[1h])"))
+    assertThrows[IllegalArgumentException](
+      ctx.sql("absent_over_time(cpu[1h])", stepMs = Some(2 * H),
+        range = Some(graft.storage.TimeRange(0L, 4 * H))))
+  }
+
   test("context: scalar arithmetic maps values; comparisons filter rows") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a", "us", 0L, 0.2), Row("cpu", "b", "us", 0L, 0.8)))
