@@ -407,6 +407,19 @@ object SparkEntry {
       promqlCtx(s, dir).sql("""absent_over_time(purchase{uid="7"}[1d])""",
         range = Some(graft.storage.TimeRange(1704067200000L, 1706745600000L)))),
 
+    // PromQL windowed population stddev — dispersion per series per day.
+    "p28_promql_stddev_ot" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""stddev_over_time(click{uid=~"[0-9]"}[1d])""")
+        .withColumn("value", round(col("value"), 4))),
+
+    // PromQL windowed median-absolute-deviation — the robust dispersion
+    // measure (two-level interpolated median).
+    "p29_promql_mad_ot" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""mad_over_time(purchase{uid=~"[1-2][0-9]"}[1d])""")
+        .withColumn("value", round(col("value"), 4))),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -1725,6 +1738,31 @@ object SparkEntry {
         |    AND epoch_ms(ts::TIMESTAMP) < 1706745600000)
         |SELECT g.bucket_ms, CAST(1.0 AS DOUBLE) AS value FROM g
         |WHERE g.bucket_ms NOT IN (SELECT bucket_ms FROM p)""".stripMargin,
+
+    "p28_promql_stddev_ot" ->
+      """SELECT user_id AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  round(stddev_pop(value), 4) AS value
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND regexp_full_match(user_id::VARCHAR, '[0-9]')
+        |GROUP BY uid, bucket_ms""".stripMargin,
+
+    // MAD replay: inner median per (uid, day), then the median of the
+    // absolute deviations — both quantile_cont (linear interpolation).
+    "p29_promql_mad_ot" ->
+      """WITH p AS (SELECT user_id AS uid,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      * 86400000 AS bucket_ms, value
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-2][0-9]')),
+        |m AS (SELECT uid, bucket_ms, quantile_cont(value, 0.5) AS med
+        |  FROM p GROUP BY uid, bucket_ms)
+        |SELECT p.uid, p.bucket_ms,
+        |  round(quantile_cont(abs(p.value - m.med), 0.5), 4) AS value
+        |FROM p JOIN m USING (uid, bucket_ms)
+        |GROUP BY p.uid, p.bucket_ms""".stripMargin,
 
     "p3_promql_rate" ->
       """WITH d AS (

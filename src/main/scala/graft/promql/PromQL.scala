@@ -90,6 +90,13 @@ object RangeF {
     * present's complement, over the step grid (value-only rows like
     * `absent`; labels are not reconstructed from matchers). */
   case object AbsentOverTime extends RangeF
+  /** Population standard deviation of the window's samples. */
+  case object StddevOverTime extends RangeF
+  /** Population variance of the window's samples. */
+  case object StdvarOverTime extends RangeF
+  /** Median absolute deviation: median(|x - median(x)|), both medians
+    * linearly interpolated (Prometheus quantile(0.5) convention). */
+  case object MadOverTime extends RangeF
   /** Count of counter resets (value drops between consecutive samples). */
   case object Resets extends RangeF
   /** Count of value changes between consecutive samples. */
@@ -230,6 +237,9 @@ object PromQLParser {
     "last_over_time" -> RangeF.LastOverTime,
     "present_over_time" -> RangeF.PresentOverTime,
     "absent_over_time" -> RangeF.AbsentOverTime,
+    "stddev_over_time" -> RangeF.StddevOverTime,
+    "stdvar_over_time" -> RangeF.StdvarOverTime,
+    "mad_over_time" -> RangeF.MadOverTime,
     "resets" -> RangeF.Resets, "changes" -> RangeF.Changes,
     "idelta" -> RangeF.Idelta, "irate" -> RangeF.Irate,
     "deriv" -> RangeF.Deriv)

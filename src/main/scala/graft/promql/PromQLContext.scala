@@ -228,6 +228,26 @@ final class PromQLContext(
             .filter(size(col("__arr__")) >= 2)
             .withColumn("__vals__", vals)
             .select(outCols :+ smoothed.as("value"): _*)
+        case RangeF.MadOverTime =>
+          // median absolute deviation: median(|x - median(x)|), both medians
+          // linearly interpolated (Prometheus quantile(0.5)). The inner
+          // median comes from `percentile` in the same aggregation that
+          // collects the window's values; the outer median is interpolated
+          // over the sorted deviation array — bounded by samples-per-window
+          // (the holt_winters shape), one exchange total.
+          val devs = array_sort(transform(col("__arr__"),
+            x => abs(x - col("__med__"))))
+          val n = size(devs)
+          val h = (n - lit(1)).cast("double") * lit(0.5)
+          val loIdx = floor(h).cast("int")
+          val frac = h - loIdx.cast("double")
+          val lo = element_at(devs, loIdx + lit(1))
+          val hi = element_at(devs, least(loIdx + lit(2), n))
+          val mad = lo * (lit(1.0) - frac) + hi * frac
+          rows.groupBy(groupKeys: _*)
+            .agg(percentile(col(valueCol), lit(0.5)).as("__med__"),
+              collect_list(col(valueCol)).as("__arr__"))
+            .select(outCols :+ mad.as("value"): _*)
         case _ =>
           // *_over_time: one plain aggregate per (series, window bucket)
           val agg = (fn match {
@@ -236,6 +256,8 @@ final class PromQLContext(
             case RangeF.MaxOverTime => max(col(valueCol))
             case RangeF.SumOverTime => sum(col(valueCol))
             case RangeF.CountOverTime => count(lit(1)).cast("double")
+            case RangeF.StddevOverTime => stddev_pop(col(valueCol))
+            case RangeF.StdvarOverTime => var_pop(col(valueCol))
             case RangeF.LastOverTime => max_by(col(valueCol), struct(ord: _*))
             case RangeF.PresentOverTime => max(lit(1.0))
             case RangeF.QuantileOverTime(q) => percentile(col(valueCol), lit(q))

@@ -137,6 +137,31 @@ class PromQLSpec extends AnyFunSuite {
         range = Some(graft.storage.TimeRange(0L, 4 * H))))
   }
 
+  test("context: stddev/stdvar/mad over time") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", 1L, 3.0),
+      Row("cpu", "a", "us", H, 1.0), Row("cpu", "a", "us", H + 1, 2.0),
+      Row("cpu", "a", "us", H + 2, 4.0), Row("cpu", "a", "us", H + 3, 8.0)))
+    def vals(q: String): Map[Long, Double] = ctx.sql(q).collect()
+      .map(r => r.getLong(r.fieldIndex("bucket_ms")) ->
+        r.getDouble(r.fieldIndex("value"))).toMap
+    // hour 0: {1,3} -> pop var 1; hour 1: {1,2,4,8} -> mean 3.75, var 7.1875
+    val sd = vals("stddev_over_time(cpu[1h])")
+    assert(sd(0L) == 1.0 && math.abs(sd(H) - math.sqrt(7.1875)) < 1e-12)
+    val sv = vals("stdvar_over_time(cpu[1h])")
+    assert(sv(0L) == 1.0 && math.abs(sv(H) - 7.1875) < 1e-12)
+    // mad hour 0: med 2, devs {1,1} -> 1; hour 1: med 3 (interp), devs
+    // sorted {1,1,2,5} -> interpolated median 1.5
+    val md = vals("mad_over_time(cpu[1h])")
+    assert(md(0L) == 1.0 && md(H) == 1.5)
+    // single-sample bucket: mad = 0, stddev = 0
+    val one = ctxOf(Seq(Row("cpu", "a", "us", 0L, 5.0)))
+    assert(one.sql("mad_over_time(cpu[1h])").collect().head
+      .getDouble(3) == 0.0)
+    assert(one.sql("stddev_over_time(cpu[1h])").collect().head
+      .getDouble(3) == 0.0)
+  }
+
   test("context: scalar arithmetic maps values; comparisons filter rows") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a", "us", 0L, 0.2), Row("cpu", "b", "us", 0L, 0.8)))
