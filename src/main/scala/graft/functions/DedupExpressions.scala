@@ -1,0 +1,196 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature: for seed i in [0, k), `min over tokens of
+  * md5(i || '|' || token)` (lowercase hex), tokens = split on a single
+  * space with trailing empties kept (SQL `split(text, ' ')` semantics).
+  *
+  * Replaces an explode + groupBy composition whose shuffle carried one row
+  * PER TOKEN INSTANCE (millions of 32-char md5 strings for thousands of
+  * docs): the signature is a per-document quantity, so it is computed here
+  * in one pass over the row with zero shuffle, duplicate tokens hashed
+  * once (min is idempotent), and digests compared as raw bytes (hex is
+  * order-isomorphic to unsigned byte order) with one reused MessageDigest.
+  * The md5 formula is unchanged, so the `d2_minhash_sig` DuckDB oracle
+  * (which replays it in SQL) still hash-matches, as do all downstream LSH
+  * band keys.
+  */
+case class MinhashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSig.compute(input.asInstanceOf[UTF8String], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinhashSig.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** a < b over equal-length byte arrays, unsigned lexicographic — the
+    * same order as comparing their lowercase-hex encodings. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    // SQL split(text, ' '): Java split with limit -1 (trailing "" kept);
+    // a doc therefore always has >= 1 token, so mins are always populated.
+    val toks = text.toString.split(" ", -1)
+    val prefixes = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < k) {
+      prefixes(i) = (i.toString + "|").getBytes(StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5") // digest() resets; reused
+    val mins = new Array[Array[Byte]](k)
+    val seen = new java.util.HashSet[String]()
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (seen.add(tok)) { // min over duplicates == min over distinct
+        val tb = tok.getBytes(StandardCharsets.UTF_8)
+        i = 0
+        while (i < k) {
+          md.update(prefixes(i)); md.update(tb)
+          val d = md.digest()
+          if (mins(i) == null || unsignedLess(d, mins(i))) mins(i) = d
+          i += 1
+        }
+      }
+      t += 1
+    }
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) {
+      val d = mins(i)
+      val c = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        c(2 * b) = HexDigits((d(b) >> 4) & 0xf)
+        c(2 * b + 1) = HexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(c))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native character-n-gram Jaccard similarity of two texts: distinct
+  * n-grams by SQL substring semantics (code points; one truncated gram
+  * when the text is shorter than n, the empty gram for an empty text),
+  * |A ∩ B| / |A ∪ B| as a double; 0.0 when the sets are disjoint.
+  *
+  * Replaces a shape that exploded the shingles of EVERY document and
+  * intersected them with two shuffling equi-joins: candidate pairs are a
+  * bounded set (LSH-bucketed and star-capped upstream), so shipping the
+  * two texts to the pair row and computing the overlap in one pass is
+  * both cheaper and shuffle-free (the pair frame broadcasts against the
+  * corpus). Gram-set semantics are pinned by a PipelineSpec property test
+  * against the composable SQL form and by the `d5_ngram_jaccard` oracle.
+  */
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramJaccard.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NgramJaccard.compute($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramJaccard {
+  /** Distinct n-grams of `s` by code points — SQL
+    * `transform(sequence(1, greatest(len-(n-1), 1)), i -> substr(s, i, n))`
+    * then `array_distinct`: substr truncates at the end of the string, and
+    * the degenerate positions of a short/empty string yield one
+    * short/empty gram. */
+  private def grams(s: String, n: Int): java.util.HashSet[String] = {
+    val cps = s.codePoints().toArray
+    val nG = math.max(cps.length - (n - 1), 1)
+    val set = new java.util.HashSet[String](nG * 2)
+    var i = 0
+    while (i < nG) {
+      set.add(new String(cps, i, math.min(n, cps.length - i)))
+      i += 1
+    }
+    set
+  }
+
+  def compute(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = grams(a.toString, n)
+    val sb = grams(b.toString, n)
+    val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var inter = 0
+    val it = small.iterator()
+    while (it.hasNext) if (big.contains(it.next())) inter += 1
+    if (inter == 0) 0.0
+    else inter.toDouble / (sa.size + sb.size - inter)
+  }
+}
+
+object DedupFunctions {
+  import org.apache.spark.sql.GraftShims
+
+  /** Column API for [[MinhashSig]] — array of k lowercase-hex md5 minima. */
+  def minhashSig(text: Column, numHashes: Int): Column =
+    GraftShims.column(MinhashSig(GraftShims.expression(text), numHashes))
+
+  /** Column API for [[NgramJaccard]]. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    GraftShims.column(NgramJaccard(GraftShims.expression(a),
+      GraftShims.expression(b), n))
+}

@@ -27,16 +27,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signature: for seed i, `min(md5(i || '|' || token))` over the
-    * document's tokens. One explode + one groupBy with k aggregates (not k
-    * passes). Hex-string min == numeric min of the 128-bit hash. */
+    * document's tokens — computed per document in ONE pass by the native
+    * [[graft.functions.MinhashSig]] expression (a signature is a per-row
+    * quantity; the explode + groupBy form this replaced shuffled one row
+    * per token instance). Null-text docs drop, as explode dropped them. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("__tok__"))
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("__tok__")))).as(s"mh$i"))
-    tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+      numHashes: Int = 8): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), graft.functions.DedupFunctions
+        .minhashSig(col(textCol), numHashes).as("__sig__"))
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("__sig__"), i + 1).as(s"mh$i")): _*)
 
   /** LSH banding over a minhash signature: band key = concat of the band's
     * hashes. Emits (band, key, id); equal keys within a band are candidate
@@ -67,13 +68,55 @@ object Dedup {
     * exact behavior. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
       bandSize: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
-    // Self-join on the band key, with the banded signature persisted so the
-    // tokenize+minhash aggregation runs once, not once per join side. A
-    // bucket-local collect_list + nested-transform variant was measured 4x
-    // SLOWER here: a skewed bucket of m ids emits m(m-1)/2 pairs inside ONE
-    // task, while the join spreads the same quadratic output across the
-    // cluster.
+    val numBands = numHashes / bandSize
+    if (maxBucket == Int.MaxValue) {
+      // Exact (uncapped) path: a pair sharing k bands would come out of the
+      // band self-join k times, and deduplicating that with distinct()
+      // shuffles the RAW pair stream — the duplicates live in different
+      // band partitions, so the pre-shuffle partial aggregate removes
+      // almost nothing (measured: 21M-row shuffle to keep 9.9M pairs at
+      // sf0.1). Instead each pair is emitted ONLY from its first shared
+      // band: both sides carry their band-key columns, and a codegen'd
+      // when-chain keeps the match iff no earlier band also collided.
+      // Exactly-once by construction — no distinct, no second shuffle; the
+      // join stays one broadcast/co-partitioned exchange.
+      val keyed = sig.select(col(idCol) +: (0 until numBands).map { b =>
+        concat_ws("|", (0 until bandSize).map(i =>
+          col(s"mh${b * bandSize + i}")): _*).as(s"__k$b") }: _*)
+      val banded = keyed.select(
+          (col(idCol) +: (0 until numBands).map(b => col(s"__k$b"))) :+
+          posexplode(array((0 until numBands).map(b => col(s"__k$b")): _*))
+            .as(Seq("band", "band_key")): _*)
+        // distribute on the join keys BEFORE caching: the signature is a
+        // narrow per-row computation, so without this the band frame keeps
+        // the scan's file partitioning (one partition for a small parquet)
+        // and the quadratic pair emission runs in a single task
+        .repartition(col("band"), col("band_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l = banded.select(Seq(col("band"), col("band_key"),
+        col(idCol).as("id_a")) ++
+        (0 until numBands).map(b => col(s"__k$b").as(s"__ka$b")): _*)
+      val r = banded.select(Seq(col("band"), col("band_key"),
+        col(idCol).as("id_b")) ++
+        (0 until numBands).map(b => col(s"__k$b").as(s"__kb$b")): _*)
+      val firstShared = (0 until numBands).foldRight(lit(-1): Column)(
+        (b, acc) => when(col(s"__ka$b") === col(s"__kb$b"), lit(b))
+          .otherwise(acc))
+      return l.join(r, Seq("band", "band_key"))
+        .filter(col("id_a") < col("id_b") && firstShared === col("band"))
+        .select("id_a", "id_b")
+    }
+    // Capped path: self-join on the band key, with the banded signature
+    // persisted so the signature computation runs once, not once per join
+    // side. A bucket-local collect_list + nested-transform variant was
+    // measured 4x SLOWER here: a skewed bucket of m ids emits m(m-1)/2
+    // pairs inside ONE task, while the join spreads the same quadratic
+    // output across the cluster. The final distinct() is kept here (the
+    // first-shared-band trick above would be wrong once big buckets are
+    // excluded from pair emission) — and is cheap, because the cap bounds
+    // the pair volume.
     val bands = lshBands(sig, idCol, numHashes, bandSize)
+      .repartition(col("band"), col("band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized =
       if (maxBucket == Int.MaxValue) bands
@@ -459,20 +502,21 @@ object Dedup {
     * (id_a, id_b) only — never all-pairs. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val shingles = docs.select(col(idCol).as("id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
-        i => col(textCol).substr(i, lit(n))))).as("sh"))
-    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(shingles.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(shingles.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
+    // Candidate pairs are a bounded set (LSH-bucketed, star-capped), so the
+    // cheap shape is to ship the two TEXTS to each pair row — the pair
+    // frame broadcasts against the corpus, no shuffle — and compute the
+    // distinct-n-gram overlap in one pass with the native
+    // [[graft.functions.NgramJaccard]] expression. The explode-the-corpus +
+    // two-equi-join form this replaced shuffled every document's |text|
+    // shingle rows whether or not it appeared in any pair. Disjoint pairs
+    // (raw jaccard 0, incl. null texts) drop, exactly as the inner
+    // intersection join dropped them; rounding stays OUTSIDE the filter.
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta__"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb__"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("__j__", graft.functions.DedupFunctions
+        .ngramJaccard(col("__ta__"), col("__tb__"), n))
+      .where(col("__j__") > 0)
+      .select(col("id_a"), col("id_b"), round(col("__j__"), 4).as("jaccard"))
   }
 }

@@ -73,6 +73,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(j((1L, 3L)) < 0.2) // "beta"/"zeta"/"theta" share the 3-gram "eta"
   }
 
+  test("native minhash/jaccard expressions == composable SQL forms on edge docs") {
+    import org.apache.spark.sql.functions._
+    // edge shapes: repeated tokens, consecutive/trailing spaces (empty
+    // tokens), empty text, shorter-than-n text, multibyte + supplementary
+    // plane, and near-duplicates
+    val df = docs(
+      (1L, "alpha beta alpha beta alpha"), (2L, "alpha  beta "),
+      (3L, ""), (4L, "ab"), (5L, "héllo wörld 𝄞x"),
+      (6L, "alpha beta gamma delta"), (7L, "alpha beta gamma epsilon"))
+    val k = 4
+    // composable replay of the minhash formula (the pre-native shape)
+    val replaySig = df.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("__tok__"))
+      .groupBy("doc_id")
+      .agg(min(md5(concat(lit("0"), lit("|"), col("__tok__")))).as("mh0"),
+        (1 until k).map(i => min(md5(concat(lit(i.toString), lit("|"),
+          col("__tok__")))).as(s"mh$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getString)).toMap
+    val nativeSig = Dedup.minhashSignature(df, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getString)).toMap
+    assert(nativeSig == replaySig)
+
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 5L), (6L, 7L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val n = 3
+    // composable replay of the n-gram jaccard (the pre-native shape)
+    val shingles = df.select(col("doc_id").as("id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+        i => col("text").substr(i, lit(n))))).as("sh"))
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val replayJ = pairs
+      .join(shingles.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(shingles.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val nativeJ = Dedup.ngramJaccard(df, pairs, "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(nativeJ == replayJ)
+    // the empty-text doc's gram set is {""}: disjoint from everything
+    // non-empty, so (1,3)/(2,3)/(3,4) drop in both forms
+    assert(!nativeJ.contains((1L, 3L)) && !nativeJ.contains((3L, 4L)))
+  }
+
   test("cosine: self = 1, orthogonal = 0; brute-force top-k ranks correctly") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
