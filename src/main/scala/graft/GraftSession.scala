@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   *    on a real cluster leave AQE to coalesce from a higher initial number;
   *  - AQE on: runtime re-planning, skew-join splitting, partition coalescing;
   *  - UTC session timezone (oracle parity and sane epoch arithmetic);
-  *  - `nanosAsLong`: parquet TIMESTAMP(NANOS) columns (e.g. the events
-  *    table) read as epoch-nanos Longs instead of failing the scan.
+  *  - `nanosAsLong`: parquet TIMESTAMP(NANOS) columns (one generation of
+  *    the events table shipped as such) read as epoch-nanos Longs instead
+  *    of failing the scan; micros-typed generations read as timestamps and
+  *    normalize at the SparkEntry edge.
   */
 object GraftSession {
 

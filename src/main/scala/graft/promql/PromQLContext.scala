@@ -50,6 +50,18 @@ final class PromQLContext(
 
   import PromQLContext._
 
+  /** Label source columns normalized to STRING at the binding edge: PromQL
+    * labels ARE strings (regex matchers, label_replace/label_join, and
+    * Prometheus's data model all operate on text), and a numeric source
+    * column would make set-op joins and downstream sorts type-dependent —
+    * e.g. uid "2" vs 100 order differently as text and as numbers. The cast
+    * is bijective for any id column, so grouping is unchanged. */
+  private val src: DataFrame = labels.values.toSeq.distinct.foldLeft(samples) {
+    (df, c) =>
+      if (df.schema(c).dataType == org.apache.spark.sql.types.StringType) df
+      else df.withColumn(c, col(c).cast("string"))
+  }
+
   /** Evaluate `expr`, optionally restricted to `range` (on epoch-ms) and
     * bucketed by `stepMs`.
     *
@@ -822,8 +834,8 @@ final class PromQLContext(
     // metric == "": multi-metric selection via __name__ matchers (bare
     // `{...}` selector form); per-series ops stay safe when seriesCols (or
     // a bound __name__ label) carry the metric identity.
-    var df = if (metric.isEmpty) samples
-      else samples.filter(col(metricCol) === metric)
+    var df = if (metric.isEmpty) src
+      else src.filter(col(metricCol) === metric)
     // the range applies on the QUERY timeline; the scan window shifts back.
     // Unbounded sentinels stay put — Long.MinValue - offset would wrap.
     range.foreach { r =>

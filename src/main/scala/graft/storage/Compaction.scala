@@ -1,6 +1,6 @@
 package graft.storage
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** Compaction tuning knobs, defaults matching the reference
   * (columnar_storage/src/config.rs:38-50). */
@@ -143,27 +143,27 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
             globalSort = false)
             .withColumn(StorageSchema.ReservedCol, lit(null).cast("long"))
             .select(storage.schema.fullSchema.fieldNames.map(col(_)).toIndexedSeq: _*)
-          val tmp = Paths.get(storage.root, "data", s"tmp-$id")
+          val sfs = storage.storeFs
+          val tmp = sfs.path("data", s"tmp-$id")
           // Sort AFTER coalesce(1): sorting below the coalesce would only
           // order each pre-coalesce partition, and their concatenation is
           // not globally pk-sorted — the single output file must be.
           merged.coalesce(1)
             .sortWithinPartitions(storage.schema.primaryKeys.map(col(_).asc_nulls_first): _*)
             .write.mode("overwrite").parquet(tmp.toString)
-          import scala.jdk.CollectionConverters._
-          val part = Files.list(tmp).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          val dest = Paths.get(storage.root, "data", s"$id.parquet")
-          Files.move(part, dest)
-          storage.deleteRecursively(tmp)
-          val rows = storage.spark.read.parquet(dest.toString).count()
-          Seq(SstFile(id, dest.toString, rows, Files.size(dest), range))
+          val part = sfs.list(tmp).find(p =>
+            p.getName.endsWith(".parquet") && !p.getName.startsWith(".")).get
+          val dest = sfs.path("data", s"$id.parquet")
+          val rows = sfs.parquetRowCount(part) // footer metadata, no re-read job
+          sfs.rename(part, dest)
+          sfs.delete(tmp, recursive = true)
+          Seq(SstFile(id, dest.toString, rows, sfs.size(dest), range))
         } else Nil
 
       val deletes = task.inputs ++ task.expired
       m.update(newSsts, deletes.map(_.id)) // commit FIRST (executor.rs:204-217)
       // From here on, best-effort physical deletes (executor.rs:218-221).
-      deletes.foreach(f => try Files.deleteIfExists(Paths.get(f.path)) catch { case _: Throwable => () })
+      deletes.foreach(f => storage.storeFs.deleteQuietly(f.path))
     } finally m.markCompacting((task.inputs ++ task.expired).map(_.id), flag = false)
   }
 }

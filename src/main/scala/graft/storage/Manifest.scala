@@ -1,9 +1,9 @@
 package graft.storage
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.mutable
-import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** Half-open time range [start, end) over epoch-millis, mirroring the
   * reference's TimeRange (columnar_storage/src/types.rs:45-133). */
@@ -38,6 +38,17 @@ final case class SstFile(
   * `<root>/manifest/` with an in-memory cache, background-mergeable into a
   * snapshot once deltas accumulate (reference columnar_storage/src/manifest/mod.rs:67-334).
   *
+  * All I/O goes through the Hadoop `FileSystem` API ([[StoreFs]]), so the
+  * root may be any supported URI — `file:`, `hdfs:`, `s3a:`, … — matching
+  * the reference's object-store manifest (manifest/mod.rs:67-177 over
+  * object_store paths). The commit scheme is object-store-safe: every
+  * commit-critical file is WRITE-ONCE under a fresh sequence-numbered name
+  * (`delta-<seq>.jsonl`, `snapshot-<seq>.jsonl`) — no atomic-replace rename
+  * anywhere. Load picks the newest snapshot and replays only deltas with a
+  * HIGHER seq; a crash at any point between "write new snapshot" and "delete
+  * merged deltas/old snapshots" leaves stale files that are ignored (their
+  * seq is ≤ the snapshot's) and swept by the next merge.
+  *
   * Single-writer: in Spark the driver is the only manifest writer, which
   * gives the same serialization guarantee as the reference's RwLock + single
   * merger task (manifest/mod.rs:67-177). At 100 TB scale (~10^6 files) the
@@ -47,17 +58,20 @@ final case class SstFile(
   * outgrows that.
   */
 final class Manifest(root: String, mergeThreshold: Int = 50,
-    hardThreshold: Int = 90) {
+    hardThreshold: Int = 90, conf: Configuration = new Configuration()) {
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[Manifest])
-  private val dir: Path = Paths.get(root, "manifest")
-  Files.createDirectories(dir)
-  private val snapshotFile = dir.resolve("snapshot.jsonl")
+  private val sfs = StoreFs(root, conf)
+  private val dir: HPath = sfs.path("manifest")
+  sfs.mkdirs(dir)
   private val files = mutable.LinkedHashMap.empty[Long, SstFile]
   private var deltaCount = 0
   // Replay-order counter: strictly greater than every delta ever written
   // under this root (wall clocks and nanoTime may go backwards on restart;
   // a persisted max guarantees ordering across sessions).
   private var deltaSeq = 0L
+  // Seq of the newest merged snapshot (0 = none/legacy); deltas at or below
+  // it are already incorporated and must not replay.
+  private var snapshotSeq = 0L
   load()
 
   /** Largest SST id ever recorded — lets id allocation stay monotonic across
@@ -66,13 +80,17 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     if (files.isEmpty) 0L else files.keys.max
   }
 
-  private def listDeltas(): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.toList
-      .filter(_.getFileName.toString.startsWith("delta-"))
-      .sortBy(_.getFileName.toString)
-    finally s.close()
-  }
+  private def seqOf(p: HPath, prefix: String): Long =
+    p.getName.stripPrefix(prefix).stripSuffix(".jsonl").toLong
+
+  private def listDeltas(): Seq[HPath] =
+    sfs.list(dir).filter(_.getName.startsWith("delta-"))
+      .sortBy(_.getName)
+
+  private def listSnapshots(): Seq[HPath] =
+    sfs.list(dir)
+      .filter(p => p.getName.startsWith("snapshot-") && p.getName.endsWith(".jsonl"))
+      .sortBy(p => seqOf(p, "snapshot-"))
 
   // JSON string escape/unescape for the path field: SST paths are engine-
   // generated today, but a root directory containing a quote (legal on every
@@ -132,23 +150,29 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
       num("sizeBytes"), TimeRange(num("start"), num("end"))))
   }
 
-  private def load(): Unit = synchronized {
-    val deltas = listDeltas()
-    val all = (Seq(snapshotFile) ++ deltas).filter(Files.exists(_))
-    for (p <- all; line <- Files.readAllLines(p, StandardCharsets.UTF_8).asScala if line.nonEmpty) {
+  private def apply(p: HPath): Unit =
+    for (line <- sfs.readLines(p) if line.nonEmpty) {
       val (op, f) = parse(line)
       if (op == "add") files(f.id) = f else files.remove(f.id)
     }
-    deltaCount = deltas.size
-    deltaSeq = deltas.lastOption
-      .map(_.getFileName.toString.stripPrefix("delta-").stripSuffix(".jsonl").toLong)
-      .getOrElse(0L)
+
+  private def load(): Unit = synchronized {
+    val snaps = listSnapshots()
+    val legacy = sfs.path("manifest", "snapshot.jsonl") // pre-seq format
+    snaps.lastOption match {
+      case Some(snap) => snapshotSeq = seqOf(snap, "snapshot-"); apply(snap)
+      case None if sfs.exists(legacy) => apply(legacy)
+      case None => ()
+    }
+    val live = listDeltas().filter(p => seqOf(p, "delta-") > snapshotSeq)
+    live.foreach(apply)
+    deltaCount = live.size
+    deltaSeq = (listDeltas().map(seqOf(_, "delta-")) :+ snapshotSeq).max
   }
 
   private def writeDelta(lines: Seq[String]): Unit = {
     deltaSeq += 1
-    val p = dir.resolve(f"delta-$deltaSeq%020d.jsonl")
-    Files.write(p, lines.asJava, StandardCharsets.UTF_8)
+    sfs.writeLines(dir.suffix(f"/delta-$deltaSeq%020d.jsonl"), lines)
     deltaCount += 1
     // Soft threshold: merge, best-effort. A failed merge must not fail the
     // write (the reference merges on a background task, manifest/mod.rs:
@@ -208,13 +232,25 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     ids.foreach(id => files.get(id).foreach(f => files(id) = f.copy(compacting = flag)))
   }
 
-  /** Merge deltas into the snapshot (manifest/mod.rs:184-334). */
+  /** Merge deltas into a new WRITE-ONCE numbered snapshot, then sweep the
+    * incorporated deltas and older snapshots (manifest/mod.rs:184-334).
+    * Content lands under `snapshot.tmp` first and reaches its final
+    * seq-numbered name by rename-to-fresh-target, so a torn write can never
+    * be mistaken for a valid snapshot. */
   def mergeSnapshot(): Unit = synchronized {
-    val tmp = dir.resolve("snapshot.tmp")
-    Files.write(tmp, files.values.map(fmt(_, "add")).toSeq.asJava, StandardCharsets.UTF_8)
-    Files.move(tmp, snapshotFile, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    listDeltas().foreach(Files.delete(_))
+    if (deltaSeq > snapshotSeq) {
+      val tmp = dir.suffix("/snapshot.tmp")
+      sfs.writeLines(tmp, files.values.map(fmt(_, "add")).toSeq)
+      sfs.rename(tmp, dir.suffix(f"/snapshot-$deltaSeq%020d.jsonl"))
+      snapshotSeq = deltaSeq
+    }
+    // Best-effort sweep: anything at or below the new snapshot is dead.
+    listDeltas().filter(p => seqOf(p, "delta-") <= snapshotSeq)
+      .foreach(p => sfs.delete(p))
+    listSnapshots().filter(p => seqOf(p, "snapshot-") < snapshotSeq)
+      .foreach(p => sfs.delete(p))
+    val legacy = sfs.path("manifest", "snapshot.jsonl")
+    if (snapshotSeq > 0 && sfs.exists(legacy)) sfs.delete(legacy)
     deltaCount = 0
   }
 }

@@ -1,0 +1,85 @@
+package graft.storage
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Thin Hadoop-`FileSystem` layer under the storage engine: every manifest
+  * and SST file operation routes through it, so one `TimeMergeStorage` root
+  * can live on any Hadoop-supported store — `file:`, `hdfs:`, `s3a:`, … —
+  * the way the reference reads/writes through its object-store abstraction
+  * (columnar_storage/src/read.rs:78-93 ParquetObjectReader; writes
+  * storage.rs:193-213). Bare local paths resolve to the local filesystem,
+  * keeping previous behavior byte-identical.
+  *
+  * Commit discipline: single-file renames are used only where the target
+  * does not exist (fresh SST ids, fresh snapshot seqs), so the engine never
+  * depends on atomic-replace — the one rename semantic object stores cannot
+  * provide. Multi-writer coordination stays at the driver (single manifest
+  * writer), as in the reference's RwLock + single merger task.
+  */
+final class StoreFs(rootUri: String, conf: Configuration) {
+  val root: HPath = {
+    val p = new HPath(rootUri)
+    p.getFileSystem(conf).makeQualified(p)
+  }
+  val fs: FileSystem = root.getFileSystem(conf)
+
+  def path(segments: String*): HPath =
+    segments.foldLeft(root)((p, s) => new HPath(p, s))
+
+  def mkdirs(p: HPath): Unit = fs.mkdirs(p)
+
+  def exists(p: HPath): Boolean = fs.exists(p)
+  def exists(s: String): Boolean = fs.exists(new HPath(s))
+
+  def size(p: HPath): Long = fs.getFileStatus(p).getLen
+
+  def list(dir: HPath): Seq[HPath] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+
+  /** Rename expecting a non-existent target (fresh id/seq names). Hadoop's
+    * rename reports failure as `false` on most filesystems — surface it. */
+  def rename(src: HPath, dst: HPath): Unit =
+    if (!fs.rename(src, dst))
+      sys.error(s"rename failed: $src -> $dst" +
+        (if (fs.exists(dst)) " (target exists)" else ""))
+
+  def delete(p: HPath, recursive: Boolean = false): Boolean =
+    fs.delete(p, recursive)
+
+  def deleteQuietly(s: String): Unit =
+    try { fs.delete(new HPath(s), false); () } catch { case _: Throwable => () }
+
+  def readLines(p: HPath): Seq[String] = {
+    val in = new BufferedReader(
+      new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+    finally in.close()
+  }
+
+  /** Write a small text file in one create+close (the object-store PUT
+    * analog). Overwrites: callers use fresh names for commit-critical files. */
+  def writeLines(p: HPath, lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Row count straight from the parquet footer — metadata-only, no Spark
+    * job (the reference likewise records `num_rows` from the writer's
+    * metadata, storage.rs:205-213 / sst.rs:154-160). */
+  def parquetRowCount(p: HPath): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try r.getRecordCount finally r.close()
+  }
+}
+
+object StoreFs {
+  def apply(rootUri: String, conf: Configuration = new Configuration()): StoreFs =
+    new StoreFs(rootUri, conf)
+}

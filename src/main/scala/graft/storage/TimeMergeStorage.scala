@@ -1,9 +1,8 @@
 package graft.storage
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
-import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,9 +76,15 @@ final class TimeMergeStorage(
 
   import StorageSchema.{SeqCol, ReservedCol}
 
-  val manifest = new Manifest(root)
-  private val dataDir: Path = Paths.get(root, "data")
-  Files.createDirectories(dataDir)
+  /** All file I/O goes through the Hadoop FileSystem resolved from `root`,
+    * so the store runs unchanged against `file:`, `hdfs:`, `s3a:`, … —
+    * the reference's object-store abstraction (read.rs:78-93,
+    * storage.rs:193-213). Spark's own parquet read/write is URI-native
+    * already; this covers the manifest + file-commit plumbing. */
+  val storeFs: StoreFs = StoreFs(root, spark.sessionState.newHadoopConf())
+  val manifest = new Manifest(root, conf = spark.sessionState.newHadoopConf())
+  private val dataDir: HPath = storeFs.path("data")
+  storeFs.mkdirs(dataDir)
   // Epoch-nanos counter seeded above every id already in the manifest: ids
   // double as the write sequence and "mustn't go backwards on restarts,
   // otherwise file id collisions are possible" (reference sst.rs:35-46) —
@@ -88,16 +93,13 @@ final class TimeMergeStorage(
   private val nextId = new AtomicLong(
     math.max(System.currentTimeMillis() * 1000000L, manifest.maxSstId))
 
-  /** URI-safe path from `input_file_name()` / listing output. */
-  private def asPath(src: String): Path =
-    if (src.startsWith("file:")) Paths.get(java.net.URI.create(src)) else Paths.get(src)
-
-  private def listDir(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toList finally s.close()
-  }
-
   def allocId(): Long = nextId.incrementAndGet()
+
+  /** Data part files of a Spark parquet output dir (skips _SUCCESS,
+    * checksum sidecars, and committer leftovers). */
+  private def partFiles(p: HPath): Seq[HPath] =
+    storeFs.list(p).filter(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
 
   /** Sorted segment-bounded write: one new SST per call
     * (reference storage.rs:189-225). Rejects batches crossing a segment
@@ -111,16 +113,17 @@ final class TimeMergeStorage(
       .sortWithinPartitions(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
       .withColumn(SeqCol, lit(id))                        // types.rs:219-239
       .withColumn(ReservedCol, lit(null).cast("long"))
-    val tmp = dataDir.resolve(s"tmp-$id")
+    val tmp = new HPath(dataDir, s"tmp-$id")
     writeOptions(sorted.coalesce(1).write).mode("overwrite").parquet(tmp.toString)
-    val part = listDir(tmp)
-      .find(_.getFileName.toString.endsWith(".parquet"))
+    val part = partFiles(tmp).headOption
       .getOrElse(sys.error(s"no parquet part written under $tmp"))
-    val dest = dataDir.resolve(s"$id.parquet")
-    Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(tmp)
-    val rows = spark.read.parquet(dest.toString).count()
-    val sst = SstFile(id, dest.toString, rows, Files.size(dest), range)
+    val dest = new HPath(dataDir, s"$id.parquet")
+    storeFs.rename(part, dest)
+    storeFs.delete(tmp, recursive = true)
+    // Row count from the parquet footer — metadata only, no re-read job
+    // (the old spark.read...count() re-scanned every SST once per write).
+    val rows = storeFs.parquetRowCount(dest)
+    val sst = SstFile(id, dest.toString, rows, storeFs.size(dest), range)
     manifest.addFile(sst)
     sst
   }
@@ -136,7 +139,7 @@ final class TimeMergeStorage(
             TimeRange.truncate(range.end - 1, segmentMs),
       s"write crosses segment boundary: $range at segment=${segmentMs}ms")
     val batchId = allocId()
-    val tmp = dataDir.resolve(s"tmp-bucketed-$batchId")
+    val tmp = new HPath(dataDir, s"tmp-bucketed-$batchId")
     // hash-partition directly on the pk columns (repartition re-hashes its
     // expressions — deriving a bucket id first would collide buckets)
     writeOptions(
@@ -145,17 +148,16 @@ final class TimeMergeStorage(
         .withColumn(SeqCol, lit(batchId))
         .withColumn(ReservedCol, lit(null).cast("long"))
         .write).mode("overwrite").parquet(tmp.toString)
-    // one read-back job collects per-file row counts for the manifest
-    val counts = spark.read.parquet(tmp.toString)
-      .groupBy(input_file_name().as("f")).count().collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val ssts = counts.map { case (src, rows) =>
+    // per-file row counts straight from the parquet footers (metadata-only;
+    // replaces the old read-back Spark job over every part)
+    val ssts = partFiles(tmp).map { part =>
       val id = allocId()
-      val dest = dataDir.resolve(s"$id.parquet")
-      Files.move(asPath(src), dest, StandardCopyOption.ATOMIC_MOVE)
-      SstFile(id, dest.toString, rows, Files.size(dest), range)
-    }.toSeq
-    deleteRecursively(tmp)
+      val dest = new HPath(dataDir, s"$id.parquet")
+      val rows = storeFs.parquetRowCount(part)
+      storeFs.rename(part, dest)
+      SstFile(id, dest.toString, rows, storeFs.size(dest), range)
+    }
+    storeFs.delete(tmp, recursive = true)
     manifest.update(ssts)
     ssts
   }
@@ -220,12 +222,9 @@ final class TimeMergeStorage(
     base
   }
 
-  def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+  /** Existence check through the store's FileSystem (tests and callers must
+    * not assume a local path — `path` may be any supported URI). */
+  def exists(path: String): Boolean = storeFs.exists(path)
 }
 
 /** The merge operators (reference operator.rs + read.rs MergeExec), expressed

@@ -579,4 +579,70 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(feats == Map(1L -> 3L, 2L -> 5L)) // n_bytes from the real payload
   }
+
+  test("image header decode: BMP and PNG dims parse from real bytes, " +
+      "column-expression path == JVM decode, javax.imageio agrees") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L to 15L)
+    val df = ids.toDF("doc_id")
+    // one corpus per container; both decode to the same formula dims
+    for (mixed <- Seq(false, true)) {
+      val media = Multimodal.toMedia(
+        Multimodal.withSyntheticImages(df, "doc_id", mixed = mixed),
+        "doc_id", "payload", "application/octet-stream")
+      val got = media.select(col("media_id"), col("meta.mime"),
+        col("meta.width"), col("meta.height")).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+      ids.foreach { id =>
+        val (w, h) = Multimodal.synthDims(id)
+        val wantMime =
+          if (mixed && id % 2 == 1) "image/png" else "image/bmp"
+        assert(got(id) == ((wantMime, w, h)), s"id=$id mixed=$mixed")
+      }
+    }
+    // third-party decoder agreement: javax.imageio (pure JDK) must read the
+    // same dimensions AND the same pixel bytes we generate — proving the
+    // synthetic files are VALID images, not merely self-consistent.
+    for (id <- Seq(0L, 3L, 7L); png <- Seq(false, true)) {
+      val bytes = if (png) Multimodal.syntheticPng(id) else Multimodal.syntheticBmp(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"imageio rejected id=$id png=$png")
+      val (w, h) = Multimodal.synthDims(id)
+      assert(img.getWidth == w && img.getHeight == h, s"dims id=$id png=$png")
+      // spot-check pixel (0, 0): BMP rows are bottom-up, PNG top-down; both
+      // map image row y to stream row (png: y, bmp: h-1-y). Stream k of the
+      // top-left pixel: bmp channel order BGR, png RGB.
+      val k0 = if (png) 0 else 3 * w * (h - 1)
+      val (r0, g0, b0) =
+        if (png) (Multimodal.synthByte(id, k0), Multimodal.synthByte(id, k0 + 1),
+          Multimodal.synthByte(id, k0 + 2))
+        else (Multimodal.synthByte(id, k0 + 2), Multimodal.synthByte(id, k0 + 1),
+          Multimodal.synthByte(id, k0))
+      val rgb = img.getRGB(0, 0)
+      assert(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF) == ((r0, g0, b0)),
+        s"pixel(0,0) id=$id png=$png")
+    }
+  }
+
+  test("BMP pixel features: decoded means equal the generation formula " +
+      "(offset/padding/channel alignment)") {
+    val ids = (0L to 15L)
+    val media = Multimodal.toMedia(
+      Multimodal.withSyntheticImages(ids.toDF("doc_id"), "doc_id"),
+      "doc_id", "payload", "application/octet-stream")
+    val got = Multimodal.extractFeatures(media, targetPartitions = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.synthDims(id)
+      val n = 3 * w * h
+      val all = (0 until n).map(Multimodal.synthByte(id, _))
+      val c0 = (0 until n by 3).map(Multimodal.synthByte(id, _))
+      val (nBytes, feat) = got(id)
+      assert(nBytes == 54L + n)
+      assert(feat(0) == w.toDouble && feat(1) == h.toDouble)
+      assert(math.abs(feat(2) - all.sum.toDouble / all.size / 255.0) < 1e-12)
+      assert(math.abs(feat(3) - c0.sum.toDouble / c0.size / 255.0) < 1e-12)
+    }
+  }
 }

@@ -332,4 +332,63 @@ class StorageSpec extends AnyFunSuite {
     assert(s.manifest.allSsts().size == 1)
     assert(s.scan().count() == 1) // overwrite dedup intact, nothing doubled
   }
+
+  test("storage root as an explicit file: URI — manifest + SST round-trip " +
+      "through the Hadoop FileSystem API (reference read.rs:78-93 object store)") {
+    // The whole write→manifest→reopen→scan cycle against a URI root, not a
+    // bare local path: proves no code path shells out to java.io/java.nio
+    // path semantics. A real deployment swaps file: for hdfs:/s3a: only.
+    val root = "file:" + Files.createTempDirectory("graft-uri-root").toString
+    val s = mkStorage(root)
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 1L), (2, 2, 2L)))
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 10L)))
+    val ssts = s.manifest.allSsts()
+    assert(ssts.size == 2 && ssts.forall(_.path.startsWith("file:")))
+    assert(ssts.forall(f => s.exists(f.path)))
+    assert(ssts.forall(_.numRows > 0)) // footer-read counts, no Spark job
+    // reopen from the URI root: manifest reloads, id allocation stays above
+    // the persisted max, merge-on-read still wins on the newest seq
+    val s2 = mkStorage(root)
+    assert(s2.manifest.allSsts().map(_.id).sorted == ssts.map(_.id).sorted)
+    assert(s2.allocId() > ssts.map(_.id).max)
+    val got = s2.scanSorted().collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 10L), (2, 2L)))
+    // compaction commits + physically deletes through the same FS layer
+    val c = new Compactor(s2, CompactionConfig(inputSstMinNum = 2))
+    assert(c.runOnce())
+    assert(s2.manifest.allSsts().size == 1)
+    assert(ssts.forall(f => !s2.exists(f.path)))
+  }
+
+  test("manifest at 50k entries: findSsts stays sub-ms-per-1k and the " +
+      "snapshot round-trips (SURVEY §7.5.6 in-RAM ceiling, documented)") {
+    // The manifest keeps all SST metadata in one driver-side map (same
+    // non-goal as the reference's in-memory manifest). This pins the
+    // practical ceiling: 50k entries must load, prune, and snapshot in
+    // interactive time. Extrapolation: ~10^6 entries ≈ 20× these numbers —
+    // findSsts stays O(n) linear scan (~100 MB driver RAM), acceptable;
+    // past that the snapshot converts to a parquet table (documented).
+    val root = tmpRoot()
+    val m1 = new Manifest(root, mergeThreshold = Int.MaxValue)
+    val n = 50000
+    val adds = (1 to n).map(i =>
+      SstFile(i.toLong, s"/data/$i.parquet", 1000, 1 << 20,
+        TimeRange(i * 1000L, i * 1000L + 1000)))
+    // batched update: one delta file per 5k adds (a real ingest writes many
+    // SSTs per manifest commit via writeBucketed)
+    adds.grouped(5000).foreach(g => m1.update(g.toSeq))
+    m1.mergeSnapshot()
+    val t0 = System.nanoTime()
+    val hits = m1.findSsts(TimeRange(10_000_000L, 20_000_000L))
+    val pruneMs = (System.nanoTime() - t0) / 1e6
+    assert(hits.size == 10000)
+    assert(pruneMs < 250, s"findSsts over 50k entries took $pruneMs ms")
+    // cold reload from the merged snapshot: full state, bounded time
+    val t1 = System.nanoTime()
+    val m2 = new Manifest(root)
+    val loadMs = (System.nanoTime() - t1) / 1e6
+    assert(m2.allSsts().size == n)
+    assert(m2.maxSstId == n.toLong)
+    assert(loadMs < 5000, s"manifest reload of 50k entries took $loadMs ms")
+  }
 }

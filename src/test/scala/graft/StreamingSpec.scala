@@ -55,6 +55,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(RemoteWrite.decodeRequest(bytes).samples.isEmpty)
   }
 
+  test("decodes the reference's captured Prometheus workloads " +
+      "(equivalence_test.rs:18-24 cross-implementation check)") {
+    // Two ~1.7 MB real remote-write captures checked into the reference repo
+    // (src/remote_write/tests/workloads/*.data), which the reference proves
+    // its pooled parser against prost on. Expected totals below were computed
+    // by an INDEPENDENT wire-format walker (not this codebase's decoder), so
+    // a symmetric encode/decode bug — invisible to round-trip tests — fails
+    // here: (file, series count, wire label count, Σ timestamps, Σ values,
+    // distinct metric names).
+    val cases = Seq(
+      ("1709380533560664458.data", 10000, 64383, 17093805594622430L,
+        2.8592504637271107e20, 220),
+      ("1709380533705807779.data", 10000, 64389, 17093805596565068L,
+        3.043717904515795e20, 220))
+    val dir = java.nio.file.Paths.get(
+      "/root/reference/src/remote_write/tests/workloads")
+    assume(java.nio.file.Files.isDirectory(dir), "reference workloads absent")
+    for ((name, nSeries, nLabels, tsSum, valSum, nNames) <- cases) {
+      val bytes = java.nio.file.Files.readAllBytes(dir.resolve(name))
+      val got = RemoteWrite.decode(bytes)
+      assert(got.size == nSeries, s"$name series")
+      // wire label count includes __name__, which decode() lifts out
+      assert(got.map(s => s.labels.size + (if (s.name.nonEmpty) 1 else 0)).sum
+        == nLabels, s"$name labels")
+      assert(got.map(_.timestamp).sum == tsSum, s"$name ts sum")
+      val v = got.map(_.value).sum
+      assert(math.abs(v - valSum) <= math.abs(valSum) * 1e-12, s"$name value sum $v")
+      assert(got.map(_.name).filter(_.nonEmpty).distinct.size == nNames, s"$name names")
+      // a snappy-framed copy of the same capture decodes identically (the
+      // production HTTP body shape; unframe sniff must not corrupt it)
+      val framed = org.xerial.snappy.Snappy.compress(bytes)
+      assert(RemoteWrite.decode(framed) == got, s"$name snappy-framed")
+    }
+  }
+
   test("decode skips unknown fields (forward compat)") {
     // append an unknown field 9 (varint) at top level
     val bytes = RemoteWrite.encode(samples(2)) ++ Array[Byte](
