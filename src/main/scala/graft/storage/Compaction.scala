@@ -156,6 +156,8 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
           val dest = sfs.path("data", s"$id.parquet")
           val rows = sfs.parquetRowCount(part) // footer metadata, no re-read job
           sfs.rename(part, dest)
+          sfs.stampSortingColumns(dest,
+            storage.schema.primaryKeys.indices.map(i => (i, false, true)))
           sfs.delete(tmp, recursive = true)
           Seq(SstFile(id, dest.toString, rows, sfs.size(dest), range))
         } else Nil

@@ -77,6 +77,64 @@ final class StoreFs(rootUri: String, conf: Configuration) {
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try r.getRecordCount finally r.close()
   }
+
+  /** Stamp parquet `sorting_columns` row-group metadata onto an SST — the
+    * reference records its pk sort order in every SST footer
+    * (storage.rs:258-298, config.rs:125); Spark's writer has no API for it.
+    * Mechanism: read the footer, set `sorting_columns` on every row group,
+    * and APPEND the re-serialized footer + length + PAR1 to the file.
+    * Parquet readers locate the footer from the file tail, so they see the
+    * new one; the old footer bytes become dead space (~KB). Data pages are
+    * untouched — offsets stay valid, no data copy. `sorting` =
+    * (leaf column ordinal, descending, nullsFirst) per sort key.
+    * Returns false (file untouched) where the FS cannot append (e.g. s3a) —
+    * the stamp is metadata a reader may not rely on anyway. */
+  def stampSortingColumns(p: HPath, sorting: Seq[(Int, Boolean, Boolean)]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.format.{SortingColumn => TSortingColumn, Util}
+    val meta = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getFooter finally r.close()
+    }
+    val fmd = new org.apache.parquet.format.converter.ParquetMetadataConverter()
+      .toParquetMetadata(1, meta)
+    val cols = sorting.map { case (i, desc, nullsFirst) =>
+      new TSortingColumn(i, desc, nullsFirst) }.asJava
+    fmd.getRow_groups.asScala.foreach(_.setSorting_columns(cols))
+    val body = new java.io.ByteArrayOutputStream()
+    Util.writeFileMetaData(fmd, body)
+    val tail = java.nio.ByteBuffer.allocate(body.size() + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(body.toByteArray).putInt(body.size())
+      .put("PAR1".getBytes("US-ASCII")).array()
+    appendBytes(p, tail)
+  }
+
+  /** Append raw bytes. Local FS goes through the raw (non-checksum) layer —
+    * ChecksumFileSystem cannot append — and drops the now-stale .crc
+    * sidecar so verified reads keep working. A failed partial append is
+    * rolled back by truncating to the original length. */
+  private def appendBytes(p: HPath, bytes: Array[Byte]): Boolean = {
+    val (afs, checksum) = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => (c.getRawFileSystem, Some(c))
+      case f => (f, None)
+    }
+    val origLen = afs.getFileStatus(p).getLen
+    try {
+      val out = afs.append(p)
+      try out.write(bytes) finally out.close()
+      checksum.foreach(c => afs.delete(c.getChecksumFile(p), false))
+      true
+    } catch {
+      case _: UnsupportedOperationException => false
+      case e: java.io.IOException =>
+        try afs.truncate(p, origLen) catch { case _: Throwable => () }
+        if (e.getMessage != null && e.getMessage.toLowerCase.contains("not supported"))
+          false
+        else throw e
+    }
+  }
 }
 
 object StoreFs {

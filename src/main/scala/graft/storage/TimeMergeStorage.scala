@@ -123,10 +123,18 @@ final class TimeMergeStorage(
     // Row count from the parquet footer — metadata only, no re-read job
     // (the old spark.read...count() re-scanned every SST once per write).
     val rows = storeFs.parquetRowCount(dest)
+    storeFs.stampSortingColumns(dest, pkSorting)
     val sst = SstFile(id, dest.toString, rows, storeFs.size(dest), range)
     manifest.addFile(sst)
     sst
   }
+
+  /** The SSTs' `sorting_columns` footer stamp: pk prefix, ascending,
+    * nulls-first — mirrors the write-path sort and the reference's
+    * footer metadata (storage.rs:258-298). Pks are the leading schema
+    * fields, so leaf ordinals are 0..N-1. */
+  private def pkSorting: Seq[(Int, Boolean, Boolean)] =
+    schema.primaryKeys.indices.map(i => (i, false, true))
 
   /** Bucketed segment write — the 100 TB shape. One write produces
     * `numBuckets` pk-sorted SSTs, hash-partitioned on the leading primary
@@ -155,6 +163,7 @@ final class TimeMergeStorage(
       val dest = new HPath(dataDir, s"$id.parquet")
       val rows = storeFs.parquetRowCount(part)
       storeFs.rename(part, dest)
+      storeFs.stampSortingColumns(dest, pkSorting)
       SstFile(id, dest.toString, rows, storeFs.size(dest), range)
     }
     storeFs.delete(tmp, recursive = true)

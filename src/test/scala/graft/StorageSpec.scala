@@ -333,6 +333,50 @@ class StorageSpec extends AnyFunSuite {
     assert(s.scan().count() == 1) // overwrite dedup intact, nothing doubled
   }
 
+  test("SST footers carry sorting_columns (storage.rs:258-298, config.rs:125)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.format.Util
+    import scala.jdk.CollectionConverters._
+    val s = mkStorage(tmpRoot())
+    writeBatch(s, TimeRange(1, 10), Seq((2, 1, 1L), (1, 2, 2L), (3, 3, 3L)))
+    val sst = s.manifest.allSsts().head
+    // Read the TRAILING thrift footer exactly as a parquet reader locates it
+    // (EOF-8: little-endian length + PAR1) — the appended stamp must be the
+    // footer readers see.
+    val p = new Path(sst.path)
+    val fs = p.getFileSystem(new Configuration())
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val tail = new Array[Byte](8)
+    try {
+      in.seek(len - 8); in.readFully(tail)
+      val magic = new String(tail, 4, 4, "US-ASCII")
+      assert(magic == "PAR1")
+      val fLen = java.nio.ByteBuffer.wrap(tail, 0, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      in.seek(len - 8 - fLen)
+      val fmd = Util.readFileMetaData(in)
+      val rgs = fmd.getRow_groups.asScala
+      assert(rgs.nonEmpty)
+      rgs.foreach { rg =>
+        val sc = rg.getSorting_columns.asScala
+        // pk prefix (pk1, pk2) ascending nulls-first = leaf ordinals 0, 1
+        assert(sc.map(c => (c.getColumn_idx, c.isDescending, c.isNulls_first))
+          == Seq((0, false, true), (1, false, true)), s"sorting_columns: $sc")
+        // offset indexes survived the footer rewrite (page-level stats):
+        rg.getColumns.asScala.foreach(cc =>
+          assert(cc.isSetOffset_index_offset, "offset index lost in restamp"))
+      }
+    } finally in.close()
+    // the stamped file still reads: parquet-java high-level API AND Spark
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, new Configuration()))
+    try assert(reader.getRecordCount == 3) finally reader.close()
+    assert(spark.read.parquet(sst.path).count() == 3)
+    assert(s.scanSorted().collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
   test("storage root as an explicit file: URI — manifest + SST round-trip " +
       "through the Hadoop FileSystem API (reference read.rs:78-93 object store)") {
     // The whole write→manifest→reopen→scan cycle against a URI root, not a
