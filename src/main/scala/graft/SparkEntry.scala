@@ -1527,6 +1527,32 @@ object SparkEntry {
         col("meta.width").as("w"), col("meta.height").as("h"))
     }),
 
+    // Multimodal audio: WAV header fields decoded with pure column
+    // expressions (canonical RIFF/PCM layout) — the audio analog of mm3.
+    "mm4_audio_meta" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.withSyntheticAudio(
+        t(s, dir, "documents"), "doc_id")
+      media.select(col("doc_id").cast("long").as("media_id"),
+        graft.pipeline.Multimodal.wavChannels(col("payload")).as("channels"),
+        graft.pipeline.Multimodal.wavSampleRate(col("payload")).as("sample_rate"),
+        graft.pipeline.Multimodal.wavBitsPerSample(col("payload")).as("bits"))
+    }),
+
+    // Multimodal audio: REAL 16-bit PCM decode (RIFF chunk walk + sample
+    // loop) → frames + RMS amplitude; the oracle replays the generation
+    // formula, never touching the binary.
+    "mm5_audio_rms" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.toMedia(
+        graft.pipeline.Multimodal.withSyntheticAudio(
+          t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", "audio/wav")
+      graft.pipeline.Multimodal.extractAudioFeatures(media, targetPartitions = 8)
+        .select(col("media_id"), col("channels"), col("sample_rate"),
+          col("frames"),
+          round(col("rms"), 4).as("rms"),
+          round(col("frames") * 1000.0 / col("sample_rate"), 4).as("duration_ms"))
+    }),
+
     // Beyond-reference analytics: rollup (grouping sets family).
     "x1_rollup" -> ((s, dir) =>
       t(s, dir, "events")
@@ -2961,6 +2987,35 @@ object SparkEntry {
         |          THEN ((d.doc_id * 31 + i * 7) % 256) / 255.0 END) AS f_c0
         |    -- range() rejects lateral column bounds; 660 = 3*max(w)*max(h)
         |    FROM range(0, 660) t(i) WHERE i < 3 * d.w * d.h) s""".stripMargin,
+
+    // WAV header fields by formula (Multimodal.syntheticWav): channels =
+    // 1 + id%2, rate from the 4-value table, 16-bit PCM.
+    "mm4_audio_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits
+        |FROM documents""".stripMargin,
+
+    // RMS replayed from the sample formula s_k = ((id*131 + 17k) mod 65536)
+    // - 32768 over n = frames*channels samples; 198 = max n (99 frames * 2).
+    "mm5_audio_rms" ->
+      """SELECT d.doc_id AS media_id, d.channels, d.sample_rate,
+        |  CAST(d.frames AS BIGINT) AS frames,
+        |  round(s.rms, 4) AS rms,
+        |  round(d.frames * 1000.0 / d.sample_rate, 4) AS duration_ms
+        |FROM (SELECT doc_id,
+        |        CAST(1 + doc_id % 2 AS INT) AS channels,
+        |        CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |             WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+        |        50 + doc_id % 50 AS frames
+        |      FROM documents) d,
+        |  LATERAL (SELECT
+        |      sqrt(avg(pow((d.doc_id * 131 + k * 17) % 65536 - 32768, 2)))
+        |        / 32768.0 AS rms
+        |    FROM range(0, 198) t(k)
+        |    WHERE k < d.frames * d.channels) s""".stripMargin,
 
     // Header fields by formula; the engine must parse them back out of the
     // container bytes (BMP little-endian vs PNG big-endian dims).

@@ -228,8 +228,123 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Audio: WAV (RIFF/PCM) — header decode + real sample decode
+  // ------------------------------------------------------------------
+
+  def isWav(bin: Column): Column =
+    length(bin) >= 44 && hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(bin, 9, 4)) === "57415645"                       // "WAVE"
+
+  /** Canonical-layout WAV header fields as column expressions (fmt chunk at
+    * offset 12, the layout every standard PCM writer emits — [[decodeAudio]]
+    * below walks chunks generally). */
+  def wavChannels(bin: Column): Column =
+    when(isWav(bin), byteAt(bin, 23) + byteAt(bin, 24) * 256)
+  def wavSampleRate(bin: Column): Column =
+    when(isWav(bin), leInt(bin, 25))
+  def wavBitsPerSample(bin: Column): Column =
+    when(isWav(bin), byteAt(bin, 35) + byteAt(bin, 36) * 256)
+
+  /** Decoded audio facts from a WAV payload: a real RIFF chunk walk (not
+    * fixed offsets) to the fmt + data chunks, then 16-bit LE PCM decode for
+    * RMS amplitude. Returns (channels, sampleRate, frames, rms in [0,1]);
+    * all zeros for non-WAV payloads. */
+  def decodeAudio(payload: Array[Byte]): (Int, Int, Long, Double) = {
+    if (payload.length < 44 || payload(0) != 'R' || payload(1) != 'I' ||
+        payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'W' ||
+        payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E')
+      return (0, 0, 0L, 0.0)
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var rms = 0.0
+    var frames = 0L
+    var off = 12
+    while (off + 8 <= payload.length) {
+      val cid = new String(payload, off, 4, "US-ASCII")
+      val size = leIntAt(payload, off + 4)
+      val body = off + 8
+      cid match {
+        case "fmt " if body + 16 <= payload.length =>
+          channels = u(payload(body + 2)) | (u(payload(body + 3)) << 8)
+          rate = leIntAt(payload, body + 4)
+          bits = u(payload(body + 14)) | (u(payload(body + 15)) << 8)
+        case "data" if bits == 16 && channels > 0 =>
+          val n = math.min(size, payload.length - body) / 2
+          var sumSq = 0.0
+          var i = 0
+          while (i < n) {
+            val s = ((u(payload(body + 2 * i)) |
+              (u(payload(body + 2 * i + 1)) << 8)).toShort).toInt
+            sumSq += s.toDouble * s.toDouble
+            i += 1
+          }
+          frames = n.toLong / channels
+          if (n > 0) rms = math.sqrt(sumSq / n) / 32768.0
+        case _ => ()
+      }
+      off = body + size + (size & 1) // RIFF chunks pad to even
+    }
+    (channels, rate, frames, rms)
+  }
+
+  /** A valid canonical PCM WAV: channels = 1 + id%2, sampleRate from a
+    * 4-value table, 16-bit, frames = 50 + id%50; sample k (interleaved
+    * order) = ((id*131 + k*17) mod 65536) - 32768 — SQL-replayable. */
+  val wavRates: Array[Int] = Array(8000, 16000, 22050, 44100)
+
+  def syntheticWav(id: Long): Array[Byte] = {
+    val channels = 1 + (id % 2).toInt
+    val rate = wavRates((id % 4).toInt)
+    val frames = 50 + (id % 50).toInt
+    val n = frames * channels // 16-bit samples
+    val dataSize = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < n) {
+      buf.putShort(((((id * 131 + k * 17) % 65536) + 65536) % 65536 - 32768).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
   private val bmpUdf = udf((id: Long) => syntheticBmp(id))
   private val pngUdf = udf((id: Long) => syntheticPng(id))
+  private val wavUdf = udf((id: Long) => syntheticWav(id))
+
+  /** Attach a synthetic WAV payload per row (audio fixture). */
+  def withSyntheticAudio(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload", wavUdf(col(idCol).cast("long")))
+
+  /** Audio feature extraction: same mapPartitions batch shape as
+    * [[extractFeatures]], over [[decodeAudio]]. Output one row per media:
+    * (media_id, channels, sample_rate, frames, rms). */
+  def extractAudioFeatures(media: DataFrame, targetPartitions: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("frames", LongType),
+      StructField("rms", DoubleType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media
+      .repartition(targetPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(r.fieldIndex("media_id"))
+          val (c, sr, f, rms) = decodeAudio(r.getAs[Array[Byte]]("payload"))
+          Row(id, c, sr, f, rms)
+        }
+      }(enc)
+  }
 
   /** Attach a synthetic image payload per row: all BMP, or (mixed=true)
     * BMP for even ids / PNG for odd — the two-container fixture. */

@@ -624,6 +624,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV audio decode: chunk walk + PCM samples match the formula, " +
+      "javax.sound agrees on format and sample bytes") {
+    val ids = Seq(0L, 1L, 5L, 50L, 99L)
+    ids.foreach { id =>
+      val bytes = Multimodal.syntheticWav(id)
+      val channels = 1 + (id % 2).toInt
+      val rate = Multimodal.wavRates((id % 4).toInt)
+      val frames = 50 + (id % 50).toInt
+      // engine decode (real chunk walk + 16-bit PCM loop)
+      val (c, sr, f, rms) = Multimodal.decodeAudio(bytes)
+      assert((c, sr, f) == ((channels, rate, frames.toLong)), s"id=$id")
+      val n = frames * channels
+      val want = math.sqrt((0 until n).map { k =>
+        val s = ((id * 131 + k * 17) % 65536 - 32768).toDouble; s * s
+      }.sum / n) / 32768.0
+      assert(math.abs(rms - want) < 1e-12, s"rms id=$id")
+      // third-party decoder agreement (pure JDK): format + raw frame bytes
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getChannels == channels && fmt.getSampleRate == rate.toFloat &&
+        fmt.getSampleSizeInBits == 16, s"javax format id=$id")
+      assert(in.getFrameLength == frames.toLong, s"javax frames id=$id")
+      val pcm = in.readAllBytes()
+      assert(pcm.length == 2 * n)
+      // first sample round-trips through javax's frame reader
+      val s0 = ((pcm(0) & 0xFF) | ((pcm(1) & 0xFF) << 8)).toShort.toInt
+      assert(s0 == (id * 131 % 65536).toInt - 32768, s"sample0 id=$id")
+    }
+    // non-WAV payload degrades to zeros, no throw
+    assert(Multimodal.decodeAudio("not audio".getBytes) == ((0, 0, 0L, 0.0)))
+  }
+
   test("BMP pixel features: decoded means equal the generation formula " +
       "(offset/padding/channel alignment)") {
     val ids = (0L to 15L)
