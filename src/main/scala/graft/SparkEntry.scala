@@ -1419,6 +1419,11 @@ object SparkEntry {
     "t16_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Text: corpus-unigram LM score (CCNet-style perplexity filter with the
+    // corpus itself as the LM) — mean -log2 p(token) per document.
+    "t18_unigram_nll" -> ((s, dir) =>
+      TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
+
     // Composite embedding-dedup DAG: LSH-bucketed cosine near-dup pairs
     // (the e6 scale path) → connected components → keeper/drop decision —
     // the full near-duplicate removal pipeline over embeddings, chained
@@ -1551,6 +1556,20 @@ object SparkEntry {
           col("frames"),
           round(col("rms"), 4).as("rms"),
           round(col("frames") * 1000.0 / col("sample_rate"), 4).as("duration_ms"))
+    }),
+
+    // Multimodal video: AVI header decode with pure column expressions —
+    // dimensions/frame-count/fps are the pipeline-relevant video facts;
+    // frame payloads stay opaque (external-codec concern).
+    "mm6_video_meta" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.withSyntheticVideo(
+        t(s, dir, "documents"), "doc_id")
+      media.select(col("doc_id").cast("long").as("media_id"),
+        graft.pipeline.Multimodal.aviWidth(col("payload")).as("w"),
+        graft.pipeline.Multimodal.aviHeight(col("payload")).as("h"),
+        graft.pipeline.Multimodal.aviTotalFrames(col("payload")).cast("long").as("frames"),
+        round(lit(1000000.0) /
+          graft.pipeline.Multimodal.aviMicroSecPerFrame(col("payload")), 4).as("fps"))
     }),
 
     // Beyond-reference analytics: rollup (grouping sets family).
@@ -2520,6 +2539,19 @@ object SparkEntry {
         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) + 0.0 AS entropy
         |FROM tc GROUP BY doc_id""".stripMargin,
 
+    "t18_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |freq AS (SELECT tok, count(*) AS nw FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(-avg(log2(nw * 1.0 / total)), 4) AS nll_bits
+        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
     "d8_simhash64_pairs" ->
       """WITH tok AS (SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
@@ -3016,6 +3048,18 @@ object SparkEntry {
         |        / 32768.0 AS rms
         |    FROM range(0, 198) t(k)
         |    WHERE k < d.frames * d.channels) s""".stripMargin,
+
+    // AVI header fields by formula (Multimodal.syntheticAvi): w = 16*(2 +
+    // id%4), h = 8*(4 + id%8), frames = 30 + id%30, fps from the 4-value
+    // exact-period table.
+    "mm6_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 * (2 + doc_id % 4) AS INT) AS w,
+        |  CAST(8 * (4 + doc_id % 8) AS INT) AS h,
+        |  CAST(30 + doc_id % 30 AS BIGINT) AS frames,
+        |  round(CAST(CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 20
+        |       WHEN 2 THEN 25 ELSE 40 END AS DOUBLE), 4) AS fps
+        |FROM documents""".stripMargin,
 
     // Header fields by formula; the engine must parse them back out of the
     // container bytes (BMP little-endian vs PNG big-endian dims).

@@ -316,9 +316,96 @@ object Multimodal {
     buf.array()
   }
 
+  // ------------------------------------------------------------------
+  // Video: AVI (RIFF) — header decode; frame payloads stay opaque (a real
+  // deployment hands them to an external codec; headers carry the
+  // pipeline-relevant facts: dimensions, frame count, fps)
+  // ------------------------------------------------------------------
+
+  def isAvi(bin: Column): Column =
+    length(bin) >= 72 && hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(bin, 9, 4)) === "41564920"                       // "AVI "
+
+  /** avih fields at the canonical layout (LIST hdrl at 12, avih at 24,
+    * fields from 32): all standard writers emit this shape. */
+  def aviMicroSecPerFrame(bin: Column): Column = when(isAvi(bin), leInt(bin, 33))
+  def aviTotalFrames(bin: Column): Column = when(isAvi(bin), leInt(bin, 49))
+  def aviWidth(bin: Column): Column = when(isAvi(bin), leInt(bin, 65))
+  def aviHeight(bin: Column): Column = when(isAvi(bin), leInt(bin, 69))
+
+  /** General RIFF walk to the avih header (not fixed offsets):
+    * (width, height, totalFrames, fps). Zeros for non-AVI payloads. */
+  def decodeVideoMeta(payload: Array[Byte]): (Int, Int, Long, Double) = {
+    if (payload.length < 24 || payload(0) != 'R' || payload(1) != 'I' ||
+        payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'A' ||
+        payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ')
+      return (0, 0, 0L, 0.0)
+    var off = 12
+    while (off + 8 <= payload.length) {
+      val cid = new String(payload, off, 4, "US-ASCII")
+      val size = leIntAt(payload, off + 4)
+      val body = off + 8
+      if (cid == "LIST" && body + 4 <= payload.length &&
+          new String(payload, body, 4, "US-ASCII") == "hdrl") {
+        var in = body + 4
+        while (in + 8 <= body + size) {
+          val sub = new String(payload, in, 4, "US-ASCII")
+          val subSize = leIntAt(payload, in + 4)
+          if (sub == "avih" && in + 8 + 40 <= payload.length) {
+            val base = in + 8
+            val usPerFrame = leIntAt(payload, base)
+            val frames = leIntAt(payload, base + 16).toLong
+            val w = leIntAt(payload, base + 32)
+            val h = leIntAt(payload, base + 36)
+            val fps = if (usPerFrame > 0) 1e6 / usPerFrame else 0.0
+            return (w, h, frames, fps)
+          }
+          in += 8 + subSize + (subSize & 1)
+        }
+      }
+      off = body + size + (size & 1)
+    }
+    (0, 0, 0L, 0.0)
+  }
+
+  /** Frame rates with exact microsecond periods (1e6 divisible). */
+  val aviFps: Array[Int] = Array(10, 20, 25, 40)
+
+  /** A structurally valid AVI: RIFF/AVI + LIST hdrl(avih) + empty LIST
+    * movi. Frame data intentionally absent — video frame decode is an
+    * external-codec concern; the header is what the pipeline reads. */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val fps = aviFps((id % 4).toInt)
+    val frames = 30 + (id % 30).toInt
+    val w = 16 * (2 + (id % 4).toInt)
+    val h = 8 * (4 + (id % 8).toInt)
+    val hdrlBody = 4 + 8 + 56           // "hdrl" + avih chunk
+    val moviBody = 4                    // "movi"
+    val total = 12 + (8 + hdrlBody) + (8 + moviBody)
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("AVI ".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII")).putInt(hdrlBody)
+      .put("hdrl".getBytes("US-ASCII"))
+    buf.put("avih".getBytes("US-ASCII")).putInt(56)
+    buf.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)   // usPerFrame..flags
+    buf.putInt(frames).putInt(0).putInt(1).putInt(0)          // totalFrames..sugBuf
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)               // reserved[4]
+    buf.put("LIST".getBytes("US-ASCII")).putInt(moviBody)
+      .put("movi".getBytes("US-ASCII"))
+    buf.array()
+  }
+
   private val bmpUdf = udf((id: Long) => syntheticBmp(id))
   private val pngUdf = udf((id: Long) => syntheticPng(id))
   private val wavUdf = udf((id: Long) => syntheticWav(id))
+  private val aviUdf = udf((id: Long) => syntheticAvi(id))
+
+  /** Attach a synthetic AVI payload per row (video fixture). */
+  def withSyntheticVideo(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload", aviUdf(col(idCol).cast("long")))
 
   /** Attach a synthetic WAV payload per row (audio fixture). */
   def withSyntheticAudio(df: DataFrame, idCol: String): DataFrame =

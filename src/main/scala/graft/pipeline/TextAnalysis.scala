@@ -170,6 +170,32 @@ object TextAnalysis {
         round(log2(col("__n__")) - col("__cl__") / col("__n__"), 4)
           .as("entropy"))
 
+  /** Corpus-unigram language-model score — the CCNet/RefinedWeb-style "LM
+    * perplexity" quality filter with the corpus itself as the LM (a unigram
+    * stand-in for KenLM): per document, the mean negative log2-likelihood
+    * of its tokens under corpus unigram frequencies (bits/token; perplexity
+    * = 2^nll). Low = stereotypical text, high = rare-token-heavy.
+    *
+    * Shapes at 100 TB: corpus frequency is a count window over the token
+    * partition of the SAME exploded frame (one shuffle on token — the
+    * vocabulary is unbounded, so no broadcast); the corpus total is a
+    * 1-row broadcast; the per-doc mean is one map-side-combinable shuffle
+    * on the id. log2 (not ln) for cross-engine parity at round(4) — the
+    * same choice tokenEntropy made. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val total = toks.agg(count(lit(1)).as("__total__"))
+    toks
+      .withColumn("__nw__", count(lit(1)).over(Window.partitionBy("tok")))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(-avg(log2(col("__nw__").cast("double") / col("__total__"))), 4)
+          .as("nll_bits"))
+  }
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))

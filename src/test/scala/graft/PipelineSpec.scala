@@ -657,6 +657,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio("not audio".getBytes) == ((0, 0, 0L, 0.0)))
   }
 
+  test("AVI video header decode: RIFF walk == canonical-offset column " +
+      "expressions == generation formula") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L to 15L)
+    ids.foreach { id =>
+      val (w, h, frames, fps) = Multimodal.decodeVideoMeta(Multimodal.syntheticAvi(id))
+      assert(w == 16 * (2 + id % 4) && h == 8 * (4 + id % 8), s"dims id=$id")
+      assert(frames == 30 + id % 30, s"frames id=$id")
+      assert(fps == Multimodal.aviFps((id % 4).toInt).toDouble, s"fps id=$id")
+    }
+    val got = Multimodal.withSyntheticVideo(ids.toDF("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        Multimodal.aviWidth(col("payload")).as("w"),
+        Multimodal.aviHeight(col("payload")).as("h"),
+        Multimodal.aviTotalFrames(col("payload")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    ids.foreach { id =>
+      val (w, h, f, _) = Multimodal.decodeVideoMeta(Multimodal.syntheticAvi(id))
+      assert(got(id) == ((w, h, f.toInt)), s"column exprs id=$id")
+    }
+    assert(Multimodal.decodeVideoMeta("RIFFxxxxWAVE".getBytes) == ((0, 0, 0L, 0.0)))
+  }
+
   test("BMP pixel features: decoded means equal the generation formula " +
       "(offset/padding/channel alignment)") {
     val ids = (0L to 15L)
