@@ -8,6 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.storage._
 
+/** Local filesystem that refuses append — models the object-store FS shape
+  * (s3a) for the footer-stamp fallback test. Must be a top-level class so
+  * Hadoop can reflectively instantiate it. */
+class NoAppendFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("noappend://x")
+  override def append(f: org.apache.hadoop.fs.Path, bufferSize: Int,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
+    throw new UnsupportedOperationException("append not supported (object store)")
+}
+
 object SparkTestSession {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -375,6 +385,28 @@ class StorageSpec extends AnyFunSuite {
     try assert(reader.getRecordCount == 3) finally reader.close()
     assert(spark.read.parquet(sst.path).count() == 3)
     assert(s.scanSorted().collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("sorting_columns stamp degrades gracefully on append-less filesystems " +
+      "(the s3a shape): file untouched, still readable") {
+    // A filesystem that rejects append — registered under its own scheme so
+    // the whole write path runs against it, like an object store would.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setClass("fs.noappend.impl", classOf[NoAppendFileSystem],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val local = tmpRoot()
+    val sfs = StoreFs(s"noappend://x$local", conf)
+    // write a parquet through Spark at the LOCAL path, address it via the
+    // no-append scheme for the stamp call
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, 2, 3L)), 1), abSchema)
+    df.write.mode("overwrite").parquet(s"$local/p")
+    val part = sfs.list(new org.apache.hadoop.fs.Path(s"noappend://x$local/p"))
+      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith(".")).get
+    val sizeBefore = sfs.size(part)
+    assert(!sfs.stampSortingColumns(part, Seq((0, false, true))))
+    assert(sfs.size(part) == sizeBefore) // untouched
+    assert(sfs.parquetRowCount(part) == 1) // still a valid parquet
   }
 
   test("storage root as an explicit file: URI — manifest + SST round-trip " +
