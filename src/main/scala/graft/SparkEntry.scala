@@ -1461,6 +1461,27 @@ object SparkEntry {
           (col("id") === col("cluster_id")).as("is_keeper"))
     }),
 
+    // Composite SemDeDup DAG (Abbas et al. 2023): semantic dedup with the
+    // embedding's cluster as the blocking key — within-cluster ALL-pairs
+    // cosine is the published algorithm, and the cluster bound is exactly
+    // what makes it tractable (per-cluster m² work sharded across clusters,
+    // never corpus n²; at 100 TB the clusters come from the IVF coarse
+    // quantizer — here the label column plays that role so the oracle can
+    // replay the clustering exactly) → connected components → keeper.
+    "c4_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("__va__"))
+      val b = emb.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("__vb__"))
+      val pairs = a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("__va__"), col("__vb__")) >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateClusters(Dedup.boundedTwoHopClosure(pairs))
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_keeper"))
+    }),
+
     // PII redaction. The synthetic corpus carries no PII, so the input is
     // salted deterministically from doc_id (same construction in the oracle)
     // to make every redaction pattern actually fire.
@@ -2609,6 +2630,27 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
         |SELECT node AS doc_id, min(r) AS cluster_id,
+        |  node = min(r) AS is_keeper
+        |FROM reach GROUP BY node""".stripMargin,
+
+    // Within-label pairwise cosine >= 0.3 → undirected edges → recursive
+    // min-label components (the d6 oracle shape over the e1 cosine shape).
+    "c4_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        |    >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT node AS vec_id, min(r) AS cluster_id,
         |  node = min(r) AS is_keeper
         |FROM reach GROUP BY node""".stripMargin,
 

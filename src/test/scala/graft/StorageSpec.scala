@@ -173,6 +173,38 @@ class StorageSpec extends AnyFunSuite {
     assert(m3.allSsts().sortBy(_.id).map(_.path) == paths)
   }
 
+  test("manifest crash recovery: stale deltas/snapshots at or below the " +
+      "newest snapshot seq are ignored on load and swept at next merge") {
+    val root = tmpRoot()
+    val m1 = new Manifest(root, mergeThreshold = Int.MaxValue)
+    m1.addFile(SstFile(1, "/a", 1, 1, TimeRange(0, 10)))   // delta-1
+    m1.addFile(SstFile(2, "/b", 1, 1, TimeRange(10, 20)))  // delta-2
+    m1.update(Nil, deleteIds = Seq(1))                     // delta-3: del 1
+    m1.mergeSnapshot()                                     // snapshot-3
+    // simulate a crash that failed to delete a merged delta: re-create
+    // delta-1 (an "add 1" that snapshot-3 already incorporated and a later
+    // delta deleted). A naive loader would resurrect file 1.
+    val mdir = java.nio.file.Paths.get(root, "manifest")
+    java.nio.file.Files.writeString(
+      mdir.resolve(f"delta-${1L}%020d.jsonl"),
+      """{"op":"add","id":1,"path":"/a","numRows":1,"sizeBytes":1,"start":0,"end":10}""" + "\n")
+    // and a stale older snapshot from an earlier crash
+    java.nio.file.Files.writeString(
+      mdir.resolve(f"snapshot-${2L}%020d.jsonl"),
+      """{"op":"add","id":9,"path":"/ghost","numRows":1,"sizeBytes":1,"start":0,"end":10}""" + "\n")
+    val m2 = new Manifest(root)
+    assert(m2.allSsts().map(_.id) == Seq(2L), "stale files must not replay")
+    // new work + merge sweeps the leftovers
+    m2.addFile(SstFile(3, "/c", 1, 1, TimeRange(20, 30)))
+    m2.mergeSnapshot()
+    import scala.jdk.CollectionConverters._
+    val left = java.nio.file.Files.list(mdir).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toList.sorted
+    assert(left == List(f"snapshot-${4L}%020d.jsonl"), s"leftovers: $left")
+    val m3 = new Manifest(root)
+    assert(m3.allSsts().map(_.id).sorted == Seq(2L, 3L))
+  }
+
   test("compaction picker (picker.rs:201-236)") {
     // 5 SSTs, id i, range [10i,10i+10), size 100-i, segment 20ms, expire at 15
     val files = (0 to 4).map(i =>
