@@ -75,11 +75,38 @@ class PlanSpec extends AnyFunSuite {
     // join in the plan would mean the candidate restriction silently
     // degenerated to all-pairs.
     for (q <- Seq("d7_simhash_pairs", "d8_simhash64_pairs", "e6_lsh_neardup",
-        "rj1_range_pairs")) {
+        "rj1_range_pairs", "c4_semantic_dedup")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(2000)}")
     }
+  }
+
+  test("multimodal header decodes stay codegen'd column expressions (no UDF " +
+      "in the metadata path)") {
+    // mm3/mm4/mm6 metadata scans must be pure expressions over the payload
+    // bytes: a (Batch)ScalaUDF in the plan would mean the header parse fell
+    // off the codegen path. (The fixture's payload GENERATOR is a udf; it
+    // feeds the scan and is allowed — we assert on the projection stage by
+    // checking the decode exprs themselves are substring/conv trees.)
+    import graft.pipeline.Multimodal
+    import org.apache.spark.sql.functions.{col, lit}
+    val bin = spark.range(1).select(lit(Array[Byte](1, 2, 3)).as("p"))
+    for (c <- Seq(Multimodal.imageWidth(col("p")), Multimodal.wavSampleRate(col("p")),
+        Multimodal.aviTotalFrames(col("p")))) {
+      val e = bin.select(c.as("out")).queryExecution.analyzed.toString.toLowerCase
+      assert(!e.contains("udf"), s"decode expr contains a UDF: $e")
+      assert(e.contains("substring") && e.contains("conv"), s"unexpected shape: $e")
+    }
+    // and end-to-end: a real-payload metadata scan keeps whole-stage codegen
+    val media = Multimodal.toMedia(
+      Multimodal.withSyntheticImages(
+        spark.range(8).toDF("doc_id"), "doc_id", mixed = true),
+      "doc_id", "payload", "application/octet-stream")
+    val plan = media.select(col("meta.width"), col("meta.height"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in the tree dump
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan.take(1500))
   }
 }
