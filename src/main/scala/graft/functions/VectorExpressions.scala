@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the embedding hot path: double-precision
-  * dot product of two float-vector columns.
+  * dot product of two vector columns (array<float> or array<double>, mixed
+  * allowed — float elements widen exactly).
   *
   * The composable form (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) builds an
   * intermediate array per row and interprets a lambda per element; this
@@ -25,13 +26,19 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two array<float> arguments, " +
+          s"$prettyName requires two array<float|double> arguments, " +
             s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
   }
@@ -39,11 +46,15 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val aFloat = elemType(left).contains(FloatType)
+    val bFloat = elemType(right).contains(FloatType)
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
       i += 1
     }
     acc
@@ -54,11 +65,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      def get(arr: String, e: Expression): String =
+        if (elemType(e).contains(FloatType)) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $l.getFloat($i) * (double) $r.getFloat($i);
+         |  $acc += ${get(l, left)} * ${get(r, right)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -41,6 +41,32 @@ object PipeProbe {
     timed("connected components") {
       println(s"[probe]   rows = ${Dedup.duplicateClusters(closed).count()}")
     }
+
+    // c4 semantic-dedup stages (within-label all-pairs on unit vectors)
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val unit = emb
+      .withColumn("__n__", Similarity.norm(col("embedding")))
+      .select(col("label"), col("vec_id"),
+        when(col("__n__") =!= 0.0,
+          transform(col("embedding"), x => x / col("__n__"))).as("__u__"))
+    val sPairs = timed("semantic pairs") {
+      val a = unit.select(col("label"), col("vec_id").as("id_a"), col("__u__").as("__ua__"))
+      val b = unit.select(col("label"), col("vec_id").as("id_b"), col("__u__").as("__ub__"))
+      val p = a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .filter(Similarity.dot(col("__ua__"), col("__ub__")) >= 0.3)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      println(s"[probe]   sem pairs = ${p.count()}")
+      p
+    }
+    val sClosed = timed("sem two-hop closure") {
+      val c = Dedup.boundedTwoHopClosure(sPairs).localCheckpoint()
+      println(s"[probe]   closed = ${c.count()}")
+      c
+    }
+    timed("sem components") {
+      println(s"[probe]   rows = ${Dedup.duplicateClusters(sClosed).count()}")
+    }
     spark.stop()
   }
 }
