@@ -64,6 +64,10 @@ object PipeProbe {
       println(s"[probe]   closed = ${c.count()}")
       c
     }
+    // Measured once at sf0.1 (round 7): compressPaths=true pointer jumping
+    // is 3.2-16 s vs naive 2.7-4.2 s on these graphs — the per-round
+    // self-join + cache materialization costs more than the rounds it
+    // saves at local job-launch latency; naive min-label stays the default.
     timed("sem components") {
       println(s"[probe]   rows = ${Dedup.duplicateClusters(sClosed).count()}")
     }
