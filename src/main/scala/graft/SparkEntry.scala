@@ -1231,6 +1231,60 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3)
     }),
 
+    // Dedup: n-gram CONTAINMENT over the same bounded pair set — one-sided
+    // |A∩B|/|A| catches short-in-long embedding that Jaccard dilutes; the
+    // three counts come from ONE native gram pass as exact integers.
+    "d10_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.ngramContainment(docs, pairs, "doc_id", "text", n = 3)
+    }),
+
+    // Sketch: deterministic HyperLogLog distinct-count of events.user_id
+    // (m=256 registers, md5 bucketing + hex-space leading-zero rank) with
+    // the exact count alongside — the cross-engine-verifiable analog of
+    // approx_count_distinct; state is 256 rows however large the corpus.
+    "sk1_hll_distinct" -> ((s, dir) =>
+      graft.pipeline.Sketches.hllDistinct(
+        t(s, dir, "events"), col("user_id"))),
+
+    // Sketch: count-min point queries (d=4 rows × w=32 cells, one
+    // increment per event) for every distinct user, next to exact counts —
+    // estimates never undercount, overcount only on collision.
+    "sk2_cms_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cells = graft.pipeline.Sketches.cmsCells(ev, col("user_id"))
+      val probe = ev.select(col("user_id")).distinct()
+      val exact = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("exact_count"))
+      graft.pipeline.Sketches.cmsEstimate(cells, probe, col("user_id"))
+        .select(col("probe_key").cast("long").as("user_id"), col("cms_est"))
+        .join(exact, "user_id")
+        .select(col("user_id"), col("exact_count"), col("cms_est"))
+    }),
+
+    // Sketch: Bloom-filter content membership — filter built over the
+    // even-doc texts (8192 bits, k=4, packed 32-bit words via bit_or),
+    // every document probed; no false negatives by construction,
+    // false positives flagged against ground truth.
+    "bf1_bloom_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val members = docs.filter(col("doc_id") % 2 === 0)
+      val filter = graft.pipeline.Sketches.bloomBuild(members, col("text"))
+      val truth = members.select(col("text")).distinct()
+        .withColumn("__m__", lit(true))
+      graft.pipeline.Sketches.bloomProbe(filter, docs, "doc_id", col("text"))
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .join(truth, Seq("text"), "left")
+        .select(col("doc_id"), col("maybe_member"),
+          coalesce(col("__m__"), lit(false)).as("is_member"),
+          (col("maybe_member") && !coalesce(col("__m__"), lit(false)))
+            .as("is_false_positive"))
+    }),
+
     // Dedup endgame: candidate pairs -> connected components -> keeper/drop.
     "d6_dup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
@@ -2616,6 +2670,95 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin,
+
+    "d10_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |           i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+        |  FROM d),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) / sa.n, 4) AS contain_a,
+        |  round(CAST(n_common AS DOUBLE) / sb.n, 4) AS contain_b,
+        |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin,
+
+    // Full HLL replay: md5 bucket byte, 13-hex-char leading-zero rank,
+    // per-bucket max, α·m²/Σ2^-ρ with linear-counting small-range branch.
+    "sk1_hll_distinct" ->
+      """WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |r AS (SELECT CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS bucket,
+        |             substr(h, 3, 13) AS sub FROM h),
+        |rho AS (SELECT bucket,
+        |    CASE WHEN length(regexp_extract(sub, '^0*')) = 13 THEN 53
+        |         ELSE length(regexp_extract(sub, '^0*')) * 4 +
+        |           CASE substr(sub, length(regexp_extract(sub, '^0*')) + 1, 1)
+        |             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |             WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+        |  FROM r),
+        |reg AS (SELECT bucket, max(rho) AS max_rho FROM rho GROUP BY bucket),
+        |agg AS (SELECT count(*) AS n_used, sum(pow(2.0, -max_rho)) AS s FROM reg),
+        |est AS (SELECT n_used, 256 - n_used AS n_empty,
+        |    (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / (s + (256 - n_used)) AS raw
+        |  FROM agg)
+        |SELECT CAST(n_used AS BIGINT) AS n_used,
+        |  CAST(n_empty AS BIGINT) AS n_empty,
+        |  round(CASE WHEN raw <= 640 AND n_empty > 0
+        |             THEN 256 * ln(256.0 / n_empty) ELSE raw END, 3) AS estimate,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+        |    AS exact_distinct
+        |FROM est""".stripMargin,
+
+    "sk2_cms_counts" ->
+      """WITH ks AS (SELECT DISTINCT user_id FROM events),
+        |cells AS (SELECT i,
+        |    CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || '|' ||
+        |      CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) % 32 AS pos,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN generate_series(0, 3) t(i)
+        |  GROUP BY 1, 2),
+        |probe AS (SELECT user_id, i,
+        |    CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || '|' ||
+        |      CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) % 32 AS pos
+        |  FROM ks CROSS JOIN generate_series(0, 3) t(i)),
+        |est AS (SELECT user_id, min(cnt) AS cms_est
+        |  FROM probe JOIN cells USING (i, pos) GROUP BY user_id),
+        |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, exact_count, cms_est
+        |FROM est JOIN exact USING (user_id)""".stripMargin,
+
+    "bf1_bloom_probe" ->
+      """WITH members AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        |mpos AS (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || '|' || text),
+        |      1, 4)) AS BIGINT) % 8192 AS pos
+        |  FROM members CROSS JOIN generate_series(0, 3) t(i)),
+        |words AS (SELECT pos // 32 AS word_idx,
+        |    bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+        |  FROM mpos GROUP BY 1),
+        |ppos AS (SELECT d.doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || '|' || d.text),
+        |      1, 4)) AS BIGINT) % 8192 AS pos
+        |  FROM documents d CROSS JOIN generate_series(0, 3) t(i)),
+        |probe AS (SELECT doc_id,
+        |    bool_and(coalesce(word, 0) & (1::BIGINT << CAST(pos % 32 AS INTEGER))
+        |             <> 0) AS maybe_member
+        |  FROM ppos LEFT JOIN words ON words.word_idx = ppos.pos // 32
+        |  GROUP BY doc_id)
+        |SELECT p.doc_id, p.maybe_member,
+        |  d.text IN (SELECT text FROM members) AS is_member,
+        |  p.maybe_member AND d.text NOT IN (SELECT text FROM members)
+        |    AS is_false_positive
+        |FROM probe p JOIN documents d ON d.doc_id = p.doc_id""".stripMargin,
 
     "d6_dup_clusters" ->
       """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),

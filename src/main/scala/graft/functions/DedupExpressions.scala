@@ -158,7 +158,7 @@ object NgramJaccard {
     * then `array_distinct`: substr truncates at the end of the string, and
     * the degenerate positions of a short/empty string yield one
     * short/empty gram. */
-  private def grams(s: String, n: Int): java.util.HashSet[String] = {
+  private[functions] def gramSet(s: String, n: Int): java.util.HashSet[String] = {
     val cps = s.codePoints().toArray
     val nG = math.max(cps.length - (n - 1), 1)
     val set = new java.util.HashSet[String](nG * 2)
@@ -171,14 +171,68 @@ object NgramJaccard {
   }
 
   def compute(a: UTF8String, b: UTF8String, n: Int): Double = {
-    val sa = grams(a.toString, n)
-    val sb = grams(b.toString, n)
+    val sa = gramSet(a.toString, n)
+    val sb = gramSet(b.toString, n)
     val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
     var inter = 0
     val it = small.iterator()
     while (it.hasNext) if (big.contains(it.next())) inter += 1
     if (inter == 0) 0.0
     else inter.toDouble / (sa.size + sb.size - inter)
+  }
+}
+
+/** Native character-n-gram set overlap of two texts: returns the EXACT
+  * integer triple `[|A ∩ B|, |A|, |B|]` (distinct n-grams, same gram
+  * semantics as [[NgramJaccard]]) as `array<bigint>`.
+  *
+  * Jaccard divides too early for some dedup decisions: containment
+  * `|A ∩ B| / |A|` catches a short document embedded verbatim inside a
+  * long one (quote farms, aggregator pages), where Jaccard is diluted by
+  * the long side's size. Returning the raw integers lets the caller derive
+  * jaccard, either containment, or overlap coefficient from ONE gram pass
+  * — and integers are exact across engines, so the division (and its
+  * rounding) happens once, in the query, identically in Spark and the
+  * DuckDB oracle.
+  */
+case class NgramOverlap(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "ngram_overlap"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramOverlap.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NgramOverlap.compute($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramOverlap {
+  def compute(a: UTF8String, b: UTF8String, n: Int): ArrayData = {
+    val sa = NgramJaccard.gramSet(a.toString, n)
+    val sb = NgramJaccard.gramSet(b.toString, n)
+    val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var inter = 0L
+    val it = small.iterator()
+    while (it.hasNext) if (big.contains(it.next())) inter += 1
+    new GenericArrayData(Array[Any](inter, sa.size.toLong, sb.size.toLong))
   }
 }
 
@@ -192,5 +246,10 @@ object DedupFunctions {
   /** Column API for [[NgramJaccard]]. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column =
     GraftShims.column(NgramJaccard(GraftShims.expression(a),
+      GraftShims.expression(b), n))
+
+  /** Column API for [[NgramOverlap]] — `[intersection, |A|, |B|]` longs. */
+  def ngramOverlap(a: Column, b: Column, n: Int): Column =
+    GraftShims.column(NgramOverlap(GraftShims.expression(a),
       GraftShims.expression(b), n))
 }

@@ -519,4 +519,35 @@ object Dedup {
       .where(col("__j__") > 0)
       .select(col("id_a"), col("id_b"), round(col("__j__"), 4).as("jaccard"))
   }
+
+  /** n-gram CONTAINMENT verification over candidate pairs: for each pair,
+    * `|A ∩ B| / |A|` and `|A ∩ B| / |B|` plus jaccard, from ONE native
+    * gram pass ([[graft.functions.NgramOverlap]] — exact integer counts,
+    * divisions done once here so Spark and the oracle round identically).
+    *
+    * Containment is the dedup signal Jaccard misses: a short document
+    * embedded verbatim in a long one (quote farm, aggregator page, doc +
+    * appended boilerplate) has containment ≈ 1 on the short side while
+    * jaccard is diluted to |A|/|B|. Broder's original resemblance/
+    * containment pair — run over bounded candidates only, same plan shape
+    * as [[ngramJaccard]] (pairs broadcast against the corpus, zero
+    * shuffle). */
+  def ngramContainment(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta__"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb__"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("__ov__", graft.functions.DedupFunctions
+        .ngramOverlap(col("__ta__"), col("__tb__"), n))
+      .select(col("id_a"), col("id_b"),
+        element_at(col("__ov__"), 1).as("n_common"),
+        element_at(col("__ov__"), 2).as("n_a"),
+        element_at(col("__ov__"), 3).as("n_b"))
+      .where(col("n_common") > 0)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("n_common") / col("n_a"), 4).as("contain_a"),
+        round(col("n_common") / col("n_b"), 4).as("contain_b"),
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+  }
 }

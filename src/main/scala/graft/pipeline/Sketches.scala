@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketches for corpus-scale statistics, built DETERMINISTIC
+  * and engine-portable: every hash is md5 hex (bit-identical in any engine),
+  * every register update is an exact-integer or exact-power-of-two
+  * operation, so a DuckDB oracle can replay the whole sketch and the final
+  * estimates hash-match. (Spark's own `approx_count_distinct` / stat
+  * `bloomFilter` use engine-private hashing and random seeds — fine in
+  * production, unverifiable cross-engine; these are drop-in equivalents
+  * with the same scale shape.)
+  *
+  * Scale shape, common to all three: the sketch state is O(registers) —
+  * hundreds of rows — built by ONE map-side-combinable aggregation over the
+  * corpus (partial max/count/bit_or collapses per-partition before the
+  * shuffle; the exchange carries at most `numPartitions × registers` rows
+  * regardless of input size), and probes join against a broadcast-sized
+  * state. This is exactly how a 100 TB distinct-count or membership pass
+  * should look: no corpus-sized state, no second scan.
+  */
+object Sketches {
+
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** HyperLogLog registers over `key`: bucket = first byte of md5 (m=256
+    * registers, b=8), rho = 1 + number of leading zero bits in the next 52
+    * bits (13 hex chars — leading-zero count done in hex-char space so both
+    * engines compute it with string ops, never float log2). Returns
+    * (bucket, max_rho) for OCCUPIED buckets only — the merge-able sketch
+    * state (union of corpora = max per bucket). */
+  def hllRegisters(df: DataFrame, key: Column): DataFrame = {
+    val h = md5(key.cast("string"))
+    val sub = substring(h, 3, 13) // 52 bits after the 8 bucket bits
+    val lz = length(regexp_extract(sub, "^0*", 0))
+    val firstNz = substr(sub, (lz + 1).cast("int"), lit(1))
+    // leading-zero BITS inside the first non-zero hex digit
+    val nzBits = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(lz === 13, lit(53))
+      .otherwise(lz * 4 + nzBits + 1)
+    df.select(conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
+        rho.cast("long").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("max_rho"))
+  }
+
+  /** The standard HLL estimate (Flajolet et al. 2007) from a register
+    * frame: raw = α·m² / Σ 2^-M_j (absent buckets contribute 2⁰ = 1),
+    * with the small-range linear-counting correction when raw ≤ 2.5m and
+    * empty buckets exist. One row: (n_buckets_used, n_empty, estimate).
+    * All terms are exact powers of two (order-independent float sum) and
+    * the only libm call is one `ln` — cross-engine-stable under round(3). */
+  def hllEstimate(registers: DataFrame, m: Int = 256): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers.agg(
+        count(lit(1)).as("n_used"),
+        sum(pow(lit(2.0), -col("max_rho"))).as("__s__"))
+      .select(col("n_used"),
+        (lit(m.toLong) - col("n_used")).as("n_empty"),
+        (col("__s__") + (lit(m) - col("n_used"))).as("__sum__"))
+      .select(col("n_used"), col("n_empty"),
+        (lit(alpha * m.toDouble * m) / col("__sum__")).as("__raw__"))
+      .select(col("n_used"), col("n_empty"),
+        round(when(col("__raw__") <= 2.5 * m && col("n_empty") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty")))
+          .otherwise(col("__raw__")), 3).as("estimate"))
+  }
+
+  /** Distinct-count estimate of `key` in one query: the HLL estimate row
+    * joined (scalar cross of two 1-row frames) with the exact count for
+    * accuracy inspection. */
+  def hllDistinct(df: DataFrame, key: Column, m: Int = 256): DataFrame = {
+    val est = hllEstimate(hllRegisters(df, key), m)
+    val exact = df.agg(count_distinct(key).as("exact_distinct"))
+    est.crossJoin(exact)
+  }
+
+  // ------------------------------------------------------- Count-min sketch
+
+  /** Count-min sketch cells over `key` (one increment per input ROW):
+    * depth rows of width cells; row i hashes the key to
+    * `md5(i || '|' || key)` and increments cell (i, first-byte % width).
+    * Returns (row_id, pos, cnt) — the sketch, d×w counters total, built by
+    * one map-side-combinable aggregation. */
+  def cmsCells(df: DataFrame, key: Column, depth: Int = 4,
+      width: Int = 32): DataFrame = {
+    require(width <= 256, "width > 256 needs more than one hash byte")
+    val rows = array((0 until depth).map { i =>
+      struct(lit(i).cast("long").as("row_id"),
+        (conv(substring(md5(concat_ws("|", lit(i), key.cast("string"))),
+          1, 2), 16, 10).cast("long") % width).as("pos"))
+    }: _*)
+    df.select(explode(rows).as("c"))
+      .select(col("c.row_id"), col("c.pos"))
+      .groupBy("row_id", "pos").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query every distinct key of `probe` against a count-min sketch:
+    * estimate = min over rows of the key's cell — never under the true
+    * count, over only on collision. Output (key, cms_est) exact integers.
+    * The cells frame is d×w rows, broadcast into the probe join. */
+  def cmsEstimate(cells: DataFrame, probe: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 32): DataFrame = {
+    val rows = array((0 until depth).map { i =>
+      struct(lit(i).cast("long").as("row_id"),
+        (conv(substring(md5(concat_ws("|", lit(i), key.cast("string"))),
+          1, 2), 16, 10).cast("long") % width).as("pos"))
+    }: _*)
+    probe.select(key.cast("string").as("probe_key"), explode(rows).as("c"))
+      .select(col("probe_key"), col("c.row_id"), col("c.pos"))
+      .join(broadcast(cells), Seq("row_id", "pos"))
+      .groupBy("probe_key").agg(min("cnt").as("cms_est"))
+  }
+
+  // ----------------------------------------------------------- Bloom filter
+
+  /** Bloom filter over the `key` values of `members`, packed into
+    * `numBits/32` BIGINT words of 32 used bits each (32, not 64: a shift
+    * into bit 63 overflows signed-BIGINT `<<` in some engines — 31 is the
+    * highest shift every engine computes identically): k hash functions,
+    * hash i = 16 bits of `md5(i || '|' || key)` mod numBits. Returns
+    * (word_idx, word) for NON-ZERO words — built by one bit_or
+    * aggregation, broadcastable state (numBits/32 rows ≪ member count). */
+  def bloomBuild(members: DataFrame, key: Column, numBits: Int = 8192,
+      k: Int = 4): DataFrame = {
+    require(numBits % 32 == 0 && numBits <= 65536, s"bad numBits $numBits")
+    members.select(explode(bloomPositions(key, numBits, k)).as("pos"))
+      .select((col("pos") / 32).cast("long").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+      .groupBy("word_idx").agg(bit_or(col("bit")).as("word"))
+  }
+
+  /** Probe every row of `probe` against a built filter: `maybe_member` is
+    * true iff ALL k bits are set — no false negatives, false positives at
+    * the classic (1-e^(-kn/m))^k rate. The filter joins broadcast; the
+    * probe side streams. */
+  def bloomProbe(filter: DataFrame, probe: DataFrame, idCol: String,
+      key: Column, numBits: Int = 8192, k: Int = 4): DataFrame =
+    probe.select(col(idCol), explode(bloomPositions(key, numBits, k)).as("pos"))
+      .select(col(idCol), (col("pos") / 32).cast("long").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+      .join(broadcast(filter), Seq("word_idx"), "left")
+      .select(col(idCol),
+        (coalesce(col("word"), lit(0L)).bitwiseAND(col("bit")) =!= 0L)
+          .as("bit_set"))
+      .groupBy(col(idCol)).agg(bool_and(col("bit_set")).as("maybe_member"))
+
+  private def bloomPositions(key: Column, numBits: Int, k: Int): Column =
+    array((0 until k).map { i =>
+      conv(substring(md5(concat_ws("|", lit(i), key.cast("string"))),
+        1, 4), 16, 10).cast("long") % numBits
+    }: _*)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Sketches}
+
+/** Semantics pins for the deterministic sketches (the sk1/sk2/bf1/d10
+  * oracle rows check them against DuckDB end-to-end; these pin the
+  * probabilistic GUARANTEES — bounds and mergeability — on controlled
+  * inputs where the guarantee is checkable exactly). */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("HLL: estimate tracks exact distinct within the m=256 error bound") {
+    // 1000 distinct keys, each duplicated a varying number of times —
+    // duplicates must not move the estimate (max is idempotent).
+    val keys = (1 to 1000).flatMap(i => Seq.fill(1 + i % 3)(s"key-$i"))
+    val df = keys.toDF("k")
+    val row = Sketches.hllDistinct(df, col("k")).collect().head
+    val est = row.getAs[Double]("estimate")
+    val exact = row.getAs[Long]("exact_distinct")
+    assert(exact == 1000)
+    // standard error for m=256 is 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(est - exact) / exact < 0.20, s"estimate $est vs $exact")
+  }
+
+  test("HLL: registers merge by per-bucket max (sketch union = corpus union)") {
+    val a = (1 to 400).map(i => s"k$i").toDF("k")
+    val b = (200 to 600).map(i => s"k$i").toDF("k")
+    val all = (1 to 600).map(i => s"k$i").toDF("k")
+    val merged = Sketches.hllRegisters(a, col("k"))
+      .union(Sketches.hllRegisters(b, col("k")))
+      .groupBy("bucket").agg(max("max_rho").as("max_rho"))
+    val direct = Sketches.hllRegisters(all, col("k"))
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("CMS: estimates never undercount, and are exact without collisions") {
+    // Skewed frequencies over few keys: with w=32 cells and only 4 keys,
+    // collisions are unlikely per row but the bound must hold regardless.
+    val rows = (1 to 4).flatMap(i => Seq.fill(i * 10)(s"user-$i"))
+    val df = rows.toDF("k")
+    val cells = Sketches.cmsCells(df, col("k"))
+    val probe = df.distinct()
+    val est = Sketches.cmsEstimate(cells, probe, col("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k: ${est(k)} < $n")
+    }
+    // 4 keys into 4x32 cells: expect at least one hash row collision-free
+    // for each key, making min exact.
+    exact.foreach { case (k, n) => assert(est(k) == n) }
+  }
+
+  test("Bloom: zero false negatives; probe agrees with direct recompute") {
+    val members = (1 to 300).map(i => s"text-$i").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val probeRows = (1 to 600).map(i => (i.toLong, s"text-$i"))
+    val probe = probeRows.toDF("doc_id", "text")
+    val filter = Sketches.bloomBuild(members, col("text"), numBits = 1024)
+    val res = Sketches.bloomProbe(filter, probe, "doc_id", col("text"),
+        numBits = 1024)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives: every true member must report maybe
+    (1 to 300).foreach(i => assert(res(i.toLong), s"false negative on $i"))
+    // a deliberately small filter (1024 bits, 300*4 insertions) must show
+    // SOME selectivity on the non-member half — all-true means the probe
+    // is broken, not that the filter saturated
+    val nonMemberHits = (301 to 600).count(i => res(i.toLong))
+    assert(nonMemberHits < 300, "filter rejected nothing")
+  }
+
+  test("containment: short-in-long embedding scores 1.0 where jaccard dilutes") {
+    val short = "abcdefghij"
+    val long = short + "0123456789012345678901234567890123456789"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.ngramContainment(docs, pairs, "doc_id", "text", n = 3)
+      .collect().head
+    assert(r.getAs[Double]("contain_a") == 1.0) // every short gram in long
+    assert(r.getAs[Double]("contain_b") < 0.5)
+    assert(r.getAs[Double]("jaccard") < 0.5)
+    // integer consistency: jaccard from the exact counts equals the
+    // NgramJaccard expression on the same pair
+    val j = docs.as("a").filter(col("doc_id") === 1)
+      .crossJoin(docs.as("b").filter(col("doc_id") === 2))
+      .select(graft.functions.DedupFunctions.ngramJaccard(
+        col("a.text"), col("b.text"), 3).as("j"))
+      .collect().head.getDouble(0)
+    assert(math.abs(r.getAs[Double]("jaccard") - j) < 1e-4)
+  }
+}
