@@ -647,6 +647,17 @@ object SparkEntry {
         .sql("""deg(sin(purchase{uid=~"[1-5]"}) atan2 3)""")
         .withColumn("value", round(col("value"), 4))),
 
+    // PromQL calendar surface: year/month/day_of_month/day_of_week over
+    // timestamp() packed into one yyyymmd-dow value — four calendar fns,
+    // the timestamp shape fn, and (uid, ts)-matched vector arithmetic in
+    // a single integer-exact expression.
+    "p30_promql_calendar" -> ((s, dir) => {
+      val sel = """timestamp(purchase{uid=~"[1-5]"})"""
+      promqlCtx(s, dir).sql(
+        s"""(year($sel) * 10000 + month($sel) * 100 + day_of_month($sel))
+           | * 10 + day_of_week($sel)""".stripMargin.replace("\n", ""))
+    }),
+
     // PromQL holt_winters: double exponential smoothing per (series, day).
     // sf = tf = 0.5 are exactly representable, so the sequential fold is
     // bit-identical across engines; the oracle replays the recurrence with
@@ -708,6 +719,32 @@ object SparkEntry {
         stream.addData(chunk.toSeq); q.processAllAvailable()
       } finally q.stop()
       s.table(sink)
+    }),
+
+    // Streaming HLL: the distinct-count sketch maintained as a continuous
+    // query — the register frame is a 256-row streaming aggregation
+    // (bucket → max rho, complete-mode snapshot; state is O(m) forever,
+    // the standing-dashboard shape), fed in 4 micro-batches, estimated
+    // after the run. Registers are batch/stream identical (max is
+    // order-insensitive), so the oracle is sk1's formula replay verbatim.
+    "sh1_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events").select(col("user_id"))
+        .as[Long].collect()
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val regs = graft.pipeline.Sketches.hllRegisters(
+        stream.toDS().toDF("user_id"), col("user_id"))
+      val sink = sinkName("sh1")
+      val q = regs.writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      try rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      graft.pipeline.Sketches.hllEstimate(s.table(sink))
+        .crossJoin(t(s, dir, "events")
+          .agg(count_distinct(col("user_id")).as("exact_distinct")))
     }),
 
     // PromQL text as a continuous query: the streaming evaluator over a
@@ -1478,6 +1515,12 @@ object SparkEntry {
     "t18_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Text: interpolated bigram LM score — λ·P(w|prev) + (1-λ)·P(w), the
+    // next perplexity-filter order up from t18; first tokens back off to
+    // the unigram term.
+    "t19_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramNll(t(s, dir, "documents"), "doc_id", "text")),
+
     // Composite embedding-dedup DAG: LSH-bucketed cosine near-dup pairs
     // (the e6 scale path) → connected components → keeper/drop decision —
     // the full near-duplicate removal pipeline over embeddings, chained
@@ -2091,6 +2134,15 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |  AND regexp_full_match(user_id::VARCHAR, '[1-5]')""".stripMargin,
 
+    // DuckDB dayofweek is Sunday=0, same as Prometheus day_of_week.
+    "p30_promql_calendar" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |  CAST((year(ts) * 10000 + month(ts) * 100 + day(ts)) * 10
+        |       + dayofweek(ts) AS DOUBLE) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[1-5]')""".stripMargin,
+
     // Holt-Winters recurrence replayed step by step:
     //   init (v1, v2): sp = v1; b = v2 - v1; s = 0.5·v2 + 0.5·(v1 + b)
     //   step (v_i):    b' = 0.5·(s - sp) + 0.5·b;
@@ -2636,6 +2688,35 @@ object SparkEntry {
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
 
+    // Bigram replay: lag() adjacency after the empty-token filter (same cut
+    // as Spark), counts joined back, λ = 0.75 interpolation, unigram-only
+    // backoff on first tokens.
+    "t19_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, ord FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |           generate_subscripts(string_split(text, ' '), 1) AS ord
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |seq AS (SELECT doc_id, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+        |  FROM toks),
+        |uni AS (SELECT tok, count(*) AS nw FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |bi AS (SELECT prev, tok, count(*) AS nbi FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |ctx AS (SELECT prev, count(*) AS nprev FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY prev)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(-avg(log2(CASE WHEN s.prev IS NULL THEN u.nw * 1.0 / t.total
+        |    ELSE 0.75 * (b.nbi * 1.0 / c.nprev) + 0.25 * (u.nw * 1.0 / t.total)
+        |    END)), 4) AS nll_bits
+        |FROM seq s JOIN uni u ON u.tok = s.tok
+        |  LEFT JOIN bi b ON b.prev = s.prev AND b.tok = s.tok
+        |  LEFT JOIN ctx c ON c.prev = s.prev
+        |  CROSS JOIN tot t
+        |GROUP BY s.doc_id""".stripMargin,
+
     "d8_simhash64_pairs" ->
       """WITH tok AS (SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
@@ -2693,6 +2774,33 @@ object SparkEntry {
     // Full HLL replay: md5 bucket byte, 13-hex-char leading-zero rank,
     // per-bucket max, α·m²/Σ2^-ρ with linear-counting small-range branch.
     "sk1_hll_distinct" ->
+      """WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |r AS (SELECT CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS bucket,
+        |             substr(h, 3, 13) AS sub FROM h),
+        |rho AS (SELECT bucket,
+        |    CASE WHEN length(regexp_extract(sub, '^0*')) = 13 THEN 53
+        |         ELSE length(regexp_extract(sub, '^0*')) * 4 +
+        |           CASE substr(sub, length(regexp_extract(sub, '^0*')) + 1, 1)
+        |             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |             WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+        |  FROM r),
+        |reg AS (SELECT bucket, max(rho) AS max_rho FROM rho GROUP BY bucket),
+        |agg AS (SELECT count(*) AS n_used, sum(pow(2.0, -max_rho)) AS s FROM reg),
+        |est AS (SELECT n_used, 256 - n_used AS n_empty,
+        |    (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / (s + (256 - n_used)) AS raw
+        |  FROM agg)
+        |SELECT CAST(n_used AS BIGINT) AS n_used,
+        |  CAST(n_empty AS BIGINT) AS n_empty,
+        |  round(CASE WHEN raw <= 640 AND n_empty > 0
+        |             THEN 256 * ln(256.0 / n_empty) ELSE raw END, 3) AS estimate,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+        |    AS exact_distinct
+        |FROM est""".stripMargin,
+
+    // Streaming registers ≡ batch registers (max over any arrival order),
+    // so the continuous-query sketch replays with sk1's exact formula.
+    "sh1_stream_hll" ->
       """WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
         |r AS (SELECT CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS bucket,
         |             substr(h, 3, 13) AS sub FROM h),

@@ -196,6 +196,44 @@ object TextAnalysis {
           .as("nll_bits"))
   }
 
+  /** Interpolated bigram LM score (bits/token): the CCNet-style perplexity
+    * filter one order up from [[unigramNll]] — per token,
+    * `p = λ·P(w|prev) + (1-λ)·P(w)` with corpus-estimated probabilities
+    * (`P(w|prev) = c(prev,w) / c(prev,·)`), first-of-document tokens
+    * falling back to the unigram term alone. λ = 0.75 is exactly
+    * representable, so the interpolation arithmetic is bit-identical
+    * across engines.
+    *
+    * Shapes at 100 TB: adjacency is one lag window over (doc, position) —
+    * partitions by doc, never global; the three count lookups (unigram,
+    * bigram, context) are count windows over partitions of the SAME
+    * exploded frame (unbounded vocabularies, so no broadcast anywhere);
+    * the per-doc mean is one map-side-combinable shuffle on the id. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val seq = toks.withColumn("prev",
+      lag("tok", 1).over(Window.partitionBy(idCol).orderBy("pos")))
+    val total = toks.agg(count(lit(1)).as("__total__"))
+    val withCounts = seq
+      .withColumn("__nw__", count(lit(1)).over(Window.partitionBy("tok")))
+      .withColumn("__nbi__", when(col("prev").isNotNull,
+        count(lit(1)).over(Window.partitionBy("prev", "tok"))))
+      .withColumn("__nprev__", when(col("prev").isNotNull,
+        count(lit(1)).over(Window.partitionBy("prev"))))
+      .crossJoin(broadcast(total))
+    val puni = col("__nw__").cast("double") / col("__total__")
+    val pbi = col("__nbi__").cast("double") / col("__nprev__")
+    val p = when(col("prev").isNull, puni)
+      .otherwise(lit(lambda) * pbi + lit(1.0 - lambda) * puni)
+    withCounts.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(-avg(log2(p)), 4).as("nll_bits"))
+  }
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))

@@ -440,6 +440,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
   }
 
+  test("bigram NLL: interpolated probabilities match the hand computation") {
+    // corpus = "a b a b": unigram p(a)=p(b)=0.5; bigrams (a,b)×2, (b,a)×1;
+    // token probs: [0.5 (first, unigram only), 0.875, 0.875, 0.875]
+    // → -mean log2 = 0.3945
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramNll(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Double]("nll_bits") == 0.3945)
+    // a shuffled-token doc (broken adjacency) must score HIGHER than the
+    // same tokens in their repeated-bigram order
+    val two = Seq((1L, "a b a b a b"), (2L, "a a b b b a")).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramNll(two, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) < m(2L))
+  }
+
   test("as-of join: strict vs at-or-before on an exact-tie timeline") {
     val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2")).toDF("k", "t", "tag")
     val right = Seq((1L, 100L, 10.0), (1L, 150L, 15.0)).toDF("k", "rt", "v")

@@ -60,6 +60,17 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"), readSchema)
   }
 
+  test("w1 per-group top-k plans a partial WindowGroupLimit before the shuffle") {
+    val df = SparkEntry.queries("w1_top_orders")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // row_number + rk <= 3 must be rewritten by Catalyst into a group-limit
+    // operator running map-side BEFORE the window exchange (Partial mode):
+    // at 100 TB this prunes each partition to k rows per key pre-shuffle —
+    // without it the full fact table shuffles just to be discarded.
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("Partial"), plan.take(2000))
+  }
+
   test("t14 decontamination broadcasts the benchmark gram set") {
     val df = SparkEntry.queries("t14_decontaminate")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
