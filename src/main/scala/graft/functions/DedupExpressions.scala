@@ -236,6 +236,93 @@ object NgramOverlap {
   }
 }
 
+/** Native SimHash signature (16- or 64-bit) in one pass over the row.
+  *
+  * Bit b of the signature is the sign of the per-lane vote sum across
+  * token INSTANCES (duplicates vote again — SimHash weights by frequency),
+  * where token lane parity = the low bit of hex digit `b mod 32` (0-based)
+  * of `md5(token)` (lanes 0–31) / `md5('1' || token)` (lanes 32–63), and
+  * the bit sets iff `2·ones > n` — exactly the formula the composable
+  * explode + 64-sibling-aggregate form computes (and the d4/d7/d8 DuckDB
+  * oracles replay via `substr(h, j, 1) IN (odd hex)`).
+  *
+  * Replaces a shape that shuffled one row PER TOKEN INSTANCE carrying six
+  * 60-bit conv() chunks: the signature is a per-document quantity, so it
+  * is computed here with zero shuffle, each DISTINCT token hashed once
+  * (instance count multiplies its vote), digest nibbles read directly
+  * (no hex-string materialization).
+  */
+case class SimhashSig(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits == 16 || bits == 64, s"bits must be 16 or 64, got $bits")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashSig.compute(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimhashSig.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}
+
+object SimhashSig {
+  private val One = "1".getBytes(StandardCharsets.UTF_8)
+
+  /** Parity of hex digit j (0-based) of a digest: the hex string writes
+    * byte j/2's high nibble at even j, low nibble at odd j. */
+  private def par(d: Array[Byte], j: Int): Int =
+    (if ((j & 1) == 0) d(j >> 1) >> 4 else d(j >> 1)) & 1
+
+  def compute(text: UTF8String, bits: Int): Long = {
+    // SQL split(text, ' ') semantics: trailing empties kept, >= 1 token.
+    val toks = text.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val ones = new Array[Int](bits)
+    val lanes0 = math.min(bits, 32)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val tb = e.getKey.getBytes(StandardCharsets.UTF_8)
+      val c: Int = e.getValue
+      val d0 = md.digest(tb)
+      var b = 0
+      while (b < lanes0) { ones(b) += c * par(d0, b); b += 1 }
+      if (bits == 64) {
+        md.update(One); md.update(tb)
+        val d1 = md.digest()
+        b = 32
+        while (b < 64) { ones(b) += c * par(d1, b - 32); b += 1 }
+      }
+    }
+    val n = toks.length
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (2L * ones(b) > n) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
 object DedupFunctions {
   import org.apache.spark.sql.GraftShims
 
@@ -252,4 +339,8 @@ object DedupFunctions {
   def ngramOverlap(a: Column, b: Column, n: Int): Column =
     GraftShims.column(NgramOverlap(GraftShims.expression(a),
       GraftShims.expression(b), n))
+
+  /** Column API for [[SimhashSig]] — 16- or 64-bit signature as a long. */
+  def simhashSig(text: Column, bits: Int): Column =
+    GraftShims.column(SimhashSig(GraftShims.expression(text), bits))
 }

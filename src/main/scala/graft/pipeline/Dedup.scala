@@ -150,28 +150,17 @@ object Dedup {
 
   /** 16-bit SimHash from md5 nibble parities: bit j (0-based) of a token's
     * sketch is the parity of hex digit j+1 of md5(token); the signature bit
-    * is the sign of the per-bit vote sum across tokens. */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Same conv-chunk parity extraction as [[simhash64]] (an odd hex digit
-    // is a nibble with its low bit set): digits 1–15 in one 60-bit chunk,
-    // digit 16 alone, then 16 sibling ones-count aggregates over one
-    // shuffle. Vote sign: v = 2*ones - n > 0  ⇔  2*ones > n.
-    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(col(idCol), md5(col("t")).as("h"))
-      .select(col(idCol),
-        conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("ca"),
-        conv(substring(col("h"), 16, 1), 16, 10).cast("long").as("cb"))
-    def parityBit(j: Int): Column = // j = 1-based hex digit index
-      if (j <= 15) shiftright(col("ca"), (15 - j) * 4).bitwiseAND(lit(1L))
-      else col("cb").bitwiseAND(lit(1L))
-    val ones = (1 to 16).map(j => sum(parityBit(j)).as(s"o$j"))
-    tok.groupBy(col(idCol))
-      .agg(ones.head, (ones.tail :+ count(lit(1)).as("n")): _*)
-      .select(col(idCol),
-        (1 to 16).map(j =>
-          when(col(s"o$j") * 2 > col("n"), lit(1L << (j - 1))).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash16"))
-  }
+    * is the sign of the per-bit vote sum across tokens.
+    *
+    * Computed per document in ONE pass by the native
+    * [[graft.functions.SimhashSig]] expression — a signature is a per-row
+    * quantity; the explode + 16-sibling-aggregate form this replaced
+    * shuffled one row per token instance. Null-text docs drop, exactly as
+    * explode dropped them. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), graft.functions.DedupFunctions
+        .simhashSig(col(textCol), 16).as("simhash16"))
 
   /** 64-bit SimHash — the 100 TB signature width (16 bits saturate: at a
     * billion docs random 16-bit signatures collide constantly; 64 bits keep
@@ -181,43 +170,16 @@ object Dedup {
     * per token buy all 64 lanes, and every lane is oracle-portable via
     * `substr(h, j, 1) IN (odd hex)`. 64 sibling vote aggregates over ONE
     * shuffle, exactly like [[simhash16]]. */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(col(idCol), md5(col("t")).as("h0"),
-        md5(concat(lit("1"), col("t"))).as("h1"))
-    // An odd hex digit is exactly a nibble with its low bit set, so the 32
-    // digit parities of an md5 are bits 0,4,8,… of its value: conv() three
-    // chunks per hash (15+15+2 chars — 60 bits stays inside Long) and read
-    // each parity with a shift+mask, instead of 64 substring+IN probes per
-    // token row (measured 1.7× on the d8 bench query, 4.3 s → 2.5 s at
-    // sf0.1). Semantics are UNCHANGED vs the substr/IN form the oracle
-    // uses.
-    val chunkDefs = Seq(("a", 1, 15), ("b", 16, 15), ("c", 31, 2))
-    val withChunks = tok.select(col(idCol) +:
-      Seq("h0", "h1").flatMap(h => chunkDefs.map { case (suf, st, len) =>
-        conv(substring(col(h), st, len), 16, 10).cast("long").as(s"$h$suf")
-      }): _*)
-    // bit b of the signature votes on hex digit j = b mod 32 (0-based) of
-    // h0 (b < 32) / h1; digit j sits in its chunk at nibble offset
-    // (chunkLen - 1 - posInChunk).
-    def parityBit(b: Int): Column = {
-      val h = if (b < 32) "h0" else "h1"
-      val j = b % 32
-      val (cn, off) =
-        if (j < 15) (s"${h}a", 14 - j)
-        else if (j < 30) (s"${h}b", 29 - j)
-        else (s"${h}c", 31 - j)
-      shiftright(col(cn), off * 4).bitwiseAND(lit(1L))
-    }
-    // vote sum v = 2*ones - n, so v > 0  ⇔  2*ones > n.
-    val ones = (0 until 64).map(b => sum(parityBit(b)).as(s"o$b"))
-    withChunks.groupBy(col(idCol))
-      .agg(ones.head, (ones.tail :+ count(lit(1)).as("n")): _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-          when(col(s"o$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash64"))
-  }
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // One-pass native [[graft.functions.SimhashSig]] — zero shuffle, each
+    // distinct token hashed once with its instance count weighting the
+    // vote. (History of this hot path at sf0.1: 64 substring+IN probes per
+    // token row 4.3 s → conv-chunk shift/mask 2.5 s → native expression;
+    // the explode+aggregate forms shuffled one row per token instance.)
+    // Formula unchanged — the d8 oracle still replays substr/IN in SQL.
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), graft.functions.DedupFunctions
+        .simhashSig(col(textCol), 64).as("simhash64"))
 
   /** SimHash near-duplicate pairs at hamming distance <= `maxDist`, found
     * via banded LSH rather than all-pairs: the 16-bit signature splits into
