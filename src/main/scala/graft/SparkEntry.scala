@@ -1490,6 +1490,13 @@ object SparkEntry {
         .select(col("doc_id"),
           explode(TextAnalysis.winnow(col("text"), k = 5, w = 4)).as("fp"))),
 
+    // Dedup: MOSS-style candidate pairs from shared winnow fingerprints —
+    // noise-thresholded print equi-join (df <= 10), >= 2 shared prints,
+    // overlap coefficient against the smaller print set.
+    "d11_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, maxDocFreq = 10, minShared = 2)),
+
     // Benchmark decontamination: docs sharing any 5-token n-gram with the
     // held-out split (doc_id % 10 == 0 stands in for the benchmark set).
     "t14_decontaminate" -> ((s, dir) => {
@@ -3258,6 +3265,40 @@ object SparkEntry {
         |  END AS fps
         |FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
+
+    // t13's winnow replay feeding the MOSS pair derivation: noise filter
+    // (fp document frequency <= 10), shared-print counts, overlap vs the
+    // smaller set.
+    "d11_winnow_pairs" ->
+      """WITH s AS (SELECT doc_id, replace(lower(text), ' ', '') AS norm
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(norm) - 4),
+        |      i -> substr(md5(substr(norm, CAST(i AS INTEGER), 5)), 1, 8))
+        |      AS grams
+        |  FROM s),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN len(grams) - 3 < 1 THEN []::VARCHAR[]
+        |       ELSE list_sort(list_distinct(list_transform(
+        |              generate_series(1, len(grams) - 3),
+        |              j -> list_min(grams[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)]))))
+        |  END AS fps
+        |FROM g),
+        |x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |freq AS (SELECT fp, count(*) AS dfq FROM x GROUP BY fp),
+        |rare AS (SELECT doc_id, x.fp FROM x JOIN freq USING (fp)
+        |  WHERE dfq <= 10),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 4) AS overlap
+        |FROM sh
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_shared >= 2""".stripMargin,
 
     "t14_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk

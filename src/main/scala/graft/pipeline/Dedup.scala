@@ -482,6 +482,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("__j__"), 4).as("jaccard"))
   }
 
+  /** MOSS-style near-duplicate candidate pairs from shared winnowing
+    * fingerprints (Schleimer et al. 2003): documents are fingerprinted
+    * with [[TextAnalysis.winnow]] (guaranteed to share a print for any
+    * common substring ≥ k+w-1 chars), fingerprints appearing in more than
+    * `maxDocFreq` documents are dropped (the MOSS noise threshold —
+    * boilerplate prints carry no match signal, and dropping them bounds
+    * every fingerprint's pair fan-out at maxDocFreq², the same role
+    * `maxBucket` plays in [[lshCandidatePairs]]), and pairs sharing at
+    * least `minShared` surviving prints are emitted with their overlap
+    * coefficient `n_shared / min(|A|, |B|)`.
+    *
+    * Scale shape: fingerprinting is a zero-shuffle native expression; the
+    * document frequency is a count window over the fp partition of the
+    * SAME exploded frame; candidates come from a frequency-bounded
+    * equi-join on the print — never all-pairs. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDocFreq: Int = 10,
+      minShared: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = df.select(col(idCol),
+      explode(TextAnalysis.winnow(col(textCol), k, w)).as("fp"))
+    val rare = fps
+      .withColumn("__df__", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("__df__") <= maxDocFreq).drop("__df__")
+    val sizes = rare.groupBy(col(idCol)).agg(count(lit(1)).as("__n__"))
+    val a = rare.select(col(idCol).as("id_a"), col("fp"))
+    val b = rare.select(col(idCol).as("id_b"), col("fp"))
+    a.join(b, "fp").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col(idCol).as("id_a"), col("__n__").as("__na__")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n__").as("__nb__")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared") / least(col("__na__"), col("__nb__")), 4)
+          .as("overlap"))
+  }
+
   /** n-gram CONTAINMENT verification over candidate pairs: for each pair,
     * `|A ∩ B| / |A|` and `|A ∩ B| / |B|` plus jaccard, from ONE native
     * gram pass ([[graft.functions.NgramOverlap]] — exact integer counts,

@@ -440,6 +440,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
   }
 
+  test("winnow pairs: shared-substring docs pair; noise threshold mutes " +
+      "boilerplate prints") {
+    // docs 1/2 share a long span (>= k+w-1 chars guarantees a shared
+    // print); 3 is unrelated
+    val df = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "intro words the quick brown fox jumps over the lazy dog"),
+      (3L, "completely unrelated content with different words entirely"))
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text",
+        maxDocFreq = 10, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // a print shared by 5 identical docs exceeds maxDocFreq=3 → dropped,
+    // so NO pairs survive even though the docs are identical
+    val boiler = docs((1L to 5L).map(i => i -> "same boilerplate text in every doc"): _*)
+    assert(Dedup.winnowPairs(boiler, "doc_id", "text",
+      maxDocFreq = 3, minShared = 1).count() == 0L)
+    // raise the threshold and all 10 pairs appear with full overlap
+    val all = Dedup.winnowPairs(boiler, "doc_id", "text",
+      maxDocFreq = 5, minShared = 1)
+    assert(all.count() == 10L)
+    assert(all.select("overlap").collect().forall(_.getDouble(0) == 1.0))
+  }
+
   test("bigram NLL: interpolated probabilities match the hand computation") {
     // corpus = "a b a b": unigram p(a)=p(b)=0.5; bigrams (a,b)×2, (b,a)×1;
     // token probs: [0.5 (first, unigram only), 0.875, 0.875, 0.875]
