@@ -75,6 +75,66 @@ class SketchesSpec extends AnyFunSuite {
     assert(nonMemberHits < 300, "filter rejected nothing")
   }
 
+  test("CMS: sketches merge by cell sum (union of corpora)") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val a = (1 to 50).map(i => s"k${i % 7}").toDF("k")
+    val b = (1 to 30).map(i => s"k${i % 5}").toDF("k")
+    val merged = Sketches.cmsCells(a, col("k"))
+      .union(Sketches.cmsCells(b, col("k")))
+      .groupBy("row_id", "pos").agg(fsum("cnt").as("cnt"))
+    val direct = Sketches.cmsCells(a.union(b), col("k"))
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("Bloom: filters merge by word OR (union of member sets)") {
+    val a = (1 to 100).map(i => s"m$i").toDF("text")
+    val b = (80 to 150).map(i => s"m$i").toDF("text")
+    val merged = Sketches.bloomBuild(a, col("text"))
+      .union(Sketches.bloomBuild(b, col("text")))
+      .groupBy("word_idx").agg(bit_or(col("word")).as("word"))
+    val direct = Sketches.bloomBuild(a.union(b), col("text"))
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("native SimhashSig equals the substr/IN SQL parity replay") {
+    // The oracle-portable formula, composed from Spark built-ins exactly
+    // as the DuckDB oracles spell it — the native expression must agree
+    // bit for bit on every doc, including repeated tokens (instance
+    // votes) and empty-token edge shapes.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha alpha alpha beta"), // duplicate tokens weight votes
+      (3L, "x"), (4L, ""), (5L, "a  b")) // empty + double-space tokens
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("sh_docs")
+    val sqlForm = spark.sql("""
+      WITH tok AS (SELECT doc_id, md5(t) AS h0, md5(concat('1', t)) AS h1
+        FROM (SELECT doc_id, explode(split(text, ' ')) AS t FROM sh_docs)),
+      votes AS (SELECT doc_id, b,
+          sum(CASE WHEN substr(CASE WHEN b < 32 THEN h0 ELSE h1 END,
+                               CAST(b % 32 AS INT) + 1, 1)
+                   IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v,
+          count(*) AS n
+        FROM tok LATERAL VIEW explode(sequence(0, 63)) AS b
+        GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+          sum(CASE WHEN v <= 0 THEN 0L
+                   WHEN b = 63 THEN -9223372036854775808L
+                   ELSE shiftleft(1L, CAST(b AS INT)) END) AS sh
+        FROM votes GROUP BY doc_id)
+      SELECT doc_id, CAST(sh AS BIGINT) AS sh FROM sig""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhash64(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == sqlForm)
+    // 16-bit width = the low-lane formula on the single hash
+    val n16 = Dedup.simhash16(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    n16.foreach { case (id, s) => assert((s & ~0xffffL) == 0L, s"$id: $s") }
+  }
+
   test("containment: short-in-long embedding scores 1.0 where jaccard dilutes") {
     val short = "abcdefghij"
     val long = short + "0123456789012345678901234567890123456789"
