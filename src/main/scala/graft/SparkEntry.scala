@@ -94,6 +94,9 @@ object SparkEntry {
   private val ivfCache =
     scala.collection.mutable.Map.empty[String, (DataFrame, Array[Array[Double]])]
 
+  private val pqCache =
+    scala.collection.mutable.Map.empty[String, (DataFrame, Array[Array[Array[Double]]])]
+
   private def eventsStorage(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
     storageCache.synchronized {
       storageCache.getOrElseUpdate(dir, {
@@ -321,6 +324,16 @@ object SparkEntry {
         })._1
       }
       indexed.count() // force the cache so its RDD ids are in the snapshot
+    }
+    safely("pqIndex") {
+      val encoded = pqCache.synchronized {
+        pqCache.getOrElseUpdate(dir, {
+          val (enc, b) = Similarity.pqIndex(t(s, dir, "embeddings"),
+            "vec_id", "embedding")
+          (enc.cache(), b)
+        })._1
+      }
+      encoded.count()
     }
   }
 
@@ -1385,6 +1398,26 @@ object SparkEntry {
       Similarity.ivfTopK(indexed, emb.filter(col("vec_id") < 10), centroids,
         "vec_id", "embedding", topK = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Similarity: product-quantization ANN — 8 subspaces × 16 codewords
+    // (8 bytes/vector, a 32× corpus compression); queries rank against the
+    // codeword reconstructions (asymmetric distance). The oracle embeds the
+    // trained codebooks as literals (see pqOracleEntry) and flattens the
+    // codewords in the same subspace order, so encoding + reconstruction +
+    // rerank hash-check against DuckDB.
+    "e9_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (encoded, books) = pqCache.synchronized {
+        pqCache.getOrElseUpdate(dir, {
+          val (enc, b) = Similarity.pqIndex(emb, "vec_id", "embedding")
+          (enc.cache(), b)
+        })
+      }
+      Similarity.pqTopK(encoded, emb.filter(col("vec_id") < 10), books,
+        "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("pq_cos"),
           col("rank").cast("long").as("rank"))
     }),
 
@@ -3507,7 +3540,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id""".stripMargin
-  ) ++ ivfOracleEntry
+  ) ++ ivfOracleEntry ++ pqOracleEntry
 
   /** e4's oracle is generated from the centroids the IVF index actually
     * trained this run: `oracleSql` is a def and Verify dumps it AFTER running
@@ -3555,6 +3588,51 @@ object SparkEntry {
            |  SELECT query_id, neighbor_id, cos,
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           |  FROM scored) WHERE rank <= 3""".stripMargin
+    }
+
+  /** e9's oracle, generated like [[ivfOracleEntry]] from the codebooks the
+    * PQ index trained this run: per-subspace assignment replay, codeword
+    * reconstruction FLATTENED in subspace order (one left-to-right dot —
+    * the same accumulation grouping the Spark side uses, never a float sum
+    * over per-subspace partial dots), cosine rerank. */
+  private def pqOracleEntry: Option[(String, String)] =
+    pqCache.synchronized { pqCache.keys.toSeq.sorted.headOption }.map { dir =>
+      val books = pqCache.synchronized(pqCache(dir)._2)
+      val cb = books.zipWithIndex.flatMap { case (book, m) =>
+        book.zipWithIndex.map { case (c, j) =>
+          val lst = c.map(_.toString).mkString("[", ", ", "]")
+          val cn = c.map(x => x * x).sum
+          s"($m, $j, $lst::DOUBLE[], $cn)"
+        }
+      }.mkString(",\n")
+      "e9_pq_topk" ->
+        s"""WITH cb(m, j, c, cn) AS (VALUES $cb),
+           |assigned AS (
+           |  SELECT vec_id, m, j FROM (
+           |    SELECT v.vec_id, cb.m, cb.j, row_number() OVER (
+           |        PARTITION BY v.vec_id, cb.m
+           |        ORDER BY 2 * list_dot_product(
+           |            list_slice(v.embedding::DOUBLE[], 1 + 8 * cb.m, 8 + 8 * cb.m),
+           |            cb.c) - cb.cn DESC,
+           |          cb.j ASC) AS rn
+           |    FROM embeddings v CROSS JOIN cb) WHERE rn = 1),
+           |recon AS (
+           |  SELECT a.vec_id, flatten(list(cb.c ORDER BY a.m)) AS vr
+           |  FROM assigned a JOIN cb ON cb.m = a.m AND cb.j = a.j
+           |  GROUP BY a.vec_id),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+           |    round(list_dot_product(q.embedding::DOUBLE[], r.vr) /
+           |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+           |       sqrt(list_dot_product(r.vr, r.vr))), 6) AS pq_cos
+           |  FROM embeddings q CROSS JOIN recon r
+           |  WHERE q.vec_id < 10 AND r.vec_id <> q.vec_id
+           |    AND list_dot_product(r.vr, r.vr) <> 0)
+           |SELECT query_id, neighbor_id, pq_cos, rank FROM (
+           |  SELECT query_id, neighbor_id, pq_cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY pq_cos DESC, neighbor_id) AS BIGINT) AS rank
            |  FROM scored) WHERE rank <= 3""".stripMargin
     }
 }

@@ -240,6 +240,77 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Product-quantization index (Jégou et al. 2011): the embedding splits
+    * into `numSub` contiguous subvectors and each subspace gets its own
+    * `codes`-entry k-means codebook (seeded, sample-bounded fit like
+    * [[ivfIndex]]); a vector's code is its per-subspace nearest-codeword
+    * index — `numSub` small ints replacing `numSub·subDim` floats (8 bytes
+    * vs 256 for the default shape: a 32× corpus compression, the memory
+    * path IVF's cell lists point into at 100 TB). Codebook entries are
+    * float-rounded so encoding, scan and any external oracle see identical
+    * values; assignment reuses [[ivfAssign]] (ties → lowest code).
+    *
+    * Returns the encoded frame (id, vec, code0..code{numSub-1}) and the
+    * codebooks as `books(sub)(code)(component)`. */
+  def pqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      numSub: Int = 8, subDim: Int = 8, codes: Int = 16, seed: Long = 42L,
+      maxTrainVectors: Long = 100000L)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = vectors.count()
+    val sampled =
+      if (n <= maxTrainVectors) vectors
+      else vectors.sample(withReplacement = false,
+        maxTrainVectors.toDouble / n, seed)
+    val books = (0 until numSub).map { m =>
+      val train = sampled.select(array_to_vector(
+        slice(col(vecCol), m * subDim + 1, subDim).cast("array<double>"))
+        .as("features"))
+      val model = new KMeans().setK(codes).setSeed(seed + m)
+        .setFeaturesCol("features").fit(train)
+      model.clusterCenters.map(_.toArray.map(_.toFloat.toDouble))
+    }.toArray
+    val encoded = vectors.select(
+      col(idCol) +: col(vecCol) +: (0 until numSub).map { m =>
+        ivfAssign(slice(col(vecCol), m * subDim + 1, subDim), books(m))
+          .as(s"code$m")
+      }: _*)
+    (encoded, books)
+  }
+
+  /** The PQ reconstruction `v̂` — the per-subspace codewords concatenated
+    * in subspace order as ONE `array<float>`. Scoring uses a single
+    * left-to-right dot over the full reconstruction (not a sum of per-sub
+    * partial dots): one accumulation order, reproduced exactly by an
+    * oracle that flattens the codeword lists the same way. */
+  def pqReconstruct(books: Array[Array[Array[Double]]]): Column =
+    concat(books.indices.map { m =>
+      element_at(typedLit(books(m).map(_.map(_.toFloat))), col(s"code$m") + 1)
+    }: _*)
+
+  /** ANN top-k over the PQ-encoded corpus — asymmetric distance: float
+    * queries rank against code reconstructions, so the scan side carries
+    * `numSub` bytes per vector and the codebooks ride along as literals
+    * (broadcast-by-construction, `numSub·codes·subDim` floats). Same
+    * contract/tiebreaks as [[bruteForceTopK]]; degenerate zero-norm
+    * reconstructions drop (null cosine). */
+  def pqTopK(encoded: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Double]]], idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = encoded
+      .select(col(idCol).as("neighbor_id"), pqReconstruct(books).as("nv"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("pq_cos"))
+      .filter(col("pq_cos").isNotNull)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("pq_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-group mean embedding (class prototypes / cluster centroids —
     * the k-means update step and the standard corpus-curation primitive).
     *

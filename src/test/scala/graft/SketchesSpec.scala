@@ -135,6 +135,35 @@ class SketchesSpec extends AnyFunSuite {
     n16.foreach { case (id, s) => assert((s & ~0xffffL) == 0L, s"$id: $s") }
   }
 
+  test("PQ: identical vectors share codes; reconstruction recovers a " +
+      "codebook-sized corpus exactly") {
+    import graft.pipeline.Similarity
+    // 4 distinct 16-dim vectors, each repeated: with codes >= distinct
+    // subvectors per subspace, k-means centroids land ON the points and
+    // the reconstruction is exact (up to float rounding of the centroid)
+    val base = (0 until 4).map(g =>
+      Array.tabulate(16)(i => (g * 16 + i).toFloat / 8f))
+    val rows = (0 until 12).map(i => (i.toLong, base(i % 4)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (encoded, books) = Similarity.pqIndex(df, "vec_id", "embedding",
+      numSub = 2, subDim = 8, codes = 4)
+    assert(books.length == 2 && books.forall(_.length == 4))
+    val codes = encoded.collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    // same vector -> same code pair; different vectors -> different codes
+    (0 until 12).foreach(i => assert(codes(i.toLong) == codes((i % 4).toLong)))
+    assert(codes.values.toSet.size == 4)
+    // ADC top-k finds the exact duplicates first (pq_cos = 1.0)
+    val top = Similarity.pqTopK(encoded, df.filter(col("vec_id") < 4),
+        books, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.nonEmpty)
+    top.foreach { case (q, n, c) =>
+      assert(n % 4 == q % 4, s"query $q top hit $n is not its duplicate")
+      assert(c == 1.0, s"duplicate pq_cos $c != 1.0")
+    }
+  }
+
   test("containment: short-in-long embedding scores 1.0 where jaccard dilutes") {
     val short = "abcdefghij"
     val long = short + "0123456789012345678901234567890123456789"
