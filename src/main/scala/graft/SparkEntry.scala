@@ -1271,6 +1271,13 @@ object SparkEntry {
       Dedup.lineDedup(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 10, maxDocFreq = 2)),
 
+    // Dedup: C4-style keep-first line dedup — any line repeated anywhere in
+    // the corpus survives only at its globally-first (doc_id, position)
+    // occurrence; one shuffle keyed on the line.
+    "d12_keepfirst_lines" -> ((s, dir) =>
+      Dedup.keepFirstLines(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 10)),
+
     // Dedup: n-gram Jaccard verification over a bounded pair set.
     "d5_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
@@ -1314,6 +1321,16 @@ object SparkEntry {
         .select(col("probe_key").cast("long").as("user_id"), col("cms_est"))
         .join(exact, "user_id")
         .select(col("user_id"), col("exact_count"), col("cms_est"))
+    }),
+
+    // Sketch: log-bucket quantile histogram (the DDSketch shape with EXACT
+    // integer bucketing — top-7-significant-bits masking, no libm): p50/p90/
+    // p99 of events.value read from a registers-sized state built in one
+    // map-side-combinable pass; each estimate within 2^-6 relative error.
+    "sk3_log_quantiles" -> ((s, dir) => {
+      val hist = graft.pipeline.Sketches.logHistogram(
+        t(s, dir, "events"), col("value"))
+      graft.pipeline.Sketches.histQuantiles(hist, Seq(0.5, 0.9, 0.99))
     }),
 
     // Sketch: Bloom-filter content membership — filter built over the
@@ -1485,6 +1502,13 @@ object SparkEntry {
       graft.pipeline.Sharding.shufflePositions(
         t(s, dir, "documents").select("doc_id"), "doc_id", seed = "epoch0")
         .select(col("doc_id"), col("position"))),
+
+    // Temperature-scaled mixture weights per language (the mT5/XLM-R
+    // low-resource upsampling recipe, α=0.5): all arithmetic on the tiny
+    // groups frame after one map-side-combinable count.
+    "t20_temperature_mix" -> ((s, dir) =>
+      graft.pipeline.Sharding.temperatureWeights(
+        t(s, dir, "documents"), "lang", alpha = 0.5)),
 
     // Deterministic rerun-stable train/val split on a portable content hash.
     "t7_hash_split" -> ((s, dir) =>
@@ -2679,6 +2703,25 @@ object SparkEntry {
         |FROM lines WHERE line NOT IN (SELECT line FROM boiler)
         |GROUP BY doc_id""".stripMargin,
 
+    // Keep-first replay: the globally-first occurrence is row_number = 1
+    // ordered by (doc_id, line_no) within each line partition.
+    "d12_keepfirst_lines" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS ord
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, (ord-1)//10 AS line_no,
+        |         string_agg(tok, ' ' ORDER BY ord) AS line
+        |  FROM toks GROUP BY doc_id, (ord-1)//10),
+        |rn AS (SELECT doc_id, line_no, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+        |  FROM lines)
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+        |       count(*) AS n_kept
+        |FROM rn WHERE rn = 1
+        |GROUP BY doc_id""".stripMargin,
+
     // Brute-force theta self-join replay of the bucketized range join.
     "rj1_range_pairs" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, event_id
@@ -2883,6 +2926,23 @@ object SparkEntry {
         |  FROM events GROUP BY user_id)
         |SELECT user_id, exact_count, cms_est
         |FROM est JOIN exact USING (user_id)""".stripMargin,
+
+    // Exact replay of the log-bucket quantile sketch: the bucketer is pure
+    // integer ops (bin/shift), so the histogram — and therefore every
+    // quantile read — is bit-identical, not just approximately equal.
+    "sk3_log_quantiles" ->
+      """WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS v
+        |    FROM events WHERE CAST(round(value*100) AS BIGINT) > 0),
+        |s AS (SELECT v, greatest(length(bin(v)) - 1 - 6, 0) AS s FROM v),
+        |h AS (SELECT (v >> s) << s AS bucket_lo, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM s GROUP BY 1),
+        |c AS (SELECT bucket_lo,
+        |    CAST(sum(cnt) OVER (ORDER BY bucket_lo) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n FROM h)
+        |SELECT q, round(min(bucket_lo) / 100.0, 4) AS est, max(n) AS n
+        |FROM c CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q) qs
+        |WHERE cum >= ceil(q * n)
+        |GROUP BY q""".stripMargin,
 
     "bf1_bloom_probe" ->
       """WITH members AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
@@ -3246,6 +3306,18 @@ object SparkEntry {
         |         IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+
+    "t20_temperature_mix" ->
+      """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+        |             sum(pow(n_docs, 0.5)) AS z FROM g)
+        |SELECT lang, n_docs,
+        |  round(n_docs / n, 6) AS share,
+        |  round(pow(n_docs, 0.5) / z, 6) AS weight,
+        |  round(pow(n_docs, 0.5) / z / (n_docs / n), 4) AS boost,
+        |  round(pow(n_docs, 0.5) / z * n, 2) AS expected_docs
+        |FROM g CROSS JOIN t""".stripMargin,
 
     "t8_repetition" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),

@@ -459,6 +459,48 @@ object Dedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Corpus-wide keep-first line dedup (the C4 "discard any repeated
+    * three-sentence span" rule, at line granularity — C4 §2.2 of Raffel et
+    * al. 2020, re-expressed relational): documents split into the same
+    * non-overlapping `chunkTokens`-token lines as [[lineDedup]]; every line
+    * that occurs more than once ANYWHERE in the corpus survives only at its
+    * globally-first occurrence — ordered by (doc id, position), the stable
+    * cross-run tiebreak — and each document reassembles from its surviving
+    * lines. Complements [[lineDedup]]: that removes high-document-frequency
+    * boilerplate everywhere; this keeps exactly one copy of ANY repeat, the
+    * semantics training-data pipelines want for verbatim content theft
+    * between documents. Documents left with zero surviving lines drop out.
+    *
+    * Scale shape: one shuffle, keyed on the line — the first-occurrence
+    * winner is a min(struct) window over the line partition (map-side
+    * partial min does not apply to windows, but the exchange carries the
+    * flat line rows exactly once; no join, no second corpus pass), and
+    * reassembly is the same doc-id aggregation as [[lineDedup]]. The skew
+    * risk (one viral line → one hot partition) is bounded: a partition
+    * holds line COPIES, each a fixed-width row, and the window computes
+    * only a running min over them. */
+  def keepFirstLines(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val lines = df.select(col(idCol), posexplode(transform(
+        sequence(lit(0), greatest(
+          ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int") - 1, lit(0))),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+      .as(Seq("line_no", "line")))
+    val first = min(struct(col(idCol), col("line_no")))
+      .over(Window.partitionBy("line"))
+    lines.withColumn("__first__", first)
+      .filter(col(s"__first__.$idCol") === col(idCol) &&
+        col("__first__.line_no") === col("line_no"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** n-gram Jaccard similarity for candidate verification: character
     * n-gram shingle sets, |A ∩ B| / |A ∪ B|. Run over candidate `pairs`
     * (id_a, id_b) only — never all-pairs. */

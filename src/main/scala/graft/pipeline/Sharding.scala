@@ -161,4 +161,34 @@ object Sharding {
     df.withColumn("__rk__", row_number().over(w))
       .filter(col("__rk__") <= k).drop("__rk__")
   }
+
+  /** Temperature-scaled mixture weights over a grouping column (the
+    * multilingual/multi-domain sampling recipe of mT5/XLM-R: a group with
+    * corpus share p gets training share p^α / Σ p^α, α<1 flattening the
+    * head so low-resource groups are not drowned; α=1 is natural sampling,
+    * α=0 uniform). Output one row per group: its document count, natural
+    * share, temperature weight, the boost ratio a sampler applies
+    * (weight/share — >1 means upsample), and the expected documents drawn
+    * per epoch of `n` total.
+    *
+    * Scale shape: one map-side-combinable count per group, then all
+    * arithmetic on the GROUPS frame (≤ cardinality of the mixture key —
+    * tens of rows); the Σ p^α normalizer is a single-row cross join, never
+    * a corpus-sized window. Joining the weights back per-document for the
+    * actual draw is a broadcast join against this frame. */
+  def temperatureWeights(df: DataFrame, groupCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("__n__"),
+      sum(pow(col("n_docs"), lit(alpha))).as("__z__"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"),
+        round(col("n_docs") / col("__n__"), 6).as("share"),
+        round(pow(col("n_docs"), lit(alpha)) / col("__z__"), 6).as("weight"),
+        round(pow(col("n_docs"), lit(alpha)) / col("__z__") /
+          (col("n_docs") / col("__n__")), 4).as("boost"),
+        round(pow(col("n_docs"), lit(alpha)) / col("__z__") * col("__n__"), 2)
+          .as("expected_docs"))
+  }
 }

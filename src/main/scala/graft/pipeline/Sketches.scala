@@ -153,4 +153,60 @@ object Sketches {
       conv(substring(md5(concat_ws("|", lit(i), key.cast("string"))),
         1, 4), 16, 10).cast("long") % numBits
     }: _*)
+
+  // ----------------------------------------- Log-bucket quantile histogram
+
+  /** DDSketch/HDR-histogram-style quantile sketch (Masson et al. 2019;
+    * reference analog: the per-chunk value summaries its compaction keeps —
+    * this is the mergeable corpus-wide generalization): positive values are
+    * quantized to an integer grid (`round(x·unit)`), then bucketed by
+    * zeroing all but the top `b+1` significant bits — an EXACT integer
+    * transform (`bin`/shift, no libm), so buckets are bit-identical in any
+    * engine, unlike a float `ln(x)/ln(γ)` bucketer whose ceil can disagree
+    * at boundaries. Bucket width ≤ 2^-b of its lower bound, so any quantile
+    * read from the histogram has relative error ≤ 2^-b (b=6 → <1.6%).
+    *
+    * Returns (bucket_lo, cnt): the sketch state, one row per OCCUPIED
+    * bucket — O(b·log(max/min)) rows regardless of input size, built by one
+    * map-side-combinable count. Sketches merge by summing cnt per bucket_lo
+    * (union of corpora = one more groupBy), which is how a 100 TB
+    * percentile pass stays one scan + a registers-sized shuffle. */
+  def logHistogram(df: DataFrame, value: Column, unit: Int = 100,
+      b: Int = 6): DataFrame = {
+    val v = round(value * unit, 0).cast("long")
+    df.filter(v > 0)
+      .select(v.as("__v__"),
+        greatest(length(bin(v)) - 1 - b, lit(0)).cast("int").as("__s__"))
+      // functions.shiftright only accepts a literal shift — the SQL form
+      // takes a column.
+      .selectExpr("shiftleft(shiftright(__v__, __s__), __s__) AS bucket_lo")
+      .groupBy("bucket_lo").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile read-out from a [[logHistogram]] state: for each q, the lower
+    * bound of the first bucket whose cumulative count reaches ceil(q·n),
+    * mapped back to value scale. Runs entirely on the registers frame
+    * (hundreds of rows); the qs list is a literal cross join. Output
+    * (q, est, n) — est within 2^-b relative error of the true quantile of
+    * the unit-grid values, exact integers until the final division. */
+  def histQuantiles(hist: DataFrame, qs: Seq[Double], unit: Int = 100)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Both windows are single-partition by design: they run over the
+    // REGISTERS frame (hundreds of rows), never the corpus. One explode
+    // attaches every q to every bucket row, so all quantiles read out of
+    // one histogram pass — the corpus is scanned exactly once.
+    val cum = hist.select(col("bucket_lo"), col("cnt"),
+      sum("cnt").over(Window.orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum("cnt").over(Window.orderBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("n"))
+    cum.select(col("bucket_lo"), col("cum"), col("n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("q").agg(min("bucket_lo").as("__lo__"), max("n").as("n"))
+      .select(col("q"), round(col("__lo__") / lit(unit.toDouble), 4).as("est"),
+        col("n"))
+  }
 }

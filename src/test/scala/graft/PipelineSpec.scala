@@ -413,6 +413,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) == ("unique words only", 2L))
   }
 
+  test("keep-first line dedup: repeats survive only at the globally-first " +
+      "(doc_id, position); within-doc repeats collapse too") {
+    val df = docs(
+      (1L, "alpha beta alpha beta gamma delta"), // line 0 == line 1 (2-tok)
+      (2L, "alpha beta own words"),              // line 0 already seen in doc 1
+      (3L, "gamma delta"),                       // seen as doc 1's line 2
+      (4L, "fresh content here"))
+    val out = Dedup.keepFirstLines(df, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L)) // doc 3 fully deduped away
+    assert(out(1L) == ("alpha beta gamma delta", 2L)) // within-doc repeat gone
+    assert(out(2L) == ("own words", 1L))
+    assert(out(4L) == ("fresh content here", 2L))
+  }
+
   test("PII redaction: emails, IPs, phones collapse; clean text untouched") {
     import org.apache.spark.sql.functions.col
     val df = docs(

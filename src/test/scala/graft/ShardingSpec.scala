@@ -98,4 +98,21 @@ class ShardingSpec extends AnyFunSuite {
     val mid = ids.filter(Sharding.hashSample(col("id"), 0.5)).count()
     assert(mid > 400 && mid < 600, s"0.5 kept $mid of 1000")
   }
+
+  test("temperature weights: α=1 is natural sampling, α<1 boosts the tail, " +
+      "weights always sum to 1") {
+    import spark.implicits._
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (i.toLong + 1000, "small"))).toDF("id", "g")
+    def w(alpha: Double) = Sharding.temperatureWeights(df, "g", alpha)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    val nat = w(1.0)
+    assert(math.abs(nat("big")._2 - 0.9) < 1e-6 && nat("big")._3 == 1.0)
+    val t = w(0.5)
+    assert(math.abs(t.values.map(_._2).sum - 1.0) < 1e-5)
+    assert(t("small")._2 > 0.1 && t("small")._3 > 1.0,
+      s"α=0.5 must upsample the tail: ${t("small")}")
+    assert(t("big")._3 < 1.0, "α=0.5 must downsample the head")
+  }
 }

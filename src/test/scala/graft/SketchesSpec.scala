@@ -164,6 +164,36 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("log-histogram quantiles: within the 2^-b relative error bound of " +
+      "the exact quantile, and state stays registers-sized") {
+    val xs = (1 to 5000).map(i => (i.toLong, i * 0.037 % 480 + 0.01))
+    val df = xs.toDF("id", "v")
+    val b = 6
+    val hist = Sketches.logHistogram(df, col("v"), unit = 100, b = b)
+    assert(hist.count() < 700, "state must be O(b·log(max/min)) buckets")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = Sketches.histQuantiles(hist, qs, unit = 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sortedVs = xs.map(_._2).sorted
+    qs.foreach { q =>
+      val exact = sortedVs((q * sortedVs.size).ceil.toInt - 1)
+      val rel = math.abs(est(q) - exact) / exact
+      assert(rel <= math.pow(2, -b) + 0.01 / exact, // +1 grid cell for the
+        s"q=$q est=${est(q)} exact=$exact rel=$rel")  // unit quantization
+    }
+  }
+
+  test("log-histogram merges by per-bucket count sum (sketch union)") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val a = (1 to 400).map(i => (i.toLong, i * 1.7 + 0.5)).toDF("id", "v")
+    val c = (1 to 300).map(i => (i.toLong, i * 3.1 + 9.0)).toDF("id", "v")
+    val merged = Sketches.logHistogram(a, col("v"))
+      .unionAll(Sketches.logHistogram(c, col("v")))
+      .groupBy("bucket_lo").agg(fsum("cnt").as("cnt"))
+    val direct = Sketches.logHistogram(a.unionAll(c), col("v"))
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+  }
+
   test("containment: short-in-long embedding scores 1.0 where jaccard dilutes") {
     val short = "abcdefghij"
     val long = short + "0123456789012345678901234567890123456789"
