@@ -1438,6 +1438,24 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Similarity: full-corpus kNN graph by IVF-cell blocking — every vector
+    // ranks its top-3 neighbors within its coarse cell (per-cell m² sharded
+    // across cells, total n²/k; the batch alternative to per-query probing
+    // when the whole corpus is the query set). Oracle replays cell
+    // assignment from the trained centroid literals (knnOracleEntry).
+    "e10_knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (indexed, _) = ivfCache.synchronized {
+        ivfCache.getOrElseUpdate(dir, {
+          val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8)
+          (ix.cache(), c)
+        })
+      }
+      Similarity.knnGraph(indexed, "vec_id", "embedding", k = 3)
+        .select(col("vec_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Similarity: LSH bucket assignment (the ANN scale path).
     "e3_lsh_buckets" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -3612,7 +3630,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id""".stripMargin
-  ) ++ ivfOracleEntry ++ pqOracleEntry
+  ) ++ ivfOracleEntry ++ pqOracleEntry ++ knnOracleEntry
 
   /** e4's oracle is generated from the centroids the IVF index actually
     * trained this run: `oracleSql` is a def and Verify dumps it AFTER running
@@ -3659,6 +3677,43 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, cos, rank FROM (
            |  SELECT query_id, neighbor_id, cos,
            |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           |  FROM scored) WHERE rank <= 3""".stripMargin
+    }
+
+  /** e10's oracle, generated like [[ivfOracleEntry]] from the same trained
+    * centroids: identical assignment CTE, then a within-cell self-join and
+    * per-query rank — the graph the Spark side builds, replayed flat. */
+  private def knnOracleEntry: Option[(String, String)] =
+    ivfCache.synchronized { ivfCache.keys.toSeq.sorted.headOption }.map { dir =>
+      val centroids = ivfCache.synchronized(ivfCache(dir)._2)
+      val cent = centroids.zipWithIndex.map { case (c, j) =>
+        val lst = c.map(_.toString).mkString("[", ", ", "]")
+        val cn = c.map(x => x * x).sum
+        s"($j, $lst::DOUBLE[], $cn)"
+      }.mkString(",\n")
+      "e10_knn_graph" ->
+        s"""WITH cent(cell, c, cn) AS (VALUES $cent),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell, row_number() OVER (
+           |        PARTITION BY v.vec_id
+           |        ORDER BY 2 * list_dot_product(v.embedding::DOUBLE[], c.c) - c.cn DESC,
+           |                 c.cell ASC) AS rn
+           |    FROM embeddings v CROSS JOIN cent c) WHERE rn = 1),
+           |scored AS (
+           |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+           |    round(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) /
+           |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+           |       sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6)
+           |      AS cos
+           |  FROM assigned a
+           |  JOIN assigned b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+           |  JOIN embeddings q ON q.vec_id = a.vec_id
+           |  JOIN embeddings v ON v.vec_id = b.vec_id)
+           |SELECT vec_id, neighbor_id, cos, rank FROM (
+           |  SELECT vec_id, neighbor_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY vec_id
            |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
            |  FROM scored) WHERE rank <= 3""".stripMargin
     }

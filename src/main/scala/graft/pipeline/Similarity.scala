@@ -156,6 +156,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
+  /** Full-corpus kNN GRAPH by IVF-cell blocking: every vector ranks its
+    * top-k cosine neighbors among its own coarse cell's members — the
+    * batch graph-construction pass SemDeDup-style curation and kNN-graph
+    * clustering start from, where per-query probing ([[ivfTopK]]) would pay
+    * the probe fan-out n times over.
+    *
+    * Scale shape: one equi-join shuffle on the cell id (per-cell m² pair
+    * work, sharded across cells — the k-means fit sizes cells at ~n/k, so
+    * total work is n²/k, tuned by cell count, never unsharded n²) and one
+    * rank exchange on the query id. Recall matches single-cell probing
+    * (nProbe=1); union a second hyperplane/cell family for boundary
+    * vectors, as with [[lshNearDupPairs]]. */
+  def knnGraph(indexed: DataFrame, idCol: String, vecCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = indexed.select(col("cell"), col(idCol).as("vec_id"),
+      col(vecCol).as("__qv__"))
+    val b = indexed.select(col("cell"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("__nv__"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(cosine(col("__qv__"), col("__nv__")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** All pairs (a<b) with cosine above `threshold` within a candidate set —
     * embedding-based near-duplicate detection. Callers bound the input
     * (e.g. LSH buckets) at scale. */

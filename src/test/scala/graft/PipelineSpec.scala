@@ -170,6 +170,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("kNN graph: every vector's neighbors come from its own cell, " +
+      "planted duplicates rank each other first, and k bounds the fan-out") {
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    // plant exact duplicates of vectors 0 and 1
+    val vecs = (base ++ Seq((100L, base(0)._2.clone), (101L, base(1)._2.clone)))
+      .toDF("vec_id", "embedding")
+    val (indexed, _) = Similarity.ivfIndex(vecs, "vec_id", "embedding", k = 3)
+    val g = Similarity.knnGraph(indexed, "vec_id", "embedding", k = 3)
+    val rows = g.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+    val cells = indexed.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    rows.foreach { case (q, n, _, _) =>
+      assert(cells(q) == cells(n), s"$q -> $n crosses cells") }
+    // duplicates share a cell by construction (identical vectors assign
+    // identically) and must be each other's rank-1 hit at cos 1.0
+    Seq((0L, 100L), (100L, 0L), (1L, 101L), (101L, 1L)).foreach { case (q, d) =>
+      val top = rows.filter(r => r._1 == q && r._4 == 1).head
+      assert(top._2 == d && top._3 == 1.0, s"$q top=$top, want dup $d")
+    }
+  }
+
   test("LSH near-dup pairs: subset of all-pairs at threshold; dups found") {
     import org.apache.spark.sql.functions.col
     val vecs = (0 until 30).map { i =>
