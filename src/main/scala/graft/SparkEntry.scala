@@ -496,6 +496,17 @@ object SparkEntry {
       promqlCtx(s, dir).sql("""topk(3, purchase{uid=~"[1-9][0-9]"})""",
         stepMs = Some(86400000L))),
 
+    // PromQL limitk: k samples per step — deterministic label-order pick
+    // (Prometheus 3.0 experimental agg; WHICH k is unspecified there).
+    "p31_promql_limitk" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""limitk(5, purchase{uid=~"[1-9][0-9]"})""",
+        stepMs = Some(86400000L))),
+
+    // PromQL limit_ratio: deterministic md5 series sample; the negative
+    // parameter keeps the exact complement (spec-asserted to partition).
+    "p32_promql_limit_ratio" -> ((s, dir) =>
+      promqlCtx(s, dir).sql("""limit_ratio(0.5, purchase{uid=~"[1-9][0-9]"})""")),
+
     // PromQL exact interpolated quantile per day bucket.
     "p5_promql_quantile" -> ((s, dir) =>
       promqlCtx(s, dir).sql("""quantile(0.9, purchase)""", stepMs = Some(86400000L))
@@ -2116,6 +2127,29 @@ object SparkEntry {
         |    PARTITION BY bucket_ms ORDER BY value DESC, ts_ms, uid) AS rk
         |  FROM s)
         |SELECT uid, ts_ms, value, bucket_ms FROM r WHERE rk <= 3""".stripMargin,
+
+    "p31_promql_limitk" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS uid, epoch_ms(ts::TIMESTAMP) AS ts_ms, value,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |      AS bucket_ms
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-9][0-9]')),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY bucket_ms ORDER BY ts_ms, uid, value) AS rk
+        |  FROM s)
+        |SELECT uid, ts_ms, value, bucket_ms FROM r WHERE rk <= 5""".stripMargin,
+
+    "p32_promql_limit_ratio" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  epoch_ms(ts::TIMESTAMP) AS ts_ms, value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[1-9][0-9]')
+        |  AND CAST(concat('0x', substr(md5(user_id::VARCHAR), 1, 4)) AS BIGINT)
+        |      / 65536.0 < 0.5""".stripMargin,
 
     "p5_promql_quantile" ->
       """SELECT

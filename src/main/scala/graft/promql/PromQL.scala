@@ -21,7 +21,7 @@ import graft.metric.MetricAgg
   *   agg      := aggop grouping? '(' expr ')' grouping?
   *   aggop    := sum | min | max | avg | count
   *   grouping := ('by'|'without') '(' label (',' label)* ')'
-  *   paramagg := (topk|bottomk|quantile) grouping? '(' num ',' expr ')' grouping?
+  *   paramagg := (topk|bottomk|quantile|limitk|limit_ratio) grouping? '(' '-'? num ',' expr ')' grouping?
   *   fncall   := scalarfn '(' expr (',' num)* ')'
   *   scalarfn := abs|ceil|floor|sqrt|exp|ln|log2|log10|round|clamp|clamp_min|clamp_max
   *             | minute|hour|day_of_week|day_of_month|day_of_year
@@ -154,6 +154,8 @@ object ParamOp {
   case object TopK extends ParamOp
   case object BottomK extends ParamOp
   case object Quantile extends ParamOp
+  case object LimitK extends ParamOp
+  case object LimitRatio extends ParamOp
 }
 
 final case class ParamAgg(op: ParamOp, param: Double, by: Seq[String],
@@ -228,7 +230,8 @@ object PromQLParser {
     "group" -> MetricAgg.Group)
   private val ParamOps = Map(
     "topk" -> ParamOp.TopK, "bottomk" -> ParamOp.BottomK,
-    "quantile" -> ParamOp.Quantile)
+    "quantile" -> ParamOp.Quantile,
+    "limitk" -> ParamOp.LimitK, "limit_ratio" -> ParamOp.LimitRatio)
   private val RangeFns = Map(
     "rate" -> RangeF.Rate, "increase" -> RangeF.Increase, "delta" -> RangeF.Delta,
     "avg_over_time" -> RangeF.AvgOverTime, "min_over_time" -> RangeF.MinOverTime,
@@ -726,8 +729,14 @@ object PromQLParser {
       val TIdent(name, _) = next(): @unchecked
       val byBefore = parseByOpt()
       expect("(")
+      // limit_ratio's parameter may be negative (the complement selection);
+      // a leading '-' lexes as punctuation, so fold it into the number here
+      val neg = peek match {
+        case TPunct("-", _) => next(); true
+        case _ => false
+      }
       val param = next() match {
-        case TNum(d, _) => d
+        case TNum(d, _) => if (neg) -d else d
         case t => throw PromQLParseException(
           s"$name requires a leading scalar parameter, e.g. $name(3, ...)", t.pos)
       }
@@ -741,7 +750,10 @@ object PromQLParser {
       val op = ParamOps(name)
       if (op == ParamOp.Quantile && (param < 0 || param > 1))
         fail(s"quantile parameter must be in [0, 1], got $param")
-      if (op != ParamOp.Quantile && (param < 1 || param != math.floor(param)))
+      if (op == ParamOp.LimitRatio && (param < -1 || param > 1 || param == 0))
+        fail(s"limit_ratio parameter must be in [-1, 1] and non-zero, got $param")
+      if ((op == ParamOp.TopK || op == ParamOp.BottomK || op == ParamOp.LimitK)
+          && (param < 1 || param != math.floor(param)))
         fail(s"$name parameter must be a positive integer, got $param")
       ParamAgg(op, param, labels, child)
     }

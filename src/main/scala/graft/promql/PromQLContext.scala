@@ -514,6 +514,37 @@ final class PromQLContext(
             bucketed.withColumn("__rk__", row_number().over(w))
               .filter(col("__rk__") <= param.toLong).drop("__rk__")
           }
+        case ParamOp.LimitK =>
+          // k rows per (by, bucket) group — Prometheus leaves WHICH k
+          // unspecified; ordering by the remaining output columns is the
+          // reproducible choice (documented deviation: deterministic).
+          // `value` closes the ordering so rows equal on every identity
+          // column still rank identically in any engine.
+          val tiebreak = (bucketed.columns
+            .filterNot(c => c == "value" || groupCols.contains(c)).sorted
+            :+ "value").map(col)
+          if (groupCols.isEmpty)
+            bucketed.orderBy(tiebreak: _*).limit(param.toInt)
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(groupCols.map(col): _*).orderBy(tiebreak: _*)
+            bucketed.withColumn("__rk__", row_number().over(w))
+              .filter(col("__rk__") <= param.toLong).drop("__rk__")
+          }
+        case ParamOp.LimitRatio =>
+          // deterministic hash sample over the SERIES identity (labels, not
+          // samples — a series is in or out at every step): keep rows whose
+          // md5(labels) lands in the bottom r of hash space; negative r
+          // keeps the exact complement, so limit_ratio(r, v) ∪
+          // limit_ratio(r-1, v) == v (the Prometheus contract). md5 rather
+          // than an engine-private hash: portable, oracle-replayable.
+          val lblCols = bucketed.columns
+            .filterNot(c => c == "value" || c == "ts_ms" || c == "bucket_ms")
+            .sorted
+          val h = conv(substring(md5(concat_ws("\u0001",
+            lblCols.map(col): _*)), 1, 4), 16, 10).cast("double") / 65536.0
+          bucketed.filter(
+            if (param >= 0) h < lit(param) else h >= lit(1.0 + param))
         case ParamOp.Quantile =>
           // exact interpolated quantile across the group (percentile ==
           // DuckDB quantile_cont — the engine-portable pairing)

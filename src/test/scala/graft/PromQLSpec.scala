@@ -89,6 +89,41 @@ class PromQLSpec extends AnyFunSuite {
     assert(q == Map(0L -> 3.5, H -> 5.5)) // medians of (1,3,4,5) and (2,9)
   }
 
+  test("parser: limitk/limit_ratio — negative ratio allowed, bounds checked") {
+    assert(PromQLParser.parse("limitk(5, cpu)") ==
+      ParamAgg(ParamOp.LimitK, 5.0, Nil, Selector("cpu", Nil)))
+    assert(PromQLParser.parse("limit_ratio(-0.5, cpu)") ==
+      ParamAgg(ParamOp.LimitRatio, -0.5, Nil, Selector("cpu", Nil)))
+    assertThrows[PromQLParseException](PromQLParser.parse("limitk(0, cpu)"))
+    assertThrows[PromQLParseException](PromQLParser.parse("limitk(1.5, cpu)"))
+    assertThrows[PromQLParseException](PromQLParser.parse("limit_ratio(0, cpu)"))
+    assertThrows[PromQLParseException](PromQLParser.parse("limit_ratio(1.3, cpu)"))
+  }
+
+  test("context: limitk picks deterministically per bucket; limit_ratio and " +
+      "its negative complement partition the input exactly") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", "us", 1L, 5.0),
+      Row("cpu", "c", "us", 2L, 3.0), Row("cpu", "d", "eu", 3L, 4.0),
+      Row("cpu", "a", "us", H, 9.0), Row("cpu", "b", "us", H + 1, 2.0)))
+    val lim = ctx.sql("limitk(2, cpu)", stepMs = Some(H)).collect()
+      .map(r => (r.getLong(4), r.getString(1))).toSet
+    // deterministic pick: ordered by (dc, host, ts_ms) — "eu"/d precedes
+    // the "us" rows in bucket 0
+    assert(lim == Set((0L, "d"), (0L, "a"), (H, "a"), (H, "b")))
+    val all = ctx.sql("cpu").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val keep = ctx.sql("limit_ratio(0.4, cpu)").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val drop = ctx.sql("limit_ratio(-0.6, cpu)").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(keep.toSet.intersect(drop.toSet).isEmpty)
+    assert((keep ++ drop).sorted.toSeq == all.sorted.toSeq)
+    // series-consistency: a host is all-in or all-out across its samples
+    val inHosts = keep.map(_._2).toSet
+    assert(drop.map(_._2).toSet.intersect(inHosts).isEmpty)
+  }
+
   test("parser: binary operators with Prometheus precedence") {
     assert(PromQLParser.parse("a + b * c") ==
       BinOp("+", Selector("a", Nil),
