@@ -377,6 +377,20 @@ object SparkEntry {
           countDistinct("user_id").as("n_users"))
     }),
 
+    // Zone maps: a non-time predicate pruning SST FILES at planning time
+    // from manifest min/max stats (ZoneMaps) — event_id correlates with
+    // time in this corpus, so the pk range drops whole segments the time
+    // filter never mentioned; correctness is hash-checked against the raw
+    // table, file-skipping is pinned in StorageSpec.
+    "st4_zone_prune" -> ((s, dir) => {
+      import graft.storage._
+      eventsStorage(s, dir)
+        .scan(ScanRequest(predicates =
+          Seq(col("event_id") >= 2000L && col("event_id") < 4000L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    }),
+
     // A1+A2+O2: merge-on-read last-write-wins dedup (MergeExec + LastValue).
     "a1_last_write_wins" -> ((s, dir) => {
       val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
@@ -1921,6 +1935,12 @@ object SparkEntry {
         |WHERE epoch_ms(ts::TIMESTAMP) >= 1704844800000
         |  AND epoch_ms(ts::TIMESTAMP) < 1705708800000
         |  AND event_type <> 'view'
+        |GROUP BY event_type""".stripMargin,
+
+    "st4_zone_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_v
+        |FROM events WHERE event_id >= 2000 AND event_id < 4000
         |GROUP BY event_type""".stripMargin,
 
     "s4_write_options" ->

@@ -159,7 +159,9 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
           sfs.stampSortingColumns(dest,
             storage.schema.primaryKeys.indices.map(i => (i, false, true)))
           sfs.delete(tmp, recursive = true)
-          Seq(SstFile(id, dest.toString, rows, sfs.size(dest), range))
+          Seq(SstFile(id, dest.toString, rows, sfs.size(dest), range,
+            stats = sfs.parquetColumnStats(dest,
+              (storage.schema.primaryKeys ++ storage.timestampColumn).distinct)))
         } else Nil
 
       val deletes = task.inputs ++ task.expired

@@ -28,7 +28,12 @@ final case class SstFile(
     numRows: Long,
     sizeBytes: Long,
     timeRange: TimeRange,
-    compacting: Boolean = false) {
+    compacting: Boolean = false,
+    /** Zone-map stats: column → (min, max), each Long | Double | String |
+      * Boolean, lifted from the parquet footer at write time and consulted
+      * by [[ZoneMaps]] for file-level pruning. Empty on legacy manifest
+      * lines and for columns without usable footer statistics. */
+    stats: Map[String, (Any, Any)] = Map.empty) {
   /** File is entirely expired under `ttlMs` as of `nowMs` (sst.rs:109-114). */
   def isExpired(nowMs: Long, ttlMs: Option[Long]): Boolean =
     ttlMs.exists(ttl => timeRange.end < nowMs - ttl)
@@ -125,8 +130,19 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     b.toString
   }
 
-  private def fmt(f: SstFile, op: String): String =
-    s"""{"op":"$op","id":${f.id},"path":"${esc(f.path)}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}}"""
+  private def fmtStat(v: Any): String = v match {
+    case s: String => "\"" + esc(s) + "\""
+    case o => o.toString // Long, Double, Boolean render as JSON scalars
+  }
+
+  private def fmt(f: SstFile, op: String): String = {
+    val stats =
+      if (f.stats.isEmpty) ""
+      else f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s""""${esc(c)}":[${fmtStat(mn)},${fmtStat(mx)}]"""
+      }.mkString(""","stats":{""", ",", "}")
+    s"""{"op":"$op","id":${f.id},"path":"${esc(f.path)}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}$stats}"""
+  }
 
   private def parse(line: String): (String, SstFile) = {
     def num(k: String): Long = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line)
@@ -147,7 +163,52 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
       unesc(b.toString)
     }
     (str("op"), SstFile(num("id"), str("path"), num("numRows"),
-      num("sizeBytes"), TimeRange(num("start"), num("end"))))
+      num("sizeBytes"), TimeRange(num("start"), num("end")),
+      stats = parseStats(line)))
+  }
+
+  /** Parse the optional `"stats":{...}` object — a hand-rolled scanner like
+    * `str` above (no JSON library dependency). The literal key text cannot
+    * appear inside the path field: quotes there are escaped. Absent → empty
+    * (legacy lines prune on time only). */
+  private def parseStats(line: String): Map[String, (Any, Any)] = {
+    val key = "\"stats\":{"
+    val i = line.indexOf(key)
+    if (i < 0) return Map.empty
+    var j = i + key.length
+    val out = Map.newBuilder[String, (Any, Any)]
+    def parseString(): String = { // j at the opening quote
+      j += 1
+      val b = new StringBuilder
+      while (line.charAt(j) != '"') {
+        if (line.charAt(j) == '\\') {
+          b.append(line.charAt(j)).append(line.charAt(j + 1)); j += 2
+        } else { b.append(line.charAt(j)); j += 1 }
+      }
+      j += 1
+      unesc(b.toString)
+    }
+    def parseScalar(): Any =
+      if (line.charAt(j) == '"') parseString()
+      else {
+        val start = j
+        while (",]}".indexOf(line.charAt(j).toInt) < 0) j += 1
+        val tok = line.substring(start, j)
+        if (tok == "true" || tok == "false") tok.toBoolean
+        else if (tok.matches("-?\\d+")) tok.toLong
+        else tok.toDouble
+      }
+    while (line.charAt(j) != '}') {
+      val c = parseString() // column key
+      j += 2                // ':' '['
+      val mn = parseScalar()
+      j += 1                // ','
+      val mx = parseScalar()
+      j += 1                // ']'
+      out += c -> ((mn, mx))
+      if (line.charAt(j) == ',') j += 1
+    }
+    out.result()
   }
 
   private def apply(p: HPath): Unit =

@@ -78,6 +78,67 @@ final class StoreFs(rootUri: String, conf: Configuration) {
     try r.getRecordCount finally r.close()
   }
 
+  /** Per-column min/max lifted from the parquet footer's row-group
+    * statistics and merged across row groups — the zone-map source
+    * ([[ZoneMaps]]). Metadata-only, no data read. Columns whose statistics
+    * are absent, empty, or of an unmapped physical type are omitted
+    * (callers abstain from pruning on them). Values map to the manifest's
+    * stat kinds: integers → Long, floats → Double, UTF8 binary → String,
+    * boolean → Boolean. Parquet may truncate long binary stats, but only
+    * outward (min' ≤ min, max' ≥ max), so pruning on them stays sound. */
+  def parquetColumnStats(p: HPath, cols: Seq[String]): Map[String, (Any, Any)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val meta = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getFooter finally r.close()
+    }
+    val blocks = meta.getBlocks.asScala.toSeq
+    val want = cols.toSet
+    val perCol = blocks.flatMap(_.getColumns.asScala)
+      .filter(c => c.getPath.size == 1 && want(c.getPath.toDotString))
+      .groupBy(_.getPath.toDotString)
+    perCol.flatMap { case (name, chunks) =>
+      val stats = chunks.map(_.getStatistics)
+      if (stats.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) None
+      else {
+        val prim = chunks.head.getPrimitiveType
+        val isString = prim.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        def conv(v: Any): Option[Any] = (prim.getPrimitiveTypeName, v) match {
+          case (INT32, x: java.lang.Integer) => Some(x.longValue)
+          case (INT64, x: java.lang.Long) => Some(x.longValue)
+          case (FLOAT, x: java.lang.Float) => Some(x.doubleValue)
+          case (DOUBLE, x: java.lang.Double) => Some(x.doubleValue)
+          case (BOOLEAN, x: java.lang.Boolean) => Some(x.booleanValue)
+          case (BINARY, x: org.apache.parquet.io.api.Binary) if isString =>
+            Some(x.toStringUsingUTF8)
+          case _ => None
+        }
+        val mins = stats.map(s => conv(s.genericGetMin))
+        val maxs = stats.map(s => conv(s.genericGetMax))
+        if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
+        else {
+          def reduce(vs: Seq[Any], keepLeft: (Int) => Boolean): Any =
+            vs.reduce { (a, b) =>
+              val c = (a, b) match {
+                case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+                case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+                case (x: String, y: String) => x.compareTo(y)
+                case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+                case _ => 0
+              }
+              if (keepLeft(c)) a else b
+            }
+          Some(name -> (reduce(mins.map(_.get), _ <= 0),
+            reduce(maxs.map(_.get), _ >= 0)))
+        }
+      }
+    }
+  }
+
   /** Stamp parquet `sorting_columns` row-group metadata onto an SST — the
     * reference records its pk sort order in every SST footer
     * (storage.rs:258-298, config.rs:125); Spark's writer has no API for it.

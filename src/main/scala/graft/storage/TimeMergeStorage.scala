@@ -124,10 +124,18 @@ final class TimeMergeStorage(
     // (the old spark.read...count() re-scanned every SST once per write).
     val rows = storeFs.parquetRowCount(dest)
     storeFs.stampSortingColumns(dest, pkSorting)
-    val sst = SstFile(id, dest.toString, rows, storeFs.size(dest), range)
+    val sst = SstFile(id, dest.toString, rows, storeFs.size(dest), range,
+      stats = storeFs.parquetColumnStats(dest, statsColumns))
     manifest.addFile(sst)
     sst
   }
+
+  /** Columns whose per-file min/max go into the manifest as zone maps
+    * ([[ZoneMaps]]): the primary keys (write-sorted, so their stats are
+    * tight) plus the timestamp column. Lifted from the footer the write
+    * path already opens — no extra I/O. */
+  private def statsColumns: Seq[String] =
+    (schema.primaryKeys ++ timestampColumn).distinct
 
   /** The SSTs' `sorting_columns` footer stamp: pk prefix, ascending,
     * nulls-first — mirrors the write-path sort and the reference's
@@ -164,7 +172,8 @@ final class TimeMergeStorage(
       val rows = storeFs.parquetRowCount(part)
       storeFs.rename(part, dest)
       storeFs.stampSortingColumns(dest, pkSorting)
-      SstFile(id, dest.toString, rows, storeFs.size(dest), range)
+      SstFile(id, dest.toString, rows, storeFs.size(dest), range,
+        stats = storeFs.parquetColumnStats(dest, statsColumns))
     }
     storeFs.delete(tmp, recursive = true)
     manifest.update(ssts)
@@ -203,7 +212,7 @@ final class TimeMergeStorage(
     * manifest prune → parquet read (pushdown) → filter → widen projection →
     * per-pk `merge` → strip builtins → project. */
   private def scanWith(req: ScanRequest, merge: DataFrame => DataFrame): DataFrame = {
-    val ssts = manifest.findSsts(req.range)
+    val ssts = plannedSsts(req)
     if (ssts.isEmpty) // storage.rs:336-341 empty short-circuit
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -221,6 +230,17 @@ final class TimeMergeStorage(
       if (req.keepBuiltins) df.withColumn(ReservedCol, lit(null).cast("long"))
       else df.drop(SeqCol, ReservedCol)
     if (req.keepBuiltins) out else out.select(userCols.map(col): _*)
+  }
+
+  /** The file list a scan will actually read: manifest time pruning, then
+    * zone-map pruning on any simple `col <op> literal` conjuncts of the
+    * request's predicates ([[ZoneMaps]]). Public so tests and operators can
+    * assert what gets skipped before any I/O happens. */
+  def plannedSsts(req: ScanRequest): Seq[SstFile] = {
+    val byTime = manifest.findSsts(req.range)
+    val bs = req.predicates.flatMap(ZoneMaps.bounds)
+    if (bs.isEmpty) byTime
+    else byTime.filter(f => ZoneMaps.mayMatch(f.stats, bs))
   }
 
   private def selectSchema(req: ScanRequest) = {

@@ -22,6 +22,51 @@ object GraftShims {
   def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** Walk a predicate Column's node tree and extract the simple
+    * `column <op> literal` conjuncts — the zone-map-prunable shape
+    * ([[graft.storage.ZoneMaps]]). Returns (column, op, literal) with the
+    * column normalized to the left (`5 < a` → `a > 5`); ops are one of
+    * `< <= > >= =`. Anything else (disjunctions, expressions over columns,
+    * functions) yields nothing — callers must treat absence as
+    * "cannot prune". Lives here because the ColumnNode ADT is sql-private
+    * in Spark 4. */
+  def comparisonBounds(c: Column): Seq[(String, String, Any)] = {
+    import org.apache.spark.sql.internal.{ColumnNode, Literal => NLit,
+      UnresolvedAttribute => NAttr, UnresolvedFunction => NFn}
+    def flip(op: String): String = op match {
+      case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
+      case o => o
+    }
+    def lit(n: ColumnNode): Option[Any] = n match {
+      case NLit(v: java.lang.Integer, _, _) => Some(v.longValue)
+      case NLit(v: java.lang.Long, _, _) => Some(v.longValue)
+      case NLit(v: java.lang.Short, _, _) => Some(v.longValue)
+      case NLit(v: java.lang.Byte, _, _) => Some(v.longValue)
+      case NLit(v: java.lang.Float, _, _) => Some(v.doubleValue)
+      case NLit(v: java.lang.Double, _, _) => Some(v.doubleValue)
+      case NLit(v: String, _, _) => Some(v)
+      case NLit(v: java.lang.Boolean, _, _) => Some(v.booleanValue)
+      case _ => None
+    }
+    def attr(n: ColumnNode): Option[String] = n match {
+      case a: NAttr if a.nameParts.size == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    def walk(n: ColumnNode): Seq[(String, String, Any)] = n match {
+      case NFn("and", Seq(l, r), _, _, _, _) => walk(l) ++ walk(r)
+      case NFn(op, Seq(l, r), _, _, _, _)
+          if Set("<", "<=", ">", ">=", "=", "==").contains(op) =>
+        val norm = if (op == "==") "=" else op
+        (attr(l), lit(r), attr(r), lit(l)) match {
+          case (Some(cn), Some(v), _, _) => Seq((cn, norm, v))
+          case (_, _, Some(cn), Some(v)) => Seq((cn, flip(norm), v))
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    walk(c.node)
+  }
+
   /** Idempotently add a planner strategy to an already-built session —
     * the path for sessions that weren't constructed `withExtensions`
     * (extensions are ignored by `getOrCreate` on an existing session). */

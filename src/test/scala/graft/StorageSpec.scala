@@ -468,6 +468,62 @@ class StorageSpec extends AnyFunSuite {
     assert(ssts.forall(f => !s2.exists(f.path)))
   }
 
+  test("zone maps: pk min/max land in the manifest from the footer, prune " +
+      "files before I/O, survive reload, and never change results") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = mkStorage(tmpRoot())
+    // three SSTs in one segment with disjoint pk1 ranges
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 10L), (5, 2, 11L)))
+    writeBatch(s, TimeRange(1, 10), Seq((10, 1, 20L), (15, 2, 21L)))
+    writeBatch(s, TimeRange(1, 10), Seq((20, 1, 30L), (25, 2, 31L)))
+    val all = s.manifest.allSsts()
+    assert(all.size == 3)
+    assert(all.forall(_.stats.get("pk1").nonEmpty), s"missing pk1 stats: $all")
+    assert(all.map(_.stats("pk1")).toSet ==
+      Set((1L, 5L), (10L, 15L), (20L, 25L)))
+    // planning skips files the bounds exclude — before any task runs
+    def planned(p: org.apache.spark.sql.Column) =
+      s.plannedSsts(ScanRequest(predicates = Seq(p))).map(_.stats("pk1")).toSet
+    assert(planned(col("pk1") >= 20) == Set((20L, 25L)))
+    assert(planned(col("pk1") < 8) == Set((1L, 5L)))
+    assert(planned(col("pk1") === 12) == Set((10L, 15L)))
+    assert(planned(col("pk1") === 12 && col("pk2") === 1) == Set((10L, 15L)))
+    assert(planned(lit(9) > col("pk1")) == Set((1L, 5L)))       // reversed
+    assert(planned(col("pk1") > 100).isEmpty)                    // all skipped
+    assert(planned(col("value") % 2 === 0).size == 3)            // abstains
+    // pruned scan result == full scan filtered the ordinary way
+    val viaPrune = s.scan(ScanRequest(predicates = Seq(col("pk1") >= 20)))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val viaFilter = s.scan().filter(col("pk1") >= 20)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(viaPrune == viaFilter && viaPrune.size == 2)
+    // stats round-trip the manifest's JSON-lines encoding on reload
+    s.manifest.mergeSnapshot()
+    val m2 = new Manifest(s.root)
+    assert(m2.allSsts().map(f => f.id -> f.stats).toMap ==
+      all.map(f => f.id -> f.stats).toMap)
+  }
+
+  test("zone maps: string stats prune and legacy lines without stats abstain") {
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("v", LongType)))
+    val s = new TimeMergeStorage(spark, tmpRoot(),
+      StorageSchema(schema, numPrimaryKeys = 1), segmentMs = 7200 * 1000L)
+    def w(rows: (String, Long)*): Unit = s.write(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+        schema), TimeRange(1, 10))
+    w("apple" -> 1L, "cherry" -> 2L)
+    w("peach" -> 3L, "zebra" -> 4L)
+    assert(s.plannedSsts(ScanRequest(predicates =
+      Seq(col("name") > "m"))).map(_.stats("name")) == Seq(("peach", "zebra")))
+    // a legacy manifest entry (no stats) is never pruned
+    s.manifest.addFile(SstFile(999, "/legacy", 1, 1, TimeRange(1, 10)))
+    assert(s.plannedSsts(ScanRequest(predicates =
+      Seq(col("name") > "zz"))).map(_.id) == Seq(999L))
+  }
+
   test("manifest at 50k entries: findSsts stays sub-ms-per-1k and the " +
       "snapshot round-trips (SURVEY §7.5.6 in-RAM ceiling, documented)") {
     // The manifest keeps all SST metadata in one driver-side map (same
