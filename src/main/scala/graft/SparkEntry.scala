@@ -785,6 +785,27 @@ object SparkEntry {
           .agg(count_distinct(col("user_id")).as("exact_distinct")))
     }),
 
+    // Streaming quantiles: the log-bucket histogram maintained as a
+    // continuous query (complete-mode bucket counts — sums are
+    // order-insensitive, so stream registers == batch registers and the
+    // oracle is sk3's replay verbatim), quantiles read after the run.
+    "sq1_stream_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events").select(col("value")).as[Double].collect()
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Double]
+      val hist = graft.pipeline.Sketches.logHistogram(
+        stream.toDS().toDF("value"), col("value"))
+      val sink = sinkName("sq1")
+      val q = hist.writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      try rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      graft.pipeline.Sketches.histQuantiles(s.table(sink), Seq(0.5, 0.9, 0.99))
+    }),
+
     // PromQL text as a continuous query: the streaming evaluator over a
     // bounded 4-micro-batch MemoryStream of events (time-ordered arrival,
     // so nothing is watermark-late). Append mode emits exactly the
@@ -1346,6 +1367,21 @@ object SparkEntry {
         .select(col("probe_key").cast("long").as("user_id"), col("cms_est"))
         .join(exact, "user_id")
         .select(col("user_id"), col("exact_count"), col("cms_est"))
+    }),
+
+    // Sketch: per-group HLL — distinct users per event_type from one
+    // map-side-combinable pass over groups×256 registers, exact counts
+    // alongside (the bounded-dimension distinct-count at 100 TB).
+    "sk5_hll_by_group" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val est = graft.pipeline.Sketches.hllEstimateBy(
+        graft.pipeline.Sketches.hllRegistersBy(ev,
+          col("event_type"), col("user_id")))
+      val exact = ev.groupBy(col("event_type").as("group"))
+        .agg(count_distinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "group")
+        .select(col("group").as("event_type"), col("n_used"), col("n_empty"),
+          col("estimate"), col("exact_distinct"))
     }),
 
     // Sketch: log-bucket quantile histogram (the DDSketch shape with EXACT
@@ -2998,6 +3034,52 @@ object SparkEntry {
         |  FROM events GROUP BY user_id)
         |SELECT user_id, exact_count, cms_est
         |FROM est JOIN exact USING (user_id)""".stripMargin,
+
+    "sk5_hll_by_group" ->
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events),
+        |r AS (SELECT event_type,
+        |    CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS bucket,
+        |    substr(h, 3, 13) AS sub FROM h),
+        |rho AS (SELECT event_type, bucket,
+        |    CASE WHEN length(regexp_extract(sub, '^0*')) = 13 THEN 53
+        |         ELSE length(regexp_extract(sub, '^0*')) * 4 +
+        |           CASE substr(sub, length(regexp_extract(sub, '^0*')) + 1, 1)
+        |             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |             WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+        |  FROM r),
+        |reg AS (SELECT event_type, bucket, max(rho) AS max_rho
+        |  FROM rho GROUP BY 1, 2),
+        |agg AS (SELECT event_type, count(*) AS n_used,
+        |    sum(pow(2.0, -max_rho)) AS s FROM reg GROUP BY 1),
+        |est AS (SELECT event_type, n_used, 256 - n_used AS n_empty,
+        |    (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / (s + (256 - n_used)) AS raw
+        |  FROM agg),
+        |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS exact_distinct FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n_used AS BIGINT) AS n_used,
+        |  CAST(n_empty AS BIGINT) AS n_empty,
+        |  round(CASE WHEN raw <= 640 AND n_empty > 0
+        |             THEN 256 * ln(256.0 / n_empty) ELSE raw END, 3) AS estimate,
+        |  exact_distinct
+        |FROM est JOIN ex USING (event_type)""".stripMargin,
+
+    // sq1's streaming registers equal sk3's batch registers (count sums are
+    // order-insensitive), so one replay serves both.
+    "sq1_stream_quantiles" ->
+      """WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS v
+        |    FROM events WHERE CAST(round(value*100) AS BIGINT) > 0),
+        |s AS (SELECT v, greatest(length(bin(v)) - 1 - 6, 0) AS s FROM v),
+        |h AS (SELECT (v >> s) << s AS bucket_lo, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM s GROUP BY 1),
+        |c AS (SELECT bucket_lo,
+        |    CAST(sum(cnt) OVER (ORDER BY bucket_lo) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n FROM h)
+        |SELECT q, round(min(bucket_lo) / 100.0, 4) AS est, max(n) AS n
+        |FROM c CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q) qs
+        |WHERE cum >= ceil(q * n)
+        |GROUP BY q""".stripMargin,
 
     // Exact replay of the log-bucket quantile sketch: the bucketer is pure
     // integer ops (bin/shift), so the histogram — and therefore every

@@ -30,9 +30,25 @@ object Sketches {
     * engines compute it with string ops, never float log2). Returns
     * (bucket, max_rho) for OCCUPIED buckets only — the merge-able sketch
     * state (union of corpora = max per bucket). */
-  def hllRegisters(df: DataFrame, key: Column): DataFrame = {
-    val h = md5(key.cast("string"))
-    val sub = substring(h, 3, 13) // 52 bits after the 8 bucket bits
+  def hllRegisters(df: DataFrame, key: Column): DataFrame =
+    df.select(hllBucket(key).as("bucket"), hllRho(key).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("max_rho"))
+
+  /** Grouped HLL registers: an independent register set per value of
+    * `group` — the "distinct users per dimension" pass. Still ONE
+    * map-side-combinable aggregation; state is `groups × 256` rows, so a
+    * 100 TB corpus with a bounded dimension keys a registers-sized shuffle,
+    * never a distinct-sized one. */
+  def hllRegistersBy(df: DataFrame, group: Column, key: Column): DataFrame =
+    df.select(group.as("group"), hllBucket(key).as("bucket"),
+        hllRho(key).as("rho"))
+      .groupBy("group", "bucket").agg(max("rho").as("max_rho"))
+
+  private def hllBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
+
+  private def hllRho(key: Column): Column = {
+    val sub = substring(md5(key.cast("string")), 3, 13) // 52 bits after bucket
     val lz = length(regexp_extract(sub, "^0*", 0))
     val firstNz = substr(sub, (lz + 1).cast("int"), lit(1))
     // leading-zero BITS inside the first non-zero hex digit
@@ -40,11 +56,7 @@ object Sketches {
       .when(firstNz.isin("2", "3"), 2)
       .when(firstNz.isin("4", "5", "6", "7"), 1)
       .otherwise(0)
-    val rho = when(lz === 13, lit(53))
-      .otherwise(lz * 4 + nzBits + 1)
-    df.select(conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
-        rho.cast("long").as("rho"))
-      .groupBy("bucket").agg(max("rho").as("max_rho"))
+    when(lz === 13, lit(53)).otherwise(lz * 4 + nzBits + 1).cast("long")
   }
 
   /** The standard HLL estimate (Flajolet et al. 2007) from a register
@@ -64,6 +76,25 @@ object Sketches {
       .select(col("n_used"), col("n_empty"),
         (lit(alpha * m.toDouble * m) / col("__sum__")).as("__raw__"))
       .select(col("n_used"), col("n_empty"),
+        round(when(col("__raw__") <= 2.5 * m && col("n_empty") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty")))
+          .otherwise(col("__raw__")), 3).as("estimate"))
+  }
+
+  /** Per-group HLL estimates from a [[hllRegistersBy]] frame — the same
+    * Flajolet formula, one output row per group, all arithmetic on the
+    * registers frame. */
+  def hllEstimateBy(registers: DataFrame, m: Int = 256): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers.groupBy("group")
+      .agg(count(lit(1)).as("n_used"),
+        sum(pow(lit(2.0), -col("max_rho"))).as("__s__"))
+      .select(col("group"), col("n_used"),
+        (lit(m.toLong) - col("n_used")).as("n_empty"),
+        (col("__s__") + (lit(m) - col("n_used"))).as("__sum__"))
+      .select(col("group"), col("n_used"), col("n_empty"),
+        (lit(alpha * m.toDouble * m) / col("__sum__")).as("__raw__"))
+      .select(col("group"), col("n_used"), col("n_empty"),
         round(when(col("__raw__") <= 2.5 * m && col("n_empty") > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty")))
           .otherwise(col("__raw__")), 3).as("estimate"))

@@ -164,6 +164,20 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped HLL: per-group estimates track each group's exact distinct " +
+      "and the register state stays groups x 256 bounded") {
+    val rows = (1 to 500).map(i => ("a", i.toLong)) ++
+      (1 to 5000).map(i => ("a", (i % 500).toLong)) ++ // dups don't inflate
+      (1 to 50).map(i => ("b", i.toLong))
+    val df = rows.toDF("g", "k")
+    val regs = Sketches.hllRegistersBy(df, col("g"), col("k"))
+    assert(regs.count() <= 2 * 256)
+    val est = Sketches.hllEstimateBy(regs)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(est("a") - 500) / 500.0 < 0.2, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 50) / 50.0 < 0.2, s"b: ${est("b")}")
+  }
+
   test("log-histogram quantiles: within the 2^-b relative error bound of " +
       "the exact quantile, and state stays registers-sized") {
     val xs = (1 to 5000).map(i => (i.toLong, i * 0.037 % 480 + 0.01))
