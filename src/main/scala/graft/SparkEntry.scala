@@ -1517,6 +1517,14 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Similarity: Johnson-Lindenstrauss ±1 random projection 64 → 8 dims
+    // (the dimensionality-reduction pass in front of ANN/clustering) —
+    // signs regenerated from md5 parity, zero-shuffle codegen'd folds,
+    // output exploded to scalar (id, dim, y) rows for the comparator.
+    "e11_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"),
+        "vec_id", "embedding", outDim = 8)),
+
     // Similarity: LSH bucket assignment (the ANN scale path).
     "e3_lsh_buckets" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -1588,6 +1596,13 @@ object SparkEntry {
     "t20_temperature_mix" -> ((s, dir) =>
       graft.pipeline.Sharding.temperatureWeights(
         t(s, dir, "documents"), "lang", alpha = 0.5)),
+
+    // Deterministic interleaved epoch schedule from the t20 mixture
+    // weights: weighted-fair-queueing virtual time per group, global rank
+    // via the two-phase prefix sum (no one-partition window).
+    "t21_mixture_schedule" -> ((s, dir) =>
+      graft.pipeline.Sharding.mixtureSchedule(
+        t(s, dir, "documents"), "lang", "doc_id", alpha = 0.5, seed = "epoch0")),
 
     // Deterministic rerun-stable train/val split on a portable content hash.
     "t7_hash_split" -> ((s, dir) =>
@@ -3461,6 +3476,23 @@ object SparkEntry {
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
 
+    "t21_mixture_schedule" ->
+      """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(pow(n, 0.5)) AS z FROM g),
+        |w AS (SELECT lang, round(pow(n, 0.5) / z, 6) AS weight
+        |  FROM g CROSS JOIN t),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR || 'epoch0'), doc_id) AS r
+        |  FROM documents),
+        |p AS (SELECT doc_id, r.lang, (r - 0.5) / weight AS vt
+        |  FROM r JOIN w USING (lang))
+        |SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY vt, lang, doc_id) - 1 AS BIGINT)
+        |    AS sched_pos
+        |FROM p""".stripMargin,
+
     "t20_temperature_mix" ->
       """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM documents GROUP BY lang),
@@ -3766,7 +3798,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id""".stripMargin
-  ) ++ ivfOracleEntry ++ pqOracleEntry ++ knnOracleEntry
+  ) ++ ivfOracleEntry ++ pqOracleEntry ++ knnOracleEntry + jlOracleEntry
+
+  /** e11's oracle: the sign matrix is a pure function of the seed
+    * ([[graft.pipeline.Similarity.projectionSigns]]), so the replay embeds
+    * it as literals — no trained state, generated statically. */
+  private def jlOracleEntry: (String, String) = {
+    val signs = graft.pipeline.Similarity.projectionSigns(8, 64, "jl")
+    val rows = signs.zipWithIndex.map { case (s, j) =>
+      s"($j, ${s.map(_.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n")
+    val scale = math.sqrt(8.0)
+    "e11_random_projection" ->
+      s"""WITH signs(dim, s) AS (VALUES $rows)
+         |SELECT v.vec_id, CAST(signs.dim AS BIGINT) AS dim,
+         |  round(list_dot_product(v.embedding::DOUBLE[], signs.s) / $scale, 6)
+         |    AS y
+         |FROM embeddings v CROSS JOIN signs""".stripMargin
+  }
 
   /** e4's oracle is generated from the centroids the IVF index actually
     * trained this run: `oracleSql` is a def and Verify dumps it AFTER running

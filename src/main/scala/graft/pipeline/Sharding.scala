@@ -162,6 +162,36 @@ object Sharding {
       .filter(col("__rk__") <= k).drop("__rk__")
   }
 
+  /** Deterministic interleaved training schedule from temperature mixture
+    * weights (the epoch plan a [[temperatureWeights]] recipe turns into):
+    * each group's documents are ordered by a seeded md5 shuffle, the r-th
+    * document of group g gets schedule key (r + 0.5) / w_g — the classic
+    * weighted-fair-queueing virtual time, so groups interleave with density
+    * proportional to their weight (a weight-0.3 group owns ~30% of any
+    * schedule prefix) — and the global rank over the key is the training
+    * position. Fully deterministic and rerun-stable: same seed, same
+    * schedule, any partitioning.
+    *
+    * Scale shape: one broadcast of the groups-frame weights, one shuffle
+    * for the per-group rank window, then the global rank reuses
+    * [[withRunningTotal]]'s two-phase range-partitioned prefix sum — never
+    * a single-partition window. */
+  def mixtureSchedule(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double = 0.5, seed: String = "epoch0"): DataFrame = {
+    val w = temperatureWeights(df, groupCol, alpha)
+      .select(col(groupCol), col("weight"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(seed))), col(idCol))
+    val keyed = df.select(col(idCol), col(groupCol))
+      .join(broadcast(w), groupCol)
+      .withColumn("__vt__",
+        (row_number().over(rw).cast("double") - 0.5) / col("weight"))
+    withRunningTotal(keyed,
+      Seq(col("__vt__"), col(groupCol), col(idCol)), lit(1L), "__p1__")
+      .select(col(idCol), col(groupCol), (col("__p1__") - 1).as("sched_pos"))
+  }
+
   /** Temperature-scaled mixture weights over a grouping column (the
     * multilingual/multi-domain sampling recipe of mT5/XLM-R: a group with
     * corpus share p gets training share p^α / Σ p^α, α<1 flattening the

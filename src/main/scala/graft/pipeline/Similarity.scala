@@ -183,6 +183,40 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The ±1 Johnson-Lindenstrauss sign matrix for [[randomProjection]]:
+    * sign(j, i) from the parity of the first md5 nibble of `seed|j|i` —
+    * data-independent and regenerated bit-identically anywhere (executors,
+    * an external oracle), so the projection needs no shipped model state. */
+  def projectionSigns(outDim: Int, inDim: Int, seed: String): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val h = md.digest(s"$seed|$j|$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions
+    * (Achlioptas 2003 ±1 variant): y_j = Σ_i x_i·s_ji / √outDim, signs from
+    * [[projectionSigns]]. The dimensionality-reduction pass in front of
+    * ANN/clustering when d is large. Zero shuffle: each output coordinate
+    * is one codegen'd fold over the vector (same left-to-right double
+    * accumulation as the oracle's list_dot_product); rows explode to
+    * (id, dim, value) scalars. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: String = "jl"): DataFrame = {
+    val inDim = df.select(size(col(vecCol))).head.getInt(0)
+    val signs = projectionSigns(outDim, inDim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    val ys = array((0 until outDim).map { j =>
+      round(aggregate(
+        zip_with(col(vecCol).cast("array<double>"),
+          typedLit(signs(j).toSeq), (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x) / scale, 6)
+    }: _*)
+    df.select(col(idCol), posexplode(ys).as(Seq("dim", "y")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("y"))
+  }
+
   /** All pairs (a<b) with cosine above `threshold` within a candidate set —
     * embedding-based near-duplicate detection. Callers bound the input
     * (e.g. LSH buckets) at scale. */

@@ -195,6 +195,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("random projection: deterministic per seed, linear, and shaped " +
+      "(id, dim, y) with outDim rows per vector") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(16)(d => (i * 17 + d * 3 % 7).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    def proj(seed: String) = Similarity
+      .randomProjection(vecs, "vec_id", "embedding", outDim = 4, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val a = proj("jl")
+    assert(a.size == 20 * 4)
+    assert(a == proj("jl"))                        // deterministic
+    assert(a != proj("other-seed"))                // seed matters
+    // linearity: doubling the vector doubles every coordinate (±round-6)
+    val doubled = Similarity.randomProjection(
+      vecs.select(col("vec_id"),
+        transform(col("embedding"), x => x * 2f).as("embedding")),
+      "vec_id", "embedding", outDim = 4, "jl")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    a.foreach { case (k, v) =>
+      assert(math.abs(doubled(k) - 2 * v) < 1e-5, s"$k: ${doubled(k)} vs ${2 * v}")
+    }
+  }
+
   test("LSH near-dup pairs: subset of all-pairs at threshold; dups found") {
     import org.apache.spark.sql.functions.col
     val vecs = (0 until 30).map { i =>

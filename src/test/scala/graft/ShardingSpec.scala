@@ -99,6 +99,29 @@ class ShardingSpec extends AnyFunSuite {
     assert(mid > 400 && mid < 600, s"0.5 kept $mid of 1000")
   }
 
+  test("mixture schedule: exact permutation, rerun-stable, and equal " +
+      "weights interleave head and tail groups 1:1 until the tail runs out") {
+    import spark.implicits._
+    val df = ((1 to 300).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (i.toLong + 1000, "small"))).toDF("id", "g")
+    // α=0 → uniform weights regardless of the 3:1 corpus skew
+    val sched = Sharding.mixtureSchedule(df, "g", "id", alpha = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sched.map(_._3).sorted.toSeq == (0L until 400L))
+    val rerun = Sharding.mixtureSchedule(df.repartition(7), "g", "id", alpha = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rerun.sortBy(_._1).toSeq == sched.sortBy(_._1).toSeq)
+    // WFQ guarantee: the first 200 positions hold the small group's entire
+    // 100 docs (strict 1:1 interleave at equal weights)
+    val first200 = sched.filter(_._3 < 200)
+    assert(first200.count(_._2 == "small") == 100)
+    // natural sampling (α=1) spreads the small group ~1 in 4
+    val nat = Sharding.mixtureSchedule(df, "g", "id", alpha = 1.0)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val smallIn100 = nat.count { case (g, p) => g == "small" && p < 100 }
+    assert(smallIn100 >= 20 && smallIn100 <= 30, s"small in first 100: $smallIn100")
+  }
+
   test("temperature weights: α=1 is natural sampling, α<1 boosts the tail, " +
       "weights always sum to 1") {
     import spark.implicits._
