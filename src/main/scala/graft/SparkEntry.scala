@@ -1921,6 +1921,47 @@ object SparkEntry {
           (max("tms") - min("tms")).as("duration_ms"))
     }),
 
+    // Funnel analysis: signup → view → purchase per user, each stage within
+    // 7 days of the previous — three stage-scoped min-aggregations chained
+    // by co-partitioned user_id joins (the standard product-analytics
+    // funnel; every shuffle keys on the user, nothing quadratic).
+    "x12_funnel" -> ((s, dir) => {
+      val day7 = 7L * 86400000L
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        tsMs.as("tms"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tms").as("t1"))
+      val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+        .filter(col("tms") > col("t1") && col("tms") <= col("t1") + day7)
+        .groupBy("user_id").agg(min("tms").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("tms") > col("t2") && col("tms") <= col("t2") + day7)
+        .groupBy("user_id").agg(min("tms").as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3.select("user_id", "t3"),
+          Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+    }),
+
+    // Cohort retention: users grouped by first-seen week, per-week-offset
+    // active share — distinct (user, week) activity joined to cohort
+    // assignment, two user-keyed shuffles and a groups-sized output.
+    "x13_retention" -> ((s, dir) => {
+      val week = 604800000L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), (tsMs.divide(lit(week))).cast("long").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val sizes = cohort.groupBy("cohort_wk").agg(
+        count(lit(1)).as("n_cohort"))
+      ev.distinct().join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort_wk")
+        .select(col("cohort_wk"), col("offset_wk"), col("n_active"),
+          col("n_cohort"),
+          round(col("n_active") / col("n_cohort"), 4).as("retention"))
+    }),
+
     // Exact interpolated quantiles per group.
     "x6_quantiles" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type")
@@ -3765,6 +3806,34 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, max(tms) - min(tms) AS duration_ms
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "x12_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ms(ts::TIMESTAMP) AS tms FROM events),
+        |s1 AS (SELECT user_id, min(tms) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tms) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'view' AND tms > t1 AND tms <= t1 + 604800000
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tms) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tms > t2 AND tms <= t2 + 604800000
+        |  GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "x13_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 604800000) AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_cohort
+        |  FROM c GROUP BY 1),
+        |act AS (SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_wk, offset_wk, n_active, n_cohort,
+        |  round(n_active / n_cohort, 4) AS retention
+        |FROM act JOIN sz USING (cohort_wk)""".stripMargin,
 
     "x6_quantiles" ->
       """SELECT event_type,
