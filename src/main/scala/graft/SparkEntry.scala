@@ -1517,6 +1517,24 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Graph analytics: fixed-point integer PageRank over the e10 kNN graph
+    // (document-centrality data-selection signal) — 5 exact-integer
+    // iterations, bit-identical in any engine; oracle unrolls the same
+    // iterations over the same centroid-literal graph.
+    "e12_pagerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (indexed, _) = ivfCache.synchronized {
+        ivfCache.getOrElseUpdate(dir, {
+          val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8)
+          (ix.cache(), c)
+        })
+      }
+      val edges = Similarity.knnGraph(indexed, "vec_id", "embedding", k = 3)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.pipeline.Graphs.pageRank(edges, iterations = 5)
+        .select(col("id").as("vec_id"), col("rank"))
+    }),
+
     // Similarity: Johnson-Lindenstrauss ±1 random projection 64 → 8 dims
     // (the dimensionality-reduction pass in front of ANN/clustering) —
     // signs regenerated from md5 parity, zero-shuffle codegen'd folds,
@@ -3867,7 +3885,62 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id""".stripMargin
-  ) ++ ivfOracleEntry ++ pqOracleEntry ++ knnOracleEntry + jlOracleEntry
+  ) ++ ivfOracleEntry ++ pqOracleEntry ++ knnOracleEntry ++
+    pageRankOracleEntry + jlOracleEntry
+
+  /** e12's oracle: the e10 kNN graph (same centroid literals) with 5
+    * UNROLLED exact-integer PageRank iterations — recursive CTEs cannot
+    * aggregate in the recursive term, and the fixed iteration count makes
+    * unrolling trivial to generate. */
+  private def pageRankOracleEntry: Option[(String, String)] =
+    ivfCache.synchronized { ivfCache.keys.toSeq.sorted.headOption }.map { dir =>
+      val centroids = ivfCache.synchronized(ivfCache(dir)._2)
+      val cent = centroids.zipWithIndex.map { case (c, j) =>
+        val lst = c.map(_.toString).mkString("[", ", ", "]")
+        val cn = c.map(x => x * x).sum
+        s"($j, $lst::DOUBLE[], $cn)"
+      }.mkString(",\n")
+      val iters = (1 to 5).map { i =>
+        s"""pr$i AS (SELECT n.id,
+           |  CAST(150000000000 + coalesce(s.v, 0) AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e2.dst AS id,
+           |      sum(((p.rank * 85) // 100) // e2.outdeg) AS v
+           |    FROM e2 JOIN pr${i - 1} p ON p.id = e2.src GROUP BY 1) s
+           |  USING (id))""".stripMargin
+      }.mkString(",\n")
+      "e12_pagerank" ->
+        s"""WITH cent(cell, c, cn) AS (VALUES $cent),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell, row_number() OVER (
+           |        PARTITION BY v.vec_id
+           |        ORDER BY 2 * list_dot_product(v.embedding::DOUBLE[], c.c) - c.cn DESC,
+           |                 c.cell ASC) AS rn
+           |    FROM embeddings v CROSS JOIN cent c) WHERE rn = 1),
+           |scored AS (
+           |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+           |    round(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) /
+           |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+           |       sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6)
+           |      AS cos
+           |  FROM assigned a
+           |  JOIN assigned b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+           |  JOIN embeddings q ON q.vec_id = a.vec_id
+           |  JOIN embeddings v ON v.vec_id = b.vec_id),
+           |g AS (SELECT vec_id AS src, neighbor_id AS dst FROM (
+           |  SELECT vec_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored) WHERE rank <= 3),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+           |  FROM g GROUP BY 1),
+           |e2 AS (SELECT g.src, g.dst, deg.outdeg FROM g JOIN deg USING (src)),
+           |nodes AS (SELECT src AS id FROM g UNION SELECT dst FROM g),
+           |pr0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+           |$iters
+           |SELECT id AS vec_id, rank FROM pr5""".stripMargin
+    }
 
   /** e11's oracle: the sign matrix is a pure function of the seed
     * ([[graft.pipeline.Similarity.projectionSigns]]), so the replay embeds

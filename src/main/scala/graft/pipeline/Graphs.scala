@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge frames — the curation-side graph
+  * pass (PageRank-style centrality over a document-similarity graph is a
+  * standard data-selection signal; the duplicate-cluster components in
+  * [[Dedup.duplicateClusters]] are the other iterative graph op here).
+  */
+object Graphs {
+
+  /** Fixed-point integer PageRank: ranks carry `unit` micro-rank units
+    * (10^12 default) and every operation is exact integer arithmetic —
+    * `contribution = rank * dampingPct div 100 div outdeg` with floor
+    * division — so the result is bit-identical in any engine (the reason
+    * large-scale PageRank implementations run fixed-point: float summation
+    * order is nondeterministic across partitionings). Division remainders
+    * (< outdeg micro-units per edge) and dangling-node mass leak out of
+    * the system; with unit = 10^12 the drift is ~10^-10 relative — noise
+    * for ranking purposes, and identically computed everywhere.
+    *
+    * Runs a FIXED iteration count (deterministic output, no float
+    * convergence test). Scale shape per iteration: one src-keyed join to
+    * ship ranks onto edges, one dst-keyed aggregation — both shuffles on
+    * natural graph keys; ranks/nodes stay distributed (never collected),
+    * lineage cut per round by localCheckpoint exactly as
+    * [[Dedup.duplicateClusters]] does. */
+  def pageRank(edges: DataFrame, iterations: Int = 5, dampingPct: Int = 85,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 1 && dampingPct <= 99)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val e = edges.join(
+        edges.groupBy("src").agg(count(lit(1)).as("__deg__")), "src")
+      .select(col("src"), col("dst"), col("__deg__")).cache()
+    val teleport = unit * (100 - dampingPct) / 100
+    var ranks = nodes.withColumn("rank", lit(unit))
+    for (_ <- 1 to iterations) {
+      val inflow = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr(s"rank * $dampingPct div 100 div __deg__").as("__c__"))
+        .groupBy("id").agg(sum("__c__").as("__in__"))
+      ranks = nodes.join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + coalesce(col("__in__"), lit(0L))).as("rank"))
+        .localCheckpoint()
+    }
+    nodes.unpersist()
+    e.unpersist()
+    ranks
+  }
+}

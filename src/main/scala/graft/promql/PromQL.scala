@@ -482,7 +482,10 @@ object PromQLParser {
       case TIdent("histogram_quantile", _) if nextIsParen => parseHistQ()
       case TIdent("quantile_over_time", _) if nextIsParen => parseQuantileOT()
       case TIdent("predict_linear", _) if nextIsParen => parsePredictLinear()
-      case TIdent("holt_winters", _) if nextIsParen => parseHoltWinters()
+      // double_exponential_smoothing is Prometheus 3's name for the same
+      // function (holt_winters kept as the compatibility alias there too)
+      case TIdent("holt_winters" | "double_exponential_smoothing", _)
+          if nextIsParen => parseHoltWinters()
       case TIdent(name @ ("label_replace" | "label_join"), _) if nextIsParen =>
         parseLabelFn(name)
       case TIdent(name, _) if ScalarFns.contains(name) && nextIsParen =>

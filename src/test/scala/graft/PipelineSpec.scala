@@ -195,6 +195,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("integer PageRank: hub outranks spokes, mass stays bounded, " +
+      "and the result is partitioning-independent") {
+    import org.apache.spark.sql.functions.col
+    // star: 1..9 each -> 0 and 0 -> 1 (node 0 is the hub)
+    val edges = ((1L to 9L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val pr = graft.pipeline.Graphs.pageRank(edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size == 10)
+    assert(pr(0L) > pr(1L) && pr(1L) > pr(2L)) // hub > its target > spokes
+    assert((2L to 9L).forall(i => pr(i) == pr(2L))) // symmetric spokes tie
+    val unit = 1000000000000L
+    assert(pr.values.sum <= 10 * unit) // fixed-point leaks, never creates
+    assert(pr.values.sum > (10 * unit * 8) / 10)
+    val pr2 = graft.pipeline.Graphs.pageRank(edges.repartition(7), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr2 == pr) // exact integer arithmetic: layout-independent
+  }
+
   test("random projection: deterministic per seed, linear, and shaped " +
       "(id, dim, y) with outDim rows per vector") {
     import org.apache.spark.sql.functions.{col, transform}

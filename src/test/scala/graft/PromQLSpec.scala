@@ -972,6 +972,9 @@ class PromQLSpec extends AnyFunSuite {
       RangeFn(RangeF.HoltWinters(0.5, 0.3), Selector("cpu", Nil), H))
     assert(PromQLParser.parse("holt_winters(cpu[1h] offset 5m, 0.5, 0.3)") ==
       RangeFn(RangeF.HoltWinters(0.5, 0.3), Selector("cpu", Nil, 300000L), H))
+    // Prometheus 3 renamed it; both spellings parse to the same AST
+    assert(PromQLParser.parse("double_exponential_smoothing(cpu[1h], 0.5, 0.3)") ==
+      PromQLParser.parse("holt_winters(cpu[1h], 0.5, 0.3)"))
     // factors are strictly inside (0, 1)
     assertThrows[PromQLParseException](
       PromQLParser.parse("holt_winters(cpu[1h], 0, 0.3)"))
