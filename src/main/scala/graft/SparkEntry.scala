@@ -521,6 +521,14 @@ object SparkEntry {
     "p32_promql_limit_ratio" -> ((s, dir) =>
       promqlCtx(s, dir).sql("""limit_ratio(0.5, purchase{uid=~"[1-9][0-9]"})""")),
 
+    // PromQL scalar(): per-day share-of-total — the scalar combines
+    // against the vector's full identity per step (no label matching).
+    "p33_promql_scalar" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("sum by (uid) (purchase) / scalar(sum(purchase))",
+          stepMs = Some(86400000L))
+        .withColumn("value", round(col("value"), 6))),
+
     // PromQL exact interpolated quantile per day bucket.
     "p5_promql_quantile" -> ((s, dir) =>
       promqlCtx(s, dir).sql("""quantile(0.9, purchase)""", stepMs = Some(86400000L))
@@ -2280,6 +2288,20 @@ object SparkEntry {
         |  AND regexp_full_match(user_id::VARCHAR, '[1-9][0-9]')
         |  AND CAST(concat('0x', substr(md5(user_id::VARCHAR), 1, 4)) AS BIGINT)
         |      / 65536.0 < 0.5""".stripMargin,
+
+    "p33_promql_scalar" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS uid,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      * 86400000 AS bucket_ms,
+        |    sum(value) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |tot AS (SELECT
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      * 86400000 AS bucket_ms,
+        |    sum(value) AS t
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT p.bucket_ms, p.uid, round(p.v / tot.t, 6) AS value
+        |FROM p JOIN tot USING (bucket_ms)""".stripMargin,
 
     "p5_promql_quantile" ->
       """SELECT

@@ -260,6 +260,7 @@ object PromQLParser {
     "day_of_month" -> (0, 0), "day_of_year" -> (0, 0),
     "days_in_month" -> (0, 0), "month" -> (0, 0), "year" -> (0, 0),
     "sort" -> (0, 0), "sort_desc" -> (0, 0),
+    "scalar" -> (0, 0), "vector" -> (0, 0),
     "sin" -> (0, 0), "cos" -> (0, 0), "tan" -> (0, 0),
     "asin" -> (0, 0), "acos" -> (0, 0), "atan" -> (0, 0),
     "sinh" -> (0, 0), "cosh" -> (0, 0), "tanh" -> (0, 0),
@@ -488,6 +489,9 @@ object PromQLParser {
           if nextIsParen => parseHoltWinters()
       case TIdent(name @ ("label_replace" | "label_join"), _) if nextIsParen =>
         parseLabelFn(name)
+      // time() is the one zero-argument function; child is a placeholder
+      case TIdent("time", _) if nextIsParen =>
+        next(); expect("("); expect(")"); FnCall("time", NumLit(0))
       case TIdent(name, _) if ScalarFns.contains(name) && nextIsParen =>
         parseFnCall()
       case TNum(d, _) => next(); NumLit(d)

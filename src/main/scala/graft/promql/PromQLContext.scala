@@ -374,6 +374,31 @@ final class PromQLContext(
           val in = eval(v, stepMs, range)
           cmpOrMap(in, applyOp(op, lit(a), col("value")),
             applyOp(op, lit(a), col("value")))
+        // scalar(expr) operand: the per-step scalar combines against the
+        // vector side's FULL identity — no label matching (Prometheus
+        // scalar-vector semantics), unlike the generic path which would
+        // collapse output to the match keys. Steps where the scalar child
+        // is empty or multi-element evaluate to NaN: arithmetic emits NaN,
+        // comparisons drop the row — both as Prometheus.
+        case (FnCall("scalar", a, _), FnCall("scalar", b, _))
+            if !isSetOp(op) =>
+          rejectMatchingOnScalar()
+          val sa = scalarFrame(a, stepMs, range)
+          val sb = scalarFrame(b, stepMs, range)
+            .withColumnRenamed("__sv__", "__sv2__")
+          val t = Seq("bucket_ms").filter(c =>
+            sa.columns.contains(c) && sb.columns.contains(c))
+          val joined = if (t.isEmpty) sa.crossJoin(sb) else sa.join(sb, t)
+          joined.select(t.map(col) :+
+            applyOp(op, col("__sv__"), col("__sv2__")).as("value"): _*)
+        case (v, FnCall("scalar", sc, _)) if !isSetOp(op) =>
+          rejectMatchingOnScalar()
+          scalarCombine(eval(v, stepMs, range), sc, op, bool,
+            stepMs, range, leftIsVector = true)
+        case (FnCall("scalar", sc, _), v) if !isSetOp(op) =>
+          rejectMatchingOnScalar()
+          scalarCombine(eval(v, stepMs, range), sc, op, bool,
+            stepMs, range, leftIsVector = false)
         // vector ∘ vector: match on the intersection of the sides' label /
         // bucket columns — a skew-free equi-join on group keys at scale —
         // unless on()/ignoring() overrides the key set. Keys compare
@@ -388,7 +413,12 @@ final class PromQLContext(
         // follow the same intersection / on() / ignoring() rules as
         // arithmetic matching; group_left/right make no sense here.
         case (l, r) if op == "and" || op == "or" || op == "unless" =>
-          if (l.isInstanceOf[NumLit] || r.isInstanceOf[NumLit])
+          def isScalarShaped(e: Expr) = e match {
+            case NumLit(_) => true
+            case FnCall("scalar", _, _) => true
+            case _ => false
+          }
+          if (isScalarShaped(l) || isScalarShaped(r))
             throw new IllegalArgumentException(
               s"set operator '$op' requires vector operands on both sides")
           matching.flatMap(_.group).foreach(_ =>
@@ -562,13 +592,7 @@ final class PromQLContext(
       val in = eval(child, stepMs, range)
       stepMs match {
         case Some(st) =>
-          val r = range.filter(r =>
-            r.start != Long.MinValue && r.end != Long.MaxValue).getOrElse(
-            throw new IllegalArgumentException(
-              "absent() with a step needs an explicit bounded range"))
-          val lo = math.floorDiv(r.start, st) * st
-          val hi = math.floorDiv(r.end - 1, st) * st
-          val grid = samples.sparkSession.range(lo, hi + 1, st).toDF("bucket_ms")
+          val grid = stepGrid(st, range, "absent()")
           val present = withStepBucket(in, stepMs).select("bucket_ms").distinct()
           grid.join(present, Seq("bucket_ms"), "left_anti")
             .withColumn("value", lit(1.0))
@@ -577,6 +601,38 @@ final class PromQLContext(
             .filter(col("__n__") === 0)
             .select(lit(1.0).as("value"))
       }
+
+    case FnCall("scalar", child, _) =>
+      // standalone scalar(): per-step single value, NaN where the child is
+      // empty or multi-element (Prometheus contract)
+      scalarFrame(child, stepMs, range).withColumnRenamed("__sv__", "value")
+
+    case FnCall("vector", child, _) =>
+      // vector(s): one label-less sample per step (stepped) or one row
+      // (unstepped) carrying the scalar — the constant-series primitive
+      val v: Either[Double, DataFrame] = child match {
+        case NumLit(n) => Left(n)
+        case FnCall("scalar", sc, _) =>
+          Right(scalarFrame(sc, stepMs, range))
+        case other => throw new IllegalArgumentException(
+          s"vector() takes a scalar (number or scalar(...)), got $other")
+      }
+      (stepMs, v) match {
+        case (_, Right(sf)) => sf.withColumnRenamed("__sv__", "value")
+        case (Some(st), Left(n)) =>
+          stepGrid(st, range, "vector()").withColumn("value", lit(n))
+        case (None, Left(n)) =>
+          samples.sparkSession.range(1).select(lit(n).as("value"))
+      }
+
+    case FnCall("time", _, _) =>
+      // evaluation time in seconds — our steps make it the bucket start;
+      // unstepped there is no evaluation timestamp to report (documented
+      // deviation: Prometheus uses the instant query's wall time)
+      val st = stepMs.getOrElse(throw new IllegalArgumentException(
+        "time() needs a step (stepped evaluation defines the timestamps)"))
+      stepGrid(st, range, "time()")
+        .withColumn("value", col("bucket_ms").cast("double") / 1000.0)
 
     case FnCall("timestamp", child, _) =>
       // value := the sample's own timestamp in seconds
@@ -791,6 +847,64 @@ final class PromQLContext(
         !in.columns.contains("ts_ms")) in
     else in.withColumn("bucket_ms",
       floor(col("ts_ms") / lit(stepMs.get)).cast("long") * stepMs.get)
+
+  private def isSetOp(op: String): Boolean =
+    op == "and" || op == "or" || op == "unless"
+
+  /** The bounded step grid (one row per bucket) that time()/vector() and
+    * stepped absent() emit over — requires an explicit range. */
+  private def stepGrid(st: Long, range: Option[TimeRange],
+      what: String): DataFrame = {
+    val r = range.filter(r =>
+      r.start != Long.MinValue && r.end != Long.MaxValue).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what with a step needs an explicit bounded range"))
+    val lo = math.floorDiv(r.start, st) * st
+    val hi = math.floorDiv(r.end - 1, st) * st
+    samples.sparkSession.range(lo, hi + 1, st).toDF("bucket_ms")
+  }
+
+  /** scalar(expr): per step-bucket (global when the child carries no
+    * bucket), the child's single value — NaN when empty or multi-element
+    * (Prometheus's scalar() contract). Output: [bucket_ms,] __sv__. */
+  private def scalarFrame(e: Expr, stepMs: Option[Long],
+      range: Option[TimeRange]): DataFrame = {
+    val in = withStepBucket(eval(e, stepMs, range), stepMs)
+    val hasBucket = in.columns.contains("bucket_ms")
+    val g =
+      if (hasBucket) in.groupBy("bucket_ms")
+        .agg(count(lit(1)).as("__n__"), max(col("value")).as("__mx__"))
+      else in.agg(count(lit(1)).as("__n__"), max(col("value")).as("__mx__"))
+    g.select((if (hasBucket) Seq(col("bucket_ms")) else Nil) :+
+      when(col("__n__") === 1, col("__mx__"))
+        .otherwise(lit(Double.NaN)).as("__sv__"): _*)
+  }
+
+  /** vector ∘ scalar(expr): the scalar joins on the step bucket alone
+    * (broadcast — it is steps-sized) and the vector side keeps its FULL
+    * identity; buckets the scalar child never produced coalesce to NaN. */
+  private def scalarCombine(vf: DataFrame, sc: Expr, op: String,
+      bool: Boolean, stepMs: Option[Long], range: Option[TimeRange],
+      leftIsVector: Boolean): DataFrame = {
+    val sf = scalarFrame(sc, stepMs, range)
+    val joined =
+      if (sf.columns.contains("bucket_ms")) {
+        val vb = withStepBucket(vf, stepMs)
+        if (!vb.columns.contains("bucket_ms"))
+          throw new IllegalArgumentException(
+            s"operands of '$op' carry different time grains: the scalar() " +
+              "side is stepped but the vector side has no step bucket")
+        vb.join(broadcast(sf), Seq("bucket_ms"), "left")
+      } else vf.crossJoin(broadcast(sf))
+    val s = coalesce(col("__sv__"), lit(Double.NaN))
+    val (a, b) = if (leftIsVector) (col("value"), s) else (s, col("value"))
+    val out =
+      if (isCmp(op) && bool) joined.withColumn("value",
+        when(applyOp(op, a, b), lit(1.0)).otherwise(lit(0.0)))
+      else if (isCmp(op)) joined.filter(applyOp(op, a, b))
+      else joined.withColumn("value", applyOp(op, a, b))
+    out.drop("__sv__")
+  }
 
   /** Matching key set for a vector∘vector operation: the intersection of
     * the sides' non-value columns (labels + time), overridden by

@@ -124,6 +124,51 @@ class PromQLSpec extends AnyFunSuite {
     assert(drop.map(_._2).toSet.intersect(inHosts).isEmpty)
   }
 
+  test("parser: scalar()/vector()/time() parse; time takes no argument") {
+    assert(PromQLParser.parse("scalar(sum(cpu))") ==
+      FnCall("scalar", Agg(MetricAgg.Sum, Nil, Selector("cpu", Nil))))
+    assert(PromQLParser.parse("vector(1)") == FnCall("vector", NumLit(1.0)))
+    assert(PromQLParser.parse("time()") == FnCall("time", NumLit(0.0)))
+    assertThrows[PromQLParseException](PromQLParser.parse("time(cpu)"))
+  }
+
+  test("context: scalar() combines per step against the vector's full " +
+      "identity; NaN when the child is not single-element; vector()/time() " +
+      "emit step grids") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", "us", 1L, 3.0),
+      Row("cpu", "a", "us", H, 2.0)))
+    // share-of-total: labels survive (the generic match path would
+    // collapse them to the bucket key)
+    val shareDf = ctx.sql("cpu / scalar(sum(cpu))", stepMs = Some(H))
+    val share = shareDf.collect()
+      .map(r => (r.getAs[Long]("bucket_ms"), r.getAs[String]("host"),
+        r.getAs[Double]("value"))).toSet
+    assert(share == Set((0L, "a", 0.25), (0L, "b", 0.75), (H, "a", 1.0)))
+    // scalar over a multi-element child is NaN per affected step (bucket 0
+    // has two samples; bucket H's single sample stays valid); comparisons
+    // drop NaN rows and the H row compares 2.0 > 2.0 = false
+    val nan = ctx.sql("cpu / scalar(cpu)", stepMs = Some(H)).collect()
+      .map(r => (r.getAs[Long]("bucket_ms"), r.getAs[Double]("value")))
+    assert(nan.count { case (b, v) => b == 0L && v.isNaN } == 2)
+    assert(nan.toSet.contains((H, 1.0)))
+    assert(ctx.sql("cpu > scalar(cpu)", stepMs = Some(H)).collect().isEmpty)
+    // vector(n): one label-less sample per step over the bounded range
+    val v = ctx.sql("vector(7)", stepMs = Some(H),
+        range = Some(TimeRange(0L, 3 * H))).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(v == Set((0L, 7.0), (H, 7.0), (2 * H, 7.0)))
+    // time(): bucket start seconds
+    val t = ctx.sql("time()", stepMs = Some(H),
+        range = Some(TimeRange(0L, 2 * H))).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(t == Set((0L, 0.0), (H, 3600.0)))
+    // scalar ∘ scalar arithmetic joins on the step bucket
+    val ss = ctx.sql("scalar(sum(cpu)) + scalar(sum(cpu))", stepMs = Some(H))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ss == Map(0L -> 8.0, H -> 4.0))
+  }
+
   test("parser: binary operators with Prometheus precedence") {
     assert(PromQLParser.parse("a + b * c") ==
       BinOp("+", Selector("a", Nil),
