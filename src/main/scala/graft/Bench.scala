@@ -40,7 +40,7 @@ object Bench {
     val streamingOnly = Set("sd1_stream_dedup", "sa1_promql_stream",
       "sl1_live_last", "sc1_stream_chunks", "sr1_stream_rate",
       "ss1_stream_sessions", "si1_stream_ingest", "sj1_stream_join",
-      "sh1_stream_hll", "sq1_stream_quantiles")
+      "sh1_stream_hll", "sq1_stream_quantiles", "sj2_stream_enrich")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         if (only.isEmpty) !streamingOnly(name) else only(name) }

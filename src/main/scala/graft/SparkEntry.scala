@@ -882,6 +882,32 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // Stream-static enrichment join: the streaming side joins each
+    // micro-batch against a static dimension with NO state store (the
+    // planner re-broadcasts/reuses the static side per batch) — the
+    // standard streaming-ingest enrichment shape, complementing sj1's
+    // stateful stream-stream interval join.
+    "sj2_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .orderBy("doc_id").as[(Long, String)].collect()
+      val dim = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label"))
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val sink = sinkName("sj2")
+      val q = stream.toDS().toDF("doc_id", "lang")
+        .join(dim, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("label").cast("long"), lit(-1L)).as("label"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try docs.grouped(docs.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }),
+
     // Watermarked 30-min chunk building run to completion: append mode
     // emits chunks whose window closed under the final watermark; the
     // posexplode verifies per-chunk CONTENT AND ORDER (sorted by ts)
@@ -3163,6 +3189,12 @@ object SparkEntry {
 
     // sq1's streaming registers equal sk3's batch registers (count sums are
     // order-insensitive), so one replay serves both.
+    "sj2_stream_enrich" ->
+      """SELECT d.doc_id, d.lang,
+        |  CAST(coalesce(e.label, -1) AS BIGINT) AS label
+        |FROM documents d
+        |LEFT JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin,
+
     "sq1_stream_quantiles" ->
       """WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS v
         |    FROM events WHERE CAST(round(value*100) AS BIGINT) > 0),

@@ -502,6 +502,11 @@ class StorageSpec extends AnyFunSuite {
     val m2 = new Manifest(s.root)
     assert(m2.allSsts().map(f => f.id -> f.stats).toMap ==
       all.map(f => f.id -> f.stats).toMap)
+    // compaction output re-derives stats covering its merged inputs
+    val c = new Compactor(s, CompactionConfig(inputSstMinNum = 2))
+    assert(c.runOnce())
+    val merged = s.manifest.allSsts()
+    assert(merged.size == 1 && merged.head.stats("pk1") == ((1L, 25L)))
   }
 
   test("zone maps: string stats prune and legacy lines without stats abstain") {
