@@ -1358,6 +1358,12 @@ object SparkEntry {
       Dedup.keepFirstLines(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 10)),
 
+    // Dedup: exact repeated-span statistics (Lee et al. substring-dedup
+    // signal, hash-windows instead of a suffix array) — 40-char windows,
+    // first-occurrence rule, per-doc interval union.
+    "d13_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 40)),
+
     // Dedup: n-gram Jaccard verification over a bounded pair set.
     "d5_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
@@ -2932,6 +2938,37 @@ object SparkEntry {
         |       count(*) AS n_kept
         |FROM lines WHERE line NOT IN (SELECT line FROM boiler)
         |GROUP BY doc_id""".stripMargin,
+
+    "d13_repeated_spans" ->
+      """WITH g AS (SELECT doc_id,
+        |    unnest(generate_series(1, length(text) - 39)) AS pos, text
+        |  FROM documents WHERE length(text) >= 40),
+        |h AS (SELECT doc_id, pos,
+        |    md5(substr(text, CAST(pos AS INTEGER), 40)) AS h FROM g),
+        |rn AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM h),
+        |d AS (SELECT doc_id, pos AS s, pos + 40 AS e FROM rn WHERE rn > 1),
+        |m AS (SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |        ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS newg
+        |  FROM d),
+        |grp AS (SELECT doc_id, s, e,
+        |    sum(newg) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |spans AS (SELECT doc_id, grp, min(s) AS ms, max(e) AS me
+        |  FROM grp GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(me - ms) AS BIGINT) AS dup_chars FROM spans GROUP BY 1)
+        |SELECT dd.doc_id,
+        |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  CAST(length(dd.text) AS BIGINT) AS n_chars,
+        |  round(coalesce(a.dup_chars, 0) / length(dd.text), 4) AS dup_frac
+        |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // Keep-first replay: the globally-first occurrence is row_number = 1
     // ordered by (doc_id, line_no) within each line partition.

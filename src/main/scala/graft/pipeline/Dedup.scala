@@ -501,6 +501,64 @@ object Dedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Exact repeated-span statistics (the Lee et al. 2022 "Deduplicating
+    * Training Data" substring-dedup signal, hash-based instead of
+    * suffix-array): every k-char window of every document hashes; a window
+    * whose hash appears anywhere EARLIER in the corpus (by (doc, pos) — the
+    * same stable first-occurrence rule as [[keepFirstLines]]) marks its
+    * [pos, pos+k) span duplicated; per document, overlapping spans merge by
+    * interval union and the output reports span count, duplicated
+    * character mass, and the duplicated fraction — the filter/metric form
+    * of exact substring dedup (reassembly is a downstream substring
+    * stitch over the same merged spans).
+    *
+    * Scale shape: the window-hash frame is |corpus chars| rows — large but
+    * LINEAR, exploded per row with zero shuffle; first-occurrence is one
+    * hash-keyed window (the keepFirstLines shuffle at character
+    * granularity); interval union is a per-doc running-max window (the
+    * sessionize pattern); nothing quadratic, no suffix array's global
+    * sort-of-all-suffixes. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val len = length(col(textCol))
+    val grams = df
+      .filter(len >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), len - (k - 1)),
+        i => md5(col(textCol).substr(i, lit(k))))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val first = min(struct(col(idCol), col("pos")))
+      .over(Window.partitionBy("h"))
+    val dups = grams.withColumn("__first__", first)
+      .filter(!(col(s"__first__.$idCol") === col(idCol) &&
+        col("__first__.pos") === col("pos")))
+      .select(col(idCol), col("pos").as("s"), (col("pos") + k).as("e"))
+    // interval union per doc: a span starting past the running max end
+    // opens a new merged group (strict: touching spans [1,5)+[5,9) fuse)
+    val w = Window.partitionBy(idCol).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(w.rowsBetween(
+      Window.unboundedPreceding, -1))
+    val merged = dups
+      .withColumn("__new__",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__grp__", sum("__new__").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__grp__"))
+      .agg(min("s").as("ms"), max("e").as("me"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("me") - col("ms")).as("dup_chars"))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(merged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("n_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"), 4)
+          .as("dup_frac"))
+  }
+
   /** n-gram Jaccard similarity for candidate verification: character
     * n-gram shingle sets, |A ∩ B| / |A ∪ B|. Run over candidate `pairs`
     * (id_a, id_b) only — never all-pairs. */

@@ -495,6 +495,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) == ("fresh content here", 2L))
   }
 
+  test("repeated spans: a copied block merges its overlapping windows into " +
+      "one span at the copy, never at the first occurrence") {
+    val block = "abcdefghijklmnopqrstuvwxyz0123" // 30 distinct chars
+    val df = docs(
+      (1L, block),                                  // first occurrence
+      (2L, "ZYXWVUTSRQ" + block + "PONMLKJIHG"),    // verbatim copy inside
+      (3L, "0987654321#$%&'()*+,-./:;<=>?@["))      // all-unique control
+    val out = Dedup.repeatedSpans(df, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((0L, 0L, 30L, 0.0)))
+    assert(out(3L)._1 == 0L && out(3L)._2 == 0L)
+    // 21 overlapping dup windows merge to ONE 30-char span at [11, 41)
+    assert(out(2L) == ((1L, 30L, 50L, 0.6)))
+  }
+
   test("PII redaction: emails, IPs, phones collapse; clean text untouched") {
     import org.apache.spark.sql.functions.col
     val df = docs(
