@@ -86,12 +86,29 @@ class PlanSpec extends AnyFunSuite {
     // join in the plan would mean the candidate restriction silently
     // degenerated to all-pairs.
     for (q <- Seq("d7_simhash_pairs", "d8_simhash64_pairs", "e6_lsh_neardup",
-        "rj1_range_pairs", "c4_semantic_dedup")) {
+        "rj1_range_pairs", "c4_semantic_dedup", "e10_knn_graph",
+        "d13_repeated_spans", "d12_keepfirst_lines")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(2000)}")
     }
+  }
+
+  test("schedule/scalar operators avoid single-partition global windows") {
+    // t21's global rank must come from the two-phase prefix sum (a
+    // range-partitioned exchange), and p33's per-step scalar must join as
+    // a broadcast — a `Window [partitionBy ()]`-style global window or a
+    // sort-merge join on the steps frame would be the wrong shape.
+    val t21 = SparkEntry.queries("t21_mixture_schedule")(
+      spark, "/root/testdata/sf0.001")
+    val p = t21.queryExecution.executedPlan.toString
+    // the only acceptable exchanges: hash (group rank), range (prefix sum)
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    val p33 = SparkEntry.queries("p33_promql_scalar")(
+      spark, "/root/testdata/sf0.001")
+    assert(p33.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "scalar() should broadcast the steps frame")
   }
 
   test("multimodal header decodes stay codegen'd column expressions (no UDF " +
