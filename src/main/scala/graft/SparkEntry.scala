@@ -1662,6 +1662,24 @@ object SparkEntry {
       graft.pipeline.Sharding.mixtureSchedule(
         t(s, dir, "documents"), "lang", "doc_id", alpha = 0.5, seed = "epoch0")),
 
+    // URL canonicalization + registrable domain (the C4/CCNet URL-dedup
+    // pre-pass). The corpus has no URL column, so URLs are synthesized
+    // deterministically (same construction in the oracle) with the noise
+    // the canonicalizer must remove: case-varied host, default port,
+    // tracking params, fragment; odd docs get a co.uk two-level zone.
+    "t22_url_canon" -> ((s, dir) => {
+      val host = when(col("doc_id") % 2 === 0,
+          concat(lit("News"), col("source"), lit(".Example.COM:443")))
+        .otherwise(concat(lit("Shop"), col("source"), lit(".CO.UK")))
+      val url = concat(lit("HTTPS://WWW."), host,
+        lit("/page/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&fbclid=xyz#frag"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.canonicalizeUrl(url).as("canon_url"),
+        TextAnalysis.registrableDomain(url).as("domain"))
+    }),
+
     // Deterministic rerun-stable train/val split on a portable content hash.
     "t7_hash_split" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -3625,6 +3643,44 @@ object SparkEntry {
         |         IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+
+    "t22_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://WWW.' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'News' || source || '.Example.COM:443'
+        |         ELSE 'Shop' || source || '.CO.UK' END ||
+        |    '/page/' || CAST(doc_id AS VARCHAR) ||
+        |    '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+        |    '&fbclid=xyz#frag' AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nu
+        |  FROM u),
+        |pre AS (SELECT doc_id, url,
+        |    regexp_replace(lower(regexp_extract(nu,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)), ':(443|80)$', '')
+        |    || regexp_replace(nu, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+        |      AS ju
+        |  FROM nf),
+        |nt AS (SELECT doc_id, url,
+        |    regexp_replace(ju, '[?&](utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*',
+        |      '', 'g') AS tu
+        |  FROM pre),
+        |cn AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(tu, '^([^?]*)&', '\1?'),
+        |      '[?&]$', '') AS canon_url
+        |  FROM nt),
+        |hh AS (SELECT doc_id, canon_url,
+        |    lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host
+        |  FROM cn)
+        |SELECT doc_id, canon_url,
+        |  CASE WHEN regexp_extract(host,
+        |      '([^.]+\.(?:co|com|ac|gov|org|net|edu)\.[^.]+)$', 1) <> ''
+        |    THEN regexp_extract(host,
+        |      '([^.]+\.(?:co|com|ac|gov|org|net|edu)\.[^.]+)$', 1)
+        |    ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+        |FROM hh""".stripMargin,
 
     "t21_mixture_schedule" ->
       """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n

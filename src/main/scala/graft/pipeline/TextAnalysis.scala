@@ -147,6 +147,37 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** URL canonicalization for URL-level dedup (the C4/CCNet pre-pass:
+    * crawl frontiers emit the same page under case-varied hosts, default
+    * ports, fragments, and tracking parameters): lowercases scheme+host,
+    * strips `:80`/`:443`, the fragment, and `utm_*`/`gclid`/`fbclid`
+    * params (re-anchoring the first surviving param onto `?`). Pure
+    * regexp chain — codegen'd, shuffle-free; dedup afterwards is the
+    * ordinary exact-groups pass on the canonical form. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val prefix = regexp_replace(lower(regexp_extract(noFrag, hostRe, 0)),
+      ":(443|80)$", "")
+    val joined = concat(prefix, regexp_replace(noFrag, hostRe, ""))
+    val noTrack = regexp_replace(joined,
+      "[?&](utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", "")
+    regexp_replace(regexp_replace(noTrack, "^([^?]*)&", "$1?"), "[?&]$", "")
+  }
+
+  /** Registrable domain of a URL (the per-site key for domain caps and
+    * per-domain stats): last two host labels, or three when the middle is
+    * a common second-level zone (`co.uk` shape) — a public-suffix-list
+    * approximation that stays a pure column expression. */
+  def registrableDomain(url: Column): Column = {
+    val host = lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1))
+    val three = regexp_extract(host,
+      "([^.]+\\.(?:co|com|ac|gov|org|net|edu)\\.[^.]+)$", 1)
+    when(three =!= "", three)
+      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with their counts,
     * ties broken by token string so the cut is deterministic. One explode
     * feeding one hash aggregation (partial aggregation collapses per-token

@@ -511,6 +511,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 30L, 50L, 0.6)))
   }
 
+  test("URL canonicalization: case/port/fragment/tracking noise collapses; " +
+      "registrable domain honors two-level zones") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/A/b?utm_source=x&q=1&fbclid=z#frag"),
+      (2L, "https://www.example.com/A/b?q=1"),                // same page
+      (3L, "http://Site.CO.UK:80/?utm_campaign=c"),
+      (4L, "https://a.b.example.org/path")).toDF("id", "url")
+    val out = urls.select(col("id"),
+        TextAnalysis.canonicalizeUrl(col("url")).as("c"),
+        TextAnalysis.registrableDomain(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == "https://www.example.com/A/b?q=1")
+    assert(out(1L)._1 == out(2L)._1) // dedup key collapses the variants
+    assert(out(1L)._2 == "example.com")
+    assert(out(3L) == (("http://site.co.uk/", "site.co.uk")))
+    assert(out(4L)._2 == "example.org")
+  }
+
   test("PII redaction: emails, IPs, phones collapse; clean text untouched") {
     import org.apache.spark.sql.functions.col
     val df = docs(
