@@ -1933,6 +1933,34 @@ object SparkEntry {
           graft.pipeline.Multimodal.aviMicroSecPerFrame(col("payload")), 4).as("fps"))
     }),
 
+    // Multimodal: frame SAMPLING — every 4th video frame chunk's
+    // (idx, offset, size) from a real RIFF movi walk (incl. odd-size pad
+    // bytes); downstream decode touches only the sampled byte ranges.
+    "mm7_frame_sample" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.withSyntheticVideoFrames(
+          t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id").cast("long").as("media_id"), col("payload"))
+      graft.pipeline.Multimodal.sampleVideoFrames(media, every = 4,
+          targetPartitions = 8)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"), col("offset"),
+          col("n_bytes").cast("long").as("n_bytes"))
+    }),
+
+    // Multimodal: nearest-neighbor 2× RESIZE over the decoded BMP pixel
+    // stream (real pixel indexing in mapPartitions batches) — output dims
+    // and the sampled-pixel mean, formula-checked against the generator.
+    "mm8_resize" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.toMedia(
+        graft.pipeline.Multimodal.withSyntheticImages(
+          t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", "application/octet-stream")
+      graft.pipeline.Multimodal.resizeImages(media, targetPartitions = 8)
+        .select(col("media_id"), col("rw").cast("long").as("rw"),
+          col("rh").cast("long").as("rh"),
+          round(col("mean"), 6).as("r_mean"))
+    }),
+
     // Beyond-reference analytics: rollup (grouping sets family).
     "x1_rollup" -> ((s, dir) =>
       t(s, dir, "events")
@@ -3906,6 +3934,42 @@ object SparkEntry {
         |  round(CAST(CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 20
         |       WHEN 2 THEN 25 ELSE 40 END AS DOUBLE), 4) AS fps
         |FROM documents""".stripMargin,
+
+    // Frame layout by formula (sizes, cumulative padded offsets); the
+    // engine must recover the same (idx, offset, size) by WALKING the
+    // RIFF movi chunks, pad bytes included.
+    "mm7_frame_sample" ->
+      """WITH f AS (SELECT doc_id, 30 + doc_id % 30 AS frames FROM documents),
+        |i AS (SELECT doc_id, unnest(generate_series(0, frames - 1)) AS i
+        |  FROM f),
+        |sz AS (SELECT doc_id, i, 8 + (doc_id + 3 * i) % 12 AS sz FROM i),
+        |o AS (SELECT doc_id, i, sz,
+        |    100 + coalesce(sum(8 + sz + sz % 2) OVER (PARTITION BY doc_id
+        |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) + 8 AS off
+        |  FROM sz)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(off AS BIGINT) AS offset, CAST(sz AS BIGINT) AS n_bytes
+        |FROM o WHERE i % 4 = 0""".stripMargin,
+
+    // Sampled-pixel statistics by formula: byte k of the synthetic stream
+    // is (id*31 + 7k) mod 256 at k = 3wr + 3x + c; the engine recomputes
+    // them from the actual decoded BMP bytes.
+    "mm8_resize" ->
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 4) * 4 AS w,
+        |    4 + doc_id % 8 AS h FROM documents),
+        |g AS (SELECT doc_id, w, w // 2 AS w2, h // 2 AS h2 FROM d),
+        |ry AS (SELECT doc_id, w, w2, h2,
+        |    unnest(generate_series(0, h2 - 1)) AS ry FROM g),
+        |rx AS (SELECT doc_id, w, w2, h2, ry,
+        |    unnest(generate_series(0, w2 - 1)) AS rx FROM ry),
+        |px AS (SELECT doc_id, w2, h2,
+        |    (doc_id * 31 + (2 * ry * 3 * w + 6 * rx + c.c) * 7) % 256 AS v
+        |  FROM rx CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) c)
+        |SELECT doc_id AS media_id, CAST(w2 AS BIGINT) AS rw,
+        |  CAST(h2 AS BIGINT) AS rh,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6) AS r_mean
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
     // Header fields by formula; the engine must parse them back out of the
     // container bytes (BMP little-endian vs PNG big-endian dims).

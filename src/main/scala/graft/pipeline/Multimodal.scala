@@ -398,6 +398,159 @@ object Multimodal {
     buf.array()
   }
 
+  /** Walk the AVI `movi` list and emit every `every`-th video frame chunk
+    * (`00dc`/`00db`) as (frame_idx, data offset, size) — the frame-SAMPLE
+    * pass of a video pipeline: downstream decode touches only the sampled
+    * chunks' byte ranges instead of whole files (at 100 TB the ranges
+    * become ranged GETs). Real RIFF parsing including odd-size pad bytes;
+    * non-AVI or frame-less payloads emit nothing. */
+  def sampleFrames(payload: Array[Byte], every: Int): Seq[(Int, Long, Int)] = {
+    if (payload.length < 24 || payload(0) != 'R' || payload(1) != 'I' ||
+        payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'A' ||
+        payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ')
+      return Nil
+    val out = Seq.newBuilder[(Int, Long, Int)]
+    var off = 12
+    while (off + 8 <= payload.length) {
+      val cid = new String(payload, off, 4, "US-ASCII")
+      val size = leIntAt(payload, off + 4)
+      val body = off + 8
+      if (cid == "LIST" && body + 4 <= payload.length &&
+          new String(payload, body, 4, "US-ASCII") == "movi") {
+        var in = body + 4
+        var idx = 0
+        while (in + 8 <= body + size) {
+          val sub = new String(payload, in, 4, "US-ASCII")
+          val subSize = leIntAt(payload, in + 4)
+          if (sub == "00dc" || sub == "00db") {
+            if (idx % every == 0) out += ((idx, (in + 8).toLong, subSize))
+            idx += 1
+          }
+          in += 8 + subSize + (subSize & 1) // odd chunks pad one byte
+        }
+      }
+      off = body + size + (size & 1)
+    }
+    out.result()
+  }
+
+  /** Frame sampling over a media frame: one output row per sampled frame
+    * chunk — same mapPartitions batch shape as [[extractFeatures]]. */
+  def sampleVideoFrames(media: DataFrame, every: Int,
+      targetPartitions: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("offset", LongType),
+      StructField("n_bytes", IntegerType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media
+      .repartition(targetPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(r.fieldIndex("media_id"))
+          sampleFrames(r.getAs[Array[Byte]]("payload"), every)
+            .map { case (i, o, n) => Row(id, i, o, n) }
+        }
+      }(enc)
+  }
+
+  /** Nearest-neighbor 2× downsample of a 24bpp BMP: output pixel (j, i)
+    * samples input FILE-ROW 2j, column 2i (floor dims — the resize step of
+    * an image pipeline, real pixel indexing over the decoded stream).
+    * Returns (halfWidth, halfHeight, mean of sampled bytes / 255);
+    * (0, 0, 0) for non-BMP payloads. */
+  def resizeBmp(payload: Array[Byte]): (Int, Int, Double) = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M')
+      return (0, 0, 0.0)
+    val dataOffset = leIntAt(payload, 10)
+    val w = leIntAt(payload, 18)
+    val h = math.abs(leIntAt(payload, 22))
+    val bytesPerPx = (u(payload(28)) | (u(payload(29)) << 8)) / 8
+    val rowSize = ((bytesPerPx * w + 3) / 4) * 4
+    val (w2, h2) = (w / 2, h / 2)
+    var sum = 0.0
+    var cnt = 0L
+    var ry = 0
+    while (ry < h2) {
+      val base = dataOffset + (2 * ry) * rowSize
+      var rx = 0
+      while (rx < w2) {
+        var c = 0
+        while (c < bytesPerPx) {
+          val p = base + 2 * rx * bytesPerPx + c
+          if (p < payload.length) { sum += u(payload(p)); cnt += 1 }
+          c += 1
+        }
+        rx += 1
+      }
+      ry += 1
+    }
+    (w2, h2, if (cnt == 0) 0.0 else sum / cnt / 255.0)
+  }
+
+  /** Resize pass over a media frame: (media_id, rw, rh, mean) per image —
+    * the [[extractFeatures]] batch shape over [[resizeBmp]]. */
+  def resizeImages(media: DataFrame, targetPartitions: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("rw", IntegerType),
+      StructField("rh", IntegerType),
+      StructField("mean", DoubleType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media
+      .repartition(targetPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(r.fieldIndex("media_id"))
+          val (rw, rh, m) = resizeBmp(r.getAs[Array[Byte]]("payload"))
+          Row(id, rw, rh, m)
+        }
+      }(enc)
+  }
+
+  /** [[syntheticAvi]] variant whose `movi` list carries real frame chunks:
+    * frame i is a `00dc` chunk of `8 + ((id + 3i) mod 12)` bytes (odd sizes
+    * exercise RIFF pad handling) — layout fully formula-derivable, so an
+    * oracle recomputes every sampled (offset, size) without parsing. */
+  def syntheticAviFrames(id: Long): Array[Byte] = {
+    val fps = aviFps((id % 4).toInt)
+    val frames = 30 + (id % 30).toInt
+    val w = 16 * (2 + (id % 4).toInt)
+    val h = 8 * (4 + (id % 8).toInt)
+    def frameSize(i: Int): Int = 8 + (((id + 3L * i) % 12).toInt + 12) % 12
+    val hdrlBody = 4 + 8 + 56
+    val moviBody = 4 + (0 until frames)
+      .map(i => 8 + frameSize(i) + (frameSize(i) & 1)).sum
+    val total = 12 + (8 + hdrlBody) + (8 + moviBody)
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("AVI ".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII")).putInt(hdrlBody)
+      .put("hdrl".getBytes("US-ASCII"))
+    buf.put("avih".getBytes("US-ASCII")).putInt(56)
+    buf.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+    buf.putInt(frames).putInt(0).putInt(1).putInt(0)
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put("LIST".getBytes("US-ASCII")).putInt(moviBody)
+      .put("movi".getBytes("US-ASCII"))
+    (0 until frames).foreach { i =>
+      val n = frameSize(i)
+      buf.put("00dc".getBytes("US-ASCII")).putInt(n)
+      var k = 0
+      while (k < n + (n & 1)) { buf.put(synthByte(id, k).toByte); k += 1 }
+    }
+    buf.array()
+  }
+
+  private val aviFramesUdf = udf((id: Long) => syntheticAviFrames(id))
+
+  /** Attach a frame-bearing synthetic AVI per row (frame-sample fixture). */
+  def withSyntheticVideoFrames(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload", aviFramesUdf(col(idCol).cast("long")))
+
   private val bmpUdf = udf((id: Long) => syntheticBmp(id))
   private val pngUdf = udf((id: Long) => syntheticPng(id))
   private val wavUdf = udf((id: Long) => syntheticWav(id))

@@ -738,6 +738,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats == Map(1L -> 3L, 2L -> 5L)) // n_bytes from the real payload
   }
 
+  test("frame sampling: every sampled offset points at real 00dc chunk " +
+      "data and pad bytes are skipped; resize halves dims over real pixels") {
+    for (id <- 0L to 7L) {
+      val avi = Multimodal.syntheticAviFrames(id)
+      val frames = Multimodal.sampleFrames(avi, every = 4)
+      assert(frames.nonEmpty)
+      assert(frames.map(_._1) == frames.map(_._1).sorted)
+      frames.foreach { case (idx, off, n) =>
+        assert(idx % 4 == 0)
+        // the 8 bytes before the data are the chunk header "00dc" + size
+        val hdr = new String(avi, off.toInt - 8, 4, "US-ASCII")
+        assert(hdr == "00dc", s"id=$id idx=$idx off=$off got '$hdr'")
+        val sz = (avi(off.toInt - 4) & 0xFF) | ((avi(off.toInt - 3) & 0xFF) << 8)
+        assert(sz == n)
+      }
+      // full walk count matches the header's totalFrames
+      assert(Multimodal.sampleFrames(avi, every = 1).size ==
+        Multimodal.decodeVideoMeta(avi)._3)
+      val (w2, h2, mean) = Multimodal.resizeBmp(Multimodal.syntheticBmp(id))
+      val (w, h) = Multimodal.synthDims(id)
+      assert(w2 == w / 2 && h2 == h / 2)
+      assert(mean > 0.0 && mean < 1.0)
+    }
+    assert(Multimodal.sampleFrames(Array[Byte](1, 2, 3), 4).isEmpty)
+    assert(Multimodal.resizeBmp(Array[Byte](1, 2, 3)) == ((0, 0, 0.0)))
+  }
+
   test("image header decode: BMP and PNG dims parse from real bytes, " +
       "column-expression path == JVM decode, javax.imageio agrees") {
     import org.apache.spark.sql.functions.col
