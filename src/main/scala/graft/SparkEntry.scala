@@ -1961,6 +1961,25 @@ object SparkEntry {
           round(col("mean"), 6).as("r_mean"))
     }),
 
+    // Composite media-curation DAG: mixed-container corpus → header-only
+    // format/size gate (codegen'd metadata scan, no pixel work on
+    // rejects) → real pixel resize on the survivors → per-output-shape
+    // stats. The multimodal analog of c1's text curation chain.
+    "c5_media_curation" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.toMedia(
+        graft.pipeline.Multimodal.withSyntheticImages(
+          t(s, dir, "documents"), "doc_id", mixed = true),
+        "doc_id", "payload", "application/octet-stream")
+      val keep = media.filter(col("meta.mime") === "image/bmp" &&
+        col("meta.width") >= 12)
+      graft.pipeline.Multimodal.resizeImages(keep, targetPartitions = 8)
+        .groupBy(col("rw").cast("long").as("rw"),
+          col("rh").cast("long").as("rh"))
+        .agg(count(lit(1)).as("n"),
+          round(min("mean"), 6).as("min_mean"),
+          round(max("mean"), 6).as("max_mean"))
+    }),
+
     // Beyond-reference analytics: rollup (grouping sets family).
     "x1_rollup" -> ((s, dir) =>
       t(s, dir, "events")
@@ -3970,6 +3989,29 @@ object SparkEntry {
         |  CAST(h2 AS BIGINT) AS rh,
         |  round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6) AS r_mean
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    // The curation gate by formula: BMP = even ids, width >= 12 = id%4 >= 1
+    // -> survivors are ids with id%4 == 2; per-shape stats over their
+    // formula-derived resize means.
+    "c5_media_curation" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+        |d AS (SELECT doc_id, (2 + doc_id % 4) * 4 AS w,
+        |    4 + doc_id % 8 AS h FROM ids),
+        |g AS (SELECT doc_id, w, w // 2 AS w2, h // 2 AS h2 FROM d),
+        |ry AS (SELECT doc_id, w, w2, h2,
+        |    unnest(generate_series(0, h2 - 1)) AS ry FROM g),
+        |rx AS (SELECT doc_id, w, w2, h2, ry,
+        |    unnest(generate_series(0, w2 - 1)) AS rx FROM ry),
+        |px AS (SELECT doc_id, w2, h2,
+        |    (doc_id * 31 + (2 * ry * 3 * w + 6 * rx + c.c) * 7) % 256 AS v
+        |  FROM rx CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) c),
+        |m AS (SELECT doc_id, w2, h2,
+        |    CAST(sum(v) AS DOUBLE) / count(*) / 255.0 AS mean
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT CAST(w2 AS BIGINT) AS rw, CAST(h2 AS BIGINT) AS rh,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(mean), 6) AS min_mean, round(max(mean), 6) AS max_mean
+        |FROM m GROUP BY 1, 2""".stripMargin,
 
     // Header fields by formula; the engine must parse them back out of the
     // container bytes (BMP little-endian vs PNG big-endian dims).
