@@ -1424,6 +1424,25 @@ object SparkEntry {
           col("estimate"), col("exact_distinct"))
     }),
 
+    // Sketch→verify heavy hitters: count-min candidates (CMS never
+    // undercounts, so the candidate set provably CONTAINS every true heavy
+    // hitter), then exact counts on the candidates only — the classic
+    // two-phase shape whose second pass touches a candidate-bounded key
+    // set, never the full distinct domain. The oracle is the plain exact
+    // HAVING filter: correctness does not depend on sketch accuracy.
+    "sk6_heavy_hitters" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cells = graft.pipeline.Sketches.cmsCells(ev, col("user_id"))
+      val probe = ev.select(col("user_id")).distinct()
+      val cand = graft.pipeline.Sketches
+        .cmsEstimate(cells, probe, col("user_id"))
+        .filter(col("cms_est") >= 80)
+        .select(col("probe_key").cast("long").as("user_id"))
+      ev.join(broadcast(cand), Seq("user_id"), "left_semi")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 80)
+    }),
+
     // Sketch: log-bucket quantile histogram (the DDSketch shape with EXACT
     // integer bucketing — top-7-significant-bits masking, no libm): p50/p90/
     // p99 of events.value read from a registers-sized state built in one
@@ -3258,6 +3277,10 @@ object SparkEntry {
         |  FROM events GROUP BY user_id)
         |SELECT user_id, exact_count, cms_est
         |FROM est JOIN exact USING (user_id)""".stripMargin,
+
+    "sk6_heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id HAVING count(*) >= 80""".stripMargin,
 
     "sk5_hll_by_group" ->
       """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
