@@ -1600,7 +1600,7 @@ object SparkEntry {
     // output exploded to scalar (id, dim, y) rows for the comparator.
     "e11_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(t(s, dir, "embeddings"),
-        "vec_id", "embedding", outDim = 8)),
+        "vec_id", "embedding", outDim = 8, inDim = 64)),
 
     // Similarity: LSH bucket assignment (the ANN scale path).
     "e3_lsh_buckets" -> ((s, dir) =>

@@ -197,6 +197,35 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("log-histogram quantiles hold the error bound across distributions " +
+      "(uniform, power-law, micro-valued) and random seeds") {
+    val b = 6
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val dists: Seq[(String, () => Double)] = Seq(
+        ("uniform", () => rnd.nextDouble() * 400 + 0.01),
+        ("powerlaw", () => math.pow(rnd.nextDouble() + 1e-3, -1.5) / 100),
+        ("micro", () => rnd.nextDouble() * 0.5 + 0.01))
+      for ((name, gen) <- dists) {
+        val xs = Seq.fill(2000)(gen())
+        val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v")
+        val est = Sketches.histQuantiles(
+            Sketches.logHistogram(df, col("v"), unit = 100, b = b),
+            Seq(0.5, 0.99), unit = 100)
+          .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+        // compare against the exact quantile of the same unit-grid values
+        val grid = xs.map(x => math.round(x * 100)).filter(_ > 0).sorted
+        for (q <- Seq(0.5, 0.99)) {
+          val exact = grid((q * grid.size).ceil.toInt - 1) / 100.0
+          val rel = math.abs(est(q) - exact) / exact
+          assert(rel <= math.pow(2, -b) + 1e-9,
+            s"$name seed=$seed q=$q est=${est(q)} exact=$exact rel=$rel")
+        }
+      }
+    }
+  }
+
   test("log-histogram merges by per-bucket count sum (sketch union)") {
     import org.apache.spark.sql.functions.{sum => fsum}
     val a = (1 to 400).map(i => (i.toLong, i * 1.7 + 0.5)).toDF("id", "v")
