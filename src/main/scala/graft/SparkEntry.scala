@@ -1980,6 +1980,38 @@ object SparkEntry {
           round(col("mean"), 6).as("r_mean"))
     }),
 
+    // Composite incremental-update dedup: a NEW batch dedupes against the
+    // EXISTING corpus (the recurring production job) — Bloom pre-filter
+    // built from the corpus (broadcast-sized words, no false negatives:
+    // nothing truly-new is ever dropped) cuts the batch to possible-dup
+    // candidates, then only THOSE verify with the exact content join.
+    // Here batch = odd docs, corpus = even docs, with every 10th odd doc
+    // planted as a duplicate of its even neighbor via the md5 fingerprint.
+    "c6_incremental_dedup" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val fps = all.select(col("doc_id"), md5(col("text")).as("fp"))
+      val corpus = fps.filter(col("doc_id") % 2 === 0)
+      // plant dups: doc 10k+1 carries doc 10k's content fingerprint
+      val neighbor = fps.select((col("doc_id") + 1).as("doc_id"),
+        col("fp").as("__prev__"))
+      val batch = fps.filter(col("doc_id") % 2 === 1)
+        .join(neighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1,
+            coalesce(col("__prev__"), col("fp")))
+            .otherwise(col("fp")).as("fp"))
+      val filter = graft.pipeline.Sketches.bloomBuild(corpus, col("fp"))
+      val maybe = graft.pipeline.Sketches
+        .bloomProbe(filter, batch, "doc_id", col("fp"))
+        .filter(col("maybe_member")).select("doc_id")
+      val candidates = batch.join(maybe, Seq("doc_id"), "left_semi")
+      val dupIds = candidates
+        .join(corpus.select("fp"), Seq("fp"), "left_semi").select("doc_id")
+      batch.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("new").as("status"))
+        .unionAll(dupIds.withColumn("status", lit("dup")))
+    }),
+
     // Composite media-curation DAG: mixed-container corpus → header-only
     // format/size gate (codegen'd metadata scan, no pixel work on
     // rejects) → real pixel resize on the survivors → per-output-shape
@@ -4012,6 +4044,22 @@ object SparkEntry {
         |  CAST(h2 AS BIGINT) AS rh,
         |  round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6) AS r_mean
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    // Exact replay without the Bloom stage: the filter has no false
+    // negatives and candidates verify exactly, so the sketch path's answer
+    // must equal the plain membership check.
+    "c6_incremental_dedup" ->
+      """WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |nb AS (SELECT doc_id + 1 AS doc_id, fp AS prev_fp FROM fps),
+        |batch AS (SELECT f.doc_id,
+        |    CASE WHEN f.doc_id % 10 = 1 THEN coalesce(nb.prev_fp, f.fp)
+        |         ELSE f.fp END AS fp
+        |  FROM fps f LEFT JOIN nb USING (doc_id)
+        |  WHERE f.doc_id % 2 = 1)
+        |SELECT doc_id,
+        |  CASE WHEN fp IN (SELECT fp FROM fps WHERE doc_id % 2 = 0)
+        |       THEN 'dup' ELSE 'new' END AS status
+        |FROM batch""".stripMargin,
 
     // The curation gate by formula: BMP = even ids, width >= 12 = id%4 >= 1
     // -> survivors are ids with id%4 == 2; per-shape stats over their
