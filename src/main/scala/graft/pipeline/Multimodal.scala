@@ -123,7 +123,13 @@ object Multimodal {
 
   /** Decode one payload to its feature vector (see [[extractFeatures]]). */
   def decodeFeatures(payload: Array[Byte]): Array[Double] =
-    if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M') {
+    if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M' && {
+      // corrupt headers can claim absurd dims — a row must actually fit
+      val w0 = leIntAt(payload, 18)
+      val b0 = (u(payload(28)) | (u(payload(29)) << 8)) / 8
+      w0 > 0 && b0 > 0 &&
+        leIntAt(payload, 10).toLong + ((b0.toLong * w0 + 3) / 4) * 4 <= payload.length
+    }) {
       val dataOffset = leIntAt(payload, 10)
       val w = leIntAt(payload, 18)
       val hRaw = leIntAt(payload, 22)
@@ -468,6 +474,10 @@ object Multimodal {
     val h = math.abs(leIntAt(payload, 22))
     val bytesPerPx = (u(payload(28)) | (u(payload(29)) << 8)) / 8
     val rowSize = ((bytesPerPx * w + 3) / 4) * 4
+    // corrupt headers can claim absurd dims: a row must actually fit, or
+    // the bounds-guarded loops would spin over millions of no-op indexes
+    if (w <= 0 || h <= 0 || bytesPerPx <= 0 ||
+        dataOffset.toLong + rowSize > payload.length) return (0, 0, 0.0)
     val (w2, h2) = (w / 2, h / 2)
     var sum = 0.0
     var cnt = 0L

@@ -765,6 +765,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.resizeBmp(Array[Byte](1, 2, 3)) == ((0, 0, 0.0)))
   }
 
+  test("decoders survive truncated and corrupt payloads without throwing") {
+    // every JVM decoder must degrade (zeros / empty), never crash: at
+    // corpus scale torn payloads are routine
+    val samples = Seq(
+      Multimodal.syntheticBmp(3L), Multimodal.syntheticWav(3L),
+      Multimodal.syntheticAviFrames(3L), Multimodal.syntheticPng(3L))
+    for (full <- samples; cut <- Seq(0, 1, 7, 11, 13, 23, 53, 99)) {
+      val p = full.take(math.min(cut, full.length))
+      Multimodal.decodeFeatures(p)
+      Multimodal.decodeAudio(p)
+      Multimodal.decodeVideoMeta(p)
+      Multimodal.sampleFrames(p, 2)
+      Multimodal.resizeBmp(p)
+    }
+    // flipped size fields must not walk out of bounds
+    val avi = Multimodal.syntheticAviFrames(5L)
+    avi(4 + 100) = 0x7F.toByte // clobber a frame chunk size byte
+    Multimodal.sampleFrames(avi, 1) // must return, not throw
+    val bmp = Multimodal.syntheticBmp(5L)
+    bmp(18) = 0x7F.toByte // inflate claimed width
+    Multimodal.resizeBmp(bmp)
+    Multimodal.decodeFeatures(bmp)
+  }
+
   test("image header decode: BMP and PNG dims parse from real bytes, " +
       "column-expression path == JVM decode, javax.imageio agrees") {
     import org.apache.spark.sql.functions.col
