@@ -1443,6 +1443,15 @@ object SparkEntry {
         .filter(col("n") >= 80)
     }),
 
+    // Sketch: PER-GROUP quantiles from grouped log-bucket histograms —
+    // p50/p99 of value per event_type, state groups × buckets.
+    "sk7_quantiles_by_group" -> ((s, dir) => {
+      val hist = graft.pipeline.Sketches.logHistogramBy(
+        t(s, dir, "events"), col("event_type"), col("value"))
+      graft.pipeline.Sketches.histQuantilesBy(hist, Seq(0.5, 0.99))
+        .select(col("group").as("event_type"), col("q"), col("est"), col("n"))
+    }),
+
     // Sketch: log-bucket quantile histogram (the DDSketch shape with EXACT
     // integer bucketing — top-7-significant-bits masking, no libm): p50/p90/
     // p99 of events.value read from a registers-sized state built in one
@@ -3313,6 +3322,24 @@ object SparkEntry {
     "sk6_heavy_hitters" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id HAVING count(*) >= 80""".stripMargin,
+
+    "sk7_quantiles_by_group" ->
+      """WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+        |    FROM events WHERE CAST(round(value*100) AS BIGINT) > 0),
+        |s AS (SELECT event_type, v,
+        |    greatest(length(bin(v)) - 1 - 6, 0) AS s FROM v),
+        |h AS (SELECT event_type, (v >> s) << s AS bucket_lo,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1, 2),
+        |c AS (SELECT event_type, bucket_lo,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT event_type, q, round(min(bucket_lo) / 100.0, 4) AS est,
+        |  max(n) AS n
+        |FROM c CROSS JOIN (SELECT unnest([0.5, 0.99]::DOUBLE[]) AS q) qs
+        |WHERE cum >= ceil(q * n)
+        |GROUP BY event_type, q""".stripMargin,
 
     "sk5_hll_by_group" ->
       """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h

@@ -214,6 +214,39 @@ object Sketches {
       .groupBy("bucket_lo").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Grouped [[logHistogram]]: an independent histogram per `group` value —
+    * state `groups × buckets`, still one map-side-combinable count. */
+  def logHistogramBy(df: DataFrame, group: Column, value: Column,
+      unit: Int = 100, b: Int = 6): DataFrame = {
+    val v = round(value * unit, 0).cast("long")
+    df.filter(v > 0)
+      .select(group.as("group"), v.as("__v__"),
+        greatest(length(bin(v)) - 1 - b, lit(0)).cast("int").as("__s__"))
+      .selectExpr("group",
+        "shiftleft(shiftright(__v__, __s__), __s__) AS bucket_lo")
+      .groupBy("group", "bucket_lo").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantile read-out from a [[logHistogramBy]] state: the
+    * [[histQuantiles]] logic with every window partitioned by the group —
+    * still registers-sized work. Output (group, q, est, n). */
+  def histQuantilesBy(hist: DataFrame, qs: Seq[Double], unit: Int = 100)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy("group")
+    val cum = hist.select(col("group"), col("bucket_lo"), col("cnt"),
+      sum("cnt").over(byGroup.orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum("cnt").over(byGroup).as("n"))
+    cum.select(col("group"), col("bucket_lo"), col("cum"), col("n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("group", "q")
+      .agg(min("bucket_lo").as("__lo__"), max("n").as("n"))
+      .select(col("group"), col("q"),
+        round(col("__lo__") / lit(unit.toDouble), 4).as("est"), col("n"))
+  }
+
   /** Quantile read-out from a [[logHistogram]] state: for each q, the lower
     * bound of the first bucket whose cumulative count reaches ceil(q·n),
     * mapped back to value scale. Runs entirely on the registers frame
