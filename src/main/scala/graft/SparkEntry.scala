@@ -1989,6 +1989,40 @@ object SparkEntry {
           round(col("mean"), 6).as("r_mean"))
     }),
 
+    // Multimodal: 64-bit perceptual dHash over the REAL decoded pixel
+    // stream (9×8 nearest-neighbor grid → luma-sum comparisons) — emitted
+    // as 8 per-row band bytes (the LSH blocking keys and the driver's
+    // scalar-only output shape). The oracle recomputes every byte from the
+    // pixel-generation formulas without touching the binary.
+    "mm9_dhash" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.toMedia(
+        graft.pipeline.Multimodal.withSyntheticImages(
+          t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", "application/octet-stream")
+      graft.pipeline.Multimodal.dHashImages(media, targetPartitions = 8)
+        .select(col("media_id"), posexplode(array((0 until 8).map(r =>
+          shiftright(col("dhash"), r * 8).bitwiseAND(lit(255L))): _*)))
+        .select(col("media_id"), col("pos").cast("long").as("band"),
+          col("col").cast("long").as("band_byte"))
+    }),
+
+    // Multimodal: image NEAR-DUP pairs — dHash signatures joined by band
+    // equality (8×8-bit banded LSH, complete for dist < 8 by pigeonhole),
+    // exact popcount verify. Fixture: docs 2k/2k+1 share a base image with
+    // the odd copy uniformly brightened (+4 mod 256), so true pairs sit a
+    // few wrapped-comparison bits apart — the perceptual-robustness case a
+    // byte-exact dedup can never catch. Oracle = all-pairs hamming (banded
+    // LSH at maxDist < bands is exactly the all-pairs answer).
+    "mm10_image_neardup" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.toMedia(
+        graft.pipeline.Multimodal.withSyntheticNearDupImages(
+          t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", "application/octet-stream")
+      val sig = graft.pipeline.Multimodal.dHashImages(media, targetPartitions = 8)
+      Dedup.hammingPairs64(sig, "media_id", "dhash", maxDist = 7, bands = 8)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
+
     // Composite incremental-update dedup: a NEW batch dedupes against the
     // EXISTING corpus (the recurring production job) — Bloom pre-filter
     // built from the corpus (broadcast-sized words, no false negatives:
@@ -4119,6 +4153,54 @@ object SparkEntry {
         |  CAST(4 * (2 + doc_id % 4) AS INT) AS w,
         |  CAST(4 + doc_id % 8 AS INT) AS h
         |FROM documents""".stripMargin,
+
+    // dHash bytes by formula: the sampled-grid luma sums replay from the
+    // pixel-generation arithmetic (file row (r*h)//8, column (c*w)//9,
+    // channel bytes (base*31 + k*7 + delta) % 256) — the oracle never sees
+    // the binary, so any decode-offset or grid-index bug value-mismatches.
+    "mm9_dhash" ->
+      """WITH d AS (SELECT doc_id, doc_id AS base, 0 AS delta,
+        |    (2 + doc_id % 4) * 4 AS w, 4 + (doc_id % 8) AS h FROM documents),
+        |hs AS (SELECT doc_id, list_transform(range(0, 8), r ->
+        |    list_sum(list_transform(range(0, 8), c ->
+        |      CASE WHEN
+        |        ((base*31 + (3*(((r*h)//8)*w + ((c*w)//9)) + 0)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + ((c*w)//9)) + 1)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + ((c*w)//9)) + 2)*7 + delta) % 256)
+        |      <
+        |        ((base*31 + (3*(((r*h)//8)*w + (((c+1)*w)//9)) + 0)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + (((c+1)*w)//9)) + 1)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + (((c+1)*w)//9)) + 2)*7 + delta) % 256)
+        |      THEN 1 << c ELSE 0 END))) AS bands
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(t.r AS BIGINT) AS band,
+        |  CAST(bands[t.r + 1] AS BIGINT) AS band_byte
+        |FROM hs, range(0, 8) t(r)""".stripMargin,
+
+    // Banded LSH at maxDist < bands is EXACTLY the all-pairs answer
+    // (pigeonhole), so the oracle is the brute-force hamming join over the
+    // formula-replayed signatures.
+    "mm10_image_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 2 AS base, (doc_id % 2) * 4 AS delta,
+        |    (2 + (doc_id // 2) % 4) * 4 AS w,
+        |    4 + ((doc_id // 2) % 8) AS h FROM documents),
+        |hs AS (SELECT doc_id, list_transform(range(0, 8), r ->
+        |    list_sum(list_transform(range(0, 8), c ->
+        |      CASE WHEN
+        |        ((base*31 + (3*(((r*h)//8)*w + ((c*w)//9)) + 0)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + ((c*w)//9)) + 1)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + ((c*w)//9)) + 2)*7 + delta) % 256)
+        |      <
+        |        ((base*31 + (3*(((r*h)//8)*w + (((c+1)*w)//9)) + 0)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + (((c+1)*w)//9)) + 1)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + (((c+1)*w)//9)) + 2)*7 + delta) % 256)
+        |      THEN 1 << c ELSE 0 END))) AS bands
+        |  FROM d),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(list_sum(list_transform(range(0, 8), i ->
+        |      bit_count(xor(a.bands[i + 1], b.bands[i + 1])))) AS BIGINT) AS dist
+        |  FROM hs a, hs b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 7""".stripMargin,
 
     "x1_rollup" ->
       """SELECT event_type,

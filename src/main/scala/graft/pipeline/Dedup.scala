@@ -201,6 +201,16 @@ object Dedup {
     bandedHammingPairs(simhash64(df, idCol, textCol), idCol, "simhash64",
       bits = 64, maxDist = maxDist, bands = bands)
 
+  /** Banded-LSH hamming pairs over a PRECOMPUTED 64-bit signature column
+    * (e.g. an image dHash from
+    * [[graft.pipeline.Multimodal.dHashImages]]) — the [[simhashPairs64]]
+    * join without the text-signature stage. Complete for
+    * `maxDist < bands` (pigeonhole); emits (id_a, id_b, dist). */
+  def hammingPairs64(sig: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int = 7, bands: Int = 8): DataFrame =
+    bandedHammingPairs(sig, idCol, sigCol, bits = 64, maxDist = maxDist,
+      bands = bands)
+
   private def bandedHammingPairs(sig0: DataFrame, idCol: String,
       sigCol: String, bits: Int, maxDist: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, s"bands must divide $bits, got $bands")

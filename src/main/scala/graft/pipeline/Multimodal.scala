@@ -180,8 +180,9 @@ object Multimodal {
   def synthByte(id: Long, k: Int): Int = (((id * 31 + k * 7) % 256) + 256).toInt % 256
 
   /** A valid 24bpp BMP (54-byte BITMAPINFOHEADER) with the synthetic pixel
-    * stream in file order. */
-  def syntheticBmp(id: Long): Array[Byte] = {
+    * stream in file order; `delta` uniformly brightens every pixel byte
+    * (mod 256) — the near-dup fixture knob. */
+  def syntheticBmp(id: Long, delta: Int = 0): Array[Byte] = {
     val (w, h) = synthDims(id)
     val n = 3 * w * h
     val buf = java.nio.ByteBuffer.allocate(54 + n)
@@ -190,7 +191,7 @@ object Multimodal {
     buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
     buf.putInt(0).putInt(n).putInt(2835).putInt(2835).putInt(0).putInt(0)
     var k = 0
-    while (k < n) { buf.put(synthByte(id, k).toByte); k += 1 }
+    while (k < n) { buf.put(((synthByte(id, k) + delta) % 256).toByte); k += 1 }
     buf.array()
   }
 
@@ -499,6 +500,68 @@ object Multimodal {
     (w2, h2, if (cnt == 0) 0.0 else sum / cnt / 255.0)
   }
 
+  /** 64-bit difference hash (dHash) — the standard perceptual image
+    * fingerprint: sample the decoded pixel stream on a 9×8 grid (nearest
+    * neighbor over FILE rows, like [[resizeBmp]]), reduce each sample to a
+    * luma sum (the channel-byte total — comparison-equivalent to the mean,
+    * with no division to disagree about), and set bit `r*8+c` iff
+    * `luma(r,c) < luma(r,c+1)`. Robust to uniform brightness shifts: a
+    * +δ (mod 256) shift flips only the comparisons whose sampled bytes
+    * wrap, so shifted copies land a small hamming distance apart — the
+    * property the near-dup pair join exploits. Null for non-BMP payloads. */
+  def dHashBmp(payload: Array[Byte]): java.lang.Long = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return null
+    val dataOffset = leIntAt(payload, 10)
+    val w = leIntAt(payload, 18)
+    val h = math.abs(leIntAt(payload, 22))
+    val bytesPerPx = (u(payload(28)) | (u(payload(29)) << 8)) / 8
+    val rowSize = ((bytesPerPx * w + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || bytesPerPx <= 0 ||
+        dataOffset.toLong + rowSize > payload.length) return null
+    def luma(fy: Int, fx: Int): Int = {
+      val p = dataOffset + fy * rowSize + fx * bytesPerPx
+      var s = 0
+      var c = 0
+      while (c < bytesPerPx) {
+        if (p + c < payload.length) s += u(payload(p + c))
+        c += 1
+      }
+      s
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val fy = r * h / 8
+      var c = 0
+      while (c < 8) {
+        if (luma(fy, c * w / 9) < luma(fy, (c + 1) * w / 9))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** dHash pass over a media frame: (media_id, dhash) per image — the
+    * [[extractFeatures]] batch shape over [[dHashBmp]]. The signature
+    * column feeds [[graft.pipeline.Dedup.hammingPairs64]] for banded-LSH
+    * image near-dup pairs. */
+  def dHashImages(media: DataFrame, targetPartitions: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media
+      .repartition(targetPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(r.fieldIndex("media_id"))
+          Row(id, dHashBmp(r.getAs[Array[Byte]]("payload")))
+        }
+      }(enc)
+  }
+
   /** Resize pass over a media frame: (media_id, rw, rh, mean) per image —
     * the [[extractFeatures]] batch shape over [[resizeBmp]]. */
   def resizeImages(media: DataFrame, targetPartitions: Int): DataFrame = {
@@ -562,6 +625,14 @@ object Multimodal {
     df.withColumn("payload", aviFramesUdf(col(idCol).cast("long")))
 
   private val bmpUdf = udf((id: Long) => syntheticBmp(id))
+  private val bmpNearDupUdf = udf((id: Long) =>
+    syntheticBmp(id / 2, ((id % 2) * 4).toInt))
+
+  /** Near-dup image fixture: docs 2k and 2k+1 render the SAME base image,
+    * the odd one uniformly brightened by +4 (mod 256) — so each pair's
+    * dHashes differ only where a sampled luma byte wraps. */
+  def withSyntheticNearDupImages(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload", bmpNearDupUdf(col(idCol).cast("long")))
   private val pngUdf = udf((id: Long) => syntheticPng(id))
   private val wavUdf = udf((id: Long) => syntheticWav(id))
   private val aviUdf = udf((id: Long) => syntheticAvi(id))

@@ -765,6 +765,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.resizeBmp(Array[Byte](1, 2, 3)) == ((0, 0, 0.0)))
   }
 
+  test("dHash: decode matches the generation formula; brightness shift " +
+      "stays near, different bases are far; banded pairs == all-pairs") {
+    import org.apache.spark.sql.functions.col
+    // independent recomputation straight from the pixel formulas
+    def refHash(base: Long, delta: Int): Long = {
+      val (w, h) = Multimodal.synthDims(base)
+      def luma(fy: Int, fx: Int): Int = (0 until 3).map(ch =>
+        ((base * 31 + (3 * (fy * w + fx) + ch) * 7 + delta) % 256).toInt).sum
+      (0 until 8).flatMap(r => (0 until 8).map(c => (r, c))).foldLeft(0L) {
+        case (acc, (r, c)) =>
+          if (luma(r * h / 8, c * w / 9) < luma(r * h / 8, (c + 1) * w / 9))
+            acc | (1L << (r * 8 + c))
+          else acc
+      }
+    }
+    for (base <- 0L to 31L; delta <- Seq(0, 4))
+      assert(Multimodal.dHashBmp(Multimodal.syntheticBmp(base, delta)) ==
+        refHash(base, delta), s"base=$base delta=$delta")
+    // perceptual property: a +4 brightness shift moves the hash only a few
+    // bits (wrapped bytes), while distinct base images land far apart
+    val nearDists = (0L to 63L).map { b =>
+      java.lang.Long.bitCount(refHash(b, 0) ^ refHash(b, 4))
+    }
+    assert(nearDists.max <= 10, s"shift moved too many bits: $nearDists")
+    val farDists = (0L to 62L).map { b =>
+      java.lang.Long.bitCount(refHash(b, 0) ^ refHash(b + 1, 0))
+    }
+    assert(farDists.count(_ > 10) > 50, s"distinct bases too close: $farDists")
+    // banded join == brute force over the near-dup fixture
+    val docs = (0L until 64L).toDF("doc_id")
+    val sig = Multimodal.dHashImages(Multimodal.toMedia(
+      Multimodal.withSyntheticNearDupImages(docs, "doc_id"),
+      "doc_id", "payload", "application/octet-stream"), targetPartitions = 4)
+    val got = Dedup.hammingPairs64(sig, "media_id", "dhash",
+      maxDist = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = (0L until 64L).map(id => id -> refHash(id / 2, ((id % 2) * 4).toInt))
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want)
+    // every even/odd fixture pair is recovered as a near-dup
+    (0L until 32L).foreach { k =>
+      assert(want.exists(p => p._1 == 2 * k && p._2 == 2 * k + 1), s"k=$k")
+    }
+  }
+
   test("decoders survive truncated and corrupt payloads without throwing") {
     // every JVM decoder must degrade (zeros / empty), never crash: at
     // corpus scale torn payloads are routine
@@ -778,6 +826,7 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.decodeVideoMeta(p)
       Multimodal.sampleFrames(p, 2)
       Multimodal.resizeBmp(p)
+      Multimodal.dHashBmp(p)
     }
     // flipped size fields must not walk out of bounds
     val avi = Multimodal.syntheticAviFrames(5L)
