@@ -1443,6 +1443,40 @@ object SparkEntry {
         .filter(col("n") >= 80)
     }),
 
+    // Sketch: KMV (bottom-k) distinct sketches per event_type with PAIRWISE
+    // union/intersection estimates — the set-algebra sketch HLL cannot
+    // provide (registers don't intersect). Exact counts alongside: the
+    // estimate column is graded by the oracle replaying the full KMV
+    // formula, the exact columns pin the ground truth.
+    "sk8_kmv_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sk = graft.pipeline.Sketches.kmvSketch(
+        ev, col("event_type"), col("user_id"))
+      val est = graft.pipeline.Sketches.kmvPairEstimates(sk)
+        .select(col("group_a").as("type_a"), col("group_b").as("type_b"),
+          col("est_union"), col("est_intersect"))
+      val tu = ev.select(col("event_type"), col("user_id")).distinct()
+      val nd = tu.groupBy("event_type").agg(count(lit(1)).as("nd"))
+      val xi = tu.as("x").join(tu.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      est
+        .join(nd.select(col("event_type").as("type_a"), col("nd").as("__na__")),
+          "type_a")
+        .join(nd.select(col("event_type").as("type_b"), col("nd").as("__nb__")),
+          "type_b")
+        .join(xi, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          round(col("est_union"), 3).as("est_union"),
+          round(col("est_intersect"), 3).as("est_intersect"),
+          (col("__na__") + col("__nb__") -
+            coalesce(col("exact_intersect"), lit(0L))).as("exact_union"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+    }),
+
     // Sketch: PER-GROUP quantiles from grouped log-bucket histograms —
     // p50/p99 of value per event_type, state groups × buckets.
     "sk7_quantiles_by_group" -> ((s, dir) => {
@@ -3356,6 +3390,53 @@ object SparkEntry {
     "sk6_heavy_hitters" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id HAVING count(*) >= 80""".stripMargin,
+
+    // Full KMV replay: identical md5-derived 60-bit hashes, per-group
+    // bottom-64 by rank, union sketch = bottom-64 of the merged lists,
+    // estimator (k-1)·2^60/u_k with the exact-below-capacity branch.
+    "sk8_kmv_intersect" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |hs0 AS (SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h FROM tu),
+        |rk AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hs0),
+        |sk AS (SELECT event_type, list(h ORDER BY h) AS hs
+        |  FROM rk WHERE rn <= 64 GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+        |  FROM tu GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.hs AS ha, b.hs AS hb
+        |  FROM sk a, sk b WHERE a.event_type < b.event_type),
+        |u AS (SELECT type_a, type_b, ha, hb,
+        |    list_sort(list_distinct(ha || hb))[1:64] AS hu FROM p),
+        |s AS (SELECT type_a, type_b, len(hu) AS un, hu[len(hu)] AS umax,
+        |    len(list_filter(hu, x ->
+        |      list_contains(ha, x) AND list_contains(hb, x))) AS x
+        |  FROM u),
+        |est AS (SELECT type_a, type_b,
+        |    CASE WHEN un < 64 THEN CAST(un AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / CAST(umax AS DOUBLE)
+        |    END AS est_union,
+        |    (CAST(x AS DOUBLE) / CAST(un AS DOUBLE)) *
+        |    CASE WHEN un < 64 THEN CAST(un AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / CAST(umax AS DOUBLE)
+        |    END AS est_intersect
+        |  FROM s),
+        |xi AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS exact_intersect
+        |  FROM tu x JOIN tu y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT e.type_a, e.type_b, round(e.est_union, 3) AS est_union,
+        |  round(e.est_intersect, 3) AS est_intersect,
+        |  na.nd + nb.nd - coalesce(xi.exact_intersect, 0) AS exact_union,
+        |  coalesce(xi.exact_intersect, 0) AS exact_intersect
+        |FROM est e
+        |JOIN nd na ON e.type_a = na.event_type
+        |JOIN nd nb ON e.type_b = nb.event_type
+        |LEFT JOIN xi ON e.type_a = xi.type_a AND e.type_b = xi.type_b""".stripMargin,
 
     "sk7_quantiles_by_group" ->
       """WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v

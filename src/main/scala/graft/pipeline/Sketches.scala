@@ -273,4 +273,73 @@ object Sketches {
       .select(col("q"), round(col("__lo__") / lit(unit.toDouble), 4).as("est"),
         col("n"))
   }
+
+  // ------------------------------------------- KMV (bottom-k) distinct sketch
+
+  /** The hash space of [[kmvSketch]]: 15 md5 hex chars = 60 bits, exactly
+    * representable and bit-identical in any engine. */
+  private val Kmv2Pow60: Double = 1152921504606846976.0 // 2^60
+
+  /** K-minimum-values (bottom-k / KMV) sketch per group: the `k` smallest
+    * DISTINCT md5-derived 60-bit element hashes, ascending (Beyer et al.
+    * 2007, "On synopses for distinct-value estimation under multiset
+    * operations"). Distinct estimate: `(k-1) / (u_k / 2^60)` where `u_k`
+    * is the largest kept hash; a group with fewer than `k` distinct hashes
+    * keeps them ALL and its count is exact. Unlike HLL registers, KMV
+    * sketches SET-COMBINE: the bottom-k of two merged sketches is the
+    * union's sketch, and the fraction of it present in both inputs
+    * estimates Jaccard — yielding intersection estimates HLL fundamentally
+    * cannot provide ([[kmvPairEstimates]]).
+    *
+    * Scale shape: state is groups × k longs (broadcast-sized). The build is
+    * a map-side-combinable distinct followed by a per-group rank over the
+    * DISTINCT hash set — the exchange is cardinality-bounded, never
+    * row-bounded; a still-tighter build would push bottom-k into a partial
+    * aggregate, worthwhile only past ~10⁸ distinct keys per group. */
+  def kmvSketch(df: DataFrame, group: Column, key: Column,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(group.as("group"), h.as("h")).distinct()
+      .withColumn("__rn__",
+        row_number().over(Window.partitionBy(col("group")).orderBy(col("h"))))
+      .filter(col("__rn__") <= k)
+      .groupBy("group").agg(sort_array(collect_list(col("h"))).as("hs"))
+  }
+
+  /** Per-group distinct estimate from a [[kmvSketch]]: exact below `k`,
+    * `(k-1)·2^60 / u_k` at capacity. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 64): DataFrame =
+    sketch.select(col("group"),
+      size(col("hs")).cast("long").as("n_hashes"),
+      when(size(col("hs")) < k, size(col("hs")).cast("double"))
+        .otherwise(lit((k - 1) * Kmv2Pow60) /
+          element_at(col("hs"), k).cast("double")).as("est_distinct"))
+
+  /** Pairwise union/intersection estimates across every group pair of a
+    * [[kmvSketch]] frame: the union sketch is the bottom-k of the merged
+    * hash lists, `est_union` applies the KMV estimator to it, and
+    * `est_intersect = ρ·est_union` with ρ = the fraction of the union
+    * sketch present in BOTH inputs (the Jaccard estimator). The pair join
+    * is over the GROUPS frame (sketch rows, broadcast-sized) — all-pairs
+    * on purpose and never on the corpus. */
+  def kmvPairEstimates(sketch: DataFrame, k: Int = 64): DataFrame = {
+    val a = sketch.select(col("group").as("group_a"), col("hs").as("ha"))
+    val b = sketch.select(col("group").as("group_b"), col("hs").as("hb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("hu", slice(sort_array(array_union(col("ha"), col("hb"))),
+        1, k))
+      .withColumn("un", size(col("hu")))
+      .withColumn("x", size(filter(col("hu"), e =>
+        array_contains(col("ha"), e) && array_contains(col("hb"), e))))
+      .select(col("group_a"), col("group_b"),
+        when(col("un") < k, col("un").cast("double"))
+          .otherwise(lit((k - 1) * Kmv2Pow60) /
+            element_at(col("hu"), k).cast("double")).as("est_union"),
+        (col("x").cast("double") / col("un").cast("double") *
+          when(col("un") < k, col("un").cast("double"))
+            .otherwise(lit((k - 1) * Kmv2Pow60) /
+              element_at(col("hu"), k).cast("double"))).as("est_intersect"))
+  }
 }

@@ -256,4 +256,37 @@ class SketchesSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(math.abs(r.getAs[Double]("jaccard") - j) < 1e-4)
   }
+
+  test("KMV: exact below capacity; estimate tracks distinct at capacity; " +
+      "pair union/intersection estimates track exact set algebra") {
+    // below capacity: the sketch IS the distinct set
+    val small = (1 to 40).flatMap(i => Seq.fill(3)(s"u$i"))
+      .map(k => ("g", k)).toDF("g", "k")
+    val smallEst = Sketches.kmvEstimate(
+      Sketches.kmvSketch(small, col("g"), col("k"))).collect().head
+    assert(smallEst.getAs[Long]("n_hashes") == 40)
+    assert(smallEst.getAs[Double]("est_distinct") == 40.0)
+    // at capacity: (k-1)/u_k within the ~1/sqrt(k) relative error band
+    val big = (1 to 2000).map(i => ("g", s"user-$i")).toDF("g", "k")
+    val bigEst = Sketches.kmvEstimate(
+      Sketches.kmvSketch(big, col("g"), col("k"))).collect().head
+    val est = bigEst.getAs[Double]("est_distinct")
+    assert(math.abs(est - 2000) / 2000 < 0.40, s"est $est vs 2000")
+    // pairs: A = 1..1200, B = 601..1800 → |A∪B| = 1800, |A∩B| = 600
+    val ab = ((1 to 1200).map(i => ("a", s"user-$i")) ++
+      (601 to 1800).map(i => ("b", s"user-$i"))).toDF("g", "k")
+    val pair = Sketches.kmvPairEstimates(
+      Sketches.kmvSketch(ab, col("g"), col("k"))).collect().head
+    val eu = pair.getAs[Double]("est_union")
+    val ei = pair.getAs[Double]("est_intersect")
+    assert(math.abs(eu - 1800) / 1800 < 0.40, s"union $eu vs 1800")
+    assert(math.abs(ei - 600) / 600 < 0.60, s"intersect $ei vs 600")
+    // disjoint sets: intersection estimate must be exactly zero (no shared
+    // hashes can enter the union sketch)
+    val disj = ((1 to 500).map(i => ("a", s"x$i")) ++
+      (1 to 500).map(i => ("b", s"y$i"))).toDF("g", "k")
+    val d = Sketches.kmvPairEstimates(
+      Sketches.kmvSketch(disj, col("g"), col("k"))).collect().head
+    assert(d.getAs[Double]("est_intersect") == 0.0)
+  }
 }
