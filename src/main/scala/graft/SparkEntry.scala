@@ -1724,6 +1724,17 @@ object SparkEntry {
       graft.pipeline.Sharding.mixtureSchedule(
         t(s, dir, "documents"), "lang", "doc_id", alpha = 0.5, seed = "epoch0")),
 
+    // Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    // Spirakis exponential keys over a seeded md5 uniform): 100 docs drawn
+    // length-proportionally — the "sample by token weight" primitive of a
+    // mixture pipeline, rerun-stable and engine-portable. The oracle
+    // replays the exact key arithmetic, so the sampled SET must match.
+    "t23_weighted_sample" -> ((s, dir) =>
+      graft.pipeline.Sharding.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), k = 100, seed = "epoch7")
+        .select(col("doc_id"), col("n_chars"))),
+
     // URL canonicalization + registrable domain (the C4/CCNet URL-dedup
     // pre-pass). The corpus has no URL column, so URLs are synthesized
     // deterministically (same construction in the oracle) with the noise
@@ -3942,6 +3953,17 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY vt, lang, doc_id) - 1 AS BIGINT)
         |    AS sched_pos
         |FROM p""".stripMargin,
+
+    // Exponential-key replay: u from 13 md5 hex chars (52 bits, +0.5 to
+    // dodge ln(0)), key = -ln(u)/w, bottom-100 with the doc_id tiebreak.
+    "t23_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w, n_chars,
+        |    (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |         'epoch7')), 1, 13)) AS BIGINT) + 0.5)
+        |      / 4503599627370496.0 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars
+        |FROM u ORDER BY -ln(u) / w, doc_id LIMIT 100""".stripMargin,
 
     "t20_temperature_mix" ->
       """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

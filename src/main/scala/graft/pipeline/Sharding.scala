@@ -221,4 +221,29 @@ object Sharding {
         round(pow(col("n_docs"), lit(alpha)) / col("__z__") * col("__n__"), 2)
           .as("expected_docs"))
   }
+
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): each row
+    * draws a seeded md5-uniform u ∈ (0,1) and the k smallest exponential
+    * keys `-ln(u)/w` are EXACTLY a weight-proportional sample without
+    * replacement — the one-pass, collusion-free way to take "10k docs,
+    * length-weighted" from a corpus. Deterministic and rerun-stable: same
+    * seed ⇒ same sample on any engine (u is md5-derived, 52 bits); a new
+    * seed is a fresh draw. Non-positive weights are excluded (their key
+    * would be undefined — matching the paper's w > 0 domain).
+    *
+    * Scale shape: the key is a pure codegen'd column expression and the
+    * k-smallest is a TakeOrderedAndProject (per-partition heads + one
+    * k-row driver heap) — no global sort, no shuffle of non-winners. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(seed))),
+      1, 13), 16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    df.filter(weight > 0)
+      .withColumn("__aes__", -log(u) / weight.cast("double"))
+      .orderBy(col("__aes__"), col(idCol))
+      .limit(k)
+      .drop("__aes__")
+  }
 }

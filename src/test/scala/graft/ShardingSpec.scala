@@ -138,4 +138,38 @@ class ShardingSpec extends AnyFunSuite {
       s"α=0.5 must upsample the tail: ${t("small")}")
     assert(t("big")._3 < 1.0, "α=0.5 must downsample the head")
   }
+
+  test("weighted sample: deterministic, w-proportional across seeds, " +
+      "non-positive weights excluded, plan is a take-ordered (no sort)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // 100 light (w=1) + 100 heavy (w=9) items; across 40 seeds the heavy
+    // items must be drawn ~9x as often (binomial noise well inside 3x)
+    val items: Seq[(Long, Long)] = ((0L until 100L).map(i => (i, 1L)) ++
+      (100L until 200L).map(i => (i, 9L))).toList
+    val df = items.toDF("id", "w")
+    val sampled = (0 until 40).flatMap { s =>
+      Sharding.weightedSample(df, "id", col("w"), k = 20, seed = s"s$s")
+        .collect().map(_.getLong(0))
+    }
+    assert(sampled.size == 40 * 20)
+    val heavyShare = sampled.count(_ >= 100).toDouble / sampled.size
+    assert(heavyShare > 0.7 && heavyShare < 0.98, s"heavy share $heavyShare")
+    // same seed -> identical sample; different seed -> different sample
+    def draw(seed: String) = Sharding.weightedSample(df, "id", col("w"),
+      k = 20, seed = seed).collect().map(_.getLong(0)).toSeq
+    assert(draw("fixed") == draw("fixed"))
+    assert(draw("a") != draw("b"))
+    // zero/negative weights can never be drawn
+    val withBad = df.withColumn("w2",
+      org.apache.spark.sql.functions.when(col("id") < 150, lit(-1L) * col("w"))
+        .otherwise(col("w")))
+    val got = Sharding.weightedSample(withBad, "id", col("w2"), k = 60,
+      seed = "x").collect().map(_.getLong(0))
+    assert(got.length == 50 && got.forall(_ >= 150))
+    // scale shape: TakeOrderedAndProject, not a global Sort + Limit
+    val plan = Sharding.weightedSample(df, "id", col("w"), k = 20, seed = "p")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
