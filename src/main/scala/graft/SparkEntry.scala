@@ -239,6 +239,95 @@ object SparkEntry {
       })
     }
 
+  /** Two-generation store for st5 (schema evolution): generation 1 writes
+    * pre-Jan-16 events under the v1 schema (no `value` column); the SAME
+    * root is then reopened under the widened v2 schema (+`value`) and
+    * generation 2 writes the rest. A v2 scan reads both generations — the
+    * old SSTs' missing column comes back null straight from the parquet
+    * reader, no rewrite (the only evolution shape that is O(0) at 100 TB). */
+  private val evolveCache =
+    scala.collection.mutable.Map.empty[String, graft.storage.TimeMergeStorage]
+
+  private val evolveSplitMs = 1705363200000L // 2024-01-16T00:00:00Z
+
+  private def evolvedStore(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
+    evolveCache.synchronized {
+      evolveCache.getOrElseUpdate(dir, {
+        import graft.storage._
+        val segMs = 7L * 86400000L
+        val root = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+        val ev = t(s, dir, "events").select(col("event_id"), tsMs.as("tms"),
+          col("user_id"), col("event_type"), col("value"))
+        def segmentsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+          df.select((col("tms") - pmod(col("tms"), lit(segMs))).as("seg"))
+            .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        val v1Rows = ev.filter(col("tms") < evolveSplitMs).drop("value")
+        val v1Schema = StorageSchema(
+          org.apache.spark.sql.types.StructType(v1Rows.schema.fields),
+          numPrimaryKeys = 1)
+        val v1 = new TimeMergeStorage(s, root, v1Schema, segmentMs = segMs,
+          timestampColumn = Some("tms"))
+        segmentsOf(v1Rows).foreach { g =>
+          v1.write(v1Rows.filter(col("tms") >= g && col("tms") < g + segMs),
+            TimeRange(g, g + segMs))
+        }
+        val v2Schema = StorageSchema(
+          org.apache.spark.sql.types.StructType(ev.schema.fields),
+          numPrimaryKeys = 1)
+        require(v1Schema.canEvolveTo(v2Schema), "illegal evolution fixture")
+        val v2 = new TimeMergeStorage(s, root, v2Schema, segmentMs = segMs,
+          timestampColumn = Some("tms"))
+        val v2Rows = ev.filter(col("tms") >= evolveSplitMs)
+        segmentsOf(v2Rows).foreach { g =>
+          v2.write(v2Rows.filter(col("tms") >= g && col("tms") < g + segMs),
+            TimeRange(g, g + segMs))
+        }
+        v2
+      })
+    }
+
+  /** Tombstone-delete store for a7: generation 1 ingests every event
+    * (`deleted = false`); generation 2 writes DELETE MARKERS (same pk +
+    * tms, null payload, `deleted = true`) for the `event_id % 7 == 3`
+    * slice. Merge-on-read picks the marker (higher `__seq__`) and the
+    * scan drops the key — LSM delete semantics with no rewrite. */
+  private val tombstoneCache =
+    scala.collection.mutable.Map.empty[String, graft.storage.TimeMergeStorage]
+
+  private def tombstoneStore(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
+    tombstoneCache.synchronized {
+      tombstoneCache.getOrElseUpdate(dir, {
+        import graft.storage._
+        val segMs = 7L * 86400000L
+        val ev = t(s, dir, "events").select(col("event_id"), tsMs.as("tms"),
+          col("user_id"), col("event_type"), col("value"),
+          lit(false).as("deleted"))
+        val store = new TimeMergeStorage(s,
+          java.nio.file.Files.createTempDirectory("graft-tombstone").toString,
+          StorageSchema(org.apache.spark.sql.types.StructType(ev.schema.fields),
+            numPrimaryKeys = 1),
+          segmentMs = segMs, timestampColumn = Some("tms"))
+        val segs = ev.select((col("tms") - pmod(col("tms"), lit(segMs))).as("seg"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        segs.foreach { g =>
+          store.write(ev.filter(col("tms") >= g && col("tms") < g + segMs),
+            TimeRange(g, g + segMs))
+        }
+        val marks = ev.filter(pmod(col("event_id"), lit(7)) === 3)
+          .select(col("event_id"), col("tms"),
+            lit(null).cast("long").as("user_id"),
+            lit(null).cast("string").as("event_type"),
+            lit(null).cast("double").as("value"),
+            lit(true).as("deleted"))
+        segs.foreach { g =>
+          val slice = marks.filter(col("tms") >= g && col("tms") < g + segMs)
+          if (slice.limit(1).count() > 0)
+            store.write(slice, TimeRange(g, g + segMs))
+        }
+        store
+      })
+    }
+
   private def compactedEventsStore(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
     compactedCache.synchronized {
       compactedCache.getOrElseUpdate(dir, {
@@ -315,6 +404,8 @@ object SparkEntry {
     safely("metricEngine")(metricEngine(s, dir))
     safely("bucketedEngine")(bucketedEngine(s, dir))
     safely("compactedEventsStore")(compactedEventsStore(s, dir))
+    safely("evolvedStore")(evolvedStore(s, dir))
+    safely("tombstoneStore")(tombstoneStore(s, dir))
     safely("ivfIndex") {
       val indexed = ivfCache.synchronized {
         ivfCache.getOrElseUpdate(dir, {
@@ -389,6 +480,31 @@ object SparkEntry {
           Seq(col("event_id") >= 2000L && col("event_id") < 4000L)))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    }),
+
+    // Schema evolution: a widened-schema scan over two SST generations —
+    // the pre-split generation was written WITHOUT the `value` column and
+    // reads back null (straight from the parquet reader, no rewrite), the
+    // post-split generation carries it. n_legacy counts the null-column
+    // rows, pinning that both generations are actually read.
+    "st5_schema_evolution" -> ((s, dir) => {
+      import graft.storage._
+      evolvedStore(s, dir).scan(ScanRequest())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          round(sum("value"), 2).as("sum_v"))
+    }),
+
+    // Tombstone deletes: merge-on-read DELETE — generation 2 wrote delete
+    // markers for the event_id % 7 == 3 slice; the winner-is-tombstone
+    // keys vanish from the scan. Oracle = the raw table minus that slice.
+    "a7_tombstone_delete" -> ((s, dir) => {
+      import graft.storage._
+      tombstoneStore(s, dir).scanWithoutDeleted("deleted")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
+          countDistinct("user_id").as("n_users"))
     }),
 
     // A1+A2+O2: merge-on-read last-write-wins dedup (MergeExec + LastValue).
@@ -2346,6 +2462,24 @@ object SparkEntry {
         |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
         |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
         |GROUP BY 1""".stripMargin,
+
+    // Evolution replay: legacy rows are exactly the pre-split timestamps
+    // (their `value` column never existed on disk), so n_legacy and the
+    // post-split-only sum pin that the scan merged both generations.
+    "st5_schema_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN epoch_ms(ts::TIMESTAMP) < 1705363200000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |  round(sum(CASE WHEN epoch_ms(ts::TIMESTAMP) >= 1705363200000
+        |    THEN value END), 2) AS sum_v
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Tombstoned keys are just absent: the oracle filters the raw table.
+    "a7_tombstone_delete" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_id % 7 <> 3
+        |GROUP BY event_type""".stripMargin,
 
     // Hand-written expected rows for the fixed WriteRequest spec — built
     // independently of the encoder/decoder under test.

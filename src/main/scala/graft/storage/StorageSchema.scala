@@ -55,6 +55,24 @@ final case class StorageSchema(
         val widened = (cols ++ primaryKeys.filterNot(cols.contains) :+ StorageSchema.SeqCol).distinct
         (widened, cols)
     }
+
+  /** Legal schema WIDENING from this schema to `to`: primary keys
+    * identical (names, types, order, count), every existing user column
+    * keeps its name and type in place, and new columns append AFTER the
+    * existing ones as nullable values. This is exactly the evolution the
+    * read path supports natively — a scan passes the widened schema to the
+    * parquet reader, and columns absent from older SSTs come back null
+    * (no rewrite, no migration job; the only evolution shape that stays
+    * O(0) at 100 TB). Renames, drops, type changes, or pk changes need a
+    * rewrite and are rejected. */
+  def canEvolveTo(to: StorageSchema): Boolean =
+    to.numPrimaryKeys == numPrimaryKeys &&
+      to.updateMode == updateMode &&
+      to.userSchema.length >= userSchema.length &&
+      userSchema.fields.zip(to.userSchema.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType
+      } &&
+      to.userSchema.fields.drop(userSchema.length).forall(_.nullable)
 }
 
 object StorageSchema {

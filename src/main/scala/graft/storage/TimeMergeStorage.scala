@@ -208,6 +208,35 @@ final class TimeMergeStorage(
     else
       scan(req).sort(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
 
+  /** Merge-on-read DELETE (beyond-ref; the reference's overwrite mode has
+    * no delete marker): rows written with `tombstoneCol = true` are delete
+    * markers. Last-write-wins merge picks the newest version per pk as
+    * usual, and a pk whose winner is a tombstone disappears from the
+    * result — LSM delete semantics with zero extra exchanges (the filter
+    * runs after the same merge every scan plans). Older shadowed versions
+    * compact away naturally; the marker row itself survives compaction so
+    * late-arriving older versions stay deleted. Rows from SSTs written
+    * before the tombstone column existed read as null → kept. */
+  def scanWithoutDeleted(tombstoneCol: String,
+      req: ScanRequest = ScanRequest()): DataFrame = {
+    require(schema.updateMode == UpdateMode.Overwrite,
+      "tombstone deletes need last-write-wins merge (Overwrite mode)")
+    require(schema.valueColumns.contains(tombstoneCol),
+      s"tombstone column $tombstoneCol must be a value column")
+    // widen the request so the marker is visible to the filter, then
+    // project back down to what the caller asked for
+    val wideReq = req.projection match {
+      case Some(cols) if !cols.contains(tombstoneCol) =>
+        req.copy(projection = Some(cols :+ tombstoneCol))
+      case _ => req
+    }
+    val kept = scan(wideReq).filter(!coalesce(col(tombstoneCol), lit(false)))
+    req.projection match {
+      case Some(cols) => kept.select(cols.map(col): _*)
+      case None => kept
+    }
+  }
+
   /** Shared scan pipeline (reference storage.rs:336-369 + read.rs:95-391):
     * manifest prune → parquet read (pushdown) → filter → widen projection →
     * per-pk `merge` → strip builtins → project. */

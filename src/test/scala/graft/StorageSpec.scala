@@ -560,4 +560,72 @@ class StorageSpec extends AnyFunSuite {
     assert(m2.maxSstId == n.toLong)
     assert(loadMs < 5000, s"manifest reload of 50k entries took $loadMs ms")
   }
+
+  test("schema evolution: widened reopen reads old SSTs with nulls for the " +
+      "new column; merge spans generations; illegal evolutions rejected") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    val v1 = mkStorage(root) // (pk1, pk2, value)
+    writeBatch(v1, TimeRange(1, 10), Seq((1, 1, 10L), (2, 2, 20L)))
+    val v2Schema = StorageSchema(StructType(abSchema.fields :+
+      StructField("tag", StringType)), numPrimaryKeys = 2)
+    assert(v1.schema.canEvolveTo(v2Schema))
+    // rejected shapes: type change, rename, pk-count change, non-nullable add
+    assert(!v1.schema.canEvolveTo(StorageSchema(StructType(Seq(
+      StructField("pk1", LongType), StructField("pk2", IntegerType),
+      StructField("value", LongType))), 2)))
+    assert(!v1.schema.canEvolveTo(StorageSchema(StructType(Seq(
+      StructField("pk1", IntegerType), StructField("pkX", IntegerType),
+      StructField("value", LongType))), 2)))
+    assert(!v1.schema.canEvolveTo(StorageSchema(abSchema, 1)))
+    assert(!v1.schema.canEvolveTo(StorageSchema(StructType(abSchema.fields :+
+      StructField("tag", StringType, nullable = false)), 2)))
+    // reopen widened; write a second generation incl. an overwrite of (1,1)
+    val v2 = new TimeMergeStorage(spark, root, v2Schema, segmentMs = 7200 * 1000L)
+    val rows = Seq(Row(1, 1, 11L, "new"), Row(3, 3, 30L, "new"))
+    v2.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), v2Schema.userSchema),
+      TimeRange(10, 20))
+    val got = v2.scanSorted().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1, 1, 11L, "new"), (2, 2, 20L, null),
+      (3, 3, 30L, "new")))
+    // old-generation row (2,2): new column null; overwritten (1,1): v2 wins
+  }
+
+  test("tombstone deletes: winner-is-marker keys vanish, re-insert after " +
+      "delete resurrects, older late arrivals stay shadowed") {
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(
+      StructField("pk1", IntegerType), StructField("value", LongType),
+      StructField("deleted", BooleanType)))
+    val s = new TimeMergeStorage(spark, tmpRoot(),
+      StorageSchema(schema, numPrimaryKeys = 1), segmentMs = 7200 * 1000L)
+    def w(rows: Seq[(Int, java.lang.Long, Boolean)]): Unit =
+      s.write(spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 1), schema), TimeRange(1, 10))
+    w(Seq((1, 10L, false), (2, 20L, false), (3, 30L, false)))
+    w(Seq((2, null, true)))                  // delete pk 2
+    assert(s.scanWithoutDeleted("deleted").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 3))
+    w(Seq((2, 21L, false)))                  // re-insert pk 2
+    val re = s.scanWithoutDeleted("deleted").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(re == Map(1 -> 10L, 2 -> 21L, 3 -> 30L))
+    // delete→re-insert→delete: the newest write always decides
+    w(Seq((3, null, true)))
+    w(Seq((3, 31L, false)))
+    w(Seq((4, 40L, false)))
+    val fin = s.scanWithoutDeleted("deleted").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fin == Map(1 -> 10L, 2 -> 21L, 3 -> 31L, 4 -> 40L))
+    // plain scan still exposes every merged winner (incl. any markers)
+    assert(s.scan().collect().length == 4)
+    // misuse guard: the marker must name an existing value column
+    intercept[IllegalArgumentException](s.scanWithoutDeleted("nope"))
+    // projection without the marker column still filters correctly
+    assert(s.scanWithoutDeleted("deleted",
+        ScanRequest(projection = Some(Seq("pk1"))))
+      .schema.fieldNames.toSeq == Seq("pk1"))
+  }
 }
