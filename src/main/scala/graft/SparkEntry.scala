@@ -507,6 +507,19 @@ object SparkEntry {
           countDistinct("user_id").as("n_users"))
     }),
 
+    // Time travel: scanAsOf pins the st3 store's FIRST write (the
+    // event_id % 3 == 0 slice) — the second batch, though newer and
+    // overlapping, is invisible to the pinned view. Oracle = the slice
+    // definition replayed over the raw table.
+    "st6_time_travel" -> ((s, dir) => {
+      val store = builtinStampStore(s, dir)
+      val firstId = store.manifest.allSsts().map(_.id).min
+      store.scanAsOf(firstId)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+          max("event_id").as("max_id"), round(sum("value"), 2).as("sum_v"))
+    }),
+
     // A1+A2+O2: merge-on-read last-write-wins dedup (MergeExec + LastValue).
     "a1_last_write_wins" -> ((s, dir) => {
       val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
@@ -2462,6 +2475,16 @@ object SparkEntry {
         |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
         |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
         |GROUP BY 1""".stripMargin,
+
+    // The pinned view is exactly the first batch's slice definition.
+    "st6_time_travel" ->
+      """SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+        |  max(event_id) AS max_id, round(sum(value), 2) AS sum_v
+        |FROM events
+        |WHERE event_id % 3 = 0
+        |  AND epoch_ms(ts::TIMESTAMP) >= 1704326400000
+        |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
+        |GROUP BY event_type""".stripMargin,
 
     // Evolution replay: legacy rows are exactly the pre-split timestamps
     // (their `value` column never existed on disk), so n_legacy and the

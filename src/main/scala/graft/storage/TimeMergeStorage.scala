@@ -237,11 +237,28 @@ final class TimeMergeStorage(
     }
   }
 
+  /** TIME-TRAVEL scan (beyond-ref; the Delta/Iceberg snapshot-read shape,
+    * for free here because SST id == write sequence): the table as of
+    * write `maxSstId` — only SSTs with id <= maxSstId participate, which
+    * is exactly the file set a scan planned right after that write (every
+    * later write got a strictly larger id). Merge semantics are unchanged:
+    * the excluded newer SSTs are the only rows with a higher `__seq__`.
+    *
+    * Horizon: compaction REWRITES carry new ids and physically delete
+    * their inputs, so views older than the newest compaction of a segment
+    * are unreachable — the VACUUM trade-off every snapshot store makes;
+    * on an uncompacted (or TTL-only) table every write is addressable. */
+  def scanAsOf(maxSstId: Long, req: ScanRequest = ScanRequest()): DataFrame =
+    scanWith(req, merge = df => graft.plans.MergeDedupOps.nativeDedupMerge(
+      df, schema.primaryKeys, schema.updateMode, globalSort = false),
+      fileFilter = _.id <= maxSstId)
+
   /** Shared scan pipeline (reference storage.rs:336-369 + read.rs:95-391):
     * manifest prune → parquet read (pushdown) → filter → widen projection →
     * per-pk `merge` → strip builtins → project. */
-  private def scanWith(req: ScanRequest, merge: DataFrame => DataFrame): DataFrame = {
-    val ssts = plannedSsts(req)
+  private def scanWith(req: ScanRequest, merge: DataFrame => DataFrame,
+      fileFilter: SstFile => Boolean = _ => true): DataFrame = {
+    val ssts = plannedSsts(req).filter(fileFilter)
     if (ssts.isEmpty) // storage.rs:336-341 empty short-circuit
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

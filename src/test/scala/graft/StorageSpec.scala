@@ -561,6 +561,27 @@ class StorageSpec extends AnyFunSuite {
     assert(loadMs < 5000, s"manifest reload of 50k entries took $loadMs ms")
   }
 
+  test("time travel: scanAsOf pins a write, newer overwrites invisible, " +
+      "full history == plain scan, compaction bounds the horizon") {
+    val s = mkStorage(tmpRoot())
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 10L), (2, 2, 20L)))
+    val id1 = s.manifest.allSsts().map(_.id).max
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 11L), (3, 3, 30L)))
+    def m(rows: Array[Row]): Map[Int, Long] =
+      rows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(m(s.scanAsOf(id1).collect()) == Map(1 -> 10L, 2 -> 20L))
+    assert(m(s.scan().collect()) == Map(1 -> 11L, 2 -> 20L, 3 -> 30L))
+    assert(m(s.scanAsOf(Long.MaxValue).collect()) ==
+      m(s.scan().collect()))
+    // compaction rewrites under a NEW id and deletes its inputs: the
+    // pre-compaction view becomes unreachable (documented VACUUM horizon)
+    val compactor = new Compactor(s, CompactionConfig(inputSstMinNum = 2))
+    var rounds = 0
+    while (compactor.runOnce() && rounds < 10) rounds += 1
+    assert(m(s.scan().collect()) == Map(1 -> 11L, 2 -> 20L, 3 -> 30L))
+    assert(s.scanAsOf(id1).collect().isEmpty)
+  }
+
   test("schema evolution: widened reopen reads old SSTs with nulls for the " +
       "new column; merge spans generations; illegal evolutions rejected") {
     import org.apache.spark.sql.functions.col
