@@ -658,6 +658,19 @@ object SparkEntry {
           stepMs = Some(86400000L))
         .withColumn("value", round(col("value"), 6))),
 
+    // PromQL sort_by_label_desc (Prometheus 2.49 experimental): ordering
+    // by LABEL values, not sample values. The observed order is stamped as
+    // a rank through one ordered partition, so the oracle grades the
+    // ORDERING itself (its own ORDER BY replay), not just the row set.
+    "p34_promql_sortlabel" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""sort_by_label_desc(sum by (uid) (purchase{uid=~"1[0-9]"}), "uid")""",
+          stepMs = Some(86400000L))
+        .coalesce(1)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(monotonically_increasing_id())).cast("long"))
+        .withColumn("value", round(col("value"), 2))),
+
     // PromQL exact interpolated quantile per day bucket.
     "p5_promql_quantile" -> ((s, dir) =>
       promqlCtx(s, dir).sql("""quantile(0.9, purchase)""", stepMs = Some(86400000L))
@@ -2703,6 +2716,22 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 4) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY bucket_ms""".stripMargin,
+
+    // Expected ordering replayed with the oracle's OWN order-by: uid desc
+    // lexicographically (labels are strings), bucket ascending as the
+    // deterministic tiebreak — the rank column must agree row for row.
+    "p34_promql_sortlabel" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS uid,
+        |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |      * 86400000 AS bucket_ms,
+        |    round(sum(value), 2) AS value
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND regexp_full_match(CAST(user_id AS VARCHAR), '1[0-9]')
+        |  GROUP BY 1, 2)
+        |SELECT uid, bucket_ms, value,
+        |  CAST(row_number() OVER (ORDER BY uid DESC, bucket_ms) AS BIGINT)
+        |    AS rank
+        |FROM v""".stripMargin,
 
     "p6_promql_ratio" ->
       """WITH p AS (

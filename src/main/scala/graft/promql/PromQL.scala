@@ -32,7 +32,8 @@ import graft.metric.MetricAgg
   *             | 'quantile_over_time' '(' num ',' selector '[' duration ']' offset? ')'
   *             | 'predict_linear' '(' selector '[' duration ']' offset? ',' num ')'
   *             | 'holt_winters' '(' selector '[' duration ']' offset? ',' num ',' num ')'
-  *             | ('label_replace'|'label_join') '(' expr (',' string)+ ')'
+  *             | ('label_replace'|'label_join'
+  *                |'sort_by_label'|'sort_by_label_desc') '(' expr (',' string)+ ')'
   *   rangefn  := rate | increase | delta | irate | idelta | deriv
   *             | resets | changes
   *             | (avg|min|max|sum|count|last|present)_over_time
@@ -206,7 +207,9 @@ final case class HistogramQuantile(q: Double, child: Expr) extends Expr
   *    matches the src label value, dst := replacement with `$n` capture
   *    references expanded; elsewhere the row is unchanged;
   *  - `label_join(v, dst, sep, src...)` — `args = sep +: srcLabels`;
-  *    dst := the src label values joined with sep (absent labels = ""). */
+  *    dst := the src label values joined with sep (absent labels = "");
+  *  - `sort_by_label(_desc)(v, l1, ...)` — presentation ordering by label
+  *    VALUES (`dst` holds the first label, `args` the rest). */
 final case class LabelFn(name: String, child: Expr, dst: String,
     args: Seq[String]) extends Expr
 
@@ -487,7 +490,8 @@ object PromQLParser {
       // function (holt_winters kept as the compatibility alias there too)
       case TIdent("holt_winters" | "double_exponential_smoothing", _)
           if nextIsParen => parseHoltWinters()
-      case TIdent(name @ ("label_replace" | "label_join"), _) if nextIsParen =>
+      case TIdent(name @ ("label_replace" | "label_join" |
+          "sort_by_label" | "sort_by_label_desc"), _) if nextIsParen =>
         parseLabelFn(name)
       // time() is the one zero-argument function; child is a placeholder
       case TIdent("time", _) if nextIsParen =>
@@ -691,6 +695,8 @@ object PromQLParser {
         s"label_replace takes exactly 4 string arguments (dst, replacement, src, regex), got $n")
       if (name == "label_join" && n < 3) fail(
         s"label_join takes at least 3 string arguments (dst, sep, src...), got $n")
+      if (name.startsWith("sort_by_label") && n < 1) fail(
+        s"$name takes at least 1 label name argument, got $n")
       LabelFn(name, child, args.head, args.tail)
     }
 

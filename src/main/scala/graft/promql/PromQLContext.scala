@@ -746,6 +746,25 @@ final class PromQLContext(
             (col("__rank__") - col("__prev_v__")) / (col("value") - col("__prev_v__")))
       chosen.select(groupCols.map(col) :+ quantile.as("value"): _*)
 
+    case LabelFn(name @ ("sort_by_label" | "sort_by_label_desc"),
+        child, dst, args) =>
+      // presentation ordering by LABEL VALUES (Prometheus 2.49's
+      // experimental sort_by_label*): the given labels in argument order,
+      // then every remaining label ascending for a deterministic layout —
+      // values never participate (unlike sort/sort_desc). Absent labels
+      // read as "" and sort first, matching the matcher semantics.
+      val in = eval(child, stepMs, range)
+      val labels = dst +: args
+      def sLbl(c: String): Column =
+        if (in.columns.contains(c)) coalesce(col(c).cast("string"), lit(""))
+        else lit("")
+      val keys = labels.map(l =>
+        if (name == "sort_by_label") sLbl(l).asc else sLbl(l).desc)
+      val tiebreak = in.columns
+        .filterNot(c => labels.contains(c) || c == "value").sorted
+        .map(c => col(c).asc)
+      in.orderBy(keys ++ tiebreak: _*)
+
     case LabelFn(name, child, dst, args) =>
       // label manipulation over the child frame's label columns. Absent /
       // null labels read as "" (Prometheus); the synthesized dst column

@@ -1087,6 +1087,32 @@ class PromQLSpec extends AnyFunSuite {
     assert(desc.toSeq == Seq("a", "c", "b"))
   }
 
+  test("context: sort_by_label orders by label values (not sample values), " +
+      "desc variant, multi-key, absent label sorts first") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "b", "us", 0L, 1.0), Row("cpu", "a", "eu", 0L, 9.0),
+      Row("cpu", "c", "eu", 0L, 5.0)))
+    // values (9, 1, 5) must NOT drive the order — labels do
+    val asc = ctx.sql("""sort_by_label(sum by (host) (cpu), "host")""")
+      .collect().map(_.getString(0))
+    assert(asc.toSeq == Seq("a", "b", "c"))
+    val desc = ctx.sql("""sort_by_label_desc(sum by (host) (cpu), "host")""")
+      .collect().map(_.getString(0))
+    assert(desc.toSeq == Seq("c", "b", "a"))
+    // multi-key: dc first, then host breaks ties inside each dc
+    val multi = ctx.sql(
+      """sort_by_label(sum by (dc, host) (cpu), "dc", "host")""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(multi.toSeq == Seq(("eu", "a"), ("eu", "c"), ("us", "b")))
+    // an absent label reads "" and sorts before any value
+    val absent = ctx.sql("""sort_by_label(sum by (host) (cpu), "nope")""")
+      .collect().map(_.getString(0))
+    assert(absent.toSeq == Seq("a", "b", "c")) // tiebreak = remaining labels
+    // parser: at least one label argument
+    intercept[IllegalArgumentException](
+      ctx.sql("sort_by_label(sum by (host) (cpu))"))
+  }
+
   test("parser: subqueries [w:step] and infix atan2") {
     assert(PromQLParser.parse("max_over_time(sum by (host) (cpu)[1d:1h])") ==
       RangeSubquery(RangeF.MaxOverTime,
