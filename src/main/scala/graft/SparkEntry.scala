@@ -2037,6 +2037,31 @@ object SparkEntry {
           (col("id") === col("cluster_id")).as("is_keeper"))
     }),
 
+    // Content-defined chunking: every (doc, chunk) with its content md5 —
+    // boundary positions fall where the 16-char window hash is 0 mod 32,
+    // so the oracle's formula replay must agree on every cut AND every
+    // chunk digest (any off-by-one in the window or segment arithmetic
+    // value-mismatches).
+    "d14_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_md5"),
+          col("chunk_len"))),
+
+    // Chunk-level dedup statistics over the CDC stream — the backup-store /
+    // corpus-boilerplate measure: how many chunk occurrences collapse when
+    // identical content is stored once (dedup ratio in chunks and bytes).
+    "d15_cdc_dedup" -> ((s, dir) => {
+      val perContent = Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).as("cnt"), max("chunk_len").as("len"))
+      perContent.agg(
+        sum("cnt").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") - 1).as("n_dup"),
+        sum(col("cnt") * col("len")).as("bytes_total"),
+        sum("len").as("bytes_dedup"))
+    }),
+
     // PII redaction. The synthetic corpus carries no PII, so the input is
     // salted deterministically from doc_id (same construction in the oracle)
     // to make every redaction pattern actually fire.
@@ -4197,6 +4222,58 @@ object SparkEntry {
         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |  GROUP BY token)
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // CDC replay: same cut rule (md5 of the 16-char window, first 2 hex
+    // chars mod 32 == 0, interior cuts only), same segment digests.
+    "d14_cdc_chunks" ->
+      """WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, n,
+        |    CASE WHEN n >= 16 THEN list_filter(generate_series(16, n), i ->
+        |      CAST(concat('0x', substr(md5(substr(text,
+        |        CAST(i - 15 AS INTEGER), 16)), 1, 2)) AS BIGINT) % 32 = 0
+        |      AND i < n)
+        |    ELSE [] END AS cuts
+        |  FROM s),
+        |b AS (SELECT doc_id, text, [0] || cuts || [n] AS bounds FROM c),
+        |k AS (SELECT doc_id, text, bounds,
+        |    unnest(generate_series(1, len(bounds) - 1)) AS idx FROM b)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+        |  md5(substr(text, CAST(bounds[CAST(idx AS INTEGER)] + 1 AS INTEGER),
+        |    CAST(bounds[CAST(idx AS INTEGER) + 1]
+        |      - bounds[CAST(idx AS INTEGER)] AS INTEGER))) AS chunk_md5,
+        |  CAST(bounds[CAST(idx AS INTEGER) + 1]
+        |    - bounds[CAST(idx AS INTEGER)] AS BIGINT) AS chunk_len
+        |FROM k
+        |WHERE bounds[CAST(idx AS INTEGER) + 1] > bounds[CAST(idx AS INTEGER)]""".stripMargin,
+
+    "d15_cdc_dedup" ->
+      """WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, n,
+        |    CASE WHEN n >= 16 THEN list_filter(generate_series(16, n), i ->
+        |      CAST(concat('0x', substr(md5(substr(text,
+        |        CAST(i - 15 AS INTEGER), 16)), 1, 2)) AS BIGINT) % 32 = 0
+        |      AND i < n)
+        |    ELSE [] END AS cuts
+        |  FROM s),
+        |b AS (SELECT doc_id, text, [0] || cuts || [n] AS bounds FROM c),
+        |k AS (SELECT doc_id, text, bounds,
+        |    unnest(generate_series(1, len(bounds) - 1)) AS idx FROM b),
+        |ch AS (SELECT
+        |    md5(substr(text, CAST(bounds[CAST(idx AS INTEGER)] + 1 AS INTEGER),
+        |      CAST(bounds[CAST(idx AS INTEGER) + 1]
+        |        - bounds[CAST(idx AS INTEGER)] AS INTEGER))) AS chunk_md5,
+        |    CAST(bounds[CAST(idx AS INTEGER) + 1]
+        |      - bounds[CAST(idx AS INTEGER)] AS BIGINT) AS chunk_len
+        |  FROM k
+        |  WHERE bounds[CAST(idx AS INTEGER) + 1] > bounds[CAST(idx AS INTEGER)]),
+        |pc AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS cnt,
+        |    max(chunk_len) AS len FROM ch GROUP BY 1)
+        |SELECT sum(cnt) AS n_chunks, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  sum(cnt - 1) AS n_dup, sum(cnt * len) AS bytes_total,
+        |  sum(len) AS bytes_dedup
+        |FROM pc""".stripMargin,
 
     "t13_winnow" ->
       """WITH s AS (SELECT doc_id, replace(lower(text), ' ', '') AS norm

@@ -659,4 +659,48 @@ object Dedup {
         round(col("n_common") /
           (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
   }
+
+  /** Content-defined chunking (CDC — the LBFS/FastCDC shape): a chunk
+    * boundary falls after position i wherever the `window`-char window
+    * ending at i hashes to 0 mod 2^`maskBits` (expected chunk length =
+    * 2^maskBits). Boundaries depend only on CONTENT, so an insertion early
+    * in a document shifts every byte offset yet the chunking re-aligns
+    * within one chunk — fixed-size blocks would re-cut the whole tail.
+    * The (chunk_md5, chunk_len) stream feeds chunk-level dedup: shared
+    * boilerplate dedupes at chunk granularity even between documents that
+    * are nowhere near whole-document duplicates.
+    *
+    * Hashing is md5-per-window (engine-portable, oracle-replayable — a
+    * production deployment swaps in an O(1)-per-byte rolling Rabin hash
+    * that picks the same boundary positions). Pure column expressions,
+    * one output row per chunk; a document shorter than `window` is one
+    * chunk; empty documents emit nothing. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, maskBits: Int = 5): DataFrame = {
+    require(window > 0 && maskBits > 0 && maskBits <= 8,
+      s"bad CDC params window=$window maskBits=$maskBits (2 hex chars = 8 bits)")
+    val mask = 1L << maskBits
+    val txt = col(textCol)
+    val n = length(txt).cast("long")
+    val cuts = when(n >= window,
+      filter(
+        transform(sequence(lit(window.toLong), n), i =>
+          when(
+            conv(substring(md5(txt.substr((i - window + 1).cast("int"),
+              lit(window))), 1, 2), 16, 10).cast("long") % mask === 0 &&
+            i < n, i)),
+        c => c.isNotNull)).otherwise(array().cast("array<bigint>"))
+    val bounds = concat(array(lit(0L)), cuts, array(n))
+    df.select(col(idCol).as("id"), txt.as("__t__"), bounds.as("__b__"))
+      .select(col("id"), col("__t__"),
+        explode(transform(sequence(lit(1), size(col("__b__")) - 1), k =>
+          struct(k.cast("long").as("idx"),
+            element_at(col("__b__"), k).as("s"),
+            element_at(col("__b__"), (k + 1).cast("int")).as("e")))).as("c"))
+      .filter(col("c.e") > col("c.s"))
+      .select(col("id"), col("c.idx").as("chunk_idx"),
+        md5(col("__t__").substr((col("c.s") + 1).cast("int"),
+          (col("c.e") - col("c.s")).cast("int"))).as("chunk_md5"),
+        (col("c.e") - col("c.s")).as("chunk_len"))
+  }
 }

@@ -813,6 +813,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunking: chunks reassemble losslessly, boundaries re-align " +
+      "after an insertion, short/empty docs degrade correctly") {
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 40).map(i => s"sentence number $i with some words.")
+      .mkString(" ")
+    val docs = Seq((1L, base), (2L, "PREFIX INSERTED 123 " + base),
+      (3L, "tiny"), (4L, "")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // lossless: per-doc chunk lengths sum to the text length, indexes dense
+    val byDoc = ch.groupBy(_._1)
+    assert(byDoc(1L).map(_._4).sum == base.length)
+    assert(byDoc(1L).map(_._2).sorted.toSeq == (1L to byDoc(1L).length))
+    assert(byDoc(1L).length > 3, s"expected several chunks, got ${byDoc(1L).length}")
+    // content-defined: after a prefix insertion the tail chunks re-align —
+    // the two docs share most chunk digests (fixed-size blocks would share none)
+    val h1 = byDoc(1L).map(_._3).toSet
+    val h2 = byDoc(2L).map(_._3).toSet
+    assert((h1 intersect h2).size >= h1.size - 2,
+      s"CDC should re-align: shared ${(h1 intersect h2).size} of ${h1.size}")
+    // shorter than the window: one whole-document chunk; empty: no rows
+    assert(byDoc(3L).toSeq == Seq((3L, 1L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("tiny"), 4L)))
+    assert(!byDoc.contains(4L))
+  }
+
   test("decoders survive truncated and corrupt payloads without throwing") {
     // every JVM decoder must degrade (zeros / empty), never crash: at
     // corpus scale torn payloads are routine
