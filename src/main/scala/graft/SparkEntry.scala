@@ -2235,6 +2235,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
 
+    // Multimodal: REAL JPEG metadata decode — a marker-segment walk (BE
+    // segment lengths, standalone markers, FF padding) to SOF0, never a
+    // fixed offset (the fixture varies its DQT stub length by id so a
+    // hardcoded-offset "parser" value-mismatches). Third image container
+    // beside BMP (mm2) and PNG (mm3).
+    "mm11_jpeg_meta" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.toMedia(
+        graft.pipeline.Multimodal.withSyntheticJpegs(
+          t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", "image/jpeg")
+      graft.pipeline.Multimodal.jpegMeta(media, targetPartitions = 8)
+        .select(col("media_id"), col("w").cast("long").as("w"),
+          col("h").cast("long").as("h"),
+          col("components").cast("long").as("components"),
+          col("progressive"))
+    }),
+
     // Composite incremental-update dedup: a NEW batch dedupes against the
     // EXISTING corpus (the recurring production job) — Bloom pre-filter
     // built from the corpus (broadcast-sized words, no false negatives:
@@ -4510,6 +4527,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(min(mean), 6) AS min_mean, round(max(mean), 6) AS max_mean
         |FROM m GROUP BY 1, 2""".stripMargin,
+
+    // SOF0 dims by formula — the engine must find them through the real
+    // marker walk (segment lengths vary per id).
+    "mm11_jpeg_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((2 + doc_id % 4) * 4 AS BIGINT) AS w,
+        |  CAST(4 + doc_id % 8 AS BIGINT) AS h,
+        |  CAST(3 AS BIGINT) AS components,
+        |  false AS progressive
+        |FROM documents""".stripMargin,
 
     // Header fields by formula; the engine must parse them back out of the
     // container bytes (BMP little-endian vs PNG big-endian dims).

@@ -405,6 +405,114 @@ object Multimodal {
     buf.array()
   }
 
+  // ------------------------------------------------------------------
+  // JPEG: real marker-segment walk (the third image container)
+  // ------------------------------------------------------------------
+
+  /** A structurally valid baseline JPEG: SOI, APP0/JFIF, a DQT stub, SOF0
+    * with the synthetic dims, a DHT stub, SOS + a few entropy bytes, EOI.
+    * Scan data is deliberately fake — like [[syntheticAvi]], the HEADER is
+    * what a metadata pipeline reads; pixel decode is an external-codec
+    * concern for this container. Segment lengths vary with id (the DQT
+    * stub pads by id%7) so a fixed-offset "parser" cannot pass the tests —
+    * only a real marker walk finds SOF0. */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xFF); out.write(marker)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+      out.write(body, 0, body.length)
+    }
+    out.write(0xFF); out.write(0xD8)                       // SOI
+    m(0xE0, ("JFIF" + "\u0000").getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0))              // APP0/JFIF 1.2
+    m(0xFE, new Array[Byte](5 + (id % 7).toInt))           // COM (varied len)
+    m(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(1))     // DQT table 0
+    m(0xC0, Array[Byte](8,                                 // SOF0: precision
+      ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,         // height BE
+      ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,         // width BE
+      3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))              // 3 components, Q0
+    def dht(cls: Int): Array[Byte] =                       // one 1-bit code
+      Array[Byte]((cls << 4).toByte) ++
+        Array.tabulate[Byte](16)(i => if (i == 0) 1 else 0) ++ Array[Byte](0)
+    m(0xC4, dht(0))                                        // DC table 0
+    m(0xC4, dht(1))                                        // AC table 0
+    m(0xDA, Array[Byte](3, 1, 0, 2, 0, 3, 0, 0, 63, 0))    // SOS (tables 0)
+    (0 until 16).foreach(k => out.write(synthByte(id, k) & 0x7F)) // entropy
+    out.write(0xFF); out.write(0xD9)                       // EOI
+    out.toByteArray
+  }
+
+  private val jpegUdf = udf((id: Long) => syntheticJpeg(id))
+
+  /** Attach a synthetic JPEG payload per row (the mm11 fixture). */
+  def withSyntheticJpegs(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload", jpegUdf(col(idCol).cast("long")))
+
+  /** REAL JPEG metadata decode: walk the marker segments from SOI until a
+    * start-of-frame (SOF0/1/2 — baseline, extended sequential,
+    * progressive) and read (width, height, components, progressive) out of
+    * its payload. Offsets are NOT fixed: every segment's big-endian length
+    * is parsed and skipped, standalone markers (RST, TEM) and padding FFs
+    * are handled, and the walk stops at SOS (entropy data may contain any
+    * byte). Returns (0, 0, 0, false) for non-JPEG / torn payloads. */
+  def decodeJpegMeta(payload: Array[Byte]): (Int, Int, Int, Boolean) = {
+    val none = (0, 0, 0, false)
+    if (payload.length < 4 || u(payload(0)) != 0xFF || u(payload(1)) != 0xD8)
+      return none
+    var off = 2
+    while (off + 4 <= payload.length) {
+      if (u(payload(off)) != 0xFF) return none
+      var marker = u(payload(off + 1))
+      // padding: any number of FF fill bytes may precede a marker
+      while (marker == 0xFF && off + 2 < payload.length) {
+        off += 1; marker = u(payload(off + 1))
+      }
+      if (marker == 0xD8 || marker == 0x01 ||
+          (marker >= 0xD0 && marker <= 0xD7)) {
+        off += 2 // standalone markers carry no length
+      } else if (marker == 0xD9 || marker == 0xDA) {
+        return none // EOI / SOS before any SOF: no dims to report
+      } else {
+        val len = (u(payload(off + 2)) << 8) | u(payload(off + 3))
+        if (len < 2 || off + 2 + len > payload.length) return none
+        if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+          if (len < 8) return none
+          val p = off + 4
+          val h = (u(payload(p + 1)) << 8) | u(payload(p + 2))
+          val w = (u(payload(p + 3)) << 8) | u(payload(p + 4))
+          return (w, h, u(payload(p + 5)), marker == 0xC2)
+        }
+        off += 2 + len
+      }
+    }
+    none
+  }
+
+  /** JPEG metadata pass: (media_id, w, h, components, progressive) per
+    * payload — the [[extractFeatures]] batch shape over
+    * [[decodeJpegMeta]]. */
+  def jpegMeta(media: DataFrame, targetPartitions: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType),
+      StructField("components", IntegerType),
+      StructField("progressive", BooleanType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media
+      .repartition(targetPartitions, col("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(r.fieldIndex("media_id"))
+          val (w, h, c, prog) = decodeJpegMeta(r.getAs[Array[Byte]]("payload"))
+          Row(id, w, h, c, prog)
+        }
+      }(enc)
+  }
+
   /** Walk the AVI `movi` list and emit every `every`-th video frame chunk
     * (`00dc`/`00db`) as (frame_idx, data offset, size) — the frame-SAMPLE
     * pass of a video pipeline: downstream decode touches only the sampled

@@ -839,12 +839,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(!byDoc.contains(4L))
   }
 
+  test("JPEG: marker walk finds SOF dims with varied segment lengths; " +
+      "javax.imageio agrees; progressive flag; padding FFs; torn files") {
+    for (id <- 0L to 31L) {
+      val jp = Multimodal.syntheticJpeg(id)
+      val (w, h) = Multimodal.synthDims(id)
+      assert(Multimodal.decodeJpegMeta(jp) == ((w, h, 3, false)), s"id=$id")
+      // an independent parser must read the same header
+      val rs = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(jp))
+      val readers = javax.imageio.ImageIO.getImageReaders(rs)
+      assert(readers.hasNext, s"imageio does not recognize id=$id")
+      val rd = readers.next()
+      rd.setInput(rs)
+      assert(rd.getWidth(0) == w && rd.getHeight(0) == h, s"id=$id imageio")
+      rd.dispose(); rs.close()
+    }
+    // SOF2 reports progressive; padding FF fill bytes before markers parse
+    val base = Multimodal.syntheticJpeg(5L)
+    val sofAt = {
+      var i = 2
+      while (!(base(i) == 0xFF.toByte && base(i + 1) == 0xC0.toByte)) i += 1
+      i
+    }
+    val prog = base.clone(); prog(sofAt + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpegMeta(prog)._4)
+    val padded = base.take(2) ++ Array(0xFF.toByte) ++ base.drop(2)
+    assert(Multimodal.decodeJpegMeta(padded) ==
+      Multimodal.decodeJpegMeta(base))
+    // non-JPEG and torn payloads degrade to zeros
+    assert(Multimodal.decodeJpegMeta(Array[Byte](1, 2, 3)) == ((0, 0, 0, false)))
+    for (cut <- Seq(0, 1, 3, 9, 21, 29))
+      Multimodal.decodeJpegMeta(base.take(cut)) // must return, not throw
+  }
+
   test("decoders survive truncated and corrupt payloads without throwing") {
     // every JVM decoder must degrade (zeros / empty), never crash: at
     // corpus scale torn payloads are routine
     val samples = Seq(
       Multimodal.syntheticBmp(3L), Multimodal.syntheticWav(3L),
-      Multimodal.syntheticAviFrames(3L), Multimodal.syntheticPng(3L))
+      Multimodal.syntheticAviFrames(3L), Multimodal.syntheticPng(3L),
+      Multimodal.syntheticJpeg(3L))
     for (full <- samples; cut <- Seq(0, 1, 7, 11, 13, 23, 53, 99)) {
       val p = full.take(math.min(cut, full.length))
       Multimodal.decodeFeatures(p)
@@ -853,6 +888,7 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.sampleFrames(p, 2)
       Multimodal.resizeBmp(p)
       Multimodal.dHashBmp(p)
+      Multimodal.decodeJpegMeta(p)
     }
     // flipped size fields must not walk out of bounds
     val avi = Multimodal.syntheticAviFrames(5L)
