@@ -374,6 +374,14 @@ object SparkEntry {
   private def sinkName(prefix: String): String =
     s"${prefix}_${sinkSeq.incrementAndGet()}"
 
+  /** The CDC boundary polynomial as oracle SQL terms — the SAME constants
+    * the engine expression uses (Dedup.cdcPows), so a drifted base/modulus
+    * shows up as a value mismatch, never a silent fork. */
+  private lazy val cdcTermsSql: String =
+    graft.pipeline.Dedup.cdcPows(16).zipWithIndex.map { case (p, j) =>
+      s"codes[CAST(i - ${15 - j} AS INTEGER)] * $p"
+    }.mkString(" + ")
+
   /** The events table bound to PromQL's data model: metric = event_type,
     * one label `uid` = user_id, ms timestamps, (ts, event_id) series order
     * for deterministic reset-aware rates (same tiebreak as rate1). */
@@ -4240,18 +4248,22 @@ object SparkEntry {
         |  GROUP BY token)
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
-    // CDC replay: same cut rule (md5 of the 16-char window, first 2 hex
-    // chars mod 32 == 0, interior cuts only), same segment digests.
+    // CDC replay: same polynomial cut rule (Σ code·31^j mod 1e9+7, mod 32
+    // == 0, interior cuts only — constants shared via Dedup.cdcPows), same
+    // per-chunk md5 digests.
     "d14_cdc_chunks" ->
-      """WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      s"""WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
         |  FROM documents),
+        |c0 AS (SELECT doc_id, text, n,
+        |    list_transform(range(1, n + 1), p ->
+        |      CAST(ascii(substr(text, CAST(p AS INTEGER), 1)) AS BIGINT))
+        |      AS codes
+        |  FROM s),
         |c AS (SELECT doc_id, text, n,
         |    CASE WHEN n >= 16 THEN list_filter(generate_series(16, n), i ->
-        |      CAST(concat('0x', substr(md5(substr(text,
-        |        CAST(i - 15 AS INTEGER), 16)), 1, 2)) AS BIGINT) % 32 = 0
-        |      AND i < n)
+        |      (($cdcTermsSql) % 1000000007) % 32 = 0 AND i < n)
         |    ELSE [] END AS cuts
-        |  FROM s),
+        |  FROM c0),
         |b AS (SELECT doc_id, text, [0] || cuts || [n] AS bounds FROM c),
         |k AS (SELECT doc_id, text, bounds,
         |    unnest(generate_series(1, len(bounds) - 1)) AS idx FROM b)
@@ -4265,15 +4277,18 @@ object SparkEntry {
         |WHERE bounds[CAST(idx AS INTEGER) + 1] > bounds[CAST(idx AS INTEGER)]""".stripMargin,
 
     "d15_cdc_dedup" ->
-      """WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      s"""WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
         |  FROM documents),
+        |c0 AS (SELECT doc_id, text, n,
+        |    list_transform(range(1, n + 1), p ->
+        |      CAST(ascii(substr(text, CAST(p AS INTEGER), 1)) AS BIGINT))
+        |      AS codes
+        |  FROM s),
         |c AS (SELECT doc_id, text, n,
         |    CASE WHEN n >= 16 THEN list_filter(generate_series(16, n), i ->
-        |      CAST(concat('0x', substr(md5(substr(text,
-        |        CAST(i - 15 AS INTEGER), 16)), 1, 2)) AS BIGINT) % 32 = 0
-        |      AND i < n)
+        |      (($cdcTermsSql) % 1000000007) % 32 = 0 AND i < n)
         |    ELSE [] END AS cuts
-        |  FROM s),
+        |  FROM c0),
         |b AS (SELECT doc_id, text, [0] || cuts || [n] AS bounds FROM c),
         |k AS (SELECT doc_id, text, bounds,
         |    unnest(generate_series(1, len(bounds) - 1)) AS idx FROM b),

