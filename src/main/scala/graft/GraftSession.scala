@@ -23,10 +23,14 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // The engine's query surface spans ~50 distinct plan shapes; the
+      // The engine's query surface spans 170+ distinct plan shapes, many
+      // with huge generated methods (md5 chains, shingle HOFs); the
       // default 100-entry codegen class cache thrashes across them and
-      // re-janino-compiles hot stages (JVM-wide, set before first use).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // re-janino-compiles hot stages INSIDE timed runs (r7: t14 swung
+      // 1.1 s → 6 s across full-sequence runs purely on eviction order).
+      // 8000 entries holds the whole surface (JVM-wide, set before first
+      // use; metaspace cost is a few hundred MB against a 128 GiB heap).
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
