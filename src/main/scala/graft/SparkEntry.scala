@@ -2260,6 +2260,32 @@ object SparkEntry {
           col("progressive"))
     }),
 
+    // Composite image-dedup DAG: real pixel decode → perceptual dHash →
+    // banded-hamming LSH pairs → connected components → keeper decision
+    // (the c2/c3 DAG shape with a pixel-derived blocking signature). The
+    // fixture corpus is bounded to 1024 docs: the synthetic image space is
+    // deliberately low-entropy (dims/stream repeat mod 8), so past that
+    // the dist<=7 graph degenerates into "everything resembles everything"
+    // — dense components, not a dedup signal. Even bounded, hash balls
+    // CHAIN (A~B, B~C at dist 7 with A,C unlinked): components reach ~512
+    // nodes with double-digit diameters, so the 3-pass bounded closure in
+    // front of CC is what keeps the round count (driver-looped locally)
+    // sane — measured 9.5 s (no closure) -> 4.8 s at sf0.1; the residue is CC round latency, a local[32] artifact (SCALE.md).
+    "c7_image_dedup" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.toMedia(
+        graft.pipeline.Multimodal.withSyntheticNearDupImages(
+          t(s, dir, "documents").filter(col("doc_id") < 1024), "doc_id"),
+        "doc_id", "payload", "application/octet-stream")
+      val sig = graft.pipeline.Multimodal.dHashImages(media, targetPartitions = 8)
+      val pairs = Dedup.hammingPairs64(sig, "media_id", "dhash",
+          maxDist = 7, bands = 8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateClusters(
+          Dedup.boundedTwoHopClosure(pairs, passes = 3, maxDegree = 64))
+        .select(col("id").as("media_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_keeper"))
+    }),
+
     // Composite incremental-update dedup: a NEW batch dedupes against the
     // EXISTING corpus (the recurring production job) — Bloom pre-filter
     // built from the corpus (broadcast-sized words, no false negatives:
@@ -4609,6 +4635,42 @@ object SparkEntry {
         |      bit_count(xor(a.bands[i + 1], b.bands[i + 1])))) AS BIGINT) AS dist
         |  FROM hs a, hs b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, dist FROM p WHERE dist <= 7""".stripMargin,
+
+    // mm10's formula-replayed hamming pairs fed into d6's recursive
+    // min-label reachability — keeper = the component's smallest id.
+    "c7_image_dedup" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id // 2 AS base,
+        |    (doc_id % 2) * 4 AS delta,
+        |    (2 + (doc_id // 2) % 4) * 4 AS w,
+        |    4 + ((doc_id // 2) % 8) AS h
+        |  FROM documents WHERE doc_id < 1024),
+        |hs AS (SELECT doc_id, list_transform(range(0, 8), r ->
+        |    list_sum(list_transform(range(0, 8), c ->
+        |      CASE WHEN
+        |        ((base*31 + (3*(((r*h)//8)*w + ((c*w)//9)) + 0)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + ((c*w)//9)) + 1)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + ((c*w)//9)) + 2)*7 + delta) % 256)
+        |      <
+        |        ((base*31 + (3*(((r*h)//8)*w + (((c+1)*w)//9)) + 0)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + (((c+1)*w)//9)) + 1)*7 + delta) % 256)
+        |      + ((base*31 + (3*(((r*h)//8)*w + (((c+1)*w)//9)) + 2)*7 + delta) % 256)
+        |      THEN 1 << c ELSE 0 END))) AS bands
+        |  FROM d),
+        |p AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    list_sum(list_transform(range(0, 8), i ->
+        |      bit_count(xor(a.bands[i + 1], b.bands[i + 1])))) AS dist
+        |  FROM hs a, hs b WHERE a.doc_id < b.doc_id)
+        |  WHERE dist <= 7),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src)
+        |SELECT node AS media_id, min(r) AS cluster_id,
+        |  node = min(r) AS is_keeper
+        |FROM reach GROUP BY node""".stripMargin,
 
     "x1_rollup" ->
       """SELECT event_type,
