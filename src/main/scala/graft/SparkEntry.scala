@@ -211,6 +211,9 @@ object SparkEntry {
   private val compactedCache =
     scala.collection.mutable.Map.empty[String, graft.storage.TimeMergeStorage]
 
+  private val bucketCompactedCache =
+    scala.collection.mutable.Map.empty[String, graft.storage.TimeMergeStorage]
+
   /** Two-batch store for st3: batch 1 = the segment's event_id % 3 == 0
     * slice, batch 2 = the rest, written in that order so the second SST
     * carries the strictly larger `__seq__` file id. */
@@ -361,6 +364,53 @@ object SparkEntry {
         // compacted file set.
         require(after.size == 1 && before.size == 7,
           s"compaction did not quiesce 7 -> 1 (before=${before.size}, after=${after.size})")
+        require(before.forall(f => !store.exists(f.path)),
+          "compaction left replaced SST files on disk")
+        store
+      })
+    }
+
+  /** C1–C4 over the 100 TB layout (`writeBucketed`): four bucketed write
+    * generations (3 disjoint slices + a doubled rewrite of slice 0) into
+    * one segment × 4 pk-hash buckets, compacted to quiescence. Compaction
+    * must merge PER BUCKET — the manifest collapses 16 → 4 SSTs with the
+    * bucket set preserved (never one segment-wide file), because a pk
+    * always hashes to the same bucket and a bucket-bounded task is what
+    * stays admissible under the memory gate at scale. */
+  private def bucketCompactedStore(s: SparkSession, dir: String): graft.storage.TimeMergeStorage =
+    bucketCompactedCache.synchronized {
+      bucketCompactedCache.getOrElseUpdate(dir, {
+        import graft.storage._
+        val segMs = 7L * 86400000L
+        val g = TimeRange.truncate(1704844800000L, segMs) // segment of Jan 10
+        val range = TimeRange(g, g + segMs)
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), tsMs.as("tms"), col("user_id"),
+            col("event_type"), col("value"))
+          .filter(col("tms") >= g && col("tms") < g + segMs)
+        val store = new TimeMergeStorage(s,
+          java.nio.file.Files.createTempDirectory("graft-events-bcompact").toString,
+          StorageSchema(org.apache.spark.sql.types.StructType(ev.schema.fields),
+            numPrimaryKeys = 1),
+          segmentMs = segMs, timestampColumn = Some("tms"))
+        val nBuckets = 4
+        (0 until 3).foreach { i =>
+          store.writeBucketed(ev.filter(pmod(col("event_id"), lit(3)) === i),
+            range, nBuckets)
+        }
+        store.writeBucketed(ev.filter(pmod(col("event_id"), lit(3)) === 0)
+          .withColumn("value", col("value") * 2), range, nBuckets)
+        val before = store.manifest.allSsts()
+        require(before.size == nBuckets * 4 && before.forall(_.bucket >= 0),
+          s"bucketed writes produced ${before.size} SSTs (want ${nBuckets * 4})")
+        val compactor = new Compactor(store, CompactionConfig(inputSstMinNum = 2))
+        var rounds = 0
+        while (compactor.runOnce() && rounds < 40) rounds += 1
+        val after = store.manifest.allSsts()
+        require(after.size == nBuckets &&
+          after.map(_.bucket).toSet == before.map(_.bucket).toSet,
+          s"per-bucket compaction did not quiesce ${before.size} -> $nBuckets " +
+            s"with buckets preserved (after=${after.map(_.bucket).sorted})")
         require(before.forall(f => !store.exists(f.path)),
           "compaction left replaced SST files on disk")
         store
@@ -667,16 +717,18 @@ object SparkEntry {
         .withColumn("value", round(col("value"), 6))),
 
     // PromQL sort_by_label_desc (Prometheus 2.49 experimental): ordering
-    // by LABEL values, not sample values. The observed order is stamped as
-    // a rank through one ordered partition, so the oracle grades the
-    // ORDERING itself (its own ORDER BY replay), not just the row set.
+    // by LABEL values, not sample values. The rank is stamped from the
+    // ordering DEFINITION (a Window over the same label/tiebreak keys the
+    // engine sorts by), not from physical row order — order preservation
+    // through coalesce/mono-id is an implementation artifact Spark does not
+    // guarantee. The engine's own sort output order is asserted row-for-row
+    // against this definition in PromQLSpec.
     "p34_promql_sortlabel" -> ((s, dir) =>
       promqlCtx(s, dir)
         .sql("""sort_by_label_desc(sum by (uid) (purchase{uid=~"1[0-9]"}), "uid")""",
           stepMs = Some(86400000L))
-        .coalesce(1)
         .withColumn("rank", row_number().over(
-          Window.orderBy(monotonically_increasing_id())).cast("long"))
+          Window.orderBy(col("uid").desc, col("bucket_ms"))).cast("long"))
         .withColumn("value", round(col("value"), 2))),
 
     // PromQL exact interpolated quantile per day bucket.
@@ -1240,6 +1292,18 @@ object SparkEntry {
     "ct1_compact_scan" -> ((s, dir) => {
       import graft.storage._
       compactedEventsStore(s, dir).scan(ScanRequest())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
+
+    // C1-C4 over the bucketed (100 TB) layout: 16 bucketed SSTs compacted
+    // per (segment, bucket) to exactly one SST per bucket (shape require'd
+    // in the fixture), then a scan — the hash only matches if last-write-
+    // wins survived per-bucket merging and no row crossed buckets.
+    "ct2_bucket_compact" -> ((s, dir) => {
+      import graft.storage._
+      bucketCompactedStore(s, dir).scan(ScanRequest())
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
@@ -2546,6 +2610,18 @@ object SparkEntry {
     "ct1_compact_scan" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(CASE WHEN event_id % 6 = 0 THEN value * 2 ELSE value END), 2) AS sum_v,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
+        |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
+        |GROUP BY event_type""".stripMargin,
+
+    // Raw data with the slice-0 doubling applied in SQL — matches only if
+    // per-bucket compaction preserved last-write-wins in every bucket and
+    // dropped the stale slice.
+    "ct2_bucket_compact" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END), 2) AS sum_v,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events
         |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
@@ -4328,9 +4404,11 @@ object SparkEntry {
         |  WHERE bounds[CAST(idx AS INTEGER) + 1] > bounds[CAST(idx AS INTEGER)]),
         |pc AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS cnt,
         |    max(chunk_len) AS len FROM ch GROUP BY 1)
-        |SELECT sum(cnt) AS n_chunks, CAST(count(*) AS BIGINT) AS n_distinct,
-        |  sum(cnt - 1) AS n_dup, sum(cnt * len) AS bytes_total,
-        |  sum(len) AS bytes_dedup
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(cnt - 1) AS BIGINT) AS n_dup,
+        |  CAST(sum(cnt * len) AS BIGINT) AS bytes_total,
+        |  CAST(sum(len) AS BIGINT) AS bytes_dedup
         |FROM pc""".stripMargin,
 
     "t13_winnow" ->

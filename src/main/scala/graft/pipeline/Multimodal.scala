@@ -476,6 +476,10 @@ object Multimodal {
       } else if (marker == 0xD9 || marker == 0xDA) {
         return none // EOI / SOS before any SOF: no dims to report
       } else {
+        // The FF-padding loop above may have advanced `off`; re-validate the
+        // 4-byte bound before reading the segment length or a torn payload
+        // ending in fill bytes (e.g. FF D8 FF FF FF E0) reads past the end.
+        if (off + 4 > payload.length) return none
         val len = (u(payload(off + 2)) << 8) | u(payload(off + 3))
         if (len < 2 || off + 2 + len > payload.length) return none
         if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {

@@ -227,10 +227,16 @@ object Sharding {
     * draws a seeded md5-uniform u ∈ (0,1) and the k smallest exponential
     * keys `-ln(u)/w` are EXACTLY a weight-proportional sample without
     * replacement — the one-pass, collusion-free way to take "10k docs,
-    * length-weighted" from a corpus. Deterministic and rerun-stable: same
-    * seed ⇒ same sample on any engine (u is md5-derived, 52 bits); a new
-    * seed is a fresh draw. Non-positive weights are excluded (their key
-    * would be undefined — matching the paper's w > 0 domain).
+    * length-weighted" from a corpus. Deterministic and rerun-stable on the
+    * SAME engine: u is bit-identical md5-derived (52 bits), so same seed ⇒
+    * same sample across reruns, partitionings, and cluster sizes. Caveat
+    * for cross-ENGINE replay: the key `-ln(u)/w` goes through the
+    * platform's log, which is only correctly-rounded to ~1 ulp (JVM
+    * Math.log vs libm may differ in the last bit), so two engines can in
+    * principle disagree on rank exactly at the k-th boundary; the (key,
+    * id) tiebreak bounds the blast radius to boundary ties. A new seed is
+    * a fresh draw. Non-positive weights are excluded (their key would be
+    * undefined — matching the paper's w > 0 domain).
     *
     * Scale shape: the key is a pure codegen'd column expression and the
     * k-smallest is a TakeOrderedAndProject (per-partition heads + one

@@ -1,0 +1,164 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicBoolean
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.metric.MetricEngine
+import graft.storage.{CompactionConfig, Compactor, TimeRange}
+import graft.streaming.MetricStreamIngest
+
+/** The serving edge of the engine — the Spark-side analog of the reference's
+  * actix HTTP server (reference src/server/src/main.rs:58-80, 151-168):
+  *
+  *  - `GET  /`            → liveness ("Hello world!", main.rs:59-62)
+  *  - `GET  /toggle`      → flip the ingest gate; responds "Stop!" /
+  *                          "Start write again!" (main.rs:64-73 — there it
+  *                          gates the built-in bench writer; here the same
+  *                          flag gates the HTTP write path, the one writer
+  *                          this server owns)
+  *  - `GET  /compact`     → submit one compaction task asynchronously;
+  *                          responds "Task submit!" (main.rs:75-81 — fire
+  *                          and forget, errors are logged not returned)
+  *  - `POST /api/v1/write`→ Prometheus remote-write receive: snappy-framed
+  *                          or raw protobuf body → decode → engine ingest
+  *                          (the network face of the T1–T4 chain the
+  *                          in-process [[MetricStreamIngest]] drives); 204
+  *                          on success per the remote-write 1.0 spec, 503
+  *                          while toggled off, 400 on an undecodable body
+  *  - `GET  /query?promql=…[&start=…&end=…&step=…]` → evaluate PromQL over
+  *          the engine ([[MetricEngine.queryPromQL]]) and return the rows
+  *          as a JSON array (beyond the reference, whose query path never
+  *          landed on main — SURVEY §2; the RFC's PromQL-shaped surface is
+  *          what this serves)
+  *
+  * Built on the JDK's `com.sun.net.httpserver` (no new dependencies), 4
+  * worker threads like the reference (`.workers(4)`, main.rs:160). Writes
+  * serialize through one lock — the engine's manifest is single-writer by
+  * design (Manifest Scaladoc); queries run unlocked and scale with the
+  * Spark session underneath. `port = 0` binds an ephemeral port (tests);
+  * [[boundPort]] reports the actual one.
+  */
+final class HttpFrontend(
+    spark: SparkSession,
+    engine: MetricEngine,
+    port: Int = 0,
+    compaction: CompactionConfig = CompactionConfig()) {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[HttpFrontend])
+  private val keepWriting = new AtomicBoolean(true)
+  private val compactor = new Compactor(engine.data, compaction)
+  // fire-and-forget compaction submissions, one at a time (the Compactor
+  // itself also bounds in-flight tasks via its semaphore)
+  private val compactPool = Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-http-compact"); t.setDaemon(true); t
+  })
+  private val ingestLock = new Object
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4, r => {
+    val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+  }))
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "text/plain; charset=utf-8"): Unit = {
+    try {
+      val bytes = body.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+      if (bytes.nonEmpty) {
+        val os = ex.getResponseBody
+        os.write(bytes)
+        os.close()
+      }
+    } finally ex.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split('&').toSeq).getOrElse(Nil)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+
+  server.createContext("/", (ex: HttpExchange) =>
+    if (ex.getRequestURI.getPath == "/") respond(ex, 200, "Hello world!")
+    else respond(ex, 404, "not found"))
+
+  server.createContext("/toggle", (ex: HttpExchange) => {
+    // fetch_not semantics (main.rs:65-72): report the PREVIOUS state
+    val prev = keepWriting.getAndSet(!keepWriting.get())
+    respond(ex, 200, if (prev) "Stop!" else "Start write again!")
+  })
+
+  server.createContext("/compact", (ex: HttpExchange) => {
+    compactPool.submit(new Runnable {
+      def run(): Unit =
+        try compactor.runOnce()
+        catch { case scala.util.control.NonFatal(e) =>
+          log.warn("compact failed", e) } // main.rs:77-79 prints, not returns
+    })
+    respond(ex, 200, "Task submit!")
+  })
+
+  server.createContext("/api/v1/write", (ex: HttpExchange) => {
+    val body =
+      try ex.getRequestBody.readAllBytes()
+      catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+    if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only")
+    else if (!keepWriting.get()) respond(ex, 503, "ingest toggled off")
+    else {
+      val samples =
+        try graft.streaming.RemoteWrite.decode(body)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      if (samples.isEmpty) respond(ex, 400, "no samples decoded")
+      else
+        try {
+          ingestLock.synchronized {
+            MetricStreamIngest.ingestBatch(engine, spark, Seq(body))
+          }
+          respond(ex, 204, "")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn("remote-write ingest failed", e)
+            respond(ex, 500, s"ingest failed: ${e.getMessage}")
+        }
+    }
+  })
+
+  server.createContext("/query", (ex: HttpExchange) => {
+    val p = queryParams(ex)
+    p.get("promql") match {
+      case None => respond(ex, 400, "missing promql parameter")
+      case Some(expr) =>
+        try {
+          val range = TimeRange(
+            p.get("start").map(_.toLong).getOrElse(Long.MinValue),
+            p.get("end").map(_.toLong).getOrElse(Long.MaxValue))
+          val step = p.get("step").map(_.toLong)
+          val rows = engine.queryPromQL(expr, range, step)
+            .toJSON.collect().mkString("[", ",", "]")
+          respond(ex, 200, rows, contentType = "application/json")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            respond(ex, 400, s"query failed: ${e.getMessage}")
+        }
+    }
+  })
+
+  def start(): Int = { server.start(); boundPort }
+  def boundPort: Int = server.getAddress.getPort
+  def ingestEnabled: Boolean = keepWriting.get()
+
+  def stop(): Unit = {
+    server.stop(0)
+    compactPool.shutdown()
+  }
+}

@@ -33,9 +33,17 @@ final class Picker(cfg: CompactionConfig, segmentMs: Long,
     // two concurrent tasks must never race on the same physical deletes.
     val expired = expiredAll.filterNot(_.compacting)
     val candidates = live.filterNot(_.compacting)
-    val bySegment = candidates.groupBy(f => TimeRange.truncate(f.timeRange.start, segmentMs))
+    // Group by (segment, bucket): a pk always hashes to the same bucket
+    // (writeBucketed), so merging within one bucket is complete — and one
+    // task's input stays bounded by a bucket, not a whole segment, which
+    // is what keeps compaction admissible under the memory gate at 100 TB.
+    // Unbucketed files (bucket = -1) form their own per-segment group, the
+    // reference's original shape (picker.rs:62-189).
+    val bySegment = candidates.groupBy(f =>
+      (TimeRange.truncate(f.timeRange.start, segmentMs), f.bucket))
     val budget = (cfg.newSstMaxSize * cfg.sizeHeadroom).toLong
-    val inputs = bySegment.toSeq.sortBy(-_._1).iterator.map { case (_, segFiles) =>
+    val inputs = bySegment.toSeq.sortBy { case ((seg, b), _) => (-seg, b) }
+      .iterator.map { case (_, segFiles) =>
       updateMode match {
         case UpdateMode.Overwrite =>
           // size-ascending greedy (reference heuristic, picker.rs:165-180);
@@ -159,9 +167,16 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
           sfs.stampSortingColumns(dest,
             storage.schema.primaryKeys.indices.map(i => (i, false, true)))
           sfs.delete(tmp, recursive = true)
+          // all inputs share one bucket by construction (the picker groups
+          // by it); the merged SST stays in that bucket
+          val bucket = task.inputs.map(_.bucket).distinct match {
+            case Seq(b) => b
+            case _ => -1
+          }
           Seq(SstFile(id, dest.toString, rows, sfs.size(dest), range,
             stats = sfs.parquetColumnStats(dest,
-              (storage.schema.primaryKeys ++ storage.timestampColumn).distinct)))
+              (storage.schema.primaryKeys ++ storage.timestampColumn).distinct),
+            bucket = bucket))
         } else Nil
 
       val deletes = task.inputs ++ task.expired

@@ -33,7 +33,14 @@ final case class SstFile(
       * Boolean, lifted from the parquet footer at write time and consulted
       * by [[ZoneMaps]] for file-level pruning. Empty on legacy manifest
       * lines and for columns without usable footer statistics. */
-    stats: Map[String, (Any, Any)] = Map.empty) {
+    stats: Map[String, (Any, Any)] = Map.empty,
+    /** Pk-hash bucket this file belongs to
+      * ([[TimeMergeStorage.writeBucketed]]'s partition index), or -1 for
+      * unbucketed files. A pk always hashes to the same bucket, so
+      * per-(segment, bucket) compaction is complete — no cross-bucket
+      * merge is ever needed, which keeps one compaction task's input
+      * bounded by a bucket, not a segment, at 100 TB. */
+    bucket: Int = -1) {
   /** File is entirely expired under `ttlMs` as of `nowMs` (sst.rs:109-114). */
   def isExpired(nowMs: Long, ttlMs: Option[Long]): Boolean =
     ttlMs.exists(ttl => timeRange.end < nowMs - ttl)
@@ -97,6 +104,30 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
       .filter(p => p.getName.startsWith("snapshot-") && p.getName.endsWith(".jsonl"))
       .sortBy(p => seqOf(p, "snapshot-"))
 
+  private def schemaSeqOf(p: HPath): Long =
+    p.getName.stripPrefix("schema-").stripSuffix(".json").toLong
+
+  private def listSchemaFiles(): Seq[HPath] =
+    sfs.list(dir)
+      .filter(p => p.getName.startsWith("schema-") && p.getName.endsWith(".json"))
+      .sortBy(schemaSeqOf)
+
+  /** Newest persisted table-schema descriptor (see
+    * [[StorageSchema.toJson]]), or None on a pre-schema-aware (legacy)
+    * root. The storage constructor uses this to REJECT an incompatible
+    * reopen instead of silently reading old SSTs as null/corrupt data. */
+  def storedSchemaJson: Option[String] = synchronized {
+    listSchemaFiles().lastOption.map(p => sfs.readLines(p).mkString("\n"))
+  }
+
+  /** Persist a (new or evolved) schema descriptor — write-once under a
+    * fresh sequence-numbered name, same crash-safety scheme as deltas;
+    * older descriptors are swept by [[mergeSnapshot]]. */
+  def writeSchemaJson(json: String): Unit = synchronized {
+    val next = listSchemaFiles().lastOption.map(schemaSeqOf).getOrElse(0L) + 1
+    sfs.writeLines(dir.suffix(f"/schema-$next%020d.json"), Seq(json))
+  }
+
   // JSON string escape/unescape for the path field: SST paths are engine-
   // generated today, but a root directory containing a quote (legal on every
   // POSIX filesystem) would otherwise corrupt the line — both the quoted
@@ -141,12 +172,17 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
       else f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s""""${esc(c)}":[${fmtStat(mn)},${fmtStat(mx)}]"""
       }.mkString(""","stats":{""", ",", "}")
-    s"""{"op":"$op","id":${f.id},"path":"${esc(f.path)}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}$stats}"""
+    val bucket = if (f.bucket >= 0) s""","bucket":${f.bucket}""" else ""
+    s"""{"op":"$op","id":${f.id},"path":"${esc(f.path)}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}$bucket$stats}"""
   }
 
   private def parse(line: String): (String, SstFile) = {
     def num(k: String): Long = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line)
       .getOrElse(sys.error(s"bad manifest line: $line")).group(1).toLong
+    // optional field: absent on legacy lines and unbucketed files
+    def numOpt(k: String, dflt: Long): Long =
+      (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line)
+        .map(_.group(1).toLong).getOrElse(dflt)
     // Scan to the first UNESCAPED closing quote (the old `[^"]*` regex
     // stopped at an escaped one).
     def str(k: String): String = {
@@ -164,7 +200,7 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     }
     (str("op"), SstFile(num("id"), str("path"), num("numRows"),
       num("sizeBytes"), TimeRange(num("start"), num("end")),
-      stats = parseStats(line)))
+      stats = parseStats(line), bucket = numOpt("bucket", -1L).toInt))
   }
 
   /** Parse the optional `"stats":{...}` object — a hand-rolled scanner like
@@ -312,6 +348,7 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
       .foreach(p => sfs.delete(p))
     val legacy = sfs.path("manifest", "snapshot.jsonl")
     if (snapshotSeq > 0 && sfs.exists(legacy)) sfs.delete(legacy)
+    listSchemaFiles().dropRight(1).foreach(p => sfs.delete(p))
     deltaCount = 0
   }
 }

@@ -79,4 +79,32 @@ object StorageSchema {
   val SeqCol = "__seq__"
   val ReservedCol = "__reserved__"
   val Builtins: Seq[String] = Seq(SeqCol, ReservedCol)
+
+  /** One-line JSON for manifest persistence ([[Manifest.writeSchemaJson]]):
+    * the scalar fields first, the Spark `StructType.json` payload LAST so
+    * [[fromJson]] can slice it without parsing nested JSON. */
+  def toJson(s: StorageSchema): String = {
+    val mode = s.updateMode match {
+      case UpdateMode.Overwrite => "overwrite"
+      case UpdateMode.Append => "append"
+    }
+    s"""{"numPrimaryKeys":${s.numPrimaryKeys},"updateMode":"$mode","userSchema":${s.userSchema.json}}"""
+  }
+
+  def fromJson(json: String): StorageSchema = {
+    val npk = """"numPrimaryKeys":(\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"bad schema json: $json")).group(1).toInt
+    val mode = """"updateMode":"(\w+)"""".r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"bad schema json: $json")).group(1) match {
+      case "append" => UpdateMode.Append
+      case "overwrite" => UpdateMode.Overwrite
+      case o => sys.error(s"unknown updateMode: $o")
+    }
+    val key = """"userSchema":"""
+    val i = json.indexOf(key)
+    require(i >= 0 && json.endsWith("}"), s"bad schema json: $json")
+    val st = DataType.fromJson(json.substring(i + key.length, json.length - 1))
+      .asInstanceOf[StructType]
+    StorageSchema(st, npk, mode)
+  }
 }

@@ -83,6 +83,25 @@ final class TimeMergeStorage(
     * already; this covers the manifest + file-commit plumbing. */
   val storeFs: StoreFs = StoreFs(root, spark.sessionState.newHadoopConf())
   val manifest = new Manifest(root, conf = spark.sessionState.newHadoopConf())
+  // Schema-on-reopen guard: the manifest persists the table schema, and a
+  // reopen must be the SAME schema or a legal widening
+  // (StorageSchema.canEvolveTo) of what was written — otherwise renamed /
+  // retyped / re-keyed columns would silently read old SSTs as all-null or
+  // corrupt data instead of failing fast. Pre-schema-aware roots (no
+  // descriptor on disk) adopt the caller's schema as the baseline.
+  manifest.storedSchemaJson.map(StorageSchema.fromJson) match {
+    case Some(stored) if stored == schema => ()
+    case Some(stored) =>
+      require(stored.canEvolveTo(schema),
+        s"illegal schema evolution on reopen of $root: stored " +
+          s"pks=${stored.primaryKeys} ${stored.userSchema.simpleString} " +
+          s"(${stored.updateMode}) cannot evolve to " +
+          s"pks=${schema.primaryKeys} ${schema.userSchema.simpleString} " +
+          s"(${schema.updateMode}); only appending nullable value columns " +
+          "is supported without a rewrite")
+      manifest.writeSchemaJson(StorageSchema.toJson(schema))
+    case None => manifest.writeSchemaJson(StorageSchema.toJson(schema))
+  }
   private val dataDir: HPath = storeFs.path("data")
   storeFs.mkdirs(dataDir)
   // Epoch-nanos counter seeded above every id already in the manifest: ids
@@ -165,15 +184,22 @@ final class TimeMergeStorage(
         .withColumn(ReservedCol, lit(null).cast("long"))
         .write).mode("overwrite").parquet(tmp.toString)
     // per-file row counts straight from the parquet footers (metadata-only;
-    // replaces the old read-back Spark job over every part)
+    // replaces the old read-back Spark job over every part). The part
+    // number IS the hash-partition index = bucket id: repartition on the
+    // same pk columns with the same numBuckets is deterministic, so bucket
+    // i of every batch holds the same key space — recorded in the manifest
+    // so compaction can merge per (segment, bucket).
     val ssts = partFiles(tmp).map { part =>
       val id = allocId()
       val dest = new HPath(dataDir, s"$id.parquet")
       val rows = storeFs.parquetRowCount(part)
+      val bucket = "part-(\\d+)".r.findFirstMatchIn(part.getName)
+        .map(_.group(1).toInt).getOrElse(-1)
       storeFs.rename(part, dest)
       storeFs.stampSortingColumns(dest, pkSorting)
       SstFile(id, dest.toString, rows, storeFs.size(dest), range,
-        stats = storeFs.parquetColumnStats(dest, statsColumns))
+        stats = storeFs.parquetColumnStats(dest, statsColumns),
+        bucket = bucket)
     }
     storeFs.delete(tmp, recursive = true)
     manifest.update(ssts)

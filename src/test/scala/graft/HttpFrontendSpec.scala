@@ -1,0 +1,135 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.metric._
+import graft.server.HttpFrontend
+import graft.storage.{CompactionConfig, TimeRange}
+import graft.streaming.RemoteWrite
+
+/** The serving edge (reference src/server/src/main.rs:58-80): liveness,
+  * remote-write receive over HTTP, toggle gate, async compact, PromQL
+  * query — all through a real socket, not in-process calls. */
+class HttpFrontendSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val t0 = 1723680000000L
+  private val http = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+
+  private def post(port: Int, path: String, body: Array[Byte]): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def samples(n: Int, offset: Int): Seq[Sample] =
+    (0 until n).map(i => Sample("cpu_seconds_total",
+      Map("host" -> s"h${i % 3}", "mode" -> "user"),
+      t0 + (offset + i) * 1000L, (offset + i) * 1.5))
+
+  test("HTTP frontend: liveness, remote-write ingest, toggle gate, query, " +
+      "async compact (server/src/main.rs:58-80 surface)") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http").toString)
+    val fe = new HttpFrontend(spark, engine,
+      compaction = CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 30))
+    val port = fe.start()
+    try {
+      // liveness (main.rs:59-62)
+      val hello = get(port, "/")
+      assert(hello.statusCode() == 200 && hello.body() == "Hello world!")
+      assert(get(port, "/nope").statusCode() == 404)
+
+      // remote-write receive: snappy-framed (spec-conformant) and raw both
+      // land; 204 per the remote-write 1.0 spec
+      val b1 = RemoteWrite.encode(samples(60, 0))
+      val b2 = org.xerial.snappy.Snappy.compress(RemoteWrite.encode(samples(60, 60)))
+      assert(post(port, "/api/v1/write", b1).statusCode() == 204)
+      assert(post(port, "/api/v1/write", b2).statusCode() == 204)
+      val cnt = engine.query(MetricQuery("cpu_seconds_total",
+        agg = MetricAgg.Count)).collect()(0).getDouble(0)
+      assert(cnt == 120.0, s"ingested $cnt of 120 samples")
+
+      // undecodable body and wrong method are client errors, not ingests
+      assert(post(port, "/api/v1/write", Array[Byte](1, 2, 3)).statusCode() == 400)
+      assert(get(port, "/api/v1/write").statusCode() == 405)
+
+      // toggle gates the write path and reports the PREVIOUS state
+      // (fetch_not, main.rs:65-72)
+      assert(get(port, "/toggle").body() == "Stop!")
+      assert(!fe.ingestEnabled)
+      assert(post(port, "/api/v1/write", b1).statusCode() == 503)
+      assert(get(port, "/toggle").body() == "Start write again!")
+      assert(fe.ingestEnabled)
+
+      // PromQL over the socket matches the in-process evaluation
+      val q = "sum(cpu_seconds_total)"
+      val viaHttp = get(port,
+        s"/query?promql=${java.net.URLEncoder.encode(q, "UTF-8")}")
+      assert(viaHttp.statusCode() == 200)
+      val direct = engine
+        .queryPromQL(q, TimeRange(Long.MinValue, Long.MaxValue), None)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(viaHttp.body() == direct)
+      assert(get(port, "/query").statusCode() == 400) // missing promql
+      assert(get(port, "/query?promql=%28%28").statusCode() == 400) // parse err
+
+      // async compact: two ingests above → ≥2 data SSTs; the submitted task
+      // merges them (fire-and-forget response, main.rs:75-81)
+      val before = engine.data.manifest.allSsts().size
+      assert(before >= 2)
+      val c = get(port, "/compact")
+      assert(c.statusCode() == 200 && c.body() == "Task submit!")
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (engine.data.manifest.allSsts().size >= before &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      assert(engine.data.manifest.allSsts().size < before,
+        "compaction did not reduce the SST count")
+      // merged scan still serves every sample
+      val after = engine.query(MetricQuery("cpu_seconds_total",
+        agg = MetricAgg.Count)).collect()(0).getDouble(0)
+      assert(after == 120.0)
+    } finally fe.stop()
+  }
+
+  test("HTTP frontend ingests the reference's captured Prometheus workload " +
+      "bytes and serves PromQL over them (equivalence_test.rs workloads)") {
+    val dir = java.nio.file.Paths.get(
+      "/root/reference/src/remote_write/tests/workloads")
+    assume(Files.isDirectory(dir), "reference workloads absent")
+    val bytes = Files.readAllBytes(dir.resolve("1709380533560664458.data"))
+    val decoded = RemoteWrite.decode(bytes)
+    assert(decoded.nonEmpty)
+
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-wl").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      assert(post(port, "/api/v1/write", bytes).statusCode() == 204)
+      // pick a PromQL-clean metric name from the capture and count its
+      // samples both ways: engine query vs the wire-decoded ground truth
+      val byName = decoded.groupBy(_.name)
+      val (name, expected) = byName
+        .filter(_._1.matches("[a-zA-Z_][a-zA-Z0-9_]*"))
+        .maxBy(_._2.size)
+      val cnt = engine.query(MetricQuery(name, agg = MetricAgg.Count))
+        .collect()(0).getDouble(0)
+      assert(cnt == expected.size.toDouble, s"$name: $cnt vs ${expected.size}")
+      val viaHttp = get(port,
+        s"/query?promql=${java.net.URLEncoder.encode(s"sum($name)", "UTF-8")}")
+      assert(viaHttp.statusCode() == 200)
+      val direct = engine.queryPromQL(s"sum($name)",
+        TimeRange(Long.MinValue, Long.MaxValue), None)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(viaHttp.body() == direct && viaHttp.body() != "[]")
+    } finally fe.stop()
+  }
+}

@@ -871,6 +871,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpegMeta(Array[Byte](1, 2, 3)) == ((0, 0, 0, false)))
     for (cut <- Seq(0, 1, 3, 9, 21, 29))
       Multimodal.decodeJpegMeta(base.take(cut)) // must return, not throw
+    // torn payload ending in FF fill bytes: the padding loop advances past
+    // the outer bound check, so the length read must re-validate
+    assert(Multimodal.decodeJpegMeta(
+      Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xE0).map(_.toByte)) ==
+      ((0, 0, 0, false)))
+    assert(Multimodal.decodeJpegMeta(
+      Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF, 0xE0).map(_.toByte)) ==
+      ((0, 0, 0, false)))
   }
 
   test("decoders survive truncated and corrupt payloads without throwing") {

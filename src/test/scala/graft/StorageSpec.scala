@@ -252,6 +252,44 @@ class StorageSpec extends AnyFunSuite {
     assert(v.map(_.getLong(2)).toSeq == Seq(999L))
   }
 
+  test("bucketed compaction merges per (segment, bucket): buckets survive, " +
+      "last-write-wins holds per bucket, manifest persists bucket ids") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    val s = mkStorage(root)
+    val mk = (base: Int, v: Long) => spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1 to 100).map(i => Row(i % 10, i, v + base * i)), 4), abSchema)
+    // three bucketed generations over the same keys
+    s.writeBucketed(mk(0, 1000L), TimeRange(1, 10), numBuckets = 4)
+    s.writeBucketed(mk(1, 2000L), TimeRange(1, 10), numBuckets = 4)
+    s.writeBucketed(mk(2, 3000L), TimeRange(1, 10), numBuckets = 4)
+    val before = s.manifest.allSsts()
+    assert(before.forall(_.bucket >= 0))
+    val buckets = before.map(_.bucket).toSet
+    assert(buckets.size >= 2) // 100 keys over 4 hash buckets
+    val compactor = new Compactor(s, CompactionConfig(inputSstMinNum = 2))
+    var n = 0
+    while (compactor.runOnce() && n < 20) n += 1
+    val after = s.manifest.allSsts()
+    // one SST per bucket, same bucket set, never a segment-wide merge
+    assert(after.size == buckets.size, s"got ${after.map(_.bucket)}")
+    assert(after.map(_.bucket).toSet == buckets)
+    assert(after.map(_.numRows).sum == 100) // per-bucket dedup complete
+    // newest generation won inside every bucket
+    val got = s.scanSorted().collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == 100 && got.forall { case (_, i, v) => v == 3000L + 2L * i })
+    // bucket ids round-trip through a manifest reload (optional JSON field)
+    val reloaded = new Manifest(root)
+    assert(reloaded.allSsts().map(f => f.id -> f.bucket).toMap ==
+      after.map(f => f.id -> f.bucket).toMap)
+    // legacy/unbucketed lines read back as bucket = -1
+    reloaded.addFile(SstFile(7777, "/legacy", 1, 1, TimeRange(1, 10)))
+    reloaded.mergeSnapshot()
+    val again = new Manifest(root)
+    assert(again.allSsts().find(_.id == 7777).get.bucket == -1)
+  }
+
   test("per-column write options land in the parquet footer (config.rs:96-103)") {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
@@ -612,6 +650,23 @@ class StorageSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 1, 11L, "new"), (2, 2, 20L, null),
       (3, 3, 30L, "new")))
     // old-generation row (2,2): new column null; overwritten (1,1): v2 wins
+
+    // the manifest persists the schema, so an ILLEGAL reopen (retyped
+    // column here) is rejected by the constructor — no silent null/corrupt
+    // reads of the existing SSTs
+    val bad = StorageSchema(StructType(Seq(
+      StructField("pk1", LongType), StructField("pk2", IntegerType),
+      StructField("value", LongType))), 2)
+    val e = intercept[IllegalArgumentException](
+      new TimeMergeStorage(spark, root, bad, segmentMs = 7200 * 1000L))
+    assert(e.getMessage.contains("illegal schema evolution"))
+    // legal same-schema reopen still works and sees both generations
+    val again = new TimeMergeStorage(spark, root, v2Schema,
+      segmentMs = 7200 * 1000L)
+    assert(again.scan().collect().length == 3)
+    // descriptor round-trip is exact
+    val json = StorageSchema.toJson(v2Schema)
+    assert(StorageSchema.fromJson(json) == v2Schema)
   }
 
   test("tombstone deletes: winner-is-marker keys vanish, re-insert after " +
