@@ -417,6 +417,41 @@ object SparkEntry {
       })
     }
 
+  private val sqlSourceCache =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Fixture for the `graft` SQL data source: one week of events written
+    * through `df.write.format("graft")` at 1-day segments (7 per-segment
+    * SSTs + a value-doubling Append rewrite of the event_id%5==0 slice),
+    * read back through `spark.read.format("graft")` — create-from-options,
+    * descriptor-driven reopen, per-segment commit splitting, and
+    * merge-on-read last-write-wins all on the SQL edge. */
+  private def sqlSourceRoot(s: SparkSession, dir: String): String =
+    sqlSourceCache.synchronized {
+      sqlSourceCache.getOrElseUpdate(dir, {
+        import graft.storage._
+        val segMs = 86400000L
+        val g = TimeRange.truncate(1704844800000L, 7 * segMs)
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), tsMs.as("tms"), col("user_id"),
+            col("event_type"), col("value"))
+          .filter(col("tms") >= g && col("tms") < g + 7 * segMs)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sql-source").toString
+        ev.write.format("graft")
+          .option("root", root).option("numPrimaryKeys", "1")
+          .option("segmentMs", segMs.toString)
+          .option("timestampColumn", "tms")
+          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).save()
+        // zero-config append (schema/segments from the descriptor)
+        ev.filter(pmod(col("event_id"), lit(5)) === 0)
+          .withColumn("value", col("value") * 2)
+          .write.format("graft").option("root", root)
+          .mode(org.apache.spark.sql.SaveMode.Append).save()
+        root
+      })
+    }
+
   /** Unique memory-sink names: streaming query entries may run repeatedly
     * in one JVM (verify + bench prewarm), and a memory sink name collision
     * fails the restart. */
@@ -1292,6 +1327,22 @@ object SparkEntry {
     "ct1_compact_scan" -> ((s, dir) => {
       import graft.storage._
       compactedEventsStore(s, dir).scan(ScanRequest())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
+
+    // The `graft` SQL data source end-to-end: table created + appended via
+    // df.write.format("graft"), read via spark.read.format("graft") with a
+    // time-range filter (manifest file pruning through the DSv1 edge) —
+    // the hash only matches if the SQL edge's per-segment commit splitting
+    // and merge-on-read last-write-wins agree with the raw data.
+    "st7_sql_source" -> ((s, dir) => {
+      val root = sqlSourceRoot(s, dir)
+      val cutoff = graft.storage.TimeRange.truncate(1704844800000L,
+        7 * 86400000L) + 2 * 86400000L
+      s.read.format("graft").option("root", root).load()
+        .filter(col("tms") >= lit(cutoff))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
@@ -2613,6 +2664,19 @@ object SparkEntry {
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events
         |WHERE epoch_ms(ts::TIMESTAMP) >= 1704326400000
+        |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
+        |GROUP BY event_type""".stripMargin,
+
+    // Raw data with the %5-slice doubling applied in SQL over the pruned
+    // 5-day window — matches only if the SQL data source's per-segment
+    // commit splitting, time-range pushdown, and merge both generations
+    // correctly.
+    "st7_sql_source" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END), 2) AS sum_v,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE epoch_ms(ts::TIMESTAMP) >= 1704499200000
         |  AND epoch_ms(ts::TIMESTAMP) < 1704931200000
         |GROUP BY event_type""".stripMargin,
 

@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.{col, floor, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.storage._
+
+/** `graft` as a first-class Spark SQL data source (DataSource V1): the
+  * time-merge store behind `spark.read.format("graft")`,
+  * `df.write.format("graft")`, and `CREATE TABLE t USING graft` — the API
+  * edge a Spark user expects from a table format, built on the manifest's
+  * persisted table descriptor (the table knows its own schema/pks/segment
+  * duration; readers pass nothing but the root).
+  *
+  * Read path ([[GraftRelation]]): column pruning and filter pushdown reach
+  * [[TimeMergeStorage.scan]] — time-range conjuncts on the descriptor's
+  * timestamp column become manifest file pruning BEFORE any task launches,
+  * the remaining simple predicates prune zone-mapped SSTs and push into the
+  * parquet scans through Catalyst, and merge-on-read dedup runs the same
+  * native [[graft.plans.MergeDedupExec]] as the programmatic API.
+  *
+  * Write path: `SaveMode.Append` splits the batch per segment (the
+  * reference's cross-segment write check, storage.rs:307-316, is per-SST —
+  * the SQL edge does the splitting a caller of the raw API does by hand)
+  * and commits one sorted SST per touched segment — or N pk-hash-bucketed
+  * SSTs with `option("buckets", n)`, the 100 TB layout. `Overwrite` is
+  * rejected: an LSM table overwrites by WRITING (last-write-wins merge),
+  * never by truncation.
+  *
+  * Options: `root` (or `path`); create-time only: `numPrimaryKeys`,
+  * `segmentMs`, `timestampColumn`, `updateMode` (`overwrite`|`append`),
+  * `buckets` (write parallelism).
+  */
+class DefaultSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.get("root").orElse(parameters.get("path")).getOrElse(
+      sys.error("the graft source needs a 'root' (or 'path') option"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext,
+      TimeMergeStorage.open(sqlContext.sparkSession, rootOf(parameters)))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val exists = new Manifest(root,
+      conf = spark.sessionState.newHadoopConf()).storedSchemaJson.isDefined
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        sys.error(s"graft table already exists at $root (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists =>
+        return GraftRelation(sqlContext, TimeMergeStorage.open(spark, root))
+      case SaveMode.Overwrite =>
+        sys.error("graft is a merge-on-read (LSM) table: overwrite by " +
+          "WRITING newer versions (last-write-wins), not by truncation; " +
+          "use SaveMode.Append")
+      case _ => ()
+    }
+    val store =
+      if (exists) TimeMergeStorage.open(spark, root)
+      else {
+        val npk = parameters.getOrElse("numPrimaryKeys", sys.error(
+          "creating a graft table needs 'numPrimaryKeys' (leading columns " +
+            "forming the sort/merge key)")).toInt
+        val segMs = parameters.getOrElse("segmentMs", sys.error(
+          "creating a graft table needs 'segmentMs' (segment duration)")).toLong
+        val um = parameters.get("updateMode").map {
+          case "append" => UpdateMode.Append
+          case "overwrite" => UpdateMode.Overwrite
+          case o => sys.error(s"unknown updateMode '$o' (overwrite|append)")
+        }.getOrElse(UpdateMode.Overwrite)
+        new TimeMergeStorage(spark, root,
+          StorageSchema(StructType(data.schema.fields), npk, um), segMs,
+          timestampColumn = parameters.get("timestampColumn"))
+      }
+    val aligned = data.select(store.schema.userSchema.fieldNames.map(col(_)).toIndexedSeq: _*)
+    val buckets = parameters.get("buckets").map(_.toInt).getOrElse(1)
+    def commit(df: DataFrame, range: TimeRange): Unit =
+      if (buckets > 1) store.writeBucketed(df, range, buckets)
+      else store.write(df, range)
+    store.timestampColumn match {
+      case Some(ts) =>
+        // per-segment commit loop — bounded by the batch's time SPAN (a
+        // day's batch touches 1-2 segments), not its row count
+        val segs = aligned
+          .select(floor(col(ts) / lit(store.segmentMs)).cast("long").as("__seg__"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        segs.foreach { seg =>
+          val lo = seg * store.segmentMs
+          commit(aligned.filter(col(ts) >= lit(lo) &&
+            col(ts) < lit(lo + store.segmentMs)), TimeRange(lo, lo + store.segmentMs))
+        }
+      case None =>
+        // no timestamp column: the whole table lives in segment 0
+        commit(aligned, TimeRange(0L, store.segmentMs))
+    }
+    GraftRelation(sqlContext, store)
+  }
+}
+
+/** The scan-side relation: DSv1 `PrunedFilteredScan` delegating to
+  * [[TimeMergeStorage.scan]]. `needConversion = false` + `toRdd` keeps the
+  * merged scan INSIDE Tungsten (no Row materialization between the store's
+  * plan and the caller's). */
+final case class GraftRelation(sqlContext: SQLContext,
+    store: TimeMergeStorage) extends BaseRelation with PrunedFilteredScan {
+
+  override def schema: StructType = store.schema.userSchema
+
+  override def needConversion: Boolean = false
+
+  /** Filters the store evaluates itself (everything translatable — pushed
+    * into the scan as Column predicates, where they prune zone-mapped SSTs
+    * and reach the parquet readers). Untranslatable shapes are returned so
+    * Spark re-evaluates them above the scan. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(f => translate(f).isDefined)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val preds = filters.flatMap(translate)
+    val range = store.timestampColumn.map(ts => timeRangeOf(ts, filters))
+      .getOrElse(TimeRange(Long.MinValue, Long.MaxValue))
+    val df = store.scan(ScanRequest(range = range,
+      predicates = preds.toIndexedSeq,
+      projection = Some(requiredColumns.toIndexedSeq)))
+    // needConversion=false contract: hand back the InternalRow RDD
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  /** Time-range conjuncts on the descriptor's timestamp column → manifest
+    * file pruning (the one pushdown parquet cannot do for us: it happens
+    * before any task is scheduled). Conservative: only top-level
+    * conjuncts; everything else leaves the range unbounded. */
+  private def timeRangeOf(ts: String, filters: Array[Filter]): TimeRange = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    filters.foreach {
+      case GreaterThan(`ts`, v) => num(v).foreach(n => lo = math.max(lo, n + 1))
+      case GreaterThanOrEqual(`ts`, v) => num(v).foreach(n => lo = math.max(lo, n))
+      case LessThan(`ts`, v) => num(v).foreach(n => hi = math.min(hi, n))
+      case LessThanOrEqual(`ts`, v) =>
+        num(v).foreach(n => hi = math.min(hi, if (n == Long.MaxValue) n else n + 1))
+      case EqualTo(`ts`, v) => num(v).foreach { n =>
+        lo = math.max(lo, n); hi = math.min(hi, if (n == Long.MaxValue) n else n + 1)
+      }
+      case _ => ()
+    }
+    if (lo < hi) TimeRange(lo, hi) else TimeRange(lo, lo + 1) // empty-ish
+  }
+
+  /** sources.Filter → Column, for the shapes the scan can evaluate. */
+  private def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(child) => translate(child).map(!_)
+    case And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case _ => None
+  }
+}

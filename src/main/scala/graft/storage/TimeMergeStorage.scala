@@ -83,24 +83,40 @@ final class TimeMergeStorage(
     * already; this covers the manifest + file-commit plumbing. */
   val storeFs: StoreFs = StoreFs(root, spark.sessionState.newHadoopConf())
   val manifest = new Manifest(root, conf = spark.sessionState.newHadoopConf())
-  // Schema-on-reopen guard: the manifest persists the table schema, and a
-  // reopen must be the SAME schema or a legal widening
-  // (StorageSchema.canEvolveTo) of what was written — otherwise renamed /
-  // retyped / re-keyed columns would silently read old SSTs as all-null or
-  // corrupt data instead of failing fast. Pre-schema-aware roots (no
-  // descriptor on disk) adopt the caller's schema as the baseline.
-  manifest.storedSchemaJson.map(StorageSchema.fromJson) match {
-    case Some(stored) if stored == schema => ()
-    case Some(stored) =>
-      require(stored.canEvolveTo(schema),
-        s"illegal schema evolution on reopen of $root: stored " +
-          s"pks=${stored.primaryKeys} ${stored.userSchema.simpleString} " +
-          s"(${stored.updateMode}) cannot evolve to " +
-          s"pks=${schema.primaryKeys} ${schema.userSchema.simpleString} " +
-          s"(${schema.updateMode}); only appending nullable value columns " +
-          "is supported without a rewrite")
-      manifest.writeSchemaJson(StorageSchema.toJson(schema))
-    case None => manifest.writeSchemaJson(StorageSchema.toJson(schema))
+  // Schema-on-reopen guard: the manifest persists the table descriptor
+  // (schema + segment duration + timestamp column), and a reopen must be
+  // the SAME schema or a legal widening (StorageSchema.canEvolveTo) of
+  // what was written — otherwise renamed / retyped / re-keyed columns
+  // would silently read old SSTs as all-null or corrupt data instead of
+  // failing fast. The segment duration must match exactly: it defines the
+  // physical time-bucketing every existing SST was committed under.
+  // Pre-descriptor roots (nothing on disk) adopt the caller's config as
+  // the baseline. The descriptor is also what lets
+  // [[TimeMergeStorage.open]] (and the `graft` SQL data source) attach to
+  // a root with zero caller-side configuration.
+  locally {
+    val mine = TimeMergeStorage.descriptorJson(schema, segmentMs, timestampColumn)
+    manifest.storedSchemaJson match {
+      case Some(json) =>
+        val stored = StorageSchema.fromJson(json)
+        val storedSeg = TimeMergeStorage.descriptorSegmentMs(json)
+        require(storedSeg.forall(_ == segmentMs),
+          s"segment duration mismatch on reopen of $root: stored " +
+            s"${storedSeg.get} ms, requested $segmentMs ms — the segment " +
+            "layout is physical and cannot change without a rewrite")
+        if (stored != schema) {
+          require(stored.canEvolveTo(schema),
+            s"illegal schema evolution on reopen of $root: stored " +
+              s"pks=${stored.primaryKeys} ${stored.userSchema.simpleString} " +
+              s"(${stored.updateMode}) cannot evolve to " +
+              s"pks=${schema.primaryKeys} ${schema.userSchema.simpleString} " +
+              s"(${schema.updateMode}); only appending nullable value " +
+              "columns is supported without a rewrite")
+          manifest.writeSchemaJson(mine)
+        } else if (json != mine && storedSeg.isEmpty)
+          manifest.writeSchemaJson(mine) // upgrade pre-descriptor json
+      case None => manifest.writeSchemaJson(mine)
+    }
   }
   private val dataDir: HPath = storeFs.path("data")
   storeFs.mkdirs(dataDir)
@@ -326,6 +342,79 @@ final class TimeMergeStorage(
   /** Existence check through the store's FileSystem (tests and callers must
     * not assume a local path — `path` may be any supported URI). */
   def exists(path: String): Boolean = storeFs.exists(path)
+
+  /** CHANGE STREAM over the table (beyond-ref; the Delta/Iceberg streaming-
+    * source shape): a Structured Streaming DataFrame of every row COMMITTED
+    * to the store from stream start onward, in commit order per micro-batch.
+    * Free here because commits are write-once seq-named parquet files under
+    * one directory — Spark's file stream source IS the tailing mechanism
+    * (durable, checkpointable, no custom Source implementation to maintain):
+    * in-progress writes live under `tmp-*` subdirectories and only appear
+    * atomically on rename, so the `*.parquet` glob can never see a torn
+    * file.
+    *
+    * Emits raw SST rows including `__seq__` (a CDC stream: every version of
+    * every pk, in write order — late data and overwrites appear as new
+    * rows). Merge-on-read semantics are per-QUERY state, so downstream
+    * last-write-wins is the usual streaming dedup shape:
+    * `tail.withWatermark(...)` + max_by per pk in `foreachBatch`, or the
+    * [[graft.streaming.StreamDedup]]/[[graft.streaming.StreamAggregates]]
+    * operators this library already ships.
+    *
+    * `maxFilesPerTrigger` bounds a micro-batch (backfill over an existing
+    * table arrives in file-sized chunks instead of one giant batch). */
+  def tailStream(maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema.fullSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(new HPath(dataDir, "*.parquet").toString)
+}
+
+object TimeMergeStorage {
+
+  /** Full table descriptor persisted in the manifest: the
+    * [[StorageSchema.toJson]] payload plus the table-level physical config
+    * (segment duration, timestamp column). Extra fields ride in front of
+    * `userSchema` so [[StorageSchema.fromJson]]'s slicing still works; its
+    * regex field reads ignore what they don't know, so descriptors are
+    * forward/backward compatible. */
+  def descriptorJson(schema: StorageSchema, segmentMs: Long,
+      timestampColumn: Option[String]): String = {
+    val tsField = timestampColumn
+      .map(c => s""""timestampColumn":"$c",""").getOrElse("")
+    val base = StorageSchema.toJson(schema)
+    s"""{"segmentMs":$segmentMs,$tsField${base.stripPrefix("{")}"""
+  }
+
+  def descriptorSegmentMs(json: String): Option[Long] =
+    """"segmentMs":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+
+  def descriptorTimestampColumn(json: String): Option[String] =
+    """"timestampColumn":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** Attach to an existing root with ZERO caller-side configuration —
+    * schema, primary keys, update mode, segment duration, and timestamp
+    * column all come from the manifest's persisted descriptor (the Delta/
+    * Iceberg "the table knows itself" property; the reference's storage
+    * takes its schema from the caller every time, storage.rs:143-153).
+    * This is what the `graft` SQL data source builds on. Fails on a root
+    * with no descriptor (nothing was ever written there by a
+    * descriptor-aware build). */
+  def open(spark: SparkSession, root: String,
+      writeOptions: WriteOptions = WriteOptions()): TimeMergeStorage = {
+    val manifest = new Manifest(root,
+      conf = spark.sessionState.newHadoopConf())
+    val json = manifest.storedSchemaJson.getOrElse(sys.error(
+      s"no table descriptor under $root/manifest — not a graft table " +
+        "(or written by a pre-descriptor build; reopen it once with an " +
+        "explicit schema to stamp one)"))
+    val segMs = descriptorSegmentMs(json).getOrElse(sys.error(
+      s"descriptor under $root predates segment persistence; reopen once " +
+        "with an explicit schema + segmentMs to upgrade it"))
+    new TimeMergeStorage(spark, root, StorageSchema.fromJson(json), segMs,
+      timestampColumn = descriptorTimestampColumn(json),
+      writeOptions = writeOptions)
+  }
 }
 
 /** The merge operators (reference operator.rs + read.rs MergeExec), expressed

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage._
+
+/** The `graft` SQL data source: create/append through
+  * `df.write.format("graft")`, read through `spark.read.format("graft")`
+  * and `CREATE TEMPORARY VIEW ... USING graft`, with pushdown reaching the
+  * store (file pruning before task launch) and merge-on-read semantics
+  * identical to the programmatic API. */
+class SourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("pk", IntegerType), StructField("tms", LongType),
+    StructField("v", LongType)))
+
+  private def df(rows: Seq[(Int, Long, Long)]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map(r => Row(r._1, r._2, r._3)), 2), schema)
+
+  private def tmpRoot() = Files.createTempDirectory("graft-source").toString
+
+  test("write format(graft) creates the table from options; read format " +
+      "attaches with zero config; SQL view + pushdown + merge semantics") {
+    val root = tmpRoot()
+    // create: 2 segments' worth of rows through the SQL write edge
+    df(Seq((1, 100L, 10L), (2, 150L, 20L), (3, 1100L, 30L)))
+      .write.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .mode(SaveMode.ErrorIfExists).save()
+    // append an overwrite of pk=1 (newer __seq__ must win on read)
+    df(Seq((1, 120L, 11L))).write.format("graft")
+      .option("root", root).mode(SaveMode.Append).save()
+
+    // the store on disk: per-segment SSTs, descriptor persisted
+    val store = TimeMergeStorage.open(spark, root)
+    assert(store.segmentMs == 1000L && store.timestampColumn.contains("tms"))
+    assert(store.manifest.allSsts().size == 3) // seg0, seg1, seg0-append
+
+    // zero-config read, merge-on-read result
+    val got = spark.read.format("graft").option("root", root).load()
+      .orderBy("pk").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 11L), (2, 20L), (3, 30L)))
+
+    // SQL: CREATE TEMPORARY VIEW ... USING graft (short name via
+    // DataSourceRegister), aggregate over it
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW src_t USING graft OPTIONS (root '$root')")
+    assert(spark.sql("SELECT sum(v) FROM src_t").collect()(0).getLong(0) == 61L)
+    assert(spark.sql("SELECT count(*) FROM src_t").collect()(0).getLong(0) == 3L)
+
+    // filter pushdown is visible in the plan (DSv1 PushedFilters) and the
+    // time-range conjunct prunes manifest files BEFORE any task launches
+    val q = spark.read.format("graft").option("root", root).load()
+      .filter(col("tms") >= 1000L && col("pk") > 0)
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(3))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"no pushdown in plan:\n$plan")
+    assert(store.plannedSsts(ScanRequest(range = TimeRange(1000L, Long.MaxValue)))
+      .size == 1) // 2 of 3 files pruned by the manifest
+
+    // projection pruning: a single-column read returns just that column
+    val one = spark.read.format("graft").option("root", root).load().select("v")
+    assert(one.columns.toSeq == Seq("v"))
+    assert(one.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 20L, 30L))
+  }
+
+  test("source guards: overwrite rejected, ErrorIfExists respected, " +
+      "Ignore no-ops, missing options explain themselves") {
+    val root = tmpRoot()
+    val d = df(Seq((1, 10L, 1L)))
+    intercept[RuntimeException](d.write.format("graft")
+      .option("root", root).mode(SaveMode.Overwrite).save())
+    // create without numPrimaryKeys → clear error
+    val e = intercept[RuntimeException](d.write.format("graft")
+      .option("root", root).option("segmentMs", "1000")
+      .mode(SaveMode.Append).save())
+    assert(e.getMessage.contains("numPrimaryKeys"))
+    d.write.format("graft").option("root", root)
+      .option("numPrimaryKeys", "1").option("segmentMs", "1000")
+      .option("timestampColumn", "tms").mode(SaveMode.Append).save()
+    intercept[RuntimeException](d.write.format("graft")
+      .option("root", root).mode(SaveMode.ErrorIfExists).save())
+    d.write.format("graft").option("root", root)
+      .mode(SaveMode.Ignore).save() // no-op, no error
+    assert(spark.read.format("graft").option("root", root).load().count() == 1)
+    // reading a non-table root explains itself
+    val e2 = intercept[RuntimeException](
+      spark.read.format("graft").option("root", tmpRoot()).load())
+    assert(e2.getMessage.contains("descriptor"))
+  }
+
+  test("bucketed SQL writes produce the 100 TB layout and read back merged") {
+    val root = tmpRoot()
+    val rows = (1 to 200).map(i => (i, (i % 3) * 1000L, i.toLong))
+    df(rows).write.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .option("buckets", "4").mode(SaveMode.Append).save()
+    val store = TimeMergeStorage.open(spark, root)
+    assert(store.manifest.allSsts().forall(_.bucket >= 0))
+    assert(spark.read.format("graft").option("root", root).load().count() == 200)
+  }
+}

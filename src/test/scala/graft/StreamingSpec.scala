@@ -408,4 +408,44 @@ class StreamingSpec extends AnyFunSuite {
       labelFilters = Map("host" -> "h0"), agg = MetricAgg.Count)).collect()
     assert(total(0).getDouble(0) == 4.0) // i = 0,3,6,9
   }
+
+  test("tailStream: the table as a change stream — commits appear in write " +
+      "order with seq stamps, overwrites arrive as new CDC rows") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import graft.storage._
+    val schema = StructType(Seq(
+      StructField("pk", IntegerType), StructField("v", LongType)))
+    val store = new TimeMergeStorage(spark,
+      Files.createTempDirectory("graft-tail").toString,
+      StorageSchema(schema, numPrimaryKeys = 1), segmentMs = 1000L)
+    def w(rows: Seq[(Int, Long)]): SstFile =
+      store.write(spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2)), 1), schema), TimeRange(1, 10))
+    val s1 = w(Seq((1, 10L), (2, 20L))) // pre-stream backfill
+    val q = store.tailStream()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tail_t").start()
+    try {
+      q.processAllAvailable()
+      // backfill visible, __seq__ stamped with the committing SST's id
+      val first = spark.sql("SELECT pk, v, __seq__ FROM tail_t").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(first == Set((1, 10L, s1.id), (2, 20L, s1.id)))
+      // an overwrite of pk=1 is a NEW change row (CDC), not an update
+      val s2 = w(Seq((1, 11L)))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT pk, v, __seq__ FROM tail_t").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(all == first + ((1, 11L, s2.id)))
+      // downstream last-write-wins over the change stream == table scan
+      val merged = spark.sql(
+        "SELECT pk, max_by(v, __seq__) AS v FROM tail_t GROUP BY pk")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val table = store.scan().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(merged == table && table == Set((1, 11L), (2, 20L)))
+    } finally q.stop()
+  }
 }
