@@ -66,8 +66,22 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       case _ => ()
     }
     val store =
-      if (exists) TimeMergeStorage.open(spark, root)
-      else {
+      if (exists) {
+        // schema evolution on the SQL edge: appending a frame with EXTRA
+        // columns widens the table (append-nullable-values, the one
+        // no-rewrite evolution) instead of silently dropping them; the
+        // store constructor validates the evolution and persists the new
+        // descriptor. Illegal shapes (retyped/renamed columns) fail there.
+        val base = TimeMergeStorage.open(spark, root)
+        val extra = data.schema.fields
+          .filterNot(f => base.schema.userSchema.fieldNames.contains(f.name))
+        if (extra.isEmpty) base
+        else new TimeMergeStorage(spark, root,
+          StorageSchema(
+            StructType(base.schema.userSchema.fields ++ extra.map(_.copy(nullable = true))),
+            base.schema.numPrimaryKeys, base.schema.updateMode),
+          base.segmentMs, timestampColumn = base.timestampColumn)
+      } else {
         val npk = parameters.getOrElse("numPrimaryKeys", sys.error(
           "creating a graft table needs 'numPrimaryKeys' (leading columns " +
             "forming the sort/merge key)")).toInt
@@ -82,7 +96,19 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           StorageSchema(StructType(data.schema.fields), npk, um), segMs,
           timestampColumn = parameters.get("timestampColumn"))
       }
-    val aligned = data.select(store.schema.userSchema.fieldNames.map(col(_)).toIndexedSeq: _*)
+    // align the batch to the table: reorder by name, null-fill ABSENT
+    // nullable value columns (the complement of append-column widening —
+    // an old producer keeps writing after the table evolved); primary
+    // keys and the timestamp column must be present
+    val aligned = data.select(store.schema.userSchema.fields.map { f =>
+      if (data.columns.contains(f.name)) col(f.name)
+      else {
+        require(f.nullable && !store.schema.primaryKeys.contains(f.name) &&
+            !store.timestampColumn.contains(f.name),
+          s"append batch is missing required column ${f.name}")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*)
     val buckets = parameters.get("buckets").map(_.toInt).getOrElse(1)
     def commit(df: DataFrame, range: TimeRange): Unit =
       if (buckets > 1) store.writeBucketed(df, range, buckets)

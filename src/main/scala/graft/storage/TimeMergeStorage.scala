@@ -136,10 +136,32 @@ final class TimeMergeStorage(
     storeFs.list(p).filter(f =>
       f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
 
+  /** Batch-vs-table schema check: same column NAME SET (order-free — the
+    * scan reads parquet by name) and per-column types matching up to
+    * nullability (catalogString comparison — nested nullability flags like
+    * `containsNull` differ legitimately between collect_list output and a
+    * declared schema). Without this a mistyped frame writes a parquet file
+    * the table schema cannot read — corruption detected at QUERY time,
+    * possibly much later; the write path must fail instead
+    * (the reference's WriteRequest schema check, storage.rs:298-316). */
+  private def requireMatchesSchema(df: DataFrame): Unit = {
+    val want = schema.userSchema.fields.map(f => f.name -> f.dataType).toMap
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(have.keySet == want.keySet,
+      s"write batch columns ${have.keySet.toSeq.sorted} do not match table " +
+        s"columns ${want.keySet.toSeq.sorted}")
+    want.foreach { case (n, dt) =>
+      require(have(n).catalogString == dt.catalogString,
+        s"write batch column $n is ${have(n).catalogString}, table " +
+          s"declares ${dt.catalogString}")
+    }
+  }
+
   /** Sorted segment-bounded write: one new SST per call
     * (reference storage.rs:189-225). Rejects batches crossing a segment
     * boundary (storage.rs:307-316). */
   def write(df: DataFrame, range: TimeRange): SstFile = {
+    requireMatchesSchema(df)
     require(TimeRange.truncate(range.start, segmentMs) ==
             TimeRange.truncate(range.end - 1, segmentMs),
       s"write crosses segment boundary: $range at segment=${segmentMs}ms")
@@ -186,6 +208,7 @@ final class TimeMergeStorage(
     * touch another. Each part file registers as its own SST in the manifest
     * (single-file [[write]] stays the reference-faithful small path). */
   def writeBucketed(df: DataFrame, range: TimeRange, numBuckets: Int): Seq[SstFile] = {
+    requireMatchesSchema(df)
     require(TimeRange.truncate(range.start, segmentMs) ==
             TimeRange.truncate(range.end - 1, segmentMs),
       s"write crosses segment boundary: $range at segment=${segmentMs}ms")

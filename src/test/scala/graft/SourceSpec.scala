@@ -98,6 +98,42 @@ class SourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("descriptor"))
   }
 
+  test("appending a widened frame evolves the table schema; old rows read " +
+      "null for the new column; illegal evolution still rejected") {
+    val root = tmpRoot()
+    df(Seq((1, 100L, 10L), (2, 150L, 20L))).write.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .mode(SaveMode.Append).save()
+    // append with an extra column → table widens (descriptor updated)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(3, 200L, 30L, "new")), 1),
+      StructType(schema.fields :+ StructField("tag", StringType)))
+      .write.format("graft").option("root", root)
+      .mode(SaveMode.Append).save()
+    val got = spark.read.format("graft").option("root", root).load()
+      .orderBy("pk").collect()
+      .map(r => (r.getInt(0), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3)))
+    assert(got.toSeq == Seq((1, 10L, null), (2, 20L, null), (3, 30L, "new")))
+    assert(TimeMergeStorage.open(spark, root).schema.userSchema.fieldNames
+      .last == "tag")
+    // the complement: an old producer (no tag column) keeps appending —
+    // absent nullable value columns null-fill
+    df(Seq((4, 300L, 40L))).write.format("graft").option("root", root)
+      .mode(SaveMode.Append).save()
+    assert(spark.read.format("graft").option("root", root).load()
+      .filter(col("pk") === 4).collect().map(_.isNullAt(3)).toSeq == Seq(true))
+    // a RETYPED column is an illegal evolution, not a widen
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(4, 300L, "oops")), 1),
+      StructType(Seq(StructField("pk", IntegerType),
+        StructField("tms", LongType), StructField("v", StringType))))
+    val e = intercept[Exception](bad.write.format("graft")
+      .option("root", root).mode(SaveMode.Append).save())
+    assert(e.getMessage.contains("write batch column v"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("bucketed SQL writes produce the 100 TB layout and read back merged") {
     val root = tmpRoot()
     val rows = (1 to 200).map(i => (i, (i % 3) * 1000L, i.toLong))
