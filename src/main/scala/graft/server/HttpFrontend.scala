@@ -93,8 +93,11 @@ final class HttpFrontend(
     else respond(ex, 404, "not found"))
 
   server.createContext("/toggle", (ex: HttpExchange) => {
-    // fetch_not semantics (main.rs:65-72): report the PREVIOUS state
-    val prev = keepWriting.getAndSet(!keepWriting.get())
+    // fetch_not semantics (main.rs:65-72): atomic flip via CAS, report
+    // the PREVIOUS state (a read-then-set pair would let two concurrent
+    // toggles both observe the same value and collapse into one flip)
+    var prev = keepWriting.get()
+    while (!keepWriting.compareAndSet(prev, !prev)) prev = keepWriting.get()
     respond(ex, 200, if (prev) "Stop!" else "Start write again!")
   })
 
@@ -122,7 +125,9 @@ final class HttpFrontend(
       else
         try {
           ingestLock.synchronized {
-            MetricStreamIngest.ingestBatch(engine, spark, Seq(body))
+            // the validation decode above IS the decode — ingest the
+            // samples directly instead of re-decoding the payload
+            MetricStreamIngest.ingestDecoded(engine, spark, samples)
           }
           respond(ex, 204, "")
         } catch {
@@ -134,11 +139,14 @@ final class HttpFrontend(
   })
 
   server.createContext("/query", (ex: HttpExchange) => {
-    val p = queryParams(ex)
-    p.get("promql") match {
-      case None => respond(ex, 400, "missing promql parameter")
-      case Some(expr) =>
-        try {
+    // queryParams itself can throw (malformed percent-encoding in the raw
+    // query string) — it must land as a 400, not a handler exception the
+    // JDK server swallows into a dropped connection
+    try {
+      val p = queryParams(ex)
+      p.get("promql") match {
+        case None => respond(ex, 400, "missing promql parameter")
+        case Some(expr) =>
           val range = TimeRange(
             p.get("start").map(_.toLong).getOrElse(Long.MinValue),
             p.get("end").map(_.toLong).getOrElse(Long.MaxValue))
@@ -146,10 +154,10 @@ final class HttpFrontend(
           val rows = engine.queryPromQL(expr, range, step)
             .toJSON.collect().mkString("[", ",", "]")
           respond(ex, 200, rows, contentType = "application/json")
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            respond(ex, 400, s"query failed: ${e.getMessage}")
-        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, s"query failed: ${e.getMessage}")
     }
   })
 

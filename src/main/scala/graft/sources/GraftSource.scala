@@ -116,10 +116,17 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     store.timestampColumn match {
       case Some(ts) =>
         // per-segment commit loop — bounded by the batch's time SPAN (a
-        // day's batch touches 1-2 segments), not its row count
-        val segs = aligned
+        // day's batch touches 1-2 segments), not its row count. A null
+        // timestamp has no segment: reject it loudly here (Row.getLong
+        // would NPE, and the row would otherwise silently miss every
+        // segment's range filter).
+        val segRows = aligned
           .select(floor(col(ts) / lit(store.segmentMs)).cast("long").as("__seg__"))
-          .distinct().collect().map(_.getLong(0)).sorted
+          .distinct().collect()
+        require(!segRows.exists(_.isNullAt(0)),
+          s"append batch contains null $ts values — a row without a " +
+            "timestamp has no segment; filter or default them before writing")
+        val segs = segRows.map(_.getLong(0)).sorted
         segs.foreach { seg =>
           val lo = seg * store.segmentMs
           commit(aligned.filter(col(ts) >= lit(lo) &&
@@ -155,38 +162,59 @@ final case class GraftRelation(sqlContext: SQLContext,
       filters: Array[Filter]): RDD[Row] = {
     val preds = filters.flatMap(translate)
     val range = store.timestampColumn.map(ts => timeRangeOf(ts, filters))
-      .getOrElse(TimeRange(Long.MinValue, Long.MaxValue))
-    val df = store.scan(ScanRequest(range = range,
-      predicates = preds.toIndexedSeq,
-      projection = Some(requiredColumns.toIndexedSeq)))
-    // needConversion=false contract: hand back the InternalRow RDD
-    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      .getOrElse(Some(TimeRange(Long.MinValue, Long.MaxValue)))
+    range match {
+      case None => // provably empty time range: no scan at all
+        sqlContext.sparkSession.sparkContext.emptyRDD[Row]
+      case Some(r) =>
+        val df = store.scan(ScanRequest(range = r,
+          predicates = preds.toIndexedSeq,
+          projection = Some(requiredColumns.toIndexedSeq)))
+        // needConversion=false contract: hand back the InternalRow RDD
+        df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    }
   }
 
   /** Time-range conjuncts on the descriptor's timestamp column → manifest
     * file pruning (the one pushdown parquet cannot do for us: it happens
     * before any task is scheduled). Conservative: only top-level
-    * conjuncts; everything else leaves the range unbounded. */
-  private def timeRangeOf(ts: String, filters: Array[Filter]): TimeRange = {
+    * conjuncts; everything else leaves the range unbounded. None =
+    * provably empty (contradictory conjuncts, or a bound that cannot be
+    * represented as a half-open range without overflow — e.g.
+    * `ts = Long.MaxValue`, whose exclusive end would wrap). */
+  private def timeRangeOf(ts: String, filters: Array[Filter]): Option[TimeRange] = {
+    // inclusive bounds; converted to the store's half-open range at the end
     var lo = Long.MinValue
     var hi = Long.MaxValue
+    var empty = false
     def num(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case _ => None
     }
     filters.foreach {
-      case GreaterThan(`ts`, v) => num(v).foreach(n => lo = math.max(lo, n + 1))
+      case GreaterThan(`ts`, v) => num(v).foreach { n =>
+        if (n == Long.MaxValue) empty = true // ts > MAX: nothing qualifies
+        else lo = math.max(lo, n + 1)
+      }
       case GreaterThanOrEqual(`ts`, v) => num(v).foreach(n => lo = math.max(lo, n))
-      case LessThan(`ts`, v) => num(v).foreach(n => hi = math.min(hi, n))
-      case LessThanOrEqual(`ts`, v) =>
-        num(v).foreach(n => hi = math.min(hi, if (n == Long.MaxValue) n else n + 1))
+      case LessThan(`ts`, v) => num(v).foreach { n =>
+        if (n == Long.MinValue) empty = true // ts < MIN: nothing qualifies
+        else hi = math.min(hi, n - 1)
+      }
+      case LessThanOrEqual(`ts`, v) => num(v).foreach(n => hi = math.min(hi, n))
       case EqualTo(`ts`, v) => num(v).foreach { n =>
-        lo = math.max(lo, n); hi = math.min(hi, if (n == Long.MaxValue) n else n + 1)
+        lo = math.max(lo, n); hi = math.min(hi, n)
       }
       case _ => ()
     }
-    if (lo < hi) TimeRange(lo, hi) else TimeRange(lo, lo + 1) // empty-ish
+    if (empty || lo > hi) None // contradictory conjuncts: provably empty
+    else if (lo == Long.MaxValue)
+      // [MAX, MAX] has no half-open representation; fall back to an
+      // unbounded range — the translated predicate still filters exactly
+      Some(TimeRange(Long.MinValue, Long.MaxValue))
+    else Some(TimeRange(lo,
+      if (hi == Long.MaxValue) Long.MaxValue else hi + 1))
   }
 
   /** sources.Filter → Column, for the shapes the scan can evaluate. */

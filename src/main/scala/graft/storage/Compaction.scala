@@ -33,14 +33,27 @@ final class Picker(cfg: CompactionConfig, segmentMs: Long,
     // two concurrent tasks must never race on the same physical deletes.
     val expired = expiredAll.filterNot(_.compacting)
     val candidates = live.filterNot(_.compacting)
-    // Group by (segment, bucket): a pk always hashes to the same bucket
-    // (writeBucketed), so merging within one bucket is complete — and one
-    // task's input stays bounded by a bucket, not a whole segment, which
-    // is what keeps compaction admissible under the memory gate at 100 TB.
-    // Unbucketed files (bucket = -1) form their own per-segment group, the
-    // reference's original shape (picker.rs:62-189).
+    // OVERWRITE mode groups by (segment, bucket): a pk always hashes to
+    // the same bucket (writeBucketed), max_by(seq) merging is correct on
+    // ANY file subset, and one task's input stays bounded by a bucket,
+    // not a whole segment — what keeps compaction admissible under the
+    // memory gate at 100 TB. Unbucketed files (bucket = -1) form their
+    // own per-segment group, the reference's original shape
+    // (picker.rs:62-189).
+    //
+    // APPEND mode must NOT split by bucket: its correctness invariant is
+    // "inputs are a seq-contiguous oldest-first prefix of the segment",
+    // and a segment mixing write() (bucket -1) and writeBucketed() files
+    // interleaves a pk's versions across the two groups — compacting one
+    // group's prefix would collapse versions around a skipped
+    // middle file and permanently reorder the concatenation. Per-file ids
+    // are allocated monotonically by the single writer, so the id-sorted
+    // whole-segment prefix preserves every pk's version order even when
+    // the prefix boundary splits a bucketed batch (each pk lives in
+    // exactly one file per batch).
     val bySegment = candidates.groupBy(f =>
-      (TimeRange.truncate(f.timeRange.start, segmentMs), f.bucket))
+      (TimeRange.truncate(f.timeRange.start, segmentMs),
+        if (updateMode == UpdateMode.Overwrite) f.bucket else -1))
     val budget = (cfg.newSstMaxSize * cfg.sizeHeadroom).toLong
     val inputs = bySegment.toSeq.sortBy { case ((seg, b), _) => (-seg, b) }
       .iterator.map { case (_, segFiles) =>

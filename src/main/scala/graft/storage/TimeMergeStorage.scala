@@ -104,6 +104,17 @@ final class TimeMergeStorage(
           s"segment duration mismatch on reopen of $root: stored " +
             s"${storedSeg.get} ms, requested $segmentMs ms — the segment " +
             "layout is physical and cannot change without a rewrite")
+        // same rigor for the timestamp column: it decides which SSTs get
+        // time stats and whether scans time-prune — a silently divergent
+        // reopen would mix stat-less SSTs into a table readers still
+        // assume is prunable (only checked on descriptor-aware roots;
+        // pre-descriptor json upgrades below)
+        if (storedSeg.isDefined) {
+          val storedTs = TimeMergeStorage.descriptorTimestampColumn(json)
+          require(storedTs == timestampColumn,
+            s"timestamp column mismatch on reopen of $root: stored " +
+              s"$storedTs, requested $timestampColumn")
+        }
         if (stored != schema) {
           require(stored.canEvolveTo(schema),
             s"illegal schema evolution on reopen of $root: stored " +
@@ -385,7 +396,17 @@ final class TimeMergeStorage(
     * operators this library already ships.
     *
     * `maxFilesPerTrigger` bounds a micro-batch (backfill over an existing
-    * table arrives in file-sized chunks instead of one giant batch). */
+    * table arrives in file-sized chunks instead of one giant batch).
+    *
+    * COMPACTION CAVEAT: a compaction commit is itself a new file, so a
+    * tailer sees every row of the merged SST again (with its original
+    * `__seq__` values, which downstream last-write-wins dedup absorbs —
+    * but event-counting / append-to-log consumers do not). Tail only
+    * tables whose compaction is paused or that compact on a boundary the
+    * consumer controls — the ingest-layer shape; Delta's change feed
+    * solves the same rewrite problem only with per-commit metadata this
+    * layout does not carry. Idempotent-by-(pk, __seq__) consumers are
+    * safe unconditionally. */
   def tailStream(maxFilesPerTrigger: Int = 100): DataFrame =
     spark.readStream
       .schema(schema.fullSchema)
@@ -401,10 +422,23 @@ object TimeMergeStorage {
     * `userSchema` so [[StorageSchema.fromJson]]'s slicing still works; its
     * regex field reads ignore what they don't know, so descriptors are
     * forward/backward compatible. */
+  // JSON string escape/unescape for the timestamp-column field — a column
+  // name containing a quote or backslash (legal via backticks in Spark)
+  // must not corrupt the one-line descriptor (the manifest path field
+  // gets the same treatment in Manifest.esc).
+  private def escTs(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c => c.toString
+  }
+
+  private def unescTs(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   def descriptorJson(schema: StorageSchema, segmentMs: Long,
       timestampColumn: Option[String]): String = {
     val tsField = timestampColumn
-      .map(c => s""""timestampColumn":"$c",""").getOrElse("")
+      .map(c => s""""timestampColumn":"${escTs(c)}",""").getOrElse("")
     val base = StorageSchema.toJson(schema)
     s"""{"segmentMs":$segmentMs,$tsField${base.stripPrefix("{")}"""
   }
@@ -413,7 +447,8 @@ object TimeMergeStorage {
     """"segmentMs":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
 
   def descriptorTimestampColumn(json: String): Option[String] =
-    """"timestampColumn":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    """"timestampColumn":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(m => unescTs(m.group(1)))
 
   /** Attach to an existing root with ZERO caller-side configuration —
     * schema, primary keys, update mode, segment duration, and timestamp

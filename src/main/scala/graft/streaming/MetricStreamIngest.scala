@@ -44,4 +44,13 @@ object MetricStreamIngest {
     import spark.implicits._
     engine.write(payloads.toDS().flatMap(RemoteWrite.decode(_)).toDF())
   }
+
+  /** Ingest already-decoded samples (the HTTP receive path, which decodes
+    * once on the handler thread to validate the body — re-decoding inside
+    * the ingest would double the edge's CPU cost per payload). */
+  def ingestDecoded(engine: MetricEngine, spark: SparkSession,
+      samples: Seq[Sample]): Unit = {
+    import spark.implicits._
+    engine.write(samples.toDF())
+  }
 }

@@ -96,6 +96,20 @@ class SourceSpec extends AnyFunSuite {
     val e2 = intercept[RuntimeException](
       spark.read.format("graft").option("root", tmpRoot()).load())
     assert(e2.getMessage.contains("descriptor"))
+    // a null timestamp has no segment: rejected with a clear message,
+    // never an NPE or a silently dropped row
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9, null, 9L)), 1), schema)
+    val e3 = intercept[Exception](withNull.write.format("graft")
+      .option("root", root).mode(SaveMode.Append).save())
+    assert(e3.getMessage.contains("null tms"), s"got: ${e3.getMessage}")
+    // unrepresentable / contradictory time bounds neither crash nor
+    // mis-prune: equality at Long.MaxValue and an empty conjunct range
+    val t = spark.read.format("graft").option("root", root).load()
+    assert(t.filter(col("tms") === Long.MaxValue).count() == 0)
+    assert(t.filter(col("tms") > Long.MaxValue).count() == 0)
+    assert(t.filter(col("tms") >= 100L && col("tms") < 50L).count() == 0)
+    assert(t.filter(col("tms") >= 10L && col("tms") <= 10L).count() == 1)
   }
 
   test("appending a widened frame evolves the table schema; old rows read " +

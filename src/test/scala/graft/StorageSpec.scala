@@ -112,6 +112,32 @@ class StorageSpec extends AnyFunSuite {
     assert(got.find(_._1 == 14).get._2 == "9")
   }
 
+  test("append-mode compaction never splits a segment by bucket: mixed " +
+      "write()/writeBucketed() generations keep concat order through " +
+      "compaction") {
+    val schema = StructType(Seq(
+      StructField("pk1", IntegerType), StructField("chunk", StringType)))
+    val s = new TimeMergeStorage(spark, tmpRoot(),
+      StorageSchema(schema, 1, UpdateMode.Append), segmentMs = 1000L)
+    def df(rows: Seq[(Int, String)], parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), parts), schema)
+    // generation 1: unbucketed; 2: bucketed; 3: unbucketed — pk 7's
+    // versions interleave across bucket groups, the shape that corrupts
+    // under per-bucket Append grouping (a compacted unbucketed prefix
+    // {a, c} would reorder around the bucketed b)
+    s.write(df(Seq((7, "a"), (8, "x")), 1), TimeRange(0, 1000))
+    s.writeBucketed(df(Seq((7, "b"), (9, "y")), 2), TimeRange(0, 1000), 4)
+    s.write(df(Seq((7, "c")), 1), TimeRange(0, 1000))
+    val compactor = new Compactor(s, CompactionConfig(inputSstMinNum = 2))
+    var n = 0
+    while (compactor.runOnce() && n < 10) n += 1
+    // the whole segment compacts as ONE group (never bucket-split)
+    assert(s.manifest.allSsts().size == 1)
+    val got = s.scan().collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(got(7) == "abc", s"append order corrupted: ${got(7)}")
+    assert(got(8) == "x" && got(9) == "y")
+  }
+
   test("append-mode binary concat (operator.rs:119-158)") {
     val schema = StructType(Seq(
       StructField("pk1", IntegerType), StructField("v", BinaryType)))
