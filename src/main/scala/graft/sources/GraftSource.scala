@@ -44,9 +44,15 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       sys.error("the graft source needs a 'root' (or 'path') option"))
 
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
+      parameters: Map[String, String]): BaseRelation = {
+    require(!(parameters.contains("asOf") && parameters.contains("excludeTombstones")),
+      "asOf and excludeTombstones cannot combine: a historical view " +
+        "pre-dates later tombstones, so the filter would be misleading")
     GraftRelation(sqlContext,
-      TimeMergeStorage.open(sqlContext.sparkSession, rootOf(parameters)))
+      TimeMergeStorage.open(sqlContext.sparkSession, rootOf(parameters)),
+      asOf = parameters.get("asOf").map(_.toLong),
+      tombstoneCol = parameters.get("excludeTombstones"))
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -143,9 +149,18 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
 /** The scan-side relation: DSv1 `PrunedFilteredScan` delegating to
   * [[TimeMergeStorage.scan]]. `needConversion = false` + `toRdd` keeps the
   * merged scan INSIDE Tungsten (no Row materialization between the store's
-  * plan and the caller's). */
+  * plan and the caller's).
+  *
+  * `asOf` = time travel ([[TimeMergeStorage.scanAsOf]]): the table as of
+  * that write sequence — `OPTIONS (root '…', asOf '123')`.
+  * `tombstoneCol` = delete-marker filtering
+  * ([[TimeMergeStorage.scanWithoutDeleted]]) —
+  * `OPTIONS (root '…', excludeTombstones 'deleted')`. */
 final case class GraftRelation(sqlContext: SQLContext,
-    store: TimeMergeStorage) extends BaseRelation with PrunedFilteredScan {
+    store: TimeMergeStorage,
+    asOf: Option[Long] = None,
+    tombstoneCol: Option[String] = None)
+    extends BaseRelation with PrunedFilteredScan {
 
   override def schema: StructType = store.schema.userSchema
 
@@ -167,9 +182,14 @@ final case class GraftRelation(sqlContext: SQLContext,
       case None => // provably empty time range: no scan at all
         sqlContext.sparkSession.sparkContext.emptyRDD[Row]
       case Some(r) =>
-        val df = store.scan(ScanRequest(range = r,
+        val req = ScanRequest(range = r,
           predicates = preds.toIndexedSeq,
-          projection = Some(requiredColumns.toIndexedSeq)))
+          projection = Some(requiredColumns.toIndexedSeq))
+        val df = (asOf, tombstoneCol) match {
+          case (Some(seq), _) => store.scanAsOf(seq, req)
+          case (_, Some(tc)) => store.scanWithoutDeleted(tc, req)
+          case _ => store.scan(req)
+        }
         // needConversion=false contract: hand back the InternalRow RDD
         df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }

@@ -80,6 +80,18 @@ class HttpFrontendSpec extends AnyFunSuite {
       assert(viaHttp.body() == direct)
       assert(get(port, "/query").statusCode() == 400) // missing promql
       assert(get(port, "/query?promql=%28%28").statusCode() == 400) // parse err
+      // malformed percent-encoding must be a 400, never a dropped
+      // connection (URLDecoder throws before query evaluation); the JDK
+      // HttpClient refuses to even send it, so go through a raw socket
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        sock.getOutputStream.write(
+          ("GET /query?promql=%G1 HTTP/1.1\r\nHost: 127.0.0.1\r\n" +
+            "Connection: close\r\n\r\n").getBytes("US-ASCII"))
+        sock.getOutputStream.flush()
+        val raw = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        assert(raw.startsWith("HTTP/1.1 400"), s"got: ${raw.take(80)}")
+      } finally sock.close()
 
       // async compact: two ingests above → ≥2 data SSTs; the submitted task
       // merges them (fire-and-forget response, main.rs:75-81)

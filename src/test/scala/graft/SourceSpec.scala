@@ -148,6 +148,40 @@ class SourceSpec extends AnyFunSuite {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("time travel and tombstone filtering through SQL options") {
+    val root = tmpRoot()
+    val tsSchema = StructType(Seq(
+      StructField("pk", IntegerType), StructField("tms", LongType),
+      StructField("v", LongType), StructField("deleted", BooleanType)))
+    def w(rows: Seq[(Int, Long, Long, Boolean)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)), 1), tsSchema)
+      .write.format("graft").option("root", root)
+      .option("numPrimaryKeys", "1").option("segmentMs", "1000")
+      .option("timestampColumn", "tms").mode(SaveMode.Append).save()
+    w(Seq((1, 10L, 10L, false), (2, 20L, 20L, false)))
+    val gen1 = TimeMergeStorage.open(spark, root).manifest.maxSstId
+    w(Seq((1, 30L, 11L, false), (3, 40L, 30L, false))) // overwrite + insert
+    w(Seq((2, 50L, 0L, true)))                          // delete pk 2
+
+    val current = spark.read.format("graft").option("root", root).load()
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(current == Map(1 -> 11L, 2 -> 0L, 3 -> 30L))
+    // asOf the first write: later overwrite/insert/delete invisible
+    val asOf = spark.read.format("graft").option("root", root)
+      .option("asOf", gen1.toString).load()
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(asOf == Map(1 -> 10L, 2 -> 20L))
+    // tombstone-filtered view drops the deleted pk; works from SQL too
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW src_live USING graft " +
+      s"OPTIONS (root '$root', excludeTombstones 'deleted')")
+    assert(spark.sql("SELECT pk FROM src_live ORDER BY pk").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // the two options are mutually exclusive by design
+    intercept[Exception](spark.read.format("graft").option("root", root)
+      .option("asOf", "1").option("excludeTombstones", "deleted").load())
+  }
+
   test("bucketed SQL writes produce the 100 TB layout and read back merged") {
     val root = tmpRoot()
     val rows = (1 to 200).map(i => (i, (i % 3) * 1000L, i.toLong))
