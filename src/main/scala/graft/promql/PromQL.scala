@@ -290,7 +290,14 @@ object PromQLParser {
       else if (isIdentStart(c)) {
         val start = i
         while (i < s.length && isIdent(s(i))) i += 1
-        out += TIdent(s.substring(start, i), start)
+        val word = s.substring(start, i)
+        // Inf/NaN are NUMBER literals in PromQL (case-insensitive), not
+        // metric names — `x < Inf` must compare, not select a metric "Inf"
+        if (word.equalsIgnoreCase("inf"))
+          out += TNum(Double.PositiveInfinity, start)
+        else if (word.equalsIgnoreCase("nan"))
+          out += TNum(Double.NaN, start)
+        else out += TIdent(word, start)
       } else if (c.isDigit) {
         // number or duration: digits followed by a unit start a compound
         // duration (1h30m); a fraction or bare digits are a plain number
@@ -298,14 +305,28 @@ object PromQLParser {
         val start = i
         var n = 0L
         while (i < s.length && s(i).isDigit) { n = n * 10 + (s(i) - '0'); i += 1 }
+        // exponent suffix (1e5, 2.5E-3): part of the number literal
+        def eatExponent(): Boolean =
+          if (i < s.length && (s(i) == 'e' || s(i) == 'E')) {
+            val save = i
+            i += 1
+            if (i < s.length && (s(i) == '+' || s(i) == '-')) i += 1
+            if (i < s.length && s(i).isDigit) {
+              while (i < s.length && s(i).isDigit) i += 1
+              true
+            } else { i = save; false } // not an exponent (e.g. metric "1e"? no — rewind)
+          } else false
         if (i < s.length && s(i) == '.') {
           i += 1
           if (i >= s.length || !s(i).isDigit)
             throw PromQLParseException("expected digits after '.'", i)
           while (i < s.length && s(i).isDigit) i += 1
+          eatExponent()
           // Parse the sliced literal with Double.parseDouble so decimals like
           // 0.3 round-trip exactly (digit-by-digit accumulation drifts by ULPs;
           // Prometheus itself uses strconv.ParseFloat on the slice).
+          out += TNum(java.lang.Double.parseDouble(s.substring(start, i)), start)
+        } else if (eatExponent()) {
           out += TNum(java.lang.Double.parseDouble(s.substring(start, i)), start)
         } else DurUnits.find { case (u, _) => s.startsWith(u, i) } match {
           case Some((u, mult)) =>
@@ -321,7 +342,11 @@ object PromQLParser {
               }
             }
             out += TDur(ms, start)
-          case None => out += TNum(n.toDouble, start)
+          case None =>
+            // parse the SLICE, not the Long accumulator: a 20+-digit
+            // literal wraps the Long silently; Prometheus parses large
+            // integer literals as floats
+            out += TNum(java.lang.Double.parseDouble(s.substring(start, i)), start)
         }
       } else if (c == '"' || c == '\'') {
         val start = i
@@ -566,12 +591,18 @@ object PromQLParser {
       next(); expect("(")
       val arg = parseRangeVector()
       expect(",")
-      val t = next() match {
+      // a leading '-' allows backward prediction (valid PromQL)
+      val negT = peek match {
+        case TPunct("-", _) => next(); true
+        case _ => false
+      }
+      val t0 = next() match {
         case TNum(d, _) => d
         case TDur(ms, _) => ms / 1000.0 // allow predict_linear(x[1h], 4h)
         case tk => throw PromQLParseException(
           "predict_linear requires a scalar horizon in seconds after the range vector", tk.pos)
       }
+      val t = if (negT) -t0 else t0
       expect(")")
       mkRange(RangeF.PredictLinear(t), arg)
     }
@@ -618,14 +649,22 @@ object PromQLParser {
       val e = parseExpr()
       expect("[")
       val win = next() match {
-        case TDur(ms, _) => ms
+        case TDur(ms, p) =>
+          // a zero window would floor-divide timestamps by 0 at eval —
+          // null buckets fusing every row, silently (Prometheus: parse error)
+          if (ms <= 0) throw PromQLParseException(
+            "range window must be positive", p)
+          ms
         case t => throw PromQLParseException("expected duration", t.pos)
       }
       peek match {
         case TPunct(":", _) =>
           next()
           val step = next() match {
-            case TDur(ms, _) => ms
+            case TDur(ms, p) =>
+              if (ms <= 0) throw PromQLParseException(
+                "subquery step must be positive", p)
+              ms
             case t => throw PromQLParseException(
               "expected step duration after ':' (explicit step required)", t.pos)
           }
@@ -710,11 +749,18 @@ object PromQLParser {
       var done = false
       while (!done) next() match {
         case TPunct(")", _) => done = true
-        case TPunct(",", _) => next() match {
-          case TNum(d, _) => args += d; n += 1
-          case t => throw PromQLParseException(
-            s"$name takes scalar arguments after the vector", t.pos)
-        }
+        case TPunct(",", _) =>
+          // scalar arguments may be negative (clamp_min(x, -10) is valid
+          // PromQL) — fold an optional leading '-' like parseParamAgg does
+          val neg = peek match {
+            case TPunct("-", _) => next(); true
+            case _ => false
+          }
+          next() match {
+            case TNum(d, _) => args += (if (neg) -d else d); n += 1
+            case t => throw PromQLParseException(
+              s"$name takes scalar arguments after the vector", t.pos)
+          }
         case t => throw PromQLParseException("expected ',' or ')'", t.pos)
       }
       if (n < minA || n > maxA) fail(

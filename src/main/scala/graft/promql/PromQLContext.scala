@@ -105,6 +105,12 @@ final class PromQLContext(
         .withColumn("value", lit(1.0))
 
     case RangeFn(fn, sel, windowMs) =>
+      // Range functions OWN their buckets: a stepMs reaching this node is
+      // deliberately ignored (tumbling rule — the window IS the grain;
+      // spec: "step is ignored when the child already carries window
+      // buckets"). MetricEngine.queryPromQL validates window-vs-step
+      // agreement up front for callers who pass both; the flat-context
+      // contract is documented at [[sql]].
       val labelOut = labels.keys.toSeq.sorted
       val rows = select(sel.metric, sel.matchers, sel.offsetMs, range)
       val ts = shifted(sel.offsetMs)
@@ -287,9 +293,12 @@ final class PromQLContext(
       // [t-w, t). Timestamps are shifted down by t mod w so the pinned
       // window IS one epoch-aligned tumbling bucket, then the whole range-fn
       // machinery runs unchanged on a nested context; the constant shift
-      // preserves ordering and every time DELTA (rate/irate/deriv), and
-      // predict_linear's horizon is re-anchored so predictions still target
-      // real time t + tSec. Output drops the bucket column — a time-pinned
+      // preserves ordering and every time DELTA (rate/irate/deriv).
+      // predict_linear needs NO horizon re-anchor: the regression is fit in
+      // shifted coordinates, so its intercept already absorbs slope·shift —
+      // evaluating at the shifted window end + tSec targets real time
+      // t + tSec exactly (adding shift again would overshoot by
+      // slope·shift). Output drops the bucket column — a time-pinned
       // vector that joins stepped operands as a per-range constant. The
       // outer query range deliberately does NOT clip the pinned read
       // (Prometheus @ may look outside [start, end]).
@@ -298,10 +307,7 @@ final class PromQLContext(
           "@ on a bare {...} multi-metric selector needs __name__ bound " +
             "as a label (metric identity would be lost in the pinned window)")
       val shift = math.floorMod(atMs, windowMs)
-      val fn = fn0 match {
-        case RangeF.PredictLinear(t) => RangeF.PredictLinear(t + shift / 1000.0)
-        case other => other
-      }
+      val fn = fn0
       val pinned = TimeRange(atMs - windowMs, atMs)
       val rows = select(sel.metric, sel.matchers, sel.offsetMs, Some(pinned))
       val inner = rows
@@ -383,14 +389,24 @@ final class PromQLContext(
         case (FnCall("scalar", a, _), FnCall("scalar", b, _))
             if !isSetOp(op) =>
           rejectMatchingOnScalar()
+          // scalar-scalar comparison: Prometheus REQUIRES `bool` (there is
+          // no row to filter) and the result is a 1.0/0.0 scalar — never a
+          // boolean-typed column leaking into downstream arithmetic
+          if (isCmp(op) && !bool) throw new IllegalArgumentException(
+            s"comparisons between scalars must use the bool modifier: " +
+              s"scalar(...) $op bool scalar(...)")
           val sa = scalarFrame(a, stepMs, range)
           val sb = scalarFrame(b, stepMs, range)
             .withColumnRenamed("__sv__", "__sv2__")
           val t = Seq("bucket_ms").filter(c =>
             sa.columns.contains(c) && sb.columns.contains(c))
           val joined = if (t.isEmpty) sa.crossJoin(sb) else sa.join(sb, t)
-          joined.select(t.map(col) :+
-            applyOp(op, col("__sv__"), col("__sv2__")).as("value"): _*)
+          val out =
+            if (isCmp(op))
+              when(applyOp(op, col("__sv__"), col("__sv2__")), lit(1.0))
+                .otherwise(lit(0.0))
+            else applyOp(op, col("__sv__"), col("__sv2__"))
+          joined.select(t.map(col) :+ out.as("value"): _*)
         case (v, FnCall("scalar", sc, _)) if !isSetOp(op) =>
           rejectMatchingOnScalar()
           scalarCombine(eval(v, stepMs, range), sc, op, bool,
@@ -483,13 +499,39 @@ final class PromQLContext(
                 s"group_*($lbl): include label not present on the $oneSideName operand " +
                   s"(${one.columns.mkString(",")})")
           }
-          val oneSel = one.select(
+          // Cardinality contract (Prometheus vectorElemBinop): the ONE side
+          // must be unique per match key — and with NO group modifier both
+          // sides must be (1:1). Violations raise at EXECUTION through the
+          // value expression itself (a window count feeding raise_error —
+          // zero extra jobs; the window's partitioning matches the join
+          // keys the data already shuffles on), instead of silently
+          // duplicating rows.
+          def uniquePerKey(df: DataFrame, keyCols: Seq[String], valueC: String,
+              side: String): DataFrame =
+            if (keys.isEmpty) df
+            else {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keyCols.map(col): _*)
+              df.withColumn(valueC,
+                when(count(lit(1)).over(w) === 1, col(valueC))
+                  .otherwise(raise_error(lit(
+                    s"'$op': found duplicate series for the match keys " +
+                      s"(${keys.mkString(", ")}) on the $side side — " +
+                      "many-to-one matching must be explicit " +
+                      "(group_left/group_right)")).cast("double")))
+            }
+          val oneSel = uniquePerKey(one.select(
             keys.map(k => col(k).as(s"__rk_$k")) ++
               include.filterNot(keys.contains).map(k => col(k).as(s"__ri_$k")) :+
-              col("value").as("__rv__"): _*)
+              col("value").as("__rv__"): _*),
+            keys.map(k => s"__rk_$k"), "__rv__",
+            if (grouped) oneSideName else "right")
+          val manyChecked =
+            if (grouped) many // the many side is explicitly allowed N:1
+            else uniquePerKey(many, keys, "value", "left")
           val joined =
-            if (keys.isEmpty) many.crossJoin(oneSel) // scalar one side / 1×1
-            else many.join(oneSel,
+            if (keys.isEmpty) manyChecked.crossJoin(oneSel) // scalar / 1×1
+            else manyChecked.join(oneSel,
               keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _))
           // value expression respects operand order even when group_right
           // swapped the join sides
@@ -841,8 +883,20 @@ final class PromQLContext(
       // __name__ is ALWAYS dropped under without (Prometheus aggregations
       // strip the metric name), even when it is bound as a label; only
       // labels actually present on the child frame survive as keys.
-      val effBy = if (without) labels.keys.toSeq.filterNot(by.contains)
-        .filterNot(_ == "__name__").filter(in.columns.contains) else by
+      // `without` keeps EVERY label the child actually carries except the
+      // listed ones — derived from the frame's columns, not the static
+      // binding map, so labels the child SYNTHESIZED (count_values' value
+      // label, label_replace/label_join dst) survive the aggregation as
+      // Prometheus keeps them. Structural columns (value/time/series
+      // tiebreaks/internals) are never grouping keys.
+      val structuralCols =
+        Set("value", "bucket_ms", "ts_ms", "__name__") ++ seriesCols
+      val effBy = if (without)
+        in.columns.toSeq
+          .filterNot(structuralCols.contains)
+          .filterNot(_.startsWith("__"))
+          .filterNot(by.contains)
+      else by
       val keys = effBy.sorted.map(col) ++
         (if (in.columns.contains("bucket_ms")) Seq(col("bucket_ms")) else Nil)
       val agg = (op match {
@@ -974,15 +1028,26 @@ final class PromQLContext(
     case "atan2" => atan2(a, b)
     case "and" | "or" | "unless" => throw new IllegalArgumentException(
       s"set operator '$op' requires vector operands on both sides")
-    case "==" => a === b
-    case "!=" => a =!= b
-    case ">" => a > b
-    case ">=" => a >= b
-    case "<" => a < b
-    case "<=" => a <= b
+    // Comparisons follow IEEE 754 like Prometheus (Go float compare): ANY
+    // comparison involving NaN is false, and NaN != x is true. Spark's
+    // native ordering instead ranks NaN above every value and equal to
+    // itself (`cpu < NaN` would keep every finite row) — guard explicitly.
+    case "==" => !isnan(a) && !isnan(b) && (a === b)
+    case "!=" => isnan(a) || isnan(b) || (a =!= b)
+    case ">" => !isnan(a) && !isnan(b) && (a > b)
+    case ">=" => !isnan(a) && !isnan(b) && (a >= b)
+    case "<" => !isnan(a) && !isnan(b) && (a < b)
+    case "<=" => !isnan(a) && !isnan(b) && (a <= b)
   }
 
-  /** Parse and evaluate in one call. */
+  /** Parse and evaluate in one call.
+    *
+    * `stepMs` buckets NON-windowed frames (instant selectors,
+    * aggregations over them); range functions OWN their buckets — their
+    * window is the output grain and a disagreeing stepMs is ignored on
+    * windowed subtrees (tumbling rule). Callers who need window-vs-step
+    * agreement enforced should go through `MetricEngine.queryPromQL`,
+    * which validates it up front. */
   def sql(promql: String, stepMs: Option[Long] = None,
       range: Option[TimeRange] = None): DataFrame =
     eval(PromQLParser.parse(promql), stepMs, range)

@@ -1230,4 +1230,96 @@ class PromQLSpec extends AnyFunSuite {
     val t = ctx.sql("tanh(rad(cpu))").collect().head.getDouble(3)
     assert(math.abs(t - math.tanh(math.toRadians(0.5))) < 1e-12)
   }
+
+  test("context: many-to-one matching without group modifier raises " +
+      "(Prometheus duplicate-series error), group_left allows it") {
+    val ctx = ctxOf(Seq(
+      Row("a", "h1", "us", 0L, 1.0),
+      Row("b", "h1", "us", 0L, 10.0), Row("b", "h1", "eu", 0L, 20.0)))
+    // b has TWO series per host=h1: `a + on(host) b` must error, not
+    // silently emit two rows
+    val e = intercept[Exception](
+      ctx.sql("sum by (host) (a) + on(host) sum by (host, dc) (b)").collect())
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("duplicate series") ||
+        Option(e.getCause).exists(_.getMessage.contains("duplicate series"))))
+    // explicit group_left accepts the same shape (b is the many side)
+    val ok = ctx.sql(
+      "sum by (host, dc) (b) + on(host) group_left sum by (host) (a)")
+      .collect().map(_.getDouble(2)).sorted.toSeq
+    assert(ok == Seq(11.0, 21.0))
+    // clean 1:1 matching still flows
+    val one = ctx.sql("sum by (host) (a) + on(host) sum by (host) (b)")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(one == Seq(31.0))
+  }
+
+  test("context: scalar-scalar comparison requires bool and yields 1.0/0.0") {
+    val ctx = ctxOf(Seq(
+      Row("a", "h1", "us", 0L, 5.0), Row("b", "h1", "us", 0L, 3.0)))
+    val e = intercept[IllegalArgumentException](
+      ctx.sql("scalar(sum(a)) > scalar(sum(b))"))
+    assert(e.getMessage.contains("bool"))
+    val v = ctx.sql("scalar(sum(a)) > bool scalar(sum(b))").collect()
+    assert(v.length == 1 && v.head.getDouble(0) == 1.0)
+    val arith = ctx.sql("(scalar(sum(a)) > bool scalar(sum(b))) + 41")
+    assert(arith.collect().head.getDouble(0) == 42.0)
+  }
+
+  test("context: `without` keeps labels the child SYNTHESIZED " +
+      "(count_values / label_replace dst survive the aggregation)") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "h1", "us", 0L, 1.0), Row("cpu", "h2", "us", 0L, 1.0),
+      Row("cpu", "h3", "us", 0L, 2.0)))
+    // count_values synthesizes label "v"; without(host) must keep it
+    // (value strings use the engine's double cast — "1.0", documented)
+    val got = ctx.sql("""sum without (host) (count_values("v", cpu))""")
+      .collect().map(r => (r.getAs[String]("v"), r.getAs[Double]("value"))).toMap
+    assert(got == Map("1.0" -> 2.0, "2.0" -> 1.0))
+    // label_replace dst survives without() on another label
+    val lr = ctx.sql(
+      """sum without (dc) (label_replace(cpu, "grp", "g-$1", "host", "h(.*)"))""")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Double]("value"))).toMap
+    assert(lr == Map("g-1" -> 1.0, "g-2" -> 1.0, "g-3" -> 2.0))
+  }
+
+  test("parser: negative scalar args, Inf/NaN literals, exponents, " +
+      "huge integers, zero durations rejected") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "h1", "us", 0L, -5.0), Row("cpu", "h2", "us", 0L, 7.0)))
+    // clamp with negative bounds is valid PromQL
+    val c = ctx.sql("clamp(cpu, -1, 1)").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(c == Map("h1" -> -1.0, "h2" -> 1.0))
+    assert(PromQLParser.parse("predict_linear(x[1h], -600)") ==
+      RangeFn(RangeF.PredictLinear(-600.0), Selector("x", Nil), 3600000L))
+    // Inf is a number literal, not a metric selector: x < Inf keeps all
+    val inf = ctx.sql("cpu < Inf").collect()
+    assert(inf.length == 2)
+    assert(ctx.sql("cpu < bool NaN").collect().map(_.getDouble(3)).toSeq ==
+      Seq(0.0, 0.0)) // NaN comparisons are false
+    // exponent literals and >19-digit integers parse as doubles
+    assert(PromQLParser.parse("x > 1e5") ==
+      BinOp(">", Selector("x", Nil), NumLit(100000.0), false, None))
+    assert(PromQLParser.parse("x > 99999999999999999999") ==
+      BinOp(">", Selector("x", Nil), NumLit(1e20), false, None))
+    // zero windows/steps are parse errors, not division-by-zero buckets
+    assertThrows[PromQLParseException](PromQLParser.parse("rate(x[0s])"))
+    assertThrows[PromQLParseException](
+      PromQLParser.parse("max_over_time(x[1h:0s])"))
+  }
+
+  test("context: predict_linear under @ targets real time t + horizon " +
+      "(no double shift at non-window-aligned pins)") {
+    // series with exact slope 2/sec: value = 2 * t_sec
+    val rows = (0 until 60).map(i =>
+      Row("lin", "h1", "us", 1500000L + i * 60000L, 2.0 * (1500 + i * 60)))
+    val ctx = ctxOf(rows)
+    // pin @ 5400s (not a multiple of the 1h window): window [1800, 5400)s,
+    // prediction at 5400 + 600 = 6000s → value 12000 exactly
+    val got = ctx.sql("predict_linear(lin[1h] @ 5400, 600)").collect()
+    assert(got.length == 1)
+    assert(math.abs(got.head.getAs[Double]("value") - 12000.0) < 1e-6,
+      s"got ${got.head.getAs[Double]("value")}, want 12000.0")
+  }
 }

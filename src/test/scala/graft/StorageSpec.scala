@@ -693,6 +693,17 @@ class StorageSpec extends AnyFunSuite {
     // descriptor round-trip is exact
     val json = StorageSchema.toJson(v2Schema)
     assert(StorageSchema.fromJson(json) == v2Schema)
+    // hostile identifiers survive the one-line descriptor: quotes,
+    // backslashes, braces, the literal field keys themselves
+    for (name <- Seq("a\"b", "a\\b", "x{\"userSchema\":1}",
+        "timestampColumn", "segmentMs", "列\n名")) {
+      val sch = StorageSchema(StructType(Seq(
+        StructField("pk", IntegerType), StructField(name, LongType))), 1)
+      val d = TimeMergeStorage.descriptorJson(sch, 777L, Some(name))
+      assert(TimeMergeStorage.descriptorSegmentMs(d).contains(777L), name)
+      assert(TimeMergeStorage.descriptorTimestampColumn(d).contains(name), name)
+      assert(StorageSchema.fromJson(d) == sch, name)
+    }
   }
 
   test("tombstone deletes: winner-is-marker keys vanish, re-insert after " +
