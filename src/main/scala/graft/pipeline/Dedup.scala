@@ -45,6 +45,13 @@ object Dedup {
     * signature aggregation is computed once, not once per band, and the
     * downstream self-join's two sides share (and reuse) one exchange. */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
+    // a non-dividing bandSize would silently DROP the trailing hashes
+    // (numHashes/bandSize truncates), quietly lowering recall below what
+    // the configured signature width implies — same guard as
+    // bandedHammingPairs' bits % bands check
+    require(numHashes % bandSize == 0,
+      s"bandSize=$bandSize must divide numHashes=$numHashes (a remainder " +
+        "would silently ignore the trailing minhashes)")
     val numBands = numHashes / bandSize
     val bandKeys = array((0 until numBands).map { b =>
       concat_ws("|", (0 until bandSize).map(i => col(s"mh${b * bandSize + i}")): _*)
@@ -68,6 +75,9 @@ object Dedup {
     * exact behavior. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
       bandSize: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bandSize == 0,
+      s"bandSize=$bandSize must divide numHashes=$numHashes (a remainder " +
+        "would silently ignore the trailing minhashes)")
     val numBands = numHashes / bandSize
     if (maxBucket == Int.MaxValue) {
       // Exact (uncapped) path: a pair sharing k bands would come out of the
@@ -118,29 +128,24 @@ object Dedup {
     val bands = lshBands(sig, idCol, numHashes, bandSize)
       .repartition(col("band"), col("band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sized =
-      if (maxBucket == Int.MaxValue) bands
-      else {
-        val bucketStats = bands.groupBy("band", "band_key")
-          .agg(count(lit(1)).as("__m__"), min(col(idCol)).as("__hub__"))
-        bands.join(bucketStats, Seq("band", "band_key"))
-      }
+    // (the uncapped maxBucket == Int.MaxValue case returned on the exact
+    // path above — everything below serves the capped path only)
+    val bucketStats = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__m__"), min(col(idCol)).as("__hub__"))
+    val sized = bands.join(bucketStats, Seq("band", "band_key"))
     val pairJoin = {
-      val small = if (maxBucket == Int.MaxValue) sized
-        else sized.filter(col("__m__") <= maxBucket)
-          .select(col("band"), col("band_key"), col(idCol))
+      val small = sized.filter(col("__m__") <= maxBucket)
+        .select(col("band"), col("band_key"), col(idCol))
       val l = small.select(col("band"), col("band_key"), col(idCol).as("id_a"))
       val r = small.select(col("band"), col("band_key"), col(idCol).as("id_b"))
       l.join(r, Seq("band", "band_key"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
     }
-    val capped =
-      if (maxBucket == Int.MaxValue) pairJoin
-      else pairJoin.union(
-        // star expansion: hub = min id, spokes = everyone else, O(m) pairs
-        sized.filter(col("__m__") > maxBucket && col(idCol) =!= col("__hub__"))
-          .select(col("__hub__").as("id_a"), col(idCol).as("id_b")))
+    val capped = pairJoin.union(
+      // star expansion: hub = min id, spokes = everyone else, O(m) pairs
+      sized.filter(col("__m__") > maxBucket && col(idCol) =!= col("__hub__"))
+        .select(col("__hub__").as("id_a"), col(idCol).as("id_b")))
     capped.distinct()
   }
 
@@ -565,8 +570,11 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
         col("n_chars"),
-        round(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"), 4)
-          .as("dup_frac"))
+        // empty documents have no chars to duplicate: dup_frac is 0.0, not
+        // a division by zero (which ANSI mode, Spark 4's default, THROWS on)
+        when(col("n_chars") > 0,
+          round(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
   }
 
   /** n-gram Jaccard similarity for candidate verification: character

@@ -40,15 +40,26 @@ object Multimodal {
   private def byteAt(bin: Column, pos: Int): Column =
     conv(hex(substring(bin, pos, 1)), 16, 10).cast("int")
 
+  /** Signed int32 from four unsigned bytes: accumulate in LONG (a high
+    * byte >= 0x80 would overflow INT arithmetic — ANSI mode, on by default
+    * in Spark 4, THROWS instead of wrapping; top-down BMPs encode height
+    * as a negative int32 so the high byte is routinely 0xFF), then wrap to
+    * the signed range before the safe int cast. */
+  private def signedInt32(b0: Column, b1: Column, b2: Column, b3: Column): Column = {
+    val lv = b0.cast("long") + b1.cast("long") * 256L +
+      b2.cast("long") * 65536L + b3.cast("long") * 16777216L
+    when(lv >= 2147483648L, lv - 4294967296L).otherwise(lv).cast("int")
+  }
+
   /** Little-endian int32 at 1-based `pos` (BMP headers). */
   private def leInt(bin: Column, pos: Int): Column =
-    byteAt(bin, pos) + byteAt(bin, pos + 1) * 256 +
-      byteAt(bin, pos + 2) * 65536 + byteAt(bin, pos + 3) * 16777216
+    signedInt32(byteAt(bin, pos), byteAt(bin, pos + 1),
+      byteAt(bin, pos + 2), byteAt(bin, pos + 3))
 
   /** Big-endian int32 at 1-based `pos` (PNG IHDR). */
   private def beInt(bin: Column, pos: Int): Column =
-    byteAt(bin, pos + 3) + byteAt(bin, pos + 2) * 256 +
-      byteAt(bin, pos + 1) * 65536 + byteAt(bin, pos) * 16777216
+    signedInt32(byteAt(bin, pos + 3), byteAt(bin, pos + 2),
+      byteAt(bin, pos + 1), byteAt(bin, pos))
 
   def isBmp(bin: Column): Column =
     length(bin) >= 54 && hex(substring(bin, 1, 2)) === "424D" // "BM"
@@ -66,9 +77,14 @@ object Multimodal {
     when(isBmp(bin), leInt(bin, 19)).when(isPng(bin), beInt(bin, 17))
 
   /** Pixel height: BMP = LE int32 at offset 22 (absolute value — negative
-    * encodes top-down row order), PNG = BE int32 at IHDR offset 20. */
-  def imageHeight(bin: Column): Column =
-    when(isBmp(bin), abs(leInt(bin, 23))).when(isPng(bin), beInt(bin, 21))
+    * encodes top-down row order), PNG = BE int32 at IHDR offset 20.
+    * A crafted Int.MinValue height reads null (its abs has no int32
+    * representation; ANSI abs would throw). */
+  def imageHeight(bin: Column): Column = {
+    val h = leInt(bin, 23)
+    when(isBmp(bin), when(h === Int.MinValue, lit(null)).otherwise(abs(h)))
+      .when(isPng(bin), beInt(bin, 21))
+  }
 
   /** Wrap a raw binary column into the canonical (payload, meta) shape.
     * Width/height are decoded from the payload's own header bytes (null for
@@ -271,6 +287,7 @@ object Multimodal {
     while (off + 8 <= payload.length) {
       val cid = new String(payload, off, 4, "US-ASCII")
       val size = leIntAt(payload, off + 4)
+      if (size < 0) return (channels, rate, frames, rms) // torn/adversarial
       val body = off + 8
       cid match {
         case "fmt " if body + 16 <= payload.length =>
@@ -351,13 +368,17 @@ object Multimodal {
     while (off + 8 <= payload.length) {
       val cid = new String(payload, off, 4, "US-ASCII")
       val size = leIntAt(payload, off + 4)
+      if (size < 0) return (0, 0, 0L, 0.0) // torn/adversarial size field
       val body = off + 8
       if (cid == "LIST" && body + 4 <= payload.length &&
           new String(payload, body, 4, "US-ASCII") == "hdrl") {
         var in = body + 4
-        while (in + 8 <= body + size) {
+        // the declared list size is untrusted: clamp to the real payload
+        val end = math.min(body + size, payload.length)
+        while (in + 8 <= end) {
           val sub = new String(payload, in, 4, "US-ASCII")
           val subSize = leIntAt(payload, in + 4)
+          if (subSize < 0) return (0, 0, 0L, 0.0)
           if (sub == "avih" && in + 8 + 40 <= payload.length) {
             val base = in + 8
             val usPerFrame = leIntAt(payload, base)
@@ -533,14 +554,18 @@ object Multimodal {
     while (off + 8 <= payload.length) {
       val cid = new String(payload, off, 4, "US-ASCII")
       val size = leIntAt(payload, off + 4)
+      if (size < 0) return out.result() // torn/adversarial size field
       val body = off + 8
       if (cid == "LIST" && body + 4 <= payload.length &&
           new String(payload, body, 4, "US-ASCII") == "movi") {
         var in = body + 4
         var idx = 0
-        while (in + 8 <= body + size) {
+        // the declared list size is untrusted: clamp to the real payload
+        val end = math.min(body + size, payload.length)
+        while (in + 8 <= end) {
           val sub = new String(payload, in, 4, "US-ASCII")
           val subSize = leIntAt(payload, in + 4)
+          if (subSize < 0) return out.result()
           if (sub == "00dc" || sub == "00db") {
             if (idx % every == 0) out += ((idx, (in + 8).toLong, subSize))
             idx += 1

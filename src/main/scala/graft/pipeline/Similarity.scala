@@ -137,14 +137,20 @@ object Similarity {
     // |q|, argmin |q-c|^2 = argmax (2 q·c - |c|^2). A raw-dot probe would
     // disagree with the assignment for unnormalized vectors and could skip
     // the query's own cell.
+    // tiebreak on -cell so equal scores order LOWEST cell first, exactly
+    // like ivfAssign's struct(score, -j) pick — with duplicate centroids
+    // (k-means over few distinct points) a highest-cell tiebreak would
+    // probe the empty copy while the vectors sit in the low-numbered one
     val cellScores = centroids.indices.map { j =>
-      struct(cellScore(col("qv"), centroids(j)).as("score"), lit(j).as("cell"))
+      struct(cellScore(col("qv"), centroids(j)).as("score"),
+        lit(-j).as("negCell"))
     }
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("probed",
         slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe))
-      .select(col("query_id"), col("qv"), explode(col("probed.cell")).as("cell")))
+      .select(col("query_id"), col("qv"),
+        explode(transform(col("probed"), p => -p("negCell"))).as("cell")))
     val scored = indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
         col("cell"))
       .join(q, Seq("cell"))

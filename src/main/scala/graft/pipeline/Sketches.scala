@@ -116,15 +116,20 @@ object Sketches {
     * `md5(i || '|' || key)` and increments cell (i, first-byte % width).
     * Returns (row_id, pos, cnt) — the sketch, d×w counters total, built by
     * one map-side-combinable aggregation. */
-  def cmsCells(df: DataFrame, key: Column, depth: Int = 4,
-      width: Int = 32): DataFrame = {
-    require(width <= 256, "width > 256 needs more than one hash byte")
-    val rows = array((0 until depth).map { i =>
+  /** The ONE cell-position hash build and probe must share (an edit to a
+    * drifted copy would silently break every estimate): row i of the
+    * sketch addresses cell `md5(i || '|' || key)[0] % width`. */
+  private def cmsPositions(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { i =>
       struct(lit(i).cast("long").as("row_id"),
         (conv(substring(md5(concat_ws("|", lit(i), key.cast("string"))),
           1, 2), 16, 10).cast("long") % width).as("pos"))
     }: _*)
-    df.select(explode(rows).as("c"))
+
+  def cmsCells(df: DataFrame, key: Column, depth: Int = 4,
+      width: Int = 32): DataFrame = {
+    require(width <= 256, "width > 256 needs more than one hash byte")
+    df.select(explode(cmsPositions(key, depth, width)).as("c"))
       .select(col("c.row_id"), col("c.pos"))
       .groupBy("row_id", "pos").agg(count(lit(1)).as("cnt"))
   }
@@ -132,19 +137,20 @@ object Sketches {
   /** Point-query every distinct key of `probe` against a count-min sketch:
     * estimate = min over rows of the key's cell — never under the true
     * count, over only on collision. Output (key, cms_est) exact integers.
-    * The cells frame is d×w rows, broadcast into the probe join. */
+    * The cells frame is d×w rows, broadcast into the probe join — a LEFT
+    * join: cells at zero are simply absent from the sparse frame, and an
+    * empty cell means the CMS answer for that row is 0 (an inner join
+    * would skip zero cells, overshooting never-inserted probe keys or
+    * dropping them entirely — the exact mistake [[bloomProbe]]'s
+    * coalesce-to-0 already avoids). */
   def cmsEstimate(cells: DataFrame, probe: DataFrame, key: Column,
-      depth: Int = 4, width: Int = 32): DataFrame = {
-    val rows = array((0 until depth).map { i =>
-      struct(lit(i).cast("long").as("row_id"),
-        (conv(substring(md5(concat_ws("|", lit(i), key.cast("string"))),
-          1, 2), 16, 10).cast("long") % width).as("pos"))
-    }: _*)
-    probe.select(key.cast("string").as("probe_key"), explode(rows).as("c"))
+      depth: Int = 4, width: Int = 32): DataFrame =
+    probe.select(key.cast("string").as("probe_key"),
+        explode(cmsPositions(key, depth, width)).as("c"))
       .select(col("probe_key"), col("c.row_id"), col("c.pos"))
-      .join(broadcast(cells), Seq("row_id", "pos"))
-      .groupBy("probe_key").agg(min("cnt").as("cms_est"))
-  }
+      .join(broadcast(cells), Seq("row_id", "pos"), "left")
+      .groupBy("probe_key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
   // ----------------------------------------------------------- Bloom filter
 

@@ -162,7 +162,15 @@ object TextAnalysis {
     val joined = concat(prefix, regexp_replace(noFrag, hostRe, ""))
     val noTrack = regexp_replace(joined,
       "[?&](utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", "")
-    regexp_replace(regexp_replace(noTrack, "^([^?]*)&", "$1?"), "[?&]$", "")
+    // Re-anchor the query string ONLY when stripping a leading '?utm_…='
+    // actually removed the '?': the FIRST remaining '&' becomes '?'
+    // ([^?&]* is the first-& anchor; a greedy [^?]* would rewrite the
+    // LAST one). An unconditional rewrite would corrupt URLs whose PATH
+    // legally contains '&' and never had a query string ('/a&b' and
+    // '/a?b' must stay distinct canonical keys).
+    val reanchored = when(joined.contains("?") && !noTrack.contains("?"),
+      regexp_replace(noTrack, "^([^?&]*)&", "$1?")).otherwise(noTrack)
+    regexp_replace(reanchored, "[?&]$", "")
   }
 
   /** Registrable domain of a URL (the per-site key for domain caps and

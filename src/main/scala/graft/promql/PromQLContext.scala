@@ -1023,8 +1023,19 @@ final class PromQLContext(
     case "+" => a + b
     case "-" => a - b
     case "*" => a * b
-    case "/" => a / b // x/0 is null here (Prometheus: ±Inf) — documented
-    case "%" => a % b
+    case "/" =>
+      // Prometheus/IEEE exactly: x/0 = ±Inf, 0/0 = NaN. Also load-bearing
+      // under Spark 4's default ANSI mode, where a bare `a / b` THROWS on
+      // a zero divisor at runtime (CaseWhen short-circuits, so the
+      // division never executes when b == 0).
+      when(b === 0.0,
+        when(a > 0.0, lit(Double.PositiveInfinity))
+          .when(a < 0.0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)))
+        .otherwise(a / b)
+    case "%" =>
+      // Go math.Mod: x % 0 = NaN (ANSI would throw)
+      when(b === 0.0, lit(Double.NaN)).otherwise(a % b)
     case "atan2" => atan2(a, b)
     case "and" | "or" | "unless" => throw new IllegalArgumentException(
       s"set operator '$op' requires vector operands on both sides")

@@ -528,6 +528,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L)._2 == "example.com")
     assert(out(3L) == (("http://site.co.uk/", "site.co.uk")))
     assert(out(4L)._2 == "example.org")
+    // a literal '&' in a PATH (no query string anywhere) must survive —
+    // '/a&b' and '/a?b' are different pages, never one dedup key; and
+    // stripping a leading tracking param re-anchors the FIRST remaining
+    // '&' (not the last)
+    val edge = Seq(
+      (5L, "https://ex.com/a&b"),
+      (6L, "https://ex.com/a?b"),
+      (7L, "https://ex.com/p?utm_source=x&q=1&r=2")).toDF("id", "url")
+    val eo = edge.select(col("id"),
+        TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(eo(5L) == "https://ex.com/a&b")
+    assert(eo(6L) == "https://ex.com/a?b")
+    assert(eo(5L) != eo(6L))
+    assert(eo(7L) == "https://ex.com/p?q=1&r=2")
   }
 
   test("PII redaction: emails, IPs, phones collapse; clean text untouched") {
@@ -906,6 +921,44 @@ class PipelineSpec extends AnyFunSuite {
     bmp(18) = 0x7F.toByte // inflate claimed width
     Multimodal.resizeBmp(bmp)
     Multimodal.decodeFeatures(bmp)
+    // NEGATIVE declared chunk sizes must not stall the RIFF walks (the
+    // advance `off = body + size + (size & 1)` with size = -8 never moves)
+    def negChunk(base: Array[Byte]): Array[Byte] = {
+      val b = base.clone()
+      b(16) = 0xF8.toByte; b(17) = 0xFF.toByte // size of first chunk = -8
+      b(18) = 0xFF.toByte; b(19) = 0xFF.toByte
+      b
+    }
+    Multimodal.decodeAudio(negChunk(Multimodal.syntheticWav(5L)))
+    Multimodal.decodeVideoMeta(negChunk(Multimodal.syntheticAviFrames(5L)))
+    Multimodal.sampleFrames(negChunk(Multimodal.syntheticAviFrames(5L)), 1)
+    // inner LIST sizes claiming more bytes than the payload holds must
+    // emit nothing, not read past the array
+    val torn = Multimodal.syntheticAviFrames(5L)
+    torn(16) = 0x7F.toByte // inflate the hdrl LIST's declared size
+    Multimodal.decodeVideoMeta(torn.take(60))
+  }
+
+  test("top-down BMP (negative height) decodes via the column expressions " +
+      "without ANSI overflow; crafted MinValue height reads null") {
+    import org.apache.spark.sql.functions.col
+    val base = Multimodal.syntheticBmp(7L)
+    val wh = (Multimodal.synthDims(7L)._1, Multimodal.synthDims(7L)._2)
+    val topDown = base.clone()
+    // biHeight := -h (little-endian int32 at offset 22)
+    val h = wh._2
+    val neg = -h
+    (0 until 4).foreach(i => topDown(22 + i) = ((neg >> (8 * i)) & 0xFF).toByte)
+    val minVal = base.clone()
+    (0 until 4).foreach(i =>
+      minVal(22 + i) = ((Int.MinValue >> (8 * i)) & 0xFF).toByte)
+    val df = Seq((1L, topDown), (2L, minVal)).toDF("id", "bin")
+      .select(col("id"), Multimodal.imageWidth(col("bin")).as("w"),
+        Multimodal.imageHeight(col("bin")).as("h"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(got(1L) == ((wh._1, h)), s"top-down: ${got(1L)}") // abs applied
+    assert(got(2L)._2 == -1) // MinValue height -> null, never a throw
   }
 
   test("image header decode: BMP and PNG dims parse from real bytes, " +

@@ -55,6 +55,17 @@ class SketchesSpec extends AnyFunSuite {
     // 4 keys into 4x32 cells: expect at least one hash row collision-free
     // for each key, making min exact.
     exact.foreach { case (k, n) => assert(est(k) == n) }
+    // NEVER-inserted probe keys: each must appear in the output with the
+    // true CMS answer (0 unless every one of its d cells collides) — an
+    // inner join against the sparse non-zero cells would overshoot or
+    // drop them entirely
+    val ghosts = (1 to 20).map(i => s"ghost-$i").toDF("k")
+    val gEst = Sketches.cmsEstimate(cells, ghosts, col("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gEst.size == 20, s"probe keys vanished: ${gEst.keys.toSeq.sorted}")
+    // with 4 rows x 32 cells holding only 4 keys, a ghost with ALL 4 cells
+    // colliding is (4/32)^4 ≈ 2e-5 — these 20 fixed ghosts all read 0
+    assert(gEst.values.forall(_ == 0L), s"ghost estimates: $gEst")
   }
 
   test("Bloom: zero false negatives; probe agrees with direct recompute") {
