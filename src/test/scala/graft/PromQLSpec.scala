@@ -1309,6 +1309,23 @@ class PromQLSpec extends AnyFunSuite {
       PromQLParser.parse("max_over_time(x[1h:0s])"))
   }
 
+  test("context: division and modulo by zero are Prometheus/IEEE " +
+      "(±Inf, NaN) — never an ANSI arithmetic error") {
+    val ctx = ctxOf(Seq(
+      Row("a", "h1", "us", 0L, 5.0), Row("a", "h2", "us", 0L, -5.0),
+      Row("a", "h3", "us", 0L, 0.0),
+      Row("b", "h1", "us", 0L, 0.0), Row("b", "h2", "us", 0L, 0.0),
+      Row("b", "h3", "us", 0L, 0.0)))
+    val div = ctx.sql("sum by (host) (a) / sum by (host) (b)").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(div("h1") == Double.PositiveInfinity)
+    assert(div("h2") == Double.NegativeInfinity)
+    assert(div("h3").isNaN)
+    val mod = ctx.sql("sum by (host) (a) % sum by (host) (b)").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mod.values.forall(_.isNaN))
+  }
+
   test("context: predict_linear under @ targets real time t + horizon " +
       "(no double shift at non-window-aligned pins)") {
     // series with exact slope 2/sec: value = 2 * t_sec
