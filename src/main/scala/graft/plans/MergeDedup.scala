@@ -3,13 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, KnownFloatingPointNormalized, NullsFirst, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, NullsFirst, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.storage.UpdateMode
@@ -96,13 +95,14 @@ final case class MergeDedupExec(
     * run boundaries are detected by UnsafeRow byte equality, and the range/
     * hash partitioning must agree with that equality, or a float pk of -0.0
     * vs 0.0 would split one logical group across runs (or partitions) and
-    * emit duplicate "merged" rows. The hash-agg fallback gets the identical
-    * treatment from Catalyst's NormalizeFloatingNumbers rule, so the two
-    * paths keep agreeing on float pks. */
-  private def normalized(a: Attribute): Expression = a.dataType match {
-    case FloatType | DoubleType => KnownFloatingPointNormalized(NormalizeNaNAndZero(a))
-    case _ => a
-  }
+    * emit duplicate "merged" rows. Delegates to Catalyst's
+    * NormalizeFloatingNumbers.normalize — the SAME transform its optimizer
+    * rule applies to the hash-agg fallback — which also recurses into
+    * struct/array pks (a float field nested in a struct pk needs the
+    * identical treatment; matching only top-level Float/DoubleType would
+    * let struct(-0.0) and struct(0.0) split one logical group). */
+  private def normalized(a: Attribute): Expression =
+    org.apache.spark.sql.GraftShims.normalizeFloats(a)
 
   private def normalizedPks: Seq[Expression] = pkAttrs.map(normalized)
 
@@ -140,8 +140,6 @@ final case class MergeDedupExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val out = child.output
-    val pkIdx = pkNames.map(n => out.indexWhere(_.name == n))
-    val seqIdx = out.indexWhere(_.name == seqName)
     val schema = out.map(_.dataType)
     val isOverwrite = mode == UpdateMode.Overwrite
     // Indices of concat-merged value columns, precomputed once per partition

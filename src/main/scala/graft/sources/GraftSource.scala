@@ -176,7 +176,14 @@ final case class GraftRelation(sqlContext: SQLContext,
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val preds = filters.flatMap(translate)
-    val range = store.timestampColumn.map(ts => timeRangeOf(ts, filters))
+    // Time-range FILE pruning only when the timestamp column is a primary
+    // key: all versions of a pk then share their timestamp, so dropping a
+    // file by range can never hide a newer version from the merge. A
+    // value-column timestamp still filters exactly — post-merge, inside
+    // the scan (TimeMergeStorage.scanWith's predicate classification).
+    val range = store.timestampColumn
+      .filter(store.schema.primaryKeys.contains)
+      .map(ts => timeRangeOf(ts, filters))
       .getOrElse(Some(TimeRange(Long.MinValue, Long.MaxValue)))
     range match {
       case None => // provably empty time range: no scan at all

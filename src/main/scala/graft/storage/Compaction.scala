@@ -169,16 +169,22 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
           // Sort AFTER coalesce(1): sorting below the coalesce would only
           // order each pre-coalesce partition, and their concatenation is
           // not globally pk-sorted — the single output file must be.
-          merged.coalesce(1)
+          // The table's WriteOptions (codec, dictionary, bloom filters,
+          // row-group size) apply here exactly as on the ingest path —
+          // compaction eventually rewrites most data, so skipping them
+          // would silently strip the configured physical layout.
+          storage.writeOptions(merged.coalesce(1)
             .sortWithinPartitions(storage.schema.primaryKeys.map(col(_).asc_nulls_first): _*)
-            .write.mode("overwrite").parquet(tmp.toString)
+            .write).mode("overwrite").parquet(tmp.toString)
           val part = sfs.list(tmp).find(p =>
             p.getName.endsWith(".parquet") && !p.getName.startsWith(".")).get
           val dest = sfs.path("data", s"$id.parquet")
-          val rows = sfs.parquetRowCount(part) // footer metadata, no re-read job
           sfs.rename(part, dest)
+          // one footer parse: rows + stats + sorting stamp
+          val footer = sfs.parquetFooter(dest)
+          val rows = sfs.parquetRowCount(footer)
           sfs.stampSortingColumns(dest,
-            storage.schema.primaryKeys.indices.map(i => (i, false, true)))
+            storage.schema.primaryKeys.indices.map(i => (i, false, true)), footer)
           sfs.delete(tmp, recursive = true)
           // all inputs share one bucket by construction (the picker groups
           // by it); the merged SST stays in that bucket
@@ -187,7 +193,7 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
             case _ => -1
           }
           Seq(SstFile(id, dest.toString, rows, sfs.size(dest), range,
-            stats = sfs.parquetColumnStats(dest,
+            stats = sfs.parquetColumnStats(footer,
               (storage.schema.primaryKeys ++ storage.timestampColumn).distinct),
             bucket = bucket))
         } else Nil

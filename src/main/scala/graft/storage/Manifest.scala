@@ -177,11 +177,12 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
   }
 
   private def parse(line: String): (String, SstFile) = {
-    def num(k: String): Long = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line)
+    import Manifest.numPatterns
+    def num(k: String): Long = numPatterns(k).findFirstMatchIn(line)
       .getOrElse(sys.error(s"bad manifest line: $line")).group(1).toLong
     // optional field: absent on legacy lines and unbucketed files
     def numOpt(k: String, dflt: Long): Long =
-      (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line)
+      numPatterns(k).findFirstMatchIn(line)
         .map(_.group(1).toLong).getOrElse(dflt)
     // Scan to the first UNESCAPED closing quote (the old `[^"]*` regex
     // stopped at an escaped one).
@@ -351,4 +352,15 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     listSchemaFiles().dropRight(1).foreach(p => sfs.delete(p))
     deltaCount = 0
   }
+}
+
+object Manifest {
+  // Field patterns compiled ONCE (companion, so they exist before the
+  // constructor's load() replay runs) — parse() executes per manifest line,
+  // and a 10^6-entry snapshot load compiling ~7 fresh
+  // java.util.regex.Patterns per line would spend seconds on regex
+  // compilation alone.
+  private val numPatterns: Map[String, scala.util.matching.Regex] =
+    Seq("id", "numRows", "sizeBytes", "start", "end", "bucket")
+      .map(k => k -> (s""""$k":(-?\\d+)""").r).toMap
 }

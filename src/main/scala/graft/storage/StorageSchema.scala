@@ -33,6 +33,12 @@ final case class StorageSchema(
     updateMode: UpdateMode = UpdateMode.Overwrite) {
   require(numPrimaryKeys > 0 && numPrimaryKeys <= userSchema.length,
     s"numPrimaryKeys=$numPrimaryKeys out of range for ${userSchema.length} cols")
+  // User columns must not shadow the engine builtins: fullSchema would carry
+  // duplicate field names and the write path's withColumn(__seq__, …) would
+  // silently REPLACE the user's column with the engine sequence.
+  require(!userSchema.fieldNames.exists(StorageSchema.Builtins.contains),
+    s"user schema must not contain reserved column names " +
+      s"${StorageSchema.Builtins.mkString(", ")}")
 
   val primaryKeys: Seq[String] = userSchema.fieldNames.take(numPrimaryKeys).toSeq
   val valueColumns: Seq[String] = userSchema.fieldNames.drop(numPrimaryKeys).toSeq

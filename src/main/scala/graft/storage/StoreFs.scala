@@ -69,13 +69,24 @@ final class StoreFs(rootUri: String, conf: Configuration) {
     finally out.close()
   }
 
+  /** Parse a parquet footer once — metadata-only, one file open. The SST
+    * commit path derives row count, zone-map stats, AND the sorting-columns
+    * stamp from this single parse (three separate opens per commit would
+    * triple object-store metadata round-trips at bucketed-write scale). */
+  def parquetFooter(p: HPath): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try r.getFooter finally r.close()
+  }
+
   /** Row count straight from the parquet footer — metadata-only, no Spark
     * job (the reference likewise records `num_rows` from the writer's
     * metadata, storage.rs:205-213 / sst.rs:154-160). */
-  def parquetRowCount(p: HPath): Long = {
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-    try r.getRecordCount finally r.close()
+  def parquetRowCount(p: HPath): Long = parquetRowCount(parquetFooter(p))
+
+  def parquetRowCount(meta: org.apache.parquet.hadoop.metadata.ParquetMetadata): Long = {
+    import scala.jdk.CollectionConverters._
+    meta.getBlocks.asScala.map(_.getRowCount).sum
   }
 
   /** Per-column min/max lifted from the parquet footer's row-group
@@ -86,15 +97,14 @@ final class StoreFs(rootUri: String, conf: Configuration) {
     * stat kinds: integers → Long, floats → Double, UTF8 binary → String,
     * boolean → Boolean. Parquet may truncate long binary stats, but only
     * outward (min' ≤ min, max' ≥ max), so pruning on them stays sound. */
-  def parquetColumnStats(p: HPath, cols: Seq[String]): Map[String, (Any, Any)] = {
+  def parquetColumnStats(p: HPath, cols: Seq[String]): Map[String, (Any, Any)] =
+    parquetColumnStats(parquetFooter(p), cols)
+
+  def parquetColumnStats(meta: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      cols: Seq[String]): Map[String, (Any, Any)] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val meta = {
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try r.getFooter finally r.close()
-    }
     val blocks = meta.getBlocks.asScala.toSeq
     val want = cols.toSet
     val perCol = blocks.flatMap(_.getColumns.asScala)
@@ -107,9 +117,17 @@ final class StoreFs(rootUri: String, conf: Configuration) {
         val prim = chunks.head.getPrimitiveType
         val isString = prim.getLogicalTypeAnnotation
           .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        // INT32/INT64 stats are usable ONLY as plain integers: an annotated
+        // physical int can be a decimal (stats are UNSCALED — a DECIMAL(9,2)
+        // file of 1.00–2.00 reports (100, 200), and pruning against a
+        // user-scale literal would skip matching files), a date, a
+        // timestamp, or a time. All of those abstain.
+        val plainInt = prim.getLogicalTypeAnnotation == null ||
+          prim.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
         def conv(v: Any): Option[Any] = (prim.getPrimitiveTypeName, v) match {
-          case (INT32, x: java.lang.Integer) => Some(x.longValue)
-          case (INT64, x: java.lang.Long) => Some(x.longValue)
+          case (INT32, x: java.lang.Integer) if plainInt => Some(x.longValue)
+          case (INT64, x: java.lang.Long) if plainInt => Some(x.longValue)
           case (FLOAT, x: java.lang.Float) => Some(x.doubleValue)
           case (DOUBLE, x: java.lang.Double) => Some(x.doubleValue)
           case (BOOLEAN, x: java.lang.Boolean) => Some(x.booleanValue)
@@ -126,7 +144,11 @@ final class StoreFs(rootUri: String, conf: Configuration) {
               val c = (a, b) match {
                 case (x: Long, y: Long) => java.lang.Long.compare(x, y)
                 case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-                case (x: String, y: String) => x.compareTo(y)
+                // UTF-8 byte order — the order the per-row-group stats were
+                // computed in; UTF-16 compareTo here could record a "min"/
+                // "max" that is not the byte-order extremum (ZoneMaps
+                // compares in byte order)
+                case (x: String, y: String) => ZoneMaps.utf8Compare(x, y)
                 case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
                 case _ => 0
               }
@@ -150,14 +172,13 @@ final class StoreFs(rootUri: String, conf: Configuration) {
     * (leaf column ordinal, descending, nullsFirst) per sort key.
     * Returns false (file untouched) where the FS cannot append (e.g. s3a) —
     * the stamp is metadata a reader may not rely on anyway. */
-  def stampSortingColumns(p: HPath, sorting: Seq[(Int, Boolean, Boolean)]): Boolean = {
+  def stampSortingColumns(p: HPath, sorting: Seq[(Int, Boolean, Boolean)]): Boolean =
+    stampSortingColumns(p, sorting, parquetFooter(p))
+
+  def stampSortingColumns(p: HPath, sorting: Seq[(Int, Boolean, Boolean)],
+      meta: org.apache.parquet.hadoop.metadata.ParquetMetadata): Boolean = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.format.{SortingColumn => TSortingColumn, Util}
-    val meta = {
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try r.getFooter finally r.close()
-    }
     val fmd = new org.apache.parquet.format.converter.ParquetMetadataConverter()
       .toParquetMetadata(1, meta)
     val cols = sorting.map { case (i, desc, nullsFirst) =>

@@ -188,12 +188,14 @@ final class TimeMergeStorage(
     val dest = new HPath(dataDir, s"$id.parquet")
     storeFs.rename(part, dest)
     storeFs.delete(tmp, recursive = true)
-    // Row count from the parquet footer — metadata only, no re-read job
-    // (the old spark.read...count() re-scanned every SST once per write).
-    val rows = storeFs.parquetRowCount(dest)
-    storeFs.stampSortingColumns(dest, pkSorting)
+    // ONE footer parse per commit: row count, zone-map stats, and the
+    // sorting-columns stamp all derive from it — metadata only, no re-read
+    // job, one open instead of three (matters on object stores).
+    val footer = storeFs.parquetFooter(dest)
+    val rows = storeFs.parquetRowCount(footer)
+    storeFs.stampSortingColumns(dest, pkSorting, footer)
     val sst = SstFile(id, dest.toString, rows, storeFs.size(dest), range,
-      stats = storeFs.parquetColumnStats(dest, statsColumns))
+      stats = storeFs.parquetColumnStats(footer, statsColumns))
     manifest.addFile(sst)
     sst
   }
@@ -242,13 +244,15 @@ final class TimeMergeStorage(
     val ssts = partFiles(tmp).map { part =>
       val id = allocId()
       val dest = new HPath(dataDir, s"$id.parquet")
-      val rows = storeFs.parquetRowCount(part)
       val bucket = "part-(\\d+)".r.findFirstMatchIn(part.getName)
         .map(_.group(1).toInt).getOrElse(-1)
       storeFs.rename(part, dest)
-      storeFs.stampSortingColumns(dest, pkSorting)
+      // one footer parse per part: rows + stats + sorting stamp
+      val footer = storeFs.parquetFooter(dest)
+      val rows = storeFs.parquetRowCount(footer)
+      storeFs.stampSortingColumns(dest, pkSorting, footer)
       SstFile(id, dest.toString, rows, storeFs.size(dest), range,
-        stats = storeFs.parquetColumnStats(dest, statsColumns),
+        stats = storeFs.parquetColumnStats(footer, statsColumns),
         bucket = bucket)
     }
     storeFs.delete(tmp, recursive = true)
@@ -329,9 +333,23 @@ final class TimeMergeStorage(
       df, schema.primaryKeys, schema.updateMode, globalSort = false),
       fileFilter = _.id <= maxSstId)
 
+  /** True when a predicate touches ONLY primary-key columns — the one
+    * predicate class that commutes with merge-on-read dedup: every version
+    * of a pk shares its key values, so a pk-only filter drops whole version
+    * groups atomically. Everything else (value columns, unknown references,
+    * non-deterministic expressions) must evaluate AFTER the merge — a
+    * pre-merge value filter can drop the newest version of a pk and let an
+    * older overwritten (or tombstoned) version win, returning stale rows. */
+  private def pkSafe(p: Column): Boolean =
+    org.apache.spark.sql.GraftShims.referencedColumns(p)
+      .exists(ns => ns.nonEmpty && ns.forall(schema.primaryKeys.contains))
+
   /** Shared scan pipeline (reference storage.rs:336-369 + read.rs:95-391):
-    * manifest prune → parquet read (pushdown) → filter → widen projection →
-    * per-pk `merge` → strip builtins → project. */
+    * manifest prune → parquet read (pk-predicate pushdown) → widen
+    * projection → per-pk `merge` → value-predicate filter → strip builtins
+    * → project. Pk-only predicates run pre-merge (and zone-map-prune files,
+    * [[plannedSsts]]); all other predicates run post-merge so filters see
+    * MERGED rows, exactly what SQL semantics over the table demand. */
   private def scanWith(req: ScanRequest, merge: DataFrame => DataFrame,
       fileFilter: SstFile => Boolean = _ => true): DataFrame = {
     val ssts = plannedSsts(req).filter(fileFilter)
@@ -340,37 +358,54 @@ final class TimeMergeStorage(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         selectSchema(req))
 
+    val (preMerge, postMerge) = req.predicates.partition(pkSafe)
     val (widened, userCols) = schema.widenProjection(req.projection)
+    // post-merge predicates may reference user columns outside the caller's
+    // projection: carry them through the merge, project them away at the end
+    val postRefs = postMerge.flatMap(p =>
+        org.apache.spark.sql.GraftShims.referencedColumns(p)
+          .getOrElse(schema.userSchema.fieldNames.toSeq))
+      .filter(schema.userSchema.fieldNames.contains).distinct
+    val mergeCols = widened ++ postRefs.filterNot(widened.contains)
     var df = spark.read.schema(schema.fullSchema).parquet(ssts.map(_.path): _*)
     if (req.range.start != Long.MinValue || req.range.end != Long.MaxValue)
       timestampColumn.foreach { ts =>
         df = df.filter(col(ts) >= lit(req.range.start) && col(ts) < lit(req.range.end))
       }
-    req.predicates.foreach(p => df = df.filter(p)) // pushed to parquet by Catalyst
-    df = merge(df.select(widened.map(col): _*))
-    val out =
-      if (req.keepBuiltins) df.withColumn(ReservedCol, lit(null).cast("long"))
-      else df.drop(SeqCol, ReservedCol)
-    if (req.keepBuiltins) out else out.select(userCols.map(col): _*)
+    preMerge.foreach(p => df = df.filter(p)) // pushed to parquet by Catalyst
+    df = merge(df.select(mergeCols.map(col): _*))
+    postMerge.foreach(p => df = df.filter(p))
+    if (req.keepBuiltins)
+      df.select(widened.map(col): _*)
+        .withColumn(ReservedCol, lit(null).cast("long"))
+    else df.select(userCols.map(col): _*)
   }
 
   /** The file list a scan will actually read: manifest time pruning, then
     * zone-map pruning on any simple `col <op> literal` conjuncts of the
-    * request's predicates ([[ZoneMaps]]). Public so tests and operators can
-    * assert what gets skipped before any I/O happens. */
+    * request's PK-ONLY predicates ([[ZoneMaps]]). Value-column conjuncts
+    * never prune files: a file holding only stale versions of a pk must
+    * still be read so the merge can shadow it (same reason they filter
+    * post-merge in [[scanWith]]). Public so tests and operators can assert
+    * what gets skipped before any I/O happens. */
   def plannedSsts(req: ScanRequest): Seq[SstFile] = {
     val byTime = manifest.findSsts(req.range)
-    val bs = req.predicates.flatMap(ZoneMaps.bounds)
+    val bs = req.predicates.filter(pkSafe).flatMap(ZoneMaps.bounds)
     if (bs.isEmpty) byTime
     else byTime.filter(f => ZoneMaps.mayMatch(f.stats, bs))
   }
 
+  /** Schema of the empty-scan short-circuit — MUST mirror the non-empty
+    * [[scanWith]] output exactly (same columns, same order) for both
+    * keepBuiltins shapes, or unions over sometimes-empty scans break. */
   private def selectSchema(req: ScanRequest) = {
-    val base = if (req.keepBuiltins) schema.fullSchema
-      else org.apache.spark.sql.types.StructType(
-        req.projection.map(p => p.map(n => schema.userSchema(schema.userSchema.fieldIndex(n))).toArray)
-          .getOrElse(schema.userSchema.fields).toArray)
-    base
+    import org.apache.spark.sql.types.StructType
+    val (widened, userCols) = schema.widenProjection(req.projection)
+    if (req.keepBuiltins)
+      StructType((widened.map(n => schema.fullSchema(schema.fullSchema.fieldIndex(n))) :+
+        schema.fullSchema(schema.fullSchema.fieldIndex(ReservedCol))).toArray)
+    else
+      StructType(userCols.map(n => schema.userSchema(schema.userSchema.fieldIndex(n))).toArray)
   }
 
   /** Existence check through the store's FileSystem (tests and callers must

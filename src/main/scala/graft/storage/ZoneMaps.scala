@@ -40,9 +40,27 @@ object ZoneMaps {
     case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
     case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(utf8Compare(x, y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
+  }
+
+  /** Unsigned UTF-8 byte comparison — the order Spark's UTF8String uses for
+    * string predicates AND the order parquet's UTF8 column statistics are
+    * computed in. `String.compareTo` (UTF-16 code units) disagrees with it
+    * for supplementary-plane characters (emoji sort BELOW U+E000..U+FFFF in
+    * UTF-16 but ABOVE them in UTF-8), which would wrongly prune files. */
+  private[storage] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
   }
 
   /** Could any row of a file with these stats satisfy every bound? Columns

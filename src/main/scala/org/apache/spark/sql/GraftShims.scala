@@ -67,6 +67,50 @@ object GraftShims {
     walk(c.node)
   }
 
+  /** Catalyst's float normalization (-0.0 → 0.0, canonical NaN), recursing
+    * into struct/array types — `private[sql]`, re-exported for the native
+    * merge operator so its byte-equality grouping agrees with SQL equality
+    * on float-bearing keys (including ones nested in structs/arrays). */
+  def normalizeFloats(e: Expression): Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** Column names a predicate Column references, or None when the tree
+    * contains a shape whose references cannot be enumerated safely (stars,
+    * subqueries, multi-part names). Callers use None as "touches unknown
+    * columns" and fall back to their most conservative handling —
+    * [[graft.storage.TimeMergeStorage]] classifies predicates with this to
+    * decide pre- vs post-merge evaluation (a value-column filter evaluated
+    * BEFORE last-write-wins dedup can drop the newest version of a pk and
+    * resurrect stale or deleted data). */
+  def referencedColumns(c: Column): Option[Seq[String]] = {
+    import org.apache.spark.sql.internal.{SqlExpression, SubqueryExpression => NSubquery, UnresolvedAttribute => NAttr, UnresolvedRegex => NRegex, UnresolvedStar => NStar}
+    var unknown = false
+    val names = scala.collection.mutable.ListBuffer.empty[String]
+    def walkExpr(e: Expression): Unit = {
+      // a classic Column can wrap an already-built catalyst tree; its node
+      // children are empty, so the references live on the catalyst side
+      e.foreach {
+        case a: catalyst.analysis.UnresolvedAttribute =>
+          if (a.nameParts.size == 1) names += a.nameParts.head else unknown = true
+        case a: catalyst.expressions.AttributeReference => names += a.name
+        case _: catalyst.analysis.UnresolvedStar => unknown = true
+        case s: catalyst.expressions.SubqueryExpression => unknown = true
+        case _ => ()
+      }
+    }
+    c.node.foreach {
+      case a: NAttr =>
+        if (a.nameParts.size == 1) names += a.nameParts.head else unknown = true
+      case _: NStar => unknown = true
+      case _: NRegex => unknown = true
+      case _: NSubquery => unknown = true
+      case _: SqlExpression => unknown = true // raw SQL text: refs unknowable
+      case classic.ExpressionColumnNode(e, _) => walkExpr(e)
+      case _ => ()
+    }
+    if (unknown) None else Some(names.distinct.toSeq)
+  }
+
   /** Idempotently add a planner strategy to an already-built session —
     * the path for sessions that weren't constructed `withExtensions`
     * (extensions are ignored by `getOrCreate` on an existing session). */

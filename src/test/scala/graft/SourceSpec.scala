@@ -182,6 +182,48 @@ class SourceSpec extends AnyFunSuite {
       .option("asOf", "1").option("excludeTombstones", "deleted").load())
   }
 
+  test("SQL filters on value columns see MERGED rows only: stale versions " +
+      "and deleted pks never resurrect through pushdown") {
+    val root = tmpRoot()
+    // pk=1 written v=3, then overwritten v=5; tms is a VALUE column here
+    df(Seq((1, 100L, 3L), (2, 200L, 30L))).write.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .mode(SaveMode.Append).save()
+    df(Seq((1, 120L, 5L))).write.format("graft")
+      .option("root", root).mode(SaveMode.Append).save()
+    val t = spark.read.format("graft").option("root", root).load()
+    // the filter matches only the SHADOWED version → zero rows, not the
+    // stale row (unhandledFilters declares these handled, so Spark will
+    // not re-filter above the scan — the scan itself must be post-merge)
+    assert(t.filter(col("v") === 3L).count() == 0)
+    assert(t.filter(col("v") === 5L).collect().map(_.getInt(0)).toSeq == Seq(1))
+    // value-column timestamp: a range filter matching only the old version
+    // of pk=1 must NOT resurrect it (file pruning is gated on ts ∈ pks)
+    assert(t.filter(col("tms") < 110L).count() == 0)
+    assert(t.filter(col("tms") >= 110L).collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // deleted pk stays deleted even when the filter matches only its
+    // pre-delete version
+    val root2 = tmpRoot()
+    val tsSchema = StructType(Seq(
+      StructField("pk", IntegerType), StructField("tms", LongType),
+      StructField("v", LongType), StructField("deleted", BooleanType)))
+    def w2(rows: Seq[(Int, Long, Long, Boolean)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)), 1), tsSchema)
+      .write.format("graft").option("root", root2)
+      .option("numPrimaryKeys", "1").option("segmentMs", "1000")
+      .option("timestampColumn", "tms").mode(SaveMode.Append).save()
+    w2(Seq((1, 10L, 10L, false)))
+    w2(Seq((1, 20L, 0L, true))) // tombstone pk 1
+    val live = spark.read.format("graft").option("root", root2)
+      .option("excludeTombstones", "deleted").load()
+    assert(live.count() == 0)
+    assert(live.filter(col("v") === 10L).count() == 0,
+      "filter on the pre-delete version resurrected a tombstoned pk")
+  }
+
   test("bucketed SQL writes produce the 100 TB layout and read back merged") {
     val root = tmpRoot()
     val rows = (1 to 200).map(i => (i, (i % 3) * 1000L, i.toLong))

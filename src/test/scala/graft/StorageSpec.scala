@@ -741,4 +741,109 @@ class StorageSpec extends AnyFunSuite {
         ScanRequest(projection = Some(Seq("pk1"))))
       .schema.fieldNames.toSeq == Seq("pk1"))
   }
+
+  test("value-column predicates evaluate POST-merge: a filter matching only " +
+      "a stale version never resurrects it (and never zone-prunes files)") {
+    import org.apache.spark.sql.functions.col
+    val s = mkStorage(tmpRoot())
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 3L), (2, 2, 30L)))
+    writeBatch(s, TimeRange(10, 20), Seq((1, 1, 5L)))   // overwrites (1,1)
+    // merged table is {(1,1,5), (2,2,30)}: value=3 matches NOTHING
+    assert(s.scan(ScanRequest(predicates = Seq(col("value") === 3L)))
+      .collect().isEmpty)
+    assert(s.scan(ScanRequest(predicates = Seq(col("value") === 5L)))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq == Seq((1, 5L)))
+    // pk predicates still pre-merge + zone-prune; value predicates must not
+    // drop files (a file of stale versions still shadows under the merge)
+    assert(s.plannedSsts(ScanRequest(predicates = Seq(col("pk1") === 99))).isEmpty)
+    assert(s.plannedSsts(ScanRequest(predicates = Seq(col("value") === -1L))).size == 2)
+    // value predicate on a projection that EXCLUDES the filter column
+    assert(s.scan(ScanRequest(predicates = Seq(col("value") === 5L),
+        projection = Some(Seq("pk1"))))
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    // tombstone + value filter: the deleted pk stays deleted even when the
+    // filter matches only its pre-delete version
+    val tschema = StructType(Seq(
+      StructField("pk1", IntegerType), StructField("value", LongType),
+      StructField("deleted", BooleanType)))
+    val t = new TimeMergeStorage(spark, tmpRoot(),
+      StorageSchema(tschema, numPrimaryKeys = 1), segmentMs = 7200 * 1000L)
+    def w(rows: Seq[(Int, java.lang.Long, Boolean)]): Unit =
+      t.write(spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 1), tschema), TimeRange(1, 10))
+    w(Seq((1, 10L, false)))
+    w(Seq((1, null, true)))                  // delete pk 1
+    assert(t.scanWithoutDeleted("deleted",
+        ScanRequest(predicates = Seq(col("value") === 10L)))
+      .collect().isEmpty)
+  }
+
+  test("empty-scan short-circuit schema matches the non-empty path for " +
+      "every keepBuiltins/projection shape") {
+    val empty = mkStorage(tmpRoot())
+    val full = mkStorage(tmpRoot())
+    writeBatch(full, TimeRange(1, 10), Seq((1, 2, 3L)))
+    for (req <- Seq(
+        ScanRequest(),
+        ScanRequest(projection = Some(Seq("value"))),
+        ScanRequest(keepBuiltins = true),
+        ScanRequest(projection = Some(Seq("value")), keepBuiltins = true))) {
+      assert(empty.scan(req).schema == full.scan(req).schema,
+        s"schema drift for $req")
+      assert(empty.scan(req).collect().isEmpty)
+    }
+  }
+
+  test("compaction preserves the table's WriteOptions (codec survives the " +
+      "rewrite)") {
+    import scala.jdk.CollectionConverters._
+    val root = tmpRoot()
+    val s = new TimeMergeStorage(spark, root,
+      StorageSchema(abSchema, 2), segmentMs = 7200 * 1000L,
+      writeOptions = WriteOptions(compression = "zstd"))
+    (1 to 5).foreach(i => s.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(i, i, i.toLong)), 1), abSchema),
+      TimeRange(1, 10)))
+    val compactor = new Compactor(s, CompactionConfig(inputSstMinNum = 2))
+    assert(compactor.runOnce())
+    val merged = s.manifest.allSsts()
+    assert(merged.size == 1)
+    val codecs = s.storeFs.parquetFooter(
+        new org.apache.hadoop.fs.Path(merged.head.path))
+      .getBlocks.asScala.flatMap(_.getColumns.asScala).map(_.getCodec.name()).toSet
+    assert(codecs == Set("ZSTD"), s"compacted SST lost the codec: $codecs")
+  }
+
+  test("user schema cannot shadow engine builtin columns") {
+    intercept[IllegalArgumentException](StorageSchema(StructType(Seq(
+      StructField("pk", IntegerType), StructField("__seq__", LongType))), 1))
+    intercept[IllegalArgumentException](StorageSchema(StructType(Seq(
+      StructField("__reserved__", IntegerType))), 1))
+  }
+
+  test("zone-map string comparison is UTF-8 byte order (supplementary-plane " +
+      "keys must not wrongly prune)") {
+    // file max = U+10000 (UTF-8 F0 90 80 80); predicate col >= U+E000
+    // (UTF-8 EE 80 80). Byte order: F0… > EE… → the file MAY match and must
+    // be kept; UTF-16 compareTo says \uD800 <  and would prune it.
+    val stats = Map("k" -> (("a": Any), ("\uD800\uDC00": Any))) // U+10000
+    assert(ZoneMaps.mayMatch(stats, Seq(ZoneMaps.Bound("k", ">=", "\uE000"))))
+    // and the reverse still prunes: max "b" < "c"
+    assert(!ZoneMaps.mayMatch(Map("k" -> (("a": Any), ("b": Any))),
+      Seq(ZoneMaps.Bound("k", ">=", "c"))))
+  }
+
+  test("native merge groups float pks nested in structs: -0.0/0.0 and NaN " +
+      "variants collapse to one row (NormalizeFloatingNumbers parity)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1).toDF("i").select(
+      struct(lit(-0.0).as("x")).as("pk"), lit(1L).as("v"), lit(1L).as("__seq__"))
+      .union(spark.range(0, 1).toDF("i").select(
+        struct(lit(0.0).as("x")).as("pk"), lit(2L).as("v"), lit(2L).as("__seq__")))
+    val merged = graft.plans.MergeDedupOps.nativeDedupMerge(
+      df, Seq("pk"), UpdateMode.Overwrite)
+    val rows = merged.collect()
+    assert(rows.length == 1, s"struct float pk split the group: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("v") == 2L) // newest seq wins
+  }
 }
