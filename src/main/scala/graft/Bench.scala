@@ -39,8 +39,9 @@ object Bench {
     // throughput. They stay correctness-gate-only unless named explicitly.
     val streamingOnly = Set("sd1_stream_dedup", "sa1_promql_stream",
       "sl1_live_last", "sc1_stream_chunks", "sr1_stream_rate",
-      "ss1_stream_sessions", "si1_stream_ingest", "sj1_stream_join",
-      "sh1_stream_hll", "sq1_stream_quantiles", "sj2_stream_enrich")
+      "ss1_stream_sessions", "si1_stream_ingest", "si2_sink_ingest",
+      "sj1_stream_join", "sh1_stream_hll", "sq1_stream_quantiles",
+      "sj2_stream_enrich")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         if (only.isEmpty) !streamingOnly(name) else only(name) }

@@ -180,6 +180,41 @@ object SparkEntry {
       })
     }
 
+  /** Graft table built through the STREAMING SINK path for si2: the
+    * purchase slice written to a 4-file parquet staging dir, tailed by
+    * Spark's file stream source one file per trigger, committed by
+    * `writeStream.format("graft")` ([[graft.sources.GraftSink]]) — four
+    * micro-batches, each a separate SST commit through the same
+    * create/align/per-segment path as batch saves. The si2 query reads the
+    * table back through the SQL source; the oracle replays the aggregation
+    * from raw events, so the hash matches only if stage → stream → sink →
+    * merge-on-read is lossless. */
+  private val sinkIngestCache =
+    scala.collection.mutable.Map.empty[String, String]
+
+  private def sinkIngestedRoot(s: SparkSession, dir: String): String =
+    sinkIngestCache.synchronized {
+      sinkIngestCache.getOrElseUpdate(dir, {
+        val slice = t(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("user_id") < 30)
+          .select(col("event_id"), tsMs.as("tms"), col("user_id"), col("value"))
+        val src = java.nio.file.Files.createTempDirectory("graft-si2-src").toString
+        slice.repartition(4).write.mode("overwrite").parquet(src)
+        val root = java.nio.file.Files.createTempDirectory("graft-si2-store").toString
+        val q = s.readStream.schema(slice.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.format("graft")
+          .option("root", root).option("numPrimaryKeys", "1")
+          .option("segmentMs", (7L * 86400000L).toString)
+          .option("timestampColumn", "tms")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-si2-ckpt").toString)
+          .start()
+        try { q.processAllAvailable() } finally q.stop()
+        root
+      })
+    }
+
   /** Same ingest through the BUCKETED engine shape (dataBuckets = 4: N
     * pk-hash-partitioned SSTs per segment, the declared 100 TB layout) so
     * the bucketed write → merged read path is driver-hash-checked too. */
@@ -884,6 +919,14 @@ object SparkEntry {
         .queryPromQL("sum by (uid) (purchase)",
           graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
         .withColumn("value", round(col("value"), 2))),
+
+    // Streaming SINK ingest (writeStream.format("graft")): file-stream →
+    // GraftSink micro-batch commits → SQL-source merged read. The oracle
+    // replays the aggregation from the raw table.
+    "si2_sink_ingest" -> ((s, dir) =>
+      s.read.format("graft").option("root", sinkIngestedRoot(s, dir)).load()
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))),
 
     // T3 at the 100 TB layout: same ingest→index→PromQL pipeline but with
     // dataBuckets=4 — per-segment pk-hash-bucketed SSTs, merged on read.
@@ -2976,6 +3019,14 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
         |FROM events WHERE event_type = 'purchase' AND user_id < 40
         |GROUP BY uid""".stripMargin,
+
+    // File-stream → graft streaming sink → SQL-source merged read must
+    // equal the raw-table replay.
+    "si2_sink_ingest" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_v
+        |FROM events WHERE event_type = 'purchase' AND user_id < 30
+        |GROUP BY user_id""".stripMargin,
 
     "m3_bucketed_engine" ->
       """SELECT CAST(user_id AS VARCHAR) AS uid, max(value) AS value

@@ -35,13 +35,34 @@ import graft.storage._
   * `buckets` (write parallelism).
   */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
   private def rootOf(parameters: Map[String, String]): String =
-    parameters.get("root").orElse(parameters.get("path")).getOrElse(
-      sys.error("the graft source needs a 'root' (or 'path') option"))
+    DefaultSource.rootOf(parameters)
+
+  /** `df.writeStream.format("graft")` — the table as a Structured
+    * Streaming sink. Micro-batches commit through the SAME append path as
+    * batch saves (create-from-options on first batch, schema evolution,
+    * per-segment splitting, optional bucketed layout). Batch re-delivery
+    * after a restart is absorbed by a (queryId, batchId) high-water mark
+    * persisted next to the manifest ([[GraftSink]]).
+    *
+    * Output modes: `Append` always; `Update`/`Complete` only onto
+    * last-write-wins (Overwrite-mode) tables, where re-emitted aggregate
+    * rows are upserts by primary key — the merge-on-read analog of a
+    * mutable sink. An Append-MODE table under Update output would
+    * concatenate every re-emission, so it is rejected. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "the graft sink does not take partitionBy: layout is the table's " +
+        "segment/bucket structure (segmentMs, buckets options)")
+    new GraftSink(sqlContext.sparkSession, parameters, outputMode)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -71,6 +92,30 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           "use SaveMode.Append")
       case _ => ()
     }
+    GraftRelation(sqlContext,
+      DefaultSource.appendBatch(spark, parameters, data))
+  }
+}
+
+object DefaultSource {
+
+  private[sources] def rootOf(parameters: Map[String, String]): String =
+    parameters.get("root").orElse(parameters.get("path")).getOrElse(
+      sys.error("the graft source needs a 'root' (or 'path') option"))
+
+  /** The shared append path behind `SaveMode.Append` saves AND streaming
+    * sink micro-batches: resolve-or-create the store from options, evolve
+    * the schema for widened frames, align/null-fill the batch, split per
+    * segment, commit one (or `buckets`) sorted SSTs per touched segment.
+    * `validate` runs after store resolution but BEFORE any write — the
+    * sink uses it to reject output-mode/table-mode combinations. */
+  private[sources] def appendBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      parameters: Map[String, String], data: DataFrame,
+      validate: TimeMergeStorage => Unit = _ => ()): TimeMergeStorage = {
+    val root = rootOf(parameters)
+    val exists = new Manifest(root,
+      conf = spark.sessionState.newHadoopConf()).storedSchemaJson.isDefined
     val store =
       if (exists) {
         // schema evolution on the SQL edge: appending a frame with EXTRA
@@ -102,6 +147,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           StorageSchema(StructType(data.schema.fields), npk, um), segMs,
           timestampColumn = parameters.get("timestampColumn"))
       }
+    validate(store)
     // align the batch to the table: reorder by name, null-fill ABSENT
     // nullable value columns (the complement of append-column widening —
     // an old producer keeps writing after the table evolved); primary
@@ -142,7 +188,71 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         // no timestamp column: the whole table lives in segment 0
         commit(aligned, TimeRange(0L, store.segmentMs))
     }
-    GraftRelation(sqlContext, store)
+    store
+  }
+}
+
+/** DSv1 streaming sink for the `graft` table format. Each micro-batch is
+  * re-materialized ([[org.apache.spark.sql.GraftShims.materializeBatch]])
+  * and committed through [[DefaultSource.appendBatch]] — the identical
+  * create/evolve/align/per-segment path batch saves use, so a table built
+  * by a stream is indistinguishable from one built by batch appends.
+  *
+  * Exactly-once bookkeeping: Structured Streaming re-delivers the last
+  * uncommitted batch after a restart, so the sink persists a
+  * `(queryId, batchId)` high-water mark in `<root>/manifest/sink-commit.txt`
+  * AFTER each commit and skips any `batchId` at or below it for the same
+  * queryId (queryId survives restarts from the same checkpoint; a NEW
+  * checkpoint gets a new queryId and naturally starts fresh). The mark is
+  * written after the data commit, so a crash between the two re-appends
+  * one batch: harmless on Overwrite tables (identical versions merge
+  * away), at-least-once on Append(-mode) tables — the same boundary the
+  * in-process `MetricStreamIngest` foreachBatch path documents, and the
+  * reference's remote-write ingest shares (no cross-request txn).
+  *
+  * Single-writer discipline: the store's manifest already requires one
+  * writer per root (reference: single merger task) — one streaming query
+  * per table root is the supported shape, so one mark file suffices. */
+final class GraftSink(
+    spark: org.apache.spark.sql.SparkSession,
+    parameters: Map[String, String],
+    outputMode: org.apache.spark.sql.streaming.OutputMode)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.spark.sql.streaming.OutputMode
+
+  private val root = DefaultSource.rootOf(parameters)
+  private val sfs = StoreFs(root, spark.sessionState.newHadoopConf())
+  private def markPath = sfs.path("manifest", "sink-commit.txt")
+
+  private def lastCommitted(): Option[(String, Long)] =
+    if (!sfs.exists(markPath)) None
+    else sfs.readLines(markPath).headOption.map { l =>
+      val i = l.lastIndexOf(' ')
+      (l.substring(0, i), l.substring(i + 1).toLong)
+    }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // set by StreamExecution for the duration of the query; stable across
+    // restarts from one checkpoint (persisted in checkpoint metadata)
+    val queryId = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("no-query-id")
+    if (lastCommitted().exists { case (q, b) => q == queryId && batchId <= b })
+      return // re-delivered after restart: already committed
+    val batch = org.apache.spark.sql.GraftShims.materializeBatch(data)
+    if (batch.isEmpty) { // empty trigger: no SST, but advance the mark
+      sfs.mkdirs(sfs.path("manifest"))
+      sfs.writeLines(markPath, Seq(s"$queryId $batchId"))
+      return
+    }
+    DefaultSource.appendBatch(spark, parameters, batch, validate = store =>
+      require(outputMode == OutputMode.Append() ||
+          store.schema.updateMode == UpdateMode.Overwrite,
+        s"output mode $outputMode re-emits rows per trigger and needs a " +
+          "last-write-wins (Overwrite-mode) table to upsert into; this " +
+          "table is Append-mode (concatenating merge)"))
+    sfs.mkdirs(sfs.path("manifest"))
+    sfs.writeLines(markPath, Seq(s"$queryId $batchId"))
   }
 }
 

@@ -67,6 +67,18 @@ object GraftShims {
     walk(c.node)
   }
 
+  /** Re-materialize a streaming micro-batch DataFrame as a plain batch one
+    * over the SAME physical rows (no recomputation): a DSv1 `Sink.addBatch`
+    * input is backed by an IncrementalExecution and rejects batch writes;
+    * re-wrapping its InternalRow RDD drops the streaming flag — the
+    * standard pattern DSv1 table sinks use. `internalCreateDataFrame` is
+    * sql-private, hence the shim. */
+  def materializeBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Catalyst's float normalization (-0.0 → 0.0, canonical NaN), recursing
     * into struct/array types — `private[sql]`, re-exported for the native
     * merge operator so its byte-equality grouping agrees with SQL equality

@@ -224,6 +224,88 @@ class SourceSpec extends AnyFunSuite {
       "filter on the pre-delete version resurrected a tombstoned pk")
   }
 
+  test("writeStream.format(graft): micro-batches commit as SSTs, restarts " +
+      "resume from the checkpoint, batch re-delivery is skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpRoot()
+    val ckpt = tmpRoot()
+    val mem = MemoryStream[(Int, Long, Long)]
+    def start() = mem.toDF().toDF("pk", "tms", "v")
+      .writeStream.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    mem.addData((1, 100L, 10L), (2, 150L, 20L))
+    q.processAllAvailable()
+    mem.addData((1, 120L, 11L)) // overwrite pk 1 in a later micro-batch
+    q.processAllAvailable()
+    q.stop()
+    def readBack() = spark.read.format("graft").option("root", root).load()
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(readBack() == Map(1 -> 11L, 2 -> 20L))
+    // the high-water mark advanced with the last batch
+    val store = TimeMergeStorage.open(spark, root)
+    assert(store.exists(root + "/manifest/sink-commit.txt"))
+    val before = store.manifest.allSsts().size
+    // restart from the SAME checkpoint: stream resumes, new data commits,
+    // nothing is double-applied
+    val q2 = start()
+    mem.addData((3, 200L, 30L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readBack() == Map(1 -> 11L, 2 -> 20L, 3 -> 30L))
+    assert(TimeMergeStorage.open(spark, root).manifest.allSsts().size == before + 1)
+  }
+
+  test("graft sink in update mode upserts re-emitted aggregate rows into a " +
+      "last-write-wins table; append-mode tables reject update output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpRoot()
+    val mem = MemoryStream[Int]
+    val q = mem.toDF().toDF("k").groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("graft").outputMode("update")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000")
+      .option("checkpointLocation", tmpRoot())
+      .start()
+    mem.addData(1, 1, 2)
+    q.processAllAvailable()
+    mem.addData(1) // k=1 re-emitted with n=3; k=2 unchanged, not re-emitted
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.format("graft").option("root", root).load()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 1L))
+
+    // an Append-MODE table would concatenate re-emissions: rejected
+    val root2 = tmpRoot()
+    df(Seq((1, 10L, 1L))).write.format("graft")
+      .option("root", root2).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("updateMode", "append")
+      .mode(SaveMode.Append).save()
+    val mem2 = MemoryStream[Int]
+    val bad = mem2.toDF().toDF("pk").groupBy("pk")
+      .agg(max(lit(1L)).as("tms"), count(lit(1)).as("v"))
+      .writeStream.format("graft").outputMode("update")
+      .option("root", root2)
+      .option("checkpointLocation", tmpRoot())
+      .start()
+    mem2.addData(7)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.processAllAvailable()
+    }
+    assert(e.getMessage.contains("Append-mode") ||
+      Option(e.getCause).exists(_.getMessage.contains("Append-mode")))
+    bad.stop()
+  }
+
   test("bucketed SQL writes produce the 100 TB layout and read back merged") {
     val root = tmpRoot()
     val rows = (1 to 200).map(i => (i, (i % 3) * 1000L, i.toLong))
