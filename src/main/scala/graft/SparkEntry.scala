@@ -2098,6 +2098,13 @@ object SparkEntry {
         .select(col("doc_id"),
           explode(TextAnalysis.winnow(col("text"), k = 5, w = 4)).as("fp"))),
 
+    // RAG-style overlapping token windows: 32-token chunks starting every
+    // 24 tokens (8 tokens of shared context between neighbors), last
+    // window truncated.
+    "t24_chunk_windows" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.slidingChunks(
+        t(s, dir, "documents"), "doc_id", "text", window = 32, stride = 24)),
+
     // Dedup: MOSS-style candidate pairs from shared winnow fingerprints —
     // noise-thresholded print equi-join (df <= 10), >= 2 shared prints,
     // overlap coefficient against the smaller print set.
@@ -4525,6 +4532,18 @@ object SparkEntry {
         |  CAST(sum(cnt * len) AS BIGINT) AS bytes_total,
         |  CAST(sum(len) AS BIGINT) AS bytes_dedup
         |FROM pc""".stripMargin,
+
+    // Overlapping token windows: starts 0, 24, 48, … strictly below the
+    // token count; chunk = 32 tokens from each start (truncated at end).
+    "t24_chunk_windows" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS st FROM s)
+        |SELECT doc_id, CAST(st / 24 AS BIGINT) AS chunk_idx,
+        |  CAST(least(32, len(w) - st) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[CAST(st + 1 AS INTEGER):CAST(st + 32 AS INTEGER)],
+        |    ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     "t13_winnow" ->
       """WITH s AS (SELECT doc_id, replace(lower(text), ' ', '') AS norm

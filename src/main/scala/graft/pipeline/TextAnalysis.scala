@@ -369,4 +369,37 @@ object TextAnalysis {
           .cast("double") / size(tokens(col(textCol))), 4))
       .drop("__rep__")
   }
+
+  /** Overlapping token-window chunking — the RAG / context-packing prep
+    * shape: one chunk per `stride` whitespace tokens, each `window` tokens
+    * long (the last one truncated), so consecutive chunks share
+    * `window - stride` tokens of context. Output: (id, chunk_idx,
+    * n_tokens, chunk_text), one row per window.
+    *
+    * Pure column expressions + one explode: per-doc work is O(n_tokens),
+    * output is ceil(n_tokens / stride) rows per doc, no shuffle and no
+    * UDF — map-only at 100 TB, with pushdown intact below it. Chunk
+    * boundaries are token-count-based, so the operator composes with
+    * [[tokenCount]]-budgeted packing downstream ([[graft.pipeline.Sharding]]).
+    * For content-defined (shift-robust) boundaries use
+    * [[graft.pipeline.Dedup.cdcChunks]] instead — this one is for fixed
+    * context windows, that one for dedup-stable chunk identity. */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"window ($window) and stride ($stride) must be positive")
+    val toks = tokens(col(textCol))
+    // starts 0, stride, 2·stride … strictly below n_tokens (sequence's stop
+    // is inclusive, so n_tokens-1; split never yields an empty array, so
+    // n_tokens >= 1 and the guard never sees a negative stop)
+    val starts = sequence(lit(0), size(toks) - 1, lit(stride))
+    df.withColumn("__toks__", toks)
+      .select(col(idCol), col("__toks__"), explode(starts).as("__st__"))
+      .select(col(idCol),
+        (col("__st__") / lit(stride)).cast("long").as("chunk_idx"),
+        least(lit(window), size(col("__toks__")) - col("__st__"))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("__toks__"), col("__st__") + 1, lit(window)))
+          .as("chunk_text"))
+  }
 }

@@ -1082,4 +1082,27 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(feat(3) - c0.sum.toDouble / c0.size / 255.0) < 1e-12)
     }
   }
+
+  test("sliding token chunks: full coverage, stride offsets, window-stride " +
+      "overlap, truncated tail, single-window doc") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val docs = Seq((1L, text), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.slidingChunks(docs, "doc_id", "text",
+        window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0,3,6,9 → windows of 4 with the last truncated to 1
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 4L, "w7 w8 w9 w10"),
+      (1L, 3L, 1L, "w10")))
+    // consecutive chunks share window - stride = 1 token
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, "solo")))
+    // every token appears in at least one chunk (coverage)
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
 }
