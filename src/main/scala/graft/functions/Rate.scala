@@ -48,26 +48,48 @@ object Rate {
 
   /** (ts epoch-ms, value) sample for the typed aggregator. */
   case class Sample(ts: Long, value: Double)
-  case class RateBuf(firstTs: Long, lastTs: Long, lastValue: Double,
-      increase: Double, n: Long)
+  case class RateBuf(firstTs: Long, firstValue: Double, lastTs: Long,
+      lastValue: Double, increase: Double, n: Long)
 
-  /** Streaming-friendly increase aggregator. NOTE: assumes per-group input
-    * arrives in ts order within each merge unit (sorted SST scans provide
-    * this); out-of-order merging falls back to summing partial increases. */
+  /** Streaming-friendly increase aggregator. Assumes per-group input
+    * arrives in ts order within each reduce unit (sorted SST scans provide
+    * this). MERGING is exact for time-disjoint buffers — the normal Spark
+    * partial-aggregation split of an ordered stream: the boundary delta
+    * between the earlier buffer's last value and the later buffer's first
+    * value is reconstructed reset-aware (without it, every partition
+    * boundary silently dropped one delta and the result varied with
+    * partitioning). Overlapping (genuinely out-of-order) buffers fall back
+    * to summing partial increases, as documented. */
   class RateAggregator extends Aggregator[Sample, RateBuf, Double] {
-    def zero: RateBuf = RateBuf(Long.MaxValue, Long.MinValue, Double.NaN, 0.0, 0L)
+    def zero: RateBuf =
+      RateBuf(Long.MaxValue, Double.NaN, Long.MinValue, Double.NaN, 0.0, 0L)
     def reduce(b: RateBuf, s: Sample): RateBuf = {
       val inc =
         if (b.n == 0L || s.value >= b.lastValue) (if (b.n == 0L) 0.0 else s.value - b.lastValue)
         else s.value
-      RateBuf(math.min(b.firstTs, s.ts), math.max(b.lastTs, s.ts), s.value,
+      RateBuf(math.min(b.firstTs, s.ts),
+        if (b.n == 0L) s.value else b.firstValue,
+        math.max(b.lastTs, s.ts), s.value,
         b.increase + inc, b.n + 1)
     }
-    def merge(a: RateBuf, b: RateBuf): RateBuf =
-      if (a.n == 0) b else if (b.n == 0) a
-      else RateBuf(math.min(a.firstTs, b.firstTs), math.max(a.lastTs, b.lastTs),
+    def merge(a: RateBuf, b: RateBuf): RateBuf = {
+      if (a.n == 0) return b
+      if (b.n == 0) return a
+      // order the two buffers by time; exact when they don't interleave
+      val (lo, hi) = if (a.lastTs <= b.firstTs) (a, b)
+        else if (b.lastTs <= a.firstTs) (b, a)
+        else (a, b) // interleaved: boundary unknown, keep partial sum
+      val boundary =
+        if (lo.lastTs <= hi.firstTs) // reset-aware cross-buffer delta
+          (if (hi.firstValue >= lo.lastValue) hi.firstValue - lo.lastValue
+           else hi.firstValue)
+        else 0.0
+      RateBuf(math.min(a.firstTs, b.firstTs),
+        if (a.firstTs <= b.firstTs) a.firstValue else b.firstValue,
+        math.max(a.lastTs, b.lastTs),
         if (b.lastTs >= a.lastTs) b.lastValue else a.lastValue,
-        a.increase + b.increase, a.n + b.n)
+        a.increase + b.increase + boundary, a.n + b.n)
+    }
     def finish(r: RateBuf): Double =
       if (r.n < 2 || r.lastTs == r.firstTs) 0.0
       else r.increase / ((r.lastTs - r.firstTs) / 1000.0)

@@ -160,27 +160,49 @@ object CdcCutBounds {
     * product stays far inside Long). */
   val M: Long = 1000000007L
 
+  /** Modular inverse of the base 31 (M is prime → 31^(M-2) mod M): lets the
+    * window hash ROLL — dropping the oldest char divides the remaining
+    * polynomial by 31 exactly, in modular arithmetic. */
+  private val Inv31: Long =
+    BigInt(31).modPow(BigInt(M - 2), BigInt(M)).toLong
+
   /** `31^j mod M` for j < window — the canonical constants, consumed by
     * both this expression and the oracle-SQL generator. */
   def pows(window: Int): IndexedSeq[Long] =
     Iterator.iterate(1L)(p => p * 31L % M).take(window).toIndexedSeq
 
+  // per-window constant tables, built once per JVM, not once per ROW —
+  // compute() runs inside the whole-stage-codegen hot loop
+  private val powCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def powsCached(window: Int): Array[Long] =
+    powCache.computeIfAbsent(window, w => pows(w).toArray)
+
   def compute(text: UTF8String, window: Int, maskBits: Int): ArrayData = {
     val cps = text.toString.codePoints().toArray
     val n = cps.length
     val mask = (1L << maskBits) - 1L
-    val pw = pows(window).toArray
+    val pw = powsCached(window)
+    val top = pw(window - 1)
     val out = scala.collection.mutable.ArrayBuffer[Any](0L)
     if (n >= window) {
+      // Rolling evaluation of h_i = Σ_j cps(i-window+j)·31^j mod M: one
+      // subtract-scale-add per position instead of a full window
+      // re-evaluation (O(n) per row, was O(n·window)). Identical values
+      // to the direct polynomial — exact modular arithmetic throughout
+      // (codepoints < 2^21 ≪ M; products stay well inside Long).
+      var h = 0L
+      var j = 0
+      while (j < window) { h = (h + cps(j) * pw(j)) % M; j += 1 }
       var i = window // 1-based position of the window's LAST char
       while (i <= n) {
-        var h = 0L
-        var j = 0
-        while (j < window) {
-          h = (h + cps(i - window + j) * pw(j)) % M
-          j += 1
-        }
         if ((h & mask) == 0L && i < n) out += i.toLong
+        if (i < n) {
+          // drop cps(i-window) (coefficient 31^0), divide by 31, admit
+          // cps(i) at the top coefficient
+          h = ((h - cps(i - window) + M) % M) * Inv31 % M
+          h = (h + cps(i) * top) % M
+        }
         i += 1
       }
     }

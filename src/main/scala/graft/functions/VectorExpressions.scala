@@ -26,6 +26,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
+  /** Nullable even over non-null inputs: a LENGTH MISMATCH yields null —
+    * the same answer the composable `aggregate(zip_with(a, b, _*_), …)`
+    * form gives (zip_with null-pads the shorter side and the sum absorbs
+    * the null). Truncating to min(length) instead would hand downstream
+    * ANN a plausible partial similarity for a corrupt or wrong-model
+    * embedding and the data problem would never surface. */
+  override def nullable: Boolean = true
+
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
     case ArrayType(DoubleType, _) => Some(DoubleType)
@@ -46,9 +54,10 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val aFloat = elemType(left).contains(FloatType)
     val bFloat = elemType(right).contains(FloatType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -69,12 +78,16 @@ case class FloatDotProduct(left: Expression, right: Expression)
         if (elemType(e).contains(FloatType)) s"(double) $arr.getFloat($i)"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(l, left)} * ${get(r, right)};
+         |if ($l.numElements() != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $l.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${get(l, left)} * ${get(r, right)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -127,14 +127,18 @@ final class MetricEngine(spark: SparkSession, root: String,
         .join(known, Seq("tsid"), "left_anti") // AQE picks build side: batch vs catalog
         .cache()
       if (!fresh.isEmpty) {
+        // ORDER MATTERS: `fresh` is an anti-join against the series table,
+        // and cache() is only an optimization — a lost cache block
+        // recomputes the plan. Writing `series` FIRST would make a
+        // recompute (during the tags/index writes) see the batch's tsids
+        // as already-known and silently produce an EMPTY fresh set,
+        // permanently dropping those series' tag/index rows. Writing
+        // `series` LAST keeps every possible recompute consistent: until
+        // it commits, the anti-join re-derives the same fresh set.
         metrics.write(
           fresh.select(col("name").as("metric_name"), col("metric_id")).distinct()
             .withColumn("field_id", lit(0))
             .select("metric_name", "metric_id", "field_id"),
-          MetaRange)
-        series.write(
-          fresh.select(col("metric_id"), col("tsid"),
-            col("series_key").cast(BinaryType).as("series_key")).distinct(),
           MetaRange)
         val exploded = fresh.select(col("metric_id"), col("tsid"),
           explode(col("labels")).as(Seq("tag_key", "tag_value")))
@@ -142,6 +146,10 @@ final class MetricEngine(spark: SparkSession, root: String,
           exploded.select("metric_id", "tag_key", "tag_value").distinct(), MetaRange)
         index.write(
           exploded.select("metric_id", "tag_key", "tag_value", "tsid").distinct(),
+          MetaRange)
+        series.write(
+          fresh.select(col("metric_id"), col("tsid"),
+            col("series_key").cast(BinaryType).as("series_key")).distinct(),
           MetaRange)
       }
       fresh.unpersist()
@@ -206,18 +214,30 @@ final class MetricEngine(spark: SparkSession, root: String,
       rows = rows.withColumn("value", graft.functions.Rate.resetAwareDelta(
         col("value"), Seq(col("tsid")), Seq(col("ts"))))
     val bucketCol = q.stepMs.map(st => (floor(col("ts") / lit(st)).cast("long") * st).as("bucket_ms"))
-    val tagCol = q.groupByTag.map { tag =>
+    // The grouping tag is a LABEL NAME, and legal Prometheus label names
+    // include this frame's structural column names ("value", "ts", "tsid",
+    // "bucket_ms"). Join the tag value under a reserved internal alias and
+    // rename on the way out, so such labels neither collide in the join
+    // nor shadow the value column mid-plan. Output-name collisions that
+    // cannot be represented at all (a group column named like the value or
+    // bucket output) are rejected with a pointer to the general path,
+    // which prefixes every label column.
+    val tagAlias = "__graft_tag__"
+    q.groupByTag.foreach { tag =>
+      require(tag != "value" && !(q.stepMs.isDefined && tag == "bucket_ms"),
+        s"grouping label '$tag' would collide with the '$tag' OUTPUT " +
+          "column of the aggregation — unsupported by the engine's flat " +
+          "result frames; rename the label at ingest")
       val tagVals = index.scan(ScanRequest(predicates = Seq(
         col("metric_id") === mid, col("tag_key") === tag)))
-        .select(col("tsid"), col("tag_value").as(tag))
+        .select(col("tsid"), col("tag_value").as(tagAlias))
       // left join + "" default: series without the tag stay in the result
       // as the empty-label group (Prometheus by() semantics; an inner join
       // would silently drop them)
       rows = rows.join(maybeBroadcast(tagVals), Seq("tsid"), "left")
-        .withColumn(tag, coalesce(col(tag), lit("")))
-      col(tag)
+        .withColumn(tagAlias, coalesce(col(tagAlias), lit("")))
     }
-    val keys = (tagCol.toSeq ++ bucketCol.toSeq)
+    val keys = (q.groupByTag.map(_ => col(tagAlias)).toSeq ++ bucketCol.toSeq)
     val valueAgg = q.agg match {
       case MetricAgg.Sum => sum(col("value"))
       case MetricAgg.Min => min(col("value"))
@@ -228,8 +248,10 @@ final class MetricEngine(spark: SparkSession, root: String,
       case MetricAgg.Stdvar => var_pop(col("value"))
       case MetricAgg.Group => max(lit(1.0))
     }
-    if (keys.isEmpty) rows.agg(valueAgg.as("value"))
-    else rows.groupBy(keys: _*).agg(valueAgg.as("value"))
+    val out =
+      if (keys.isEmpty) rows.agg(valueAgg.as("value"))
+      else rows.groupBy(keys: _*).agg(valueAgg.as("value"))
+    q.groupByTag.map(t => out.withColumnRenamed(tagAlias, t)).getOrElse(out)
   }
 
   /** PromQL text → the engine's storage. Two execution tiers:
@@ -255,6 +277,17 @@ final class MetricEngine(spark: SparkSession, root: String,
     * columns, so combine DIFFERENT metrics through aggregations
     * (`sum(a)/sum(b)`), as raw range-vector operands carry per-metric tsids.
     */
+  /** By-labels the [[query]] fast path lowers onto [[MetricQuery]]:
+    * everything except `__name__` (the fast path's index join has no
+    * __name__ tag and would label the group "" silently). Structural-name
+    * collisions (a label literally called "value"/"ts"/"tsid"/"bucket_ms")
+    * are handled inside [[query]] via an internal join alias; the one
+    * irreconcilable name ("value", whose group column would collide with
+    * the value output) fails fast there with a clear message — the general
+    * path cannot represent it either (labels rename to bare names in the
+    * evaluator's output contract). */
+  private def fastPathSafeLabel(l: String): Boolean = l != "__name__"
+
   def queryPromQL(text: String, range: TimeRange,
       stepMs: Option[Long] = None): DataFrame = {
     import graft.promql._
@@ -311,17 +344,21 @@ final class MetricEngine(spark: SparkSession, root: String,
           .join(maybeBroadcast(lookupTsids(mid, eqFilters(sel).get)), Seq("tsid"), "left_semi")
           .select(col("tsid"), col("ts").as("ts_ms"), col("value"))
       // by (__name__) must take the general path — the fast path's index
-      // join has no __name__ tag and would label the group "" silently
+      // join has no __name__ tag and would label the group "" silently.
+      // So must by-labels named like the fast-path frame's structural
+      // columns (value/ts/tsid/bucket_ms — all legal label names): the
+      // general path prefix-isolates label columns, the fast path cannot
+      // represent a group column named "value" at all.
       case Agg(op, by, sel: Selector, false)
           if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
-            sel.offsetMs == 0L && !by.contains("__name__") =>
+            sel.offsetMs == 0L && by.forall(fastPathSafeLabel) =>
         query(MetricQuery(sel.metric, eqFilters(sel).get, range, stepMs, op,
           by.headOption))
       case Agg(MetricAgg.Sum, by,
             RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win), false)
           if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
             sel.offsetMs == 0L && stepMs.forall(_ == win) &&
-            !by.contains("__name__") =>
+            by.forall(fastPathSafeLabel) =>
         val inc = query(MetricQuery(sel.metric, eqFilters(sel).get, range,
           Some(win), MetricAgg.Sum, by.headOption, rate = true))
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
@@ -360,10 +397,20 @@ final class MetricEngine(spark: SparkSession, root: String,
           matching.map(vm => (vm.labels ++ vm.include).toSet).getOrElse(Set.empty))
       case FnCall(_, c, _) => walk(c)
       case HistogramQuantile(_, c) => val (m, l) = walk(c); (m, l + "le")
-      case LabelFn(n, c, _, args) =>
-        // source labels must be joined from the index; dst is synthesized
+      case LabelFn(n, c, dst, args) =>
+        // labels the evaluator READS must be joined from the index — which
+        // ones depends on the function (parse shapes: PromQL.scala:717-740)
         val (m, l) = walk(c)
-        val srcs = if (n == "label_join") args.drop(1) else Seq(args(1))
+        val srcs = n match {
+          // args = sep +: srcLabels; dst is overwritten unconditionally
+          case "label_join" => args.drop(1)
+          // args = (replacement, src, regex); the EXISTING dst value is
+          // preserved when the regex does not match, so dst is read too
+          case "label_replace" => Seq(args(1), dst)
+          // sort_by_label(_desc): every argument is a sort label
+          // (dst holds the first, args the rest — none synthesized)
+          case _ => dst +: args
+        }
         (m, l ++ srcs)
       case NumLit(_) => (Set.empty, Set.empty)
     }
@@ -442,6 +489,16 @@ final class MetricEngine(spark: SparkSession, root: String,
           .distinct().collect().map(_.getString(0)).toSeq
       })
     val labelCols = (labelSet ++ allKeys).toSeq.sorted
+    // Labels whose bare names collide with the evaluator's structural
+    // output columns cannot ride its flat frames (Selector output renames
+    // every label to its bare name next to value/ts_ms/tsid/bucket_ms) —
+    // fail fast with the data-model restriction instead of an opaque
+    // duplicate-column AnalysisException deep in the plan.
+    labelCols.find(Set("value", "ts_ms", "bucket_ms", "tsid")).foreach(l =>
+      throw new IllegalArgumentException(
+        s"label '$l' collides with the evaluator's structural column " +
+          "names (value/ts_ms/bucket_ms/tsid) — unsupported; rename the " +
+          "label at ingest"))
     // Index-side matcher pushdown for one selector: every `=` matcher and
     // every POSITIVE regex matcher whose pattern cannot match "" bounds a
     // superset of the touchable series via the (tag_value, tsid) index

@@ -132,4 +132,57 @@ class MetricEngineSpec extends AnyFunSuite {
       range = TimeRange(day, day + 5 * 60000L))).collect()
     assert(got(0).getDouble(0) == 5.0)
   }
+
+  test("sort_by_label joins ALL its label arguments; label_replace " +
+      "preserves the existing dst on regex non-match") {
+    import spark.implicits._
+    val e = engine()
+    e.write(Seq(
+      Sample("m", Map("env" -> "prod", "zone" -> "b"), day, 1.0),
+      Sample("m", Map("env" -> "dev", "zone" -> "a"), day, 2.0)).toDF())
+    val r = TimeRange(day, day + 1000L)
+    // one label: must not throw (was args(1) IndexOutOfBounds); order by env
+    val one = e.queryPromQL("""sort_by_label(m{zone=~".+"}, "env")""", r)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(one == Seq(2.0, 1.0)) // dev before prod
+    // two labels: both must be joined (zone drives the order here)
+    val two = e.queryPromQL("""sort_by_label(m{env=~".+"}, "zone", "env")""", r)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(two == Seq(2.0, 1.0)) // zone a before zone b
+    // label_replace non-match: env must come back "prod"/"dev", not ""
+    val kept = e.queryPromQL(
+      """label_replace(m{zone="b"}, "env", "$1", "nosuch", "(.+)")""", r)
+      .collect().map(_.getAs[String]("env")).toSeq
+    assert(kept == Seq("prod"), s"existing dst lost: $kept")
+  }
+
+  test("labels named like structural columns: ts/tsid group correctly on " +
+      "the fast path; irreconcilable names fail fast with a clear message") {
+    import spark.implicits._
+    val e = engine()
+    e.write(Seq(
+      Sample("m", Map("tsid" -> "a", "ts" -> "t1"), day, 1.0),
+      Sample("m", Map("tsid" -> "b", "ts" -> "t1"), day, 2.0)).toDF())
+    val r = TimeRange(day, day + 1000L)
+    // a label literally named "tsid" (legal Prometheus) must not collide
+    // with the frame's tsid column in the fast path's index join
+    val byTsid = e.queryPromQL("""sum by (tsid) (m{ts="t1"})""", r)
+      .collect().map(row => row.getAs[String]("tsid") ->
+        row.getAs[Double]("value")).toMap
+    assert(byTsid == Map("a" -> 1.0, "b" -> 2.0))
+    // same for "ts"
+    val byTs = e.queryPromQL("""sum by (ts) (m{tsid="a"})""", r)
+      .collect().map(row => row.getAs[String]("ts") ->
+        row.getAs[Double]("value")).toMap
+    assert(byTs == Map("t1" -> 1.0))
+    // "value" as a group label cannot be represented in the flat output
+    // frame on either path: clear error, not a duplicate-column blowup
+    val e1 = intercept[IllegalArgumentException](
+      e.queryPromQL("""sum by (value) (m{ts="t1"})""", r).collect())
+    assert(e1.getMessage.contains("value"))
+    // general path (regex matcher) rejects reserved label names clearly too
+    val e2 = intercept[IllegalArgumentException](
+      e.queryPromQL("""sum by (tsid) (m{ts=~"t.*"})""", r).collect())
+    assert(e2.getMessage.contains("structural"))
+  }
 }

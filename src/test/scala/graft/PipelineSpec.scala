@@ -1105,4 +1105,87 @@ class PipelineSpec extends AnyFunSuite {
     val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
+
+  test("RateAggregator merge is exact across a partition boundary of " +
+      "in-order data (boundary delta reconstructed, reset-aware)") {
+    import graft.functions.Rate
+    val agg = new Rate.RateAggregator
+    def red(ss: Seq[(Long, Double)]) =
+      ss.foldLeft(agg.zero)((b, s) => agg.reduce(b, Rate.Sample(s._1, s._2)))
+    // monotonic counter split mid-stream: true increase 30 over 3 s
+    val whole = red(Seq((1000L, 0.0), (2000L, 10.0), (3000L, 20.0), (4000L, 30.0)))
+    val a = red(Seq((1000L, 0.0), (2000L, 10.0)))
+    val b = red(Seq((3000L, 20.0), (4000L, 30.0)))
+    assert(agg.finish(agg.merge(a, b)) == agg.finish(whole))
+    assert(agg.finish(agg.merge(b, a)) == agg.finish(whole)) // order-free
+    assert(agg.finish(whole) == 30.0 / 3.0)
+    // counter RESET exactly at the boundary: post-reset value counts fully
+    val w2 = red(Seq((1000L, 10.0), (2000L, 20.0), (3000L, 5.0), (4000L, 9.0)))
+    val a2 = red(Seq((1000L, 10.0), (2000L, 20.0)))
+    val b2 = red(Seq((3000L, 5.0), (4000L, 9.0)))
+    assert(agg.finish(agg.merge(a2, b2)) == agg.finish(w2))
+    assert(agg.finish(w2) == (10.0 + 5.0 + 4.0) / 3.0)
+    // three-way associativity (Spark may merge in any grouping)
+    val c = red(Seq((5000L, 12.0)))
+    assert(agg.finish(agg.merge(agg.merge(a2, b2), c)) ==
+      agg.finish(agg.merge(a2, agg.merge(b2, c))))
+  }
+
+  test("float_dot returns NULL on length-mismatched vectors (matches the " +
+      "composable zip_with form), not a truncated partial product") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f, 5.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.floatDot(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 11.0)
+    assert(got(1).isNullAt(0), "mismatched lengths must yield null")
+    // the composable form agrees
+    val composable = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)).collect()
+    assert(composable(0).getDouble(0) == 11.0 && composable(1).isNullAt(0))
+  }
+
+  test("CDC rolling hash computes the identical cut positions as the " +
+      "direct window polynomial") {
+    import graft.functions.{CdcCutBounds, TextFunctions}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // alphabets chosen to hit cuts often at maskBits=3..5
+    val texts = (0 until 40).map { i =>
+      val n = rnd.nextInt(400)
+      (i.toLong, (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }
+    def naive(text: String, window: Int, maskBits: Int): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val mask = (1L << maskBits) - 1L
+      val pw = CdcCutBounds.pows(window)
+      val out = scala.collection.mutable.ArrayBuffer[Long](0L)
+      if (n >= window) {
+        var i = window
+        while (i <= n) {
+          var h = 0L
+          var j = 0
+          while (j < window) { h = (h + cps(i - window + j) * pw(j)) % CdcCutBounds.M; j += 1 }
+          if ((h & mask) == 0L && i < n) out += i.toLong
+          i += 1
+        }
+      }
+      out += n.toLong
+      out.toSeq
+    }
+    for ((window, maskBits) <- Seq((16, 5), (8, 3), (1, 4), (5, 4))) {
+      val got = texts.toDF("id", "text")
+        .select(col("id"), TextFunctions.cdcCutBounds(col("text"), window, maskBits).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      texts.foreach { case (id, text) =>
+        assert(got(id) == naive(text, window, maskBits),
+          s"cut drift for id=$id window=$window maskBits=$maskBits")
+      }
+    }
+  }
 }
