@@ -1244,6 +1244,7 @@ object SparkEntry {
         stream.addData(chunk.toSeq); q.processAllAvailable()
       } finally q.stop()
       s.table(sink).withColumn("increase", round(col("increase"), 2))
+        .withColumn("rate", round(col("rate"), 6))
     }),
 
     // Streaming gap-based sessionization (session_window + watermark) over
@@ -3191,7 +3192,8 @@ object SparkEntry {
         |    CASE WHEN prev IS NULL THEN NULL
         |         WHEN value >= prev THEN value - prev ELSE value END AS delta
         |  FROM p)
-        |SELECT uid, bucket_ms, round(sum(delta), 2) AS increase
+        |SELECT uid, bucket_ms, round(sum(delta), 2) AS increase,
+        |  round(sum(delta) / 86400.0, 6) AS rate
         |FROM d, mx WHERE delta IS NOT NULL AND bucket_ms + 86400000 <= mx.m
         |GROUP BY uid, bucket_ms""".stripMargin,
 
@@ -3246,14 +3248,16 @@ object SparkEntry {
         |    AS n_samples
         |FROM w, mx WHERE chunk_start + 1800000 <= mx.m""".stripMargin,
 
+    // series_key uses the engine's canonical control-character form
+    // (chr(1) key chr(2) value), shared with storage tsids.
     "sl1_live_last" ->
       """WITH m AS (SELECT event_type AS name,
-        |    'uid=' || CAST(user_id AS VARCHAR) AS series_key,
+        |    chr(1) || 'uid' || chr(2) || CAST(user_id AS VARCHAR) AS series_key,
         |    max(epoch_ms(ts::TIMESTAMP)) AS ts
         |  FROM events GROUP BY 1, 2)
         |SELECT m.name, m.series_key, m.ts, e.value
         |FROM m JOIN events e ON e.event_type = m.name
-        |  AND 'uid=' || CAST(e.user_id AS VARCHAR) = m.series_key
+        |  AND chr(1) || 'uid' || chr(2) || CAST(e.user_id AS VARCHAR) = m.series_key
         |  AND epoch_ms(e.ts::TIMESTAMP) = m.ts""".stripMargin,
 
     "st2_widen_empty" ->

@@ -97,9 +97,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     * collide to one key (a `,`/`=` join would let `{a:"1,b=2"}` equal
     * `{a:"1",b:"2"}`). */
   private def seriesKeyCol: Column =
-    concat(col("name"),
-      concat_ws("", transform(array_sort(map_entries(col("labels"))),
-        e => concat(lit("\u0001"), e("key"), lit("\u0002"), e("value")))))
+    MetricEngine.seriesKeyColumn(col("name"), col("labels"))
 
   /** Id population (reference metric/mod.rs:30-40, index/mod.rs:28-37):
     * metric_id = hash(name), tsid = hash(canonical series key). */
@@ -584,6 +582,43 @@ final class MetricEngine(spark: SparkSession, root: String,
 }
 
 object MetricEngine {
+
+  /** Canonical series-key COLUMN: name + sorted `\u0001 key \u0002 value`
+    * pairs (see the collision rationale at [[MetricEngine.withIds]]).
+    * Shared with the streaming layer so stateful-view keys and storage
+    * tsids can never drift apart. */
+  def seriesKeyColumn(name: Column, labels: Column): Column =
+    org.apache.spark.sql.functions.concat(name, labelsKeyColumn(labels))
+
+  /** The labels part of the canonical key, as a column. */
+  def labelsKeyColumn(labels: Column): Column = {
+    import org.apache.spark.sql.functions._
+    concat_ws("", transform(array_sort(map_entries(labels)),
+      e => concat(lit("\u0001"), e("key"), lit("\u0002"), e("value"))))
+  }
+
+  /** Scala mirror of [[labelsKeyColumn]] for typed `groupByKey` paths
+    * (streaming state keys). Sorts label names in UTF-8 BYTE order — the
+    * order Spark's `array_sort` uses on strings — so the two forms agree
+    * byte-for-byte on any label set (UTF-16 `sortBy` would diverge for
+    * supplementary-plane label names). MetricEngineSpec pins the
+    * agreement. */
+  def labelsKey(labels: Map[String, String]): String =
+    labels.toSeq.sortWith((a, b) => utf8Lt(a._1, b._1))
+      .map { case (k, v) => s"\u0001$k\u0002$v" }.mkString
+
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
   /** Meta tables are not time-partitioned: single fixed segment. */
   private val MetaSegmentMs = Long.MaxValue
   private val MetaRange = TimeRange(0L, 1L)

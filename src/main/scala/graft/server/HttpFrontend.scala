@@ -46,7 +46,12 @@ final class HttpFrontend(
     spark: SparkSession,
     engine: MetricEngine,
     port: Int = 0,
-    compaction: CompactionConfig = CompactionConfig()) {
+    compaction: CompactionConfig = CompactionConfig(),
+    /** Write-body cap in bytes (default 64 MiB, generous for remote-write
+      * batches). Bodies are buffered before decode, and snappy can expand
+      * further — without a cap a handful of multi-GB POSTs OOM the JVM
+      * (query + ingest down together). Oversized requests get 413. */
+    maxWriteBodyBytes: Long = 64L << 20) {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[HttpFrontend])
   private val keepWriting = new AtomicBoolean(true)
@@ -112,11 +117,24 @@ final class HttpFrontend(
   })
 
   server.createContext("/api/v1/write", (ex: HttpExchange) => {
+    // Bounded read: trust neither Content-Length (may lie or be absent
+    // under chunked encoding) nor the stream itself — read AT MOST cap+1
+    // bytes and reject anything that exceeds the cap before buffering
+    // more. readAllBytes would buffer an arbitrary body on the heap first.
+    val declared = ex.getRequestHeaders.getFirst("Content-Length")
+    val declaredTooBig =
+      declared != null && scala.util.Try(declared.toLong).toOption
+        .exists(_ > maxWriteBodyBytes)
     val body =
-      try ex.getRequestBody.readAllBytes()
-      catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+      if (declaredTooBig) null
+      else try {
+        val b = ex.getRequestBody.readNBytes(maxWriteBodyBytes.toInt + 1)
+        if (b.length > maxWriteBodyBytes) null else b
+      } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
     if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only")
     else if (!keepWriting.get()) respond(ex, 503, "ingest toggled off")
+    else if (body == null)
+      respond(ex, 413, s"write body exceeds $maxWriteBodyBytes bytes")
     else {
       val samples =
         try graft.streaming.RemoteWrite.decode(body)

@@ -224,6 +224,16 @@ final class GraftSink(
   private val sfs = StoreFs(root, spark.sessionState.newHadoopConf())
   private def markPath = sfs.path("manifest", "sink-commit.txt")
 
+  // `compactEvery` = N: run one compaction pass after every N committed
+  // batches (option, default off). A long-running stream commits one SST
+  // per micro-batch per touched segment; without periodic compaction the
+  // file count grows without bound and scans slow down. Driver-side and
+  // in-line with the commit loop — the same single-writer discipline the
+  // manifest requires (a concurrent external compactor would race it).
+  private val compactEvery = parameters.get("compactEvery").map(_.toInt)
+  require(compactEvery.forall(_ > 0), "compactEvery must be positive")
+  private var sinceCompaction = 0
+
   private def lastCommitted(): Option[(String, Long)] =
     if (!sfs.exists(markPath)) None
     else sfs.readLines(markPath).headOption.map { l =>
@@ -253,6 +263,20 @@ final class GraftSink(
           "table is Append-mode (concatenating merge)"))
     sfs.mkdirs(sfs.path("manifest"))
     sfs.writeLines(markPath, Seq(s"$queryId $batchId"))
+    compactEvery.foreach { n =>
+      sinceCompaction += 1
+      if (sinceCompaction >= n) {
+        sinceCompaction = 0
+        // re-open per pass so a mid-stream schema evolution is picked up
+        // (a pinned store would compact with the pre-evolution schema and
+        // drop the appended columns from the merged SST)
+        val compactor = new graft.storage.Compactor(
+          TimeMergeStorage.open(spark, root), graft.storage.CompactionConfig())
+        // drain: a backlog of micro-batch SSTs can need several passes
+        var rounds = 0
+        while (compactor.runOnce() && rounds < 8) rounds += 1
+      }
+    }
   }
 }
 

@@ -21,10 +21,19 @@ import graft.metric.{MetricEngine, Sample}
   */
 object MetricStreamIngest {
 
-  /** Decode a stream of raw remote-write payloads into samples. */
+  /** Decode a stream of raw remote-write payloads into samples. A payload
+    * that fails to decode yields NOTHING instead of throwing: an exception
+    * here fails the micro-batch, the checkpoint replays the same offsets
+    * on restart, and one malformed payload becomes a poison pill that
+    * halts ingest forever. The HTTP edge applies the same per-payload
+    * tolerance (HttpFrontend rejects bad bodies with a 400); payloads that
+    * arrive through other sources get dropped-and-counted semantics via
+    * the standard streaming metrics (numInputRows vs sink rows). */
   def decodePayloads(payloads: Dataset[Array[Byte]]): Dataset[Sample] = {
     import payloads.sparkSession.implicits._
-    payloads.flatMap(RemoteWrite.decode(_))
+    payloads.flatMap(p =>
+      try RemoteWrite.decode(p)
+      catch { case scala.util.control.NonFatal(_) => Nil })
   }
 
   /** Start the ingest query: payload stream → engine tables. */

@@ -105,14 +105,14 @@ object RemoteWrite {
       pos = p1
       (tag >> 3, tag & 7) match {
         case (1, 2) => // timeseries
-          val (len, p2) = varint(bytes, pos)
-          decodeTimeSeries(bytes, p2, p2 + len.toInt, samples,
+          val (len, p2) = lenAt(bytes, pos)
+          decodeTimeSeries(bytes, p2, p2 + len, samples,
             if (collectExtras) Some(exemplars) else None)
-          pos = p2 + len.toInt
+          pos = p2 + len
         case (3, 2) if collectExtras => // metadata
-          val (len, p2) = varint(bytes, pos)
-          metadata += decodeMetadata(bytes, p2, p2 + len.toInt)
-          pos = p2 + len.toInt
+          val (len, p2) = lenAt(bytes, pos)
+          metadata += decodeMetadata(bytes, p2, p2 + len)
+          pos = p2 + len
         case (_, wt) => pos = skip(bytes, pos, wt.toInt)
       }
     }
@@ -131,19 +131,19 @@ object RemoteWrite {
       pos = p1
       (tag >> 3, tag & 7) match {
         case (1, 2) => // label
-          val (len, p2) = varint(b, pos)
-          val (n, v) = decodeLabel(b, p2, p2 + len.toInt)
+          val (len, p2) = lenAt(b, pos)
+          val (n, v) = decodeLabel(b, p2, p2 + len)
           labels(n) = v
-          pos = p2 + len.toInt
+          pos = p2 + len
         case (2, 2) => // sample
-          val (len, p2) = varint(b, pos)
-          samples += decodeSample(b, p2, p2 + len.toInt)
-          pos = p2 + len.toInt
+          val (len, p2) = lenAt(b, pos)
+          samples += decodeSample(b, p2, p2 + len)
+          pos = p2 + len
         case (3, 2) => // exemplar — parsed only for the full-request path
-          val (len, p2) = varint(b, pos)
+          val (len, p2) = lenAt(b, pos)
           if (exemplarsOut.isDefined)
-            exemplars += decodeExemplar(b, p2, p2 + len.toInt)
-          pos = p2 + len.toInt
+            exemplars += decodeExemplar(b, p2, p2 + len)
+          pos = p2 + len
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
@@ -165,10 +165,10 @@ object RemoteWrite {
       pos = p1
       (tag >> 3, tag & 7) match {
         case (1, 2) =>
-          val (len, p2) = varint(b, pos)
-          val (n, v) = decodeLabel(b, p2, p2 + len.toInt)
+          val (len, p2) = lenAt(b, pos)
+          val (n, v) = decodeLabel(b, p2, p2 + len)
           labels(n) = v
-          pos = p2 + len.toInt
+          pos = p2 + len
         case (2, 1) =>
           value = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
         case (3, 0) =>
@@ -191,10 +191,10 @@ object RemoteWrite {
       (tag >> 3, tag & 7) match {
         case (1, 0) => val (t, p2) = varint(b, pos); tpe = t.toInt; pos = p2
         case (f, 2) if f == 2 || f == 4 || f == 5 =>
-          val (len, p2) = varint(b, pos)
-          val s = new String(b, p2, len.toInt, "UTF-8")
+          val (len, p2) = lenAt(b, pos)
+          val s = new String(b, p2, len, "UTF-8")
           if (f == 2) family = s else if (f == 4) help = s else unit = s
-          pos = p2 + len.toInt
+          pos = p2 + len
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
@@ -208,10 +208,10 @@ object RemoteWrite {
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
       pos = p1
-      val (len, p2) = varint(b, pos)
-      val s = new String(b, p2, len.toInt, "UTF-8")
+      val (len, p2) = lenAt(b, pos)
+      val s = new String(b, p2, len, "UTF-8")
       if ((tag >> 3) == 1) name = s else if ((tag >> 3) == 2) value = s
-      pos = p2 + len.toInt
+      pos = p2 + len
     }
     (name, value)
   }
@@ -237,6 +237,9 @@ object RemoteWrite {
     var shift = 0
     var pos = start
     while ({
+      // a legal varint is at most 10 bytes; unbounded continuation bits in
+      // attacker-crafted input must error, not shift into garbage
+      if (shift > 63) sys.error(s"varint too long at $start")
       val x = b(pos) & 0xff
       result |= (x & 0x7fL) << shift
       pos += 1
@@ -244,6 +247,21 @@ object RemoteWrite {
       (x & 0x80) != 0
     }) ()
     (result, pos)
+  }
+
+  /** Length-delimited field bounds, validated: the declared length must be
+    * non-negative and fit inside the buffer. Without this, a crafted
+    * length varint (e.g. 2^32-6) truncates to a NEGATIVE Int, `pos + len`
+    * lands back ON the tag it came from, and the decode loop spins
+    * forever — a remote CPU-pin DoS through the HTTP write endpoint
+    * (no exception, so per-payload catches never fire). Every
+    * length-delimited read routes through here so `pos` strictly
+    * advances or the walk errors out. */
+  private def lenAt(b: Array[Byte], pos: Int): (Int, Int) = {
+    val (len, p) = varint(b, pos)
+    if (len < 0L || len > (b.length - p).toLong)
+      sys.error(s"bad length-delimited field: len=$len at $pos")
+    (len.toInt, p)
   }
 
   private def fixed64(b: Array[Byte], pos: Int): Long = {
@@ -256,7 +274,7 @@ object RemoteWrite {
   private def skip(b: Array[Byte], pos: Int, wireType: Int): Int = wireType match {
     case 0 => varint(b, pos)._2
     case 1 => pos + 8
-    case 2 => val (len, p) = varint(b, pos); p + len.toInt
+    case 2 => val (len, p) = lenAt(b, pos); p + len
     case 5 => pos + 4
     case wt => sys.error(s"unsupported wire type $wt")
   }

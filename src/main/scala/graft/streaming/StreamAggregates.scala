@@ -30,9 +30,8 @@ object StreamAggregates {
   private def withEventTime(samples: Dataset[Sample]): DataFrame =
     samples.toDF()
       .withColumn("ts_ts", timestamp_millis(col("timestamp")))
-      .withColumn("series_key", concat(col("name"),
-        concat_ws("", transform(array_sort(map_entries(col("labels"))),
-          e => concat(lit("\u0001"), e("key"), lit("\u0002"), e("value"))))))
+      .withColumn("series_key",
+        graft.metric.MetricEngine.seriesKeyColumn(col("name"), col("labels")))
 
   /** Watermarked 30-minute chunk builder (append mode): one row per
     * (series, window) holding the time-sorted chunk built so far. */
@@ -175,7 +174,7 @@ object StreamAggregates {
     * stored state) is dropped — the feed contract is per-series monotonic
     * arrival, and truly late data is repaired by the storage replay path
     * (T4 policy), not the live view. */
-  private class ResetDeltaProcessor
+  private class ResetDeltaProcessor(byLabel: String)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         (String, String), Sample, SeriesDelta] {
     @transient private var last:
@@ -191,6 +190,10 @@ object StreamAggregates {
         rows: Iterator[Sample],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SeriesDelta] = {
       val sorted = rows.toArray.sortBy(_.timestamp)
+      // every row in the group is the same series, so the by-label value
+      // is constant — read it from any row
+      val labelValue = sorted.headOption
+        .map(_.labels.getOrElse(byLabel, "")).getOrElse("")
       val out = Array.newBuilder[SeriesDelta]
       var prev: Option[(Long, Double)] =
         if (last.exists()) Option(last.get()) else None
@@ -198,7 +201,7 @@ object StreamAggregates {
         prev match {
           case Some((pts, pv)) if s.timestamp >= pts =>
             val d = if (s.value >= pv) s.value - pv else s.value
-            out += SeriesDelta(key._1, key._2,
+            out += SeriesDelta(key._1, labelValue,
               new java.sql.Timestamp(s.timestamp), d)
             prev = Some((s.timestamp, s.value))
           case Some(_) => // behind state: dropped (monotonic feed contract)
@@ -226,8 +229,22 @@ object StreamAggregates {
   def streamingRate(samples: Dataset[Sample], metric: String, byLabel: String,
       stepMs: Long, watermark: String = "0 seconds"): DataFrame = {
     val spark = samples.sparkSession
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // transformWithState requires the RocksDB provider. The setting is
+    // SESSION-GLOBAL (Spark has no per-query provider option), so only the
+    // default HDFS-backed provider is upgraded; a session that explicitly
+    // chose some other provider must opt in itself — silently clobbering
+    // it would break restores of that session's other stateful queries.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val current = spark.conf.getOption(providerKey)
+    if (!current.contains(rocks)) {
+      require(current.forall(_.endsWith("HDFSBackedStateStoreProvider")),
+        s"streamingRate needs the RocksDB state store provider but the " +
+          s"session pins $providerKey=${current.get}; set it to RocksDB " +
+          "yourself if that is intended")
+      spark.conf.set(providerKey, rocks)
+    }
     implicit val outEnc: org.apache.spark.sql.Encoder[SeriesDelta] =
       Encoders.product[SeriesDelta]
     implicit val keyEnc: org.apache.spark.sql.Encoder[(String, String)] =
@@ -239,14 +256,23 @@ object StreamAggregates {
       .withWatermark("ts_ts", watermark)
       .filter(col("name") === metric)
       .as[Sample]
+    // State keys by the FULL canonical series key: keying by the label
+    // VALUE alone would interleave distinct series sharing that value into
+    // one pseudo-counter, and every alternation across their unrelated
+    // levels would read as a reset (garbage increases). The by-label value
+    // rides along in the emitted delta for the second operator's grouping
+    // (per-series increase, THEN sum by label — the Prometheus
+    // sum by (l) (increase(...)) decomposition).
     val deltas = filtered
-      .groupByKey(s => (s.name, s.labels.getOrElse(byLabel, "")))
-      .transformWithState(new ResetDeltaProcessor, "ts_ts", OutputMode.Append())
+      .groupByKey(s => (s.name, graft.metric.MetricEngine.labelsKey(s.labels)))
+      .transformWithState(new ResetDeltaProcessor(byLabel), "ts_ts",
+        OutputMode.Append())
     deltas.toDF()
       .groupBy(col("uid"), window(col("ts_ts"), s"$stepMs milliseconds").as("w"))
       .agg(sum(col("delta")).as("increase"))
       .select(col("uid"), unix_millis(col("w.start")).as("bucket_ms"),
-        col("increase"))
+        col("increase"),
+        (col("increase") / lit(stepMs / 1000.0)).as("rate"))
   }
 
   /** Gap-based session windows over any event frame — Structured
@@ -277,8 +303,10 @@ object StreamAggregates {
     implicit val enc = Encoders.product[SeriesLast]
     implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     samples
-      .groupByKey(s => (s.name, s.labels.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-        .mkString(",")))
+      // canonical control-character key: the ','/'=' join this replaced
+      // let {a:"1,b=2"} and {a:"1",b:"2"} collide into one state entry
+      // (exactly the collision MetricEngine.seriesKeyCol documents)
+      .groupByKey(s => (s.name, graft.metric.MetricEngine.labelsKey(s.labels)))
       .mapGroupsWithState[SeriesLast, SeriesLast](GroupStateTimeout.NoTimeout) {
         (key: (String, String), batch: Iterator[Sample], state: GroupState[SeriesLast]) =>
           // last-write-wins with ARRIVAL-ORDER ties (>=): a correction sample

@@ -61,6 +61,10 @@ class HttpFrontendSpec extends AnyFunSuite {
       assert(post(port, "/api/v1/write", Array[Byte](1, 2, 3)).statusCode() == 400)
       assert(get(port, "/api/v1/write").statusCode() == 405)
 
+      // crafted length varints (the decoder-stall shape) are a fast 400
+      assert(post(port, "/api/v1/write", Array[Byte](0x0a, 0xFA.toByte,
+        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F)).statusCode() == 400)
+
       // toggle gates the write path and reports the PREVIOUS state
       // (fetch_not, main.rs:65-72)
       assert(get(port, "/toggle").body() == "Stop!")
@@ -108,6 +112,21 @@ class HttpFrontendSpec extends AnyFunSuite {
       val after = engine.query(MetricQuery("cpu_seconds_total",
         agg = MetricAgg.Count)).collect()(0).getDouble(0)
       assert(after == 120.0)
+    } finally fe.stop()
+  }
+
+  test("write bodies over the cap are rejected 413 before buffering") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-cap").toString)
+    val fe = new HttpFrontend(spark, engine, maxWriteBodyBytes = 1024L)
+    val port = fe.start()
+    try {
+      val big = new Array[Byte](64 * 1024)
+      assert(post(port, "/api/v1/write", big).statusCode() == 413)
+      // a small valid body still lands
+      val ok = RemoteWrite.encode(samples(3, 0))
+      assert(ok.length <= 1024)
+      assert(post(port, "/api/v1/write", ok).statusCode() == 204)
     } finally fe.stop()
   }
 

@@ -185,4 +185,25 @@ class MetricEngineSpec extends AnyFunSuite {
       e.queryPromQL("""sum by (tsid) (m{ts=~"t.*"})""", r).collect())
     assert(e2.getMessage.contains("structural"))
   }
+
+  test("labelsKey (Scala) and labelsKeyColumn (Spark) agree byte-for-byte, " +
+      "including supplementary-plane label names") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sets: Seq[Map[String, String]] = Seq(
+      Map.empty,
+      Map("b" -> "2", "a" -> "1"),
+      Map("a" -> "1,b=2"),
+      // U+10000 vs U+E000: UTF-16 sorts them opposite to UTF-8 byte order
+      Map(new String(Character.toChars(0x10000)) -> "hi", "\uE000" -> "lo"),
+      Map("job" -> "x", "host" -> "h0", "mode" -> "user"))
+    val df = sets.zipWithIndex.map { case (m, i) => (i, m) }.toDF("i", "labels")
+    val viaColumn = df.select(col("i"),
+        graft.metric.MetricEngine.labelsKeyColumn(col("labels")))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    sets.zipWithIndex.foreach { case (m, i) =>
+      assert(viaColumn(i) == graft.metric.MetricEngine.labelsKey(m),
+        s"key drift for $m")
+    }
+  }
 }

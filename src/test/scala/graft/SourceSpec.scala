@@ -261,6 +261,39 @@ class SourceSpec extends AnyFunSuite {
     assert(TimeMergeStorage.open(spark, root).manifest.allSsts().size == before + 1)
   }
 
+  test("sink compactEvery bounds the SST count of a long-running stream " +
+      "and preserves merge results") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpRoot()
+    val mem = MemoryStream[(Int, Long, Long)]
+    val q = mem.toDF().toDF("pk", "tms", "v")
+      .writeStream.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000000").option("timestampColumn", "tms")
+      .option("compactEvery", "3")
+      .option("checkpointLocation", tmpRoot())
+      .start()
+    try {
+      // 9 micro-batches into one segment: 9 SSTs without compaction;
+      // compactEvery=3 keeps draining them (default picker min is 5 input
+      // files, so passes fire once enough accumulate)
+      (1 to 9).foreach { i =>
+        mem.addData((i, 100L + i, i.toLong), (1, 200L + i, 100L + i))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val store = TimeMergeStorage.open(spark, root)
+    assert(store.manifest.allSsts().size < 9,
+      s"compaction never fired: ${store.manifest.allSsts().size} SSTs")
+    val got = spark.read.format("graft").option("root", root).load()
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // pk=1 repeatedly overwritten: newest write (batch 9) wins
+    assert(got(1) == 109L)
+    assert((2 to 9).forall(i => got(i) == i.toLong))
+  }
+
   test("graft sink in update mode upserts re-emitted aggregate rows into a " +
       "last-write-wins table; append-mode tables reject update output") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

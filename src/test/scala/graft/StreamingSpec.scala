@@ -376,16 +376,113 @@ class StreamingSpec extends AnyFunSuite {
         t0 + 999000L, 777.0))
       q.processAllAvailable()
     } finally q.stop()
-    val last = spark.sql(
-      "SELECT seriesKey, value FROM lastv WHERE seriesKey LIKE 'host=h0%'")
-      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // canonical control-character series key, shared with storage tsids
+    val h0Key = graft.metric.MetricEngine.labelsKey(
+      Map("host" -> "h0", "mode" -> "user"))
+    val last = spark.table("lastv")
+      .filter(org.apache.spark.sql.functions.col("seriesKey") === h0Key)
+      .collect().map(r => (r.getAs[String]("seriesKey"), r.getAs[Double]("value")))
     // update mode appends each revision; the final h0 row carries the override
     assert(last.map(_._2).contains(777.0))
-    val latestRun = spark.sql(
-      """SELECT value FROM lastv WHERE seriesKey LIKE 'host=h0%' AND ts = (
-        |  SELECT max(ts) FROM lastv WHERE seriesKey LIKE 'host=h0%')""".stripMargin)
-      .collect().map(_.getDouble(0)).toSeq
+    val latestRun = spark.table("lastv")
+      .filter(org.apache.spark.sql.functions.col("seriesKey") === h0Key)
+      .orderBy(org.apache.spark.sql.functions.col("ts").desc)
+      .limit(1).collect().map(_.getAs[Double]("value")).toSeq
     assert(latestRun == Seq(777.0))
+  }
+
+  test("liveLastValue keeps structurally distinct series distinct even " +
+      "when a naive k=v join would collide their keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    val q = StreamAggregates.liveLastValue(stream.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("lastv2").start()
+    try {
+      // 'a=1,b=2' under a ','/'=' join for BOTH of these:
+      stream.addData(
+        Sample("m", Map("a" -> "1,b=2"), t0, 10.0),
+        Sample("m", Map("a" -> "1", "b" -> "2"), t0 + 1000L, 20.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = spark.table("lastv2").collect()
+      .map(r => r.getAs[String]("seriesKey") -> r.getAs[Double]("value")).toMap
+    assert(keys.size == 2, s"series collided: $keys")
+    assert(keys(graft.metric.MetricEngine.labelsKey(Map("a" -> "1,b=2"))) == 10.0)
+    assert(keys(graft.metric.MetricEngine.labelsKey(
+      Map("a" -> "1", "b" -> "2"))) == 20.0)
+  }
+
+  test("streamingRate keys reset state per SERIES: two series sharing the " +
+      "by-label value never interleave into one pseudo-counter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    def s(host: String, job: String, sec: Long, v: Double) =
+      Sample("req2_total", Map("host" -> host, "job" -> job),
+        t0 + sec * 1000L, v)
+    val q = StreamAggregates.streamingRate(stream.toDS(), "req2_total", "job",
+        stepMs = 60000L, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("srate2").start()
+    try {
+      // both series have job=x; h0 counts near 1000, h1 near 5 — under
+      // per-label-value state every alternation would read as a reset
+      stream.addData(
+        s("h0", "x", 0, 1000), s("h1", "x", 1, 5),
+        s("h0", "x", 10, 1010), s("h1", "x", 11, 8),
+        s("h0", "x", 20, 1025), s("h1", "x", 21, 9))
+      q.processAllAvailable()
+      stream.addData(s("h0", "x", 3600, 1025)) // close the window
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT uid, bucket_ms, increase, rate FROM srate2").collect()
+      .map(r => (r.getString(0), r.getLong(1) - t0, r.getDouble(2),
+        r.getDouble(3))).toSet
+    // per-series increases: h0 = 10+15 = 25, h1 = 3+1 = 4 -> sum by job = 29
+    assert(got == Set(("x", 0L, 29.0, 29.0 / 60.0)), s"got $got")
+  }
+
+  test("crafted remote-write payloads cannot stall the decoder: negative " +
+      "and overflowing length varints error out instead of looping") {
+    // length varint 0xFA 0xFF 0xFF 0xFF 0x0F decodes to 4294967290;
+    // .toInt was -6, landing pos back on the tag: an infinite loop before
+    // the bounds check existed. Now it must raise (caught per payload).
+    val evil = Array[Byte](0x0a, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0x0F)
+    intercept[RuntimeException](RemoteWrite.decode(evil))
+    // near-2^31 length: p + len overflows int — must error, not AIOOBE-spin
+    val evil2 = Array[Byte](0x0a, 0xFE.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0x07)
+    intercept[RuntimeException](RemoteWrite.decode(evil2))
+    // unbounded varint continuation bytes: error, not garbage shifting
+    val evil3 = Array.fill[Byte](12)(0x80.toByte)
+    intercept[RuntimeException](RemoteWrite.decode(evil3))
+    // unframe on attacker bytes goes through the same guarded walk
+    assert(RemoteWrite.unframe(evil) sameElements evil)
+  }
+
+  test("one malformed payload in the ingest stream is dropped, not a " +
+      "poison pill that kills the query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eng = new MetricEngine(spark,
+      Files.createTempDirectory("graft-poison").toString,
+      segmentMs = 12L * 3600 * 1000)
+    val stream = MemoryStream[Array[Byte]]
+    val q = MetricStreamIngest.start(eng, stream.toDS(),
+      Files.createTempDirectory("graft-poison-ckpt").toString, triggerMs = 50L)
+    try {
+      val good = RemoteWrite.encode(Seq(
+        Sample("m", Map("k" -> "v"), t0, 1.0)))
+      val evil = Array[Byte](0x0a, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte,
+        0xFF.toByte, 0x0F)
+      stream.addData(good, evil,
+        RemoteWrite.encode(Seq(Sample("m", Map("k" -> "v"), t0 + 1000L, 2.0))))
+      q.processAllAvailable()
+      assert(q.isActive, "malformed payload killed the ingest query")
+    } finally q.stop()
+    assert(eng.data.scan().count() == 2) // both good payloads landed
   }
 
   test("streaming ingest lands samples in the engine (T1-T4 pipeline)") {
