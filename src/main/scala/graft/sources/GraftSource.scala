@@ -148,6 +148,16 @@ object DefaultSource {
           timestampColumn = parameters.get("timestampColumn"))
       }
     validate(store)
+    appendTo(store, parameters, data)
+    store
+  }
+
+  /** Commit one aligned batch into an ALREADY-RESOLVED store — split out so
+    * [[GraftRelation.insert]] can write through the relation's own store
+    * instance (whose in-memory manifest must see the new SSTs: re-opening
+    * a fresh store would leave the SQL view reading a stale file list). */
+  private[sources] def appendTo(store: TimeMergeStorage,
+      parameters: Map[String, String], data: DataFrame): Unit = {
     // align the batch to the table: reorder by name, null-fill ABSENT
     // nullable value columns (the complement of append-column widening —
     // an old producer keeps writing after the table evolved); primary
@@ -188,7 +198,6 @@ object DefaultSource {
         // no timestamp column: the whole table lives in segment 0
         commit(aligned, TimeRange(0L, store.segmentMs))
     }
-    store
   }
 }
 
@@ -294,11 +303,32 @@ final case class GraftRelation(sqlContext: SQLContext,
     store: TimeMergeStorage,
     asOf: Option[Long] = None,
     tombstoneCol: Option[String] = None)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def schema: StructType = store.schema.userSchema
 
   override def needConversion: Boolean = false
+
+  /** SQL `INSERT INTO <view>` lands through the same per-segment append
+    * path as `df.write.format("graft")`. `INSERT OVERWRITE` is rejected
+    * for the same reason SaveMode.Overwrite is: an LSM table overwrites by
+    * WRITING newer versions, never by truncation. Historical (`asOf`) and
+    * tombstone-filtered views are read-only — inserting "into" a pinned
+    * past or a filtered projection would be misleading. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(!overwrite, "graft is a merge-on-read (LSM) table: overwrite " +
+      "by WRITING newer versions (last-write-wins), not by truncation; " +
+      "use plain INSERT INTO")
+    require(asOf.isEmpty && tombstoneCol.isEmpty,
+      "asOf / excludeTombstones views are read-only; insert through a " +
+        "plain view of the table root")
+    // INSERT INTO binds columns BY POSITION against this relation's
+    // schema; restore the table's column names, then commit through THIS
+    // relation's store so its in-memory manifest sees the new SSTs
+    // immediately (a fresh open would leave this view reading stale files)
+    val named = data.toDF(store.schema.userSchema.fieldNames.toIndexedSeq: _*)
+    DefaultSource.appendTo(store, Map.empty, named)
+  }
 
   /** Filters the store evaluates itself (everything translatable — pushed
     * into the scan as Column predicates, where they prune zone-mapped SSTs

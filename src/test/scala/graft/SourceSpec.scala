@@ -261,6 +261,29 @@ class SourceSpec extends AnyFunSuite {
     assert(TimeMergeStorage.open(spark, root).manifest.allSsts().size == before + 1)
   }
 
+  test("SQL INSERT INTO a graft view appends through the table path; " +
+      "OVERWRITE and read-only views reject") {
+    val root = tmpRoot()
+    df(Seq((1, 100L, 10L), (2, 150L, 20L))).write.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .mode(SaveMode.Append).save()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ins_t USING graft OPTIONS (root '$root')")
+    // plain insert: new pk + an overwrite of pk 1 (newer __seq__ wins)
+    spark.sql("INSERT INTO ins_t VALUES (3, 200L, 30L), (1, 120L, 11L)")
+    val got = spark.sql("SELECT pk, v FROM ins_t ORDER BY pk").collect()
+      .map(r => r.getInt(0) -> r.getLong(2 - 1)).toMap
+    assert(got == Map(1 -> 11L, 2 -> 20L, 3 -> 30L))
+    // INSERT OVERWRITE is the truncation shape: rejected
+    intercept[Exception](
+      spark.sql("INSERT OVERWRITE TABLE ins_t VALUES (9, 900L, 90L)"))
+    // read-only views reject inserts
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ins_hist USING graft " +
+      s"OPTIONS (root '$root', asOf '1')")
+    intercept[Exception](
+      spark.sql("INSERT INTO ins_hist VALUES (9, 900L, 90L)"))
+  }
+
   test("sink compactEvery bounds the SST count of a long-running stream " +
       "and preserves merge results") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
