@@ -179,6 +179,92 @@ final class HttpFrontend(
     }
   })
 
+  /** Prometheus HTTP-API-shaped range query (`/api/v1/query_range?query=…
+    * &start=…&end=…&step=…`, seconds like Prometheus, step also taking
+    * `30s`/`5m`/`1h`/`1d`): the same evaluator as `/query`, wrapped in the
+    * standard response envelope (`status`/`data`/`resultType: "matrix"`/
+    * per-series `metric` + `values`) so Prometheus-speaking clients
+    * (Grafana, promtool) can consume the engine directly. Known
+    * deviations, consistent with PROMQL.md: values stringify with the
+    * JVM's double formatting (not Go `%g`), and a step that disagrees
+    * with a range-function window is rejected rather than re-sampled. */
+  server.createContext("/api/v1/query_range", (ex: HttpExchange) => {
+    try {
+      val p = queryParams(ex)
+      def need(k: String): String = p.getOrElse(k,
+        throw new IllegalArgumentException(s"missing $k parameter"))
+      val expr = need("query")
+      val startMs = (need("start").toDouble * 1000.0).toLong
+      val endMs = (need("end").toDouble * 1000.0).toLong
+      val stepMs = parseStep(need("step"))
+      require(endMs >= startMs, "end must be >= start")
+      // Prometheus ranges are end-INCLUSIVE; the engine's are half-open
+      val df = engine.queryPromQL(expr,
+        TimeRange(startMs, endMs + 1), Some(stepMs))
+      val cols = df.columns
+      val tsCol =
+        if (cols.contains("bucket_ms")) Some("bucket_ms")
+        else if (cols.contains("ts_ms")) Some("ts_ms")
+        else None
+      val labelCols = cols.filter(c =>
+        c != "value" && c != "tsid" && !tsCol.contains(c)).sorted
+      val rows = df.collect().filter(!_.isNullAt(df.columns.indexOf("value")))
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val series = rows.groupBy(r => labelCols.map(c =>
+          c -> Option(r.getAs[Any](c)).map(_.toString).getOrElse("")))
+        .toSeq.sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString(","))
+        .map { case (labels, rs) =>
+          val metric = labels.filter(_._2.nonEmpty).map { case (k, v) =>
+            s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+          val values = rs.map { r =>
+            val tsSec = tsCol.map(c => r.getAs[Long](c) / 1000.0)
+              .getOrElse(endMs / 1000.0)
+            (tsSec, r.getAs[Double]("value"))
+          }.sortBy(_._1)
+            .map { case (t, v) => s"""[$t,"$v"]""" }.mkString("[", ",", "]")
+          s"""{"metric":$metric,"values":$values}"""
+        }
+      respond(ex, 200,
+        s"""{"status":"success","data":{"resultType":"matrix","result":${
+          series.mkString("[", ",", "]")}}}""",
+        contentType = "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400,
+          s"""{"status":"error","errorType":"bad_data","error":"${
+            e.getMessage.replace("\\", "\\\\").replace("\"", "\\\"")}"}""",
+          contentType = "application/json")
+    }
+  })
+
+  /** Prometheus step syntax: bare (float) seconds or `<n><unit>` with unit
+    * one of ms/s/m/h/d. */
+  private def parseStep(s: String): Long = {
+    val m = "([0-9.]+)(ms|s|m|h|d)?".r
+    s.trim match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case null | "s" => 1000.0
+          case "ms" => 1.0
+          case "m" => 60000.0
+          case "h" => 3600000.0
+          case "d" => 86400000.0
+        }
+        val v = (n.toDouble * mult).toLong
+        require(v > 0, s"step must be positive: $s")
+        v
+      case other => throw new IllegalArgumentException(s"bad step '$other'")
+    }
+  }
+
   def start(): Int = { server.start(); boundPort }
   def boundPort: Int = server.getAddress.getPort
   def ingestEnabled: Boolean = keepWriting.get()

@@ -115,6 +115,44 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("query_range serves the Prometheus response envelope: matrix " +
+      "result, per-series metric labels, [ts, \"v\"] pairs; errors get " +
+      "the error envelope") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-qr").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      // two hosts, two samples each inside one day bucket
+      val t0 = 1723680000000L
+      val body = RemoteWrite.encode(Seq(
+        graft.metric.Sample("http_req", Map("host" -> "a"), t0, 1.0),
+        graft.metric.Sample("http_req", Map("host" -> "a"), t0 + 1000, 2.0),
+        graft.metric.Sample("http_req", Map("host" -> "b"), t0 + 2000, 5.0)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+      val q = java.net.URLEncoder.encode("sum by (host) (http_req)", "UTF-8")
+      val r = get(port, s"/api/v1/query_range?query=$q&start=${t0 / 1000}" +
+        s"&end=${t0 / 1000 + 86400}&step=1d")
+      assert(r.statusCode() == 200, r.body())
+      val b = r.body()
+      assert(b.startsWith("""{"status":"success","data":{"resultType":"matrix""""))
+      assert(b.contains(""""metric":{"host":"a"}"""))
+      assert(b.contains(""""metric":{"host":"b"}"""))
+      assert(b.contains(""""3.0"""") && b.contains(""""5.0"""")) // sums
+      // step accepts bare seconds too; series order is deterministic
+      val r2 = get(port, s"/api/v1/query_range?query=$q&start=${t0 / 1000}" +
+        s"&end=${t0 / 1000 + 86400}&step=86400")
+      assert(r2.body() == b)
+      // errors come back in the Prometheus error envelope
+      val bad = get(port, s"/api/v1/query_range?query=$q&start=5&end=1&step=1d")
+      assert(bad.statusCode() == 400 &&
+        bad.body().startsWith("""{"status":"error""""))
+      val missing = get(port, s"/api/v1/query_range?query=$q")
+      assert(missing.statusCode() == 400 &&
+        missing.body().contains("missing start"))
+    } finally fe.stop()
+  }
+
   test("write bodies over the cap are rejected 413 before buffering") {
     val engine = new MetricEngine(spark,
       Files.createTempDirectory("graft-http-cap").toString)
