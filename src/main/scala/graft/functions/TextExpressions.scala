@@ -195,14 +195,12 @@ object CdcCutBounds {
       var j = 0
       while (j < window) { h = (h + cps(j) * pw(j)) % M; j += 1 }
       var i = window // 1-based position of the window's LAST char
-      while (i <= n) {
-        if ((h & mask) == 0L && i < n) out += i.toLong
-        if (i < n) {
-          // drop cps(i-window) (coefficient 31^0), divide by 31, admit
-          // cps(i) at the top coefficient
-          h = ((h - cps(i - window) + M) % M) * Inv31 % M
-          h = (h + cps(i) * top) % M
-        }
+      while (i < n) { // the window ending at n never cuts (interior only)
+        if ((h & mask) == 0L) out += i.toLong
+        // drop cps(i-window) (coefficient 31^0), divide by 31, admit
+        // cps(i) at the top coefficient
+        h = ((h - cps(i - window) + M) % M) * Inv31 % M
+        h = (h + cps(i) * top) % M
         i += 1
       }
     }

@@ -50,8 +50,14 @@ final class HttpFrontend(
     /** Write-body cap in bytes (default 64 MiB, generous for remote-write
       * batches). Bodies are buffered before decode, and snappy can expand
       * further — without a cap a handful of multi-GB POSTs OOM the JVM
-      * (query + ingest down together). Oversized requests get 413. */
+      * (query + ingest down together). Oversized requests get 413.
+      * Bounded above by ~2 GiB: bodies land in one JVM array, so a larger
+      * "cap" could never be honored (and its Int truncation would
+      * silently reject everything). */
     maxWriteBodyBytes: Long = 64L << 20) {
+  require(maxWriteBodyBytes > 0 && maxWriteBodyBytes <= Int.MaxValue - 8L,
+    s"maxWriteBodyBytes must be in (0, ${Int.MaxValue - 8}], " +
+      s"got $maxWriteBodyBytes — bodies are single JVM arrays")
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[HttpFrontend])
   private val keepWriting = new AtomicBoolean(true)
@@ -206,18 +212,14 @@ final class HttpFrontend(
         if (cols.contains("bucket_ms")) Some("bucket_ms")
         else if (cols.contains("ts_ms")) Some("ts_ms")
         else None
-      val labelCols = cols.filter(c =>
-        c != "value" && c != "tsid" && !tsCol.contains(c)).sorted
+      // Series identity: the label columns, PLUS tsid when the frame
+      // carries one (raw selector results are per-series by tsid — without
+      // it every series of the metric would collapse into one matrix
+      // entry with interleaved timestamps). tsid then shows as a label so
+      // matrix series stay unique as Prometheus requires.
+      val labelCols = (cols.filter(c =>
+        c != "value" && !tsCol.contains(c)).sorted).toSeq
       val rows = df.collect().filter(!_.isNullAt(df.columns.indexOf("value")))
-      def esc(s: String): String = s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
       val series = rows.groupBy(r => labelCols.map(c =>
           c -> Option(r.getAs[Any](c)).map(_.toString).getOrElse("")))
         .toSeq.sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString(","))
@@ -238,12 +240,25 @@ final class HttpFrontend(
         contentType = "application/json")
     } catch {
       case scala.util.control.NonFatal(e) =>
+        // null messages (NPEs) and control characters must still produce
+        // a VALID error envelope, not a dropped connection / broken JSON
+        val msg = esc(Option(e.getMessage).getOrElse(e.getClass.getName))
         respond(ex, 400,
-          s"""{"status":"error","errorType":"bad_data","error":"${
-            e.getMessage.replace("\\", "\\\\").replace("\"", "\\\"")}"}""",
+          s"""{"status":"error","errorType":"bad_data","error":"$msg"}""",
           contentType = "application/json")
     }
   })
+
+  /** JSON string escaping for hand-built response bodies. */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** Prometheus step syntax: bare (float) seconds or `<n><unit>` with unit
     * one of ms/s/m/h/d. */

@@ -243,12 +243,20 @@ final class GraftSink(
   require(compactEvery.forall(_ > 0), "compactEvery must be positive")
   private var sinceCompaction = 0
 
+  /** Parsed high-water mark, or None when the file is absent OR torn
+    * (writeLines overwrites in place, so a crash mid-write can leave a
+    * truncated line). A malformed mark degrades to "nothing committed" —
+    * at worst one batch re-appends, the documented at-least-once boundary
+    * — instead of poisoning every restart with a parse exception. */
   private def lastCommitted(): Option[(String, Long)] =
     if (!sfs.exists(markPath)) None
-    else sfs.readLines(markPath).headOption.map { l =>
-      val i = l.lastIndexOf(' ')
-      (l.substring(0, i), l.substring(i + 1).toLong)
-    }
+    else scala.util.Try {
+      sfs.readLines(markPath).headOption.flatMap { l =>
+        val i = l.lastIndexOf(' ')
+        if (i <= 0) None
+        else l.substring(i + 1).toLongOption.map(b => (l.substring(0, i), b))
+      }
+    }.toOption.flatten
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // set by StreamExecution for the duration of the query; stable across
@@ -325,9 +333,16 @@ final case class GraftRelation(sqlContext: SQLContext,
     // INSERT INTO binds columns BY POSITION against this relation's
     // schema; restore the table's column names, then commit through THIS
     // relation's store so its in-memory manifest sees the new SSTs
-    // immediately (a fresh open would leave this view reading stale files)
+    // immediately (a fresh open would leave this view reading stale files).
+    // Bucket layout is a write-time option, not part of the descriptor —
+    // infer it from the manifest so INSERTs into a bucketed table keep the
+    // pk-hash layout (an unbucketed SST would never merge with its
+    // bucket-mates under per-(segment, bucket) compaction).
     val named = data.toDF(store.schema.userSchema.fieldNames.toIndexedSeq: _*)
-    DefaultSource.appendTo(store, Map.empty, named)
+    val buckets = store.manifest.allSsts().map(_.bucket).filter(_ >= 0)
+      .reduceOption(_ max _).map(_ + 1)
+    DefaultSource.appendTo(store,
+      buckets.map(b => Map("buckets" -> b.toString)).getOrElse(Map.empty), named)
   }
 
   /** Filters the store evaluates itself (everything translatable — pushed

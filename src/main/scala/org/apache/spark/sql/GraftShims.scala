@@ -94,8 +94,19 @@ object GraftShims {
     * decide pre- vs post-merge evaluation (a value-column filter evaluated
     * BEFORE last-write-wins dedup can drop the newest version of a pk and
     * resurrect stale or deleted data). */
+  /** Function names whose results vary per evaluation: a predicate built
+    * on them does NOT commute with dedup/merge even when it references
+    * only key columns (each version row would roll its own dice), so
+    * [[referencedColumns]] reports such trees as unknowable. */
+  private val nonDeterministicFns = Set(
+    "rand", "randn", "random", "uuid", "shuffle",
+    "monotonically_increasing_id", "input_file_name",
+    "input_file_block_start", "input_file_block_length",
+    "spark_partition_id", "current_timestamp", "now", "current_date",
+    "localtimestamp", "rand_str", "randstr", "uniform")
+
   def referencedColumns(c: Column): Option[Seq[String]] = {
-    import org.apache.spark.sql.internal.{SqlExpression, SubqueryExpression => NSubquery, UnresolvedAttribute => NAttr, UnresolvedRegex => NRegex, UnresolvedStar => NStar}
+    import org.apache.spark.sql.internal.{InvokeInlineUserDefinedFunction, SqlExpression, SubqueryExpression => NSubquery, UnresolvedAttribute => NAttr, UnresolvedFunction => NFn, UnresolvedRegex => NRegex, UnresolvedStar => NStar}
     var unknown = false
     val names = scala.collection.mutable.ListBuffer.empty[String]
     def walkExpr(e: Expression): Unit = {
@@ -107,6 +118,9 @@ object GraftShims {
         case a: catalyst.expressions.AttributeReference => names += a.name
         case _: catalyst.analysis.UnresolvedStar => unknown = true
         case s: catalyst.expressions.SubqueryExpression => unknown = true
+        case f: catalyst.analysis.UnresolvedFunction
+            if nonDeterministicFns(f.nameParts.last.toLowerCase) => unknown = true
+        case e if e.resolved && !e.deterministic => unknown = true
         case _ => ()
       }
     }
@@ -117,6 +131,10 @@ object GraftShims {
       case _: NRegex => unknown = true
       case _: NSubquery => unknown = true
       case _: SqlExpression => unknown = true // raw SQL text: refs unknowable
+      case f: NFn if nonDeterministicFns(f.functionName.toLowerCase) =>
+        unknown = true // per-evaluation results: not a stable predicate
+      case _: InvokeInlineUserDefinedFunction =>
+        unknown = true // UDFs may be non-deterministic; stay conservative
       case classic.ExpressionColumnNode(e, _) => walkExpr(e)
       case _ => ()
     }

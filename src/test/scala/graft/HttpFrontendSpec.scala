@@ -150,6 +150,14 @@ class HttpFrontendSpec extends AnyFunSuite {
       val missing = get(port, s"/api/v1/query_range?query=$q")
       assert(missing.statusCode() == 400 &&
         missing.body().contains("missing start"))
+      // raw selector results stay one matrix entry PER SERIES (tsid rides
+      // as a label) — not all series collapsed into one values array
+      val raw = get(port, "/api/v1/query_range?query=http_req" +
+        s"&start=${t0 / 1000}&end=${t0 / 1000 + 86400}&step=1d")
+      assert(raw.statusCode() == 200, raw.body())
+      val nSeries = """"metric":\{""".r.findAllIn(raw.body()).length
+      assert(nSeries == 2, s"expected 2 matrix series, body: ${raw.body()}")
+      assert(raw.body().contains(""""tsid":"""))
     } finally fe.stop()
   }
 

@@ -1339,4 +1339,45 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(got.head.getAs[Double]("value") - 12000.0) < 1e-6,
       s"got ${got.head.getAs[Double]("value")}, want 12000.0")
   }
+
+  test("parser fuzz: garbage and mutated queries only ever raise " +
+      "PromQLParseException — never hangs, never leaks internal errors") {
+    import graft.promql.{PromQLParser, PromQLParseException}
+    val seeds = Seq(
+      """sum by (uid) (rate(http_requests{job="x",code=~"5.."}[5m]))""",
+      """histogram_quantile(0.9, sum by (le) (lat_bucket))""",
+      """label_replace(up, "dst", "$1", "src", "(.+)")""",
+      """clamp_max(m offset 5m, 100) / on (a, b) group_left m2""",
+      """max_over_time(sum by (u) (m{x!~"a|b"})[1d:6h] @ 120)""")
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = """(){}[]"',=~!<>+-*/%^ .:@0123456789azAZ_smhd"""
+    def parseOnly(q: String): Unit =
+      try { PromQLParser.parse(q); () }
+      catch {
+        case _: PromQLParseException => ()
+        case e: Throwable =>
+          fail(s"non-parse exception ${e.getClass.getName} for <$q>: ${e.getMessage}")
+      }
+    // pure random garbage
+    (0 until 300).foreach { _ =>
+      val n = rnd.nextInt(40)
+      parseOnly((0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    // mutations of valid queries: deletions, swaps, char flips
+    seeds.foreach { s0 =>
+      (0 until 200).foreach { _ =>
+        val sb = new StringBuilder(s0)
+        (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+          if (sb.nonEmpty) rnd.nextInt(3) match {
+            case 0 => sb.deleteCharAt(rnd.nextInt(sb.length))
+            case 1 => sb.setCharAt(rnd.nextInt(sb.length),
+              alphabet(rnd.nextInt(alphabet.length)))
+            case 2 => sb.insert(rnd.nextInt(sb.length + 1),
+              alphabet(rnd.nextInt(alphabet.length)))
+          }
+        }
+        parseOnly(sb.toString)
+      }
+    }
+  }
 }

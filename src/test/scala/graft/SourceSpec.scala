@@ -282,6 +282,20 @@ class SourceSpec extends AnyFunSuite {
       s"OPTIONS (root '$root', asOf '1')")
     intercept[Exception](
       spark.sql("INSERT INTO ins_hist VALUES (9, 900L, 90L)"))
+    // INSERT into a BUCKETED table keeps the pk-hash layout (bucket ids
+    // inferred from the manifest, never bucket=-1 strays)
+    val broot = tmpRoot()
+    df((1 to 50).map(i => (i, 100L, i.toLong))).write.format("graft")
+      .option("root", broot).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .option("buckets", "4").mode(SaveMode.Append).save()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ins_b USING graft OPTIONS (root '$broot')")
+    spark.sql("INSERT INTO ins_b VALUES (99, 150L, 990L)")
+    val store = TimeMergeStorage.open(spark, broot)
+    assert(store.manifest.allSsts().forall(_.bucket >= 0),
+      "INSERT broke the bucketed layout")
+    assert(spark.sql("SELECT v FROM ins_b WHERE pk = 99").collect()
+      .map(_.getLong(0)).toSeq == Seq(990L))
   }
 
   test("sink compactEvery bounds the SST count of a long-running stream " +
