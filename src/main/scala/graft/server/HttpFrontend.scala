@@ -249,6 +249,65 @@ final class HttpFrontend(
     }
   })
 
+  /** Prometheus metadata endpoints — the pair Grafana's query builder
+    * calls for completion: `GET /api/v1/labels` (every label name over the
+    * engine's tag dictionary, plus `__name__`) and
+    * `GET /api/v1/label/<name>/values` (that label's value dictionary;
+    * `__name__` resolves to the metric-name dictionary). Both answer from
+    * the small meta tables (tags/metrics) — never the data table — in the
+    * standard success envelope. Selector-scoped `match[]` narrowing is not
+    * implemented (the dictionaries are global), which Prometheus permits:
+    * clients treat these as a superset hint. */
+  server.createContext("/api/v1/labels", (ex: HttpExchange) => {
+    try {
+      val names = engine.tags.scan(graft.storage.ScanRequest(
+          projection = Some(Seq("tag_key"))))
+        .distinct().collect().map(_.getString(0))
+      val all = ("__name__" +: names.toSeq).distinct.sorted
+      respond(ex, 200,
+        all.map(n => s""""${esc(n)}"""")
+          .mkString("""{"status":"success","data":[""", ",", "]}"),
+        contentType = "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
+          s""""error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
+          contentType = "application/json")
+    }
+  })
+
+  server.createContext("/api/v1/label", (ex: HttpExchange) => {
+    try {
+      // path shape: /api/v1/label/<name>/values
+      val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      if (parts.length != 5 || parts(4) != "values")
+        respond(ex, 404, "expected /api/v1/label/<name>/values")
+      else {
+        val label = java.net.URLDecoder.decode(parts(3), "UTF-8")
+        val values =
+          if (label == "__name__")
+            engine.metrics.scan(graft.storage.ScanRequest(
+                projection = Some(Seq("metric_name"))))
+              .distinct().collect().map(_.getString(0))
+          else
+            engine.tags.scan(graft.storage.ScanRequest(
+                predicates = Seq(
+                  org.apache.spark.sql.functions.col("tag_key") === label),
+                projection = Some(Seq("tag_value"))))
+              .distinct().collect().map(_.getString(0))
+        respond(ex, 200,
+          values.sorted.map(v => s""""${esc(v)}"""")
+            .mkString("""{"status":"success","data":[""", ",", "]}"),
+          contentType = "application/json")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
+          s""""error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
+          contentType = "application/json")
+    }
+  })
+
   /** JSON string escaping for hand-built response bodies. */
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""

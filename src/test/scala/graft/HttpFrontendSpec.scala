@@ -158,6 +158,18 @@ class HttpFrontendSpec extends AnyFunSuite {
       val nSeries = """"metric":\{""".r.findAllIn(raw.body()).length
       assert(nSeries == 2, s"expected 2 matrix series, body: ${raw.body()}")
       assert(raw.body().contains(""""tsid":"""))
+      // Grafana completion endpoints: label names + per-label values
+      val labels = get(port, "/api/v1/labels")
+      assert(labels.statusCode() == 200 &&
+        labels.body() == """{"status":"success","data":["__name__","host"]}""",
+        labels.body())
+      val hosts = get(port, "/api/v1/label/host/values")
+      assert(hosts.body() == """{"status":"success","data":["a","b"]}""",
+        hosts.body())
+      val metricNames = get(port, "/api/v1/label/__name__/values")
+      assert(metricNames.body() ==
+        """{"status":"success","data":["http_req"]}""", metricNames.body())
+      assert(get(port, "/api/v1/label/host").statusCode() == 404)
     } finally fe.stop()
   }
 
