@@ -2426,6 +2426,20 @@ object SparkEntry {
           col("progressive"))
     }),
 
+    // GIF + extended-WebP header decode (the two container formats beyond
+    // BMP/PNG): logical-screen / VP8X canvas dims via pure column
+    // expressions; the oracle replays the synthesis formulas and never
+    // sees a byte.
+    "mm12_gif_webp" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.withSyntheticGifWebp(
+        t(s, dir, "documents"), "doc_id")
+      media.select(col("doc_id").as("media_id"),
+        graft.pipeline.Multimodal.imageFormat(col("payload")).as("fmt"),
+        graft.pipeline.Multimodal.imageWidth(col("payload")).cast("long").as("w"),
+        graft.pipeline.Multimodal.imageHeight(col("payload")).cast("long").as("h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    }),
+
     // Composite image-dedup DAG: real pixel decode → perceptual dHash →
     // banded-hamming LSH pairs → connected components → keeper decision
     // (the c2/c3 DAG shape with a pixel-derived blocking signature). The
@@ -4787,6 +4801,17 @@ object SparkEntry {
 
     // SOF0 dims by formula — the engine must find them through the real
     // marker walk (segment lengths vary per id).
+    // GIF (even ids, 14-byte header fixture) / extended WebP (odd, 30-byte
+    // VP8X fixture): dims replayed from the synthesis formulas.
+    "mm12_gif_webp" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'webp' END AS fmt,
+        |  CAST(4 * (2 + doc_id % 4) AS BIGINT) AS w,
+        |  CAST(4 + doc_id % 8 AS BIGINT) AS h,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 14 ELSE 30 END AS BIGINT)
+        |    AS n_bytes
+        |FROM documents""".stripMargin,
+
     "mm11_jpeg_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST((2 + doc_id % 4) * 4 AS BIGINT) AS w,

@@ -67,23 +67,62 @@ object Multimodal {
   def isPng(bin: Column): Column =
     length(bin) >= 33 && hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
 
+  /** GIF87a/GIF89a magic + logical-screen descriptor present: width and
+    * height are LE uint16 at offsets 6/8 — a header-level decode, like the
+    * AVI/WAV metadata expressions. */
+  def isGif(bin: Column): Column =
+    length(bin) >= 13 &&
+      (hex(substring(bin, 1, 6)) === "474946383961" || // "GIF89a"
+        hex(substring(bin, 1, 6)) === "474946383761")  // "GIF87a"
+
+  def gifWidth(bin: Column): Column =
+    when(isGif(bin), byteAt(bin, 7) + byteAt(bin, 8) * 256)
+
+  def gifHeight(bin: Column): Column =
+    when(isGif(bin), byteAt(bin, 9) + byteAt(bin, 10) * 256)
+
+  /** WebP RIFF container, EXTENDED (VP8X) variant — the chunk every
+    * metadata-bearing encoder writes first: canvas dimensions as 24-bit LE
+    * minus-one fields at offsets 24/27. Simple lossy/lossless files
+    * without a VP8X chunk read as unrecognized (their dimensions live
+    * inside the codec bitstream, a pixel-level concern). */
+  def isWebpX(bin: Column): Column =
+    length(bin) >= 30 &&
+      hex(substring(bin, 1, 4)) === "52494646" &&  // "RIFF"
+      hex(substring(bin, 9, 4)) === "57454250" &&  // "WEBP"
+      hex(substring(bin, 13, 4)) === "56503858"    // "VP8X"
+
+  def webpWidth(bin: Column): Column =
+    when(isWebpX(bin),
+      byteAt(bin, 25) + byteAt(bin, 26) * 256 + byteAt(bin, 27) * 65536 + 1)
+
+  def webpHeight(bin: Column): Column =
+    when(isWebpX(bin),
+      byteAt(bin, 28) + byteAt(bin, 29) * 256 + byteAt(bin, 30) * 65536 + 1)
+
   /** Container format sniffed from magic bytes; null when unknown. */
   def imageFormat(bin: Column): Column =
     when(isBmp(bin), lit("bmp")).when(isPng(bin), lit("png"))
+      .when(isGif(bin), lit("gif")).when(isWebpX(bin), lit("webp"))
 
   /** Pixel width decoded from the header: BMP = LE int32 at offset 18,
-    * PNG = BE int32 at IHDR offset 16. Null for unrecognized payloads. */
+    * PNG = BE int32 at IHDR offset 16, GIF = LE uint16 at offset 6,
+    * WebP(VP8X) = 24-bit LE minus-one at offset 24. Null for unrecognized
+    * payloads. */
   def imageWidth(bin: Column): Column =
     when(isBmp(bin), leInt(bin, 19)).when(isPng(bin), beInt(bin, 17))
+      .when(isGif(bin), gifWidth(bin)).when(isWebpX(bin), webpWidth(bin))
 
   /** Pixel height: BMP = LE int32 at offset 22 (absolute value — negative
-    * encodes top-down row order), PNG = BE int32 at IHDR offset 20.
-    * A crafted Int.MinValue height reads null (its abs has no int32
+    * encodes top-down row order), PNG = BE int32 at IHDR offset 20, GIF =
+    * LE uint16 at offset 8, WebP(VP8X) = 24-bit LE minus-one at offset 27.
+    * A crafted Int.MinValue BMP height reads null (its abs has no int32
     * representation; ANSI abs would throw). */
   def imageHeight(bin: Column): Column = {
     val h = leInt(bin, 23)
     when(isBmp(bin), when(h === Int.MinValue, lit(null)).otherwise(abs(h)))
       .when(isPng(bin), beInt(bin, 21))
+      .when(isGif(bin), gifHeight(bin)).when(isWebpX(bin), webpHeight(bin))
   }
 
   /** Wrap a raw binary column into the canonical (payload, meta) shape.
@@ -813,5 +852,48 @@ object Multimodal {
       if (mixed) when(id % 2 === 0, bmpUdf(id)).otherwise(pngUdf(id))
       else bmpUdf(id)
     df.withColumn("payload", payload)
+  }
+
+  /** Minimal valid GIF89a: header + logical-screen descriptor carrying the
+    * synthetic dimensions (no color table, trailer only) — header-decode
+    * fixture, dimensions SQL-replayable via [[synthDims]]. */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val buf = java.nio.ByteBuffer.allocate(14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort(w.toShort).putShort(h.toShort)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte) // no GCT, bg, aspect
+    buf.put(0x3B.toByte)                          // trailer
+    buf.array()
+  }
+
+  /** Minimal valid extended WebP: RIFF + "WEBP" + one VP8X chunk carrying
+    * the synthetic canvas dimensions as 24-bit LE minus-one fields. */
+  def syntheticWebp(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val buf = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(22) // 4 ("WEBP") + 8 + 10
+    buf.put("WEBP".getBytes("US-ASCII"))
+    buf.put("VP8X".getBytes("US-ASCII")).putInt(10)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // flags+rsv
+    def le24(v: Int): Unit = {
+      buf.put((v & 0xFF).toByte).put(((v >> 8) & 0xFF).toByte)
+        .put(((v >> 16) & 0xFF).toByte); ()
+    }
+    le24(w - 1); le24(h - 1)
+    buf.array()
+  }
+
+  private val gifUdf = udf((id: Long) => syntheticGif(id))
+  private val webpUdf = udf((id: Long) => syntheticWebp(id))
+
+  /** GIF for even ids / extended WebP for odd — the header-decode fixture
+    * for the two container formats beyond BMP/PNG. */
+  def withSyntheticGifWebp(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    df.withColumn("payload",
+      when(id % 2 === 0, gifUdf(id)).otherwise(webpUdf(id)))
   }
 }

@@ -1106,6 +1106,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("GIF/WebP header decode: dims round-trip, truncated and corrupt " +
+      "payloads read as unrecognized (null), other formats unaffected") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticGif(6)),            // 16x10 per synthDims(6)
+      (2L, Multimodal.syntheticWebp(7)),           // 20x11
+      (3L, Multimodal.syntheticGif(6).take(9)),    // torn mid-descriptor
+      (4L, Multimodal.syntheticWebp(7).take(20)),  // torn before dims
+      (5L, "GIFX9a1234567890".getBytes("US-ASCII")), // bad magic
+      (6L, Multimodal.syntheticBmp(3)))            // other format untouched
+    val got = rows.toDF("id", "payload")
+      .select(col("id"), Multimodal.imageFormat(col("payload")).as("fmt"),
+        Multimodal.imageWidth(col("payload")).as("w"),
+        Multimodal.imageHeight(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("fmt")), Option(r.getAs[Any]("w")),
+          Option(r.getAs[Any]("h")))).toMap
+    assert(got(1L) == ((Some("gif"), Some(16), Some(10))))
+    assert(got(2L) == ((Some("webp"), Some(20), Some(11))))
+    assert(got(3L)._1.isEmpty && got(3L)._2.isEmpty)
+    assert(got(4L)._1.isEmpty && got(4L)._2.isEmpty)
+    assert(got(5L)._1.isEmpty)
+    assert(got(6L)._1.contains("bmp") && got(6L)._2.contains(20))
+    // 24-bit WebP fields: a large canvas (e.g. 10000x8000) round-trips
+    val big = {
+      val b = Multimodal.syntheticWebp(0)
+      // overwrite dims with 10000-1 / 8000-1
+      def w24(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+        b(off + 2) = ((v >> 16) & 0xFF).toByte
+      }
+      w24(24, 9999); w24(27, 7999); b
+    }
+    val bigRow = Seq((9L, big)).toDF("id", "payload")
+      .select(Multimodal.imageWidth(col("payload")),
+        Multimodal.imageHeight(col("payload"))).collect()(0)
+    assert(bigRow.getInt(0) == 10000 && bigRow.getInt(1) == 8000)
+  }
+
   test("RateAggregator merge is exact across a partition boundary of " +
       "in-order data (boundary delta reconstructed, reset-aware)") {
     import graft.functions.Rate
