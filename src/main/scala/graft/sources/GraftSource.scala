@@ -286,9 +286,14 @@ final class GraftSink(
         sinceCompaction = 0
         // re-open per pass so a mid-stream schema evolution is picked up
         // (a pinned store would compact with the pre-evolution schema and
-        // drop the appended columns from the merged SST)
+        // drop the appended columns from the merged SST).
+        // `ttlMs` = streaming retention: segments whose whole time range
+        // is older than now - ttl are deleted wholesale by these same
+        // passes (the reference's TTL expiry, applied at the SQL edge).
+        val cfg = graft.storage.CompactionConfig(
+          ttlMs = parameters.get("ttlMs").map(_.toLong))
         val compactor = new graft.storage.Compactor(
-          TimeMergeStorage.open(spark, root), graft.storage.CompactionConfig())
+          TimeMergeStorage.open(spark, root), cfg)
         // drain: a backlog of micro-batch SSTs can need several passes
         var rounds = 0
         while (compactor.runOnce() && rounds < 8) rounds += 1

@@ -331,6 +331,34 @@ class SourceSpec extends AnyFunSuite {
     assert((2 to 9).forall(i => got(i) == i.toLong))
   }
 
+  test("sink ttlMs drops whole expired segments through the in-line " +
+      "compaction passes (streaming retention)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpRoot()
+    val now = System.currentTimeMillis()
+    val mem = MemoryStream[(Int, Long, Long)]
+    val q = mem.toDF().toDF("pk", "tms", "v")
+      .writeStream.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "3600000").option("timestampColumn", "tms")
+      .option("compactEvery", "1").option("ttlMs", (24L * 3600000L).toString)
+      .option("checkpointLocation", tmpRoot())
+      .start()
+    try {
+      // batch 1: ancient rows (10 days old — far past the 1-day TTL)
+      mem.addData((1, now - 10L * 86400000L, 10L))
+      q.processAllAvailable()
+      // batch 2: fresh rows; its compaction pass expires the old segment
+      mem.addData((2, now, 20L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.format("graft").option("root", root).load()
+      .collect().map(_.getInt(0)).toSet
+    assert(got == Set(2), s"expired segment survived: $got")
+  }
+
   test("graft sink in update mode upserts re-emitted aggregate rows into a " +
       "last-write-wins table; append-mode tables reject update output") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
