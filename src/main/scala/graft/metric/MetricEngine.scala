@@ -275,6 +275,55 @@ final class MetricEngine(spark: SparkSession, root: String,
     * columns, so combine DIFFERENT metrics through aggregations
     * (`sum(a)/sum(b)`), as raw range-vector operands carry per-metric tsids.
     */
+  /** Label sets of the series matching a PromQL selector — the
+    * `/api/v1/series` discovery surface. Resolves the metric set from the
+    * selector (explicit name or `__name__` matchers), reads ONLY the
+    * small series meta table, decodes each canonical series key back to
+    * (name, labels), and post-filters with exact Prometheus matcher
+    * semantics (anchored regexes, absent label = ""). `limit` bounds the
+    * driver-side result the way Prometheus's own endpoint does. */
+  def seriesFor(selectorText: String, limit: Int = 1000): Seq[Map[String, String]] = {
+    import graft.promql._
+    val sel = PromQLParser.parse(selectorText) match {
+      case s: Selector => s
+      case other => throw new IllegalArgumentException(
+        s"series discovery takes a plain selector, got: $other")
+    }
+    def matches(name: String, labels: Map[String, String]): Boolean =
+      sel.matchers.forall { m =>
+        val v = if (m.label == "__name__") name else labels.getOrElse(m.label, "")
+        m.op match {
+          case MatchOp.Eq => v == m.value
+          case MatchOp.Ne => v != m.value
+          case MatchOp.Re => v.matches("(?s)^(?:" + m.value + ")$")
+          case MatchOp.Nre => !v.matches("(?s)^(?:" + m.value + ")$")
+        }
+      }
+    val names: Seq[String] =
+      if (sel.metric.nonEmpty) Seq(sel.metric)
+      else metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val out = Seq.newBuilder[Map[String, String]]
+    var n = 0
+    names.foreach { m =>
+      if (n < limit) metricIdOf(m).foreach { mid =>
+        val keys = series.scan(ScanRequest(
+            predicates = Seq(col("metric_id") === mid),
+            projection = Some(Seq("series_key"))))
+          .collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8"))
+        keys.sorted.foreach { k =>
+          if (n < limit) {
+            val (name, labels) = MetricEngine.parseSeriesKey(k)
+            if (matches(name, labels)) {
+              out += (labels + ("__name__" -> name)); n += 1
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
   /** By-labels the [[query]] fast path lowers onto [[MetricQuery]]:
     * everything except `__name__` (the fast path's index join has no
     * __name__ tag and would label the group "" silently). Structural-name
@@ -606,6 +655,18 @@ object MetricEngine {
   def labelsKey(labels: Map[String, String]): String =
     labels.toSeq.sortWith((a, b) => utf8Lt(a._1, b._1))
       .map { case (k, v) => s"\u0001$k\u0002$v" }.mkString
+
+  /** Invert [[seriesKeyColumn]]: canonical key → (name, labels). The
+    * control-character separators make the split unambiguous for any
+    * legal Prometheus label content. */
+  def parseSeriesKey(key: String): (String, Map[String, String]) = {
+    val parts = key.split('\u0001')
+    val labels = parts.iterator.drop(1).map { p =>
+      val i = p.indexOf('\u0002')
+      p.substring(0, i) -> p.substring(i + 1)
+    }.toMap
+    (parts.head, labels)
+  }
 
   private def utf8Lt(x: String, y: String): Boolean = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)

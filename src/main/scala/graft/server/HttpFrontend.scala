@@ -308,6 +308,43 @@ final class HttpFrontend(
     }
   })
 
+  /** `GET /api/v1/series?match[]=<selector>` — series discovery: decoded
+    * label sets of every series matching the selector, in the standard
+    * envelope. Multiple `match[]` parameters union (Prometheus
+    * semantics); results come from the small series meta table only. */
+  server.createContext("/api/v1/series", (ex: HttpExchange) => {
+    try {
+      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val selectors = raw.split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) None
+        else {
+          val k = java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8")
+          if (k == "match[]")
+            Some(java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
+          else None
+        }
+      }
+      if (selectors.isEmpty)
+        respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
+          """"error":"missing match[] parameter"}""",
+          contentType = "application/json")
+      else {
+        val sets = selectors.flatMap(engine.seriesFor(_)).distinct
+        val body = sets.map(m =>
+            m.toSeq.sortBy(_._1).map { case (k, v) =>
+              s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}"))
+          .mkString("""{"status":"success","data":[""", ",", "]}")
+        respond(ex, 200, body, contentType = "application/json")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
+          s""""error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
+          contentType = "application/json")
+    }
+  })
+
   /** JSON string escaping for hand-built response bodies. */
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""

@@ -170,6 +170,17 @@ class HttpFrontendSpec extends AnyFunSuite {
       assert(metricNames.body() ==
         """{"status":"success","data":["http_req"]}""", metricNames.body())
       assert(get(port, "/api/v1/label/host").statusCode() == 404)
+      // series discovery: selector-matched label sets from the meta table
+      val m = java.net.URLEncoder.encode("""http_req{host=~"a|b"}""", "UTF-8")
+      val ser = get(port, s"/api/v1/series?match[]=$m")
+      assert(ser.statusCode() == 200, ser.body())
+      assert(ser.body() == """{"status":"success","data":[""" +
+        """{"__name__":"http_req","host":"a"},""" +
+        """{"__name__":"http_req","host":"b"}]}""", ser.body())
+      val none = get(port, s"/api/v1/series?match[]=" +
+        java.net.URLEncoder.encode("""http_req{host="zzz"}""", "UTF-8"))
+      assert(none.body() == """{"status":"success","data":[]}""")
+      assert(get(port, "/api/v1/series").statusCode() == 400)
     } finally fe.stop()
   }
 
