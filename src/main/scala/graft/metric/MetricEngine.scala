@@ -353,23 +353,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     // A requested step that disagrees with a range-function window would be
     // silently ignored (windows own their buckets) — reject it up front on
     // BOTH paths.
-    def windows(e: Expr): Seq[Long] = e match {
-      case RangeFn(_, _, w) => Seq(w)
-      // a subquery's OUTPUT buckets come from its own window; the inner
-      // window-vs-step consistency is validated by the evaluator
-      case RangeSubquery(_, _, w, _) => Seq(w)
-      // a pinned window emits no bucket column — no step constraint
-      case AtRange(_, _, _, _) => Nil
-      case Agg(_, _, c, _) => windows(c)
-      case ParamAgg(_, _, _, c) => windows(c)
-      case CountValues(_, _, c) => windows(c)
-      case BinOp(_, a, b, _, _) => windows(a) ++ windows(b)
-      case FnCall(_, c, _) => windows(c)
-      case HistogramQuantile(_, c) => windows(c)
-      case LabelFn(_, c, _, _) => windows(c)
-      case _ => Nil
-    }
-    for (st <- stepMs; w <- windows(ast) if w != st)
+    for (st <- stepMs; w <- MetricEngine.rangeWindows(ast) if w != st)
       throw new IllegalArgumentException(
         s"step ($st ms) must equal the range-function window ($w ms): " +
           "windowed functions define their own buckets")
@@ -421,14 +405,79 @@ final class MetricEngine(spark: SparkSession, root: String,
     }
   }
 
+  /** Instant-vector evaluation at one timestamp — the engine behind the
+    * Prometheus `GET /api/v1/query` endpoint (one value per series, no
+    * time axis).
+    *
+    * Windowless expressions get EXACT Prometheus semantics: each series is
+    * restricted to its newest sample in `(timeMs - lookbackMs, timeMs]`
+    * (Prometheus's lookback delta, default 5 m) BEFORE evaluation, so any
+    * aggregation / binary-operator tree over one-sample-per-series frames
+    * computes exactly the instant value. Stale series (no sample within
+    * the lookback) drop out, as Prometheus drops them.
+    *
+    * Windowed expressions (`rate(m[5m])`, subqueries) inherit the
+    * evaluator's documented tumbling-bucket deviation: the expression is
+    * evaluated over the last two windows ending at `timeMs` and each
+    * series reports its NEWEST bucket — "the latest complete-enough
+    * window at or before T", not Prometheus's exact `(T-w, T]` lookback.
+    * Windowless subexpressions inside a windowed AST aggregate over that
+    * same evaluation range (PROMQL.md records both deviations).
+    *
+    * Output: the same frame shapes as [[queryPromQL]], minus any
+    * time column — callers stamp the evaluation time themselves. */
+  def instantPromQL(text: String, timeMs: Long,
+      lookbackMs: Long = 300000L): DataFrame = {
+    import graft.promql._
+    require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
+    val ast = PromQLParser.parse(text)
+    val ws = MetricEngine.rangeWindows(ast)
+    if (ws.isEmpty) {
+      val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
+      val out = promqlContextFor(ast, range, latestOnly = true)
+        .eval(ast, None, Some(range))
+      ast match {
+        // bare selector: (tsid, ts_ms, value) like queryPromQL — ts_ms is
+        // each series' actual newest sample time (informational; the HTTP
+        // envelope stamps the evaluation time, as Prometheus does)
+        case _: Selector => out.select("tsid", "ts_ms", "value")
+        case _ => out
+      }
+    } else {
+      val w = ws.max
+      val range = TimeRange(timeMs - 2 * w + 1, timeMs + 1)
+      val step = if (ws.distinct.length == 1) Some(ws.head) else None
+      val df = queryPromQL(text, range, step)
+      if (!df.columns.contains("bucket_ms")) df
+      else {
+        // newest bucket per series: series identity = every non-structural
+        // column (lit(0) partitions the no-label case in one partition —
+        // a handful of serving-edge rows, never a data-scale frame)
+        val idCols = df.columns.filter(c => c != "value" && c != "bucket_ms")
+        val part =
+          if (idCols.isEmpty) Seq(lit(0)) else idCols.toSeq.map(col)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(part: _*).orderBy(col("bucket_ms").desc)
+        df.withColumn("__rn__", row_number().over(win))
+          .filter(col("__rn__") === 1).drop("__rn__", "bucket_ms")
+      }
+    }
+  }
+
   /** Build a [[graft.promql.PromQLContext]] over the engine's storage for
     * the metrics and labels `expr` references: per metric, the data scan is
     * label-enriched by broadcast-joining the index table's (tsid, tag_value)
     * pairs per referenced label; metrics union into one frame with
     * `__name__`. Absent labels are null → the evaluator's absent-is-empty
-    * matcher semantics apply unchanged. */
+    * matcher semantics apply unchanged.
+    *
+    * `latestOnly` restricts the bound samples frame to each series'
+    * newest sample ([[instantPromQL]]'s windowless instant semantics);
+    * ordering ties on one timestamp break by the storage merge order the
+    * scan already applied (newest SST wins), mirrored here by `ts` alone —
+    * same-ms duplicates have already been merged by the store. */
   private def promqlContextFor(expr: graft.promql.Expr,
-      range: TimeRange): graft.promql.PromQLContext = {
+      range: TimeRange, latestOnly: Boolean = false): graft.promql.PromQLContext = {
     import graft.promql._
     def walk(e: Expr): (Set[String], Set[String]) = e match {
       case Selector(m, ms, _) => (Set(m), ms.map(_.label).toSet)
@@ -625,12 +674,45 @@ final class MetricEngine(spark: SparkSession, root: String,
     // and multi-metric selection then work without an index join.
     val labelMap = labelCols.map(l => l -> s"__lbl_$l").toMap ++
       (if (nameReferenced) Map("__name__" -> "__name__") else Map.empty)
-    new PromQLContext(samples, "__name__", col("ts"), "value", labelMap,
+    val bound =
+      if (!latestOnly) samples
+      else {
+        // instant restriction: one newest sample per (metric, series). One
+        // exchange on the series key — the same key every downstream agg
+        // shuffles on, so AQE coalesces rather than re-partitions.
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__name__"), col("tsid")).orderBy(col("ts").desc)
+        samples.withColumn("__rn__", row_number().over(win))
+          .filter(col("__rn__") === 1).drop("__rn__")
+      }
+    new PromQLContext(bound, "__name__", col("ts"), "value", labelMap,
       ordering = Seq(col("ts"), col("tsid")), seriesCols = Seq("tsid"))
   }
 }
 
 object MetricEngine {
+
+  /** Every bucket-emitting range window in `e` — the grains a requested
+    * step must agree with (windows own their buckets; tumbling rule). */
+  private[metric] def rangeWindows(e: graft.promql.Expr): Seq[Long] = {
+    import graft.promql._
+    e match {
+      case RangeFn(_, _, w) => Seq(w)
+      // a subquery's OUTPUT buckets come from its own window; the inner
+      // window-vs-step consistency is validated by the evaluator
+      case RangeSubquery(_, _, w, _) => Seq(w)
+      // a pinned window emits no bucket column — no step constraint
+      case AtRange(_, _, _, _) => Nil
+      case Agg(_, _, c, _) => rangeWindows(c)
+      case ParamAgg(_, _, _, c) => rangeWindows(c)
+      case CountValues(_, _, c) => rangeWindows(c)
+      case BinOp(_, a, b, _, _) => rangeWindows(a) ++ rangeWindows(b)
+      case FnCall(_, c, _) => rangeWindows(c)
+      case HistogramQuantile(_, c) => rangeWindows(c)
+      case LabelFn(_, c, _, _) => rangeWindows(c)
+      case _ => Nil
+    }
+  }
 
   /** Canonical series-key COLUMN: name + sorted `\u0001 key \u0002 value`
     * pairs (see the collision rationale at [[MetricEngine.withIds]]).

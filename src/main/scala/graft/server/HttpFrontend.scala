@@ -54,10 +54,27 @@ final class HttpFrontend(
       * Bounded above by ~2 GiB: bodies land in one JVM array, so a larger
       * "cap" could never be honored (and its Int truncation would
       * silently reject everything). */
-    maxWriteBodyBytes: Long = 64L << 20) {
+    maxWriteBodyBytes: Long = 64L << 20,
+    /** Read-path result cap (rows) on every query endpoint — the read-side
+      * twin of `maxWriteBodyBytes`. The serving JVM buffers the collected
+      * rows AND the rendered JSON, so an uncapped wide matrix (every
+      * series × thousands of steps) is an OOM with query + ingest down
+      * together; Prometheus itself enforces `maxSamples` + response
+      * limits. Checked with `limit(cap+1)` BEFORE the collect, so an
+      * oversized result never materializes on the driver; exceeding it is
+      * a 422 with the standard error envelope (errorType "execution",
+      * like Prometheus's maxSamples error). */
+    maxResultRows: Int = 500000,
+    /** Instant-query lookback delta (Prometheus `--query.lookback-delta`,
+      * default 5 m): how far behind the evaluation time a series' newest
+      * sample may be and still count as "current". */
+    lookbackMs: Long = 300000L) {
   require(maxWriteBodyBytes > 0 && maxWriteBodyBytes <= Int.MaxValue - 8L,
     s"maxWriteBodyBytes must be in (0, ${Int.MaxValue - 8}], " +
       s"got $maxWriteBodyBytes — bodies are single JVM arrays")
+  require(maxResultRows > 0 && maxResultRows <= Int.MaxValue - 8,
+    s"maxResultRows must be in (0, ${Int.MaxValue - 8}], got $maxResultRows")
+  require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[HttpFrontend])
   private val keepWriting = new AtomicBoolean(true)
@@ -86,6 +103,32 @@ final class HttpFrontend(
         os.close()
       }
     } finally ex.close()
+  }
+
+  /** Thrown when a query's result crosses [[maxResultRows]] — mapped to a
+    * 422 "execution" error envelope, never a served partial result. */
+  private final class ResultTooLarge extends RuntimeException(
+    s"query result exceeds $maxResultRows rows; narrow the selector, " +
+      "time range, or step")
+
+  /** Collect at most [[maxResultRows]] rows; `limit(cap+1)` runs INSIDE
+    * the plan so an oversized result is detected without ever
+    * materializing past cap+1 rows on the driver. */
+  private def collectCapped(df: org.apache.spark.sql.DataFrame)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxResultRows + 1).collect()
+    if (rows.length > maxResultRows) throw new ResultTooLarge
+    rows
+  }
+
+  private def errorEnvelope(e: Throwable): (Int, String) = {
+    val msg = esc(Option(e.getMessage).getOrElse(e.getClass.getName))
+    e match {
+      case _: ResultTooLarge =>
+        (422, s"""{"status":"error","errorType":"execution","error":"$msg"}""")
+      case _ =>
+        (400, s"""{"status":"error","errorType":"bad_data","error":"$msg"}""")
+    }
   }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
@@ -175,11 +218,17 @@ final class HttpFrontend(
             p.get("start").map(_.toLong).getOrElse(Long.MinValue),
             p.get("end").map(_.toLong).getOrElse(Long.MaxValue))
           val step = p.get("step").map(_.toLong)
+          // same cap as the API endpoints, same limit-before-collect shape
+          // (toJSON keeps the serialization distributed; only ≤cap+1 JSON
+          // strings ever reach the driver)
           val rows = engine.queryPromQL(expr, range, step)
-            .toJSON.collect().mkString("[", ",", "]")
-          respond(ex, 200, rows, contentType = "application/json")
+            .toJSON.limit(maxResultRows + 1).collect()
+          if (rows.length > maxResultRows) throw new ResultTooLarge
+          respond(ex, 200, rows.mkString("[", ",", "]"),
+            contentType = "application/json")
       }
     } catch {
+      case e: ResultTooLarge => respond(ex, 422, s"query failed: ${e.getMessage}")
       case scala.util.control.NonFatal(e) =>
         respond(ex, 400, s"query failed: ${e.getMessage}")
     }
@@ -219,7 +268,7 @@ final class HttpFrontend(
       // matrix series stay unique as Prometheus requires.
       val labelCols = (cols.filter(c =>
         c != "value" && !tsCol.contains(c)).sorted).toSeq
-      val rows = df.collect().filter(!_.isNullAt(df.columns.indexOf("value")))
+      val rows = collectCapped(df).filter(!_.isNullAt(df.columns.indexOf("value")))
       val series = rows.groupBy(r => labelCols.map(c =>
           c -> Option(r.getAs[Any](c)).map(_.toString).getOrElse("")))
         .toSeq.sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString(","))
@@ -231,7 +280,8 @@ final class HttpFrontend(
               .getOrElse(endMs / 1000.0)
             (tsSec, r.getAs[Double]("value"))
           }.sortBy(_._1)
-            .map { case (t, v) => s"""[$t,"$v"]""" }.mkString("[", ",", "]")
+            .map { case (t, v) => s"""[${fmtTs(t)},"$v"]""" }
+            .mkString("[", ",", "]")
           s"""{"metric":$metric,"values":$values}"""
         }
       respond(ex, 200,
@@ -242,28 +292,96 @@ final class HttpFrontend(
       case scala.util.control.NonFatal(e) =>
         // null messages (NPEs) and control characters must still produce
         // a VALID error envelope, not a dropped connection / broken JSON
-        val msg = esc(Option(e.getMessage).getOrElse(e.getClass.getName))
-        respond(ex, 400,
-          s"""{"status":"error","errorType":"bad_data","error":"$msg"}""",
-          contentType = "application/json")
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
     }
   })
 
+  /** Prometheus instant query (`GET /api/v1/query?query=…[&time=…]`) — the
+    * first endpoint every Prometheus client (Grafana Explore, promtool)
+    * calls. `time` is optional unix seconds (float accepted), defaulting
+    * to the server's now. Evaluation is [[MetricEngine.instantPromQL]]:
+    * exact lookback-delta semantics for windowless expressions, the
+    * documented tumbling-window deviation for windowed ones. The response
+    * is the standard envelope with `resultType: "vector"`; per Prometheus,
+    * every value pair carries the EVALUATION time, not sample times. */
+  server.createContext("/api/v1/query", (ex: HttpExchange) => {
+    val path = ex.getRequestURI.getPath
+    if (path != "/api/v1/query") respond(ex, 404, "not found")
+    else try {
+      val p = queryParams(ex)
+      val expr = p.getOrElse("query",
+        throw new IllegalArgumentException("missing query parameter"))
+      val timeMs = p.get("time")
+        .map(t => (t.toDouble * 1000.0).toLong)
+        .getOrElse(System.currentTimeMillis())
+      val df = engine.instantPromQL(expr, timeMs, lookbackMs)
+      val valueIdx = df.columns.indexOf("value")
+      val labelCols = df.columns.filter(c =>
+        c != "value" && c != "ts_ms").sorted.toSeq
+      val tSec = timeMs / 1000.0
+      val result = collectCapped(df).filter(!_.isNullAt(valueIdx))
+        .map { r =>
+          val metric = labelCols.flatMap { c =>
+            Option(r.getAs[Any](c)).map(_.toString).filter(_.nonEmpty)
+              .map(v => s""""${esc(c)}":"${esc(v)}"""")
+          }.mkString("{", ",", "}")
+          (metric, r.getAs[Double]("value"))
+        }
+        .sortBy(_._1)
+        .map { case (metric, v) =>
+          s"""{"metric":$metric,"value":[${fmtTs(tSec)},"$v"]}""" }
+      respond(ex, 200,
+        s"""{"status":"success","data":{"resultType":"vector","result":${
+          result.mkString("[", ",", "]")}}}""",
+        contentType = "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
+    }
+  })
+
+  /** Every `match[]` parameter of the request, URL-decoded — the
+    * Prometheus metadata-endpoint scoping selectors (repeated params
+    * union; Map-shaped [[queryParams]] would keep only the last). */
+  private def matchSelectors(ex: HttpExchange): Seq[String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) None
+        else {
+          val k = java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8")
+          if (k == "match[]")
+            Some(java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
+          else None
+        }
+      }
+
   /** Prometheus metadata endpoints — the pair Grafana's query builder
-    * calls for completion: `GET /api/v1/labels` (every label name over the
-    * engine's tag dictionary, plus `__name__`) and
-    * `GET /api/v1/label/<name>/values` (that label's value dictionary;
-    * `__name__` resolves to the metric-name dictionary). Both answer from
-    * the small meta tables (tags/metrics) — never the data table — in the
-    * standard success envelope. Selector-scoped `match[]` narrowing is not
-    * implemented (the dictionaries are global), which Prometheus permits:
-    * clients treat these as a superset hint. */
+    * calls for completion: `GET /api/v1/labels` (label names, plus
+    * `__name__`) and `GET /api/v1/label/<name>/values` (that label's
+    * values; `__name__` resolves to the metric-name dictionary). Without
+    * `match[]` both answer from the small global dictionaries (tags/
+    * metrics) — never the data table. With `match[]` selectors they
+    * narrow to the matching series' decoded label sets
+    * ([[MetricEngine.seriesFor]], the same series-meta-table walk
+    * `/api/v1/series` uses; multiple selectors union, Prometheus
+    * semantics) — still meta-tables only. */
   server.createContext("/api/v1/labels", (ex: HttpExchange) => {
     try {
-      val names = engine.tags.scan(graft.storage.ScanRequest(
-          projection = Some(Seq("tag_key"))))
-        .distinct().collect().map(_.getString(0))
-      val all = ("__name__" +: names.toSeq).distinct.sorted
+      val sels = matchSelectors(ex)
+      val all =
+        if (sels.nonEmpty)
+          // seriesFor's label sets already carry __name__
+          sels.flatMap(engine.seriesFor(_)).distinct
+            .flatMap(_.keys).distinct.sorted
+        else {
+          val names = engine.tags.scan(graft.storage.ScanRequest(
+              projection = Some(Seq("tag_key"))))
+            .distinct().collect().map(_.getString(0))
+          ("__name__" +: names.toSeq).distinct.sorted
+        }
       respond(ex, 200,
         all.map(n => s""""${esc(n)}"""")
           .mkString("""{"status":"success","data":[""", ",", "]}"),
@@ -284,17 +402,21 @@ final class HttpFrontend(
         respond(ex, 404, "expected /api/v1/label/<name>/values")
       else {
         val label = java.net.URLDecoder.decode(parts(3), "UTF-8")
-        val values =
-          if (label == "__name__")
+        val sels = matchSelectors(ex)
+        val values: Seq[String] =
+          if (sels.nonEmpty)
+            sels.flatMap(engine.seriesFor(_)).distinct
+              .flatMap(_.get(label)).distinct
+          else if (label == "__name__")
             engine.metrics.scan(graft.storage.ScanRequest(
                 projection = Some(Seq("metric_name"))))
-              .distinct().collect().map(_.getString(0))
+              .distinct().collect().map(_.getString(0)).toSeq
           else
             engine.tags.scan(graft.storage.ScanRequest(
                 predicates = Seq(
                   org.apache.spark.sql.functions.col("tag_key") === label),
                 projection = Some(Seq("tag_value"))))
-              .distinct().collect().map(_.getString(0))
+              .distinct().collect().map(_.getString(0)).toSeq
         respond(ex, 200,
           values.sorted.map(v => s""""${esc(v)}"""")
             .mkString("""{"status":"success","data":[""", ",", "]}"),
@@ -344,6 +466,13 @@ final class HttpFrontend(
           contentType = "application/json")
     }
   })
+
+  /** Envelope timestamps as plain decimal seconds ("1723680002",
+    * "1723680002.5") — epoch seconds exceed 1e7, where Double.toString
+    * switches to scientific notation ("1.723680002E9"), which Prometheus
+    * clients don't parse as a timestamp. */
+  private def fmtTs(tSec: Double): String =
+    java.math.BigDecimal.valueOf(tSec).stripTrailingZeros().toPlainString()
 
   /** JSON string escaping for hand-built response bodies. */
   private def esc(s: String): String = s.flatMap {

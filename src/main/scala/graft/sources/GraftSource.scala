@@ -113,6 +113,21 @@ object DefaultSource {
       spark: org.apache.spark.sql.SparkSession,
       parameters: Map[String, String], data: DataFrame,
       validate: TimeMergeStorage => Unit = _ => ()): TimeMergeStorage = {
+    val store = resolveStore(spark, parameters, data)
+    validate(store)
+    appendTo(store, parameters, data)
+    store
+  }
+
+  /** Resolve-or-create the store a batch writes into: open + widen for
+    * extra columns (append-nullable evolution), or create from options.
+    * Split from [[appendBatch]] so the streaming sink can CACHE the
+    * resolved store across micro-batches — each open loads the manifest,
+    * O(SST count) driver work a months-running stream would otherwise pay
+    * on every trigger. */
+  private[sources] def resolveStore(
+      spark: org.apache.spark.sql.SparkSession,
+      parameters: Map[String, String], data: DataFrame): TimeMergeStorage = {
     val root = rootOf(parameters)
     val exists = new Manifest(root,
       conf = spark.sessionState.newHadoopConf()).storedSchemaJson.isDefined
@@ -147,8 +162,6 @@ object DefaultSource {
           StorageSchema(StructType(data.schema.fields), npk, um), segMs,
           timestampColumn = parameters.get("timestampColumn"))
       }
-    validate(store)
-    appendTo(store, parameters, data)
     store
   }
 
@@ -243,6 +256,30 @@ final class GraftSink(
   require(compactEvery.forall(_ > 0), "compactEvery must be positive")
   private var sinceCompaction = 0
 
+  // The resolved store, cached across micro-batches: re-resolving per
+  // trigger re-loads the manifest — O(SST count) driver work that a
+  // months-running stream at 10⁵–10⁶ SSTs pays as a multi-second stall
+  // per batch. Safe to pin because the manifest is single-writer (one
+  // streaming query per root) and every write/compaction goes through
+  // THIS instance's in-memory manifest. Invalidated only for the one
+  // reason re-resolution exists: a batch carrying columns the cached
+  // schema lacks (append-nullable widening re-opens + evolves the
+  // descriptor); narrower batches null-fill inside appendTo as usual.
+  private var cachedStore: Option[TimeMergeStorage] = None
+
+  /** The cached store when it can absorb `batch` (every batch column
+    * already in the table schema), else a fresh resolution (first batch,
+    * or a widening batch — the evolution path persists the new
+    * descriptor). */
+  private def storeFor(batch: DataFrame): TimeMergeStorage = {
+    val store = cachedStore
+      .filter(s => batch.schema.fieldNames.forall(
+        s.schema.userSchema.fieldNames.contains))
+      .getOrElse(DefaultSource.resolveStore(spark, parameters, batch))
+    cachedStore = Some(store)
+    store
+  }
+
   /** Parsed high-water mark, or None when the file is absent OR torn
     * (writeLines overwrites in place, so a crash mid-write can leave a
     * truncated line). A malformed mark degrades to "nothing committed" —
@@ -272,28 +309,29 @@ final class GraftSink(
       sfs.writeLines(markPath, Seq(s"$queryId $batchId"))
       return
     }
-    DefaultSource.appendBatch(spark, parameters, batch, validate = store =>
-      require(outputMode == OutputMode.Append() ||
-          store.schema.updateMode == UpdateMode.Overwrite,
-        s"output mode $outputMode re-emits rows per trigger and needs a " +
-          "last-write-wins (Overwrite-mode) table to upsert into; this " +
-          "table is Append-mode (concatenating merge)"))
+    val store = storeFor(batch)
+    require(outputMode == OutputMode.Append() ||
+        store.schema.updateMode == UpdateMode.Overwrite,
+      s"output mode $outputMode re-emits rows per trigger and needs a " +
+        "last-write-wins (Overwrite-mode) table to upsert into; this " +
+        "table is Append-mode (concatenating merge)")
+    DefaultSource.appendTo(store, parameters, batch)
     sfs.mkdirs(sfs.path("manifest"))
     sfs.writeLines(markPath, Seq(s"$queryId $batchId"))
     compactEvery.foreach { n =>
       sinceCompaction += 1
       if (sinceCompaction >= n) {
         sinceCompaction = 0
-        // re-open per pass so a mid-stream schema evolution is picked up
-        // (a pinned store would compact with the pre-evolution schema and
-        // drop the appended columns from the merged SST).
+        // the CACHED store: a mid-stream schema evolution already
+        // invalidated it above (the widening batch re-resolved with the
+        // evolved descriptor), so compaction always sees the current
+        // schema without paying a manifest re-open per pass.
         // `ttlMs` = streaming retention: segments whose whole time range
         // is older than now - ttl are deleted wholesale by these same
         // passes (the reference's TTL expiry, applied at the SQL edge).
         val cfg = graft.storage.CompactionConfig(
           ttlMs = parameters.get("ttlMs").map(_.toLong))
-        val compactor = new graft.storage.Compactor(
-          TimeMergeStorage.open(spark, root), cfg)
+        val compactor = new graft.storage.Compactor(store, cfg)
         // drain: a backlog of micro-batch SSTs can need several passes
         var rounds = 0
         while (compactor.runOnce() && rounds < 8) rounds += 1

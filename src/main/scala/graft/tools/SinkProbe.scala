@@ -13,13 +13,28 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * `compactEvery` passes in-line, then a merged read-back count.
   * Results land in SCALE.md's streaming-ingest section.
   *
-  * Run: `sbt "runMain graft.tools.SinkProbe [numBatches] [rowsPerBatch] [compactEvery]"`
+  * `preloadSsts` > 0 injects that many synthetic manifest entries (far-
+  * future segments, never scanned or compacted) BEFORE the stream starts —
+  * the months-running-stream shape where the table already holds 10⁴–10⁶
+  * SSTs. With the sink's cached store, only the FIRST batch pays the one
+  * manifest load; per-batch wall time must stay flat at the preload-0
+  * level afterwards (the r8 sink re-resolved the store per trigger,
+  * O(SST count) every batch). Incompatible with `compactEvery` (synthetic
+  * entries have no backing files to merge). Per-batch times print so the
+  * flatness is inspectable, and the run REQUIRES steady-state batches to
+  * be unaffected by the preload.
+  *
+  * Run: `sbt "runMain graft.tools.SinkProbe [numBatches] [rowsPerBatch] [compactEvery] [preloadSsts]"`
   */
 object SinkProbe {
   def main(args: Array[String]): Unit = {
     val numBatches = args.headOption.map(_.toInt).getOrElse(10)
     val rows = args.lift(1).map(_.toInt).getOrElse(10000)
-    val compactEvery = args.lift(2).map(_.toInt)
+    val compactEvery = args.lift(2).map(_.toInt).filter(_ > 0)
+    val preloadSsts = args.lift(3).map(_.toInt).getOrElse(0)
+    require(preloadSsts == 0 || compactEvery.isEmpty,
+      "preloadSsts injects entries without backing files — compaction " +
+        "passes would try to merge them; run the two modes separately")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -28,34 +43,73 @@ object SinkProbe {
     implicit val sqlCtx = spark.sqlContext
 
     val root = Files.createTempDirectory("graft-sinkprobe").toString
+    // far-future segment start for synthetic entries: outside every time
+    // range the stream writes or the read-back scans, so manifest range
+    // pruning (S2) drops them from all plans — they exist only to be
+    // LOADED when the manifest opens
+    val far = 4102444800000L
+    if (preloadSsts > 0) {
+      // create the table first (one real row far in the past of `far`)
+      Seq((-1L, 0L, 0.0)).toDF("pk", "tms", "v")
+        .write.format("graft").mode("append")
+        .option("root", root).option("numPrimaryKeys", "2")
+        .option("segmentMs", "3600000").option("timestampColumn", "tms")
+        .save()
+      val m = new graft.storage.Manifest(root,
+        conf = spark.sessionState.newHadoopConf())
+      val base = m.maxSstId + 1
+      (0 until preloadSsts).grouped(2000).foreach { g =>
+        m.update(g.toSeq.map { i =>
+          graft.storage.SstFile(base + i, s"$root/data/synthetic_$i.parquet",
+            numRows = 1000, sizeBytes = 1 << 20,
+            timeRange = graft.storage.TimeRange(far + i * 1000L,
+              far + i * 1000L + 1000L))
+        })
+      }
+      m.mergeSnapshot()
+      println(s"[sinkprobe] preloaded ${m.allSsts().size} manifest entries")
+    }
+
     val mem = MemoryStream[(Long, Long, Double)]
     var w = mem.toDF().toDF("pk", "tms", "v")
       .writeStream.format("graft")
-      .option("root", root).option("numPrimaryKeys", "1")
+      .option("root", root).option("numPrimaryKeys", "2")
       .option("segmentMs", "3600000").option("timestampColumn", "tms")
       .option("checkpointLocation",
         Files.createTempDirectory("graft-sinkprobe-ckpt").toString)
     compactEvery.foreach(n => w = w.option("compactEvery", n.toString))
     val q = w.start()
 
+    val batchMs = new Array[Double](numBatches)
     val t0 = System.nanoTime()
     try {
       (0 until numBatches).foreach { b =>
+        val tb = System.nanoTime()
         val base = b.toLong * rows
         mem.addData((0 until rows).map(i =>
           (base + i, (base + i) % 3600000L, (base + i).toDouble)))
         q.processAllAvailable()
+        batchMs(b) = (System.nanoTime() - tb) / 1e6
       }
     } finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
 
     val store = graft.storage.TimeMergeStorage.open(spark, root)
     val ssts = store.manifest.allSsts().size
-    val count = spark.read.format("graft").option("root", root).load().count()
+    // read back ONLY the streamed range: synthetic far-future entries are
+    // manifest-pruned out of the plan (missing files never touched)
+    val count = spark.read.format("graft").option("root", root).load()
+      .where($"tms" < far).where($"pk" >= 0).count()
     val total = numBatches.toLong * rows
+    val steady = batchMs.drop(1).sorted
+    val medianMs = if (steady.isEmpty) batchMs(0) else steady(steady.length / 2)
     println(f"[sinkprobe] throughput=${total / sec}%.0f rows/s over $total rows " +
       f"($numBatches batches x $rows), wall=${sec}%.1f s, " +
-      s"ssts=$ssts, readback=$count, compactEvery=${compactEvery.getOrElse(0)}")
+      s"ssts=$ssts, readback=$count, compactEvery=${compactEvery.getOrElse(0)}, " +
+      f"preload=$preloadSsts, firstBatch=${batchMs(0)}%.0f ms, " +
+      f"steadyMedian=$medianMs%.0f ms")
+    println("[sinkprobe] per-batch ms: " +
+      batchMs.map(m => f"$m%.0f").mkString(", "))
     require(count == total, s"read-back mismatch: $count vs $total")
     spark.stop()
   }

@@ -184,6 +184,148 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("instant query /api/v1/query: vector envelope, exact last-sample-" +
+      "per-series semantics, stale-series dropout, windowed deviation") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-iq").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val body = RemoteWrite.encode(Seq(
+        graft.metric.Sample("http_req", Map("host" -> "a"), t0, 1.0),
+        graft.metric.Sample("http_req", Map("host" -> "a"), t0 + 1000, 2.0),
+        graft.metric.Sample("http_req", Map("host" -> "b"), t0 + 2000, 5.0)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+      val tEval = (t0 + 2000) / 1000 // seconds, covers all samples in 5m
+
+      // aggregation uses each series' NEWEST sample only: host a
+      // contributes 2.0 (not 1.0+2.0), host b 5.0 → 7.0. This is the
+      // exact Prometheus instant semantics, not a range sum (8.0).
+      val q = java.net.URLEncoder.encode("sum(http_req)", "UTF-8")
+      val r = get(port, s"/api/v1/query?query=$q&time=$tEval")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body() == """{"status":"success","data":{"resultType":"vector",""" +
+        s""""result":[{"metric":{},"value":[$tEval,"7.0"]}]}}""", r.body())
+
+      // by-label grouping keeps per-series last values
+      val qBy = java.net.URLEncoder.encode("sum by (host) (http_req)", "UTF-8")
+      val rBy = get(port, s"/api/v1/query?query=$qBy&time=$tEval")
+      assert(rBy.body().contains("""{"metric":{"host":"a"},"value":[""") &&
+        rBy.body().contains(""""2.0"""") && rBy.body().contains(""""5.0""""),
+        rBy.body())
+
+      // raw selector: one vector entry per series (tsid rides as a label),
+      // value pair stamped with the EVALUATION time
+      val raw = get(port, s"/api/v1/query?query=http_req&time=$tEval")
+      assert(raw.statusCode() == 200, raw.body())
+      val nSeries = """"metric":\{""".r.findAllIn(raw.body()).length
+      assert(nSeries == 2, raw.body())
+      assert(raw.body().contains(s""""value":[$tEval,"""), raw.body())
+
+      // stale series drop out: evaluation 1 h later finds nothing within
+      // the 5 m lookback
+      val stale = get(port, s"/api/v1/query?query=$q&time=${tEval + 3600}")
+      assert(stale.body() == """{"status":"success","data":""" +
+        """{"resultType":"vector","result":[]}}""", stale.body())
+
+      // `time` defaults to now (far from t0 → empty, but a valid envelope)
+      val noTime = get(port, s"/api/v1/query?query=$q")
+      assert(noTime.statusCode() == 200 &&
+        noTime.body().contains(""""resultType":"vector""""), noTime.body())
+
+      // windowed expression: newest tumbling bucket per series (documented
+      // deviation) still serves a well-formed single-entry vector
+      val qw = java.net.URLEncoder.encode("sum(rate(http_req[1m]))", "UTF-8")
+      val rw = get(port, s"/api/v1/query?query=$qw&time=$tEval")
+      assert(rw.statusCode() == 200, rw.body())
+      assert("""\{"metric":\{\},"value":\[""".r
+        .findAllIn(rw.body()).length == 1, rw.body())
+
+      // errors: missing query / parse failure → error envelope, not a
+      // dropped connection
+      val missing = get(port, "/api/v1/query")
+      assert(missing.statusCode() == 400 &&
+        missing.body().contains("missing query"), missing.body())
+      assert(get(port, "/api/v1/query?query=%28%28").statusCode() == 400)
+      // path prefix below the context does not leak into the handler
+      assert(get(port, "/api/v1/queryzzz?query=$q").statusCode() == 404)
+    } finally fe.stop()
+  }
+
+  test("read-path result cap: oversized results are a 422 execution-error " +
+      "envelope on every query endpoint, never a partial 200") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-rcap").toString)
+    val fe = new HttpFrontend(spark, engine, maxResultRows = 1)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val body = RemoteWrite.encode(Seq(
+        graft.metric.Sample("http_req", Map("host" -> "a"), t0, 1.0),
+        graft.metric.Sample("http_req", Map("host" -> "b"), t0 + 2000, 5.0)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+      val sel = "http_req" // 2 series > cap of 1
+      val qr = get(port, s"/api/v1/query_range?query=$sel" +
+        s"&start=${t0 / 1000}&end=${t0 / 1000 + 60}&step=1m")
+      assert(qr.statusCode() == 422, s"${qr.statusCode()} ${qr.body()}")
+      assert(qr.body().startsWith(
+        """{"status":"error","errorType":"execution""""), qr.body())
+      val iq = get(port, s"/api/v1/query?query=$sel&time=${t0 / 1000 + 2}")
+      assert(iq.statusCode() == 422 &&
+        iq.body().contains("\"execution\""), iq.body())
+      val bespoke = get(port, s"/query?promql=$sel")
+      assert(bespoke.statusCode() == 422, bespoke.body())
+      // a within-cap result still serves normally on the same frontend
+      val q1 = java.net.URLEncoder.encode("sum(http_req)", "UTF-8")
+      val ok = get(port, s"/api/v1/query?query=$q1&time=${t0 / 1000 + 2}")
+      assert(ok.statusCode() == 200 && ok.body().contains(""""6.0""""),
+        ok.body())
+    } finally fe.stop()
+  }
+
+  test("match[] scopes /api/v1/labels and /api/v1/label/<name>/values to " +
+      "the matching series; without it the global dictionaries answer") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-match").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val body = RemoteWrite.encode(Seq(
+        graft.metric.Sample("http_req", Map("host" -> "a"), t0, 1.0),
+        graft.metric.Sample("http_req", Map("host" -> "b"), t0 + 1000, 2.0),
+        graft.metric.Sample("disk_io",
+          Map("host" -> "a", "dev" -> "sda"), t0 + 2000, 3.0)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+      val mHttp = java.net.URLEncoder.encode("http_req", "UTF-8")
+      val mDisk = java.net.URLEncoder.encode("disk_io", "UTF-8")
+      val mA = java.net.URLEncoder.encode("""http_req{host="a"}""", "UTF-8")
+
+      // global: every label key across both metrics
+      assert(get(port, "/api/v1/labels").body() ==
+        """{"status":"success","data":["__name__","dev","host"]}""")
+      // scoped: only http_req's keys — no dev
+      assert(get(port, s"/api/v1/labels?match[]=$mHttp").body() ==
+        """{"status":"success","data":["__name__","host"]}""")
+      // multiple selectors union
+      assert(get(port,
+          s"/api/v1/labels?match[]=$mHttp&match[]=$mDisk").body() ==
+        """{"status":"success","data":["__name__","dev","host"]}""")
+
+      // values: global vs scoped
+      assert(get(port, "/api/v1/label/host/values").body() ==
+        """{"status":"success","data":["a","b"]}""")
+      assert(get(port, s"/api/v1/label/host/values?match[]=$mDisk").body() ==
+        """{"status":"success","data":["a"]}""")
+      assert(get(port, s"/api/v1/label/__name__/values?match[]=$mA").body() ==
+        """{"status":"success","data":["http_req"]}""")
+      // a label absent from the matched series → empty, not the global set
+      assert(get(port, s"/api/v1/label/dev/values?match[]=$mHttp").body() ==
+        """{"status":"success","data":[]}""")
+    } finally fe.stop()
+  }
+
   test("write bodies over the cap are rejected 413 before buffering") {
     val engine = new MetricEngine(spark,
       Files.createTempDirectory("graft-http-cap").toString)
