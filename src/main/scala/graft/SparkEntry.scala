@@ -2168,18 +2168,14 @@ object SparkEntry {
     // pipeline goes quadratic — the cap is what makes it run at 100 TB) →
     // n-gram Jaccard verification at 0.5 on candidates only → connected
     // components → keeper/drop decision.
-    "c3_minhash_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cand = Dedup.lshCandidatePairs(
-        Dedup.minhashSignature(docs, "doc_id", "text", 8), "doc_id",
-        numHashes = 8, bandSize = 2, maxBucket = 16)
-      val verified = Dedup.ngramJaccard(docs, cand, "doc_id", "text", n = 3)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"))
-      Dedup.duplicateClusters(Dedup.boundedTwoHopClosure(verified))
-        .select(col("id").as("doc_id"), col("cluster_id"),
-          (col("id") === col("cluster_id")).as("is_keeper"))
-    }),
+    "c3_minhash_dedup" -> ((s, dir) =>
+      // one-call composite (Dedup.minhashDedup): sig → capped LSH →
+      // Jaccard verify → CC, releasing the band cache after the
+      // clustering actions consume the candidate join
+      Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, bandSize = 2, maxBucket = 16,
+          ngramN = 3, jaccardThreshold = 0.5)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("is_keeper"))),
 
     // Composite SemDeDup DAG (Abbas et al. 2023): semantic dedup with the
     // embedding's cluster as the blocking key — within-cluster ALL-pairs

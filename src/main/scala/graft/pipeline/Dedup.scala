@@ -73,6 +73,28 @@ object Dedup {
     * keeps the bucket a single connected component for the downstream
     * clustering while bounding output at O(m). Default Int.MaxValue =
     * exact behavior. */
+  /** Band frames [[lshCandidatePairs]] persisted and nobody released yet.
+    * Persist (MEMORY_AND_DISK, lineage kept) is a pure performance
+    * hint here, so [[releaseBandCaches]] is always CORRECT to call — an
+    * evicted block just recomputes — the only question is when it stops
+    * costing: once the candidate join has been materialized (e.g. the
+    * connected-components actions inside [[minhashDedup]] ran). Tracked
+    * explicitly so long-lived cluster sessions don't accumulate band
+    * blocks across many dedup calls until LRU pressure evicts them. */
+  private val bandCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every band frame [[lshCandidatePairs]] has persisted since
+    * the last release (non-blocking). Safe at any point — the band persist
+    * keeps full lineage — and called automatically by [[minhashDedup]]
+    * after its clustering actions consume the candidate pairs. */
+  def releaseBandCaches(): Unit = {
+    var df = bandCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = bandCaches.poll() }
+  }
+
+  private[graft] def pendingBandCaches: Int = bandCaches.size()
+
   def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
       bandSize: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bandSize == 0,
@@ -103,6 +125,7 @@ object Dedup {
         // and the quadratic pair emission runs in a single task
         .repartition(col("band"), col("band_key"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bandCaches.add(banded)
       val l = banded.select(Seq(col("band"), col("band_key"),
         col(idCol).as("id_a")) ++
         (0 until numBands).map(b => col(s"__k$b").as(s"__ka$b")): _*)
@@ -128,6 +151,7 @@ object Dedup {
     val bands = lshBands(sig, idCol, numHashes, bandSize)
       .repartition(col("band"), col("band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandCaches.add(bands)
     // (the uncapped maxBucket == Int.MaxValue case returned on the exact
     // path above — everything below serves the capped path only)
     val bucketStats = bands.groupBy("band", "band_key")
@@ -147,6 +171,38 @@ object Dedup {
       sized.filter(col("__m__") > maxBucket && col(idCol) =!= col("__hub__"))
         .select(col("__hub__").as("id_a"), col(idCol).as("id_b")))
     capped.distinct()
+  }
+
+  /** The canonical MinHash near-dup pipeline as ONE call: minhash
+    * signatures → banded LSH candidates (with the `maxBucket`
+    * star-expansion cap) → n-gram Jaccard verification on candidates only
+    * → bounded transitive closure → connected components → keeper/drop.
+    * Output: (id, cluster_id, is_keeper) with `is_keeper` = the cluster's
+    * minimum id (one survivor per duplicate family).
+    *
+    * The connected-components stage runs Spark ACTIONS internally (its
+    * per-round label materializations), which is what makes this composite
+    * the right place to release the LSH band cache: by the time clustering
+    * returns, the candidate join has been fully consumed, so
+    * [[releaseBandCaches]] frees the band blocks instead of leaving them
+    * pinned until session-wide LRU pressure — the long-lived-session
+    * hygiene a 100 TB cluster run needs. (Release is a performance hint
+    * only: the band persist keeps lineage, so downstream re-reads of the
+    * returned frame stay correct regardless.) */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 2, maxBucket: Int = Int.MaxValue,
+      ngramN: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+    val cand = lshCandidatePairs(
+      minhashSignature(docs, idCol, textCol, numHashes), idCol,
+      numHashes, bandSize, maxBucket)
+    val verified = ngramJaccard(docs, cand, idCol, textCol, n = ngramN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters =
+      try duplicateClusters(boundedTwoHopClosure(verified))
+      finally releaseBandCaches()
+    clusters.select(col("id"), col("cluster_id"),
+      (col("id") === col("cluster_id")).as("is_keeper"))
   }
 
   /** Hex digits with odd nibble value — parity test portable to any engine

@@ -297,21 +297,80 @@ object Sketches {
     * estimates Jaccard — yielding intersection estimates HLL fundamentally
     * cannot provide ([[kmvPairEstimates]]).
     *
-    * Scale shape: state is groups × k longs (broadcast-sized). The build is
-    * a map-side-combinable distinct followed by a per-group rank over the
-    * DISTINCT hash set — the exchange is cardinality-bounded, never
-    * row-bounded; a still-tighter build would push bottom-k into a partial
-    * aggregate, worthwhile only past ~10⁸ distinct keys per group. */
+    * Scale shape: state is groups × k longs (broadcast-sized), and the
+    * build is ONE aggregation whose PARTIAL state is already bounded at k:
+    * [[KmvAggregator]] (a typed `Aggregator` → `ScalaAggregator`, a
+    * TypedImperativeAggregate under ObjectHashAggregate) keeps a sorted
+    * distinct bottom-k array per (group, partition) map-side, so the
+    * exchange carries at most `partitions × groups × k` longs regardless
+    * of input size — the same map-side-combinable shape as the HLL/CMS
+    * registers, holding past 10⁸ distinct keys per group where the
+    * previous distinct-then-rank build's exchange grew with the distinct
+    * cardinality. */
   def kmvSketch(df: DataFrame, group: Column, key: Column,
       k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
       .cast("long")
-    df.select(group.as("group"), h.as("h")).distinct()
-      .withColumn("__rn__",
-        row_number().over(Window.partitionBy(col("group")).orderBy(col("h"))))
-      .filter(col("__rn__") <= k)
-      .groupBy("group").agg(sort_array(collect_list(col("h"))).as("hs"))
+    val bottomK = udaf(new KmvAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    df.select(group.as("group"), h.as("h"))
+      .groupBy("group").agg(bottomK(col("h")).as("hs"))
+  }
+
+  /** Bounded bottom-k buffer: `hs` is ascending, distinct, length ≤ k. */
+  case class KmvBuf(hs: Array[Long])
+
+  /** Bottom-k-distinct partial aggregate behind [[kmvSketch]]: reduce
+    * inserts a hash only when it is new AND beats the current k-th
+    * smallest (O(log k) probe, O(k) copy on accept — rare once the buffer
+    * saturates); merge is a deduplicating two-pointer merge capped at k.
+    * Commutative + associative with the identity `zero`, so partial
+    * buffers combine in any order — the TypedImperativeAggregate contract
+    * that makes the map-side combine sound. */
+  final class KmvAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, KmvBuf, Array[Long]] {
+    require(k > 0, s"k must be positive, got $k")
+    def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
+    def reduce(b: KmvBuf, h: Long): KmvBuf = {
+      val a = b.hs
+      if (a.length == k && h >= a(k - 1)) b
+      else {
+        val i = java.util.Arrays.binarySearch(a, h)
+        if (i >= 0) b // already present
+        else {
+          val ins = -i - 1
+          val n = math.min(a.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(a, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(a, ins, out, ins + 1, n - ins - 1)
+          KmvBuf(out)
+        }
+      }
+    }
+    def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+      val a = x.hs; val b = y.hs
+      if (a.isEmpty) y
+      else if (b.isEmpty) x
+      else {
+        val out = new Array[Long](math.min(a.length + b.length, k))
+        var i = 0; var j = 0; var n = 0
+        while (n < out.length && (i < a.length || j < b.length)) {
+          val v =
+            if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+              val v = a(i); if (j < b.length && b(j) == v) j += 1
+              i += 1; v
+            } else { val v = b(j); j += 1; v }
+          out(n) = v; n += 1
+        }
+        KmvBuf(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+      }
+    }
+    def finish(b: KmvBuf): Array[Long] = b.hs
+    def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuf] =
+      org.apache.spark.sql.Encoders.product[KmvBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
   /** Per-group distinct estimate from a [[kmvSketch]]: exact below `k`,

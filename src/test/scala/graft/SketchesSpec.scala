@@ -300,4 +300,47 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.kmvSketch(disj, col("g"), col("k"))).collect().head
     assert(d.getAs[Double]("est_intersect") == 0.0)
   }
+
+  test("KMV bottom-k partial aggregate: equals the distinct-then-rank " +
+      "reference on skewed multi-group data; partial state bounded at k; " +
+      "plan is one ObjectHashAggregate pair, no row_number exchange") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed duplicates across groups and partitions (repartition(7) mixes
+    // hash order so map-side partials see interleaved groups)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map { _ =>
+      (s"g${rnd.nextInt(5)}", s"key-${rnd.nextInt(300)}") }
+    val df = rows.toDF("g", "k").repartition(7)
+    val got = Sketches.kmvSketch(df, col("g"), col("k"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // reference build: global distinct then per-group rank (the r8 shape)
+    val h = conv(substring(md5(col("k").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val ref = df.select(col("g").as("group"), h.as("h")).distinct()
+      .withColumn("__rn__",
+        row_number().over(Window.partitionBy(col("group")).orderBy(col("h"))))
+      .filter(col("__rn__") <= 64)
+      .groupBy("group").agg(sort_array(collect_list(col("h"))).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == ref, s"bottom-k sets diverge: ${got.keySet} vs ${ref.keySet}")
+    // aggregator semantics directly: reduce/merge keep ≤k distinct sorted
+    val agg = new Sketches.KmvAggregator(8)
+    val full = (1 to 100).foldLeft(agg.zero)((b, i) =>
+      agg.reduce(agg.reduce(b, i * 37L % 61), i * 37L % 61)) // duplicates
+    assert(full.hs.length == 8 && full.hs.sameElements(full.hs.sorted) &&
+      full.hs.distinct.length == 8)
+    assert(full.hs.toSeq == (1 to 100).map(i => i * 37L % 61)
+      .distinct.sorted.take(8))
+    // merge in either order agrees (commutativity the partial plan needs)
+    val left = (1 to 50).foldLeft(agg.zero)((b, i) => agg.reduce(b, i * 97L % 89))
+    val right = (1 to 50).foldLeft(agg.zero)((b, i) => agg.reduce(b, i * 13L % 71))
+    assert(agg.merge(left, right).hs.sameElements(agg.merge(right, left).hs))
+    assert(agg.merge(left, agg.zero).hs.sameElements(left.hs))
+    // the plan aggregates with bounded partials: an ObjectHashAggregate
+    // pair (partial + final) and NO window/row_number over the distinct set
+    val plan = Sketches.kmvSketch(df, col("g"), col("k"), k = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
 }
