@@ -335,6 +335,34 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     * Content lands under `snapshot.tmp` first and reaches its final
     * seq-numbered name by rename-to-fresh-target, so a torn write can never
     * be mistaken for a valid snapshot. */
+  /** The documented >10^6-files scale path made concrete: persist the
+    * current entry set as a PARQUET table next to the JSONL snapshot, so
+    * file-level planning can run as a DataFrame filter (distributed,
+    * pushdown-pruned) instead of a driver-side scan of the in-memory
+    * vector once the file count outgrows driver comfort. Columns: the
+    * pruning keys (`id`, `path`, `start`, `end`, `bucket`, `compacting`,
+    * `num_rows`, `size_bytes`) plus `jsonl`, the entry's full manifest
+    * line — lossless, so a DataFrame-planned subset can be parsed back
+    * into [[SstFile]]s (stats included) without touching the JSONL
+    * snapshot. Write-once seq-named like every other commit file.
+    * Returns the written directory. */
+  def writeParquetSnapshot(spark: org.apache.spark.sql.SparkSession): String =
+    synchronized {
+      val rows = files.values.toSeq.map(f => (f.id, f.path,
+        f.timeRange.start, f.timeRange.end, f.bucket, f.compacting,
+        f.numRows, f.sizeBytes, fmt(f, "add")))
+      val out = dir.suffix(f"/parquet-snapshot-$deltaSeq%020d").toString
+      spark.createDataFrame(rows).toDF("id", "path", "start", "end",
+          "bucket", "compacting", "num_rows", "size_bytes", "jsonl")
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** Parse one `jsonl` column value from [[writeParquetSnapshot]] back
+    * into its [[SstFile]] (the driver-side tail of a DataFrame-planned
+    * prune: filter distributed, parse only the survivors). */
+  def parseSnapshotLine(line: String): SstFile = parse(line)._2
+
   def mergeSnapshot(): Unit = synchronized {
     if (deltaSeq > snapshotSeq) {
       val tmp = dir.suffix("/snapshot.tmp")

@@ -177,6 +177,34 @@ class StorageSpec extends AnyFunSuite {
     assert(m2.allSsts().map(_.id).sorted == Seq(3L))
   }
 
+  test("parquet snapshot fallback: DataFrame range prune equals the driver " +
+      "prune, and jsonl rows parse back to SstFiles with stats/bucket intact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpRoot()
+    val m = new Manifest(root)
+    m.update((0 until 20).map { i =>
+      SstFile(i + 1L, s"/data/f$i.parquet", 100 + i, 1000 + i,
+        TimeRange(i * 100L, i * 100L + 100L), bucket = i % 4,
+        stats = Map("pk" -> (i.toLong, i.toLong + 9L),
+          "name" -> (s"a$i", s"z$i")))
+    })
+    val pq = m.writeParquetSnapshot(spark)
+    val range = TimeRange(500L, 900L)
+    val planned = spark.read.parquet(pq)
+      .where(col("start") < lit(range.end) && col("end") > lit(range.start))
+      .select("jsonl").collect()
+      .map(r => m.parseSnapshotLine(r.getString(0)))
+    val direct = m.findSsts(range)
+    assert(planned.map(_.id).sorted.toSeq == direct.map(_.id).sorted)
+    // lossless: every field of every survivor round-trips
+    val byId = direct.map(f => f.id -> f).toMap
+    planned.foreach(f => assert(f == byId(f.id), s"mismatch for ${f.id}"))
+    // write-once seq naming: a second snapshot after more commits gets a
+    // NEW name, never overwrites in place
+    m.addFile(SstFile(100L, "/data/late.parquet", 1, 1, TimeRange(0, 1)))
+    assert(m.writeParquetSnapshot(spark) != pq)
+  }
+
   test("manifest round-trips paths with quotes/backslashes/field-shadowing text") {
     val root = tmpRoot()
     val m1 = new Manifest(root)
