@@ -754,6 +754,21 @@ object SparkEntry {
         .sql("""mad_over_time(purchase{uid=~"[1-2][0-9]"}[1d])""")
         .withColumn("value", round(col("value"), 4))),
 
+    // PromQL INSTANT evaluation (round 9): windowless aggregation at one
+    // timestamp = aggregate of each series' newest sample within the
+    // lookback — exact Prometheus /api/v1/query semantics (each uid is one
+    // series, so the "sum" is its single latest value; no FP-order risk).
+    // T = 2024-02-01, lookback = 31 d covers the January fixture.
+    "p35_promql_instant" -> ((s, dir) =>
+      promqlCtx(s, dir).sqlInstant("""sum by (uid) (purchase{uid=~"[1-9]"})""",
+        1706745600000L, lookbackMs = 2678400000L)),
+
+    // Instant RAW selector: per-series newest sample with its actual
+    // timestamp (stale series outside the lookback drop out).
+    "p36_promql_instant_raw" -> ((s, dir) =>
+      promqlCtx(s, dir).sqlInstant("""purchase{uid=~"[1-7]"}""",
+        1706745600000L, lookbackMs = 2678400000L)),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -2895,6 +2910,35 @@ object SparkEntry {
         |    AND epoch_ms(ts::TIMESTAMP) < 1706745600000)
         |SELECT g.bucket_ms, CAST(1.0 AS DOUBLE) AS value FROM g
         |WHERE g.bucket_ms NOT IN (SELECT bucket_ms FROM p)""".stripMargin,
+
+    // Instant replay: newest sample per series within the lookback window
+    // ((T-31d, T], T = 2024-02-01), same (ts DESC, event_id DESC) tiebreak
+    // the engine's ordering columns use.
+    "p35_promql_instant" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS uid, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-9]')
+        |    AND epoch_ms(ts::TIMESTAMP) > 1706745600000 - 2678400000
+        |    AND epoch_ms(ts::TIMESTAMP) <= 1706745600000)
+        |SELECT uid, sum(value) AS value FROM ranked WHERE rn = 1
+        |GROUP BY uid""".stripMargin,
+
+    "p36_promql_instant_raw" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS uid,
+        |    epoch_ms(ts::TIMESTAMP) AS ts_ms, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-7]')
+        |    AND epoch_ms(ts::TIMESTAMP) > 1706745600000 - 2678400000
+        |    AND epoch_ms(ts::TIMESTAMP) <= 1706745600000)
+        |SELECT uid, ts_ms, value FROM ranked WHERE rn = 1""".stripMargin,
 
     "p28_promql_stddev_ot" ->
       """SELECT CAST(user_id AS VARCHAR) AS uid,

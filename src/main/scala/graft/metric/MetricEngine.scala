@@ -693,26 +693,11 @@ final class MetricEngine(spark: SparkSession, root: String,
 object MetricEngine {
 
   /** Every bucket-emitting range window in `e` — the grains a requested
-    * step must agree with (windows own their buckets; tumbling rule). */
-  private[metric] def rangeWindows(e: graft.promql.Expr): Seq[Long] = {
-    import graft.promql._
-    e match {
-      case RangeFn(_, _, w) => Seq(w)
-      // a subquery's OUTPUT buckets come from its own window; the inner
-      // window-vs-step consistency is validated by the evaluator
-      case RangeSubquery(_, _, w, _) => Seq(w)
-      // a pinned window emits no bucket column — no step constraint
-      case AtRange(_, _, _, _) => Nil
-      case Agg(_, _, c, _) => rangeWindows(c)
-      case ParamAgg(_, _, _, c) => rangeWindows(c)
-      case CountValues(_, _, c) => rangeWindows(c)
-      case BinOp(_, a, b, _, _) => rangeWindows(a) ++ rangeWindows(b)
-      case FnCall(_, c, _) => rangeWindows(c)
-      case HistogramQuantile(_, c) => rangeWindows(c)
-      case LabelFn(_, c, _, _) => rangeWindows(c)
-      case _ => Nil
-    }
-  }
+    * step must agree with (windows own their buckets; tumbling rule).
+    * Shared with the flat evaluator: a subquery contributes its OUTPUT
+    * window, a pinned `@` window emits no bucket column. */
+  private[metric] def rangeWindows(e: graft.promql.Expr): Seq[Long] =
+    graft.promql.PromQLContext.innerWindows(e)
 
   /** Canonical series-key COLUMN: name + sorted `\u0001 key \u0002 value`
     * pairs (see the collision rationale at [[MetricEngine.withIds]]).

@@ -1063,6 +1063,51 @@ final class PromQLContext(
       range: Option[TimeRange] = None): DataFrame =
     eval(PromQLParser.parse(promql), stepMs, range)
 
+  /** Instant-vector evaluation at one timestamp — the flat-context twin of
+    * `MetricEngine.instantPromQL` (same semantics, documented there and in
+    * PROMQL.md deviation #6): windowless expressions evaluate over each
+    * series' NEWEST sample within `(timeMs - lookbackMs, timeMs]` — exact
+    * Prometheus instant semantics, stale series dropping out; windowed
+    * expressions evaluate tumbling over the last two windows and keep each
+    * series' newest bucket. Offsets interact with the lookback restriction
+    * on the RAW timeline (an `offset` selector sees the latest restricted
+    * sample, not latest-at-T-minus-offset) — don't combine them. */
+  def sqlInstant(promql: String, timeMs: Long,
+      lookbackMs: Long = 300000L): DataFrame = {
+    require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
+    val ast = PromQLParser.parse(promql)
+    val ws = PromQLContext.innerWindows(ast)
+    if (ws.isEmpty) {
+      val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
+      // series identity exactly as the evaluator groups it: metric +
+      // bound label columns + extra identity columns
+      val idCols = (metricCol +: (labels.values.toSeq ++ seriesCols)).distinct
+      val ord = if (ordering.nonEmpty) ordering else Seq(tsMs)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCols.map(col): _*).orderBy(ord.map(_.desc): _*)
+      val bounded = src
+        .filter(tsMs > lit(timeMs - lookbackMs) && tsMs <= lit(timeMs))
+        .withColumn("__rn__", row_number().over(win))
+        .filter(col("__rn__") === 1).drop("__rn__")
+      new PromQLContext(bounded, metricCol, tsMs, valueCol, labels,
+        ordering, seriesCols).eval(ast, None, Some(range))
+    } else {
+      val w = ws.max
+      val step = if (ws.distinct.length == 1) Some(ws.head) else None
+      val df = eval(ast, step, Some(TimeRange(timeMs - 2 * w + 1, timeMs + 1)))
+      if (!df.columns.contains("bucket_ms")) df
+      else {
+        val idCols = df.columns.filter(c => c != "value" && c != "bucket_ms")
+        val part =
+          if (idCols.isEmpty) Seq(lit(0)) else idCols.toSeq.map(col)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(part: _*).orderBy(col("bucket_ms").desc)
+        df.withColumn("__rn__", row_number().over(win))
+          .filter(col("__rn__") === 1).drop("__rn__", "bucket_ms")
+      }
+    }
+  }
+
   /** Offset-shifted timestamp: a selector `offset 5m` reads data 5m back and
     * re-stamps it onto the query timeline, so buckets/joins line up with
     * unshifted operands. */

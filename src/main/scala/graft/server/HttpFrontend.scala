@@ -105,6 +105,28 @@ final class HttpFrontend(
     } finally ex.close()
   }
 
+  /** Last-seen metric metadata per family, fed by the write path's
+    * full-request decode — the source for `/api/v1/metadata`. In-memory
+    * by design: Prometheus itself serves metadata from its scrape cache,
+    * not storage, and the remote-write 1.0 spec makes metadata
+    * best-effort; a restart repopulates it from the next requests. */
+  private val metadataCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      graft.streaming.RemoteWrite.Metadata]()
+
+  /** prompb MetricMetadata.MetricType ordinal → the lowercase names the
+    * Prometheus metadata API serves. */
+  private def metricTypeName(ord: Int): String = ord match {
+    case 1 => "counter"
+    case 2 => "gauge"
+    case 3 => "histogram"
+    case 4 => "gaugehistogram"
+    case 5 => "summary"
+    case 6 => "info"
+    case 7 => "stateset"
+    case _ => "unknown"
+  }
+
   /** Thrown when a query's result crosses [[maxResultRows]] — mapped to a
     * 422 "execution" error envelope, never a served partial result. */
   private final class ResultTooLarge extends RuntimeException(
@@ -131,8 +153,20 @@ final class HttpFrontend(
     }
   }
 
-  private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).map(_.split('&').toSeq).getOrElse(Nil)
+  /** Decoded (key, value) pairs from the URI query string AND — for a
+    * POST with a form-encoded body — the body (Grafana POSTs its query
+    * and metadata requests; Prometheus accepts both spellings on every
+    * API endpoint). Body reads are capped at 1 MiB — these are parameter
+    * payloads, not data. Repeated keys are preserved (match[] unions). */
+  private def paramPairs(ex: HttpExchange): Seq[(String, String)] = {
+    val fromQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val fromBody =
+      if (ex.getRequestMethod == "POST" &&
+          Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .exists(_.startsWith("application/x-www-form-urlencoded")))
+        new String(ex.getRequestBody.readNBytes(1 << 20), "UTF-8")
+      else ""
+    Seq(fromQuery, fromBody).flatMap(_.split('&')).filter(_.nonEmpty)
       .flatMap { kv =>
         kv.split("=", 2) match {
           case Array(k, v) =>
@@ -140,7 +174,11 @@ final class HttpFrontend(
               java.net.URLDecoder.decode(v, "UTF-8"))
           case _ => None
         }
-      }.toMap
+      }
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    paramPairs(ex).toMap
 
   server.createContext("/", (ex: HttpExchange) =>
     if (ex.getRequestURI.getPath == "/") respond(ex, 200, "Hello world!")
@@ -185,9 +223,15 @@ final class HttpFrontend(
     else if (body == null)
       respond(ex, 413, s"write body exceeds $maxWriteBodyBytes bytes")
     else {
-      val samples =
-        try graft.streaming.RemoteWrite.decode(body)
-        catch { case scala.util.control.NonFatal(_) => Nil }
+      // full-request decode: samples for ingest AND the request's metric
+      // metadata records for the live metadata cache behind
+      // /api/v1/metadata (CodecBench: full parse ≈ samples-only parse;
+      // the extras are a few hundred small records per request)
+      val req =
+        try graft.streaming.RemoteWrite.decodeRequest(body)
+        catch { case scala.util.control.NonFatal(_) =>
+          graft.streaming.RemoteWrite.Request(Nil, Nil, Nil) }
+      val samples = req.samples
       if (samples.isEmpty) respond(ex, 400, "no samples decoded")
       else
         try {
@@ -196,6 +240,7 @@ final class HttpFrontend(
             // samples directly instead of re-decoding the payload
             MetricStreamIngest.ingestDecoded(engine, spark, samples)
           }
+          req.metadata.foreach(md => metadataCache.put(md.familyName, md))
           respond(ex, 204, "")
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -342,21 +387,12 @@ final class HttpFrontend(
     }
   })
 
-  /** Every `match[]` parameter of the request, URL-decoded — the
-    * Prometheus metadata-endpoint scoping selectors (repeated params
-    * union; Map-shaped [[queryParams]] would keep only the last). */
+  /** Every `match[]` parameter of the request (query string or POST
+    * form), URL-decoded — the Prometheus metadata-endpoint scoping
+    * selectors (repeated params union; Map-shaped [[queryParams]] would
+    * keep only the last). */
   private def matchSelectors(ex: HttpExchange): Seq[String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      .split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>
-        val i = kv.indexOf('=')
-        if (i < 0) None
-        else {
-          val k = java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8")
-          if (k == "match[]")
-            Some(java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
-          else None
-        }
-      }
+    paramPairs(ex).collect { case ("match[]", v) => v }
 
   /** Prometheus metadata endpoints — the pair Grafana's query builder
     * calls for completion: `GET /api/v1/labels` (label names, plus
@@ -436,17 +472,7 @@ final class HttpFrontend(
     * semantics); results come from the small series meta table only. */
   server.createContext("/api/v1/series", (ex: HttpExchange) => {
     try {
-      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      val selectors = raw.split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>
-        val i = kv.indexOf('=')
-        if (i < 0) None
-        else {
-          val k = java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8")
-          if (k == "match[]")
-            Some(java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
-          else None
-        }
-      }
+      val selectors = matchSelectors(ex)
       if (selectors.isEmpty)
         respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
           """"error":"missing match[] parameter"}""",
@@ -464,6 +490,44 @@ final class HttpFrontend(
         respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
           s""""error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
           contentType = "application/json")
+    }
+  })
+
+  /** `GET /api/v1/status/buildinfo` — Grafana probes it at datasource
+    * setup to pick the query feature set; a 404 degrades Explore. Served
+    * as a Prometheus-2.x-compatible engine identifying itself as graft in
+    * the revision field. */
+  server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) =>
+    respond(ex, 200,
+      """{"status":"success","data":{"version":"2.54.0",""" +
+        """"revision":"graft","branch":"","buildUser":"","buildDate":"",""" +
+        """"goVersion":""}}""",
+      contentType = "application/json"))
+
+  /** `GET /api/v1/metadata[?metric=…][&limit=…]` — metric help/type/unit
+    * per family, from the [[metadataCache]] the write path maintains
+    * (Prometheus serves this from its scrape cache, same lifecycle).
+    * Shape: `data.<family> = [{type, help, unit}]`. */
+  server.createContext("/api/v1/metadata", (ex: HttpExchange) => {
+    try {
+      val p = queryParams(ex)
+      val wanted = p.get("metric")
+      val limit = p.get("limit").map(_.toInt).getOrElse(Int.MaxValue)
+      val entries = {
+        import scala.jdk.CollectionConverters._
+        metadataCache.asScala.toSeq
+          .filter { case (fam, _) => wanted.forall(_ == fam) }
+          .sortBy(_._1).take(limit)
+      }
+      val body = entries.map { case (fam, md) =>
+        s""""${esc(fam)}":[{"type":"${metricTypeName(md.metricType)}",""" +
+          s""""help":"${esc(md.help)}","unit":"${esc(md.unit)}"}]"""
+      }.mkString("""{"status":"success","data":{""", ",", "}}")
+      respond(ex, 200, body, contentType = "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
     }
   })
 

@@ -29,6 +29,12 @@ class HttpFrontendSpec extends AnyFunSuite {
       .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
+  private def postForm(port: Int, path: String, form: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
   private def samples(n: Int, offset: Int): Seq[Sample] =
     (0 until n).map(i => Sample("cpu_seconds_total",
       Map("host" -> s"h${i % 3}", "mode" -> "user"),
@@ -323,6 +329,69 @@ class HttpFrontendSpec extends AnyFunSuite {
       // a label absent from the matched series → empty, not the global set
       assert(get(port, s"/api/v1/label/dev/values?match[]=$mHttp").body() ==
         """{"status":"success","data":[]}""")
+    } finally fe.stop()
+  }
+
+  test("Grafana compatibility: POST form parameters on query endpoints, " +
+      "/api/v1/status/buildinfo, /api/v1/metadata from write-path records") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-graf").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val md = RemoteWrite.Metadata(1, "cpu_seconds_total",
+        "Total CPU seconds.", "seconds")
+      val mdGauge = RemoteWrite.Metadata(2, "mem_bytes", "Resident set.", "")
+      val body = RemoteWrite.encodeRequest(RemoteWrite.Request(
+        Seq(graft.metric.Sample("cpu_seconds_total",
+            Map("host" -> "a"), t0, 1.0),
+          graft.metric.Sample("cpu_seconds_total",
+            Map("host" -> "b"), t0 + 1000, 4.0)),
+        Nil, Seq(md, mdGauge)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+
+      // buildinfo: the datasource probe Grafana issues first
+      val bi = get(port, "/api/v1/status/buildinfo")
+      assert(bi.statusCode() == 200 &&
+        bi.body().contains(""""revision":"graft""""), bi.body())
+
+      // metadata from the write path's full decode, Prometheus shape
+      val meta = get(port, "/api/v1/metadata")
+      assert(meta.body() == """{"status":"success","data":{""" +
+        """"cpu_seconds_total":[{"type":"counter",""" +
+        """"help":"Total CPU seconds.","unit":"seconds"}],""" +
+        """"mem_bytes":[{"type":"gauge","help":"Resident set.",""" +
+        """"unit":""}]}}""", meta.body())
+      val one = get(port, "/api/v1/metadata?metric=mem_bytes")
+      assert(one.body().contains("mem_bytes") &&
+        !one.body().contains("cpu_seconds_total"), one.body())
+      assert(get(port, "/api/v1/metadata?metric=nope").body() ==
+        """{"status":"success","data":{}}""")
+      assert(get(port, "/api/v1/metadata?limit=1").body()
+        .contains("cpu_seconds_total")) // sorted, first family only
+
+      // POST form parameters: instant query + range query + series, the
+      // spellings Grafana actually sends
+      val q = java.net.URLEncoder.encode("sum(cpu_seconds_total)", "UTF-8")
+      val tEval = (t0 + 1000) / 1000
+      val iq = postForm(port, "/api/v1/query", s"query=$q&time=$tEval")
+      assert(iq.statusCode() == 200 && iq.body().contains(""""5.0""""),
+        iq.body())
+      val qr = postForm(port, "/api/v1/query_range",
+        s"query=$q&start=${t0 / 1000}&end=${t0 / 1000 + 60}&step=1m")
+      assert(qr.statusCode() == 200 &&
+        qr.body().contains(""""resultType":"matrix""""), qr.body())
+      val m = java.net.URLEncoder.encode("""cpu_seconds_total{host="a"}""",
+        "UTF-8")
+      val ser = postForm(port, "/api/v1/series", s"match[]=$m")
+      assert(ser.statusCode() == 200 &&
+        ser.body().contains(""""host":"a"""") &&
+        !ser.body().contains(""""host":"b""""), ser.body())
+      // form body + query string combine (Prometheus merges both)
+      val mixed = postForm(port, s"/api/v1/query?time=$tEval", s"query=$q")
+      assert(mixed.statusCode() == 200 && mixed.body().contains(""""5.0""""),
+        mixed.body())
     } finally fe.stop()
   }
 

@@ -329,6 +329,45 @@ class PromQLSpec extends AnyFunSuite {
 
   private val H = 3600000L
 
+  test("sqlInstant: windowless = newest sample per series within lookback " +
+      "(stale series drop); windowed = newest tumbling bucket per series") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", H, 4.0),
+      Row("cpu", "b", "us", H / 2, 10.0),
+      // stale: last sample 3h before the eval time
+      Row("cpu", "c", "us", -2 * H, 100.0),
+      Row("mem", "a", "us", H, 7.0)))
+    val T = H + 1000L
+    // aggregation over latest-per-series: a→4 (not 1+4), b→10, c stale out
+    val sum = ctx.sqlInstant("sum(cpu)", T, lookbackMs = 2 * H)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(sum == Seq(14.0), sum.toString)
+    // raw selector keeps the actual sample timestamps
+    val raw = ctx.sqlInstant("cpu", T, lookbackMs = 2 * H).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("ts_ms"),
+        r.getAs[Double]("value"))).toSet
+    assert(raw == Set(("a", H, 4.0), ("b", H / 2, 10.0)), raw.toString)
+    // a tight lookback drops everything: the ungrouped aggregate keeps
+    // the evaluator's SQL convention (one null-value row — the serving
+    // edge filters nulls into an empty vector); the grouped form is empty
+    val none = ctx.sqlInstant("sum(cpu)", -3 * H, lookbackMs = 1000L).collect()
+    assert(none.length == 1 && none(0).isNullAt(none(0).fieldIndex("value")))
+    assert(ctx.sqlInstant("sum by (host) (cpu)", -3 * H, lookbackMs = 1000L)
+      .collect().isEmpty)
+    // windowed: newest bucket per series answers (tumbling deviation).
+    // Series a: reset-aware delta 4-1=3 attributed to the later sample's
+    // bucket [1h, 2h) — its newest bucket → 3.0; series b's single-sample
+    // bucket → 0.0; stale c is outside the 2-window evaluation range.
+    val inc = ctx.sqlInstant("increase(cpu[1h])", T)
+      .collect().map(r => (r.getAs[String]("host"),
+        r.getAs[Double]("value"))).toMap
+    assert(inc == Map("a" -> 3.0, "b" -> 0.0), inc.toString)
+    // grouped windowed: bucket column dropped, one row per group
+    val gw = ctx.sqlInstant("sum by (dc) (increase(cpu[1h]))", T)
+    assert(gw.columns.toSet == Set("dc", "value"))
+    assert(gw.collect().length == 1)
+  }
+
   test("context: selector filters metric, matchers (anchored regex), range") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a1", "us", 0L, 1.0), Row("cpu", "a2", "eu", H, 2.0),
