@@ -1482,6 +1482,47 @@ object SparkEntry {
         .toDF("kind", "name", "labels", "xlabels", "ts", "value", "note")
     }),
 
+    // Exemplar STORAGE end-to-end (round 9): samples + exemplars through
+    // the real engine (id population, sorted SSTs, Overwrite merge), one
+    // exemplar re-delivered to prove identity-keyed idempotent upsert,
+    // read back via the selector-resolved exemplars query. Fixed spec →
+    // hand-written oracle rows.
+    "rw2_exemplar_store" -> ((s, dir) => {
+      import graft.streaming.{MetricStreamIngest, RemoteWrite}
+      import graft.metric.Sample
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rw2").toString
+      val eng = new graft.metric.MetricEngine(s, root)
+      val sA = Map("instance" -> "i1", "job" -> "api")
+      val sB = Map("job" -> "api", "zone" -> "eu-west-π")
+      MetricStreamIngest.ingestDecoded(eng, s, Seq(
+        Sample("http_requests_total", sA, 1000L, 1.5),
+        Sample("cpu_seconds", sB, 1500L, -3.75)))
+      val exs = Seq(
+        RemoteWrite.Exemplar("http_requests_total", sA,
+          Map("trace_id" -> "abc"), 0.5, 1750L),
+        RemoteWrite.Exemplar("http_requests_total", sA,
+          Map("trace_id" -> "xyz"), 0.25, 1800L),
+        RemoteWrite.Exemplar("cpu_seconds", sB,
+          Map("span" -> "s1", "trace_id" -> "def"), 7.0, 1600L))
+      MetricStreamIngest.ingestExemplars(eng, s, exs)
+      MetricStreamIngest.ingestExemplars(eng, s, exs.take(1)) // re-delivery
+      val out = eng.queryExemplars("""{__name__=~".+"}""",
+        graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+      val lblStr = concat_ws(",",
+        transform(array_sort(map_entries(col("labels"))),
+          e => concat(e("key"), lit("="), e("value"))))
+      // canonical key = name + (\u0001 key \u0002 value)* -> rw1's lj
+      // format: tail after the first \u0001, separators translated to
+      // "," / "=" (neither can occur in Prometheus label content)
+      val skName = substring_index(col("series_key"), "\u0001", 1)
+      val skTail = col("series_key").substr(length(skName) + lit(2), lit(1 << 20))
+      out.select(skName.as("name"),
+        translate(skTail, "\u0001\u0002", ",=").as("series_labels"),
+        lblStr.as("exemplar_labels"),
+        col("ts_ms"), col("value"))
+    }),
+
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
     "j1_label_semijoin" -> ((s, dir) => {
       val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -2808,6 +2849,18 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE event_id % 7 <> 3
         |GROUP BY event_type""".stripMargin,
+
+    // Exemplar storage replay: the three stored exemplars (the re-delivered
+    // fourth upserts onto its identity), hand-written independently.
+    "rw2_exemplar_store" ->
+      """SELECT * FROM (VALUES
+        |  ('http_requests_total', 'instance=i1,job=api', 'trace_id=abc',
+        |   CAST(1750 AS BIGINT), CAST(0.5 AS DOUBLE)),
+        |  ('http_requests_total', 'instance=i1,job=api', 'trace_id=xyz',
+        |   CAST(1800 AS BIGINT), CAST(0.25 AS DOUBLE)),
+        |  ('cpu_seconds', 'job=api,zone=eu-west-π', 'span=s1,trace_id=def',
+        |   CAST(1600 AS BIGINT), CAST(7.0 AS DOUBLE))
+        |) AS t(name, series_labels, exemplar_labels, ts_ms, value)""".stripMargin,
 
     // Hand-written expected rows for the fixed WriteRequest spec — built
     // independently of the encoder/decoder under test.

@@ -70,6 +70,9 @@ final class MetricEngine(spark: SparkSession, root: String,
   val data = new TimeMergeStorage(spark, s"$root/data",
     StorageSchema(dataSchema, numPrimaryKeys = 3), segmentMs,
     timestampColumn = Some("ts"))
+  val exemplars = new TimeMergeStorage(spark, s"$root/exemplars",
+    StorageSchema(exemplarsSchema, numPrimaryKeys = 4), segmentMs,
+    timestampColumn = Some("ts"))
 
   /** Broadcast-when-small (SURVEY §2.3 "broadcast when small, else shuffle
     * hash"): hint only while the optimizer's size estimate (parquet bytes
@@ -168,6 +171,84 @@ final class MetricEngine(spark: SparkSession, root: String,
         else data.write(batch, range)
       }
     } finally ided.unpersist()
+  }
+
+  /** Ingest a batch of exemplars. Input columns: `name` (metric),
+    * `labels` (series labels map), `ex_labels` (the exemplar's own
+    * labels, e.g. trace_id), `timestamp` (ms), `value`. Ids populate
+    * exactly as [[write]]'s samples do; no meta rows are created here —
+    * the remote-write spec sends exemplars alongside their series'
+    * samples, so the series is registered by the samples in the same
+    * request (an exemplar for a never-written series is still stored and
+    * becomes reachable once its series registers). One sorted SST per
+    * touched segment, like the data table. */
+  def writeExemplars(ex: DataFrame): Unit = {
+    val rows = withIds(ex)
+      .select(col("metric_id"), col("tsid"),
+        col("timestamp").as("ts"),
+        MetricEngine.labelsKeyColumn(col("ex_labels")).as("exemplar_key"),
+        col("value"), col("ex_labels").as("labels"))
+      .withColumn("__seg__", floor(col("ts") / lit(segmentMs)).cast("long"))
+    val segs = rows.select("__seg__").distinct().collect().map(_.getLong(0))
+    segs.foreach { g =>
+      exemplars.write(rows.filter(col("__seg__") === g).drop("__seg__"),
+        TimeRange(g * segmentMs, (g + 1) * segmentMs))
+    }
+  }
+
+  /** Exemplars of the series matching a PromQL selector within `range` —
+    * the engine behind `GET /api/v1/query_exemplars`. The selector
+    * resolves through the same series-meta walk as [[seriesFor]]; the
+    * exemplars scan prunes by (range, metric_id) and semi-joins the
+    * matched TSID set. Output: (series_key, ts_ms, value, labels) — the
+    * serving edge decodes series_key back to label sets. */
+  def queryExemplars(selectorText: String, range: TimeRange): DataFrame = {
+    import graft.promql._
+    val sel = PromQLParser.parse(selectorText) match {
+      case s: Selector => s
+      case other => throw new IllegalArgumentException(
+        s"exemplar queries take a plain selector, got: $other")
+    }
+    val names: Seq[String] =
+      if (sel.metric.nonEmpty) Seq(sel.metric)
+      else metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+    def matches(name: String, labels: Map[String, String]): Boolean =
+      sel.matchers.forall { m =>
+        val v = if (m.label == "__name__") name else labels.getOrElse(m.label, "")
+        PromQLContext.matcherMatches(m, v)
+      }
+    val frames = names.flatMap { name =>
+      metricIdOf(name).map { mid =>
+        // matched series of this metric: decode keys driver-side (the
+        // series meta table is small per metric), exact matcher semantics
+        val keyRows = series.scan(ScanRequest(
+            predicates = Seq(col("metric_id") === mid),
+            projection = Some(Seq("tsid", "series_key")))).collect()
+        val matched = keyRows.filter { r =>
+          val (n, ls) = MetricEngine.parseSeriesKey(
+            new String(r.getAs[Array[Byte]]("series_key"), "UTF-8"))
+          matches(n, ls)
+        }
+        val tsids = matched.map(_.getAs[Long]("tsid"))
+        val keyed = spark.createDataFrame(
+          matched.map(r => (r.getAs[Long]("tsid"),
+            new String(r.getAs[Array[Byte]]("series_key"), "UTF-8"))).toSeq)
+          .toDF("tsid", "series_key")
+        exemplars.scan(ScanRequest(range = range,
+            predicates = Seq(col("metric_id") === mid,
+              col("tsid").isin(tsids.toIndexedSeq: _*))))
+          .join(maybeBroadcast(keyed), Seq("tsid"))
+          .select(col("series_key"), col("ts").as("ts_ms"),
+            col("value"), col("labels"))
+      }
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("series_key", StringType),
+          StructField("ts_ms", LongType), StructField("value", DoubleType),
+          StructField("labels", MapType(StringType, StringType))))))
   }
 
   /** TSIDs matching every label filter — the RFC two-step lookup, step 1
@@ -766,4 +847,17 @@ object MetricEngine {
   val dataSchema: StructType = StructType(Seq(
     StructField("metric_id", LongType), StructField("tsid", LongType),
     StructField("ts", LongType), StructField("value", DoubleType)))
+
+  /** Exemplars table: the remote-write surface's third record kind made
+    * durable (the reference decodes exemplars —
+    * remote_write/src/types.rs — but persists only samples; Prometheus
+    * keeps them in a bounded in-memory ring). Exemplar identity =
+    * (series, ts, canonical exemplar-label key), so re-delivered batches
+    * upsert idempotently under Overwrite merge; `labels` rides as a map
+    * value column for lossless serving. */
+  val exemplarsSchema: StructType = StructType(Seq(
+    StructField("metric_id", LongType), StructField("tsid", LongType),
+    StructField("ts", LongType), StructField("exemplar_key", StringType),
+    StructField("value", DoubleType),
+    StructField("labels", MapType(StringType, StringType))))
 }

@@ -1156,6 +1156,16 @@ object PromQLContext {
     case _ => Nil
   }
 
+  /** Driver-side mirror of [[matcherPredicate]] for already-decoded label
+    * values (series-meta walks: series discovery, exemplar queries):
+    * anchored regexes, absent label = "". */
+  def matcherMatches(m: LabelMatcher, v: String): Boolean = m.op match {
+    case MatchOp.Eq => v == m.value
+    case MatchOp.Ne => v != m.value
+    case MatchOp.Re => v.matches(anchor(m.value))
+    case MatchOp.Nre => !v.matches(anchor(m.value))
+  }
+
   /** Prometheus regex matchers are fully anchored, and an absent label is
     * the empty string: `{a!="x"}` and `{a!~"x.*"}` MATCH rows without the
     * label, `{a=""}` matches absence, `{a=~""}` matches when the regex

@@ -239,6 +239,9 @@ final class HttpFrontend(
             // the validation decode above IS the decode — ingest the
             // samples directly instead of re-decoding the payload
             MetricStreamIngest.ingestDecoded(engine, spark, samples)
+            // exemplars persist to the engine's exemplars table
+            // (idempotent on (series, ts, exemplar labels) re-delivery)
+            MetricStreamIngest.ingestExemplars(engine, spark, req.exemplars)
           }
           req.metadata.foreach(md => metadataCache.put(md.familyName, md))
           respond(ex, 204, "")
@@ -490,6 +493,53 @@ final class HttpFrontend(
         respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
           s""""error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
           contentType = "application/json")
+    }
+  })
+
+  /** `GET|POST /api/v1/query_exemplars?query=<selector>&start=…&end=…` —
+    * exemplars of the matching series in the range, grouped per series
+    * with decoded label sets, Prometheus envelope (`seriesLabels` +
+    * `exemplars` of {labels, value, timestamp}). Served from the durable
+    * exemplars table ([[MetricEngine.queryExemplars]]); result capped
+    * like every read path. */
+  server.createContext("/api/v1/query_exemplars", (ex: HttpExchange) => {
+    try {
+      val p = queryParams(ex)
+      def need(k: String): String = p.getOrElse(k,
+        throw new IllegalArgumentException(s"missing $k parameter"))
+      val selector = need("query")
+      val startMs = (need("start").toDouble * 1000.0).toLong
+      val endMs = (need("end").toDouble * 1000.0).toLong
+      require(endMs >= startMs, "end must be >= start")
+      val df = engine.queryExemplars(selector,
+        TimeRange(startMs, endMs + 1)) // Prometheus ranges are end-inclusive
+      val rows = collectCapped(df)
+      val bySeries = rows.groupBy(_.getAs[String]("series_key")).toSeq
+        .sortBy(_._1)
+        .map { case (key, rs) =>
+          val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
+          val seriesJson = ((("__name__", name) +: labels.toSeq.sortBy(_._1))
+            .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" })
+            .mkString("{", ",", "}")
+          val exs = rs.sortBy(_.getAs[Long]("ts_ms")).map { r =>
+            val li = r.fieldIndex("labels")
+            val ls: Map[String, String] =
+              if (r.isNullAt(li)) Map.empty
+              else r.getMap[String, String](li).toMap
+            val lsJson = ls.toSeq.sortBy(_._1).map { case (k, v) =>
+              s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+            s"""{"labels":$lsJson,"value":"${r.getAs[Double]("value")}",""" +
+              s""""timestamp":${fmtTs(r.getAs[Long]("ts_ms") / 1000.0)}}"""
+          }.mkString("[", ",", "]")
+          s"""{"seriesLabels":$seriesJson,"exemplars":$exs}"""
+        }
+      respond(ex, 200,
+        s"""{"status":"success","data":${bySeries.mkString("[", ",", "]")}}""",
+        contentType = "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
     }
   })
 

@@ -62,4 +62,17 @@ object MetricStreamIngest {
     import spark.implicits._
     engine.write(samples.toDF())
   }
+
+  /** Ingest already-decoded exemplars (the HTTP receive path's third
+    * record kind) into the engine's durable exemplars table — column
+    * shapes per [[MetricEngine.writeExemplars]]. */
+  def ingestExemplars(engine: MetricEngine, spark: SparkSession,
+      exemplars: Seq[RemoteWrite.Exemplar]): Unit = {
+    import spark.implicits._
+    if (exemplars.nonEmpty)
+      engine.writeExemplars(
+        exemplars.map(e => (e.name, e.seriesLabels, e.labels,
+            e.timestamp, e.value))
+          .toDF("name", "labels", "ex_labels", "timestamp", "value"))
+  }
 }

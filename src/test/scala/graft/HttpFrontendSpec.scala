@@ -395,6 +395,59 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("exemplars: persisted from remote-write bodies, served grouped per " +
+      "series over /api/v1/query_exemplars; re-delivery upserts idempotently") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-exem").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val sA = Map("host" -> "a")
+      val sB = Map("host" -> "b")
+      val body = RemoteWrite.encodeRequest(RemoteWrite.Request(
+        samples = Seq(
+          graft.metric.Sample("http_req", sA, t0, 1.0),
+          graft.metric.Sample("http_req", sB, t0 + 1000, 2.0)),
+        exemplars = Seq(
+          RemoteWrite.Exemplar("http_req", sA,
+            Map("trace_id" -> "abc"), 0.5, t0 + 500),
+          RemoteWrite.Exemplar("http_req", sA,
+            Map("trace_id" -> "xyz"), 0.7, t0 + 900),
+          RemoteWrite.Exemplar("http_req", sB,
+            Map("trace_id" -> "def"), 7.0, t0 + 600)),
+        metadata = Nil))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+      // re-deliver the identical request: exemplar identity upserts
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+
+      val q = java.net.URLEncoder.encode("""http_req{host="a"}""", "UTF-8")
+      val r = get(port, s"/api/v1/query_exemplars?query=$q" +
+        s"&start=${t0 / 1000}&end=${t0 / 1000 + 60}")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body() == """{"status":"success","data":[""" +
+        """{"seriesLabels":{"__name__":"http_req","host":"a"},""" +
+        """"exemplars":[""" +
+        """{"labels":{"trace_id":"abc"},"value":"0.5","timestamp":1723680000.5},""" +
+        """{"labels":{"trace_id":"xyz"},"value":"0.7","timestamp":1723680000.9}""" +
+        """]}]}""", r.body())
+      // unscoped selector returns both series, sorted deterministically
+      val all = get(port, "/api/v1/query_exemplars?query=http_req" +
+        s"&start=${t0 / 1000}&end=${t0 / 1000 + 60}")
+      assert(""""seriesLabels"""".r.findAllIn(all.body()).length == 2, all.body())
+      assert(all.body().contains(""""trace_id":"def""""))
+      // time range excludes: a window before the exemplars is empty
+      val none = get(port, s"/api/v1/query_exemplars?query=$q" +
+        s"&start=${t0 / 1000 - 600}&end=${t0 / 1000 - 300}")
+      assert(none.body() == """{"status":"success","data":[]}""", none.body())
+      // missing params → error envelope
+      assert(get(port, "/api/v1/query_exemplars?query=http_req")
+        .statusCode() == 400)
+      // direct engine check: idempotent re-delivery left exactly 3 rows
+      assert(engine.exemplars.scan(graft.storage.ScanRequest()).count() == 3)
+    } finally fe.stop()
+  }
+
   test("write bodies over the cap are rejected 413 before buffering") {
     val engine = new MetricEngine(spark,
       Files.createTempDirectory("graft-http-cap").toString)
