@@ -183,17 +183,22 @@ final class MetricEngine(spark: SparkSession, root: String,
     * becomes reachable once its series registers). One sorted SST per
     * touched segment, like the data table. */
   def writeExemplars(ex: DataFrame): Unit = {
+    // cache like write()'s `ided`: the plan is otherwise re-executed once
+    // for the segment-discovery collect and once more per touched segment
     val rows = withIds(ex)
       .select(col("metric_id"), col("tsid"),
         col("timestamp").as("ts"),
         MetricEngine.labelsKeyColumn(col("ex_labels")).as("exemplar_key"),
         col("value"), col("ex_labels").as("labels"))
       .withColumn("__seg__", floor(col("ts") / lit(segmentMs)).cast("long"))
-    val segs = rows.select("__seg__").distinct().collect().map(_.getLong(0))
-    segs.foreach { g =>
-      exemplars.write(rows.filter(col("__seg__") === g).drop("__seg__"),
-        TimeRange(g * segmentMs, (g + 1) * segmentMs))
-    }
+      .cache()
+    try {
+      val segs = rows.select("__seg__").distinct().collect().map(_.getLong(0))
+      segs.foreach { g =>
+        exemplars.write(rows.filter(col("__seg__") === g).drop("__seg__"),
+          TimeRange(g * segmentMs, (g + 1) * segmentMs))
+      }
+    } finally rows.unpersist()
   }
 
   /** Exemplars of the series matching a PromQL selector within `range` —
@@ -552,11 +557,15 @@ final class MetricEngine(spark: SparkSession, root: String,
     * `__name__`. Absent labels are null → the evaluator's absent-is-empty
     * matcher semantics apply unchanged.
     *
-    * `latestOnly` restricts the bound samples frame to each series'
-    * newest sample ([[instantPromQL]]'s windowless instant semantics);
-    * ordering ties on one timestamp break by the storage merge order the
-    * scan already applied (newest SST wins), mirrored here by `ts` alone —
-    * same-ms duplicates have already been merged by the store. */
+    * `latestOnly` turns on the evaluator's instant-selector mode
+    * ([[instantPromQL]]'s windowless instant semantics): each INSTANT
+    * selector keeps only each series' newest sample within its own
+    * offset-shifted evaluation range — per selector, not a global frame
+    * restriction, so `offset` selectors and `@`-pinned windows see their
+    * own timelines. Ordering ties on one timestamp break by the storage
+    * merge order the scan already applied (newest SST wins), mirrored
+    * here by `ts` alone — same-ms duplicates have already been merged by
+    * the store. */
   private def promqlContextFor(expr: graft.promql.Expr,
       range: TimeRange, latestOnly: Boolean = false): graft.promql.PromQLContext = {
     import graft.promql._
@@ -755,19 +764,9 @@ final class MetricEngine(spark: SparkSession, root: String,
     // and multi-metric selection then work without an index join.
     val labelMap = labelCols.map(l => l -> s"__lbl_$l").toMap ++
       (if (nameReferenced) Map("__name__" -> "__name__") else Map.empty)
-    val bound =
-      if (!latestOnly) samples
-      else {
-        // instant restriction: one newest sample per (metric, series). One
-        // exchange on the series key — the same key every downstream agg
-        // shuffles on, so AQE coalesces rather than re-partitions.
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__name__"), col("tsid")).orderBy(col("ts").desc)
-        samples.withColumn("__rn__", row_number().over(win))
-          .filter(col("__rn__") === 1).drop("__rn__")
-      }
-    new PromQLContext(bound, "__name__", col("ts"), "value", labelMap,
-      ordering = Seq(col("ts"), col("tsid")), seriesCols = Seq("tsid"))
+    new PromQLContext(samples, "__name__", col("ts"), "value", labelMap,
+      ordering = Seq(col("ts"), col("tsid")), seriesCols = Seq("tsid"),
+      instantSelectors = latestOnly)
   }
 }
 

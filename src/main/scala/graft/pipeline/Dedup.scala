@@ -86,8 +86,11 @@ object Dedup {
 
   /** Unpersist every band frame [[lshCandidatePairs]] has persisted since
     * the last release (non-blocking). Safe at any point — the band persist
-    * keeps full lineage — and called automatically by [[minhashDedup]]
-    * after its clustering actions consume the candidate pairs. */
+    * keeps full lineage. GLOBAL: drains frames from every in-flight call
+    * in the process, so use it from single-pipeline sessions only;
+    * [[minhashDedup]] releases only its OWN frames (per-invocation
+    * tracking), so concurrent composites never evict each other's bands
+    * mid-consumption. */
   def releaseBandCaches(): Unit = {
     var df = bandCaches.poll()
     while (df != null) { df.unpersist(blocking = false); df = bandCaches.poll() }
@@ -95,8 +98,28 @@ object Dedup {
 
   private[graft] def pendingBandCaches: Int = bandCaches.size()
 
+  /** Test observability: the band frames the calling thread's last
+    * [[minhashDedup]] persisted — specs assert their storage level dropped
+    * to NONE after the composite returned (a global persisted-block diff
+    * races against concurrently-running suites on the shared session). */
+  private[graft] val lastBandFrames =
+    new ThreadLocal[Seq[DataFrame]] { override def initialValue = Nil }
+
   def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
       bandSize: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (pairs, persisted) =
+      lshCandidatePairsTracked(sig, idCol, numHashes, bandSize, maxBucket)
+    persisted.foreach(bandCaches.add)
+    pairs
+  }
+
+  /** [[lshCandidatePairs]] plus the band frames it persisted — the
+    * per-invocation form: callers that own the whole consumption (the
+    * [[minhashDedup]] composite) unpersist exactly these frames when done,
+    * without touching frames other concurrent calls still depend on. */
+  private def lshCandidatePairsTracked(sig: DataFrame, idCol: String,
+      numHashes: Int, bandSize: Int, maxBucket: Int)
+      : (DataFrame, Seq[DataFrame]) = {
     require(numHashes % bandSize == 0,
       s"bandSize=$bandSize must divide numHashes=$numHashes (a remainder " +
         "would silently ignore the trailing minhashes)")
@@ -125,7 +148,6 @@ object Dedup {
         // and the quadratic pair emission runs in a single task
         .repartition(col("band"), col("band_key"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      bandCaches.add(banded)
       val l = banded.select(Seq(col("band"), col("band_key"),
         col(idCol).as("id_a")) ++
         (0 until numBands).map(b => col(s"__k$b").as(s"__ka$b")): _*)
@@ -135,9 +157,9 @@ object Dedup {
       val firstShared = (0 until numBands).foldRight(lit(-1): Column)(
         (b, acc) => when(col(s"__ka$b") === col(s"__kb$b"), lit(b))
           .otherwise(acc))
-      return l.join(r, Seq("band", "band_key"))
+      return (l.join(r, Seq("band", "band_key"))
         .filter(col("id_a") < col("id_b") && firstShared === col("band"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"), Seq(banded))
     }
     // Capped path: self-join on the band key, with the banded signature
     // persisted so the signature computation runs once, not once per join
@@ -151,7 +173,6 @@ object Dedup {
     val bands = lshBands(sig, idCol, numHashes, bandSize)
       .repartition(col("band"), col("band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandCaches.add(bands)
     // (the uncapped maxBucket == Int.MaxValue case returned on the exact
     // path above — everything below serves the capped path only)
     val bucketStats = bands.groupBy("band", "band_key")
@@ -170,7 +191,7 @@ object Dedup {
       // star expansion: hub = min id, spokes = everyone else, O(m) pairs
       sized.filter(col("__m__") > maxBucket && col(idCol) =!= col("__hub__"))
         .select(col("__hub__").as("id_a"), col(idCol).as("id_b")))
-    capped.distinct()
+    (capped.distinct(), Seq(bands))
   }
 
   /** The canonical MinHash near-dup pipeline as ONE call: minhash
@@ -183,24 +204,26 @@ object Dedup {
     * The connected-components stage runs Spark ACTIONS internally (its
     * per-round label materializations), which is what makes this composite
     * the right place to release the LSH band cache: by the time clustering
-    * returns, the candidate join has been fully consumed, so
-    * [[releaseBandCaches]] frees the band blocks instead of leaving them
-    * pinned until session-wide LRU pressure — the long-lived-session
+    * returns, the candidate join has been fully consumed, so unpersisting
+    * THIS call's band frames (per-invocation tracking — concurrent
+    * pipelines' frames are untouched) frees the blocks instead of leaving
+    * them pinned until session-wide LRU pressure — the long-lived-session
     * hygiene a 100 TB cluster run needs. (Release is a performance hint
     * only: the band persist keeps lineage, so downstream re-reads of the
     * returned frame stay correct regardless.) */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 2, maxBucket: Int = Int.MaxValue,
       ngramN: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
-    val cand = lshCandidatePairs(
+    val (cand, persisted) = lshCandidatePairsTracked(
       minhashSignature(docs, idCol, textCol, numHashes), idCol,
       numHashes, bandSize, maxBucket)
+    lastBandFrames.set(persisted)
     val verified = ngramJaccard(docs, cand, idCol, textCol, n = ngramN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
     val clusters =
       try duplicateClusters(boundedTwoHopClosure(verified))
-      finally releaseBandCaches()
+      finally persisted.foreach(_.unpersist(blocking = false))
     clusters.select(col("id"), col("cluster_id"),
       (col("id") === col("cluster_id")).as("is_keeper"))
   }

@@ -38,6 +38,15 @@ import graft.storage.TimeRange
   *                   so distinct series sharing the projected label values
   *                   don't fuse; they ride through range-fn output (and feed
   *                   ranked-agg tiebreaks) but never act as grouping labels
+  * @param instantSelectors instant-vector mode ([[sqlInstant]] /
+  *                   `MetricEngine.instantPromQL`): every INSTANT selector
+  *                   evaluation keeps only each series' newest sample
+  *                   inside its own (offset-shifted) evaluation range —
+  *                   Prometheus's lookback-delta restriction, applied PER
+  *                   SELECTOR so `offset` and `@`-pinned windows see their
+  *                   own timelines (a global newest-sample pre-filter
+  *                   would starve both). Range-function and pinned-window
+  *                   reads are never restricted.
   */
 final class PromQLContext(
     samples: DataFrame,
@@ -46,7 +55,8 @@ final class PromQLContext(
     valueCol: String,
     labels: Map[String, String],
     ordering: Seq[Column] = Nil,
-    seriesCols: Seq[String] = Nil) {
+    seriesCols: Seq[String] = Nil,
+    instantSelectors: Boolean = false) {
 
   import PromQLContext._
 
@@ -74,7 +84,11 @@ final class PromQLContext(
       range: Option[TimeRange] = None): DataFrame = expr match {
 
     case Selector(metric, matchers, offsetMs) =>
-      val base = select(metric, matchers, offsetMs, range)
+      // select() already applied the range filter on the selector's own
+      // offset-shifted timeline, so in instant mode "newest per series
+      // within the lookback" is simply newest-after-filter — one window
+      // exchange on the series key.
+      val base = latestPerSeries(select(metric, matchers, offsetMs, range))
       base.select(labels.keys.toSeq.sorted.map(l => col(labels(l)).as(l)) ++
         seriesCols.map(col) ++
         Seq(shifted(offsetMs).as("ts_ms"), col(valueCol).as("value")): _*)
@@ -1069,9 +1083,11 @@ final class PromQLContext(
     * series' NEWEST sample within `(timeMs - lookbackMs, timeMs]` — exact
     * Prometheus instant semantics, stale series dropping out; windowed
     * expressions evaluate tumbling over the last two windows and keep each
-    * series' newest bucket. Offsets interact with the lookback restriction
-    * on the RAW timeline (an `offset` selector sees the latest restricted
-    * sample, not latest-at-T-minus-offset) — don't combine them. */
+    * series' newest bucket. The lookback restriction is applied PER
+    * SELECTOR on its own offset-shifted timeline (`m offset 1h` sees the
+    * newest sample in `(T-1h-lookback, T-1h]`), and `@`-pinned windows
+    * read their full pinned ranges unrestricted — both exactly as
+    * Prometheus evaluates them. */
   def sqlInstant(promql: String, timeMs: Long,
       lookbackMs: Long = 300000L): DataFrame = {
     require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
@@ -1079,18 +1095,9 @@ final class PromQLContext(
     val ws = PromQLContext.innerWindows(ast)
     if (ws.isEmpty) {
       val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
-      // series identity exactly as the evaluator groups it: metric +
-      // bound label columns + extra identity columns
-      val idCols = (metricCol +: (labels.values.toSeq ++ seriesCols)).distinct
-      val ord = if (ordering.nonEmpty) ordering else Seq(tsMs)
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(idCols.map(col): _*).orderBy(ord.map(_.desc): _*)
-      val bounded = src
-        .filter(tsMs > lit(timeMs - lookbackMs) && tsMs <= lit(timeMs))
-        .withColumn("__rn__", row_number().over(win))
-        .filter(col("__rn__") === 1).drop("__rn__")
-      new PromQLContext(bounded, metricCol, tsMs, valueCol, labels,
-        ordering, seriesCols).eval(ast, None, Some(range))
+      new PromQLContext(samples, metricCol, tsMs, valueCol, labels,
+        ordering, seriesCols, instantSelectors = true)
+        .eval(ast, None, Some(range))
     } else {
       val w = ws.max
       val step = if (ws.distinct.length == 1) Some(ws.head) else None
@@ -1107,6 +1114,20 @@ final class PromQLContext(
       }
     }
   }
+
+  /** Instant-mode restriction: each series' newest row of `df` (identity =
+    * metric + bound label columns + extra identity columns, newest by
+    * `ordering`). Identity outside instant mode. */
+  private def latestPerSeries(df: DataFrame): DataFrame =
+    if (!instantSelectors) df
+    else {
+      val idCols = (metricCol +: (labels.values.toSeq ++ seriesCols)).distinct
+      val ord = if (ordering.nonEmpty) ordering else Seq(tsMs)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCols.map(col): _*).orderBy(ord.map(_.desc): _*)
+      df.withColumn("__rn__", row_number().over(win))
+        .filter(col("__rn__") === 1).drop("__rn__")
+    }
 
   /** Offset-shifted timestamp: a selector `offset 5m` reads data 5m back and
     * re-stamps it onto the query timeline, so buckets/joins line up with

@@ -143,11 +143,18 @@ final class HttpFrontend(
     rows
   }
 
+  /** Thrown when a form-encoded parameter body crosses the 1 MiB cap —
+    * mapped to 413, never a silently truncated (= corrupted) parameter. */
+  private final class ParamBodyTooLarge extends RuntimeException(
+    "form-encoded parameter body exceeds 1 MiB")
+
   private def errorEnvelope(e: Throwable): (Int, String) = {
     val msg = esc(Option(e.getMessage).getOrElse(e.getClass.getName))
     e match {
       case _: ResultTooLarge =>
         (422, s"""{"status":"error","errorType":"execution","error":"$msg"}""")
+      case _: ParamBodyTooLarge =>
+        (413, s"""{"status":"error","errorType":"bad_data","error":"$msg"}""")
       case _ =>
         (400, s"""{"status":"error","errorType":"bad_data","error":"$msg"}""")
     }
@@ -157,14 +164,19 @@ final class HttpFrontend(
     * POST with a form-encoded body — the body (Grafana POSTs its query
     * and metadata requests; Prometheus accepts both spellings on every
     * API endpoint). Body reads are capped at 1 MiB — these are parameter
-    * payloads, not data. Repeated keys are preserved (match[] unions). */
+    * payloads, not data — and an oversized body is a 413, never a
+    * silent mid-parameter truncation (which would URL-decode to a WRONG
+    * selector). Repeated keys are preserved (match[] unions). */
   private def paramPairs(ex: HttpExchange): Seq[(String, String)] = {
     val fromQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val fromBody =
       if (ex.getRequestMethod == "POST" &&
           Option(ex.getRequestHeaders.getFirst("Content-Type"))
-            .exists(_.startsWith("application/x-www-form-urlencoded")))
-        new String(ex.getRequestBody.readNBytes(1 << 20), "UTF-8")
+            .exists(_.startsWith("application/x-www-form-urlencoded"))) {
+        val b = ex.getRequestBody.readNBytes((1 << 20) + 1)
+        if (b.length > (1 << 20)) throw new ParamBodyTooLarge
+        new String(b, "UTF-8")
+      }
       else ""
     Seq(fromQuery, fromBody).flatMap(_.split('&')).filter(_.nonEmpty)
       .flatMap { kv =>
@@ -232,13 +244,19 @@ final class HttpFrontend(
         catch { case scala.util.control.NonFatal(_) =>
           graft.streaming.RemoteWrite.Request(Nil, Nil, Nil) }
       val samples = req.samples
-      if (samples.isEmpty) respond(ex, 400, "no samples decoded")
+      // Prometheus sends metadata in DEDICATED WriteRequests with zero
+      // timeseries (remote-write metadata_config), and exemplar-only
+      // requests are legal too — a request is undecodable only when it
+      // carries nothing at all.
+      if (samples.isEmpty && req.exemplars.isEmpty && req.metadata.isEmpty)
+        respond(ex, 400, "no samples decoded")
       else
         try {
           ingestLock.synchronized {
             // the validation decode above IS the decode — ingest the
             // samples directly instead of re-decoding the payload
-            MetricStreamIngest.ingestDecoded(engine, spark, samples)
+            if (samples.nonEmpty)
+              MetricStreamIngest.ingestDecoded(engine, spark, samples)
             // exemplars persist to the engine's exemplars table
             // (idempotent on (series, ts, exemplar labels) re-delivery)
             MetricStreamIngest.ingestExemplars(engine, spark, req.exemplars)
@@ -427,9 +445,8 @@ final class HttpFrontend(
         contentType = "application/json")
     } catch {
       case scala.util.control.NonFatal(e) =>
-        respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
-          s""""error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
-          contentType = "application/json")
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
     }
   })
 
@@ -463,9 +480,8 @@ final class HttpFrontend(
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
-        respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
-          s""""error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
-          contentType = "application/json")
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
     }
   })
 
@@ -490,9 +506,8 @@ final class HttpFrontend(
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
-        respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
-          s""""error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
-          contentType = "application/json")
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
     }
   })
 

@@ -346,17 +346,26 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     * into [[SstFile]]s (stats included) without touching the JSONL
     * snapshot. Write-once seq-named like every other commit file.
     * Returns the written directory. */
-  def writeParquetSnapshot(spark: org.apache.spark.sql.SparkSession): String =
-    synchronized {
-      val rows = files.values.toSeq.map(f => (f.id, f.path,
+  def writeParquetSnapshot(spark: org.apache.spark.sql.SparkSession): String = {
+    // Snapshot the entry set UNDER the lock; run the (seconds-long at 10^6
+    // entries) distributed parquet write OUTSIDE it — holding the monitor
+    // across a Spark job would stall every concurrent commit and read
+    // (update/findSsts/mergeSnapshot all serialize on this lock).
+    val (rows, outPath) = synchronized {
+      (files.values.toSeq.map(f => (f.id, f.path,
         f.timeRange.start, f.timeRange.end, f.bucket, f.compacting,
-        f.numRows, f.sizeBytes, fmt(f, "add")))
-      val out = dir.suffix(f"/parquet-snapshot-$deltaSeq%020d").toString
-      spark.createDataFrame(rows).toDF("id", "path", "start", "end",
-          "bucket", "compacting", "num_rows", "size_bytes", "jsonl")
-        .write.mode("overwrite").parquet(out)
-      out
+        f.numRows, f.sizeBytes, fmt(f, "add"))),
+        dir.suffix(f"/parquet-snapshot-$deltaSeq%020d"))
     }
+    // Write-once: a repeat call at the same deltaSeq must not rewrite a
+    // directory a reader may be consuming (mode("overwrite") deletes it
+    // first). The existing snapshot holds the identical entry set — reuse.
+    if (sfs.exists(outPath)) return outPath.toString
+    spark.createDataFrame(rows).toDF("id", "path", "start", "end",
+        "bucket", "compacting", "num_rows", "size_bytes", "jsonl")
+      .write.mode("errorifexists").parquet(outPath.toString)
+    outPath.toString
+  }
 
   /** Parse one `jsonl` column value from [[writeParquetSnapshot]] back
     * into its [[SstFile]] (the driver-side tail of a DataFrame-planned

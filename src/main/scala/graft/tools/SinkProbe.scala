@@ -111,6 +111,19 @@ object SinkProbe {
     println("[sinkprobe] per-batch ms: " +
       batchMs.map(m => f"$m%.0f").mkString(", "))
     require(count == total, s"read-back mismatch: $count vs $total")
+    // The flatness REQUIREMENT, enforced (not just printed): with a cached
+    // store, a manifest preload may tax only the FIRST batch; if steady-
+    // state batches scale with SST count again (the r8 per-trigger
+    // re-resolution this probe exists to catch), the run fails. The bound
+    // is generous (10x the no-preload steady median baseline of ~300 ms at
+    // 10k rows would still pass 3 s) because per-batch jitter on a busy
+    // box is real; an O(SST-count) regression at 10^4+ preload blows past
+    // seconds per batch and trips it reliably.
+    if (preloadSsts >= 10000)
+      require(medianMs <= math.max(batchMs(0), 3000.0),
+        f"steady-state median $medianMs%.0f ms exceeds the preload " +
+          f"flatness bound (first=${batchMs(0)}%.0f ms): per-batch work " +
+          "is scaling with manifest size — store caching has regressed")
     spark.stop()
   }
 }

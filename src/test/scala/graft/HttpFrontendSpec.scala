@@ -448,6 +448,67 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("metadata-only and exemplar-only remote-write requests are accepted " +
+      "204 (Prometheus sends metadata in dedicated sample-less requests)") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-mdonly").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      // dedicated metadata request: zero timeseries, metadata only — the
+      // shape prometheus's remote-write metadata_config actually emits
+      val mdOnly = RemoteWrite.encodeRequest(RemoteWrite.Request(Nil, Nil,
+        Seq(RemoteWrite.Metadata(2, "mem_bytes", "Resident set.", "bytes"))))
+      assert(post(port, "/api/v1/write", mdOnly).statusCode() == 204)
+      assert(get(port, "/api/v1/metadata").body() ==
+        """{"status":"success","data":{"mem_bytes":[{"type":"gauge",""" +
+          """"help":"Resident set.","unit":"bytes"}]}}""")
+      // exemplar-only request: stored, 204
+      val exOnly = RemoteWrite.encodeRequest(RemoteWrite.Request(Nil,
+        Seq(RemoteWrite.Exemplar("http_req", Map("host" -> "a"),
+          Map("trace_id" -> "abc"), 0.5, t0 + 500)), Nil))
+      assert(post(port, "/api/v1/write", exOnly).statusCode() == 204)
+      assert(engine.exemplars.scan(graft.storage.ScanRequest()).count() == 1)
+      // a truly empty decode is still a 400
+      assert(post(port, "/api/v1/write", Array[Byte](1, 2, 3)).statusCode() == 400)
+    } finally fe.stop()
+  }
+
+  test("instant query: offset selectors see their own shifted lookback and " +
+      "@-pinned windows read outside it (engine path)") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-iqoff").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val body = RemoteWrite.encode(Seq(
+        graft.metric.Sample("http_req", Map("host" -> "a"), t0 - 7200000, 5.0),
+        graft.metric.Sample("http_req", Map("host" -> "a"), t0 - 1000, 9.0)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+      val tEval = t0 / 1000
+      // offset 2h at T: newest within (T-2h-5m, T-2h] is the old 5.0 —
+      // regression: a raw-timeline latest restriction returned empty here
+      val qOff = java.net.URLEncoder.encode("sum(http_req offset 2h)", "UTF-8")
+      val rOff = get(port, s"/api/v1/query?query=$qOff&time=$tEval")
+      assert(rOff.statusCode() == 200 && rOff.body().contains(""""5.0""""),
+        rOff.body())
+      // the un-offset twin still answers from the fresh sample
+      val qNow = java.net.URLEncoder.encode("sum(http_req)", "UTF-8")
+      assert(get(port, s"/api/v1/query?query=$qNow&time=$tEval")
+        .body().contains(""""9.0""""))
+      // @-pinned window over the old hour, evaluated at T: reads outside
+      // the 5m lookback entirely
+      val at = (t0 - 7200000) / 1000 + 60
+      val qAt = java.net.URLEncoder.encode(
+        s"sum(sum_over_time(http_req[1h] @ $at))", "UTF-8")
+      val rAt = get(port, s"/api/v1/query?query=$qAt&time=$tEval")
+      assert(rAt.statusCode() == 200 && rAt.body().contains(""""5.0""""),
+        rAt.body())
+    } finally fe.stop()
+  }
+
   test("write bodies over the cap are rejected 413 before buffering") {
     val engine = new MetricEngine(spark,
       Files.createTempDirectory("graft-http-cap").toString)

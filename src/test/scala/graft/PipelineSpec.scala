@@ -69,30 +69,26 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "zeta eta theta iota kappa"),
       (4L, "unrelated totally different content"))
     Dedup.releaseBandCaches() // isolate from any earlier test's bands
-    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Dedup.minhashDedup(df, "doc_id", "text",
       numHashes = 8, bandSize = 2, maxBucket = 16)
-    // by composite return, the band cache registry is drained...
+    // the composite tracks its OWN band frames and never touches the
+    // global registry (concurrent pipelines must not evict each other)
     assert(Dedup.pendingBandCaches == 0,
       s"band caches still pending: ${Dedup.pendingBandCaches}")
-    // ...and no band RDD block remains persisted (CC's own caches may
-    // persist, but the band frames carry a repartition on (band, band_key)
-    // — assert nothing NEW beyond CC frames remains by materializing and
-    // checking the registry again after a full read)
     val rows = out.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(rows.contains((1L, 1L, true)) && rows.contains((2L, 1L, false)) &&
       rows.contains((5L, 1L, false)), rows.toString)
     assert(!rows.exists(r => r._1 == 3L && r._2 == 1L))
     assert(!rows.exists(r => r._1 == 4L && r._2 == 1L))
-    assert(Dedup.pendingBandCaches == 0)
-    // the persisted-RDD set contains no band frame blocks: every surviving
-    // new id must disappear once CC frames are unpersisted by name — here
-    // we simply bound growth (band frames would add 1-2 blocks per call)
-    val after = spark.sparkContext.getPersistentRDDs.keySet
-    val newBlocks = after.diff(before)
-    // CC keeps at most its final cached labels + symmetrized edges
-    assert(newBlocks.size <= 3, s"unexpected persisted blocks: $newBlocks")
+    // exact release assertion (immune to concurrently-running suites'
+    // caches on the shared session): every band frame THIS composite
+    // persisted has been unpersisted by the time it returned
+    val bands = Dedup.lastBandFrames.get()
+    assert(bands.nonEmpty, "composite tracked no band frames")
+    bands.foreach(b => assert(
+      b.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      s"band frame still persisted at ${b.storageLevel}"))
   }
 
   test("simhash: identical docs equal; jaccard: identical=1, disjoint absent") {

@@ -368,6 +368,35 @@ class PromQLSpec extends AnyFunSuite {
     assert(gw.collect().length == 1)
   }
 
+  test("sqlInstant: offset selectors restrict on their OWN shifted timeline " +
+      "and @-pinned windows read outside the lookback (regression: a global " +
+      "newest-sample pre-filter starved both)") {
+    val T = 10 * H
+    val ctx = ctxOf(Seq(
+      // series a: an old sample 2h back plus a fresh one at T-1s
+      Row("cpu", "a", "us", T - 2 * H, 5.0), Row("cpu", "a", "us", T - 1000L, 9.0),
+      // series b inside the pinned window only (far before the lookback)
+      Row("cpu", "b", "us", 2 * H + 1000L, 30.0),
+      Row("cpu", "b", "us", 2 * H + 2000L, 40.0)))
+    // `cpu offset 2h` at T: newest sample within (T-2h-lookback, T-2h] is
+    // the 2h-old one (5.0) — NOT empty, NOT the fresh 9.0
+    val off = ctx.sqlInstant("sum(cpu offset 2h)", T, lookbackMs = H)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(off == Seq(5.0), off.toString)
+    // un-offset twin still sees the fresh sample (per-selector timelines)
+    val both = ctx.sqlInstant("sum(cpu) + sum(cpu offset 2h)", T, lookbackMs = H)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(both == Seq(14.0), both.toString)
+    // pinned window [2h, 3h) lies far outside the lookback: the @ read is
+    // unrestricted (sum 30+40), while the windowless operand stays exact
+    val pinned = ctx.sqlInstant("sum_over_time(cpu[1h] @ 10800)", T, lookbackMs = H)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(pinned == Seq(70.0), pinned.toString)
+    val mixed = ctx.sqlInstant("sum(cpu) + sum(sum_over_time(cpu[1h] @ 10800))",
+      T, lookbackMs = H).collect().map(_.getAs[Double]("value")).toSeq
+    assert(mixed == Seq(79.0), mixed.toString)
+  }
+
   test("context: selector filters metric, matchers (anchored regex), range") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a1", "us", 0L, 1.0), Row("cpu", "a2", "eu", H, 2.0),
