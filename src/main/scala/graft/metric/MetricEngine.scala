@@ -256,6 +256,64 @@ final class MetricEngine(spark: SparkSession, root: String,
           StructField("labels", MapType(StringType, StringType))))))
   }
 
+  /** Raw samples of every series matching `matchers` within `range` — the
+    * engine behind `POST /api/v1/read` (Prometheus remote read, where the
+    * metric name arrives as an ordinary `__name__` matcher). Series
+    * resolve through the same meta-table walk as [[seriesFor]] /
+    * [[queryExemplars]] (exact Prometheus matcher semantics, anchored
+    * regexes, absent label = ""); the data scan prunes by (range,
+    * metric_id) and the matched TSID set. Output: (series_key, ts_ms,
+    * value) — merge-on-read has already deduped (tsid, ts), so rows are
+    * exactly the samples Prometheus expects back. */
+  def readRaw(matchers: Seq[graft.promql.LabelMatcher],
+      range: TimeRange): DataFrame = {
+    import graft.promql._
+    require(matchers.nonEmpty, "remote read requires at least one matcher")
+    def matches(name: String, labels: Map[String, String]): Boolean =
+      matchers.forall { m =>
+        val v = if (m.label == "__name__") name else labels.getOrElse(m.label, "")
+        PromQLContext.matcherMatches(m, v)
+      }
+    // metric set: an exact __name__ EQ pins one metric; anything else
+    // resolves against the (small) metrics dictionary with the __name__
+    // matchers applied driver-side
+    val nameMs = matchers.filter(_.label == "__name__")
+    val names: Seq[String] = nameMs.collectFirst {
+      case LabelMatcher(_, MatchOp.Eq, v) if v.nonEmpty => Seq(v)
+    }.getOrElse {
+      metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+        .filter(n => nameMs.forall(PromQLContext.matcherMatches(_, n)))
+    }
+    val frames = names.flatMap { name =>
+      metricIdOf(name).map { mid =>
+        val keyRows = series.scan(ScanRequest(
+            predicates = Seq(col("metric_id") === mid),
+            projection = Some(Seq("tsid", "series_key")))).collect()
+        val matched = keyRows.filter { r =>
+          val (n, ls) = MetricEngine.parseSeriesKey(
+            new String(r.getAs[Array[Byte]]("series_key"), "UTF-8"))
+          matches(n, ls)
+        }
+        val tsids = matched.map(_.getAs[Long]("tsid"))
+        val keyed = spark.createDataFrame(
+          matched.map(r => (r.getAs[Long]("tsid"),
+            new String(r.getAs[Array[Byte]]("series_key"), "UTF-8"))).toSeq)
+          .toDF("tsid", "series_key")
+        data.scan(ScanRequest(range = range,
+            predicates = Seq(col("metric_id") === mid,
+              col("tsid").isin(tsids.toIndexedSeq: _*))))
+          .join(maybeBroadcast(keyed), Seq("tsid"))
+          .select(col("series_key"), col("ts").as("ts_ms"), col("value"))
+      }
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("series_key", StringType),
+          StructField("ts_ms", LongType), StructField("value", DoubleType)))))
+  }
+
   /** TSIDs matching every label filter — the RFC two-step lookup, step 1
     * (20240827-metric-engine.md:121-126): filter the index table per label,
     * intersect via repeated semi-join. */

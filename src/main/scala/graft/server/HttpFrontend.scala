@@ -105,6 +105,19 @@ final class HttpFrontend(
     } finally ex.close()
   }
 
+  private def respondBytes(ex: HttpExchange, code: Int, body: Array[Byte],
+      headers: Seq[(String, String)]): Unit = {
+    try {
+      headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+      if (body.nonEmpty) {
+        val os = ex.getResponseBody
+        os.write(body)
+        os.close()
+      }
+    } finally ex.close()
+  }
+
   /** Last-seen metric metadata per family, fed by the write path's
     * full-request decode — the source for `/api/v1/metadata`. In-memory
     * by design: Prometheus itself serves metadata from its scrape cache,
@@ -268,6 +281,61 @@ final class HttpFrontend(
             log.warn("remote-write ingest failed", e)
             respond(ex, 500, s"ingest failed: ${e.getMessage}")
         }
+    }
+  })
+
+  /** `POST /api/v1/read` — Prometheus remote READ: the protocol Prometheus
+    * itself uses to query a remote storage backend (`remote_read:` config),
+    * making this engine a drop-in long-term store behind a running
+    * Prometheus. Body: snappy-framed protobuf ReadRequest (multiple
+    * queries answer in order); response: snappy-framed ReadResponse with
+    * SAMPLES-typed QueryResults ([[graft.streaming.RemoteRead]] carries
+    * the wire layout). Read-side caps apply per query like every other
+    * query endpoint; errors are plain-text 4xx (this endpoint's clients
+    * speak protobuf, not the JSON envelope). */
+  server.createContext("/api/v1/read", (ex: HttpExchange) => {
+    val body =
+      try {
+        val b = ex.getRequestBody.readNBytes(maxWriteBodyBytes.toInt + 1)
+        if (b.length > maxWriteBodyBytes) null else b
+      } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+    if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only")
+    else if (body == null)
+      respond(ex, 413, s"read body exceeds $maxWriteBodyBytes bytes")
+    else try {
+      val queries = graft.streaming.RemoteRead.decodeRequest(body)
+      val results = queries.map { q =>
+        val ms = q.matchers.map(m => graft.promql.LabelMatcher(m.name,
+          m.tpe match {
+            case 0 => graft.promql.MatchOp.Eq
+            case 1 => graft.promql.MatchOp.Ne
+            case 2 => graft.promql.MatchOp.Re
+            case 3 => graft.promql.MatchOp.Nre
+            case other => throw new IllegalArgumentException(
+              s"unknown matcher type $other")
+          }, m.value))
+        // remote-read bounds are inclusive; the engine's range is half-open
+        val rows = collectCapped(
+          engine.readRaw(ms, TimeRange(q.startMs, q.endMs + 1)))
+        rows.groupBy(_.getAs[String]("series_key")).toSeq.sortBy(_._1)
+          .map { case (key, rs) =>
+            val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
+            graft.streaming.RemoteRead.Series(
+              ("__name__" -> name) +: labels.toSeq.sortBy(_._1),
+              rs.map(r => (r.getAs[Long]("ts_ms"), r.getAs[Double]("value")))
+                .sortBy(_._1).toSeq)
+          }
+      }
+      val encoded = org.xerial.snappy.Snappy.compress(
+        graft.streaming.RemoteRead.encodeResponse(results))
+      respondBytes(ex, 200, encoded, Seq(
+        "Content-Type" -> "application/x-protobuf",
+        "Content-Encoding" -> "snappy"))
+    } catch {
+      case e: ResultTooLarge => respond(ex, 422, s"read failed: ${e.getMessage}")
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, s"read failed: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName))
     }
   })
 

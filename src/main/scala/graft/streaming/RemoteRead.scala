@@ -1,0 +1,266 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+/** Hand-rolled codec for the Prometheus remote-READ wire format — the
+  * public protobuf layout (prometheus/prompb/remote.proto; the reference
+  * ships only the write half at src/pb_types/protos/remote_write.proto, so
+  * this extends its serving edge with the protocol Prometheus itself uses
+  * to query a remote storage backend via `remote_read:` config):
+  *
+  * {{{
+  * ReadRequest  { repeated Query queries = 1;
+  *                repeated ResponseType accepted_response_types = 2; }
+  * Query        { int64 start_timestamp_ms = 1; int64 end_timestamp_ms = 2;
+  *                repeated LabelMatcher matchers = 3; ReadHints hints = 4; }
+  * LabelMatcher { Type type = 1; string name = 2; string value = 3; }
+  *                // Type: EQ=0 NEQ=1 RE=2 NRE=3
+  * ReadResponse { repeated QueryResult results = 1; }  // one per query
+  * QueryResult  { repeated TimeSeries timeseries = 1; }
+  * TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2; }
+  * }}}
+  *
+  * Only `ResponseType.SAMPLES` (0, the default) is produced — the chunked
+  * streaming variant is a transport optimization Prometheus negotiates and
+  * falls back from. Bodies are snappy BLOCK compressed on both directions
+  * (same framing as remote write; [[RemoteWrite.unframe]] handles the
+  * sniffing on the way in). Wire primitives are shared with
+  * [[RemoteWrite]] — same varint/length-validation hardening, so crafted
+  * length fields error instead of spinning the decode loop.
+  */
+object RemoteRead {
+  import RemoteWrite.{varint, lenAt, skip, lenDelim, writeVarint, fixed64Bytes}
+
+  /** Matcher type ordinals follow prompb: 0=EQ, 1=NEQ, 2=RE, 3=NRE. */
+  final case class Matcher(tpe: Int, name: String, value: String)
+
+  /** One remote-read query; timestamps are INCLUSIVE epoch-ms bounds
+    * (Prometheus selects `mint <= t <= maxt`). */
+  final case class Query(startMs: Long, endMs: Long, matchers: Seq[Matcher])
+
+  /** One result series: labels sorted by name, samples sorted by ts. */
+  final case class Series(labels: Seq[(String, String)],
+      samples: Seq[(Long, Double)])
+
+  /** Decode a (snappy-framed or raw) ReadRequest. Fails loudly when the
+    * client refuses the SAMPLES response type — per the protocol the
+    * server must answer with a type the client accepts, and SAMPLES is
+    * the only one served here (an empty accepted list means SAMPLES). */
+  def decodeRequest(bytes: Array[Byte]): Seq[Query] = {
+    val b = RemoteWrite.unframe(bytes)
+    val queries = mutable.ArrayBuffer.empty[Query]
+    val accepted = mutable.ArrayBuffer.empty[Long]
+    var pos = 0
+    while (pos < b.length) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          queries += decodeQuery(b, p2, p2 + len)
+          pos = p2 + len
+        case (2, 2) => // packed repeated enum
+          val (len, p2) = lenAt(b, pos)
+          var q = p2
+          while (q < p2 + len) { val (v, qn) = varint(b, q); accepted += v; q = qn }
+          pos = p2 + len
+        case (2, 0) => // unpacked repeated enum
+          val (v, p2) = varint(b, pos); accepted += v; pos = p2
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    require(accepted.isEmpty || accepted.contains(0L),
+      s"client accepts only response types ${accepted.mkString(",")}; " +
+        "this server serves SAMPLES (0)")
+    queries.toSeq
+  }
+
+  private def decodeQuery(b: Array[Byte], start: Int, end: Int): Query = {
+    var pos = start
+    var startMs = 0L
+    var endMs = 0L
+    val matchers = mutable.ArrayBuffer.empty[Matcher]
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 0) => val (v, p2) = varint(b, pos); startMs = v; pos = p2
+        case (2, 0) => val (v, p2) = varint(b, pos); endMs = v; pos = p2
+        case (3, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          matchers += decodeMatcher(b, p2, p2 + len)
+          pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt) // hints etc.
+      }
+    }
+    Query(startMs, endMs, matchers.toSeq)
+  }
+
+  private def decodeMatcher(b: Array[Byte], start: Int, end: Int): Matcher = {
+    var pos = start
+    var tpe = 0
+    var name = ""
+    var value = ""
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 0) => val (v, p2) = varint(b, pos); tpe = v.toInt; pos = p2
+        case (f, 2) if f == 2 || f == 3 =>
+          val (len, p2) = lenAt(b, pos)
+          val s = new String(b, p2, len, "UTF-8")
+          if (f == 2) name = s else value = s
+          pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    Matcher(tpe, name, value)
+  }
+
+  /** Encode a ReadResponse: one QueryResult per query, in request order. */
+  def encodeResponse(results: Seq[Seq[Series]]): Array[Byte] = {
+    val out = mutable.ArrayBuffer.empty[Byte]
+    results.foreach { seriesList =>
+      val qr = mutable.ArrayBuffer.empty[Byte]
+      seriesList.foreach { s =>
+        val ts = mutable.ArrayBuffer.empty[Byte]
+        s.labels.sortBy(_._1).foreach { case (k, v) =>
+          val lbl = lenDelim(1, k.getBytes("UTF-8")) ++
+            lenDelim(2, v.getBytes("UTF-8"))
+          ts ++= lenDelim(1, lbl.toArray)
+        }
+        s.samples.sortBy(_._1).foreach { case (t, v) =>
+          val sm = mutable.ArrayBuffer.empty[Byte]
+          sm += ((1 << 3) | 1).toByte
+          sm ++= fixed64Bytes(v)
+          sm += ((2 << 3) | 0).toByte
+          sm ++= writeVarint(t)
+          ts ++= lenDelim(2, sm.toArray)
+        }
+        qr ++= lenDelim(1, ts.toArray)
+      }
+      out ++= lenDelim(1, qr.toArray)
+    }
+    out.toArray
+  }
+
+  /** Encode a ReadRequest — the CLIENT side, for tests and soak harnesses
+    * (differential twin of [[encodeResponse]], like RemoteWrite.encode). */
+  def encodeRequest(queries: Seq[Query],
+      acceptedResponseTypes: Seq[Int] = Nil): Array[Byte] = {
+    val out = mutable.ArrayBuffer.empty[Byte]
+    queries.foreach { q =>
+      val qb = mutable.ArrayBuffer.empty[Byte]
+      qb += ((1 << 3) | 0).toByte
+      qb ++= writeVarint(q.startMs)
+      qb += ((2 << 3) | 0).toByte
+      qb ++= writeVarint(q.endMs)
+      q.matchers.foreach { m =>
+        val mb = mutable.ArrayBuffer.empty[Byte]
+        mb += ((1 << 3) | 0).toByte
+        mb ++= writeVarint(m.tpe.toLong)
+        mb ++= lenDelim(2, m.name.getBytes("UTF-8"))
+        mb ++= lenDelim(3, m.value.getBytes("UTF-8"))
+        qb ++= lenDelim(3, mb.toArray)
+      }
+      out ++= lenDelim(1, qb.toArray)
+    }
+    if (acceptedResponseTypes.nonEmpty) {
+      val packed = mutable.ArrayBuffer.empty[Byte]
+      acceptedResponseTypes.foreach(t => packed ++= writeVarint(t.toLong))
+      out ++= lenDelim(2, packed.toArray)
+    }
+    out.toArray
+  }
+
+  /** Decode a (snappy-framed or raw) ReadResponse — client side. */
+  def decodeResponse(bytes: Array[Byte]): Seq[Seq[Series]] = {
+    val b = RemoteWrite.unframe(bytes)
+    val results = mutable.ArrayBuffer.empty[Seq[Series]]
+    var pos = 0
+    while (pos < b.length) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          results += decodeQueryResult(b, p2, p2 + len)
+          pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    results.toSeq
+  }
+
+  private def decodeQueryResult(b: Array[Byte], start: Int, end: Int): Seq[Series] = {
+    var pos = start
+    val series = mutable.ArrayBuffer.empty[Series]
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          series += decodeTimeSeries(b, p2, p2 + len)
+          pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    series.toSeq
+  }
+
+  private def decodeTimeSeries(b: Array[Byte], start: Int, end: Int): Series = {
+    var pos = start
+    val labels = mutable.ArrayBuffer.empty[(String, String)]
+    val samples = mutable.ArrayBuffer.empty[(Long, Double)]
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          labels += decodeLabelPair(b, p2, p2 + len)
+          pos = p2 + len
+        case (2, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          samples += decodeSamplePair(b, p2, p2 + len)
+          pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    Series(labels.toSeq, samples.toSeq)
+  }
+
+  private def decodeLabelPair(b: Array[Byte], start: Int, end: Int): (String, String) = {
+    var pos = start
+    var name = ""
+    var value = ""
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      val (len, p2) = lenAt(b, pos)
+      val s = new String(b, p2, len, "UTF-8")
+      if ((tag >> 3) == 1) name = s else if ((tag >> 3) == 2) value = s
+      pos = p2 + len
+    }
+    (name, value)
+  }
+
+  private def decodeSamplePair(b: Array[Byte], start: Int, end: Int): (Long, Double) = {
+    var pos = start
+    var value = 0.0
+    var ts = 0L
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 1) =>
+          value = java.lang.Double.longBitsToDouble(RemoteWrite.fixed64(b, pos))
+          pos += 8
+        case (2, 0) => val (t, p2) = varint(b, pos); ts = t; pos = p2
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    (ts, value)
+  }
+}

@@ -232,7 +232,7 @@ object RemoteWrite {
     (value, ts)
   }
 
-  private def varint(b: Array[Byte], start: Int): (Long, Int) = {
+  private[streaming] def varint(b: Array[Byte], start: Int): (Long, Int) = {
     var result = 0L
     var shift = 0
     var pos = start
@@ -257,21 +257,21 @@ object RemoteWrite {
     * (no exception, so per-payload catches never fire). Every
     * length-delimited read routes through here so `pos` strictly
     * advances or the walk errors out. */
-  private def lenAt(b: Array[Byte], pos: Int): (Int, Int) = {
+  private[streaming] def lenAt(b: Array[Byte], pos: Int): (Int, Int) = {
     val (len, p) = varint(b, pos)
     if (len < 0L || len > (b.length - p).toLong)
       sys.error(s"bad length-delimited field: len=$len at $pos")
     (len.toInt, p)
   }
 
-  private def fixed64(b: Array[Byte], pos: Int): Long = {
+  private[streaming] def fixed64(b: Array[Byte], pos: Int): Long = {
     var v = 0L
     var i = 7
     while (i >= 0) { v = (v << 8) | (b(pos + i) & 0xffL); i -= 1 }
     v
   }
 
-  private def skip(b: Array[Byte], pos: Int, wireType: Int): Int = wireType match {
+  private[streaming] def skip(b: Array[Byte], pos: Int, wireType: Int): Int = wireType match {
     case 0 => varint(b, pos)._2
     case 1 => pos + 8
     case 2 => val (len, p) = lenAt(b, pos); p + len
@@ -332,12 +332,12 @@ object RemoteWrite {
     out.toArray
   }
 
-  private def fixed64Bytes(d: Double): Seq[Byte] = {
+  private[streaming] def fixed64Bytes(d: Double): Seq[Byte] = {
     val bits = java.lang.Double.doubleToLongBits(d)
     (0 until 8).map(i => ((bits >> (8 * i)) & 0xff).toByte)
   }
 
-  private def lenDelim(field: Int, payload: Array[Byte]): mutable.ArrayBuffer[Byte] = {
+  private[streaming] def lenDelim(field: Int, payload: Array[Byte]): mutable.ArrayBuffer[Byte] = {
     val b = mutable.ArrayBuffer.empty[Byte]
     b += ((field << 3) | 2).toByte
     b ++= writeVarint(payload.length.toLong)
@@ -345,7 +345,7 @@ object RemoteWrite {
     b
   }
 
-  private def writeVarint(value: Long): Seq[Byte] = {
+  private[streaming] def writeVarint(value: Long): Seq[Byte] = {
     var v = value
     val b = mutable.ArrayBuffer.empty[Byte]
     while ({

@@ -448,6 +448,71 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("remote read /api/v1/read: snappy protobuf ReadRequest in, sample " +
+      "series out — write via remote write, read back via remote read") {
+    import graft.streaming.RemoteRead
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-rread").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val body = RemoteWrite.encode(Seq(
+        graft.metric.Sample("cpu", Map("host" -> "a"), t0, 1.0),
+        graft.metric.Sample("cpu", Map("host" -> "a"), t0 + 1000, 2.0),
+        graft.metric.Sample("cpu", Map("host" -> "b"), t0 + 2000, 5.0),
+        graft.metric.Sample("mem", Map("host" -> "a"), t0, 9.0)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+
+      def read(qs: Seq[RemoteRead.Query]): Seq[Seq[RemoteRead.Series]] = {
+        val req = org.xerial.snappy.Snappy.compress(
+          RemoteRead.encodeRequest(qs))
+        val resp = http.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$port/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        assert(resp.statusCode() == 200,
+          new String(resp.body(), "UTF-8"))
+        assert(resp.headers().firstValue("Content-Encoding")
+          .orElse("") == "snappy")
+        RemoteRead.decodeResponse(resp.body())
+      }
+
+      // name EQ + label EQ: one series, both samples, inclusive end bound
+      val r1 = read(Seq(RemoteRead.Query(t0, t0 + 1000, Seq(
+        RemoteRead.Matcher(0, "__name__", "cpu"),
+        RemoteRead.Matcher(0, "host", "a")))))
+      assert(r1 == Seq(Seq(RemoteRead.Series(
+        Seq("__name__" -> "cpu", "host" -> "a"),
+        Seq((t0, 1.0), (t0 + 1000, 2.0))))), r1.toString)
+
+      // regex name matcher spans metrics; NEQ excludes; two queries answer
+      // in order
+      val r2 = read(Seq(
+        RemoteRead.Query(t0, t0 + 5000, Seq(
+          RemoteRead.Matcher(2, "__name__", "cpu|mem"),
+          RemoteRead.Matcher(1, "host", "b"))),
+        RemoteRead.Query(t0, t0 + 5000, Seq(
+          RemoteRead.Matcher(0, "__name__", "cpu")))))
+      assert(r2(0).map(_.labels).toSet == Set(
+        Seq("__name__" -> "cpu", "host" -> "a"),
+        Seq("__name__" -> "mem", "host" -> "a")), r2(0).toString)
+      assert(r2(1).map(_.labels).toSet == Set(
+        Seq("__name__" -> "cpu", "host" -> "a"),
+        Seq("__name__" -> "cpu", "host" -> "b")))
+
+      // a range before the data is an empty (but valid) result
+      val r3 = read(Seq(RemoteRead.Query(0L, 1000L, Seq(
+        RemoteRead.Matcher(0, "__name__", "cpu")))))
+      assert(r3 == Seq(Nil))
+
+      // wrong method and undecodable bodies are client errors
+      assert(get(port, "/api/v1/read").statusCode() == 405)
+      assert(post(port, "/api/v1/read", Array[Byte](0x0a, 0xFA.toByte,
+        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F)).statusCode() == 400)
+    } finally fe.stop()
+  }
+
   test("metadata-only and exemplar-only remote-write requests are accepted " +
       "204 (Prometheus sends metadata in dedicated sample-less requests)") {
     val engine = new MetricEngine(spark,

@@ -42,6 +42,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(RemoteWrite.unframe(Array[Byte]()).isEmpty)
   }
 
+  test("remote-read codec: request and response round-trip, snappy framing, " +
+      "packed and unpacked accepted types, chunks-only rejected") {
+    import graft.streaming.RemoteRead
+    val qs = Seq(
+      RemoteRead.Query(1000L, 2000L, Seq(
+        RemoteRead.Matcher(0, "__name__", "cpu"),
+        RemoteRead.Matcher(2, "host", "h\\d+"))),
+      RemoteRead.Query(0L, 9999L, Seq(RemoteRead.Matcher(1, "dc", "eu"))))
+    // raw and snappy-framed requests both decode
+    val raw = RemoteRead.encodeRequest(qs)
+    assert(RemoteRead.decodeRequest(raw) == qs)
+    assert(RemoteRead.decodeRequest(
+      org.xerial.snappy.Snappy.compress(raw)) == qs)
+    // SAMPLES accepted explicitly (packed) decodes; chunks-only rejected
+    assert(RemoteRead.decodeRequest(
+      RemoteRead.encodeRequest(qs, acceptedResponseTypes = Seq(0, 1))) == qs)
+    assertThrows[IllegalArgumentException](RemoteRead.decodeRequest(
+      RemoteRead.encodeRequest(qs, acceptedResponseTypes = Seq(1))))
+    // response round-trip: label and sample order normalize to sorted
+    val series = Seq(Seq(
+      RemoteRead.Series(Seq("host" -> "a", "__name__" -> "cpu"),
+        Seq((2000L, 2.5), (1000L, 1.5))),
+      RemoteRead.Series(Seq("__name__" -> "cpu", "host" -> "b"),
+        Seq((1500L, -7.25)))), Nil)
+    val back = RemoteRead.decodeResponse(
+      org.xerial.snappy.Snappy.compress(RemoteRead.encodeResponse(series)))
+    assert(back.length == 2 && back(1).isEmpty)
+    assert(back(0) == Seq(
+      RemoteRead.Series(Seq("__name__" -> "cpu", "host" -> "a"),
+        Seq((1000L, 1.5), (2000L, 2.5))),
+      RemoteRead.Series(Seq("__name__" -> "cpu", "host" -> "b"),
+        Seq((1500L, -7.25)))))
+    // crafted length varints error instead of spinning (shared hardening)
+    assertThrows[RuntimeException](RemoteRead.decodeRequest(
+      Array[Byte](0x0a, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte,
+        0xFF.toByte, 0x0F)))
+  }
+
   test("raw body that also validates as snappy is NOT decompressed into garbage") {
     // Crafted collision: as protobuf, field 1 wire 2 length 4 (a WriteRequest
     // with one 4-byte timeseries); as snappy, declared size 10 = literal(2)
