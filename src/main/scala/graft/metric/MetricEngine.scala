@@ -482,6 +482,25 @@ final class MetricEngine(spark: SparkSession, root: String,
   def queryPromQL(text: String, range: TimeRange,
       stepMs: Option[Long] = None): DataFrame = {
     import graft.promql._
+    val ast0 = PromQLParser.parse(text)
+    // `@ start()` / `@ end()` resolve against the query's inclusive bounds
+    // (the engine's range is half-open, hence end - 1)
+    val ast =
+      if (!PromQLParser.hasAtSentinel(ast0)) ast0
+      else {
+        require(range.start != Long.MinValue && range.end != Long.MaxValue,
+          "@ start()/end() need an explicit bounded query range")
+        PromQLParser.resolveAtTimes(ast0, range.start, range.end - 1)
+      }
+    queryPromQLAst(ast, range, stepMs)
+  }
+
+  /** [[queryPromQL]] over an already-parsed (and @-resolved) AST — the
+    * shared tail for the instant path, whose sentinels resolve to the
+    * evaluation time rather than the range bounds. */
+  private def queryPromQLAst(ast: graft.promql.Expr, range: TimeRange,
+      stepMs: Option[Long]): DataFrame = {
+    import graft.promql._
     // Fast-path eligible matcher sets: all `=`, no duplicates on one label
     // (toMap would keep only the last — a contradictory selector must reach
     // the general path's conjunctive filters), and no empty values (the
@@ -493,7 +512,6 @@ final class MetricEngine(spark: SparkSession, root: String,
           eqs.map(_._1).distinct.length == eqs.length) Some(eqs.toMap)
       else None
     }
-    val ast = PromQLParser.parse(text)
     // A requested step that disagrees with a range-function window would be
     // silently ignored (windows own their buckets) — reject it up front on
     // BOTH paths.
@@ -574,7 +592,9 @@ final class MetricEngine(spark: SparkSession, root: String,
       lookbackMs: Long = 300000L): DataFrame = {
     import graft.promql._
     require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
-    val ast = PromQLParser.parse(text)
+    // instant queries define start() = end() = the evaluation time
+    val ast = PromQLParser.resolveAtTimes(
+      PromQLParser.parse(text), timeMs, timeMs)
     val ws = MetricEngine.rangeWindows(ast)
     if (ws.isEmpty) {
       val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
@@ -591,7 +611,9 @@ final class MetricEngine(spark: SparkSession, root: String,
       val w = ws.max
       val range = TimeRange(timeMs - 2 * w + 1, timeMs + 1)
       val step = if (ws.distinct.length == 1) Some(ws.head) else None
-      val df = queryPromQL(text, range, step)
+      // the @-resolved AST, not the text — a re-parse would re-resolve
+      // start()/end() against the 2-window range instead of timeMs
+      val df = queryPromQLAst(ast, range, step)
       if (!df.columns.contains("bucket_ms")) df
       else {
         // newest bucket per series: series identity = every non-structural

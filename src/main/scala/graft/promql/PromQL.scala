@@ -218,6 +218,68 @@ final case class PromQLParseException(msg: String, pos: Int)
 
 object PromQLParser {
 
+  /** Prometheus's default lookback delta (5 m) — the window an instant
+    * selector `m @ t` desugars over. */
+  val LookbackMs: Long = 300000L
+
+  /** Parse-time sentinels for `@ start()` / `@ end()`: resolved against
+    * the actual query range by [[resolveAtTimes]] at the evaluation entry
+    * points (the parser cannot know the range). The `Incl` variants are
+    * emitted by the INSTANT-selector desugar (`m @ end()`), whose pinned
+    * lookback must INCLUDE the boundary sample — they resolve one ms past
+    * the bound so the half-open pinned window `[at-w, at)` becomes
+    * Prometheus's `(t-w, t]`. Values are outside any realistic epoch-ms
+    * timestamp. */
+  val AtStart: Long = Long.MinValue + 1
+  val AtEnd: Long = Long.MaxValue - 1
+  val AtStartIncl: Long = Long.MinValue + 2
+  val AtEndIncl: Long = Long.MaxValue - 2
+  private val Sentinels = Set(AtStart, AtEnd, AtStartIncl, AtEndIncl)
+
+  /** Whether an `AtRange.atMs` is an unresolved sentinel. */
+  def isAtSentinel(at: Long): Boolean = Sentinels.contains(at)
+
+  /** Whether `e` still carries an unresolved `@ start()`/`@ end()`. */
+  def hasAtSentinel(e: Expr): Boolean = e match {
+    case AtRange(_, _, _, at) => Sentinels.contains(at)
+    case RangeFn(_, _, _) | _: Selector | NumLit(_) => false
+    case RangeSubquery(_, c, _, _) => hasAtSentinel(c)
+    case Agg(_, _, c, _) => hasAtSentinel(c)
+    case ParamAgg(_, _, _, c) => hasAtSentinel(c)
+    case CountValues(_, _, c) => hasAtSentinel(c)
+    case BinOp(_, a, b, _, _) => hasAtSentinel(a) || hasAtSentinel(b)
+    case FnCall(_, c, _) => hasAtSentinel(c)
+    case HistogramQuantile(_, c) => hasAtSentinel(c)
+    case LabelFn(_, c, _, _) => hasAtSentinel(c)
+  }
+
+  /** Substitute `@ start()` / `@ end()` with the query's actual bounds
+    * (epoch ms). Entry points call this once, with `startMs`/`endMs` the
+    * INCLUSIVE Prometheus-timeline bounds (instant queries pass the
+    * evaluation time for both, as Prometheus defines). */
+  def resolveAtTimes(e: Expr, startMs: Long, endMs: Long): Expr = {
+    def r(x: Expr): Expr = x match {
+      case a @ AtRange(_, _, _, at) =>
+        if (at == AtStart) a.copy(atMs = startMs)
+        else if (at == AtEnd) a.copy(atMs = endMs)
+        else if (at == AtStartIncl) a.copy(atMs = startMs + 1)
+        else if (at == AtEndIncl) a.copy(atMs = endMs + 1)
+        else a
+      case s: Selector => s
+      case n: NumLit => n
+      case f: RangeFn => f
+      case sq: RangeSubquery => sq.copy(child = r(sq.child))
+      case a: Agg => a.copy(child = r(a.child))
+      case p: ParamAgg => p.copy(child = r(p.child))
+      case c: CountValues => c.copy(child = r(c.child))
+      case b: BinOp => b.copy(lhs = r(b.lhs), rhs = r(b.rhs))
+      case f: FnCall => f.copy(child = r(f.child))
+      case h: HistogramQuantile => h.copy(child = r(h.child))
+      case l: LabelFn => l.copy(child = r(l.child))
+    }
+    r(e)
+  }
+
   private sealed trait Tok { def pos: Int }
   private final case class TIdent(s: String, pos: Int) extends Tok
   private final case class TStr(s: String, pos: Int) extends Tok
@@ -695,11 +757,7 @@ object PromQLParser {
               }
             case TPunct("@", _) if at.isEmpty =>
               next()
-              at = Some(next() match {
-                case TNum(d, _) => (d * 1000).toLong
-                case t => throw PromQLParseException(
-                  "expected a unix timestamp in seconds after '@'", t.pos)
-              })
+              at = Some(parseAtArg())
             case _ => going = false
           }
           e match {
@@ -852,7 +910,50 @@ object PromQLParser {
         mkRange(RangeFns(fn), arg)
       case _ =>
         val sel = parseSelector()
-        sel.copy(offsetMs = parseOffsetOpt())
+        // zero-or-one `offset`, zero-or-one `@`, either order (Prometheus)
+        var off = 0L
+        var offSeen = false
+        var at: Option[Long] = None
+        var going = true
+        while (going) peek match {
+          case TIdent("offset", _) if !offSeen =>
+            offSeen = true; off = parseOffsetOpt()
+          case TPunct("@", _) if at.isEmpty =>
+            next(); at = Some(parseAtArg())
+          case _ => going = false
+        }
+        val shifted = sel.copy(offsetMs = sel.offsetMs + off)
+        // `m @ t` desugars to `last_over_time(m[<lookback>] @ (t+1ms))` —
+        // exactly Prometheus's instant-selector-at-t semantics: the newest
+        // sample within the lookback delta `(t - 5m, t]`, the +1 turning
+        // the engine's half-open pinned window into the boundary-inclusive
+        // interval (a sample exactly at t must count). start()/end() use
+        // the Incl sentinel variants, which resolve with the same +1.
+        at match {
+          case Some(t) =>
+            val at1 =
+              if (t == PromQLParser.AtStart) PromQLParser.AtStartIncl
+              else if (t == PromQLParser.AtEnd) PromQLParser.AtEndIncl
+              else t + 1
+            AtRange(RangeF.LastOverTime, shifted, PromQLParser.LookbackMs, at1)
+          case None => shifted
+        }
+    }
+
+    /** The argument of `@`: a unix-seconds scalar, or the `start()` /
+      * `end()` forms (resolved against the query range at the evaluation
+      * entry points — sentinels [[PromQLParser.AtStart]] /
+      * [[PromQLParser.AtEnd]] until then). */
+    private def parseAtArg(): Long = peek match {
+      case TIdent(kw @ ("start" | "end"), _) =>
+        next(); expect("("); expect(")")
+        if (kw == "start") PromQLParser.AtStart else PromQLParser.AtEnd
+      case _ => next() match {
+        case TNum(d, _) => (d * 1000).toLong
+        case t => throw PromQLParseException(
+          "expected a unix timestamp in seconds, start(), or end() after '@'",
+          t.pos)
+      }
     }
 
     /** `offset 5m` after a selector or range. Negative offsets (Prometheus

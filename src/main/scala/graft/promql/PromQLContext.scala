@@ -320,6 +320,10 @@ final class PromQLContext(
         throw new IllegalArgumentException(
           "@ on a bare {...} multi-metric selector needs __name__ bound " +
             "as a label (metric identity would be lost in the pinned window)")
+      if (PromQLParser.isAtSentinel(atMs))
+        throw new IllegalArgumentException(
+          "unresolved @ start()/end() — evaluate through sql()/sqlInstant()/" +
+            "queryPromQL(), which resolve them against the query range")
       val shift = math.floorMod(atMs, windowMs)
       val fn = fn0
       val pinned = TimeRange(atMs - windowMs, atMs)
@@ -1074,8 +1078,20 @@ final class PromQLContext(
     * agreement enforced should go through `MetricEngine.queryPromQL`,
     * which validates it up front. */
   def sql(promql: String, stepMs: Option[Long] = None,
-      range: Option[TimeRange] = None): DataFrame =
-    eval(PromQLParser.parse(promql), stepMs, range)
+      range: Option[TimeRange] = None): DataFrame = {
+    val ast0 = PromQLParser.parse(promql)
+    // `@ start()` / `@ end()` resolve against the query's inclusive bounds
+    val ast =
+      if (!PromQLParser.hasAtSentinel(ast0)) ast0
+      else {
+        val r = range.filter(r =>
+          r.start != Long.MinValue && r.end != Long.MaxValue).getOrElse(
+          throw new IllegalArgumentException(
+            "@ start()/end() need an explicit bounded query range"))
+        PromQLParser.resolveAtTimes(ast0, r.start, r.end - 1)
+      }
+    eval(ast, stepMs, range)
+  }
 
   /** Instant-vector evaluation at one timestamp — the flat-context twin of
     * `MetricEngine.instantPromQL` (same semantics, documented there and in
@@ -1091,7 +1107,9 @@ final class PromQLContext(
   def sqlInstant(promql: String, timeMs: Long,
       lookbackMs: Long = 300000L): DataFrame = {
     require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
-    val ast = PromQLParser.parse(promql)
+    // instant queries define start() = end() = the evaluation time
+    val ast = PromQLParser.resolveAtTimes(
+      PromQLParser.parse(promql), timeMs, timeMs)
     val ws = PromQLContext.innerWindows(ast)
     if (ws.isEmpty) {
       val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)

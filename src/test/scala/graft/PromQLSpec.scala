@@ -368,6 +368,40 @@ class PromQLSpec extends AnyFunSuite {
     assert(gw.collect().length == 1)
   }
 
+  test("instant-selector @ and start()/end(): m @ t desugars to a boundary-" +
+      "inclusive pinned lookback; sentinels resolve against the query range") {
+    // parse shapes: m @ t = last_over_time(m[5m] @ t+1ms); start()/end()
+    // parse to sentinels resolved only at the entry points
+    assert(PromQLParser.parse("cpu @ 5") ==
+      AtRange(RangeF.LastOverTime, Selector("cpu", Nil), 300000L, 5001L))
+    assert(PromQLParser.parse("cpu offset 1m @ 5") ==
+      AtRange(RangeF.LastOverTime, Selector("cpu", Nil, 60000L), 300000L, 5001L))
+    assert(PromQLParser.hasAtSentinel(PromQLParser.parse("rate(cpu[1m] @ start())")))
+    assert(PromQLParser.hasAtSentinel(PromQLParser.parse("sum(cpu @ end())")))
+    assertThrows[PromQLParseException](PromQLParser.parse("cpu @ nope"))
+
+    val T = 10 * H
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 2 * H, 3.0), Row("cpu", "a", "us", T, 9.0),
+      Row("cpu", "b", "us", 2 * H - 60000L, 4.0)))
+    // @ literal: newest sample in (t-5m, t], INCLUDING one exactly at t
+    val atT = ctx.sqlInstant(s"sum(cpu @ ${2 * H / 1000})", T)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(atT == Seq(7.0), atT.toString) // a@2h (3.0) + b@2h-1m (4.0)
+    // instant start() = end() = the evaluation time
+    val atEnd = ctx.sqlInstant("sum(cpu @ end())", T)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(atEnd == Seq(9.0), atEnd.toString)
+    // range query: @ end() pins to the range's inclusive end; the pinned
+    // vector is a per-range constant
+    val r = graft.storage.TimeRange(2 * H - 300000L + 1, 2 * H + 1)
+    val viaRange = ctx.sql("sum(cpu @ end())", None, Some(r))
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(viaRange == Seq(7.0), viaRange.toString)
+    // sentinels without a bounded range are rejected loudly
+    assertThrows[IllegalArgumentException](ctx.sql("sum(cpu @ end())"))
+  }
+
   test("sqlInstant: offset selectors restrict on their OWN shifted timeline " +
       "and @-pinned windows read outside the lookback (regression: a global " +
       "newest-sample pre-filter starved both)") {
