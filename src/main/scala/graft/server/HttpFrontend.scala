@@ -46,7 +46,11 @@ final class HttpFrontend(
     spark: SparkSession,
     engine: MetricEngine,
     port: Int = 0,
-    compaction: CompactionConfig = CompactionConfig(),
+    /** Default grace-deferred physical deletes (60 s): this class IS the
+      * serving deployment, where compaction racing an in-flight query's
+      * planned file list is a live failure mode (CompactionConfig
+      * .deleteGraceMs). Batch callers pass their own config. */
+    compaction: CompactionConfig = CompactionConfig(deleteGraceMs = 60000L),
     /** Write-body cap in bytes (default 64 MiB, generous for remote-write
       * batches). Bodies are buffered before decode, and snappy can expand
       * further — without a cap a handful of multi-GB POSTs OOM the JVM

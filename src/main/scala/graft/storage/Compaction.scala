@@ -11,7 +11,21 @@ final case class CompactionConfig(
     sizeHeadroom: Double = 1.1,         // picker.rs:170-171
     ttlMs: Option[Long] = None,
     memoryLimit: Long = 2L << 30,       // admission gate (executor.rs:93-114)
-    maxPendingTasks: Int = 10)          // bounded in-flight (scheduler.rs:62, config.rs:42)
+    maxPendingTasks: Int = 10,          // bounded in-flight (scheduler.rs:62, config.rs:42)
+    /** Grace period before compaction's PHYSICAL deletes (manifest removal
+      * is always immediate). 0 = delete right after the manifest commit
+      * (the reference's behavior, executor.rs:218-221) — correct for batch
+      * jobs, but a LIVE reader that planned its file list before the
+      * commit then reads a deleted file (FAILED_READ_FILE mid-query, the
+      * classic read-while-compact race; surfaced by HttpSoak's read lane).
+      * A serving deployment sets this above its query-latency ceiling —
+      * the Delta/Iceberg VACUUM-retention idea: queries shorter than the
+      * grace never observe a missing file. Deferred paths are swept by
+      * later compaction passes once due; restart drops the in-memory
+      * queue, leaving already-unreferenced files on disk (bounded by one
+      * grace window's churn — sweep with [[Compactor.flushDeferred]] on
+      * clean shutdown, or any external orphan GC). */
+    deleteGraceMs: Long = 0L)
 
 final case class CompactionTask(inputs: Seq[SstFile], expired: Seq[SstFile]) {
   def estimatedMemory: Long = inputs.map(_.sizeBytes).sum
@@ -116,8 +130,35 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
   // instead of piling up unbounded concurrent Spark jobs.
   private val pending = new java.util.concurrent.Semaphore(cfg.maxPendingTasks)
 
+  // Physical deletes deferred by deleteGraceMs: (path, dueAtMs), enqueued
+  // in due order (monotonic clock), drained from the head by later passes.
+  private val deferred =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+
+  /** Deferred paths not yet physically deleted (observability/tests). */
+  def pendingDeferredDeletes: Int = deferred.size()
+
+  /** Delete every deferred path NOW, due or not — clean-shutdown hook
+    * (nothing references these files; only the grace window held them). */
+  def flushDeferred(): Unit = {
+    var e = deferred.poll()
+    while (e != null) { storage.storeFs.deleteQuietly(e._1); e = deferred.poll() }
+  }
+
+  private def sweepDeferred(nowMs: Long): Unit = {
+    var head = deferred.peek()
+    while (head != null && head._2 <= nowMs) {
+      // single-consumer-enough: a racing sweep deleting the same path is
+      // harmless (deleteQuietly), and poll() never yields one entry twice
+      val e = deferred.poll()
+      if (e != null) storage.storeFs.deleteQuietly(e._1)
+      head = deferred.peek()
+    }
+  }
+
   def runOnce(nowMs: Long = System.currentTimeMillis()): Boolean = {
     if (!pending.tryAcquire()) return false
+    sweepDeferred(nowMs)
     try {
       val admitted: Option[CompactionTask] = admission.synchronized {
         picker.pick(storage.manifest.allSsts(), nowMs) match {
@@ -200,8 +241,15 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
 
       val deletes = task.inputs ++ task.expired
       m.update(newSsts, deletes.map(_.id)) // commit FIRST (executor.rs:204-217)
-      // From here on, best-effort physical deletes (executor.rs:218-221).
-      deletes.foreach(f => storage.storeFs.deleteQuietly(f.path))
+      // From here on, best-effort physical deletes (executor.rs:218-221) —
+      // immediate, or parked for the grace window so in-flight readers
+      // that planned against the pre-commit manifest finish cleanly.
+      if (cfg.deleteGraceMs <= 0L)
+        deletes.foreach(f => storage.storeFs.deleteQuietly(f.path))
+      else {
+        val due = System.currentTimeMillis() + cfg.deleteGraceMs
+        deletes.foreach(f => deferred.add((f.path, due)))
+      }
     } finally m.markCompacting((task.inputs ++ task.expired).map(_.id), flag = false)
   }
 }

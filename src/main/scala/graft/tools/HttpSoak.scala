@@ -26,6 +26,17 @@ import graft.streaming.RemoteWrite
   * ingest stops: drains compaction to quiescence and verifies the engine
   * count EXACTLY equals distinct(series, ts) × iterations.
   *
+  * A READ lane runs concurrently on its own thread (round 9): every 5 s
+  * it issues a Prometheus remote-read (`POST /api/v1/read`, snappy
+  * protobuf) over the newest replay window plus an instant query
+  * (`GET /api/v1/query`) for the same metric — the serving mix a live
+  * Prometheus + Grafana pair generates against a backend that is
+  * ingesting and compacting at the same time. Read latencies report at
+  * the end (p50/p95/max); every read must be a 200. After quiescence one
+  * final remote-read re-fetches the last window and its sample count
+  * must EXACTLY match the engine's count for that (metric, range) — the
+  * protocol-level read-back twin of the ingest exactness check.
+  *
   * Falls back to a synthetic 2,000-sample payload when the reference
   * capture is absent.
   *
@@ -65,8 +76,12 @@ object HttpSoak {
     val engine = new MetricEngine(spark, root)
     val fe = new HttpFrontend(spark, engine)
     val port = fe.start()
+    // deleteGraceMs: the serving-deployment setting — physical deletes wait
+    // out in-flight reads (the read lane measures sub-2s query latencies;
+    // 60 s is orders of magnitude above them)
     val compactor = new Compactor(engine.data,
-      CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 30))
+      CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 30,
+        deleteGraceMs = 60000L))
     val scheduler = new CompactionScheduler(compactor, intervalMs = 1000L)
     scheduler.start()
     println(s"[httpsoak] port=$port root=$root seconds=$seconds " +
@@ -78,8 +93,66 @@ object HttpSoak {
         .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
       HttpResponse.BodyHandlers.discarding()).statusCode()
 
+    // ---- read lane: remote-read + instant queries against the live store
+    val readMetric = baseSamples.map(_.name)
+      .filter(_.matches("[a-zA-Z_][a-zA-Z0-9_]*"))
+      .groupBy(identity).maxBy(_._2.size)._1
+    val readLatenciesMs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    @volatile var readsDone = 0
+    @volatile var readFailures = 0
+    @volatile var writerIters = 0
+    @volatile var readerStop = false
+    def remoteRead(startMs: Long, endMs: Long): Seq[graft.streaming.RemoteRead.Series] = {
+      val req = org.xerial.snappy.Snappy.compress(
+        graft.streaming.RemoteRead.encodeRequest(Seq(
+          graft.streaming.RemoteRead.Query(startMs, endMs, Seq(
+            graft.streaming.RemoteRead.Matcher(0, "__name__", readMetric))))))
+      val resp = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() == 200,
+        s"remote read failed with ${resp.statusCode()}: " +
+          new String(resp.body(), "UTF-8"))
+      graft.streaming.RemoteRead.decodeResponse(resp.body()).head
+    }
+    val reader = new Thread(() => {
+      while (!readerStop) {
+        try {
+          val it = writerIters
+          if (it > 0) {
+            val winStart = tsMin + (it - 1).toLong * span
+            val t = System.nanoTime()
+            val series = remoteRead(winStart, winStart + span)
+            val tEval = (baseSamples.map(_.timestamp).max +
+              (it - 1).toLong * span) / 1000
+            val q = java.net.URLEncoder.encode(s"sum($readMetric)", "UTF-8")
+            val iq = http.send(HttpRequest.newBuilder(URI.create(
+                s"http://127.0.0.1:$port/api/v1/query?query=$q&time=$tEval"))
+              .GET().build(), HttpResponse.BodyHandlers.ofString())
+            readLatenciesMs.add((System.nanoTime() - t) / 1e6)
+            require(iq.statusCode() == 200 && series.nonEmpty,
+              s"read lane: instant=${iq.statusCode()} series=${series.size}")
+            readsDone += 1
+          }
+        } catch {
+          case _: InterruptedException => ()
+          case scala.util.control.NonFatal(e) =>
+            readFailures += 1
+            println(s"[httpsoak] READ FAILURE: $e")
+        }
+        try Thread.sleep(5000) catch { case _: InterruptedException => () }
+      }
+    }, "httpsoak-reader")
+    reader.setDaemon(true)
+
+    // fe.stop() MUST run on every exit path: the JDK HttpServer's
+    // dispatcher thread is non-daemon, so a soak failure that skips stop()
+    // leaves a zombie JVM parked forever after main ends
+    try {
     val t0 = System.nanoTime()
     val deadline = t0 + seconds * 1000L * 1000L * 1000L
+    reader.start()
     var iters = 0
     var sstMin = Int.MaxValue
     var sstMax = 0
@@ -92,6 +165,7 @@ object HttpSoak {
       val code = post(payload)
       require(code == 204, s"write failed with $code at iter $iters")
       iters += 1
+      writerIters = iters
       val ssts = engine.data.manifest.allSsts().size
       sstMin = math.min(sstMin, ssts); sstMax = math.max(sstMax, ssts)
       if (System.nanoTime() >= nextReport) {
@@ -106,12 +180,39 @@ object HttpSoak {
     }
     val wall = (System.nanoTime() - t0) / 1e9
     val posted = iters.toLong * baseSamples.size
+    readerStop = true
+    reader.interrupt()
+    reader.join(10000)
 
-    // quiescence: stop the scheduler's clock only after compaction drains
+    // quiescence: stop the scheduler's clock only after compaction drains;
+    // then flush grace-parked deletes (nothing references them anymore)
     var rounds = 0
     while (compactor.runOnce() && rounds < 64) rounds += 1
     scheduler.stop()
+    compactor.flushDeferred()
     val finalSsts = engine.data.manifest.allSsts().size
+
+    // protocol-level read-back exactness: remote-read the LAST window and
+    // compare its sample count against the engine's count for the same
+    // (metric, range) — both sides post-compaction
+    val lastStart = tsMin + (iters - 1).toLong * span
+    val lastSeries = remoteRead(lastStart, lastStart + span)
+    val readBack = lastSeries.map(_.samples.size.toLong).sum
+    val engineCount = engine.query(MetricQuery(readMetric,
+        range = graft.storage.TimeRange(lastStart, lastStart + span + 1),
+        agg = MetricAgg.Count)).collect()(0).getDouble(0).toLong
+    val lats = readLatenciesMs.toArray(Array.empty[java.lang.Double])
+      .map(_.doubleValue).sorted
+    if (lats.nonEmpty)
+      println(f"[httpsoak] read lane: $readsDone reads, $readFailures failures, " +
+        f"latency p50=${lats(lats.length / 2)}%.0f ms " +
+        f"p95=${lats(math.min(lats.length - 1, (lats.length * 95) / 100))}%.0f ms " +
+        f"max=${lats.last}%.0f ms; " +
+        s"final remote-read=$readBack engine=$engineCount " +
+        (if (readBack == engineCount) "EXACT" else "MISMATCH"))
+    require(readFailures == 0, s"$readFailures read-lane failures")
+    require(readBack == engineCount,
+      s"remote-read read-back mismatch: $readBack vs $engineCount")
 
     // exactness across every metric the capture carries
     val expected = distinctPerIter.toLong * iters
@@ -126,7 +227,11 @@ object HttpSoak {
       s"count=$total expected=$expected " +
       (if (total == expected) "EXACT" else "MISMATCH"))
     require(total == expected, s"count mismatch: $total vs $expected")
-    fe.stop()
-    spark.stop()
+    } finally {
+      readerStop = true
+      scheduler.stop()
+      fe.stop()
+      spark.stop()
+    }
   }
 }

@@ -287,6 +287,43 @@ class StorageSpec extends AnyFunSuite {
     assert(got == Seq((1, 10L), (2, 20L))) // merged result preserved after compaction
   }
 
+  test("compaction deleteGraceMs defers PHYSICAL deletes past the grace " +
+      "window (read-while-compact protection); flushDeferred sweeps early") {
+    val root = tmpRoot()
+    val s = mkStorage(root)
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 1L), (2, 2, 2L)))
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 10L)))
+    writeBatch(s, TimeRange(1, 10), Seq((2, 2, 20L)))
+    val inputPaths = s.manifest.allSsts().map(_.path)
+    val compactor = new Compactor(s,
+      CompactionConfig(inputSstMinNum = 2, deleteGraceMs = 3600000L))
+    assert(compactor.runOnce())
+    // manifest committed immediately...
+    assert(s.manifest.allSsts().size == 1)
+    // ...but the input files are still on disk (an in-flight reader that
+    // planned against the old manifest can finish), parked in the queue
+    assert(inputPaths.forall(p => s.storeFs.exists(p)),
+      "grace-deferred inputs were deleted early")
+    assert(compactor.pendingDeferredDeletes == inputPaths.size)
+    // merged result correct while the old files linger
+    val got = s.scanSorted().collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 10L), (2, 20L)))
+    // a later pass AFTER the grace sweeps them (fake future clock)
+    compactor.runOnce(nowMs = System.currentTimeMillis() + 7200000L)
+    assert(inputPaths.forall(p => !s.storeFs.exists(p)),
+      "due deferred deletes were not swept")
+    assert(compactor.pendingDeferredDeletes == 0)
+    // flushDeferred force-sweeps regardless of due time
+    writeBatch(s, TimeRange(1, 10), Seq((3, 3, 3L)))
+    writeBatch(s, TimeRange(1, 10), Seq((3, 3, 30L)))
+    val inputs2 = s.manifest.allSsts().map(_.path)
+    assert(compactor.runOnce())
+    assert(compactor.pendingDeferredDeletes == inputs2.size)
+    compactor.flushDeferred()
+    assert(compactor.pendingDeferredDeletes == 0)
+    assert(inputs2.forall(p => !s.storeFs.exists(p)))
+  }
+
   test("bucketed write: N sorted SSTs per segment, scan merges across buckets") {
     val s = mkStorage(tmpRoot())
     val rows = (1 to 100).map(i => (i % 10, i, i.toLong))
