@@ -412,6 +412,37 @@ final class TimeMergeStorage(
     * not assume a local path — `path` may be any supported URI). */
   def exists(path: String): Boolean = storeFs.exists(path)
 
+  /** Orphan-file GC (the Delta `VACUUM` analog): delete everything under
+    * the data directory that the manifest does NOT reference and that is
+    * older than `olderThanMs` — crashed writes' `tmp-*` staging dirs,
+    * compaction inputs whose grace-deferred delete queue died with its
+    * process ([[CompactionConfig.deleteGraceMs]]), any half-finished
+    * commit. Returns the number of paths deleted.
+    *
+    * Safety is the age threshold: a write stages under `tmp-*`, renames to
+    * its final seq-name, THEN commits to the manifest, so a just-renamed
+    * file can be unreferenced for the commit's duration. `olderThanMs`
+    * must exceed any plausible write/commit latency AND the compaction
+    * delete grace AND the longest running query (a reader may be scanning
+    * a grace-parked file); the 24 h default dwarfs all three, matching
+    * Delta's retention-check spirit. Modification times come from the
+    * store's FileSystem — object stores report upload completion time,
+    * which is exactly the staleness signal needed. */
+  def vacuum(olderThanMs: Long = 24L * 3600 * 1000,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    val referenced = manifest.allSsts().map(_.path).toSet
+    var deleted = 0
+    storeFs.list(dataDir).foreach { p =>
+      val fresh = storeFs.fs.getFileStatus(p).getModificationTime > nowMs - olderThanMs
+      if (!referenced.contains(p.toString) && !fresh) {
+        // tmp-* staging dirs need the recursive form; files don't care
+        if (storeFs.delete(p, recursive = true)) deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** CHANGE STREAM over the table (beyond-ref; the Delta/Iceberg streaming-
     * source shape): a Structured Streaming DataFrame of every row COMMITTED
     * to the store from stream start onward, in commit order per micro-batch.

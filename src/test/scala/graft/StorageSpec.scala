@@ -324,6 +324,33 @@ class StorageSpec extends AnyFunSuite {
     assert(inputs2.forall(p => !s.storeFs.exists(p)))
   }
 
+  test("vacuum deletes unreferenced data files and tmp dirs past the age " +
+      "threshold; referenced and fresh paths survive") {
+    val root = tmpRoot()
+    val s = mkStorage(root)
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 1L), (2, 2, 2L)))
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 10L)))
+    val live = s.manifest.allSsts().map(_.path)
+    // orphans: a seq-named parquet nothing references (a crashed
+    // grace-deferred delete) and a tmp staging dir (a crashed write)
+    val orphanFile = s.storeFs.path("data", "999999.parquet")
+    val orphanDir = s.storeFs.path("data", "tmp-crashed")
+    s.storeFs.mkdirs(orphanDir)
+    s.storeFs.writeLines(orphanFile, Seq("not parquet"))
+    s.storeFs.writeLines(new org.apache.hadoop.fs.Path(orphanDir, "part"),
+      Seq("x"))
+    // a 1h age threshold keeps everything (all paths are seconds old)
+    assert(s.vacuum(olderThanMs = 3600000L) == 0)
+    assert(s.storeFs.exists(orphanFile) && s.storeFs.exists(orphanDir))
+    // age 0 sweeps exactly the two orphans, never the referenced SSTs
+    assert(s.vacuum(olderThanMs = 0L,
+      nowMs = System.currentTimeMillis() + 10000L) == 2)
+    assert(!s.storeFs.exists(orphanFile) && !s.storeFs.exists(orphanDir))
+    assert(live.forall(s.storeFs.exists(_)))
+    val got = s.scanSorted().collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 10L), (2, 2L)))
+  }
+
   test("bucketed write: N sorted SSTs per segment, scan merges across buckets") {
     val s = mkStorage(tmpRoot())
     val rows = (1 to 100).map(i => (i % 10, i, i.toLong))
