@@ -214,15 +214,45 @@ final class MetricEngine(spark: SparkSession, root: String,
       case other => throw new IllegalArgumentException(
         s"exemplar queries take a plain selector, got: $other")
     }
-    val names: Seq[String] =
-      if (sel.metric.nonEmpty) Seq(sel.metric)
-      else metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
-        .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val matchers =
+      (if (sel.metric.nonEmpty)
+        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
+        sel.matchers
+    matchedSeriesScan(matchers, exemplars, range,
+      Seq(col("series_key"), col("ts").as("ts_ms"), col("value"), col("labels")),
+      StructType(Seq(StructField("series_key", StringType),
+        StructField("ts_ms", LongType), StructField("value", DoubleType),
+        StructField("labels", MapType(StringType, StringType)))))
+  }
+
+  /** Shared matched-series walk behind [[queryExemplars]] and [[readRaw]]:
+    * resolve the metric set from the `__name__` matchers (an exact `=`
+    * pins one metric; otherwise the small metrics dictionary filtered
+    * driver-side), match each metric's series driver-side with exact
+    * Prometheus matcher semantics (anchored regexes, absent label = ""),
+    * then scan `table` pruned by (range, metric_id) and restrict to the
+    * matched series via one broadcast inner join on the (tsid,
+    * series_key) frame — bounded plan size at any series cardinality (an
+    * `isin` literal list would grow the predicate with the match count).
+    * Output columns = `projection` over (scanned columns + series_key);
+    * `emptySchema` shapes the no-match result. */
+  private def matchedSeriesScan(matchers: Seq[graft.promql.LabelMatcher],
+      table: graft.storage.TimeMergeStorage, range: TimeRange,
+      projection: Seq[Column], emptySchema: StructType): DataFrame = {
+    import graft.promql._
     def matches(name: String, labels: Map[String, String]): Boolean =
-      sel.matchers.forall { m =>
+      matchers.forall { m =>
         val v = if (m.label == "__name__") name else labels.getOrElse(m.label, "")
         PromQLContext.matcherMatches(m, v)
       }
+    val nameMs = matchers.filter(_.label == "__name__")
+    val names: Seq[String] = nameMs.collectFirst {
+      case LabelMatcher(_, MatchOp.Eq, v) if v.nonEmpty => Seq(v)
+    }.getOrElse {
+      metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+        .filter(n => nameMs.forall(PromQLContext.matcherMatches(_, n)))
+    }
     val frames = names.flatMap { name =>
       metricIdOf(name).map { mid =>
         // matched series of this metric: decode keys driver-side (the
@@ -235,25 +265,19 @@ final class MetricEngine(spark: SparkSession, root: String,
             new String(r.getAs[Array[Byte]]("series_key"), "UTF-8"))
           matches(n, ls)
         }
-        val tsids = matched.map(_.getAs[Long]("tsid"))
         val keyed = spark.createDataFrame(
           matched.map(r => (r.getAs[Long]("tsid"),
             new String(r.getAs[Array[Byte]]("series_key"), "UTF-8"))).toSeq)
           .toDF("tsid", "series_key")
-        exemplars.scan(ScanRequest(range = range,
-            predicates = Seq(col("metric_id") === mid,
-              col("tsid").isin(tsids.toIndexedSeq: _*))))
+        table.scan(ScanRequest(range = range,
+            predicates = Seq(col("metric_id") === mid)))
           .join(maybeBroadcast(keyed), Seq("tsid"))
-          .select(col("series_key"), col("ts").as("ts_ms"),
-            col("value"), col("labels"))
+          .select(projection: _*)
       }
     }
     frames.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("series_key", StringType),
-          StructField("ts_ms", LongType), StructField("value", DoubleType),
-          StructField("labels", MapType(StringType, StringType))))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema))
   }
 
   /** Raw samples of every series matching `matchers` within `range` — the
@@ -267,51 +291,11 @@ final class MetricEngine(spark: SparkSession, root: String,
     * exactly the samples Prometheus expects back. */
   def readRaw(matchers: Seq[graft.promql.LabelMatcher],
       range: TimeRange): DataFrame = {
-    import graft.promql._
     require(matchers.nonEmpty, "remote read requires at least one matcher")
-    def matches(name: String, labels: Map[String, String]): Boolean =
-      matchers.forall { m =>
-        val v = if (m.label == "__name__") name else labels.getOrElse(m.label, "")
-        PromQLContext.matcherMatches(m, v)
-      }
-    // metric set: an exact __name__ EQ pins one metric; anything else
-    // resolves against the (small) metrics dictionary with the __name__
-    // matchers applied driver-side
-    val nameMs = matchers.filter(_.label == "__name__")
-    val names: Seq[String] = nameMs.collectFirst {
-      case LabelMatcher(_, MatchOp.Eq, v) if v.nonEmpty => Seq(v)
-    }.getOrElse {
-      metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
-        .distinct().collect().map(_.getString(0)).toSeq.sorted
-        .filter(n => nameMs.forall(PromQLContext.matcherMatches(_, n)))
-    }
-    val frames = names.flatMap { name =>
-      metricIdOf(name).map { mid =>
-        val keyRows = series.scan(ScanRequest(
-            predicates = Seq(col("metric_id") === mid),
-            projection = Some(Seq("tsid", "series_key")))).collect()
-        val matched = keyRows.filter { r =>
-          val (n, ls) = MetricEngine.parseSeriesKey(
-            new String(r.getAs[Array[Byte]]("series_key"), "UTF-8"))
-          matches(n, ls)
-        }
-        val tsids = matched.map(_.getAs[Long]("tsid"))
-        val keyed = spark.createDataFrame(
-          matched.map(r => (r.getAs[Long]("tsid"),
-            new String(r.getAs[Array[Byte]]("series_key"), "UTF-8"))).toSeq)
-          .toDF("tsid", "series_key")
-        data.scan(ScanRequest(range = range,
-            predicates = Seq(col("metric_id") === mid,
-              col("tsid").isin(tsids.toIndexedSeq: _*))))
-          .join(maybeBroadcast(keyed), Seq("tsid"))
-          .select(col("series_key"), col("ts").as("ts_ms"), col("value"))
-      }
-    }
-    frames.reduceOption(_ unionByName _).getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("series_key", StringType),
-          StructField("ts_ms", LongType), StructField("value", DoubleType)))))
+    matchedSeriesScan(matchers, data, range,
+      Seq(col("series_key"), col("ts").as("ts_ms"), col("value")),
+      StructType(Seq(StructField("series_key", StringType),
+        StructField("ts_ms", LongType), StructField("value", DoubleType))))
   }
 
   /** TSIDs matching every label filter — the RFC two-step lookup, step 1

@@ -298,14 +298,22 @@ final class HttpFrontend(
     * query endpoint; errors are plain-text 4xx (this endpoint's clients
     * speak protobuf, not the JSON envelope). */
   server.createContext("/api/v1/read", (ex: HttpExchange) => {
+    // a failed/truncated body read must surface as a client error — an
+    // empty body decodes to ZERO queries and would otherwise answer a
+    // dropped upload with a clean 200 + empty ReadResponse
+    var bodyReadFailed = false
     val body =
-      try {
+      if (ex.getRequestMethod != "POST") Array.emptyByteArray
+      else try {
         val b = ex.getRequestBody.readNBytes(maxWriteBodyBytes.toInt + 1)
         if (b.length > maxWriteBodyBytes) null else b
-      } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+      } catch { case scala.util.control.NonFatal(_) =>
+        bodyReadFailed = true; Array.emptyByteArray }
     if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only")
     else if (body == null)
       respond(ex, 413, s"read body exceeds $maxWriteBodyBytes bytes")
+    else if (bodyReadFailed || body.isEmpty)
+      respond(ex, 400, "read failed: empty or unreadable request body")
     else try {
       val queries = graft.streaming.RemoteRead.decodeRequest(body)
       val results = queries.map { q =>
@@ -713,5 +721,9 @@ final class HttpFrontend(
   def stop(): Unit = {
     server.stop(0)
     compactPool.shutdown()
+    // clean shutdown sweeps grace-parked physical deletes (the serving
+    // default defers them; nothing references these files, and a restart
+    // would otherwise leak them until a vacuum run)
+    compactor.flushDeferred()
   }
 }

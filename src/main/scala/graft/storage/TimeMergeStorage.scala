@@ -433,11 +433,20 @@ final class TimeMergeStorage(
     require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
     val referenced = manifest.allSsts().map(_.path).toSet
     var deleted = 0
-    storeFs.list(dataDir).foreach { p =>
-      val fresh = storeFs.fs.getFileStatus(p).getModificationTime > nowMs - olderThanMs
-      if (!referenced.contains(p.toString) && !fresh) {
+    // one listing carries the modification times (no per-file HEAD on an
+    // object store); referenced check first, so live files cost nothing.
+    // vacuum runs against a LIVE store — a path deleted between the
+    // listing and our delete (grace-sweep race) is simply skipped.
+    val statuses =
+      if (!storeFs.exists(dataDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else storeFs.fs.listStatus(dataDir)
+    statuses.foreach { st =>
+      val p = st.getPath
+      if (!referenced.contains(p.toString) &&
+          st.getModificationTime <= nowMs - olderThanMs) {
         // tmp-* staging dirs need the recursive form; files don't care
-        if (storeFs.delete(p, recursive = true)) deleted += 1
+        try { if (storeFs.delete(p, recursive = true)) deleted += 1 }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     deleted
