@@ -225,6 +225,35 @@ final class MetricEngine(spark: SparkSession, root: String,
         StructField("labels", MapType(StringType, StringType)))))
   }
 
+  /** Federation snapshot: each series matching the selector, restricted to
+    * its NEWEST sample within `(nowMs - lookbackMs, nowMs]` — the instant
+    * cut Prometheus's `/federate` endpoint exposes for hierarchical
+    * scraping. Output: (series_key, ts_ms, value); one row per live
+    * series, stale series absent. */
+  def federate(selectorText: String, nowMs: Long,
+      lookbackMs: Long = 300000L): DataFrame = {
+    import graft.promql._
+    require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
+    val sel = PromQLParser.parse(selectorText) match {
+      case s: Selector => s
+      case other => throw new IllegalArgumentException(
+        s"federation takes a plain selector, got: $other")
+    }
+    val matchers =
+      (if (sel.metric.nonEmpty)
+        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
+        sel.matchers
+    val rows = matchedSeriesScan(matchers, data,
+      TimeRange(nowMs - lookbackMs + 1, nowMs + 1),
+      Seq(col("series_key"), col("ts").as("ts_ms"), col("value")),
+      StructType(Seq(StructField("series_key", StringType),
+        StructField("ts_ms", LongType), StructField("value", DoubleType))))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key")).orderBy(col("ts_ms").desc)
+    rows.withColumn("__rn__", row_number().over(win))
+      .filter(col("__rn__") === 1).drop("__rn__")
+  }
+
   /** Shared matched-series walk behind [[queryExemplars]] and [[readRaw]]:
     * resolve the metric set from the `__name__` matchers (an exact `=`
     * pins one metric; otherwise the small metrics dictionary filtered

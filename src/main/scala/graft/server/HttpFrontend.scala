@@ -638,6 +638,56 @@ final class HttpFrontend(
     }
   })
 
+  /** `GET|POST /federate?match[]=<selector>…` — Prometheus hierarchical
+    * federation: the newest sample per matching series within the
+    * lookback delta, in the text exposition format (version 0.0.4;
+    * `name{labels} value timestamp_ms`, label values escaped, series
+    * sorted deterministically). A higher-level Prometheus scrapes this
+    * endpoint directly via its `honor_labels` federation config.
+    * Multiple `match[]` selectors union; overlapping matches dedup by
+    * series (Prometheus semantics). Same result cap as every read. */
+  server.createContext("/federate", (ex: HttpExchange) => {
+    try {
+      val sels = matchSelectors(ex)
+      if (sels.isEmpty)
+        respond(ex, 400, "missing match[] parameter")
+      else {
+        val nowMs = System.currentTimeMillis()
+        val perSeries = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Long, Double)]
+        sels.foreach { sel =>
+          collectCapped(engine.federate(sel, nowMs, lookbackMs)).foreach { r =>
+            val key = r.getAs[String]("series_key")
+            if (!perSeries.contains(key))
+              perSeries(key) = (r.getAs[Long]("ts_ms"), r.getAs[Double]("value"))
+          }
+        }
+        def escLabel(s: String): String = s.flatMap {
+          case '\\' => "\\\\"
+          case '"' => "\\\""
+          case '\n' => "\\n"
+          case c => c.toString
+        }
+        val lines = perSeries.toSeq
+          .map { case (key, (ts, v)) =>
+            val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
+            val labelStr =
+              if (labels.isEmpty) ""
+              else labels.toSeq.sortBy(_._1).map { case (k, lv) =>
+                s"""$k="${escLabel(lv)}"""" }.mkString("{", ",", "}")
+            s"$name$labelStr $v $ts"
+          }.sorted
+        respond(ex, 200, lines.mkString("", "\n", "\n"),
+          contentType = "text/plain; version=0.0.4; charset=utf-8")
+      }
+    } catch {
+      case e: ResultTooLarge => respond(ex, 422, s"federate failed: ${e.getMessage}")
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, "federate failed: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+  })
+
   /** `GET /api/v1/status/buildinfo` — Grafana probes it at datasource
     * setup to pick the query feature set; a 404 degrades Explore. Served
     * as a Prometheus-2.x-compatible engine identifying itself as graft in

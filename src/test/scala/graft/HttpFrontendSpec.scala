@@ -574,6 +574,46 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("federate serves the newest sample per matching series in the text " +
+      "exposition format; overlapping match[] selectors dedup by series") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-fed").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      // recent timestamps: federation's lookback is anchored at "now"
+      val now = System.currentTimeMillis()
+      val body = RemoteWrite.encode(Seq(
+        graft.metric.Sample("cpu", Map("host" -> "a"), now - 60000, 1.0),
+        graft.metric.Sample("cpu", Map("host" -> "a"), now - 30000, 2.5),
+        graft.metric.Sample("cpu", Map("host" -> "b"), now - 20000, 5.0),
+        graft.metric.Sample("up", Map.empty, now - 10000, 1.0),
+        // stale: outside the 5m lookback, must not federate
+        graft.metric.Sample("old_metric", Map("host" -> "a"),
+          now - 3600000, 9.0)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+      val mAll = java.net.URLEncoder.encode("""{__name__=~".+"}""", "UTF-8")
+      val r = get(port, s"/federate?match[]=$mAll")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/plain; version=0.0.4"))
+      val lines = r.body().split("\n").toSeq
+      // newest sample per series, ms timestamps, no stale series
+      assert(lines == Seq(
+        s"""cpu{host="a"} 2.5 ${now - 30000}""",
+        s"""cpu{host="b"} 5.0 ${now - 20000}""",
+        s"up 1.0 ${now - 10000}"), lines.toString)
+      // overlapping selectors dedup by series; narrower selector narrows
+      val mCpu = java.net.URLEncoder.encode("cpu", "UTF-8")
+      val mA = java.net.URLEncoder.encode("""cpu{host="a"}""", "UTF-8")
+      val both = get(port, s"/federate?match[]=$mCpu&match[]=$mA")
+      assert(both.body().split("\n").count(_.startsWith("cpu{host=\"a\"}")) == 1)
+      val narrow = get(port, s"/federate?match[]=$mA")
+      assert(narrow.body().trim == s"""cpu{host="a"} 2.5 ${now - 30000}""")
+      assert(get(port, "/federate").statusCode() == 400)
+    } finally fe.stop()
+  }
+
   test("write bodies over the cap are rejected 413 before buffering") {
     val engine = new MetricEngine(spark,
       Files.createTempDirectory("graft-http-cap").toString)
