@@ -1523,6 +1523,88 @@ object SparkEntry {
         col("ts_ms"), col("value"))
     }),
 
+    // Prometheus remote READ end-to-end (round 9): a fixed sample set
+    // through the real engine, then the full wire path - encode a
+    // two-query ReadRequest (EQ matchers; regex name + NEQ), snappy-frame
+    // it, decode, evaluate readRaw per query (inclusive ms bounds), encode
+    // the ReadResponse, decode it back - so codec AND evaluation are both
+    // under the oracle. Hand-written expected rows.
+    "rr1_remote_read" -> ((s, dir) => {
+      import graft.streaming.{MetricStreamIngest, RemoteRead}
+      import graft.metric.Sample
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rr1").toString
+      val eng = new graft.metric.MetricEngine(s, root)
+      MetricStreamIngest.ingestDecoded(eng, s, Seq(
+        Sample("http_requests_total", Map("instance" -> "i1", "job" -> "api"),
+          1000L, 1.5),
+        Sample("http_requests_total", Map("instance" -> "i1", "job" -> "api"),
+          2000L, 2.25),
+        Sample("http_requests_total", Map("instance" -> "i2", "job" -> "api"),
+          1500L, 9.0),
+        Sample("cpu_seconds", Map("job" -> "api", "zone" -> "eu-west-π"),
+          1500L, -3.75)))
+      val req = org.xerial.snappy.Snappy.compress(RemoteRead.encodeRequest(Seq(
+        RemoteRead.Query(1000L, 2000L, Seq(
+          RemoteRead.Matcher(0, "__name__", "http_requests_total"),
+          RemoteRead.Matcher(0, "instance", "i1"))),
+        RemoteRead.Query(0L, 5000L, Seq(
+          RemoteRead.Matcher(2, "__name__", ".+"),
+          RemoteRead.Matcher(1, "instance", "i1"))))))
+      val results = RemoteRead.decodeRequest(req).map { q =>
+        val ms = q.matchers.map(m => graft.promql.LabelMatcher(m.name,
+          m.tpe match {
+            case 0 => graft.promql.MatchOp.Eq
+            case 1 => graft.promql.MatchOp.Ne
+            case 2 => graft.promql.MatchOp.Re
+            case _ => graft.promql.MatchOp.Nre
+          }, m.value))
+        eng.readRaw(ms, graft.storage.TimeRange(q.startMs, q.endMs + 1))
+          .collect().groupBy(_.getAs[String]("series_key")).toSeq.sortBy(_._1)
+          .map { case (key, rs) =>
+            val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
+            RemoteRead.Series(("__name__" -> name) +: labels.toSeq.sortBy(_._1),
+              rs.map(r => (r.getAs[Long]("ts_ms"), r.getAs[Double]("value")))
+                .sortBy(_._1).toSeq)
+          }
+      }
+      val decoded = RemoteRead.decodeResponse(
+        org.xerial.snappy.Snappy.compress(RemoteRead.encodeResponse(results)))
+      import s.implicits._
+      decoded.zipWithIndex.flatMap { case (seriesList, qi) =>
+        seriesList.flatMap { ser =>
+          val name = ser.labels.toMap.getOrElse("__name__", "")
+          val rest = ser.labels.filter(_._1 != "__name__")
+            .map { case (k, v) => s"$k=$v" }.mkString(",")
+          ser.samples.map { case (ts, v) => (qi.toLong, name, rest, ts, v) }
+        }
+      }.toDF("query_idx", "name", "series_labels", "ts_ms", "value")
+    }),
+
+    // Federation snapshot (round 9, GET /federate's engine): newest sample
+    // per matching series within the lookback anchored at a FIXED nowMs -
+    // cpu{host=a} has two samples (newest wins), up's only sample is
+    // outside the lookback (stale, absent). Hand-written oracle rows.
+    "fed1_federate" -> ((s, dir) => {
+      import graft.streaming.MetricStreamIngest
+      import graft.metric.Sample
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-fed1").toString
+      val eng = new graft.metric.MetricEngine(s, root)
+      MetricStreamIngest.ingestDecoded(eng, s, Seq(
+        Sample("cpu", Map("host" -> "a"), 20000L, 1.0),
+        Sample("cpu", Map("host" -> "a"), 60000L, 2.5),
+        Sample("cpu", Map("host" -> "b"), 55000L, 5.0),
+        Sample("up", Map.empty, 5000L, 1.0)))
+      val out = eng.federate("""{__name__=~".+"}""",
+        nowMs = 100000L, lookbackMs = 90000L) // window (10000, 100000]
+      val skName = substring_index(col("series_key"), "\u0001", 1)
+      val skTail = col("series_key").substr(length(skName) + lit(2), lit(1 << 20))
+      out.select(skName.as("name"),
+        translate(skTail, "\u0001\u0002", ",=").as("series_labels"),
+        col("ts_ms"), col("value"))
+    }),
+
     // Spec joins: label filter → TSID semi-join (RFC two-step lookup shape).
     "j1_label_semijoin" -> ((s, dir) => {
       val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -2881,6 +2963,29 @@ object SparkEntry {
         |  ('meta', 'cpu_seconds', '', '', CAST(2 AS BIGINT),
         |   CAST(0.0 AS DOUBLE), 'CPU|seconds')
         |) AS t(kind, name, labels, xlabels, ts, value, note)""".stripMargin,
+
+    // Hand-written expected rows for the fixed remote-read request: query 0
+    // = EQ name + EQ instance over [1000, 2000] inclusive; query 1 = regex
+    // name + NEQ instance (absent label matches !=) over [0, 5000].
+    "rr1_remote_read" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'http_requests_total', 'instance=i1,job=api',
+        |   CAST(1000 AS BIGINT), CAST(1.5 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), 'http_requests_total', 'instance=i1,job=api',
+        |   CAST(2000 AS BIGINT), CAST(2.25 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), 'cpu_seconds', 'job=api,zone=eu-west-π',
+        |   CAST(1500 AS BIGINT), CAST(-3.75 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), 'http_requests_total', 'instance=i2,job=api',
+        |   CAST(1500 AS BIGINT), CAST(9.0 AS DOUBLE))
+        |) AS t(query_idx, name, series_labels, ts_ms, value)""".stripMargin,
+
+    // Federation at nowMs=100000 lookback=90000 -> window (10000, 100000]:
+    // cpu{host=a} newest of two samples, cpu{host=b} sole sample, up stale.
+    "fed1_federate" ->
+      """SELECT * FROM (VALUES
+        |  ('cpu', 'host=a', CAST(60000 AS BIGINT), CAST(2.5 AS DOUBLE)),
+        |  ('cpu', 'host=b', CAST(55000 AS BIGINT), CAST(5.0 AS DOUBLE))
+        |) AS t(name, series_labels, ts_ms, value)""".stripMargin,
 
     "a1_last_write_wins" ->
       """SELECT user_id, event_type, value AS last_value, event_id AS last_seq
