@@ -41,6 +41,30 @@ class PlanSpec extends AnyFunSuite {
     assert(outCols == Seq("pk1", "pk2", "value"), outCols)
   }
 
+  test("remote-read and federation plans broadcast the matched-series frame " +
+      "and push the metric_id filter to the data scan") {
+    val engine = new graft.metric.MetricEngine(spark,
+      Files.createTempDirectory("graft-plan-rr").toString)
+    engine.write(spark.createDataFrame(Seq(
+        ("cpu", Map("host" -> "a"), 1000L, 1.0),
+        ("cpu", Map("host" -> "b"), 2000L, 2.0)))
+      .toDF("name", "labels", "timestamp", "value"))
+    import graft.promql.{LabelMatcher, MatchOp}
+    val rr = engine.readRaw(
+      Seq(LabelMatcher("__name__", MatchOp.Eq, "cpu")), TimeRange(0L, 10000L))
+    val rrPlan = rr.queryExecution.executedPlan.toString
+    // the (tsid, series_key) frame joins broadcast, never shuffled
+    assert(rrPlan.contains("BroadcastHashJoin"), rrPlan.take(2000))
+    // the metric_id equality reaches the parquet scan
+    assert(rrPlan.contains("PushedFilters") && rrPlan.contains("metric_id"),
+      rrPlan.take(2000))
+    // no isin literal blowup: the plan must not carry an In(tsid, [...])
+    assert(!rrPlan.contains("tsid IN"), rrPlan.take(2000))
+    val fed = engine.federate("cpu", nowMs = 10000L, lookbackMs = 9000L)
+    val fedPlan = fed.queryExecution.executedPlan.toString
+    assert(fedPlan.contains("BroadcastHashJoin"), fedPlan.take(2000))
+  }
+
   test("scan plan fallback: merge planned as hash aggregation on the pks") {
     val (plan, outCols) = scanPlan(nativeMerge = false)
     assert(plan.contains("max_by") || plan.contains("HashAggregate"), plan)
