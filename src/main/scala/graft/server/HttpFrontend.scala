@@ -495,6 +495,16 @@ final class HttpFrontend(
   private def matchSelectors(ex: HttpExchange): Seq[String] =
     paramPairs(ex).collect { case ("match[]", v) => v }
 
+  /** Prometheus `limit` parameter on the metadata endpoints: truncate the
+    * result to n entries (0 or absent = unlimited, Prometheus semantics).
+    * Truncation is silent like Prometheus's (a `warnings` entry there,
+    * nothing result-changing). */
+  private def limitParam(ex: HttpExchange): Int = {
+    val n = queryParams(ex).get("limit").map(_.toInt).getOrElse(0)
+    require(n >= 0, s"limit must be non-negative, got $n")
+    if (n == 0) Int.MaxValue else n
+  }
+
   /** Prometheus metadata endpoints — the pair Grafana's query builder
     * calls for completion: `GET /api/v1/labels` (label names, plus
     * `__name__`) and `GET /api/v1/label/<name>/values` (that label's
@@ -520,7 +530,7 @@ final class HttpFrontend(
           ("__name__" +: names.toSeq).distinct.sorted
         }
       respond(ex, 200,
-        all.map(n => s""""${esc(n)}"""")
+        all.take(limitParam(ex)).map(n => s""""${esc(n)}"""")
           .mkString("""{"status":"success","data":[""", ",", "]}"),
         contentType = "application/json")
     } catch {
@@ -554,7 +564,7 @@ final class HttpFrontend(
                 projection = Some(Seq("tag_value"))))
               .distinct().collect().map(_.getString(0)).toSeq
         respond(ex, 200,
-          values.sorted.map(v => s""""${esc(v)}"""")
+          values.sorted.take(limitParam(ex)).map(v => s""""${esc(v)}"""")
             .mkString("""{"status":"success","data":[""", ",", "]}"),
           contentType = "application/json")
       }
@@ -578,6 +588,7 @@ final class HttpFrontend(
           contentType = "application/json")
       else {
         val sets = selectors.flatMap(engine.seriesFor(_)).distinct
+          .take(limitParam(ex))
         val body = sets.map(m =>
             m.toSeq.sortBy(_._1).map { case (k, v) =>
               s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}"))

@@ -329,6 +329,16 @@ class HttpFrontendSpec extends AnyFunSuite {
       // a label absent from the matched series → empty, not the global set
       assert(get(port, s"/api/v1/label/dev/values?match[]=$mHttp").body() ==
         """{"status":"success","data":[]}""")
+      // limit truncates (Prometheus semantics; 0 = unlimited)
+      assert(get(port, "/api/v1/labels?limit=1").body() ==
+        """{"status":"success","data":["__name__"]}""")
+      assert(get(port, "/api/v1/label/host/values?limit=1").body() ==
+        """{"status":"success","data":["a"]}""")
+      assert(get(port, "/api/v1/label/host/values?limit=0").body() ==
+        """{"status":"success","data":["a","b"]}""")
+      assert(get(port, s"/api/v1/series?match[]=$mHttp&limit=1").body()
+        .count(_ == '{') == 2) // envelope + exactly one series object
+      assert(get(port, "/api/v1/labels?limit=-1").statusCode() == 400)
     } finally fe.stop()
   }
 
