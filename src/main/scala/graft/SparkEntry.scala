@@ -1552,21 +1552,12 @@ object SparkEntry {
           RemoteRead.Matcher(2, "__name__", ".+"),
           RemoteRead.Matcher(1, "instance", "i1"))))))
       val results = RemoteRead.decodeRequest(req).map { q =>
-        val ms = q.matchers.map(m => graft.promql.LabelMatcher(m.name,
-          m.tpe match {
-            case 0 => graft.promql.MatchOp.Eq
-            case 1 => graft.promql.MatchOp.Ne
-            case 2 => graft.promql.MatchOp.Re
-            case _ => graft.promql.MatchOp.Nre
-          }, m.value))
-        eng.readRaw(ms, graft.storage.TimeRange(q.startMs, q.endMs + 1))
-          .collect().groupBy(_.getAs[String]("series_key")).toSeq.sortBy(_._1)
-          .map { case (key, rs) =>
-            val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
-            RemoteRead.Series(("__name__" -> name) +: labels.toSeq.sortBy(_._1),
-              rs.map(r => (r.getAs[Long]("ts_ms"), r.getAs[Double]("value")))
-                .sortBy(_._1).toSeq)
-          }
+        val ms = q.matchers.map(RemoteRead.toPromQLMatcher)
+        RemoteRead.seriesFromRows(
+          eng.readRaw(ms, graft.storage.TimeRange(q.startMs, q.endMs + 1))
+            .collect().map(r => (r.getAs[String]("series_key"),
+              r.getAs[Long]("ts_ms"), r.getAs[Double]("value"))).toSeq,
+          graft.metric.MetricEngine.parseSeriesKey)
       }
       val decoded = RemoteRead.decodeResponse(
         org.xerial.snappy.Snappy.compress(RemoteRead.encodeResponse(results)))

@@ -184,6 +184,10 @@ final class HttpFrontend(
     * payloads, not data — and an oversized body is a 413, never a
     * silent mid-parameter truncation (which would URL-decode to a WRONG
     * selector). Repeated keys are preserved (match[] unions). */
+  /** SINGLE-SHOT per exchange (the JDK request-body stream reads once):
+    * handlers needing several views of the parameters parse ONCE and pass
+    * the pairs to the Seq-taking overloads below — a second call here
+    * within one request would silently lose every form-body parameter. */
   private def paramPairs(ex: HttpExchange): Seq[(String, String)] = {
     val fromQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val fromBody =
@@ -195,7 +199,7 @@ final class HttpFrontend(
         new String(b, "UTF-8")
       }
       else ""
-    Seq(fromQuery, fromBody).flatMap(_.split('&')).filter(_.nonEmpty)
+    val pairs = Seq(fromQuery, fromBody).flatMap(_.split('&')).filter(_.nonEmpty)
       .flatMap { kv =>
         kv.split("=", 2) match {
           case Array(k, v) =>
@@ -204,6 +208,7 @@ final class HttpFrontend(
           case _ => None
         }
       }
+    pairs
   }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
@@ -317,26 +322,14 @@ final class HttpFrontend(
     else try {
       val queries = graft.streaming.RemoteRead.decodeRequest(body)
       val results = queries.map { q =>
-        val ms = q.matchers.map(m => graft.promql.LabelMatcher(m.name,
-          m.tpe match {
-            case 0 => graft.promql.MatchOp.Eq
-            case 1 => graft.promql.MatchOp.Ne
-            case 2 => graft.promql.MatchOp.Re
-            case 3 => graft.promql.MatchOp.Nre
-            case other => throw new IllegalArgumentException(
-              s"unknown matcher type $other")
-          }, m.value))
+        val ms = q.matchers.map(graft.streaming.RemoteRead.toPromQLMatcher)
         // remote-read bounds are inclusive; the engine's range is half-open
         val rows = collectCapped(
           engine.readRaw(ms, TimeRange(q.startMs, q.endMs + 1)))
-        rows.groupBy(_.getAs[String]("series_key")).toSeq.sortBy(_._1)
-          .map { case (key, rs) =>
-            val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
-            graft.streaming.RemoteRead.Series(
-              ("__name__" -> name) +: labels.toSeq.sortBy(_._1),
-              rs.map(r => (r.getAs[Long]("ts_ms"), r.getAs[Double]("value")))
-                .sortBy(_._1).toSeq)
-          }
+        graft.streaming.RemoteRead.seriesFromRows(
+          rows.map(r => (r.getAs[String]("series_key"),
+            r.getAs[Long]("ts_ms"), r.getAs[Double]("value"))).toSeq,
+          graft.metric.MetricEngine.parseSeriesKey)
       }
       val encoded = org.xerial.snappy.Snappy.compress(
         graft.streaming.RemoteRead.encodeResponse(results))
@@ -493,14 +486,17 @@ final class HttpFrontend(
     * selectors (repeated params union; Map-shaped [[queryParams]] would
     * keep only the last). */
   private def matchSelectors(ex: HttpExchange): Seq[String] =
-    paramPairs(ex).collect { case ("match[]", v) => v }
+    matchSelectors(paramPairs(ex))
+
+  private def matchSelectors(pairs: Seq[(String, String)]): Seq[String] =
+    pairs.collect { case ("match[]", v) => v }
 
   /** Prometheus `limit` parameter on the metadata endpoints: truncate the
     * result to n entries (0 or absent = unlimited, Prometheus semantics).
     * Truncation is silent like Prometheus's (a `warnings` entry there,
     * nothing result-changing). */
-  private def limitParam(ex: HttpExchange): Int = {
-    val n = queryParams(ex).get("limit").map(_.toInt).getOrElse(0)
+  private def limitParam(pairs: Seq[(String, String)]): Int = {
+    val n = pairs.collectFirst { case ("limit", v) => v.toInt }.getOrElse(0)
     require(n >= 0, s"limit must be non-negative, got $n")
     if (n == 0) Int.MaxValue else n
   }
@@ -517,7 +513,8 @@ final class HttpFrontend(
     * semantics) — still meta-tables only. */
   server.createContext("/api/v1/labels", (ex: HttpExchange) => {
     try {
-      val sels = matchSelectors(ex)
+      val pairs = paramPairs(ex)
+      val sels = matchSelectors(pairs)
       val all =
         if (sels.nonEmpty)
           // seriesFor's label sets already carry __name__
@@ -530,7 +527,7 @@ final class HttpFrontend(
           ("__name__" +: names.toSeq).distinct.sorted
         }
       respond(ex, 200,
-        all.take(limitParam(ex)).map(n => s""""${esc(n)}"""")
+        all.take(limitParam(pairs)).map(n => s""""${esc(n)}"""")
           .mkString("""{"status":"success","data":[""", ",", "]}"),
         contentType = "application/json")
     } catch {
@@ -548,7 +545,8 @@ final class HttpFrontend(
         respond(ex, 404, "expected /api/v1/label/<name>/values")
       else {
         val label = java.net.URLDecoder.decode(parts(3), "UTF-8")
-        val sels = matchSelectors(ex)
+        val pairs = paramPairs(ex)
+        val sels = matchSelectors(pairs)
         val values: Seq[String] =
           if (sels.nonEmpty)
             sels.flatMap(engine.seriesFor(_)).distinct
@@ -564,7 +562,7 @@ final class HttpFrontend(
                 projection = Some(Seq("tag_value"))))
               .distinct().collect().map(_.getString(0)).toSeq
         respond(ex, 200,
-          values.sorted.take(limitParam(ex)).map(v => s""""${esc(v)}"""")
+          values.sorted.take(limitParam(pairs)).map(v => s""""${esc(v)}"""")
             .mkString("""{"status":"success","data":[""", ",", "]}"),
           contentType = "application/json")
       }
@@ -581,14 +579,15 @@ final class HttpFrontend(
     * semantics); results come from the small series meta table only. */
   server.createContext("/api/v1/series", (ex: HttpExchange) => {
     try {
-      val selectors = matchSelectors(ex)
+      val pairs = paramPairs(ex)
+      val selectors = matchSelectors(pairs)
       if (selectors.isEmpty)
         respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
           """"error":"missing match[] parameter"}""",
           contentType = "application/json")
       else {
         val sets = selectors.flatMap(engine.seriesFor(_)).distinct
-          .take(limitParam(ex))
+          .take(limitParam(pairs))
         val body = sets.map(m =>
             m.toSeq.sortBy(_._1).map { case (k, v) =>
               s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}"))
@@ -658,7 +657,10 @@ final class HttpFrontend(
     * Multiple `match[]` selectors union; overlapping matches dedup by
     * series (Prometheus semantics). Same result cap as every read. */
   server.createContext("/federate", (ex: HttpExchange) => {
-    try {
+    if (ex.getRequestURI.getPath != "/federate") respond(ex, 404, "not found")
+    else if (ex.getRequestMethod != "GET" && ex.getRequestMethod != "POST")
+      respond(ex, 405, "GET or POST only")
+    else try {
       val sels = matchSelectors(ex)
       if (sels.isEmpty)
         respond(ex, 400, "missing match[] parameter")
@@ -672,6 +674,10 @@ final class HttpFrontend(
             if (!perSeries.contains(key))
               perSeries(key) = (r.getAs[Long]("ts_ms"), r.getAs[Double]("value"))
           }
+          // the cap is a REQUEST budget: per-selector collects each pass
+          // limit(n+1), but N selectors must not accumulate N x cap rows
+          // in this map (the exact driver-OOM the cap exists to prevent)
+          if (perSeries.size > maxResultRows) throw new ResultTooLarge
         }
         def escLabel(s: String): String = s.flatMap {
           case '\\' => "\\\\"
@@ -679,6 +685,9 @@ final class HttpFrontend(
           case '\n' => "\\n"
           case c => c.toString
         }
+        // order by (name, labels) so one metric's lines stay a contiguous
+        // group (exposition-format requirement — a full-line sort would
+        // interleave 'cpu ...' / 'cpu_total ...' / 'cpu{...}')
         val lines = perSeries.toSeq
           .map { case (key, (ts, v)) =>
             val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
@@ -686,13 +695,16 @@ final class HttpFrontend(
               if (labels.isEmpty) ""
               else labels.toSeq.sortBy(_._1).map { case (k, lv) =>
                 s"""$k="${escLabel(lv)}"""" }.mkString("{", ",", "}")
-            s"$name$labelStr $v $ts"
-          }.sorted
+            (name, labelStr, s"$name$labelStr $v $ts")
+          }
+          .sortBy { case (name, labelStr, _) => (name, labelStr) }
+          .map(_._3)
         respond(ex, 200, lines.mkString("", "\n", "\n"),
           contentType = "text/plain; version=0.0.4; charset=utf-8")
       }
     } catch {
       case e: ResultTooLarge => respond(ex, 422, s"federate failed: ${e.getMessage}")
+      case e: ParamBodyTooLarge => respond(ex, 413, s"federate failed: ${e.getMessage}")
       case scala.util.control.NonFatal(e) =>
         respond(ex, 400, "federate failed: " +
           Option(e.getMessage).getOrElse(e.getClass.getName))

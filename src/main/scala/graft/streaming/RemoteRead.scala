@@ -42,6 +42,31 @@ object RemoteRead {
   final case class Series(labels: Seq[(String, String)],
       samples: Seq[(Long, Double)])
 
+  /** prompb matcher → the evaluator's matcher; unknown type ordinals are
+    * an error (shared by the HTTP handler and the oracle fixture so the
+    * two cannot drift). */
+  def toPromQLMatcher(m: Matcher): graft.promql.LabelMatcher =
+    graft.promql.LabelMatcher(m.name, m.tpe match {
+      case 0 => graft.promql.MatchOp.Eq
+      case 1 => graft.promql.MatchOp.Ne
+      case 2 => graft.promql.MatchOp.Re
+      case 3 => graft.promql.MatchOp.Nre
+      case other => throw new IllegalArgumentException(
+        s"unknown matcher type $other")
+    }, m.value)
+
+  /** Group raw (series_key, ts_ms, value) rows into wire [[Series]]:
+    * labels = __name__ + the key's decoded labels, samples time-sorted,
+    * series key-sorted — the one response shape both the HTTP handler and
+    * the oracle fixture produce. */
+  def seriesFromRows(rows: Seq[(String, Long, Double)],
+      parseKey: String => (String, Map[String, String])): Seq[Series] =
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (key, rs) =>
+      val (name, labels) = parseKey(key)
+      Series(("__name__" -> name) +: labels.toSeq.sortBy(_._1),
+        rs.map { case (_, ts, v) => (ts, v) }.sortBy(_._1))
+    }
+
   /** Decode a (snappy-framed or raw) ReadRequest. Fails loudly when the
     * client refuses the SAMPLES response type — per the protocol the
     * server must answer with a type the client accepts, and SAMPLES is

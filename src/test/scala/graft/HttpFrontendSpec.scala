@@ -621,6 +621,16 @@ class HttpFrontendSpec extends AnyFunSuite {
       val narrow = get(port, s"/federate?match[]=$mA")
       assert(narrow.body().trim == s"""cpu{host="a"} 2.5 ${now - 30000}""")
       assert(get(port, "/federate").statusCode() == 400)
+      // prefix paths and wrong methods don't leak federation data
+      assert(get(port, s"/federatefoo?match[]=$mAll").statusCode() == 404)
+      val del = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/federate?match[]=$mAll"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 405)
+      // POST form body works (single-shot body parse shared with limit)
+      val viaPost = postForm(port, "/federate", s"match[]=$mA")
+      assert(viaPost.statusCode() == 200 &&
+        viaPost.body().trim == s"""cpu{host="a"} 2.5 ${now - 30000}""")
     } finally fe.stop()
   }
 
