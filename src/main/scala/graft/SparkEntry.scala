@@ -1572,6 +1572,33 @@ object SparkEntry {
       }.toDF("query_idx", "name", "series_labels", "ts_ms", "value")
     }),
 
+    // OTLP/HTTP ingest codec (round 9, POST /v1/metrics): a fixed
+    // ExportMetricsServiceRequest (resource attrs + gauge + int-valued
+    // sum, gzip-framed) decoded to engine samples — name/label
+    // sanitization, attr precedence, and ns->ms truncation under the
+    // oracle. Hand-written expected rows.
+    "otlp1_ingest" -> ((s, dir) => {
+      import graft.streaming.Otlp
+      val body = Otlp.encode(
+        resourceAttrs = Map("service.name" -> "api", "host" -> "h1"),
+        metrics = Seq(
+          Otlp.MetricSpec("http.server.duration", Seq(
+            Otlp.Point(Map("code" -> "200"), 1723680000000000000L, 1.5),
+            Otlp.Point(Map("host" -> "h2"), 1723680001000000000L, 2.5))),
+          Otlp.MetricSpec("requests.total", Seq(
+            Otlp.Point(Map.empty, 1723680002000000000L, 42.0, asInt = true)),
+            sum = true)))
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(body); gz.close()
+      val decoded = Otlp.decode(Otlp.unframe(bos.toByteArray))
+      def lj(m: Map[String, String]): String =
+        m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+      import s.implicits._
+      decoded.map(x => (x.name, lj(x.labels), x.timestamp, x.value))
+        .toDF("name", "labels", "ts_ms", "value")
+    }),
+
     // Federation snapshot (round 9, GET /federate's engine): newest sample
     // per matching series within the lookback anchored at a FIXED nowMs -
     // cpu{host=a} has two samples (newest wins), up's only sample is
@@ -2969,6 +2996,18 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), 'http_requests_total', 'instance=i2,job=api',
         |   CAST(1500 AS BIGINT), CAST(9.0 AS DOUBLE))
         |) AS t(query_idx, name, series_labels, ts_ms, value)""".stripMargin,
+
+    // Hand-written expected rows for the fixed OTLP request (sanitized
+    // names/labels, point attr wins over resource attr, ns -> ms).
+    "otlp1_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('http_server_duration', 'code=200,host=h1,service_name=api',
+        |   CAST(1723680000000 AS BIGINT), CAST(1.5 AS DOUBLE)),
+        |  ('http_server_duration', 'host=h2,service_name=api',
+        |   CAST(1723680001000 AS BIGINT), CAST(2.5 AS DOUBLE)),
+        |  ('requests_total', 'host=h1,service_name=api',
+        |   CAST(1723680002000 AS BIGINT), CAST(42.0 AS DOUBLE))
+        |) AS t(name, labels, ts_ms, value)""".stripMargin,
 
     // Federation at nowMs=100000 lookback=90000 -> window (10000, 100000]:
     // cpu{host=a} newest of two samples, cpu{host=b} sole sample, up stale.

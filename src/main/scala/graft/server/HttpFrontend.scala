@@ -293,6 +293,54 @@ final class HttpFrontend(
     }
   })
 
+  /** `POST /v1/metrics` — OTLP/HTTP metrics ingest (OpenTelemetry's
+    * export protocol; gauge/sum number data points → engine samples, see
+    * [[graft.streaming.Otlp]] for the scope and the OTLP→Prometheus name
+    * translation). Bodies are raw or gzip protobuf
+    * (`Content-Encoding: gzip`); success is 200 with an empty
+    * `ExportMetricsServiceResponse` per the OTLP/HTTP spec (a request
+    * whose supported-scope point set is empty is still success — spec
+    * semantics for partial/empty data). Same write-body cap and toggle
+    * gate as remote write. */
+  server.createContext("/v1/metrics", (ex: HttpExchange) => {
+    val declared = ex.getRequestHeaders.getFirst("Content-Length")
+    val declaredTooBig =
+      declared != null && scala.util.Try(declared.toLong).toOption
+        .exists(_ > maxWriteBodyBytes)
+    var bodyReadFailed = false
+    val body =
+      if (declaredTooBig) null
+      else try {
+        val b = ex.getRequestBody.readNBytes(maxWriteBodyBytes.toInt + 1)
+        if (b.length > maxWriteBodyBytes) null else b
+      } catch { case scala.util.control.NonFatal(_) =>
+        bodyReadFailed = true; Array.emptyByteArray }
+    if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only")
+    else if (!keepWriting.get()) respond(ex, 503, "ingest toggled off")
+    else if (body == null)
+      respond(ex, 413, s"write body exceeds $maxWriteBodyBytes bytes")
+    else if (bodyReadFailed)
+      respond(ex, 400, "empty or unreadable request body")
+    else {
+      val samples =
+        try graft.streaming.Otlp.decode(graft.streaming.Otlp.unframe(body))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (samples == null) respond(ex, 400, "undecodable OTLP body")
+      else
+        try {
+          if (samples.nonEmpty) ingestLock.synchronized {
+            MetricStreamIngest.ingestDecoded(engine, spark, samples)
+          }
+          respondBytes(ex, 200, Array.emptyByteArray,
+            Seq("Content-Type" -> "application/x-protobuf"))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn("otlp ingest failed", e)
+            respond(ex, 500, s"ingest failed: ${e.getMessage}")
+        }
+    }
+  })
+
   /** `POST /api/v1/read` — Prometheus remote READ: the protocol Prometheus
     * itself uses to query a remote storage backend (`remote_read:` config),
     * making this engine a drop-in long-term store behind a running

@@ -584,6 +584,55 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("OTLP /v1/metrics ingests gauge and sum points into the engine " +
+      "(gzip and raw bodies); queryable back through PromQL") {
+    import graft.streaming.Otlp
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-otlp").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val body = Otlp.encode(
+        resourceAttrs = Map("service.name" -> "api"),
+        metrics = Seq(
+          Otlp.MetricSpec("http.server.requests", Seq(
+            Otlp.Point(Map("host" -> "a"), t0 * 1000000L, 3.0),
+            Otlp.Point(Map("host" -> "b"), (t0 + 1000) * 1000000L, 4.0)),
+            sum = true)))
+      val r = post(port, "/v1/metrics", body)
+      assert(r.statusCode() == 200, r.body())
+      assert(r.headers().firstValue("Content-Type").orElse("")
+        .startsWith("application/x-protobuf"))
+      // gzip body (the standard OTLP/HTTP exporter framing) also lands
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(Otlp.encode(Map("service.name" -> "api"), Seq(
+        Otlp.MetricSpec("http.server.requests", Seq(
+          Otlp.Point(Map("host" -> "a"), (t0 + 2000) * 1000000L, 9.0,
+            asInt = true)), sum = true))))
+      gz.close()
+      assert(post(port, "/v1/metrics", bos.toByteArray).statusCode() == 200)
+      // sanitized names/labels are PromQL-addressable
+      val cnt = engine.query(MetricQuery("http_server_requests",
+        agg = MetricAgg.Count)).collect()(0).getDouble(0)
+      assert(cnt == 3.0, cnt.toString)
+      val q = java.net.URLEncoder.encode(
+        """sum(http_server_requests{host="a",service_name="api"})""", "UTF-8")
+      val iq = get(port, s"/api/v1/query?query=$q&time=${(t0 + 2000) / 1000}")
+      assert(iq.statusCode() == 200 && iq.body().contains(""""9.0""""),
+        iq.body())
+      // method and body guards
+      assert(get(port, "/v1/metrics").statusCode() == 405)
+      assert(post(port, "/v1/metrics", Array[Byte](0x0a, 0xFA.toByte,
+        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F)).statusCode() == 400)
+      // toggle gates OTLP like remote write
+      assert(get(port, "/toggle").body() == "Stop!")
+      assert(post(port, "/v1/metrics", body).statusCode() == 503)
+      get(port, "/toggle")
+    } finally fe.stop()
+  }
+
   test("federate serves the newest sample per matching series in the text " +
       "exposition format; overlapping match[] selectors dedup by series") {
     val engine = new MetricEngine(spark,

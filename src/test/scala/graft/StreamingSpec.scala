@@ -42,6 +42,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(RemoteWrite.unframe(Array[Byte]()).isEmpty)
   }
 
+  test("OTLP codec: gauge/sum number points decode with resource+point " +
+      "attributes, int and double values, gzip framing, name sanitization; " +
+      "timestamp-less points skip") {
+    import graft.streaming.Otlp
+    val body = Otlp.encode(
+      resourceAttrs = Map("service.name" -> "api", "host" -> "h1"),
+      metrics = Seq(
+        Otlp.MetricSpec("http.server.duration", Seq(
+          Otlp.Point(Map("code" -> "200"), 1723680000000000000L, 1.5),
+          // point attr overrides the resource attr on collision
+          Otlp.Point(Map("host" -> "h2"), 1723680001000000000L, 2.5))),
+        Otlp.MetricSpec("requests.total", Seq(
+          Otlp.Point(Map.empty, 1723680002000000000L, 42.0, asInt = true)),
+          sum = true),
+        // ts == 0 → malformed point, skipped (not the whole request)
+        Otlp.MetricSpec("broken", Seq(Otlp.Point(Map.empty, 0L, 9.9)))))
+    val decoded = Otlp.decode(body)
+    assert(decoded.toSet == Set(
+      graft.metric.Sample("http_server_duration",
+        Map("service_name" -> "api", "host" -> "h1", "code" -> "200"),
+        1723680000000L, 1.5),
+      graft.metric.Sample("http_server_duration",
+        Map("service_name" -> "api", "host" -> "h2"), 1723680001000L, 2.5),
+      graft.metric.Sample("requests_total",
+        Map("service_name" -> "api", "host" -> "h1"), 1723680002000L, 42.0)),
+      decoded.toString)
+    // gzip framing (what OTLP/HTTP exporters send) decodes identically
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(body); gz.close()
+    assert(Otlp.decode(Otlp.unframe(bos.toByteArray)).toSet == decoded.toSet)
+    assert(Otlp.sanitizeName("9things.bad-chars/μ") == "_9things_bad_chars__")
+    // crafted length varints error, never spin (shared hardening)
+    assertThrows[RuntimeException](Otlp.decode(
+      Array[Byte](0x0a, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte,
+        0xFF.toByte, 0x0F)))
+  }
+
   test("remote-read codec: request and response round-trip, snappy framing, " +
       "packed and unpacked accepted types, chunks-only rejected") {
     import graft.streaming.RemoteRead
