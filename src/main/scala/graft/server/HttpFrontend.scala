@@ -160,6 +160,28 @@ final class HttpFrontend(
     rows
   }
 
+  /** Bounded request-body read shared by the ingest/read endpoints: trust
+    * neither Content-Length (may lie or be absent under chunked encoding)
+    * nor the stream itself — read AT MOST cap+1 bytes and reject before
+    * buffering more (readAllBytes would stage an arbitrary body on the
+    * heap first). Left((status, message)) on over-cap (413) or a
+    * failed/truncated read (400); Right(bytes) otherwise. */
+  private def readBoundedBody(ex: HttpExchange): Either[(Int, String), Array[Byte]] = {
+    val declared = ex.getRequestHeaders.getFirst("Content-Length")
+    val declaredTooBig =
+      declared != null && scala.util.Try(declared.toLong).toOption
+        .exists(_ > maxWriteBodyBytes)
+    if (declaredTooBig)
+      Left((413, s"body exceeds $maxWriteBodyBytes bytes"))
+    else try {
+      val b = ex.getRequestBody.readNBytes(maxWriteBodyBytes.toInt + 1)
+      if (b.length > maxWriteBodyBytes)
+        Left((413, s"body exceeds $maxWriteBodyBytes bytes"))
+      else Right(b)
+    } catch { case scala.util.control.NonFatal(_) =>
+      Left((400, "empty or unreadable request body")) }
+  }
+
   /** Thrown when a form-encoded parameter body crosses the 1 MiB cap —
     * mapped to 413, never a silently truncated (= corrupted) parameter. */
   private final class ParamBodyTooLarge extends RuntimeException(
@@ -238,20 +260,13 @@ final class HttpFrontend(
   })
 
   server.createContext("/api/v1/write", (ex: HttpExchange) => {
-    // Bounded read: trust neither Content-Length (may lie or be absent
-    // under chunked encoding) nor the stream itself — read AT MOST cap+1
-    // bytes and reject anything that exceeds the cap before buffering
-    // more. readAllBytes would buffer an arbitrary body on the heap first.
-    val declared = ex.getRequestHeaders.getFirst("Content-Length")
-    val declaredTooBig =
-      declared != null && scala.util.Try(declared.toLong).toOption
-        .exists(_ > maxWriteBodyBytes)
-    val body =
-      if (declaredTooBig) null
-      else try {
-        val b = ex.getRequestBody.readNBytes(maxWriteBodyBytes.toInt + 1)
-        if (b.length > maxWriteBodyBytes) null else b
-      } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+    // null = over-cap 413; a failed read keeps the empty-body path (the
+    // all-empty decode below answers 400 "no samples decoded")
+    val body = readBoundedBody(ex) match {
+      case Left((413, _)) => null
+      case Left(_) => Array.emptyByteArray
+      case Right(b) => b
+    }
     if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only")
     else if (!keepWriting.get()) respond(ex, 503, "ingest toggled off")
     else if (body == null)
@@ -303,29 +318,26 @@ final class HttpFrontend(
     * semantics for partial/empty data). Same write-body cap and toggle
     * gate as remote write. */
   server.createContext("/v1/metrics", (ex: HttpExchange) => {
-    val declared = ex.getRequestHeaders.getFirst("Content-Length")
-    val declaredTooBig =
-      declared != null && scala.util.Try(declared.toLong).toOption
-        .exists(_ > maxWriteBodyBytes)
-    var bodyReadFailed = false
-    val body =
-      if (declaredTooBig) null
-      else try {
-        val b = ex.getRequestBody.readNBytes(maxWriteBodyBytes.toInt + 1)
-        if (b.length > maxWriteBodyBytes) null else b
-      } catch { case scala.util.control.NonFatal(_) =>
-        bodyReadFailed = true; Array.emptyByteArray }
+    val bodyOrErr = readBoundedBody(ex)
     if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only")
     else if (!keepWriting.get()) respond(ex, 503, "ingest toggled off")
-    else if (body == null)
-      respond(ex, 413, s"write body exceeds $maxWriteBodyBytes bytes")
-    else if (bodyReadFailed)
-      respond(ex, 400, "empty or unreadable request body")
+    else if (bodyOrErr.isLeft) {
+      val (code, msg) = bodyOrErr.swap.getOrElse((400, ""))
+      respond(ex, code, msg)
+    }
     else {
+      val body = bodyOrErr.getOrElse(Array.emptyByteArray)
+      // the gzip-expansion cap mirrors the compressed-body cap: a ~64 KB
+      // bomb otherwise inflates past it unbounded (DecompressedTooLarge)
       val samples =
-        try graft.streaming.Otlp.decode(graft.streaming.Otlp.unframe(body))
-        catch { case scala.util.control.NonFatal(_) => null }
-      if (samples == null) respond(ex, 400, "undecodable OTLP body")
+        try graft.streaming.Otlp.decode(
+          graft.streaming.Otlp.unframe(body, maxWriteBodyBytes))
+        catch {
+          case _: graft.streaming.Otlp.DecompressedTooLarge => null
+          case scala.util.control.NonFatal(_) => null
+        }
+      if (samples == null) respond(ex, 400,
+        "undecodable OTLP body (or decompressed size over the write cap)")
       else
         try {
           if (samples.nonEmpty) ingestLock.synchronized {
@@ -354,18 +366,16 @@ final class HttpFrontend(
     // a failed/truncated body read must surface as a client error — an
     // empty body decodes to ZERO queries and would otherwise answer a
     // dropped upload with a clean 200 + empty ReadResponse
-    var bodyReadFailed = false
-    val body =
-      if (ex.getRequestMethod != "POST") Array.emptyByteArray
-      else try {
-        val b = ex.getRequestBody.readNBytes(maxWriteBodyBytes.toInt + 1)
-        if (b.length > maxWriteBodyBytes) null else b
-      } catch { case scala.util.control.NonFatal(_) =>
-        bodyReadFailed = true; Array.emptyByteArray }
+    val bodyOrErr =
+      if (ex.getRequestMethod != "POST") Right(Array.emptyByteArray)
+      else readBoundedBody(ex)
+    val body = bodyOrErr.getOrElse(Array.emptyByteArray)
     if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only")
-    else if (body == null)
-      respond(ex, 413, s"read body exceeds $maxWriteBodyBytes bytes")
-    else if (bodyReadFailed || body.isEmpty)
+    else if (bodyOrErr.isLeft) {
+      val (code, msg) = bodyOrErr.swap.getOrElse((400, ""))
+      respond(ex, code, s"read failed: $msg")
+    }
+    else if (body.isEmpty)
       respond(ex, 400, "read failed: empty or unreadable request body")
     else try {
       val queries = graft.streaming.RemoteRead.decodeRequest(body)

@@ -72,15 +72,31 @@ object Otlp {
     out.toSeq
   }
 
+  /** Thrown when a gzip body inflates past the caller's cap — the
+    * decompression-bomb guard (a 64 KB crafted gzip expands ~1000:1; an
+    * unbounded readAllBytes would OOM the serving JVM straight past the
+    * compressed-body cap). */
+  final class DecompressedTooLarge(max: Long) extends RuntimeException(
+    s"decompressed body exceeds $max bytes")
+
   /** Gunzip when the body is gzip-framed (OTLP/HTTP's standard
-    * Content-Encoding), pass through raw protobuf otherwise. */
-  def unframe(bytes: Array[Byte]): Array[Byte] =
-    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+    * Content-Encoding), pass through raw protobuf otherwise. The
+    * DECOMPRESSED size is capped at `maxDecompressed` — exceeding it
+    * throws [[DecompressedTooLarge]] (a 413 at the HTTP edge). */
+  def unframe(bytes: Array[Byte],
+      maxDecompressed: Long = 64L << 20): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
       try {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try in.readAllBytes() finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => bytes }
+        val out = in.readNBytes(maxDecompressed.toInt + 1)
+        if (out.length > maxDecompressed) throw new DecompressedTooLarge(maxDecompressed)
+        out
+      } catch {
+        case e: DecompressedTooLarge => throw e
+        case scala.util.control.NonFatal(_) => bytes
+      } finally in.close()
+    }
     else bytes
 
   private def decodeResourceMetrics(b: Array[Byte], start: Int, end: Int,
@@ -132,6 +148,7 @@ object Otlp {
     var pos = start
     var name = ""
     val pointSpans = mutable.ArrayBuffer.empty[(Int, Int)]
+    var deltaSum = false
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
       pos = p1
@@ -151,6 +168,14 @@ object Otlp {
                 val (l2, q2) = lenAt(b, q)
                 pointSpans += ((q2, q2 + l2))
                 q = q2 + l2
+              case (2, 0) if f == 7 => // Sum.aggregation_temporality
+                val (v, q2) = varint(b, q)
+                // DELTA(1) sums are per-interval increments — ingesting
+                // them raw corrupts rate()/increase() (a sawtooth posing
+                // as a cumulative counter). Prometheus's OTLP endpoint
+                // rejects them by default; so do we: drop the points.
+                if (v == 1L) deltaSum = true
+                q = q2
               case (_, wt) => q = skip(b, q, wt.toInt)
             }
           }
@@ -159,21 +184,31 @@ object Otlp {
       }
     }
     val prom = sanitizeName(name)
-    pointSpans.foreach { case (s, e) =>
+    // a nameless metric would ingest an unaddressable "" series
+    // (Prometheus rejects these at ingest) — skip like malformed points
+    if (prom.nonEmpty && !deltaSum) pointSpans.foreach { case (s, e) =>
       decodeNumberPoint(b, s, e).foreach { case (attrs, tsNano, value) =>
         out += Sample(prom, resourceAttrs ++ attrs, tsNano / 1000000L, value)
       }
     }
   }
 
+  /** NumberDataPoint.flags bit: the point is a staleness marker carrying
+    * NO recorded value (opentelemetry-proto DataPointFlags). */
+  private val FlagNoRecordedValue = 1L
+
   /** One NumberDataPoint → (attributes, time ns, value); None when the
-    * point carries no timestamp (spec-required — treat as malformed and
-    * skip the point, not the request). */
+    * point carries no timestamp, no value field, or the
+    * no-recorded-value staleness flag — each would otherwise ingest a
+    * phantom 0.0 (a fake counter reset). Skip the point, not the
+    * request. */
   private def decodeNumberPoint(b: Array[Byte], start: Int,
       end: Int): Option[(Map[String, String], Long, Double)] = {
     var pos = start
     var ts = 0L
     var value = 0.0
+    var sawValue = false
+    var stale = false
     var attrs = Map.empty[String, String]
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
@@ -181,16 +216,22 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (3, 1) => ts = fixed64(b, pos); pos += 8
         case (4, 1) =>
-          value = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
-        case (6, 1) => value = fixed64(b, pos).toDouble; pos += 8 // sfixed64
+          value = java.lang.Double.longBitsToDouble(fixed64(b, pos))
+          sawValue = true; pos += 8
+        case (6, 1) => // sfixed64
+          value = fixed64(b, pos).toDouble; sawValue = true; pos += 8
         case (7, 2) =>
           val (len, p2) = lenAt(b, pos)
           attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
           pos = p2 + len
+        case (8, 0) => // flags
+          val (v, p2) = varint(b, pos)
+          stale = (v & FlagNoRecordedValue) != 0L
+          pos = p2
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
-    if (ts == 0L) None else Some((attrs, ts, value))
+    if (ts == 0L || !sawValue || stale) None else Some((attrs, ts, value))
   }
 
   /** A repeated-KeyValue list where each element is a `fieldNum`-tagged
@@ -262,6 +303,46 @@ object Otlp {
         case (4, 1) => // double_value
           out = java.lang.Double.longBitsToDouble(fixed64(b, pos)).toString
           pos += 8
+        case (5, 2) => // array_value: ArrayValue{ repeated AnyValue values = 1 }
+          val (len, p2) = lenAt(b, pos)
+          val items = mutable.ArrayBuffer.empty[String]
+          var q = p2
+          while (q < p2 + len) {
+            val (t2, q1) = varint(b, q)
+            q = q1
+            (t2 >> 3, t2 & 7) match {
+              case (1, 2) =>
+                val (l2, q2) = lenAt(b, q)
+                items += decodeAnyValue(b, q2, q2 + l2)
+                q = q2 + l2
+              case (_, wt) => q = skip(b, q, wt.toInt)
+            }
+          }
+          out = items.mkString("[", ",", "]")
+          pos = p2 + len
+        case (6, 2) => // kvlist_value: KeyValueList{ repeated KeyValue values = 1 }
+          val (len, p2) = lenAt(b, pos)
+          val items = mutable.ArrayBuffer.empty[String]
+          var q = p2
+          while (q < p2 + len) {
+            val (t2, q1) = varint(b, q)
+            q = q1
+            (t2 >> 3, t2 & 7) match {
+              case (1, 2) =>
+                val (l2, q2) = lenAt(b, q)
+                decodeKeyValue(b, q2, q2 + l2).foreach { case (k, v) =>
+                  items += s"$k=$v" }
+                q = q2 + l2
+              case (_, wt) => q = skip(b, q, wt.toInt)
+            }
+          }
+          out = items.mkString("{", ",", "}")
+          pos = p2 + len
+        case (7, 2) => // bytes_value -> base64 (never a silently-empty label)
+          val (len, p2) = lenAt(b, pos)
+          out = java.util.Base64.getEncoder.encodeToString(
+            java.util.Arrays.copyOfRange(b, p2, p2 + len))
+          pos = p2 + len
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
@@ -283,10 +364,11 @@ object Otlp {
   import RemoteWrite.{lenDelim, writeVarint, fixed64Bytes}
 
   final case class Point(attrs: Map[String, String], timeNano: Long,
-      value: Double, asInt: Boolean = false)
+      value: Double, asInt: Boolean = false, noValue: Boolean = false,
+      flags: Long = 0L)
 
   final case class MetricSpec(name: String, points: Seq[Point],
-      sum: Boolean = false)
+      sum: Boolean = false, deltaTemporality: Boolean = false)
 
   def encode(resourceAttrs: Map[String, String],
       metrics: Seq[MetricSpec]): Array[Byte] = {
@@ -301,20 +383,33 @@ object Otlp {
         val dp = mutable.ArrayBuffer.empty[Byte]
         dp += ((3 << 3) | 1).toByte
         dp ++= fixed64LE(p.timeNano)
-        if (p.asInt) {
-          dp += ((6 << 3) | 1).toByte
-          dp ++= fixed64LE(p.value.toLong)
-        } else {
-          dp += ((4 << 3) | 1).toByte
-          dp ++= fixed64Bytes(p.value)
+        if (!p.noValue) {
+          if (p.asInt) {
+            dp += ((6 << 3) | 1).toByte
+            dp ++= fixed64LE(p.value.toLong)
+          } else {
+            dp += ((4 << 3) | 1).toByte
+            dp ++= fixed64Bytes(p.value)
+          }
+        }
+        if (p.flags != 0L) {
+          dp += ((8 << 3) | 0).toByte
+          dp ++= writeVarint(p.flags)
         }
         p.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
           dp ++= lenDelim(7, keyValue(k, v))
         }
         lenDelim(1, dp.toArray)
       }.toArray
+      val sumExtra =
+        if (m.sum) {
+          val t = mutable.ArrayBuffer.empty[Byte]
+          t += ((2 << 3) | 0).toByte
+          t ++= writeVarint(if (m.deltaTemporality) 1L else 2L)
+          t.toArray
+        } else Array.emptyByteArray
       val body = lenDelim(1, m.name.getBytes("UTF-8")) ++
-        lenDelim(if (m.sum) 7 else 5, pts)
+        lenDelim(if (m.sum) 7 else 5, pts ++ sumExtra)
       lenDelim(2, body.toArray) // ScopeMetrics.metrics
     }
     val scopeMetrics = metricBufs.flatten.toArray

@@ -80,6 +80,40 @@ class StreamingSpec extends AnyFunSuite {
         0xFF.toByte, 0x0F)))
   }
 
+  test("OTLP guards: delta-temporality sums dropped, no-value and " +
+      "staleness-flagged points skipped, nameless metrics skipped, " +
+      "gzip expansion capped") {
+    import graft.streaming.Otlp
+    val ts = 1723680000000000000L
+    val decoded = Otlp.decode(Otlp.encode(Map.empty, Seq(
+      // delta sum: per-interval increments would corrupt rate() — dropped
+      Otlp.MetricSpec("delta_sum", Seq(Otlp.Point(Map.empty, ts, 5.0)),
+        sum = true, deltaTemporality = true),
+      // cumulative sum: kept
+      Otlp.MetricSpec("cum_sum", Seq(Otlp.Point(Map.empty, ts, 6.0)),
+        sum = true),
+      // no value field → phantom 0.0 guard; staleness flag → skipped
+      Otlp.MetricSpec("gaps", Seq(
+        Otlp.Point(Map.empty, ts, 0.0, noValue = true),
+        Otlp.Point(Map.empty, ts + 1000000L, 7.0, flags = 1L),
+        Otlp.Point(Map.empty, ts + 2000000L, 8.0))),
+      // nameless metric → unaddressable "" series — skipped
+      Otlp.MetricSpec("", Seq(Otlp.Point(Map.empty, ts, 9.0))))))
+    assert(decoded.map(s => (s.name, s.value)).toSet ==
+      Set(("cum_sum", 6.0), ("gaps", 8.0)), decoded.toString)
+    // gzip bomb: 64 MB of zeros compresses to ~64 KB; the unframe cap
+    // rejects it instead of inflating onto the heap
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val zeros = new Array[Byte](1 << 20)
+    (0 until 64).foreach(_ => gz.write(zeros))
+    gz.close()
+    val bomb = bos.toByteArray
+    assert(bomb.length < (1 << 20), s"bomb premise: ${bomb.length}")
+    assertThrows[Otlp.DecompressedTooLarge](
+      Otlp.unframe(bomb, maxDecompressed = 4 << 20))
+  }
+
   test("remote-read codec: request and response round-trip, snappy framing, " +
       "packed and unpacked accepted types, chunks-only rejected") {
     import graft.streaming.RemoteRead
