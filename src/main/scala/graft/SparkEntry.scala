@@ -139,6 +139,43 @@ object SparkEntry {
       })
     }
 
+  /** Engine with a RECORDING + ALERTING rule group evaluated over the
+    * events ingest ([[graft.server.RuleEngine]]): the recording rule
+    * materializes per-uid purchase totals under a new metric name; the
+    * alerting rule (`> 600`, `for: 60s`) is evaluated twice 120 s apart
+    * so every active alert transitions pending → firing and both ALERTS
+    * states land in storage. `sum_over_time(purchase[3650d])` puts the
+    * whole one-month fixture in ONE tumbling window, so the instant
+    * evaluation is the exact per-uid total the SQL oracle replays. */
+  private val rulesEngineCache =
+    scala.collection.mutable.Map.empty[String, graft.metric.MetricEngine]
+
+  private def rulesEngine(s: SparkSession, dir: String): graft.metric.MetricEngine =
+    rulesEngineCache.synchronized {
+      rulesEngineCache.getOrElseUpdate(dir, {
+        val eng = new graft.metric.MetricEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-rules-engine").toString,
+          segmentMs = 7L * 86400000L)
+        eng.write(t(s, dir, "events").select(
+          col("event_type").as("name"),
+          map(lit("uid"), col("user_id").cast("string")).as("labels"),
+          tsMs.as("timestamp"), col("value")))
+        val maxTs = t(s, dir, "events").agg(max(tsMs)).collect()(0).getLong(0)
+        val re = new graft.server.RuleEngine(s, eng, Seq(
+          graft.server.RuleGroup("record", 60000L, Seq(
+            graft.server.RecordingRule("purchase:uid:total",
+              "sum by (uid) (sum_over_time(purchase[3650d]))"))),
+          graft.server.RuleGroup("alert", 60000L, Seq(
+            graft.server.AlertingRule("BigSpender",
+              "sum by (uid) (sum_over_time(purchase[3650d])) > 600",
+              forMs = 60000L)))))
+        re.evalGroupOnce("record", maxTs)
+        re.evalGroupOnce("alert", maxTs)
+        re.evalGroupOnce("alert", maxTs + 120000L)
+        eng
+      })
+    }
+
   /** Engine built through the STREAMING ingest path for si1: purchase
     * samples (uid < 40) wire-encoded into remote-write payloads, fed
     * through MetricStreamIngest in 4 REVERSE-time micro-batches
@@ -948,6 +985,26 @@ object SparkEntry {
     "m3_bucketed_engine" -> ((s, dir) =>
       bucketedEngine(s, dir)
         .queryPromQL("max by (uid) (purchase)",
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue))),
+
+    // RECORDING RULE end to end: the rule engine instant-evaluates the
+    // per-uid purchase total and writes it back as a new metric; querying
+    // THAT metric must reproduce the totals the oracle computes from raw
+    // events (each recorded series carries exactly one sample, so the
+    // unstepped max collapses to it).
+    "rl1_recording_rule" -> ((s, dir) =>
+      rulesEngine(s, dir)
+        .queryPromQL("max by (uid) (purchase:uid:total)",
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+        .withColumn("value", round(col("value"), 2))),
+
+    // ALERTING RULE end to end: two evaluations 120 s apart take every
+    // uid whose total exceeds 600 through pending → firing (for: 60s);
+    // the firing ALERTS synthetic series must match the oracle's HAVING
+    // replay over raw events.
+    "rl2_alert_firing" -> ((s, dir) =>
+      rulesEngine(s, dir)
+        .queryPromQL("""max by (uid) (ALERTS{alertstate="firing"})""",
           graft.storage.TimeRange(Long.MinValue, Long.MaxValue))),
 
     // histogram_quantile over classic le-buckets through the PromQL text
@@ -2262,6 +2319,30 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.slidingChunks(
         t(s, dir, "documents"), "doc_id", "text", window = 32, stride = 24)),
 
+    // Gopher char-3-gram repetition signals: most-frequent-gram fraction
+    // and duplicated-gram fraction per document, both over gram
+    // occurrences — one codegen'd per-row pass, no explode.
+    "t25_char_grams" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.charGramRepetition(
+          t(s, dir, "documents"), "text", n = 3)
+        .select("doc_id", "cg_top3_frac", "cg_dup3_frac")),
+
+    // Gopher duplicate-line signals over a deterministic multi-line view
+    // (each document re-chunked into 2-word lines — the corpus has no
+    // newlines; repeated word pairs become repeated lines): occurrence-
+    // and character-weighted duplicate-line fractions.
+    "t26_line_repetition" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val lines = transform(
+        sequence(lit(1), ceil(size(ws) / lit(2.0)).cast("int")),
+        i => array_join(slice(ws, (i - lit(1)) * lit(2) + lit(1), lit(2)), " "))
+      val framed = t(s, dir, "documents")
+        .withColumn("text2", array_join(lines, "\n"))
+        .select("doc_id", "text2")
+      graft.pipeline.TextAnalysis.lineRepetition(framed, "text2")
+        .select("doc_id", "lr_dup_line_frac", "lr_dup_line_char_frac")
+    }),
+
     // Dedup: MOSS-style candidate pairs from shared winnow fingerprints —
     // noise-thresholded print equi-join (df <= 10), >= 2 shared prints,
     // overlap coefficient against the smaller print set.
@@ -3282,6 +3363,21 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS uid, max(value) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY uid""".stripMargin,
+
+    // The recording rule materialized sum_over_time over one whole-range
+    // window, so the recorded metric must equal the raw per-uid total.
+    "rl1_recording_rule" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY uid""".stripMargin,
+
+    // Firing alerts = uids whose purchase total exceeds the rule
+    // threshold, held across both evaluations (the data is static, so
+    // active-at-both == active-once).
+    "rl2_alert_firing" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid, 1.0 AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id HAVING sum(value) > 600""".stripMargin,
 
     "sd1_stream_dedup" ->
       """SELECT DISTINCT md5(replace(lower(text), ' ', '')) AS fp
@@ -4790,6 +4886,46 @@ object SparkEntry {
         |  array_to_string(w[CAST(st + 1 AS INTEGER):CAST(st + 32 AS INTEGER)],
         |    ' ') AS chunk_text
         |FROM c""".stripMargin,
+
+    // Char-3-gram repetition: per-doc occurrence counts of every 3-char
+    // substring; top = max count / total, dup = sum of counts > 1 / total.
+    "t25_char_grams" ->
+      """WITH g AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(1, greatest(length(text) - 2, 0)),
+        |      i -> substr(text, CAST(i AS INTEGER), 3))) AS gram
+        |  FROM documents),
+        |per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS ng, max(c) AS mx,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, round(mx * 1.0 / ng, 4) AS cg_top3_frac,
+        |  round(dup * 1.0 / ng, 4) AS cg_dup3_frac
+        |FROM agg""".stripMargin,
+
+    // Duplicate-line fractions over the same deterministic 2-word-chunk
+    // line view the Spark side builds (chunks never contain the
+    // separator, so join-then-split is the chunk list itself).
+    "t26_line_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(1, CAST(ceil(len(ws) / 2.0) AS BIGINT)),
+        |      i -> array_to_string(
+        |        ws[CAST((i - 1) * 2 + 1 AS INTEGER):CAST(least(i * 2, len(ws)) AS INTEGER)],
+        |        ' '))) AS line
+        |  FROM w),
+        |per AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS total, count(*) AS dist,
+        |    sum(length(line) * c) AS chars,
+        |    sum(length(line) * (c - 1)) AS dupchars
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id,
+        |  round((total - dist) * 1.0 / total, 4) AS lr_dup_line_frac,
+        |  round(CASE WHEN chars = 0 THEN 0
+        |        ELSE dupchars * 1.0 / chars END, 4) AS lr_dup_line_char_frac
+        |FROM agg""".stripMargin,
 
     "t13_winnow" ->
       """WITH s AS (SELECT doc_id, replace(lower(text), ' ', '') AS norm

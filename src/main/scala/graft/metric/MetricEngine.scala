@@ -626,20 +626,60 @@ final class MetricEngine(spark: SparkSession, root: String,
       val step = if (ws.distinct.length == 1) Some(ws.head) else None
       // the @-resolved AST, not the text — a re-parse would re-resolve
       // start()/end() against the 2-window range instead of timeMs
-      val df = queryPromQLAst(ast, range, step)
-      if (!df.columns.contains("bucket_ms")) df
-      else {
-        // newest bucket per series: series identity = every non-structural
-        // column (lit(0) partitions the no-label case in one partition —
-        // a handful of serving-edge rows, never a data-scale frame)
-        val idCols = df.columns.filter(c => c != "value" && c != "bucket_ms")
-        val part =
-          if (idCols.isEmpty) Seq(lit(0)) else idCols.toSeq.map(col)
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy(part: _*).orderBy(col("bucket_ms").desc)
-        df.withColumn("__rn__", row_number().over(win))
-          .filter(col("__rn__") === 1).drop("__rn__", "bucket_ms")
-      }
+      newestBucketPerSeries(queryPromQLAst(ast, range, step))
+    }
+  }
+
+  /** [[instantPromQL]] with DECODED LABEL columns on every output shape —
+    * the rule-evaluation entry point ([[graft.server.RuleEngine]]): a
+    * recording rule re-writes its result as a new metric, so the frame
+    * must carry the label columns the recorded series are keyed by, not
+    * the bare-selector `(tsid, ts_ms, value)` contract the serving
+    * endpoint renders from.
+    *
+    * Differences from [[instantPromQL]], both shape-only (values are
+    * evaluated identically):
+    *  - bare selectors keep their label columns (plus `__name__`) instead
+    *    of narrowing to tsid;
+    *  - windowed expressions always evaluate on the general labeled path
+    *    (never the tsid-shaped fast paths), then keep each series' newest
+    *    bucket exactly as [[instantPromQL]] does. */
+  def instantPromQLLabeled(text: String, timeMs: Long,
+      lookbackMs: Long = 300000L): DataFrame = {
+    import graft.promql._
+    require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
+    val ast = PromQLParser.resolveAtTimes(
+      PromQLParser.parse(text), timeMs, timeMs)
+    val ws = MetricEngine.rangeWindows(ast)
+    if (ws.isEmpty) {
+      val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
+      promqlContextFor(ast, range, latestOnly = true, allLabels = true)
+        .eval(ast, None, Some(range))
+    } else {
+      val w = ws.max
+      val range = TimeRange(timeMs - 2 * w + 1, timeMs + 1)
+      val step = if (ws.distinct.length == 1) Some(ws.head) else None
+      newestBucketPerSeries(
+        promqlContextFor(ast, range, allLabels = true)
+          .eval(ast, step, Some(range)))
+    }
+  }
+
+  /** Newest bucket per series — the windowed-instant collapse shared by
+    * [[instantPromQL]] and [[instantPromQLLabeled]]: series identity =
+    * every non-structural column (lit(0) partitions the no-label case in
+    * one partition — a handful of serving-edge rows, never a data-scale
+    * frame). */
+  private def newestBucketPerSeries(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("bucket_ms")) df
+    else {
+      val idCols = df.columns.filter(c => c != "value" && c != "bucket_ms")
+      val part =
+        if (idCols.isEmpty) Seq(lit(0)) else idCols.toSeq.map(col)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(part: _*).orderBy(col("bucket_ms").desc)
+      df.withColumn("__rn__", row_number().over(win))
+        .filter(col("__rn__") === 1).drop("__rn__", "bucket_ms")
     }
   }
 
@@ -660,7 +700,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     * here by `ts` alone — same-ms duplicates have already been merged by
     * the store. */
   private def promqlContextFor(expr: graft.promql.Expr,
-      range: TimeRange, latestOnly: Boolean = false): graft.promql.PromQLContext = {
+      range: TimeRange, latestOnly: Boolean = false,
+      allLabels: Boolean = false): graft.promql.PromQLContext = {
     import graft.promql._
     def walk(e: Expr): (Set[String], Set[String]) = e match {
       case Selector(m, ms, _) => (Set(m), ms.map(_.label).toSet)
@@ -759,8 +800,11 @@ final class MetricEngine(spark: SparkSession, root: String,
     val labelSet = labelSetRaw - "__name__"
     val nameReferenced = labelSetRaw.contains("__name__") ||
       selectorList.exists(_.metric.isEmpty)
+    // `without (...)` needs every label key of the referenced metrics; so
+    // does the labeled rule-evaluation path (a recording rule keys its
+    // output series by the FULL labelset, referenced or not).
     val allKeys: Set[String] =
-      if (!hasWithout(expr)) Set.empty
+      if (!hasWithout(expr) && !allLabels) Set.empty
       else metricNames.flatMap(m => metricIdOf(m).toSeq.flatMap { mid =>
         tags.scan(ScanRequest(
             predicates = Seq(col("metric_id") === mid),

@@ -72,7 +72,12 @@ final class HttpFrontend(
     /** Instant-query lookback delta (Prometheus `--query.lookback-delta`,
       * default 5 m): how far behind the evaluation time a series' newest
       * sample may be and still count as "current". */
-    lookbackMs: Long = 300000L) {
+    lookbackMs: Long = 300000L,
+    /** Recording / alerting rule groups ([[RuleEngine]]): evaluated on
+      * their own cadences once [[start]] runs, served at `/api/v1/rules`
+      * and `/api/v1/alerts`. Rule writes share [[ingestLock]] with the
+      * HTTP write path (single-writer manifest). */
+    rules: Seq[RuleGroup] = Nil) {
   require(maxWriteBodyBytes > 0 && maxWriteBodyBytes <= Int.MaxValue - 8L,
     s"maxWriteBodyBytes must be in (0, ${Int.MaxValue - 8}], " +
       s"got $maxWriteBodyBytes — bodies are single JVM arrays")
@@ -89,6 +94,14 @@ final class HttpFrontend(
     val t = new Thread(r, "graft-http-compact"); t.setDaemon(true); t
   })
   private val ingestLock = new Object
+
+  /** The rule evaluator, when rule groups were configured — public so
+    * embedding callers (and tests) can drive deterministic evaluations
+    * via [[RuleEngine.evalGroupOnce]]. */
+  val ruleEngine: Option[RuleEngine] =
+    if (rules.isEmpty) None
+    else Some(new RuleEngine(spark, engine, rules, lookbackMs = lookbackMs,
+      writeLock = ingestLock))
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(4, r => {
@@ -773,6 +786,153 @@ final class HttpFrontend(
     * setup to pick the query feature set; a 404 degrades Explore. Served
     * as a Prometheus-2.x-compatible engine identifying itself as graft in
     * the revision field. */
+  // ---- rules / alerts (RuleEngine surface) --------------------------
+
+  private def mapJson(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+
+  /** RFC3339 UTC instants for the rules API (`Instant.toString` is
+    * RFC3339 with millisecond precision); 0 = never evaluated, rendered
+    * as the epoch like an unset Prometheus timestamp. */
+  private def rfc3339(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString
+
+  private def alertJson(a: RuleEngine.AlertInstance,
+      annotations: Map[String, String]): String =
+    s"""{"labels":${mapJson(a.labels)},"annotations":${mapJson(annotations)},""" +
+      s""""state":"${a.state}","activeAt":"${rfc3339(a.activeAtMs)}",""" +
+      s""""value":"${a.value}"}"""
+
+  /** `GET /api/v1/rules` — configured rule groups with per-rule health and
+    * active alerts, the Prometheus rules API shape (recording rules carry
+    * `type: "recording"`, alerting rules `type: "alerting"` + state +
+    * alert instances). Served from the RuleEngine's driver-side state —
+    * no Spark job. */
+  server.createContext("/api/v1/rules", (ex: HttpExchange) => {
+    try {
+      val body = ruleEngine match {
+        case None => """{"status":"success","data":{"groups":[]}}"""
+        case Some(re) =>
+          val gs = re.groups.map { g =>
+            val rs = g.rules.zipWithIndex.map { case (r, i) =>
+              val h = re.healthOf(g.name, i)
+              val common = s""""name":"${esc(r.name)}","query":"${esc(r.expr)}",""" +
+                s""""labels":${mapJson(r.labels)},"health":"${h.health}",""" +
+                s""""lastError":"${esc(h.lastError.getOrElse(""))}",""" +
+                s""""evaluationTime":${h.durationMs / 1000.0},""" +
+                s""""lastEvaluation":"${rfc3339(h.lastEvalMs)}""""
+              r match {
+                case _: RecordingRule => s"""{"type":"recording",$common}"""
+                case al: AlertingRule =>
+                  val alerts = re.activeAlerts(g.name, i)
+                    .map(alertJson(_, al.annotations)).mkString("[", ",", "]")
+                  s"""{"type":"alerting","duration":${al.forMs / 1000.0},""" +
+                    s""""keepFiringFor":${al.keepFiringForMs / 1000.0},""" +
+                    s""""annotations":${mapJson(al.annotations)},""" +
+                    s""""state":"${re.ruleState(g.name, i)}",""" +
+                    s""""alerts":$alerts,$common}"""
+              }
+            }.mkString("[", ",", "]")
+            s"""{"name":"${esc(g.name)}","file":"","interval":${
+              g.intervalMs / 1000.0},"limit":0,"rules":$rs,""" +
+              s""""lastEvaluation":"${rfc3339(re.lastEvalOf(g.name))}"}"""
+          }.mkString("[", ",", "]")
+          s"""{"status":"success","data":{"groups":$gs}}"""
+      }
+      respond(ex, 200, body, contentType = "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
+    }
+  })
+
+  /** `GET /api/v1/alerts` — every active alert instance across all rules
+    * (the flat Prometheus alerts API). */
+  server.createContext("/api/v1/alerts", (ex: HttpExchange) => {
+    try {
+      val alerts = ruleEngine.toSeq.flatMap { re =>
+        re.groups.flatMap { g =>
+          g.rules.zipWithIndex.collect { case (al: AlertingRule, i) =>
+            re.activeAlerts(g.name, i).map(alertJson(_, al.annotations))
+          }.flatten
+        }
+      }
+      respond(ex, 200,
+        alerts.mkString("""{"status":"success","data":{"alerts":[""", ",", "]}}"),
+        contentType = "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
+    }
+  })
+
+  // Kubernetes-style probes (Prometheus `/-/healthy`, `/-/ready`).
+  server.createContext("/-/healthy", (ex: HttpExchange) =>
+    respond(ex, 200, "Graft is Healthy.\n"))
+  server.createContext("/-/ready", (ex: HttpExchange) =>
+    respond(ex, 200, "Graft is Ready.\n"))
+
+  /** `GET /api/v1/status/tsdb` — cardinality statistics (the Prometheus
+    * TSDB status API Grafana's "explore cardinality" views call). Head
+    * stats + four top-10 lists, each ONE distributed aggregation over the
+    * small meta tables (series/tags/index) — never the data table; min/max
+    * time come from the manifest's SST ranges (a driver-side read).
+    * `memoryInBytesByLabelName` approximates bytes as the summed UTF-16
+    * value lengths across that label's index rows (we store no per-label
+    * heap accounting; documented approximation). */
+  server.createContext("/api/v1/status/tsdb", (ex: HttpExchange) => {
+    try {
+      import graft.storage.ScanRequest
+      import org.apache.spark.sql.functions.{col, countDistinct, sum => sqlSum,
+        length => sqlLength, concat_ws, count => sqlCount, lit}
+      def top10(df: org.apache.spark.sql.DataFrame): String =
+        df.orderBy(col("value").desc, col("name")).limit(10).collect()
+          .map(r => s"""{"name":"${esc(r.getString(0))}","value":${r.getLong(1)}}""")
+          .mkString("[", ",", "]")
+      val numSeries = engine.series
+        .scan(ScanRequest(projection = Some(Seq("tsid")))).distinct().count()
+      val tagPairs = engine.tags
+        .scan(ScanRequest(projection = Some(Seq("tag_key", "tag_value"))))
+        .distinct()
+      val numLabelPairs = tagPairs.count()
+      val ssts = engine.data.plannedSsts(ScanRequest())
+      val (minT, maxT) =
+        if (ssts.isEmpty) (0L, 0L)
+        else (ssts.map(_.timeRange.start).min, ssts.map(_.timeRange.end).max)
+      val byMetric = top10(engine.series
+        .scan(ScanRequest(projection = Some(Seq("metric_id", "tsid"))))
+        .join(engine.metrics.scan(ScanRequest(
+          projection = Some(Seq("metric_name", "metric_id")))), Seq("metric_id"))
+        .groupBy(col("metric_name").as("name"))
+        .agg(countDistinct(col("tsid")).as("value")))
+      val byLabelValues = top10(tagPairs.groupBy(col("tag_key").as("name"))
+        .agg(countDistinct(col("tag_value")).as("value")))
+      val idx = engine.index.scan(ScanRequest(
+        projection = Some(Seq("tag_key", "tag_value", "tsid"))))
+      val byPair = top10(idx
+        .groupBy(concat_ws("=", col("tag_key"), col("tag_value")).as("name"))
+        .agg(countDistinct(col("tsid")).as("value")))
+      val byBytes = top10(idx.groupBy(col("tag_key").as("name"))
+        .agg(sqlSum(sqlLength(col("tag_value")).cast("long") * lit(2L)).as("value")))
+      respond(ex, 200,
+        s"""{"status":"success","data":{"headStats":{"numSeries":$numSeries,""" +
+          s""""numLabelPairs":$numLabelPairs,"chunkCount":${ssts.length},""" +
+          s""""minTime":$minT,"maxTime":$maxT},""" +
+          s""""seriesCountByMetricName":$byMetric,""" +
+          s""""labelValueCountByLabelName":$byLabelValues,""" +
+          s""""memoryInBytesByLabelName":$byBytes,""" +
+          s""""seriesCountByLabelValuePair":$byPair}}""",
+        contentType = "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
+    }
+  })
+
   server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) =>
     respond(ex, 200,
       """{"status":"success","data":{"version":"2.54.0",""" +
@@ -845,11 +1005,16 @@ final class HttpFrontend(
     }
   }
 
-  def start(): Int = { server.start(); boundPort }
+  def start(): Int = {
+    server.start()
+    ruleEngine.foreach(_.start())
+    boundPort
+  }
   def boundPort: Int = server.getAddress.getPort
   def ingestEnabled: Boolean = keepWriting.get()
 
   def stop(): Unit = {
+    ruleEngine.foreach(_.stop())
     server.stop(0)
     compactPool.shutdown()
     // clean shutdown sweeps grace-parked physical deletes (the serving
