@@ -370,6 +370,95 @@ object TextAnalysis {
       .drop("__rep__")
   }
 
+  /** Gopher-style line / paragraph repetition signals (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", table A1's repetition filters): per document,
+    *
+    *  - `dup_line_frac`      — fraction of line OCCURRENCES that are
+    *                           repeats beyond each line's first occurrence
+    *                           (`(n - distinct) / n`);
+    *  - `dup_line_char_frac` — the same, weighted by line length in
+    *                           characters (0 when the document is empty);
+    *  - `dup_para_frac`      — `dup_line_frac` over `paraSep` splits.
+    *
+    * Separators are LITERAL (regex-quoted), matching a plain
+    * `string_split` in any engine. Pure per-row column expressions — the
+    * distinct-count fold is O(distinct · lines) comparisons inside one
+    * codegen'd projection, no explode, no shuffle: map-only at 100 TB
+    * with pushdown intact. Documents are bounded (chunk first via
+    * [[slidingChunks]] for pathological lengths). */
+  def lineRepetition(df: DataFrame, textCol: String, outPrefix: String = "lr_",
+      lineSep: String = "\n", paraSep: String = "\n\n"): DataFrame = {
+    require(lineSep.nonEmpty && paraSep.nonEmpty, "separators must be non-empty")
+    // es/counts bound as 1-element-transform lambda variables so each
+    // reference is O(1) (the `repetition` pattern — a bare subexpression
+    // would re-evaluate per loop iteration under CodegenFallback).
+    def dupStats(elems: Column): Column =
+      transform(array(elems), es => {
+        val n = size(es)
+        transform(array(transform(array_distinct(es),
+            e => struct(size(filter(es, x => x === e)).as("c"),
+              length(e).cast("long").as("len")))), counts => {
+          val totalChars = aggregate(counts, lit(0L),
+            (a, s) => a + s("len") * s("c"))
+          val dupChars = aggregate(counts, lit(0L),
+            (a, s) => a + s("len") * (s("c") - 1))
+          struct(
+            when(n <= 0, lit(0.0)).otherwise(
+              round((n - size(counts)).cast("double") / n, 4)).as("dup_frac"),
+            when(totalChars <= 0, lit(0.0)).otherwise(
+              round(dupChars.cast("double") / totalChars, 4)).as("dup_char_frac"))
+        })(0)
+      })(0)
+    val qLine = java.util.regex.Pattern.quote(lineSep)
+    val qPara = java.util.regex.Pattern.quote(paraSep)
+    df.withColumn("__lines__", dupStats(split(col(textCol), qLine)))
+      .withColumn("__paras__", dupStats(split(col(textCol), qPara)))
+      .withColumn(s"${outPrefix}dup_line_frac", col("__lines__")("dup_frac"))
+      .withColumn(s"${outPrefix}dup_line_char_frac",
+        col("__lines__")("dup_char_frac"))
+      .withColumn(s"${outPrefix}dup_para_frac", col("__paras__")("dup_frac"))
+      .drop("__lines__", "__paras__")
+  }
+
+  /** Character n-gram repetition (the character-level complement of
+    * [[repetition]]'s word-2-gram metrics — Gopher's "top/duplicated
+    * n-gram character fraction" family, expressed over gram occurrences
+    * so both signals are bounded [0, 1]):
+    *
+    *  - `top{n}_frac` — occurrences of the single most frequent char
+    *    n-gram / total n-gram occurrences;
+    *  - `dup{n}_frac` — occurrences of all char n-grams appearing more
+    *    than once / total occurrences.
+    *
+    * Both 0.0 for documents shorter than n. Same per-row HOF shape as
+    * [[lineRepetition]]: no explode, no shuffle, map-only at scale. */
+  def charGramRepetition(df: DataFrame, textCol: String, n: Int = 3,
+      outPrefix: String = "cg_"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val text = col(textCol)
+    val gramsRaw = when(length(text) < n,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+    val metrics = transform(array(gramsRaw), grams => {
+      val ng = size(grams)
+      val countsE = transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))
+      transform(array(countsE), counts => struct(
+        when(ng <= 0, lit(0.0)).otherwise(
+          round(array_max(counts).cast("double") / ng, 4)).as("top"),
+        when(ng <= 0, lit(0.0)).otherwise(
+          round(aggregate(counts, lit(0),
+            (a, c) => a + when(c > 1, c).otherwise(lit(0)))
+            .cast("double") / ng, 4)).as("dup")))(0)
+    })(0)
+    df.withColumn("__cg__", metrics)
+      .withColumn(s"${outPrefix}top${n}_frac", col("__cg__")("top"))
+      .withColumn(s"${outPrefix}dup${n}_frac", col("__cg__")("dup"))
+      .drop("__cg__")
+  }
+
   /** Overlapping token-window chunking — the RAG / context-packing prep
     * shape: one chunk per `stride` whitespace tokens, each `window` tokens
     * long (the last one truncated), so consecutive chunks share

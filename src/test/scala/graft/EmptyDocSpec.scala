@@ -31,6 +31,8 @@ class EmptyDocSpec extends AnyFunSuite {
     TextAnalysis.bigramNll(docs, "doc_id", "text").collect()
     TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", 3).collect()
     TextAnalysis.slidingChunks(docs, "doc_id", "text", 32, 24).collect()
+    TextAnalysis.lineRepetition(docs, "text").collect()
+    TextAnalysis.charGramRepetition(docs, "text").collect()
     Dedup.minhashSignature(docs, "doc_id", "text", 8).collect()
     Dedup.simhash16(docs, "doc_id", "text").collect()
     Dedup.lineDedup(docs, "doc_id", "text").collect()

@@ -1137,6 +1137,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("line repetition: occurrence and char-weighted duplicate-line " +
+      "fractions, paragraph split, empty-doc zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, "dup" twice → dup_line_frac (4-3)/4; chars: dup=3×2,
+      // unique=4+2 → dup_char_frac 3/12
+      (1L, "dup\nlong\ndup\nxy"),
+      // all lines distinct
+      (2L, "a\nb\nc"),
+      // paragraphs: "p1" twice of 3 paras → dup_para_frac 1/3
+      (3L, "p1\n\np2\n\np1"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.lineRepetition(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("lr_dup_line_frac"),
+          r.getAs[Double]("lr_dup_line_char_frac"),
+          r.getAs[Double]("lr_dup_para_frac")))).toMap
+    assert(got(1L) == ((0.25, 0.25, 0.0)))
+    assert(got(2L) == ((0.0, 0.0, 0.0)))
+    assert(got(3L)._3 == 0.3333)
+    // empty text splits to one empty line: no duplicates, zero chars
+    assert(got(4L) == ((0.0, 0.0, 0.0)))
+    // separators are literal, not regex: a '.' separator must not split
+    // on every character
+    val lit0 = Seq((1L, "ab.ab.cd")).toDF("doc_id", "text")
+    val r = TextAnalysis.lineRepetition(lit0, "text", lineSep = ".",
+      paraSep = "..").collect().head
+    assert(r.getAs[Double]("lr_dup_line_frac") == 0.3333) // ab,ab,cd
+  }
+
+  test("char-gram repetition: top and duplicated 3-gram fractions over " +
+      "occurrences; short docs are zero") {
+    import spark.implicits._
+    // "aaaa" → grams aaa,aaa → top 1.0 dup 1.0; "abcabc" → grams
+    // abc,bca,cab,abc → top 2/4, dup 2/4; "ab" shorter than n → 0,0
+    val docs = Seq((1L, "aaaa"), (2L, "abcabc"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charGramRepetition(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("cg_top3_frac"), r.getAs[Double]("cg_dup3_frac"))))
+      .toMap
+    assert(got(1L) == ((1.0, 1.0)))
+    assert(got(2L) == ((0.5, 0.5)))
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
   test("GIF/WebP header decode: dims round-trip, truncated and corrupt " +
       "payloads read as unrecognized (null), other formats unaffected") {
     import org.apache.spark.sql.functions.col
