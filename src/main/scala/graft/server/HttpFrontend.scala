@@ -799,10 +799,13 @@ final class HttpFrontend(
     java.time.Instant.ofEpochMilli(ms).toString
 
   private def alertJson(a: RuleEngine.AlertInstance,
-      annotations: Map[String, String]): String =
-    s"""{"labels":${mapJson(a.labels)},"annotations":${mapJson(annotations)},""" +
+      annotations: Map[String, String]): String = {
+    val expanded = annotations.map { case (k, v) =>
+      k -> RuleEngine.expandTemplate(v, a.labels, a.value) }
+    s"""{"labels":${mapJson(a.labels)},"annotations":${mapJson(expanded)},""" +
       s""""state":"${a.state}","activeAt":"${rfc3339(a.activeAtMs)}",""" +
       s""""value":"${a.value}"}"""
+  }
 
   /** `GET /api/v1/rules` — configured rule groups with per-rule health and
     * active alerts, the Prometheus rules API shape (recording rules carry

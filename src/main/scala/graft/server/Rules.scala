@@ -67,6 +67,20 @@ final case class RuleGroup(name: String, intervalMs: Long = 60000L,
 }
 
 object RuleEngine {
+  /** Expand the template subset Prometheus alert annotations actually
+    * use: `{{ $value }}` and `{{ $labels.<name> }}` (whitespace-tolerant).
+    * Anything else between braces is left verbatim — a full Go-template
+    * engine is out of scope and a silent empty expansion would hide the
+    * mistake; an absent label expands to "" (Prometheus semantics). */
+  def expandTemplate(tpl: String, labels: Map[String, String],
+      value: Double): String = {
+    val re = """\{\{\s*\$(value|labels\.([a-zA-Z_][a-zA-Z0-9_]*))\s*\}\}""".r
+    re.replaceAllIn(tpl, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (m.group(1) == "value") value.toString
+        else labels.getOrElse(m.group(2), "")))
+  }
+
   /** One active alert instance (a distinct labelset of one alerting rule).
     * `firingSinceMs` empty = pending. `lastActiveMs` is the newest
     * evaluation at which the expression still returned this labelset —

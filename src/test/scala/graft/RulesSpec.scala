@@ -145,6 +145,15 @@ class RulesSpec extends AnyFunSuite {
     assert(re.healthOf("g", 0).lastError.get.contains("exceeds"))
   }
 
+  test("annotation templates: $value and $labels expand, absent labels " +
+      "empty, unknown expressions stay verbatim") {
+    val t = RuleEngine.expandTemplate(
+      "host {{ $labels.host }} at {{$value}}; gone={{ $labels.nope }}; " +
+        "raw {{ humanize $value }}",
+      Map("host" -> "h1"), 2.5)
+    assert(t == "host h1 at 2.5; gone=; raw {{ humanize $value }}")
+  }
+
   test("HTTP: /api/v1/rules and /api/v1/alerts render the Prometheus " +
       "shapes; probes and tsdb status answer") {
     val eng = freshEngine()
