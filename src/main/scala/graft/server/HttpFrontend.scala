@@ -872,6 +872,27 @@ final class HttpFrontend(
     }
   })
 
+  /** `GET|POST /api/v1/format_query?query=…` — the Prometheus query
+    * formatter: parse, pretty-print in canonical form
+    * ([[graft.promql.PromQLPrinter]]), return the text as `data`.
+    * Purely driver-side (no Spark job); a parse error is the standard
+    * 400 "bad_data" envelope like Prometheus. */
+  server.createContext("/api/v1/format_query", (ex: HttpExchange) => {
+    try {
+      val q = queryParams(ex).getOrElse("query",
+        throw new IllegalArgumentException("missing query parameter"))
+      val formatted = graft.promql.PromQLPrinter.print(
+        graft.promql.PromQLParser.parse(q))
+      respond(ex, 200,
+        s"""{"status":"success","data":"${esc(formatted)}"}""",
+        contentType = "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val (code, body) = errorEnvelope(e)
+        respond(ex, code, body, contentType = "application/json")
+    }
+  })
+
   // Kubernetes-style probes (Prometheus `/-/healthy`, `/-/ready`).
   server.createContext("/-/healthy", (ex: HttpExchange) =>
     respond(ex, 200, "Graft is Healthy.\n"))

@@ -402,6 +402,18 @@ class HttpFrontendSpec extends AnyFunSuite {
       val mixed = postForm(port, s"/api/v1/query?time=$tEval", s"query=$q")
       assert(mixed.statusCode() == 200 && mixed.body().contains(""""5.0""""),
         mixed.body())
+
+      // format_query: canonical pretty-print, parse errors as bad_data
+      val raw = java.net.URLEncoder.encode(
+        "sum   by(host)(rate(cpu_seconds_total{mode=\"user\"}[5m]))", "UTF-8")
+      val fq = get(port, s"/api/v1/format_query?query=$raw")
+      assert(fq.statusCode() == 200 && fq.body() ==
+        """{"status":"success","data":""" +
+          """"sum by (host) (rate(cpu_seconds_total{mode=\"user\"}[5m]))"}""",
+        fq.body())
+      val badq = get(port, "/api/v1/format_query?query=sum%28")
+      assert(badq.statusCode() == 400 &&
+        badq.body().contains(""""errorType":"bad_data""""), badq.body())
     } finally fe.stop()
   }
 

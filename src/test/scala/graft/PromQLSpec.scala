@@ -1442,6 +1442,90 @@ class PromQLSpec extends AnyFunSuite {
       s"got ${got.head.getAs[Double]("value")}, want 12000.0")
   }
 
+  test("printer round trip: parse(print(parse(q))) == parse(q) across the " +
+      "whole surface — printer and parser check each other") {
+    import graft.promql.{PromQLParser, PromQLPrinter}
+    val corpus = Seq(
+      // selectors: matchers, offsets, bare/regex __name__, colons
+      """cpu""",
+      """cpu{host="h1"}""",
+      """cpu{host!="h1",mode=~"user|sys",env!~""}""",
+      """{__name__=~"cpu|mem",host="h1"}""",
+      """job:cpu:sum5m""",
+      """cpu offset 1h30m""",
+      """cpu{a="quote\"s and \\ and\nnewline"}""",
+      // aggregations
+      """sum(cpu)""",
+      """sum by (host) (cpu)""",
+      """avg by (host, mode) (cpu)""",
+      """count without (instance) (cpu)""",
+      """stddev(cpu)""", """stdvar(cpu)""", """group(cpu)""",
+      """topk(3, cpu)""", """bottomk(2, cpu)""",
+      """quantile by (host) (0.9, cpu)""",
+      """limitk(5, cpu)""", """limit_ratio(0.5, cpu)""",
+      """count_values("val", cpu)""",
+      """count_values by (host) ("val", cpu)""",
+      // range functions, windows, @, subqueries
+      """rate(req[5m])""", """increase(req[1h])""", """delta(g[30m])""",
+      """irate(req[2m])""", """idelta(g[2m])""",
+      """avg_over_time(cpu[10m])""", """sum_over_time(cpu[1d])""",
+      """min_over_time(cpu[5m])""", """max_over_time(cpu[5m])""",
+      """count_over_time(cpu[5m])""", """last_over_time(cpu[5m])""",
+      """present_over_time(cpu[5m])""", """absent_over_time(cpu[5m])""",
+      """stddev_over_time(cpu[5m])""", """stdvar_over_time(cpu[5m])""",
+      """mad_over_time(cpu[5m])""", """resets(c[1h])""", """changes(g[1h])""",
+      """deriv(g[15m])""",
+      """quantile_over_time(0.99, lat[5m])""",
+      """predict_linear(disk[1h], 3600)""",
+      """holt_winters(g[1h], 0.3, 0.1)""",
+      """rate(req{code=~"5.."}[5m] @ 120)""",
+      """sum_over_time(cpu[1h] @ start())""",
+      """max_over_time(cpu[1h] @ end())""",
+      """cpu @ 123""",
+      """max_over_time(sum by (u) (m)[1d:6h])""",
+      // binary operators, matching, set ops, bool, precedence
+      """cpu * 100""", """100 / cpu""", """cpu % 7""",
+      """a + b - c""", """a + b * c""", """(a + b) * c""",
+      """cpu > 0.9""", """cpu >= bool 0.9""",
+      """a / on (host) b""",
+      """a * ignoring (mode) b""",
+      """a / on (host) group_left b""",
+      """a / on (host) group_left(extra) b""",
+      """a / ignoring (x) group_right(y, z) b""",
+      """a and b""", """a unless b""", """a or b""",
+      """a atan2 b""",
+      """-cpu""", """-2 * cpu""",
+      // functions
+      """abs(cpu)""", """ceil(cpu)""", """sqrt(cpu)""", """exp(cpu)""",
+      """ln(cpu)""", """log2(cpu)""", """log10(cpu)""", """sgn(cpu)""",
+      """round(cpu)""", """round(cpu, 10)""", """clamp(cpu, 0, 1)""",
+      """clamp_min(cpu, -10)""", """clamp_max(cpu, 100)""",
+      """absent(cpu{host="h1"})""", """timestamp(cpu)""",
+      """minute(cpu)""", """hour(cpu)""", """day_of_week(cpu)""",
+      """days_in_month(cpu)""", """month(cpu)""", """year(cpu)""",
+      """sort(cpu)""", """sort_desc(cpu)""",
+      """sin(cpu)""", """atan(cpu)""", """deg(cpu)""",
+      """scalar(cpu)""", """vector(2)""", """time()""",
+      """histogram_quantile(0.9, sum by (le) (lat_bucket))""",
+      """label_replace(up, "dst", "$1-x", "src", "(.+)")""",
+      """label_join(up, "dst", "-", "a", "b")""",
+      """sort_by_label(cpu, "host", "mode")""",
+      """sort_by_label_desc(cpu, "host")""",
+      // composites
+      """sum by (uid) (rate(http_requests{job="x",code=~"5.."}[5m]))""",
+      """histogram_quantile(0.9, sum by (le) (rate(lat_bucket[5m]))) > 2""",
+      """clamp_max(m offset 5m, 100) / on (a, b) group_left m2""")
+    corpus.foreach { q =>
+      val a = PromQLParser.parse(q)
+      val printed = PromQLPrinter.print(a)
+      val b =
+        try PromQLParser.parse(printed)
+        catch { case e: Throwable =>
+          fail(s"re-parse failed for <$q> printed as <$printed>: ${e.getMessage}") }
+      assert(b == a, s"round trip changed <$q>: printed <$printed>")
+    }
+  }
+
   test("parser fuzz: garbage and mutated queries only ever raise " +
       "PromQLParseException — never hangs, never leaks internal errors") {
     import graft.promql.{PromQLParser, PromQLParseException}
