@@ -135,6 +135,22 @@ final class HttpFrontend(
     } finally ex.close()
   }
 
+  /** Per-handler request counters behind `/metrics` (every context
+    * registers through [[countedContext]]). LongAdder: contended
+    * increments from the worker pool, read rarely. */
+  private val requestCounts =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.LongAdder]()
+  private val startedAtMs = System.currentTimeMillis()
+
+  private def countedContext(path: String,
+      h: com.sun.net.httpserver.HttpHandler): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      requestCounts.computeIfAbsent(path,
+        _ => new java.util.concurrent.atomic.LongAdder).increment()
+      h.handle(ex)
+    })
+
   /** Last-seen metric metadata per family, fed by the write path's
     * full-request decode — the source for `/api/v1/metadata`. In-memory
     * by design: Prometheus itself serves metadata from its scrape cache,
@@ -249,11 +265,11 @@ final class HttpFrontend(
   private def queryParams(ex: HttpExchange): Map[String, String] =
     paramPairs(ex).toMap
 
-  server.createContext("/", (ex: HttpExchange) =>
+  countedContext("/", (ex: HttpExchange) =>
     if (ex.getRequestURI.getPath == "/") respond(ex, 200, "Hello world!")
     else respond(ex, 404, "not found"))
 
-  server.createContext("/toggle", (ex: HttpExchange) => {
+  countedContext("/toggle", (ex: HttpExchange) => {
     // fetch_not semantics (main.rs:65-72): atomic flip via CAS, report
     // the PREVIOUS state (a read-then-set pair would let two concurrent
     // toggles both observe the same value and collapse into one flip)
@@ -262,7 +278,7 @@ final class HttpFrontend(
     respond(ex, 200, if (prev) "Stop!" else "Start write again!")
   })
 
-  server.createContext("/compact", (ex: HttpExchange) => {
+  countedContext("/compact", (ex: HttpExchange) => {
     compactPool.submit(new Runnable {
       def run(): Unit =
         try compactor.runOnce()
@@ -272,7 +288,7 @@ final class HttpFrontend(
     respond(ex, 200, "Task submit!")
   })
 
-  server.createContext("/api/v1/write", (ex: HttpExchange) => {
+  countedContext("/api/v1/write", (ex: HttpExchange) => {
     // null = over-cap 413; a failed read keeps the empty-body path (the
     // all-empty decode below answers 400 "no samples decoded")
     val body = readBoundedBody(ex) match {
@@ -330,7 +346,7 @@ final class HttpFrontend(
     * whose supported-scope point set is empty is still success — spec
     * semantics for partial/empty data). Same write-body cap and toggle
     * gate as remote write. */
-  server.createContext("/v1/metrics", (ex: HttpExchange) => {
+  countedContext("/v1/metrics", (ex: HttpExchange) => {
     val bodyOrErr = readBoundedBody(ex)
     if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only")
     else if (!keepWriting.get()) respond(ex, 503, "ingest toggled off")
@@ -375,7 +391,7 @@ final class HttpFrontend(
     * the wire layout). Read-side caps apply per query like every other
     * query endpoint; errors are plain-text 4xx (this endpoint's clients
     * speak protobuf, not the JSON envelope). */
-  server.createContext("/api/v1/read", (ex: HttpExchange) => {
+  countedContext("/api/v1/read", (ex: HttpExchange) => {
     // a failed/truncated body read must surface as a client error — an
     // empty body decodes to ZERO queries and would otherwise answer a
     // dropped upload with a clean 200 + empty ReadResponse
@@ -415,7 +431,7 @@ final class HttpFrontend(
     }
   })
 
-  server.createContext("/query", (ex: HttpExchange) => {
+  countedContext("/query", (ex: HttpExchange) => {
     // queryParams itself can throw (malformed percent-encoding in the raw
     // query string) — it must land as a 400, not a handler exception the
     // JDK server swallows into a dropped connection
@@ -453,7 +469,7 @@ final class HttpFrontend(
     * deviations, consistent with PROMQL.md: values stringify with the
     * JVM's double formatting (not Go `%g`), and a step that disagrees
     * with a range-function window is rejected rather than re-sampled. */
-  server.createContext("/api/v1/query_range", (ex: HttpExchange) => {
+  countedContext("/api/v1/query_range", (ex: HttpExchange) => {
     try {
       val p = queryParams(ex)
       def need(k: String): String = p.getOrElse(k,
@@ -515,7 +531,7 @@ final class HttpFrontend(
     * documented tumbling-window deviation for windowed ones. The response
     * is the standard envelope with `resultType: "vector"`; per Prometheus,
     * every value pair carries the EVALUATION time, not sample times. */
-  server.createContext("/api/v1/query", (ex: HttpExchange) => {
+  countedContext("/api/v1/query", (ex: HttpExchange) => {
     val path = ex.getRequestURI.getPath
     if (path != "/api/v1/query") respond(ex, 404, "not found")
     else try {
@@ -582,7 +598,7 @@ final class HttpFrontend(
     * ([[MetricEngine.seriesFor]], the same series-meta-table walk
     * `/api/v1/series` uses; multiple selectors union, Prometheus
     * semantics) — still meta-tables only. */
-  server.createContext("/api/v1/labels", (ex: HttpExchange) => {
+  countedContext("/api/v1/labels", (ex: HttpExchange) => {
     try {
       val pairs = paramPairs(ex)
       val sels = matchSelectors(pairs)
@@ -608,7 +624,7 @@ final class HttpFrontend(
     }
   })
 
-  server.createContext("/api/v1/label", (ex: HttpExchange) => {
+  countedContext("/api/v1/label", (ex: HttpExchange) => {
     try {
       // path shape: /api/v1/label/<name>/values
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
@@ -648,7 +664,7 @@ final class HttpFrontend(
     * label sets of every series matching the selector, in the standard
     * envelope. Multiple `match[]` parameters union (Prometheus
     * semantics); results come from the small series meta table only. */
-  server.createContext("/api/v1/series", (ex: HttpExchange) => {
+  countedContext("/api/v1/series", (ex: HttpExchange) => {
     try {
       val pairs = paramPairs(ex)
       val selectors = matchSelectors(pairs)
@@ -678,7 +694,7 @@ final class HttpFrontend(
     * `exemplars` of {labels, value, timestamp}). Served from the durable
     * exemplars table ([[MetricEngine.queryExemplars]]); result capped
     * like every read path. */
-  server.createContext("/api/v1/query_exemplars", (ex: HttpExchange) => {
+  countedContext("/api/v1/query_exemplars", (ex: HttpExchange) => {
     try {
       val p = queryParams(ex)
       def need(k: String): String = p.getOrElse(k,
@@ -727,7 +743,7 @@ final class HttpFrontend(
     * endpoint directly via its `honor_labels` federation config.
     * Multiple `match[]` selectors union; overlapping matches dedup by
     * series (Prometheus semantics). Same result cap as every read. */
-  server.createContext("/federate", (ex: HttpExchange) => {
+  countedContext("/federate", (ex: HttpExchange) => {
     if (ex.getRequestURI.getPath != "/federate") respond(ex, 404, "not found")
     else if (ex.getRequestMethod != "GET" && ex.getRequestMethod != "POST")
       respond(ex, 405, "GET or POST only")
@@ -812,7 +828,7 @@ final class HttpFrontend(
     * `type: "recording"`, alerting rules `type: "alerting"` + state +
     * alert instances). Served from the RuleEngine's driver-side state —
     * no Spark job. */
-  server.createContext("/api/v1/rules", (ex: HttpExchange) => {
+  countedContext("/api/v1/rules", (ex: HttpExchange) => {
     try {
       val body = ruleEngine match {
         case None => """{"status":"success","data":{"groups":[]}}"""
@@ -853,7 +869,7 @@ final class HttpFrontend(
 
   /** `GET /api/v1/alerts` — every active alert instance across all rules
     * (the flat Prometheus alerts API). */
-  server.createContext("/api/v1/alerts", (ex: HttpExchange) => {
+  countedContext("/api/v1/alerts", (ex: HttpExchange) => {
     try {
       val alerts = ruleEngine.toSeq.flatMap { re =>
         re.groups.flatMap { g =>
@@ -877,7 +893,7 @@ final class HttpFrontend(
     * ([[graft.promql.PromQLPrinter]]), return the text as `data`.
     * Purely driver-side (no Spark job); a parse error is the standard
     * 400 "bad_data" envelope like Prometheus. */
-  server.createContext("/api/v1/format_query", (ex: HttpExchange) => {
+  countedContext("/api/v1/format_query", (ex: HttpExchange) => {
     try {
       val q = queryParams(ex).getOrElse("query",
         throw new IllegalArgumentException("missing query parameter"))
@@ -893,10 +909,52 @@ final class HttpFrontend(
     }
   })
 
+  /** `GET /metrics` — the server's OWN telemetry in the text exposition
+    * format (version 0.0.4), so a graft deployment is scraped and
+    * monitored like any Prometheus component: per-handler request
+    * counters, ingest gate state, rule-evaluation counters, process
+    * uptime/start time, and JVM heap gauges. All driver-side counter
+    * reads — no Spark job. */
+  countedContext("/metrics", (ex: HttpExchange) => {
+    val sb = new StringBuilder
+    def line(s: String): Unit = { sb.append(s).append('\n'); () }
+    line("# HELP graft_http_requests_total Requests received per handler.")
+    line("# TYPE graft_http_requests_total counter")
+    locally {
+      import scala.jdk.CollectionConverters._
+      requestCounts.asScala.toSeq.sortBy(_._1).foreach { case (p, n) =>
+        line(s"""graft_http_requests_total{handler="${esc(p)}"} ${n.sum()}""")
+      }
+    }
+    line("# HELP graft_ingest_enabled Whether the write gate is open.")
+    line("# TYPE graft_ingest_enabled gauge")
+    line(s"graft_ingest_enabled ${if (keepWriting.get()) 1 else 0}")
+    ruleEngine.foreach { re =>
+      line("# HELP graft_rule_evaluations_total Rule evaluations run.")
+      line("# TYPE graft_rule_evaluations_total counter")
+      line(s"graft_rule_evaluations_total ${re.evaluationsTotal}")
+      line("# HELP graft_rule_evaluation_failures_total Failed rule evaluations.")
+      line("# TYPE graft_rule_evaluation_failures_total counter")
+      line(s"graft_rule_evaluation_failures_total ${re.evaluationFailuresTotal}")
+    }
+    line("# HELP process_start_time_seconds Start time of the process.")
+    line("# TYPE process_start_time_seconds gauge")
+    line(s"process_start_time_seconds ${startedAtMs / 1000.0}")
+    val rt = Runtime.getRuntime
+    line("# HELP jvm_memory_bytes_used Used heap bytes.")
+    line("# TYPE jvm_memory_bytes_used gauge")
+    line(s"jvm_memory_bytes_used ${rt.totalMemory() - rt.freeMemory()}")
+    line("# HELP jvm_memory_bytes_max Max heap bytes.")
+    line("# TYPE jvm_memory_bytes_max gauge")
+    line(s"jvm_memory_bytes_max ${rt.maxMemory()}")
+    respond(ex, 200, sb.toString,
+      contentType = "text/plain; version=0.0.4; charset=utf-8")
+  })
+
   // Kubernetes-style probes (Prometheus `/-/healthy`, `/-/ready`).
-  server.createContext("/-/healthy", (ex: HttpExchange) =>
+  countedContext("/-/healthy", (ex: HttpExchange) =>
     respond(ex, 200, "Graft is Healthy.\n"))
-  server.createContext("/-/ready", (ex: HttpExchange) =>
+  countedContext("/-/ready", (ex: HttpExchange) =>
     respond(ex, 200, "Graft is Ready.\n"))
 
   /** `GET /api/v1/status/tsdb` — cardinality statistics (the Prometheus
@@ -907,7 +965,7 @@ final class HttpFrontend(
     * `memoryInBytesByLabelName` approximates bytes as the summed UTF-16
     * value lengths across that label's index rows (we store no per-label
     * heap accounting; documented approximation). */
-  server.createContext("/api/v1/status/tsdb", (ex: HttpExchange) => {
+  countedContext("/api/v1/status/tsdb", (ex: HttpExchange) => {
     try {
       import graft.storage.ScanRequest
       import org.apache.spark.sql.functions.{col, countDistinct, sum => sqlSum,
@@ -957,7 +1015,7 @@ final class HttpFrontend(
     }
   })
 
-  server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) =>
+  countedContext("/api/v1/status/buildinfo", (ex: HttpExchange) =>
     respond(ex, 200,
       """{"status":"success","data":{"version":"2.54.0",""" +
         """"revision":"graft","branch":"","buildUser":"","buildDate":"",""" +
@@ -968,7 +1026,7 @@ final class HttpFrontend(
     * per family, from the [[metadataCache]] the write path maintains
     * (Prometheus serves this from its scrape cache, same lifecycle).
     * Shape: `data.<family> = [{type, help, unit}]`. */
-  server.createContext("/api/v1/metadata", (ex: HttpExchange) => {
+  countedContext("/api/v1/metadata", (ex: HttpExchange) => {
     try {
       val p = queryParams(ex)
       val wanted = p.get("metric")

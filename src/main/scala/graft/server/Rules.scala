@@ -138,6 +138,12 @@ final class RuleEngine(
     scala.collection.mutable.Map.empty[String, Long]
   private val stateLock = new Object
 
+  // self-telemetry behind the frontend's /metrics endpoint
+  private val evalCount = new java.util.concurrent.atomic.LongAdder
+  private val evalFailCount = new java.util.concurrent.atomic.LongAdder
+  def evaluationsTotal: Long = evalCount.sum()
+  def evaluationFailuresTotal: Long = evalFailCount.sum()
+
   /** Columns of a labeled instant frame that are NOT labels. `__name__`
     * is dropped too: a recording rule REPLACES the metric name, and an
     * alert's identity labels follow the same convention (Prometheus
@@ -148,8 +154,9 @@ final class RuleEngine(
 
   /** Evaluate one rule expression to (labelset, value) pairs at `nowMs` —
     * the driver-bounded materialization point. */
-  private def evalExpr(expr: String, nowMs: Long): Seq[(Map[String, String], Double)] = {
-    val df = engine.instantPromQLLabeled(expr, nowMs, lookbackMs)
+  private def evalExpr(expr: String, nowMs: Long,
+      lookback: Long = lookbackMs): Seq[(Map[String, String], Double)] = {
+    val df = engine.instantPromQLLabeled(expr, nowMs, lookback)
     val labelCols = df.columns.filterNot(structuralCols.contains).toSeq.sorted
     val valueIdx = df.columns.indexOf("value")
     val rows = df.limit(maxSamplesPerRule + 1).collect()
@@ -187,6 +194,7 @@ final class RuleEngine(
           case a: AlertingRule =>
             evalAlert(group.name, idx, a, nowMs)
         }
+        evalCount.increment()
         stateLock.synchronized {
           ruleHealth((group.name, idx)) = RuleHealth(nowMs,
             (System.nanoTime() - t0) / 1000000L, None)
@@ -194,6 +202,8 @@ final class RuleEngine(
       } catch {
         case scala.util.control.NonFatal(e) =>
           log.warn(s"rule '${rule.name}' (group '${group.name}') failed", e)
+          evalCount.increment()
+          evalFailCount.increment()
           stateLock.synchronized {
             ruleHealth((group.name, idx)) = RuleHealth(nowMs,
               (System.nanoTime() - t0) / 1000000L,
@@ -259,6 +269,48 @@ final class RuleEngine(
         Sample("ALERTS", st.labels + ("alertstate" -> st.state), nowMs, 1.0),
         Sample("ALERTS_FOR_STATE", st.labels, nowMs, st.activeAtMs / 1000.0))
     })
+  }
+
+  /** Restore alert state after a restart from the persisted
+    * `ALERTS_FOR_STATE` series (the reason that series exists — the
+    * Prometheus restore-from-storage mechanism): for every alerting
+    * rule, each series' newest sample within `outageToleranceMs`
+    * (Prometheus `--rules.alert.for-outage-tolerance`, 1 h default)
+    * seeds an instance with its ORIGINAL activeAt (the sample value, in
+    * epoch seconds), so a `for: 24h` alert doesn't restart its clock on
+    * every deploy. Already-present instances are never overwritten; a
+    * rule whose restore query fails (e.g. a store with no alert series
+    * yet) is skipped silently — restoration is best-effort, the next
+    * evaluation is authoritative. Restored values render as NaN until
+    * that evaluation refreshes them. Call before [[start]]. */
+  def restoreAlertState(nowMs: Long,
+      outageToleranceMs: Long = 3600000L): Unit = {
+    require(outageToleranceMs > 0,
+      s"outageToleranceMs must be positive, got $outageToleranceMs")
+    groups.foreach { g =>
+      g.rules.zipWithIndex.foreach {
+        case (rule: AlertingRule, idx) =>
+          val sel = "ALERTS_FOR_STATE{alertname=\"" +
+            rule.alert.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+          val rows = scala.util.Try(
+            evalExpr(sel, nowMs, lookback = outageToleranceMs))
+            .getOrElse(Nil)
+          stateLock.synchronized {
+            rows.foreach { case (labels, activeAtSec) =>
+              val key = (g.name, idx, fingerprint(labels))
+              if (!alertState.contains(key)) {
+                val activeAt = (activeAtSec * 1000.0).toLong
+                val firing =
+                  if (nowMs - activeAt >= rule.forMs) Some(activeAt + rule.forMs)
+                  else None
+                alertState(key) = AlertInstance(labels, Double.NaN,
+                  activeAt, firing, nowMs)
+              }
+            }
+          }
+        case _ => ()
+      }
+    }
   }
 
   /** Active alerts of one rule (API rendering + tests). */

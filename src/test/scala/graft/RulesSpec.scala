@@ -145,6 +145,40 @@ class RulesSpec extends AnyFunSuite {
     assert(re.healthOf("g", 0).lastError.get.contains("exceeds"))
   }
 
+  test("restart restore: a new RuleEngine over the same store resumes " +
+      "firing alerts with their ORIGINAL activeAt from ALERTS_FOR_STATE") {
+    val eng = freshEngine()
+    val groups = Seq(RuleGroup("g", 60000L, Seq(
+      AlertingRule("HighCpu", "cpu > 1.5", forMs = 60000L))))
+    val re1 = new RuleEngine(spark, eng, groups)
+    re1.evalGroupOnce("g", t0)
+    re1.evalGroupOnce("g", t0 + 70000L)
+    assert(re1.activeAlerts("g", 0).map(_.state) == Seq("firing"))
+
+    // "restart": fresh engine instance, no in-memory state
+    val re2 = new RuleEngine(spark, eng, groups)
+    assert(re2.activeAlerts("g", 0).isEmpty)
+    re2.restoreAlertState(t0 + 100000L)
+    val restored = re2.activeAlerts("g", 0)
+    assert(restored.map(_.state) == Seq("firing"))
+    assert(restored.head.activeAtMs == t0) // original clock, not restarted
+    assert(restored.head.labels("host") == "h1")
+
+    // the next evaluation is authoritative: still active -> stays firing
+    // with the original activeAt and a refreshed value
+    re2.evalGroupOnce("g", t0 + 130000L)
+    val after = re2.activeAlerts("g", 0)
+    assert(after.map(_.state) == Seq("firing"))
+    assert(after.head.activeAtMs == t0 && after.head.value == 2.0)
+
+    // restore over a store with no alert series yet is a silent no-op
+    val empty = new MetricEngine(spark,
+      Files.createTempDirectory("graft-rules-empty").toString)
+    val re3 = new RuleEngine(spark, empty, groups)
+    re3.restoreAlertState(t0)
+    assert(re3.activeAlerts("g", 0).isEmpty)
+  }
+
   test("annotation templates: $value and $labels expand, absent labels " +
       "empty, unknown expressions stay verbatim") {
     val t = RuleEngine.expandTemplate(
@@ -186,6 +220,24 @@ class RulesSpec extends AnyFunSuite {
 
       assert(get(port, "/-/healthy").statusCode() == 200)
       assert(get(port, "/-/ready").statusCode() == 200)
+
+      // /metrics self-telemetry: exposition format, request counters,
+      // rule counters (2 rules evaluated once)
+      get(port, "/api/v1/rules") // ensure the handler counter is > 1
+      val sm = get(port, "/metrics")
+      assert(sm.statusCode() == 200)
+      assert(sm.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/plain; version=0.0.4"))
+      assert(sm.body().contains("""graft_http_requests_total{handler="/api/v1/rules"} 2"""))
+      // >= 2: our explicit evalGroupOnce, plus whatever the live
+      // scheduler has run at wall-clock times (expressions evaluate
+      // empty there, but they count)
+      val evals = "graft_rule_evaluations_total ([0-9]+)".r
+        .findFirstMatchIn(sm.body()).get.group(1).toLong
+      assert(evals >= 2, sm.body())
+      assert(sm.body().contains("graft_rule_evaluation_failures_total 0"))
+      assert(sm.body().contains("graft_ingest_enabled 1"))
+      assert(sm.body().contains("process_start_time_seconds "))
 
       val tsdb = get(port, "/api/v1/status/tsdb")
       assert(tsdb.statusCode() == 200)
