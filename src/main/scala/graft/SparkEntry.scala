@@ -2220,6 +2220,27 @@ object SparkEntry {
           sum(col("q_tokens")).cast("long").as("n_tokens"))
     }),
 
+    // Gopher-style repetition GATE composing the three repetition
+    // families (word-2-gram, char-3-gram, duplicate-line) into one
+    // keep/drop decision per document — the filter shape repetition
+    // signals exist for. All three signals are per-row codegen'd HOF
+    // passes over one scan; the gate is a boolean conjunction, so the
+    // whole DAG is map-only with pushdown intact at 100 TB.
+    "c8_repetition_gate" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val lines = transform(
+        sequence(lit(1), ceil(size(ws) / lit(2.0)).cast("int")),
+        i => array_join(slice(ws, (i - lit(1)) * lit(2) + lit(1), lit(2)), " "))
+      val framed = t(s, dir, "documents")
+        .withColumn("text2", array_join(lines, "\n"))
+      val lr = graft.pipeline.TextAnalysis.lineRepetition(framed, "text2")
+      val cg = graft.pipeline.TextAnalysis.charGramRepetition(lr, "text", n = 3)
+      val rep = graft.pipeline.TextAnalysis.repetition(cg, "text")
+      rep.select(col("doc_id"),
+        (col("r_dup2gram_frac") <= 0.1 && col("cg_top3_frac") <= 0.035 &&
+          col("lr_dup_line_frac") <= 0.05).as("keep"))
+    }),
+
     // Text: stopword-heuristic language ID.
     "t1_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -4826,6 +4847,53 @@ object SparkEntry {
         |  round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / nt, 4)
         |    AS r_symbol_ratio
         |FROM c""".stripMargin,
+
+    // The repetition gate replayed: the three per-doc signals (each
+    // rounded exactly as its own oracle rounds) conjoined at the same
+    // thresholds.
+    "c8_repetition_gate" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks, text
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, text, toks,
+        |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |      i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]) AS grams
+        |  FROM s),
+        |c2 AS (SELECT doc_id, text, toks, len(grams) AS n2,
+        |    list_transform(list_distinct(grams),
+        |      gr -> len(list_filter(grams, x -> x = gr))) AS counts
+        |  FROM g2),
+        |dup2 AS (SELECT doc_id,
+        |    CASE WHEN n2 < 1 THEN 0.0
+        |         ELSE round(CAST(list_sum(list_transform(counts,
+        |                c -> CASE WHEN c > 1 THEN c ELSE 0 END)) AS DOUBLE) / n2, 4)
+        |    END AS v
+        |  FROM c2),
+        |cg AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(1, greatest(length(text) - 2, 0)),
+        |      i -> substr(text, CAST(i AS INTEGER), 3))) AS gram
+        |  FROM documents),
+        |cper AS (SELECT doc_id, gram, count(*) AS c FROM cg GROUP BY 1, 2),
+        |cagg AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS v
+        |  FROM cper GROUP BY doc_id),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(1, CAST(ceil(len(ws) / 2.0) AS BIGINT)),
+        |      i -> array_to_string(
+        |        ws[CAST((i - 1) * 2 + 1 AS INTEGER):CAST(least(i * 2, len(ws)) AS INTEGER)],
+        |        ' '))) AS line
+        |  FROM w),
+        |lper AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+        |lagg AS (SELECT doc_id,
+        |    round((sum(c) - count(*)) * 1.0 / sum(c), 4) AS v
+        |  FROM lper GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  (dup2.v <= 0.1 AND cagg.v <= 0.035 AND lagg.v <= 0.05) AS keep
+        |FROM documents d
+        |JOIN dup2 ON d.doc_id = dup2.doc_id
+        |JOIN cagg ON d.doc_id = cagg.doc_id
+        |JOIN lagg ON d.doc_id = lagg.doc_id""".stripMargin,
 
     "t9_hash_sample" ->
       """SELECT doc_id FROM documents
