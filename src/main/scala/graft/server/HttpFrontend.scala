@@ -510,9 +510,10 @@ final class HttpFrontend(
             .mkString("[", ",", "]")
           s"""{"metric":$metric,"values":$values}"""
         }
+      val (kept, warn) = truncateSeries(series, p.get("limit"))
       respond(ex, 200,
-        s"""{"status":"success","data":{"resultType":"matrix","result":${
-          series.mkString("[", ",", "]")}}}""",
+        s"""{"status":"success"$warn,"data":{"resultType":"matrix","result":${
+          kept.mkString("[", ",", "]")}}}""",
         contentType = "application/json")
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -522,6 +523,18 @@ final class HttpFrontend(
         respond(ex, code, body, contentType = "application/json")
     }
   })
+
+  /** Prometheus `limit` parameter on the query endpoints (0 or absent =
+    * unlimited): truncate the SERIES list and carry the standard warning
+    * — data-shaping, not an error, exactly Prometheus's behavior. */
+  private def truncateSeries(series: Seq[String],
+      limitParam: Option[String]): (Seq[String], String) = {
+    val lim = limitParam.map(_.toInt).getOrElse(0)
+    require(lim >= 0, s"limit must be non-negative, got $lim")
+    if (lim == 0 || series.length <= lim) (series, "")
+    else (series.take(lim),
+      ""","warnings":["results truncated due to limit"]""")
+  }
 
   /** Prometheus instant query (`GET /api/v1/query?query=…[&time=…]`) — the
     * first endpoint every Prometheus client (Grafana Explore, promtool)
@@ -557,9 +570,10 @@ final class HttpFrontend(
         .sortBy(_._1)
         .map { case (metric, v) =>
           s"""{"metric":$metric,"value":[${fmtTs(tSec)},"$v"]}""" }
+      val (kept, warn) = truncateSeries(result, p.get("limit"))
       respond(ex, 200,
-        s"""{"status":"success","data":{"resultType":"vector","result":${
-          result.mkString("[", ",", "]")}}}""",
+        s"""{"status":"success"$warn,"data":{"resultType":"vector","result":${
+          kept.mkString("[", ",", "]")}}}""",
         contentType = "application/json")
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -830,11 +844,20 @@ final class HttpFrontend(
     * no Spark job. */
   countedContext("/api/v1/rules", (ex: HttpExchange) => {
     try {
+      // Prometheus `type` filter: alert | record | absent = both
+      val typeFilter = queryParams(ex).get("type")
+      typeFilter.foreach(t => require(t == "alert" || t == "record",
+        s"type must be 'alert' or 'record', got '$t'"))
       val body = ruleEngine match {
         case None => """{"status":"success","data":{"groups":[]}}"""
         case Some(re) =>
           val gs = re.groups.map { g =>
-            val rs = g.rules.zipWithIndex.map { case (r, i) =>
+            val rs = g.rules.zipWithIndex.filter { case (r, _) =>
+              typeFilter.forall {
+                case "alert" => r.isInstanceOf[AlertingRule]
+                case _ => r.isInstanceOf[RecordingRule]
+              }
+            }.map { case (r, i) =>
               val h = re.healthOf(g.name, i)
               val common = s""""name":"${esc(r.name)}","query":"${esc(r.expr)}",""" +
                 s""""labels":${mapJson(r.labels)},"health":"${h.health}",""" +
@@ -1014,6 +1037,39 @@ final class HttpFrontend(
         respond(ex, code, body, contentType = "application/json")
     }
   })
+
+  /** `GET /api/v1/status/flags` + `/api/v1/status/runtimeinfo` — the two
+    * remaining status probes Grafana's datasource health check may issue.
+    * Flags reports the engine's actual serving configuration under the
+    * Prometheus flag names; runtimeinfo reports real process facts. */
+  countedContext("/api/v1/status/flags", (ex: HttpExchange) =>
+    respond(ex, 200,
+      s"""{"status":"success","data":{""" +
+        s""""query.lookback-delta":"${lookbackMs / 1000}s",""" +
+        s""""query.max-samples":"$maxResultRows",""" +
+        s""""storage.tsdb.retention.time":"0s",""" +
+        s""""web.enable-remote-write-receiver":"true"}}""",
+      contentType = "application/json"))
+
+  countedContext("/api/v1/status/runtimeinfo", (ex: HttpExchange) =>
+    respond(ex, 200,
+      s"""{"status":"success","data":{""" +
+        s""""startTime":"${rfc3339(startedAtMs)}",""" +
+        s""""CWD":"${esc(System.getProperty("user.dir"))}",""" +
+        s""""reloadConfigSuccess":true,"lastConfigTime":"${
+          rfc3339(startedAtMs)}",""" +
+        s""""goroutineCount":${Thread.activeCount()},""" +
+        s""""GOMAXPROCS":${Runtime.getRuntime.availableProcessors()},""" +
+        s""""storageRetention":"0s"}}""",
+      contentType = "application/json"))
+
+  /** `GET /api/v1/targets` — no scrape machinery exists (ingest is push:
+    * remote write / OTLP), so the target lists are empty, exactly what
+    * Prometheus returns with no scrape configs. */
+  countedContext("/api/v1/targets", (ex: HttpExchange) =>
+    respond(ex, 200,
+      """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}""",
+      contentType = "application/json"))
 
   countedContext("/api/v1/status/buildinfo", (ex: HttpExchange) =>
     respond(ex, 200,

@@ -403,6 +403,29 @@ class HttpFrontendSpec extends AnyFunSuite {
       assert(mixed.statusCode() == 200 && mixed.body().contains(""""5.0""""),
         mixed.body())
 
+      // status probes: flags report the real serving config, runtimeinfo
+      // real process facts, targets the empty no-scrape-config shape
+      val fl = get(port, "/api/v1/status/flags")
+      assert(fl.statusCode() == 200 &&
+        fl.body().contains(""""query.lookback-delta":"300s""""), fl.body())
+      val ri = get(port, "/api/v1/status/runtimeinfo")
+      assert(ri.statusCode() == 200 &&
+        ri.body().contains(""""reloadConfigSuccess":true"""), ri.body())
+      assert(get(port, "/api/v1/targets").body() ==
+        """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}""")
+
+      // limit parameter truncates the series list with the standard warning
+      val qAll = java.net.URLEncoder.encode("cpu_seconds_total", "UTF-8")
+      val lim = get(port, s"/api/v1/query?query=$qAll&time=$tEval&limit=1")
+      assert(lim.statusCode() == 200 &&
+        lim.body().contains(""""warnings":["results truncated due to limit"]""") &&
+        lim.body().split("\"metric\"").length == 2, lim.body())
+      val unlim = get(port, s"/api/v1/query?query=$qAll&time=$tEval")
+      assert(!unlim.body().contains("warnings") &&
+        unlim.body().split("\"metric\"").length == 3, unlim.body())
+      assert(get(port,
+        s"/api/v1/query?query=$qAll&time=$tEval&limit=-2").statusCode() == 400)
+
       // format_query: canonical pretty-print, parse errors as bad_data
       val raw = java.net.URLEncoder.encode(
         "sum   by(host)(rate(cpu_seconds_total{mode=\"user\"}[5m]))", "UTF-8")

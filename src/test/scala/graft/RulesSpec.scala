@@ -212,6 +212,13 @@ class RulesSpec extends AnyFunSuite {
       assert(rb.contains(""""health":"ok""""))
       assert(rb.contains(""""summary":"cpu is high""""))
 
+      // type filter: record / alert partition the same groups
+      val recOnly = get(port, "/api/v1/rules?type=record").body()
+      assert(recOnly.contains("job:cpu:sum") && !recOnly.contains("HighCpu"))
+      val alOnly = get(port, "/api/v1/rules?type=alert").body()
+      assert(!alOnly.contains("job:cpu:sum") && alOnly.contains("HighCpu"))
+      assert(get(port, "/api/v1/rules?type=bogus").statusCode() == 400)
+
       val alerts = get(port, "/api/v1/alerts")
       assert(alerts.statusCode() == 200)
       assert(alerts.body().contains(""""alertname":"HighCpu""""))
@@ -228,7 +235,8 @@ class RulesSpec extends AnyFunSuite {
       assert(sm.statusCode() == 200)
       assert(sm.headers().firstValue("Content-Type").orElse("")
         .startsWith("text/plain; version=0.0.4"))
-      assert(sm.body().contains("""graft_http_requests_total{handler="/api/v1/rules"} 2"""))
+      // 5 = the plain get, 3 type-filter gets, and the pre-/metrics get
+      assert(sm.body().contains("""graft_http_requests_total{handler="/api/v1/rules"} 5"""))
       // >= 2: our explicit evalGroupOnce, plus whatever the live
       // scheduler has run at wall-clock times (expressions evaluate
       // empty there, but they count)
