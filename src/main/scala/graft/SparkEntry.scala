@@ -153,6 +153,21 @@ object SparkEntry {
       servingEngineCache.getOrElseUpdate(key, build)
     }
 
+  /** 1-day rollup over the shared events engine ([[graft.metric.Rollup]]):
+    * refreshed once; queries answer from the combinable
+    * (cnt,sum,min,max,last) partials instead of raw samples. */
+  private val rollupCache =
+    scala.collection.mutable.Map.empty[String, graft.metric.Rollup]
+
+  private def rollupOf(s: SparkSession, dir: String): graft.metric.Rollup =
+    rollupCache.synchronized {
+      rollupCache.getOrElseUpdate(dir, {
+        val r = new graft.metric.Rollup(metricEngine(s, dir), 86400000L)
+        r.refresh()
+        r
+      })
+    }
+
   /** Engine with a RECORDING + ALERTING rule group evaluated over the
     * events ingest ([[graft.server.RuleEngine]]): the recording rule
     * materializes per-uid purchase totals under a new metric name; the
@@ -1000,6 +1015,24 @@ object SparkEntry {
       bucketedEngine(s, dir)
         .queryPromQL("max by (uid) (purchase)",
           graft.storage.TimeRange(Long.MinValue, Long.MaxValue))),
+
+    // DOWNSAMPLED rollup path end to end: per-(series, day) combinable
+    // partials materialized incrementally from the data manifest, then a
+    // per-uid daily sum answered ENTIRELY from the rollup table — the
+    // oracle replays the same aggregation from raw events, so the
+    // partials (and their bucket alignment) must be exact.
+    "ro1_rollup_day" -> ((s, dir) =>
+      rollupOf(s, dir).query(graft.metric.MetricQuery("purchase",
+          stepMs = Some(86400000L), agg = graft.metric.MetricAgg.Sum,
+          groupByTag = Some("uid")))
+        .withColumn("value", round(col("value"), 2))),
+
+    // avg from sum/cnt partials (never an average of averages): per-uid
+    // all-time average purchase value from the rollup.
+    "ro2_rollup_avg" -> ((s, dir) =>
+      rollupOf(s, dir).query(graft.metric.MetricQuery("purchase",
+          agg = graft.metric.MetricAgg.Avg, groupByTag = Some("uid")))
+        .withColumn("value", round(col("value"), 2))),
 
     // RECORDING RULE end to end: the rule engine instant-evaluates the
     // per-uid purchase total and writes it back as a new metric; querying
@@ -3408,6 +3441,22 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS uid, max(value) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY uid""".stripMargin,
+
+    // Daily per-uid sums must come out of the rollup partials exactly as
+    // from raw events.
+    "ro1_rollup_day" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |    * 86400000 AS bucket_ms,
+        |  round(sum(value), 2) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ro2_rollup_avg" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  round(sum(value) / count(*), 2) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
 
     // The recording rule materialized sum_over_time over one whole-range
     // window, so the recorded metric must equal the raw per-uid total.

@@ -341,7 +341,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     }.reduce((a, b) => a.join(b, Seq("tsid"), "left_semi"))
   }
 
-  private def metricIdOf(name: String): Option[Long] = {
+  private[metric] def metricIdOf(name: String): Option[Long] = {
     val rows = metrics.scan(ScanRequest(
       predicates = Seq(col("metric_name") === name),
       projection = Some(Seq("metric_id")))).limit(1).collect()

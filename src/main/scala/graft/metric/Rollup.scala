@@ -1,0 +1,175 @@
+package graft.metric
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.storage._
+
+/** Downsampled rollup table over the engine's data table — the 100 TB
+  * dashboard path (the shape Thanos/Cortex/M3 downsampling and the
+  * reference RFC's PromQL pushdown aggregations exist for: a 30-day
+  * dashboard at 15 s raw resolution scans 172,800 samples per series;
+  * the 1 h rollup scans 720).
+  *
+  * One rollup row per (metric_id, tsid, grid bucket) holding the five
+  * COMBINABLE partials `(cnt, sum, min, max, last)` — so any coarser
+  * step re-aggregates exactly (sum-of-sums, min-of-mins, …) and `avg`
+  * stays exact as `sum(sum)/sum(cnt)`, never an average of averages.
+  * `last` carries the bucket's newest value (storage merge order) for
+  * gauge-style "current value per hour" reads.
+  *
+  * [[refresh]] is INCREMENTAL per segment, driven by the data manifest:
+  * a segment is (re)rolled only when it contains an SST id above the
+  * last refresh's watermark (SST ids are the write sequence). Re-rolled
+  * buckets overwrite their previous rollup rows through the store's
+  * last-write-wins pk merge — late-arriving data repairs its bucket on
+  * the next refresh, the same merge-on-read policy as the raw table.
+  * The watermark persists next to the rollup data, so refresh cost
+  * after restart stays proportional to NEW data, not history.
+  *
+  * Scale: refresh reads only dirty segments (bounded by ingest rate ×
+  * refresh cadence, not table size), shuffles on (tsid, bucket) — the
+  * same uniform keys as every engine aggregation — and writes one
+  * sorted SST per dirty segment. Queries prune rollup SSTs by time
+  * range exactly like raw scans, then aggregate ~grid/interval× fewer
+  * rows. */
+final class Rollup(engine: MetricEngine, val gridMs: Long) {
+  require(gridMs > 0, s"gridMs must be positive, got $gridMs")
+  require(engine.data.segmentMs % gridMs == 0,
+    s"gridMs ($gridMs) must divide the data segment size " +
+      s"(${engine.data.segmentMs}) so buckets never straddle segments")
+
+  private val spark = engine.data.spark
+
+  private val rollupSchema = StructType(Seq(
+    StructField("metric_id", LongType, nullable = false),
+    StructField("tsid", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = true),
+    StructField("sum", DoubleType, nullable = true),
+    StructField("min", DoubleType, nullable = true),
+    StructField("max", DoubleType, nullable = true),
+    StructField("last", DoubleType, nullable = true)))
+
+  /** The rollup's own time-merge store, next to the data table. */
+  val store = new TimeMergeStorage(spark, s"${engine.data.root}_rollup_$gridMs",
+    StorageSchema(rollupSchema, numPrimaryKeys = 3), engine.data.segmentMs,
+    timestampColumn = Some("ts"))
+
+  private val fs = store.spark.sparkContext.hadoopConfiguration
+  private val watermarkPath =
+    new org.apache.hadoop.fs.Path(s"${store.root}/rollup_watermark")
+
+  private def readWatermark(): Long = {
+    val hfs = watermarkPath.getFileSystem(fs)
+    if (!hfs.exists(watermarkPath)) Long.MinValue
+    else {
+      val in = hfs.open(watermarkPath)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeWatermark(v: Long): Unit = {
+    val hfs = watermarkPath.getFileSystem(fs)
+    val tmp = new org.apache.hadoop.fs.Path(s"${store.root}/.rollup_watermark.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (hfs.exists(watermarkPath)) hfs.delete(watermarkPath, false)
+    if (!hfs.rename(tmp, watermarkPath))
+      throw new java.io.IOException(s"failed to commit $watermarkPath")
+  }
+
+  final case class RefreshStats(segmentsRolled: Int, maxSstId: Long)
+
+  /** Roll up every segment containing data SSTs newer than the last
+    * refresh. Segments with no new writes are untouched. Returns how
+    * many segments were (re)rolled and the new watermark. */
+  def refresh(): RefreshStats = {
+    val watermark = readWatermark()
+    val ssts = engine.data.manifest.allSsts()
+    if (ssts.isEmpty) return RefreshStats(0, watermark)
+    val segMs = engine.data.segmentMs
+    // dirty segment = contains an SST above the watermark; SST ranges may
+    // span a whole segment, so bucket by range start (writes never cross
+    // segments — the store enforces it)
+    val dirty = ssts.filter(_.id > watermark)
+      .map(f => TimeRange.truncate(f.timeRange.start, segMs)).distinct.sorted
+    dirty.foreach { seg =>
+      val range = TimeRange(seg, seg + segMs)
+      val rolled = engine.data.scan(ScanRequest(range = range))
+        .withColumn("__bucket__",
+          floor(col("ts") / lit(gridMs)).cast("long") * gridMs)
+        .groupBy(col("metric_id"), col("tsid"), col("__bucket__"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("value")).as("sum"),
+          min(col("value")).as("min"),
+          max(col("value")).as("max"),
+          // newest by raw timestamp; storage merge already collapsed
+          // same-ms duplicates to the newest SST's value
+          max_by(col("value"), col("ts")).as("last"))
+        .withColumnRenamed("__bucket__", "ts")
+      store.write(rolled, range)
+    }
+    val newWatermark = ssts.map(_.id).max
+    if (dirty.nonEmpty || watermark == Long.MinValue)
+      writeWatermark(newWatermark)
+    RefreshStats(dirty.size, newWatermark)
+  }
+
+  /** [[MetricEngine.query]] answered from the rollup: exact for the
+    * combinable aggregations (`sum/count/min/max/avg`) at any step that
+    * is a multiple of the grid. Output shape matches the engine's
+    * (tag?, bucket_ms?, value). `rate` and non-combinable aggregations
+    * (stddev/stdvar need sum-of-squares partials; `group` is trivial on
+    * raw) are rejected — callers fall back to the raw table. */
+  def query(q: MetricQuery): DataFrame = {
+    require(!q.rate, "rate needs raw adjacent samples — query the raw table")
+    val stepMs = q.stepMs.getOrElse(
+      // unstepped = one bucket over the whole range
+      Long.MaxValue)
+    if (stepMs != Long.MaxValue)
+      require(stepMs % gridMs == 0,
+        s"step ($stepMs) must be a multiple of the rollup grid ($gridMs)")
+    require(Set[MetricAgg](MetricAgg.Sum, MetricAgg.Count, MetricAgg.Min,
+        MetricAgg.Max, MetricAgg.Avg).contains(q.agg),
+      s"${q.agg} is not answerable from (cnt,sum,min,max,last) partials — " +
+        "query the raw table")
+    val mid = engine.metricIdOf(q.metric).getOrElse(
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(
+          q.groupByTag.map(t => StructField(t, StringType)).toSeq ++
+            q.stepMs.map(_ => StructField("bucket_ms", LongType)).toSeq :+
+            StructField("value", DoubleType))))
+    val tsids = engine.lookupTsids(mid, q.labelFilters)
+    var rows = store.scan(ScanRequest(range = q.range,
+        predicates = Seq(col("metric_id") === mid)))
+      .join(broadcast(tsids), Seq("tsid"), "left_semi")
+    val bucketCol = q.stepMs.map(st =>
+      (floor(col("ts") / lit(st)).cast("long") * st).as("bucket_ms"))
+    val tagAlias = "__graft_tag__"
+    q.groupByTag.foreach { tag =>
+      val tagVals = engine.index.scan(ScanRequest(predicates = Seq(
+          col("metric_id") === mid, col("tag_key") === tag)))
+        .select(col("tsid"), col("tag_value").as(tagAlias))
+      rows = rows.join(broadcast(tagVals), Seq("tsid"), "left")
+        .withColumn(tagAlias, coalesce(col(tagAlias), lit("")))
+    }
+    val keys = q.groupByTag.map(_ => col(tagAlias)).toSeq ++ bucketCol.toSeq
+    val valueAgg = q.agg match {
+      case MetricAgg.Sum => sum(col("sum"))
+      case MetricAgg.Count => sum(col("cnt")).cast("double")
+      case MetricAgg.Min => min(col("min"))
+      case MetricAgg.Max => max(col("max"))
+      case MetricAgg.Avg => sum(col("sum")) / sum(col("cnt"))
+      case other => throw new IllegalStateException(
+        s"unreachable: $other rejected above")
+    }
+    val agged =
+      if (keys.isEmpty) rows.agg(valueAgg.as("value"))
+      else rows.groupBy(keys: _*).agg(valueAgg.as("value"))
+    q.groupByTag.foldLeft(agged)((df, tag) => df.withColumnRenamed(tagAlias, tag))
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.metric._
+import graft.storage.TimeRange
+
+/** Downsampled rollup tables: incremental per-segment refresh off the data
+  * manifest, combinable partials, exact agreement with raw-table queries,
+  * late-data repair, and the rejection surface. */
+class RollupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val hour = 3600000L
+  private val day = 24 * hour
+  // segment = 2 days, grid = 1 hour
+  private def freshEngine(): MetricEngine =
+    new MetricEngine(spark,
+      Files.createTempDirectory("graft-rollup").toString, segmentMs = 2 * day)
+
+  private def write(eng: MetricEngine, rows: Seq[(String, Long, Double)]): Unit =
+    eng.write(spark.createDataFrame(rows.map { case (host, ts, v) =>
+      Sample("cpu", Map("host" -> host), ts, v) }))
+
+  test("refresh is incremental per segment; queries answer from partials " +
+      "exactly; late data repairs its bucket on the next refresh") {
+    val eng = freshEngine()
+    // two segments: [0, 2d) and [2d, 4d)
+    write(eng, Seq(
+      ("a", 1000L, 1.0), ("a", hour + 1, 2.0), ("b", 2000L, 10.0),
+      ("a", 2 * day + 500, 4.0)))
+    val r = new Rollup(eng, gridMs = hour)
+
+    val s1 = r.refresh()
+    assert(s1.segmentsRolled == 2)
+    assert(r.refresh().segmentsRolled == 0) // nothing new -> no work
+
+    def hourlySum(): Map[(String, Long), Double] =
+      r.query(MetricQuery("cpu", stepMs = Some(hour), agg = MetricAgg.Sum,
+          groupByTag = Some("host")))
+        .collect().map(row => (row.getAs[String]("host"),
+          row.getAs[Long]("bucket_ms")) -> row.getAs[Double]("value")).toMap
+    assert(hourlySum() == Map(
+      ("a", 0L) -> 1.0, ("a", hour) -> 2.0, ("b", 0L) -> 10.0,
+      ("a", 2 * day) -> 4.0))
+
+    // late write into the FIRST segment: only that segment re-rolls, and
+    // the bucket repairs (rollup rows overwrite via pk last-write-wins)
+    write(eng, Seq(("a", 3000L, 5.0)))
+    val s2 = r.refresh()
+    assert(s2.segmentsRolled == 1)
+    assert(hourlySum()(("a", 0L)) == 6.0)
+  }
+
+  test("rollup query equals the raw-table query for every combinable " +
+      "aggregation, stepped and unstepped") {
+    val eng = freshEngine()
+    val rnd = new scala.util.Random(42)
+    write(eng, (0 until 200).map(i =>
+      (s"h${i % 3}", (i * 37L * 60000L) % (4 * day), rnd.nextDouble() * 100)))
+    val r = new Rollup(eng, gridMs = hour)
+    r.refresh()
+    for (agg <- Seq(MetricAgg.Sum, MetricAgg.Count, MetricAgg.Min,
+        MetricAgg.Max, MetricAgg.Avg);
+        step <- Seq(Some(day), None)) {
+      val q = MetricQuery("cpu", stepMs = step, agg = agg,
+        groupByTag = Some("host"))
+      val viaRollup = r.query(q).withColumn("value", round(col("value"), 6))
+        .collect().map(_.toSeq).toSet
+      val viaRaw = eng.query(q).withColumn("value", round(col("value"), 6))
+        .collect().map(_.toSeq).toSet
+      assert(viaRollup == viaRaw, s"agg=$agg step=$step")
+    }
+    // label-filtered too
+    val q = MetricQuery("cpu", labelFilters = Map("host" -> "h1"),
+      stepMs = Some(day), agg = MetricAgg.Sum)
+    // round 6: partial-then-total summation order differs from raw by ULPs
+    assert(r.query(q).withColumn("value", round(col("value"), 6))
+      .collect().map(_.toSeq).toSet ==
+      eng.query(q).withColumn("value", round(col("value"), 6))
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("last partial carries each bucket's newest value") {
+    val eng = freshEngine()
+    write(eng, Seq(("a", 100L, 1.0), ("a", 200L, 7.0), ("a", hour + 1, 3.0)))
+    val r = new Rollup(eng, gridMs = hour)
+    r.refresh()
+    val last = r.store.scan()
+      .select("ts", "last").collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(last == Map(0L -> 7.0, hour -> 3.0))
+  }
+
+  test("rejections: grid must divide the segment, step must be a grid " +
+      "multiple, rate and stddev fall back to raw") {
+    val eng = freshEngine()
+    intercept[IllegalArgumentException](new Rollup(eng, gridMs = 7000L))
+    val r = new Rollup(eng, gridMs = hour)
+    intercept[IllegalArgumentException](
+      r.query(MetricQuery("cpu", stepMs = Some(hour + 1))))
+    intercept[IllegalArgumentException](
+      r.query(MetricQuery("cpu", rate = true, stepMs = Some(hour))))
+    intercept[IllegalArgumentException](
+      r.query(MetricQuery("cpu", agg = MetricAgg.Stddev)))
+    // unknown metric: empty frame with the query's schema
+    val empty = r.query(MetricQuery("nope", stepMs = Some(hour),
+      groupByTag = Some("host")))
+    assert(empty.columns.toSeq == Seq("host", "bucket_ms", "value"))
+    assert(empty.count() == 0)
+  }
+
+  test("watermark survives a reopen: a new Rollup instance over the same " +
+      "roots refreshes nothing until new data arrives") {
+    val eng = freshEngine()
+    write(eng, Seq(("a", 1000L, 1.0)))
+    val r1 = new Rollup(eng, gridMs = hour)
+    assert(r1.refresh().segmentsRolled == 1)
+    val r2 = new Rollup(eng, gridMs = hour) // same engine root -> same store
+    assert(r2.refresh().segmentsRolled == 0)
+    write(eng, Seq(("a", hour * 5, 2.0)))
+    assert(r2.refresh().segmentsRolled == 1)
+  }
+}
