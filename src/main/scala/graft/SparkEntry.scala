@@ -168,6 +168,30 @@ object SparkEntry {
       })
     }
 
+  /** Engine with a 1-day rollup REGISTERED for transparent routing (its
+    * own store, so the shared [[metricEngine]] fixture's queries keep
+    * measuring the raw path). */
+  private val routedEngineCache =
+    scala.collection.mutable.Map.empty[String, graft.metric.MetricEngine]
+
+  private def routedEngine(s: SparkSession, dir: String): graft.metric.MetricEngine =
+    routedEngineCache.synchronized {
+      routedEngineCache.getOrElseUpdate(dir, {
+        val eng = new graft.metric.MetricEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-routed-engine").toString,
+          segmentMs = 7L * 86400000L)
+        eng.write(t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_type").as("name"),
+            map(lit("uid"), col("user_id").cast("string")).as("labels"),
+            tsMs.as("timestamp"), col("value")))
+        val r = new graft.metric.Rollup(eng, 86400000L)
+        r.refresh()
+        eng.registerRollup(r)
+        eng
+      })
+    }
+
   /** Engine with a RECORDING + ALERTING rule group evaluated over the
     * events ingest ([[graft.server.RuleEngine]]): the recording rule
     * materializes per-uid purchase totals under a new metric name; the
@@ -1032,6 +1056,27 @@ object SparkEntry {
     "ro2_rollup_avg" -> ((s, dir) =>
       rollupOf(s, dir).query(graft.metric.MetricQuery("purchase",
           agg = graft.metric.MetricAgg.Avg, groupByTag = Some("uid")))
+        .withColumn("value", round(col("value"), 2))),
+
+    // Transparent rollup ROUTING through the PromQL text surface: the
+    // registered fresh 1-day rollup answers the fast-path aggregation
+    // (RollupSpec asserts the plan reads rollup files); the oracle
+    // replays from raw events, so routing must be value-invisible.
+    "ro3_rollup_promql" -> ((s, dir) =>
+      routedEngine(s, dir)
+        .queryPromQL("sum by (uid) (purchase)",
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue),
+          Some(86400000L))
+        .withColumn("value", round(col("value"), 2))),
+
+    // Counter-rate ROUTING: sum(increase(...)) answered from the rollup's
+    // (first, last, inc) partials — the oracle replays the reset-aware
+    // lag deltas from raw events, so the reconstruction must be exact.
+    "ro4_rollup_rate" -> ((s, dir) =>
+      routedEngine(s, dir)
+        .queryPromQL("sum by (uid) (increase(purchase[1d]))",
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue),
+          Some(86400000L))
         .withColumn("value", round(col("value"), 2))),
 
     // RECORDING RULE end to end: the rule engine instant-evaluates the
@@ -3457,6 +3502,33 @@ object SparkEntry {
         |  round(sum(value) / count(*), 2) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+
+    // Routing through the rollup must be value-invisible vs raw replay.
+    "ro3_rollup_promql" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |    * 86400000 AS bucket_ms,
+        |  round(sum(value), 2) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Reset-aware increase replayed from raw samples: lag over each uid's
+    // time-ordered values, a drop = counter reset (post-reset value counts
+    // fully), the range's first sample contributes 0, deltas attribute to
+    // the later sample's day bucket.
+    "ro4_rollup_rate" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS uid,
+        |    epoch_ms(ts::TIMESTAMP) AS tms, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts::TIMESTAMP)) AS prev
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT uid,
+        |  CAST(floor(tms / 86400000) AS BIGINT) * 86400000 AS bucket_ms,
+        |  round(sum(CASE WHEN prev IS NULL THEN 0
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END), 2) AS value
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     // The recording rule materialized sum_over_time over one whole-range
     // window, so the recorded metric must equal the raw per-uid total.

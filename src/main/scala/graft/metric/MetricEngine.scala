@@ -341,6 +341,41 @@ final class MetricEngine(spark: SparkSession, root: String,
     }.reduce((a, b) => a.join(b, Seq("tsid"), "left_semi"))
   }
 
+  /** Registered rollups ([[Rollup]]) considered for transparent routing
+    * by [[queryPromQL]]'s fast path, coarsest grid first (the coarsest
+    * eligible rollup scans the least). Registration is explicit — the
+    * deployment decides which grids exist and when they refresh. */
+  @volatile private var rollups: Seq[Rollup] = Nil
+
+  def registerRollup(r: Rollup): Unit = synchronized {
+    rollups = (rollups :+ r).sortBy(-_.gridMs)
+  }
+
+  /** The coarsest registered rollup that can answer `q` EXACTLY:
+    * combinable aggregation, no rate, a step that is a multiple of the
+    * grid (an unstepped query aggregates whole buckets, so any grid
+    * works), range bounds on grid boundaries (a mid-bucket bound would
+    * include/exclude partial buckets differently than raw), and FRESH —
+    * the rollup's watermark covers the manifest head, so a rollup that
+    * lags ingest falls back to raw automatically instead of answering
+    * stale. */
+  private def rollupFor(q: MetricQuery): Option[Rollup] = {
+    // rate routes only under sum (the fast path's only rate shape);
+    // stddev/stdvar stay on raw — the moment partials are answerable
+    // ([[Rollup.query]]) but less numerically stable than two-pass
+    val combinable = Set[MetricAgg](MetricAgg.Sum, MetricAgg.Count,
+      MetricAgg.Min, MetricAgg.Max, MetricAgg.Avg)
+    val aggOk =
+      if (q.rate) q.agg == MetricAgg.Sum else combinable.contains(q.agg)
+    if (!aggOk) None
+    else rollups.find { r =>
+      def boundOk(v: Long) = v == Long.MinValue || v == Long.MaxValue ||
+        Math.floorMod(v, r.gridMs) == 0
+      q.stepMs.forall(_ % r.gridMs == 0) &&
+        boundOk(q.range.start) && boundOk(q.range.end) && r.isFresh
+    }
+  }
+
   private[metric] def metricIdOf(name: String): Option[Long] = {
     val rows = metrics.scan(ScanRequest(
       predicates = Seq(col("metric_name") === name),
@@ -558,15 +593,23 @@ final class MetricEngine(spark: SparkSession, root: String,
       case Agg(op, by, sel: Selector, false)
           if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
             sel.offsetMs == 0L && by.forall(fastPathSafeLabel) =>
-        query(MetricQuery(sel.metric, eqFilters(sel).get, range, stepMs, op,
-          by.headOption))
+        val q = MetricQuery(sel.metric, eqFilters(sel).get, range, stepMs, op,
+          by.headOption)
+        // transparent downsampling: a registered rollup answers combinable
+        // aggregations from its partials when the step aligns — the same
+        // result, grid/interval× less scan (Rollup Scaladoc; RollupSpec
+        // asserts rollup ≡ raw)
+        rollupFor(q).map(_.query(q)).getOrElse(query(q))
       case Agg(MetricAgg.Sum, by,
             RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win), false)
           if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
             sel.offsetMs == 0L && stepMs.forall(_ == win) &&
             by.forall(fastPathSafeLabel) =>
-        val inc = query(MetricQuery(sel.metric, eqFilters(sel).get, range,
-          Some(win), MetricAgg.Sum, by.headOption, rate = true))
+        val q = MetricQuery(sel.metric, eqFilters(sel).get, range,
+          Some(win), MetricAgg.Sum, by.headOption, rate = true)
+        // counter rollups route here too: per-bucket (first, last, inc)
+        // partials reconstruct the raw path's reset-aware deltas exactly
+        val inc = rollupFor(q).map(_.query(q)).getOrElse(query(q))
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
         else inc
       case other =>

@@ -50,7 +50,14 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
     StructField("sum", DoubleType, nullable = true),
     StructField("min", DoubleType, nullable = true),
     StructField("max", DoubleType, nullable = true),
-    StructField("last", DoubleType, nullable = true)))
+    StructField("last", DoubleType, nullable = true),
+    // counter partials (Thanos-downsampling shape): bucket-edge samples
+    // plus the reset-aware increase WITHIN the bucket, so rate/increase
+    // re-aggregates exactly — cross-bucket deltas are reconstructed at
+    // query time from (prev.last, next.first)
+    StructField("first", DoubleType, nullable = true),
+    StructField("sumsq", DoubleType, nullable = true),
+    StructField("inc", DoubleType, nullable = true)))
 
   /** The rollup's own time-merge store, next to the data table. */
   val store = new TimeMergeStorage(spark, s"${engine.data.root}_rollup_$gridMs",
@@ -83,6 +90,16 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
 
   final case class RefreshStats(segmentsRolled: Int, maxSstId: Long)
 
+  /** In-memory mirror of the persisted watermark (one file read at
+    * construction, then updated by [[refresh]]), for the engine's
+    * per-query freshness check. */
+  @volatile private var cachedWatermark: Long = readWatermark()
+
+  /** Whether this rollup covers every SST in the data manifest — the
+    * engine routes a query here only when true, so a rollup that lags
+    * ingest degrades to raw-table scans, never to stale answers. */
+  def isFresh: Boolean = engine.data.manifest.maxSstId <= cachedWatermark
+
   /** Roll up every segment containing data SSTs newer than the last
     * refresh. Segments with no new writes are untouched. Returns how
     * many segments were (re)rolled and the new watermark. */
@@ -98,9 +115,17 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
       .map(f => TimeRange.truncate(f.timeRange.start, segMs)).distinct.sorted
     dirty.foreach { seg =>
       val range = TimeRange(seg, seg + segMs)
-      val rolled = engine.data.scan(ScanRequest(range = range))
+      val bucketed = engine.data.scan(ScanRequest(range = range))
         .withColumn("__bucket__",
           floor(col("ts") / lit(gridMs)).cast("long") * gridMs)
+      // within-bucket reset-aware delta (first sample of the bucket = 0);
+      // the window partitions on the SAME keys as the groupBy below, so
+      // Catalyst plans one exchange for both
+      val rolled = bucketed
+        .withColumn("__delta__", graft.functions.Rate.resetAwareDelta(
+          col("value"),
+          Seq(col("metric_id"), col("tsid"), col("__bucket__")),
+          Seq(col("ts"))))
         .groupBy(col("metric_id"), col("tsid"), col("__bucket__"))
         .agg(count(lit(1)).cast("long").as("cnt"),
           sum(col("value")).as("sum"),
@@ -108,34 +133,47 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
           max(col("value")).as("max"),
           // newest by raw timestamp; storage merge already collapsed
           // same-ms duplicates to the newest SST's value
-          max_by(col("value"), col("ts")).as("last"))
+          max_by(col("value"), col("ts")).as("last"),
+          min_by(col("value"), col("ts")).as("first"),
+          sum(col("value") * col("value")).as("sumsq"),
+          sum(col("__delta__")).as("inc"))
         .withColumnRenamed("__bucket__", "ts")
       store.write(rolled, range)
     }
     val newWatermark = ssts.map(_.id).max
-    if (dirty.nonEmpty || watermark == Long.MinValue)
+    if (dirty.nonEmpty || watermark == Long.MinValue) {
       writeWatermark(newWatermark)
+      cachedWatermark = newWatermark
+    }
     RefreshStats(dirty.size, newWatermark)
   }
 
   /** [[MetricEngine.query]] answered from the rollup: exact for the
     * combinable aggregations (`sum/count/min/max/avg`) at any step that
-    * is a multiple of the grid. Output shape matches the engine's
-    * (tag?, bucket_ms?, value). `rate` and non-combinable aggregations
-    * (stddev/stdvar need sum-of-squares partials; `group` is trivial on
-    * raw) are rejected — callers fall back to the raw table. */
+    * is a multiple of the grid, for `sum(rate/increase)` (the counter
+    * partials carry each bucket's reset-aware internal increase plus its
+    * edge samples, so cross-bucket deltas reconstruct from
+    * `(prev.last, next.first)` — the exact arithmetic of the raw path's
+    * lag-based delta, on grid/interval× fewer rows), and for
+    * stddev/stdvar from the sum-of-squares partial (explicit callers
+    * only — the two-pass raw form is more numerically stable, so
+    * transparent routing leaves them on raw). Output shape matches the
+    * engine's (tag?, bucket_ms?, value). `group` is rejected — trivial
+    * on raw. */
   def query(q: MetricQuery): DataFrame = {
-    require(!q.rate, "rate needs raw adjacent samples — query the raw table")
     val stepMs = q.stepMs.getOrElse(
       // unstepped = one bucket over the whole range
       Long.MaxValue)
     if (stepMs != Long.MaxValue)
       require(stepMs % gridMs == 0,
         s"step ($stepMs) must be a multiple of the rollup grid ($gridMs)")
-    require(Set[MetricAgg](MetricAgg.Sum, MetricAgg.Count, MetricAgg.Min,
-        MetricAgg.Max, MetricAgg.Avg).contains(q.agg),
-      s"${q.agg} is not answerable from (cnt,sum,min,max,last) partials — " +
-        "query the raw table")
+    if (q.rate) require(q.agg == MetricAgg.Sum,
+      s"rate is answerable from partials only under sum, got ${q.agg}")
+    else require(Set[MetricAgg](MetricAgg.Sum, MetricAgg.Count, MetricAgg.Min,
+        MetricAgg.Max, MetricAgg.Avg, MetricAgg.Stddev, MetricAgg.Stdvar)
+        .contains(q.agg),
+      s"${q.agg} is not answerable from (cnt,sum,min,max,last,first,sumsq," +
+        "inc) partials — query the raw table")
     val mid = engine.metricIdOf(q.metric).getOrElse(
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -147,6 +185,19 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
     var rows = store.scan(ScanRequest(range = q.range,
         predicates = Seq(col("metric_id") === mid)))
       .join(broadcast(tsids), Seq("tsid"), "left_semi")
+    if (q.rate) {
+      // per-bucket increase = internal inc + reset-aware boundary delta
+      // from the previous IN-RANGE bucket (the range's first bucket gets
+      // 0, exactly like the raw path's first-sample-in-range delta);
+      // the lag partitions on tsid like the raw path's resetAwareDelta
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tsid")).orderBy(col("ts"))
+      val prevLast = lag(col("last"), 1).over(w)
+      val boundary = when(prevLast.isNull, lit(0.0))
+        .when(col("first") >= prevLast, col("first") - prevLast)
+        .otherwise(col("first")) // counter reset between buckets
+      rows = rows.withColumn("inc", col("inc") + boundary)
+    }
     val bucketCol = q.stepMs.map(st =>
       (floor(col("ts") / lit(st)).cast("long") * st).as("bucket_ms"))
     val tagAlias = "__graft_tag__"
@@ -158,15 +209,23 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
         .withColumn(tagAlias, coalesce(col(tagAlias), lit("")))
     }
     val keys = q.groupByTag.map(_ => col(tagAlias)).toSeq ++ bucketCol.toSeq
-    val valueAgg = q.agg match {
-      case MetricAgg.Sum => sum(col("sum"))
-      case MetricAgg.Count => sum(col("cnt")).cast("double")
-      case MetricAgg.Min => min(col("min"))
-      case MetricAgg.Max => max(col("max"))
-      case MetricAgg.Avg => sum(col("sum")) / sum(col("cnt"))
-      case other => throw new IllegalStateException(
-        s"unreachable: $other rejected above")
-    }
+    // population variance from moments; clamp the FP-cancellation residue
+    def momentVar = greatest(
+      sum(col("sumsq")) / sum(col("cnt")) -
+        pow(sum(col("sum")) / sum(col("cnt")), 2), lit(0.0))
+    val valueAgg =
+      if (q.rate) sum(col("inc"))
+      else q.agg match {
+        case MetricAgg.Sum => sum(col("sum"))
+        case MetricAgg.Count => sum(col("cnt")).cast("double")
+        case MetricAgg.Min => min(col("min"))
+        case MetricAgg.Max => max(col("max"))
+        case MetricAgg.Avg => sum(col("sum")) / sum(col("cnt"))
+        case MetricAgg.Stddev => sqrt(momentVar)
+        case MetricAgg.Stdvar => momentVar
+        case other => throw new IllegalStateException(
+          s"unreachable: $other rejected above")
+      }
     val agged =
       if (keys.isEmpty) rows.agg(valueAgg.as("value"))
       else rows.groupBy(keys: _*).agg(valueAgg.as("value"))

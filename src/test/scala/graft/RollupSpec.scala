@@ -96,21 +96,122 @@ class RollupSpec extends AnyFunSuite {
   }
 
   test("rejections: grid must divide the segment, step must be a grid " +
-      "multiple, rate and stddev fall back to raw") {
+      "multiple, group and non-sum rate fall back to raw") {
     val eng = freshEngine()
     intercept[IllegalArgumentException](new Rollup(eng, gridMs = 7000L))
     val r = new Rollup(eng, gridMs = hour)
     intercept[IllegalArgumentException](
       r.query(MetricQuery("cpu", stepMs = Some(hour + 1))))
     intercept[IllegalArgumentException](
-      r.query(MetricQuery("cpu", rate = true, stepMs = Some(hour))))
+      r.query(MetricQuery("cpu", rate = true, agg = MetricAgg.Avg,
+        stepMs = Some(hour))))
     intercept[IllegalArgumentException](
-      r.query(MetricQuery("cpu", agg = MetricAgg.Stddev)))
+      r.query(MetricQuery("cpu", agg = MetricAgg.Group)))
     // unknown metric: empty frame with the query's schema
     val empty = r.query(MetricQuery("nope", stepMs = Some(hour),
       groupByTag = Some("host")))
     assert(empty.columns.toSeq == Seq("host", "bucket_ms", "value"))
     assert(empty.count() == 0)
+  }
+
+  test("counter partials answer sum(rate/increase) exactly: in-bucket " +
+      "resets, boundary resets, gaps, single-sample buckets") {
+    val eng = freshEngine()
+    write(eng, Seq(
+      // host a: rises, resets INSIDE bucket 0, rises across the 0->1
+      // boundary, then a gap (bucket 2 empty) into a single-sample bucket 3
+      ("a", 100L, 5.0), ("a", 200L, 9.0), ("a", 300L, 2.0), ("a", 400L, 6.0),
+      ("a", hour + 100, 8.0), ("a", hour + 200, 11.0),
+      ("a", 3 * hour + 100, 1.0), // reset across the gap (11 -> 1)
+      // host b: reset EXACTLY at the bucket boundary sample
+      ("b", 500L, 20.0), ("b", hour + 1, 3.0), ("b", hour + 2, 7.0)))
+    val r = new Rollup(eng, gridMs = hour)
+    r.refresh()
+    for (step <- Seq(Some(hour), Some(2 * hour), None)) {
+      val q = MetricQuery("cpu", stepMs = step, agg = MetricAgg.Sum,
+        groupByTag = Some("host"), rate = true)
+      val viaRollup = r.query(q).collect().map(_.toSeq).toSet
+      val viaRaw = eng.query(q).collect().map(_.toSeq).toSet
+      assert(viaRollup == viaRaw, s"step=$step")
+    }
+    // hand-checked hourly increases (first in-range sample contributes 0)
+    val hourly = r.query(MetricQuery("cpu", stepMs = Some(hour),
+        agg = MetricAgg.Sum, groupByTag = Some("host"), rate = true))
+      .collect().map(row => (row.getAs[String]("host"),
+        row.getAs[Long]("bucket_ms")) -> row.getAs[Double]("value")).toMap
+    assert(hourly == Map(
+      ("a", 0L) -> 10.0,          // +4, reset->2, +4
+      ("a", hour) -> 5.0,         // 6->8 (+2) then +3
+      ("a", 3 * hour) -> 1.0,     // reset across gap: counts the full 1.0
+      ("b", 0L) -> 0.0,
+      ("b", hour) -> 7.0))        // 20->3 reset (3) then +4
+  }
+
+  test("stddev/stdvar answer from the moment partials (explicit callers)") {
+    val eng = freshEngine()
+    val rnd = new scala.util.Random(7)
+    write(eng, (0 until 150).map(i =>
+      (s"h${i % 2}", (i * 41L * 60000L) % (2 * day), rnd.nextDouble() * 10)))
+    val r = new Rollup(eng, gridMs = hour)
+    r.refresh()
+    for (agg <- Seq(MetricAgg.Stddev, MetricAgg.Stdvar)) {
+      val q = MetricQuery("cpu", stepMs = Some(day), agg = agg,
+        groupByTag = Some("host"))
+      val viaRollup = r.query(q).withColumn("value", round(col("value"), 6))
+        .collect().map(_.toSeq).toSet
+      val viaRaw = eng.query(q).withColumn("value", round(col("value"), 6))
+        .collect().map(_.toSeq).toSet
+      assert(viaRollup == viaRaw, s"agg=$agg")
+    }
+  }
+
+  test("transparent routing: a registered fresh rollup answers the PromQL " +
+      "fast path; staleness and unaligned bounds fall back to raw") {
+    val eng = freshEngine()
+    write(eng, Seq(("a", 1000L, 1.0), ("a", hour + 1, 2.0), ("b", 2000L, 4.0)))
+    val r = new Rollup(eng, gridMs = hour)
+    r.refresh()
+    eng.registerRollup(r)
+
+    def files(df: org.apache.spark.sql.DataFrame) = df.inputFiles.toSeq
+    val all = TimeRange(Long.MinValue, Long.MaxValue)
+
+    // combinable stepped agg -> rollup files, same values as raw replay
+    val routed = eng.queryPromQL("sum by (host) (cpu)", all, Some(hour))
+    assert(files(routed).exists(_.contains("_rollup_")), files(routed))
+    assert(routed.collect().map(row => (row.getAs[String]("host"),
+        row.getAs[Long]("bucket_ms"), row.getAs[Double]("value"))).toSet ==
+      Set(("a", 0L, 1.0), ("a", hour, 2.0), ("b", 0L, 4.0)))
+
+    // non-combinable agg and unaligned range bounds stay on raw
+    val stddev = eng.queryPromQL("stddev by (host) (cpu)", all, Some(hour))
+    assert(!files(stddev).exists(_.contains("_rollup_")))
+    val unaligned = eng.queryPromQL("sum by (host) (cpu)",
+      TimeRange(500L, Long.MaxValue), Some(hour))
+    assert(!files(unaligned).exists(_.contains("_rollup_")))
+
+    // new ingest makes the rollup stale -> raw (correct fresh values),
+    // refresh restores routing
+    write(eng, Seq(("a", 2000L, 10.0)))
+    val stale = eng.queryPromQL("sum by (host) (cpu)", all, Some(hour))
+    assert(!files(stale).exists(_.contains("_rollup_")))
+    assert(stale.filter(col("host") === "a" && col("bucket_ms") === 0L)
+      .collect().head.getAs[Double]("value") == 11.0)
+    r.refresh()
+    val again = eng.queryPromQL("sum by (host) (cpu)", all, Some(hour))
+    assert(files(again).exists(_.contains("_rollup_")))
+    assert(again.filter(col("host") === "a" && col("bucket_ms") === 0L)
+      .collect().head.getAs[Double]("value") == 11.0)
+
+    // sum(increase(...)) routes through the counter partials and equals
+    // the raw replay; avg(rate) (non-sum) stays on raw
+    val rateRouted = eng.queryPromQL("sum by (host) (increase(cpu[1h]))",
+      all, Some(hour))
+    assert(files(rateRouted).exists(_.contains("_rollup_")), files(rateRouted))
+    val rateRaw = eng.query(MetricQuery("cpu", stepMs = Some(hour),
+      agg = MetricAgg.Sum, groupByTag = Some("host"), rate = true))
+    assert(rateRouted.collect().map(_.toSeq).toSet ==
+      rateRaw.collect().map(_.toSeq).toSet)
   }
 
   test("watermark survives a reopen: a new Rollup instance over the same " +
