@@ -232,3 +232,20 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
     q.groupByTag.foldLeft(agged)((df, tag) => df.withColumnRenamed(tagAlias, tag))
   }
 }
+
+/** Driver-side refresher: a periodic tick calling [[Rollup.refresh]] on
+  * each registered grid — the downsampling analog of
+  * [[graft.storage.CompactionScheduler]]. Single timer thread, so
+  * refreshes never run concurrently with themselves; between ticks the
+  * engine's freshness gate routes queries to raw, so a lagging tick
+  * costs performance, never correctness (`tools/MetricSoak rollup`
+  * exercises the loop live against concurrent ingest). */
+final class RollupScheduler(rollups: Seq[Rollup], intervalMs: Long = 10000L) {
+  private val timer = new java.util.Timer("graft-rollup-scheduler", true)
+  def start(): Unit = timer.scheduleAtFixedRate(new java.util.TimerTask {
+    def run(): Unit = rollups.foreach { r =>
+      try r.refresh() catch { case _: Throwable => () }
+    }
+  }, intervalMs, intervalMs)
+  def stop(): Unit = timer.cancel()
+}

@@ -50,6 +50,19 @@ object MetricSoak {
       CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 30))
     val scheduler = new CompactionScheduler(bgCompactor, intervalMs = 1000L)
     if (useScheduler) { scheduler.start(); println("[soak] background compaction scheduler ON (1s tick)") }
+    // Live downsampling lane: a 1h rollup refreshed on a 1s tick
+    // CONCURRENTLY with ingest (and, with `scheduler`, with compaction —
+    // compaction-swapped SST ids re-roll their segment). The freshness
+    // gate means a query between ingest and the next tick routes to raw;
+    // after the final refresh the routed result must equal raw exactly.
+    val useRollup = args.contains("rollup")
+    val rollup = new Rollup(engine, gridMs = 3600L * 1000)
+    val rollupScheduler = new RollupScheduler(Seq(rollup), intervalMs = 1000L)
+    if (useRollup) {
+      engine.registerRollup(rollup)
+      rollupScheduler.start()
+      println("[soak] background rollup refresher ON (1h grid, 1s tick)")
+    }
     val start = System.nanoTime()
     (0 until numBatches).foreach { b =>
       val samples = (0 until rows).map { i =>
@@ -100,6 +113,28 @@ object MetricSoak {
     println(s"[soak] state footprint: last-value state rows=$nSeries (== series), ingest lane stateless")
     println(f"[soak] ingest=${ingestSec}%.1fs total_samples=$cnt%.0f worker_w1=$perWorker%.0f host3_rate_sum=$rate%.2f")
     assert(cnt == numBatches.toLong * rows, s"lost samples: $cnt")
+    if (useRollup) {
+      rollupScheduler.stop()
+      val stats = rollup.refresh() // catch anything after the last tick
+      println(s"[soak] final rollup refresh: segments=${stats.segmentsRolled} " +
+        s"fresh=${rollup.isFresh} rollupSSTs=${rollup.store.manifest.allSsts().size}")
+      val all = TimeRange(Long.MinValue, Long.MaxValue)
+      val promql = "sum by (worker) (soak_metric)"
+      val routed = engine.queryPromQL(promql, all, Some(3600L * 1000))
+      assert(routed.inputFiles.exists(_.contains("_rollup_")),
+        "routing did not engage after refresh")
+      val raw = engine.query(MetricQuery("soak_metric", stepMs = Some(3600L * 1000),
+        agg = MetricAgg.Sum, groupByTag = Some("worker")))
+      // round 6: partial-then-total summation order differs by ULPs
+      def rounded(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("value", org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value"), 6))
+          .collect().map(_.toSeq).toSet
+      val a = rounded(routed)
+      val b = rounded(raw)
+      assert(a == b, s"routed != raw after live refresh loop: ${a.size} vs ${b.size}")
+      println(s"[soak] rollup-routed hourly sums == raw replay (${a.size} groups)")
+    }
     println("[soak] OK")
     spark.stop()
   }
