@@ -77,7 +77,17 @@ final class HttpFrontend(
       * their own cadences once [[start]] runs, served at `/api/v1/rules`
       * and `/api/v1/alerts`. Rule writes share [[ingestLock]] with the
       * HTTP write path (single-writer manifest). */
-    rules: Seq[RuleGroup] = Nil) {
+    rules: Seq[RuleGroup] = Nil,
+    /** Downsampled rollup grids (ms) to maintain and serve: each grid
+      * gets a [[graft.metric.Rollup]] registered on the engine (so the
+      * query endpoints transparently route exact-answerable aggregations
+      * to it) and a [[graft.metric.RollupScheduler]] refresh tick while
+      * the frontend runs. Between ticks the freshness gate falls back to
+      * raw — never stale reads. */
+    rollupGrids: Seq[Long] = Nil,
+    /** Refresh cadence for [[rollupGrids]] (default 30 s — refresh cost
+      * is bounded by ingest since the last tick, not table size). */
+    rollupRefreshMs: Long = 30000L) {
   require(maxWriteBodyBytes > 0 && maxWriteBodyBytes <= Int.MaxValue - 8L,
     s"maxWriteBodyBytes must be in (0, ${Int.MaxValue - 8}], " +
       s"got $maxWriteBodyBytes — bodies are single JVM arrays")
@@ -102,6 +112,16 @@ final class HttpFrontend(
     if (rules.isEmpty) None
     else Some(new RuleEngine(spark, engine, rules, lookbackMs = lookbackMs,
       writeLock = ingestLock))
+
+  /** The maintained rollups (one per configured grid), registered for
+    * transparent query routing; public so embedding callers can force a
+    * deterministic [[graft.metric.Rollup.refresh]] in tests. */
+  val rollups: Seq[graft.metric.Rollup] =
+    rollupGrids.map(g => new graft.metric.Rollup(engine, g))
+  rollups.foreach(engine.registerRollup)
+  private val rollupScheduler: Option[graft.metric.RollupScheduler] =
+    if (rollups.isEmpty) None
+    else Some(new graft.metric.RollupScheduler(rollups, rollupRefreshMs))
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(4, r => {
@@ -1146,12 +1166,14 @@ final class HttpFrontend(
   def start(): Int = {
     server.start()
     ruleEngine.foreach(_.start())
+    rollupScheduler.foreach(_.start())
     boundPort
   }
   def boundPort: Int = server.getAddress.getPort
   def ingestEnabled: Boolean = keepWriting.get()
 
   def stop(): Unit = {
+    rollupScheduler.foreach(_.stop())
     ruleEngine.foreach(_.stop())
     server.stop(0)
     compactPool.shutdown()

@@ -190,6 +190,46 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("rollupGrids: a frontend-maintained rollup serves query_range " +
+      "value-invisibly, including the hybrid edge-split on the " +
+      "end-inclusive (+1ms) range every real client sends") {
+    val dir = Files.createTempDirectory("graft-http-ro").toString
+    val engine = new MetricEngine(spark, dir)
+    val fe = new HttpFrontend(spark, engine, rollupGrids = Seq(3600000L),
+      rollupRefreshMs = 3600000L) // tick never fires in-test; refresh by hand
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L // day-aligned
+      val body = RemoteWrite.encode(Seq(
+        graft.metric.Sample("ro_req", Map("host" -> "a"), t0, 1.0),
+        graft.metric.Sample("ro_req", Map("host" -> "a"), t0 + 1000, 2.0),
+        graft.metric.Sample("ro_req", Map("host" -> "a"), t0 + 7200000, 9.0),
+        graft.metric.Sample("ro_req", Map("host" -> "b"), t0 + 2000, 5.0)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+      fe.rollups.foreach(_.refresh())
+      assert(fe.rollups.forall(_.isFresh))
+      // routing engages on the engine (grid-aligned range)
+      val routed = engine.queryPromQL("sum by (host) (ro_req)",
+        TimeRange(t0, t0 + 2 * 3600000L), Some(3600000L))
+      assert(routed.inputFiles.exists(_.contains("_rollup_")))
+      // the HTTP surface: end-inclusive +1ms range (what every client
+      // sends) → hybrid edge-split; body must equal a rollup-free replay
+      val q = java.net.URLEncoder.encode("sum by (host) (ro_req)", "UTF-8")
+      val url = s"/api/v1/query_range?query=$q&start=${t0 / 1000}" +
+        s"&end=${t0 / 1000 + 7200}&step=1h"
+      val withRollup = get(port, url)
+      assert(withRollup.statusCode() == 200, withRollup.body())
+      val bare = new HttpFrontend(spark,
+        new MetricEngine(spark,
+          Files.createTempDirectory("graft-http-ro2").toString))
+      val barePort = bare.start()
+      try {
+        assert(post(barePort, "/api/v1/write", body).statusCode() == 204)
+        assert(get(barePort, url).body() == withRollup.body())
+      } finally bare.stop()
+    } finally fe.stop()
+  }
+
   test("instant query /api/v1/query: vector envelope, exact last-sample-" +
       "per-series semantics, stale-series dropout, windowed deviation") {
     val engine = new MetricEngine(spark,

@@ -183,12 +183,27 @@ class RollupSpec extends AnyFunSuite {
         row.getAs[Long]("bucket_ms"), row.getAs[Double]("value"))).toSet ==
       Set(("a", 0L, 1.0), ("a", hour, 2.0), ("b", 0L, 4.0)))
 
-    // non-combinable agg and unaligned range bounds stay on raw
+    // non-combinable agg stays on raw
     val stddev = eng.queryPromQL("stddev by (host) (cpu)", all, Some(hour))
     assert(!files(stddev).exists(_.contains("_rollup_")))
-    val unaligned = eng.queryPromQL("sum by (host) (cpu)",
-      TimeRange(500L, Long.MaxValue), Some(hour))
-    assert(!files(unaligned).exists(_.contains("_rollup_")))
+
+    // UNALIGNED bounds take the hybrid edge-split: raw answers the
+    // partial edge bucket, the rollup answers the full interior buckets,
+    // and the union equals the pure-raw replay exactly
+    val hybridRange = TimeRange(500L, Long.MaxValue)
+    val hybrid = eng.queryPromQL("sum by (host) (cpu)", hybridRange, Some(hour))
+    assert(files(hybrid).exists(_.contains("_rollup_")), files(hybrid))
+    assert(files(hybrid).exists(f =>
+      f.contains("/data/") && !f.contains("_rollup_")), files(hybrid))
+    val hybridRaw = eng.query(MetricQuery("cpu", range = hybridRange,
+      stepMs = Some(hour), agg = MetricAgg.Sum, groupByTag = Some("host")))
+    assert(hybrid.collect().map(_.toSeq).toSet ==
+      hybridRaw.collect().map(_.toSeq).toSet)
+    // unaligned rate still falls back entirely to raw (cross-split
+    // deltas would need the edge's raw samples)
+    val hybridRate = eng.queryPromQL("sum by (host) (increase(cpu[1h]))",
+      hybridRange, Some(hour))
+    assert(!files(hybridRate).exists(_.contains("_rollup_")))
 
     // new ingest makes the rollup stale -> raw (correct fresh values),
     // refresh restores routing
