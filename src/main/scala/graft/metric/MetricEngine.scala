@@ -359,55 +359,21 @@ final class MetricEngine(spark: SparkSession, root: String,
     * of the grid (an unstepped query aggregates whole buckets, so any
     * grid works), and FRESH — the rollup's watermark covers the
     * manifest head, so a rollup that lags ingest falls back to raw
-    * automatically instead of answering stale.
-    *
-    * Range bounds on grid boundaries answer wholly from the rollup.
-    * UNALIGNED bounds — every real dashboard query: Grafana sends `now`
-    * as the end — take the HYBRID edge-split read (the Thanos/M3 shape,
-    * kept exact): the rollup answers every step bucket fully inside the
-    * range, raw scans answer the ≤2 partial edge buckets, and the union
-    * is exact because epoch-aligned step buckets never straddle the
-    * split. Rate still needs aligned bounds (a cross-split delta would
-    * need the edge's last raw sample); unstepped unaligned queries stay
-    * raw (one whole-range bucket can't split: avg would need weighted
-    * recombination). */
+    * automatically instead of answering stale. Range bounds need NOT be
+    * aligned: [[Rollup.query]] answers unaligned edges exactly by
+    * splicing degenerate single-sample partials from raw into the same
+    * aggregation (its Scaladoc); only bounds too extreme for the
+    * alignment arithmetic fall back here. */
   private def rollupRouted(q: MetricQuery): Option[DataFrame] = {
     val combinable = Set[MetricAgg](MetricAgg.Sum, MetricAgg.Count,
       MetricAgg.Min, MetricAgg.Max, MetricAgg.Avg)
     val aggOk =
       if (q.rate) q.agg == MetricAgg.Sum else combinable.contains(q.agg)
-    if (!aggOk) return None
-    val eligible = rollups.find(r =>
-      q.stepMs.forall(_ % r.gridMs == 0) && r.isFresh)
-    eligible.flatMap { r =>
-      def aligned(v: Long) = v == Long.MinValue || v == Long.MaxValue ||
-        Math.floorMod(v, r.gridMs) == 0
-      if (aligned(q.range.start) && aligned(q.range.end)) Some(r.query(q))
-      else hybridEdgeSplit(r, q)
-    }
-  }
-
-  /** The hybrid read for unaligned finite bounds; see [[rollupRouted]]. */
-  private def hybridEdgeSplit(r: Rollup, q: MetricQuery): Option[DataFrame] = {
-    if (q.rate) return None
-    val step = q.stepMs.getOrElse(return None)
-    val (s, e) = (q.range.start, q.range.end)
-    // keep the alignment arithmetic far from overflow (real timestamps
-    // are nowhere near the extremes)
-    val halfMax = Long.MaxValue / 2
-    if ((s != Long.MinValue && math.abs(s) > halfMax) ||
-        (e != Long.MaxValue && math.abs(e) > halfMax)) return None
-    val lo = if (s == Long.MinValue) s
-      else Math.floorDiv(s + step - 1, step) * step // first full step bucket
-    val hi = if (e == Long.MaxValue) e
-      else Math.floorDiv(e, step) * step // end of the last full bucket
-    if (lo != Long.MinValue && hi != Long.MaxValue && lo >= hi)
-      return None // no full step bucket inside the range
-    val mid = r.query(q.copy(range = TimeRange(lo, hi)))
-    val edges = Seq((s, lo), (hi, e))
-      .filter { case (a, b) => a < b }
-      .map { case (a, b) => query(q.copy(range = TimeRange(a, b))) }
-    Some(edges.foldLeft(mid)(_.unionByName(_)))
+    def boundOk(v: Long) = v == Long.MinValue || v == Long.MaxValue ||
+      math.abs(v) <= Long.MaxValue / 2
+    if (!aggOk || !boundOk(q.range.start) || !boundOk(q.range.end)) return None
+    rollups.find(r => q.stepMs.forall(_ % r.gridMs == 0) && r.isFresh)
+      .map(_.query(q))
   }
 
   private[metric] def metricIdOf(name: String): Option[Long] = {

@@ -159,7 +159,19 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
     * only — the two-pass raw form is more numerically stable, so
     * transparent routing leaves them on raw). Output shape matches the
     * engine's (tag?, bucket_ms?, value). `group` is rejected — trivial
-    * on raw. */
+    * on raw.
+    *
+    * UNALIGNED range bounds — every real dashboard query; Grafana sends
+    * `now` as the end and the HTTP layer adds +1 ms for end-inclusivity
+    * — stay EXACT via the degenerate-partial hybrid (the Thanos/M3
+    * edge-split, made lossless): raw samples in the ≤2 sub-grid edge
+    * slivers enter the SAME aggregation as the rollup rows, each as a
+    * single-sample partial `(cnt=1, sum=min=max=last=first=v, sumsq=v²,
+    * inc=0)` with its own timestamp. Every partial combines per step
+    * bucket (grid divides step, so no partial straddles a step bucket),
+    * and the rate window chains sample-rows and bucket-rows in time
+    * order, reproducing the raw lag deltas across the splice points.
+    * Edge scans are manifest-pruned to <2 grid buckets of raw data. */
   def query(q: MetricQuery): DataFrame = {
     val stepMs = q.stepMs.getOrElse(
       // unstepped = one bucket over the whole range
@@ -174,6 +186,14 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
         .contains(q.agg),
       s"${q.agg} is not answerable from (cnt,sum,min,max,last,first,sumsq," +
         "inc) partials — query the raw table")
+    val (qs, qe) = (q.range.start, q.range.end)
+    // keep the alignment arithmetic far from overflow (real timestamps
+    // are nowhere near the extremes); MetricEngine.rollupRouted mirrors
+    // this guard and falls back to raw
+    def boundOk(v: Long) = v == Long.MinValue || v == Long.MaxValue ||
+      math.abs(v) <= Long.MaxValue / 2
+    require(boundOk(qs) && boundOk(qe),
+      s"range bounds too extreme for grid alignment: [$qs, $qe)")
     val mid = engine.metricIdOf(q.metric).getOrElse(
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -182,8 +202,31 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
             q.stepMs.map(_ => StructField("bucket_ms", LongType)).toSeq :+
             StructField("value", DoubleType))))
     val tsids = engine.lookupTsids(mid, q.labelFilters)
-    var rows = store.scan(ScanRequest(range = q.range,
+    // grid-aligned interior answered by rollup buckets; sub-grid edge
+    // slivers answered by degenerate single-sample partials from raw
+    val lo = if (qs == Long.MinValue) qs
+      else Math.floorDiv(qs + gridMs - 1, gridMs) * gridMs
+    val hi = if (qe == Long.MaxValue) qe
+      else Math.floorDiv(qe, gridMs) * gridMs
+    val interior = if (lo < hi) Some((lo, hi)) else None
+    val edgeRanges = interior match {
+      case Some((l, h)) => Seq((qs, l), (h, qe)).filter { case (a, b) => a < b }
+      case None => Seq((qs, qe)) // no full grid bucket: all raw
+    }
+    val rollupPart = interior.map { case (l, h) =>
+      store.scan(ScanRequest(range = TimeRange(l, h),
         predicates = Seq(col("metric_id") === mid)))
+    }
+    val edgeParts = edgeRanges.map { case (a, b) =>
+      engine.data.scan(ScanRequest(range = TimeRange(a, b),
+          predicates = Seq(col("metric_id") === mid)))
+        .select(col("metric_id"), col("tsid"), col("ts"),
+          lit(1L).as("cnt"), col("value").as("sum"), col("value").as("min"),
+          col("value").as("max"), col("value").as("last"),
+          col("value").as("first"), (col("value") * col("value")).as("sumsq"),
+          lit(0.0).as("inc"))
+    }
+    var rows = (rollupPart.toSeq ++ edgeParts).reduce(_.unionByName(_))
       .join(broadcast(tsids), Seq("tsid"), "left_semi")
     if (q.rate) {
       // per-bucket increase = internal inc + reset-aware boundary delta

@@ -26,7 +26,8 @@ import graft.metric.MetricAgg
   *   scalarfn := abs|ceil|floor|sqrt|exp|ln|log2|log10|round|clamp|clamp_min|clamp_max
   *             | minute|hour|day_of_week|day_of_month|day_of_year
   *             | days_in_month|month|year | sort|sort_desc
-  *             | sin|cos|tan|asin|acos|atan|sinh|cosh|tanh|deg|rad
+  *             | sin|cos|tan|asin|acos|atan|sinh|cosh|tanh
+  *             | asinh|acosh|atanh|deg|rad   (and the scalar pi())
   *   histq    := 'histogram_quantile' '(' num ',' expr ')'
   *   vector   := rangefn '(' selector '[' duration ']' offset? ')' | selector offset?
   *             | 'quantile_over_time' '(' num ',' selector '[' duration ']' offset? ')'
@@ -329,6 +330,7 @@ object PromQLParser {
     "sin" -> (0, 0), "cos" -> (0, 0), "tan" -> (0, 0),
     "asin" -> (0, 0), "acos" -> (0, 0), "atan" -> (0, 0),
     "sinh" -> (0, 0), "cosh" -> (0, 0), "tanh" -> (0, 0),
+    "asinh" -> (0, 0), "acosh" -> (0, 0), "atanh" -> (0, 0),
     "deg" -> (0, 0), "rad" -> (0, 0))
   private val DurUnits = List( // longest-match first
     "ms" -> 1L, "w" -> 604800000L, "d" -> 86400000L, "h" -> 3600000L,
@@ -583,6 +585,9 @@ object PromQLParser {
       // time() is the one zero-argument function; child is a placeholder
       case TIdent("time", _) if nextIsParen =>
         next(); expect("("); expect(")"); FnCall("time", NumLit(0))
+      // pi() is a plain scalar (Prometheus functions.go Pi) — fold at parse
+      case TIdent("pi", _) if nextIsParen =>
+        next(); expect("("); expect(")"); NumLit(math.Pi)
       case TIdent(name, _) if ScalarFns.contains(name) && nextIsParen =>
         parseFnCall()
       case TNum(d, _) => next(); NumLit(d)

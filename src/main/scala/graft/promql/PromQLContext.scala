@@ -758,6 +758,9 @@ final class PromQLContext(
         case "sinh" => sinh(v)
         case "cosh" => cosh(v)
         case "tanh" => tanh(v)
+        case "asinh" => asinh(v)
+        case "acosh" => acosh(v)
+        case "atanh" => atanh(v)
         case "deg" => degrees(v)
         case "rad" => radians(v)
         case other => throw new IllegalArgumentException(s"unknown function '$other'")

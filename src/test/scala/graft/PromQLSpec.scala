@@ -1331,6 +1331,16 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(v - math.toDegrees(math.atan2(math.sin(0.5), 3.0))) < 1e-12)
     val t = ctx.sql("tanh(rad(cpu))").collect().head.getDouble(3)
     assert(math.abs(t - math.tanh(math.toRadians(0.5))) < 1e-12)
+    // inverse hyperbolics and pi() (a parse-time scalar fold)
+    val ash = ctx.sql("asinh(cpu)").collect().head.getDouble(3)
+    assert(math.abs(ash - 0.48121182505960347) < 1e-12) // asinh(0.5)
+    val ath = ctx.sql("atanh(cpu)").collect().head.getDouble(3)
+    assert(math.abs(ath - 0.5493061443340549) < 1e-12) // atanh(0.5)
+    val ach = ctx.sql("acosh(cpu + 1)").collect().head.getDouble(3)
+    assert(math.abs(ach - 0.9624236501192069) < 1e-12) // acosh(1.5)
+    assert(ctx.sql("acosh(cpu)").collect().head.getDouble(3).isNaN) // domain
+    val withPi = ctx.sql("cpu * pi()").collect().head.getDouble(3)
+    assert(math.abs(withPi - 0.5 * math.Pi) < 1e-12)
   }
 
   test("context: many-to-one matching without group modifier raises " +

@@ -65,14 +65,17 @@ class RollupSpec extends AnyFunSuite {
     r.refresh()
     for (agg <- Seq(MetricAgg.Sum, MetricAgg.Count, MetricAgg.Min,
         MetricAgg.Max, MetricAgg.Avg);
-        step <- Seq(Some(day), None)) {
-      val q = MetricQuery("cpu", stepMs = step, agg = agg,
+        step <- Seq(Some(day), None);
+        // unaligned ranges exercise the degenerate-partial edge splice
+        range <- Seq(TimeRange(Long.MinValue, Long.MaxValue),
+          TimeRange(90000L, 3 * day + 90000L))) {
+      val q = MetricQuery("cpu", range = range, stepMs = step, agg = agg,
         groupByTag = Some("host"))
       val viaRollup = r.query(q).withColumn("value", round(col("value"), 6))
         .collect().map(_.toSeq).toSet
       val viaRaw = eng.query(q).withColumn("value", round(col("value"), 6))
         .collect().map(_.toSeq).toSet
-      assert(viaRollup == viaRaw, s"agg=$agg step=$step")
+      assert(viaRollup == viaRaw, s"agg=$agg step=$step range=$range")
     }
     // label-filtered too
     val q = MetricQuery("cpu", labelFilters = Map("host" -> "h1"),
@@ -127,12 +130,17 @@ class RollupSpec extends AnyFunSuite {
       ("b", 500L, 20.0), ("b", hour + 1, 3.0), ("b", hour + 2, 7.0)))
     val r = new Rollup(eng, gridMs = hour)
     r.refresh()
-    for (step <- Seq(Some(hour), Some(2 * hour), None)) {
-      val q = MetricQuery("cpu", stepMs = step, agg = MetricAgg.Sum,
-        groupByTag = Some("host"), rate = true)
+    for (step <- Seq(Some(hour), Some(2 * hour), None);
+        // unaligned ranges splice raw edge samples into the rate window;
+        // (250, hour+1) has NO full grid bucket — the all-raw degenerate
+        // path — and (150, 3h+150) splices both edges
+        range <- Seq(TimeRange(Long.MinValue, Long.MaxValue),
+          TimeRange(150L, 3 * hour + 150L), TimeRange(250L, hour + 1))) {
+      val q = MetricQuery("cpu", range = range, stepMs = step,
+        agg = MetricAgg.Sum, groupByTag = Some("host"), rate = true)
       val viaRollup = r.query(q).collect().map(_.toSeq).toSet
       val viaRaw = eng.query(q).collect().map(_.toSeq).toSet
-      assert(viaRollup == viaRaw, s"step=$step")
+      assert(viaRollup == viaRaw, s"step=$step range=$range")
     }
     // hand-checked hourly increases (first in-range sample contributes 0)
     val hourly = r.query(MetricQuery("cpu", stepMs = Some(hour),
@@ -199,11 +207,16 @@ class RollupSpec extends AnyFunSuite {
       stepMs = Some(hour), agg = MetricAgg.Sum, groupByTag = Some("host")))
     assert(hybrid.collect().map(_.toSeq).toSet ==
       hybridRaw.collect().map(_.toSeq).toSet)
-    // unaligned rate still falls back entirely to raw (cross-split
-    // deltas would need the edge's raw samples)
+    // unaligned rate routes too: the degenerate edge partials chain into
+    // the rate window, reproducing the raw lag deltas across the splice
     val hybridRate = eng.queryPromQL("sum by (host) (increase(cpu[1h]))",
       hybridRange, Some(hour))
-    assert(!files(hybridRate).exists(_.contains("_rollup_")))
+    assert(files(hybridRate).exists(_.contains("_rollup_")), files(hybridRate))
+    val hybridRateRaw = eng.query(MetricQuery("cpu", range = hybridRange,
+      stepMs = Some(hour), agg = MetricAgg.Sum, groupByTag = Some("host"),
+      rate = true))
+    assert(hybridRate.collect().map(_.toSeq).toSet ==
+      hybridRateRaw.collect().map(_.toSeq).toSet)
 
     // new ingest makes the rollup stale -> raw (correct fresh values),
     // refresh restores routing
