@@ -348,6 +348,15 @@ final class HttpFrontend(
             MetricStreamIngest.ingestExemplars(engine, spark, req.exemplars)
           }
           req.metadata.foreach(md => metadataCache.put(md.familyName, md))
+          // remote-write 2.0 written-stats headers (required by the 2.0
+          // spec on 2xx; harmless extras for 1.0 senders). Histograms are
+          // always 0: no native histograms (PROMQL.md deviation #7).
+          val h = ex.getResponseHeaders
+          h.set("X-Prometheus-Remote-Write-Samples-Written",
+            samples.size.toString)
+          h.set("X-Prometheus-Remote-Write-Histograms-Written", "0")
+          h.set("X-Prometheus-Remote-Write-Exemplars-Written",
+            req.exemplars.size.toString)
           respond(ex, 204, "")
         } catch {
           case scala.util.control.NonFatal(e) =>

@@ -85,15 +85,194 @@ object RemoteWrite {
   /** Samples-only fast path for the ingest pipeline: exemplar and metadata
     * bodies are SKIPPED at the wire level (zero allocation for them), as
     * before the full-request decode existed. Accepts snappy-framed or raw
-    * payloads (see [[unframe]]). */
-  def decode(bytes: Array[Byte]): Seq[Sample] =
-    decodeImpl(unframe(bytes), collectExtras = false).samples
+    * payloads (see [[unframe]]) in EITHER remote-write version — 1.0
+    * WriteRequest or 2.0 io.prometheus.write.v2.Request (see
+    * [[decodeRequestV2]]); the versions use disjoint top-level field
+    * numbers (v2 reserves 1-3), so [[looksLikeV2]] dispatches without a
+    * content-type hint. */
+  def decode(bytes: Array[Byte]): Seq[Sample] = {
+    val un = unframe(bytes)
+    if (looksLikeV2(un)) decodeV2Impl(un, collectExtras = false).samples
+    else decodeImpl(un, collectExtras = false).samples
+  }
 
-  /** Full WriteRequest decode: timeseries (labels + samples + exemplars)
-    * and metadata records. Unknown fields are skipped. Accepts snappy-framed
-    * or raw payloads (see [[unframe]]). */
-  def decodeRequest(bytes: Array[Byte]): Request =
-    decodeImpl(unframe(bytes), collectExtras = true)
+  /** Full request decode: timeseries (labels + samples + exemplars)
+    * and metric metadata records. Unknown fields are skipped. Accepts
+    * snappy-framed or raw payloads (see [[unframe]]), remote-write 1.0
+    * or 2.0 (version-sniffed like [[decode]]). */
+  def decodeRequest(bytes: Array[Byte]): Request = {
+    val un = unframe(bytes)
+    if (looksLikeV2(un)) decodeV2Impl(un, collectExtras = true)
+    else decodeImpl(un, collectExtras = true)
+  }
+
+  /** Remote-write 2.0 decode (io.prometheus.write.v2.Request — what
+    * Prometheus 3.x sends; prometheus/prompb/io/prometheus/write/v2/
+    * types.proto):
+    *
+    * {{{
+    * Request    { repeated string symbols = 4; repeated TimeSeries timeseries = 5; }
+    * TimeSeries { repeated uint32 labels_refs = 1;   // packed; (name,value) index pairs
+    *              repeated Sample samples = 2;
+    *              repeated Histogram histograms = 3; // skipped: no native histograms
+    *              repeated Exemplar exemplars = 4;
+    *              Metadata metadata = 5; int64 created_timestamp = 6; }
+    * Exemplar   { repeated uint32 labels_refs = 1; double value = 2; int64 timestamp = 3; }
+    * Metadata   { MetricType type = 1; uint32 help_ref = 3; uint32 unit_ref = 4; }
+    * }}}
+    *
+    * All strings intern into `symbols` (index 0 is "" by spec); label refs
+    * come in (name, value) pairs. Packed and unpacked refs both parse
+    * (proto3 parsers must accept either). Histogram-only series yield no
+    * samples (documented: no native histograms). v2 metadata carries no
+    * family name — the series' own `__name__` is the family, which is how
+    * Prometheus 3 populates it. Out-of-range refs error (the HTTP layer
+    * answers 400, never a silent mis-binding). */
+  def decodeRequestV2(bytes: Array[Byte]): Request =
+    decodeV2Impl(unframe(bytes), collectExtras = true)
+
+  /** v1/v2 dispatch on the top-level field numbers — disjoint by design
+    * (v1 uses 1/3, v2 reserves 1-3 and uses 4/5). */
+  private[streaming] def looksLikeV2(b: Array[Byte]): Boolean =
+    try {
+      var pos = 0
+      while (pos < b.length) {
+        val (tag, p1) = varint(b, pos)
+        (tag >> 3) match {
+          case 4 | 5 => return true
+          case 1 | 2 | 3 => return false
+          case _ => pos = skip(b, p1, (tag & 7).toInt)
+        }
+      }
+      false
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  private def decodeV2Impl(bytes: Array[Byte], collectExtras: Boolean): Request = {
+    // two passes: symbols may legally serialize after the timeseries that
+    // reference them, so collect record bounds first, resolve after
+    val symbols = mutable.ArrayBuffer.empty[String]
+    val tsRanges = mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (tag, p1) = varint(bytes, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (4, 2) =>
+          val (len, p2) = lenAt(bytes, pos)
+          symbols += new String(bytes, p2, len, "UTF-8")
+          pos = p2 + len
+        case (5, 2) =>
+          val (len, p2) = lenAt(bytes, pos)
+          tsRanges += ((p2, p2 + len))
+          pos = p2 + len
+        case (_, wt) => pos = skip(bytes, pos, wt.toInt)
+      }
+    }
+    def sym(ref: Int): String = {
+      if (ref < 0 || ref >= symbols.length)
+        sys.error(s"labels_refs index $ref out of range (${symbols.length} symbols)")
+      symbols(ref)
+    }
+    def labelsOf(refs: Seq[Int]): Map[String, String] = {
+      if (refs.length % 2 != 0) sys.error("odd labels_refs count")
+      refs.grouped(2).map { case Seq(n, v) => sym(n) -> sym(v) }.toMap
+    }
+    val samples = mutable.ArrayBuffer.empty[Sample]
+    val exemplars = mutable.ArrayBuffer.empty[Exemplar]
+    val metadata = mutable.ArrayBuffer.empty[Metadata]
+    tsRanges.foreach { case (start, end) =>
+      var p = start
+      val refs = mutable.ArrayBuffer.empty[Int]
+      val ss = mutable.ArrayBuffer.empty[(Double, Long)]
+      val exs = mutable.ArrayBuffer.empty[(Seq[Int], Double, Long)]
+      var md: Option[(Int, Int, Int)] = None // (type, help_ref, unit_ref)
+      while (p < end) {
+        val (tag, p1) = varint(bytes, p)
+        p = p1
+        (tag >> 3, tag & 7) match {
+          case (1, 2) => // packed labels_refs
+            val (len, p2) = lenAt(bytes, p)
+            var q = p2
+            while (q < p2 + len) {
+              val (r, q2) = varint(bytes, q); refs += r.toInt; q = q2
+            }
+            p = p2 + len
+          case (1, 0) => // unpacked single ref
+            val (r, p2) = varint(bytes, p); refs += r.toInt; p = p2
+          case (2, 2) =>
+            val (len, p2) = lenAt(bytes, p)
+            ss += decodeSample(bytes, p2, p2 + len)
+            p = p2 + len
+          case (4, 2) if collectExtras =>
+            val (len, p2) = lenAt(bytes, p)
+            exs += decodeExemplarV2(bytes, p2, p2 + len)
+            p = p2 + len
+          case (5, 2) if collectExtras =>
+            val (len, p2) = lenAt(bytes, p)
+            md = Some(decodeMetadataV2(bytes, p2, p2 + len))
+            p = p2 + len
+          case (_, wt) => p = skip(bytes, p, wt.toInt)
+        }
+      }
+      val labels = labelsOf(refs.toSeq)
+      val name = labels.getOrElse(NameLabel, "")
+      val rest = labels - NameLabel
+      samples ++= ss.map { case (v, ts) => Sample(name, rest, ts, v) }
+      exemplars ++= exs.map { case (eRefs, v, ts) =>
+        Exemplar(name, rest, labelsOf(eRefs), v, ts) }
+      md.foreach { case (tpe, helpRef, unitRef) =>
+        metadata += Metadata(tpe, name, sym(helpRef), sym(unitRef)) }
+    }
+    Request(samples.toSeq, exemplars.toSeq, metadata.toSeq)
+  }
+
+  private def decodeExemplarV2(b: Array[Byte], start: Int,
+      end: Int): (Seq[Int], Double, Long) = {
+    var pos = start
+    val refs = mutable.ArrayBuffer.empty[Int]
+    var value = 0.0
+    var ts = 0L
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          var q = p2
+          while (q < p2 + len) {
+            val (r, q2) = varint(b, q); refs += r.toInt; q = q2
+          }
+          pos = p2 + len
+        case (1, 0) =>
+          val (r, p2) = varint(b, pos); refs += r.toInt; pos = p2
+        case (2, 1) =>
+          value = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
+        case (3, 0) =>
+          val (t, p2) = varint(b, pos); ts = t; pos = p2
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    (refs.toSeq, value, ts)
+  }
+
+  private def decodeMetadataV2(b: Array[Byte], start: Int,
+      end: Int): (Int, Int, Int) = {
+    var pos = start
+    var tpe = 0
+    var helpRef = 0
+    var unitRef = 0
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 0) => val (t, p2) = varint(b, pos); tpe = t.toInt; pos = p2
+        case (3, 0) => val (r, p2) = varint(b, pos); helpRef = r.toInt; pos = p2
+        case (4, 0) => val (r, p2) = varint(b, pos); unitRef = r.toInt; pos = p2
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    (tpe, helpRef, unitRef)
+  }
 
   private def decodeImpl(bytes: Array[Byte], collectExtras: Boolean): Request = {
     val samples = mutable.ArrayBuffer.empty[Sample]
@@ -329,6 +508,78 @@ object RemoteWrite {
       md ++= lenDelim(5, m.unit.getBytes("UTF-8"))
       out ++= lenDelim(3, md.toArray)
     }
+    out.toArray
+  }
+
+  /** Remote-write 2.0 encoder (tests + soaks): interns every string into
+    * the symbols table (index 0 = "" per spec) and emits packed
+    * (name, value) label ref pairs. Metadata records attach to the series
+    * whose `__name__` matches their family; families with no sample
+    * series emit a bare metadata-only series, exactly how Prometheus 3
+    * ships detached metadata. */
+  def encodeV2(samples: Seq[Sample]): Array[Byte] =
+    encodeRequestV2(Request(samples, Nil, Nil))
+
+  def encodeRequestV2(req: Request): Array[Byte] = {
+    val symbols = mutable.LinkedHashMap.empty[String, Int]
+    symbols("") = 0
+    def ref(s: String): Int = symbols.getOrElseUpdate(s, symbols.size)
+    def packedRefs(field: Int, refs: Seq[Int]): mutable.ArrayBuffer[Byte] =
+      lenDelim(field, refs.flatMap(r => writeVarint(r.toLong)).toArray)
+    def labelRefs(name: String, labels: Map[String, String]): Seq[Int] =
+      (Seq(NameLabel -> name) ++ labels.toSeq.sortBy(_._1))
+        .flatMap { case (k, v) => Seq(ref(k), ref(v)) }
+
+    val exBySeries = req.exemplars.groupBy(e => (e.name, e.seriesLabels))
+    val mdByFamily = req.metadata.groupBy(_.familyName)
+    val byKey = req.samples.groupBy(s => (s.name, s.labels))
+    // metadata attaches to its family's first series; families with no
+    // series at all get a bare metadata-only series appended
+    val seriesKeys = (req.samples.map(s => (s.name, s.labels)) ++
+      exBySeries.keys).distinct
+    val familiesPresent = seriesKeys.map(_._1).toSet
+    val allKeys = seriesKeys ++ mdByFamily.keys.toSeq.sorted
+      .filterNot(familiesPresent).map(f => (f, Map.empty[String, String]))
+    val tsRecords = mutable.ArrayBuffer.empty[Byte]
+    val mdEmitted = mutable.Set.empty[String]
+    allKeys.foreach { case key @ (name, labels) =>
+      val ts = mutable.ArrayBuffer.empty[Byte]
+      ts ++= packedRefs(1, labelRefs(name, labels))
+      byKey.getOrElse(key, Nil).foreach { s =>
+        val sm = mutable.ArrayBuffer.empty[Byte]
+        sm += ((1 << 3) | 1).toByte
+        sm ++= fixed64Bytes(s.value)
+        sm += ((2 << 3) | 0).toByte
+        sm ++= writeVarint(s.timestamp)
+        ts ++= lenDelim(2, sm.toArray)
+      }
+      exBySeries.getOrElse(key, Nil).foreach { e =>
+        val ex = mutable.ArrayBuffer.empty[Byte]
+        ex ++= packedRefs(1,
+          e.labels.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+            Seq(ref(k), ref(v)) })
+        ex += ((2 << 3) | 1).toByte
+        ex ++= fixed64Bytes(e.value)
+        ex += ((3 << 3) | 0).toByte
+        ex ++= writeVarint(e.timestamp)
+        ts ++= lenDelim(4, ex.toArray)
+      }
+      if (!mdEmitted(name)) mdByFamily.get(name).map(_.head).foreach { m =>
+        mdEmitted += name
+        val md = mutable.ArrayBuffer.empty[Byte]
+        md += ((1 << 3) | 0).toByte
+        md ++= writeVarint(m.metricType.toLong)
+        md += ((3 << 3) | 0).toByte
+        md ++= writeVarint(ref(m.help).toLong)
+        md += ((4 << 3) | 0).toByte
+        md ++= writeVarint(ref(m.unit).toLong)
+        ts ++= lenDelim(5, md.toArray)
+      }
+      tsRecords ++= lenDelim(5, ts.toArray)
+    }
+    val out = mutable.ArrayBuffer.empty[Byte]
+    symbols.keys.foreach(s => out ++= lenDelim(4, s.getBytes("UTF-8")))
+    out ++= tsRecords
     out.toArray
   }
 

@@ -190,6 +190,35 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("remote-write 2.0 over HTTP: snappy-framed v2 bodies ingest through " +
+      "/api/v1/write; written-stats headers answer per the 2.0 spec") {
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-rw2").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val in = samples(30, 0)
+      val body = org.xerial.snappy.Snappy.compress(RemoteWrite.encodeV2(in))
+      val r = post(port, "/api/v1/write", body)
+      assert(r.statusCode() == 204, r.body())
+      assert(r.headers().firstValue(
+        "X-Prometheus-Remote-Write-Samples-Written").orElse("") == "30")
+      assert(r.headers().firstValue(
+        "X-Prometheus-Remote-Write-Histograms-Written").orElse("") == "0")
+      val cnt = engine.query(MetricQuery("cpu_seconds_total",
+        agg = MetricAgg.Count)).collect()(0).getDouble(0)
+      assert(cnt == 30.0, s"ingested $cnt of 30 v2 samples")
+      // metadata-only v2 request (Prometheus 3 detached metadata) lands in
+      // the /api/v1/metadata cache
+      val md = RemoteWrite.encodeRequestV2(RemoteWrite.Request(Nil, Nil,
+        Seq(RemoteWrite.Metadata(1, "cpu_seconds_total", "seconds of cpu",
+          "seconds"))))
+      assert(post(port, "/api/v1/write", md).statusCode() == 204)
+      val meta = get(port, "/api/v1/metadata")
+      assert(meta.body().contains("seconds of cpu"), meta.body())
+    } finally fe.stop()
+  }
+
   test("rollupGrids: a frontend-maintained rollup serves query_range " +
       "value-invisibly, including the hybrid edge-split on the " +
       "end-inclusive (+1ms) range every real client sends") {

@@ -423,6 +423,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(RemoteWrite.decode(bytes).toSet == samples.toSet)
   }
 
+  test("remote-write 2.0: symbol-interned requests decode through the SAME " +
+      "entry points as 1.0 (top-level field sniff), snappy-framed or raw, " +
+      "with exemplars, metadata, and detached metadata-only series") {
+    import graft.streaming.RemoteWrite
+    import graft.streaming.RemoteWrite.{Exemplar, Metadata, Request}
+    val in = samples(10) ++ Seq(
+      Sample("mem_bytes", Map.empty, t0, 42.5),
+      Sample("weird", Map("k" -> "v=,{}"), t0 + 5, -1.25))
+    // samples-only: auto-sniffed decode() equals the v1 result
+    val v2 = RemoteWrite.encodeV2(in)
+    assert(RemoteWrite.decode(v2).toSet == in.toSet)
+    assert(RemoteWrite.decode(v2).size == in.size)
+    assert(RemoteWrite.decode(org.xerial.snappy.Snappy.compress(v2)).toSet ==
+      in.toSet)
+    assert(RemoteWrite.decode(RemoteWrite.encode(in)).toSet == in.toSet,
+      "v1 still decodes after the sniff")
+    // full request: exemplars reference the symbols table; metadata has no
+    // family ref (family = the series' __name__), and a family with no
+    // series ships as a metadata-only series
+    val exemplars = Seq(Exemplar("cpu_seconds_total",
+      Map("host" -> "h0", "mode" -> "user"),
+      Map("trace_id" -> "abc123"), 0.25, t0 + 500))
+    val metadata = Seq(
+      Metadata(1, "cpu_seconds_total", "cpu seconds", "seconds"),
+      Metadata(2, "orphan_family", "no series here", "1"))
+    val full = RemoteWrite.encodeRequestV2(Request(in, exemplars, metadata))
+    val got = RemoteWrite.decodeRequest(full)
+    assert(got.samples.toSet == in.toSet)
+    assert(got.exemplars.toSet == exemplars.toSet)
+    assert(got.metadata.toSet == metadata.toSet)
+    // explicit-version entry point agrees with the sniffed one
+    assert(RemoteWrite.decodeRequestV2(full).samples.toSet == in.toSet)
+    // out-of-range symbol refs error loudly (never a silent mis-binding):
+    // symbols=[""], one ts whose packed labels_refs is (0, 99)
+    val bad = Array[Byte](0x22, 0x00, 0x2a, 0x04, 0x0a, 0x02, 0x00, 0x63)
+    intercept[RuntimeException](RemoteWrite.decodeRequestV2(bad))
+  }
+
   test("streaming PromQL rejects range-function shapes toward the batch path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
