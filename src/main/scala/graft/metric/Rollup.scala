@@ -282,13 +282,33 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
   * refreshes never run concurrently with themselves; between ticks the
   * engine's freshness gate routes queries to raw, so a lagging tick
   * costs performance, never correctness (`tools/MetricSoak rollup`
-  * exercises the loop live against concurrent ingest). */
-final class RollupScheduler(rollups: Seq[Rollup], intervalMs: Long = 10000L) {
+  * exercises the loop live against concurrent ingest).
+  *
+  * Each tick also runs ONE compaction pass per rollup store: every
+  * re-roll writes a fresh SST over its segment's key range, so a
+  * long-running refresher accumulates heavily-overlapping small files
+  * exactly the shape the Picker targets. Grace-deferred deletes (60 s
+  * default, same rationale as the serving frontend's) keep in-flight
+  * routed queries safe from the file swap. */
+final class RollupScheduler(rollups: Seq[Rollup], intervalMs: Long = 10000L,
+    compaction: CompactionConfig = CompactionConfig(deleteGraceMs = 60000L)) {
   private val timer = new java.util.Timer("graft-rollup-scheduler", true)
+  private val compactors =
+    rollups.map(r => new Compactor(r.store, compaction))
   def start(): Unit = timer.scheduleAtFixedRate(new java.util.TimerTask {
-    def run(): Unit = rollups.foreach { r =>
-      try r.refresh() catch { case _: Throwable => () }
+    def run(): Unit = {
+      rollups.foreach { r =>
+        try r.refresh() catch { case _: Throwable => () }
+      }
+      compactors.foreach { c =>
+        try c.runOnce() catch { case _: Throwable => () }
+      }
     }
   }, intervalMs, intervalMs)
-  def stop(): Unit = timer.cancel()
+  def stop(): Unit = {
+    timer.cancel()
+    // sweep grace-parked deletes on clean shutdown (nothing references
+    // the swapped-out files; a restart would otherwise leak them)
+    compactors.foreach(_.flushDeferred())
+  }
 }
