@@ -56,6 +56,24 @@ object CodecBench {
           f"${nSamples / (per / 1000)}%.0f samples/s single-thread")
     }
 
+    // remote-write 2.0: the same captured workload transcoded to the
+    // symbol-interned v2 wire (decode → encodeRequestV2), parsed through
+    // the SAME auto-sniffed decode() entry point. v2 bodies are smaller
+    // (strings interned once) and decode allocates one String per symbol
+    // instead of one per label occurrence.
+    val reqV1 = RemoteWrite.decodeRequest(bytes)
+    val bytesV2 = RemoteWrite.encodeRequestV2(reqV1)
+    require(RemoteWrite.decode(bytesV2).size == nSamples,
+      "v2 transcode must preserve the sample count")
+    val mbV2 = bytesV2.length / 1e6
+    println(f"[codec] v2 transcode: ${bytesV2.length} bytes " +
+      f"(${100.0 * bytesV2.length / bytes.length}%.0f%% of v1)")
+    val perV2 = bench("remote_write_sequential/graft-v2/1", iters = 60) {
+      RemoteWrite.decode(bytesV2)
+    }
+    println(f"[codec]   => ${mbV2 / (perV2 / 1000)}%.0f MB/s wire, " +
+      f"${nSamples / (perV2 / 1000)}%.0f samples/s single-thread")
+
     // concurrent parse: num-cpus tasks each doing `scale` parses
     val cpus = Runtime.getRuntime.availableProcessors()
     val pool = Executors.newFixedThreadPool(cpus)
