@@ -727,13 +727,19 @@ object PromQLParser {
       peek match {
         case TPunct(":", _) =>
           next()
-          val step = next() match {
-            case TDur(ms, p) =>
-              if (ms <= 0) throw PromQLParseException(
-                "subquery step must be positive", p)
-              ms
-            case t => throw PromQLParseException(
-              "expected step duration after ':' (explicit step required)", t.pos)
+          // `[w:]` omits the resolution — Prometheus defaults it to the
+          // evaluation interval; 0 is the sentinel the evaluator resolves
+          // against the outer step
+          val step = peek match {
+            case TPunct("]", _) => 0L
+            case _ => next() match {
+              case TDur(ms, p) =>
+                if (ms <= 0) throw PromQLParseException(
+                  "subquery step must be positive", p)
+                ms
+              case t => throw PromQLParseException(
+                "expected step duration or ']' after ':'", t.pos)
+            }
           }
           expect("]")
           peek match {
@@ -743,7 +749,7 @@ object PromQLParser {
           }
           if (step > win)
             fail(s"subquery step (${step}ms) exceeds its range (${win}ms)")
-          SubRange(e, win, step)
+          SubRange(e, win, step) // step 0 = default to the evaluation step
         case _ =>
           expect("]")
           // zero-or-one `offset <dur>` and zero-or-one `@ <epoch seconds>`,

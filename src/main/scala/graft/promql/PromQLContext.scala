@@ -335,7 +335,7 @@ final class PromQLContext(
         valueCol, labels, ordering, seriesCols)
       sub.eval(RangeFn(fn, Selector("", Nil), windowMs)).drop("bucket_ms")
 
-    case RangeSubquery(fn, child, windowMs, subStepMs) =>
+    case RangeSubquery(fn, child, windowMs, subStepMs0) =>
       // Prometheus subquery `fn(expr[w:s])`: evaluate the inner expression
       // on the s-step timeline, then run the range function over those
       // per-step points exactly as over raw samples — via a nested context
@@ -343,6 +343,14 @@ final class PromQLContext(
       // (incl. rate/holt_winters) works unchanged. Plan shape: the inner
       // eval's aggregation exchange, then ONE more aggregation keyed on
       // (inner labels, outer bucket) — no extra scan, no driver-side state.
+      // `[w:]` (parse sentinel 0) defaults the resolution to the
+      // evaluation step, Prometheus's default-to-evaluation-interval.
+      val subStepMs = if (subStepMs0 > 0) subStepMs0 else stepMs.getOrElse(
+        throw new IllegalArgumentException(
+          "subquery with default step ([w:]) needs a stepped evaluation — " +
+            "the default resolution IS the evaluation interval"))
+      if (subStepMs > windowMs) throw new IllegalArgumentException(
+        s"subquery step (${subStepMs}ms) exceeds its range (${windowMs}ms)")
       innerWindows(child).find(_ != subStepMs).foreach(w =>
         throw new IllegalArgumentException(
           s"inner range-function window ($w ms) must equal the subquery " +

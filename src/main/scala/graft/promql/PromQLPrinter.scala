@@ -31,7 +31,9 @@ object PromQLPrinter {
       printRange(fn, s"${print(sel)}[${dur(w)}] @ ${atText(at)}")
 
     case RangeSubquery(fn, child, w, step) =>
-      printRange(fn, s"${print(child)}[${dur(w)}:${dur(step)}]")
+      // step 0 = the [w:] default-resolution spelling
+      val stepTxt = if (step > 0) dur(step) else ""
+      printRange(fn, s"${print(child)}[${dur(w)}:$stepTxt]")
 
     case Agg(op, by, child, without) =>
       s"${aggName(op)}${byClause(by, without)}(${print(child)})"

@@ -1229,11 +1229,13 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQLParser.parse("a atan2 b * 2") ==
       BinOp("*", BinOp("atan2", Selector("a", Nil), Selector("b", Nil)),
         NumLit(2.0)))
+    // [w:] = default resolution (the evaluation step; sentinel 0)
+    assert(PromQLParser.parse("avg_over_time(cpu[1d:])") ==
+      RangeSubquery(RangeF.AvgOverTime, Selector("cpu", Nil), 86400000L, 0L))
     for (bad <- Seq(
         "max_over_time(sum(cpu)[1d])", // computed expr needs [w:step]
         "rate(cpu[5m:10m])", // step exceeds range
-        "rate(cpu[5m:1m] offset 1h)", // offset the inner selector instead
-        "avg_over_time(cpu[1d:])")) // explicit step required
+        "rate(cpu[5m:1m] offset 1h)")) // offset the inner selector instead
       assertThrows[PromQLParseException](PromQLParser.parse(bad))
   }
 
@@ -1253,6 +1255,24 @@ class PromQLSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](
       ctx.sql("avg_over_time(rate(cpu[30m])[1d:1h])").collect())
     assert(ex.getMessage.contains("must equal the subquery step"))
+    // [w:] omits the resolution -> defaults to the evaluation step
+    // (Prometheus's default-to-evaluation-interval), so at step=1d the
+    // two spellings agree; unstepped evaluation has no default to take
+    val D = 24 * H
+    val dflt = ctx.sql("max_over_time(sum by (host) (cpu)[1d:])",
+        stepMs = Some(D)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val expl = ctx.sql("max_over_time(sum by (host) (cpu)[1d:1d])",
+        stepMs = Some(D)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dflt == expl && dflt.nonEmpty)
+    val ex2 = intercept[IllegalArgumentException](
+      ctx.sql("max_over_time(sum by (host) (cpu)[1d:])").collect())
+    assert(ex2.getMessage.contains("stepped evaluation"))
+    // the pretty-printer round-trips the default-step spelling
+    assert(graft.promql.PromQLPrinter.print(
+      PromQLParser.parse("max_over_time(x[1d:])")) ==
+      "max_over_time(x[1d:])")
   }
 
   test("engine: @ pinned window scans outside the query range") {
