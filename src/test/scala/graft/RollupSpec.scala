@@ -242,6 +242,33 @@ class RollupSpec extends AnyFunSuite {
       rateRaw.collect().map(_.toSeq).toSet)
   }
 
+  test("multi-grid routing picks the coarsest eligible rollup: daily " +
+      "queries hit the 1d grid, hourly queries the 1h grid") {
+    val eng = freshEngine()
+    write(eng, (0 until 48).map(i => ("a", i * hour + 60000L, i.toDouble)))
+    val rh = new Rollup(eng, gridMs = hour)
+    val rd = new Rollup(eng, gridMs = day)
+    rh.refresh(); rd.refresh()
+    eng.registerRollup(rh)
+    eng.registerRollup(rd)
+    val all = TimeRange(Long.MinValue, Long.MaxValue)
+
+    val daily = eng.queryPromQL("sum by (host) (cpu)", all, Some(day))
+    assert(daily.inputFiles.exists(_.contains(s"_rollup_$day")),
+      daily.inputFiles.toSeq)
+    val hourly = eng.queryPromQL("sum by (host) (cpu)", all, Some(hour))
+    assert(hourly.inputFiles.exists(_.contains(s"_rollup_$hour")) &&
+      !hourly.inputFiles.exists(_.contains(s"_rollup_$day")),
+      hourly.inputFiles.toSeq)
+    // values equal the raw replay on both grids
+    for ((routed, step) <- Seq((daily, day), (hourly, hour))) {
+      val raw = eng.query(MetricQuery("cpu", stepMs = Some(step),
+        agg = MetricAgg.Sum, groupByTag = Some("host")))
+      assert(routed.collect().map(_.toSeq).toSet ==
+        raw.collect().map(_.toSeq).toSet, s"step=$step")
+    }
+  }
+
   test("watermark survives a reopen: a new Rollup instance over the same " +
       "roots refreshes nothing until new data arrives") {
     val eng = freshEngine()
