@@ -74,7 +74,10 @@ object HttpSoak {
 
     val root = Files.createTempDirectory("graft-httpsoak").toString
     val engine = new MetricEngine(spark, root)
-    val fe = new HttpFrontend(spark, engine)
+    // everything-on serving shape: a 1h rollup refreshed on a 1s tick
+    // concurrently with ingest, reads, and compaction (round 10)
+    val fe = new HttpFrontend(spark, engine,
+      rollupGrids = Seq(3600000L), rollupRefreshMs = 1000L)
     val port = fe.start()
     // deleteGraceMs: the serving-deployment setting — physical deletes wait
     // out in-flight reads (the read lane measures sub-2s query latencies;
@@ -160,8 +163,13 @@ object HttpSoak {
     while (System.nanoTime() < deadline) {
       val tick = System.nanoTime()
       val shift = iters.toLong * span
+      val shifted = baseSamples.map(s => s.copy(timestamp = s.timestamp + shift))
+      // alternate wire versions: odd iterations ship remote-write 2.0
+      // (what Prometheus 3.x sends), even ones 1.0 — both snappy-framed,
+      // both through the same auto-sniffed endpoint
       val payload = org.xerial.snappy.Snappy.compress(
-        RemoteWrite.encode(baseSamples.map(s => s.copy(timestamp = s.timestamp + shift))))
+        if (iters % 2 == 1) RemoteWrite.encodeV2(shifted)
+        else RemoteWrite.encode(shifted))
       val code = post(payload)
       require(code == 204, s"write failed with $code at iter $iters")
       iters += 1
@@ -227,6 +235,35 @@ object HttpSoak {
       s"count=$total expected=$expected " +
       (if (total == expected) "EXACT" else "MISMATCH"))
     require(total == expected, s"count mismatch: $total vs $expected")
+
+    // rollup loop exactness: after a catch-up refresh the routed hourly
+    // sum over the whole soak span must equal the raw replay (the same
+    // store that just survived concurrent ingest/compaction/re-rolls)
+    fe.rollups.foreach(_.refresh())
+    val all = graft.storage.TimeRange(Long.MinValue, Long.MaxValue)
+    val routed = engine.queryPromQL(s"sum($readMetric)", all, Some(3600000L))
+    require(routed.inputFiles.exists(_.contains("_rollup_")),
+      "rollup routing did not engage after the catch-up refresh")
+    def byBucket(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("bucket_ms") -> r.getAs[Double]("value")).toMap
+    val rawHourly = engine.query(MetricQuery(readMetric,
+      stepMs = Some(3600000L), agg = MetricAgg.Sum))
+    val (a, b) = (byBucket(routed), byBucket(rawHourly))
+    require(a.keySet == b.keySet,
+      s"rollup bucket sets diverged: ${a.keySet.size} vs ${b.keySet.size}; " +
+        s"only-routed=${(a.keySet -- b.keySet).take(3)} " +
+        s"only-raw=${(b.keySet -- a.keySet).take(3)}")
+    // partial-then-total summation order differs from raw by accumulated
+    // ULPs — captured values are ~1e6-1e9, so compare RELATIVE error
+    val maxRel = a.keys.map { k =>
+      val d = math.abs(a(k) - b(k))
+      if (d == 0) 0.0 else d / math.max(math.abs(a(k)), math.abs(b(k)))
+    }.max
+    println(f"[httpsoak] rollup-routed hourly sums vs raw replay: " +
+      f"${a.size} buckets, max relative diff $maxRel%.2e " +
+      (if (maxRel < 1e-9) "EXACT(fp)" else "MISMATCH"))
+    require(maxRel < 1e-9,
+      f"rollup-routed result diverged from raw after the soak: $maxRel%.2e")
     } finally {
       readerStop = true
       scheduler.stop()
