@@ -33,7 +33,14 @@ import graft.storage._
   * same uniform keys as every engine aggregation — and writes one
   * sorted SST per dirty segment. Queries prune rollup SSTs by time
   * range exactly like raw scans, then aggregate ~grid/interval× fewer
-  * rows. */
+  * rows.
+  *
+  * TTL note: expiring raw SSTs removes files without minting new ids,
+  * so expired segments never re-roll and their rollup rows OUTLIVE the
+  * raw data — deliberately the Thanos/M3 downsampled-retention shape
+  * (coarse history is cheap to keep). A deployment wanting strict
+  * rollup≡raw equivalence after expiry should configure the same `ttl`
+  * on the rollup store's compactor. */
 final class Rollup(engine: MetricEngine, val gridMs: Long) {
   require(gridMs > 0, s"gridMs must be positive, got $gridMs")
   require(engine.data.segmentMs % gridMs == 0,
