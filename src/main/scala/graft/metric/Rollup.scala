@@ -1,6 +1,6 @@
 package graft.metric
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -220,18 +220,37 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
       case Some((l, h)) => Seq((qs, l), (h, qe)).filter { case (a, b) => a < b }
       case None => Seq((qs, qe)) // no full grid bucket: all raw
     }
+    // project the scan to the partials THIS aggregation consumes — the
+    // merge exec materializes whatever the scan requests, so an explicit
+    // projection is what keeps a sum query from paying for all 8 partial
+    // columns at 100 TB (PlanSpec asserts the pruned ReadSchema)
+    val partialCols: Seq[String] =
+      if (q.rate) Seq("first", "last", "inc")
+      else q.agg match {
+        case MetricAgg.Sum => Seq("sum")
+        case MetricAgg.Count => Seq("cnt")
+        case MetricAgg.Min => Seq("min")
+        case MetricAgg.Max => Seq("max")
+        case MetricAgg.Avg => Seq("sum", "cnt")
+        case _ => Seq("cnt", "sum", "sumsq") // stddev/stdvar
+      }
+    val proj = Seq("metric_id", "tsid", "ts") ++ partialCols
+    def degenerate(name: String): Column = name match {
+      case "cnt" => lit(1L).as("cnt")
+      case "sumsq" => (col("value") * col("value")).as("sumsq")
+      case "inc" => lit(0.0).as("inc")
+      case other => col("value").as(other) // sum/min/max/last/first = v
+    }
     val rollupPart = interior.map { case (l, h) =>
       store.scan(ScanRequest(range = TimeRange(l, h),
-        predicates = Seq(col("metric_id") === mid)))
+        predicates = Seq(col("metric_id") === mid),
+        projection = Some(proj)))
     }
     val edgeParts = edgeRanges.map { case (a, b) =>
       engine.data.scan(ScanRequest(range = TimeRange(a, b),
           predicates = Seq(col("metric_id") === mid)))
-        .select(col("metric_id"), col("tsid"), col("ts"),
-          lit(1L).as("cnt"), col("value").as("sum"), col("value").as("min"),
-          col("value").as("max"), col("value").as("last"),
-          col("value").as("first"), (col("value") * col("value")).as("sumsq"),
-          lit(0.0).as("inc"))
+        .select(col("metric_id") +: col("tsid") +: col("ts") +:
+          partialCols.map(degenerate): _*)
     }
     var rows = (rollupPart.toSeq ++ edgeParts).reduce(_.unionByName(_))
       .join(broadcast(tsids), Seq("tsid"), "left_semi")

@@ -135,6 +135,40 @@ class PlanSpec extends AnyFunSuite {
       .contains("BroadcastHashJoin"), "scalar() should broadcast the steps frame")
   }
 
+  test("rollup-routed plan: metric filter pushed into the rollup scan, " +
+      "partials pruned to the agg's needs, tsid set broadcast") {
+    import graft.metric._
+    val eng = new MetricEngine(spark,
+      Files.createTempDirectory("graft-plan-rollup").toString,
+      segmentMs = 2 * 86400000L)
+    eng.write(spark.createDataFrame(Seq(
+      Sample("cpu", Map("host" -> "a"), 1000L, 1.0),
+      Sample("cpu", Map("host" -> "b"), 3600001L, 2.0))))
+    val r = new Rollup(eng, gridMs = 3600000L)
+    r.refresh()
+    eng.registerRollup(r)
+    val routed = eng.queryPromQL("sum by (host) (cpu)",
+      TimeRange(Long.MinValue, Long.MaxValue), Some(3600000L))
+    val plan = routed.queryExecution.executedPlan.toString
+    // the samples come from the rollup store: rollup files present, no
+    // raw data-table files (every store nests SSTs under <root>/data/,
+    // so the raw table's are the ones under .../data/data/); the meta
+    // tables (series/index) legitimately serve the tsid/tag lookups
+    assert(routed.inputFiles.exists(_.contains("_rollup_")),
+      routed.inputFiles.toSeq)
+    assert(!routed.inputFiles.exists(_.contains("/data/data/")),
+      routed.inputFiles.toSeq)
+    assert(plan.contains("PushedFilters") && plan.contains("metric_id"), plan)
+    // column pruning: sum-only routing must NOT read the counter/moment
+    // partials (first, sumsq, inc) or min/max/last from parquet
+    val reads = "ReadSchema: [^\\n]+".r.findAllIn(plan).mkString("\n")
+    for (c <- Seq("first", "sumsq", "inc", "min", "max", "last"))
+      assert(!reads.contains(s"$c:"), s"unpruned column $c in:\n$reads")
+    // the TSID set enters as a broadcast join, never a shuffle
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("multimodal header decodes stay codegen'd column expressions (no UDF " +
       "in the metadata path)") {
     // mm3/mm4/mm6 metadata scans must be pure expressions over the payload
