@@ -1079,6 +1079,19 @@ object SparkEntry {
           Some(86400000L))
         .withColumn("value", round(col("value"), 2))),
 
+    // HYBRID EDGE-SPLICE on a live-style UNALIGNED range (the +1ms
+    // end-inclusive shape every HTTP client sends): raw samples in the
+    // sub-grid edge slivers enter the rollup aggregation as degenerate
+    // single-sample partials — the oracle replays pure raw SQL over the
+    // same clipped range, so the splice must be value-invisible.
+    "ro5_rollup_hybrid" -> ((s, dir) =>
+      routedEngine(s, dir)
+        .queryPromQL("sum by (uid) (purchase)",
+          graft.storage.TimeRange(1704153600000L + 7200123L,
+            1706227200000L + 1L),
+          Some(86400000L))
+        .withColumn("value", round(col("value"), 2))),
+
     // RECORDING RULE end to end: the rule engine instant-evaluates the
     // per-uid purchase total and writes it back as a new metric; querying
     // THAT metric must reproduce the totals the oracle computes from raw
@@ -3510,6 +3523,18 @@ object SparkEntry {
         |    * 86400000 AS bucket_ms,
         |  round(sum(value), 2) AS value
         |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The hybrid splice must equal a pure raw replay over the clipped
+    // unaligned range (buckets stay epoch-aligned).
+    "ro5_rollup_hybrid" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |    * 86400000 AS bucket_ms,
+        |  round(sum(value), 2) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |  AND epoch_ms(ts::TIMESTAMP) >= 1704160800123
+        |  AND epoch_ms(ts::TIMESTAMP) < 1706227200001
         |GROUP BY 1, 2""".stripMargin,
 
     // Reset-aware increase replayed from raw samples: lag over each uid's
