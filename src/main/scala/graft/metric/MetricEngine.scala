@@ -327,6 +327,51 @@ final class MetricEngine(spark: SparkSession, root: String,
         StructField("ts_ms", LongType), StructField("value", DoubleType))))
   }
 
+  /** Whether `matchers` resolve through the (tag_value, tsid) index to
+    * EXACTLY their matched series — true for `=` with a non-empty value
+    * and for positive regexes that cannot match "" (a matched series must
+    * then CARRY the label, and the index enumerates every carried value).
+    * `!=`/`!~`/empty-matching patterns select series with ABSENT labels,
+    * which the index cannot represent; `__name__` binds to the metric,
+    * not a tag — those shapes stay on the general path. */
+  private def indexExact(matchers: Seq[graft.promql.LabelMatcher]): Boolean = {
+    import graft.promql._
+    matchers.forall {
+      case LabelMatcher("__name__", _, _) => false
+      case LabelMatcher(_, MatchOp.Eq, v) => v.nonEmpty
+      case LabelMatcher(_, MatchOp.Re, re) =>
+        try !"".matches(s"^(?:$re)$$")
+        catch { case _: java.util.regex.PatternSyntaxException => false }
+      case _ => false
+    }
+  }
+
+  /** Step-1 TSID resolution for an [[indexExact]] matcher set: one index
+    * dictionary filter per matcher ( `=` equality, `=~` anchored rlike),
+    * AND-ed via semi-joins — the regex runs on the small per-metric
+    * (tag_value, tsid) dictionary, never the data scan. No matchers =
+    * every series of the metric. */
+  private def indexExactTsids(mid: Long,
+      matchers: Seq[graft.promql.LabelMatcher]): DataFrame = {
+    import graft.promql._
+    val per = matchers.map {
+      case LabelMatcher(l, MatchOp.Eq, v) =>
+        index.scan(ScanRequest(predicates = Seq(col("metric_id") === mid,
+            col("tag_key") === l, col("tag_value") === v)))
+          .select("tsid").distinct()
+      case LabelMatcher(l, MatchOp.Re, re) =>
+        index.scan(ScanRequest(predicates = Seq(col("metric_id") === mid,
+            col("tag_key") === l, col("tag_value").rlike(s"^(?:$re)$$"))))
+          .select("tsid").distinct()
+      case other => throw new IllegalStateException(
+        s"not index-exact: $other (guard with indexExact first)")
+    }
+    per.reduceOption((a, b) => a.join(b, Seq("tsid"), "left_semi"))
+      .getOrElse(series.scan(ScanRequest(
+          predicates = Seq(col("metric_id") === mid)))
+        .select("tsid").distinct())
+  }
+
   /** TSIDs matching every label filter — the RFC two-step lookup, step 1
     * (20240827-metric-engine.md:121-126): filter the index table per label,
     * intersect via repeated semi-join. */
@@ -364,7 +409,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     * splicing degenerate single-sample partials from raw into the same
     * aggregation (its Scaladoc); only bounds too extreme for the
     * alignment arithmetic fall back here. */
-  private def rollupRouted(q: MetricQuery): Option[DataFrame] = {
+  private def rollupRouted(q: MetricQuery,
+      tsids: DataFrame): Option[DataFrame] = {
     val combinable = Set[MetricAgg](MetricAgg.Sum, MetricAgg.Count,
       MetricAgg.Min, MetricAgg.Max, MetricAgg.Avg)
     val aggOk =
@@ -373,7 +419,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       math.abs(v) <= Long.MaxValue / 2
     if (!aggOk || !boundOk(q.range.start) || !boundOk(q.range.end)) return None
     rollups.find(r => q.stepMs.forall(_ % r.gridMs == 0) && r.isFresh)
-      .map(_.query(q))
+      .map(_.query(q, Some(tsids)))
   }
 
   private[metric] def metricIdOf(name: String): Option[Long] = {
@@ -396,7 +442,14 @@ final class MetricEngine(spark: SparkSession, root: String,
           q.groupByTag.map(t => StructField(t, StringType)).toSeq ++
           q.stepMs.map(_ => StructField("bucket_ms", LongType)).toSeq :+
           StructField("value", DoubleType))))
-    val tsids = lookupTsids(mid, q.labelFilters)
+    queryWithTsids(mid, lookupTsids(mid, q.labelFilters), q)
+  }
+
+  /** [[query]] with the step-1 TSID set already resolved — the PromQL
+    * fast path resolves index-exact regex matchers itself and hands the
+    * frame down. */
+  private[metric] def queryWithTsids(mid: Long, tsids: DataFrame,
+      q: MetricQuery): DataFrame = {
     var rows = data.scan(ScanRequest(range = q.range,
         predicates = Seq(col("metric_id") === mid)))
       .join(maybeBroadcast(tsids), Seq("tsid"), "left_semi")
@@ -549,17 +602,6 @@ final class MetricEngine(spark: SparkSession, root: String,
   private def queryPromQLAst(ast: graft.promql.Expr, range: TimeRange,
       stepMs: Option[Long]): DataFrame = {
     import graft.promql._
-    // Fast-path eligible matcher sets: all `=`, no duplicates on one label
-    // (toMap would keep only the last — a contradictory selector must reach
-    // the general path's conjunctive filters), and no empty values (the
-    // index semi-join can't represent "label absent"; `=""` matches absence
-    // only on the general path's coalesced label columns).
-    def eqFilters(sel: Selector): Option[Map[String, String]] = {
-      val eqs = sel.matchers.collect { case LabelMatcher(l, MatchOp.Eq, v) => l -> v }
-      if (eqs.length == sel.matchers.length && eqs.forall(_._2.nonEmpty) &&
-          eqs.map(_._1).distinct.length == eqs.length) Some(eqs.toMap)
-      else None
-    }
     // A requested step that disagrees with a range-function window would be
     // silently ignored (windows own their buckets) — reject it up front on
     // BOTH paths.
@@ -569,9 +611,13 @@ final class MetricEngine(spark: SparkSession, root: String,
           "windowed functions define their own buckets")
     ast match {
       // metric == "" (bare {...} selector) always takes the general path —
-      // it selects across metrics resolved from __name__ matchers
+      // it selects across metrics resolved from __name__ matchers.
+      // indexExact admits `=` AND positive non-empty-matching regexes:
+      // both resolve to exactly their series through the index dictionary
+      // (regexes run on the small (tag_value, tsid) frame, never the scan).
       case sel: Selector
-          if sel.metric.nonEmpty && eqFilters(sel).isDefined && sel.offsetMs == 0L =>
+          if sel.metric.nonEmpty && indexExact(sel.matchers) &&
+            sel.offsetMs == 0L =>
         // unknown metric → empty frame with the SELECTOR's schema, so
         // unions/projections behave the same as for a known metric
         val mid = metricIdOf(sel.metric).getOrElse(
@@ -582,7 +628,8 @@ final class MetricEngine(spark: SparkSession, root: String,
               StructField("value", DoubleType, nullable = false)))))
         data.scan(ScanRequest(range = range,
             predicates = Seq(col("metric_id") === mid)))
-          .join(maybeBroadcast(lookupTsids(mid, eqFilters(sel).get)), Seq("tsid"), "left_semi")
+          .join(maybeBroadcast(indexExactTsids(mid, sel.matchers)),
+            Seq("tsid"), "left_semi")
           .select(col("tsid"), col("ts").as("ts_ms"), col("value"))
       // by (__name__) must take the general path — the fast path's index
       // join has no __name__ tag and would label the group "" silently.
@@ -591,25 +638,31 @@ final class MetricEngine(spark: SparkSession, root: String,
       // general path prefix-isolates label columns, the fast path cannot
       // represent a group column named "value" at all.
       case Agg(op, by, sel: Selector, false)
-          if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
-            sel.offsetMs == 0L && by.forall(fastPathSafeLabel) =>
-        val q = MetricQuery(sel.metric, eqFilters(sel).get, range, stepMs, op,
-          by.headOption)
+          if sel.metric.nonEmpty && by.length <= 1 &&
+            indexExact(sel.matchers) && sel.offsetMs == 0L &&
+            by.forall(fastPathSafeLabel) =>
+        val q = MetricQuery(sel.metric, Map.empty, range, stepMs, op,
+          by.headOption) // tsids resolved below; labelFilters unused
+        val mid = metricIdOf(sel.metric).getOrElse(return query(q))
+        val tsids = indexExactTsids(mid, sel.matchers)
         // transparent downsampling: a registered rollup answers combinable
         // aggregations from its partials when the step aligns — the same
         // result, grid/interval× less scan (Rollup Scaladoc; RollupSpec
         // asserts rollup ≡ raw)
-        rollupRouted(q).getOrElse(query(q))
+        rollupRouted(q, tsids).getOrElse(queryWithTsids(mid, tsids, q))
       case Agg(MetricAgg.Sum, by,
             RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win), false)
-          if sel.metric.nonEmpty && by.length <= 1 && eqFilters(sel).isDefined &&
-            sel.offsetMs == 0L && stepMs.forall(_ == win) &&
-            by.forall(fastPathSafeLabel) =>
-        val q = MetricQuery(sel.metric, eqFilters(sel).get, range,
+          if sel.metric.nonEmpty && by.length <= 1 &&
+            indexExact(sel.matchers) && sel.offsetMs == 0L &&
+            stepMs.forall(_ == win) && by.forall(fastPathSafeLabel) =>
+        val q = MetricQuery(sel.metric, Map.empty, range,
           Some(win), MetricAgg.Sum, by.headOption, rate = true)
+        val mid = metricIdOf(sel.metric).getOrElse(return query(q))
+        val tsids = indexExactTsids(mid, sel.matchers)
         // counter rollups route here too: per-bucket (first, last, inc)
         // partials reconstruct the raw path's reset-aware deltas exactly
-        val inc = rollupRouted(q).getOrElse(query(q))
+        val inc = rollupRouted(q, tsids)
+          .getOrElse(queryWithTsids(mid, tsids, q))
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
         else inc
       case other =>

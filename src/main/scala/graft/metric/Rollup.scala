@@ -179,7 +179,13 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
     * and the rate window chains sample-rows and bucket-rows in time
     * order, reproducing the raw lag deltas across the splice points.
     * Edge scans are manifest-pruned to <2 grid buckets of raw data. */
-  def query(q: MetricQuery): DataFrame = {
+  def query(q: MetricQuery): DataFrame = query(q, None)
+
+  /** [[query]] with an optionally pre-resolved TSID frame (the engine's
+    * fast path resolves index-exact regex matchers itself; `q.labelFilters`
+    * is ignored when `tsidsOverride` is given). */
+  private[metric] def query(q: MetricQuery,
+      tsidsOverride: Option[DataFrame]): DataFrame = {
     val stepMs = q.stepMs.getOrElse(
       // unstepped = one bucket over the whole range
       Long.MaxValue)
@@ -208,7 +214,7 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
           q.groupByTag.map(t => StructField(t, StringType)).toSeq ++
             q.stepMs.map(_ => StructField("bucket_ms", LongType)).toSeq :+
             StructField("value", DoubleType))))
-    val tsids = engine.lookupTsids(mid, q.labelFilters)
+    val tsids = tsidsOverride.getOrElse(engine.lookupTsids(mid, q.labelFilters))
     // grid-aligned interior answered by rollup buckets; sub-grid edge
     // slivers answered by degenerate single-sample partials from raw
     val lo = if (qs == Long.MinValue) qs

@@ -180,9 +180,15 @@ class MetricEngineSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](
       e.queryPromQL("""sum by (value) (m{ts="t1"})""", r).collect())
     assert(e1.getMessage.contains("value"))
-    // general path (regex matcher) rejects reserved label names clearly too
+    // index-exact regexes take the fast path too (round 10), which
+    // represents a "tsid" group label fine — values, not an error
+    val byTsidRe = e.queryPromQL("""sum by (tsid) (m{ts=~"t.*"})""", r)
+      .collect().map(row => row.getAs[String]("tsid") ->
+        row.getAs[Double]("value")).toMap
+    assert(byTsidRe == Map("a" -> 1.0, "b" -> 2.0))
+    // the general path (negative matcher) rejects reserved names clearly
     val e2 = intercept[IllegalArgumentException](
-      e.queryPromQL("""sum by (tsid) (m{ts=~"t.*"})""", r).collect())
+      e.queryPromQL("""sum by (tsid) (m{ts!="zzz"})""", r).collect())
     assert(e2.getMessage.contains("structural"))
   }
 

@@ -242,6 +242,44 @@ class RollupSpec extends AnyFunSuite {
       rateRaw.collect().map(_.toSeq).toSet)
   }
 
+  test("index-exact regex matchers take the fast path and route through " +
+      "the rollup; negative matchers stay on the general (raw) path") {
+    val eng = freshEngine()
+    write(eng, Seq(("a", 1000L, 1.0), ("ab", 2000L, 2.0), ("b", 3000L, 4.0),
+      ("a", hour + 1, 8.0)))
+    val r = new Rollup(eng, gridMs = hour)
+    r.refresh()
+    eng.registerRollup(r)
+    val all = TimeRange(Long.MinValue, Long.MaxValue)
+
+    // =~ resolves through the index dictionary -> routed, exact values
+    val re = eng.queryPromQL("""sum by (host) (cpu{host=~"a.*"})""",
+      all, Some(hour))
+    assert(re.inputFiles.exists(_.contains("_rollup_")), re.inputFiles.toSeq)
+    assert(re.collect().map(row => (row.getAs[String]("host"),
+        row.getAs[Long]("bucket_ms"), row.getAs[Double]("value"))).toSet ==
+      Set(("a", 0L, 1.0), ("ab", 0L, 2.0), ("a", hour, 8.0)))
+    // rate over a regex selector routes too
+    val reRate = eng.queryPromQL("""sum by (host) (increase(cpu{host=~"a|ab"}[1h]))""",
+      all, Some(hour))
+    assert(reRate.inputFiles.exists(_.contains("_rollup_")))
+    assert(reRate.collect().map(row => (row.getAs[String]("host"),
+        row.getAs[Long]("bucket_ms"), row.getAs[Double]("value"))).toSet ==
+      Set(("a", 0L, 0.0), ("ab", 0L, 0.0), ("a", hour, 7.0)))
+    // negative and empty-matching shapes cannot be index-exact -> raw
+    for (q <- Seq("""sum by (host) (cpu{host!="a"})""",
+        """sum by (host) (cpu{host=~"a.*|"})""")) {
+      val out = eng.queryPromQL(q, all, Some(hour))
+      assert(!out.inputFiles.exists(_.contains("_rollup_")), q)
+    }
+    // general-path agreement for the negative matcher (values correct)
+    val neg = eng.queryPromQL("""sum by (host) (cpu{host!="a"})""",
+      all, Some(hour))
+    assert(neg.collect().map(row => (row.getAs[String]("host"),
+        row.getAs[Long]("bucket_ms"), row.getAs[Double]("value"))).toSet ==
+      Set(("ab", 0L, 2.0), ("b", 0L, 4.0)))
+  }
+
   test("multi-grid routing picks the coarsest eligible rollup: daily " +
       "queries hit the 1d grid, hourly queries the 1h grid") {
     val eng = freshEngine()
