@@ -180,10 +180,14 @@ object SparkEntry {
         val eng = new graft.metric.MetricEngine(s,
           java.nio.file.Files.createTempDirectory("graft-routed-engine").toString,
           segmentMs = 7L * 86400000L)
+        // two labels per series (cohort is uid-determined, so the series
+        // set — one per uid — and every by-uid result are unchanged);
+        // ro6 groups and regex-filters on the second label
         eng.write(t(s, dir, "events")
           .filter(col("event_type") === "purchase")
           .select(col("event_type").as("name"),
-            map(lit("uid"), col("user_id").cast("string")).as("labels"),
+            map(lit("uid"), col("user_id").cast("string"),
+              lit("cohort"), (col("user_id") % 10).cast("string")).as("labels"),
             tsMs.as("timestamp"), col("value")))
         val r = new graft.metric.Rollup(eng, 86400000L)
         r.refresh()
@@ -1089,6 +1093,17 @@ object SparkEntry {
         .queryPromQL("sum by (uid) (purchase)",
           graft.storage.TimeRange(1704153600000L + 7200123L,
             1706227200000L + 1L),
+          Some(86400000L))
+        .withColumn("value", round(col("value"), 2))),
+
+    // MULTI-LABEL by + INDEX-EXACT REGEX on the fast path, routed through
+    // the rollup: the regex evaluates on the per-metric index dictionary,
+    // both labels join from the index under positional aliases, and the
+    // partial re-aggregation must equal the raw SQL replay.
+    "ro6_rollup_multiby" -> ((s, dir) =>
+      routedEngine(s, dir)
+        .queryPromQL("""sum by (uid, cohort) (purchase{cohort=~"[0-4]"})""",
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue),
           Some(86400000L))
         .withColumn("value", round(col("value"), 2))),
 
@@ -3536,6 +3551,18 @@ object SparkEntry {
         |  AND epoch_ms(ts::TIMESTAMP) >= 1704160800123
         |  AND epoch_ms(ts::TIMESTAMP) < 1706227200001
         |GROUP BY 1, 2""".stripMargin,
+
+    // Multi-label grouping with the regex applied to the cohort label —
+    // pure raw replay, the routing must be value-invisible.
+    "ro6_rollup_multiby" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  CAST(user_id % 10 AS VARCHAR) AS cohort,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT)
+        |    * 86400000 AS bucket_ms,
+        |  round(sum(value), 2) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |  AND regexp_matches(CAST(user_id % 10 AS VARCHAR), '^(?:[0-4])$')
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // Reset-aware increase replayed from raw samples: lag over each uid's
     // time-ordered values, a drop = counter reset (post-reset value counts

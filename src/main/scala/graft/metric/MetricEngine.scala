@@ -409,8 +409,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     * splicing degenerate single-sample partials from raw into the same
     * aggregation (its Scaladoc); only bounds too extreme for the
     * alignment arithmetic fall back here. */
-  private def rollupRouted(q: MetricQuery,
-      tsids: DataFrame): Option[DataFrame] = {
+  private def rollupRouted(q: MetricQuery, tsids: DataFrame,
+      tags: Seq[String]): Option[DataFrame] = {
     val combinable = Set[MetricAgg](MetricAgg.Sum, MetricAgg.Count,
       MetricAgg.Min, MetricAgg.Max, MetricAgg.Avg)
     val aggOk =
@@ -419,7 +419,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       math.abs(v) <= Long.MaxValue / 2
     if (!aggOk || !boundOk(q.range.start) || !boundOk(q.range.end)) return None
     rollups.find(r => q.stepMs.forall(_ % r.gridMs == 0) && r.isFresh)
-      .map(_.query(q, Some(tsids)))
+      .map(_.query(q, Some(tsids), tags))
   }
 
   private[metric] def metricIdOf(name: String): Option[Long] = {
@@ -442,14 +442,15 @@ final class MetricEngine(spark: SparkSession, root: String,
           q.groupByTag.map(t => StructField(t, StringType)).toSeq ++
           q.stepMs.map(_ => StructField("bucket_ms", LongType)).toSeq :+
           StructField("value", DoubleType))))
-    queryWithTsids(mid, lookupTsids(mid, q.labelFilters), q)
+    queryWithTsids(mid, lookupTsids(mid, q.labelFilters), q,
+      q.groupByTag.toSeq)
   }
 
   /** [[query]] with the step-1 TSID set already resolved — the PromQL
     * fast path resolves index-exact regex matchers itself and hands the
     * frame down. */
   private[metric] def queryWithTsids(mid: Long, tsids: DataFrame,
-      q: MetricQuery): DataFrame = {
+      q: MetricQuery, tags: Seq[String]): DataFrame = {
     var rows = data.scan(ScanRequest(range = q.range,
         predicates = Seq(col("metric_id") === mid)))
       .join(maybeBroadcast(tsids), Seq("tsid"), "left_semi")
@@ -457,45 +458,64 @@ final class MetricEngine(spark: SparkSession, root: String,
       rows = rows.withColumn("value", graft.functions.Rate.resetAwareDelta(
         col("value"), Seq(col("tsid")), Seq(col("ts"))))
     val bucketCol = q.stepMs.map(st => (floor(col("ts") / lit(st)).cast("long") * st).as("bucket_ms"))
-    // The grouping tag is a LABEL NAME, and legal Prometheus label names
-    // include this frame's structural column names ("value", "ts", "tsid",
-    // "bucket_ms"). Join the tag value under a reserved internal alias and
-    // rename on the way out, so such labels neither collide in the join
-    // nor shadow the value column mid-plan. Output-name collisions that
-    // cannot be represented at all (a group column named like the value or
-    // bucket output) are rejected with a pointer to the general path,
-    // which prefixes every label column.
-    val tagAlias = "__graft_tag__"
-    q.groupByTag.foreach { tag =>
-      require(tag != "value" && !(q.stepMs.isDefined && tag == "bucket_ms"),
+    joinGroupTags(rows, tags, q.stepMs.isDefined, mid, bucketCol) { (grouped, keys) =>
+      val valueAgg = q.agg match {
+        case MetricAgg.Sum => sum(col("value"))
+        case MetricAgg.Min => min(col("value"))
+        case MetricAgg.Max => max(col("value"))
+        case MetricAgg.Avg => avg(col("value"))
+        case MetricAgg.Count => count(lit(1)).cast("double")
+        case MetricAgg.Stddev => stddev_pop(col("value"))
+        case MetricAgg.Stdvar => var_pop(col("value"))
+        case MetricAgg.Group => max(lit(1.0))
+      }
+      if (keys.isEmpty) grouped.agg(valueAgg.as("value"))
+      else grouped.groupBy(keys: _*).agg(valueAgg.as("value"))
+    }
+  }
+
+  /** Shared fast-path grouping-label machinery (engine raw queries AND
+    * rollup queries): join each grouping label's value from the index
+    * under a reserved positional alias — legal Prometheus label names
+    * include this frame's structural column names (value/ts/tsid/
+    * bucket_ms), so bare names would collide mid-plan — left join + ""
+    * default (series without the tag stay as the empty-label group,
+    * Prometheus by() semantics; inner would silently drop them), run
+    * `agg` over (joined rows, alias keys ++ bucket), rename aliases back.
+    * Output-name collisions that cannot be represented at all (a group
+    * column named like the value or bucket output) are rejected with a
+    * pointer to the general path, which prefix-isolates every label. */
+  private[metric] def joinGroupTags(rows0: DataFrame, tags0: Seq[String],
+      hasBucket: Boolean, mid: Long, bucketCol: Option[Column])(
+      agg: (DataFrame, Seq[Column]) => DataFrame): DataFrame = {
+    val tags = tags0.distinct
+    val aliases = tags.indices.map(i => s"__graft_tag_${i}__")
+    var rows = rows0
+    tags.zip(aliases).foreach { case (tag, al) =>
+      require(tag != "value" && !(hasBucket && tag == "bucket_ms"),
         s"grouping label '$tag' would collide with the '$tag' OUTPUT " +
           "column of the aggregation — unsupported by the engine's flat " +
           "result frames; rename the label at ingest")
       val tagVals = index.scan(ScanRequest(predicates = Seq(
-        col("metric_id") === mid, col("tag_key") === tag)))
-        .select(col("tsid"), col("tag_value").as(tagAlias))
-      // left join + "" default: series without the tag stay in the result
-      // as the empty-label group (Prometheus by() semantics; an inner join
-      // would silently drop them)
+          col("metric_id") === mid, col("tag_key") === tag)))
+        .select(col("tsid"), col("tag_value").as(al))
       rows = rows.join(maybeBroadcast(tagVals), Seq("tsid"), "left")
-        .withColumn(tagAlias, coalesce(col(tagAlias), lit("")))
+        .withColumn(al, coalesce(col(al), lit("")))
     }
-    val keys = (q.groupByTag.map(_ => col(tagAlias)).toSeq ++ bucketCol.toSeq)
-    val valueAgg = q.agg match {
-      case MetricAgg.Sum => sum(col("value"))
-      case MetricAgg.Min => min(col("value"))
-      case MetricAgg.Max => max(col("value"))
-      case MetricAgg.Avg => avg(col("value"))
-      case MetricAgg.Count => count(lit(1)).cast("double")
-      case MetricAgg.Stddev => stddev_pop(col("value"))
-      case MetricAgg.Stdvar => var_pop(col("value"))
-      case MetricAgg.Group => max(lit(1.0))
-    }
-    val out =
-      if (keys.isEmpty) rows.agg(valueAgg.as("value"))
-      else rows.groupBy(keys: _*).agg(valueAgg.as("value"))
-    q.groupByTag.map(t => out.withColumnRenamed(tagAlias, t)).getOrElse(out)
+    val out = agg(rows, aliases.map(col) ++ bucketCol.toSeq)
+    tags.zip(aliases).foldLeft(out) { case (df, (tag, al)) =>
+      df.withColumnRenamed(al, tag) }
   }
+
+  /** Unknown-metric result for a fast-path aggregation: empty, with the
+    * aggregation's real output schema (group labels, bucket, value). */
+  private def emptyAggFrame(by: Seq[String],
+      stepMs: Option[Long]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(by.distinct.map(t => StructField(t, StringType)) ++
+        stepMs.map(_ => StructField("bucket_ms", LongType)).toSeq :+
+        StructField("value", DoubleType)))
 
   /** PromQL text → the engine's storage. Two execution tiers:
     *
@@ -633,36 +653,37 @@ final class MetricEngine(spark: SparkSession, root: String,
           .select(col("tsid"), col("ts").as("ts_ms"), col("value"))
       // by (__name__) must take the general path — the fast path's index
       // join has no __name__ tag and would label the group "" silently.
-      // So must by-labels named like the fast-path frame's structural
-      // columns (value/ts/tsid/bucket_ms — all legal label names): the
-      // general path prefix-isolates label columns, the fast path cannot
-      // represent a group column named "value" at all.
+      // Any NUMBER of other labels groups on the fast path (round 10):
+      // each joins from the index under a positional alias, so even
+      // structural-column label names (ts/tsid) group correctly; only a
+      // label named like the value/bucket OUTPUT column is rejected.
       case Agg(op, by, sel: Selector, false)
-          if sel.metric.nonEmpty && by.length <= 1 &&
-            indexExact(sel.matchers) && sel.offsetMs == 0L &&
-            by.forall(fastPathSafeLabel) =>
+          if sel.metric.nonEmpty && indexExact(sel.matchers) &&
+            sel.offsetMs == 0L && by.forall(fastPathSafeLabel) =>
         val q = MetricQuery(sel.metric, Map.empty, range, stepMs, op,
-          by.headOption) // tsids resolved below; labelFilters unused
-        val mid = metricIdOf(sel.metric).getOrElse(return query(q))
+          by.headOption) // tsids/tags resolved below; labelFilters unused
+        val mid = metricIdOf(sel.metric).getOrElse(
+          return emptyAggFrame(by, stepMs))
         val tsids = indexExactTsids(mid, sel.matchers)
         // transparent downsampling: a registered rollup answers combinable
         // aggregations from its partials when the step aligns — the same
         // result, grid/interval× less scan (Rollup Scaladoc; RollupSpec
         // asserts rollup ≡ raw)
-        rollupRouted(q, tsids).getOrElse(queryWithTsids(mid, tsids, q))
+        rollupRouted(q, tsids, by).getOrElse(queryWithTsids(mid, tsids, q, by))
       case Agg(MetricAgg.Sum, by,
             RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win), false)
-          if sel.metric.nonEmpty && by.length <= 1 &&
-            indexExact(sel.matchers) && sel.offsetMs == 0L &&
-            stepMs.forall(_ == win) && by.forall(fastPathSafeLabel) =>
+          if sel.metric.nonEmpty && indexExact(sel.matchers) &&
+            sel.offsetMs == 0L && stepMs.forall(_ == win) &&
+            by.forall(fastPathSafeLabel) =>
         val q = MetricQuery(sel.metric, Map.empty, range,
           Some(win), MetricAgg.Sum, by.headOption, rate = true)
-        val mid = metricIdOf(sel.metric).getOrElse(return query(q))
+        val mid = metricIdOf(sel.metric).getOrElse(
+          return emptyAggFrame(by, Some(win)))
         val tsids = indexExactTsids(mid, sel.matchers)
         // counter rollups route here too: per-bucket (first, last, inc)
         // partials reconstruct the raw path's reset-aware deltas exactly
-        val inc = rollupRouted(q, tsids)
-          .getOrElse(queryWithTsids(mid, tsids, q))
+        val inc = rollupRouted(q, tsids, by)
+          .getOrElse(queryWithTsids(mid, tsids, q, by))
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
         else inc
       case other =>

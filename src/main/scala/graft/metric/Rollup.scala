@@ -179,13 +179,16 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
     * and the rate window chains sample-rows and bucket-rows in time
     * order, reproducing the raw lag deltas across the splice points.
     * Edge scans are manifest-pruned to <2 grid buckets of raw data. */
-  def query(q: MetricQuery): DataFrame = query(q, None)
+  def query(q: MetricQuery): DataFrame =
+    query(q, None, q.groupByTag.toSeq)
 
   /** [[query]] with an optionally pre-resolved TSID frame (the engine's
     * fast path resolves index-exact regex matchers itself; `q.labelFilters`
-    * is ignored when `tsidsOverride` is given). */
+    * is ignored when `tsidsOverride` is given) and an explicit grouping
+    * label list (the fast path groups by any number of labels;
+    * `q.groupByTag` carries at most one). */
   private[metric] def query(q: MetricQuery,
-      tsidsOverride: Option[DataFrame]): DataFrame = {
+      tsidsOverride: Option[DataFrame], tags: Seq[String]): DataFrame = {
     val stepMs = q.stepMs.getOrElse(
       // unstepped = one bucket over the whole range
       Long.MaxValue)
@@ -211,7 +214,7 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(
-          q.groupByTag.map(t => StructField(t, StringType)).toSeq ++
+          tags.distinct.map(t => StructField(t, StringType)) ++
             q.stepMs.map(_ => StructField("bucket_ms", LongType)).toSeq :+
             StructField("value", DoubleType))))
     val tsids = tsidsOverride.getOrElse(engine.lookupTsids(mid, q.labelFilters))
@@ -275,36 +278,28 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
     }
     val bucketCol = q.stepMs.map(st =>
       (floor(col("ts") / lit(st)).cast("long") * st).as("bucket_ms"))
-    val tagAlias = "__graft_tag__"
-    q.groupByTag.foreach { tag =>
-      val tagVals = engine.index.scan(ScanRequest(predicates = Seq(
-          col("metric_id") === mid, col("tag_key") === tag)))
-        .select(col("tsid"), col("tag_value").as(tagAlias))
-      rows = rows.join(broadcast(tagVals), Seq("tsid"), "left")
-        .withColumn(tagAlias, coalesce(col(tagAlias), lit("")))
+    engine.joinGroupTags(rows, tags, q.stepMs.isDefined, mid,
+      bucketCol) { (grouped, keys) =>
+      // population variance from moments; clamp the FP-cancellation residue
+      def momentVar = greatest(
+        sum(col("sumsq")) / sum(col("cnt")) -
+          pow(sum(col("sum")) / sum(col("cnt")), 2), lit(0.0))
+      val valueAgg =
+        if (q.rate) sum(col("inc"))
+        else q.agg match {
+          case MetricAgg.Sum => sum(col("sum"))
+          case MetricAgg.Count => sum(col("cnt")).cast("double")
+          case MetricAgg.Min => min(col("min"))
+          case MetricAgg.Max => max(col("max"))
+          case MetricAgg.Avg => sum(col("sum")) / sum(col("cnt"))
+          case MetricAgg.Stddev => sqrt(momentVar)
+          case MetricAgg.Stdvar => momentVar
+          case other => throw new IllegalStateException(
+            s"unreachable: $other rejected above")
+        }
+      if (keys.isEmpty) grouped.agg(valueAgg.as("value"))
+      else grouped.groupBy(keys: _*).agg(valueAgg.as("value"))
     }
-    val keys = q.groupByTag.map(_ => col(tagAlias)).toSeq ++ bucketCol.toSeq
-    // population variance from moments; clamp the FP-cancellation residue
-    def momentVar = greatest(
-      sum(col("sumsq")) / sum(col("cnt")) -
-        pow(sum(col("sum")) / sum(col("cnt")), 2), lit(0.0))
-    val valueAgg =
-      if (q.rate) sum(col("inc"))
-      else q.agg match {
-        case MetricAgg.Sum => sum(col("sum"))
-        case MetricAgg.Count => sum(col("cnt")).cast("double")
-        case MetricAgg.Min => min(col("min"))
-        case MetricAgg.Max => max(col("max"))
-        case MetricAgg.Avg => sum(col("sum")) / sum(col("cnt"))
-        case MetricAgg.Stddev => sqrt(momentVar)
-        case MetricAgg.Stdvar => momentVar
-        case other => throw new IllegalStateException(
-          s"unreachable: $other rejected above")
-      }
-    val agged =
-      if (keys.isEmpty) rows.agg(valueAgg.as("value"))
-      else rows.groupBy(keys: _*).agg(valueAgg.as("value"))
-    q.groupByTag.foldLeft(agged)((df, tag) => df.withColumnRenamed(tagAlias, tag))
   }
 }
 

@@ -966,9 +966,11 @@ class PromQLSpec extends AnyFunSuite {
       .select("value").collect().map(_.getDouble(0))
     // per host values 0,1,4,9,16,25 → 55; two hosts
     assert(us.toSeq == Seq(110.0))
-    // multi-label grouping (not expressible via MetricQuery's single tag)
+    // multi-label grouping (fast-path since round 10 — named getters, the
+    // two paths order the label columns differently)
     val byBoth = engine.queryPromQL("max by (host, dc) (reqs)", TimeRange(0, H))
-      .collect().map(r => ((r.getString(1), r.getString(0)), r.getDouble(2))).toMap
+      .collect().map(r => ((r.getAs[String]("host"), r.getAs[String]("dc")),
+        r.getAs[Double]("value"))).toMap
     assert(byBoth == Map(("h1", "us") -> 25.0, ("h2", "us") -> 25.0,
       ("h3", "eu") -> 25.0))
     // avg of per-series rates (sum-only on the fast path; general here)

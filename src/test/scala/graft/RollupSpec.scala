@@ -25,6 +25,43 @@ class RollupSpec extends AnyFunSuite {
     eng.write(spark.createDataFrame(rows.map { case (host, ts, v) =>
       Sample("cpu", Map("host" -> host), ts, v) }))
 
+  test("multi-label by groups on the fast path and routes through the " +
+      "rollup; a series missing one label lands in its \"\" group") {
+    val eng = freshEngine()
+    eng.write(spark.createDataFrame(Seq(
+      Sample("req", Map("host" -> "a", "dc" -> "us"), 1000L, 1.0),
+      Sample("req", Map("host" -> "a", "dc" -> "eu"), 2000L, 2.0),
+      Sample("req", Map("host" -> "b", "dc" -> "us"), 3000L, 4.0),
+      Sample("req", Map("host" -> "c"), 4000L, 8.0), // dc absent -> ""
+      Sample("req", Map("host" -> "a", "dc" -> "us"), hour + 1, 16.0))))
+    val r = new Rollup(eng, gridMs = hour)
+    r.refresh()
+    eng.registerRollup(r)
+    val all = TimeRange(Long.MinValue, Long.MaxValue)
+    val routed = eng.queryPromQL("sum by (host, dc) (req)", all, Some(hour))
+    assert(routed.inputFiles.exists(_.contains("_rollup_")),
+      routed.inputFiles.toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getAs[String]("host"),
+        row.getAs[String]("dc"), row.getAs[Long]("bucket_ms"),
+        row.getAs[Double]("value"))).toSet
+    val expected = Set(
+      ("a", "us", 0L, 1.0), ("a", "eu", 0L, 2.0), ("b", "us", 0L, 4.0),
+      ("c", "", 0L, 8.0), ("a", "us", hour, 16.0))
+    assert(rows(routed) == expected)
+    // the raw fast path (stale rollup) produces the same groups
+    eng.write(spark.createDataFrame(Seq(
+      Sample("req", Map("host" -> "b", "dc" -> "us"), 5000L, 32.0))))
+    val raw = eng.queryPromQL("sum by (host, dc) (req)", all, Some(hour))
+    assert(!raw.inputFiles.exists(_.contains("_rollup_")))
+    assert(rows(raw) == expected - (("b", "us", 0L, 4.0)) +
+      (("b", "us", 0L, 36.0)))
+    // and the general path agrees (negative matcher forces it)
+    val gen = eng.queryPromQL("""sum by (host, dc) (req{host!="zzz"})""",
+      all, Some(hour))
+    assert(rows(gen) == rows(raw))
+  }
+
   test("refresh is incremental per segment; queries answer from partials " +
       "exactly; late data repairs its bucket on the next refresh") {
     val eng = freshEngine()
