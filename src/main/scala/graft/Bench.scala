@@ -69,8 +69,27 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Host-state stamp (round 11, verdict task #5): the r10 triage showed
+    // same-code suite totals swinging 53→123 s with background load and
+    // page-cache reclaim on the shared box. Recording loadavg + the page
+    // cache + free memory WITH the numbers lets a reader separate engine
+    // regressions from environment noise without re-deriving the triage.
+    val env: String = {
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      def meminfoKb(key: String): Long =
+        try scala.io.Source.fromFile("/proc/meminfo").getLines()
+          .collectFirst { case l if l.startsWith(key + ":") =>
+            l.split("\\s+")(1).toLong }.getOrElse(-1L)
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      s"""{"load_avg":$load,"mem_free_kb":${meminfoKb("MemFree")},""" +
+        s""""cached_kb":${meminfoKb("Cached")},""" +
+        s""""buffers_kb":${meminfoKb("Buffers")},""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","env":$env}"""
     println(line)
     // The driver's artifact capture keeps only the tail of stdout; at 160+
     // queries the one-line JSON (~4 kB) overflows it and the per-query map
@@ -81,7 +100,8 @@ object Bench {
     if (only.isEmpty) {
       val pretty = new StringBuilder
       pretty ++= s"""{\n  "metric": "total",\n  "value": $total,\n"""
-      pretty ++= s"""  "unit": "sec",\n  "sf": "$sfDir",\n  "queries": {\n"""
+      pretty ++= s"""  "unit": "sec",\n  "sf": "$sfDir",\n  "env": $env,\n"""
+      pretty ++= s"""  "queries": {\n"""
       pretty ++= results.map { case (k, v) => s"""    "$k": $v""" }
         .mkString(",\n")
       pretty ++= "\n  }\n}\n"

@@ -863,6 +863,17 @@ object SparkEntry {
       promqlCtx(s, dir).sqlInstant("""purchase{uid=~"[1-7]"}""",
         1706745600000L, lookbackMs = 2678400000L)),
 
+    // Instant WINDOWED expression with the round-11 EXACT sliding lookback:
+    // rate over the true (T-1w, T] window at an UNALIGNED evaluation time
+    // (no tumbling bucket contains it), summed per uid. The oracle replays
+    // the sliding window in SQL — boundary-inclusive window filter, lag
+    // within the window only, reset-aware positive deltas / window seconds.
+    "p37_promql_instant_sliding" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sqlInstant("""sum by (uid) (rate(purchase{uid=~"[1-9][0-9]?"}[1w]))""",
+          1705593845678L, lookbackMs = 2678400000L)
+        .withColumn("value", round(col("value"), 6))),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -1703,6 +1714,50 @@ object SparkEntry {
         col("ts_ms"), col("value"))
     }),
 
+    // NATIVE histograms end-to-end (round 11): fixed exponential-histogram
+    // samples through the FULL remote-write 2.0 wire path (sparse spans +
+    // int deltas encoded, snappy-framed, decoded back to absolute buckets)
+    // into the engine's histograms table, then histogram_quantile over the
+    // native buckets. The oracle REPLAYS the bucket math in SQL from the
+    // raw wire content — (idx, delta) pairs resolved by a window
+    // cumulative sum, bounds from base = 2^(2^-schema), the rank walk and
+    // the linear within-bucket interpolation — so decode, storage, and
+    // quantile arithmetic are all under the hash.
+    "nh1_native_hist" -> ((s, dir) => {
+      val eng = cachedServingEngine("nh1") {
+        import graft.streaming.{MetricStreamIngest, RemoteWrite}
+        import graft.streaming.RemoteWrite.{HistogramSample, Request}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-nh1").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        val spec = Seq(
+          HistogramSample("rpc_latency", Map("job" -> "api"), 1000L,
+            count = 10, sum = 21.0, schema = 0, zeroThreshold = 0.001,
+            zeroCount = 2, positiveBuckets = Seq((1, 3.0), (2, 5.0)),
+            negativeBuckets = Nil),
+          HistogramSample("rpc_latency", Map("job" -> "api"), 2000L,
+            count = 7, sum = 12.0, schema = 0, zeroThreshold = 0.001,
+            zeroCount = 1, positiveBuckets = Seq((1, 4.0), (3, 2.0)),
+            negativeBuckets = Nil),
+          HistogramSample("rpc_latency", Map("job" -> "worker"), 1000L,
+            count = 12, sum = 60.0, schema = 0, zeroThreshold = 0.0,
+            zeroCount = 0, positiveBuckets = Seq((2, 6.0), (3, 6.0)),
+            negativeBuckets = Nil))
+        val framed = org.xerial.snappy.Snappy.compress(
+          RemoteWrite.encodeRequestV2(Request(Nil, Nil, Nil, spec)))
+        MetricStreamIngest.ingestHistograms(e, s,
+          RemoteWrite.decodeRequest(framed).histograms)
+        e
+      }
+      val q = eng.histogramQuantile("rpc_latency", Seq(0.5, 0.9),
+        graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+      val skName = substring_index(col("series_key"), "\u0001", 1)
+      val skTail = col("series_key").substr(length(skName) + lit(2), lit(1 << 20))
+      q.select(skName.as("name"),
+        translate(skTail, "\u0001\u0002", ",=").as("labels"),
+        col("ts_ms"), col("phi"), col("value"))
+    }),
+
     // Prometheus remote READ end-to-end (round 9): a fixed sample set
     // through the real engine, then the full wire path - encode a
     // two-query ReadRequest (EQ matchers; regex name + NEQ), snappy-frame
@@ -1819,9 +1874,16 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // Anti-joined against a DATE SLICE of orders (customers with no 1995
+    // order) so the expected result is non-empty at every test scale
+    // factor — an all-orders anti-join returns 0 rows here (every
+    // customer has an order), which would also "pass" for an engine that
+    // returns empty for everything.
     "j2_anti" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
 
     // Range join (the time-series interval join Spark lacks): per-user
@@ -3194,6 +3256,61 @@ object SparkEntry {
         |   CAST(1600 AS BIGINT), CAST(7.0 AS DOUBLE))
         |) AS t(name, series_labels, exemplar_labels, ts_ms, value)""".stripMargin,
 
+    // Native-histogram quantile replay: starts from the RAW wire content
+    // (per-bucket indexes + integer DELTAS, exactly what remote-write 2.0
+    // carries) and re-derives everything in SQL — delta→count via a
+    // window cumulative sum, bucket bounds from base = 2^(2^-schema), the
+    // zero bucket, the cumulative rank walk, and the linear within-bucket
+    // interpolation. Matches only if decode (spans+deltas→absolute),
+    // storage, and the engine's quantile arithmetic are all correct.
+    "nh1_native_hist" ->
+      """WITH deltas(name, labels, ts_ms, ord, idx, delta) AS (VALUES
+        |    ('rpc_latency', 'job=api',    CAST(1000 AS BIGINT), 1, 1, 3),
+        |    ('rpc_latency', 'job=api',    CAST(1000 AS BIGINT), 2, 2, 2),
+        |    ('rpc_latency', 'job=api',    CAST(2000 AS BIGINT), 1, 1, 4),
+        |    ('rpc_latency', 'job=api',    CAST(2000 AS BIGINT), 2, 3, -2),
+        |    ('rpc_latency', 'job=worker', CAST(1000 AS BIGINT), 1, 2, 6),
+        |    ('rpc_latency', 'job=worker', CAST(1000 AS BIGINT), 2, 3, 0)),
+        |  hist(name, labels, ts_ms, total, zero_cnt, zero_th, sch) AS (VALUES
+        |    ('rpc_latency', 'job=api',    CAST(1000 AS BIGINT),
+        |     CAST(10 AS DOUBLE), CAST(2 AS DOUBLE), 0.001, 0),
+        |    ('rpc_latency', 'job=api',    CAST(2000 AS BIGINT),
+        |     CAST(7 AS DOUBLE), CAST(1 AS DOUBLE), 0.001, 0),
+        |    ('rpc_latency', 'job=worker', CAST(1000 AS BIGINT),
+        |     CAST(12 AS DOUBLE), CAST(0 AS DOUBLE), 0.0, 0)),
+        |  buckets AS (
+        |    SELECT name, labels, ts_ms, idx, CAST(sum(delta) OVER (
+        |        PARTITION BY name, labels, ts_ms ORDER BY ord) AS DOUBLE) AS cnt
+        |    FROM deltas),
+        |  allb AS (
+        |    SELECT name, labels, ts_ms, -2147483648 AS idx,
+        |      CAST(0.0 AS DOUBLE) AS lo, zero_th AS hi, zero_cnt AS cnt
+        |    FROM hist
+        |    UNION ALL
+        |    SELECT b.name, b.labels, b.ts_ms, b.idx,
+        |      power(power(2.0, power(2.0, -h.sch)), b.idx - 1) AS lo,
+        |      power(power(2.0, power(2.0, -h.sch)), b.idx) AS hi, b.cnt
+        |    FROM buckets b
+        |    JOIN hist h ON b.name = h.name AND b.labels = h.labels
+        |      AND b.ts_ms = h.ts_ms),
+        |  walk AS (
+        |    SELECT a.name, a.labels, a.ts_ms, p.phi, a.idx, a.lo, a.hi, a.cnt,
+        |      sum(a.cnt) OVER (PARTITION BY a.name, a.labels, a.ts_ms, p.phi
+        |        ORDER BY a.idx) - a.cnt AS cum_before,
+        |      p.phi * h.total AS rank
+        |    FROM allb a
+        |    CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+        |                       (CAST(0.9 AS DOUBLE))) AS p(phi)
+        |    JOIN hist h ON a.name = h.name AND a.labels = h.labels
+        |      AND a.ts_ms = h.ts_ms),
+        |  pick AS (
+        |    SELECT name, labels, ts_ms, phi,
+        |      lo + (hi - lo) * ((rank - cum_before) / cnt) AS value,
+        |      row_number() OVER (PARTITION BY name, labels, ts_ms, phi
+        |        ORDER BY idx) AS rn
+        |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
+        |SELECT name, labels, ts_ms, phi, value FROM pick WHERE rn = 1""".stripMargin,
+
     // Hand-written expected rows for the fixed WriteRequest spec — built
     // independently of the encoder/decoder under test.
     "rw1_decode" ->
@@ -3359,6 +3476,26 @@ object SparkEntry {
         |    AND epoch_ms(ts::TIMESTAMP) > 1706745600000 - 2678400000
         |    AND epoch_ms(ts::TIMESTAMP) <= 1706745600000)
         |SELECT uid, ts_ms, value FROM ranked WHERE rn = 1""".stripMargin,
+
+    // Exact sliding-lookback instant rate: the true (T-1w, T] window at an
+    // unaligned T — boundary-inclusive filter, lag ordered (ts, event_id)
+    // WITHIN the window, reset-aware positive deltas / window seconds.
+    "p37_promql_instant_sliding" ->
+      """WITH d AS (
+        |  SELECT user_id, value, event_id, epoch_ms(ts::TIMESTAMP) AS tms
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND regexp_full_match(user_id::VARCHAR, '[1-9][0-9]?')
+        |    AND epoch_ms(ts::TIMESTAMP) > 1705593845678 - 604800000
+        |    AND epoch_ms(ts::TIMESTAMP) <= 1705593845678),
+        |dd AS (SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+        |      AS prev FROM d)
+        |SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  round(sum(CASE WHEN prev IS NULL THEN 0
+        |                 WHEN value >= prev THEN value - prev
+        |                 ELSE value END) / 604800.0, 6) AS value
+        |FROM dd GROUP BY uid""".stripMargin,
 
     "p28_promql_stddev_ot" ->
       """SELECT CAST(user_id AS VARCHAR) AS uid,
@@ -3993,7 +4130,8 @@ object SparkEntry {
 
     "j2_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate < TIMESTAMP '1996-01-01')""".stripMargin,
 
     "j3_two_label_and" ->
       """SELECT DISTINCT user_id FROM events

@@ -73,6 +73,9 @@ final class MetricEngine(spark: SparkSession, root: String,
   val exemplars = new TimeMergeStorage(spark, s"$root/exemplars",
     StorageSchema(exemplarsSchema, numPrimaryKeys = 4), segmentMs,
     timestampColumn = Some("ts"))
+  val histograms = new TimeMergeStorage(spark, s"$root/histograms",
+    StorageSchema(histogramsSchema, numPrimaryKeys = 3), segmentMs,
+    timestampColumn = Some("ts"))
 
   /** Broadcast-when-small (SURVEY §2.3 "broadcast when small, else shuffle
     * hash"): hint only while the optimizer's size estimate (parquet bytes
@@ -83,7 +86,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     * unexpectedly huge TSID set (a low-selectivity matcher over a
     * million-series metric would OOM the driver under an unconditional
     * hint). Cost-free: a plan-stats read, no extra Spark job. */
-  private def maybeBroadcast(df: DataFrame): DataFrame = {
+  private[metric] def maybeBroadcast(df: DataFrame): DataFrame = {
     // Defensive parse: a malformed conf value must not throw from inside
     // every query's planning path — fall back to the default cap.
     val cap = spark.conf.getOption("graft.metric.broadcastMaxBytes")
@@ -113,20 +116,22 @@ final class MetricEngine(spark: SparkSession, root: String,
   /** Ingest one batch of samples: populate ids, upsert the four meta tables,
     * write data per segment (writes may not cross a segment —
     * reference storage.rs:307-316). */
-  def write(samples: DataFrame): Unit = {
-    val ided = withIds(samples).cache()
+  /** Register any series in `ided` (id-populated rows with name/metric_id/
+    * tsid/series_key/labels columns) that the series table doesn't know
+    * yet — steady-state batches carry no new series, so the four
+    * meta-table writes are skipped entirely (the reference's
+    * populate-then-persist wiring, metric/mod.rs:30-40, with an existence
+    * check in front). Shared by the samples and native-histogram write
+    * paths. */
+  private def registerSeriesMeta(ided: DataFrame): Unit = {
+    val known = series.scan(ScanRequest(projection = Some(Seq("tsid"))))
+    val fresh = ided
+      .select(col("name"), col("metric_id"), col("tsid"), col("series_key"),
+        col("labels"))
+      .dropDuplicates("tsid")
+      .join(known, Seq("tsid"), "left_anti") // AQE picks build side: batch vs catalog
+      .cache()
     try {
-      // Register only series not yet in the series table — steady-state
-      // batches carry no new series, so the four meta-table writes are
-      // skipped entirely (the reference's populate-then-persist wiring,
-      // metric/mod.rs:30-40, with an existence check in front).
-      val known = series.scan(ScanRequest(projection = Some(Seq("tsid"))))
-      val fresh = ided
-        .select(col("name"), col("metric_id"), col("tsid"), col("series_key"),
-          col("labels"))
-        .dropDuplicates("tsid")
-        .join(known, Seq("tsid"), "left_anti") // AQE picks build side: batch vs catalog
-        .cache()
       if (!fresh.isEmpty) {
         // ORDER MATTERS: `fresh` is an anti-join against the series table,
         // and cache() is only an optimization — a lost cache block
@@ -153,7 +158,13 @@ final class MetricEngine(spark: SparkSession, root: String,
             col("series_key").cast(BinaryType).as("series_key")).distinct(),
           MetaRange)
       }
-      fresh.unpersist()
+    } finally fresh.unpersist()
+  }
+
+  def write(samples: DataFrame): Unit = {
+    val ided = withIds(samples).cache()
+    try {
+      registerSeriesMeta(ided)
       val dataRows = ided.select(col("metric_id"), col("tsid"),
         col("timestamp").as("ts"), col("value"))
         .withColumn("__seg__", floor(col("ts") / lit(segmentMs)).cast("long"))
@@ -200,6 +211,68 @@ final class MetricEngine(spark: SparkSession, root: String,
       }
     } finally rows.unpersist()
   }
+
+  /** Ingest a batch of native histogram samples (remote-write
+    * [[graft.streaming.RemoteWrite.HistogramSample]] shape, flattened).
+    * Input columns: `name`, `labels` (map), `timestamp` (ms), `count`,
+    * `sum`, `bucket_schema`, `zero_threshold`, `zero_count`,
+    * `pos_idx`/`pos_cnt` (absolute positive bucket indexes + counts),
+    * `neg_idx`/`neg_cnt`, `custom_values` (NHCB bounds; empty for
+    * standard schemas). Ids populate exactly as [[write]]'s samples do,
+    * and histogram-only series DO register in the meta tables (unlike
+    * exemplars, nothing guarantees a sample will arrive for the same
+    * series — Prometheus 3.x scrapes can be histogram-only). Identity is
+    * (metric_id, tsid, ts): re-delivered batches upsert idempotently
+    * under Overwrite merge, same as the data table. */
+  def writeHistograms(h: DataFrame): Unit = {
+    val ided = withIds(h).cache()
+    try {
+      registerSeriesMeta(ided)
+      val rows = ided.select(col("metric_id"), col("tsid"),
+        col("timestamp").as("ts"), col("count"), col("sum"),
+        col("bucket_schema"), col("zero_threshold"), col("zero_count"),
+        col("pos_idx"), col("pos_cnt"), col("neg_idx"), col("neg_cnt"),
+        col("custom_values"))
+        .withColumn("__seg__", floor(col("ts") / lit(segmentMs)).cast("long"))
+      val segs = rows.select("__seg__").distinct().collect().map(_.getLong(0))
+      segs.foreach { g =>
+        histograms.write(rows.filter(col("__seg__") === g).drop("__seg__"),
+          TimeRange(g * segmentMs, (g + 1) * segmentMs))
+      }
+    } finally ided.unpersist()
+  }
+
+  /** Native histogram rows of the series matching a PromQL selector within
+    * `range` — the raw read behind [[histogramQuantile]] and the serving
+    * layer. Output: series_key + ts + the full stored histogram columns. */
+  def queryHistograms(selectorText: String, range: TimeRange): DataFrame = {
+    import graft.promql._
+    val sel = PromQLParser.parse(selectorText) match {
+      case s: Selector => s
+      case other => throw new IllegalArgumentException(
+        s"histogram queries take a plain selector, got: $other")
+    }
+    val matchers =
+      (if (sel.metric.nonEmpty)
+        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
+        sel.matchers
+    val histCols = Seq("count", "sum", "bucket_schema", "zero_threshold",
+      "zero_count", "pos_idx", "pos_cnt", "neg_idx", "neg_cnt",
+      "custom_values")
+    matchedSeriesScan(matchers, histograms, range,
+      col("series_key") +: col("ts").as("ts_ms") +: histCols.map(col),
+      StructType(StructField("series_key", StringType) +:
+        StructField("ts_ms", LongType) +:
+        histogramsSchema.fields.toSeq.filter(f => histCols.contains(f.name))))
+  }
+
+  /** `histogram_quantile(phi, selector)` over NATIVE histogram samples:
+    * one row per (series, ts, phi). See [[NativeHistograms.quantile]] for
+    * the bucket math (linear interpolation within the located bucket,
+    * standard exponential schemas and NHCB custom bounds). */
+  def histogramQuantile(selectorText: String, phis: Seq[Double],
+      range: TimeRange): DataFrame =
+    NativeHistograms.quantile(queryHistograms(selectorText, range), phis)
 
   /** Exemplars of the series matching a PromQL selector within `range` —
     * the engine behind `GET /api/v1/query_exemplars`. The selector
@@ -708,13 +781,17 @@ final class MetricEngine(spark: SparkSession, root: String,
     * computes exactly the instant value. Stale series (no sample within
     * the lookback) drop out, as Prometheus drops them.
     *
-    * Windowed expressions (`rate(m[5m])`, subqueries) inherit the
-    * evaluator's documented tumbling-bucket deviation: the expression is
-    * evaluated over the last two windows ending at `timeMs` and each
-    * series reports its NEWEST bucket — "the latest complete-enough
-    * window at or before T", not Prometheus's exact `(T-w, T]` lookback.
-    * Windowless subexpressions inside a windowed AST aggregate over that
-    * same evaluation range (PROMQL.md records both deviations).
+    * Windowed expressions (round 11): EXACT sliding lookback — every
+    * un-pinned range selector pins to the evaluation time
+    * ([[graft.promql.PromQLParser.pinRangeSelectors]]), so `rate(m[5m])`
+    * at any unaligned T reads Prometheus's exact boundary-inclusive
+    * `(T-w, T]` window, manifest-pruned to exactly that range (tighter
+    * than the old 2-window tumbling scan). Windowless subexpressions in
+    * the same tree keep their newest-sample instant semantics.
+    * SUBQUERIES keep the evaluator's documented tumbling deviation (the
+    * inner step timeline is bucketized by construction): the whole
+    * expression evaluates over the last two windows ending at `timeMs`
+    * and each series reports its NEWEST bucket.
     *
     * Output: the same frame shapes as [[queryPromQL]], minus any
     * time column — callers stamp the evaluation time themselves. */
@@ -726,8 +803,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     val ast = PromQLParser.resolveAtTimes(
       PromQLParser.parse(text), timeMs, timeMs)
     val ws = MetricEngine.rangeWindows(ast)
+    val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
     if (ws.isEmpty) {
-      val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
       val out = promqlContextFor(ast, range, latestOnly = true)
         .eval(ast, None, Some(range))
       ast match {
@@ -737,13 +814,19 @@ final class MetricEngine(spark: SparkSession, root: String,
         case _: Selector => out.select("tsid", "ts_ms", "value")
         case _ => out
       }
-    } else {
-      val w = ws.max
-      val range = TimeRange(timeMs - 2 * w + 1, timeMs + 1)
-      val step = if (ws.distinct.length == 1) Some(ws.head) else None
-      // the @-resolved AST, not the text — a re-parse would re-resolve
-      // start()/end() against the 2-window range instead of timeMs
-      newestBucketPerSeries(queryPromQLAst(ast, range, step))
+    } else PromQLParser.pinRangeSelectors(ast, timeMs + 1) match {
+      case Some(pinned) =>
+        // exact (T-w, T] windows; pinned reads widen the prune themselves
+        promqlContextFor(pinned, range, latestOnly = true)
+          .eval(pinned, None, Some(range))
+      case None =>
+        // subquery in the tree → tumbling instant fallback
+        val w = ws.max
+        val tRange = TimeRange(timeMs - 2 * w + 1, timeMs + 1)
+        val step = if (ws.distinct.length == 1) Some(ws.head) else None
+        // the @-resolved AST, not the text — a re-parse would re-resolve
+        // start()/end() against the 2-window range instead of timeMs
+        newestBucketPerSeries(queryPromQLAst(ast, tRange, step))
     }
   }
 
@@ -759,8 +842,9 @@ final class MetricEngine(spark: SparkSession, root: String,
     *  - bare selectors keep their label columns (plus `__name__`) instead
     *    of narrowing to tsid;
     *  - windowed expressions always evaluate on the general labeled path
-    *    (never the tsid-shaped fast paths), then keep each series' newest
-    *    bucket exactly as [[instantPromQL]] does. */
+    *    (never the tsid-shaped fast paths), with the same exact
+    *    sliding-lookback pinning as [[instantPromQL]] (subqueries fall
+    *    back to tumbling + newest bucket). */
   def instantPromQLLabeled(text: String, timeMs: Long,
       lookbackMs: Long = 300000L): DataFrame = {
     import graft.promql._
@@ -768,17 +852,21 @@ final class MetricEngine(spark: SparkSession, root: String,
     val ast = PromQLParser.resolveAtTimes(
       PromQLParser.parse(text), timeMs, timeMs)
     val ws = MetricEngine.rangeWindows(ast)
+    val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
     if (ws.isEmpty) {
-      val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
       promqlContextFor(ast, range, latestOnly = true, allLabels = true)
         .eval(ast, None, Some(range))
-    } else {
-      val w = ws.max
-      val range = TimeRange(timeMs - 2 * w + 1, timeMs + 1)
-      val step = if (ws.distinct.length == 1) Some(ws.head) else None
-      newestBucketPerSeries(
-        promqlContextFor(ast, range, allLabels = true)
-          .eval(ast, step, Some(range)))
+    } else PromQLParser.pinRangeSelectors(ast, timeMs + 1) match {
+      case Some(pinned) =>
+        promqlContextFor(pinned, range, latestOnly = true, allLabels = true)
+          .eval(pinned, None, Some(range))
+      case None =>
+        val w = ws.max
+        val tRange = TimeRange(timeMs - 2 * w + 1, timeMs + 1)
+        val step = if (ws.distinct.length == 1) Some(ws.head) else None
+        newestBucketPerSeries(
+          promqlContextFor(ast, tRange, allLabels = true)
+            .eval(ast, step, Some(tRange)))
     }
   }
 
@@ -1113,4 +1201,23 @@ object MetricEngine {
     StructField("ts", LongType), StructField("exemplar_key", StringType),
     StructField("value", DoubleType),
     StructField("labels", MapType(StringType, StringType))))
+
+  /** Native histograms table: one row per (series, ts) holding the sparse
+    * buckets as parallel (index, count) arrays — the decoded form of the
+    * remote-write `Histogram` record
+    * ([[graft.streaming.RemoteWrite.HistogramSample]]). Column-named
+    * `bucket_schema` (not `schema`) to stay out of SQL reserved-word
+    * territory. Last write wins on (metric_id, tsid, ts), like data. */
+  val histogramsSchema: StructType = StructType(Seq(
+    StructField("metric_id", LongType), StructField("tsid", LongType),
+    StructField("ts", LongType),
+    StructField("count", DoubleType), StructField("sum", DoubleType),
+    StructField("bucket_schema", IntegerType),
+    StructField("zero_threshold", DoubleType),
+    StructField("zero_count", DoubleType),
+    StructField("pos_idx", ArrayType(IntegerType)),
+    StructField("pos_cnt", ArrayType(DoubleType)),
+    StructField("neg_idx", ArrayType(IntegerType)),
+    StructField("neg_cnt", ArrayType(DoubleType)),
+    StructField("custom_values", ArrayType(DoubleType))))
 }

@@ -109,7 +109,15 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
 
   /** Roll up every segment containing data SSTs newer than the last
     * refresh. Segments with no new writes are untouched. Returns how
-    * many segments were (re)rolled and the new watermark. */
+    * many segments were (re)rolled and the new watermark.
+    *
+    * BACKFILL SHAPE: all dirty segments aggregate and write in ONE Spark
+    * job — per-segment manifest-pruned scans union into a single
+    * (tsid, bucket) shuffle, and [[TimeMergeStorage.writeSegmented]]
+    * emits one sorted SST per segment via dynamic partitioning. A cold
+    * rollup over a year of 12 h segments is one job, not ~730 sequential
+    * ones; steady-state (one dirty segment per tick) takes the same
+    * single-job path with a one-branch union. */
   def refresh(): RefreshStats = {
     val watermark = readWatermark()
     val ssts = engine.data.manifest.allSsts()
@@ -120,9 +128,19 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
     // segments — the store enforces it)
     val dirty = ssts.filter(_.id > watermark)
       .map(f => TimeRange.truncate(f.timeRange.start, segMs)).distinct.sorted
-    dirty.foreach { seg =>
-      val range = TimeRange(seg, seg + segMs)
-      val bucketed = engine.data.scan(ScanRequest(range = range))
+    if (dirty.nonEmpty) {
+      // contiguous dirty segments scan as ONE range (a backfill is one
+      // run → one merge exchange, not one per segment; merge-on-read
+      // dedup keys on (metric_id, tsid, ts), so a multi-segment scan
+      // collapses exactly the same duplicates as per-segment scans)
+      val runs = dirty.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, seg) if seg == e => (s, seg + segMs) :: rest
+        case (acc, seg) => (seg, seg + segMs) :: acc
+      }.reverse
+      val scans = runs.map { case (s, e) =>
+        engine.data.scan(ScanRequest(range = TimeRange(s, e)))
+      }
+      val bucketed = scans.reduce(_.unionByName(_))
         .withColumn("__bucket__",
           floor(col("ts") / lit(gridMs)).cast("long") * gridMs)
       // within-bucket reset-aware delta (first sample of the bucket = 0);
@@ -145,7 +163,7 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
           sum(col("value") * col("value")).as("sumsq"),
           sum(col("__delta__")).as("inc"))
         .withColumnRenamed("__bucket__", "ts")
-      store.write(rolled, range)
+      store.writeSegmented(rolled)
     }
     val newWatermark = ssts.map(_.id).max
     if (dirty.nonEmpty || watermark == Long.MinValue) {
@@ -261,8 +279,12 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
         .select(col("metric_id") +: col("tsid") +: col("ts") +:
           partialCols.map(degenerate): _*)
     }
+    // size-gated broadcast, same guard as the raw path: the routed fast
+    // path can hand this a metric's FULL TSID set (no matchers, or a
+    // low-selectivity regex), which an unconditional hint would collect
+    // onto the driver — exactly the OOM maybeBroadcast exists to prevent
     var rows = (rollupPart.toSeq ++ edgeParts).reduce(_.unionByName(_))
-      .join(broadcast(tsids), Seq("tsid"), "left_semi")
+      .join(engine.maybeBroadcast(tsids), Seq("tsid"), "left_semi")
     if (q.rate) {
       // per-bucket increase = internal inc + reset-aware boundary delta
       // from the previous IN-RANGE bucket (the range's first bucket gets
@@ -319,18 +341,57 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
   * routed queries safe from the file swap. */
 final class RollupScheduler(rollups: Seq[Rollup], intervalMs: Long = 10000L,
     compaction: CompactionConfig = CompactionConfig(deleteGraceMs = 60000L)) {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[RollupScheduler])
   private val timer = new java.util.Timer("graft-rollup-scheduler", true)
   private val compactors =
     rollups.map(r => new Compactor(r.store, compaction))
-  def start(): Unit = timer.scheduleAtFixedRate(new java.util.TimerTask {
-    def run(): Unit = {
-      rollups.foreach { r =>
-        try r.refresh() catch { case _: Throwable => () }
-      }
-      compactors.foreach { c =>
-        try c.runOnce() catch { case _: Throwable => () }
+
+  // Failure visibility (the RuleEngine health pattern, Rules.scala): a
+  // persistently failing refresh pins `isFresh` false and silently
+  // degrades every routed query to raw scans — correct but slow, so the
+  // operator needs a counter on /metrics and the last error on
+  // /api/v1/status/tsdb, not a swallowed exception.
+  private val refreshFails = new java.util.concurrent.atomic.LongAdder
+  private val compactFails = new java.util.concurrent.atomic.LongAdder
+  @volatile private var lastRefreshErr: Option[String] = None
+  @volatile private var lastCompactErr: Option[String] = None
+  def refreshFailuresTotal: Long = refreshFails.sum()
+  def compactionFailuresTotal: Long = compactFails.sum()
+  def lastRefreshError: Option[String] = lastRefreshErr
+  def lastCompactionError: Option[String] = lastCompactErr
+
+  /** One scheduler pass over every rollup (refresh, then one compaction
+    * round). Public so tests and manual callers can tick synchronously;
+    * the timer calls exactly this. NonFatal failures are logged + counted,
+    * never thrown (a thrown TimerTask cancels the whole Timer); fatal VM
+    * errors propagate. A fully healthy pass clears the last-error strings
+    * so status reflects current, not historical, health. */
+  def runOnce(): Unit = {
+    var refreshOk, compactOk = true
+    rollups.foreach { r =>
+      try r.refresh() catch {
+        case scala.util.control.NonFatal(e) =>
+          refreshOk = false
+          refreshFails.increment()
+          lastRefreshErr = Some(s"${e.getClass.getName}: ${e.getMessage}")
+          log.warn(s"rollup refresh failed (grid ${r.gridMs} ms)", e)
       }
     }
+    compactors.foreach { c =>
+      try { c.runOnce(); () } catch {
+        case scala.util.control.NonFatal(e) =>
+          compactOk = false
+          compactFails.increment()
+          lastCompactErr = Some(s"${e.getClass.getName}: ${e.getMessage}")
+          log.warn("rollup-store compaction failed", e)
+      }
+    }
+    if (refreshOk) lastRefreshErr = None
+    if (compactOk) lastCompactErr = None
+  }
+
+  def start(): Unit = timer.scheduleAtFixedRate(new java.util.TimerTask {
+    def run(): Unit = runOnce()
   }, intervalMs, intervalMs)
   def stop(): Unit = {
     timer.cancel()

@@ -281,6 +281,35 @@ object PromQLParser {
     r(e)
   }
 
+  /** Pin every UN-PINNED range selector to `pinMs` — the exact
+    * sliding-lookback instant rewrite (PROMQL.md deviation #1, lifted for
+    * instant queries): with `pinMs = T + 1`, `rate(m[5m])` evaluated at
+    * time T reads Prometheus's exact boundary-inclusive `(T-w, T]` window
+    * (the pinned window is half-open `[pin-w, pin)`), at ANY unaligned T —
+    * no tumbling-bucket approximation. Explicit `@` pins are left alone.
+    * Returns None when the tree contains a subquery — its inner step
+    * timeline stays on the documented tumbling semantics, so callers fall
+    * back to the tumbling instant path for the whole expression. */
+  def pinRangeSelectors(e: Expr, pinMs: Long): Option[Expr] = {
+    var pinnable = true
+    def r(x: Expr): Expr = x match {
+      case RangeFn(fn, sel, w) => AtRange(fn, sel, w, pinMs)
+      case s: Selector => s
+      case n: NumLit => n
+      case a: AtRange => a
+      case sq: RangeSubquery => pinnable = false; sq
+      case a: Agg => a.copy(child = r(a.child))
+      case p: ParamAgg => p.copy(child = r(p.child))
+      case c: CountValues => c.copy(child = r(c.child))
+      case b: BinOp => b.copy(lhs = r(b.lhs), rhs = r(b.rhs))
+      case f: FnCall => f.copy(child = r(f.child))
+      case h: HistogramQuantile => h.copy(child = r(h.child))
+      case l: LabelFn => l.copy(child = r(l.child))
+    }
+    val out = r(e)
+    if (pinnable) Some(out) else None
+  }
+
   private sealed trait Tok { def pos: Int }
   private final case class TIdent(s: String, pos: Int) extends Tok
   private final case class TStr(s: String, pos: Int) extends Tok

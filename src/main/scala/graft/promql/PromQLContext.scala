@@ -1109,8 +1109,10 @@ final class PromQLContext(
     * PROMQL.md deviation #6): windowless expressions evaluate over each
     * series' NEWEST sample within `(timeMs - lookbackMs, timeMs]` — exact
     * Prometheus instant semantics, stale series dropping out; windowed
-    * expressions evaluate tumbling over the last two windows and keep each
-    * series' newest bucket. The lookback restriction is applied PER
+    * expressions (round 11) pin every range selector to the evaluation
+    * time, so `rate(m[5m])` reads the exact `(T-w, T]` sliding window at
+    * any unaligned T (subqueries keep the tumbling newest-bucket
+    * fallback). The lookback restriction is applied PER
     * SELECTOR on its own offset-shifted timeline (`m offset 1h` sees the
     * newest sample in `(T-1h-lookback, T-1h]`), and `@`-pinned windows
     * read their full pinned ranges unrestricted — both exactly as
@@ -1122,25 +1124,28 @@ final class PromQLContext(
     val ast = PromQLParser.resolveAtTimes(
       PromQLParser.parse(promql), timeMs, timeMs)
     val ws = PromQLContext.innerWindows(ast)
-    if (ws.isEmpty) {
-      val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
-      new PromQLContext(samples, metricCol, tsMs, valueCol, labels,
-        ordering, seriesCols, instantSelectors = true)
-        .eval(ast, None, Some(range))
-    } else {
-      val w = ws.max
-      val step = if (ws.distinct.length == 1) Some(ws.head) else None
-      val df = eval(ast, step, Some(TimeRange(timeMs - 2 * w + 1, timeMs + 1)))
-      if (!df.columns.contains("bucket_ms")) df
-      else {
-        val idCols = df.columns.filter(c => c != "value" && c != "bucket_ms")
-        val part =
-          if (idCols.isEmpty) Seq(lit(0)) else idCols.toSeq.map(col)
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy(part: _*).orderBy(col("bucket_ms").desc)
-        df.withColumn("__rn__", row_number().over(win))
-          .filter(col("__rn__") === 1).drop("__rn__", "bucket_ms")
-      }
+    val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
+    def instantCtx = new PromQLContext(samples, metricCol, tsMs, valueCol,
+      labels, ordering, seriesCols, instantSelectors = true)
+    if (ws.isEmpty) instantCtx.eval(ast, None, Some(range))
+    else PromQLParser.pinRangeSelectors(ast, timeMs + 1) match {
+      case Some(pinned) =>
+        // exact sliding lookback: pinned windows read (T-w, T] themselves
+        instantCtx.eval(pinned, None, Some(range))
+      case None =>
+        val w = ws.max
+        val step = if (ws.distinct.length == 1) Some(ws.head) else None
+        val df = eval(ast, step, Some(TimeRange(timeMs - 2 * w + 1, timeMs + 1)))
+        if (!df.columns.contains("bucket_ms")) df
+        else {
+          val idCols = df.columns.filter(c => c != "value" && c != "bucket_ms")
+          val part =
+            if (idCols.isEmpty) Seq(lit(0)) else idCols.toSeq.map(col)
+          val win = org.apache.spark.sql.expressions.Window
+            .partitionBy(part: _*).orderBy(col("bucket_ms").desc)
+          df.withColumn("__rn__", row_number().over(win))
+            .filter(col("__rn__") === 1).drop("__rn__", "bucket_ms")
+        }
     }
   }
 

@@ -119,7 +119,11 @@ final class HttpFrontend(
   val rollups: Seq[graft.metric.Rollup] =
     rollupGrids.map(g => new graft.metric.Rollup(engine, g))
   rollups.foreach(engine.registerRollup)
-  private val rollupScheduler: Option[graft.metric.RollupScheduler] =
+  /** The rollup maintenance loop, when grids were configured — public so
+    * embedding callers (and tests) can drive a deterministic tick via
+    * [[graft.metric.RollupScheduler.runOnce]] and read the health
+    * counters that `/metrics` + `/api/v1/status/tsdb` surface. */
+  val rollupScheduler: Option[graft.metric.RollupScheduler] =
     if (rollups.isEmpty) None
     else Some(new graft.metric.RollupScheduler(rollups, rollupRefreshMs))
 
@@ -334,7 +338,8 @@ final class HttpFrontend(
       // timeseries (remote-write metadata_config), and exemplar-only
       // requests are legal too — a request is undecodable only when it
       // carries nothing at all.
-      if (samples.isEmpty && req.exemplars.isEmpty && req.metadata.isEmpty)
+      if (samples.isEmpty && req.exemplars.isEmpty && req.metadata.isEmpty &&
+          req.histograms.isEmpty)
         respond(ex, 400, "no samples decoded")
       else
         try {
@@ -346,15 +351,17 @@ final class HttpFrontend(
             // exemplars persist to the engine's exemplars table
             // (idempotent on (series, ts, exemplar labels) re-delivery)
             MetricStreamIngest.ingestExemplars(engine, spark, req.exemplars)
+            // native histograms persist to the engine's histograms table
+            MetricStreamIngest.ingestHistograms(engine, spark, req.histograms)
           }
           req.metadata.foreach(md => metadataCache.put(md.familyName, md))
           // remote-write 2.0 written-stats headers (required by the 2.0
-          // spec on 2xx; harmless extras for 1.0 senders). Histograms are
-          // always 0: no native histograms (PROMQL.md deviation #7).
+          // spec on 2xx; harmless extras for 1.0 senders).
           val h = ex.getResponseHeaders
           h.set("X-Prometheus-Remote-Write-Samples-Written",
             samples.size.toString)
-          h.set("X-Prometheus-Remote-Write-Histograms-Written", "0")
+          h.set("X-Prometheus-Remote-Write-Histograms-Written",
+            req.histograms.size.toString)
           h.set("X-Prometheus-Remote-Write-Exemplars-Written",
             req.exemplars.size.toString)
           respond(ex, 204, "")
@@ -989,6 +996,14 @@ final class HttpFrontend(
       line("# TYPE graft_rule_evaluation_failures_total counter")
       line(s"graft_rule_evaluation_failures_total ${re.evaluationFailuresTotal}")
     }
+    rollupScheduler.foreach { rs =>
+      line("# HELP graft_rollup_refresh_failures_total Failed rollup refresh ticks.")
+      line("# TYPE graft_rollup_refresh_failures_total counter")
+      line(s"graft_rollup_refresh_failures_total ${rs.refreshFailuresTotal}")
+      line("# HELP graft_rollup_compaction_failures_total Failed rollup-store compaction ticks.")
+      line("# TYPE graft_rollup_compaction_failures_total counter")
+      line(s"graft_rollup_compaction_failures_total ${rs.compactionFailuresTotal}")
+    }
     line("# HELP process_start_time_seconds Start time of the process.")
     line("# TYPE process_start_time_seconds gauge")
     line(s"process_start_time_seconds ${startedAtMs / 1000.0}")
@@ -1051,6 +1066,20 @@ final class HttpFrontend(
         .agg(countDistinct(col("tsid")).as("value")))
       val byBytes = top10(idx.groupBy(col("tag_key").as("name"))
         .agg(sqlSum(sqlLength(col("tag_value")).cast("long") * lit(2L)).as("value")))
+      // graft extension: rollup maintenance health (a dead refresher
+      // silently un-routes every rollup query — surface it here next to
+      // the counters on /metrics). Extra keys don't break Prometheus
+      // API clients, which read only the fields they know.
+      val rollupHealth = rollupScheduler.map { rs =>
+        def errJson(o: Option[String]) =
+          o.map(s => s""""${esc(s)}"""").getOrElse("null")
+        val fresh = rollups.forall(_.isFresh)
+        s""","graftRollupHealth":{"fresh":$fresh,""" +
+          s""""refreshFailuresTotal":${rs.refreshFailuresTotal},""" +
+          s""""compactionFailuresTotal":${rs.compactionFailuresTotal},""" +
+          s""""lastRefreshError":${errJson(rs.lastRefreshError)},""" +
+          s""""lastCompactionError":${errJson(rs.lastCompactionError)}}"""
+      }.getOrElse("")
       respond(ex, 200,
         s"""{"status":"success","data":{"headStats":{"numSeries":$numSeries,""" +
           s""""numLabelPairs":$numLabelPairs,"chunkCount":${ssts.length},""" +
@@ -1058,7 +1087,7 @@ final class HttpFrontend(
           s""""seriesCountByMetricName":$byMetric,""" +
           s""""labelValueCountByLabelName":$byLabelValues,""" +
           s""""memoryInBytesByLabelName":$byBytes,""" +
-          s""""seriesCountByLabelValuePair":$byPair}}""",
+          s""""seriesCountByLabelValuePair":$byPair$rollupHealth}}""",
         contentType = "application/json")
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -270,6 +270,14 @@ object RuleConfig {
                 val (node, r) = parseBlock(rest.tail, rest.tail.head.indent)
                 entries += ((k, node))
                 rest = r
+              } else if (rest.tail.nonEmpty &&
+                  rest.tail.head.indent == itemIndent &&
+                  (rest.tail.head.text.startsWith("- ") ||
+                    rest.tail.head.text == "-")) {
+                // zero-indent nested sequence (dash at the key's column)
+                val (node, r) = parseSeq(rest.tail, itemIndent)
+                entries += ((k, node))
+                rest = r
               } else {
                 entries += ((k, Str("")))
                 rest = rest.tail
@@ -311,6 +319,16 @@ object RuleConfig {
         case Some((k, _)) =>
           if (lines.tail.nonEmpty && lines.tail.head.indent > indent) {
             val (node, r) = parseBlock(lines.tail, lines.tail.head.indent)
+            ((k, node), r)
+          } else if (lines.tail.nonEmpty && lines.tail.head.indent == indent &&
+              (lines.tail.head.text.startsWith("- ") ||
+                lines.tail.head.text == "-")) {
+            // YAML permits a block sequence at its parent key's own column
+            // (the dash itself counts as the item's indentation) — the
+            // common hand-written Prometheus rules style:
+            //   groups:
+            //   - name: g
+            val (node, r) = parseSeq(lines.tail, indent)
             ((k, node), r)
           } else ((k, Str("")), lines.tail)
         case None => err(s"expected 'key: value', got '${head.text}'", head.num)

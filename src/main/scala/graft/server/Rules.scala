@@ -352,7 +352,9 @@ final class RuleEngine(
     * cadence (due = last eval + interval). Evaluations of different
     * groups run back-to-back on this thread — rule evaluation is a Spark
     * job, the thread just drives it. */
-  def start(): Unit = if (running.compareAndSet(false, true)) {
+  def start(): Unit = if (groups.nonEmpty && running.compareAndSet(false, true)) {
+    // (empty groups: no-op — the loop below computes min over per-group
+    // due times, which would throw on an empty map and kill the thread)
     val nextDue = scala.collection.mutable.Map.empty[String, Long]
     val t = new Thread(() => {
       try while (running.get()) {

@@ -258,9 +258,28 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
   * the reference's picker loop (scheduler.rs:40-160; 10 s default tick,
   * config.rs:41). */
 final class CompactionScheduler(compactor: Compactor, intervalMs: Long = 10000L) {
+  private val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[CompactionScheduler])
   private val timer = new java.util.Timer("graft-compaction", true)
+  private val fails = new java.util.concurrent.atomic.LongAdder
+  @volatile private var lastErr: Option[String] = None
+  def failuresTotal: Long = fails.sum()
+  def lastError: Option[String] = lastErr
+
+  /** One compaction tick; exactly what the timer runs. NonFatal failures
+    * are logged + counted (a throwing TimerTask would cancel the Timer and
+    * silently stop ALL future compaction); a healthy tick clears the
+    * last-error string. Fatal VM errors propagate. */
+  def runOnce(): Unit =
+    try { compactor.runOnce(); lastErr = None } catch {
+      case scala.util.control.NonFatal(e) =>
+        fails.increment()
+        lastErr = Some(s"${e.getClass.getName}: ${e.getMessage}")
+        log.warn("compaction tick failed", e)
+    }
+
   def start(): Unit = timer.scheduleAtFixedRate(new java.util.TimerTask {
-    def run(): Unit = try compactor.runOnce() catch { case _: Throwable => () }
+    def run(): Unit = runOnce()
   }, intervalMs, intervalMs)
   def stop(): Unit = timer.cancel()
 }

@@ -75,4 +75,22 @@ object MetricStreamIngest {
             e.timestamp, e.value))
           .toDF("name", "labels", "ex_labels", "timestamp", "value"))
   }
+
+  /** Ingest already-decoded native histogram samples (remote-write 2.0
+    * TimeSeries field 3 / 1.0 field 4) into the engine's histograms
+    * table — column shapes per [[MetricEngine.writeHistograms]]. */
+  def ingestHistograms(engine: MetricEngine, spark: SparkSession,
+      hists: Seq[RemoteWrite.HistogramSample]): Unit = {
+    import spark.implicits._
+    if (hists.nonEmpty)
+      engine.writeHistograms(
+        hists.map(h => (h.name, h.labels, h.timestamp, h.count, h.sum,
+            h.schema, h.zeroThreshold, h.zeroCount,
+            h.positiveBuckets.map(_._1), h.positiveBuckets.map(_._2),
+            h.negativeBuckets.map(_._1), h.negativeBuckets.map(_._2),
+            h.customValues))
+          .toDF("name", "labels", "timestamp", "count", "sum",
+            "bucket_schema", "zero_threshold", "zero_count",
+            "pos_idx", "pos_cnt", "neg_idx", "neg_cnt", "custom_values"))
+  }
 }

@@ -36,8 +36,38 @@ object RemoteWrite {
   final case class Metadata(metricType: Int, familyName: String,
       help: String, unit: String)
 
+  /** A native (exponential/sparse) histogram sample — the prompb
+    * `Histogram` message (prometheus/prompb/types.proto, mirrored at
+    * io/prometheus/write/v2/types.proto with identical field numbers plus
+    * `custom_values` = 16 for custom-bucket histograms, "NHCB").
+    *
+    * The wire's sparse encoding (bucket SPANS of consecutive indexes +
+    * count DELTAS for integer histograms / absolute float counts for
+    * float histograms) is resolved at decode to absolute
+    * `(bucket index, count)` pairs — the form every consumer needs and
+    * the one that stores columnar without re-walking deltas per read.
+    * `floatHistogram` records which of the two count encodings arrived so
+    * the encoder can round-trip losslessly.
+    *
+    * Standard schemas (-4..8): positive bucket `i` covers
+    * `(base^(i-1), base^i]` with `base = 2^(2^-schema)`; negative bucket
+    * `i` covers `[-base^i, -base^(i-1))`; the zero bucket covers
+    * `[-zeroThreshold, zeroThreshold]`. Schema -53 = custom bucket
+    * bounds: `customValues` are ascending upper bounds and positive
+    * bucket indexes index into them (le-style classic buckets riding the
+    * native wire). */
+  final case class HistogramSample(
+      name: String, labels: Map[String, String], timestamp: Long,
+      count: Double, sum: Double, schema: Int,
+      zeroThreshold: Double, zeroCount: Double,
+      positiveBuckets: Seq[(Int, Double)],
+      negativeBuckets: Seq[(Int, Double)],
+      customValues: Seq[Double] = Nil,
+      resetHint: Int = 0,
+      floatHistogram: Boolean = false)
+
   final case class Request(samples: Seq[Sample], exemplars: Seq[Exemplar],
-      metadata: Seq[Metadata])
+      metadata: Seq[Metadata], histograms: Seq[HistogramSample] = Nil)
 
   /** Snappy unframing: real Prometheus remote-write HTTP bodies are snappy
     * BLOCK-compressed (prometheus remote-write 1.0 spec: the payload "MUST
@@ -114,7 +144,7 @@ object RemoteWrite {
     * Request    { repeated string symbols = 4; repeated TimeSeries timeseries = 5; }
     * TimeSeries { repeated uint32 labels_refs = 1;   // packed; (name,value) index pairs
     *              repeated Sample samples = 2;
-    *              repeated Histogram histograms = 3; // skipped: no native histograms
+    *              repeated Histogram histograms = 3; // native histograms
     *              repeated Exemplar exemplars = 4;
     *              Metadata metadata = 5; int64 created_timestamp = 6; }
     * Exemplar   { repeated uint32 labels_refs = 1; double value = 2; int64 timestamp = 3; }
@@ -123,8 +153,10 @@ object RemoteWrite {
     *
     * All strings intern into `symbols` (index 0 is "" by spec); label refs
     * come in (name, value) pairs. Packed and unpacked refs both parse
-    * (proto3 parsers must accept either). Histogram-only series yield no
-    * samples (documented: no native histograms). v2 metadata carries no
+    * (proto3 parsers must accept either). Native histograms (TimeSeries
+    * field 3) decode to [[HistogramSample]]s — Prometheus 3.x sends them
+    * by default on new scrapes, so dropping them would silently lose data
+    * on an otherwise-accepted write. v2 metadata carries no
     * family name — the series' own `__name__` is the family, which is how
     * Prometheus 3 populates it. Out-of-range refs error (the HTTP layer
     * answers 400, never a silent mis-binding). */
@@ -180,10 +212,12 @@ object RemoteWrite {
     val samples = mutable.ArrayBuffer.empty[Sample]
     val exemplars = mutable.ArrayBuffer.empty[Exemplar]
     val metadata = mutable.ArrayBuffer.empty[Metadata]
+    val histograms = mutable.ArrayBuffer.empty[HistogramSample]
     tsRanges.foreach { case (start, end) =>
       var p = start
       val refs = mutable.ArrayBuffer.empty[Int]
       val ss = mutable.ArrayBuffer.empty[(Double, Long)]
+      val hs = mutable.ArrayBuffer.empty[HistogramSample]
       val exs = mutable.ArrayBuffer.empty[(Seq[Int], Double, Long)]
       var md: Option[(Int, Int, Int)] = None // (type, help_ref, unit_ref)
       while (p < end) {
@@ -203,6 +237,10 @@ object RemoteWrite {
             val (len, p2) = lenAt(bytes, p)
             ss += decodeSample(bytes, p2, p2 + len)
             p = p2 + len
+          case (3, 2) => // native histogram
+            val (len, p2) = lenAt(bytes, p)
+            hs += decodeHistogram(bytes, p2, p2 + len)
+            p = p2 + len
           case (4, 2) if collectExtras =>
             val (len, p2) = lenAt(bytes, p)
             exs += decodeExemplarV2(bytes, p2, p2 + len)
@@ -218,13 +256,162 @@ object RemoteWrite {
       val name = labels.getOrElse(NameLabel, "")
       val rest = labels - NameLabel
       samples ++= ss.map { case (v, ts) => Sample(name, rest, ts, v) }
+      histograms ++= hs.map(_.copy(name = name, labels = rest))
       exemplars ++= exs.map { case (eRefs, v, ts) =>
         Exemplar(name, rest, labelsOf(eRefs), v, ts) }
       md.foreach { case (tpe, helpRef, unitRef) =>
         metadata += Metadata(tpe, name, sym(helpRef), sym(unitRef)) }
     }
-    Request(samples.toSeq, exemplars.toSeq, metadata.toSeq)
+    Request(samples.toSeq, exemplars.toSeq, metadata.toSeq, histograms.toSeq)
   }
+
+  /** Decode one prompb `Histogram` record (shared by remote-write 1.0
+    * TimeSeries field 4 and 2.0 TimeSeries field 3 — identical layout).
+    * Sparse spans + integer deltas (or float absolute counts) resolve to
+    * absolute `(index, count)` pairs here, once, at the edge. The
+    * `name`/`labels` fields are stamped by the caller (they live on the
+    * enclosing TimeSeries). */
+  private def decodeHistogram(b: Array[Byte], start: Int,
+      end: Int): HistogramSample = {
+    var pos = start
+    var countI = 0L; var countF = 0.0; var countIsFloat = false
+    var sum = 0.0; var schema = 0; var zeroTh = 0.0
+    var zeroI = 0L; var zeroF = 0.0; var zeroIsFloat = false
+    var resetHint = 0; var ts = 0L
+    val negSpans = mutable.ArrayBuffer.empty[(Int, Int)]
+    val posSpans = mutable.ArrayBuffer.empty[(Int, Int)]
+    val negDeltas = mutable.ArrayBuffer.empty[Long]
+    val posDeltas = mutable.ArrayBuffer.empty[Long]
+    val negCounts = mutable.ArrayBuffer.empty[Double]
+    val posCounts = mutable.ArrayBuffer.empty[Double]
+    val customValues = mutable.ArrayBuffer.empty[Double]
+    def packedZigzag(out: mutable.ArrayBuffer[Long]): Unit = {
+      val (len, p2) = lenAt(b, pos)
+      var q = p2
+      while (q < p2 + len) {
+        val (v, q2) = varint(b, q); out += zigzagDecode(v); q = q2
+      }
+      pos = p2 + len
+    }
+    def packedDoubles(out: mutable.ArrayBuffer[Double]): Unit = {
+      val (len, p2) = lenAt(b, pos)
+      var q = p2
+      while (q < p2 + len) {
+        out += java.lang.Double.longBitsToDouble(fixed64(b, q)); q += 8
+      }
+      pos = p2 + len
+    }
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 0) => val (v, p2) = varint(b, pos); countI = v; pos = p2
+        case (2, 1) =>
+          countF = java.lang.Double.longBitsToDouble(fixed64(b, pos))
+          countIsFloat = true; pos += 8
+        case (3, 1) =>
+          sum = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
+        case (4, 0) =>
+          val (v, p2) = varint(b, pos)
+          schema = zigzagDecode(v).toInt; pos = p2
+        case (5, 1) =>
+          zeroTh = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
+        case (6, 0) => val (v, p2) = varint(b, pos); zeroI = v; pos = p2
+        case (7, 1) =>
+          zeroF = java.lang.Double.longBitsToDouble(fixed64(b, pos))
+          zeroIsFloat = true; pos += 8
+        case (8, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          negSpans += decodeBucketSpan(b, p2, p2 + len); pos = p2 + len
+        case (9, 2) => packedZigzag(negDeltas)
+        case (9, 0) =>
+          val (v, p2) = varint(b, pos); negDeltas += zigzagDecode(v); pos = p2
+        case (10, 2) => packedDoubles(negCounts)
+        case (10, 1) =>
+          negCounts += java.lang.Double.longBitsToDouble(fixed64(b, pos))
+          pos += 8
+        case (11, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          posSpans += decodeBucketSpan(b, p2, p2 + len); pos = p2 + len
+        case (12, 2) => packedZigzag(posDeltas)
+        case (12, 0) =>
+          val (v, p2) = varint(b, pos); posDeltas += zigzagDecode(v); pos = p2
+        case (13, 2) => packedDoubles(posCounts)
+        case (13, 1) =>
+          posCounts += java.lang.Double.longBitsToDouble(fixed64(b, pos))
+          pos += 8
+        case (14, 0) => val (v, p2) = varint(b, pos); resetHint = v.toInt; pos = p2
+        case (15, 0) => val (v, p2) = varint(b, pos); ts = v; pos = p2
+        case (16, 2) => packedDoubles(customValues)
+        case (16, 1) =>
+          customValues += java.lang.Double.longBitsToDouble(fixed64(b, pos))
+          pos += 8
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    val isFloat = countIsFloat || zeroIsFloat ||
+      posCounts.nonEmpty || negCounts.nonEmpty
+    HistogramSample("", Map.empty, ts,
+      count = if (countIsFloat) countF else countI.toDouble,
+      sum = sum, schema = schema, zeroThreshold = zeroTh,
+      zeroCount = if (zeroIsFloat) zeroF else zeroI.toDouble,
+      positiveBuckets = expandSparseBuckets(
+        posSpans.toSeq, posDeltas.toSeq, posCounts.toSeq),
+      negativeBuckets = expandSparseBuckets(
+        negSpans.toSeq, negDeltas.toSeq, negCounts.toSeq),
+      customValues = customValues.toSeq,
+      resetHint = resetHint, floatHistogram = isFloat)
+  }
+
+  private def decodeBucketSpan(b: Array[Byte], start: Int,
+      end: Int): (Int, Int) = {
+    var pos = start
+    var offset = 0; var length = 0
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 0) =>
+          val (v, p2) = varint(b, pos); offset = zigzagDecode(v).toInt; pos = p2
+        case (2, 0) => val (v, p2) = varint(b, pos); length = v.toInt; pos = p2
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    (offset, length)
+  }
+
+  /** Resolve sparse spans + deltas (int histograms) or spans + absolute
+    * counts (float histograms) to absolute `(index, count)` pairs. The
+    * first span's offset is the absolute starting index; each later
+    * span's offset is the gap from the end of the previous span (the
+    * public prompb comment contract). Integer deltas accumulate: bucket
+    * k's count = sum of deltas[0..k]. */
+  private[streaming] def expandSparseBuckets(spans: Seq[(Int, Int)],
+      deltas: Seq[Long], counts: Seq[Double]): Seq[(Int, Double)] = {
+    val total = spans.map(_._2.toLong).sum
+    val n = if (counts.nonEmpty) counts.length else deltas.length
+    if (total != n)
+      sys.error(s"histogram spans declare $total buckets but $n counts arrived")
+    val out = mutable.ArrayBuffer.empty[(Int, Double)]
+    var idx = 0
+    var i = 0
+    var cur = 0L
+    spans.foreach { case (offset, length) =>
+      idx += offset
+      var j = 0
+      while (j < length) {
+        val c =
+          if (counts.nonEmpty) counts(i)
+          else { cur += deltas(i); cur.toDouble }
+        out += ((idx, c))
+        idx += 1; i += 1; j += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private[streaming] def zigzagDecode(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+  private[streaming] def zigzagEncode(v: Long): Long = (v << 1) ^ (v >> 63)
 
   private def decodeExemplarV2(b: Array[Byte], start: Int,
       end: Int): (Seq[Int], Double, Long) = {
@@ -278,6 +465,7 @@ object RemoteWrite {
     val samples = mutable.ArrayBuffer.empty[Sample]
     val exemplars = mutable.ArrayBuffer.empty[Exemplar]
     val metadata = mutable.ArrayBuffer.empty[Metadata]
+    val histograms = mutable.ArrayBuffer.empty[HistogramSample]
     var pos = 0
     while (pos < bytes.length) {
       val (tag, p1) = varint(bytes, pos)
@@ -285,7 +473,7 @@ object RemoteWrite {
       (tag >> 3, tag & 7) match {
         case (1, 2) => // timeseries
           val (len, p2) = lenAt(bytes, pos)
-          decodeTimeSeries(bytes, p2, p2 + len, samples,
+          decodeTimeSeries(bytes, p2, p2 + len, samples, histograms,
             if (collectExtras) Some(exemplars) else None)
           pos = p2 + len
         case (3, 2) if collectExtras => // metadata
@@ -295,15 +483,17 @@ object RemoteWrite {
         case (_, wt) => pos = skip(bytes, pos, wt.toInt)
       }
     }
-    Request(samples.toSeq, exemplars.toSeq, metadata.toSeq)
+    Request(samples.toSeq, exemplars.toSeq, metadata.toSeq, histograms.toSeq)
   }
 
   private def decodeTimeSeries(b: Array[Byte], start: Int, end: Int,
       samplesOut: mutable.ArrayBuffer[Sample],
+      histogramsOut: mutable.ArrayBuffer[HistogramSample],
       exemplarsOut: Option[mutable.ArrayBuffer[Exemplar]]): Unit = {
     var pos = start
     val labels = mutable.LinkedHashMap.empty[String, String]
     val samples = mutable.ArrayBuffer.empty[(Double, Long)]
+    val histograms = mutable.ArrayBuffer.empty[HistogramSample]
     val exemplars = mutable.ArrayBuffer.empty[(Map[String, String], Double, Long)]
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
@@ -323,12 +513,17 @@ object RemoteWrite {
           if (exemplarsOut.isDefined)
             exemplars += decodeExemplar(b, p2, p2 + len)
           pos = p2 + len
+        case (4, 2) => // native histogram (prompb TimeSeries field 4)
+          val (len, p2) = lenAt(b, pos)
+          histograms += decodeHistogram(b, p2, p2 + len)
+          pos = p2 + len
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
     val name = labels.getOrElse(NameLabel, "")
     val rest = (labels - NameLabel).toMap
     samplesOut ++= samples.map { case (v, ts) => Sample(name, rest, ts, v) }
+    histogramsOut ++= histograms.map(_.copy(name = name, labels = rest))
     exemplarsOut.foreach(_ ++= exemplars.map { case (ls, v, ts) =>
       Exemplar(name, rest, ls, v, ts) })
   }
@@ -465,11 +660,87 @@ object RemoteWrite {
   def encode(samples: Seq[Sample]): Array[Byte] =
     encodeRequest(Request(samples, Nil, Nil))
 
+  /** Absolute `(index, count)` pairs → prompb spans + (deltas | counts):
+    * the inverse of [[expandSparseBuckets]]. Buckets must arrive sorted
+    * by index (the decode side always produces them sorted). */
+  private def sparseOf(buckets: Seq[(Int, Double)],
+      asFloat: Boolean): (Seq[(Int, Int)], Seq[Long], Seq[Double]) = {
+    val spans = mutable.ArrayBuffer.empty[(Int, Int)]
+    var prevEnd = 0
+    buckets.foreach { case (idx, _) =>
+      if (spans.nonEmpty && idx == prevEnd) {
+        val (o, l) = spans.last
+        spans(spans.length - 1) = (o, l + 1)
+      } else spans += ((idx - prevEnd, 1))
+      prevEnd = idx + 1
+    }
+    if (asFloat) (spans.toSeq, Nil, buckets.map(_._2))
+    else {
+      var cur = 0L
+      val deltas = buckets.map { case (_, c) =>
+        val d = c.toLong - cur; cur = c.toLong; d
+      }
+      (spans.toSeq, deltas, Nil)
+    }
+  }
+
+  /** Encode one prompb `Histogram` record (shared v1/v2 layout). */
+  private def encodeHistogram(h: HistogramSample): Array[Byte] = {
+    val out = mutable.ArrayBuffer.empty[Byte]
+    def varintField(field: Int, v: Long): Unit = {
+      out += ((field << 3) | 0).toByte; out ++= writeVarint(v); ()
+    }
+    def doubleField(field: Int, v: Double): Unit = {
+      out += ((field << 3) | 1).toByte; out ++= fixed64Bytes(v); ()
+    }
+    def spanBytes(offset: Int, length: Int): Array[Byte] = {
+      val b = mutable.ArrayBuffer.empty[Byte]
+      b += ((1 << 3) | 0).toByte
+      b ++= writeVarint(zigzagEncode(offset.toLong))
+      b += ((2 << 3) | 0).toByte
+      b ++= writeVarint(length.toLong)
+      b.toArray
+    }
+    def packedZigzag(field: Int, vs: Seq[Long]): Unit = {
+      if (vs.nonEmpty) {
+        out ++= lenDelim(field,
+          vs.flatMap(v => writeVarint(zigzagEncode(v))).toArray); ()
+      }
+    }
+    def packedDoubles(field: Int, vs: Seq[Double]): Unit = {
+      if (vs.nonEmpty) {
+        out ++= lenDelim(field, vs.flatMap(fixed64Bytes).toArray); ()
+      }
+    }
+    if (h.floatHistogram) doubleField(2, h.count)
+    else varintField(1, h.count.toLong)
+    doubleField(3, h.sum)
+    varintField(4, zigzagEncode(h.schema.toLong))
+    doubleField(5, h.zeroThreshold)
+    if (h.floatHistogram) doubleField(7, h.zeroCount)
+    else varintField(6, h.zeroCount.toLong)
+    val (negSpans, negDeltas, negCounts) =
+      sparseOf(h.negativeBuckets, h.floatHistogram)
+    val (posSpans, posDeltas, posCounts) =
+      sparseOf(h.positiveBuckets, h.floatHistogram)
+    negSpans.foreach { case (o, l) => out ++= lenDelim(8, spanBytes(o, l)) }
+    packedZigzag(9, negDeltas)
+    packedDoubles(10, negCounts)
+    posSpans.foreach { case (o, l) => out ++= lenDelim(11, spanBytes(o, l)) }
+    packedZigzag(12, posDeltas)
+    packedDoubles(13, posCounts)
+    if (h.resetHint != 0) varintField(14, h.resetHint.toLong)
+    varintField(15, h.timestamp)
+    packedDoubles(16, h.customValues)
+    out.toArray
+  }
+
   def encodeRequest(req: Request): Array[Byte] = {
     val out = mutable.ArrayBuffer.empty[Byte]
     val exBySeries = req.exemplars.groupBy(e => (e.name, e.seriesLabels))
+    val histBySeries = req.histograms.groupBy(h => (h.name, h.labels))
     val seriesKeys = (req.samples.map(s => (s.name, s.labels)) ++
-      exBySeries.keys).distinct
+      exBySeries.keys ++ histBySeries.keys).distinct
     val byKey = req.samples.groupBy(s => (s.name, s.labels))
     seriesKeys.foreach { case key @ (name, labels) =>
       val ts = mutable.ArrayBuffer.empty[Byte]
@@ -484,6 +755,9 @@ object RemoteWrite {
         sm += ((2 << 3) | 0).toByte
         sm ++= writeVarint(s.timestamp)
         ts ++= lenDelim(2, sm.toArray)
+      }
+      histBySeries.getOrElse(key, Nil).foreach { h =>
+        ts ++= lenDelim(4, encodeHistogram(h))
       }
       exBySeries.getOrElse(key, Nil).foreach { e =>
         val ex = mutable.ArrayBuffer.empty[Byte]
@@ -531,12 +805,13 @@ object RemoteWrite {
         .flatMap { case (k, v) => Seq(ref(k), ref(v)) }
 
     val exBySeries = req.exemplars.groupBy(e => (e.name, e.seriesLabels))
+    val histBySeries = req.histograms.groupBy(h => (h.name, h.labels))
     val mdByFamily = req.metadata.groupBy(_.familyName)
     val byKey = req.samples.groupBy(s => (s.name, s.labels))
     // metadata attaches to its family's first series; families with no
     // series at all get a bare metadata-only series appended
     val seriesKeys = (req.samples.map(s => (s.name, s.labels)) ++
-      exBySeries.keys).distinct
+      exBySeries.keys ++ histBySeries.keys).distinct
     val familiesPresent = seriesKeys.map(_._1).toSet
     val allKeys = seriesKeys ++ mdByFamily.keys.toSeq.sorted
       .filterNot(familiesPresent).map(f => (f, Map.empty[String, String]))
@@ -552,6 +827,9 @@ object RemoteWrite {
         sm += ((2 << 3) | 0).toByte
         sm ++= writeVarint(s.timestamp)
         ts ++= lenDelim(2, sm.toArray)
+      }
+      histBySeries.getOrElse(key, Nil).foreach { h =>
+        ts ++= lenDelim(3, encodeHistogram(h))
       }
       exBySeries.getOrElse(key, Nil).foreach { e =>
         val ex = mutable.ArrayBuffer.empty[Byte]
@@ -590,7 +868,9 @@ object RemoteWrite {
 
   private[streaming] def lenDelim(field: Int, payload: Array[Byte]): mutable.ArrayBuffer[Byte] = {
     val b = mutable.ArrayBuffer.empty[Byte]
-    b += ((field << 3) | 2).toByte
+    // the tag itself is a varint — one byte only for field numbers < 16
+    // (histogram custom_values is field 16, a two-byte tag)
+    b ++= writeVarint(((field << 3) | 2).toLong)
     b ++= writeVarint(payload.length.toLong)
     b ++= payload
     b

@@ -219,6 +219,49 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("rollup scheduler failures are visible: a failing refresh tick " +
+      "increments graft_rollup_refresh_failures_total and surfaces the " +
+      "error on /api/v1/status/tsdb; a healthy tick clears the error") {
+    val dir = Files.createTempDirectory("graft-http-rohealth").toString
+    val engine = new MetricEngine(spark, dir)
+    val fe = new HttpFrontend(spark, engine, rollupGrids = Seq(3600000L),
+      rollupRefreshMs = 3600000L) // timer never fires in-test; tick by hand
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val body = RemoteWrite.encode(Seq(
+        graft.metric.Sample("roh_req", Map("host" -> "a"), t0, 1.0)))
+      assert(post(port, "/api/v1/write", body).statusCode() == 204)
+      val sched = fe.rollupScheduler.get
+      sched.runOnce()
+      assert(sched.refreshFailuresTotal == 0)
+      assert(sched.lastRefreshError.isEmpty)
+      // break the refresher: a DIRECTORY where the watermark file lives
+      // makes readWatermark throw on open (works even running as root,
+      // unlike permission bits)
+      val wm = new java.io.File(
+        s"${fe.rollups.head.store.root}/rollup_watermark")
+      assert(wm.delete(), s"could not remove $wm")
+      assert(wm.mkdir())
+      sched.runOnce()
+      assert(sched.refreshFailuresTotal == 1)
+      assert(sched.lastRefreshError.isDefined)
+      val metrics = get(port, "/metrics").body()
+      assert(metrics.contains("graft_rollup_refresh_failures_total 1"),
+        metrics)
+      val status = get(port, "/api/v1/status/tsdb").body()
+      assert(status.contains(""""refreshFailuresTotal":1"""), status)
+      assert(status.contains(""""lastRefreshError":""""), status)
+      // repair → the next healthy tick clears the error, count persists
+      assert(wm.delete())
+      sched.runOnce()
+      assert(sched.refreshFailuresTotal == 1)
+      assert(sched.lastRefreshError.isEmpty)
+      val status2 = get(port, "/api/v1/status/tsdb").body()
+      assert(status2.contains(""""lastRefreshError":null"""), status2)
+    } finally fe.stop()
+  }
+
   test("rollupGrids: a frontend-maintained rollup serves query_range " +
       "value-invisibly, including the hybrid edge-split on the " +
       "end-inclusive (+1ms) range every real client sends") {

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.metric.NativeHistograms
+
+/** Bucket math for [[NativeHistograms.quantile]] — pure DataFrame rows, no
+  * engine: standard exponential schemas, negative buckets, the zero-bucket
+  * bound collapse, NHCB custom bounds, and the φ edge cases. */
+class NativeHistogramsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("series_key", StringType),
+    StructField("ts_ms", LongType),
+    StructField("count", DoubleType), StructField("sum", DoubleType),
+    StructField("bucket_schema", IntegerType),
+    StructField("zero_threshold", DoubleType),
+    StructField("zero_count", DoubleType),
+    StructField("pos_idx", ArrayType(IntegerType)),
+    StructField("pos_cnt", ArrayType(DoubleType)),
+    StructField("neg_idx", ArrayType(IntegerType)),
+    StructField("neg_cnt", ArrayType(DoubleType)),
+    StructField("custom_values", ArrayType(DoubleType))))
+
+  private def df(rows: Row*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+
+  private def q(rowsDf: org.apache.spark.sql.DataFrame,
+      phis: Double*): Map[Double, Double] =
+    NativeHistograms.quantile(rowsDf, phis.toSeq).collect()
+      .map(r => r.getAs[Double]("phi") -> r.getAs[Double]("value")).toMap
+
+  test("positive-only exponential buckets, linear within the bucket") {
+    // schema 0 → base 2: zero [0,0.001]=2, (1,2]=3, (2,4]=5; count 10
+    val rows = df(Row("s", 0L, 10.0, 21.0, 0, 0.001, 2.0,
+      Seq(1, 2), Seq(3.0, 5.0), Seq.empty[Int], Seq.empty[Double],
+      Seq.empty[Double]))
+    val got = q(rows, 0.2, 0.5, 0.9, 1.0)
+    assert(math.abs(got(0.2) - 0.001) < 1e-12) // rank 2 tops the zero bucket
+    assert(math.abs(got(0.5) - 2.0) < 1e-12)
+    assert(math.abs(got(0.9) - 3.6) < 1e-12)
+    assert(math.abs(got(1.0) - 4.0) < 1e-12) // top bucket's upper bound
+  }
+
+  test("negative buckets walk most-negative-first; zero bucket bound " +
+      "collapses on the empty side") {
+    // schema 0: neg idx 1 → [-2,-1) cnt 4; zero [-0.5, 0] cnt 2 (upper
+    // collapsed: no positive buckets); count 6
+    val rows = df(Row("s", 0L, 6.0, -5.0, 0, 0.5, 2.0,
+      Seq.empty[Int], Seq.empty[Double], Seq(1), Seq(4.0),
+      Seq.empty[Double]))
+    val got = q(rows, 0.5, 1.0)
+    // rank 3: neg bucket [-2,-1) cum 4 ≥ 3 → -2 + 1·(3/4) = -1.25
+    assert(math.abs(got(0.5) - (-1.25)) < 1e-12)
+    // rank 6: zero bucket [-0.5, 0] → -0.5 + 0.5·(6-4)/2 = 0
+    assert(math.abs(got(1.0) - 0.0) < 1e-12)
+  }
+
+  test("NHCB (schema -53): classic upper bounds from custom_values") {
+    // bounds [1, 5, 10]: bucket0 (0,1]=2, bucket2 (5,10]=4; count 6
+    val rows = df(Row("s", 0L, 6.0, 30.0, -53, 0.0, 0.0,
+      Seq(0, 2), Seq(2.0, 4.0), Seq.empty[Int], Seq.empty[Double],
+      Seq(1.0, 5.0, 10.0)))
+    val got = q(rows, 0.25, 0.75)
+    // rank 1.5 in (0,1]: 0 + 1·(1.5/2) = 0.75
+    assert(math.abs(got(0.25) - 0.75) < 1e-12)
+    // rank 4.5 in (5,10]: 5 + 5·(4.5-2)/4 = 8.125
+    assert(math.abs(got(0.75) - 8.125) < 1e-12)
+  }
+
+  test("φ edge cases: out-of-range → ±Inf, empty histogram → NaN") {
+    val rows = df(Row("s", 0L, 10.0, 21.0, 0, 0.0, 0.0,
+      Seq(1), Seq(10.0), Seq.empty[Int], Seq.empty[Double],
+      Seq.empty[Double]))
+    val got = q(rows, -0.1, 1.1)
+    assert(got(-0.1).isNegInfinity)
+    assert(got(1.1).isPosInfinity)
+    val empty = df(Row("s", 0L, 0.0, 0.0, 0, 0.0, 0.0,
+      Seq.empty[Int], Seq.empty[Double], Seq.empty[Int], Seq.empty[Double],
+      Seq.empty[Double]))
+    assert(q(empty, 0.5)(0.5).isNaN)
+  }
+}

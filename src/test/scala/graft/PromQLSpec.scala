@@ -330,7 +330,7 @@ class PromQLSpec extends AnyFunSuite {
   private val H = 3600000L
 
   test("sqlInstant: windowless = newest sample per series within lookback " +
-      "(stale series drop); windowed = newest tumbling bucket per series") {
+      "(stale series drop); windowed = exact sliding (T-w, T] window") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", H, 4.0),
       Row("cpu", "b", "us", H / 2, 10.0),
@@ -354,18 +354,26 @@ class PromQLSpec extends AnyFunSuite {
     assert(none.length == 1 && none(0).isNullAt(none(0).fieldIndex("value")))
     assert(ctx.sqlInstant("sum by (host) (cpu)", -3 * H, lookbackMs = 1000L)
       .collect().isEmpty)
-    // windowed: newest bucket per series answers (tumbling deviation).
-    // Series a: reset-aware delta 4-1=3 attributed to the later sample's
-    // bucket [1h, 2h) — its newest bucket → 3.0; series b's single-sample
-    // bucket → 0.0; stale c is outside the 2-window evaluation range.
+    // windowed: EXACT sliding (T-w, T] window at the unaligned eval time
+    // (round 11 — no tumbling approximation). Window (1000, 1h+1000]:
+    // series a sees only its h-sample (the t=0 one is outside) → single
+    // sample, increase 0; series b single sample → 0; stale c excluded.
     val inc = ctx.sqlInstant("increase(cpu[1h])", T)
       .collect().map(r => (r.getAs[String]("host"),
         r.getAs[Double]("value"))).toMap
-    assert(inc == Map("a" -> 3.0, "b" -> 0.0), inc.toString)
-    // grouped windowed: bucket column dropped, one row per group
-    val gw = ctx.sqlInstant("sum by (dc) (increase(cpu[1h]))", T)
+    assert(inc == Map("a" -> 0.0, "b" -> 0.0), inc.toString)
+    // widen the window so both of a's samples fall inside (T-2h, T]:
+    // reset-aware increase 4-1 = 3 — the value Prometheus reports at T
+    val inc2 = ctx.sqlInstant("increase(cpu[2h])", T, lookbackMs = 2 * H)
+      .collect().map(r => (r.getAs[String]("host"),
+        r.getAs[Double]("value"))).toMap
+    assert(inc2 == Map("a" -> 3.0, "b" -> 0.0), inc2.toString)
+    // grouped windowed: time-pinned output, one row per group
+    val gw = ctx.sqlInstant("sum by (dc) (increase(cpu[2h]))", T,
+      lookbackMs = 2 * H)
     assert(gw.columns.toSet == Set("dc", "value"))
-    assert(gw.collect().length == 1)
+    val gwRows = gw.collect()
+    assert(gwRows.length == 1 && gwRows(0).getAs[Double]("value") == 3.0)
   }
 
   test("instant-selector @ and start()/end(): m @ t desugars to a boundary-" +

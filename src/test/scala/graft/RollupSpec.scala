@@ -124,6 +124,30 @@ class RollupSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("rollup TSID join broadcasts only while small — the raw path's " +
+      "adaptive gate, not a forced hint (a low-selectivity matcher over a " +
+      "huge metric must never force a driver collect)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    val eng = freshEngine()
+    write(eng, Seq(("a", 1000L, 1.0), ("a", hour + 1, 2.0), ("b", 2000L, 4.0)))
+    val r = new Rollup(eng, gridMs = hour)
+    r.refresh()
+    val q = MetricQuery("cpu", stepMs = Some(hour), agg = MetricAgg.Sum,
+      groupByTag = Some("host"))
+    val hinted = r.query(q)
+    assert(hintCount(hinted) > 0,
+      "small TSID sets should carry the broadcast hint on the rollup path")
+    spark.conf.set("graft.metric.broadcastMaxBytes", "0")
+    try {
+      // over-cap: NO forced broadcast — the join shape is AQE's call
+      val unhinted = r.query(q)
+      assert(hintCount(unhinted) == 0, "rollup path must honor the size gate")
+      assert(unhinted.collect().toSet == hinted.collect().toSet)
+    } finally spark.conf.unset("graft.metric.broadcastMaxBytes")
+  }
+
   test("last partial carries each bucket's newest value") {
     val eng = freshEngine()
     write(eng, Seq(("a", 100L, 1.0), ("a", 200L, 7.0), ("a", hour + 1, 3.0)))
@@ -342,6 +366,42 @@ class RollupSpec extends AnyFunSuite {
       assert(routed.collect().map(_.toSeq).toSet ==
         raw.collect().map(_.toSeq).toSet, s"step=$step")
     }
+  }
+
+  test("cold backfill over 50 dirty segments runs as ONE aggregation job, " +
+      "not one per segment (writeSegmented dynamic partitioning), and the " +
+      "rolled answers still match raw") {
+    val eng = freshEngine()
+    // 50 segments (2 days each), one sample per segment + a second host in
+    // a few segments so grouping stays non-trivial
+    val rows = (0 until 50).flatMap { i =>
+      val base = i * 2 * day
+      Seq(("a", base + 1000L, i.toDouble)) ++
+        (if (i % 7 == 0) Seq(("b", base + hour + 5L, 100.0 + i)) else Nil)
+    }
+    write(eng, rows)
+    val r = new Rollup(eng, gridMs = hour)
+    val group = "rollup-backfill-test"
+    spark.sparkContext.setJobGroup(group, "rollup backfill job count")
+    val stats = try r.refresh() finally spark.sparkContext.clearJobGroup()
+    assert(stats.segmentsRolled == 50)
+    // status tracker is listener-fed; give it a beat
+    def jobCount(): Int = {
+      Thread.sleep(200)
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val jobs = jobCount()
+    // one write job (+ a few AQE stage jobs at most) — NEVER O(segments)
+    assert(jobs > 0 && jobs <= 10,
+      s"backfill launched $jobs Spark jobs for 50 dirty segments")
+    // answers equal the raw path across the whole range
+    val q = MetricQuery("cpu", stepMs = Some(day), agg = MetricAgg.Sum,
+      groupByTag = Some("host"))
+    assert(r.query(q).collect().map(_.toSeq).toSet ==
+      eng.query(q).collect().map(_.toSeq).toSet)
+    // incremental after the backfill: one new write re-rolls one segment
+    write(eng, Seq(("a", 3 * 2 * day + 2000L, 7.0)))
+    assert(r.refresh().segmentsRolled == 1)
   }
 
   test("watermark survives a reopen: a new Rollup instance over the same " +

@@ -35,6 +35,37 @@ groups:
         expr: histogram_quantile(0.99, sum by (le) (latency_bucket)) > 2
 """
 
+  test("zero-indent block sequences parse: the common hand-written " +
+      "Prometheus style where the dash sits at the parent key's column") {
+    val zeroIndent = """
+groups:
+- name: cpu.rules
+  interval: 30s
+  rules:
+  - record: job:cpu:sum
+    expr: sum by (job) (cpu)
+    labels:
+      team: api
+  - alert: HighCpu
+    expr: cpu > 0.9
+    for: 10m
+- name: latency.rules
+  rules:
+  - record: lat:p99
+    expr: histogram_quantile(0.99, sum by (le) (latency_bucket))
+"""
+    val groups = RuleConfig.parseYaml(zeroIndent)
+    assert(groups.map(_.name) == Seq("cpu.rules", "latency.rules"))
+    assert(groups(0).intervalMs == 30000L)
+    val Seq(rec: RecordingRule, al: AlertingRule) = groups(0).rules
+    assert(rec.record == "job:cpu:sum")
+    assert(rec.labels == Map("team" -> "api"))
+    assert(al.alert == "HighCpu")
+    assert(al.forMs == 600000L)
+    val Seq(rec2: RecordingRule) = groups(1).rules
+    assert(rec2.record == "lat:p99")
+  }
+
   test("full rules file parses to the exact rule model") {
     val groups = RuleConfig.parseYaml(full)
     assert(groups.map(_.name) == Seq("cpu.rules", "latency.rules"))

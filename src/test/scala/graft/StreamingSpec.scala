@@ -461,6 +461,82 @@ class StreamingSpec extends AnyFunSuite {
     intercept[RuntimeException](RemoteWrite.decodeRequestV2(bad))
   }
 
+  test("remote-write 2.0 native histograms: int (spans+deltas) and float " +
+      "(absolute counts) histograms round-trip the v2 wire mixed with plain " +
+      "samples, snappy-framed; v1 field-4 histograms decode too") {
+    import graft.streaming.RemoteWrite
+    import graft.streaming.RemoteWrite.{HistogramSample, Request}
+    val plain = Seq(
+      Sample("http_requests_total", Map("code" -> "200"), t0, 5.0),
+      Sample("http_requests_total", Map("code" -> "200"), t0 + 1000, 7.0))
+    val intHist = HistogramSample(
+      "rpc_latency", Map("job" -> "api"), t0,
+      count = 12, sum = 41.5, schema = 0, zeroThreshold = 0.001,
+      zeroCount = 2,
+      // spans with a gap: indexes 1,2 then 5 — exercises multi-span offsets
+      positiveBuckets = Seq((1, 3.0), (2, 5.0), (5, 1.0)),
+      negativeBuckets = Seq((0, 1.0)),
+      resetHint = 1)
+    val floatHist = HistogramSample(
+      "rpc_latency", Map("job" -> "worker"), t0 + 500,
+      count = 7.5, sum = 10.25, schema = 3, zeroThreshold = 0.0,
+      zeroCount = 0.5,
+      positiveBuckets = Seq((-2, 3.25), (4, 3.75)),
+      negativeBuckets = Nil,
+      floatHistogram = true)
+    val nhcb = HistogramSample(
+      "req_size", Map.empty, t0, count = 6, sum = 30.0, schema = -53,
+      zeroThreshold = 0.0, zeroCount = 0,
+      positiveBuckets = Seq((0, 2.0), (2, 4.0)), negativeBuckets = Nil,
+      customValues = Seq(1.0, 5.0, 10.0))
+    val spec = Request(plain, Nil, Nil, Seq(intHist, floatHist, nhcb))
+    val framed = org.xerial.snappy.Snappy.compress(
+      RemoteWrite.encodeRequestV2(spec))
+    val got = RemoteWrite.decodeRequest(framed)
+    assert(got.samples.toSet == plain.toSet)
+    assert(got.histograms.toSet == Set(intHist, floatHist, nhcb))
+    // samples fast path is unaffected by histogram records in the payload
+    assert(RemoteWrite.decode(framed).toSet == plain.toSet)
+    // v1 wire (prompb TimeSeries field 4) carries the same records
+    val v1 = RemoteWrite.decodeRequest(RemoteWrite.encodeRequest(spec))
+    assert(v1.histograms.toSet == Set(intHist, floatHist, nhcb))
+    assert(v1.samples.toSet == plain.toSet)
+  }
+
+  test("native histograms ingest end-to-end: v2 payload → engine histograms " +
+      "table (meta registered for histogram-only series, idempotent " +
+      "re-delivery) → quantile readback") {
+    import graft.streaming.RemoteWrite
+    import graft.streaming.RemoteWrite.{HistogramSample, Request}
+    val root = Files.createTempDirectory("graft-nh-e2e").toString
+    val engine = new MetricEngine(spark, root)
+    val h1 = HistogramSample(
+      "rpc_latency", Map("job" -> "api"), t0,
+      count = 10, sum = 21.0, schema = 0, zeroThreshold = 0.001,
+      zeroCount = 2,
+      positiveBuckets = Seq((1, 3.0), (2, 5.0)), negativeBuckets = Nil)
+    val req = RemoteWrite.decodeRequest(
+      RemoteWrite.encodeRequestV2(Request(Nil, Nil, Nil, Seq(h1))))
+    MetricStreamIngest.ingestHistograms(engine, spark, req.histograms)
+    // re-delivery upserts idempotently on (series, ts)
+    MetricStreamIngest.ingestHistograms(engine, spark, req.histograms)
+    val rows = engine.queryHistograms("""rpc_latency{job="api"}""",
+      graft.storage.TimeRange(Long.MinValue, Long.MaxValue)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("count") == 10.0)
+    assert(rows.head.getAs[scala.collection.Seq[Int]]("pos_idx").toSeq ==
+      Seq(1, 2))
+    // schema 0 → base 2: zero [0,0.001] cnt 2; (1,2] cnt 3; (2,4] cnt 5
+    // φ=0.5 → rank 5 → 1 + (2-1)·(5-2)/3 = 2.0
+    // φ=0.9 → rank 9 → 2 + (4-2)·(9-5)/5 = 3.6
+    val q = engine.histogramQuantile("""rpc_latency{job="api"}""",
+        Seq(0.5, 0.9), graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+      .collect().map(r => r.getAs[Double]("phi") -> r.getAs[Double]("value"))
+      .toMap
+    assert(math.abs(q(0.5) - 2.0) < 1e-9)
+    assert(math.abs(q(0.9) - 3.6) < 1e-9)
+  }
+
   test("streaming PromQL rejects range-function shapes toward the batch path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
