@@ -443,22 +443,48 @@ final class HttpFrontend(
     else if (body.isEmpty)
       respond(ex, 400, "read failed: empty or unreadable request body")
     else try {
-      val queries = graft.streaming.RemoteRead.decodeRequest(body)
-      val results = queries.map { q =>
-        val ms = q.matchers.map(graft.streaming.RemoteRead.toPromQLMatcher)
+      import graft.streaming.RemoteRead
+      val req = RemoteRead.decodeReadRequest(body)
+      // negotiation per the protocol: answer with the FIRST accepted type
+      // we can produce (empty accepted list = SAMPLES)
+      val accepted = if (req.accepted.isEmpty) Seq(RemoteRead.Samples)
+        else req.accepted
+      val chosen = accepted.find(t =>
+        t == RemoteRead.Samples || t == RemoteRead.StreamedXorChunks)
+        .getOrElse(throw new IllegalArgumentException(
+          s"client accepts only response types ${accepted.mkString(",")}; " +
+            "this server serves SAMPLES (0) and STREAMED_XOR_CHUNKS (1)"))
+      def seriesOf(q: RemoteRead.Query): Seq[RemoteRead.Series] = {
+        val ms = q.matchers.map(RemoteRead.toPromQLMatcher)
         // remote-read bounds are inclusive; the engine's range is half-open
         val rows = collectCapped(
           engine.readRaw(ms, TimeRange(q.startMs, q.endMs + 1)))
-        graft.streaming.RemoteRead.seriesFromRows(
+        RemoteRead.seriesFromRows(
           rows.map(r => (r.getAs[String]("series_key"),
             r.getAs[Long]("ts_ms"), r.getAs[Double]("value"))).toSeq,
           graft.metric.MetricEngine.parseSeriesKey)
       }
-      val encoded = org.xerial.snappy.Snappy.compress(
-        graft.streaming.RemoteRead.encodeResponse(results))
-      respondBytes(ex, 200, encoded, Seq(
-        "Content-Type" -> "application/x-protobuf",
-        "Content-Encoding" -> "snappy"))
+      if (chosen == RemoteRead.StreamedXorChunks) {
+        // chunked stream: one frame per series (uvarint len + CRC32C +
+        // marshaled ChunkedReadResponse), query_index stamps the source
+        // query; NOT snappy-compressed per the protocol
+        val out = new java.io.ByteArrayOutputStream()
+        req.queries.zipWithIndex.foreach { case (q, qi) =>
+          seriesOf(q).foreach { s =>
+            out.write(RemoteRead.frame(
+              RemoteRead.encodeChunkedFrame(Seq(s), qi.toLong)))
+          }
+        }
+        respondBytes(ex, 200, out.toByteArray, Seq(
+          "Content-Type" -> RemoteRead.ChunkedContentType))
+      } else {
+        val results = req.queries.map(seriesOf)
+        val encoded = org.xerial.snappy.Snappy.compress(
+          RemoteRead.encodeResponse(results))
+        respondBytes(ex, 200, encoded, Seq(
+          "Content-Type" -> "application/x-protobuf",
+          "Content-Encoding" -> "snappy"))
+      }
     } catch {
       case e: ResultTooLarge => respond(ex, 422, s"read failed: ${e.getMessage}")
       case scala.util.control.NonFatal(e) =>

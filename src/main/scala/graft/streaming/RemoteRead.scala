@@ -20,13 +20,31 @@ import scala.collection.mutable
   * TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2; }
   * }}}
   *
-  * Only `ResponseType.SAMPLES` (0, the default) is produced — the chunked
-  * streaming variant is a transport optimization Prometheus negotiates and
-  * falls back from. Bodies are snappy BLOCK compressed on both directions
-  * (same framing as remote write; [[RemoteWrite.unframe]] handles the
-  * sniffing on the way in). Wire primitives are shared with
-  * [[RemoteWrite]] — same varint/length-validation hardening, so crafted
-  * length fields error instead of spinning the decode loop.
+  * Both negotiated response types are served: `SAMPLES` (0, the snappy-
+  * framed default) and `STREAMED_XOR_CHUNKS` (1, round 11) — the chunked
+  * streaming variant Prometheus prefers for large reads
+  * (prompb ChunkedReadResponse over the uvarint-length + CRC32-Castagnoli
+  * frame stream, content type
+  * `application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse`;
+  * chunk payloads are TSDB Gorilla XOR chunks, [[XorChunk]]):
+  *
+  * {{{
+  * ChunkedReadResponse { repeated ChunkedSeries chunked_series = 1;
+  *                       int64 query_index = 2; }
+  * ChunkedSeries       { repeated Label labels = 1; repeated Chunk chunks = 2; }
+  * Chunk               { int64 min_time_ms = 1; int64 max_time_ms = 2;
+  *                       Encoding type = 3;      // XOR = 1
+  *                       bytes data = 4; }
+  * frame = uvarint(len(data)) ++ crc32c(data, 4 bytes BE) ++ data
+  * }}}
+  *
+  * Chunked frames are NOT snappy-compressed (per the protocol — XOR
+  * chunks are already compact). Sampled bodies stay snappy BLOCK
+  * compressed on both directions (same framing as remote write;
+  * [[RemoteWrite.unframe]] handles the sniffing on the way in). Wire
+  * primitives are shared with [[RemoteWrite]] — same
+  * varint/length-validation hardening, so crafted length fields error
+  * instead of spinning the decode loop.
   */
 object RemoteRead {
   import RemoteWrite.{varint, lenAt, skip, lenDelim, writeVarint, fixed64Bytes}
@@ -67,11 +85,15 @@ object RemoteRead {
         rs.map { case (_, ts, v) => (ts, v) }.sortBy(_._1))
     }
 
-  /** Decode a (snappy-framed or raw) ReadRequest. Fails loudly when the
-    * client refuses the SAMPLES response type — per the protocol the
-    * server must answer with a type the client accepts, and SAMPLES is
-    * the only one served here (an empty accepted list means SAMPLES). */
-  def decodeRequest(bytes: Array[Byte]): Seq[Query] = {
+  /** A decoded ReadRequest: queries + the client's accepted response
+    * types (prompb ordinals: 0 = SAMPLES, 1 = STREAMED_XOR_CHUNKS; empty
+    * means SAMPLES). The serving edge negotiates: it answers with the
+    * FIRST accepted type it can produce, per the protocol. */
+  final case class ReadRequest(queries: Seq[Query], accepted: Seq[Int])
+
+  /** Decode a (snappy-framed or raw) ReadRequest, negotiation left to the
+    * caller. */
+  def decodeReadRequest(bytes: Array[Byte]): ReadRequest = {
     val b = RemoteWrite.unframe(bytes)
     val queries = mutable.ArrayBuffer.empty[Query]
     val accepted = mutable.ArrayBuffer.empty[Long]
@@ -94,10 +116,19 @@ object RemoteRead {
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
-    require(accepted.isEmpty || accepted.contains(0L),
-      s"client accepts only response types ${accepted.mkString(",")}; " +
-        "this server serves SAMPLES (0)")
-    queries.toSeq
+    ReadRequest(queries.toSeq, accepted.map(_.toInt).toSeq)
+  }
+
+  /** Decode a ReadRequest for the SAMPLES path. Fails loudly when the
+    * client refuses the SAMPLES response type AND the chunked type —
+    * per the protocol the server must answer with a type the client
+    * accepts (an empty accepted list means SAMPLES). */
+  def decodeRequest(bytes: Array[Byte]): Seq[Query] = {
+    val req = decodeReadRequest(bytes)
+    require(req.accepted.isEmpty || req.accepted.contains(0),
+      s"client accepts only response types ${req.accepted.mkString(",")}; " +
+        "this entry point serves SAMPLES (0)")
+    req.queries
   }
 
   private def decodeQuery(b: Array[Byte], start: Int, end: Int): Query = {
@@ -269,6 +300,155 @@ object RemoteRead {
       pos = p2 + len
     }
     (name, value)
+  }
+
+  // ---- STREAMED_XOR_CHUNKS (response type 1) --------------------------
+
+  /** prompb response-type ordinals. */
+  val Samples = 0
+  val StreamedXorChunks = 1
+
+  /** Content type of the chunked stream (the exact string Prometheus's
+    * remote-read client expects). */
+  val ChunkedContentType =
+    "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse"
+
+  /** TSDB's chunk-size convention: cut a new XOR chunk every 120 samples
+    * (≈2 h of 1-minute scrapes — the Gorilla paper's block size). */
+  val MaxChunkSamples = 120
+
+  private def crc32c(data: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32C
+    c.update(data, 0, data.length)
+    c.getValue.toInt
+  }
+
+  /** Wrap one marshaled ChunkedReadResponse into a stream frame:
+    * uvarint(len) ++ 4-byte big-endian CRC32-Castagnoli ++ data. */
+  def frame(data: Array[Byte]): Array[Byte] = {
+    val out = mutable.ArrayBuffer.empty[Byte]
+    out ++= writeVarint(data.length.toLong)
+    val crc = crc32c(data)
+    out += ((crc >>> 24) & 0xff).toByte
+    out += ((crc >>> 16) & 0xff).toByte
+    out += ((crc >>> 8) & 0xff).toByte
+    out += (crc & 0xff).toByte
+    out ++= data
+    out.toArray
+  }
+
+  /** Split a chunked-response byte stream back into frame payloads,
+    * validating each CRC (client side / tests). */
+  def unframeAll(stream: Array[Byte]): Seq[Array[Byte]] = {
+    val out = mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos < stream.length) {
+      val (len, p1) = varint(stream, pos)
+      if (len < 0 || p1 + 4 + len > stream.length)
+        sys.error(s"chunked frame overruns the stream at $pos")
+      val want = ((stream(p1) & 0xff) << 24) | ((stream(p1 + 1) & 0xff) << 16) |
+        ((stream(p1 + 2) & 0xff) << 8) | (stream(p1 + 3) & 0xff)
+      val data = java.util.Arrays.copyOfRange(stream, p1 + 4, p1 + 4 + len.toInt)
+      if (crc32c(data) != want)
+        sys.error(s"chunked frame CRC mismatch at $pos")
+      out += data
+      pos = p1 + 4 + len.toInt
+    }
+    out.toSeq
+  }
+
+  /** Marshal one ChunkedReadResponse: the series' samples cut into XOR
+    * chunks of at most `maxChunkSamples`, stamped with their inclusive
+    * time bounds. Prometheus streams one frame per series batch; the
+    * serving edge calls this once per series. */
+  def encodeChunkedFrame(series: Seq[Series], queryIndex: Long,
+      maxChunkSamples: Int = MaxChunkSamples): Array[Byte] = {
+    val out = mutable.ArrayBuffer.empty[Byte]
+    series.foreach { s =>
+      val cs = mutable.ArrayBuffer.empty[Byte]
+      s.labels.sortBy(_._1).foreach { case (k, v) =>
+        val lbl = lenDelim(1, k.getBytes("UTF-8")) ++
+          lenDelim(2, v.getBytes("UTF-8"))
+        cs ++= lenDelim(1, lbl.toArray)
+      }
+      s.samples.sortBy(_._1).grouped(maxChunkSamples).foreach { slice =>
+        val ch = mutable.ArrayBuffer.empty[Byte]
+        ch += ((1 << 3) | 0).toByte
+        ch ++= writeVarint(slice.head._1) // min_time_ms
+        ch += ((2 << 3) | 0).toByte
+        ch ++= writeVarint(slice.last._1) // max_time_ms
+        ch += ((3 << 3) | 0).toByte
+        ch ++= writeVarint(1L) // Encoding.XOR
+        ch ++= lenDelim(4, XorChunk.encode(slice))
+        cs ++= lenDelim(2, ch.toArray)
+      }
+      out ++= lenDelim(1, cs.toArray)
+    }
+    out += ((2 << 3) | 0).toByte
+    out ++= writeVarint(queryIndex)
+    out.toArray
+  }
+
+  /** Decode one ChunkedReadResponse frame payload back to
+    * (queryIndex, series with XOR chunks expanded to samples) —
+    * client side / tests. */
+  def decodeChunkedFrame(bytes: Array[Byte]): (Long, Seq[Series]) = {
+    var pos = 0
+    var queryIndex = 0L
+    val series = mutable.ArrayBuffer.empty[Series]
+    while (pos < bytes.length) {
+      val (tag, p1) = varint(bytes, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = lenAt(bytes, pos)
+          series += decodeChunkedSeries(bytes, p2, p2 + len)
+          pos = p2 + len
+        case (2, 0) =>
+          val (v, p2) = varint(bytes, pos); queryIndex = v; pos = p2
+        case (_, wt) => pos = skip(bytes, pos, wt.toInt)
+      }
+    }
+    (queryIndex, series.toSeq)
+  }
+
+  private def decodeChunkedSeries(b: Array[Byte], start: Int,
+      end: Int): Series = {
+    var pos = start
+    val labels = mutable.ArrayBuffer.empty[(String, String)]
+    val samples = mutable.ArrayBuffer.empty[(Long, Double)]
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          labels += decodeLabelPair(b, p2, p2 + len)
+          pos = p2 + len
+        case (2, 2) => // Chunk
+          val (len, p2) = lenAt(b, pos)
+          var q = p2
+          var enc = -1
+          var data: Array[Byte] = Array.empty
+          while (q < p2 + len) {
+            val (ctag, q1) = varint(b, q)
+            q = q1
+            (ctag >> 3, ctag & 7) match {
+              case (3, 0) => val (v, q2) = varint(b, q); enc = v.toInt; q = q2
+              case (4, 2) =>
+                val (dlen, q2) = lenAt(b, q)
+                data = java.util.Arrays.copyOfRange(b, q2, q2 + dlen)
+                q = q2 + dlen
+              case (_, wt) => q = skip(b, q, wt.toInt)
+            }
+          }
+          if (enc != 1) sys.error(s"unsupported chunk encoding $enc")
+          samples ++= XorChunk.decode(data)
+          pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    Series(labels.toSeq, samples.toSeq)
   }
 
   private def decodeSamplePair(b: Array[Byte], start: Int, end: Int): (Long, Double) = {

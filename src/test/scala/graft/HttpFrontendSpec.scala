@@ -667,6 +667,38 @@ class HttpFrontendSpec extends AnyFunSuite {
       assert(get(port, "/api/v1/read").statusCode() == 405)
       assert(post(port, "/api/v1/read", Array[Byte](0x0a, 0xFA.toByte,
         0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F)).statusCode() == 400)
+
+      // STREAMED_XOR_CHUNKS negotiation (round 11): a client accepting
+      // type 1 gets the chunked content type and uvarint+CRC32C frames of
+      // ChunkedReadResponse whose XOR chunks decode to EXACTLY the
+      // sampled response's series
+      val chunkedReq = org.xerial.snappy.Snappy.compress(
+        RemoteRead.encodeRequest(
+          Seq(RemoteRead.Query(t0, t0 + 5000, Seq(
+            RemoteRead.Matcher(2, "__name__", "cpu|mem")))),
+          acceptedResponseTypes = Seq(RemoteRead.StreamedXorChunks)))
+      val chunked = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/api/v1/read"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(chunkedReq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(chunked.statusCode() == 200,
+        new String(chunked.body(), "UTF-8"))
+      assert(chunked.headers().firstValue("Content-Type").orElse("") ==
+        RemoteRead.ChunkedContentType)
+      val frames = RemoteRead.unframeAll(chunked.body())
+        .map(RemoteRead.decodeChunkedFrame)
+      assert(frames.forall(_._1 == 0L)) // one query → index 0
+      val viaChunks = frames.flatMap(_._2).toSet
+      val viaSamples = read(Seq(RemoteRead.Query(t0, t0 + 5000, Seq(
+        RemoteRead.Matcher(2, "__name__", "cpu|mem"))))).head.toSet
+      assert(viaChunks == viaSamples, viaChunks.toString)
+      // a client accepting NEITHER served type is a client error
+      val badReq = org.xerial.snappy.Snappy.compress(
+        RemoteRead.encodeRequest(
+          Seq(RemoteRead.Query(t0, t0 + 5000, Seq(
+            RemoteRead.Matcher(0, "__name__", "cpu")))),
+          acceptedResponseTypes = Seq(7)))
+      assert(post(port, "/api/v1/read", badReq).statusCode() == 400)
     } finally fe.stop()
   }
 

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{RemoteRead, XorChunk}
+
+/** Gorilla XOR chunk codec: bit-exact round-trips across every encoder
+  * branch (dod prefix classes, XOR window reuse/renew, specials), plus the
+  * chunked-frame protocol (uvarint + CRC32C) and the ChunkedReadResponse
+  * marshaling. */
+class XorChunkSpec extends AnyFunSuite {
+
+  private def roundtrip(samples: Seq[(Long, Double)]): Unit = {
+    val got = XorChunk.decode(XorChunk.encode(samples))
+    assert(got.length == samples.length)
+    got.zip(samples).zipWithIndex.foreach { case (((gt, gv), (t, v)), i) =>
+      assert(gt == t, s"ts mismatch at $i")
+      assert(java.lang.Double.doubleToRawLongBits(gv) ==
+        java.lang.Double.doubleToRawLongBits(v), s"value bits at $i: $gv vs $v")
+    }
+  }
+
+  test("empty, single, and two-sample chunks") {
+    roundtrip(Nil)
+    roundtrip(Seq((1723680000000L, 42.5)))
+    roundtrip(Seq((1000L, 1.0), (2000L, -7.25)))
+    roundtrip(Seq((-5000L, 0.0), (0L, 0.0))) // negative first ts, xor=0 path
+  }
+
+  test("every delta-of-delta prefix class") {
+    // dod = 0 (regular scrape), ±small (14-bit), 17-bit, 20-bit, 64-bit
+    val t0 = 1723680000000L
+    roundtrip(Seq(t0, t0 + 15000, t0 + 30000, t0 + 45000).map((_, 1.0)))
+    roundtrip(Seq( // deltas: 15000, 15000+8192(max 14-bit), +65536, +524288
+      (t0, 1.0), (t0 + 15000, 2.0), (t0 + 15000 + 23192, 3.0),
+      (t0 + 15000 + 23192 + 23192 + 65536, 4.0),
+      (t0 + 15000 + 23192 + 23192 + 65536 + 88728 + 524288, 5.0)))
+    roundtrip(Seq((0L, 1.0), (10L, 2.0), (20L + (1L << 40), 3.0),
+      (30L + (1L << 40), 4.0))) // 64-bit dod both directions
+  }
+
+  test("XOR value paths: identical, window reuse, window renew, specials") {
+    val t = (0 until 8).map(i => 1000L + i * 1000L)
+    roundtrip(t.map((_, 3.14))) // all identical → control bit 0
+    // slow drift reuses the leading/trailing window
+    roundtrip(t.zipWithIndex.map { case (ts, i) => (ts, 100.0 + i * 0.25) })
+    // violent swings force window renewal (and sigbits = 64 via specials)
+    roundtrip(Seq((0L, 0.0), (1L, Double.MaxValue), (2L, Double.MinPositiveValue),
+      (3L, -0.0), (4L, Double.PositiveInfinity), (5L, Double.NegativeInfinity),
+      (6L, Double.NaN), (7L, 1.0)))
+  }
+
+  test("pseudo-random walks round-trip at chunk-boundary sizes") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(3, 119, 120, 121, 1000)) {
+      var ts = 1723680000000L
+      var v = 50.0
+      val samples = (0 until n).map { _ =>
+        ts += 1 + rnd.nextInt(120000)
+        v += (rnd.nextGaussian() * 10)
+        if (rnd.nextInt(20) == 0) v = 0.0 // counter-reset-ish
+        (ts, v)
+      }
+      roundtrip(samples)
+    }
+  }
+
+  test("unsorted timestamps are rejected (TSDB appends in time order)") {
+    intercept[IllegalArgumentException](
+      XorChunk.encode(Seq((2000L, 1.0), (1000L, 2.0))))
+  }
+
+  test("chunked frames: uvarint + CRC32C framing validates and splits; " +
+      "corruption is detected") {
+    val a = "hello".getBytes("UTF-8")
+    val b = Array.fill[Byte](300)(42) // length needs a 2-byte uvarint
+    val stream = RemoteRead.frame(a) ++ RemoteRead.frame(b)
+    val got = RemoteRead.unframeAll(stream)
+    assert(got.length == 2)
+    assert(java.util.Arrays.equals(got(0), a))
+    assert(java.util.Arrays.equals(got(1), b))
+    val corrupted = stream.clone()
+    corrupted(stream.length - 1) = (corrupted(stream.length - 1) ^ 1).toByte
+    intercept[RuntimeException](RemoteRead.unframeAll(corrupted))
+  }
+
+  test("ChunkedReadResponse round-trip: series cut into ≤120-sample XOR " +
+      "chunks, labels and query index preserved") {
+    val samples = (0 until 250).map(i => (1000L + i * 1000L, i * 1.5))
+    val series = RemoteRead.Series(
+      Seq("__name__" -> "cpu", "host" -> "a"), samples)
+    val body = RemoteRead.encodeChunkedFrame(Seq(series), queryIndex = 3L)
+    val (qi, got) = RemoteRead.decodeChunkedFrame(body)
+    assert(qi == 3L)
+    assert(got.length == 1)
+    assert(got.head.labels == series.labels)
+    assert(got.head.samples == samples)
+  }
+}
