@@ -1758,6 +1758,20 @@ object SparkEntry {
         col("ts_ms"), col("phi"), col("value"))
     }),
 
+    // Native histograms through the PromQL INSTANT path (round 11):
+    // `histogram_quantile(0.5, rpc_latency)` at T=2500 routes to the
+    // histograms table -- newest histogram per series within the lookback
+    // (api@2000 supersedes api@1000; worker@1000), quantile over native
+    // buckets, full decoded labelset out. Same fixture engine as nh1; the
+    // oracle replays newest-per-series + the bucket walk in SQL.
+    "nh2_native_hist_promql" -> ((s, dir) => {
+      // reuse nh1's cached engine (build it if nh2 runs first)
+      SparkEntry.queries("nh1_native_hist")(s, dir).count()
+      val eng = cachedServingEngine("nh1")(sys.error("nh1 builds this"))
+      eng.instantPromQL("histogram_quantile(0.5, rpc_latency)", 2500L)
+        .select(col("__name__"), col("job"), col("value"))
+    }),
+
     // Prometheus remote READ end-to-end (round 9): a fixed sample set
     // through the real engine, then the full wire path - encode a
     // two-query ReadRequest (EQ matchers; regex name + NEQ), snappy-frame
@@ -3310,6 +3324,61 @@ object SparkEntry {
         |        ORDER BY idx) AS rn
         |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
         |SELECT name, labels, ts_ms, phi, value FROM pick WHERE rn = 1""".stripMargin,
+
+    // Native-histogram quantile through PromQL instant routing: same wire
+    // deltas as nh1, restricted to each series' NEWEST histogram within
+    // the 5m lookback ending at T=2500 (Prometheus instant-selector
+    // semantics), then the same bucket walk at phi=0.5.
+    "nh2_native_hist_promql" ->
+      """WITH deltas(name, job, ts_ms, ord, idx, delta) AS (VALUES
+        |    ('rpc_latency', 'api',    CAST(1000 AS BIGINT), 1, 1, 3),
+        |    ('rpc_latency', 'api',    CAST(1000 AS BIGINT), 2, 2, 2),
+        |    ('rpc_latency', 'api',    CAST(2000 AS BIGINT), 1, 1, 4),
+        |    ('rpc_latency', 'api',    CAST(2000 AS BIGINT), 2, 3, -2),
+        |    ('rpc_latency', 'worker', CAST(1000 AS BIGINT), 1, 2, 6),
+        |    ('rpc_latency', 'worker', CAST(1000 AS BIGINT), 2, 3, 0)),
+        |  hist(name, job, ts_ms, total, zero_cnt, zero_th, sch) AS (VALUES
+        |    ('rpc_latency', 'api',    CAST(1000 AS BIGINT),
+        |     CAST(10 AS DOUBLE), CAST(2 AS DOUBLE), 0.001, 0),
+        |    ('rpc_latency', 'api',    CAST(2000 AS BIGINT),
+        |     CAST(7 AS DOUBLE), CAST(1 AS DOUBLE), 0.001, 0),
+        |    ('rpc_latency', 'worker', CAST(1000 AS BIGINT),
+        |     CAST(12 AS DOUBLE), CAST(0 AS DOUBLE), 0.0, 0)),
+        |  newest AS (
+        |    SELECT name, job, max(ts_ms) AS ts_ms FROM hist
+        |    WHERE ts_ms > 2500 - 300000 AND ts_ms <= 2500 GROUP BY name, job),
+        |  buckets AS (
+        |    SELECT d.name, d.job, d.ts_ms, d.idx, CAST(sum(d.delta) OVER (
+        |        PARTITION BY d.name, d.job, d.ts_ms ORDER BY d.ord) AS DOUBLE)
+        |      AS cnt
+        |    FROM deltas d JOIN newest n ON d.name = n.name AND d.job = n.job
+        |      AND d.ts_ms = n.ts_ms),
+        |  allb AS (
+        |    SELECT h.name, h.job, h.ts_ms, -2147483648 AS idx,
+        |      CAST(0.0 AS DOUBLE) AS lo, h.zero_th AS hi, h.zero_cnt AS cnt
+        |    FROM hist h JOIN newest n ON h.name = n.name AND h.job = n.job
+        |      AND h.ts_ms = n.ts_ms
+        |    UNION ALL
+        |    SELECT b.name, b.job, b.ts_ms, b.idx,
+        |      power(power(2.0, power(2.0, -h.sch)), b.idx - 1) AS lo,
+        |      power(power(2.0, power(2.0, -h.sch)), b.idx) AS hi, b.cnt
+        |    FROM buckets b
+        |    JOIN hist h ON b.name = h.name AND b.job = h.job
+        |      AND b.ts_ms = h.ts_ms),
+        |  walk AS (
+        |    SELECT a.name, a.job, a.idx, a.lo, a.hi, a.cnt,
+        |      sum(a.cnt) OVER (PARTITION BY a.name, a.job
+        |        ORDER BY a.idx) - a.cnt AS cum_before,
+        |      0.5 * h.total AS rank
+        |    FROM allb a
+        |    JOIN hist h ON a.name = h.name AND a.job = h.job
+        |      AND a.ts_ms = h.ts_ms),
+        |  pick AS (
+        |    SELECT name, job,
+        |      lo + (hi - lo) * ((rank - cum_before) / cnt) AS value,
+        |      row_number() OVER (PARTITION BY name, job ORDER BY idx) AS rn
+        |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
+        |SELECT name AS __name__, job, value FROM pick WHERE rn = 1""".stripMargin,
 
     // Hand-written expected rows for the fixed WriteRequest spec — built
     // independently of the encoder/decoder under test.

@@ -802,6 +802,20 @@ final class MetricEngine(spark: SparkSession, root: String,
     // instant queries define start() = end() = the evaluation time
     val ast = PromQLParser.resolveAtTimes(
       PromQLParser.parse(text), timeMs, timeMs)
+    // NATIVE histogram routing (round 11): `histogram_quantile(q, m{...})`
+    // over a metric whose samples arrived as native histograms answers
+    // from the histograms table — newest histogram per series within the
+    // lookback, quantile over the native buckets. Classic le-bucket
+    // series keep the evaluator's path (which this selector shape would
+    // otherwise reject for a native-only metric: no `le` label exists).
+    ast match {
+      case HistogramQuantile(q, sel: Selector) =>
+        nativeHistogramQuantileInstant(q, sel, timeMs, lookbackMs) match {
+          case Some(df) => return df
+          case None => // classic path below
+        }
+      case _ =>
+    }
     val ws = MetricEngine.rangeWindows(ast)
     val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
     if (ws.isEmpty) {
@@ -868,6 +882,73 @@ final class MetricEngine(spark: SparkSession, root: String,
           promqlContextFor(ast, tRange, allLabels = true)
             .eval(ast, step, Some(tRange)))
     }
+  }
+
+  /** The native-histogram arm of instant `histogram_quantile(q, sel)`:
+    * newest histogram row per matched series within `(T-lookback, T]`
+    * (Prometheus's instant-selector restriction), then
+    * [[NativeHistograms.quantile]] over the native buckets. Output: one
+    * row per series with `__name__` + every label of the metric decoded
+    * from the series key (absent labels null — the serving edge skips
+    * them, exactly the Prometheus labelset) + `value`. Returns None —
+    * fall through to the classic le-bucket path — when the selector has
+    * an offset (rare on this shape; classic handles it) or no native
+    * histogram rows match; the no-rows probe is guarded by a driver-side
+    * manifest check, so engines that never ingested native histograms
+    * pay nothing. */
+  private def nativeHistogramQuantileInstant(q: Double,
+      sel: graft.promql.Selector, timeMs: Long,
+      lookbackMs: Long): Option[DataFrame] = {
+    import graft.promql._
+    if (sel.offsetMs != 0L) return None
+    if (histograms.manifest.allSsts().isEmpty) return None
+    val matchers =
+      (if (sel.metric.nonEmpty)
+        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
+        sel.matchers
+    val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
+    val histCols = Seq("count", "sum", "bucket_schema", "zero_threshold",
+      "zero_count", "pos_idx", "pos_cnt", "neg_idx", "neg_cnt",
+      "custom_values")
+    val rows = matchedSeriesScan(matchers, histograms, range,
+      col("series_key") +: col("ts").as("ts_ms") +: histCols.map(col),
+      StructType(StructField("series_key", StringType) +:
+        StructField("ts_ms", LongType) +:
+        MetricEngine.histogramsSchema.fields.toSeq
+          .filter(f => histCols.contains(f.name))))
+    if (rows.isEmpty) return None
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key")).orderBy(col("ts_ms").desc)
+    val newest = rows.withColumn("__rn__", row_number().over(win))
+      .filter(col("__rn__") === 1).drop("__rn__")
+    val quant = NativeHistograms.quantile(newest, Seq(q))
+    // series_key -> __name__ + per-label columns; the key set comes from
+    // the tags dictionary of every matcher-resolved metric (driver-side,
+    // small -- the same resolution matchedSeriesScan already performs)
+    val nameMs = matchers.filter(_.label == "__name__")
+    val names: Seq[String] = nameMs.collectFirst {
+      case LabelMatcher(_, MatchOp.Eq, v) if v.nonEmpty => Seq(v)
+    }.getOrElse {
+      metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
+        .distinct().collect().map(_.getString(0)).toSeq
+        .filter(n => nameMs.forall(PromQLContext.matcherMatches(_, n)))
+    }
+    val keys: Seq[String] = names.flatMap(metricIdOf).flatMap { mid =>
+      tags.scan(ScanRequest(
+          predicates = Seq(col("metric_id") === mid),
+          projection = Some(Seq("tag_key"))))
+        .distinct().collect().map(_.getString(0)).toSeq
+    }.distinct.sorted
+    // parse "name(\u0001key\u0002value)*" distributed -- no driver decode
+    val parsed = quant.withColumn("__labels__",
+      expr("map_from_entries(transform(" +
+        "slice(split(series_key, '\u0001'), 2, 1000000), " +
+        "e -> struct(substring_index(e, '\u0002', 1), " +
+        "substring_index(e, '\u0002', -1))))"))
+    val labelCols =
+      substring_index(col("series_key"), "\u0001", 1).as("__name__") +:
+        keys.map(k => element_at(col("__labels__"), k).as(k))
+    Some(parsed.select(labelCols :+ col("value"): _*))
   }
 
   /** Newest bucket per series — the windowed-instant collapse shared by

@@ -702,6 +702,41 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("native histograms over the socket: a v2 write with histogram " +
+      "records is accepted (real written-stats header) and instant " +
+      "histogram_quantile serves the native buckets with full labels") {
+    import graft.streaming.RemoteWrite
+    import graft.streaming.RemoteWrite.{HistogramSample, Request}
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-nh").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    try {
+      val t0 = 1723680000000L
+      val h = HistogramSample("rpc_latency", Map("job" -> "api"), t0,
+        count = 10, sum = 21.0, schema = 0, zeroThreshold = 0.001,
+        zeroCount = 2, positiveBuckets = Seq((1, 3.0), (2, 5.0)),
+        negativeBuckets = Nil)
+      val body = org.xerial.snappy.Snappy.compress(
+        RemoteWrite.encodeRequestV2(Request(Nil, Nil, Nil, Seq(h))))
+      val w = post(port, "/api/v1/write", body)
+      assert(w.statusCode() == 204, w.body())
+      assert(w.headers()
+        .firstValue("X-Prometheus-Remote-Write-Histograms-Written")
+        .orElse("") == "1")
+      val q = java.net.URLEncoder.encode(
+        "histogram_quantile(0.5, rpc_latency)", "UTF-8")
+      val r = get(port, s"/api/v1/query?query=$q&time=${t0 / 1000 + 1}")
+      assert(r.statusCode() == 200, r.body())
+      // rank 5 lands in (1,2]: 1 + (5-2)/3 = 2
+      assert(r.body().contains(
+        """{"metric":{"__name__":"rpc_latency","job":"api"},"value":"""),
+        r.body())
+      assert(r.body().contains("\"2\"") || r.body().contains("\"2.0\""),
+        r.body())
+    } finally fe.stop()
+  }
+
   test("metadata-only and exemplar-only remote-write requests are accepted " +
       "204 (Prometheus sends metadata in dedicated sample-less requests)") {
     val engine = new MetricEngine(spark,

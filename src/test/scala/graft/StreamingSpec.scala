@@ -535,6 +535,21 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     assert(math.abs(q(0.5) - 2.0) < 1e-9)
     assert(math.abs(q(0.9) - 3.6) < 1e-9)
+    // PromQL instant routing: histogram_quantile over a native-histogram
+    // metric answers from the histograms table with full decoded labels
+    val viaPromQL = engine.instantPromQL(
+      """histogram_quantile(0.5, rpc_latency{job="api"})""", t0 + 1000)
+      .collect()
+    assert(viaPromQL.length == 1)
+    assert(viaPromQL.head.getAs[String]("__name__") == "rpc_latency")
+    assert(viaPromQL.head.getAs[String]("job") == "api")
+    assert(math.abs(viaPromQL.head.getAs[Double]("value") - 2.0) < 1e-9)
+    // a metric with NO native histogram rows falls through to the classic
+    // le path (empty here — never silently answered from another metric's
+    // native data)
+    assert(engine.instantPromQL(
+      """histogram_quantile(0.5, not_a_histogram)""", t0 + 1000)
+      .collect().forall(r => r.isNullAt(r.fieldIndex("value"))))
   }
 
   test("streaming PromQL rejects range-function shapes toward the batch path") {
