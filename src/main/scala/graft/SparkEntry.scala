@@ -1772,6 +1772,22 @@ object SparkEntry {
         .select(col("__name__"), col("job"), col("value"))
     }),
 
+    // Native histograms through histogram_quantile(q, rate(m[w])) -- the
+    // canonical p99-latency dashboard query (round 11): bucket-wise
+    // reset-aware increase over the exact (T-w, T] window, quantile over
+    // the increase histogram (== the rate histogram's quantile). The
+    // oracle replays the whole pipeline in SQL: wire deltas -> per-sample
+    // counts -> dense (ts x bucket) fill -> reset-aware increase ->
+    // bucket walk.
+    "nh3_native_hist_rate" -> ((s, dir) => {
+      SparkEntry.queries("nh1_native_hist")(s, dir).count()
+      val eng = cachedServingEngine("nh1")(sys.error("nh1 builds this"))
+      eng.instantPromQL(
+        """histogram_quantile(0.5, rate(rpc_latency{job="api"}[2s]))""",
+        2500L)
+        .select(col("__name__"), col("job"), col("value"))
+    }),
+
     // Prometheus remote READ end-to-end (round 9): a fixed sample set
     // through the real engine, then the full wire path - encode a
     // two-query ReadRequest (EQ matchers; regex name + NEQ), snappy-frame
@@ -3379,6 +3395,64 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY name, job ORDER BY idx) AS rn
         |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
         |SELECT name AS __name__, job, value FROM pick WHERE rn = 1""".stripMargin,
+
+    // Rate-histogram quantile replay: the full native pipeline in SQL --
+    // wire deltas -> per-sample bucket counts -> dense (ts x bucket) fill
+    // (sparse samples omit empty buckets; the reset arithmetic needs the
+    // 0 observation) -> bucket-wise reset-aware increase -> zero-bucket +
+    // exponential-bound walk at phi=0.5.
+    "nh3_native_hist_rate" ->
+      """WITH deltas(ts_ms, ord, idx, delta) AS (VALUES
+        |    (CAST(1000 AS BIGINT), 1, 1, 3),
+        |    (CAST(1000 AS BIGINT), 2, 2, 2),
+        |    (CAST(2000 AS BIGINT), 1, 1, 4),
+        |    (CAST(2000 AS BIGINT), 2, 3, -2)),
+        |  zeroes(ts_ms, zcnt) AS (VALUES
+        |    (CAST(1000 AS BIGINT), CAST(2 AS DOUBLE)),
+        |    (CAST(2000 AS BIGINT), CAST(1 AS DOUBLE))),
+        |  counts AS (
+        |    SELECT ts_ms, idx, CAST(sum(delta) OVER (
+        |        PARTITION BY ts_ms ORDER BY ord) AS DOUBLE) AS cnt
+        |    FROM deltas),
+        |  dense AS (
+        |    SELECT t.ts_ms, k.idx, coalesce(c.cnt, CAST(0 AS DOUBLE)) AS cnt
+        |    FROM (SELECT DISTINCT ts_ms FROM counts) t
+        |    CROSS JOIN (SELECT DISTINCT idx FROM counts) k
+        |    LEFT JOIN counts c ON c.ts_ms = t.ts_ms AND c.idx = k.idx),
+        |  incs AS (
+        |    SELECT idx, sum(CASE WHEN prev IS NULL THEN 0
+        |                         WHEN cnt >= prev THEN cnt - prev
+        |                         ELSE cnt END) AS inc
+        |    FROM (SELECT idx, cnt, lag(cnt) OVER (
+        |            PARTITION BY idx ORDER BY ts_ms) AS prev FROM dense)
+        |    GROUP BY idx),
+        |  zinc AS (
+        |    SELECT sum(CASE WHEN prev IS NULL THEN 0
+        |                    WHEN zcnt >= prev THEN zcnt - prev
+        |                    ELSE zcnt END) AS inc
+        |    FROM (SELECT zcnt, lag(zcnt) OVER (ORDER BY ts_ms) AS prev
+        |          FROM zeroes)),
+        |  total AS (
+        |    SELECT (SELECT sum(inc) FROM incs) + (SELECT inc FROM zinc)
+        |      AS cnt),
+        |  allb AS (
+        |    SELECT -2147483648 AS idx, CAST(0.0 AS DOUBLE) AS lo,
+        |      0.001 AS hi, (SELECT inc FROM zinc) AS cnt
+        |    UNION ALL
+        |    SELECT idx, power(2.0, idx - 1) AS lo, power(2.0, idx) AS hi,
+        |      inc AS cnt
+        |    FROM incs),
+        |  walk AS (
+        |    SELECT idx, lo, hi, cnt,
+        |      sum(cnt) OVER (ORDER BY idx) - cnt AS cum_before,
+        |      0.5 * (SELECT cnt FROM total) AS rank
+        |    FROM allb),
+        |  pick AS (
+        |    SELECT lo + (hi - lo) * ((rank - cum_before) / cnt) AS value,
+        |      row_number() OVER (ORDER BY idx) AS rn
+        |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
+        |SELECT 'rpc_latency' AS __name__, 'api' AS job, value
+        |FROM pick WHERE rn = 1""".stripMargin,
 
     // Hand-written expected rows for the fixed WriteRequest spec — built
     // independently of the encoder/decoder under test.

@@ -814,6 +814,16 @@ final class MetricEngine(spark: SparkSession, root: String,
           case Some(df) => return df
           case None => // classic path below
         }
+      case HistogramQuantile(q,
+          RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, w)) =>
+        // the canonical dashboard shape, histogram_quantile(q, rate(m[w])):
+        // the quantile of the RATE histogram equals the quantile of the
+        // INCREASE histogram (every bucket divides by the same window
+        // seconds), so both route to the bucket-wise increase
+        nativeHistogramRateQuantileInstant(q, sel, w, timeMs) match {
+          case Some(df) => return df
+          case None => // classic path below
+        }
       case _ =>
     }
     val ws = MetricEngine.rangeWindows(ast)
@@ -899,32 +909,70 @@ final class MetricEngine(spark: SparkSession, root: String,
   private def nativeHistogramQuantileInstant(q: Double,
       sel: graft.promql.Selector, timeMs: Long,
       lookbackMs: Long): Option[DataFrame] = {
-    import graft.promql._
     if (sel.offsetMs != 0L) return None
     if (histograms.manifest.allSsts().isEmpty) return None
-    val matchers =
-      (if (sel.metric.nonEmpty)
-        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
-        sel.matchers
-    val range = TimeRange(timeMs - lookbackMs + 1, timeMs + 1)
-    val histCols = Seq("count", "sum", "bucket_schema", "zero_threshold",
-      "zero_count", "pos_idx", "pos_cnt", "neg_idx", "neg_cnt",
-      "custom_values")
-    val rows = matchedSeriesScan(matchers, histograms, range,
-      col("series_key") +: col("ts").as("ts_ms") +: histCols.map(col),
-      StructType(StructField("series_key", StringType) +:
-        StructField("ts_ms", LongType) +:
-        MetricEngine.histogramsSchema.fields.toSeq
-          .filter(f => histCols.contains(f.name))))
+    val matchers = selectorMatchers(sel)
+    val rows = scanMatchedHistograms(matchers,
+      TimeRange(timeMs - lookbackMs + 1, timeMs + 1))
     if (rows.isEmpty) return None
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("series_key")).orderBy(col("ts_ms").desc)
     val newest = rows.withColumn("__rn__", row_number().over(win))
       .filter(col("__rn__") === 1).drop("__rn__")
-    val quant = NativeHistograms.quantile(newest, Seq(q))
-    // series_key -> __name__ + per-label columns; the key set comes from
-    // the tags dictionary of every matcher-resolved metric (driver-side,
-    // small -- the same resolution matchedSeriesScan already performs)
+    Some(decorateSeriesLabels(
+      NativeHistograms.quantile(newest, Seq(q)), matchers))
+  }
+
+  /** The `histogram_quantile(q, rate(m[w]))` arm (round 11): bucket-wise
+    * reset-aware increase over the exact `(T-w, T]` window
+    * ([[NativeHistograms.increase]]), then the quantile over the increase
+    * histogram — identical to the rate histogram's quantile, since every
+    * bucket divides by the same window seconds. */
+  private def nativeHistogramRateQuantileInstant(q: Double,
+      sel: graft.promql.Selector, windowMs: Long,
+      timeMs: Long): Option[DataFrame] = {
+    if (sel.offsetMs != 0L) return None
+    if (histograms.manifest.allSsts().isEmpty) return None
+    val matchers = selectorMatchers(sel)
+    val rows = scanMatchedHistograms(matchers,
+      TimeRange(timeMs - windowMs + 1, timeMs + 1))
+    if (rows.isEmpty) return None
+    Some(decorateSeriesLabels(
+      NativeHistograms.quantile(NativeHistograms.increase(rows), Seq(q)),
+      matchers))
+  }
+
+  private def selectorMatchers(
+      sel: graft.promql.Selector): Seq[graft.promql.LabelMatcher] = {
+    import graft.promql._
+    (if (sel.metric.nonEmpty)
+      Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
+      sel.matchers
+  }
+
+  /** Histogram rows of the matched series within `range`, shaped like
+    * [[queryHistograms]] output (series_key + ts_ms + histogram cols). */
+  private def scanMatchedHistograms(
+      matchers: Seq[graft.promql.LabelMatcher],
+      range: TimeRange): DataFrame = {
+    val histCols = Seq("count", "sum", "bucket_schema", "zero_threshold",
+      "zero_count", "pos_idx", "pos_cnt", "neg_idx", "neg_cnt",
+      "custom_values")
+    matchedSeriesScan(matchers, histograms, range,
+      col("series_key") +: col("ts").as("ts_ms") +: histCols.map(col),
+      StructType(StructField("series_key", StringType) +:
+        StructField("ts_ms", LongType) +:
+        MetricEngine.histogramsSchema.fields.toSeq
+          .filter(f => histCols.contains(f.name))))
+  }
+
+  /** series_key-keyed quantile rows -> the instant serving shape:
+    * `__name__` + every label of the matcher-resolved metrics decoded
+    * distributed from the series key (absent labels null -- the serving
+    * edge skips them, exactly the Prometheus labelset) + `value`. */
+  private def decorateSeriesLabels(quant: DataFrame,
+      matchers: Seq[graft.promql.LabelMatcher]): DataFrame = {
+    import graft.promql._
     val nameMs = matchers.filter(_.label == "__name__")
     val names: Seq[String] = nameMs.collectFirst {
       case LabelMatcher(_, MatchOp.Eq, v) if v.nonEmpty => Seq(v)
@@ -948,7 +996,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     val labelCols =
       substring_index(col("series_key"), "\u0001", 1).as("__name__") +:
         keys.map(k => element_at(col("__labels__"), k).as(k))
-    Some(parsed.select(labelCols :+ col("value"): _*))
+    parsed.select(labelCols :+ col("value"): _*)
   }
 
   /** Newest bucket per series — the windowed-instant collapse shared by

@@ -1,6 +1,7 @@
 package graft.metric
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Quantile evaluation over NATIVE (exponential/sparse) histograms — the
@@ -91,5 +92,98 @@ object NativeHistograms {
           .otherwise(coalesce(expr(walk),
             expr("element_at(__buckets__, size(__buckets__)).hi"))))
       .select((idCols.map(col) :+ col("phi") :+ col("value")): _*)
+  }
+
+  /** Bucket-wise reset-aware INCREASE over a window of native histogram
+    * samples — the vector behind `histogram_quantile(q, rate(m[w]))`
+    * (Prometheus's own docs note the quantile of `rate` equals the
+    * quantile of `increase`: every bucket divides by the same window
+    * seconds, and the quantile is scale-invariant — so the increase
+    * histogram IS the rate histogram for quantile purposes).
+    *
+    * Semantics (documented dialect): per (series, bucket), samples order
+    * by time, a bucket ABSENT from a sample counts 0 (sparse encoding
+    * drops empty buckets), and the increase is the sum of positive
+    * deltas between consecutive samples with a drop treated as a counter
+    * reset contributing the new count — the same arithmetic as the
+    * engine's scalar `resetAwareDelta`, applied bucket-wise (Prometheus
+    * detects whole-histogram resets; bucket-wise detection is at least
+    * as sensitive on well-formed data, where a reset zeroes every
+    * bucket). The zero bucket and the top-level count participate
+    * identically. Schema changes within the window are rejected loudly
+    * (bucket indexes are not comparable across schemas).
+    *
+    * Input: [[MetricEngine.queryHistograms]]-shaped rows (one per
+    * (series_key, ts_ms)). Output: ONE row per series_key, shaped for
+    * [[quantile]] — count/zero_count/pos/neg arrays hold increases,
+    * ts_ms the window's newest sample time. Scale: two keyed shuffles on
+    * (series, bucket) — uniform hash keys — plus one per-series rebuild;
+    * the dense time×bucket fill is bounded by window samples × bucket
+    * count, per-series scalar work. */
+  def increase(rows: DataFrame): DataFrame = {
+    val entries = rows.select(col("series_key"), col("ts_ms"),
+      explode(expr(
+        """concat(
+          |  array(named_struct('kind', 0, 'idx', 0, 'cnt', zero_count)),
+          |  transform(arrays_zip(pos_idx, pos_cnt),
+          |    z -> named_struct('kind', 1, 'idx', z.pos_idx, 'cnt', z.pos_cnt)),
+          |  transform(arrays_zip(neg_idx, neg_cnt),
+          |    z -> named_struct('kind', -1, 'idx', z.neg_idx, 'cnt', z.neg_cnt)))"""
+          .stripMargin)).as("e"))
+      .select(col("series_key"), col("ts_ms"),
+        col("e.kind"), col("e.idx"), col("e.cnt"))
+    // dense (ts × bucket) fill per series: a sparse sample omits empty
+    // buckets, but the reset arithmetic needs the 0 observation
+    val tsFrame = rows.select("series_key", "ts_ms").distinct()
+    val keyFrame = entries.select("series_key", "kind", "idx").distinct()
+    val dense = tsFrame.join(keyFrame, "series_key")
+      .join(entries, Seq("series_key", "ts_ms", "kind", "idx"), "left")
+      .na.fill(0.0, Seq("cnt"))
+    val w = Window.partitionBy("series_key", "kind", "idx").orderBy("ts_ms")
+    val prev = lag(col("cnt"), 1).over(w)
+    val incs = dense
+      .withColumn("__d__",
+        when(prev.isNull, lit(0.0))
+          .when(col("cnt") >= prev, col("cnt") - prev)
+          .otherwise(col("cnt")))
+      .groupBy("series_key", "kind", "idx")
+      .agg(sum(col("__d__")).as("inc"))
+    val meta = rows.groupBy("series_key").agg(
+      max(col("ts_ms")).as("ts_ms"),
+      collect_set(col("bucket_schema")).as("__schemas__"),
+      max(col("zero_threshold")).as("zero_threshold"),
+      first(col("custom_values")).as("custom_values"))
+      .withColumn("bucket_schema", expr(
+        "CASE WHEN size(__schemas__) = 1 THEN element_at(__schemas__, 1) " +
+          "ELSE CAST(raise_error('native histogram schema changed within " +
+          "the rate window — bucket indexes are not comparable') AS INT) END"))
+      .drop("__schemas__")
+    def sortedArrays(kind: Int, idxName: String, cntName: String) =
+      incs.filter(col("kind") === kind)
+        .groupBy("series_key")
+        .agg(sort_array(collect_list(struct(col("idx"), col("inc"))))
+          .as("__a__"))
+        .select(col("series_key"),
+          expr("transform(__a__, x -> x.idx)").as(idxName),
+          expr("transform(__a__, x -> x.inc)").as(cntName))
+    val zero = incs.filter(col("kind") === 0)
+      .groupBy("series_key").agg(sum(col("inc")).as("zero_count"))
+    meta
+      .join(zero, Seq("series_key"), "left")
+      .join(sortedArrays(1, "pos_idx", "pos_cnt"), Seq("series_key"), "left")
+      .join(sortedArrays(-1, "neg_idx", "neg_cnt"), Seq("series_key"), "left")
+      .withColumn("zero_count", coalesce(col("zero_count"), lit(0.0)))
+      .withColumn("pos_idx",
+        coalesce(col("pos_idx"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("pos_cnt",
+        coalesce(col("pos_cnt"), expr("CAST(array() AS ARRAY<DOUBLE>)")))
+      .withColumn("neg_idx",
+        coalesce(col("neg_idx"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("neg_cnt",
+        coalesce(col("neg_cnt"), expr("CAST(array() AS ARRAY<DOUBLE>)")))
+      .withColumn("count",
+        col("zero_count") +
+          expr("aggregate(pos_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") +
+          expr("aggregate(neg_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
   }
 }

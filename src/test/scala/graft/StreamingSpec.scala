@@ -550,6 +550,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(engine.instantPromQL(
       """histogram_quantile(0.5, not_a_histogram)""", t0 + 1000)
       .collect().forall(r => r.isNullAt(r.fieldIndex("value"))))
+    // the canonical dashboard shape: histogram_quantile over rate —
+    // bucket-wise reset-aware increase across the window, then quantile.
+    // Second sample: zero 2→1 (reset → +1), idx1 3→4 (+1), idx2 5→absent
+    // (reset to 0 → +0), idx3 absent→2 (+2): increase hist
+    // {zero:1, (1,2]:1, (2,4]:0, (4,8]:2}, count 4, φ=0.5 → rank 2 →
+    // tops bucket (1,2] exactly → 2.0
+    MetricStreamIngest.ingestHistograms(engine, spark, Seq(
+      graft.streaming.RemoteWrite.HistogramSample(
+        "rpc_latency", Map("job" -> "api"), t0 + 60000,
+        count = 8, sum = 18.0, schema = 0, zeroThreshold = 0.001,
+        zeroCount = 1, positiveBuckets = Seq((1, 4.0), (3, 2.0)),
+        negativeBuckets = Nil)))
+    val viaRate = engine.instantPromQL(
+      """histogram_quantile(0.5, rate(rpc_latency{job="api"}[2m]))""",
+      t0 + 61000).collect()
+    assert(viaRate.length == 1, viaRate.mkString(";"))
+    assert(viaRate.head.getAs[String]("job") == "api")
+    assert(math.abs(viaRate.head.getAs[Double]("value") - 2.0) < 1e-9,
+      viaRate.head.toString)
+    // increase spells the same quantile (scale-invariance)
+    val viaInc = engine.instantPromQL(
+      """histogram_quantile(0.5, increase(rpc_latency{job="api"}[2m]))""",
+      t0 + 61000).collect()
+    assert(math.abs(viaInc.head.getAs[Double]("value") - 2.0) < 1e-9)
   }
 
   test("streaming PromQL rejects range-function shapes toward the batch path") {
