@@ -1788,6 +1788,41 @@ object SparkEntry {
         .select(col("__name__"), col("job"), col("value"))
     }),
 
+    // Native histograms as a RANGE query (round 11) -- the graph shape:
+    // histogram_quantile(0.5, rate(m[2s])) on 2 s tumbling buckets, deltas
+    // chained across buckets (the scalar rate path's arithmetic), counter
+    // reset inside the second bucket, plus a single-sample series whose
+    // zero-increase buckets drop (the "rate needs two samples" rule). The
+    // oracle replays the full pipeline in SQL per time bucket.
+    "nh4_native_hist_range" -> ((s, dir) => {
+      val eng = cachedServingEngine("nh4") {
+        import graft.streaming.{MetricStreamIngest, RemoteWrite}
+        import graft.streaming.RemoteWrite.{HistogramSample, Request}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-nh4").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        def h(job: String, ts: Long, zero: Double, b1: Double) =
+          HistogramSample("rpc_latency", Map("job" -> job), ts,
+            count = zero + b1, sum = b1 * 1.5, schema = 0,
+            zeroThreshold = 0.001, zeroCount = zero,
+            positiveBuckets = Seq((1, b1)), negativeBuckets = Nil)
+        val spec = Seq(
+          h("api", 1000L, 1, 2), h("api", 1500L, 1, 5),
+          h("api", 2500L, 2, 1), // bucket-1 counter reset (5 -> 1)
+          h("api", 3500L, 2, 4),
+          h("worker", 2500L, 3, 7)) // single sample -> all buckets drop
+        val framed = org.xerial.snappy.Snappy.compress(
+          RemoteWrite.encodeRequestV2(Request(Nil, Nil, Nil, spec)))
+        MetricStreamIngest.ingestHistograms(e, s,
+          RemoteWrite.decodeRequest(framed).histograms)
+        e
+      }
+      eng.queryPromQL(
+        """histogram_quantile(0.5, rate(rpc_latency[2s]))""",
+        graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+        .select(col("__name__"), col("job"), col("bucket_ms"), col("value"))
+    }),
+
     // Prometheus remote READ end-to-end (round 9): a fixed sample set
     // through the real engine, then the full wire path - encode a
     // two-query ReadRequest (EQ matchers; regex name + NEQ), snappy-frame
@@ -3452,6 +3487,73 @@ object SparkEntry {
         |      row_number() OVER (ORDER BY idx) AS rn
         |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
         |SELECT 'rpc_latency' AS __name__, 'api' AS job, value
+        |FROM pick WHERE rn = 1""".stripMargin,
+
+    // Range rate-histogram replay: the nh3 pipeline PER TIME BUCKET --
+    // deltas chain across buckets (attributed to the later sample), the
+    // worker series' single sample yields count 0 and drops.
+    "nh4_native_hist_range" ->
+      """WITH deltas(ts_ms, ord, idx, delta) AS (VALUES
+        |    (CAST(1000 AS BIGINT), 1, 1, 2),
+        |    (CAST(1500 AS BIGINT), 1, 1, 5),
+        |    (CAST(2500 AS BIGINT), 1, 1, 1),
+        |    (CAST(3500 AS BIGINT), 1, 1, 4)),
+        |  zeroes(ts_ms, zcnt) AS (VALUES
+        |    (CAST(1000 AS BIGINT), CAST(1 AS DOUBLE)),
+        |    (CAST(1500 AS BIGINT), CAST(1 AS DOUBLE)),
+        |    (CAST(2500 AS BIGINT), CAST(2 AS DOUBLE)),
+        |    (CAST(3500 AS BIGINT), CAST(2 AS DOUBLE))),
+        |  counts AS (
+        |    SELECT ts_ms, idx, CAST(sum(delta) OVER (
+        |        PARTITION BY ts_ms ORDER BY ord) AS DOUBLE) AS cnt
+        |    FROM deltas),
+        |  dense AS (
+        |    SELECT t.ts_ms, k.idx, coalesce(c.cnt, CAST(0 AS DOUBLE)) AS cnt
+        |    FROM (SELECT DISTINCT ts_ms FROM counts) t
+        |    CROSS JOIN (SELECT DISTINCT idx FROM counts) k
+        |    LEFT JOIN counts c ON c.ts_ms = t.ts_ms AND c.idx = k.idx),
+        |  incs AS (
+        |    SELECT CAST(floor(ts_ms / 2000) AS BIGINT) * 2000 AS bucket_ms, idx,
+        |      sum(CASE WHEN prev IS NULL THEN 0
+        |               WHEN cnt >= prev THEN cnt - prev
+        |               ELSE cnt END) AS inc
+        |    FROM (SELECT ts_ms, idx, cnt, lag(cnt) OVER (
+        |            PARTITION BY idx ORDER BY ts_ms) AS prev FROM dense)
+        |    GROUP BY bucket_ms, idx),
+        |  zincs AS (
+        |    SELECT CAST(floor(ts_ms / 2000) AS BIGINT) * 2000 AS bucket_ms,
+        |      sum(CASE WHEN prev IS NULL THEN 0
+        |               WHEN zcnt >= prev THEN zcnt - prev
+        |               ELSE zcnt END) AS inc
+        |    FROM (SELECT ts_ms, zcnt, lag(zcnt) OVER (ORDER BY ts_ms) AS prev
+        |          FROM zeroes)
+        |    GROUP BY bucket_ms),
+        |  totals AS (
+        |    SELECT b.bucket_ms,
+        |      coalesce((SELECT sum(inc) FROM incs i
+        |                WHERE i.bucket_ms = b.bucket_ms), 0)
+        |        + coalesce(z.inc, 0) AS cnt
+        |    FROM (SELECT DISTINCT bucket_ms FROM incs) b
+        |    LEFT JOIN zincs z ON z.bucket_ms = b.bucket_ms),
+        |  allb AS (
+        |    SELECT bucket_ms, -2147483648 AS idx, CAST(0.0 AS DOUBLE) AS lo,
+        |      0.001 AS hi, inc AS cnt FROM zincs
+        |    UNION ALL
+        |    SELECT bucket_ms, idx, power(2.0, idx - 1) AS lo,
+        |      power(2.0, idx) AS hi, inc AS cnt FROM incs),
+        |  walk AS (
+        |    SELECT a.bucket_ms, a.idx, a.lo, a.hi, a.cnt,
+        |      sum(a.cnt) OVER (PARTITION BY a.bucket_ms ORDER BY a.idx) - a.cnt
+        |        AS cum_before,
+        |      0.5 * t.cnt AS rank
+        |    FROM allb a JOIN totals t ON t.bucket_ms = a.bucket_ms
+        |    WHERE t.cnt > 0),
+        |  pick AS (
+        |    SELECT bucket_ms,
+        |      lo + (hi - lo) * ((rank - cum_before) / cnt) AS value,
+        |      row_number() OVER (PARTITION BY bucket_ms ORDER BY idx) AS rn
+        |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
+        |SELECT 'rpc_latency' AS __name__, 'api' AS job, bucket_ms, value
         |FROM pick WHERE rn = 1""".stripMargin,
 
     // Hand-written expected rows for the fixed WriteRequest spec — built

@@ -702,6 +702,28 @@ final class MetricEngine(spark: SparkSession, root: String,
       throw new IllegalArgumentException(
         s"step ($st ms) must equal the range-function window ($w ms): " +
           "windowed functions define their own buckets")
+    // NATIVE histogram RANGE routing (round 11): the graph shapes —
+    // histogram_quantile over rate/increase (tumbling window buckets,
+    // deltas chained across buckets exactly like the scalar rate path)
+    // and over the bare selector (newest histogram per step bucket) —
+    // answer from the histograms table when the metric has native rows
+    // in the range; classic le-series keep the evaluator's path.
+    ast match {
+      case HistogramQuantile(q,
+          RangeFn(RangeF.Rate | RangeF.Increase, sel, w)) =>
+        nativeHistogramRangeQuantile(q, sel, range,
+          bucketMs = Some(w), rate = true) match {
+          case Some(df) => return df
+          case None =>
+        }
+      case HistogramQuantile(q, sel: Selector) if stepMs.isDefined =>
+        nativeHistogramRangeQuantile(q, sel, range,
+          bucketMs = stepMs, rate = false) match {
+          case Some(df) => return df
+          case None =>
+        }
+      case _ =>
+    }
     ast match {
       // metric == "" (bare {...} selector) always takes the general path —
       // it selects across metrics resolved from __name__ matchers.
@@ -824,6 +846,28 @@ final class MetricEngine(spark: SparkSession, root: String,
           case Some(df) => return df
           case None => // classic path below
         }
+      case FnCall(n @ ("histogram_count" | "histogram_sum" |
+          "histogram_avg"), sel: Selector, _) =>
+        nativeHistogramScalarInstant(n, sel, timeMs, lookbackMs) match {
+          case Some(df) => return df
+          case None => // the evaluator rejects these loudly below
+        }
+      case FnCall("histogram_fraction", sel: Selector, args)
+          if args.length == 2 =>
+        nativeHistogramFractionInstant(args(0), args(1), sel, timeMs,
+          lookbackMs) match {
+          case Some(df) => return df
+          case None =>
+        }
+      case FnCall("histogram_count",
+          RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, w), _) =>
+        // histogram_count(rate(m[w])) = observation rate — total count
+        // increase over the exact window (÷ window seconds for rate)
+        nativeHistogramCountRateInstant(fn == RangeF.Rate, sel, w,
+          timeMs) match {
+          case Some(df) => return df
+          case None =>
+        }
       case _ =>
     }
     val ws = MetricEngine.rangeWindows(ast)
@@ -908,19 +952,67 @@ final class MetricEngine(spark: SparkSession, root: String,
     * pay nothing. */
   private def nativeHistogramQuantileInstant(q: Double,
       sel: graft.promql.Selector, timeMs: Long,
-      lookbackMs: Long): Option[DataFrame] = {
+      lookbackMs: Long): Option[DataFrame] =
+    newestMatchedHistograms(sel, timeMs, lookbackMs).map(newest =>
+      decorateSeriesLabels(
+        NativeHistograms.quantile(newest, Seq(q)), selectorMatchers(sel)))
+
+  /** `histogram_count/sum/avg(m{...})` over the newest native histogram
+    * per series within the lookback. */
+  private def nativeHistogramScalarInstant(name: String,
+      sel: graft.promql.Selector, timeMs: Long,
+      lookbackMs: Long): Option[DataFrame] =
+    newestMatchedHistograms(sel, timeMs, lookbackMs).map { newest =>
+      val v = name match {
+        case "histogram_count" => col("count")
+        case "histogram_sum" => col("sum")
+        case _ => when(col("count") <= 0.0, lit(Double.NaN))
+          .otherwise(col("sum") / col("count"))
+      }
+      decorateSeriesLabels(newest.withColumn("value", v),
+        selectorMatchers(sel))
+    }
+
+  /** `histogram_fraction(lo, hi, m{...})` over the newest native
+    * histogram per series (linear within-bucket interpolation — see
+    * [[NativeHistograms.fraction]]). */
+  private def nativeHistogramFractionInstant(lo: Double, hi: Double,
+      sel: graft.promql.Selector, timeMs: Long,
+      lookbackMs: Long): Option[DataFrame] =
+    newestMatchedHistograms(sel, timeMs, lookbackMs).map(newest =>
+      decorateSeriesLabels(
+        NativeHistograms.fraction(newest, lo, hi), selectorMatchers(sel)))
+
+  /** `histogram_count(rate(m[w]))` at one instant: the total-count
+    * increase over the exact `(T-w, T]` window, per second when `rate`. */
+  private def nativeHistogramCountRateInstant(rate: Boolean,
+      sel: graft.promql.Selector, windowMs: Long,
+      timeMs: Long): Option[DataFrame] = {
     if (sel.offsetMs != 0L) return None
     if (histograms.manifest.allSsts().isEmpty) return None
     val matchers = selectorMatchers(sel)
     val rows = scanMatchedHistograms(matchers,
+      TimeRange(timeMs - windowMs + 1, timeMs + 1))
+    if (rows.isEmpty) return None
+    val inc = NativeHistograms.increase(rows)
+    val v = if (rate) col("count") / lit(windowMs / 1000.0) else col("count")
+    Some(decorateSeriesLabels(inc.withColumn("value", v), matchers))
+  }
+
+  /** Newest matched native histogram per series within `(T-lookback, T]`
+    * — the shared instant-selector restriction of every native arm;
+    * None when the selector can't answer natively. */
+  private def newestMatchedHistograms(sel: graft.promql.Selector,
+      timeMs: Long, lookbackMs: Long): Option[DataFrame] = {
+    if (sel.offsetMs != 0L) return None
+    if (histograms.manifest.allSsts().isEmpty) return None
+    val rows = scanMatchedHistograms(selectorMatchers(sel),
       TimeRange(timeMs - lookbackMs + 1, timeMs + 1))
     if (rows.isEmpty) return None
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("series_key")).orderBy(col("ts_ms").desc)
-    val newest = rows.withColumn("__rn__", row_number().over(win))
-      .filter(col("__rn__") === 1).drop("__rn__")
-    Some(decorateSeriesLabels(
-      NativeHistograms.quantile(newest, Seq(q)), matchers))
+    Some(rows.withColumn("__rn__", row_number().over(win))
+      .filter(col("__rn__") === 1).drop("__rn__"))
   }
 
   /** The `histogram_quantile(q, rate(m[w]))` arm (round 11): bucket-wise
@@ -940,6 +1032,39 @@ final class MetricEngine(spark: SparkSession, root: String,
     Some(decorateSeriesLabels(
       NativeHistograms.quantile(NativeHistograms.increase(rows), Seq(q)),
       matchers))
+  }
+
+  /** Range-query native-histogram quantile (the graph shapes): with
+    * `rate = true`, bucket-wise reset-aware increase on the tumbling
+    * `bucketMs` grid (deltas chained across buckets like the scalar rate
+    * path) then the quantile per (series, bucket); with `rate = false`,
+    * the newest histogram per (series, step bucket). Buckets whose
+    * increase count is 0 (a time bucket holding only the overall-first
+    * sample) drop — Prometheus's "rate needs two samples" rule, realized
+    * as the quantile's NaN filtered out. */
+  private def nativeHistogramRangeQuantile(q: Double,
+      sel: graft.promql.Selector, range: TimeRange,
+      bucketMs: Option[Long], rate: Boolean): Option[DataFrame] = {
+    if (sel.offsetMs != 0L) return None
+    if (histograms.manifest.allSsts().isEmpty) return None
+    val matchers = selectorMatchers(sel)
+    val rows = scanMatchedHistograms(matchers, range)
+    if (rows.isEmpty) return None
+    val hist =
+      if (rate) NativeHistograms.increase(rows, bucketMs)
+      else {
+        val b = bucketMs.getOrElse(sys.error("selector shape needs a step"))
+        val bucketed = rows.withColumn("bucket_ms",
+          floor(col("ts_ms") / lit(b)).cast("long") * b)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("series_key"), col("bucket_ms"))
+          .orderBy(col("ts_ms").desc)
+        bucketed.withColumn("__rn__", row_number().over(win))
+          .filter(col("__rn__") === 1).drop("__rn__")
+      }
+    val quant = NativeHistograms.quantile(hist, Seq(q))
+      .filter(!isnan(col("value")))
+    Some(decorateSeriesLabels(quant, matchers, extraCols = Seq("bucket_ms")))
   }
 
   private def selectorMatchers(
@@ -971,7 +1096,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     * distributed from the series key (absent labels null -- the serving
     * edge skips them, exactly the Prometheus labelset) + `value`. */
   private def decorateSeriesLabels(quant: DataFrame,
-      matchers: Seq[graft.promql.LabelMatcher]): DataFrame = {
+      matchers: Seq[graft.promql.LabelMatcher],
+      extraCols: Seq[String] = Nil): DataFrame = {
     import graft.promql._
     val nameMs = matchers.filter(_.label == "__name__")
     val names: Seq[String] = nameMs.collectFirst {
@@ -996,7 +1122,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     val labelCols =
       substring_index(col("series_key"), "\u0001", 1).as("__name__") +:
         keys.map(k => element_at(col("__labels__"), k).as(k))
-    parsed.select(labelCols :+ col("value"): _*)
+    val carried = extraCols.filter(parsed.columns.contains).map(col)
+    parsed.select((labelCols ++ carried) :+ col("value"): _*)
   }
 
   /** Newest bucket per series — the windowed-instant collapse shared by

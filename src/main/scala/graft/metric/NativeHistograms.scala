@@ -39,35 +39,9 @@ object NativeHistograms {
     * along). Output: the input's identity columns + (phi, value). */
   def quantile(rows: DataFrame, phis: Seq[Double]): DataFrame = {
     require(phis.nonEmpty, "at least one quantile requested")
-    val idCols = rows.columns.filterNot(Set("count", "sum", "bucket_schema",
-      "zero_threshold", "zero_count", "pos_idx", "pos_cnt", "neg_idx",
-      "neg_cnt", "custom_values").contains).toSeq
-    val base = "power(CAST(2.0 AS DOUBLE), " +
-      "power(CAST(2.0 AS DOUBLE), -CAST(bucket_schema AS DOUBLE)))"
-    val buckets =
-      s"""concat(
-         |  transform(reverse(arrays_zip(neg_idx, neg_cnt)), z ->
-         |    named_struct(
-         |      'lo', -power($base, CAST(z.neg_idx AS DOUBLE)),
-         |      'hi', -power($base, CAST(z.neg_idx AS DOUBLE) - 1.0D),
-         |      'cnt', z.neg_cnt)),
-         |  array(named_struct(
-         |    'lo', IF(size(neg_idx) = 0 AND size(pos_idx) > 0,
-         |             CAST(0.0 AS DOUBLE), -zero_threshold),
-         |    'hi', IF(size(pos_idx) = 0 AND size(neg_idx) > 0,
-         |             CAST(0.0 AS DOUBLE), zero_threshold),
-         |    'cnt', zero_count)),
-         |  transform(arrays_zip(pos_idx, pos_cnt), z ->
-         |    IF(bucket_schema = -53,
-         |      named_struct(
-         |        'lo', IF(z.pos_idx = 0, CAST(0.0 AS DOUBLE),
-         |                 element_at(custom_values, z.pos_idx)),
-         |        'hi', element_at(custom_values, z.pos_idx + 1),
-         |        'cnt', z.pos_cnt),
-         |      named_struct(
-         |        'lo', power($base, CAST(z.pos_idx AS DOUBLE) - 1.0D),
-         |        'hi', power($base, CAST(z.pos_idx AS DOUBLE)),
-         |        'cnt', z.pos_cnt))))""".stripMargin
+    val idCols = histIdCols(rows)
+    val buckets = bucketsExpr
+
     // cumulative walk: first bucket whose running count reaches the rank,
     // then linear interpolation between its bounds; FP undershoot at φ=1
     // falls back to the top bucket's upper bound
@@ -113,14 +87,25 @@ object NativeHistograms {
     * identically. Schema changes within the window are rejected loudly
     * (bucket indexes are not comparable across schemas).
     *
+    * `bucketMs` bucketizes the increase on the tumbling step grid for
+    * RANGE evaluation (deviation #1's model): deltas chain per (series,
+    * bucket index) across the WHOLE input in time order, each delta
+    * attributed to its LATER sample's time bucket — exactly the scalar
+    * rate path's arithmetic (`p3`'s oracle shape) — and the output
+    * carries a `bucket_ms` column, one increase histogram per (series,
+    * time bucket). Time buckets with a single overall-first sample get
+    * all-zero increases (count 0 → [[quantile]] yields NaN, which range
+    * callers drop — Prometheus's "need two samples" rule).
+    *
     * Input: [[MetricEngine.queryHistograms]]-shaped rows (one per
-    * (series_key, ts_ms)). Output: ONE row per series_key, shaped for
+    * (series_key, ts_ms)). Output: ONE row per series_key (per time
+    * bucket when `bucketMs` is set), shaped for
     * [[quantile]] — count/zero_count/pos/neg arrays hold increases,
     * ts_ms the window's newest sample time. Scale: two keyed shuffles on
     * (series, bucket) — uniform hash keys — plus one per-series rebuild;
     * the dense time×bucket fill is bounded by window samples × bucket
     * count, per-series scalar work. */
-  def increase(rows: DataFrame): DataFrame = {
+  def increase(rows: DataFrame, bucketMs: Option[Long] = None): DataFrame = {
     val entries = rows.select(col("series_key"), col("ts_ms"),
       explode(expr(
         """concat(
@@ -141,14 +126,24 @@ object NativeHistograms {
       .na.fill(0.0, Seq("cnt"))
     val w = Window.partitionBy("series_key", "kind", "idx").orderBy("ts_ms")
     val prev = lag(col("cnt"), 1).over(w)
-    val incs = dense
+    // grouping identity: the series alone (whole-window increase) or
+    // (series, tumbling time bucket) for range evaluation — deltas chain
+    // across the whole input either way, attributed to the later sample
+    val keyCols: Seq[String] =
+      if (bucketMs.isEmpty) Seq("series_key") else Seq("series_key", "bucket_ms")
+    def withBucket(df: DataFrame): DataFrame = bucketMs match {
+      case Some(b) => df.withColumn("bucket_ms",
+        floor(col("ts_ms") / lit(b)).cast("long") * b)
+      case None => df
+    }
+    val incs = withBucket(dense
       .withColumn("__d__",
         when(prev.isNull, lit(0.0))
           .when(col("cnt") >= prev, col("cnt") - prev)
-          .otherwise(col("cnt")))
-      .groupBy("series_key", "kind", "idx")
+          .otherwise(col("cnt"))))
+      .groupBy((keyCols :+ "kind" :+ "idx").map(col): _*)
       .agg(sum(col("__d__")).as("inc"))
-    val meta = rows.groupBy("series_key").agg(
+    val meta = withBucket(rows).groupBy(keyCols.map(col): _*).agg(
       max(col("ts_ms")).as("ts_ms"),
       collect_set(col("bucket_schema")).as("__schemas__"),
       max(col("zero_threshold")).as("zero_threshold"),
@@ -160,18 +155,18 @@ object NativeHistograms {
       .drop("__schemas__")
     def sortedArrays(kind: Int, idxName: String, cntName: String) =
       incs.filter(col("kind") === kind)
-        .groupBy("series_key")
+        .groupBy(keyCols.map(col): _*)
         .agg(sort_array(collect_list(struct(col("idx"), col("inc"))))
           .as("__a__"))
-        .select(col("series_key"),
-          expr("transform(__a__, x -> x.idx)").as(idxName),
-          expr("transform(__a__, x -> x.inc)").as(cntName))
+        .select((keyCols.map(col) :+
+          expr("transform(__a__, x -> x.idx)").as(idxName) :+
+          expr("transform(__a__, x -> x.inc)").as(cntName)): _*)
     val zero = incs.filter(col("kind") === 0)
-      .groupBy("series_key").agg(sum(col("inc")).as("zero_count"))
+      .groupBy(keyCols.map(col): _*).agg(sum(col("inc")).as("zero_count"))
     meta
-      .join(zero, Seq("series_key"), "left")
-      .join(sortedArrays(1, "pos_idx", "pos_cnt"), Seq("series_key"), "left")
-      .join(sortedArrays(-1, "neg_idx", "neg_cnt"), Seq("series_key"), "left")
+      .join(zero, keyCols, "left")
+      .join(sortedArrays(1, "pos_idx", "pos_cnt"), keyCols, "left")
+      .join(sortedArrays(-1, "neg_idx", "neg_cnt"), keyCols, "left")
       .withColumn("zero_count", coalesce(col("zero_count"), lit(0.0)))
       .withColumn("pos_idx",
         coalesce(col("pos_idx"), expr("CAST(array() AS ARRAY<INT>)")))
@@ -185,5 +180,75 @@ object NativeHistograms {
         col("zero_count") +
           expr("aggregate(pos_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") +
           expr("aggregate(neg_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+  }
+
+  /** `histogram_fraction(lo, hi)` over histogram rows: the fraction of
+    * observations inside `[lo, hi]`, linear within each bucket (the same
+    * within-bucket assumption as [[quantile]]): each bucket contributes
+    * `cnt x overlap([lo,hi], [b.lo,b.hi]) / width`; zero-width buckets
+    * (the zero bucket at zeroThreshold 0) contribute fully when their
+    * point lies inside the bounds. `lo > hi` yields 0; an empty histogram
+    * yields NaN (Prometheus conventions). Output: the input's identity
+    * columns + `value`. */
+  def fraction(rows: DataFrame, lo: Double, hi: Double): DataFrame = {
+    val idCols = histIdCols(rows)
+    val overlap =
+      s"""aggregate(__buckets__, CAST(0.0 AS DOUBLE), (acc, b) ->
+         |  acc + b.cnt * (CASE
+         |    WHEN b.hi <= b.lo THEN
+         |      IF(CAST($lo AS DOUBLE) <= b.lo AND b.lo <= CAST($hi AS DOUBLE),
+         |         CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |    ELSE greatest(CAST(0.0 AS DOUBLE),
+         |      (least(CAST($hi AS DOUBLE), b.hi) -
+         |       greatest(CAST($lo AS DOUBLE), b.lo)) / (b.hi - b.lo))
+         |  END))""".stripMargin
+    rows
+      .withColumn("__buckets__", expr(bucketsExpr))
+      .withColumn("value",
+        when(col("count") <= 0.0, lit(Double.NaN))
+          .when(lit(lo) > lit(hi), lit(0.0))
+          .otherwise(expr(overlap) / col("count")))
+      .select((idCols.map(col) :+ col("value")): _*)
+  }
+
+  /** Identity columns of a histogram frame = everything that is not a
+    * histogram payload column. */
+  private def histIdCols(rows: DataFrame): Seq[String] =
+    rows.columns.filterNot(Set("count", "sum", "bucket_schema",
+      "zero_threshold", "zero_count", "pos_idx", "pos_cnt", "neg_idx",
+      "neg_cnt", "custom_values").contains).toSeq
+
+  /** The ordered (lo, hi, cnt) bucket array of one histogram row —
+    * negative buckets most-negative-first, the zero bucket (bounds
+    * collapsed on the empty side, as Prometheus does), positive buckets
+    * ascending; standard exponential schemas from base = 2^(2^-schema),
+    * NHCB (schema -53) from `custom_values`. Shared by [[quantile]] and
+    * [[fraction]]. */
+  private val bucketsExpr: String = {
+    val base = "power(CAST(2.0 AS DOUBLE), " +
+      "power(CAST(2.0 AS DOUBLE), -CAST(bucket_schema AS DOUBLE)))"
+    s"""concat(
+       |  transform(reverse(arrays_zip(neg_idx, neg_cnt)), z ->
+       |    named_struct(
+       |      'lo', -power($base, CAST(z.neg_idx AS DOUBLE)),
+       |      'hi', -power($base, CAST(z.neg_idx AS DOUBLE) - 1.0D),
+       |      'cnt', z.neg_cnt)),
+       |  array(named_struct(
+       |    'lo', IF(size(neg_idx) = 0 AND size(pos_idx) > 0,
+       |             CAST(0.0 AS DOUBLE), -zero_threshold),
+       |    'hi', IF(size(pos_idx) = 0 AND size(neg_idx) > 0,
+       |             CAST(0.0 AS DOUBLE), zero_threshold),
+       |    'cnt', zero_count)),
+       |  transform(arrays_zip(pos_idx, pos_cnt), z ->
+       |    IF(bucket_schema = -53,
+       |      named_struct(
+       |        'lo', IF(z.pos_idx = 0, CAST(0.0 AS DOUBLE),
+       |                 element_at(custom_values, z.pos_idx)),
+       |        'hi', element_at(custom_values, z.pos_idx + 1),
+       |        'cnt', z.pos_cnt),
+       |      named_struct(
+       |        'lo', power($base, CAST(z.pos_idx AS DOUBLE) - 1.0D),
+       |        'hi', power($base, CAST(z.pos_idx AS DOUBLE)),
+       |        'cnt', z.pos_cnt))))""".stripMargin
   }
 }

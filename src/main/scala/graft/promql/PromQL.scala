@@ -602,6 +602,17 @@ object PromQLParser {
       case TIdent(name, _) if ParamOps.contains(name) && startsAgg => parseParamAgg()
       case TIdent("count_values", _) if startsAgg => parseCountValues()
       case TIdent("histogram_quantile", _) if nextIsParen => parseHistQ()
+      // native-histogram scalar functions (Prometheus functions over
+      // native histograms only; the flat evaluator rejects them — the
+      // engine's instant/range paths route them to the histograms table)
+      case TIdent(name @ ("histogram_count" | "histogram_sum" |
+          "histogram_avg"), _) if nextIsParen =>
+        next(); expect("(")
+        val child = parseExpr()
+        expect(")")
+        FnCall(name, child)
+      case TIdent("histogram_fraction", _) if nextIsParen =>
+        parseHistFraction()
       case TIdent("quantile_over_time", _) if nextIsParen => parseQuantileOT()
       case TIdent("predict_linear", _) if nextIsParen => parsePredictLinear()
       // double_exponential_smoothing is Prometheus 3's name for the same
@@ -663,6 +674,32 @@ object PromQLParser {
       val child = parseExpr()
       expect(")")
       HistogramQuantile(q, child)
+    }
+
+    /** `histogram_fraction(lower, upper, v)` — two scalar bounds FIRST
+      * (Prometheus argument order), then the vector. Bounds may be
+      * negative (native histograms hold negative observations). */
+    private def parseHistFraction(): Expr = {
+      next(); expect("(")
+      def signedNum(): Double = {
+        val neg = peek match {
+          case TPunct("-", _) => next(); true
+          case _ => false
+        }
+        next() match {
+          case TNum(d, _) => if (neg) -d else d
+          case t => throw PromQLParseException(
+            "histogram_fraction requires two leading scalar bounds, e.g. " +
+              "histogram_fraction(0, 0.2, ...)", t.pos)
+        }
+      }
+      val lo = signedNum()
+      expect(",")
+      val hi = signedNum()
+      expect(",")
+      val child = parseExpr()
+      expect(")")
+      FnCall("histogram_fraction", child, Seq(lo, hi))
     }
 
     /** `quantile_over_time(q, sel[w] offset?)` — scalar parameter FIRST

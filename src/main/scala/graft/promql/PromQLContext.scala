@@ -721,6 +721,16 @@ final class PromQLContext(
       val tiebreak = in.columns.filterNot(_ == "value").sorted.map(col)
       in.orderBy(dir +: tiebreak.toSeq: _*)
 
+    case FnCall(name, _, _) if name.startsWith("histogram_") =>
+      // histogram_count/sum/avg/fraction read NATIVE histogram columns;
+      // the flat evaluator's frames carry scalar samples only. The engine
+      // entry points route these to the histograms table before eval —
+      // reaching here means the shape (or the backing data) isn't native.
+      throw new IllegalArgumentException(
+        s"$name evaluates over native histograms only — query through " +
+          "the engine's instant/range paths over a native-histogram " +
+          "metric (a plain selector or rate/increase of one)")
+
     case FnCall(name, child, args) =>
       val in = eval(child, stepMs, range)
       val v = col("value")

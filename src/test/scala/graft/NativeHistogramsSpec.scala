@@ -72,6 +72,33 @@ class NativeHistogramsSpec extends AnyFunSuite {
     assert(math.abs(got(0.75) - 8.125) < 1e-12)
   }
 
+  test("histogram_fraction: linear within-bucket overlap, zero-width " +
+      "zero bucket, inverted/empty edge cases") {
+    // schema 0: zero [0,0.001]=2, (1,2]=3, (2,4]=5; count 10
+    val rows = df(Row("s", 0L, 10.0, 21.0, 0, 0.001, 2.0,
+      Seq(1, 2), Seq(3.0, 5.0), Seq.empty[Int], Seq.empty[Double],
+      Seq.empty[Double]))
+    def f(lo: Double, hi: Double): Double =
+      NativeHistograms.fraction(rows, lo, hi).collect().head
+        .getAs[Double]("value")
+    assert(math.abs(f(0.0, 2.0) - 0.5) < 1e-12) // zero + (1,2] = 5/10
+    // (1.5,2)·3 + (2,3)/2·5 = 1.5 + 2.5 = 4 → 0.4
+    assert(math.abs(f(1.5, 3.0) - 0.4) < 1e-12)
+    assert(math.abs(f(-10.0, 10.0) - 1.0) < 1e-12) // everything
+    assert(f(3.0, 1.0) == 0.0) // inverted bounds
+    // zero-width zero bucket (zt=0) contributes fully when 0 ∈ [lo, hi]
+    val zt0 = df(Row("s", 0L, 4.0, 6.0, 0, 0.0, 2.0,
+      Seq(1), Seq(2.0), Seq.empty[Int], Seq.empty[Double],
+      Seq.empty[Double]))
+    assert(math.abs(NativeHistograms.fraction(zt0, -1.0, 0.5).collect().head
+      .getAs[Double]("value") - 0.5) < 1e-12) // the 2 zero-obs of 4
+    val empty = df(Row("s", 0L, 0.0, 0.0, 0, 0.0, 0.0,
+      Seq.empty[Int], Seq.empty[Double], Seq.empty[Int], Seq.empty[Double],
+      Seq.empty[Double]))
+    assert(NativeHistograms.fraction(empty, 0.0, 1.0).collect().head
+      .getAs[Double]("value").isNaN)
+  }
+
   test("φ edge cases: out-of-range → ±Inf, empty histogram → NaN") {
     val rows = df(Row("s", 0L, 10.0, 21.0, 0, 0.0, 0.0,
       Seq(1), Seq(10.0), Seq.empty[Int], Seq.empty[Double],

@@ -574,6 +574,47 @@ class StreamingSpec extends AnyFunSuite {
       """histogram_quantile(0.5, increase(rpc_latency{job="api"}[2m]))""",
       t0 + 61000).collect()
     assert(math.abs(viaInc.head.getAs[Double]("value") - 2.0) < 1e-9)
+    // RANGE query, rate shape: 1m tumbling buckets; the first bucket holds
+    // only the overall-first sample (increase 0 → dropped); the second
+    // carries the chained deltas → 2.0
+    val all = graft.storage.TimeRange(Long.MinValue, Long.MaxValue)
+    val rangeRate = engine.queryPromQL(
+      """histogram_quantile(0.5, rate(rpc_latency{job="api"}[1m]))""", all)
+      .collect().map(r =>
+        (r.getAs[Long]("bucket_ms"), r.getAs[Double]("value"))).toMap
+    assert(rangeRate.size == 1 &&
+      math.abs(rangeRate(t0 + 60000) - 2.0) < 1e-9, rangeRate.toString)
+    // RANGE query, gauge shape: newest histogram per step bucket —
+    // bucket0 quantiles h1 (rank 5 → 2.0), bucket1 quantiles h2
+    // (count 8, rank 4: zero cum 1, (1,2] cum 5 → 1 + 3/4 = 1.75)
+    val rangeSel = engine.queryPromQL(
+      """histogram_quantile(0.5, rpc_latency{job="api"})""", all,
+      Some(60000L))
+      .collect().map(r =>
+        (r.getAs[Long]("bucket_ms"), r.getAs[Double]("value"))).toMap
+    assert(rangeSel.size == 2 &&
+      math.abs(rangeSel(t0) - 2.0) < 1e-9 &&
+      math.abs(rangeSel(t0 + 60000) - 1.75) < 1e-9, rangeSel.toString)
+    // native-histogram scalar functions (instant): newest = h2
+    // (count 8, sum 18); fraction on h2: zero 1 + (1,2] 4 = 5/8
+    def instV(q: String, at: Long = t0 + 61000): Double =
+      engine.instantPromQL(q, at).collect().head.getAs[Double]("value")
+    assert(instV("""histogram_count(rpc_latency{job="api"})""") == 8.0)
+    assert(instV("""histogram_sum(rpc_latency{job="api"})""") == 18.0)
+    assert(math.abs(instV("""histogram_avg(rpc_latency{job="api"})""")
+      - 2.25) < 1e-12)
+    assert(math.abs(
+      instV("""histogram_fraction(0, 2, rpc_latency{job="api"})""")
+        - 5.0 / 8.0) < 1e-12)
+    // observation rate: count increase 4 over a 2m window → 4/120 per s
+    assert(math.abs(
+      instV("""histogram_count(rate(rpc_latency{job="api"}[2m]))""")
+        - 4.0 / 120.0) < 1e-12)
+    // over a non-histogram metric the evaluator rejects loudly (never a
+    // silent wrong answer from scalar samples)
+    val err = intercept[IllegalArgumentException](engine.instantPromQL(
+      "histogram_count(not_a_histogram)", t0 + 1000).collect())
+    assert(err.getMessage.contains("native histograms"))
   }
 
   test("streaming PromQL rejects range-function shapes toward the batch path") {
