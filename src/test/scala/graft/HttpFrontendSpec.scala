@@ -734,6 +734,15 @@ class HttpFrontendSpec extends AnyFunSuite {
         r.body())
       assert(r.body().contains("\"2\"") || r.body().contains("\"2.0\""),
         r.body())
+      // the graph endpoint: query_range renders the native range routing
+      // (newest histogram per step bucket) as an ordinary matrix
+      val rr = get(port, s"/api/v1/query_range?query=$q" +
+        s"&start=${t0 / 1000}&end=${t0 / 1000 + 60}&step=1m")
+      assert(rr.statusCode() == 200, rr.body())
+      assert(rr.body().contains(""""resultType":"matrix""""), rr.body())
+      assert(rr.body().contains(
+        """{"metric":{"__name__":"rpc_latency","job":"api"},"values":"""),
+        rr.body())
     } finally fe.stop()
   }
 
