@@ -847,7 +847,8 @@ final class MetricEngine(spark: SparkSession, root: String,
           case None => // classic path below
         }
       case FnCall(n @ ("histogram_count" | "histogram_sum" |
-          "histogram_avg"), sel: Selector, _) =>
+          "histogram_avg" | "histogram_stddev" | "histogram_stdvar"),
+          sel: Selector, _) =>
         nativeHistogramScalarInstant(n, sel, timeMs, lookbackMs) match {
           case Some(df) => return df
           case None => // the evaluator rejects these loudly below
@@ -963,14 +964,21 @@ final class MetricEngine(spark: SparkSession, root: String,
       sel: graft.promql.Selector, timeMs: Long,
       lookbackMs: Long): Option[DataFrame] =
     newestMatchedHistograms(sel, timeMs, lookbackMs).map { newest =>
-      val v = name match {
-        case "histogram_count" => col("count")
-        case "histogram_sum" => col("sum")
-        case _ => when(col("count") <= 0.0, lit(Double.NaN))
-          .otherwise(col("sum") / col("count"))
+      name match {
+        case "histogram_stddev" | "histogram_stdvar" =>
+          decorateSeriesLabels(
+            NativeHistograms.stdvar(newest, name == "histogram_stddev"),
+            selectorMatchers(sel))
+        case _ =>
+          val v = name match {
+            case "histogram_count" => col("count")
+            case "histogram_sum" => col("sum")
+            case _ => when(col("count") <= 0.0, lit(Double.NaN))
+              .otherwise(col("sum") / col("count"))
+          }
+          decorateSeriesLabels(newest.withColumn("value", v),
+            selectorMatchers(sel))
       }
-      decorateSeriesLabels(newest.withColumn("value", v),
-        selectorMatchers(sel))
     }
 
   /** `histogram_fraction(lo, hi, m{...})` over the newest native

@@ -211,6 +211,38 @@ object NativeHistograms {
       .select((idCols.map(col) :+ col("value")): _*)
   }
 
+  /** `histogram_stddev` / `histogram_stdvar` over histogram rows —
+    * Prometheus's estimate (promql functions.go): each bucket's
+    * observations sit at its GEOMETRIC midpoint `sign·sqrt(hi·lo)` (0
+    * for any bucket straddling zero, so the zero bucket contributes 0),
+    * variance = Σ cnt·(mid − mean)² / count with mean = sum/count.
+    * Empty histogram → NaN. Output: identity columns + `value`. */
+  def stdvar(rows: DataFrame, stddev: Boolean): DataFrame = {
+    val idCols = histIdCols(rows)
+    val varExpr =
+      """aggregate(__buckets__, CAST(0.0 AS DOUBLE), (acc, b) ->
+        |  acc + b.cnt * (
+        |    (CASE WHEN b.lo <= CAST(0.0 AS DOUBLE)
+        |            AND CAST(0.0 AS DOUBLE) <= b.hi THEN CAST(0.0 AS DOUBLE)
+        |          WHEN b.hi < CAST(0.0 AS DOUBLE)
+        |            THEN -sqrt(b.hi * b.lo)
+        |          ELSE sqrt(b.hi * b.lo) END) - __mean__) *
+        |    ((CASE WHEN b.lo <= CAST(0.0 AS DOUBLE)
+        |            AND CAST(0.0 AS DOUBLE) <= b.hi THEN CAST(0.0 AS DOUBLE)
+        |          WHEN b.hi < CAST(0.0 AS DOUBLE)
+        |            THEN -sqrt(b.hi * b.lo)
+        |          ELSE sqrt(b.hi * b.lo) END) - __mean__))""".stripMargin
+    val out = rows
+      .withColumn("__buckets__", expr(bucketsExpr))
+      .withColumn("__mean__", col("sum") / col("count"))
+      .withColumn("value",
+        when(col("count") <= 0.0, lit(Double.NaN))
+          .otherwise(expr(varExpr) / col("count")))
+    val fin =
+      if (stddev) out.withColumn("value", sqrt(col("value"))) else out
+    fin.select((idCols.map(col) :+ col("value")): _*)
+  }
+
   /** Identity columns of a histogram frame = everything that is not a
     * histogram payload column. */
   private def histIdCols(rows: DataFrame): Seq[String] =

@@ -606,7 +606,8 @@ object PromQLParser {
       // native histograms only; the flat evaluator rejects them — the
       // engine's instant/range paths route them to the histograms table)
       case TIdent(name @ ("histogram_count" | "histogram_sum" |
-          "histogram_avg"), _) if nextIsParen =>
+          "histogram_avg" | "histogram_stddev" | "histogram_stdvar"), _)
+          if nextIsParen =>
         next(); expect("(")
         val child = parseExpr()
         expect(")")

@@ -610,6 +610,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(
       instV("""histogram_count(rate(rpc_latency{job="api"}[2m]))""")
         - 4.0 / 120.0) < 1e-12)
+    // stddev/stdvar: Prometheus's geometric-midpoint estimate on h2
+    // (count 8, sum 18; zero→0, (1,2]→√2, (4,8]→√32; mean 2.25)
+    val mean = 18.0 / 8.0
+    val expVar = (1 * math.pow(0.0 - mean, 2) +
+      4 * math.pow(math.sqrt(2.0) - mean, 2) +
+      2 * math.pow(math.sqrt(32.0) - mean, 2)) / 8.0
+    assert(math.abs(
+      instV("""histogram_stdvar(rpc_latency{job="api"})""") - expVar) < 1e-12)
+    assert(math.abs(
+      instV("""histogram_stddev(rpc_latency{job="api"})""")
+        - math.sqrt(expVar)) < 1e-12)
     // over a non-histogram metric the evaluator rejects loudly (never a
     // silent wrong answer from scalar samples)
     val err = intercept[IllegalArgumentException](engine.instantPromQL(
