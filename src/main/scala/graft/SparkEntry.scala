@@ -147,6 +147,37 @@ object SparkEntry {
   private val servingEngineCache =
     scala.collection.mutable.Map.empty[String, graft.metric.MetricEngine]
 
+  /** The shared native-histogram fixture engine (nh1/nh2/nh3): fixed
+    * exponential histograms through the FULL remote-write 2.0 wire path
+    * (sparse spans + int deltas encoded, snappy-framed, decoded back to
+    * absolute buckets) into a fresh engine's histograms table. */
+  private def nh1Engine(s: SparkSession): graft.metric.MetricEngine =
+    cachedServingEngine("nh1") {
+      import graft.streaming.{MetricStreamIngest, RemoteWrite}
+      import graft.streaming.RemoteWrite.{HistogramSample, Request}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-nh1").toString
+      val e = new graft.metric.MetricEngine(s, root)
+      val spec = Seq(
+        HistogramSample("rpc_latency", Map("job" -> "api"), 1000L,
+          count = 10, sum = 21.0, schema = 0, zeroThreshold = 0.001,
+          zeroCount = 2, positiveBuckets = Seq((1, 3.0), (2, 5.0)),
+          negativeBuckets = Nil),
+        HistogramSample("rpc_latency", Map("job" -> "api"), 2000L,
+          count = 7, sum = 12.0, schema = 0, zeroThreshold = 0.001,
+          zeroCount = 1, positiveBuckets = Seq((1, 4.0), (3, 2.0)),
+          negativeBuckets = Nil),
+        HistogramSample("rpc_latency", Map("job" -> "worker"), 1000L,
+          count = 12, sum = 60.0, schema = 0, zeroThreshold = 0.0,
+          zeroCount = 0, positiveBuckets = Seq((2, 6.0), (3, 6.0)),
+          negativeBuckets = Nil))
+      val framed = org.xerial.snappy.Snappy.compress(
+        RemoteWrite.encodeRequestV2(Request(Nil, Nil, Nil, spec)))
+      MetricStreamIngest.ingestHistograms(e, s,
+        RemoteWrite.decodeRequest(framed).histograms)
+      e
+    }
+
   private def cachedServingEngine(key: String)(
       build: => graft.metric.MetricEngine): graft.metric.MetricEngine =
     servingEngineCache.synchronized {
@@ -1724,31 +1755,7 @@ object SparkEntry {
     // the linear within-bucket interpolation — so decode, storage, and
     // quantile arithmetic are all under the hash.
     "nh1_native_hist" -> ((s, dir) => {
-      val eng = cachedServingEngine("nh1") {
-        import graft.streaming.{MetricStreamIngest, RemoteWrite}
-        import graft.streaming.RemoteWrite.{HistogramSample, Request}
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-nh1").toString
-        val e = new graft.metric.MetricEngine(s, root)
-        val spec = Seq(
-          HistogramSample("rpc_latency", Map("job" -> "api"), 1000L,
-            count = 10, sum = 21.0, schema = 0, zeroThreshold = 0.001,
-            zeroCount = 2, positiveBuckets = Seq((1, 3.0), (2, 5.0)),
-            negativeBuckets = Nil),
-          HistogramSample("rpc_latency", Map("job" -> "api"), 2000L,
-            count = 7, sum = 12.0, schema = 0, zeroThreshold = 0.001,
-            zeroCount = 1, positiveBuckets = Seq((1, 4.0), (3, 2.0)),
-            negativeBuckets = Nil),
-          HistogramSample("rpc_latency", Map("job" -> "worker"), 1000L,
-            count = 12, sum = 60.0, schema = 0, zeroThreshold = 0.0,
-            zeroCount = 0, positiveBuckets = Seq((2, 6.0), (3, 6.0)),
-            negativeBuckets = Nil))
-        val framed = org.xerial.snappy.Snappy.compress(
-          RemoteWrite.encodeRequestV2(Request(Nil, Nil, Nil, spec)))
-        MetricStreamIngest.ingestHistograms(e, s,
-          RemoteWrite.decodeRequest(framed).histograms)
-        e
-      }
+      val eng = nh1Engine(s)
       val q = eng.histogramQuantile("rpc_latency", Seq(0.5, 0.9),
         graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
       val skName = substring_index(col("series_key"), "\u0001", 1)
@@ -1765,9 +1772,7 @@ object SparkEntry {
     // buckets, full decoded labelset out. Same fixture engine as nh1; the
     // oracle replays newest-per-series + the bucket walk in SQL.
     "nh2_native_hist_promql" -> ((s, dir) => {
-      // reuse nh1's cached engine (build it if nh2 runs first)
-      SparkEntry.queries("nh1_native_hist")(s, dir).count()
-      val eng = cachedServingEngine("nh1")(sys.error("nh1 builds this"))
+      val eng = nh1Engine(s)
       eng.instantPromQL("histogram_quantile(0.5, rpc_latency)", 2500L)
         .select(col("__name__"), col("job"), col("value"))
     }),
@@ -1780,8 +1785,7 @@ object SparkEntry {
     // counts -> dense (ts x bucket) fill -> reset-aware increase ->
     // bucket walk.
     "nh3_native_hist_rate" -> ((s, dir) => {
-      SparkEntry.queries("nh1_native_hist")(s, dir).count()
-      val eng = cachedServingEngine("nh1")(sys.error("nh1 builds this"))
+      val eng = nh1Engine(s)
       eng.instantPromQL(
         """histogram_quantile(0.5, rate(rpc_latency{job="api"}[2s]))""",
         2500L)
