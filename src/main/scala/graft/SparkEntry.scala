@@ -1827,6 +1827,41 @@ object SparkEntry {
         .select(col("__name__"), col("job"), col("bucket_ms"), col("value"))
     }),
 
+    // Cross-series native-histogram aggregation (round 11) -- the
+    // service-level latency shape: histogram_quantile(0.5,
+    // sum by (job) (rate(m[2s]))) over TWO hosts in one job (the sum is
+    // bucket-wise across series) plus a second job, instant at T=2500.
+    // The oracle replays per-series windowed increases then the per-job
+    // bucket-wise sum and walk in SQL.
+    "nh5_native_hist_agg" -> ((s, dir) => {
+      val eng = cachedServingEngine("nh5") {
+        import graft.streaming.{MetricStreamIngest, RemoteWrite}
+        import graft.streaming.RemoteWrite.{HistogramSample, Request}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-nh5").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        def h(job: String, host: String, ts: Long, zero: Double,
+            idx: Int, cnt: Double) =
+          HistogramSample("rpc_latency", Map("job" -> job, "host" -> host),
+            ts, count = zero + cnt, sum = cnt * 1.5, schema = 0,
+            zeroThreshold = 0.001, zeroCount = zero,
+            positiveBuckets = Seq((idx, cnt)), negativeBuckets = Nil)
+        val spec = Seq(
+          h("api", "h1", 1000L, 1, 1, 2), h("api", "h1", 2000L, 1, 1, 5),
+          h("api", "h2", 1200L, 0, 2, 2), h("api", "h2", 2200L, 0, 2, 7),
+          h("worker", "h9", 1100L, 2, 1, 1),
+          h("worker", "h9", 2100L, 3, 1, 2))
+        val framed = org.xerial.snappy.Snappy.compress(
+          RemoteWrite.encodeRequestV2(Request(Nil, Nil, Nil, spec)))
+        MetricStreamIngest.ingestHistograms(e, s,
+          RemoteWrite.decodeRequest(framed).histograms)
+        e
+      }
+      eng.instantPromQL(
+        """histogram_quantile(0.5, sum by (job) (rate(rpc_latency[2s])))""",
+        2500L).select(col("job"), col("value"))
+    }),
+
     // Prometheus remote READ end-to-end (round 9): a fixed sample set
     // through the real engine, then the full wire path - encode a
     // two-query ReadRequest (EQ matchers; regex name + NEQ), snappy-frame
@@ -3559,6 +3594,64 @@ object SparkEntry {
         |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
         |SELECT 'rpc_latency' AS __name__, 'api' AS job, bucket_ms, value
         |FROM pick WHERE rn = 1""".stripMargin,
+
+    // Aggregated native-histogram replay: per-series windowed increase
+    // -> bucket-wise per-job sum -> walk, all in SQL from the wire
+    // deltas of two hosts sharing one job.
+    "nh5_native_hist_agg" ->
+      """WITH deltas(job, host, ts_ms, ord, idx, delta) AS (VALUES
+        |    ('api', 'h1', CAST(1000 AS BIGINT), 1, 1, 2),
+        |    ('api', 'h1', CAST(2000 AS BIGINT), 1, 1, 5),
+        |    ('api', 'h2', CAST(1200 AS BIGINT), 1, 2, 2),
+        |    ('api', 'h2', CAST(2200 AS BIGINT), 1, 2, 7),
+        |    ('worker', 'h9', CAST(1100 AS BIGINT), 1, 1, 1),
+        |    ('worker', 'h9', CAST(2100 AS BIGINT), 1, 1, 2)),
+        |  zeroes(job, host, ts_ms, zcnt) AS (VALUES
+        |    ('api', 'h1', CAST(1000 AS BIGINT), CAST(1 AS DOUBLE)),
+        |    ('api', 'h1', CAST(2000 AS BIGINT), CAST(1 AS DOUBLE)),
+        |    ('api', 'h2', CAST(1200 AS BIGINT), CAST(0 AS DOUBLE)),
+        |    ('api', 'h2', CAST(2200 AS BIGINT), CAST(0 AS DOUBLE)),
+        |    ('worker', 'h9', CAST(1100 AS BIGINT), CAST(2 AS DOUBLE)),
+        |    ('worker', 'h9', CAST(2100 AS BIGINT), CAST(3 AS DOUBLE))),
+        |  counts AS (
+        |    SELECT job, host, ts_ms, idx, CAST(sum(delta) OVER (
+        |        PARTITION BY job, host, ts_ms ORDER BY ord) AS DOUBLE) AS cnt
+        |    FROM deltas),
+        |  incs AS (
+        |    SELECT job, idx, sum(CASE WHEN prev IS NULL THEN 0
+        |                              WHEN cnt >= prev THEN cnt - prev
+        |                              ELSE cnt END) AS inc
+        |    FROM (SELECT job, host, idx, cnt, lag(cnt) OVER (
+        |            PARTITION BY job, host, idx ORDER BY ts_ms) AS prev
+        |          FROM counts)
+        |    GROUP BY job, idx),
+        |  zincs AS (
+        |    SELECT job, sum(CASE WHEN prev IS NULL THEN 0
+        |                         WHEN zcnt >= prev THEN zcnt - prev
+        |                         ELSE zcnt END) AS inc
+        |    FROM (SELECT job, zcnt, lag(zcnt) OVER (
+        |            PARTITION BY job, host ORDER BY ts_ms) AS prev FROM zeroes)
+        |    GROUP BY job),
+        |  totals AS (
+        |    SELECT i.job, sum(i.inc) + any_value(z.inc) AS cnt
+        |    FROM incs i JOIN zincs z ON z.job = i.job GROUP BY i.job),
+        |  allb AS (
+        |    SELECT job, -2147483648 AS idx, CAST(0.0 AS DOUBLE) AS lo,
+        |      0.001 AS hi, inc AS cnt FROM zincs
+        |    UNION ALL
+        |    SELECT job, idx, power(2.0, idx - 1) AS lo, power(2.0, idx) AS hi,
+        |      inc AS cnt FROM incs),
+        |  walk AS (
+        |    SELECT a.job, a.idx, a.lo, a.hi, a.cnt,
+        |      sum(a.cnt) OVER (PARTITION BY a.job ORDER BY a.idx) - a.cnt
+        |        AS cum_before,
+        |      0.5 * t.cnt AS rank
+        |    FROM allb a JOIN totals t ON t.job = a.job WHERE t.cnt > 0),
+        |  pick AS (
+        |    SELECT job, lo + (hi - lo) * ((rank - cum_before) / cnt) AS value,
+        |      row_number() OVER (PARTITION BY job ORDER BY idx) AS rn
+        |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
+        |SELECT job, value FROM pick WHERE rn = 1""".stripMargin,
 
     // Hand-written expected rows for the fixed WriteRequest spec — built
     // independently of the encoder/decoder under test.

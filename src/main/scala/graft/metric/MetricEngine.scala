@@ -722,6 +722,20 @@ final class MetricEngine(spark: SparkSession, root: String,
           case Some(df) => return df
           case None =>
         }
+      case HistogramQuantile(q, Agg(MetricAgg.Sum, by,
+          RangeFn(RangeF.Rate | RangeF.Increase, sel, w), false)) =>
+        nativeHistogramAggQuantileRange(q, by, sel, range,
+          bucketMs = w, rate = Some(w)) match {
+          case Some(df) => return df
+          case None =>
+        }
+      case HistogramQuantile(q, Agg(MetricAgg.Sum, by, sel: Selector,
+          false)) if stepMs.isDefined =>
+        nativeHistogramAggQuantileRange(q, by, sel, range,
+          bucketMs = stepMs.get, rate = None) match {
+          case Some(df) => return df
+          case None =>
+        }
       case _ =>
     }
     ast match {
@@ -845,6 +859,22 @@ final class MetricEngine(spark: SparkSession, root: String,
         nativeHistogramRateQuantileInstant(q, sel, w, timeMs) match {
           case Some(df) => return df
           case None => // classic path below
+        }
+      case HistogramQuantile(q, Agg(MetricAgg.Sum, by,
+          RangeFn(RangeF.Rate | RangeF.Increase, sel, w), false)) =>
+        // cross-series aggregation, the service-level dashboard shape:
+        // Prometheus sums native histograms bucket-wise, then quantiles
+        nativeHistogramAggQuantileInstant(q, by, sel, Some(w), timeMs,
+          lookbackMs) match {
+          case Some(df) => return df
+          case None =>
+        }
+      case HistogramQuantile(q, Agg(MetricAgg.Sum, by, sel: Selector,
+          false)) =>
+        nativeHistogramAggQuantileInstant(q, by, sel, None, timeMs,
+          lookbackMs) match {
+          case Some(df) => return df
+          case None =>
         }
       case FnCall(n @ ("histogram_count" | "histogram_sum" |
           "histogram_avg" | "histogram_stddev" | "histogram_stdvar"),
@@ -1075,6 +1105,69 @@ final class MetricEngine(spark: SparkSession, root: String,
     Some(decorateSeriesLabels(quant, matchers, extraCols = Seq("bucket_ms")))
   }
 
+  /** Instant `histogram_quantile(q, sum by (labels) (...))` over native
+    * histograms: the per-series vector (windowed increase when
+    * `windowMs` is set, else the newest histogram within the lookback),
+    * summed bucket-wise per by-group, then the quantile. */
+  private def nativeHistogramAggQuantileInstant(q: Double, by: Seq[String],
+      sel: graft.promql.Selector, windowMs: Option[Long], timeMs: Long,
+      lookbackMs: Long): Option[DataFrame] = {
+    val histOpt = windowMs match {
+      case Some(w) =>
+        if (sel.offsetMs != 0L || histograms.manifest.allSsts().isEmpty)
+          None
+        else {
+          val rows = scanMatchedHistograms(selectorMatchers(sel),
+            TimeRange(timeMs - w + 1, timeMs + 1))
+          if (rows.isEmpty) None else Some(NativeHistograms.increase(rows))
+        }
+      case None => newestMatchedHistograms(sel, timeMs, lookbackMs)
+    }
+    histOpt.map(h => nativeHistogramSumQuantile(q, by, h, bucketed = false))
+  }
+
+  /** Range `histogram_quantile(q, sum by (labels) (...))` over native
+    * histograms: bucket-wise increase on the tumbling `bucketMs` grid
+    * (or the newest histogram per step bucket when `rate` is None),
+    * summed per (by-group, time bucket), then the quantile; count-0
+    * groups drop like the per-series range path. */
+  private def nativeHistogramAggQuantileRange(q: Double, by: Seq[String],
+      sel: graft.promql.Selector, range: TimeRange, bucketMs: Long,
+      rate: Option[Long]): Option[DataFrame] = {
+    if (sel.offsetMs != 0L) return None
+    if (histograms.manifest.allSsts().isEmpty) return None
+    val rows = scanMatchedHistograms(selectorMatchers(sel), range)
+    if (rows.isEmpty) return None
+    val hist = rate match {
+      case Some(w) => NativeHistograms.increase(rows, Some(w))
+      case None =>
+        val bucketed = rows.withColumn("bucket_ms",
+          floor(col("ts_ms") / lit(bucketMs)).cast("long") * bucketMs)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("series_key"), col("bucket_ms"))
+          .orderBy(col("ts_ms").desc)
+        bucketed.withColumn("__rn__", row_number().over(win))
+          .filter(col("__rn__") === 1).drop("__rn__")
+    }
+    Some(nativeHistogramSumQuantile(q, by, hist, bucketed = true))
+  }
+
+  /** Shared tail: decode the by-labels from the series key (absent
+    * label = "", the evaluator's grouping convention), sum histograms
+    * per (by-group[, time bucket]), quantile, shape the output. */
+  private def nativeHistogramSumQuantile(q: Double, by: Seq[String],
+      hist: DataFrame, bucketed: Boolean): DataFrame = {
+    val withLabels = withSeriesLabels(hist, by)
+    val keys0 = by ++ (if (bucketed) Seq("bucket_ms") else Nil)
+    val (df, keys) =
+      if (keys0.isEmpty) (withLabels.withColumn("__g__", lit(0)), Seq("__g__"))
+      else (withLabels, keys0)
+    val out = NativeHistograms.quantile(
+      NativeHistograms.sumHistograms(df, keys), Seq(q))
+    val shaped = if (bucketed) out.filter(!isnan(col("value"))) else out
+    shaped.select((keys0.map(col) :+ col("value")): _*)
+  }
+
   private def selectorMatchers(
       sel: graft.promql.Selector): Seq[graft.promql.LabelMatcher] = {
     import graft.promql._
@@ -1097,6 +1190,22 @@ final class MetricEngine(spark: SparkSession, root: String,
         StructField("ts_ms", LongType) +:
         MetricEngine.histogramsSchema.fields.toSeq
           .filter(f => histCols.contains(f.name))))
+  }
+
+  /** Decode the given label keys from `series_key` into COLUMNS (absent
+    * label = "", PromQL's grouping convention) — distributed, no driver
+    * decode. */
+  private def withSeriesLabels(df: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    if (keys.isEmpty) return df
+    val parsed = df.withColumn("__labels__",
+      expr("map_from_entries(transform(" +
+        "slice(split(series_key, '\u0001'), 2, 1000000), " +
+        "e -> struct(substring_index(e, '\u0002', 1), " +
+        "substring_index(e, '\u0002', -1))))"))
+    keys.foldLeft(parsed)((d, k) =>
+      d.withColumn(k, coalesce(element_at(col("__labels__"), k), lit(""))))
+      .drop("__labels__")
   }
 
   /** series_key-keyed quantile rows -> the instant serving shape:

@@ -173,6 +173,51 @@ object NativeHistograms {
           "ELSE CAST(raise_error('native histogram schema changed within " +
           "the rate window — bucket indexes are not comparable') AS INT) END"))
       .drop("__schemas__")
+    assembleHistograms(incs, meta, keyCols)
+  }
+
+  /** SUM of native histograms across series — the aggregation behind
+    * `histogram_quantile(q, sum by (...) (rate(m[w])))` (Prometheus adds
+    * native histograms bucket-wise): group the input histogram rows by
+    * `keyCols` (label columns and/or `bucket_ms`, which must exist on the
+    * frame), sum every bucket and the zero bucket per group, keep the
+    * widest zero threshold, and reject mixed schemas loudly (bucket
+    * indexes are not comparable across schemas — Prometheus converts;
+    * this engine does not). Shape: one (keys, bucket) shuffle over
+    * exploded entries + the per-group rebuild — linear in present
+    * entries, like [[increase]]. */
+  def sumHistograms(rows: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "sumHistograms needs at least one key column")
+    val entries = rows.select(keyCols.map(col) :+
+      explode(expr(
+        """concat(
+          |  array(named_struct('kind', 0, 'idx', 0, 'cnt', zero_count)),
+          |  transform(arrays_zip(pos_idx, pos_cnt),
+          |    z -> named_struct('kind', 1, 'idx', z.pos_idx, 'cnt', z.pos_cnt)),
+          |  transform(arrays_zip(neg_idx, neg_cnt),
+          |    z -> named_struct('kind', -1, 'idx', z.neg_idx, 'cnt', z.neg_cnt)))"""
+          .stripMargin)).as("e"): _*)
+      .select(keyCols.map(col) :+ col("e.kind") :+ col("e.idx") :+
+        col("e.cnt").as("inc"): _*)
+    val incs = entries.groupBy((keyCols :+ "kind" :+ "idx").map(col): _*)
+      .agg(sum(col("inc")).as("inc"))
+    val meta = rows.groupBy(keyCols.map(col): _*).agg(
+      max(col("ts_ms")).as("ts_ms"),
+      collect_set(col("bucket_schema")).as("__schemas__"),
+      max(col("zero_threshold")).as("zero_threshold"),
+      first(col("custom_values")).as("custom_values"))
+      .withColumn("bucket_schema", expr(
+        "CASE WHEN size(__schemas__) = 1 THEN element_at(__schemas__, 1) " +
+          "ELSE CAST(raise_error('cannot sum native histograms of " +
+          "different schemas') AS INT) END"))
+      .drop("__schemas__")
+    assembleHistograms(incs, meta, keyCols)
+  }
+
+  /** Rebuild histogram rows from per-(keys, kind, idx) counts + per-keys
+    * meta — the shared tail of [[increase]] and [[sumHistograms]]. */
+  private def assembleHistograms(incs: DataFrame, meta: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     def sortedArrays(kind: Int, idxName: String, cntName: String) =
       incs.filter(col("kind") === kind)
         .groupBy(keyCols.map(col): _*)

@@ -131,6 +131,45 @@ class NativeHistogramsSpec extends AnyFunSuite {
     assert(bucketed == Map(0L -> 0.0, 2000L -> 9.0), bucketed.toString)
   }
 
+  test("sumHistograms: bucket-wise cross-series sum, widest zero " +
+      "threshold, mixed schemas rejected") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = df(
+      Row("s1", 1000L, 4.0, 5.0, 0, 0.001, 1.0,
+        Seq(1), Seq(3.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]),
+      Row("s2", 2000L, 5.0, 15.0, 0, 0.01, 0.0,
+        Seq(2), Seq(5.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]))
+      .withColumn("g", lit("a"))
+    val summed = NativeHistograms.sumHistograms(rows, Seq("g")).collect()
+    assert(summed.length == 1)
+    val r = summed.head
+    assert(r.getAs[Double]("count") == 9.0)
+    assert(r.getAs[Double]("zero_count") == 1.0)
+    assert(r.getAs[Double]("zero_threshold") == 0.01) // widest wins
+    assert(r.getAs[scala.collection.Seq[Int]]("pos_idx").toSeq == Seq(1, 2))
+    assert(r.getAs[scala.collection.Seq[Double]]("pos_cnt").toSeq ==
+      Seq(3.0, 5.0))
+    // quantile over the sum: rank 4.5 → (2,4]: 2 + 2·(4.5-4)/5 = 2.2
+    val q = NativeHistograms.quantile(
+      spark.createDataFrame(spark.sparkContext.parallelize(summed.toSeq),
+        summed.head.schema), Seq(0.5)).collect().head.getAs[Double]("value")
+    assert(math.abs(q - 2.2) < 1e-12)
+    // mixed schemas are not summable
+    val mixed = df(
+      Row("s1", 1000L, 4.0, 5.0, 0, 0.0, 1.0,
+        Seq(1), Seq(3.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]),
+      Row("s2", 2000L, 5.0, 15.0, 3, 0.0, 0.0,
+        Seq(2), Seq(5.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]))
+      .withColumn("g", lit("a"))
+    val e = intercept[Exception](
+      NativeHistograms.sumHistograms(mixed, Seq("g")).collect())
+    assert(e.getMessage.contains("different schemas"), e.getMessage)
+  }
+
   test("φ edge cases: out-of-range → ±Inf, empty histogram → NaN") {
     val rows = df(Row("s", 0L, 10.0, 21.0, 0, 0.0, 0.0,
       Seq(1), Seq(10.0), Seq.empty[Int], Seq.empty[Double],

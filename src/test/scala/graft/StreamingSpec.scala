@@ -559,7 +559,7 @@ class StreamingSpec extends AnyFunSuite {
     MetricStreamIngest.ingestHistograms(engine, spark, Seq(
       graft.streaming.RemoteWrite.HistogramSample(
         "rpc_latency", Map("job" -> "api"), t0 + 60000,
-        count = 8, sum = 18.0, schema = 0, zeroThreshold = 0.001,
+        count = 7, sum = 18.0, schema = 0, zeroThreshold = 0.001,
         zeroCount = 1, positiveBuckets = Seq((1, 4.0), (3, 2.0)),
         negativeBuckets = Nil)))
     val viaRate = engine.instantPromQL(
@@ -586,7 +586,7 @@ class StreamingSpec extends AnyFunSuite {
       math.abs(rangeRate(t0 + 60000) - 2.0) < 1e-9, rangeRate.toString)
     // RANGE query, gauge shape: newest histogram per step bucket —
     // bucket0 quantiles h1 (rank 5 → 2.0), bucket1 quantiles h2
-    // (count 8, rank 4: zero cum 1, (1,2] cum 5 → 1 + 3/4 = 1.75)
+    // (count 7, rank 3.5: zero cum 1, (1,2] cum 5 → 1 + 2.5/4 = 1.625)
     val rangeSel = engine.queryPromQL(
       """histogram_quantile(0.5, rpc_latency{job="api"})""", all,
       Some(60000L))
@@ -594,28 +594,58 @@ class StreamingSpec extends AnyFunSuite {
         (r.getAs[Long]("bucket_ms"), r.getAs[Double]("value"))).toMap
     assert(rangeSel.size == 2 &&
       math.abs(rangeSel(t0) - 2.0) < 1e-9 &&
-      math.abs(rangeSel(t0 + 60000) - 1.75) < 1e-9, rangeSel.toString)
+      math.abs(rangeSel(t0 + 60000) - 1.625) < 1e-9, rangeSel.toString)
     // native-histogram scalar functions (instant): newest = h2
-    // (count 8, sum 18); fraction on h2: zero 1 + (1,2] 4 = 5/8
+    // (count 7, sum 18); fraction on h2: zero 1 + (1,2] 4 = 5/7
     def instV(q: String, at: Long = t0 + 61000): Double =
       engine.instantPromQL(q, at).collect().head.getAs[Double]("value")
-    assert(instV("""histogram_count(rpc_latency{job="api"})""") == 8.0)
+    assert(instV("""histogram_count(rpc_latency{job="api"})""") == 7.0)
     assert(instV("""histogram_sum(rpc_latency{job="api"})""") == 18.0)
     assert(math.abs(instV("""histogram_avg(rpc_latency{job="api"})""")
-      - 2.25) < 1e-12)
+      - 18.0 / 7.0) < 1e-12)
     assert(math.abs(
       instV("""histogram_fraction(0, 2, rpc_latency{job="api"})""")
-        - 5.0 / 8.0) < 1e-12)
+        - 5.0 / 7.0) < 1e-12)
     // observation rate: count increase 4 over a 2m window → 4/120 per s
     assert(math.abs(
       instV("""histogram_count(rate(rpc_latency{job="api"}[2m]))""")
         - 4.0 / 120.0) < 1e-12)
+    // aggregated shapes: sum by (job) then quantile — api's increase hist
+    // quantiles to 2.0 (as above; this engine has only the api series)
+    val aggRate = engine.instantPromQL(
+      """histogram_quantile(0.5, sum by (job) (rate(rpc_latency[2m])))""",
+      t0 + 61000).collect()
+      .map(r => r.getAs[String]("job") -> r.getAs[Double]("value")).toMap
+    assert(aggRate.keySet == Set("api") &&
+      math.abs(aggRate("api") - 2.0) < 1e-9, aggRate.toString)
+    // ungrouped sum: one label-less value
+    val aggAll = engine.instantPromQL(
+      """histogram_quantile(0.5, sum(rate(rpc_latency{job="api"}[2m])))""",
+      t0 + 61000).collect()
+    assert(aggAll.length == 1 && aggAll.head.schema.fieldNames.toSeq ==
+      Seq("value"))
+    assert(math.abs(aggAll.head.getAs[Double]("value") - 2.0) < 1e-9)
+    // sum of CURRENT histograms per group (newest per series): api → h2
+    // (count 7, rank 3.5: zero cum 1, (1,2] cum 5 → 1 + 2.5/4 = 1.625)
+    val aggCur = engine.instantPromQL(
+      """histogram_quantile(0.5, sum by (job) (rpc_latency))""",
+      t0 + 61000, lookbackMs = 2 * 3600000L).collect()
+      .map(r => r.getAs[String]("job") -> r.getAs[Double]("value")).toMap
+    assert(math.abs(aggCur("api") - 1.625) < 1e-9, aggCur.toString)
+    // range aggregated: same grouping on the tumbling grid, NaN dropped
+    val aggRange = engine.queryPromQL(
+      """histogram_quantile(0.5, sum by (job) (rate(rpc_latency[1m])))""",
+      all).collect()
+      .map(r => (r.getAs[String]("job"), r.getAs[Long]("bucket_ms")) ->
+        r.getAs[Double]("value")).toMap
+    assert(aggRange.keySet == Set(("api", t0 + 60000)), aggRange.toString)
+    assert(math.abs(aggRange(("api", t0 + 60000)) - 2.0) < 1e-9)
     // stddev/stdvar: Prometheus's geometric-midpoint estimate on h2
-    // (count 8, sum 18; zero→0, (1,2]→√2, (4,8]→√32; mean 2.25)
-    val mean = 18.0 / 8.0
+    // (count 7, sum 18; zero→0, (1,2]→√2, (4,8]→√32; mean 18/7)
+    val mean = 18.0 / 7.0
     val expVar = (1 * math.pow(0.0 - mean, 2) +
       4 * math.pow(math.sqrt(2.0) - mean, 2) +
-      2 * math.pow(math.sqrt(32.0) - mean, 2)) / 8.0
+      2 * math.pow(math.sqrt(32.0) - mean, 2)) / 7.0
     assert(math.abs(
       instV("""histogram_stdvar(rpc_latency{job="api"})""") - expVar) < 1e-12)
     assert(math.abs(
