@@ -1157,6 +1157,15 @@ final class MetricEngine(spark: SparkSession, root: String,
     * per (by-group[, time bucket]), quantile, shape the output. */
   private def nativeHistogramSumQuantile(q: Double, by: Seq[String],
       hist: DataFrame, bucketed: Boolean): DataFrame = {
+    // by-labels sharing a histogram payload column name would overwrite
+    // it during label decoration and silently corrupt the sum — reject
+    // (the evaluator has the same guard for its structural columns)
+    val reserved = Set("count", "sum", "bucket_schema", "zero_threshold",
+      "zero_count", "pos_idx", "pos_cnt", "neg_idx", "neg_cnt",
+      "custom_values", "series_key", "ts_ms", "bucket_ms", "value", "phi")
+    by.find(reserved).foreach(l => throw new IllegalArgumentException(
+      s"grouping label '$l' collides with the native-histogram " +
+        "evaluation columns — unsupported; rename the label at ingest"))
     val withLabels = withSeriesLabels(hist, by)
     val keys0 = by ++ (if (bucketed) Seq("bucket_ms") else Nil)
     val (df, keys) =

@@ -205,12 +205,19 @@ object NativeHistograms {
       max(col("ts_ms")).as("ts_ms"),
       collect_set(col("bucket_schema")).as("__schemas__"),
       max(col("zero_threshold")).as("zero_threshold"),
-      first(col("custom_values")).as("custom_values"))
+      collect_set(col("custom_values")).as("__cvs__"))
       .withColumn("bucket_schema", expr(
         "CASE WHEN size(__schemas__) = 1 THEN element_at(__schemas__, 1) " +
           "ELSE CAST(raise_error('cannot sum native histograms of " +
           "different schemas') AS INT) END"))
-      .drop("__schemas__")
+      // NHCB bucket indexes are positions into custom_values — bounds
+      // must be identical across the summed series or the sum is
+      // meaningless (standard schemas carry empty arrays, one set value)
+      .withColumn("custom_values", expr(
+        "CASE WHEN size(__cvs__) = 1 THEN element_at(__cvs__, 1) " +
+          "ELSE CAST(raise_error('cannot sum NHCB histograms with " +
+          "different custom bucket bounds') AS ARRAY<DOUBLE>) END"))
+      .drop("__schemas__", "__cvs__")
     assembleHistograms(incs, meta, keyCols)
   }
 

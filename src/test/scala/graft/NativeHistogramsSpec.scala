@@ -168,6 +168,18 @@ class NativeHistogramsSpec extends AnyFunSuite {
     val e = intercept[Exception](
       NativeHistograms.sumHistograms(mixed, Seq("g")).collect())
     assert(e.getMessage.contains("different schemas"), e.getMessage)
+    // NHCB: same schema (-53) but different custom bounds is meaningless
+    val nhcbMixed = df(
+      Row("s1", 1000L, 2.0, 1.0, -53, 0.0, 0.0,
+        Seq(0), Seq(2.0), Seq.empty[Int], Seq.empty[Double],
+        Seq(1.0, 5.0)),
+      Row("s2", 2000L, 3.0, 6.0, -53, 0.0, 0.0,
+        Seq(0), Seq(3.0), Seq.empty[Int], Seq.empty[Double],
+        Seq(2.0, 4.0)))
+      .withColumn("g", lit("a"))
+    val e2 = intercept[Exception](
+      NativeHistograms.sumHistograms(nhcbMixed, Seq("g")).collect())
+    assert(e2.getMessage.contains("custom bucket bounds"), e2.getMessage)
   }
 
   test("φ edge cases: out-of-range → ±Inf, empty histogram → NaN") {

@@ -84,6 +84,42 @@ class XorChunkSpec extends AnyFunSuite {
     intercept[RuntimeException](RemoteRead.unframeAll(corrupted))
   }
 
+  test("chunked round-trip of the reference's captured Prometheus " +
+      "workload: 10k real series through frame + XOR chunk encode/decode " +
+      "losslessly") {
+    val capture = java.nio.file.Paths.get(
+      "/root/reference/src/remote_write/tests/workloads/" +
+        "1709380533560664458.data")
+    assume(java.nio.file.Files.isRegularFile(capture),
+      "reference workload absent")
+    val samples = graft.streaming.RemoteWrite.decode(
+      java.nio.file.Files.readAllBytes(capture))
+    assert(samples.size == 10000)
+    // the capture's series → wire Series (labels sorted, samples sorted)
+    val series = samples.groupBy(s => (s.name, s.labels)).toSeq
+      .sortBy(_._1.toString)
+      .map { case ((name, labels), ss) =>
+        RemoteRead.Series(("__name__" -> name) +: labels.toSeq.sortBy(_._1),
+          ss.map(s => (s.timestamp, s.value)).sortBy(_._1))
+      }
+    // stream: one ChunkedReadResponse frame per 1000-series batch
+    val out = new java.io.ByteArrayOutputStream()
+    series.grouped(1000).foreach(batch =>
+      out.write(RemoteRead.frame(
+        RemoteRead.encodeChunkedFrame(batch, queryIndex = 0L))))
+    val decoded = RemoteRead.unframeAll(out.toByteArray)
+      .flatMap(f => RemoteRead.decodeChunkedFrame(f)._2)
+    assert(decoded.size == series.size)
+    decoded.zip(series).foreach { case (got, want) =>
+      assert(got.labels == want.labels)
+      assert(got.samples.map(_._1) == want.samples.map(_._1))
+      got.samples.zip(want.samples).foreach { case ((_, gv), (_, wv)) =>
+        assert(java.lang.Double.doubleToRawLongBits(gv) ==
+          java.lang.Double.doubleToRawLongBits(wv))
+      }
+    }
+  }
+
   test("ChunkedReadResponse round-trip: series cut into ≤120-sample XOR " +
       "chunks, labels and query index preserved") {
     val samples = (0 until 250).map(i => (1000L + i * 1000L, i * 1.5))
