@@ -14,7 +14,7 @@ import graft.streaming.{MetricStreamIngest, RemoteWrite}
   * ingest path, then compacts and queries. With a third arg `scheduler`,
   * a background CompactionScheduler runs CONCURRENTLY with ingest (the
   * reference's 10s-tick picker loop, scheduler.rs:40-160, at a 1s tick).
-  * Run: `sbt "runMain graft.tools.MetricSoak [numBatches] [rowsPerBatch] [scheduler]"` */
+  * Run: `sbt "runMain graft.tools.MetricSoak [numBatches] [rowsPerBatch] [scheduler] [rollup] [hist]"` */
 object MetricSoak {
   def main(args: Array[String]): Unit = {
     val numBatches = args.headOption.map(_.toInt).getOrElse(6)
@@ -56,6 +56,7 @@ object MetricSoak {
     // gate means a query between ingest and the next tick routes to raw;
     // after the final refresh the routed result must equal raw exactly.
     val useRollup = args.contains("rollup")
+    val useHist = args.contains("hist")
     val rollup = new Rollup(engine, gridMs = 3600L * 1000)
     val rollupScheduler = new RollupScheduler(Seq(rollup), intervalMs = 1000L)
     if (useRollup) {
@@ -74,6 +75,22 @@ object MetricSoak {
       stream.addData(payload)
       streamAgg.addData(payload)
       streamLast.addData(payload)
+      // native-histogram lane (arg `hist`): one v2-wire histogram per
+      // batch rides the same engine (and the same write ordering) as the
+      // sample stream — live evidence the histograms table coexists with
+      // concurrent compaction/rollup ticks. Off by default so the
+      // throughput line stays comparable with earlier rounds' numbers.
+      if (useHist) {
+        val histReq = RemoteWrite.encodeRequestV2(RemoteWrite.Request(
+          Nil, Nil, Nil, Seq(RemoteWrite.HistogramSample(
+            "soak_latency", Map("worker" -> s"w${b % 4}"),
+            t0 + b.toLong * 1000L,
+            count = 3 + b, sum = 10.0 + b, schema = 0, zeroThreshold = 0.001,
+            zeroCount = 1, positiveBuckets = Seq((1, 2.0), (2, b.toDouble)),
+            negativeBuckets = Nil))))
+        MetricStreamIngest.ingestHistograms(engine, spark,
+          RemoteWrite.decodeRequest(histReq).histograms)
+      }
       q.processAllAvailable()
       println(s"[soak] batch $b ingested; data SSTs=${engine.data.manifest.allSsts().size}")
     }
@@ -134,6 +151,21 @@ object MetricSoak {
       val b = rounded(raw)
       assert(a == b, s"routed != raw after live refresh loop: ${a.size} vs ${b.size}")
       println(s"[soak] rollup-routed hourly sums == raw replay (${a.size} groups)")
+    }
+    // histogram lane verification: every batch's histogram landed, and the
+    // instant quantile answers from the newest (count = 3 + last batch)
+    if (useHist) {
+      val histRows = engine.queryHistograms("soak_latency",
+        TimeRange(Long.MinValue, Long.MaxValue)).collect()
+      require(histRows.length == numBatches,
+        s"expected $numBatches histograms, got ${histRows.length}")
+      val hq = engine.instantPromQL(
+        """histogram_quantile(0.5, soak_latency{worker=~"w."})""",
+        t0 + numBatches.toLong * 1000L, lookbackMs = 3600L * 1000).collect()
+      require(hq.nonEmpty && hq.forall(r => !r.isNullAt(r.fieldIndex("value"))),
+        s"histogram quantile empty: ${hq.mkString(";")}")
+      println(s"[soak] native-histogram lane: ${histRows.length} histograms " +
+        s"stored, instant quantile over ${hq.length} live series OK")
     }
     println("[soak] OK")
     spark.stop()
