@@ -1915,6 +1915,44 @@ object SparkEntry {
       }.toDF("query_idx", "name", "series_labels", "ts_ms", "value")
     }),
 
+    // Distributed series-matcher walk (round 12): readRaw with an
+    // index-exact positive regex + a residual !~ matcher (absent label
+    // matches) — the series dictionary is matched on the EXECUTORS
+    // (MetricEngine.matchedSeriesFrame: index semi-joins + a filter over
+    // the decoded series_key), never collected to the driver.
+    // Hand-written expected rows.
+    "rr2_series_matchers" -> ((s, dir) => {
+      import graft.promql.{LabelMatcher, MatchOp}
+      val eng = cachedServingEngine("rr2") {
+        import graft.streaming.MetricStreamIngest
+        import graft.metric.Sample
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-rr2").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        MetricStreamIngest.ingestDecoded(e, s, Seq(
+          Sample("web_hits", Map("path" -> "/a", "dc" -> "east"), 1000L, 1.0),
+          Sample("web_hits", Map("path" -> "/b", "dc" -> "west"), 1000L, 2.0),
+          Sample("web_hits", Map("path" -> "/a"), 1000L, 3.0),
+          Sample("web_hits",
+            Map("path" -> "/c", "dc" -> "east", "tier" -> "gold"), 1000L, 4.0),
+          Sample("other_metric", Map("path" -> "/a"), 1000L, 9.0)))
+        e
+      }
+      val ms = Seq(
+        LabelMatcher("__name__", MatchOp.Eq, "web_hits"),
+        LabelMatcher("path", MatchOp.Re, "/(a|c)"),
+        LabelMatcher("dc", MatchOp.Nre, "w.*"))
+      import s.implicits._
+      eng.readRaw(ms, graft.storage.TimeRange(0L, 5000L))
+        .collect().toSeq.map { r =>
+          val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(
+            r.getAs[String]("series_key"))
+          (name,
+            labels.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+            r.getAs[Long]("ts_ms"), r.getAs[Double]("value"))
+        }.toDF("name", "series_labels", "ts_ms", "value")
+    }),
+
     // OTLP/HTTP ingest codec (round 9, POST /v1/metrics): a fixed
     // ExportMetricsServiceRequest (resource attrs + gauge + int-valued
     // sum, gzip-framed) decoded to engine samples — name/label
@@ -3687,6 +3725,19 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), 'http_requests_total', 'instance=i2,job=api',
         |   CAST(1500 AS BIGINT), CAST(9.0 AS DOUBLE))
         |) AS t(query_idx, name, series_labels, ts_ms, value)""".stripMargin,
+
+    // Hand-written expected rows for the fixed matcher walk: path=~"/(a|c)"
+    // keeps /a and /c series; dc!~"w.*" drops dc=west and KEEPS the
+    // dc-absent series (absent label = "" in Prometheus semantics).
+    "rr2_series_matchers" ->
+      """SELECT * FROM (VALUES
+        |  ('web_hits', 'dc=east,path=/a', CAST(1000 AS BIGINT),
+        |   CAST(1.0 AS DOUBLE)),
+        |  ('web_hits', 'path=/a', CAST(1000 AS BIGINT),
+        |   CAST(3.0 AS DOUBLE)),
+        |  ('web_hits', 'dc=east,path=/c,tier=gold', CAST(1000 AS BIGINT),
+        |   CAST(4.0 AS DOUBLE))
+        |) AS t(name, series_labels, ts_ms, value)""".stripMargin,
 
     // Hand-written expected rows for the fixed OTLP request (sanitized
     // names/labels, point attr wins over resource attr, ns -> ms).

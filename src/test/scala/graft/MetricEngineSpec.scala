@@ -212,4 +212,61 @@ class MetricEngineSpec extends AnyFunSuite {
         s"key drift for $m")
     }
   }
+
+  // Round-12 verdict task 1: the series-matcher walk must run distributed
+  // — index-exact matchers through the tag index, residual (!~/!=) as a
+  // Spark filter over the decoded series_key — never collecting the
+  // per-metric series dictionary to the driver.
+  private def highCardEngine(): (MetricEngine, Seq[Sample]) = {
+    import spark.implicits._
+    val e = engine()
+    val samples = (0 until 500).map { i =>
+      Sample("hc_metric",
+        Map("shard" -> s"s${i % 50}", "host" -> f"h$i%03d") ++
+          (if (i % 3 == 0) Map("zone" -> s"z${i % 4}") else Map.empty),
+        day + i, i.toDouble)
+    }
+    e.write(samples.toDF())
+    (e, samples)
+  }
+
+  test("readRaw with mixed exact + residual matchers matches the " +
+      "driver-side reference on a 500-series fixture, with no " +
+      "LocalTableScan (no driver-staged series keys) in the plan") {
+    import graft.promql.{LabelMatcher, MatchOp}
+    val (e, samples) = highCardEngine()
+    val matchers = Seq(
+      LabelMatcher("__name__", MatchOp.Eq, "hc_metric"),
+      LabelMatcher("shard", MatchOp.Re, "s1.*"), // index-exact
+      LabelMatcher("zone", MatchOp.Nre, "z[01]")) // residual; absent matches
+    val df = e.readRaw(matchers, TimeRange(Long.MinValue, Long.MaxValue))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"series walk staged keys on the driver:\n$plan")
+    def m(v: String, re: String) = v.matches("^(?:" + re + ")$")
+    val expect = samples.filter { s =>
+      m(s.labels.getOrElse("shard", ""), "s1.*") &&
+        !m(s.labels.getOrElse("zone", ""), "z[01]")
+    }.map(s => (s.timestamp, s.value)).sorted
+    assert(expect.nonEmpty && expect.size < samples.size)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("ts_ms"), r.getAs[Double]("value")))
+      .toSeq.sorted
+    assert(got == expect)
+  }
+
+  test("seriesFor matches distributed and honors the limit cap") {
+    val (e, samples) = highCardEngine()
+    val sel = """hc_metric{zone!~"z[02]"}"""
+    val full = e.seriesFor(sel, limit = 100000)
+    def m(v: String, re: String) = v.matches("^(?:" + re + ")$")
+    val expect = samples.filter(s => !m(s.labels.getOrElse("zone", ""), "z[02]"))
+    assert(full.size == expect.size)
+    assert(full.forall(ls => !m(ls.getOrElse("zone", ""), "z[02]") &&
+      ls("__name__") == "hc_metric"))
+    val capped = e.seriesFor(sel, limit = 25)
+    assert(capped.size == 25)
+    // capped result is a prefix of the full key-ordered result
+    assert(capped == full.take(25))
+  }
 }
