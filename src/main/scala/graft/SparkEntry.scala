@@ -1980,6 +1980,42 @@ object SparkEntry {
         .toDF("name", "labels", "ts_ms", "value")
     }),
 
+    // OTLP NATIVE histograms (round 12): a mixed gauge + exponential-
+    // histogram payload through the full OTLP wire path (encode → decode →
+    // ingest), then histogram_quantile over the stored native buckets.
+    // OTLP scale 0 = Prometheus schema 0; OTLP bucket i at offset covers
+    // (2^(offset+i), 2^(offset+i+1)] → Prometheus index offset+i+1. The
+    // oracle replays the bucket walk (rank = φ·count, linear interpolation
+    // in the located bucket) over the hand-translated bounds in SQL.
+    "otlp2_native_hist" -> ((s, dir) => {
+      val eng = cachedServingEngine("otlp2") {
+        import graft.streaming.{MetricStreamIngest, Otlp}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-otlp2").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        val ts = 1723680000000000000L
+        val body = Otlp.encode(Map("service.name" -> "api"), Seq(
+          Otlp.MetricSpec("up", Seq(Otlp.Point(Map.empty, ts, 1.0))),
+          Otlp.MetricSpec("rpc.lat", Nil, expPoints = Seq(
+            Otlp.ExpHistPoint(Map("host" -> "h1"), ts, count = 10,
+              sum = 20.0, scale = 0, zeroCount = 2, posOffset = 0,
+              posCounts = Seq(3, 5), zeroThreshold = 0.001),
+            Otlp.ExpHistPoint(Map("host" -> "h2"), ts, count = 4,
+              sum = 9.0, scale = 0, zeroCount = 0, posOffset = 2,
+              posCounts = Seq(4))))))
+        val d = Otlp.decodeAll(Otlp.unframe(body))
+        MetricStreamIngest.ingestDecoded(e, s, d.samples)
+        MetricStreamIngest.ingestHistograms(e, s, d.histograms)
+        e
+      }
+      eng.histogramQuantile("rpc_lat", Seq(0.5, 0.9),
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+        .select(
+          element_at(graft.metric.MetricEngine.seriesLabelsColumn(
+            col("series_key")), "host").as("host"),
+          col("phi"), col("value"))
+    }),
+
     // Federation snapshot (round 9, GET /federate's engine): newest sample
     // per matching series within the lookback anchored at a FIXED nowMs -
     // cpu{host=a} has two samples (newest wins), up's only sample is
@@ -3750,6 +3786,34 @@ object SparkEntry {
         |  ('requests_total', 'host=h1,service_name=api',
         |   CAST(1723680002000 AS BIGINT), CAST(42.0 AS DOUBLE))
         |) AS t(name, labels, ts_ms, value)""".stripMargin,
+
+    // Replay of the OTLP exponential-bucket quantile: bounds hand-
+    // translated from (scale 0, offset, dense counts) to (lo, hi] pairs
+    // — h1: zero [0, 0.001] cnt 2, (1,2] cnt 3, (2,4] cnt 5 of 10;
+    // h2: (4,8] cnt 4 of 4 — then the standard cumulative walk with
+    // linear interpolation, per (host, phi).
+    "otlp2_native_hist" ->
+      """WITH buckets(host, ord, lo, hi, cnt) AS (VALUES
+        |    ('h1', 0, 0.0, 0.001, CAST(2 AS DOUBLE)),
+        |    ('h1', 1, 1.0, 2.0, CAST(3 AS DOUBLE)),
+        |    ('h1', 2, 2.0, 4.0, CAST(5 AS DOUBLE)),
+        |    ('h2', 2, 4.0, 8.0, CAST(4 AS DOUBLE))),
+        |  totals(host, total) AS (VALUES
+        |    ('h1', CAST(10 AS DOUBLE)), ('h2', CAST(4 AS DOUBLE))),
+        |  phis(phi) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+        |  walk AS (
+        |    SELECT b.host, p.phi, b.lo, b.hi, b.cnt,
+        |      sum(b.cnt) OVER (PARTITION BY b.host, p.phi ORDER BY b.ord)
+        |        - b.cnt AS cum_before,
+        |      p.phi * t.total AS rk
+        |    FROM buckets b JOIN totals t USING (host) CROSS JOIN phis p),
+        |  pick AS (
+        |    SELECT host, phi,
+        |      lo + (hi - lo) * ((rk - cum_before) / cnt) AS value,
+        |      row_number() OVER (PARTITION BY host, phi
+        |        ORDER BY cum_before) AS rn
+        |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rk)
+        |SELECT host, phi, value FROM pick WHERE rn = 1""".stripMargin,
 
     // Federation at nowMs=100000 lookback=90000 -> window (10000, 100000]:
     // cpu{host=a} newest of two samples, cpu{host=b} sole sample, up stale.

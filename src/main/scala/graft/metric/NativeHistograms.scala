@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * zeroThreshold]` (collapsed to `[0, zt]` / `[-zt, 0]` when one sign has
   * no buckets, as Prometheus does). Schema -53 (custom bounds, "NHCB")
   * reads classic upper bounds from `custom_values`: bucket i covers
-  * `(custom_values[i-1], custom_values[i]]` with bucket 0 starting at 0.
+  * `(custom_values[i-1], custom_values[i]]` with bucket 0 starting at 0;
+  * bucket index `size(custom_values)` is the +Inf overflow bucket (the
+  * classic `le="+Inf"` bucket of an OTLP fixed-bucket histogram) — its
+  * bounds clamp to the highest finite bound, so a quantile landing there
+  * returns that bound, Prometheus's own convention for classic and
+  * custom-bucket histograms.
   * Edge cases: `φ < 0 → -Inf`, `φ > 1 → +Inf`, `count == 0 → NaN`
   * (Prometheus's own conventions).
   *
@@ -346,9 +351,13 @@ object NativeHistograms {
        |  transform(arrays_zip(pos_idx, pos_cnt), z ->
        |    IF(bucket_schema = -53,
        |      named_struct(
-       |        'lo', IF(z.pos_idx = 0, CAST(0.0 AS DOUBLE),
-       |                 element_at(custom_values, z.pos_idx)),
-       |        'hi', element_at(custom_values, z.pos_idx + 1),
+       |        'lo', IF(z.pos_idx <= 0 OR size(custom_values) = 0,
+       |                 CAST(0.0 AS DOUBLE),
+       |                 element_at(custom_values,
+       |                   LEAST(z.pos_idx, size(custom_values)))),
+       |        'hi', IF(size(custom_values) = 0, CAST('Infinity' AS DOUBLE),
+       |                 element_at(custom_values,
+       |                   LEAST(z.pos_idx + 1, size(custom_values)))),
        |        'cnt', z.pos_cnt),
        |      named_struct(
        |        'lo', power($base, CAST(z.pos_idx AS DOUBLE) - 1.0D),

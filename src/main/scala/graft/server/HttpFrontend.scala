@@ -374,7 +374,9 @@ final class HttpFrontend(
   })
 
   /** `POST /v1/metrics` — OTLP/HTTP metrics ingest (OpenTelemetry's
-    * export protocol; gauge/sum number data points → engine samples, see
+    * export protocol; gauge/sum number data points → engine samples,
+    * exponential-histogram points → native histograms, fixed-bucket
+    * histogram points → NHCB native histograms — see
     * [[graft.streaming.Otlp]] for the scope and the OTLP→Prometheus name
     * translation). Bodies are raw or gzip protobuf
     * (`Content-Encoding: gzip`); success is 200 with an empty
@@ -394,20 +396,25 @@ final class HttpFrontend(
       val body = bodyOrErr.getOrElse(Array.emptyByteArray)
       // the gzip-expansion cap mirrors the compressed-body cap: a ~64 KB
       // bomb otherwise inflates past it unbounded (DecompressedTooLarge)
-      val samples =
-        try graft.streaming.Otlp.decode(
+      val decoded =
+        try graft.streaming.Otlp.decodeAll(
           graft.streaming.Otlp.unframe(body, maxWriteBodyBytes))
         catch {
           case _: graft.streaming.Otlp.DecompressedTooLarge => null
           case scala.util.control.NonFatal(_) => null
         }
-      if (samples == null) respond(ex, 400,
+      if (decoded == null) respond(ex, 400,
         "undecodable OTLP body (or decompressed size over the write cap)")
       else
         try {
-          if (samples.nonEmpty) ingestLock.synchronized {
-            MetricStreamIngest.ingestDecoded(engine, spark, samples)
-          }
+          if (decoded.samples.nonEmpty || decoded.histograms.nonEmpty)
+            ingestLock.synchronized {
+              if (decoded.samples.nonEmpty)
+                MetricStreamIngest.ingestDecoded(engine, spark, decoded.samples)
+              if (decoded.histograms.nonEmpty)
+                MetricStreamIngest.ingestHistograms(
+                  engine, spark, decoded.histograms)
+            }
           respondBytes(ex, 200, Array.emptyByteArray,
             Seq("Content-Type" -> "application/x-protobuf"))
         } catch {

@@ -8,10 +8,13 @@ import graft.metric.Sample
   * protocol (public opentelemetry-proto layout,
   * `ExportMetricsServiceRequest`), the modern ingest path next to the
   * reference's Prometheus remote-write (SURVEY §2.1 S5). Scope: GAUGE and
-  * SUM metrics with number data points — the shapes that map directly
-  * onto the engine's (name, labels, ts, value) samples; histogram /
-  * summary / exponential-histogram records are skipped structurally
-  * (unknown-field walk), never an error.
+  * SUM metrics with number data points (→ engine samples), EXPONENTIAL
+  * HISTOGRAM data points (→ native histogram samples: OTLP `scale` IS the
+  * Prometheus schema, bucket indexes shift by one — see
+  * [[decodeExponentialPoint]]), and fixed-bucket HISTOGRAM data points
+  * (→ NHCB custom-bound native histograms, the standard
+  * classic-histogram-on-the-native-wire translation). Summary records are
+  * skipped structurally (unknown-field walk), never an error.
   *
   * Field numbers (opentelemetry-proto, metrics/v1 + common/v1 +
   * resource/v1):
@@ -54,9 +57,21 @@ import graft.metric.Sample
 object Otlp {
   import RemoteWrite.{varint, lenAt, skip, fixed64}
 
-  /** Decode an ExportMetricsServiceRequest body into engine samples. */
-  def decode(bytes: Array[Byte]): Seq[Sample] = {
+  /** Everything one OTLP request decodes to: number-point samples plus
+    * native-histogram samples (exponential histograms directly,
+    * fixed-bucket histograms as NHCB). */
+  final case class Decoded(samples: Seq[Sample],
+      histograms: Seq[RemoteWrite.HistogramSample])
+
+  /** Decode an ExportMetricsServiceRequest body into engine samples
+    * (number points only — see [[decodeAll]] for histograms too). */
+  def decode(bytes: Array[Byte]): Seq[Sample] = decodeAll(bytes).samples
+
+  /** Decode an ExportMetricsServiceRequest body into samples AND native
+    * histograms. */
+  def decodeAll(bytes: Array[Byte]): Decoded = {
     val out = mutable.ArrayBuffer.empty[Sample]
+    val outH = mutable.ArrayBuffer.empty[RemoteWrite.HistogramSample]
     var pos = 0
     while (pos < bytes.length) {
       val (tag, p1) = varint(bytes, pos)
@@ -64,12 +79,12 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (1, 2) =>
           val (len, p2) = lenAt(bytes, pos)
-          decodeResourceMetrics(bytes, p2, p2 + len, out)
+          decodeResourceMetrics(bytes, p2, p2 + len, out, outH)
           pos = p2 + len
         case (_, wt) => pos = skip(bytes, pos, wt.toInt)
       }
     }
-    out.toSeq
+    Decoded(out.toSeq, outH.toSeq)
   }
 
   /** Thrown when a gzip body inflates past the caller's cap — the
@@ -100,7 +115,8 @@ object Otlp {
     else bytes
 
   private def decodeResourceMetrics(b: Array[Byte], start: Int, end: Int,
-      out: mutable.ArrayBuffer[Sample]): Unit = {
+      out: mutable.ArrayBuffer[Sample],
+      outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample]): Unit = {
     var pos = start
     var resourceAttrs = Map.empty[String, String]
     val scopeSpans = mutable.ArrayBuffer.empty[(Int, Int)]
@@ -121,13 +137,14 @@ object Otlp {
       }
     }
     scopeSpans.foreach { case (s, e) =>
-      decodeScopeMetrics(b, s, e, resourceAttrs, out)
+      decodeScopeMetrics(b, s, e, resourceAttrs, out, outH)
     }
   }
 
   private def decodeScopeMetrics(b: Array[Byte], start: Int, end: Int,
       resourceAttrs: Map[String, String],
-      out: mutable.ArrayBuffer[Sample]): Unit = {
+      out: mutable.ArrayBuffer[Sample],
+      outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample]): Unit = {
     var pos = start
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
@@ -135,7 +152,7 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (2, 2) => // metric
           val (len, p2) = lenAt(b, pos)
-          decodeMetric(b, p2, p2 + len, resourceAttrs, out)
+          decodeMetric(b, p2, p2 + len, resourceAttrs, out, outH)
           pos = p2 + len
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
@@ -144,11 +161,16 @@ object Otlp {
 
   private def decodeMetric(b: Array[Byte], start: Int, end: Int,
       resourceAttrs: Map[String, String],
-      out: mutable.ArrayBuffer[Sample]): Unit = {
+      out: mutable.ArrayBuffer[Sample],
+      outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample]): Unit = {
     var pos = start
     var name = ""
     val pointSpans = mutable.ArrayBuffer.empty[(Int, Int)]
+    val histSpans = mutable.ArrayBuffer.empty[(Int, Int)]
+    val expSpans = mutable.ArrayBuffer.empty[(Int, Int)]
     var deltaSum = false
+    var deltaHist = false
+    var deltaExp = false
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
       pos = p1
@@ -180,7 +202,27 @@ object Otlp {
             }
           }
           pos = p2 + len
-        case (_, wt) => pos = skip(b, pos, wt.toInt) // histogram etc. skip
+        case (f, 2) if f == 9 || f == 10 => // histogram | exponential_histogram
+          val (len, p2) = lenAt(b, pos)
+          var q = p2
+          while (q < p2 + len) {
+            val (t2, q1) = varint(b, q)
+            q = q1
+            (t2 >> 3, t2 & 7) match {
+              case (1, 2) => // data_points
+                val (l2, q2) = lenAt(b, q)
+                if (f == 9) histSpans += ((q2, q2 + l2))
+                else expSpans += ((q2, q2 + l2))
+                q = q2 + l2
+              case (2, 0) => // aggregation_temporality — DELTA drops, like sums
+                val (v, q2) = varint(b, q)
+                if (v == 1L) { if (f == 9) deltaHist = true else deltaExp = true }
+                q = q2
+              case (_, wt) => q = skip(b, q, wt.toInt)
+            }
+          }
+          pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt) // summary etc. skip
       }
     }
     val prom = sanitizeName(name)
@@ -189,6 +231,16 @@ object Otlp {
     if (prom.nonEmpty && !deltaSum) pointSpans.foreach { case (s, e) =>
       decodeNumberPoint(b, s, e).foreach { case (attrs, tsNano, value) =>
         out += Sample(prom, resourceAttrs ++ attrs, tsNano / 1000000L, value)
+      }
+    }
+    if (prom.nonEmpty && !deltaHist) histSpans.foreach { case (s, e) =>
+      decodeFixedHistogramPoint(b, s, e).foreach { h =>
+        outH += h.copy(name = prom, labels = resourceAttrs ++ h.labels)
+      }
+    }
+    if (prom.nonEmpty && !deltaExp) expSpans.foreach { case (s, e) =>
+      decodeExponentialPoint(b, s, e).foreach { h =>
+        outH += h.copy(name = prom, labels = resourceAttrs ++ h.labels)
       }
     }
   }
@@ -232,6 +284,187 @@ object Otlp {
       }
     }
     if (ts == 0L || !sawValue || stale) None else Some((attrs, ts, value))
+  }
+
+  /** One OTLP ExponentialHistogramDataPoint → a Prometheus native
+    * histogram sample (name/resource labels filled by the caller).
+    *
+    * Index translation: OTLP bucket `i` at `offset` covers
+    * `(base^(offset+i), base^(offset+i+1)]` with `base = 2^(2^-scale)`;
+    * the Prometheus native bucket covering that interval is index
+    * `offset+i+1` (Prometheus bucket `k` covers `(base^(k-1), base^k]`).
+    * OTLP `scale` IS the Prometheus schema. Scales above 8 downscale to 8
+    * by merging adjacent bucket pairs (`idx → ((idx-1) >> d) + 1` per
+    * halving — exact, the same arithmetic Prometheus's own OTLP endpoint
+    * and `reduceResolution` use); scales below -4 have no Prometheus
+    * representation and the point is skipped, as are points with no
+    * timestamp or the no-recorded-value staleness flag.
+    *
+    * Field numbers (opentelemetry-proto metrics/v1
+    * ExponentialHistogramDataPoint): attributes=1, time_unix_nano=3,
+    * count=4 (fixed64), sum=5 (double), scale=6 (sint32), zero_count=7
+    * (fixed64), positive=8, negative=9 (Buckets{offset=1 sint32,
+    * bucket_counts=2 repeated uint64}), flags=10, zero_threshold=14. */
+  private def decodeExponentialPoint(b: Array[Byte], start: Int,
+      end: Int): Option[RemoteWrite.HistogramSample] = {
+    var pos = start
+    var ts = 0L; var count = 0L; var sum = 0.0; var scale = 0
+    var zeroCount = 0L; var zeroTh = 0.0; var stale = false
+    var attrs = Map.empty[String, String]
+    var posB: (Int, Seq[Long]) = (0, Nil)
+    var negB: (Int, Seq[Long]) = (0, Nil)
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          pos = p2 + len
+        case (3, 1) => ts = fixed64(b, pos); pos += 8
+        case (4, 1) => count = fixed64(b, pos); pos += 8
+        case (5, 1) =>
+          sum = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
+        case (6, 0) =>
+          val (v, p2) = varint(b, pos)
+          scale = RemoteWrite.zigzagDecode(v).toInt; pos = p2
+        case (7, 1) => zeroCount = fixed64(b, pos); pos += 8
+        case (8, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          posB = decodeExpBuckets(b, p2, p2 + len); pos = p2 + len
+        case (9, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          negB = decodeExpBuckets(b, p2, p2 + len); pos = p2 + len
+        case (10, 0) =>
+          val (v, p2) = varint(b, pos)
+          stale = (v & FlagNoRecordedValue) != 0L; pos = p2
+        case (14, 1) =>
+          zeroTh = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    if (ts == 0L || stale || scale < -4) None
+    else {
+      val down = math.max(0, scale - 8)
+      Some(RemoteWrite.HistogramSample("", attrs, ts / 1000000L,
+        count = count.toDouble, sum = sum, schema = math.min(scale, 8),
+        zeroThreshold = zeroTh, zeroCount = zeroCount.toDouble,
+        positiveBuckets = toPromBuckets(posB._1, posB._2, down),
+        negativeBuckets = toPromBuckets(negB._1, negB._2, down)))
+    }
+  }
+
+  /** ExponentialHistogramDataPoint.Buckets: offset (sint32) + repeated
+    * uint64 bucket_counts (packed or unpacked). */
+  private def decodeExpBuckets(b: Array[Byte], start: Int,
+      end: Int): (Int, Seq[Long]) = {
+    var pos = start
+    var offset = 0
+    val counts = mutable.ArrayBuffer.empty[Long]
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (1, 0) =>
+          val (v, p2) = varint(b, pos)
+          offset = RemoteWrite.zigzagDecode(v).toInt; pos = p2
+        case (2, 2) => // packed
+          val (len, p2) = lenAt(b, pos)
+          var q = p2
+          while (q < p2 + len) {
+            val (v, q2) = varint(b, q); counts += v; q = q2
+          }
+          pos = p2 + len
+        case (2, 0) =>
+          val (v, p2) = varint(b, pos); counts += v; pos = p2
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    (offset, counts.toSeq)
+  }
+
+  /** OTLP dense buckets → sparse Prometheus (index, count) pairs: shift
+    * by one ([[decodeExponentialPoint]]'s index translation), drop empty
+    * buckets, then merge adjacent pairs `down` times for scales above the
+    * Prometheus maximum. */
+  private def toPromBuckets(offset: Int, counts: Seq[Long],
+      down: Int): Seq[(Int, Double)] = {
+    val merged = scala.collection.mutable.TreeMap.empty[Int, Double]
+    counts.zipWithIndex.foreach { case (c, i) =>
+      if (c != 0L) {
+        val idx0 = offset + i + 1
+        val idx = if (down > 0) ((idx0 - 1) >> down) + 1 else idx0
+        merged(idx) = merged.getOrElse(idx, 0.0) + c.toDouble
+      }
+    }
+    merged.toSeq
+  }
+
+  /** One OTLP fixed-bucket HistogramDataPoint → an NHCB native histogram
+    * (schema -53): `explicit_bounds` become `custom_values`, bucket i
+    * keeps index i (engine NHCB convention: bucket i covers
+    * `(custom_values[i-1], custom_values[i]]`, bucket 0 starts at 0), and
+    * the final `(last_bound, +Inf)` count lands at index
+    * `size(custom_values)` — the overflow bucket
+    * [[graft.metric.NativeHistograms]] clamps to the highest finite
+    * bound, Prometheus's classic-histogram quantile convention. Points
+    * with no timestamp, the staleness flag, empty bounds, or a
+    * counts/bounds length mismatch are skipped (malformed under the OTLP
+    * spec, which requires `len(counts) == len(bounds) + 1`).
+    *
+    * Field numbers (HistogramDataPoint): attributes=9, time_unix_nano=3,
+    * count=4 (fixed64), sum=5 (double), bucket_counts=6 (repeated
+    * fixed64, packed), explicit_bounds=7 (repeated double, packed),
+    * flags=10. */
+  private def decodeFixedHistogramPoint(b: Array[Byte], start: Int,
+      end: Int): Option[RemoteWrite.HistogramSample] = {
+    var pos = start
+    var ts = 0L; var count = 0L; var sum = 0.0; var stale = false
+    var attrs = Map.empty[String, String]
+    val counts = mutable.ArrayBuffer.empty[Long]
+    val bounds = mutable.ArrayBuffer.empty[Double]
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (9, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          pos = p2 + len
+        case (3, 1) => ts = fixed64(b, pos); pos += 8
+        case (4, 1) => count = fixed64(b, pos); pos += 8
+        case (5, 1) =>
+          sum = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
+        case (6, 2) => // packed fixed64 bucket_counts
+          val (len, p2) = lenAt(b, pos)
+          var q = p2
+          while (q + 8 <= p2 + len) { counts += fixed64(b, q); q += 8 }
+          pos = p2 + len
+        case (6, 1) => counts += fixed64(b, pos); pos += 8
+        case (7, 2) => // packed double explicit_bounds
+          val (len, p2) = lenAt(b, pos)
+          var q = p2
+          while (q + 8 <= p2 + len) {
+            bounds += java.lang.Double.longBitsToDouble(fixed64(b, q)); q += 8
+          }
+          pos = p2 + len
+        case (7, 1) =>
+          bounds += java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
+        case (10, 0) =>
+          val (v, p2) = varint(b, pos)
+          stale = (v & FlagNoRecordedValue) != 0L; pos = p2
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    if (ts == 0L || stale || bounds.isEmpty || counts.length != bounds.length + 1)
+      None
+    else Some(RemoteWrite.HistogramSample("", attrs, ts / 1000000L,
+      count = count.toDouble, sum = sum, schema = -53,
+      zeroThreshold = 0.0, zeroCount = 0.0,
+      positiveBuckets = counts.zipWithIndex.collect {
+        case (c, i) if c != 0L => (i, c.toDouble) }.toSeq,
+      negativeBuckets = Nil,
+      customValues = bounds.toSeq))
   }
 
   /** A repeated-KeyValue list where each element is a `fieldNum`-tagged
@@ -367,8 +600,21 @@ object Otlp {
       value: Double, asInt: Boolean = false, noValue: Boolean = false,
       flags: Long = 0L)
 
+  /** Fixture ExponentialHistogramDataPoint (dense OTLP buckets). */
+  final case class ExpHistPoint(attrs: Map[String, String], timeNano: Long,
+      count: Long, sum: Double, scale: Int, zeroCount: Long,
+      posOffset: Int, posCounts: Seq[Long],
+      negOffset: Int = 0, negCounts: Seq[Long] = Nil,
+      zeroThreshold: Double = 0.0, flags: Long = 0L)
+
+  /** Fixture fixed-bucket HistogramDataPoint. */
+  final case class HistPoint(attrs: Map[String, String], timeNano: Long,
+      count: Long, sum: Double, bucketCounts: Seq[Long],
+      explicitBounds: Seq[Double], flags: Long = 0L)
+
   final case class MetricSpec(name: String, points: Seq[Point],
-      sum: Boolean = false, deltaTemporality: Boolean = false)
+      sum: Boolean = false, deltaTemporality: Boolean = false,
+      expPoints: Seq[ExpHistPoint] = Nil, histPoints: Seq[HistPoint] = Nil)
 
   def encode(resourceAttrs: Map[String, String],
       metrics: Seq[MetricSpec]): Array[Byte] = {
@@ -408,8 +654,62 @@ object Otlp {
           t ++= writeVarint(if (m.deltaTemporality) 1L else 2L)
           t.toArray
         } else Array.emptyByteArray
+      def temporality: Array[Byte] = {
+        val t = mutable.ArrayBuffer.empty[Byte]
+        t += ((2 << 3) | 0).toByte
+        t ++= writeVarint(if (m.deltaTemporality) 1L else 2L)
+        t.toArray
+      }
+      def expBuckets(field: Int, offset: Int, counts: Seq[Long]): Array[Byte] = {
+        val bb = mutable.ArrayBuffer.empty[Byte]
+        bb += ((1 << 3) | 0).toByte
+        bb ++= writeVarint(RemoteWrite.zigzagEncode(offset.toLong))
+        val packed = counts.flatMap(writeVarint).toArray
+        bb ++= lenDelim(2, packed)
+        lenDelim(field, bb.toArray).toArray
+      }
+      val expPts = m.expPoints.flatMap { p =>
+        val dp = mutable.ArrayBuffer.empty[Byte]
+        p.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          dp ++= lenDelim(1, keyValue(k, v))
+        }
+        dp += ((3 << 3) | 1).toByte; dp ++= fixed64LE(p.timeNano)
+        dp += ((4 << 3) | 1).toByte; dp ++= fixed64LE(p.count)
+        dp += ((5 << 3) | 1).toByte; dp ++= fixed64Bytes(p.sum)
+        dp += ((6 << 3) | 0).toByte
+        dp ++= writeVarint(RemoteWrite.zigzagEncode(p.scale.toLong))
+        dp += ((7 << 3) | 1).toByte; dp ++= fixed64LE(p.zeroCount)
+        if (p.posCounts.nonEmpty) dp ++= expBuckets(8, p.posOffset, p.posCounts)
+        if (p.negCounts.nonEmpty) dp ++= expBuckets(9, p.negOffset, p.negCounts)
+        if (p.flags != 0L) {
+          dp += ((10 << 3) | 0).toByte; dp ++= writeVarint(p.flags)
+        }
+        if (p.zeroThreshold != 0.0) {
+          dp += ((14 << 3) | 1).toByte; dp ++= fixed64Bytes(p.zeroThreshold)
+        }
+        lenDelim(1, dp.toArray)
+      }.toArray
+      val histPts = m.histPoints.flatMap { p =>
+        val dp = mutable.ArrayBuffer.empty[Byte]
+        dp += ((3 << 3) | 1).toByte; dp ++= fixed64LE(p.timeNano)
+        dp += ((4 << 3) | 1).toByte; dp ++= fixed64LE(p.count)
+        dp += ((5 << 3) | 1).toByte; dp ++= fixed64Bytes(p.sum)
+        dp ++= lenDelim(6,
+          p.bucketCounts.flatMap(fixed64LE).toArray)
+        dp ++= lenDelim(7,
+          p.explicitBounds.flatMap(fixed64Bytes).toArray)
+        if (p.flags != 0L) {
+          dp += ((10 << 3) | 0).toByte; dp ++= writeVarint(p.flags)
+        }
+        p.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          dp ++= lenDelim(9, keyValue(k, v))
+        }
+        lenDelim(1, dp.toArray)
+      }.toArray
       val body = lenDelim(1, m.name.getBytes("UTF-8")) ++
-        lenDelim(if (m.sum) 7 else 5, pts ++ sumExtra)
+        (if (m.expPoints.nonEmpty) lenDelim(10, expPts ++ temporality)
+         else if (m.histPoints.nonEmpty) lenDelim(9, histPts ++ temporality)
+         else lenDelim(if (m.sum) 7 else 5, pts ++ sumExtra))
       lenDelim(2, body.toArray) // ScopeMetrics.metrics
     }
     val scopeMetrics = metricBufs.flatten.toArray

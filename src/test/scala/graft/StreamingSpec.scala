@@ -114,6 +114,63 @@ class StreamingSpec extends AnyFunSuite {
       Otlp.unframe(bomb, maxDecompressed = 4 << 20))
   }
 
+  test("OTLP native histograms: exponential points decode with the +1 " +
+      "index shift, scale>8 downscales by pair-merging, scale<-4 and " +
+      "delta temporality drop; fixed-bucket points become NHCB; the " +
+      "mixed payload ingests to histogram_quantile end-to-end") {
+    import graft.streaming.Otlp
+    val ts = 1723680000000000000L
+    val body = Otlp.encode(Map("service.name" -> "api"), Seq(
+      Otlp.MetricSpec("g", Seq(Otlp.Point(Map.empty, ts, 1.0))),
+      Otlp.MetricSpec("exp.hist", Nil, expPoints = Seq(
+        Otlp.ExpHistPoint(Map("host" -> "h1"), ts, count = 10, sum = 30.0,
+          scale = 0, zeroCount = 2, posOffset = 0, posCounts = Seq(3, 0, 5),
+          zeroThreshold = 0.001))),
+      Otlp.MetricSpec("hi.res", Nil, expPoints = Seq(
+        Otlp.ExpHistPoint(Map.empty, ts, count = 6, sum = 6.0, scale = 9,
+          zeroCount = 0, posOffset = 2, posCounts = Seq(1, 2, 3)))),
+      Otlp.MetricSpec("too.coarse", Nil, expPoints = Seq(
+        Otlp.ExpHistPoint(Map.empty, ts, 1, 1.0, scale = -5, zeroCount = 0,
+          posOffset = 0, posCounts = Seq(1)))),
+      Otlp.MetricSpec("delta.hist", Nil, deltaTemporality = true,
+        expPoints = Seq(
+          Otlp.ExpHistPoint(Map.empty, ts, 1, 1.0, scale = 0, zeroCount = 0,
+            posOffset = 0, posCounts = Seq(1)))),
+      Otlp.MetricSpec("classic", Nil, histPoints = Seq(
+        Otlp.HistPoint(Map("path" -> "/x"), ts, count = 10, sum = 25.0,
+          bucketCounts = Seq(2, 5, 3), explicitBounds = Seq(1.0, 5.0))))))
+    val d = Otlp.decodeAll(body)
+    assert(d.samples.map(_.name) == Seq("g"))
+    val byName = d.histograms.groupBy(_.name)
+    assert(byName.keySet == Set("exp_hist", "hi_res", "classic"))
+    val eh = byName("exp_hist").head
+    assert(eh.labels == Map("service_name" -> "api", "host" -> "h1"))
+    assert(eh.timestamp == ts / 1000000L)
+    assert(eh.count == 10.0 && eh.sum == 30.0 && eh.schema == 0 &&
+      eh.zeroCount == 2.0 && eh.zeroThreshold == 0.001)
+    // OTLP offset-0 buckets (1,2],(2,4],(4,8] → Prometheus indexes 1, 3
+    assert(eh.positiveBuckets == Seq((1, 3.0), (3, 5.0)))
+    val hr = byName("hi_res").head
+    assert(hr.schema == 8)
+    // scale-9 prom indexes 3,4,5 merge to 2,2,3 at schema 8
+    assert(hr.positiveBuckets == Seq((2, 3.0), (3, 3.0)))
+    val ch = byName("classic").head
+    assert(ch.schema == -53 && ch.customValues == Seq(1.0, 5.0))
+    assert(ch.positiveBuckets == Seq((0, 2.0), (1, 5.0), (2, 3.0)))
+    // end-to-end: ingest → quantiles, incl. the +Inf overflow bucket
+    val e = new MetricEngine(spark,
+      Files.createTempDirectory("graft-otlp-nh").toString)
+    MetricStreamIngest.ingestHistograms(e, spark, d.histograms)
+    val q = e.histogramQuantile("classic", Seq(0.5, 0.95),
+        graft.storage.TimeRange(0, Long.MaxValue))
+      .collect().map(r => r.getAs[Double]("phi") -> r.getAs[Double]("value"))
+      .toMap
+    // rank 5 of 10 → bucket (1,5] cum 2→7: 1 + 4*(3/5) = 3.4
+    assert(math.abs(q(0.5) - 3.4) < 1e-9, q.toString)
+    // rank 9.5 lands in the (5, +Inf) overflow → highest finite bound
+    assert(q(0.95) == 5.0, q.toString)
+  }
+
   test("remote-read codec: request and response round-trip, snappy framing, " +
       "packed and unpacked accepted types, chunks-only rejected") {
     import graft.streaming.RemoteRead
