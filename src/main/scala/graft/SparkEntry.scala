@@ -1792,6 +1792,42 @@ object SparkEntry {
         .select(col("__name__"), col("job"), col("value"))
     }),
 
+    // Mid-window SCHEMA CHANGE (round 12): the series scrapes at schema 0
+    // then schema -1 inside one rate window — the engine downscales the
+    // finer sample to the coarsest schema present (adjacent bucket pairs
+    // merge, exact for standard schemas; Prometheus's own conversion)
+    // instead of erroring. The oracle performs the same index conversion
+    // (((idx-1) >> d) + 1) in SQL, then the increase + quantile walk at
+    // the coarse schema.
+    "nh6_schema_mix" -> ((s, dir) => {
+      val eng = cachedServingEngine("nh6") {
+        import graft.streaming.{MetricStreamIngest, RemoteWrite}
+        import graft.streaming.RemoteWrite.{HistogramSample, Request}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-nh6").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        val spec = Seq(
+          HistogramSample("mix_latency", Map("job" -> "api"), 1000L,
+            count = 8, sum = 10.0, schema = 0, zeroThreshold = 0.001,
+            zeroCount = 1,
+            positiveBuckets = Seq((1, 2.0), (2, 3.0), (3, 1.0), (4, 1.0)),
+            negativeBuckets = Nil),
+          HistogramSample("mix_latency", Map("job" -> "api"), 2000L,
+            count = 16, sum = 24.0, schema = -1, zeroThreshold = 0.001,
+            zeroCount = 2,
+            positiveBuckets = Seq((1, 9.0), (2, 5.0)),
+            negativeBuckets = Nil))
+        val framed = org.xerial.snappy.Snappy.compress(
+          RemoteWrite.encodeRequestV2(Request(Nil, Nil, Nil, spec)))
+        MetricStreamIngest.ingestHistograms(e, s,
+          RemoteWrite.decodeRequest(framed).histograms)
+        e
+      }
+      eng.instantPromQL(
+        """histogram_quantile(0.5, rate(mix_latency[2s]))""", 2500L)
+        .select(col("__name__"), col("job"), col("value"))
+    }),
+
     // Native histograms as a RANGE query (round 11) -- the graph shape:
     // histogram_quantile(0.5, rate(m[2s])) on 2 s tumbling buckets, deltas
     // chained across buckets (the scalar rate path's arithmetic), counter
@@ -3667,6 +3703,55 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY bucket_ms ORDER BY idx) AS rn
         |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rank)
         |SELECT 'rpc_latency' AS __name__, 'api' AS job, bucket_ms, value
+        |FROM pick WHERE rn = 1""".stripMargin,
+
+    // Schema-mix replay: the SQL downscales the schema-0 sample's bucket
+    // indexes to the coarsest schema present (-1) with the same
+    // ((idx-1) >> d) + 1 pair-merge the engine uses, then the window
+    // increase and quantile walk at base 4.
+    "nh6_schema_mix" ->
+      """WITH raw(ts_ms, sch, idx, cnt) AS (VALUES
+        |    (CAST(1000 AS BIGINT), 0, 1, CAST(2 AS DOUBLE)),
+        |    (CAST(1000 AS BIGINT), 0, 2, CAST(3 AS DOUBLE)),
+        |    (CAST(1000 AS BIGINT), 0, 3, CAST(1 AS DOUBLE)),
+        |    (CAST(1000 AS BIGINT), 0, 4, CAST(1 AS DOUBLE)),
+        |    (CAST(2000 AS BIGINT), -1, 1, CAST(9 AS DOUBLE)),
+        |    (CAST(2000 AS BIGINT), -1, 2, CAST(5 AS DOUBLE))),
+        |  zeroes(ts_ms, zcnt) AS (VALUES
+        |    (CAST(1000 AS BIGINT), CAST(1 AS DOUBLE)),
+        |    (CAST(2000 AS BIGINT), CAST(2 AS DOUBLE))),
+        |  conv AS (
+        |    SELECT ts_ms, ((idx - 1) >> (sch + 1)) + 1 AS idx,
+        |      sum(cnt) AS cnt
+        |    FROM raw GROUP BY 1, 2),
+        |  incs AS (
+        |    SELECT idx, sum(CASE WHEN prev IS NULL THEN 0
+        |        WHEN cnt >= prev THEN cnt - prev ELSE cnt END) AS inc
+        |    FROM (SELECT ts_ms, idx, cnt, lag(cnt) OVER (
+        |        PARTITION BY idx ORDER BY ts_ms) AS prev FROM conv)
+        |    GROUP BY idx),
+        |  zinc AS (
+        |    SELECT sum(CASE WHEN prev IS NULL THEN 0
+        |        WHEN zcnt >= prev THEN zcnt - prev ELSE zcnt END) AS inc
+        |    FROM (SELECT zcnt, lag(zcnt) OVER (ORDER BY ts_ms) AS prev
+        |          FROM zeroes)),
+        |  allb AS (
+        |    SELECT -2147483648 AS idx, CAST(0.0 AS DOUBLE) AS lo,
+        |      0.001 AS hi, inc AS cnt FROM zinc
+        |    UNION ALL
+        |    SELECT idx, power(4.0, idx - 1) AS lo, power(4.0, idx) AS hi,
+        |      inc AS cnt FROM incs),
+        |  total AS (SELECT sum(cnt) AS cnt FROM allb),
+        |  walk AS (
+        |    SELECT a.idx, a.lo, a.hi, a.cnt,
+        |      sum(a.cnt) OVER (ORDER BY a.idx) - a.cnt AS cum_before,
+        |      0.5 * t.cnt AS rk
+        |    FROM allb a CROSS JOIN total t),
+        |  pick AS (
+        |    SELECT lo + (hi - lo) * ((rk - cum_before) / cnt) AS value,
+        |      row_number() OVER (ORDER BY idx) AS rn
+        |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rk)
+        |SELECT 'mix_latency' AS __name__, 'api' AS job, value
         |FROM pick WHERE rn = 1""".stripMargin,
 
     // Aggregated native-histogram replay: per-series windowed increase

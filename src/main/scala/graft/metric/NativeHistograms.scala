@@ -89,8 +89,11 @@ object NativeHistograms {
     * detects whole-histogram resets; bucket-wise detection is at least
     * as sensitive on well-formed data, where a reset zeroes every
     * bucket). The zero bucket and the top-level count participate
-    * identically. Schema changes within the window are rejected loudly
-    * (bucket indexes are not comparable across schemas).
+    * identically. A schema change within the window (a scrape-config
+    * change mid-flight) downscales the finer samples to the coarsest
+    * schema present first — exact for standard schemas
+    * ([[downscaleToCoarsest]]), Prometheus's own behavior; only NHCB
+    * bound changes reject (no exact conversion).
     *
     * `bucketMs` bucketizes the increase on the tumbling step grid for
     * RANGE evaluation (deviation #1's model): deltas chain per (series,
@@ -110,7 +113,67 @@ object NativeHistograms {
     * PRESENT bucket entries (no dense time×bucket materialization — see
     * the absence-handling comment in the body), two keyed shuffles on
     * uniform hash keys plus one per-series rebuild. */
-  def increase(rows: DataFrame, bucketMs: Option[Long] = None): DataFrame = {
+  /** One row's (idx, cnt) arrays merged down `__d__` halvings: each
+    * halving merges adjacent bucket pairs (`idx → ((idx-1) >> d) + 1`,
+    * Prometheus's `reduceResolution` rule — exact for standard
+    * exponential schemas: the coarser bucket's bounds are the union of
+    * the pair's). Indexes arrive sorted ascending, so converted indexes
+    * are nondecreasing and a single fold merges equal neighbors. O(n²)
+    * array rebuilds in the worst case, but bucket arrays are dozens of
+    * entries. */
+  private def downscaledArrays(idxCol: String, cntCol: String): String =
+    s"""IF(__d__ <= 0, named_struct('idx', $idxCol, 'cnt', $cntCol),
+       |  aggregate(arrays_zip($idxCol, $cntCol),
+       |    named_struct('idx', CAST(array() AS ARRAY<INT>),
+       |                 'cnt', CAST(array() AS ARRAY<DOUBLE>)),
+       |    (acc, z) -> IF(size(acc.idx) > 0 AND
+       |        element_at(acc.idx, size(acc.idx)) =
+       |          shiftright(z.$idxCol - 1, __d__) + 1,
+       |      named_struct('idx', acc.idx,
+       |        'cnt', concat(slice(acc.cnt, 1, size(acc.cnt) - 1),
+       |          array(element_at(acc.cnt, size(acc.cnt)) + z.$cntCol))),
+       |      named_struct(
+       |        'idx', concat(acc.idx,
+       |          array(shiftright(z.$idxCol - 1, __d__) + 1)),
+       |        'cnt', concat(acc.cnt, array(z.$cntCol))))))""".stripMargin
+
+  /** Convert every histogram row to the COARSEST standard schema present
+    * in its `partitionCols` group — what Prometheus does when a
+    * scrape-config change lands mid-window or a `sum by` group spans
+    * targets on different schemas (exact: merging adjacent bucket pairs
+    * halves the schema). NHCB (-53) cannot mix with standard schemas
+    * (custom bounds are unrelated to the exponential grid) — that still
+    * raises. Single-schema groups pass through bit-identical (`__d__` =
+    * 0). Cost: one window min/max over `partitionCols` — the same keys
+    * the callers shuffle on next, so the exchange is reused — plus
+    * per-row array folds. */
+  private def downscaleToCoarsest(rows: DataFrame,
+      partitionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+    rows
+      .withColumn("__tgt__", min(col("bucket_schema")).over(w))
+      .withColumn("__mx__", max(col("bucket_schema")).over(w))
+      .withColumn("__tgt__",
+        when(col("__tgt__") =!= col("__mx__") && col("__tgt__") === -53,
+          expr("CAST(raise_error('cannot mix custom-bound (NHCB) and " +
+            "standard native histogram schemas') AS INT)"))
+          .otherwise(col("__tgt__")))
+      .withColumn("__d__", col("bucket_schema") - col("__tgt__"))
+      .withColumn("__pos__", expr(downscaledArrays("pos_idx", "pos_cnt")))
+      .withColumn("__neg__", expr(downscaledArrays("neg_idx", "neg_cnt")))
+      .withColumn("pos_idx", col("__pos__.idx"))
+      .withColumn("pos_cnt", col("__pos__.cnt"))
+      .withColumn("neg_idx", col("__neg__.idx"))
+      .withColumn("neg_cnt", col("__neg__.cnt"))
+      .withColumn("bucket_schema", col("__tgt__"))
+      .drop("__tgt__", "__mx__", "__d__", "__pos__", "__neg__")
+  }
+
+  def increase(rows0: DataFrame, bucketMs: Option[Long] = None): DataFrame = {
+    // schema changes within the window downscale to the coarsest (per
+    // series across the WHOLE input — deltas chain across time buckets,
+    // so one grid must hold throughout)
+    val rows = downscaleToCoarsest(rows0, Seq("series_key"))
     val entries = rows.select(col("series_key"), col("ts_ms"),
       explode(expr(
         """concat(
@@ -170,14 +233,19 @@ object NativeHistograms {
       .agg(sum(col("__d__")).as("inc"))
     val meta = withBucket(rows).groupBy(keyCols.map(col): _*).agg(
       max(col("ts_ms")).as("ts_ms"),
-      collect_set(col("bucket_schema")).as("__schemas__"),
+      // uniform after downscaleToCoarsest — min is exact, not a guess
+      min(col("bucket_schema")).as("bucket_schema"),
       max(col("zero_threshold")).as("zero_threshold"),
-      first(col("custom_values")).as("custom_values"))
-      .withColumn("bucket_schema", expr(
-        "CASE WHEN size(__schemas__) = 1 THEN element_at(__schemas__, 1) " +
-          "ELSE CAST(raise_error('native histogram schema changed within " +
-          "the rate window — bucket indexes are not comparable') AS INT) END"))
-      .drop("__schemas__")
+      collect_set(col("custom_values")).as("__cvs__"))
+      // NHCB bucket indexes are positions into custom_values — a bounds
+      // change mid-window has no exact conversion (unlike standard
+      // schemas); reject instead of chaining incomparable indexes
+      .withColumn("custom_values", expr(
+        "CASE WHEN size(__cvs__) = 0 THEN CAST(array() AS ARRAY<DOUBLE>) " +
+          "WHEN size(__cvs__) = 1 THEN element_at(__cvs__, 1) " +
+          "ELSE CAST(raise_error('NHCB custom bucket bounds changed " +
+          "within the rate window') AS ARRAY<DOUBLE>) END"))
+      .drop("__cvs__")
     assembleHistograms(incs, meta, keyCols)
   }
 
@@ -186,13 +254,15 @@ object NativeHistograms {
     * native histograms bucket-wise): group the input histogram rows by
     * `keyCols` (label columns and/or `bucket_ms`, which must exist on the
     * frame), sum every bucket and the zero bucket per group, keep the
-    * widest zero threshold, and reject mixed schemas loudly (bucket
-    * indexes are not comparable across schemas — Prometheus converts;
-    * this engine does not). Shape: one (keys, bucket) shuffle over
-    * exploded entries + the per-group rebuild — linear in present
-    * entries, like [[increase]]. */
-  def sumHistograms(rows: DataFrame, keyCols: Seq[String]): DataFrame = {
+    * widest zero threshold. Mixed STANDARD schemas within a group convert
+    * to the coarsest present first ([[downscaleToCoarsest]] — exact, what
+    * Prometheus does when summed targets scrape on different schemas);
+    * only mixed NHCB bounds reject (no exact conversion exists). Shape:
+    * one (keys, bucket) shuffle over exploded entries + the per-group
+    * rebuild — linear in present entries, like [[increase]]. */
+  def sumHistograms(rows0: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "sumHistograms needs at least one key column")
+    val rows = downscaleToCoarsest(rows0, keyCols)
     val entries = rows.select(keyCols.map(col) :+
       explode(expr(
         """concat(
@@ -208,21 +278,19 @@ object NativeHistograms {
       .agg(sum(col("inc")).as("inc"))
     val meta = rows.groupBy(keyCols.map(col): _*).agg(
       max(col("ts_ms")).as("ts_ms"),
-      collect_set(col("bucket_schema")).as("__schemas__"),
+      // uniform after downscaleToCoarsest — min is exact, not a guess
+      min(col("bucket_schema")).as("bucket_schema"),
       max(col("zero_threshold")).as("zero_threshold"),
       collect_set(col("custom_values")).as("__cvs__"))
-      .withColumn("bucket_schema", expr(
-        "CASE WHEN size(__schemas__) = 1 THEN element_at(__schemas__, 1) " +
-          "ELSE CAST(raise_error('cannot sum native histograms of " +
-          "different schemas') AS INT) END"))
       // NHCB bucket indexes are positions into custom_values — bounds
       // must be identical across the summed series or the sum is
       // meaningless (standard schemas carry empty arrays, one set value)
       .withColumn("custom_values", expr(
-        "CASE WHEN size(__cvs__) = 1 THEN element_at(__cvs__, 1) " +
+        "CASE WHEN size(__cvs__) = 0 THEN CAST(array() AS ARRAY<DOUBLE>) " +
+          "WHEN size(__cvs__) = 1 THEN element_at(__cvs__, 1) " +
           "ELSE CAST(raise_error('cannot sum NHCB histograms with " +
           "different custom bucket bounds') AS ARRAY<DOUBLE>) END"))
-      .drop("__schemas__", "__cvs__")
+      .drop("__cvs__")
     assembleHistograms(incs, meta, keyCols)
   }
 

@@ -156,7 +156,9 @@ class NativeHistogramsSpec extends AnyFunSuite {
       spark.createDataFrame(spark.sparkContext.parallelize(summed.toSeq),
         summed.head.schema), Seq(0.5)).collect().head.getAs[Double]("value")
     assert(math.abs(q - 2.2) < 1e-12)
-    // mixed schemas are not summable
+    // mixed STANDARD schemas downscale to the coarsest present (round
+    // 12): schema-3 bucket 2 covers (2^(1/8), 2^(2/8)] ⊆ schema-0
+    // bucket 1 (1,2] — idx ((2-1) >> 3) + 1 = 1 — so the sum is exact
     val mixed = df(
       Row("s1", 1000L, 4.0, 5.0, 0, 0.0, 1.0,
         Seq(1), Seq(3.0), Seq.empty[Int], Seq.empty[Double],
@@ -165,9 +167,13 @@ class NativeHistogramsSpec extends AnyFunSuite {
         Seq(2), Seq(5.0), Seq.empty[Int], Seq.empty[Double],
         Seq.empty[Double]))
       .withColumn("g", lit("a"))
-    val e = intercept[Exception](
-      NativeHistograms.sumHistograms(mixed, Seq("g")).collect())
-    assert(e.getMessage.contains("different schemas"), e.getMessage)
+    val conv = NativeHistograms.sumHistograms(mixed, Seq("g")).collect()
+    assert(conv.length == 1)
+    assert(conv.head.getAs[Int]("bucket_schema") == 0)
+    assert(conv.head.getAs[scala.collection.Seq[Int]]("pos_idx").toSeq ==
+      Seq(1))
+    assert(conv.head.getAs[scala.collection.Seq[Double]]("pos_cnt").toSeq ==
+      Seq(8.0))
     // NHCB: same schema (-53) but different custom bounds is meaningless
     val nhcbMixed = df(
       Row("s1", 1000L, 2.0, 1.0, -53, 0.0, 0.0,
@@ -180,6 +186,60 @@ class NativeHistogramsSpec extends AnyFunSuite {
     val e2 = intercept[Exception](
       NativeHistograms.sumHistograms(nhcbMixed, Seq("g")).collect())
     assert(e2.getMessage.contains("custom bucket bounds"), e2.getMessage)
+  }
+
+  test("schema conversion: a mid-window schema change downscales the " +
+      "finer samples to the coarsest — adjacent pairs merge exactly, " +
+      "asymmetric spans and negative indexes included; NHCB cannot mix " +
+      "with standard schemas") {
+    // ts1 at schema 0: (1,2],(2,4],(4,8],(8,16] = 1,2,3,4; ts2 at schema
+    // -1 (base 4): (1,4]=13, (4,16]=17. Target -1: ts1 merges to
+    // (1,4]=3, (4,16]=7 → increase 10 per bucket.
+    val rows = df(
+      Row("s", 1000L, 10.0, 9.0, 0, 0.0, 0.0,
+        Seq(1, 2, 3, 4), Seq(1.0, 2.0, 3.0, 4.0),
+        Seq.empty[Int], Seq.empty[Double], Seq.empty[Double]),
+      Row("s", 2000L, 30.0, 60.0, -1, 0.0, 0.0,
+        Seq(1, 2), Seq(13.0, 17.0),
+        Seq.empty[Int], Seq.empty[Double], Seq.empty[Double]))
+    val inc = NativeHistograms.increase(rows).collect()
+    assert(inc.length == 1)
+    val r = inc.head
+    assert(r.getAs[Int]("bucket_schema") == -1)
+    assert(r.getAs[scala.collection.Seq[Int]]("pos_idx").toSeq == Seq(1, 2))
+    assert(r.getAs[scala.collection.Seq[Double]]("pos_cnt").toSeq ==
+      Seq(10.0, 10.0))
+    assert(r.getAs[Double]("count") == 20.0)
+    // asymmetric spans + zero/negative indexes: schema 1 idx -1,0,1 →
+    // schema 0 idx ((i-1)>>1)+1 = 0,0,1 (the -1/0 pair merges; 1 rides
+    // alone) — across a sum group with one schema-0 series
+    import org.apache.spark.sql.functions.lit
+    val asym = df(
+      Row("s1", 1000L, 7.0, 4.0, 1, 0.0, 0.0,
+        Seq(-1, 0, 1), Seq(1.0, 2.0, 4.0),
+        Seq.empty[Int], Seq.empty[Double], Seq.empty[Double]),
+      Row("s2", 1000L, 5.0, 3.0, 0, 0.0, 0.0,
+        Seq(0), Seq(5.0),
+        Seq.empty[Int], Seq.empty[Double], Seq.empty[Double]))
+      .withColumn("g", lit("a"))
+    val s = NativeHistograms.sumHistograms(asym, Seq("g")).collect()
+    assert(s.length == 1)
+    assert(s.head.getAs[Int]("bucket_schema") == 0)
+    assert(s.head.getAs[scala.collection.Seq[Int]]("pos_idx").toSeq ==
+      Seq(0, 1))
+    assert(s.head.getAs[scala.collection.Seq[Double]]("pos_cnt").toSeq ==
+      Seq(8.0, 4.0)) // idx0: 1+2 merged + 5; idx1: 4
+    // NHCB + standard: custom bounds are unrelated to the exponential
+    // grid — no exact conversion, loud rejection
+    val bad = df(
+      Row("s", 1000L, 2.0, 1.0, -53, 0.0, 0.0,
+        Seq(0), Seq(2.0), Seq.empty[Int], Seq.empty[Double],
+        Seq(1.0, 5.0)),
+      Row("s", 2000L, 3.0, 2.0, 0, 0.0, 0.0,
+        Seq(1), Seq(3.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]))
+    val e = intercept[Exception](NativeHistograms.increase(bad).collect())
+    assert(e.getMessage.contains("NHCB"), e.getMessage)
   }
 
   test("φ edge cases: out-of-range → ±Inf, empty histogram → NaN") {
