@@ -905,6 +905,26 @@ object SparkEntry {
           1705593845678L, lookbackMs = 2678400000L)
         .withColumn("value", round(col("value"), 6))),
 
+    // EXACT sliding RANGE windows (round 12, opt-in mode): step 1d ≠
+    // window 2d over an UNALIGNED output range — each step-grid T gets
+    // Prometheus's (T-2d, T] window, deltas chained within the window
+    // (first in-window sample is the baseline). The oracle joins each
+    // grid T to its window's samples and replays the reset-aware sum.
+    "p38_promql_range_sliding" -> ((s, dir) => {
+      import graft.storage.TimeRange
+      val step = 86400000L
+      val w = 172800000L
+      val outR = TimeRange(1705000000000L, 1705000000000L + 4 * 86400000L)
+      val ctx = new graft.promql.PromQLContext(t(s, dir, "events"),
+        "event_type", tsMs, "value", Map("uid" -> "user_id"),
+        ordering = Seq(col("ts"), col("event_id")),
+        slidingStep = Some((step, outR)))
+      ctx.sql("""sum by (uid) (rate(purchase{uid=~"[1-9]"}[2d]))""",
+          stepMs = Some(step),
+          range = Some(TimeRange(outR.start - w + 1, outR.end)))
+        .withColumn("value", round(col("value"), 6))
+    }),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -4038,6 +4058,29 @@ object SparkEntry {
         |                 WHEN value >= prev THEN value - prev
         |                 ELSE value END) / 604800.0, 6) AS value
         |FROM dd GROUP BY uid""".stripMargin,
+
+    // Sliding-range replay: grid T = ceil(1705000000000/1d)·1d .. the
+    // last 1d multiple below the range end; each T joins the samples of
+    // its (T-2d, T] window, lag within (T, uid), reset-aware sum / 2d.
+    "p38_promql_range_sliding" ->
+      """WITH grid(t) AS (VALUES
+        |    (CAST(1705017600000 AS BIGINT)), (CAST(1705104000000 AS BIGINT)),
+        |    (CAST(1705190400000 AS BIGINT)), (CAST(1705276800000 AS BIGINT))),
+        |  d AS (
+        |    SELECT user_id, value, event_id, epoch_ms(ts::TIMESTAMP) AS tms
+        |    FROM events
+        |    WHERE event_type = 'purchase'
+        |      AND regexp_full_match(user_id::VARCHAR, '[1-9]')),
+        |  win AS (
+        |    SELECT g.t, d.user_id, d.value,
+        |      lag(d.value) OVER (PARTITION BY g.t, d.user_id
+        |        ORDER BY d.tms, d.event_id) AS prev
+        |    FROM grid g JOIN d ON d.tms > g.t - 172800000 AND d.tms <= g.t)
+        |SELECT CAST(user_id AS VARCHAR) AS uid, t AS bucket_ms,
+        |  round(sum(CASE WHEN prev IS NULL THEN 0
+        |                 WHEN value >= prev THEN value - prev
+        |                 ELSE value END) / 172800.0, 6) AS value
+        |FROM win GROUP BY uid, t""".stripMargin,
 
     "p28_promql_stddev_ot" ->
       """SELECT CAST(user_id AS VARCHAR) AS uid,

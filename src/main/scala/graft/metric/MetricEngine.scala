@@ -717,13 +717,33 @@ final class MetricEngine(spark: SparkSession, root: String,
   private def queryPromQLAst(ast: graft.promql.Expr, range: TimeRange,
       stepMs: Option[Long]): DataFrame = {
     import graft.promql._
+    // EXACT sliding range windows (round 12, opt-in via
+    // `graft.promql.rangeWindows=sliding`): stepped range queries
+    // evaluate every range function on Prometheus's per-step `(T-w, T]`
+    // window instead of tumbling buckets — closing PROMQL.md deviation #1
+    // for the Grafana graph shape, at the documented ⌈w/step⌉-copies
+    // self-join cost the tumbling default avoids at 100 TB. Subqueries
+    // fall back (their inner timeline is bucketized by construction);
+    // native-histogram routing keeps its tumbling grid.
+    val sliding: Option[(Long, TimeRange)] =
+      if (stepMs.isDefined &&
+          spark.conf.getOption("graft.promql.rangeWindows")
+            .contains("sliding") &&
+          MetricEngine.rangeWindows(ast).nonEmpty &&
+          !PromQLParser.hasSubquery(ast)) {
+        require(range.start != Long.MinValue && range.end != Long.MaxValue,
+          "sliding range windows need an explicit bounded query range")
+        Some((stepMs.get, range))
+      } else None
     // A requested step that disagrees with a range-function window would be
     // silently ignored (windows own their buckets) — reject it up front on
-    // BOTH paths.
-    for (st <- stepMs; w <- MetricEngine.rangeWindows(ast) if w != st)
-      throw new IllegalArgumentException(
-        s"step ($st ms) must equal the range-function window ($w ms): " +
-          "windowed functions define their own buckets")
+    // BOTH paths. Sliding mode decouples the two: any step works against
+    // any window.
+    if (sliding.isEmpty)
+      for (st <- stepMs; w <- MetricEngine.rangeWindows(ast) if w != st)
+        throw new IllegalArgumentException(
+          s"step ($st ms) must equal the range-function window ($w ms): " +
+            "windowed functions define their own buckets")
     // NATIVE histogram RANGE routing (round 11): the graph shapes —
     // histogram_quantile over rate/increase (tumbling window buckets,
     // deltas chained across buckets exactly like the scalar rate path)
@@ -803,7 +823,8 @@ final class MetricEngine(spark: SparkSession, root: String,
         rollupRouted(q, tsids, by).getOrElse(queryWithTsids(mid, tsids, q, by))
       case Agg(MetricAgg.Sum, by,
             RangeFn(fn @ (RangeF.Rate | RangeF.Increase), sel, win), false)
-          if sel.metric.nonEmpty && indexExact(sel.matchers) &&
+          if sliding.isEmpty && // the fast path's grid is tumbling
+            sel.metric.nonEmpty && indexExact(sel.matchers) &&
             sel.offsetMs == 0L && stepMs.forall(_ == win) &&
             by.forall(fastPathSafeLabel) =>
         val q = MetricQuery(sel.metric, Map.empty, range,
@@ -818,7 +839,17 @@ final class MetricEngine(spark: SparkSession, root: String,
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
         else inc
       case other =>
-        val out = promqlContextFor(other, range).eval(other, stepMs, Some(range))
+        // sliding mode widens the read: the first step's (T-w, T] window
+        // reaches up to w before the output range; the exploded grid
+        // clamps the OUTPUT back to the original range
+        val evalRange = sliding match {
+          case Some(_) =>
+            TimeRange(range.start - MetricEngine.rangeWindows(other).max + 1,
+              range.end)
+          case None => range
+        }
+        val out = promqlContextFor(other, evalRange, sliding = sliding)
+          .eval(other, stepMs, Some(evalRange))
         other match {
           // bare selector: same (tsid, ts_ms, value) contract as the fast
           // path, whichever matcher spelling routed it here
@@ -1304,7 +1335,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     * the store. */
   private def promqlContextFor(expr: graft.promql.Expr,
       range: TimeRange, latestOnly: Boolean = false,
-      allLabels: Boolean = false): graft.promql.PromQLContext = {
+      allLabels: Boolean = false,
+      sliding: Option[(Long, TimeRange)] = None): graft.promql.PromQLContext = {
     import graft.promql._
     def walk(e: Expr): (Set[String], Set[String]) = e match {
       case Selector(m, ms, _) => (Set(m), ms.map(_.label).toSet)
@@ -1506,7 +1538,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       (if (nameReferenced) Map("__name__" -> "__name__") else Map.empty)
     new PromQLContext(samples, "__name__", col("ts"), "value", labelMap,
       ordering = Seq(col("ts"), col("tsid")), seriesCols = Seq("tsid"),
-      instantSelectors = latestOnly)
+      instantSelectors = latestOnly, slidingStep = sliding)
   }
 }
 

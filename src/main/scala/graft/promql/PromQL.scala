@@ -310,6 +310,21 @@ object PromQLParser {
     if (pinnable) Some(out) else None
   }
 
+  /** Whether the tree contains a subquery — the one shape whose inner
+    * step timeline stays on tumbling semantics under every evaluation
+    * mode (sliding range windows and instant pinning both fall back). */
+  def hasSubquery(e: Expr): Boolean = e match {
+    case _: RangeSubquery => true
+    case Agg(_, _, c, _) => hasSubquery(c)
+    case ParamAgg(_, _, _, c) => hasSubquery(c)
+    case CountValues(_, _, c) => hasSubquery(c)
+    case BinOp(_, a, b, _, _) => hasSubquery(a) || hasSubquery(b)
+    case FnCall(_, c, _) => hasSubquery(c)
+    case HistogramQuantile(_, c) => hasSubquery(c)
+    case LabelFn(_, c, _, _) => hasSubquery(c)
+    case _ => false
+  }
+
   private sealed trait Tok { def pos: Int }
   private final case class TIdent(s: String, pos: Int) extends Tok
   private final case class TStr(s: String, pos: Int) extends Tok

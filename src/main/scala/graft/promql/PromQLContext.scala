@@ -47,6 +47,21 @@ import graft.storage.TimeRange
   *                   own timelines (a global newest-sample pre-filter
   *                   would starve both). Range-function and pinned-window
   *                   reads are never restricted.
+  * @param slidingStep EXACT sliding range windows (round 12, opt-in):
+  *                   `(stepMs, outputRange)` switches every range
+  *                   function from tumbling `floor(ts/w)*w` buckets to
+  *                   Prometheus's per-step `(T-w, T]` windows on the
+  *                   epoch-aligned step grid `T = k·step` within
+  *                   `outputRange` — each sample joins its ≤ ⌈w/step⌉
+  *                   covering windows (the documented self-join cost the
+  *                   tumbling default avoids at scale), and
+  *                   rate/increase/resets/changes chain within the window
+  *                   (first in-window sample is the baseline, Prometheus's
+  *                   non-extrapolated arithmetic) instead of across
+  *                   buckets. Output `bucket_ms` is the window END T —
+  *                   the Prometheus evaluation timestamp. Nested subquery
+  *                   / `@` contexts never inherit it (their timelines are
+  *                   bucketized by construction).
   */
 final class PromQLContext(
     samples: DataFrame,
@@ -56,7 +71,8 @@ final class PromQLContext(
     labels: Map[String, String],
     ordering: Seq[Column] = Nil,
     seriesCols: Seq[String] = Nil,
-    instantSelectors: Boolean = false) {
+    instantSelectors: Boolean = false,
+    slidingStep: Option[(Long, TimeRange)] = None) {
 
   import PromQLContext._
 
@@ -98,7 +114,9 @@ final class PromQLContext(
       // the bounded range containing NO samples of the selection — the same
       // grid anti-join as stepped absent(), with the window AS the step
       // (tumbling rule; an outer step must agree). Value-only rows.
-      stepMs.filter(_ != windowMs).foreach(st =>
+      // Sliding mode: the grid is every step T, a T is present when ANY
+      // sample lies in its (T-w, T] window.
+      if (slidingStep.isEmpty) stepMs.filter(_ != windowMs).foreach(st =>
         throw new IllegalArgumentException(
           s"absent_over_time window ${windowMs}ms must equal the " +
             s"step ${st}ms (tumbling windows)"))
@@ -108,15 +126,34 @@ final class PromQLContext(
           "absent_over_time needs an explicit bounded range"))
       val aRows = select(sel.metric, sel.matchers, sel.offsetMs, range)
       val aTs = shifted(sel.offsetMs)
-      val aLo = math.floorDiv(r0.start, windowMs) * windowMs
-      val aHi = math.floorDiv(r0.end - 1, windowMs) * windowMs
-      val aGrid = samples.sparkSession.range(aLo, aHi + 1, windowMs)
-        .toDF("bucket_ms")
-      val aPresent = aRows
-        .select((floor(aTs / lit(windowMs)).cast("long") * windowMs)
-          .as("bucket_ms")).distinct()
-      aGrid.join(aPresent, Seq("bucket_ms"), "left_anti")
-        .withColumn("value", lit(1.0))
+      slidingStep match {
+        case Some((s, outR)) =>
+          val firstT = -Math.floorDiv(-outR.start, s) * s
+          val lastT = Math.floorDiv(outR.end - 1, s) * s
+          val aGrid = samples.sparkSession.range(firstT, lastT + 1, s)
+            .toDF("bucket_ms")
+          val tLo = greatest(
+            (-floor((-aTs) / lit(s)) * s).cast("long"), lit(firstT))
+          val tHi = least(
+            (floor((aTs + lit(windowMs) - 1) / lit(s)) * s).cast("long"),
+            lit(lastT))
+          val aPresent = aRows.select(
+            explode(when(tLo <= tHi, sequence(tLo, tHi, lit(s)))
+              .otherwise(array().cast("array<bigint>")))
+              .as("bucket_ms")).distinct()
+          aGrid.join(aPresent, Seq("bucket_ms"), "left_anti")
+            .withColumn("value", lit(1.0))
+        case None =>
+          val aLo = math.floorDiv(r0.start, windowMs) * windowMs
+          val aHi = math.floorDiv(r0.end - 1, windowMs) * windowMs
+          val aGrid = samples.sparkSession.range(aLo, aHi + 1, windowMs)
+            .toDF("bucket_ms")
+          val aPresent = aRows
+            .select((floor(aTs / lit(windowMs)).cast("long") * windowMs)
+              .as("bucket_ms")).distinct()
+          aGrid.join(aPresent, Seq("bucket_ms"), "left_anti")
+            .withColumn("value", lit(1.0))
+      }
 
     case RangeFn(fn, sel, windowMs) =>
       // Range functions OWN their buckets: a stepMs reaching this node is
@@ -126,10 +163,29 @@ final class PromQLContext(
       // agreement up front for callers who pass both; the flat-context
       // contract is documented at [[sql]].
       val labelOut = labels.keys.toSeq.sorted
-      val rows = select(sel.metric, sel.matchers, sel.offsetMs, range)
+      val rows0 = select(sel.metric, sel.matchers, sel.offsetMs, range)
       val ts = shifted(sel.offsetMs)
       val ord = if (ordering.nonEmpty) ordering else Seq(tsMs)
-      val bucketRaw = floor(ts / lit(windowMs)).cast("long") * windowMs
+      // Window grain: tumbling floor(ts/w)·w buckets (the scale default —
+      // one bucket per sample), or the opt-in exact sliding grid: every
+      // step-grid T = k·step within the output range whose (T-w, T]
+      // window contains the sample — ≤ ⌈w/step⌉ copies per sample.
+      val (rows, bucketRaw): (DataFrame, Column) = slidingStep match {
+        case Some((s, outR)) =>
+          val firstT = -Math.floorDiv(-outR.start, s) * s // ceil to grid
+          val lastT = Math.floorDiv(outR.end - 1, s) * s // floor to grid
+          val tLo = greatest( // smallest grid T ≥ ts (T must cover ts: T ≥ ts)
+            (-floor((-ts) / lit(s)) * s).cast("long"), lit(firstT))
+          val tHi = least( // largest grid T with T - w < ts, i.e. T ≤ ts+w-1
+            (floor((ts + lit(windowMs) - 1) / lit(s)) * s).cast("long"),
+            lit(lastT))
+          val exploded = rows0.withColumn("__T__",
+            explode(when(tLo <= tHi, sequence(tLo, tHi, lit(s)))
+              .otherwise(array().cast("array<bigint>"))))
+          (exploded, col("__T__"))
+        case None =>
+          (rows0, floor(ts / lit(windowMs)).cast("long") * windowMs)
+      }
       val bucket = bucketRaw.as("bucket_ms")
       // series identity = metric + extra identity cols + every label column.
       // metricCol matters for bare {...} multi-metric selectors with no
@@ -140,14 +196,22 @@ final class PromQLContext(
       val metricKey = // skip when a bound label already carries the metric col
         if (labels.values.toSeq.contains(metricCol)) Nil else Seq(col(metricCol))
       val seriesPart = metricKey ++ seriesCols.map(col) ++ labels.values.toSeq.map(col)
+      // Counter/transition chaining scope: tumbling chains across the
+      // series' full stream (boundary deltas land in the later bucket);
+      // sliding chains WITHIN each (T-w, T] window — the first in-window
+      // sample is the baseline, exactly Prometheus's non-extrapolated
+      // increase/resets/changes arithmetic (a sample rides in several
+      // windows, so a cross-stream chain would double-count).
+      val chainPart =
+        if (slidingStep.isDefined) seriesPart :+ bucketRaw else seriesPart
       val groupKeys = labelOut.map(l => col(labels(l)).as(l)) ++
         seriesCols.map(col) ++ metricKey :+ bucket
       val outCols = labelOut.map(col) ++ seriesCols.map(col) :+ col("bucket_ms")
       fn match {
         case RangeF.Rate | RangeF.Increase =>
-          // reset-aware delta across the series' full stream, then one
+          // reset-aware delta across the chaining scope, then one
           // aggregation per (series, bucket); first sample contributes 0
-          val d = graft.functions.Rate.resetAwareDelta(col(valueCol), seriesPart, ord)
+          val d = graft.functions.Rate.resetAwareDelta(col(valueCol), chainPart, ord)
           val inc = rows.withColumn("__d__", d)
             .groupBy(groupKeys: _*)
             .agg(sum("__d__").as("__inc__"))
@@ -167,7 +231,7 @@ final class PromQLContext(
           // a boundary-crossing transition lands in the later bucket); same
           // two-stage shape as rate — series-key window, then bucket agg.
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(seriesPart: _*).orderBy(ord: _*)
+            .partitionBy(chainPart: _*).orderBy(ord: _*)
           val prev = lag(col(valueCol), 1).over(w)
           val ind = fn match {
             case RangeF.Resets =>
@@ -216,13 +280,17 @@ final class PromQLContext(
             .select(outCols :+ col("value"): _*)
         case RangeF.PredictLinear(tSec) =>
           // regression on absolute seconds; predict tSec past the WINDOW END
-          // (the tumbling-bucket analog of Prometheus's evaluation timestamp)
+          // (the tumbling-bucket analog of Prometheus's evaluation
+          // timestamp; in sliding mode bucket_ms IS the evaluation time T)
+          val horizon =
+            if (slidingStep.isDefined) col("bucket_ms")
+            else col("bucket_ms") + lit(windowMs)
           rows.groupBy(groupKeys: _*)
             .agg(regr_slope(col(valueCol), ts / 1000.0).as("__sl__"),
               regr_intercept(col(valueCol), ts / 1000.0).as("__ic__"))
             .filter(col("__sl__").isNotNull)
             .select(outCols :+ (col("__ic__") + col("__sl__") *
-              ((col("bucket_ms") + lit(windowMs)).cast("double") / 1000.0 + tSec))
+              (horizon.cast("double") / 1000.0 + tSec))
               .as("value"): _*)
         case RangeF.HoltWinters(sf, tf) =>
           // double exponential smoothing (Prometheus funcHoltWinters): an

@@ -269,4 +269,41 @@ class MetricEngineSpec extends AnyFunSuite {
     // capped result is a prefix of the full key-ordered result
     assert(capped == full.take(25))
   }
+
+  test("sliding range windows (opt-in): rate evaluates per-step (T-w, T] " +
+      "windows with in-window chaining; tumbling stays the default") {
+    import spark.implicits._
+    val e = engine()
+    e.write(Seq(
+      Sample("m", Map("h" -> "a"), 3000L, 1.0),
+      Sample("m", Map("h" -> "a"), 8000L, 4.0),
+      Sample("m", Map("h" -> "a"), 12000L, 9.0),
+      Sample("m", Map("h" -> "a"), 18000L, 11.0),
+      Sample("m", Map("h" -> "a"), 23000L, 2.0), // counter reset
+      Sample("m", Map("h" -> "a"), 27000L, 5.0)).toDF())
+    val range = TimeRange(10000L, 30000L)
+    // default: step 5s against window 10s is rejected (tumbling rule)
+    intercept[IllegalArgumentException](
+      e.queryPromQL("rate(m[10s])", range, Some(5000L)))
+    spark.conf.set("graft.promql.rangeWindows", "sliding")
+    try {
+      val got = e.queryPromQL("rate(m[10s])", range, Some(5000L))
+        .collect()
+        .map(r => r.getAs[Long]("bucket_ms") -> r.getAs[Double]("value"))
+        .toMap
+      // T=10000 (0,10000]: 1→4 = 3/10s; T=15000 (5000,15000]: 4→9 = 5;
+      // T=20000 (10000,20000]: 9→11 = 2; T=25000 (15000,25000]: 11→2
+      // reset → 2; the 27000 sample has no grid T below the range end
+      assert(got == Map(10000L -> 0.3, 15000L -> 0.5, 20000L -> 0.2,
+        25000L -> 0.2), got.toString)
+      // sum by over sliding rate keeps the same grid
+      val summed = e.queryPromQL("""sum by (h) (rate(m[10s]))""",
+          range, Some(5000L))
+        .collect()
+        .map(r => (r.getAs[String]("h"), r.getAs[Long]("bucket_ms"),
+          r.getAs[Double]("value"))).toSet
+      assert(summed == Set(("a", 10000L, 0.3), ("a", 15000L, 0.5),
+        ("a", 20000L, 0.2), ("a", 25000L, 0.2)), summed.toString)
+    } finally spark.conf.unset("graft.promql.rangeWindows")
+  }
 }
