@@ -33,6 +33,18 @@ object Bench {
     // overlaps the first timed run; the median discards that outlier.
     // optional args: bench only the named queries (dev-side triage)
     val only = args.toSet
+
+    /** Warmup-then-3-samples median for one unit of work — the same
+      * protocol as the query loop, shared with the canaries. */
+    def medianOf3(work: () => Unit): Double = {
+      try work() catch { case _: Throwable => () }
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try work() catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      samples.sorted.apply(1)
+    }
     // Streaming run-to-completion entries (bounded file-stream → memory
     // sink) time Structured Streaming's micro-batch startup/teardown — a
     // fixed multi-second overhead independent of data volume — not engine
@@ -69,6 +81,57 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // ---- In-run canaries (round 12, verdict task 5) ----------------------
+    // The r8 "anchor" was a committed BENCH run from one host state; the
+    // shared box's page-cache/load swings made the ≤1.15× criterion
+    // untestable (same code measured 53 s and 123 s totals). Three fixed
+    // trivial workloads — a small-parquet scan (page-cache sensitive, the
+    // exact shape the swung fixtures share), a pure-CPU hash fold, and a
+    // small shuffle — run under the identical median-of-3 protocol, and
+    // their ratio against the committed anchors below normalizes the
+    // suite: judge round-over-round regressions on `normalized_total`
+    // (and BENCH_DETAIL's per-query `normalized`), not raw seconds.
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+    val canaryWork: Seq[(String, () => Unit)] = Seq(
+      "canary_files" -> (() => {
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderkey") % 7 === 0).count(); ()
+      }),
+      "canary_cpu" -> (() => {
+        spark.range(20000000L)
+          .select(sum(xxhash64(col("id")))).collect(); ()
+      }),
+      "canary_shuffle" -> (() => {
+        spark.range(2000000L).groupBy(pmod(col("id"), lit(1000)))
+          .count().count(); ()
+      }))
+    // Anchors measured on the round-12 build (this box, reclaimed-cache
+    // state, load < 2). canary_files depends on the dataset size — one
+    // anchor per sf the driver/dev loops actually run; an unknown sf
+    // normalizes on the two data-independent canaries alone.
+    val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
+    val anchors: Map[String, Double] = Map(
+      "canary_cpu" -> 0.30,
+      "canary_shuffle" -> 0.25) ++
+      (sfName match {
+        case "sf0.1" => Map("canary_files" -> 0.35)
+        case "sf0.01" => Map("canary_files" -> 0.25)
+        case _ => Map.empty[String, Double]
+      })
+    val canaryTimes: Seq[(String, Double)] = canaryWork.map { case (n, w) =>
+      val t = medianOf3(w)
+      System.gc()
+      n -> t
+    }
+    val ratios = canaryTimes.collect {
+      case (n, t) if anchors.contains(n) && t > 0 => t / anchors(n)
+    }.sorted
+    val canaryRatio =
+      if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2) // median
+    val normalizedTotal = total / canaryRatio
+    val canariesJson = canaryTimes.map { case (k, v) =>
+      "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Host-state stamp (round 11, verdict task #5): the r10 triage showed
     // same-code suite totals swinging 53→123 s with background load and
     // page-cache reclaim on the shared box. Recording loadavg + the page
@@ -89,7 +152,9 @@ object Bench {
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","env":$env}"""
+        s""""sf":"$sfDir","env":$env,"canaries":$canariesJson,""" +
+        s""""canary_ratio":$canaryRatio,""" +
+        s""""normalized_total":$normalizedTotal}"""
     println(line)
     // The driver's artifact capture keeps only the tail of stdout; at 160+
     // queries the one-line JSON (~4 kB) overflows it and the per-query map
@@ -101,9 +166,16 @@ object Bench {
       val pretty = new StringBuilder
       pretty ++= s"""{\n  "metric": "total",\n  "value": $total,\n"""
       pretty ++= s"""  "unit": "sec",\n  "sf": "$sfDir",\n  "env": $env,\n"""
+      pretty ++= s"""  "canaries": $canariesJson,\n"""
+      pretty ++= s"""  "canary_ratio": $canaryRatio,\n"""
+      pretty ++= s"""  "normalized_total": $normalizedTotal,\n"""
       pretty ++= s"""  "queries": {\n"""
       pretty ++= results.map { case (k, v) => s"""    "$k": $v""" }
         .mkString(",\n")
+      pretty ++= "\n  },\n"
+      pretty ++= s"""  "normalized": {\n"""
+      pretty ++= results.map { case (k, v) =>
+        s"""    "$k": ${v / canaryRatio}""" }.mkString(",\n")
       pretty ++= "\n  }\n}\n"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),

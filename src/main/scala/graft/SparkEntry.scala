@@ -1169,6 +1169,41 @@ object SparkEntry {
           Some(86400000L))
         .withColumn("value", round(col("value"), 2))),
 
+    // NATIVE-HISTOGRAM rollup routing (round 12): a registered fresh
+    // 2 s-grid HistogramRollup answers histogram_quantile(0.5,
+    // rate(m[4s])) at an aligned instant from bucket-wise increase
+    // partials (within-bucket incs + first/last edge arrays; RollupSpec
+    // asserts the plan reads the rollup store and routed ≡ raw). The
+    // fixture carries a counter reset and a mid-window bucket appearance;
+    // the oracle replays the raw dense-fill increase + quantile walk —
+    // which the routed reconstruction must reproduce exactly.
+    "ro7_rollup_hist" -> ((s, dir) => {
+      val eng = cachedServingEngine("ro7") {
+        import graft.streaming.MetricStreamIngest
+        import graft.streaming.RemoteWrite.HistogramSample
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ro7").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        def h(ts: Long, zero: Double, buckets: Seq[(Int, Double)]) =
+          HistogramSample("lat_ro7", Map("job" -> "api"), ts,
+            count = zero + buckets.map(_._2).sum, sum = 0.0, schema = 0,
+            zeroThreshold = 0.001, zeroCount = zero,
+            positiveBuckets = buckets, negativeBuckets = Nil)
+        MetricStreamIngest.ingestHistograms(e, s, Seq(
+          h(500L, 1, Seq((1, 2.0))),
+          h(1500L, 1, Seq((1, 5.0))),
+          h(2500L, 2, Seq((1, 1.0), (2, 4.0))), // idx1 reset; idx2 appears
+          h(3500L, 2, Seq((1, 3.0), (2, 6.0)))))
+        val hr = new graft.metric.HistogramRollup(e, gridMs = 2000L)
+        hr.refresh()
+        e.registerHistogramRollup(hr)
+        e
+      }
+      eng.instantPromQL(
+        """histogram_quantile(0.5, rate(lat_ro7[4s]))""", 4000L)
+        .select(col("__name__"), col("job"), col("value"))
+    }),
+
     // RECORDING RULE end to end: the rule engine instant-evaluates the
     // per-uid purchase total and writes it back as a new metric; querying
     // THAT metric must reproduce the totals the oracle computes from raw
@@ -4285,6 +4320,57 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'
         |  AND regexp_matches(CAST(user_id % 10 AS VARCHAR), '^(?:[0-4])$')
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Raw dense-fill bucket-wise increase + quantile walk — the routed
+    // rollup reconstruction must reproduce this exactly (idx1: 3 + reset
+    // 1 + 2 = 6; idx2: 4 + 2 = 6; zero: 1; rank 6.5 lands in (1,2]).
+    "ro7_rollup_hist" ->
+      """WITH counts(ts_ms, idx, cnt) AS (VALUES
+        |    (CAST(500 AS BIGINT), 1, CAST(2 AS DOUBLE)),
+        |    (CAST(1500 AS BIGINT), 1, CAST(5 AS DOUBLE)),
+        |    (CAST(2500 AS BIGINT), 1, CAST(1 AS DOUBLE)),
+        |    (CAST(3500 AS BIGINT), 1, CAST(3 AS DOUBLE)),
+        |    (CAST(2500 AS BIGINT), 2, CAST(4 AS DOUBLE)),
+        |    (CAST(3500 AS BIGINT), 2, CAST(6 AS DOUBLE))),
+        |  zeroes(ts_ms, zcnt) AS (VALUES
+        |    (CAST(500 AS BIGINT), CAST(1 AS DOUBLE)),
+        |    (CAST(1500 AS BIGINT), CAST(1 AS DOUBLE)),
+        |    (CAST(2500 AS BIGINT), CAST(2 AS DOUBLE)),
+        |    (CAST(3500 AS BIGINT), CAST(2 AS DOUBLE))),
+        |  dense AS (
+        |    SELECT t.ts_ms, k.idx, coalesce(c.cnt, CAST(0 AS DOUBLE)) AS cnt
+        |    FROM (SELECT DISTINCT ts_ms FROM counts) t
+        |    CROSS JOIN (SELECT DISTINCT idx FROM counts) k
+        |    LEFT JOIN counts c ON c.ts_ms = t.ts_ms AND c.idx = k.idx),
+        |  incs AS (
+        |    SELECT idx, sum(CASE WHEN prev IS NULL THEN 0
+        |        WHEN cnt >= prev THEN cnt - prev ELSE cnt END) AS inc
+        |    FROM (SELECT idx, cnt, lag(cnt) OVER (
+        |        PARTITION BY idx ORDER BY ts_ms) AS prev FROM dense)
+        |    GROUP BY idx),
+        |  zinc AS (
+        |    SELECT sum(CASE WHEN prev IS NULL THEN 0
+        |        WHEN zcnt >= prev THEN zcnt - prev ELSE zcnt END) AS inc
+        |    FROM (SELECT zcnt, lag(zcnt) OVER (ORDER BY ts_ms) AS prev
+        |          FROM zeroes)),
+        |  allb AS (
+        |    SELECT -2147483648 AS idx, CAST(0.0 AS DOUBLE) AS lo,
+        |      0.001 AS hi, inc AS cnt FROM zinc
+        |    UNION ALL
+        |    SELECT idx, power(2.0, idx - 1) AS lo, power(2.0, idx) AS hi,
+        |      inc AS cnt FROM incs),
+        |  total AS (SELECT sum(cnt) AS cnt FROM allb),
+        |  walk AS (
+        |    SELECT a.idx, a.lo, a.hi, a.cnt,
+        |      sum(a.cnt) OVER (ORDER BY a.idx) - a.cnt AS cum_before,
+        |      0.5 * t.cnt AS rk
+        |    FROM allb a CROSS JOIN total t),
+        |  pick AS (
+        |    SELECT lo + (hi - lo) * ((rk - cum_before) / cnt) AS value,
+        |      row_number() OVER (ORDER BY idx) AS rn
+        |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rk)
+        |SELECT 'lat_ro7' AS __name__, 'api' AS job, value
+        |FROM pick WHERE rn = 1""".stripMargin,
 
     // Reset-aware increase replayed from raw samples: lag over each uid's
     // time-ordered values, a drop = counter reset (post-reset value counts

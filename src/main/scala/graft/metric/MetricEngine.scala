@@ -376,7 +376,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     * semantics ([[matcherColumn]]). At a million-series metric the driver
     * holds only the plan; the per-metric series dictionary stays on the
     * executors. */
-  private def matchedSeriesFrame(mid: Long,
+  private[metric] def matchedSeriesFrame(mid: Long,
       matchers: Seq[graft.promql.LabelMatcher]): DataFrame = {
     val (exact, residual) = matchers.partition(m => indexExact(Seq(m)))
     var keyed = series.scan(ScanRequest(
@@ -497,6 +497,24 @@ final class MetricEngine(spark: SparkSession, root: String,
   def registerRollup(r: Rollup): Unit = synchronized {
     rollups = (rollups :+ r).sortBy(-_.gridMs)
   }
+
+  /** Registered NATIVE-HISTOGRAM rollups ([[HistogramRollup]]), coarsest
+    * first — the `histogram_quantile(q, rate(m[30d]))` dashboard path
+    * answers from bucket-wise increase partials instead of raw rows. */
+  @volatile private var histRollups: Seq[HistogramRollup] = Nil
+
+  def registerHistogramRollup(r: HistogramRollup): Unit = synchronized {
+    histRollups = (histRollups :+ r).sortBy(-_.gridMs)
+  }
+
+  /** The coarsest FRESH histogram rollup whose grid the window aligns to
+    * — both endpoints must sit on the grid (the reconstruction is exact
+    * only over whole buckets); a lagging or misaligned rollup falls back
+    * to the raw histograms table. */
+  private def histRollupFor(startMs: Long, endMs: Long): Option[HistogramRollup] =
+    histRollups.find(r => r.isFresh &&
+      math.floorMod(startMs, r.gridMs) == 0 &&
+      math.floorMod(endMs, r.gridMs) == 0)
 
   /** Route `q` to the coarsest registered rollup that can answer it
     * EXACTLY, or None for raw. Routable: combinable aggregation (or
@@ -1117,6 +1135,17 @@ final class MetricEngine(spark: SparkSession, root: String,
     if (sel.offsetMs != 0L) return None
     if (histograms.manifest.allSsts().isEmpty) return None
     val matchers = selectorMatchers(sel)
+    // transparent rollup routing (round 12): a fresh grid-aligned
+    // histogram rollup reconstructs the window's bucket-wise increase
+    // from grid/interval× fewer partial rows; the grid covers [T-w, T)
+    // (HistogramRollup.increaseFromGrid's dialect note)
+    histRollupFor(timeMs - windowMs, timeMs).foreach { hr =>
+      val inc = hr.increaseFromGrid(matchers,
+        TimeRange(timeMs - windowMs, timeMs))
+      if (!inc.isEmpty)
+        return Some(decorateSeriesLabels(
+          NativeHistograms.quantile(inc, Seq(q)), matchers))
+    }
     val rows = scanMatchedHistograms(matchers,
       TimeRange(timeMs - windowMs + 1, timeMs + 1))
     if (rows.isEmpty) return None
@@ -1170,9 +1199,15 @@ final class MetricEngine(spark: SparkSession, root: String,
         if (sel.offsetMs != 0L || histograms.manifest.allSsts().isEmpty)
           None
         else {
-          val rows = scanMatchedHistograms(selectorMatchers(sel),
-            TimeRange(timeMs - w + 1, timeMs + 1))
-          if (rows.isEmpty) None else Some(NativeHistograms.increase(rows))
+          // rollup-routed window increase when a fresh aligned grid exists
+          val routed = histRollupFor(timeMs - w, timeMs).map(
+            _.increaseFromGrid(selectorMatchers(sel),
+              TimeRange(timeMs - w, timeMs))).filter(!_.isEmpty)
+          routed.orElse {
+            val rows = scanMatchedHistograms(selectorMatchers(sel),
+              TimeRange(timeMs - w + 1, timeMs + 1))
+            if (rows.isEmpty) None else Some(NativeHistograms.increase(rows))
+          }
         }
       case None => newestMatchedHistograms(sel, timeMs, lookbackMs)
     }

@@ -73,6 +73,62 @@ object NativeHistograms {
       .select((idCols.map(col) :+ col("phi") :+ col("value")): _*)
   }
 
+  /** One row's (idx, cnt) arrays merged down `__d__` halvings: each
+    * halving merges adjacent bucket pairs (`idx → ((idx-1) >> d) + 1`,
+    * Prometheus's `reduceResolution` rule — exact for standard
+    * exponential schemas: the coarser bucket's bounds are the union of
+    * the pair's). Indexes arrive sorted ascending, so converted indexes
+    * are nondecreasing and a single fold merges equal neighbors. O(n²)
+    * array rebuilds in the worst case, but bucket arrays are dozens of
+    * entries. */
+  private def downscaledArrays(idxCol: String, cntCol: String): String =
+    s"""IF(__d__ <= 0, named_struct('idx', $idxCol, 'cnt', $cntCol),
+       |  aggregate(arrays_zip($idxCol, $cntCol),
+       |    named_struct('idx', CAST(array() AS ARRAY<INT>),
+       |                 'cnt', CAST(array() AS ARRAY<DOUBLE>)),
+       |    (acc, z) -> IF(size(acc.idx) > 0 AND
+       |        element_at(acc.idx, size(acc.idx)) =
+       |          shiftright(z.$idxCol - 1, __d__) + 1,
+       |      named_struct('idx', acc.idx,
+       |        'cnt', concat(slice(acc.cnt, 1, size(acc.cnt) - 1),
+       |          array(element_at(acc.cnt, size(acc.cnt)) + z.$cntCol))),
+       |      named_struct(
+       |        'idx', concat(acc.idx,
+       |          array(shiftright(z.$idxCol - 1, __d__) + 1)),
+       |        'cnt', concat(acc.cnt, array(z.$cntCol))))))""".stripMargin
+
+  /** Convert every histogram row to the COARSEST standard schema present
+    * in its `partitionCols` group — what Prometheus does when a
+    * scrape-config change lands mid-window or a `sum by` group spans
+    * targets on different schemas (exact: merging adjacent bucket pairs
+    * halves the schema). NHCB (-53) cannot mix with standard schemas
+    * (custom bounds are unrelated to the exponential grid) — that still
+    * raises. Single-schema groups pass through bit-identical (`__d__` =
+    * 0). Cost: one window min/max over `partitionCols` — the same keys
+    * the callers shuffle on next, so the exchange is reused — plus
+    * per-row array folds. */
+  private[metric] def downscaleToCoarsest(rows: DataFrame,
+      partitionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+    rows
+      .withColumn("__tgt__", min(col("bucket_schema")).over(w))
+      .withColumn("__mx__", max(col("bucket_schema")).over(w))
+      .withColumn("__tgt__",
+        when(col("__tgt__") =!= col("__mx__") && col("__tgt__") === -53,
+          expr("CAST(raise_error('cannot mix custom-bound (NHCB) and " +
+            "standard native histogram schemas') AS INT)"))
+          .otherwise(col("__tgt__")))
+      .withColumn("__d__", col("bucket_schema") - col("__tgt__"))
+      .withColumn("__pos__", expr(downscaledArrays("pos_idx", "pos_cnt")))
+      .withColumn("__neg__", expr(downscaledArrays("neg_idx", "neg_cnt")))
+      .withColumn("pos_idx", col("__pos__.idx"))
+      .withColumn("pos_cnt", col("__pos__.cnt"))
+      .withColumn("neg_idx", col("__neg__.idx"))
+      .withColumn("neg_cnt", col("__neg__.cnt"))
+      .withColumn("bucket_schema", col("__tgt__"))
+      .drop("__tgt__", "__mx__", "__d__", "__pos__", "__neg__")
+  }
+
   /** Bucket-wise reset-aware INCREASE over a window of native histogram
     * samples — the vector behind `histogram_quantile(q, rate(m[w]))`
     * (Prometheus's own docs note the quantile of `rate` equals the
@@ -113,61 +169,6 @@ object NativeHistograms {
     * PRESENT bucket entries (no dense time×bucket materialization — see
     * the absence-handling comment in the body), two keyed shuffles on
     * uniform hash keys plus one per-series rebuild. */
-  /** One row's (idx, cnt) arrays merged down `__d__` halvings: each
-    * halving merges adjacent bucket pairs (`idx → ((idx-1) >> d) + 1`,
-    * Prometheus's `reduceResolution` rule — exact for standard
-    * exponential schemas: the coarser bucket's bounds are the union of
-    * the pair's). Indexes arrive sorted ascending, so converted indexes
-    * are nondecreasing and a single fold merges equal neighbors. O(n²)
-    * array rebuilds in the worst case, but bucket arrays are dozens of
-    * entries. */
-  private def downscaledArrays(idxCol: String, cntCol: String): String =
-    s"""IF(__d__ <= 0, named_struct('idx', $idxCol, 'cnt', $cntCol),
-       |  aggregate(arrays_zip($idxCol, $cntCol),
-       |    named_struct('idx', CAST(array() AS ARRAY<INT>),
-       |                 'cnt', CAST(array() AS ARRAY<DOUBLE>)),
-       |    (acc, z) -> IF(size(acc.idx) > 0 AND
-       |        element_at(acc.idx, size(acc.idx)) =
-       |          shiftright(z.$idxCol - 1, __d__) + 1,
-       |      named_struct('idx', acc.idx,
-       |        'cnt', concat(slice(acc.cnt, 1, size(acc.cnt) - 1),
-       |          array(element_at(acc.cnt, size(acc.cnt)) + z.$cntCol))),
-       |      named_struct(
-       |        'idx', concat(acc.idx,
-       |          array(shiftright(z.$idxCol - 1, __d__) + 1)),
-       |        'cnt', concat(acc.cnt, array(z.$cntCol))))))""".stripMargin
-
-  /** Convert every histogram row to the COARSEST standard schema present
-    * in its `partitionCols` group — what Prometheus does when a
-    * scrape-config change lands mid-window or a `sum by` group spans
-    * targets on different schemas (exact: merging adjacent bucket pairs
-    * halves the schema). NHCB (-53) cannot mix with standard schemas
-    * (custom bounds are unrelated to the exponential grid) — that still
-    * raises. Single-schema groups pass through bit-identical (`__d__` =
-    * 0). Cost: one window min/max over `partitionCols` — the same keys
-    * the callers shuffle on next, so the exchange is reused — plus
-    * per-row array folds. */
-  private def downscaleToCoarsest(rows: DataFrame,
-      partitionCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(partitionCols.map(col): _*)
-    rows
-      .withColumn("__tgt__", min(col("bucket_schema")).over(w))
-      .withColumn("__mx__", max(col("bucket_schema")).over(w))
-      .withColumn("__tgt__",
-        when(col("__tgt__") =!= col("__mx__") && col("__tgt__") === -53,
-          expr("CAST(raise_error('cannot mix custom-bound (NHCB) and " +
-            "standard native histogram schemas') AS INT)"))
-          .otherwise(col("__tgt__")))
-      .withColumn("__d__", col("bucket_schema") - col("__tgt__"))
-      .withColumn("__pos__", expr(downscaledArrays("pos_idx", "pos_cnt")))
-      .withColumn("__neg__", expr(downscaledArrays("neg_idx", "neg_cnt")))
-      .withColumn("pos_idx", col("__pos__.idx"))
-      .withColumn("pos_cnt", col("__pos__.cnt"))
-      .withColumn("neg_idx", col("__neg__.idx"))
-      .withColumn("neg_cnt", col("__neg__.cnt"))
-      .withColumn("bucket_schema", col("__tgt__"))
-      .drop("__tgt__", "__mx__", "__d__", "__pos__", "__neg__")
-  }
 
   def increase(rows0: DataFrame, bucketMs: Option[Long] = None): DataFrame = {
     // schema changes within the window downscale to the coarsest (per
@@ -296,7 +297,7 @@ object NativeHistograms {
 
   /** Rebuild histogram rows from per-(keys, kind, idx) counts + per-keys
     * meta — the shared tail of [[increase]] and [[sumHistograms]]. */
-  private def assembleHistograms(incs: DataFrame, meta: DataFrame,
+  private[metric] def assembleHistograms(incs: DataFrame, meta: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     def sortedArrays(kind: Int, idxName: String, cntName: String) =
       incs.filter(col("kind") === kind)

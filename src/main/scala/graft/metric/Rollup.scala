@@ -41,7 +41,13 @@ import graft.storage._
   * (coarse history is cheap to keep). A deployment wanting strict
   * rollup≡raw equivalence after expiry should configure the same `ttl`
   * on the rollup store's compactor. */
+object Rollup {
+  final case class RefreshStats(segmentsRolled: Int, maxSstId: Long)
+}
+
 final class Rollup(engine: MetricEngine, val gridMs: Long) {
+  import Rollup.RefreshStats
+
   require(gridMs > 0, s"gridMs must be positive, got $gridMs")
   require(engine.data.segmentMs % gridMs == 0,
     s"gridMs ($gridMs) must divide the data segment size " +
@@ -94,8 +100,6 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
     if (!hfs.rename(tmp, watermarkPath))
       throw new java.io.IOException(s"failed to commit $watermarkPath")
   }
-
-  final case class RefreshStats(segmentsRolled: Int, maxSstId: Long)
 
   /** In-memory mirror of the persisted watermark (one file read at
     * construction, then updated by [[refresh]]), for the engine's

@@ -415,4 +415,82 @@ class RollupSpec extends AnyFunSuite {
     write(eng, Seq(("a", hour * 5, 2.0)))
     assert(r2.refresh().segmentsRolled == 1)
   }
+
+  test("histogram rollup: routed histogram_quantile(q, rate(m[w])) and " +
+      "the sum-by shape equal the raw path on a reset-bearing fixture, " +
+      "and the routed plan reads the rollup store") {
+    import graft.streaming.MetricStreamIngest
+    import graft.streaming.RemoteWrite.HistogramSample
+    val eng = freshEngine()
+    def h(host: String, ts: Long, zero: Double,
+        buckets: Seq[(Int, Double)]) =
+      HistogramSample("lat", Map("host" -> host), ts,
+        count = zero + buckets.map(_._2).sum, sum = 0.0, schema = 0,
+        zeroThreshold = 0.001, zeroCount = zero,
+        positiveBuckets = buckets, negativeBuckets = Nil)
+    MetricStreamIngest.ingestHistograms(eng, spark, Seq(
+      // host a: growth, an idx that vanishes and another that appears,
+      // then a counter reset on idx 1 across a grid-bucket boundary
+      h("a", 10 * 60000L, 1, Seq((1, 2.0), (2, 3.0))),
+      h("a", 50 * 60000L, 1, Seq((1, 5.0), (3, 2.0))),
+      h("a", hour + 10 * 60000L, 2, Seq((1, 1.0), (3, 4.0))),
+      h("a", 2 * hour + 30 * 60000L, 2, Seq((1, 6.0), (3, 4.0))),
+      // host b: sparse — skips grid buckets entirely
+      h("b", hour + 20 * 60000L, 0, Seq((2, 7.0))),
+      h("b", 3 * hour + 40 * 60000L, 0, Seq((2, 9.0)))))
+    val T = 4 * hour
+    val q1 = """histogram_quantile(0.5, rate(lat[4h]))"""
+    val q2 = """histogram_quantile(0.5, sum by (host) (rate(lat[4h])))"""
+    def run(text: String) = eng.instantPromQL(text, T).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Double]("value"))).toMap
+    val raw1 = run(q1)
+    val raw2 = run(q2)
+    assert(raw1.keySet == Set("a", "b"), raw1.toString)
+    val hr = new HistogramRollup(eng, gridMs = hour)
+    assert(!hr.isFresh)
+    hr.refresh()
+    assert(hr.isFresh)
+    eng.registerHistogramRollup(hr)
+    val routedDf = eng.instantPromQL(q1, T)
+    val plan = routedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("_hrollup_"),
+      s"routed plan must read the rollup store:\n$plan")
+    val routed1 = routedDf.collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Double]("value"))).toMap
+    val routed2 = run(q2)
+    assert(routed1.keySet == raw1.keySet)
+    raw1.foreach { case (k, v) =>
+      assert(math.abs(routed1(k) - v) < 1e-9, s"$k: raw $v routed ${routed1(k)}") }
+    assert(routed2.keySet == raw2.keySet)
+    raw2.foreach { case (k, v) =>
+      assert(math.abs(routed2(k) - v) < 1e-9, s"$k: raw $v routed ${routed2(k)}") }
+    // an unaligned window falls back to raw (no rollup store in the plan)
+    val unaligned = eng.instantPromQL(q1, T + 1).queryExecution
+      .executedPlan.toString
+    assert(!unaligned.contains("_hrollup_"))
+    // late data: a new sample makes the rollup stale -> raw until refresh
+    MetricStreamIngest.ingestHistograms(eng, spark, Seq(
+      h("a", 3 * hour + 50 * 60000L, 2, Seq((1, 8.0), (3, 4.0)))))
+    assert(!hr.isFresh)
+    val stale = eng.instantPromQL(q1, T).queryExecution
+      .executedPlan.toString
+    assert(!stale.contains("_hrollup_"))
+    hr.refresh()
+    assert(hr.isFresh)
+    // after the re-roll the routed answer includes the late sample —
+    // compare against the raw increase computed directly
+    val routedLate = run(q1)
+    val expLate = NativeHistograms.quantile(
+      NativeHistograms.increase(
+        eng.queryHistograms("lat", TimeRange(1L, T + 1))), Seq(0.5))
+      .collect().map { r =>
+        val (_, ls) = MetricEngine.parseSeriesKey(
+          r.getAs[String]("series_key"))
+        ls("host") -> r.getAs[Double]("value")
+      }.toMap
+    assert(routedLate.keySet == expLate.keySet)
+    expLate.foreach { case (k, v) =>
+      assert(math.abs(routedLate(k) - v) < 1e-9,
+        s"late $k: exp $v got ${routedLate(k)}") }
+  }
 }
