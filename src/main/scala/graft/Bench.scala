@@ -45,6 +45,34 @@ object Bench {
       }
       samples.sorted.apply(1)
     }
+
+    // Fixed canary workloads (see the normalization block below): sized
+    // around half a second each so sample jitter is small against the
+    // host-state swings they measure.
+    val canaryWork: Seq[(String, () => Unit)] = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+      Seq(
+        "canary_files" -> (() => {
+          val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          o.filter(col("o_orderkey") % 7 === 0)
+            .agg(sum(col("o_totalprice"))).collect()
+          o.agg(sum(xxhash64(col("o_comment")))).collect()
+          l.agg(sum(xxhash64(col("l_comment")))).collect(); ()
+        }),
+        "canary_cpu" -> (() => {
+          spark.range(8000000000L)
+            .select(sum(xxhash64(col("id")))).collect(); ()
+        }),
+        "canary_shuffle" -> (() => {
+          spark.range(50000000L).groupBy(pmod(col("id"), lit(4096)))
+            .count().count(); ()
+        }))
+    }
+    // pre-suite canary pass — bracketed with the post-suite pass below
+    val canaryBefore = canaryWork.map { case (n, w) =>
+      val t = medianOf3(w); System.gc(); n -> t
+    }
     // Streaming run-to-completion entries (bounded file-stream → memory
     // sink) time Structured Streaming's micro-batch startup/teardown — a
     // fixed multi-second overhead independent of data volume — not engine
@@ -86,44 +114,33 @@ object Bench {
     // The r8 "anchor" was a committed BENCH run from one host state; the
     // shared box's page-cache/load swings made the ≤1.15× criterion
     // untestable (same code measured 53 s and 123 s totals). Three fixed
-    // trivial workloads — a small-parquet scan (page-cache sensitive, the
-    // exact shape the swung fixtures share), a pure-CPU hash fold, and a
-    // small shuffle — run under the identical median-of-3 protocol, and
-    // their ratio against the committed anchors below normalizes the
-    // suite: judge round-over-round regressions on `normalized_total`
-    // (and BENCH_DETAIL's per-query `normalized`), not raw seconds.
-    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
-    val canaryWork: Seq[(String, () => Unit)] = Seq(
-      "canary_files" -> (() => {
-        spark.read.parquet(s"$sfDir/orders.parquet")
-          .filter(col("o_orderkey") % 7 === 0).count(); ()
-      }),
-      "canary_cpu" -> (() => {
-        spark.range(20000000L)
-          .select(sum(xxhash64(col("id")))).collect(); ()
-      }),
-      "canary_shuffle" -> (() => {
-        spark.range(2000000L).groupBy(pmod(col("id"), lit(1000)))
-          .count().count(); ()
-      }))
-    // Anchors measured on the round-12 build (this box, reclaimed-cache
-    // state, load < 2). canary_files depends on the dataset size — one
-    // anchor per sf the driver/dev loops actually run; an unknown sf
-    // normalizes on the two data-independent canaries alone.
+    // trivial workloads — a parquet scan+aggregate (page-cache sensitive,
+    // the exact shape the swung fixtures share), a pure-CPU hash fold,
+    // and a shuffle — run under the identical median-of-3 protocol
+    // TWICE, bracketing the suite (the `before` pass ran above, pre-
+    // suite), and the bracketed mean against the committed anchors below
+    // normalizes the suite: judge round-over-round regressions on
+    // `normalized_total` (and BENCH_DETAIL's `normalized`), not raw
+    // seconds. Each canary is sized ≥ ~0.5 s so its own jitter stays
+    // small relative to the host swings it is measuring.
+    val canaryAfter = canaryWork.map { case (n, w) =>
+      val t = medianOf3(w); System.gc(); n -> t
+    }
+    val canaryTimes: Seq[(String, Double)] = canaryBefore.zip(canaryAfter)
+      .map { case ((n, b), (_, a)) => n -> ((b + a) / 2.0) }
+    // Anchors: the bracketed means measured on the round-12 build (this
+    // box, ~32 idle cores, page cache reclaimed). canary_files depends on
+    // the dataset size — one anchor per sf the driver/dev loops run; an
+    // unknown sf normalizes on the two data-independent canaries alone.
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
     val anchors: Map[String, Double] = Map(
-      "canary_cpu" -> 0.30,
-      "canary_shuffle" -> 0.25) ++
+      "canary_cpu" -> 0.60,
+      "canary_shuffle" -> 0.90) ++
       (sfName match {
-        case "sf0.1" => Map("canary_files" -> 0.35)
-        case "sf0.01" => Map("canary_files" -> 0.25)
+        case "sf0.1" => Map("canary_files" -> 0.50)
+        case "sf0.01" => Map("canary_files" -> 0.45)
         case _ => Map.empty[String, Double]
       })
-    val canaryTimes: Seq[(String, Double)] = canaryWork.map { case (n, w) =>
-      val t = medianOf3(w)
-      System.gc()
-      n -> t
-    }
     val ratios = canaryTimes.collect {
       case (n, t) if anchors.contains(n) && t > 0 => t / anchors(n)
     }.sorted

@@ -472,18 +472,47 @@ final class HttpFrontend(
           graft.metric.MetricEngine.parseSeriesKey)
       }
       if (chosen == RemoteRead.StreamedXorChunks) {
-        // chunked stream: one frame per series (uvarint len + CRC32C +
-        // marshaled ChunkedReadResponse), query_index stamps the source
-        // query; NOT snappy-compressed per the protocol
-        val out = new java.io.ByteArrayOutputStream()
-        req.queries.zipWithIndex.foreach { case (q, qi) =>
-          seriesOf(q).foreach { s =>
-            out.write(RemoteRead.frame(
-              RemoteRead.encodeChunkedFrame(Seq(s), qi.toLong)))
+        // TRUE streaming (round 12): one frame per series (uvarint len +
+        // CRC32C + marshaled ChunkedReadResponse; NOT snappy-compressed
+        // per the protocol), flushed to the chunked HTTP stream as each
+        // series completes — the server holds at most one series, never
+        // the response. Plans (and their analysis errors) materialize
+        // BEFORE the 200 commits; a mid-stream execution failure can no
+        // longer change the status, so the stream truncates and the
+        // client's CRC/length check rejects the tail — the protocol's
+        // own failure mode (Prometheus's server behaves the same).
+        val qIters: Seq[Iterator[(String, Long, Double)]] =
+          req.queries.map { q =>
+            val ms = q.matchers.map(RemoteRead.toPromQLMatcher)
+            val df = engine.readRaw(ms, TimeRange(q.startMs, q.endMs + 1))
+              .select("series_key", "ts_ms", "value")
+              .orderBy("series_key", "ts_ms")
+            new Iterator[(String, Long, Double)] {
+              // the per-query row cap, enforced incrementally (the
+              // buffered path's collectCapped analog)
+              private var n = 0L
+              private lazy val it = df.toLocalIterator()
+              def hasNext: Boolean = it.hasNext
+              def next(): (String, Long, Double) = {
+                n += 1
+                if (n > maxResultRows) throw new ResultTooLarge
+                val r = it.next()
+                (r.getString(0), r.getLong(1), r.getDouble(2))
+              }
+            }
           }
-        }
-        respondBytes(ex, 200, out.toByteArray, Seq(
-          "Content-Type" -> RemoteRead.ChunkedContentType))
+        ex.getResponseHeaders.add("Content-Type",
+          RemoteRead.ChunkedContentType)
+        ex.sendResponseHeaders(200, 0L) // 0 = chunked transfer encoding
+        val os = ex.getResponseBody
+        try
+          RemoteRead.streamChunked(qIters,
+            graft.metric.MetricEngine.parseSeriesKey,
+            bytes => { os.write(bytes); os.flush() })
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn("chunked remote-read stream aborted mid-flight", e)
+        } finally os.close()
       } else {
         val results = req.queries.map(seriesOf)
         val encoded = org.xerial.snappy.Snappy.compress(

@@ -337,6 +337,35 @@ object RemoteRead {
     out.toArray
   }
 
+  /** Drive a TRUE streaming chunked-read response (round 12): for each
+    * query, in order, group its series_key-sorted row iterator into
+    * series and hand each series' framed ChunkedReadResponse to `write`
+    * AS the series completes — the next series' rows are not consumed
+    * past their first row before the previous frame is written, so the
+    * transport holds at most ONE series' samples, never the response
+    * (Prometheus's own streamed remote-read shape; the round-11 server
+    * buffered the full frame set before responding). `rows` must arrive
+    * sorted by series_key; sample order within a series is restored by
+    * [[seriesFromRows]]. */
+  def streamChunked(
+      queriesRows: Seq[Iterator[(String, Long, Double)]],
+      parseKey: String => (String, Map[String, String]),
+      write: Array[Byte] => Unit): Unit = {
+    queriesRows.zipWithIndex.foreach { case (it, qi) =>
+      val buf = mutable.ArrayBuffer.empty[(String, Long, Double)]
+      def flush(): Unit = if (buf.nonEmpty) {
+        write(frame(encodeChunkedFrame(
+          seriesFromRows(buf.toSeq, parseKey), qi.toLong)))
+        buf.clear()
+      }
+      it.foreach { r =>
+        if (buf.nonEmpty && buf.head._1 != r._1) flush()
+        buf += r
+      }
+      flush()
+    }
+  }
+
   /** Split a chunked-response byte stream back into frame payloads,
     * validating each CRC (client side / tests). */
   def unframeAll(stream: Array[Byte]): Seq[Array[Byte]] = {

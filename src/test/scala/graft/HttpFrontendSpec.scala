@@ -685,6 +685,10 @@ class HttpFrontendSpec extends AnyFunSuite {
         new String(chunked.body(), "UTF-8"))
       assert(chunked.headers().firstValue("Content-Type").orElse("") ==
         RemoteRead.ChunkedContentType)
+      // round 12: the response STREAMS (chunked transfer encoding, no
+      // pre-computed length) — frames flush as their series complete
+      assert(chunked.headers().firstValue("Content-Length").isEmpty,
+        chunked.headers().map().toString)
       val frames = RemoteRead.unframeAll(chunked.body())
         .map(RemoteRead.decodeChunkedFrame)
       assert(frames.forall(_._1 == 0L)) // one query → index 0

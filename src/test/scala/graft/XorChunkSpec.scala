@@ -132,4 +132,32 @@ class XorChunkSpec extends AnyFunSuite {
     assert(got.head.labels == series.labels)
     assert(got.head.samples == samples)
   }
+
+  test("streamChunked writes each series' frame before consuming the " +
+      "next series' remaining rows — true streaming, never a buffered " +
+      "response") {
+    import graft.streaming.RemoteRead
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rows = Seq(("a", 1L, 1.0), ("a", 2L, 2.0),
+      ("b", 3L, 3.0), ("b", 4L, 4.0))
+    val it = rows.iterator.map { r => events += s"row:${r._1}:${r._2}"; r }
+    RemoteRead.streamChunked(Seq(it), k => (k, Map.empty),
+      _ => events += "write")
+    // series a's frame is written after seeing b's FIRST row (the series
+    // boundary) and before b's remaining rows are computed
+    assert(events.toSeq == Seq("row:a:1", "row:a:2", "row:b:3",
+      "write", "row:b:4", "write"), events.toString)
+    // payload round-trip: the concatenated frames decode to both series
+    // under their query indexes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    RemoteRead.streamChunked(
+      Seq(rows.iterator, Seq(("c", 9L, 9.0)).iterator),
+      k => (k, Map("host" -> k)), out += _)
+    val frames = RemoteRead.unframeAll(out.toSeq.flatten.toArray)
+      .map(RemoteRead.decodeChunkedFrame)
+    assert(frames.map(_._1) == Seq(0L, 0L, 1L))
+    assert(frames.flatMap(_._2).map(_.samples) ==
+      Seq(Seq((1L, 1.0), (2L, 2.0)), Seq((3L, 3.0), (4L, 4.0)),
+        Seq((9L, 9.0))))
+  }
 }
