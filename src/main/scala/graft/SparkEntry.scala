@@ -4033,6 +4033,8 @@ object SparkEntry {
         |GROUP BY uid, bucket_ms""".stripMargin,
 
     // Absent replay: day grid minus the days uid 7 purchased.
+    // round 12: the `=` matcher reconstructs as a literal uid label
+    // (Prometheus createLabelsForAbsentFunction)
     "p27_promql_absent_ot" ->
       """WITH g AS (SELECT unnest(generate_series(
         |    1704067200000, 1706659200000, 86400000)) AS bucket_ms),
@@ -4042,7 +4044,7 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase' AND user_id = 7
         |    AND epoch_ms(ts::TIMESTAMP) >= 1704067200000
         |    AND epoch_ms(ts::TIMESTAMP) < 1706745600000)
-        |SELECT g.bucket_ms, CAST(1.0 AS DOUBLE) AS value FROM g
+        |SELECT g.bucket_ms, CAST(1.0 AS DOUBLE) AS value, '7' AS uid FROM g
         |WHERE g.bucket_ms NOT IN (SELECT bucket_ms FROM p)""".stripMargin,
 
     // Instant replay: newest sample per series within the lookback window
@@ -4721,11 +4723,13 @@ object SparkEntry {
         |  AND regexp_full_match(user_id::VARCHAR, '[1-2][0-9]')
         |GROUP BY uid, bucket_ms""".stripMargin,
 
+    // round 12: the label text is Go strconv.FormatFloat(v, 'f', -1, 64)
+    // — integral doubles render bare ("123", not "123.0")
     "p13_promql_countvalues" ->
       """SELECT
         |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
         |    AS bucket_ms,
-        |  CAST(floor(value) AS VARCHAR) AS v,
+        |  CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS v,
         |  CAST(count(*) AS DOUBLE) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY bucket_ms, v""".stripMargin,

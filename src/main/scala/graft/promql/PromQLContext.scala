@@ -126,6 +126,11 @@ final class PromQLContext(
           "absent_over_time needs an explicit bounded range"))
       val aRows = select(sel.metric, sel.matchers, sel.offsetMs, range)
       val aTs = shifted(sel.offsetMs)
+      // matcher-derived labels reconstruct exactly like absent() —
+      // appended after the grid anti-join below
+      def aRecon(df: DataFrame): DataFrame =
+        PromQLContext.absentReconLabels(sel).foldLeft(df) {
+          case (d, (l, v)) => d.withColumn(l, lit(v)) }
       slidingStep match {
         case Some((s, outR)) =>
           val firstT = -Math.floorDiv(-outR.start, s) * s
@@ -141,8 +146,8 @@ final class PromQLContext(
             explode(when(tLo <= tHi, sequence(tLo, tHi, lit(s)))
               .otherwise(array().cast("array<bigint>")))
               .as("bucket_ms")).distinct()
-          aGrid.join(aPresent, Seq("bucket_ms"), "left_anti")
-            .withColumn("value", lit(1.0))
+          aRecon(aGrid.join(aPresent, Seq("bucket_ms"), "left_anti")
+            .withColumn("value", lit(1.0)))
         case None =>
           val aLo = math.floorDiv(r0.start, windowMs) * windowMs
           val aHi = math.floorDiv(r0.end - 1, windowMs) * windowMs
@@ -151,8 +156,8 @@ final class PromQLContext(
           val aPresent = aRows
             .select((floor(aTs / lit(windowMs)).cast("long") * windowMs)
               .as("bucket_ms")).distinct()
-          aGrid.join(aPresent, Seq("bucket_ms"), "left_anti")
-            .withColumn("value", lit(1.0))
+          aRecon(aGrid.join(aPresent, Seq("bucket_ms"), "left_anti")
+            .withColumn("value", lit(1.0)))
       }
 
     case RangeFn(fn, sel, windowMs) =>
@@ -723,10 +728,13 @@ final class PromQLContext(
       // the alerting primitive: 1.0 where the selection is EMPTY. Unstepped:
       // a global count aggregate (one row either way), filtered. Stepped:
       // one row per step bucket of the (bounded) range with no samples —
-      // an anti-join of the step grid against the observed buckets. Labels
-      // are not reconstructed from matchers (documented deviation).
+      // an anti-join of the step grid against the observed buckets.
+      // Matcher-derived labels reconstruct like Prometheus's
+      // createLabelsForAbsentFunction (round 12): `=` matchers with a
+      // non-empty value become literal label columns, a label touched by
+      // any OTHER matcher shape (regex/negative/duplicate) is dropped.
       val in = eval(child, stepMs, range)
-      stepMs match {
+      val base = stepMs match {
         case Some(st) =>
           val grid = stepGrid(st, range, "absent()")
           val present = withStepBucket(in, stepMs).select("bucket_ms").distinct()
@@ -737,6 +745,11 @@ final class PromQLContext(
             .filter(col("__n__") === 0)
             .select(lit(1.0).as("value"))
       }
+      val recon = child match {
+        case s: Selector => PromQLContext.absentReconLabels(s)
+        case _ => Nil
+      }
+      recon.foldLeft(base) { case (df, (l, v)) => df.withColumn(l, lit(v)) }
 
     case FnCall("scalar", child, _) =>
       // standalone scalar(): per-step single value, NaN where the child is
@@ -968,9 +981,17 @@ final class PromQLContext(
             s"(${in.columns.mkString(", ")})")
       val keys = by.sorted.map(col) ++
         (if (in.columns.contains("bucket_ms")) Seq(col("bucket_ms")) else Nil)
-      // the stringified sample value becomes a NEW label column
-      in.groupBy(keys :+ col("value").cast("string").as(lbl): _*)
+      // the stringified sample value becomes a NEW label column — grouped
+      // on the RAW double (bijective with its shortest decimal), then
+      // rendered post-aggregation over the few distinct values with Go's
+      // strconv.FormatFloat(v, 'f', -1, 64) — exactly Prometheus's
+      // count_values label text ("2" not "2.0", plain decimal at any
+      // magnitude, never scientific notation)
+      in.groupBy(keys :+ col("value").as("__cv_raw__"): _*)
         .agg(count(lit(1)).cast("double").as("value"))
+        .withColumn(lbl, org.apache.spark.sql.functions.expr(
+          PromQLContext.goFloatTextExpr("__cv_raw__")))
+        .drop("__cv_raw__")
 
     case Agg(op, by, child, without) =>
       // a stepped agg over a raw selector buckets ts_ms; over a range fn the
@@ -1273,6 +1294,60 @@ final class PromQLContext(
 }
 
 object PromQLContext {
+
+  /** Labels `absent()`/`absent_over_time()` reconstruct from their
+    * selector — Prometheus's `createLabelsForAbsentFunction`: each `=`
+    * matcher with a non-empty value contributes `label=value`; a label
+    * also touched by any other matcher (regex, negative, a second `=`)
+    * is dropped entirely. `__name__` and names colliding with the
+    * evaluator's structural columns never reconstruct. */
+  def absentReconLabels(sel: Selector): Seq[(String, String)] = {
+    val ms = sel.matchers.filterNot(_.label == "__name__")
+    val multi = ms.groupBy(_.label).collect { case (l, g)
+      if g.size > 1 || g.exists(m => m.op != MatchOp.Eq || m.value.isEmpty)
+      => l }.toSet
+    ms.collect {
+      case LabelMatcher(l, MatchOp.Eq, v)
+        if v.nonEmpty && !multi(l) &&
+          !Set("value", "bucket_ms", "ts_ms")(l) => l -> v
+    }.sortBy(_._1)
+  }
+
+  /** SQL expression rendering a DOUBLE column `c` exactly as Go's
+    * `strconv.FormatFloat(v, 'f', -1, 64)` — Prometheus's `count_values`
+    * label text: shortest round-trip digits in PLAIN decimal ("2" not
+    * "2.0", "0.0000001" not "1.0E-7", zero-padded integers at any
+    * magnitude, never scientific notation; NaN/±Inf as Go spells them).
+    * Java's `Double.toString` already produces the shortest round-trip
+    * digits, so this is pure string surgery: expand the exponent and drop
+    * the mandatory ".0" on integral values. The `transform(array(x), …)`
+    * wrappers are let-bindings (each subexpression computes once). */
+  def goFloatTextExpr(c: String): String =
+    s"""CASE
+       |  WHEN isnan($c) THEN 'NaN'
+       |  WHEN $c = CAST('Infinity' AS DOUBLE) THEN '+Inf'
+       |  WHEN $c = CAST('-Infinity' AS DOUBLE) THEN '-Inf'
+       |  ELSE concat(
+       |    IF(startswith(CAST($c AS STRING), '-'), '-', ''),
+       |    element_at(transform(
+       |      array(regexp_replace(CAST($c AS STRING), '^-', '')), u ->
+       |      IF(instr(u, 'E') = 0, regexp_replace(u, '\\\\.0$$', ''),
+       |        element_at(transform(array(named_struct(
+       |            'd', IF(regexp_replace(regexp_replace(
+       |                   substring_index(u, 'E', 1), '\\\\.', ''),
+       |                   '0+$$', '') = '', '0',
+       |                 regexp_replace(regexp_replace(
+       |                   substring_index(u, 'E', 1), '\\\\.', ''),
+       |                   '0+$$', '')),
+       |            'e', CAST(substring_index(u, 'E', -1) AS INT))), x ->
+       |          CASE
+       |            WHEN x.e < 0 THEN
+       |              concat('0.', repeat('0', -x.e - 1), x.d)
+       |            WHEN length(x.d) <= x.e + 1 THEN rpad(x.d, x.e + 1, '0')
+       |            ELSE concat(substring(x.d, 1, x.e + 1), '.',
+       |              substring(x.d, x.e + 2))
+       |          END), 1))), 1))
+       |END""".stripMargin
   /** Range-function windows reachable in `e` WITHOUT crossing a nested
     * subquery boundary (a nested subquery owns its own timeline). Used to
     * reject inner windows that disagree with the enclosing step. */

@@ -217,6 +217,31 @@ class PromQLSpec extends AnyFunSuite {
         range = Some(graft.storage.TimeRange(0L, 4 * H))))
   }
 
+  test("count_values renders Go strconv 'f' label text; absent()/" +
+      "absent_over_time reconstruct `=` matcher labels (round 12)") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 2.0),
+      Row("cpu", "b", "us", 0L, 2.0),
+      Row("cpu", "a", "us", 1L, 0.0000001),
+      Row("cpu", "a", "us", 2L, 12300000.0),
+      Row("cpu", "a", "us", 3L, 2.5),
+      Row("cpu", "a", "us", 4L, -1.5E21)))
+    val cv = ctx.sql("""count_values("v", cpu)""").collect()
+      .map(r => r.getAs[String]("v") -> r.getAs[Double]("value")).toMap
+    // "2" not "2.0", plain decimal at any magnitude, never E-notation
+    assert(cv == Map("2" -> 2.0, "0.0000001" -> 1.0, "12300000" -> 1.0,
+      "2.5" -> 1.0, "-1500000000000000000000" -> 1.0), cv.toString)
+    // absent: = matchers become literal labels; regex / duplicate-=
+    // labels drop (Prometheus createLabelsForAbsentFunction)
+    val ab = ctx.sql("""absent(cpu{host="zzz", dc=~"e.*"})""").collect()
+    assert(ab.length == 1)
+    assert(ab.head.getAs[String]("host") == "zzz")
+    assert(!ab.head.schema.fieldNames.contains("dc"))
+    val abOt = ctx.sql("""absent_over_time(cpu{host="zzz"}[1h])""",
+      range = Some(graft.storage.TimeRange(0L, 2 * H))).collect()
+    assert(abOt.length == 2 && abOt.forall(_.getAs[String]("host") == "zzz"))
+  }
+
   test("context: stddev/stdvar/mad over time") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", 1L, 3.0),
