@@ -991,7 +991,9 @@ final class PromQLContext(
         .agg(count(lit(1)).cast("double").as("value"))
         .withColumn(lbl, org.apache.spark.sql.functions.expr(
           PromQLContext.goFloatTextExpr("__cv_raw__")))
-        .drop("__cv_raw__")
+        .select(by.sorted.map(col) ++
+          (if (in.columns.contains("bucket_ms")) Seq(col("bucket_ms"))
+           else Nil) ++ Seq(col(lbl), col("value")): _*)
 
     case Agg(op, by, child, without) =>
       // a stepped agg over a raw selector buckets ts_ms; over a range fn the

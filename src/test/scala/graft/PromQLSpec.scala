@@ -651,18 +651,18 @@ class PromQLSpec extends AnyFunSuite {
       CountValues("v", Nil, Selector("cpu", Nil)))
     val cv = ctx.sql("""count_values by (dc) ("v", cpu)""").collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
-    assert(cv == Map(("us", "1.0") -> 1.0, ("us", "3.0") -> 1.0,
-      ("eu", "3.0") -> 1.0))
+    assert(cv == Map(("us", "1") -> 1.0, ("us", "3") -> 1.0,
+      ("eu", "3") -> 1.0))
     val cvFlat = ctx.sql("""count_values("v", cpu)""").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap
-    assert(cvFlat == Map("1.0" -> 1.0, "3.0" -> 2.0))
+    assert(cvFlat == Map("1" -> 1.0, "3" -> 2.0))
     assertThrows[PromQLParseException](
       PromQLParser.parse("""count_values without (dc) ("v", cpu)"""))
     // aggregating over the SYNTHESIZED label works (validated vs the child
     // frame, not the static label map)
     val over = ctx.sql("""sum by (v) (count_values("v", cpu))""").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap
-    assert(over == Map("1.0" -> 1.0, "3.0" -> 2.0))
+    assert(over == Map("1" -> 1.0, "3" -> 2.0))
     // reserved / colliding / invalid label names are loud errors
     for (bad <- Seq("value", "dc", "ts_ms", "0v"))
       assertThrows[IllegalArgumentException](
@@ -684,8 +684,8 @@ class PromQLSpec extends AnyFunSuite {
     // count_values routes to the general path; reqs values are i*i per host
     val cv = engine.queryPromQL("""count_values("val", reqs)""", TimeRange(0, H))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
-    assert(cv == Map("0.0" -> 3.0, "1.0" -> 3.0, "4.0" -> 3.0, "9.0" -> 3.0,
-      "16.0" -> 3.0, "25.0" -> 3.0))
+    assert(cv == Map("0" -> 3.0, "1" -> 3.0, "4" -> 3.0, "9" -> 3.0,
+      "16" -> 3.0, "25" -> 3.0))
   }
 
   test("parser: bare {...} selectors canonicalize __name__ matchers") {
@@ -1439,10 +1439,10 @@ class PromQLSpec extends AnyFunSuite {
       Row("cpu", "h1", "us", 0L, 1.0), Row("cpu", "h2", "us", 0L, 1.0),
       Row("cpu", "h3", "us", 0L, 2.0)))
     // count_values synthesizes label "v"; without(host) must keep it
-    // (value strings use the engine's double cast — "1.0", documented)
+    // (value strings render Go-style — "1", round 12)
     val got = ctx.sql("""sum without (host) (count_values("v", cpu))""")
       .collect().map(r => (r.getAs[String]("v"), r.getAs[Double]("value"))).toMap
-    assert(got == Map("1.0" -> 2.0, "2.0" -> 1.0))
+    assert(got == Map("1" -> 2.0, "2" -> 1.0))
     // label_replace dst survives without() on another label
     val lr = ctx.sql(
       """sum without (dc) (label_replace(cpu, "grp", "g-$1", "host", "h(.*)"))""")
