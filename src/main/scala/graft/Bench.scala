@@ -135,12 +135,15 @@ object Bench {
     // the dataset size — one anchor per sf the driver/dev loops run; an
     // unknown sf normalizes on the two data-independent canaries alone.
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
+    // calibrated from three full sf0.01 suite runs on 2026-08-15
+    // (loads 1.9-4.9): cpu 0.350/0.363/0.360, shuffle 0.316/0.373/0.326,
+    // files 0.183/0.246/0.201; sf0.1 files from the same-day sf0.1 run
     val anchors: Map[String, Double] = Map(
-      "canary_cpu" -> 0.60,
-      "canary_shuffle" -> 0.90) ++
+      "canary_cpu" -> 0.355,
+      "canary_shuffle" -> 0.32) ++
       (sfName match {
-        case "sf0.1" => Map("canary_files" -> 0.50)
-        case "sf0.01" => Map("canary_files" -> 0.45)
+        case "sf0.1" => Map("canary_files" -> 0.34)
+        case "sf0.01" => Map("canary_files" -> 0.20)
         case _ => Map.empty[String, Double]
       })
     val ratios = canaryTimes.collect {
