@@ -2107,6 +2107,38 @@ object SparkEntry {
           col("phi"), col("value"))
     }),
 
+    // OTLP SUMMARY ingest (round 12): summary data points translate to
+    // the classic <name>_sum / <name>_count / <name>{quantile="q"}
+    // series triple (the standard OTLP→Prometheus mapping; quantile
+    // labels render Go-style, "0.99"), then a PromQL selector reads the
+    // quantile series back through the engine. Hand-written rows.
+    "otlp3_summary" -> ((s, dir) => {
+      val eng = cachedServingEngine("otlp3") {
+        import graft.streaming.{MetricStreamIngest, Otlp}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-otlp3").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        val ts = 1723680000000000000L
+        val d = Otlp.decodeAll(Otlp.encode(Map("service.name" -> "api"), Seq(
+          Otlp.MetricSpec("rpc.lat", Nil, summaryPoints = Seq(
+            Otlp.SummaryPoint(Map("host" -> "h1"), ts, count = 10,
+              sum = 42.5, quantiles = Seq((0.5, 1.5), (0.99, 7.25))),
+            Otlp.SummaryPoint(Map("host" -> "h2"), ts, count = 4,
+              sum = 9.0, quantiles = Seq((0.5, 2.0), (0.99, 3.5))))))))
+        MetricStreamIngest.ingestDecoded(e, s, d.samples)
+        e
+      }
+      import s.implicits._
+      val rows = eng.instantPromQLLabeled(
+        """rpc_lat{quantile="0.99"}""", 1723680000000L)
+        .select(col("host"), col("value"))
+      val sums = eng.instantPromQLLabeled("rpc_lat_sum", 1723680000000L)
+        .select(col("host"), col("value"))
+      rows.withColumn("kind", lit("q99"))
+        .unionByName(sums.withColumn("kind", lit("sum")))
+        .select(col("kind"), col("host"), col("value"))
+    }),
+
     // Federation snapshot (round 9, GET /federate's engine): newest sample
     // per matching series within the lookback anchored at a FIXED nowMs -
     // cpu{host=a} has two samples (newest wins), up's only sample is
@@ -3954,6 +3986,16 @@ object SparkEntry {
         |        ORDER BY cum_before) AS rn
         |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rk)
         |SELECT host, phi, value FROM pick WHERE rn = 1""".stripMargin,
+
+    // Hand-written rows for the fixed OTLP summary payload: the q=0.99
+    // values per host plus the _sum series.
+    "otlp3_summary" ->
+      """SELECT * FROM (VALUES
+        |  ('q99', 'h1', CAST(7.25 AS DOUBLE)),
+        |  ('q99', 'h2', CAST(3.5 AS DOUBLE)),
+        |  ('sum', 'h1', CAST(42.5 AS DOUBLE)),
+        |  ('sum', 'h2', CAST(9.0 AS DOUBLE))
+        |) AS t(kind, host, value)""".stripMargin,
 
     // Federation at nowMs=100000 lookback=90000 -> window (10000, 100000]:
     // cpu{host=a} newest of two samples, cpu{host=b} sole sample, up stale.

@@ -13,8 +13,11 @@ import graft.metric.Sample
   * Prometheus schema, bucket indexes shift by one — see
   * [[decodeExponentialPoint]]), and fixed-bucket HISTOGRAM data points
   * (→ NHCB custom-bound native histograms, the standard
-  * classic-histogram-on-the-native-wire translation). Summary records are
-  * skipped structurally (unknown-field walk), never an error.
+  * classic-histogram-on-the-native-wire translation), and SUMMARY data
+  * points (→ the classic `<name>_sum` / `<name>_count` /
+  * `<name>{quantile="q"}` series triple, the standard OTLP→Prometheus
+  * summary mapping). Every OTLP metric kind now ingests — nothing is
+  * accepted-and-dropped.
   *
   * Field numbers (opentelemetry-proto, metrics/v1 + common/v1 +
   * resource/v1):
@@ -168,6 +171,7 @@ object Otlp {
     val pointSpans = mutable.ArrayBuffer.empty[(Int, Int)]
     val histSpans = mutable.ArrayBuffer.empty[(Int, Int)]
     val expSpans = mutable.ArrayBuffer.empty[(Int, Int)]
+    val summarySpans = mutable.ArrayBuffer.empty[(Int, Int)]
     var deltaSum = false
     var deltaHist = false
     var deltaExp = false
@@ -222,7 +226,22 @@ object Otlp {
             }
           }
           pos = p2 + len
-        case (_, wt) => pos = skip(b, pos, wt.toInt) // summary etc. skip
+        case (11, 2) => // summary — Summary{ data_points = 1 }
+          val (len, p2) = lenAt(b, pos)
+          var q = p2
+          while (q < p2 + len) {
+            val (t2, q1) = varint(b, q)
+            q = q1
+            (t2 >> 3, t2 & 7) match {
+              case (1, 2) =>
+                val (l2, q2) = lenAt(b, q)
+                summarySpans += ((q2, q2 + l2))
+                q = q2 + l2
+              case (_, wt) => q = skip(b, q, wt.toInt)
+            }
+          }
+          pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
     val prom = sanitizeName(name)
@@ -242,6 +261,45 @@ object Otlp {
       decodeExponentialPoint(b, s, e).foreach { h =>
         outH += h.copy(name = prom, labels = resourceAttrs ++ h.labels)
       }
+    }
+    // Summaries translate to the classic Prometheus series triple —
+    // `<name>_sum`, `<name>_count`, and one `<name>{quantile="q"}` series
+    // per reported quantile (the standard OTLP→Prometheus mapping; the
+    // quantile label renders like Go strconv 'f', e.g. "0.99").
+    if (prom.nonEmpty) summarySpans.foreach { case (s, e) =>
+      decodeSummaryPoint(b, s, e).foreach {
+        case (attrs, tsNano, count, sum, quantiles) =>
+          val tsMs = tsNano / 1000000L
+          val base = resourceAttrs ++ attrs
+          out += Sample(prom + "_sum", base, tsMs, sum)
+          out += Sample(prom + "_count", base, tsMs, count.toDouble)
+          quantiles.foreach { case (q, v) =>
+            out += Sample(prom,
+              base + ("quantile" -> goFloatText(q)), tsMs, v)
+          }
+      }
+    }
+  }
+
+  /** Scala mirror of the engine's Go-float rendering for the summary
+    * `quantile` label (`strconv.FormatFloat(q, 'f', -1, 64)`): quantiles
+    * are small decimals, so Java's shortest repr only needs the
+    * integral-".0" strip and sub-1e-3 exponent expansion. */
+  private def goFloatText(v: Double): String = {
+    val s = v.toString
+    if (!s.contains("E")) s.stripSuffix(".0")
+    else { // e.g. 5.0E-4 → 0.0005
+      val Array(m, e) = s.split("E")
+      val digits0 = m.replace("-", "").replace(".", "").reverse
+        .dropWhile(_ == '0').reverse
+      val digits = if (digits0.isEmpty) "0" else digits0
+      val exp = e.toInt
+      val sign = if (s.startsWith("-")) "-" else ""
+      if (exp < 0) sign + "0." + ("0" * (-exp - 1)) + digits
+      else if (digits.length <= exp + 1)
+        sign + digits.padTo(exp + 1, '0')
+      else sign + digits.substring(0, exp + 1) + "." +
+        digits.substring(exp + 1)
     }
   }
 
@@ -398,6 +456,58 @@ object Otlp {
       }
     }
     merged.toSeq
+  }
+
+  /** One OTLP SummaryDataPoint → (attributes, time ns, count, sum,
+    * (quantile, value) pairs). Field numbers (SummaryDataPoint):
+    * time_unix_nano=3, count=4 (fixed64), sum=5 (double),
+    * quantile_values=6 (ValueAtQuantile{ quantile=1, value=2 — both
+    * double }), attributes=7, flags=8. Points with no timestamp or the
+    * no-recorded-value staleness flag skip, like number points. */
+  private def decodeSummaryPoint(b: Array[Byte], start: Int, end: Int)
+      : Option[(Map[String, String], Long, Long, Double,
+        Seq[(Double, Double)])] = {
+    var pos = start
+    var ts = 0L; var count = 0L; var sum = 0.0; var stale = false
+    var attrs = Map.empty[String, String]
+    val quantiles = mutable.ArrayBuffer.empty[(Double, Double)]
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (3, 1) => ts = fixed64(b, pos); pos += 8
+        case (4, 1) => count = fixed64(b, pos); pos += 8
+        case (5, 1) =>
+          sum = java.lang.Double.longBitsToDouble(fixed64(b, pos)); pos += 8
+        case (6, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          var q = p2
+          var qq = 0.0; var qv = 0.0
+          while (q < p2 + len) {
+            val (t2, q1) = varint(b, q)
+            q = q1
+            (t2 >> 3, t2 & 7) match {
+              case (1, 1) =>
+                qq = java.lang.Double.longBitsToDouble(fixed64(b, q)); q += 8
+              case (2, 1) =>
+                qv = java.lang.Double.longBitsToDouble(fixed64(b, q)); q += 8
+              case (_, wt) => q = skip(b, q, wt.toInt)
+            }
+          }
+          quantiles += ((qq, qv))
+          pos = p2 + len
+        case (7, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          pos = p2 + len
+        case (8, 0) =>
+          val (v, p2) = varint(b, pos)
+          stale = (v & FlagNoRecordedValue) != 0L; pos = p2
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    if (ts == 0L || stale) None
+    else Some((attrs, ts, count, sum, quantiles.toSeq))
   }
 
   /** One OTLP fixed-bucket HistogramDataPoint → an NHCB native histogram
@@ -612,9 +722,15 @@ object Otlp {
       count: Long, sum: Double, bucketCounts: Seq[Long],
       explicitBounds: Seq[Double], flags: Long = 0L)
 
+  /** Fixture SummaryDataPoint. */
+  final case class SummaryPoint(attrs: Map[String, String], timeNano: Long,
+      count: Long, sum: Double, quantiles: Seq[(Double, Double)],
+      flags: Long = 0L)
+
   final case class MetricSpec(name: String, points: Seq[Point],
       sum: Boolean = false, deltaTemporality: Boolean = false,
-      expPoints: Seq[ExpHistPoint] = Nil, histPoints: Seq[HistPoint] = Nil)
+      expPoints: Seq[ExpHistPoint] = Nil, histPoints: Seq[HistPoint] = Nil,
+      summaryPoints: Seq[SummaryPoint] = Nil)
 
   def encode(resourceAttrs: Map[String, String],
       metrics: Seq[MetricSpec]): Array[Byte] = {
@@ -706,9 +822,29 @@ object Otlp {
         }
         lenDelim(1, dp.toArray)
       }.toArray
+      val summaryPts = m.summaryPoints.flatMap { p =>
+        val dp = mutable.ArrayBuffer.empty[Byte]
+        dp += ((3 << 3) | 1).toByte; dp ++= fixed64LE(p.timeNano)
+        dp += ((4 << 3) | 1).toByte; dp ++= fixed64LE(p.count)
+        dp += ((5 << 3) | 1).toByte; dp ++= fixed64Bytes(p.sum)
+        p.quantiles.foreach { case (q, v) =>
+          val vq = mutable.ArrayBuffer.empty[Byte]
+          vq += ((1 << 3) | 1).toByte; vq ++= fixed64Bytes(q)
+          vq += ((2 << 3) | 1).toByte; vq ++= fixed64Bytes(v)
+          dp ++= lenDelim(6, vq.toArray)
+        }
+        p.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          dp ++= lenDelim(7, keyValue(k, v))
+        }
+        if (p.flags != 0L) {
+          dp += ((8 << 3) | 0).toByte; dp ++= writeVarint(p.flags)
+        }
+        lenDelim(1, dp.toArray)
+      }.toArray
       val body = lenDelim(1, m.name.getBytes("UTF-8")) ++
         (if (m.expPoints.nonEmpty) lenDelim(10, expPts ++ temporality)
          else if (m.histPoints.nonEmpty) lenDelim(9, histPts ++ temporality)
+         else if (m.summaryPoints.nonEmpty) lenDelim(11, summaryPts)
          else lenDelim(if (m.sum) 7 else 5, pts ++ sumExtra))
       lenDelim(2, body.toArray) // ScopeMetrics.metrics
     }

@@ -114,6 +114,31 @@ class StreamingSpec extends AnyFunSuite {
       Otlp.unframe(bomb, maxDecompressed = 4 << 20))
   }
 
+  test("OTLP summaries translate to the _sum/_count/quantile series " +
+      "triple with Go-rendered quantile labels; stale points skip") {
+    import graft.streaming.Otlp
+    val ts = 1723680000000000000L
+    val d = Otlp.decodeAll(Otlp.encode(Map("service.name" -> "api"), Seq(
+      Otlp.MetricSpec("rpc.lat", Nil, summaryPoints = Seq(
+        Otlp.SummaryPoint(Map("host" -> "h1"), ts, count = 10, sum = 42.5,
+          quantiles = Seq((0.5, 1.5), (0.99, 7.25), (0.0005, 0.25))),
+        Otlp.SummaryPoint(Map.empty, ts, 1, 1.0,
+          quantiles = Seq((0.5, 1.0)), flags = 1L))))))
+    assert(d.histograms.isEmpty)
+    val got = d.samples
+      .map(s => (s.name, s.labels.getOrElse("quantile", "-"), s.value)).toSet
+    assert(got == Set(
+      ("rpc_lat_sum", "-", 42.5),
+      ("rpc_lat_count", "-", 10.0),
+      ("rpc_lat", "0.5", 1.5),
+      ("rpc_lat", "0.99", 7.25),
+      ("rpc_lat", "0.0005", 0.25)), got.toString) // 5.0E-4 renders plain
+    assert(d.samples.forall(s =>
+      s.labels.get("service_name").contains("api") &&
+        s.labels.get("host").contains("h1") &&
+        s.timestamp == ts / 1000000L))
+  }
+
   test("OTLP native histograms: exponential points decode with the +1 " +
       "index shift, scale>8 downscales by pair-merging, scale<-4 and " +
       "delta temporality drop; fixed-bucket points become NHCB; the " +
