@@ -40,7 +40,7 @@ import graft.storage._
   * tick). Scale: the refresh shuffles on (series, bucket[, index]) —
   * uniform hash keys — and is linear in PRESENT bucket entries, never a
   * dense ts×bucket fill. */
-final class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
+class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
   require(gridMs > 0, s"gridMs must be positive, got $gridMs")
   require(engine.histograms.segmentMs % gridMs == 0,
     s"gridMs ($gridMs) must divide the histograms segment size " +

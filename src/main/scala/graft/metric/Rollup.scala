@@ -329,13 +329,14 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
   }
 }
 
-/** Driver-side refresher: a periodic tick calling [[Rollup.refresh]] on
-  * each registered grid — the downsampling analog of
-  * [[graft.storage.CompactionScheduler]]. Single timer thread, so
-  * refreshes never run concurrently with themselves; between ticks the
-  * engine's freshness gate routes queries to raw, so a lagging tick
-  * costs performance, never correctness (`tools/MetricSoak rollup`
-  * exercises the loop live against concurrent ingest).
+/** Driver-side refresher: a periodic tick calling [[Rollup.refresh]] /
+  * [[HistogramRollup.refresh]] on each registered grid — the
+  * downsampling analog of [[graft.storage.CompactionScheduler]]. Single
+  * timer thread, so refreshes never run concurrently with themselves;
+  * between ticks the engine's freshness gates route queries to raw, so a
+  * lagging tick costs performance, never correctness
+  * (`tools/MetricSoak rollup` exercises the loop live against concurrent
+  * ingest).
   *
   * Each tick also runs ONE compaction pass per rollup store: every
   * re-roll writes a fresh SST over its segment's key range, so a
@@ -344,11 +345,18 @@ final class Rollup(engine: MetricEngine, val gridMs: Long) {
   * default, same rationale as the serving frontend's) keep in-flight
   * routed queries safe from the file swap. */
 final class RollupScheduler(rollups: Seq[Rollup], intervalMs: Long = 10000L,
-    compaction: CompactionConfig = CompactionConfig(deleteGraceMs = 60000L)) {
+    compaction: CompactionConfig = CompactionConfig(deleteGraceMs = 60000L),
+    histRollups: Seq[HistogramRollup] = Nil) {
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[RollupScheduler])
   private val timer = new java.util.Timer("graft-rollup-scheduler", true)
+  // scalar and histogram rollups share the refresh/compaction policy —
+  // one (label, refresh thunk, store) row each
+  private val lanes: Seq[(String, () => Rollup.RefreshStats, graft.storage.TimeMergeStorage)] =
+    rollups.map(r => (s"grid ${r.gridMs} ms", () => r.refresh(), r.store)) ++
+      histRollups.map(r =>
+        (s"histogram grid ${r.gridMs} ms", () => r.refresh(), r.store))
   private val compactors =
-    rollups.map(r => new Compactor(r.store, compaction))
+    lanes.map { case (_, _, store) => new Compactor(store, compaction) }
 
   // Failure visibility (the RuleEngine health pattern, Rules.scala): a
   // persistently failing refresh pins `isFresh` false and silently
@@ -372,13 +380,13 @@ final class RollupScheduler(rollups: Seq[Rollup], intervalMs: Long = 10000L,
     * so status reflects current, not historical, health. */
   def runOnce(): Unit = {
     var refreshOk, compactOk = true
-    rollups.foreach { r =>
-      try r.refresh() catch {
+    lanes.foreach { case (label, refresh, _) =>
+      try { refresh(); () } catch {
         case scala.util.control.NonFatal(e) =>
           refreshOk = false
           refreshFails.increment()
           lastRefreshErr = Some(s"${e.getClass.getName}: ${e.getMessage}")
-          log.warn(s"rollup refresh failed (grid ${r.gridMs} ms)", e)
+          log.warn(s"rollup refresh failed ($label)", e)
       }
     }
     compactors.foreach { c =>

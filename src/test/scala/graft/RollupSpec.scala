@@ -493,4 +493,38 @@ class RollupSpec extends AnyFunSuite {
       assert(math.abs(routedLate(k) - v) < 1e-9,
         s"late $k: exp $v got ${routedLate(k)}") }
   }
+
+  test("RollupScheduler refreshes histogram rollups alongside scalar " +
+      "ones; a failing lane counts and surfaces, then clears") {
+    import graft.streaming.MetricStreamIngest
+    import graft.streaming.RemoteWrite.HistogramSample
+    val eng = freshEngine()
+    write(eng, Seq(("a", 1000L, 1.0), ("a", hour + 1, 2.0)))
+    MetricStreamIngest.ingestHistograms(eng, spark, Seq(
+      HistogramSample("lat", Map("host" -> "a"), 1000L, count = 3,
+        sum = 4.5, schema = 0, zeroThreshold = 0.0, zeroCount = 0,
+        positiveBuckets = Seq((1, 3.0)), negativeBuckets = Nil)))
+    val r = new Rollup(eng, gridMs = hour)
+    val hr = new HistogramRollup(eng, gridMs = hour)
+    val sched = new RollupScheduler(Seq(r), histRollups = Seq(hr))
+    assert(!r.isFresh && !hr.isFresh)
+    sched.runOnce()
+    assert(r.isFresh && hr.isFresh)
+    assert(sched.refreshFailuresTotal == 0 && sched.lastRefreshError.isEmpty)
+    // a poisoned lane (unreadable store root) fails, counts, surfaces —
+    // and the healthy lanes still refresh on the same tick
+    MetricStreamIngest.ingestHistograms(eng, spark, Seq(
+      HistogramSample("lat", Map("host" -> "a"), 2000L, count = 5,
+        sum = 9.0, schema = 0, zeroThreshold = 0.0, zeroCount = 0,
+        positiveBuckets = Seq((1, 5.0)), negativeBuckets = Nil)))
+    val broken = new HistogramRollup(eng, gridMs = 2 * hour) {
+      override def refresh(): Rollup.RefreshStats =
+        throw new RuntimeException("poisoned lane")
+    }
+    val sched2 = new RollupScheduler(Nil, histRollups = Seq(hr, broken))
+    sched2.runOnce()
+    assert(hr.isFresh)
+    assert(sched2.refreshFailuresTotal == 1)
+    assert(sched2.lastRefreshError.exists(_.contains("poisoned")))
+  }
 }
