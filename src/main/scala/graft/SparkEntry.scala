@@ -1800,6 +1800,46 @@ object SparkEntry {
         col("ts_ms"), col("value"))
     }),
 
+    // OTLP EXEMPLARS end-to-end (round 12): gauge/sum points carrying
+    // exemplars through the OTLP wire path into the durable exemplars
+    // table — trace/span ids become trace_id/span_id exemplar labels
+    // (lowercase hex), series labels = resource ++ point attributes.
+    // Hand-written expected rows; timeless exemplars drop at decode.
+    "otlp4_exemplars" -> ((s, dir) => {
+      val eng = cachedServingEngine("otlp4") {
+        import graft.streaming.{MetricStreamIngest, Otlp}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-otlp4").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        val ts = 1723680000000000000L
+        val d = Otlp.decodeAll(Otlp.encode(Map("service.name" -> "api"), Seq(
+          Otlp.MetricSpec("req.total", Seq(
+            Otlp.Point(Map("code" -> "200"), ts, 41.0, exemplars = Seq(
+              Otlp.ExemplarSpec(Map("peer" -> "x"), ts + 1000000L, 0.25,
+                traceIdHex = "0af7651916cd43dd8448eb211c80319c",
+                spanIdHex = "b7ad6b7169203331"),
+              Otlp.ExemplarSpec(Map.empty, 0L, 1.0))),
+            Otlp.Point(Map("code" -> "500"), ts, 2.0, exemplars = Seq(
+              Otlp.ExemplarSpec(Map.empty, ts + 2000000L, 1.5,
+                traceIdHex = "ff00")))),
+            sum = true))))
+        MetricStreamIngest.ingestDecoded(e, s, d.samples)
+        MetricStreamIngest.ingestExemplars(e, s, d.exemplars)
+        e
+      }
+      val out = eng.queryExemplars("req_total",
+        graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+      val lblStr = concat_ws(",",
+        transform(array_sort(map_entries(col("labels"))),
+          e => concat(e("key"), lit("="), e("value"))))
+      val skName = substring_index(col("series_key"), "\u0001", 1)
+      val skTail = col("series_key").substr(length(skName) + lit(2), lit(1 << 20))
+      out.select(skName.as("name"),
+        translate(skTail, "\u0001\u0002", ",=").as("series_labels"),
+        lblStr.as("exemplar_labels"),
+        col("ts_ms"), col("value"))
+    }),
+
     // NATIVE histograms end-to-end (round 11): fixed exponential-histogram
     // samples through the FULL remote-write 2.0 wire path (sparse spans +
     // int deltas encoded, snappy-framed, decoded back to absolute buckets)
@@ -3986,6 +4026,18 @@ object SparkEntry {
         |        ORDER BY cum_before) AS rn
         |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rk)
         |SELECT host, phi, value FROM pick WHERE rn = 1""".stripMargin,
+
+    // Hand-written rows for the fixed OTLP exemplar payload: trace/span
+    // ids as lowercase-hex labels, timeless exemplar dropped.
+    "otlp4_exemplars" ->
+      """SELECT * FROM (VALUES
+        |  ('req_total', 'code=200,service_name=api',
+        |   'peer=x,span_id=b7ad6b7169203331,trace_id=0af7651916cd43dd8448eb211c80319c',
+        |   CAST(1723680000001 AS BIGINT), CAST(0.25 AS DOUBLE)),
+        |  ('req_total', 'code=500,service_name=api', 'trace_id=ff00',
+        |   CAST(1723680000002 AS BIGINT), CAST(1.5 AS DOUBLE))
+        |) AS t(name, series_labels, exemplar_labels, ts_ms, value)"""
+        .stripMargin,
 
     // Hand-written rows for the fixed OTLP summary payload: the q=0.99
     // values per host plus the _sum series.

@@ -407,13 +407,17 @@ final class HttpFrontend(
         "undecodable OTLP body (or decompressed size over the write cap)")
       else
         try {
-          if (decoded.samples.nonEmpty || decoded.histograms.nonEmpty)
+          if (decoded.samples.nonEmpty || decoded.histograms.nonEmpty ||
+              decoded.exemplars.nonEmpty)
             ingestLock.synchronized {
               if (decoded.samples.nonEmpty)
                 MetricStreamIngest.ingestDecoded(engine, spark, decoded.samples)
               if (decoded.histograms.nonEmpty)
                 MetricStreamIngest.ingestHistograms(
                   engine, spark, decoded.histograms)
+              if (decoded.exemplars.nonEmpty)
+                MetricStreamIngest.ingestExemplars(
+                  engine, spark, decoded.exemplars)
             }
           respondBytes(ex, 200, Array.emptyByteArray,
             Seq("Content-Type" -> "application/x-protobuf"))

@@ -60,11 +60,14 @@ import graft.metric.Sample
 object Otlp {
   import RemoteWrite.{varint, lenAt, skip, fixed64}
 
-  /** Everything one OTLP request decodes to: number-point samples plus
+  /** Everything one OTLP request decodes to: number-point samples,
     * native-histogram samples (exponential histograms directly,
-    * fixed-bucket histograms as NHCB). */
+    * fixed-bucket histograms as NHCB), and exemplars (from number,
+    * histogram, and exponential-histogram data points — trace/span ids
+    * become `trace_id`/`span_id` labels, the Prometheus translation). */
   final case class Decoded(samples: Seq[Sample],
-      histograms: Seq[RemoteWrite.HistogramSample])
+      histograms: Seq[RemoteWrite.HistogramSample],
+      exemplars: Seq[RemoteWrite.Exemplar] = Nil)
 
   /** Decode an ExportMetricsServiceRequest body into engine samples
     * (number points only — see [[decodeAll]] for histograms too). */
@@ -75,6 +78,7 @@ object Otlp {
   def decodeAll(bytes: Array[Byte]): Decoded = {
     val out = mutable.ArrayBuffer.empty[Sample]
     val outH = mutable.ArrayBuffer.empty[RemoteWrite.HistogramSample]
+    val outE = mutable.ArrayBuffer.empty[RemoteWrite.Exemplar]
     var pos = 0
     while (pos < bytes.length) {
       val (tag, p1) = varint(bytes, pos)
@@ -82,12 +86,12 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (1, 2) =>
           val (len, p2) = lenAt(bytes, pos)
-          decodeResourceMetrics(bytes, p2, p2 + len, out, outH)
+          decodeResourceMetrics(bytes, p2, p2 + len, out, outH, outE)
           pos = p2 + len
         case (_, wt) => pos = skip(bytes, pos, wt.toInt)
       }
     }
-    Decoded(out.toSeq, outH.toSeq)
+    Decoded(out.toSeq, outH.toSeq, outE.toSeq)
   }
 
   /** Thrown when a gzip body inflates past the caller's cap — the
@@ -119,7 +123,8 @@ object Otlp {
 
   private def decodeResourceMetrics(b: Array[Byte], start: Int, end: Int,
       out: mutable.ArrayBuffer[Sample],
-      outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample]): Unit = {
+      outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample],
+      outE: mutable.ArrayBuffer[RemoteWrite.Exemplar]): Unit = {
     var pos = start
     var resourceAttrs = Map.empty[String, String]
     val scopeSpans = mutable.ArrayBuffer.empty[(Int, Int)]
@@ -140,14 +145,15 @@ object Otlp {
       }
     }
     scopeSpans.foreach { case (s, e) =>
-      decodeScopeMetrics(b, s, e, resourceAttrs, out, outH)
+      decodeScopeMetrics(b, s, e, resourceAttrs, out, outH, outE)
     }
   }
 
   private def decodeScopeMetrics(b: Array[Byte], start: Int, end: Int,
       resourceAttrs: Map[String, String],
       out: mutable.ArrayBuffer[Sample],
-      outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample]): Unit = {
+      outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample],
+      outE: mutable.ArrayBuffer[RemoteWrite.Exemplar]): Unit = {
     var pos = start
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
@@ -155,7 +161,7 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (2, 2) => // metric
           val (len, p2) = lenAt(b, pos)
-          decodeMetric(b, p2, p2 + len, resourceAttrs, out, outH)
+          decodeMetric(b, p2, p2 + len, resourceAttrs, out, outH, outE)
           pos = p2 + len
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
@@ -165,7 +171,8 @@ object Otlp {
   private def decodeMetric(b: Array[Byte], start: Int, end: Int,
       resourceAttrs: Map[String, String],
       out: mutable.ArrayBuffer[Sample],
-      outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample]): Unit = {
+      outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample],
+      outE: mutable.ArrayBuffer[RemoteWrite.Exemplar]): Unit = {
     var pos = start
     var name = ""
     val pointSpans = mutable.ArrayBuffer.empty[(Int, Int)]
@@ -261,6 +268,27 @@ object Otlp {
       decodeExponentialPoint(b, s, e).foreach { h =>
         outH += h.copy(name = prom, labels = resourceAttrs ++ h.labels)
       }
+    }
+    // Exemplars ride on number, histogram, and exponential-histogram
+    // data points; they ingest with their point's series labels
+    // (resource ++ point attributes), trace/span ids as
+    // `trace_id`/`span_id` exemplar labels — the Prometheus OTLP
+    // translation. Delta-dropped metrics drop their exemplars with them
+    // (the series they'd attach to was never ingested).
+    def emitExemplars(spans: Seq[(Int, Int)], exF: Int, attrF: Int): Unit =
+      spans.foreach { case (s0, e0) =>
+        val (attrs, exSpans) = pointAttrsAndExemplars(b, s0, e0, exF, attrF)
+        exSpans.foreach { case (xs, xe) =>
+          decodeOtlpExemplar(b, xs, xe).foreach { case (labels, tsNano, v) =>
+            outE += RemoteWrite.Exemplar(prom, resourceAttrs ++ attrs,
+              labels, v, tsNano / 1000000L)
+          }
+        }
+      }
+    if (prom.nonEmpty) {
+      if (!deltaSum) emitExemplars(pointSpans.toSeq, exF = 5, attrF = 7)
+      if (!deltaHist) emitExemplars(histSpans.toSeq, exF = 8, attrF = 9)
+      if (!deltaExp) emitExemplars(expSpans.toSeq, exF = 11, attrF = 1)
     }
     // Summaries translate to the classic Prometheus series triple —
     // `<name>_sum`, `<name>_count`, and one `<name>{quantile="q"}` series
@@ -456,6 +484,75 @@ object Otlp {
       }
     }
     merged.toSeq
+  }
+
+  /** One data point's attributes + exemplar sub-spans, for any point
+    * kind (`attrF`/`exF` = that kind's attributes/exemplars field
+    * numbers: number 7/5, fixed-bucket histogram 9/8, exponential
+    * histogram 1/11). A second cheap walk over the point bytes — decode
+    * order stays independent of proto field order. */
+  private def pointAttrsAndExemplars(b: Array[Byte], start: Int, end: Int,
+      exF: Int, attrF: Int): (Map[String, String], Seq[(Int, Int)]) = {
+    var pos = start
+    var attrs = Map.empty[String, String]
+    val ex = mutable.ArrayBuffer.empty[(Int, Int)]
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (f, 2) if f == attrF =>
+          val (len, p2) = lenAt(b, pos)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          pos = p2 + len
+        case (f, 2) if f == exF =>
+          val (len, p2) = lenAt(b, pos)
+          ex += ((p2, p2 + len)); pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    (attrs, ex.toSeq)
+  }
+
+  /** One OTLP Exemplar → (exemplar labels, time ns, value). Field
+    * numbers (metrics/v1 Exemplar): filtered_attributes=7,
+    * time_unix_nano=2, as_double=3, span_id=4 (bytes → lowercase hex),
+    * trace_id=5 (bytes → lowercase hex), as_int=6. Timeless or valueless
+    * exemplars skip. */
+  private def decodeOtlpExemplar(b: Array[Byte], start: Int,
+      end: Int): Option[(Map[String, String], Long, Double)] = {
+    var pos = start
+    var ts = 0L; var v = 0.0; var saw = false
+    var attrs = Map.empty[String, String]
+    var traceId = ""; var spanId = ""
+    def hex(from: Int, len: Int): String =
+      (from until from + len).map(i => f"${b(i) & 0xff}%02x").mkString
+    while (pos < end) {
+      val (tag, p1) = varint(b, pos)
+      pos = p1
+      (tag >> 3, tag & 7) match {
+        case (7, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          pos = p2 + len
+        case (2, 1) => ts = fixed64(b, pos); pos += 8
+        case (3, 1) =>
+          v = java.lang.Double.longBitsToDouble(fixed64(b, pos))
+          saw = true; pos += 8
+        case (6, 1) => v = fixed64(b, pos).toDouble; saw = true; pos += 8
+        case (4, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          spanId = hex(p2, len); pos = p2 + len
+        case (5, 2) =>
+          val (len, p2) = lenAt(b, pos)
+          traceId = hex(p2, len); pos = p2 + len
+        case (_, wt) => pos = skip(b, pos, wt.toInt)
+      }
+    }
+    if (ts == 0L || !saw) None
+    else Some((attrs ++
+      (if (traceId.nonEmpty) Map("trace_id" -> traceId) else Map.empty) ++
+      (if (spanId.nonEmpty) Map("span_id" -> spanId) else Map.empty),
+      ts, v))
   }
 
   /** One OTLP SummaryDataPoint → (attributes, time ns, count, sum,
@@ -706,9 +803,13 @@ object Otlp {
   // attributes and one gauge or sum metric per (name, points) entry.
   import RemoteWrite.{lenDelim, writeVarint, fixed64Bytes}
 
+  /** Fixture Exemplar (ids as lowercase hex strings). */
+  final case class ExemplarSpec(attrs: Map[String, String], timeNano: Long,
+      value: Double, traceIdHex: String = "", spanIdHex: String = "")
+
   final case class Point(attrs: Map[String, String], timeNano: Long,
       value: Double, asInt: Boolean = false, noValue: Boolean = false,
-      flags: Long = 0L)
+      flags: Long = 0L, exemplars: Seq[ExemplarSpec] = Nil)
 
   /** Fixture ExponentialHistogramDataPoint (dense OTLP buckets). */
   final case class ExpHistPoint(attrs: Map[String, String], timeNano: Long,
@@ -760,6 +861,19 @@ object Otlp {
         }
         p.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
           dp ++= lenDelim(7, keyValue(k, v))
+        }
+        p.exemplars.foreach { x =>
+          val xb = mutable.ArrayBuffer.empty[Byte]
+          x.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            xb ++= lenDelim(7, keyValue(k, v))
+          }
+          xb += ((2 << 3) | 1).toByte; xb ++= fixed64LE(x.timeNano)
+          xb += ((3 << 3) | 1).toByte; xb ++= fixed64Bytes(x.value)
+          def unhex(h: String): Array[Byte] =
+            h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          if (x.spanIdHex.nonEmpty) xb ++= lenDelim(4, unhex(x.spanIdHex))
+          if (x.traceIdHex.nonEmpty) xb ++= lenDelim(5, unhex(x.traceIdHex))
+          dp ++= lenDelim(5, xb.toArray)
         }
         lenDelim(1, dp.toArray)
       }.toArray

@@ -114,6 +114,34 @@ class StreamingSpec extends AnyFunSuite {
       Otlp.unframe(bomb, maxDecompressed = 4 << 20))
   }
 
+  test("OTLP exemplars decode with trace/span hex labels and the " +
+      "point's series labels; timeless ones and delta metrics' drop") {
+    import graft.streaming.Otlp
+    val ts = 1723680000000000000L
+    val d = Otlp.decodeAll(Otlp.encode(Map("service.name" -> "api"), Seq(
+      Otlp.MetricSpec("req.total", Seq(
+        Otlp.Point(Map("code" -> "200"), ts, 41.0, exemplars = Seq(
+          Otlp.ExemplarSpec(Map("peer" -> "x"), ts + 1000000L, 0.25,
+            traceIdHex = "0af7651916cd43dd8448eb211c80319c",
+            spanIdHex = "b7ad6b7169203331"),
+          Otlp.ExemplarSpec(Map.empty, 0L, 1.0)))), // timeless → skipped
+        sum = true),
+      Otlp.MetricSpec("delta.ctr", Seq(
+        Otlp.Point(Map.empty, ts, 1.0, exemplars = Seq(
+          Otlp.ExemplarSpec(Map.empty, ts, 9.0)))),
+        sum = true, deltaTemporality = true))))
+    assert(d.samples.map(_.name) == Seq("req_total"))
+    assert(d.exemplars.length == 1)
+    val x = d.exemplars.head
+    assert(x.name == "req_total" && x.value == 0.25 &&
+      x.timestamp == ts / 1000000L + 1)
+    assert(x.seriesLabels ==
+      Map("service_name" -> "api", "code" -> "200"))
+    assert(x.labels == Map("peer" -> "x",
+      "trace_id" -> "0af7651916cd43dd8448eb211c80319c",
+      "span_id" -> "b7ad6b7169203331"))
+  }
+
   test("OTLP summaries translate to the _sum/_count/quantile series " +
       "triple with Go-rendered quantile labels; stale points skip") {
     import graft.streaming.Otlp
