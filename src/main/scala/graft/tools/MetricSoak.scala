@@ -58,11 +58,17 @@ object MetricSoak {
     val useRollup = args.contains("rollup")
     val useHist = args.contains("hist")
     val rollup = new Rollup(engine, gridMs = 3600L * 1000)
-    val rollupScheduler = new RollupScheduler(Seq(rollup), intervalMs = 1000L)
+    // histogram-rollup lane (round 12): when BOTH lanes are on, the same
+    // scheduler tick also re-rolls the native-histogram partials
+    val histRollup = new HistogramRollup(engine, gridMs = 3600L * 1000)
+    val rollupScheduler = new RollupScheduler(Seq(rollup), intervalMs = 1000L,
+      histRollups = if (useHist && useRollup) Seq(histRollup) else Nil)
     if (useRollup) {
       engine.registerRollup(rollup)
+      if (useHist) engine.registerHistogramRollup(histRollup)
       rollupScheduler.start()
-      println("[soak] background rollup refresher ON (1h grid, 1s tick)")
+      println("[soak] background rollup refresher ON (1h grid, 1s tick" +
+        (if (useHist) ", histogram lane" else "") + ")")
     }
     val start = System.nanoTime()
     (0 until numBatches).foreach { b =>
@@ -166,6 +172,37 @@ object MetricSoak {
         s"histogram quantile empty: ${hq.mkString(";")}")
       println(s"[soak] native-histogram lane: ${histRows.length} histograms " +
         s"stored, instant quantile over ${hq.length} live series OK")
+      // histogram-rollup routing after the live refresh loop: a final
+      // refresh, then a grid-aligned rate quantile must route through the
+      // rollup store AND equal the raw bucket-wise computation
+      if (useRollup) {
+        histRollup.refresh()
+        require(histRollup.isFresh, "histogram rollup not fresh after refresh")
+        val grid = 3600L * 1000
+        val tEnd = (Math.floorDiv(t0, grid) + 2) * grid
+        val q = s"""histogram_quantile(0.5, rate(soak_latency[2h]))"""
+        val routedDf = engine.instantPromQL(q, tEnd)
+        require(routedDf.queryExecution.executedPlan.toString
+            .contains("_hrollup_"), "histogram rollup routing did not engage")
+        val routed = routedDf.collect()
+          .map(r => r.getAs[String]("worker") -> r.getAs[Double]("value"))
+          .toMap
+        val raw = graft.metric.NativeHistograms.quantile(
+          graft.metric.NativeHistograms.increase(
+            engine.queryHistograms("soak_latency",
+              TimeRange(tEnd - 2 * grid, tEnd))), Seq(0.5))
+          .collect().map { r =>
+            val (_, ls) = graft.metric.MetricEngine.parseSeriesKey(
+              r.getAs[String]("series_key"))
+            ls("worker") -> r.getAs[Double]("value")
+          }.toMap
+        require(routed.keySet == raw.keySet &&
+          raw.forall { case (k, v) => // single-sample series: NaN == NaN
+            (v.isNaN && routed(k).isNaN) || math.abs(routed(k) - v) < 1e-9 },
+          s"histogram rollup routed != raw: $routed vs $raw")
+        println(s"[soak] histogram-rollup-routed rate quantile == raw " +
+          s"(${routed.size} series)")
+      }
     }
     println("[soak] OK")
     spark.stop()
