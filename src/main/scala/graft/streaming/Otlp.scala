@@ -49,8 +49,11 @@ import graft.metric.Sample
   *    the ingested series stay addressable from PromQL selectors.
   *  - metric names sanitize to the Prometheus charset
   *    (`[a-zA-Z_:][a-zA-Z0-9_:]*`, every other char → '_'), the standard
-  *    OTLP→Prometheus name translation; unit suffixing is NOT applied
-  *    (documented deviation — unit text rides in metadata, not the name).
+  *    OTLP→Prometheus name translation; MONOTONIC cumulative sums gain
+  *    the `_total` counter suffix (no double suffix), Prometheus's
+  *    default "with suffixes" strategy. UNIT suffixing is NOT applied
+  *    (documented deviation — unit text rides in metadata, not the name;
+  *    a full UCUM unit map is out of scope).
   *  - timestamps truncate ns → ms (the engine's resolution).
   *
   * Wire primitives are shared with [[RemoteWrite]] — same varint /
@@ -180,6 +183,7 @@ object Otlp {
     val expSpans = mutable.ArrayBuffer.empty[(Int, Int)]
     val summarySpans = mutable.ArrayBuffer.empty[(Int, Int)]
     var deltaSum = false
+    var monotonic = false
     var deltaHist = false
     var deltaExp = false
     while (pos < end) {
@@ -208,6 +212,10 @@ object Otlp {
                 // as a cumulative counter). Prometheus's OTLP endpoint
                 // rejects them by default; so do we: drop the points.
                 if (v == 1L) deltaSum = true
+                q = q2
+              case (3, 0) if f == 7 => // Sum.is_monotonic
+                val (v, q2) = varint(b, q)
+                monotonic = v != 0L
                 q = q2
               case (_, wt) => q = skip(b, q, wt.toInt)
             }
@@ -251,7 +259,14 @@ object Otlp {
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
-    val prom = sanitizeName(name)
+    // monotonic cumulative sums gain the Prometheus counter suffix —
+    // the default OTLP→Prometheus translation (strategy "with suffixes");
+    // a name already ending in _total is left alone (no double suffix)
+    val prom0 = sanitizeName(name)
+    val prom =
+      if (monotonic && !deltaSum && prom0.nonEmpty &&
+          !prom0.endsWith("_total")) prom0 + "_total"
+      else prom0
     // a nameless metric would ingest an unaddressable "" series
     // (Prometheus rejects these at ingest) — skip like malformed points
     if (prom.nonEmpty && !deltaSum) pointSpans.foreach { case (s, e) =>
@@ -831,7 +846,7 @@ object Otlp {
   final case class MetricSpec(name: String, points: Seq[Point],
       sum: Boolean = false, deltaTemporality: Boolean = false,
       expPoints: Seq[ExpHistPoint] = Nil, histPoints: Seq[HistPoint] = Nil,
-      summaryPoints: Seq[SummaryPoint] = Nil)
+      summaryPoints: Seq[SummaryPoint] = Nil, monotonic: Boolean = false)
 
   def encode(resourceAttrs: Map[String, String],
       metrics: Seq[MetricSpec]): Array[Byte] = {
@@ -882,6 +897,10 @@ object Otlp {
           val t = mutable.ArrayBuffer.empty[Byte]
           t += ((2 << 3) | 0).toByte
           t ++= writeVarint(if (m.deltaTemporality) 1L else 2L)
+          if (m.monotonic) {
+            t += ((3 << 3) | 0).toByte
+            t ++= writeVarint(1L)
+          }
           t.toArray
         } else Array.emptyByteArray
       def temporality: Array[Byte] = {

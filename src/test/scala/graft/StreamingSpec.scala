@@ -114,6 +114,23 @@ class StreamingSpec extends AnyFunSuite {
       Otlp.unframe(bomb, maxDecompressed = 4 << 20))
   }
 
+  test("OTLP monotonic cumulative sums gain the _total counter suffix; " +
+      "gauges, non-monotonic sums, and already-suffixed names don't") {
+    import graft.streaming.Otlp
+    val ts = 1723680000000000000L
+    val d = Otlp.decode(Otlp.encode(Map.empty, Seq(
+      Otlp.MetricSpec("requests", Seq(Otlp.Point(Map.empty, ts, 5.0)),
+        sum = true, monotonic = true),
+      Otlp.MetricSpec("requests.total", Seq(Otlp.Point(Map.empty, ts, 6.0)),
+        sum = true, monotonic = true), // sanitizes to _total: no double
+      Otlp.MetricSpec("queue.depth", Seq(Otlp.Point(Map.empty, ts, 7.0)),
+        sum = true), // non-monotonic: an up-down counter, no suffix
+      Otlp.MetricSpec("temp", Seq(Otlp.Point(Map.empty, ts, 8.0))))))
+    assert(d.map(s => (s.name, s.value)).toSet == Set(
+      ("requests_total", 5.0), ("requests_total", 6.0),
+      ("queue_depth", 7.0), ("temp", 8.0)), d.toString)
+  }
+
   test("OTLP exemplars decode with trace/span hex labels and the " +
       "point's series labels; timeless ones and delta metrics' drop") {
     import graft.streaming.Otlp
