@@ -925,6 +925,23 @@ object SparkEntry {
         .withColumn("value", round(col("value"), 6))
     }),
 
+    // Sliding *_over_time (round 12): max over each per-step (T-2d, T]
+    // window — the plain-aggregate arm of the sliding grid, same
+    // unaligned range as p38.
+    "p39_promql_maxot_sliding" -> ((s, dir) => {
+      import graft.storage.TimeRange
+      val step = 86400000L
+      val w = 172800000L
+      val outR = TimeRange(1705000000000L, 1705000000000L + 4 * 86400000L)
+      val ctx = new graft.promql.PromQLContext(t(s, dir, "events"),
+        "event_type", tsMs, "value", Map("uid" -> "user_id"),
+        ordering = Seq(col("ts"), col("event_id")),
+        slidingStep = Some((step, outR)))
+      ctx.sql("""max_over_time(purchase{uid=~"[1-9]"}[2d])""",
+        stepMs = Some(step),
+        range = Some(TimeRange(outR.start - w + 1, outR.end)))
+    }),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -4212,6 +4229,22 @@ object SparkEntry {
         |                 WHEN value >= prev THEN value - prev
         |                 ELSE value END) / 172800.0, 6) AS value
         |FROM win GROUP BY uid, t""".stripMargin,
+
+    // Sliding max_over_time replay: the same grid join, a plain MAX per
+    // (uid, T) window.
+    "p39_promql_maxot_sliding" ->
+      """WITH grid(t) AS (VALUES
+        |    (CAST(1705017600000 AS BIGINT)), (CAST(1705104000000 AS BIGINT)),
+        |    (CAST(1705190400000 AS BIGINT)), (CAST(1705276800000 AS BIGINT))),
+        |  d AS (
+        |    SELECT user_id, value, epoch_ms(ts::TIMESTAMP) AS tms
+        |    FROM events
+        |    WHERE event_type = 'purchase'
+        |      AND regexp_full_match(user_id::VARCHAR, '[1-9]'))
+        |SELECT CAST(d.user_id AS VARCHAR) AS uid, g.t AS bucket_ms,
+        |  max(d.value) AS value
+        |FROM grid g JOIN d ON d.tms > g.t - 172800000 AND d.tms <= g.t
+        |GROUP BY uid, g.t""".stripMargin,
 
     "p28_promql_stddev_ot" ->
       """SELECT CAST(user_id AS VARCHAR) AS uid,
