@@ -195,7 +195,30 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
     * downsampled blocks share it). */
   private[metric] def increaseFromGrid(
       matchers: Seq[graft.promql.LabelMatcher],
-      range: TimeRange): DataFrame = {
+      range: TimeRange): DataFrame =
+    increaseFromGridImpl(matchers, range, bucketMs = None)
+
+  /** Per-TIME-BUCKET increase rows — the RANGE-query twin of
+    * `NativeHistograms.increase(rows, bucketMs = Some(w))`, answered from
+    * the grid partials: output one histogram row per (series_key,
+    * bucket_ms) on the tumbling `bucketMs` grid (which must be a multiple
+    * of `gridMs` — whole rollup buckets roll up into each output bucket),
+    * arrays holding the bucket's within-bucket increases plus boundary
+    * deltas, each boundary attributed to the LATER bucket exactly like
+    * the raw path's later-sample rule. A bucket holding only the series'
+    * first in-range data rebuilds all-zero (count 0 → quantile NaN →
+    * range callers drop it, the "rate needs two samples" rule). */
+  private[metric] def increaseFromGridBucketed(
+      matchers: Seq[graft.promql.LabelMatcher],
+      range: TimeRange, bucketMs: Long): DataFrame = {
+    require(bucketMs % gridMs == 0,
+      s"bucketMs ($bucketMs) must be a multiple of the grid ($gridMs)")
+    increaseFromGridImpl(matchers, range, bucketMs = Some(bucketMs))
+  }
+
+  private def increaseFromGridImpl(
+      matchers: Seq[graft.promql.LabelMatcher],
+      range: TimeRange, bucketMs: Option[Long]): DataFrame = {
     import graft.promql._
     val nameMs = matchers.filter(_.label == "__name__")
     val names: Seq[String] = nameMs.collectFirst {
@@ -273,10 +296,32 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
     val pl = coalesce(col("__l_prev__"), lit(0.0))
     val boundary = when(col("__prev_ts__").isNull || col("f").isNull, 0.0)
       .otherwise(when(col("f") >= pl, col("f") - pl).otherwise(col("f")))
-    val incs = cur
-      .withColumn("inc", coalesce(col("i"), lit(0.0)) + boundary)
-      .groupBy(col("series_key"), col("kind"), col("idx"))
-      .agg(sum(col("inc")).as("inc"))
-    NativeHistograms.assembleHistograms(incs, meta, Seq("series_key"))
+    val withInc = cur.withColumn("inc", coalesce(col("i"), lit(0.0)) + boundary)
+    bucketMs match {
+      case Some(w) =>
+        // one output histogram per (series, w-bucket): grid buckets map
+        // to their containing tumbling bucket; boundaries between grid
+        // buckets inside one w-bucket merge, boundaries across a w-edge
+        // land in the later w-bucket (the raw later-sample attribution)
+        val outBucket =
+          (floor(col("ts") / lit(w)).cast("long") * w).as("bucket_ms")
+        val incs = withInc
+          .groupBy(col("series_key"), outBucket, col("kind"), col("idx"))
+          .agg(sum(col("inc")).as("inc"))
+        // per-bucket meta carries the series' (validated-uniform) schema;
+        // ts_ms = the bucket time (informational — range callers project
+        // bucket_ms, never ts_ms)
+        val metaB = rows
+          .select(col("series_key"), outBucket).distinct()
+          .join(meta.drop("ts_ms"), Seq("series_key"))
+          .withColumn("ts_ms", col("bucket_ms"))
+        NativeHistograms.assembleHistograms(incs, metaB,
+          Seq("series_key", "bucket_ms"))
+      case None =>
+        val incs = withInc
+          .groupBy(col("series_key"), col("kind"), col("idx"))
+          .agg(sum(col("inc")).as("inc"))
+        NativeHistograms.assembleHistograms(incs, meta, Seq("series_key"))
+    }
   }
 }

@@ -516,6 +516,18 @@ final class MetricEngine(spark: SparkSession, root: String,
       math.floorMod(startMs, r.gridMs) == 0 &&
       math.floorMod(endMs, r.gridMs) == 0)
 
+  /** RANGE-query variant: the window `w` must be a multiple of the grid
+    * (whole rollup buckets per tumbling bucket) and each range bound
+    * either unbounded (scan everything — trivially whole buckets) or
+    * aligned to `w`. */
+  private def histRollupForRange(range: TimeRange,
+      w: Long): Option[HistogramRollup] = {
+    def ok(v: Long) = v == Long.MinValue || v == Long.MaxValue ||
+      (math.abs(v) <= Long.MaxValue / 2 && math.floorMod(v, w) == 0)
+    histRollups.find(r => r.isFresh && w % r.gridMs == 0 &&
+      ok(range.start) && ok(range.end))
+  }
+
   /** Route `q` to the coarsest registered rollup that can answer it
     * EXACTLY, or None for raw. Routable: combinable aggregation (or
     * sum+rate — the fast path's only rate shape; stddev/stdvar stay on
@@ -1168,6 +1180,17 @@ final class MetricEngine(spark: SparkSession, root: String,
     if (sel.offsetMs != 0L) return None
     if (histograms.manifest.allSsts().isEmpty) return None
     val matchers = selectorMatchers(sel)
+    // rollup routing for the GRAPH shape (round 12): a fresh rollup whose
+    // grid divides the window answers each tumbling bucket from partials
+    for (w <- bucketMs if rate; hr <- histRollupForRange(range, w)) {
+      val inc = hr.increaseFromGridBucketed(matchers, range, w)
+      if (!inc.isEmpty) {
+        val quant = NativeHistograms.quantile(inc, Seq(q))
+          .filter(!isnan(col("value")))
+        return Some(decorateSeriesLabels(quant, matchers,
+          extraCols = Seq("bucket_ms")))
+      }
+    }
     val rows = scanMatchedHistograms(matchers, range)
     if (rows.isEmpty) return None
     val hist =
@@ -1224,6 +1247,12 @@ final class MetricEngine(spark: SparkSession, root: String,
       rate: Option[Long]): Option[DataFrame] = {
     if (sel.offsetMs != 0L) return None
     if (histograms.manifest.allSsts().isEmpty) return None
+    // rollup routing for the aggregated graph shape (round 12)
+    for (w <- rate; hr <- histRollupForRange(range, w)) {
+      val inc = hr.increaseFromGridBucketed(selectorMatchers(sel), range, w)
+      if (!inc.isEmpty)
+        return Some(nativeHistogramSumQuantile(q, by, inc, bucketed = true))
+    }
     val rows = scanMatchedHistograms(selectorMatchers(sel), range)
     if (rows.isEmpty) return None
     val hist = rate match {

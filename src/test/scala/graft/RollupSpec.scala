@@ -492,6 +492,39 @@ class RollupSpec extends AnyFunSuite {
     expLate.foreach { case (k, v) =>
       assert(math.abs(routedLate(k) - v) < 1e-9,
         s"late $k: exp $v got ${routedLate(k)}") }
+    // RANGE (graph) shape routes too: per-tumbling-bucket quantiles over
+    // an aligned range equal the raw bucket-wise computation, NaN buckets
+    // (single overall-first sample) dropped on both sides
+    val rRange = TimeRange(0L, 4 * hour)
+    val routedRangeDf = eng.queryPromQL(
+      """histogram_quantile(0.5, rate(lat[1h]))""", rRange)
+    assert(routedRangeDf.queryExecution.executedPlan.toString
+      .contains("_hrollup_"), "range routing did not engage")
+    val routedRange = routedRangeDf.collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("bucket_ms")) ->
+        r.getAs[Double]("value")).toMap
+    val rawRange = {
+      import org.apache.spark.sql.functions.{col, isnan, not}
+      NativeHistograms.quantile(
+        NativeHistograms.increase(
+          eng.queryHistograms("lat", rRange), Some(hour)), Seq(0.5))
+        .filter(not(isnan(col("value"))))
+        .collect().map { r =>
+          val (_, ls) = MetricEngine.parseSeriesKey(
+            r.getAs[String]("series_key"))
+          (ls("host"), r.getAs[Long]("bucket_ms")) -> r.getAs[Double]("value")
+        }.toMap
+    }
+    assert(routedRange.keySet == rawRange.keySet,
+      s"range routed keys ${routedRange.keySet} vs raw ${rawRange.keySet}")
+    rawRange.foreach { case (k, v) =>
+      assert(math.abs(routedRange(k) - v) < 1e-9,
+        s"range $k: raw $v routed ${routedRange(k)}") }
+    // unaligned range bounds fall back to raw
+    assert(!eng.queryPromQL(
+      """histogram_quantile(0.5, rate(lat[1h]))""",
+      TimeRange(1L, 4 * hour)).queryExecution.executedPlan.toString
+      .contains("_hrollup_"))
   }
 
   test("RollupScheduler refreshes histogram rollups alongside scalar " +
