@@ -178,6 +178,33 @@ object SparkEntry {
       e
     }
 
+  /** Shared histogram-rollup fixture engine (ro7/ro8): a reset-bearing
+    * native-histogram series with a REGISTERED, refreshed 2 s-grid
+    * HistogramRollup — both the instant and range quantile shapes route
+    * through it. */
+  private def ro7Engine(s: SparkSession): graft.metric.MetricEngine =
+    cachedServingEngine("ro7") {
+      import graft.streaming.MetricStreamIngest
+      import graft.streaming.RemoteWrite.HistogramSample
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ro7").toString
+      val e = new graft.metric.MetricEngine(s, root)
+      def h(ts: Long, zero: Double, buckets: Seq[(Int, Double)]) =
+        HistogramSample("lat_ro7", Map("job" -> "api"), ts,
+          count = zero + buckets.map(_._2).sum, sum = 0.0, schema = 0,
+          zeroThreshold = 0.001, zeroCount = zero,
+          positiveBuckets = buckets, negativeBuckets = Nil)
+      MetricStreamIngest.ingestHistograms(e, s, Seq(
+        h(500L, 1, Seq((1, 2.0))),
+        h(1500L, 1, Seq((1, 5.0))),
+        h(2500L, 2, Seq((1, 1.0), (2, 4.0))), // idx1 reset; idx2 appears
+        h(3500L, 2, Seq((1, 3.0), (2, 6.0)))))
+      val hr = new graft.metric.HistogramRollup(e, gridMs = 2000L)
+      hr.refresh()
+      e.registerHistogramRollup(hr)
+      e
+    }
+
   private def cachedServingEngine(key: String)(
       build: => graft.metric.MetricEngine): graft.metric.MetricEngine =
     servingEngineCache.synchronized {
@@ -1194,31 +1221,21 @@ object SparkEntry {
     // fixture carries a counter reset and a mid-window bucket appearance;
     // the oracle replays the raw dense-fill increase + quantile walk —
     // which the routed reconstruction must reproduce exactly.
-    "ro7_rollup_hist" -> ((s, dir) => {
-      val eng = cachedServingEngine("ro7") {
-        import graft.streaming.MetricStreamIngest
-        import graft.streaming.RemoteWrite.HistogramSample
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-ro7").toString
-        val e = new graft.metric.MetricEngine(s, root)
-        def h(ts: Long, zero: Double, buckets: Seq[(Int, Double)]) =
-          HistogramSample("lat_ro7", Map("job" -> "api"), ts,
-            count = zero + buckets.map(_._2).sum, sum = 0.0, schema = 0,
-            zeroThreshold = 0.001, zeroCount = zero,
-            positiveBuckets = buckets, negativeBuckets = Nil)
-        MetricStreamIngest.ingestHistograms(e, s, Seq(
-          h(500L, 1, Seq((1, 2.0))),
-          h(1500L, 1, Seq((1, 5.0))),
-          h(2500L, 2, Seq((1, 1.0), (2, 4.0))), // idx1 reset; idx2 appears
-          h(3500L, 2, Seq((1, 3.0), (2, 6.0)))))
-        val hr = new graft.metric.HistogramRollup(e, gridMs = 2000L)
-        hr.refresh()
-        e.registerHistogramRollup(hr)
-        e
-      }
-      eng.instantPromQL(
+    "ro7_rollup_hist" -> ((s, dir) =>
+      ro7Engine(s).instantPromQL(
         """histogram_quantile(0.5, rate(lat_ro7[4s]))""", 4000L)
-        .select(col("__name__"), col("job"), col("value"))
+        .select(col("__name__"), col("job"), col("value"))),
+
+    // RANGE-routed histogram rollup (round 12): the graph shape over the
+    // same registered 2 s grid — per-tumbling-bucket quantiles answered
+    // from the per-bucket partials (RollupSpec asserts the plan reads the
+    // rollup store and routed ≡ raw). The oracle states each bucket's
+    // quantile with the engine's exact interpolation arithmetic.
+    "ro8_rollup_hist_range" -> ((s, dir) => {
+      ro7Engine(s).queryPromQL(
+        """histogram_quantile(0.5, rate(lat_ro7[2s]))""",
+        graft.storage.TimeRange(0L, 4000L))
+        .select(col("__name__"), col("job"), col("bucket_ms"), col("value"))
     }),
 
     // RECORDING RULE end to end: the rule engine instant-evaluates the
@@ -4500,6 +4517,18 @@ object SparkEntry {
         |    FROM walk WHERE cnt > 0 AND cum_before + cnt >= rk)
         |SELECT 'lat_ro7' AS __name__, 'api' AS job, value
         |FROM pick WHERE rn = 1""".stripMargin,
+
+    // Per-bucket replay with the engine's exact interpolation arithmetic:
+    // bucket 0 — incs zero 0, idx1 3 (2→5), count 3, rank 1.5 lands in
+    // (1,2]; bucket 2000 — incs zero 1, idx1 3 (reset 5→1 then +2),
+    // idx2 6 (appears 4, +2), count 10, rank 5 lands in (2,4].
+    "ro8_rollup_hist_range" ->
+      """SELECT * FROM (VALUES
+        |  ('lat_ro7', 'api', CAST(0 AS BIGINT),
+        |   1 + 1 * ((1.5 - 0) / 3)),
+        |  ('lat_ro7', 'api', CAST(2000 AS BIGINT),
+        |   2 + 2 * ((CAST(5.0 AS DOUBLE) - 4) / 6))
+        |) AS t(__name__, job, bucket_ms, value)""".stripMargin,
 
     // Reset-aware increase replayed from raw samples: lag over each uid's
     // time-ordered values, a drop = counter reset (post-reset value counts
