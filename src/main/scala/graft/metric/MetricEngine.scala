@@ -463,7 +463,8 @@ final class MetricEngine(spark: SparkSession, root: String,
           .select("tsid").distinct()
       case LabelMatcher(l, MatchOp.Re, re) =>
         index.scan(ScanRequest(predicates = Seq(col("metric_id") === mid,
-            col("tag_key") === l, col("tag_value").rlike(s"^(?:$re)$$"))))
+            col("tag_key") === l,
+            col("tag_value").rlike("\\A(?:" + re + ")\\z"))))
           .select("tsid").distinct()
       case other => throw new IllegalStateException(
         s"not index-exact: $other (guard with indexExact first)")
@@ -576,6 +577,28 @@ final class MetricEngine(spark: SparkSession, root: String,
           StructField("value", DoubleType))))
     queryWithTsids(mid, lookupTsids(mid, q.labelFilters), q,
       q.groupByTag.toSeq)
+  }
+
+  /** Capped label-VALUES discovery frame — the engine behind
+    * `GET /api/v1/label/<name>/values` (no-selector arm): distinct values
+    * of `label` (`__name__` = the metric-name dictionary), sorted and
+    * limit-capped INSIDE the plan (Sort + GlobalLimit →
+    * TakeOrderedAndProject), so a high-cardinality label (instance / pod
+    * ids — this endpoint's worst customer, refreshed per Grafana
+    * variable) never stages its full value dictionary on the driver.
+    * `limit` Int.MaxValue = uncapped (the API's explicit no-limit
+    * contract — the caller asked for everything). */
+  def labelValues(label: String, limit: Int = Int.MaxValue): DataFrame = {
+    val (df, c) =
+      if (label == "__name__")
+        (metrics.scan(ScanRequest(projection = Some(Seq("metric_name")))),
+          "metric_name")
+      else
+        (tags.scan(ScanRequest(
+          predicates = Seq(col("tag_key") === label),
+          projection = Some(Seq("tag_value")))), "tag_value")
+    val sorted = df.distinct().orderBy(c)
+    if (limit == Int.MaxValue) sorted else sorted.limit(limit)
   }
 
   /** [[query]] with the step-1 TSID set already resolved — the PromQL
@@ -1539,7 +1562,7 @@ final class MetricEngine(spark: SparkSession, root: String,
         case LabelMatcher(l, MatchOp.Re, re) if !"".matches(s"^(?:$re)$$") =>
           Some(index.scan(ScanRequest(predicates = Seq(
             col("metric_id") === mid, col("tag_key") === l,
-            col("tag_value").rlike(s"^(?:$re)$$"))))
+            col("tag_value").rlike("\\A(?:" + re + ")\\z"))))
             .select("tsid").distinct())
         case _ => None
       }

@@ -951,7 +951,7 @@ final class PromQLContext(
             catch { case e: java.util.regex.PatternSyntaxException =>
               throw new IllegalArgumentException(
                 s"label_replace regex does not compile: ${e.getMessage}") }
-          val anchored = s"^(?:${pat.pattern})$$"
+          val anchored = "\\A(?:" + pat.pattern + ")\\z"
           val srcS = lbl(src)
           val existing = if (in.columns.contains(dst)) lbl(dst) else lit("")
           in.withColumn(dst,
@@ -1394,7 +1394,7 @@ object PromQLContext {
       case MatchOp.Nre => !s.rlike(anchor(m.value))
     }
   }
-  private def anchor(re: String): String = s"^(?:$re)$$"
+  private def anchor(re: String): String = "\\A(?:" + re + ")\\z"
 
   /** Translate a Go `Regexp.Expand` replacement template into a Java
     * `regexp_replace` replacement. Go semantics (what Prometheus's

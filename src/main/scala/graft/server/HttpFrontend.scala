@@ -516,6 +516,17 @@ final class HttpFrontend(
         catch {
           case scala.util.control.NonFatal(e) =>
             log.warn("chunked remote-read stream aborted mid-flight", e)
+            // A failure that lands exactly ON a frame boundary (the
+            // row-cap check usually does — it throws before the next
+            // series' first frame) would otherwise end the chunked
+            // response CLEANLY, and the client would mistake truncation
+            // for completion. Write a deliberately unfinishable frame —
+            // a uvarint length with no payload — so the client's
+            // framing/CRC check rejects the tail in every case; a
+            // secondary IO failure here means the client is already
+            // gone, which aborts just as loudly.
+            try { os.write(0x7f); os.flush() }
+            catch { case scala.util.control.NonFatal(_) => () }
         } finally os.close()
       } else {
         val results = req.queries.map(seriesOf)
@@ -750,22 +761,20 @@ final class HttpFrontend(
         val label = java.net.URLDecoder.decode(parts(3), "UTF-8")
         val pairs = paramPairs(ex)
         val sels = matchSelectors(pairs)
+        val lim = limitParam(pairs)
+        // no-selector arm: the sort AND the limit live INSIDE the plan
+        // (MetricEngine.labelValues → TakeOrderedAndProject) — a
+        // high-cardinality label never stages its full value dictionary
+        // on the driver per Grafana variable refresh
         val values: Seq[String] =
           if (sels.nonEmpty)
             sels.flatMap(engine.seriesFor(_)).distinct
-              .flatMap(_.get(label)).distinct
-          else if (label == "__name__")
-            engine.metrics.scan(graft.storage.ScanRequest(
-                projection = Some(Seq("metric_name"))))
-              .distinct().collect().map(_.getString(0)).toSeq
+              .flatMap(_.get(label)).distinct.sorted.take(lim)
           else
-            engine.tags.scan(graft.storage.ScanRequest(
-                predicates = Seq(
-                  org.apache.spark.sql.functions.col("tag_key") === label),
-                projection = Some(Seq("tag_value"))))
-              .distinct().collect().map(_.getString(0)).toSeq
+            engine.labelValues(label, lim)
+              .collect().map(_.getString(0)).toSeq
         respond(ex, 200,
-          values.sorted.take(limitParam(pairs)).map(v => s""""${esc(v)}"""")
+          values.map(v => s""""${esc(v)}"""")
             .mkString("""{"status":"success","data":[""", ",", "]}"),
           contentType = "application/json")
       }

@@ -270,6 +270,43 @@ class MetricEngineSpec extends AnyFunSuite {
     assert(capped == full.take(25))
   }
 
+  test("labelValues caps the discovery plan: sort + limit execute as " +
+      "TakeOrderedAndProject, never a full driver collect") {
+    val (e, samples) = highCardEngine()
+    val df = e.labelValues("host", 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"label-values limit did not push into the plan:\n$plan")
+    val got = df.collect().map(_.getString(0)).toSeq
+    val expect = samples.flatMap(_.labels.get("host")).distinct.sorted.take(5)
+    assert(got == expect)
+    // uncapped arm still answers the full sorted dictionary
+    val all = e.labelValues("zone").collect().map(_.getString(0)).toSeq
+    assert(all == samples.flatMap(_.labels.get("zone")).distinct.sorted)
+    // __name__ routes to the metric-name dictionary
+    assert(e.labelValues("__name__", 10).collect().map(_.getString(0)).toSeq
+      == Seq("hc_metric"))
+  }
+
+  test("regex matchers are exactly anchored end-to-end: a label value " +
+      "with a trailing newline never matches its newline-less pattern") {
+    import spark.implicits._
+    val e = engine()
+    e.write(Seq(
+      Sample("m", Map("h" -> "a"), day, 1.0),
+      Sample("m", Map("h" -> "a\n"), day, 2.0)).toDF())
+    // index-exact positive regex (indexExactTsids' rlike arm)
+    val raw = e.readRaw(Seq(
+        graft.promql.LabelMatcher("__name__", graft.promql.MatchOp.Eq, "m"),
+        graft.promql.LabelMatcher("h", graft.promql.MatchOp.Re, "a")),
+      TimeRange(Long.MinValue, Long.MaxValue)).collect()
+    assert(raw.map(_.getAs[Double]("value")).toSeq == Seq(1.0))
+    // evaluator matcherPredicate path
+    val ev = e.queryPromQL("""m{h=~"a"}""",
+      TimeRange(Long.MinValue, Long.MaxValue)).collect()
+    assert(ev.map(_.getAs[Double]("value")).toSeq == Seq(1.0))
+  }
+
   test("sliding range windows (opt-in): rate evaluates per-step (T-w, T] " +
       "windows with in-window chaining; tumbling stays the default") {
     import spark.implicits._
