@@ -31,8 +31,9 @@ import graft.storage._
   * path's chained deltas exactly on grid-aligned windows. Mixed schemas
   * WITHIN one grid bucket downscale to the bucket's coarsest at refresh
   * ([[NativeHistograms.downscaleToCoarsest]]); a schema change ACROSS
-  * buckets of one query window is rejected at query time (route that
-  * window to raw — rare, and the raw path converts exactly).
+  * buckets of one query window routes that window to raw at query time
+  * ([[increaseFromGrid]] pre-probes and returns None — rare, and the raw
+  * path converts exactly, so the fallback is invisible to the caller).
   *
   * Refresh is watermark-incremental per dirty segment, identical policy
   * to [[Rollup.refresh]] (one Spark job over contiguous dirty runs,
@@ -195,7 +196,7 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
     * downsampled blocks share it). */
   private[metric] def increaseFromGrid(
       matchers: Seq[graft.promql.LabelMatcher],
-      range: TimeRange): DataFrame =
+      range: TimeRange): Option[DataFrame] =
     increaseFromGridImpl(matchers, range, bucketMs = None)
 
   /** Per-TIME-BUCKET increase rows — the RANGE-query twin of
@@ -210,15 +211,24 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
     * range callers drop it, the "rate needs two samples" rule). */
   private[metric] def increaseFromGridBucketed(
       matchers: Seq[graft.promql.LabelMatcher],
-      range: TimeRange, bucketMs: Long): DataFrame = {
+      range: TimeRange, bucketMs: Long): Option[DataFrame] = {
     require(bucketMs % gridMs == 0,
       s"bucketMs ($bucketMs) must be a multiple of the grid ($gridMs)")
     increaseFromGridImpl(matchers, range, bucketMs = Some(bucketMs))
   }
 
+  /** None = this window cannot (or need not) answer from the grid — no
+    * matching partials, OR some series changed bucket schema / NHCB
+    * bounds ACROSS grid buckets inside the window. Callers fall through
+    * to the raw histograms path, which downscales mixed schemas exactly
+    * ([[NativeHistograms.downscaleToCoarsest]]) — a scrape-config change
+    * must degrade a routed dashboard query to the (exact) raw plan, never
+    * to a user-facing error. The probe is ONE aggregate job over the
+    * already-pruned partials (per-series distinct-schema counts), the
+    * same cost tier as the emptiness probe it replaces. */
   private def increaseFromGridImpl(
       matchers: Seq[graft.promql.LabelMatcher],
-      range: TimeRange, bucketMs: Option[Long]): DataFrame = {
+      range: TimeRange, bucketMs: Option[Long]): Option[DataFrame] = {
     import graft.promql._
     val nameMs = matchers.filter(_.label == "__name__")
     val names: Seq[String] = nameMs.collectFirst {
@@ -240,9 +250,23 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
         StructType(schema.fields.toSeq :+
           StructField("series_key", StringType))))
 
-    // per-series meta: one schema + one custom-bound set per window or
-    // reject (the raw path downscales exactly; this routed path prefers
-    // falling back loudly over silently mixing grids)
+    // ONE probe job (replacing the callers' old emptiness probe): any
+    // partials at all, and per series ONE schema + ONE NHCB bound set
+    // across the window's grid buckets — otherwise route to raw, which
+    // downscales the mix exactly
+    val probe = rows.groupBy(col("series_key")).agg(
+        collect_set(col("bucket_schema")).as("__ss__"),
+        collect_set(col("custom_values")).as("__cs__"))
+      .agg(count(lit(1)).as("n"),
+        max(size(col("__ss__"))).as("ms"),
+        max(size(col("__cs__"))).as("mc"))
+      .collect()(0)
+    if (probe.getLong(0) == 0L || probe.getInt(1) > 1 || probe.getInt(2) > 1)
+      return None
+
+    // per-series meta: the probe guaranteed uniformity; the CASE arms
+    // below are a belt-and-suspenders invariant check, no longer a
+    // user-reachable failure mode
     val meta = rows.groupBy(col("series_key")).agg(
       max(col("ts")).as("ts_ms"),
       collect_set(col("bucket_schema")).as("__schemas__"),
@@ -297,7 +321,7 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
     val boundary = when(col("__prev_ts__").isNull || col("f").isNull, 0.0)
       .otherwise(when(col("f") >= pl, col("f") - pl).otherwise(col("f")))
     val withInc = cur.withColumn("inc", coalesce(col("i"), lit(0.0)) + boundary)
-    bucketMs match {
+    Some(bucketMs match {
       case Some(w) =>
         // one output histogram per (series, w-bucket): grid buckets map
         // to their containing tumbling bucket; boundaries between grid
@@ -322,6 +346,6 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
           .groupBy(col("series_key"), col("kind"), col("idx"))
           .agg(sum(col("inc")).as("inc"))
         NativeHistograms.assembleHistograms(incs, meta, Seq("series_key"))
-    }
+    })
   }
 }

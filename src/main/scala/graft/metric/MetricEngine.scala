@@ -1175,11 +1175,11 @@ final class MetricEngine(spark: SparkSession, root: String,
     // from grid/interval× fewer partial rows; the grid covers [T-w, T)
     // (HistogramRollup.increaseFromGrid's dialect note)
     histRollupFor(timeMs - windowMs, timeMs).foreach { hr =>
-      val inc = hr.increaseFromGrid(matchers,
-        TimeRange(timeMs - windowMs, timeMs))
-      if (!inc.isEmpty)
-        return Some(decorateSeriesLabels(
-          NativeHistograms.quantile(inc, Seq(q)), matchers))
+      // None = no partials OR a schema change across grid buckets in the
+      // window — fall through to raw, which downscales the mix exactly
+      hr.increaseFromGrid(matchers, TimeRange(timeMs - windowMs, timeMs))
+        .foreach(inc => return Some(decorateSeriesLabels(
+          NativeHistograms.quantile(inc, Seq(q)), matchers)))
     }
     val rows = scanMatchedHistograms(matchers,
       TimeRange(timeMs - windowMs + 1, timeMs + 1))
@@ -1205,14 +1205,12 @@ final class MetricEngine(spark: SparkSession, root: String,
     val matchers = selectorMatchers(sel)
     // rollup routing for the GRAPH shape (round 12): a fresh rollup whose
     // grid divides the window answers each tumbling bucket from partials
-    for (w <- bucketMs if rate; hr <- histRollupForRange(range, w)) {
-      val inc = hr.increaseFromGridBucketed(matchers, range, w)
-      if (!inc.isEmpty) {
-        val quant = NativeHistograms.quantile(inc, Seq(q))
-          .filter(!isnan(col("value")))
-        return Some(decorateSeriesLabels(quant, matchers,
-          extraCols = Seq("bucket_ms")))
-      }
+    for (w <- bucketMs if rate; hr <- histRollupForRange(range, w);
+        inc <- hr.increaseFromGridBucketed(matchers, range, w)) {
+      val quant = NativeHistograms.quantile(inc, Seq(q))
+        .filter(!isnan(col("value")))
+      return Some(decorateSeriesLabels(quant, matchers,
+        extraCols = Seq("bucket_ms")))
     }
     val rows = scanMatchedHistograms(matchers, range)
     if (rows.isEmpty) return None
@@ -1246,9 +1244,9 @@ final class MetricEngine(spark: SparkSession, root: String,
           None
         else {
           // rollup-routed window increase when a fresh aligned grid exists
-          val routed = histRollupFor(timeMs - w, timeMs).map(
+          val routed = histRollupFor(timeMs - w, timeMs).flatMap(
             _.increaseFromGrid(selectorMatchers(sel),
-              TimeRange(timeMs - w, timeMs))).filter(!_.isEmpty)
+              TimeRange(timeMs - w, timeMs)))
           routed.orElse {
             val rows = scanMatchedHistograms(selectorMatchers(sel),
               TimeRange(timeMs - w + 1, timeMs + 1))
@@ -1271,11 +1269,9 @@ final class MetricEngine(spark: SparkSession, root: String,
     if (sel.offsetMs != 0L) return None
     if (histograms.manifest.allSsts().isEmpty) return None
     // rollup routing for the aggregated graph shape (round 12)
-    for (w <- rate; hr <- histRollupForRange(range, w)) {
-      val inc = hr.increaseFromGridBucketed(selectorMatchers(sel), range, w)
-      if (!inc.isEmpty)
-        return Some(nativeHistogramSumQuantile(q, by, inc, bucketed = true))
-    }
+    for (w <- rate; hr <- histRollupForRange(range, w);
+        inc <- hr.increaseFromGridBucketed(selectorMatchers(sel), range, w))
+      return Some(nativeHistogramSumQuantile(q, by, inc, bucketed = true))
     val rows = scanMatchedHistograms(selectorMatchers(sel), range)
     if (rows.isEmpty) return None
     val hist = rate match {

@@ -527,6 +527,60 @@ class RollupSpec extends AnyFunSuite {
       .contains("_hrollup_"))
   }
 
+  test("histogram rollup: a schema change ACROSS grid buckets inside the " +
+      "window auto-falls back to raw (hash-identical answer, no error); " +
+      "windows on one side of the change stay routed") {
+    import graft.streaming.MetricStreamIngest
+    import graft.streaming.RemoteWrite.HistogramSample
+    val eng = freshEngine()
+    def h(host: String, ts: Long, schema: Int, buckets: Seq[(Int, Double)]) =
+      HistogramSample("lat", Map("host" -> host), ts,
+        count = buckets.map(_._2).sum, sum = 0.0, schema = schema,
+        zeroThreshold = 0.001, zeroCount = 0.0,
+        positiveBuckets = buckets, negativeBuckets = Nil)
+    // hour buckets 0 and 1 at schema 1; a scrape-config change flips the
+    // series to schema 0 from hour 2 on (mixed ACROSS buckets, uniform
+    // within each — refresh would have downscaled a within-bucket mix)
+    MetricStreamIngest.ingestHistograms(eng, spark, Seq(
+      h("a", 10 * 60000L, 1, Seq((2, 2.0), (4, 1.0))),
+      h("a", 50 * 60000L, 1, Seq((2, 5.0), (4, 3.0))),
+      h("a", hour + 30 * 60000L, 1, Seq((2, 7.0), (4, 4.0))),
+      h("a", 2 * hour + 10 * 60000L, 0, Seq((1, 8.0), (2, 5.0))),
+      h("a", 3 * hour + 40 * 60000L, 0, Seq((1, 9.0), (2, 7.0)))))
+    val hr = new HistogramRollup(eng, gridMs = hour)
+    hr.refresh()
+    assert(hr.isFresh)
+    eng.registerHistogramRollup(hr)
+    val T = 4 * hour
+    val q = """histogram_quantile(0.5, rate(lat[4h]))"""
+    // the window spans the change: must NOT error, must match raw exactly
+    val df = eng.instantPromQL(q, T)
+    assert(!df.queryExecution.executedPlan.toString.contains("_hrollup_"),
+      "schema-mixed window must route to raw")
+    val got = df.collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Double]("value"))).toMap
+    val exp = NativeHistograms.quantile(
+      NativeHistograms.increase(
+        eng.queryHistograms("lat", TimeRange(1L, T + 1))), Seq(0.5))
+      .collect().map { r =>
+        val (_, ls) = MetricEngine.parseSeriesKey(r.getAs[String]("series_key"))
+        ls("host") -> r.getAs[Double]("value")
+      }.toMap
+    assert(got.keySet == exp.keySet, got.toString)
+    exp.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-9, s"$k: raw $v routed ${got(k)}") }
+    // a window entirely on ONE side of the change still routes
+    val routedDf = eng.queryPromQL(
+      """histogram_quantile(0.5, rate(lat[1h]))""", TimeRange(0L, 2 * hour))
+    assert(routedDf.queryExecution.executedPlan.toString.contains("_hrollup_"),
+      "uniform-schema window should stay routed")
+    // and the RANGE shape spanning the change falls back without erroring
+    val rangeDf = eng.queryPromQL(
+      """histogram_quantile(0.5, rate(lat[1h]))""", TimeRange(0L, 4 * hour))
+    assert(!rangeDf.queryExecution.executedPlan.toString.contains("_hrollup_"))
+    assert(rangeDf.collect().nonEmpty)
+  }
+
   test("RollupScheduler refreshes histogram rollups alongside scalar " +
       "ones; a failing lane counts and surfaces, then clears") {
     import graft.streaming.MetricStreamIngest
