@@ -344,24 +344,99 @@ final class MetricEngine(spark: SparkSession, root: String,
       projection: Seq[Column], emptySchema: StructType): DataFrame = {
     import graft.promql._
     val nameMs = matchers.filter(_.label == "__name__")
-    val names: Seq[String] = nameMs.collectFirst {
-      case LabelMatcher(_, MatchOp.Eq, v) if v.nonEmpty => Seq(v)
-    }.getOrElse {
-      metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
-        .distinct().collect().map(_.getString(0)).toSeq.sorted
-    }.filter(n => nameMs.forall(PromQLContext.matcherMatches(_, n)))
     val labelMs = matchers.filterNot(_.label == "__name__")
-    val frames = names.flatMap { name =>
-      metricIdOf(name).map { mid =>
-        table.scan(ScanRequest(range = range,
-            predicates = Seq(col("metric_id") === mid)))
-          .join(maybeBroadcast(matchedSeriesFrame(mid, labelMs)), Seq("tsid"))
-          .select(projection: _*)
-      }
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    def branch(mid: Long) =
+      table.scan(ScanRequest(range = range,
+          predicates = Seq(col("metric_id") === mid)))
+        .join(maybeBroadcast(matchedSeriesFrame(mid, labelMs)), Seq("tsid"))
+        .select(projection: _*)
+    nameMs.collectFirst {
+      case LabelMatcher(_, MatchOp.Eq, v) if v.nonEmpty => v
+    } match {
+      case Some(name) =>
+        // exact-name selector (the dashboard shape): ONE branch whose
+        // metric_id literal pushes into the manifest + parquet prune
+        if (!nameMs.forall(PromQLContext.matcherMatches(_, name))) empty
+        else metricIdOf(name).map(branch).getOrElse(empty)
+      case None =>
+        // regex / negative name matchers (federation's
+        // {__name__=~"job:.*"}): resolve the matched names as a FRAME.
+        // Up to NameUnionFanout ids keep their own pruned branches
+        // (static pushdown beats a join for a handful of metrics);
+        // above it, ONE un-predicated scan semi-joined on the matched
+        // (metric_id, tsid) series frame — plan size and driver memory
+        // independent of matched-name cardinality (the data pk leads
+        // with metric_id, so the broadcast join filters right behind
+        // the sorted scan).
+        val mids = matchedMetricIds(nameMs)
+        val some = mids.limit(NameUnionFanout + 1).collect().map(_.getLong(0))
+        if (some.isEmpty) empty
+        else if (some.length <= NameUnionFanout)
+          some.sorted.map(branch).reduce(_ unionByName _)
+        else
+          table.scan(ScanRequest(range = range))
+            .join(maybeBroadcast(matchedSeriesFrameAll(mids, labelMs)),
+              Seq("metric_id", "tsid"))
+            .select(projection: _*)
     }
-    frames.reduceOption(_ unionByName _).getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema))
+  }
+
+  /** Fan-out cap for per-metric-name union plans — see
+    * [[matchedSeriesScan]]. Collecting at most cap+1 ids bounds the
+    * driver at a constant regardless of how many names a federation
+    * regex matches. */
+  private val NameUnionFanout = 16
+
+  /** Matched metric ids as a FRAME: the metrics dictionary filtered by
+    * the `__name__` matchers as Spark predicates — never a driver-side
+    * dictionary walk. */
+  private def matchedMetricIds(
+      nameMs: Seq[graft.promql.LabelMatcher]): DataFrame = {
+    var names = metrics.scan(ScanRequest(
+      projection = Some(Seq("metric_name", "metric_id"))))
+    nameMs.foreach(m => names = names.filter(
+      graft.promql.PromQLContext.matcherPredicate(col("metric_name"), m)))
+    names.select("metric_id").distinct()
+  }
+
+  /** Multi-metric twin of [[matchedSeriesFrame]]: (metric_id, tsid,
+    * series_key:string) of every series of the matched metric ids whose
+    * labels match `matchers`. Index-exact matchers prune through the
+    * (tag_value → tsid) dictionary semi-joined per matcher on
+    * (metric_id, tsid); residual matchers evaluate as a Spark filter
+    * over the decoded key — nothing stages on the driver at any
+    * metric-name or series cardinality. */
+  private[metric] def matchedSeriesFrameAll(mids: DataFrame,
+      matchers: Seq[graft.promql.LabelMatcher]): DataFrame = {
+    import graft.promql._
+    var keyed = series.scan(ScanRequest(
+        projection = Some(Seq("metric_id", "tsid", "series_key"))))
+      .join(maybeBroadcast(mids), Seq("metric_id"), "left_semi")
+      .select(col("metric_id"), col("tsid"),
+        col("series_key").cast("string").as("series_key"))
+    val (exact, residual) = matchers.partition(m => indexExact(Seq(m)))
+    exact.foreach { m =>
+      val pred = m match {
+        case LabelMatcher(l, MatchOp.Eq, v) =>
+          Seq(col("tag_key") === l, col("tag_value") === v)
+        case LabelMatcher(l, MatchOp.Re, re) =>
+          Seq(col("tag_key") === l,
+            col("tag_value").rlike("\\A(?:" + re + ")\\z"))
+        case other => throw new IllegalStateException(
+          s"not index-exact: $other (guard with indexExact first)")
+      }
+      val dict = index.scan(ScanRequest(predicates = pred))
+        .join(maybeBroadcast(mids), Seq("metric_id"), "left_semi")
+        .select("metric_id", "tsid").distinct()
+      keyed = keyed.join(dict, Seq("metric_id", "tsid"), "left_semi")
+    }
+    if (residual.nonEmpty) {
+      val labels = MetricEngine.seriesLabelsColumn(col("series_key"))
+      keyed = keyed.filter(residual.map(matcherColumn(labels, _)).reduce(_ && _))
+    }
+    keyed
   }
 
   /** Distributed (tsid, series_key:string) frame of metric `mid`'s series
@@ -696,16 +771,16 @@ final class MetricEngine(spark: SparkSession, root: String,
     * (`sum(a)/sum(b)`), as raw range-vector operands carry per-metric tsids.
     */
   /** Label sets of the series matching a PromQL selector — the
-    * `/api/v1/series` discovery surface. Resolves the metric set from the
-    * selector (explicit name or `__name__` matchers applied to the small
-    * metric-NAME dictionary), matches each metric's series DISTRIBUTED
-    * through [[matchedSeriesFrame]] (index-pruned `=`/positive-regex,
-    * residual matchers as a Spark filter over the decoded key — exact
-    * Prometheus semantics, anchored regexes, absent label = ""), and
-    * collects only the `limit`-capped survivors the way Prometheus's own
-    * endpoint bounds its response: per metric a
-    * `TakeOrderedAndProject(limit - taken)` in key order, so a
-    * million-series metric never stages more than `limit` keys on the
+    * `/api/v1/series` discovery surface. The metric set resolves as a
+    * FRAME ([[matchedMetricIds]] — `__name__` matchers as Spark
+    * predicates over the metric-name dictionary), series match
+    * DISTRIBUTED through [[matchedSeriesFrameAll]] (index-pruned
+    * `=`/positive-regex, residual matchers as a Spark filter over the
+    * decoded key — exact Prometheus semantics, anchored regexes, absent
+    * label = ""), and ONE `TakeOrderedAndProject(limit)` on the
+    * canonical key collects the survivors — name-major order (the key
+    * starts with the metric name), one Spark job however many names a
+    * federation regex matches, never more than `limit` keys on the
     * driver. */
   def seriesFor(selectorText: String, limit: Int = 1000): Seq[Map[String, String]] = {
     import graft.promql._
@@ -714,27 +789,17 @@ final class MetricEngine(spark: SparkSession, root: String,
       case other => throw new IllegalArgumentException(
         s"series discovery takes a plain selector, got: $other")
     }
-    val nameMs = sel.matchers.filter(_.label == "__name__")
+    val nameMs =
+      (if (sel.metric.nonEmpty)
+        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
+        sel.matchers.filter(_.label == "__name__")
     val labelMs = sel.matchers.filterNot(_.label == "__name__")
-    val names: Seq[String] =
-      (if (sel.metric.nonEmpty) Seq(sel.metric)
-       else metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
-         .distinct().collect().map(_.getString(0)).toSeq.sorted)
-        .filter(n => nameMs.forall(PromQLContext.matcherMatches(_, n)))
-    val out = Seq.newBuilder[Map[String, String]]
-    var n = 0
-    names.foreach { m =>
-      if (n < limit) metricIdOf(m).foreach { mid =>
-        val keys = matchedSeriesFrame(mid, labelMs)
-          .select("series_key").orderBy("series_key")
-          .limit(limit - n).collect().map(_.getString(0))
-        keys.foreach { k =>
-          val (name, labels) = MetricEngine.parseSeriesKey(k)
-          out += (labels + ("__name__" -> name)); n += 1
-        }
-      }
-    }
-    out.result()
+    matchedSeriesFrameAll(matchedMetricIds(nameMs), labelMs)
+      .select("series_key").orderBy("series_key").limit(limit)
+      .collect().map { r =>
+        val (name, labels) = MetricEngine.parseSeriesKey(r.getString(0))
+        labels + ("__name__" -> name)
+      }.toSeq
   }
 
   /** By-labels the [[query]] fast path lowers onto [[MetricQuery]]:
@@ -1359,19 +1424,29 @@ final class MetricEngine(spark: SparkSession, root: String,
       extraCols: Seq[String] = Nil): DataFrame = {
     import graft.promql._
     val nameMs = matchers.filter(_.label == "__name__")
-    val names: Seq[String] = nameMs.collectFirst {
-      case LabelMatcher(_, MatchOp.Eq, v) if v.nonEmpty => Seq(v)
-    }.getOrElse {
-      metrics.scan(ScanRequest(projection = Some(Seq("metric_name"))))
-        .distinct().collect().map(_.getString(0)).toSeq
-        .filter(n => nameMs.forall(PromQLContext.matcherMatches(_, n)))
+    // tag KEYS of the matched metrics: exact-name selectors keep the
+    // single pruned dictionary scan; name-regex shapes resolve in ONE
+    // job (matched-ids frame semi-joined to the keys dictionary) —
+    // bounded by the distinct key count, never one job per matched name
+    val keys: Seq[String] = nameMs.collectFirst {
+      case LabelMatcher(_, MatchOp.Eq, v) if v.nonEmpty => v
+    } match {
+      case Some(name) =>
+        if (!nameMs.forall(PromQLContext.matcherMatches(_, name))) Nil
+        else metricIdOf(name).toSeq.flatMap { mid =>
+          tags.scan(ScanRequest(
+              predicates = Seq(col("metric_id") === mid),
+              projection = Some(Seq("tag_key"))))
+            .distinct().collect().map(_.getString(0)).toSeq
+        }.distinct.sorted
+      case None =>
+        tags.scan(ScanRequest(
+            projection = Some(Seq("metric_id", "tag_key"))))
+          .join(maybeBroadcast(matchedMetricIds(nameMs)),
+            Seq("metric_id"), "left_semi")
+          .select("tag_key").distinct().orderBy("tag_key")
+          .collect().map(_.getString(0)).toSeq
     }
-    val keys: Seq[String] = names.flatMap(metricIdOf).flatMap { mid =>
-      tags.scan(ScanRequest(
-          predicates = Seq(col("metric_id") === mid),
-          projection = Some(Seq("tag_key"))))
-        .distinct().collect().map(_.getString(0)).toSeq
-    }.distinct.sorted
     // parse "name(\u0001key\u0002value)*" distributed -- no driver decode
     val parsed = quant.withColumn("__labels__",
       MetricEngine.seriesLabelsColumn(col("series_key")))

@@ -270,6 +270,46 @@ class MetricEngineSpec extends AnyFunSuite {
     assert(capped == full.take(25))
   }
 
+  test("broad __name__ regex: plan size and driver staging stay bounded " +
+      "(one scan + names semi-join, no per-name union), results exact; " +
+      "few-name regexes keep pruned per-metric branches") {
+    import spark.implicits._
+    import graft.promql.{LabelMatcher, MatchOp}
+    val e = engine()
+    val names = (0 until 40).map(i => f"fed_metric_$i%02d")
+    e.write(names.zipWithIndex.flatMap { case (n, i) =>
+      Seq(Sample(n, Map("host" -> "a"), day + i, i.toDouble),
+        Sample(n, Map("host" -> "b"), day + 1000 + i, i + 0.5))
+    }.toDF())
+    val all = TimeRange(Long.MinValue, Long.MaxValue)
+    // 40 matched names > fanout cap -> the single-scan + semi-join plan
+    val broad = e.readRaw(Seq(
+      LabelMatcher("__name__", MatchOp.Re, "fed_metric_.*"),
+      LabelMatcher("host", MatchOp.Eq, "a")), all)
+    val plan = broad.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"broad name regex built a per-name union plan:\n$plan")
+    val got = broad.collect().map(_.getAs[Double]("value")).toSeq.sorted
+    assert(got == (0 until 40).map(_.toDouble))
+    // 3 matched names <= cap -> pruned per-metric branches (a Union)
+    val narrow = e.readRaw(Seq(
+      LabelMatcher("__name__", MatchOp.Re, "fed_metric_0[0-2]"),
+      LabelMatcher("host", MatchOp.Eq, "b")), all)
+    assert(narrow.queryExecution.executedPlan.toString.contains("Union"))
+    assert(narrow.collect().map(_.getAs[Double]("value")).toSeq.sorted
+      == Seq(0.5, 1.5, 2.5))
+    // seriesFor over the same broad regex: one limit-capped job count
+    // (constant, independent of the matched-name count)
+    val group = "sf-broad-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(group, "seriesFor broad")
+    val series = try e.seriesFor("""{__name__=~"fed_metric_.*"}""", limit = 15)
+      finally spark.sparkContext.clearJobGroup()
+    assert(series.size == 15)
+    assert(series == series.sortBy(m => (m("__name__"), m("host"))))
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    assert(jobs <= 6, s"seriesFor ran $jobs jobs for a 40-name regex")
+  }
+
   test("labelValues caps the discovery plan: sort + limit execute as " +
       "TakeOrderedAndProject, never a full driver collect") {
     val (e, samples) = highCardEngine()
