@@ -969,6 +969,30 @@ object SparkEntry {
         range = Some(TimeRange(outR.start - w + 1, outR.end)))
     }),
 
+    // Sliding SUBQUERY (round 13): max_over_time(rate(m[2d])[4d:1d]) at an
+    // UNALIGNED output range with outer step 2d — inner rate evaluates on
+    // its own epoch-aligned 1d grid with pinned (t-2d, t] windows (inner
+    // window ≠ inner step, which tumbling mode rejects), then the outer
+    // max slides Prometheus's (T-4d, T] over those inner points. The
+    // oracle replays the two-level timeline: an inner grid join with
+    // in-window reset-aware deltas, then an outer grid join taking the
+    // max.
+    "p40_promql_subquery_sliding" -> ((s, dir) => {
+      import graft.storage.TimeRange
+      val step = 172800000L // outer step 2d
+      val wSub = 345600000L // subquery range 4d
+      val wIn = 172800000L // inner rate window 2d
+      val outR = TimeRange(1705000000000L, 1705000000000L + 8 * 86400000L)
+      val ctx = new graft.promql.PromQLContext(t(s, dir, "events"),
+        "event_type", tsMs, "value", Map("uid" -> "user_id"),
+        ordering = Seq(col("ts"), col("event_id")),
+        slidingStep = Some((step, outR)))
+      ctx.sql("""max_over_time(rate(purchase{uid=~"[1-9]"}[2d])[4d:1d])""",
+          stepMs = Some(step),
+          range = Some(TimeRange(outR.start - wSub - wIn + 1, outR.end)))
+        .withColumn("value", round(col("value"), 6))
+    }),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -4262,6 +4286,41 @@ object SparkEntry {
         |  max(d.value) AS value
         |FROM grid g JOIN d ON d.tms > g.t - 172800000 AND d.tms <= g.t
         |GROUP BY uid, g.t""".stripMargin,
+
+    // Sliding subquery replay: inner 1d grid (epoch-aligned multiples of
+    // 86400000 inside (firstT - 4d, lastT]) joined to each step's
+    // (t-2d, t] window with in-window reset-aware deltas → per-step rate,
+    // then the outer 2d grid takes the max over (T-4d, T].
+    "p40_promql_subquery_sliding" ->
+      """WITH ogrid(t) AS (VALUES
+        |    (CAST(1705017600000 AS BIGINT)), (CAST(1705190400000 AS BIGINT)),
+        |    (CAST(1705363200000 AS BIGINT)), (CAST(1705536000000 AS BIGINT))),
+        |  igrid(t) AS (VALUES
+        |    (CAST(1704758400000 AS BIGINT)), (CAST(1704844800000 AS BIGINT)),
+        |    (CAST(1704931200000 AS BIGINT)), (CAST(1705017600000 AS BIGINT)),
+        |    (CAST(1705104000000 AS BIGINT)), (CAST(1705190400000 AS BIGINT)),
+        |    (CAST(1705276800000 AS BIGINT)), (CAST(1705363200000 AS BIGINT)),
+        |    (CAST(1705449600000 AS BIGINT)), (CAST(1705536000000 AS BIGINT))),
+        |  d AS (
+        |    SELECT user_id, value, event_id, epoch_ms(ts::TIMESTAMP) AS tms
+        |    FROM events
+        |    WHERE event_type = 'purchase'
+        |      AND regexp_full_match(user_id::VARCHAR, '[1-9]')),
+        |  win AS (
+        |    SELECT g.t, d.user_id, d.value,
+        |      lag(d.value) OVER (PARTITION BY g.t, d.user_id
+        |        ORDER BY d.tms, d.event_id) AS prev
+        |    FROM igrid g JOIN d ON d.tms > g.t - 172800000 AND d.tms <= g.t),
+        |  r AS (
+        |    SELECT t, user_id,
+        |      sum(CASE WHEN prev IS NULL THEN 0
+        |               WHEN value >= prev THEN value - prev
+        |               ELSE value END) / 172800.0 AS v
+        |    FROM win GROUP BY t, user_id)
+        |SELECT CAST(r.user_id AS VARCHAR) AS uid, o.t AS bucket_ms,
+        |  round(max(r.v), 6) AS value
+        |FROM ogrid o JOIN r ON r.t > o.t - 345600000 AND r.t <= o.t
+        |GROUP BY uid, o.t""".stripMargin,
 
     "p28_promql_stddev_ot" ->
       """SELECT CAST(user_id AS VARCHAR) AS uid,

@@ -841,14 +841,16 @@ final class MetricEngine(spark: SparkSession, root: String,
     // window instead of tumbling buckets — closing PROMQL.md deviation #1
     // for the Grafana graph shape, at the documented ⌈w/step⌉-copies
     // self-join cost the tumbling default avoids at 100 TB. Subqueries
-    // fall back (their inner timeline is bucketized by construction);
-    // native-histogram routing keeps its tumbling grid.
+    // participate (round 13): the inner expression evaluates on its own
+    // epoch-aligned step grid in a nested sliding context, the outer
+    // range function slides over those inner points — Prometheus's exact
+    // two-level timeline. Native-histogram routing keeps its tumbling
+    // grid.
     val sliding: Option[(Long, TimeRange)] =
       if (stepMs.isDefined &&
           spark.conf.getOption("graft.promql.rangeWindows")
             .contains("sliding") &&
-          MetricEngine.rangeWindows(ast).nonEmpty &&
-          !PromQLParser.hasSubquery(ast)) {
+          MetricEngine.rangeWindows(ast).nonEmpty) {
         require(range.start != Long.MinValue && range.end != Long.MaxValue,
           "sliding range windows need an explicit bounded query range")
         Some((stepMs.get, range))
@@ -957,17 +959,32 @@ final class MetricEngine(spark: SparkSession, root: String,
         if (fn == RangeF.Rate) inc.withColumn("value", col("value") / (win / 1000.0))
         else inc
       case other =>
-        // sliding mode widens the read: the first step's (T-w, T] window
-        // reaches up to w before the output range; the exploded grid
-        // clamps the OUTPUT back to the original range
+        // sliding mode widens the read by the expression's TOTAL lookback
+        // (windows; subquery timelines ADD their own window to the
+        // child's): the first step's (T-w, T] window reaches that far
+        // before the output range. The exploded sliding grids clamp
+        // range-function output back to the original range themselves;
+        // the filter below clamps stepped NON-range subexpressions
+        // (absent(), bare stepped aggs in an `or` arm) that would
+        // otherwise surface widened-range buckets the user never asked
+        // for.
         val evalRange = sliding match {
           case Some(_) =>
-            TimeRange(range.start - MetricEngine.rangeWindows(other).max + 1,
+            TimeRange(range.start -
+              graft.promql.PromQLContext.slidingLookback(other) + 1,
               range.end)
           case None => range
         }
-        val out = promqlContextFor(other, evalRange, sliding = sliding)
+        val out0 = promqlContextFor(other, evalRange, sliding = sliding)
           .eval(other, stepMs, Some(evalRange))
+        val out = sliding match {
+          case Some(_) =>
+            Seq("bucket_ms", "ts_ms").find(out0.columns.contains)
+              .map(c =>
+                out0.filter(col(c) >= range.start && col(c) < range.end))
+              .getOrElse(out0)
+          case None => out0
+        }
         other match {
           // bare selector: same (tsid, ts_ms, value) contract as the fast
           // path, whichever matcher spelling routed it here

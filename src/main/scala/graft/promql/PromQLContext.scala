@@ -59,9 +59,14 @@ import graft.storage.TimeRange
   *                   (first in-window sample is the baseline, Prometheus's
   *                   non-extrapolated arithmetic) instead of across
   *                   buckets. Output `bucket_ms` is the window END T —
-  *                   the Prometheus evaluation timestamp. Nested subquery
-  *                   / `@` contexts never inherit it (their timelines are
-  *                   bucketized by construction).
+  *                   the Prometheus evaluation timestamp. Subqueries
+  *                   participate (round 13): the inner expression runs in
+  *                   a NESTED sliding context on its own epoch-aligned
+  *                   step grid with per-step pinned windows, then the
+  *                   outer range function slides over those inner points —
+  *                   Prometheus's exact two-level timeline. `@`-pinned
+  *                   contexts never inherit it (their window is pinned by
+  *                   construction).
   */
 final class PromQLContext(
     samples: DataFrame,
@@ -424,12 +429,41 @@ final class PromQLContext(
             "the default resolution IS the evaluation interval"))
       if (subStepMs > windowMs) throw new IllegalArgumentException(
         s"subquery step (${subStepMs}ms) exceeds its range (${windowMs}ms)")
-      innerWindows(child).find(_ != subStepMs).foreach(w =>
-        throw new IllegalArgumentException(
-          s"inner range-function window ($w ms) must equal the subquery " +
-            s"step ($subStepMs ms): windowed functions own their buckets " +
-            "on the subquery timeline"))
-      val inner = eval(child, Some(subStepMs), range)
+      // Tumbling default: the inner timeline is bucketized by the subquery
+      // step, so inner windows must equal it. Sliding mode decouples the
+      // two — the inner expression evaluates on its own epoch-aligned
+      // s-grid with per-step pinned (t-w_in, t] windows, so ANY inner
+      // window works against ANY subquery step.
+      if (slidingStep.isEmpty)
+        innerWindows(child).find(_ != subStepMs).foreach(w =>
+          throw new IllegalArgumentException(
+            s"inner range-function window ($w ms) must equal the subquery " +
+              s"step ($subStepMs ms): windowed functions own their buckets " +
+              "on the subquery timeline"))
+      val inner = slidingStep match {
+        case Some((outStep, outR)) =>
+          // Prometheus's subquery timeline: inner steps are EPOCH-aligned
+          // multiples of s inside (firstT - w, lastT] — SHARED across all
+          // outer steps, so one stepped inner evaluation serves every
+          // outer window (no per-T re-evaluation). The nested sliding
+          // context widens its own sample read by the child's total
+          // lookback — the same widening MetricEngine.queryPromQLAst
+          // applies at the top level — and its grid clamps inner output
+          // to the subquery timeline. A windowless child (bare selector)
+          // keeps raw samples, the documented tumbling-mode deviation.
+          val firstT = -Math.floorDiv(-outR.start, outStep) * outStep
+          val lastT = Math.floorDiv(outR.end - 1, outStep) * outStep
+          val innerR =
+            graft.storage.TimeRange(firstT - windowMs + 1, lastT + 1)
+          val lb = PromQLContext.slidingLookback(child)
+          val innerEvalR = graft.storage.TimeRange(
+            if (lb > 0) innerR.start - lb + 1 else innerR.start, innerR.end)
+          new PromQLContext(samples, metricCol, tsMs, valueCol, labels,
+            ordering, seriesCols, instantSelectors,
+            slidingStep = Some((subStepMs, innerR)))
+            .eval(child, Some(subStepMs), Some(innerEvalR))
+        case None => eval(child, Some(subStepMs), range)
+      }
       val tsName =
         if (inner.columns.contains("ts_ms")) "ts_ms"
         else if (inner.columns.contains("bucket_ms")) "bucket_ms"
@@ -442,10 +476,14 @@ final class PromQLContext(
       // per-step points are unique per (series, step bucket) after an
       // aggregated inner, so ts-only ordering is deterministic; a bare
       // selector child keeps raw samples (documented tumbling deviation)
+      // the outer range function inherits THIS context's sliding grid: in
+      // sliding mode every output step T windows the inner points over
+      // Prometheus's exact (T-w, T]
       val sub = new PromQLContext(
         inner.withColumn("__sq__", lit("")), "__sq__", col(tsName), "value",
         lblCols.map(l => l -> l).toMap,
-        ordering = Seq(col(tsName)), seriesCols = innerSeries)
+        ordering = Seq(col(tsName)), seriesCols = innerSeries,
+        slidingStep = slidingStep)
       sub.eval(RangeFn(fn, Selector("", Nil), windowMs))
 
     case NumLit(_) => throw new IllegalArgumentException(
@@ -1364,6 +1402,29 @@ object PromQLContext {
     case HistogramQuantile(_, c) => innerWindows(c)
     case LabelFn(_, c, _, _) => innerWindows(c)
     case _ => Nil
+  }
+
+  /** Total sliding-mode lookback of `e` in ms: how far BEFORE an output
+    * step T a sample can still influence T's value. Unlike [[innerWindows]]
+    * this CROSSES subquery boundaries — a subquery's earliest inner step
+    * sits up to its window before T, and that step itself needs the
+    * child's lookback before it, so lookbacks ADD through nesting. Drives
+    * the widened sample read in sliding mode (the top-level widening in
+    * MetricEngine.queryPromQLAst and the nested subquery context above).
+    * `@`-pinned windows contribute nothing: they read their own pinned
+    * range regardless of the query range. */
+  private[graft] def slidingLookback(e: Expr): Long = e match {
+    case RangeFn(_, _, w) => w
+    case RangeSubquery(_, c, w, _) => w + slidingLookback(c)
+    case Agg(_, _, c, _) => slidingLookback(c)
+    case ParamAgg(_, _, _, c) => slidingLookback(c)
+    case CountValues(_, _, c) => slidingLookback(c)
+    case BinOp(_, a, b, _, _) =>
+      math.max(slidingLookback(a), slidingLookback(b))
+    case FnCall(_, c, _) => slidingLookback(c)
+    case HistogramQuantile(_, c) => slidingLookback(c)
+    case LabelFn(_, c, _, _) => slidingLookback(c)
+    case _ => 0L
   }
 
   /** Driver-side mirror of [[matcherPredicate]] for already-decoded label

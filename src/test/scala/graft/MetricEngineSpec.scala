@@ -383,4 +383,60 @@ class MetricEngineSpec extends AnyFunSuite {
         ("a", 20000L, 0.2), ("a", 25000L, 0.2)), summed.toString)
     } finally spark.conf.unset("graft.promql.rangeWindows")
   }
+
+  test("sliding subqueries: the inner expression evaluates on its own " +
+      "epoch-aligned step grid with pinned windows; inner window need " +
+      "not equal the subquery step") {
+    import spark.implicits._
+    val e = engine()
+    e.write(Seq(
+      Sample("m", Map("h" -> "a"), 3000L, 1.0),
+      Sample("m", Map("h" -> "a"), 8000L, 4.0),
+      Sample("m", Map("h" -> "a"), 12000L, 9.0),
+      Sample("m", Map("h" -> "a"), 18000L, 11.0),
+      Sample("m", Map("h" -> "a"), 23000L, 2.0), // counter reset
+      Sample("m", Map("h" -> "a"), 27000L, 5.0)).toDF())
+    val range = TimeRange(22000L, 33000L)
+    val q = "max_over_time(rate(m[10s])[10s:5s])"
+    // tumbling default: inner window 10s ≠ subquery step 5s is rejected
+    // (the inner timeline is bucketized by the step)
+    intercept[IllegalArgumentException](
+      e.queryPromQL(q, range, Some(5000L)))
+    spark.conf.set("graft.promql.rangeWindows", "sliding")
+    try {
+      // inner rate at epoch-aligned t (window (t-10s, t], in-window
+      // chaining): t=20000 → 0.2; t=25000 → reset → 0.2; t=30000 → 0.3.
+      // outer max over (T-10s, T]: T=25000 → max(0.2, 0.2) = 0.2;
+      // T=30000 → max(0.2, 0.3) = 0.3.
+      val got = e.queryPromQL(q, range, Some(5000L))
+        .collect()
+        .map(r => r.getAs[Long]("bucket_ms") -> r.getAs[Double]("value"))
+        .toMap
+      assert(got == Map(25000L -> 0.2, 30000L -> 0.3), got.toString)
+      // sliding widens the sample read by the TOTAL lookback (subquery
+      // window + inner window): a range starting right after the newest
+      // sample still sees inner steps fed by samples 2 windows back
+      val tail = e.queryPromQL(q, TimeRange(28000L, 33000L), Some(5000L))
+        .collect()
+        .map(r => r.getAs[Long]("bucket_ms") -> r.getAs[Double]("value"))
+        .toMap
+      assert(tail == Map(30000L -> 0.3), tail.toString)
+    } finally spark.conf.unset("graft.promql.rangeWindows")
+  }
+
+  test("sliding mode clamps stepped non-range output to the requested " +
+      "range: absent() over a widened read emits no pre-range buckets") {
+    import spark.implicits._
+    val e = engine()
+    e.write(Seq(Sample("m", Map("h" -> "a"), 3000L, 1.0)).toDF())
+    spark.conf.set("graft.promql.rangeWindows", "sliding")
+    try {
+      val buckets = e.queryPromQL("absent(rate(nope[10s]))",
+          TimeRange(20000L, 40000L), Some(5000L))
+        .collect().map(_.getAs[Long]("bucket_ms")).toSeq.sorted
+      assert(buckets.nonEmpty, "absent() should fire for a missing metric")
+      assert(buckets.forall(b => b >= 20000L && b < 40000L),
+        s"buckets leaked outside the requested range: $buckets")
+    } finally spark.conf.unset("graft.promql.rangeWindows")
+  }
 }
