@@ -112,6 +112,55 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    // ---- Synthetic 10× lane (round 13) -----------------------------------
+    // At sf0.1 every engine fixture is sub-second, so round-over-round
+    // ratios mostly measure launch latency, not data cost. This lane
+    // re-runs the heaviest DATA-driven queries on a synthetic 10×
+    // scale-up of the same tables (SparkEntry.synthesizeScaled — content
+    // is REWRITTEN per copy, not replicated, so LSH/blocking bucket
+    // density and near-dup structure match a genuinely larger corpus
+    // instead of inflating quadratic pair stages 100×) and reports
+    // per-query 10×-data/1×-data time ratios: ≈10 is linear scaling,
+    // well above 10 is super-linear and gets a plan diff in SCALE.md.
+    // Engine histogram/OTLP fixtures (nh*, ro7/ro8, otlp*) stay out —
+    // their inputs are fixed wire-format fixtures, not dir tables. ONE
+    // warmup + ONE timed sample per query: at multi-second sizes the
+    // absolute GC/cleaner jitter the suite's median-of-3 defends against
+    // is proportionally small, and the lane already runs 10× the data.
+    // The lane sits INSIDE the canary bracket, so normalized numbers are
+    // comparable across rounds; skip with SPARK_GRAFT_SF1=0.
+    val sf1Lane = Seq("c2_embedding_dedup", "c3_minhash_dedup",
+      "c4_semantic_dedup", "c6_incremental_dedup", "d3_lsh_pairs",
+      "d6_dup_clusters", "d11_winnow_pairs", "e10_knn_graph",
+      "e12_pagerank", "t13_winnow", "t14_decontaminate", "t15_tfidf",
+      "ro1_rollup_day", "ro4_rollup_rate")
+    val sfName0 = sfDir.split('/').lastOption.getOrElse(sfDir)
+    val sf1Results: Seq[(String, Double)] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
+      else {
+        val sf1Dir = s"/tmp/graft_scaled10x_$sfName0"
+        SparkEntry.synthesizeScaled(spark, sfDir, sf1Dir, copies = 10)
+        SparkEntry.prewarm(spark, sf1Dir)
+        val keep1 = spark.sparkContext.getPersistentRDDs.keySet
+        val qmap = SparkEntry.queries
+        sf1Lane.map { name =>
+          val fn = qmap(name)
+          try fn(spark, sf1Dir).count() catch { case _: Throwable => () }
+          val t0 = System.nanoTime()
+          try fn(spark, sf1Dir).count() catch { case _: Throwable => () }
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!keep1.contains(id)) rdd.unpersist(blocking = true)
+          }
+          System.gc()
+          name -> sec
+        }
+      }
+    val baseTimes = results.toMap
+    val sf1Scaling: Seq[(String, Double)] = sf1Results.flatMap {
+      case (k, v) => baseTimes.get(k).filter(_ > 0.001).map(b => k -> v / b)
+    }
+
     // ---- In-run canaries (round 12, verdict task 5) ----------------------
     // The r8 "anchor" was a committed BENCH run from one host state; the
     // shared box's page-cache/load swings made the ≤1.15× criterion
@@ -172,11 +221,16 @@ object Bench {
         s""""buffers_kb":${meminfoKb("Buffers")},""" +
         s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
     }
+    val sf1Json = sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sf1ScalingJson = sf1Scaling.map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","env":$env,"canaries":$canariesJson,""" +
         s""""canary_ratio":$canaryRatio,""" +
-        s""""normalized_total":$normalizedTotal}"""
+        s""""normalized_total":$normalizedTotal,""" +
+        s""""sf1":$sf1Json,"sf1_scaling":$sf1ScalingJson}"""
     println(line)
     // The driver's artifact capture keeps only the tail of stdout; at 160+
     // queries the one-line JSON (~4 kB) overflows it and the per-query map
@@ -198,6 +252,14 @@ object Bench {
       pretty ++= s"""  "normalized": {\n"""
       pretty ++= results.map { case (k, v) =>
         s"""    "$k": ${v / canaryRatio}""" }.mkString(",\n")
+      pretty ++= "\n  },\n"
+      pretty ++= s"""  "sf1": {\n"""
+      pretty ++= sf1Results.map { case (k, v) => s"""    "$k": $v""" }
+        .mkString(",\n")
+      pretty ++= "\n  },\n"
+      pretty ++= s"""  "sf1_scaling": {\n"""
+      pretty ++= sf1Scaling.map { case (k, v) =>
+        s"""    "$k": ${f"$v%.2f"}""" }.mkString(",\n")
       pretty ++= "\n  }\n}\n"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),

@@ -708,6 +708,59 @@ object SparkEntry {
     }
   }
 
+  /** Synthesize a `copies`× scale-up of `srcDir`'s documents / embeddings
+    * / events tables into `outDir` (round 13, bench sf1 lane): each copy
+    * remaps keys into its own id space and REWRITES content so the
+    * statistical shape a real larger corpus would have is preserved
+    * instead of degenerating into exact replicas (which would turn every
+    * LSH/blocking bucket 10× denser and quadratic pair stages 100×,
+    * mis-measuring scaling):
+    *  - documents: ids offset per copy; text Caesar-rotated per copy
+    *    (intra-copy shingle/equality structure EXACTLY preserved — the
+    *    rotation is a bijection on characters — while cross-copy shingle
+    *    sets are disjoint, so near-dup families don't fuse across copies)
+    *  - embeddings: ids and blocking labels offset per copy (10× more
+    *    clusters of the same size — the IVF-rebalance scale path, not 10×
+    *    denser clusters); vectors cyclically shifted per copy (a
+    *    permutation: intra-copy dot products exact, cross-copy ≈ random)
+    *  - events: event/user ids offset per copy — same time range, 10× the
+    *    series and sample density, the monitoring-scale growth axis.
+    * Copy 0 is the identity, so the base corpus embeds exactly. Idempotent
+    * via a marker file; output is plain parquet readable by [[queries]]. */
+  def synthesizeScaled(s: SparkSession, srcDir: String, outDir: String,
+      copies: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_GRAFT_SCALED")
+    if (java.nio.file.Files.exists(marker)) return
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    def copiesOf(name: String)(remap: (DataFrame, Int) => DataFrame): Unit = {
+      val base = rawT(s, srcDir, name)
+      (0 until copies).map(c => remap(base, c)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    copiesOf("documents") { (df, c) =>
+      val rot = abc.drop(c % 26) + abc.take(c % 26)
+      df.select((col("doc_id") + c.toLong * 10000000L).as("doc_id"),
+        translate(col("text"), abc, rot).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    copiesOf("embeddings") { (df, c) =>
+      val sh = c % 64
+      val shifted =
+        if (sh == 0) col("embedding")
+        else concat(slice(col("embedding"), sh + 1, 1000000),
+          slice(col("embedding"), 1, sh))
+      df.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
+        shifted.as("embedding"),
+        (col("label") + c * 100000).as("label"))
+    }
+    copiesOf("events") { (df, c) =>
+      df.select((col("event_id") + c.toLong * 1000000000L).as("event_id"),
+        col("ts"), (col("user_id") + c.toLong * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
