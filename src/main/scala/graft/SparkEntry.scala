@@ -690,7 +690,7 @@ object SparkEntry {
       val indexed = ivfCache.synchronized {
         ivfCache.getOrElseUpdate(dir, {
           val (ix, c) = Similarity.ivfIndex(t(s, dir, "embeddings"),
-            "vec_id", "embedding", k = 8)
+            "vec_id", "embedding", k = -1)
           (ix.cache(), c)
         })._1
       }
@@ -2729,7 +2729,8 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
-    // Similarity: IVF (k-means cell) ANN — nProbe=4 of k=8 cells. Index built
+    // Similarity: IVF (k-means cell) ANN — nProbe=4 of an auto-sized cell
+    // count (⌈n/250⌉ clamped to [8,256]; 8 at these sfs). Index built
     // once per JVM per dataset (index construction is write-path work). The
     // oracle embeds the trained centroids as literals (see ivfOracleEntry),
     // so assignment + probe + rerank hash-check against DuckDB.
@@ -2737,7 +2738,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val (indexed, centroids) = ivfCache.synchronized {
         ivfCache.getOrElseUpdate(dir, {
-          val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8)
+          val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = -1)
           (ix.cache(), c)
         })
       }
@@ -2776,7 +2777,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val (indexed, _) = ivfCache.synchronized {
         ivfCache.getOrElseUpdate(dir, {
-          val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8)
+          val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = -1)
           (ix.cache(), c)
         })
       }
@@ -2793,7 +2794,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val (indexed, _) = ivfCache.synchronized {
         ivfCache.getOrElseUpdate(dir, {
-          val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8)
+          val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = -1)
           (ix.cache(), c)
         })
       }

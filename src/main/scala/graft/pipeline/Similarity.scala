@@ -103,7 +103,18 @@ object Similarity {
     * [[lshBucket]]'s hash path): at 100 TB the per-cell lists are the
     * shuffle partitions and a query touches nProbe/k of the data.
     * Returned centroids are float-rounded: assignment ([[ivfAssign]]),
-    * probe ([[ivfTopK]]) and any external oracle all see identical values. */
+    * probe ([[ivfTopK]]) and any external oracle all see identical values.
+    *
+    * `k = -1` auto-sizes the cell count to the corpus: ⌈n/250⌉ clamped to
+    * [8, 256]. Within-cell work (the [[knnGraph]] m² self-join, probe list
+    * lengths) is occupancy-squared, so a FIXED k turns quadratic as the
+    * corpus grows — the bench 10× lane measured e10 at 15.8× the 1× time
+    * before auto-sizing. Constant target occupancy keeps per-cell pair
+    * work flat and rides corpus growth on MORE cells (= more shuffle
+    * partitions — exactly what a 1000-executor cluster wants). The 256
+    * cap is the literal-expression assignment's comfort zone
+    * ([[ivfAssign]] embeds k centroid literals); past it, assignment
+    * should become a broadcast join against a centroid table. */
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 42L,
       maxTrainVectors: Long = 100000L): (DataFrame, Array[Array[Double]]) = {
@@ -114,13 +125,16 @@ object Similarity {
     // unbounded fit would iterate over the full corpus. The seeded sample
     // keeps index construction deterministic per dataset.
     val n = vectors.count()
+    val kk =
+      if (k > 0) k
+      else math.max(8, math.min(256, ((n + 249) / 250).toInt))
     val sampled =
       if (n <= maxTrainVectors) vectors
       else vectors.sample(withReplacement = false,
         maxTrainVectors.toDouble / n, seed)
     val train = sampled.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+    val model = new KMeans().setK(kk).setSeed(seed).setFeaturesCol("features")
       .fit(train)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat.toDouble))
     (vectors.withColumn("cell", ivfAssign(col(vecCol), centroids)), centroids)
