@@ -86,15 +86,43 @@ object Similarity {
   private def cellScore(vec: Column, c: Array[Double]): Column =
     dot(vec, typedLit(c.map(_.toFloat))) * 2 - lit(c.map(x => x * x).sum)
 
+  /** Per-cell assignment scores as ONE struct-array column, two layouts by
+    * cell count (both produce `struct(score, negCell)` entries, bit-equal
+    * math — [[dot]]'s left-to-right double fold either way, spec-pinned):
+    *
+    *  - `k ≤ literalMax`: one struct per centroid with the centroid as its
+    *    own array literal — whole-stage-codegen'd, the fast shape for the
+    *    coarse quantizers real queries carry.
+    *  - `k > literalMax`: per-centroid literals would push k·dim constants
+    *    into the generated class's constant pool (the JVM caps it at 64k
+    *    entries — k=4096 cells × 32 dims already exceeds it). Instead the
+    *    centroid matrix rides as ONE 2-D array literal (a single reference
+    *    in codegen) zipped with its index: `zip_with` evaluates interpreted
+    *    (HOFs don't codegen), but per-row cost is the same k·dim float
+    *    products and at that k the arithmetic dominates dispatch. */
+  private def cellScoreArray(vec: Column, centroids: Array[Array[Double]],
+      literalMax: Int = 256): Column =
+    if (centroids.length <= literalMax)
+      array(centroids.indices.map { j =>
+        struct(cellScore(vec, centroids(j)).as("score"),
+          lit(-j).as("negCell"))
+      }: _*)
+    else {
+      val centLit = typedLit(centroids.toSeq.map(_.toSeq.map(_.toFloat)))
+      val cnLit = typedLit(centroids.toSeq.map(c => c.map(x => x * x).sum))
+      zip_with(centLit, sequence(lit(0), lit(centroids.length - 1)),
+        (c, j) => struct((dot(vec, c) * 2 - element_at(cnLit, j + 1))
+          .as("score"), (-j).as("negCell")))
+    }
+
   /** Nearest-cell assignment as a pure column expression (ties → lowest
     * cell). Replaces `KMeansModel.transform` on the read path: codegen'd,
-    * no ml.Vector conversion, no join against a transform output. */
-  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.indices.map { j =>
-      struct(cellScore(vec, centroids(j)).as("score"), lit(-j).as("negCell"))
-    }
-    (-array_max(array(scored: _*)).getField("negCell")).cast("int")
-  }
+    * no ml.Vector conversion, no join against a transform output.
+    * `literalMax` picks the [[cellScoreArray]] layout (tests force both). */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]],
+      literalMax: Int = 256): Column =
+    (-array_max(cellScoreArray(vec, centroids, literalMax))
+      .getField("negCell")).cast("int")
 
   /** IVF (inverted-file) ANN index: k-means centroids over a seeded training
     * sample (capped at `maxTrainVectors`; the full set when smaller),
@@ -106,15 +134,17 @@ object Similarity {
     * probe ([[ivfTopK]]) and any external oracle all see identical values.
     *
     * `k = -1` auto-sizes the cell count to the corpus: ⌈n/250⌉ clamped to
-    * [8, 256]. Within-cell work (the [[knnGraph]] m² self-join, probe list
-    * lengths) is occupancy-squared, so a FIXED k turns quadratic as the
-    * corpus grows — the bench 10× lane measured e10 at 15.8× the 1× time
-    * before auto-sizing. Constant target occupancy keeps per-cell pair
-    * work flat and rides corpus growth on MORE cells (= more shuffle
-    * partitions — exactly what a 1000-executor cluster wants). The 256
-    * cap is the literal-expression assignment's comfort zone
-    * ([[ivfAssign]] embeds k centroid literals); past it, assignment
-    * should become a broadcast join against a centroid table. */
+    * [8, 4096]. Within-cell work (the [[knnGraph]] m² self-join, probe
+    * list lengths) is occupancy-squared, so a FIXED k turns quadratic as
+    * the corpus grows — the bench 10× lane measured e10 at 15.8× the 1×
+    * time before auto-sizing. Constant target occupancy keeps per-cell
+    * pair work flat and rides corpus growth on MORE cells (= more shuffle
+    * partitions — exactly what a 1000-executor cluster wants). Past 256
+    * cells assignment switches to the single-2-D-literal layout
+    * ([[cellScoreArray]] — no constant-pool growth, same math); the
+    * remaining clamp is the k-means FIT (Spark's KMeans at k ≫ 4096 over
+    * the capped sample is fit-bound — a billion-vector corpus wants a
+    * hierarchical/two-level coarse quantizer, out of scope). */
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 42L,
       maxTrainVectors: Long = 100000L): (DataFrame, Array[Array[Double]]) = {
@@ -127,7 +157,7 @@ object Similarity {
     val n = vectors.count()
     val kk =
       if (k > 0) k
-      else math.max(8, math.min(256, ((n + 249) / 250).toInt))
+      else math.max(8, math.min(4096, ((n + 249) / 250).toInt))
     val sampled =
       if (n <= maxTrainVectors) vectors
       else vectors.sample(withReplacement = false,
@@ -155,14 +185,11 @@ object Similarity {
     // like ivfAssign's struct(score, -j) pick — with duplicate centroids
     // (k-means over few distinct points) a highest-cell tiebreak would
     // probe the empty copy while the vectors sit in the low-numbered one
-    val cellScores = centroids.indices.map { j =>
-      struct(cellScore(col("qv"), centroids(j)).as("score"),
-        lit(-j).as("negCell"))
-    }
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("probed",
-        slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe))
+        slice(reverse(array_sort(
+          cellScoreArray(col("qv"), centroids))), 1, nProbe))
       .select(col("query_id"), col("qv"),
         explode(transform(col("probed"), p => -p("negCell"))).as("cell")))
     val scored = indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),

@@ -201,6 +201,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("ivfAssign's two layouts are bit-identical: per-centroid literals " +
+      "vs the single 2-D literal zip_with, incl. k > 256") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    def assignWith(cents: Array[Array[Double]], literalMax: Int) =
+      vecs.select($"vec_id",
+        Similarity.ivfAssign($"embedding", cents, literalMax).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // small k: force the HOF layout (literalMax = 0) against the default
+    // codegen literal layout — same centroids, same assignment everywhere
+    val small = Array.fill(12)(
+      Array.fill(8)(rnd.nextDouble() * 2 - 1).map(_.toFloat.toDouble))
+    assert(assignWith(small, 0) == assignWith(small, 256))
+    // k > 256 (the auto-switch point): the 2-D layout (default) must match
+    // the literal layout forced past its default cap — 300×8 constants
+    // still fit a constant pool, so the literal run is a valid ground truth
+    val big = Array.fill(300)(
+      Array.fill(8)(rnd.nextDouble() * 2 - 1).map(_.toFloat.toDouble))
+    val hof = assignWith(big, 256) // 300 > 256 -> 2-D literal layout
+    assert(hof == assignWith(big, 1000))
+    assert(hof.values.toSet.size > 1) // sanity: not a degenerate assignment
+  }
+
   test("kNN graph: every vector's neighbors come from its own cell, " +
       "planted duplicates rank each other first, and k bounds the fan-out") {
     val rnd = new scala.util.Random(13)
