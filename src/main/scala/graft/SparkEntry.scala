@@ -2510,6 +2510,17 @@ object SparkEntry {
       Dedup.simhashPairs64(t(s, dir, "documents"), "doc_id", "text",
         maxDist = 7, bands = 8)),
 
+    // Dedup: SimHash near-dup pairs via Manku COMBINATION banding
+    // (WWW'07) — keys are r = blocks−maxDist concatenated blocks over
+    // C(8,5)=56 tables of 40-bit keys, the corpus-scale alternative to
+    // d8's 8-bit band keys. Output contract identical (exact popcount
+    // ≤ 3); the oracle is the brute-force all-pairs replay, so the hash
+    // only matches if the 56-table candidate join found EVERY pair.
+    "d16_simhash_combo_pairs" -> ((s, dir) =>
+      Dedup.combinationHammingPairs(
+        Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "simhash64", bits = 64, maxDist = 3, blocks = 8)),
+
     // Dedup: line-level boilerplate removal (CCNet/RefinedWeb line-dedup) —
     // 10-token lines whose corpus document-frequency exceeds 2 are dropped,
     // documents reassembled from the survivors in original order.
@@ -5391,6 +5402,27 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 7""".stripMargin,
+
+    // Same signature replay as d8, brute-force pairs at dist <= 3: the
+    // combination-banded Spark side must find exactly these.
+    "d16_simhash_combo_pairs" ->
+      """WITH tok AS (SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |votes AS (SELECT doc_id, b,
+        |    sum(CASE WHEN substr(CASE WHEN b < 32 THEN h0 ELSE h1 END,
+        |                         CAST(b % 32 AS INTEGER) + 1, 1)
+        |             IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN generate_series(0, 63) AS g(b)
+        |  GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN v <= 0 THEN 0
+        |             WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |             ELSE (1::BIGINT << CAST(b AS INTEGER)) END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
 
     "d5_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),

@@ -295,6 +295,53 @@ object Dedup {
     bandedHammingPairs(sig, idCol, sigCol, bits = 64, maxDist = maxDist,
       bands = bands)
 
+  /** Hamming pairs via COMBINATION banding (Manku et al., WWW'07 §3): the
+    * signature splits into `blocks` equal blocks and each row emits one key
+    * per `r`-subset of blocks (`r = blocks − maxDist`), the key being those
+    * blocks' bits concatenated. Two signatures within hamming `maxDist`
+    * differ in at most `maxDist` blocks, so SOME r-subset agrees on every
+    * block (pigeonhole) — complete, like [[simhashPairs64]]'s simple
+    * banding (the `r = 1` special case of this scheme), and the exact
+    * popcount filter keeps the OUTPUT identical. What changes is the
+    * candidate-bucket key width: simple banding at `maxDist = 3` over 64
+    * bits gives 16-bit keys (65k buckets — occupancy grows n/2¹⁶, the
+    * equi-join turns quadratic once a corpus saturates them); combination
+    * banding with `blocks = 8` gives C(8,5) = 56 tables of 40-bit keys —
+    * 7× the explode for 2²⁴× the key space. The table-count/key-width
+    * trade IS the Manku tuning knob: pick it by corpus size, switch over
+    * roughly when n outgrows the simple scheme's 2^(bits/bands) buckets. */
+  def combinationHammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+      bits: Int, maxDist: Int, blocks: Int): DataFrame = {
+    require(bits % blocks == 0, s"blocks must divide $bits, got $blocks")
+    require(maxDist < blocks,
+      s"combination LSH is complete only for maxDist < blocks ($maxDist >= $blocks)")
+    val width = bits / blocks
+    val r = blocks - maxDist
+    val combos = (0 until blocks).combinations(r).toSeq
+    // key: the combo's blocks concatenated low-to-high (r·width bits — the
+    // sign bit stays clear whenever r·width < 64, and at r·width = 64 the
+    // key is the signature itself, still a valid join key)
+    def keyFor(c: Seq[Int]) = c.zipWithIndex.map { case (blk, pos) =>
+      shiftleft(shiftright(col(sigCol), blk * width)
+        .bitwiseAND(lit((1L << width) - 1)), pos * width)
+    }.reduce(_ bitwiseOR _)
+    val banded = sig.localCheckpoint()
+      .select(col(idCol).as("id"), col(sigCol).as("sig"),
+        explode(array(combos.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("combo"), keyFor(c).as("key"))
+        }: _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.combo"), col("ck.key"))
+    val a = banded.select(col("combo"), col("key"),
+      col("id").as("id_a"), col("sig").as("sh_a"))
+    val b = banded.select(col("combo"), col("key"),
+      col("id").as("id_b"), col("sig").as("sh_b"))
+    a.join(b, Seq("combo", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct() // a pair may collide in several combos
+  }
+
   private def bandedHammingPairs(sig0: DataFrame, idCol: String,
       sigCol: String, bits: Int, maxDist: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, s"bands must divide $bits, got $bands")

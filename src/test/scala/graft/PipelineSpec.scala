@@ -201,6 +201,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("combination banding (Manku r-subset keys) emits exactly the " +
+      "simple-banded pairs, including its r=1 degenerate case") {
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 40L).map(i => (i, rnd.nextLong()))
+    // plant near-dups at known distances (2 and 3), incl. bits spanning
+    // block boundaries, plus one exact duplicate (dist 0)
+    val sigs = (base ++ Seq(
+      (100L, base(0)._2 ^ 0x0000000000000011L),          // dist 2, low block
+      (101L, base(1)._2 ^ 0x8000000000010001L),          // dist 3, spread
+      (102L, base(2)._2)))                               // dist 0
+      .toDF("id", "sig")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val simple = asSet(Dedup.hammingPairs64(sigs, "id", "sig",
+      maxDist = 3, bands = 4))
+    val combo = asSet(Dedup.combinationHammingPairs(sigs, "id", "sig",
+      bits = 64, maxDist = 3, blocks = 8))
+    assert(combo == simple)
+    assert(Seq((0L, 100L, 2L), (1L, 101L, 3L), (2L, 102L, 0L))
+      .forall(combo.contains), s"planted pairs missing from $combo")
+    // r = blocks - maxDist = 1: combination banding degenerates to the
+    // simple per-block scheme — still the same output
+    val combo1 = asSet(Dedup.combinationHammingPairs(sigs, "id", "sig",
+      bits = 64, maxDist = 7, blocks = 8))
+    assert(combo1 == asSet(Dedup.hammingPairs64(sigs, "id", "sig",
+      maxDist = 7, bands = 8)))
+  }
+
   test("ivfAssign's two layouts are bit-identical: per-centroid literals " +
       "vs the single 2-D literal zip_with, incl. k > 256") {
     val rnd = new scala.util.Random(17)
