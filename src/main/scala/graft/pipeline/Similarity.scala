@@ -285,17 +285,53 @@ object Similarity {
     * the bucket id; per-bucket pair counts are corpus-share-bounded, never
     * all-pairs. Recall is the standard LSH trade: raise `bits` to shrink
     * buckets, union several independent hyperplane families to recover
-    * missed cross-bucket pairs. */
+    * missed cross-bucket pairs.
+    *
+    * `maxBucket` is the skew guard (default uncapped = exact): a
+    * degenerate bucket — a dense embedding cluster, all-zero vectors —
+    * still pays m² inside one key without it. A bucket over the cap
+    * star-expands instead ([[graft.pipeline.Dedup.lshCandidatePairs]]'s
+    * scheme): only hub(min-id)–spoke pairs are emitted and cosine-verified,
+    * O(m) per bucket. Exact-duplicate clusters stay fully connected for
+    * downstream clustering (every spoke hits the hub at cos 1.0); sub-1.0
+    * near-dup pairs inside a capped bucket may drop when only their
+    * hub edge fails the threshold — the same recall trade the MinHash cap
+    * documents. */
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, bits: Int = 4): DataFrame = {
+      dim: Int, threshold: Double, bits: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = vectors.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), dim, bits).as("__bucket__"))
-    val l = b.select(col("__bucket__"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val r = b.select(col("__bucket__"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    l.join(r, Seq("__bucket__")).filter(col("id_a") < col("id_b"))
+    val verified = (pairs: DataFrame) => pairs
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+    if (maxBucket == Int.MaxValue) {
+      val l = b.select(col("__bucket__"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      val r = b.select(col("__bucket__"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      verified(l.join(r, Seq("__bucket__")).filter(col("id_a") < col("id_b")))
+    } else {
+      val stats = b.groupBy("__bucket__")
+        .agg(count(lit(1)).as("__m__"), min(col(idCol)).as("__hub__"))
+      val sized = b.join(stats, Seq("__bucket__"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val small = sized.filter(col("__m__") <= maxBucket)
+      val l = small.select(col("__bucket__"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      val r = small.select(col("__bucket__"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      val allPairs = l.join(r, Seq("__bucket__")).filter(col("id_a") < col("id_b"))
+      // star arm: hub vector fetched once per oversized bucket (hub = min
+      // id, so id_a < id_b holds by construction)
+      val hubVecs = sized.filter(col("__m__") > maxBucket &&
+          col(idCol) === col("__hub__"))
+        .select(col("__bucket__"), col(vecCol).as("va"))
+      val starPairs = sized.filter(col("__m__") > maxBucket &&
+          col(idCol) =!= col("__hub__"))
+        .select(col("__bucket__"), col("__hub__").as("id_a"),
+          col(idCol).as("id_b"), col(vecCol).as("vb"))
+        .join(hubVecs, Seq("__bucket__"))
+      verified(allPairs.unionByName(starPairs.select(
+        col("__bucket__"), col("id_a"), col("va"), col("id_b"), col("vb"))))
+    }
   }
 
   /** Symmetric int8 per-vector quantization (the standard storage/serving

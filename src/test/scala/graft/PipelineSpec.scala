@@ -201,6 +201,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("lshNearDupPairs maxBucket: an oversized bucket star-expands to " +
+      "O(m) verified pairs and keeps exact-dup clusters connected") {
+    // 8 exact duplicates (one giant bucket once hashed) + 2 duplicates
+    // elsewhere in embedding space (their own small bucket)
+    val dup = Array(1f, 2f, 3f, 4f)
+    val other = Array(-4f, -3f, -2f, -1f)
+    val vecs = ((1L to 8L).map(i => (i, dup.clone)) ++
+      Seq((20L, other.clone), (21L, other.clone))).toDF("vec_id", "embedding")
+    val capped = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.99, bits = 4, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // giant bucket: 7 hub(1)-spoke pairs, not C(8,2)=28; small bucket intact
+    assert(capped == ((2L to 8L).map(i => (1L, i)).toSet + ((20L, 21L))),
+      s"got $capped")
+    // uncapped (default) stays exact all-pairs
+    val exact = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.99, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.count { case (a, b) => a <= 8 && b <= 8 } == 28)
+    assert(exact.contains((20L, 21L)))
+  }
+
   test("combination banding (Manku r-subset keys) emits exactly the " +
       "simple-banded pairs, including its r=1 degenerate case") {
     val rnd = new scala.util.Random(23)
