@@ -131,7 +131,8 @@ object Bench {
     // comparable across rounds; skip with SPARK_GRAFT_SF1=0.
     val sf1Lane = Seq("c2_embedding_dedup", "c3_minhash_dedup",
       "c4_semantic_dedup", "c6_incremental_dedup", "d3_lsh_pairs",
-      "d6_dup_clusters", "d11_winnow_pairs", "e10_knn_graph",
+      "d6_dup_clusters", "d8_simhash64_pairs", "d11_winnow_pairs",
+      "d16_simhash_combo_pairs", "e10_knn_graph",
       "e12_pagerank", "t13_winnow", "t14_decontaminate", "t15_tfidf",
       "ro1_rollup_day", "ro4_rollup_rate")
     val sfName0 = sfDir.split('/').lastOption.getOrElse(sfDir)
