@@ -2719,6 +2719,15 @@ object SparkEntry {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3)),
 
+    // e6 with TWO independent hyperplane families unioned — the
+    // recall-recovery lever for pairs a single family's bucket boundary
+    // splits. The oracle replays both families' bucketings and unions, so
+    // the hash only matches if the family offsets, the per-family joins,
+    // and the cross-family de-dup all line up.
+    "e13_lsh_multifamily" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.3, bits = 4, families = 2)),
+
     // Symmetric int8 quantization: one row per (vector, dimension) + scale.
     "e7_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
@@ -5762,7 +5771,7 @@ object SparkEntry {
         |    generate_subscripts(embedding, 1) - 1 AS i,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
-        |dots AS (SELECT vec_id, j, sum(x * (((i * 7 + j * 13) % 5) - 2)) AS dot
+        |dots AS (SELECT vec_id, j, sum(x * (((i * 73 + j * 151 + i * j * 37) % 101) - 50)) AS dot
         |  FROM comp CROSS JOIN generate_series(0, 3) AS g(j)
         |  GROUP BY vec_id, j),
         |bk AS (SELECT vec_id,
@@ -5782,6 +5791,36 @@ object SparkEntry {
         |    AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0)
         |WHERE cos >= 0.3""".stripMargin,
 
+    // e6's derivation over TWO hyperplane families (absolute plane index
+    // jj = family*4 + bit; bit weight 2^(jj%4)), pairs unioned across
+    // families and de-duplicated.
+    "e13_lsh_multifamily" ->
+      """WITH comp AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |dots AS (SELECT vec_id, jj,
+        |    sum(x * (((i * 73 + jj * 151 + i * jj * 37) % 101) - 50)) AS dot
+        |  FROM comp CROSS JOIN generate_series(0, 7) AS g(jj)
+        |  GROUP BY vec_id, jj),
+        |bk AS (SELECT vec_id, jj // 4 AS family,
+        |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** (jj % 4) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, jj // 4),
+        |e AS (SELECT b.family, b.bucket, x.vec_id, x.embedding
+        |  FROM embeddings x JOIN bk b USING (vec_id))
+        |SELECT DISTINCT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |      AS cos
+        |  FROM e a JOIN e b ON a.family = b.family AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+        |    AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0)
+        |WHERE cos >= 0.3""".stripMargin,
+
     // e6's LSH pair derivation (incl. zero-norm guard) + d6's recursive
     // min-label reachability — the independent replay of the composite DAG.
     "c2_embedding_dedup" ->
@@ -5789,7 +5828,7 @@ object SparkEntry {
         |    generate_subscripts(embedding, 1) - 1 AS i,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
-        |dots AS (SELECT vec_id, j, sum(x * (((i * 7 + j * 13) % 5) - 2)) AS dot
+        |dots AS (SELECT vec_id, j, sum(x * (((i * 73 + j * 151 + i * j * 37) % 101) - 50)) AS dot
         |  FROM comp CROSS JOIN generate_series(0, 3) AS g(j)
         |  GROUP BY vec_id, j),
         |bk AS (SELECT vec_id,
@@ -5929,7 +5968,7 @@ object SparkEntry {
         |    generate_subscripts(embedding, 1) - 1 AS i,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
-        |dots AS (SELECT vec_id, j, sum(x * (((i * 7 + j * 13) % 5) - 2)) AS dot
+        |dots AS (SELECT vec_id, j, sum(x * (((i * 73 + j * 151 + i * j * 37) % 101) - 50)) AS dot
         |  FROM comp CROSS JOIN generate_series(0, 3) AS g(j)
         |  GROUP BY vec_id, j)
         |SELECT vec_id,

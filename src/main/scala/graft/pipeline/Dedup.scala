@@ -278,8 +278,11 @@ object Dedup {
       bits = 16, maxDist = maxDist, bands = bands)
 
   /** [[simhashPairs]] at the 64-bit signature width — same banded
-    * pigeonhole completeness (`maxDist < bands`), wider key space per band
-    * so buckets stay small even at corpus sizes where 16-bit keys saturate. */
+    * pigeonhole completeness (`maxDist < bands`). Band keys are
+    * `64/bands` bits, so prefer the FEWEST bands completeness allows
+    * (`maxDist + 1`) — wider keys, sparser buckets; when even that
+    * saturates (≳10⁷ docs), [[combinationHammingPairs]] trades more
+    * tables for multiplicatively wider keys at identical output. */
   def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, bands: Int = 8): DataFrame =
     bandedHammingPairs(simhash64(df, idCol, textCol), idCol, "simhash64",

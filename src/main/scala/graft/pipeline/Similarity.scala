@@ -47,19 +47,34 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane `j` for dimension `dim`:
-    * component i = ((i*7 + j*13) mod 5) - 2 ∈ {-2..2}. Reproducible in any
-    * engine with integer arithmetic — no RNG state. */
+    * component i = ((i·73 + j·151 + i·j·37) mod 101) − 50 ∈ [−50, 50].
+    * Reproducible in any engine with integer arithmetic — no RNG state —
+    * and exact in float. The i·j cross term makes all 101 residues of j
+    * DISTINCT hyperplanes (the round-12 form `(i·7 + j·13) mod 5` had no
+    * cross term, so it only ever produced j mod 5 = FIVE distinct planes —
+    * `bits > 5` silently emitted duplicated, perfectly correlated sign
+    * bits, and independent families were impossible). */
   def hyperplane(j: Int, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
-      i => ((i * 7 + lit(j) * 13) % 5 - 2).cast("float")) // small ints: exact in float
+      i => ((i * 73 + lit(j) * 151 + i * lit(j * 37)) % 101 - 50)
+        .cast("float")) // ints in [-50,50]: exact in float
 
   /** LSH bucket id: k sign bits of dot products with k deterministic
     * hyperplanes → integer in [0, 2^k). The scale path for ANN: vectors
-    * hash-partition by bucket, queries probe only their bucket. */
-  def lshBucket(vec: Column, dim: Int, k: Int = 4): Column =
+    * hash-partition by bucket, queries probe only their bucket.
+    * `family` selects a disjoint hyperplane range (`family·k + j`) — an
+    * INDEPENDENT bucketing of the same corpus, the recall-recovery lever
+    * ([[lshNearDupPairs]]' `families`). The 101-plane supply bounds
+    * `(family+1)·k`. */
+  def lshBucket(vec: Column, dim: Int, k: Int = 4, family: Int = 0): Column = {
+    require((family + 1) * k <= 101,
+      s"hyperplane supply exhausted: family $family × $k bits needs " +
+        s"${(family + 1) * k} planes, the deterministic family has 101")
     (0 until k).map { j =>
-      when(dot(vec, hyperplane(j, dim)) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(vec, hyperplane(family * k + j, dim)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Bucketed ANN top-k: same contract as [[bruteForceTopK]] but candidates
     * are restricted to the query's LSH bucket. */
@@ -296,12 +311,31 @@ object Similarity {
     * downstream clustering (every spoke hits the hub at cos 1.0); sub-1.0
     * near-dup pairs inside a capped bucket may drop when only their
     * hub edge fails the threshold — the same recall trade the MinHash cap
-    * documents. */
+    * documents.
+    *
+    * `families > 1` unions the pairs of that many INDEPENDENT hyperplane
+    * bucketings (disjoint [[hyperplane]] ranges via [[lshBucket]]'s
+    * `family`) and de-duplicates — the documented recall-recovery path: a
+    * near-dup pair split across one family's bucket boundary survives if
+    * ANY family co-buckets it (each hyperplane cuts a qualifying pair
+    * with probability angle/π, so misses decay geometrically in
+    * families). Cost is `families`× the candidate joins; output is a
+    * superset of every single family's, still exact-cosine-verified. */
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = 4,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue, families: Int = 1): DataFrame = {
+    val perFamily = (0 until math.max(1, families)).map(
+      lshNearDupPairsFamily(vectors, idCol, vecCol, dim, threshold, bits,
+        maxBucket, _))
+    if (perFamily.length == 1) perFamily.head
+    else perFamily.reduce(_ unionByName _).distinct()
+  }
+
+  private def lshNearDupPairsFamily(vectors: DataFrame, idCol: String,
+      vecCol: String, dim: Int, threshold: Double, bits: Int,
+      maxBucket: Int, family: Int): DataFrame = {
     val b = vectors.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), dim, bits).as("__bucket__"))
+      lshBucket(col(vecCol), dim, bits, family).as("__bucket__"))
     val verified = (pairs: DataFrame) => pairs
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("cos"))

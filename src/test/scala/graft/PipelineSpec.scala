@@ -201,6 +201,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("hyperplanes are pairwise distinct through j=31; multi-family LSH " +
+      "pairs are a de-duplicated superset of single-family") {
+    // the pre-round-13 formula had no i·j cross term and collapsed to
+    // j mod 5 — five distinct planes; the cross-term form gives 101
+    val probe = Seq(Tuple1(Array.fill(8)(1f))).toDF("v")
+    val planes = (0 until 32).map { j =>
+      probe.select(Similarity.hyperplane(j, 8)).head.getSeq[Float](0).toList
+    }
+    assert(planes.distinct.length == 32)
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    def pairs(fams: Int) = Similarity.lshNearDupPairs(vecs, "vec_id",
+      "embedding", dim = 16, threshold = 0.2, bits = 4, families = fams)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val one = pairs(1)
+    val two = pairs(2)
+    assert(one.subsetOf(two)) // union semantics: family 0 fully included
+    val keys = two.toSeq.map(p => (p._1, p._2))
+    assert(keys.distinct.length == keys.length) // cross-family de-dup holds
+  }
+
   test("lshNearDupPairs maxBucket: an oversized bucket star-expands to " +
       "O(m) verified pairs and keeps exact-dup clusters connected") {
     // 8 exact duplicates (one giant bucket once hashed) + 2 duplicates
