@@ -2749,6 +2749,18 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Bucketed ANN top-k over TWO LSH families: candidates restricted to
+    // either family's bucket, deduped, exact-cosine ranked. The oracle
+    // replays both bucketings + the rank in SQL, so the hash only matches
+    // if family offsets, candidate union, dedupe, and tiebreaks all agree.
+    "e14_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 3, bits = 4, families = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Similarity: IVF (k-means cell) ANN — nProbe=4 of an auto-sized cell
     // count (⌈n/250⌉ clamped to [8,256]; 8 at these sfs). Index built
     // once per JVM per dataset (index construction is write-path work). The
@@ -5790,6 +5802,36 @@ object SparkEntry {
         |  WHERE list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
         |    AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0)
         |WHERE cos >= 0.3""".stripMargin,
+
+    // e13's two-family bucketing + e2's ranking: candidates from either
+    // family's bucket, deduped per (query, neighbor), exact-cosine top-3.
+    "e14_lsh_topk" ->
+      """WITH comp AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |dots AS (SELECT vec_id, jj,
+        |    sum(x * (((i * 73 + jj * 151 + i * jj * 37) % 101) - 50)) AS dot
+        |  FROM comp CROSS JOIN generate_series(0, 7) AS g(jj)
+        |  GROUP BY vec_id, jj),
+        |bk AS (SELECT vec_id, jj // 4 AS family,
+        |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** (jj % 4) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, jj // 4),
+        |e AS (SELECT b.family, b.bucket, x.vec_id, x.embedding
+        |  FROM embeddings x JOIN bk b USING (vec_id)),
+        |cands AS (SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6)
+        |      AS cos
+        |  FROM e q JOIN e v ON q.family = v.family AND q.bucket = v.bucket
+        |  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM cands) WHERE rank <= 3""".stripMargin,
 
     // e6's derivation over TWO hyperplane families (absolute plane index
     // jj = family*4 + bit; bit weight 2^(jj%4)), pairs unioned across

@@ -77,17 +77,28 @@ object Similarity {
   }
 
   /** Bucketed ANN top-k: same contract as [[bruteForceTopK]] but candidates
-    * are restricted to the query's LSH bucket. */
+    * are restricted to the query's LSH bucket. `families > 1` unions the
+    * candidates of that many independent hyperplane bucketings before
+    * ranking (one extra keyed dedupe) — the same recall-recovery lever as
+    * [[lshNearDupPairs]]' `families`: a true neighbor the first family's
+    * bucket boundary splits off still ranks if ANY family co-buckets it. */
   def lshTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int, bits: Int = 4): DataFrame = {
+      vecCol: String, dim: Int, k: Int, bits: Int = 4,
+      families: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vb = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-      lshBucket(col(vecCol), dim, bits).as("bucket"))
-    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), dim, bits).as("bucket")))
-    val scored = vb.join(qb, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val cands = (0 until math.max(1, families)).map { f =>
+      val vb = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        lshBucket(col(vecCol), dim, bits, f).as("bucket"))
+      val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        lshBucket(col(vecCol), dim, bits, f).as("bucket")))
+      vb.join(qb, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    }.reduce(_ unionByName _)
+    val scored = // a candidate found by several families scores identically
+      if (families > 1)
+        cands.groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
+      else cands
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

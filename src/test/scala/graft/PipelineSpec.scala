@@ -201,6 +201,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("lshTopK families: planted duplicates rank 1 in every family " +
+      "count, and extra families never shrink a query's result") {
+    val rnd = new scala.util.Random(37)
+    val base = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val vecs = (base ++ Seq((100L, base(0)._2.clone), (101L, base(1)._2.clone)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+    def run(fams: Int) = Similarity.lshTopK(vecs, queries, "vec_id",
+      "embedding", dim = 16, k = 3, bits = 4, families = fams)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1),
+        r.getDouble(2))).toMap
+    val one = run(1)
+    val two = run(2)
+    // identical vectors share every family's bucket: rank-1 at cos 1 always
+    Seq(0L -> 100L, 1L -> 101L).foreach { case (q, d) =>
+      assert(one((q, 1)) == ((d, 1.0)) && two((q, 1)) == ((d, 1.0))) }
+    // the union candidate set can only grow: per-query result count is
+    // monotone in families (both capped at k)
+    Seq(0L, 1L).foreach { q =>
+      assert(two.keys.count(_._1 == q) >= one.keys.count(_._1 == q)) }
+    // ranks stay dense and ordered by (cos desc, id asc)
+    Seq(0L, 1L).foreach { q =>
+      val rs = two.toSeq.filter(_._1._1 == q).sortBy(_._1._2)
+      assert(rs.map(_._1._2) == (1 to rs.length))
+      val ordered = rs.map { case ((_, _), (id, cos)) => (-cos, id) }
+      assert(ordered == ordered.sorted) }
+  }
+
   test("hyperplanes are pairwise distinct through j=31; multi-family LSH " +
       "pairs are a de-duplicated superset of single-family") {
     // the pre-round-13 formula had no i·j cross term and collapsed to
