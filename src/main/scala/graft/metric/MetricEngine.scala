@@ -1614,13 +1614,22 @@ final class MetricEngine(spark: SparkSession, root: String,
     // does the labeled rule-evaluation path (a recording rule keys its
     // output series by the FULL labelset, referenced or not).
     val allKeys: Set[String] =
-      if (!hasWithout(expr) && !allLabels) Set.empty
-      else metricNames.flatMap(m => metricIdOf(m).toSeq.flatMap { mid =>
+      if ((!hasWithout(expr) && !allLabels) || metricNames.isEmpty) Set.empty
+      else {
+        // one semi-joined job for ALL referenced metrics — a per-name
+        // loop here launched one tag-keys job per metric, which a
+        // many-metric regex under without(...) multiplied into a driver
+        // job storm (round 13; same shape as matchedSeriesScan's fix)
+        val mids = metrics.scan(ScanRequest(
+            projection = Some(Seq("metric_name", "metric_id"))))
+          .filter(col("metric_name").isin(metricNames.toSeq: _*))
+          .select("metric_id")
         tags.scan(ScanRequest(
-            predicates = Seq(col("metric_id") === mid),
-            projection = Some(Seq("tag_key"))))
-          .distinct().collect().map(_.getString(0)).toSeq
-      })
+            projection = Some(Seq("metric_id", "tag_key"))))
+          .join(maybeBroadcast(mids), Seq("metric_id"), "left_semi")
+          .select("tag_key").distinct()
+          .collect().map(_.getString(0)).toSet
+      }
     val labelCols = (labelSet ++ allKeys).toSeq.sorted
     // Labels whose bare names collide with the evaluator's structural
     // output columns cannot ride its flat frames (Selector output renames
