@@ -256,6 +256,25 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Re-rank the union of several [[knnGraph]] runs into one top-k graph —
+    * the documented boundary-vector recall path: build the graph over two
+    * (or more) coarse quantizers (e.g. `ivfIndex` with different seeds) so
+    * a true neighbor split across one index's cell boundary still ranks if
+    * ANY index co-cells it. Scores are exact cosines, identical wherever a
+    * pair appears, so the merge is one keyed dedupe + the same
+    * (cos desc, id asc) rank — edges only ever improve toward the exact
+    * kNN graph as indexes are added. */
+  def knnGraphUnion(graphs: Seq[DataFrame], k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(graphs.nonEmpty, "knnGraphUnion needs at least one graph")
+    val merged = graphs.map(_.select("vec_id", "neighbor_id", "cos"))
+      .reduce(_ unionByName _)
+      .groupBy("vec_id", "neighbor_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    merged.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** The ±1 Johnson-Lindenstrauss sign matrix for [[randomProjection]]:
     * sign(j, i) from the parity of the first md5 nibble of `seed|j|i` —
     * data-independent and regenerated bit-identically anywhere (executors,

@@ -201,6 +201,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("knnGraphUnion re-ranks multi-index graphs: recall only improves, " +
+      "ranks stay dense, single-graph union is the graph itself") {
+    val rnd = new scala.util.Random(41)
+    val base = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val vecs = (base ++ Seq((100L, base(0)._2.clone)))
+      .toDF("vec_id", "embedding")
+    val (ixA, _) = Similarity.ivfIndex(vecs, "vec_id", "embedding", k = 3,
+      seed = 42L)
+    val (ixB, _) = Similarity.ivfIndex(vecs, "vec_id", "embedding", k = 3,
+      seed = 7L)
+    val gA = Similarity.knnGraph(ixA, "vec_id", "embedding", k = 3)
+    val gB = Similarity.knnGraph(ixB, "vec_id", "embedding", k = 3)
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val u = Similarity.knnGraphUnion(Seq(gA, gB), k = 3)
+    val uRows = u.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // the planted duplicate pair shares a cell in EVERY index (identical
+    // vectors assign identically) and must stay rank-1 both ways
+    Seq(0L -> 100L, 100L -> 0L).foreach { case (q, d) =>
+      val top = uRows.filter(r => r._1 == q && r._4 == 1).head
+      assert(top._2 == d && top._3 == 1.0) }
+    // per-vector neighbor QUALITY only improves RANK-WISE: the union's
+    // candidates are a superset, so its rank-r cos >= each single graph's
+    // rank-r cos (a union may legitimately ADD worse-cos neighbors BELOW
+    // a small cell's short list — that lengthens the list, never degrades
+    // an existing rank)
+    val uAt = uRows.map(r => (r._1, r._4) -> r._3).toMap
+    for (g <- Seq(gA, gB);
+         r <- g.collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(2)))) {
+      val (v, rank, cos) = r
+      assert(uAt((v, rank)) >= cos, s"union degraded vec $v at rank $rank") }
+    // degenerate single-graph union: identical edge set
+    assert(edges(Similarity.knnGraphUnion(Seq(gA), k = 3)) == edges(gA))
+    // ranks dense 1..n per vector
+    uRows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length)) }
+  }
+
   test("lshTopK families: planted duplicates rank 1 in every family " +
       "count, and extra families never shrink a query's result") {
     val rnd = new scala.util.Random(37)
