@@ -377,8 +377,11 @@ object Similarity {
     } else {
       val stats = b.groupBy("__bucket__")
         .agg(count(lit(1)).as("__m__"), min(col(idCol)).as("__hub__"))
-      val sized = b.join(stats, Seq("__bucket__"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist: the frame feeds four branches below,
+      // and a bare persist would squat in the block manager for the
+      // session's lifetime (the ContextCleaner frees checkpoint blocks
+      // when the RDD is collected — same pattern as bandedHammingPairs)
+      val sized = b.join(stats, Seq("__bucket__")).localCheckpoint()
       val small = sized.filter(col("__m__") <= maxBucket)
       val l = small.select(col("__bucket__"), col(idCol).as("id_a"), col(vecCol).as("va"))
       val r = small.select(col("__bucket__"), col(idCol).as("id_b"), col(vecCol).as("vb"))
