@@ -320,6 +320,13 @@ object Dedup {
       s"combination LSH is complete only for maxDist < blocks ($maxDist >= $blocks)")
     val width = bits / blocks
     val r = blocks - maxDist
+    // C(blocks, r) structs ride in ONE explode expression — bound it
+    // before a careless (blocks, maxDist) pair builds a 10^8-entry plan
+    val tables = (0 until r).map(i => (blocks - i).toDouble / (r - i))
+      .product
+    require(tables <= 4096,
+      f"combination banding would build $tables%.0f tables " +
+        s"(C($blocks, $r)); pick fewer blocks or a larger maxDist")
     val combos = (0 until blocks).combinations(r).toSeq
     // key: the combo's blocks concatenated low-to-high (r·width bits — the
     // sign bit stays clear whenever r·width < 64, and at r·width = 64 the
