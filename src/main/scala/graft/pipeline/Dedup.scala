@@ -281,7 +281,7 @@ object Dedup {
     * pigeonhole completeness (`maxDist < bands`). Band keys are
     * `64/bands` bits, so prefer the FEWEST bands completeness allows
     * (`maxDist + 1`) — wider keys, sparser buckets; when even that
-    * saturates (≳10⁷ docs), [[combinationHammingPairs]] trades more
+    * saturates (≳10⁶ docs, measured — tools/BandingProbe), [[combinationHammingPairs]] trades more
     * tables for multiplicatively wider keys at identical output. */
   def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, bands: Int = 8): DataFrame =
@@ -318,7 +318,6 @@ object Dedup {
     require(bits % blocks == 0, s"blocks must divide $bits, got $blocks")
     require(maxDist < blocks,
       s"combination LSH is complete only for maxDist < blocks ($maxDist >= $blocks)")
-    val width = bits / blocks
     val r = blocks - maxDist
     // C(blocks, r) structs ride in ONE explode expression — bound it
     // before a careless (blocks, maxDist) pair builds a 10^8-entry plan
@@ -327,48 +326,37 @@ object Dedup {
     require(tables <= 4096,
       f"combination banding would build $tables%.0f tables " +
         s"(C($blocks, $r)); pick fewer blocks or a larger maxDist")
+    hammingPairsFromKeys(
+      comboBandKeys(sig, idCol, sigCol, bits, maxDist, blocks), maxDist)
+  }
+
+  /** Exploded (id, sig, band, key) frame of the COMBINATION scheme —
+    * band = combo index, key = the combo's blocks concatenated low-to-high
+    * (r·width bits; the sign bit stays clear whenever r·width < 64, and at
+    * r·width = 64 the key is the signature itself, still a valid join
+    * key). Shared by [[combinationHammingPairs]] and the candidate-volume
+    * probe (`tools/BandingProbe`). */
+  private[graft] def comboBandKeys(sig: DataFrame, idCol: String,
+      sigCol: String, bits: Int, maxDist: Int, blocks: Int): DataFrame = {
+    val width = bits / blocks
+    val r = blocks - maxDist
     val combos = (0 until blocks).combinations(r).toSeq
-    // key: the combo's blocks concatenated low-to-high (r·width bits — the
-    // sign bit stays clear whenever r·width < 64, and at r·width = 64 the
-    // key is the signature itself, still a valid join key)
     def keyFor(c: Seq[Int]) = c.zipWithIndex.map { case (blk, pos) =>
       shiftleft(shiftright(col(sigCol), blk * width)
         .bitwiseAND(lit((1L << width) - 1)), pos * width)
     }.reduce(_ bitwiseOR _)
-    val banded = sig.localCheckpoint()
+    sig.localCheckpoint()
       .select(col(idCol).as("id"), col(sigCol).as("sig"),
         explode(array(combos.zipWithIndex.map { case (c, i) =>
-          struct(lit(i).as("combo"), keyFor(c).as("key"))
+          struct(lit(i).as("band"), keyFor(c).as("key"))
         }: _*)).as("ck"))
-      .select(col("id"), col("sig"), col("ck.combo"), col("ck.key"))
-    val a = banded.select(col("combo"), col("key"),
-      col("id").as("id_a"), col("sig").as("sh_a"))
-    val b = banded.select(col("combo"), col("key"),
-      col("id").as("id_b"), col("sig").as("sh_b"))
-    a.join(b, Seq("combo", "key")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
-      .distinct() // a pair may collide in several combos
+      .select(col("id"), col("sig"), col("ck.band"), col("ck.key"))
   }
 
-  private def bandedHammingPairs(sig0: DataFrame, idCol: String,
-      sigCol: String, bits: Int, maxDist: Int, bands: Int): DataFrame = {
-    require(bits % bands == 0, s"bands must divide $bits, got $bands")
-    require(maxDist < bands,
-      s"banded LSH is complete only for maxDist < bands ($maxDist >= $bands)")
-    val width = bits / bands
-    // localCheckpoint: the signature frame feeds BOTH self-join sides —
-    // without it the tokenize + vote-agg shuffle runs twice (1.87 s → 1.54 s
-    // on the d7 bench query; the band join dominates the rest). Same
-    // per-query transient the bench/driver unpersists afterwards; a cluster
-    // deployment would persist signatures as a table anyway.
-    val banded = sig0.localCheckpoint()
-      .select(col(idCol).as("id"), col(sigCol).as("sig"),
-        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          shiftright(col(sigCol), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+  /** The shared tail of both banding schemes: equi-join the exploded key
+    * frame with itself, exact-popcount verify, de-dup multi-band hits. */
+  private def hammingPairsFromKeys(banded: DataFrame,
+      maxDist: Int): DataFrame = {
     val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("sig").as("sh_a"))
     val b = banded.select(col("band"), col("key"),
@@ -378,6 +366,32 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct() // a pair may collide in several bands
+  }
+
+  private def bandedHammingPairs(sig0: DataFrame, idCol: String,
+      sigCol: String, bits: Int, maxDist: Int, bands: Int): DataFrame =
+    hammingPairsFromKeys(
+      simpleBandKeys(sig0, idCol, sigCol, bits, maxDist, bands), maxDist)
+
+  /** Exploded (id, sig, band, key) frame of the SIMPLE banded scheme —
+    * band b's key is the signature's b-th `bits/bands`-bit slice.
+    * localCheckpoint: the signature frame feeds BOTH self-join sides —
+    * without it the tokenize + vote-agg shuffle runs twice (1.87 s →
+    * 1.54 s on the d7 bench query; the band join dominates the rest). Same
+    * per-query transient the bench/driver unpersists afterwards; a cluster
+    * deployment would persist signatures as a table anyway. */
+  private[graft] def simpleBandKeys(sig0: DataFrame, idCol: String,
+      sigCol: String, bits: Int, maxDist: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, s"bands must divide $bits, got $bands")
+    require(maxDist < bands,
+      s"banded LSH is complete only for maxDist < bands ($maxDist >= $bands)")
+    val width = bits / bands
+    sig0.localCheckpoint()
+      .select(col(idCol).as("id"), col(sigCol).as("sig"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftright(col(sigCol), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
   }
 
   /** Reachability-preserving bounded 2-hop closure: each pass adds an edge
