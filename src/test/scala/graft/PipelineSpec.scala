@@ -314,6 +314,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.contains((20L, 21L)))
   }
 
+  test("property: both banding schemes find EXACTLY the brute-force " +
+      "hamming pairs on random signatures with planted near-dups") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen: Gen[List[Long]] = for {
+      n <- Gen.choose(5, 25)
+      base <- Gen.listOfN(n, Gen.long)
+      flips <- Gen.listOfN(3, for {
+        idx <- Gen.choose(0, n - 1)
+        nbits <- Gen.choose(0, 4)
+        bitsToFlip <- Gen.listOfN(nbits, Gen.choose(0, 63))
+      } yield base(idx) ^ bitsToFlip.map(1L << _).fold(0L)(_ | _))
+    } yield base ++ flips
+    def sample(i: Long): List[Long] =
+      gen(Gen.Parameters.default, Seed(i)).get
+    for (seedI <- 0L until 12L; maxDist <- Seq(1, 3, 7)) {
+      val sigs = sample(seedI * 31 + maxDist).zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+      val df = sigs.toDF("id", "sig")
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= maxDist
+      } yield (ia, ib, d.toLong)).toSet
+      def got(df2: org.apache.spark.sql.DataFrame) = df2.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // smallest power-of-two band count that divides 64 AND satisfies
+      // the pigeonhole completeness bound bands > maxDist
+      val simpleBands = Seq(2, 4, 8).find(b => b > maxDist).get
+      assert(got(Dedup.hammingPairs64(df, "id", "sig",
+        maxDist = maxDist, bands = simpleBands)) == brute,
+        s"simple banding seed=$seedI maxDist=$maxDist")
+      assert(got(Dedup.combinationHammingPairs(df, "id", "sig",
+        bits = 64, maxDist = maxDist, blocks = 8)) == brute,
+        s"combination banding seed=$seedI maxDist=$maxDist")
+    }
+  }
+
   test("combination banding (Manku r-subset keys) emits exactly the " +
       "simple-banded pairs, including its r=1 degenerate case") {
     val rnd = new scala.util.Random(23)
