@@ -148,8 +148,16 @@ object Bench {
           val fn = qmap(name)
           try fn(spark, sf1Dir).count() catch { case _: Throwable => () }
           val t0 = System.nanoTime()
-          try fn(spark, sf1Dir).count() catch { case _: Throwable => () }
-          val sec = (System.nanoTime() - t0) / 1e9
+          // a query that fails ONLY at 10× is exactly the blow-up this
+          // lane exists to catch — record -1 (excluded from sf1_scaling
+          // below) instead of a near-zero plan-setup time that would read
+          // as "scales great"
+          val sec =
+            try { fn(spark, sf1Dir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 lane $name FAILED: $e")
+              -1.0
+            }
           spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
             if (!keep1.contains(id)) rdd.unpersist(blocking = true)
           }
@@ -159,7 +167,9 @@ object Bench {
       }
     val baseTimes = results.toMap
     val sf1Scaling: Seq[(String, Double)] = sf1Results.flatMap {
-      case (k, v) => baseTimes.get(k).filter(_ > 0.001).map(b => k -> v / b)
+      case (k, v) if v >= 0 =>
+        baseTimes.get(k).filter(_ > 0.001).map(b => k -> v / b)
+      case _ => None // failed at 10× — surfaced via the -1 in `sf1`
     }
 
     // ---- In-run canaries (round 12, verdict task 5) ----------------------
@@ -222,10 +232,14 @@ object Bench {
         s""""buffers_kb":${meminfoKb("Buffers")},""" +
         s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
     }
+    // locale-pinned 2-decimal format: f"%.2f" renders "1,23" on
+    // comma-decimal locales, which breaks the JSON consumers
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val sf1Json = sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sf1ScalingJson = sf1Scaling.map { case (k, v) =>
-      "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + fmt2(v) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","env":$env,"canaries":$canariesJson,""" +
@@ -260,7 +274,7 @@ object Bench {
       pretty ++= "\n  },\n"
       pretty ++= s"""  "sf1_scaling": {\n"""
       pretty ++= sf1Scaling.map { case (k, v) =>
-        s"""    "$k": ${f"$v%.2f"}""" }.mkString(",\n")
+        s"""    "$k": ${fmt2(v)}""" }.mkString(",\n")
       pretty ++= "\n  }\n}\n"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),

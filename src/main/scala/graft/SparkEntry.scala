@@ -730,7 +730,24 @@ object SparkEntry {
   def synthesizeScaled(s: SparkSession, srcDir: String, outDir: String,
       copies: Int): Unit = {
     val marker = java.nio.file.Paths.get(outDir, "_GRAFT_SCALED")
-    if (java.nio.file.Files.exists(marker)) return
+    // The marker records a fingerprint of the SOURCE (path + per-table
+    // size/mtime) — a bare existence check would silently reuse a stale
+    // 10× corpus after the testdata is regenerated, or one synthesized
+    // from a different source that shares the /tmp basename, and the
+    // lane's ratios would mix old numerators with new denominators.
+    def fp(name: String): String = {
+      val p = java.nio.file.Paths.get(srcDir, s"$name.parquet")
+      val size = try java.nio.file.Files.size(p)
+        catch { case _: Exception => -1L }
+      val mtime = try java.nio.file.Files.getLastModifiedTime(p).toMillis
+        catch { case _: Exception => -1L }
+      s"$name:$size:$mtime"
+    }
+    val fingerprint = (s"src=$srcDir copies=$copies" +:
+      Seq("documents", "embeddings", "events").map(fp)).mkString("\n")
+    if (java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == fingerprint) return
     val abc = "abcdefghijklmnopqrstuvwxyz"
     def copiesOf(name: String)(remap: (DataFrame, Int) => DataFrame): Unit = {
       val base = rawT(s, srcDir, name)
@@ -758,7 +775,8 @@ object SparkEntry {
         col("ts"), (col("user_id") + c.toLong * 10000000L).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }
-    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    java.nio.file.Files.write(marker,
+      fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -2762,7 +2780,7 @@ object SparkEntry {
     }),
 
     // Similarity: IVF (k-means cell) ANN — nProbe=4 of an auto-sized cell
-    // count (⌈n/250⌉ clamped to [8,256]; 8 at these sfs). Index built
+    // count (⌈n/250⌉ clamped to [8,4096]; 8 at these sfs). Index built
     // once per JVM per dataset (index construction is write-path work). The
     // oracle embeds the trained centroids as literals (see ivfOracleEntry),
     // so assignment + probe + rerank hash-check against DuckDB.

@@ -327,7 +327,8 @@ object Dedup {
       f"combination banding would build $tables%.0f tables " +
         s"(C($blocks, $r)); pick fewer blocks or a larger maxDist")
     hammingPairsFromKeys(
-      comboBandKeys(sig, idCol, sigCol, bits, maxDist, blocks), maxDist)
+      comboBandKeys(sig.localCheckpoint(), idCol, sigCol, bits, maxDist,
+        blocks), maxDist)
   }
 
   /** Exploded (id, sig, band, key) frame of the COMBINATION scheme —
@@ -345,8 +346,7 @@ object Dedup {
       shiftleft(shiftright(col(sigCol), blk * width)
         .bitwiseAND(lit((1L << width) - 1)), pos * width)
     }.reduce(_ bitwiseOR _)
-    sig.localCheckpoint()
-      .select(col(idCol).as("id"), col(sigCol).as("sig"),
+    sig.select(col(idCol).as("id"), col(sigCol).as("sig"),
         explode(array(combos.zipWithIndex.map { case (c, i) =>
           struct(lit(i).as("band"), keyFor(c).as("key"))
         }: _*)).as("ck"))
@@ -370,24 +370,27 @@ object Dedup {
 
   private def bandedHammingPairs(sig0: DataFrame, idCol: String,
       sigCol: String, bits: Int, maxDist: Int, bands: Int): DataFrame =
+    // localCheckpoint HERE (not in the key helper): the signature frame
+    // feeds both self-join sides — without it the tokenize + vote-agg
+    // shuffle runs twice (1.87 s → 1.54 s on the d7 bench query). Kept
+    // out of the helpers so a caller that already checkpointed (the
+    // BandingProbe sharing one frame across three schemes) doesn't pay
+    // redundant materializations.
     hammingPairsFromKeys(
-      simpleBandKeys(sig0, idCol, sigCol, bits, maxDist, bands), maxDist)
+      simpleBandKeys(sig0.localCheckpoint(), idCol, sigCol, bits, maxDist,
+        bands), maxDist)
 
   /** Exploded (id, sig, band, key) frame of the SIMPLE banded scheme —
-    * band b's key is the signature's b-th `bits/bands`-bit slice.
-    * localCheckpoint: the signature frame feeds BOTH self-join sides —
-    * without it the tokenize + vote-agg shuffle runs twice (1.87 s →
-    * 1.54 s on the d7 bench query; the band join dominates the rest). Same
-    * per-query transient the bench/driver unpersists afterwards; a cluster
-    * deployment would persist signatures as a table anyway. */
+    * band b's key is the signature's b-th `bits/bands`-bit slice. Callers
+    * that feed it to a self-join should localCheckpoint the signature
+    * frame first (see [[bandedHammingPairs]]). */
   private[graft] def simpleBandKeys(sig0: DataFrame, idCol: String,
       sigCol: String, bits: Int, maxDist: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, s"bands must divide $bits, got $bands")
     require(maxDist < bands,
       s"banded LSH is complete only for maxDist < bands ($maxDist >= $bands)")
     val width = bits / bands
-    sig0.localCheckpoint()
-      .select(col(idCol).as("id"), col(sigCol).as("sig"),
+    sig0.select(col(idCol).as("id"), col(sigCol).as("sig"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftright(col(sigCol), b * width)
             .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))

@@ -21,8 +21,14 @@ object ScaleProbe {
       catch { case e: Throwable =>
         println(s"[probe] $q $dir warmup FAILED: ${e.getMessage}") }
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
-      println(f"[probe] $q $dir rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // guard the timed run too: one failing (dir, query) combo must not
+      // abort the remaining combos (or skip spark.stop())
+      try {
+        val n = fn(spark, dir).count()
+        println(f"[probe] $q $dir rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
+        println(s"[probe] $q $dir FAILED: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
