@@ -1064,6 +1064,18 @@ object SparkEntry {
         .withColumn("value", round(col("value"), 6))
     }),
 
+    // Bare `{__name__=~…}` selector through the FULL metric engine
+    // (round 14): the evaluator resolves the name regex against the
+    // metrics dictionary as a frame, scans all matched metrics, and
+    // groups by __name__ — the multi-metric evaluator path whose plan
+    // the MetricEngineSpec pins to stay constant-size above the
+    // NameUnionFanout cap.
+    "p41_promql_name_regex" -> ((s, dir) =>
+      metricEngine(s, dir)
+        .queryPromQL("""sum by (__name__) ({__name__=~"(p|c|v|s|e).*"})""",
+          graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+        .withColumn("value", round(col("value"), 2))),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -4560,6 +4572,12 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY uid""".stripMargin,
+
+    // Multi-metric name-regex selection through the evaluator must equal
+    // a plain group-by over the raw event types.
+    "p41_promql_name_regex" ->
+      """SELECT event_type AS "__name__", round(sum(value), 2) AS value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // Late-arrival streaming ingest must converge to the same answer as
     // the raw-data replay.

@@ -720,17 +720,28 @@ final class MetricEngine(spark: SparkSession, root: String,
       agg: (DataFrame, Seq[Column]) => DataFrame): DataFrame = {
     val tags = tags0.distinct
     val aliases = tags.indices.map(i => s"__graft_tag_${i}__")
-    var rows = rows0
-    tags.zip(aliases).foreach { case (tag, al) =>
+    tags.foreach { tag =>
       require(tag != "value" && !(hasBucket && tag == "bucket_ms"),
         s"grouping label '$tag' would collide with the '$tag' OUTPUT " +
           "column of the aggregation — unsupported by the engine's flat " +
           "result frames; rename the label at ingest")
-      val tagVals = index.scan(ScanRequest(predicates = Seq(
-          col("metric_id") === mid, col("tag_key") === tag)))
-        .select(col("tsid"), col("tag_value").as(al))
-      rows = rows.join(maybeBroadcast(tagVals), Seq("tsid"), "left")
-        .withColumn(al, coalesce(col(al), lit("")))
+    }
+    var rows = rows0
+    if (tags.nonEmpty) {
+      // ONE index join however many grouping tags (round 14): all keys
+      // read in a single scan aggregated to a per-series tag_key→value
+      // map — the per-tag loop this replaces built |tags| joins per query
+      val lbls = index.scan(ScanRequest(predicates = Seq(
+          col("metric_id") === mid, col("tag_key").isin(tags: _*))))
+        .groupBy("tsid")
+        .agg(map_from_entries(collect_list(
+          struct(col("tag_key"), col("tag_value")))).as("__graft_tags__"))
+      rows = rows.join(maybeBroadcast(lbls), Seq("tsid"), "left")
+      tags.zip(aliases).foreach { case (tag, al) =>
+        rows = rows.withColumn(al,
+          coalesce(col("__graft_tags__").getItem(tag), lit("")))
+      }
+      rows = rows.drop("__graft_tags__")
     }
     val out = agg(rows, aliases.map(col) ++ bucketCol.toSeq)
     tags.zip(aliases).foldLeft(out) { case (df, (tag, al)) =>
@@ -1591,20 +1602,44 @@ final class MetricEngine(spark: SparkSession, root: String,
     val pinList = pins(expr)
     val selectorList = selectors(expr)
     // A bare `{...}` selector resolves its metric set from the metrics
-    // dictionary (small) via its __name__ matchers; the data scan then
-    // unions the resolved metrics exactly like explicitly-named ones.
-    def resolveMetrics(sel: Selector): Set[String] =
-      if (sel.metric.nonEmpty) Set(sel.metric)
-      else {
-        var names = this.metrics.scan(ScanRequest(
-          projection = Some(Seq("metric_name")))).distinct()
-        sel.matchers.filter(_.label == "__name__").foreach(m =>
-          names = names.filter(
-            PromQLContext.matcherPredicate(col("metric_name"), m)))
-        names.collect().map(_.getString(0)).toSet
-      }
-    val resolved: Map[Selector, Set[String]] = selectorList.map(s => s -> resolveMetrics(s)).toMap
-    val metricNames: Set[String] = resolved.values.flatten.toSet
+    // dictionary via its __name__ matchers — as a FRAME (Spark predicates
+    // over the dictionary), never a driver-side dictionary walk. A named
+    // selector is the Eq special case of the same shape.
+    def selNameMatchers(sel: Selector): Seq[LabelMatcher] =
+      if (sel.metric.nonEmpty)
+        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric))
+      else sel.matchers.filter(_.label == "__name__")
+    def selMetricFrame(sel: Selector): DataFrame = {
+      var names = this.metrics.scan(ScanRequest(
+        projection = Some(Seq("metric_name", "metric_id"))))
+      selNameMatchers(sel).foreach(m => names = names.filter(
+        PromQLContext.matcherPredicate(col("metric_name"), m)))
+      names
+    }
+    val metricFrame: Option[DataFrame] = selectorList.map(selMetricFrame)
+      .reduceOption(_ unionByName _).map(_.distinct())
+    // Collect at most NameUnionFanout+1 matched (name, id) pairs — ONE
+    // bounded job regardless of what a `{__name__=~".*"}` regex matches.
+    // At or under the cap the evaluator keeps its statically-pruned
+    // per-metric branches (a metric_id literal pushes into the manifest +
+    // parquet prune); above it the plan switches to ONE un-predicated
+    // scan semi-joined on the matched (metric_id, tsid) series frame —
+    // plan size and driver staging independent of matched-name
+    // cardinality (round 14; the same shape as [[matchedSeriesScan]]'s
+    // federation fix, reference docs/rfcs/20240827-metric-engine.md:121).
+    val someNames: Seq[(String, Long)] = metricFrame
+      .map(_.limit(NameUnionFanout + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1))
+      .getOrElse(Nil)
+    val capped = someNames.length > NameUnionFanout
+    def matchesSel(sel: Selector, name: String): Boolean =
+      selNameMatchers(sel).forall(PromQLContext.matcherMatches(_, name))
+    // Per-selector resolved names — branch-path bookkeeping only, so it
+    // never materializes above the cap.
+    val resolved: Map[Selector, Set[String]] =
+      if (capped) Map.empty
+      else selectorList.map(s =>
+        s -> someNames.map(_._1).filter(matchesSel(s, _)).toSet).toMap
     val (_, labelSetRaw) = walk(expr)
     // __name__ binds to the frame's metric column, never to an index join
     val labelSet = labelSetRaw - "__name__"
@@ -1614,16 +1649,13 @@ final class MetricEngine(spark: SparkSession, root: String,
     // does the labeled rule-evaluation path (a recording rule keys its
     // output series by the FULL labelset, referenced or not).
     val allKeys: Set[String] =
-      if ((!hasWithout(expr) && !allLabels) || metricNames.isEmpty) Set.empty
+      if ((!hasWithout(expr) && !allLabels) || someNames.isEmpty) Set.empty
       else {
         // one semi-joined job for ALL referenced metrics — a per-name
         // loop here launched one tag-keys job per metric, which a
         // many-metric regex under without(...) multiplied into a driver
         // job storm (round 13; same shape as matchedSeriesScan's fix)
-        val mids = metrics.scan(ScanRequest(
-            projection = Some(Seq("metric_name", "metric_id"))))
-          .filter(col("metric_name").isin(metricNames.toSeq: _*))
-          .select("metric_id")
+        val mids = metricFrame.get.select("metric_id")
         tags.scan(ScanRequest(
             projection = Some(Seq("metric_id", "tag_key"))))
           .join(maybeBroadcast(mids), Seq("metric_id"), "left_semi")
@@ -1667,8 +1699,29 @@ final class MetricEngine(spark: SparkSession, root: String,
     }
     val byMetric: String => Seq[Selector] =
       m => selectorList.filter(s => resolved(s).contains(m))
-    val frames = metricNames.toSeq.sorted.flatMap { m =>
-      metricIdOf(m).map { mid =>
+    // ONE label join regardless of referenced-key count (round 14): all
+    // keys read in a single index scan aggregated to a per-series
+    // tag_key→tag_value map, decoded into the flat __lbl_* columns. The
+    // per-key join loop this replaces built |labels| joins per metric —
+    // `without(...)` over a wide metric multiplied that into plan bloat.
+    // Absent label = empty string (Prometheus) — also keeps these columns
+    // usable as equi-join keys in binary-operator matching.
+    def attachLabels(rows0: DataFrame, keyCols: Seq[String],
+        preds: Seq[Column], midsF: Option[DataFrame]): DataFrame =
+      if (labelCols.isEmpty) rows0
+      else {
+        var idx = index.scan(ScanRequest(predicates =
+          preds :+ col("tag_key").isin(labelCols: _*)))
+        midsF.foreach(f => idx =
+          idx.join(maybeBroadcast(f), Seq("metric_id"), "left_semi"))
+        val lbls = idx.groupBy(keyCols.map(col): _*)
+          .agg(map_from_entries(collect_list(
+            struct(col("tag_key"), col("tag_value")))).as("__lbls__"))
+        val joined = rows0.join(maybeBroadcast(lbls), keyCols, "left")
+        labelCols.foldLeft(joined)((r, l) => r.withColumn(s"__lbl_$l",
+          coalesce(col("__lbls__").getItem(l), lit("")))).drop("__lbls__")
+      }
+    val frames = if (!capped) someNames.map { case (m, mid) =>
         // offset selectors read data BEFORE the query range — widen the
         // manifest prune by the largest offset on this metric (the
         // evaluator's own shifted range filter re-tightens per selector)
@@ -1693,19 +1746,37 @@ final class MetricEngine(spark: SparkSession, root: String,
           val prunable = perSel.flatten.reduce(_ union _).distinct()
           rows = rows.join(maybeBroadcast(prunable), Seq("tsid"), "left_semi")
         }
-        labelCols.foreach { l =>
-          val tagVals = index.scan(ScanRequest(predicates = Seq(
-            col("metric_id") === mid, col("tag_key") === l)))
-            .select(col("tsid"), col("tag_value").as(s"__lbl_$l"))
-          rows = rows.join(maybeBroadcast(tagVals), Seq("tsid"), "left")
-        }
-        // absent label = empty string (Prometheus) — also keeps these
-        // columns usable as equi-join keys in binary-operator matching
-        labelCols.foreach { l =>
-          rows = rows.withColumn(s"__lbl_$l", coalesce(col(s"__lbl_$l"), lit("")))
-        }
-        rows
+        attachLabels(rows, Seq("tsid"), Seq(col("metric_id") === mid), None)
       }
+    else {
+      // Above the fan-out cap: ONE scan for ALL matched metrics. The
+      // range is widened by the largest offset and every pinned window
+      // (a superset — each selector's own shifted/pinned filters
+      // re-tighten downstream), the series are the union of per-selector
+      // matched (metric_id, tsid) frames (exact per selector, a sound
+      // superset of the union; each selector's matchers re-filter over
+      // the joined labels downstream), and metric names attach from the
+      // dictionary frame. The data pk leads with metric_id, so the
+      // series join filters right behind the sorted scan.
+      val maxOff = selectorList.map(_.offsetMs).max
+      val offWidened =
+        if (maxOff == 0L || range.start == Long.MinValue) range
+        else TimeRange(range.start - maxOff, range.end)
+      val scanRange = pinList.map(_._2).foldLeft(offWidened)((r, p) =>
+        TimeRange(math.min(r.start, p.start), math.max(r.end, p.end)))
+      val sframe = selectorList.map { sel =>
+          matchedSeriesFrameAll(selMetricFrame(sel).select("metric_id"),
+            sel.matchers.filterNot(_.label == "__name__"))
+            .select("metric_id", "tsid")
+        }.reduce(_ unionByName _).distinct()
+      val named = metricFrame.get
+      val rows = data.scan(ScanRequest(range = scanRange))
+        .join(maybeBroadcast(sframe), Seq("metric_id", "tsid"), "left_semi")
+        .join(maybeBroadcast(named), Seq("metric_id"))
+        .select(col("metric_name").as("__name__"), col("metric_id"),
+          col("tsid"), col("ts"), col("value"))
+      Seq(attachLabels(rows, Seq("metric_id", "tsid"), Nil,
+        Some(named.select("metric_id"))).drop("metric_id"))
     }
     val samples = frames.reduceOption(_.unionByName(_)).getOrElse {
       spark.createDataFrame(

@@ -310,6 +310,49 @@ class MetricEngineSpec extends AnyFunSuite {
     assert(jobs <= 6, s"seriesFor ran $jobs jobs for a 40-name regex")
   }
 
+  test("PromQL evaluator: broad __name__ regex runs ONE scan semi-joined " +
+      "on the matched series (no per-name union), results exact; narrow " +
+      "regexes keep pruned branches; label-key count adds no joins") {
+    import spark.implicits._
+    val e = engine()
+    val names = (0 until 40).map(i => f"ev_metric_$i%02d")
+    e.write(names.zipWithIndex.flatMap { case (n, i) =>
+      Seq(Sample(n, Map("host" -> "a", "zone" -> "z1"), day + i, i.toDouble),
+        Sample(n, Map("host" -> "b", "zone" -> "z2"), day + 1000 + i, 100.0 + i))
+    }.toDF())
+    val all = TimeRange(Long.MinValue, Long.MaxValue)
+    // 40 matched names > fanout cap -> the single-scan evaluator frame
+    val broad = e.queryPromQL(
+      """sum by (__name__) ({__name__=~"ev_metric_.*", host="a"})""", all)
+    val plan = broad.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"broad evaluator regex built a per-name union plan:\n$plan")
+    val got = broad.collect()
+      .map(r => (r.getAs[String]("__name__"), r.getAs[Double]("value"))).toMap
+    assert(got == names.zipWithIndex
+      .map { case (n, i) => n -> i.toDouble }.toMap)
+    // 3 matched names <= cap -> statically-pruned per-metric branches
+    val narrow = e.queryPromQL(
+      """sum by (__name__) ({__name__=~"ev_metric_0[0-2]", host="b"})""", all)
+    assert(narrow.queryExecution.executedPlan.toString.contains("Union"))
+    assert(narrow.collect().map(_.getAs[Double]("value")).toSeq.sorted
+      == Seq(100.0, 101.0, 102.0))
+    // label attach is ONE index join however many keys the query
+    // references: same selector, 1 vs 2 grouping labels, equal join count
+    def joinCount(q: String): Int =
+      e.queryPromQL(q, all).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.length
+    val j1 = joinCount("sum by (host) (ev_metric_00)")
+    val j2 = joinCount("sum by (host, zone) (ev_metric_00)")
+    assert(j1 == j2, s"label-key count changed the join count: $j1 vs $j2")
+    // and the values still come out right through the map-decode path
+    val byTwo = e.queryPromQL("sum by (host, zone) (ev_metric_00)", all)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[String]("zone"),
+        r.getAs[Double]("value"))).toSet
+    assert(byTwo == Set(("a", "z1", 0.0), ("b", "z2", 100.0)))
+  }
+
   test("labelValues caps the discovery plan: sort + limit execute as " +
       "TakeOrderedAndProject, never a full driver collect") {
     val (e, samples) = highCardEngine()
