@@ -715,10 +715,12 @@ object SparkEntry {
     * instead of degenerating into exact replicas (which would turn every
     * LSH/blocking bucket 10× denser and quadratic pair stages 100×,
     * mis-measuring scaling):
-    *  - documents: ids offset per copy; text Caesar-rotated per copy
-    *    (intra-copy shingle/equality structure EXACTLY preserved — the
-    *    rotation is a bijection on characters — while cross-copy shingle
-    *    sets are disjoint, so near-dup families don't fuse across copies)
+    *  - documents: ids offset per copy; text Caesar-rotated per copy over
+    *    lowercase, uppercase AND digits (intra-copy shingle/equality
+    *    structure EXACTLY preserved — the rotation is a bijection on
+    *    characters — while cross-copy shingle sets are disjoint for any
+    *    shingle containing an alphanumeric; only punctuation/whitespace-
+    *    only shingles coincide across copies)
     *  - embeddings: ids and blocking labels offset per copy (10× more
     *    clusters of the same size — the IVF-rebalance scale path, not 10×
     *    denser clusters); vectors cyclically shifted per copy (a
@@ -743,7 +745,12 @@ object SparkEntry {
         catch { case _: Exception => -1L }
       s"$name:$size:$mtime"
     }
-    val fingerprint = (s"src=$srcDir copies=$copies" +:
+    // Scheme version: bump on ANY rewrite-logic change below. The rest of
+    // the fingerprint sees only source path/size/mtime and copy count, so
+    // a changed rotation/shift scheme would otherwise silently reuse a
+    // stale /tmp corpus and mix old-scheme numerators into new ratios.
+    val schemeVersion = 2
+    val fingerprint = (s"src=$srcDir copies=$copies scheme=$schemeVersion" +:
       Seq("documents", "embeddings", "events").map(fp)).mkString("\n")
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker),
@@ -755,9 +762,17 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
     copiesOf("documents") { (df, c) =>
-      val rot = abc.drop(c % 26) + abc.take(c % 26)
+      // rotate lowercase, uppercase AND digits — a lowercase-only alphabet
+      // left numeric/uppercase tokens identical across copies, so
+      // number-heavy documents could still fuse near-dup families across
+      // copies and under-state bucket growth
+      val upper = abc.toUpperCase
+      val dig = "0123456789"
+      val rot = abc.drop(c % 26) + abc.take(c % 26) +
+        upper.drop(c % 26) + upper.take(c % 26) +
+        dig.drop(c % 10) + dig.take(c % 10)
       df.select((col("doc_id") + c.toLong * 10000000L).as("doc_id"),
-        translate(col("text"), abc, rot).as("text"),
+        translate(col("text"), abc + upper + dig, rot).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     copiesOf("embeddings") { (df, c) =>
@@ -2550,6 +2565,16 @@ object SparkEntry {
       Dedup.combinationHammingPairs(
         Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text"),
         "doc_id", "simhash64", bits = 64, maxDist = 3, blocks = 8)),
+
+    // Dedup: the corpus-size-driven banding picker (round 14) — ONE API
+    // that counts the signature frame and routes below ~10⁶ docs to
+    // simple banding (fewest tables), above to d16's Manku combination
+    // scheme. Same brute-force oracle as d8/d16: the hash matches only
+    // if whichever scheme was picked found EVERY dist<=3 pair.
+    "d17_auto_banding_pairs" -> ((s, dir) =>
+      Dedup.autoHammingPairs64(
+        Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "simhash64", maxDist = 3)),
 
     // Dedup: line-level boilerplate removal (CCNet/RefinedWeb line-dedup) —
     // 10-token lines whose corpus document-frequency exceeds 2 are dropped,
@@ -5463,6 +5488,27 @@ object SparkEntry {
     // Same signature replay as d8, brute-force pairs at dist <= 3: the
     // combination-banded Spark side must find exactly these.
     "d16_simhash_combo_pairs" ->
+      """WITH tok AS (SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |votes AS (SELECT doc_id, b,
+        |    sum(CASE WHEN substr(CASE WHEN b < 32 THEN h0 ELSE h1 END,
+        |                         CAST(b % 32 AS INTEGER) + 1, 1)
+        |             IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN generate_series(0, 63) AS g(b)
+        |  GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN v <= 0 THEN 0
+        |             WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |             ELSE (1::BIGINT << CAST(b AS INTEGER)) END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // The auto-picked banding scheme must find the same brute-force
+    // dist<=3 pair set whichever arm the corpus size routes it to.
+    "d17_auto_banding_pairs" ->
       """WITH tok AS (SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
         |votes AS (SELECT doc_id, b,

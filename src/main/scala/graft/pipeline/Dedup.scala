@@ -298,6 +298,42 @@ object Dedup {
     bandedHammingPairs(sig, idCol, sigCol, bits = 64, maxDist = maxDist,
       bands = bands)
 
+  /** Measured simple-banding saturation threshold: the BandingProbe
+    * crossover (round 13, SCALE.md banding table) where 16-bit band keys'
+    * candidate volume per doc starts growing linearly in n — the
+    * bucket-saturation onset past which the simple scheme's equi-join
+    * turns quadratic (~10⁶ uniform 64-bit signatures). */
+  private[graft] val ComboBandingThreshold = 1000000L
+
+  /** Hamming pairs with the banding scheme picked BY CORPUS SIZE (round
+    * 14 — the [[combinationHammingPairs]] scaladoc's tuning knob,
+    * automated): one count job over the checkpointed signature frame,
+    * then below `comboThreshold` docs simple banding with the fewest
+    * tables completeness allows (the next power-of-two band count above
+    * `maxDist` — widest keys, one explode row per band); at or above it,
+    * Manku combination banding (blocks = 8, C(8, 8−maxDist) tables of
+    * multiplicatively wider keys). Output is IDENTICAL either way
+    * (property-tested against brute force); only the candidate-join
+    * shape changes. maxDist ≥ 8 always takes the simple scheme
+    * (blocks = 8 combination banding requires maxDist < 8). */
+  def autoHammingPairs64(sig0: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int = 3,
+      comboThreshold: Long = ComboBandingThreshold): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64)
+    val sig = sig0.localCheckpoint()
+    if (maxDist >= 8 || sig.count() < comboThreshold) {
+      val bands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxDist).get
+      hammingPairsFromKeys(
+        simpleBandKeys(sig, idCol, sigCol, bits = 64, maxDist = maxDist,
+          bands = bands), maxDist)
+    } else
+      // blocks = 8 ⇒ C(8, r) ≤ 70 tables, always under the combination
+      // guard; the frame is already checkpointed, so build keys directly
+      hammingPairsFromKeys(
+        comboBandKeys(sig, idCol, sigCol, bits = 64, maxDist = maxDist,
+          blocks = 8), maxDist)
+  }
+
   /** Hamming pairs via COMBINATION banding (Manku et al., WWW'07 §3): the
     * signature splits into `blocks` equal blocks and each row emits one key
     * per `r`-subset of blocks (`r = blocks − maxDist`), the key being those
@@ -312,7 +348,9 @@ object Dedup {
     * banding with `blocks = 8` gives C(8,5) = 56 tables of 40-bit keys —
     * 7× the explode for 2²⁴× the key space. The table-count/key-width
     * trade IS the Manku tuning knob: pick it by corpus size, switch over
-    * roughly when n outgrows the simple scheme's 2^(bits/bands) buckets. */
+    * roughly when n outgrows the simple scheme's 2^(bits/bands) buckets —
+    * [[autoHammingPairs64]] automates exactly that switch at the measured
+    * [[ComboBandingThreshold]]. */
   def combinationHammingPairs(sig: DataFrame, idCol: String, sigCol: String,
       bits: Int, maxDist: Int, blocks: Int): DataFrame = {
     require(bits % blocks == 0, s"blocks must divide $bits, got $blocks")

@@ -33,11 +33,16 @@ object Graphs {
   def pageRank(edges: DataFrame, iterations: Int = 5, dampingPct: Int = 85,
       unit: Long = 1000000000000L, checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 1 && dampingPct >= 1 && dampingPct <= 99)
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+    // Materialize the edge plan ONCE before anything derives from it:
+    // nodes (union+distinct reads it twice) and the degree join (twice
+    // more) otherwise recompute a possibly-expensive upstream plan — an
+    // IVF-blocked kNN graph fed here ran ~3x before this checkpoint.
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = ed.select(col("src").as("id"))
+      .union(ed.select(col("dst").as("id"))).distinct()
       .localCheckpoint() // eager: computed once, both uses below share it
-    val e = edges.join(
-        edges.groupBy("src").agg(count(lit(1)).as("__deg__")), "src")
+    val e = ed.join(
+        ed.groupBy("src").agg(count(lit(1)).as("__deg__")), "src")
       .select(col("src"), col("dst"), col("__deg__"))
       .localCheckpoint() // eager: re-read (not recomputed) every iteration
     val teleport = unit * (100 - dampingPct) / 100

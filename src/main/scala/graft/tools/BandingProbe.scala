@@ -31,10 +31,13 @@ object BandingProbe {
         else graft.pipeline.Dedup.simhash64(
           spark.read.parquet(s"$spec/documents.parquet"), "doc_id", "text"))
         .localCheckpoint()
-      val n = sig.count()
+      val n = math.max(sig.count(), 1L) // guard the per-doc ratio at n=0
+      // coalesce: sum() over an EMPTY key frame is NULL (synth:0 / an
+      // empty documents dir) — print 0 volume instead of an NPE
       def volume(keys: org.apache.spark.sql.DataFrame): Long =
         keys.groupBy("band", "key").count()
-          .agg(sum(col("count") * (col("count") - 1))).head.getLong(0) / 2
+          .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
+          .head.getLong(0) / 2
       val d8 = volume(graft.pipeline.Dedup.simpleBandKeys(
         sig, "doc_id", "simhash64", bits = 64, maxDist = 7, bands = 8))
       val s3 = volume(graft.pipeline.Dedup.simpleBandKeys(

@@ -7,27 +7,48 @@ package graft.tools
   * isolation, without the full suite around it.
   *
   * Usage: runMain graft.tools.ScaleProbe <dir>[,<dir>...] <query>[,...]
-  * Each query gets one untimed warmup per dir (builds the per-dir fixture
-  * caches — IVF index, engine stores — exactly like Bench's protocol).
+  * A dir spec `scaled10x:<srcDir>` synthesizes (or reuses — the marker
+  * fingerprint decides) the bench lane's 10× corpus for that source and
+  * probes against it. Each dir gets one SparkEntry.prewarm plus one
+  * untimed warmup per query (builds the per-dir fixture caches — IVF
+  * index, engine stores — exactly like Bench's protocol).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val dirs = args(0).split(',').toSeq
+    val dirSpecs = args(0).split(',').toSeq
     val names = args(1).split(',').toSeq
     val spark = graft.GraftSession.create(32)
-    for (dir <- dirs; q <- names) {
-      val fn = graft.SparkEntry.queries(q)
-      try fn(spark, dir).count()
+    val dirs = dirSpecs.map { d =>
+      if (d.startsWith("scaled10x:")) {
+        val src = d.stripPrefix("scaled10x:")
+        val out = "/tmp/graft_scaled10x_" +
+          src.split('/').lastOption.getOrElse(src)
+        graft.SparkEntry.synthesizeScaled(spark, src, out, copies = 10)
+        out
+      } else d
+    }
+    dirs.foreach(d =>
+      try graft.SparkEntry.prewarm(spark, d)
       catch { case e: Throwable =>
-        println(s"[probe] $q $dir warmup FAILED: ${e.getMessage}") }
-      val t0 = System.nanoTime()
-      // guard the timed run too: one failing (dir, query) combo must not
-      // abort the remaining combos (or skip spark.stop())
-      try {
-        val n = fn(spark, dir).count()
-        println(f"[probe] $q $dir rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
-      } catch { case e: Throwable =>
-        println(s"[probe] $q $dir FAILED: ${e.getMessage}")
+        println(s"[probe] prewarm $d FAILED: ${e.getMessage}") })
+    for (dir <- dirs; q <- names) {
+      // a renamed/unknown query name must not abort the remaining combos
+      // (or skip spark.stop()) — same guard as the failing-run arms below
+      graft.SparkEntry.queries.get(q) match {
+        case None => println(s"[probe] $q UNKNOWN query name — skipped")
+        case Some(fn) =>
+          try fn(spark, dir).count()
+          catch { case e: Throwable =>
+            println(s"[probe] $q $dir warmup FAILED: ${e.getMessage}") }
+          val t0 = System.nanoTime()
+          // guard the timed run too: one failing (dir, query) combo must
+          // not abort the remaining combos (or skip spark.stop())
+          try {
+            val n = fn(spark, dir).count()
+            println(f"[probe] $q $dir rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+          } catch { case e: Throwable =>
+            println(s"[probe] $q $dir FAILED: ${e.getMessage}")
+          }
       }
     }
     spark.stop()

@@ -377,6 +377,20 @@ class PipelineSpec extends AnyFunSuite {
       bits = 64, maxDist = 7, blocks = 8))
     assert(combo1 == asSet(Dedup.hammingPairs64(sigs, "id", "sig",
       maxDist = 7, bands = 8)))
+    // autoHammingPairs64 picks the scheme by corpus size: 43 rows is
+    // far under the default ~10⁶ threshold (simple arm); forcing the
+    // threshold to 1 takes the combination arm — identical output both
+    // ways, so the corpus-size switch can never change an answer
+    assert(asSet(Dedup.autoHammingPairs64(sigs, "id", "sig",
+      maxDist = 3)) == simple)
+    assert(asSet(Dedup.autoHammingPairs64(sigs, "id", "sig",
+      maxDist = 3, comboThreshold = 1L)) == simple)
+    // maxDist >= 8 routes to simple banding regardless of corpus size
+    // (blocks = 8 combination banding needs maxDist < 8)
+    assert(asSet(Dedup.autoHammingPairs64(sigs, "id", "sig",
+      maxDist = 15, comboThreshold = 1L)) ==
+      asSet(Dedup.hammingPairs64(sigs, "id", "sig",
+        maxDist = 15, bands = 16)))
   }
 
   test("ivfAssign's two layouts are bit-identical: per-centroid literals " +
