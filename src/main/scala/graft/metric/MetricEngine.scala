@@ -676,6 +676,21 @@ final class MetricEngine(spark: SparkSession, root: String,
     if (limit == Int.MaxValue) sorted else sorted.limit(limit)
   }
 
+  /** Capped label-NAMES discovery frame — the engine behind
+    * `GET /api/v1/labels` (no-selector arm): distinct tag keys plus the
+    * implicit `__name__`, sorted and limit-capped INSIDE the plan
+    * (TakeOrderedAndProject), the [[labelValues]] symmetry (round 14).
+    * Bounded by label-NAME cardinality anyway (thousands, not the
+    * million-value dictionaries labelValues defends against), but the
+    * in-plan cap costs nothing and keeps every discovery endpoint off
+    * the full-collect path. */
+  def labelKeys(limit: Int = Int.MaxValue): DataFrame = {
+    val keys = tags.scan(ScanRequest(projection = Some(Seq("tag_key"))))
+      .union(spark.range(1).select(lit("__name__").as("tag_key")))
+      .distinct().orderBy("tag_key")
+    if (limit == Int.MaxValue) keys else keys.limit(limit)
+  }
+
   /** [[query]] with the step-1 TSID set already resolved — the PromQL
     * fast path resolves index-exact regex matchers itself and hands the
     * frame down. */

@@ -734,12 +734,12 @@ final class HttpFrontend(
           // seriesFor's label sets already carry __name__
           sels.flatMap(engine.seriesFor(_)).distinct
             .flatMap(_.keys).distinct.sorted
-        else {
-          val names = engine.tags.scan(graft.storage.ScanRequest(
-              projection = Some(Seq("tag_key"))))
-            .distinct().collect().map(_.getString(0))
-          ("__name__" +: names.toSeq).distinct.sorted
-        }
+        else
+          // sort + limit INSIDE the plan (MetricEngine.labelKeys →
+          // TakeOrderedAndProject), the labelValues symmetry — never a
+          // full dictionary collect
+          engine.labelKeys(limitParam(pairs))
+            .collect().map(_.getString(0)).toSeq
       respond(ex, 200,
         all.take(limitParam(pairs)).map(n => s""""${esc(n)}"""")
           .mkString("""{"status":"success","data":[""", ",", "]}"),

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** IVF cell-occupancy probe (round 14): builds the auto-sized IVF index
+  * (`Similarity.ivfIndex(k = -1)` — the exact path the e10/e12 bench
+  * fixtures and prewarm take) over each dir's embeddings table and
+  * prints the cell count, occupancy stats, and the exact within-cell
+  * pair volume Σ m·(m−1)/2 — the work [[graft.pipeline.Similarity.knnGraph]]'s
+  * cell-blocked join does — WITHOUT running the join. The vector-side
+  * companion of [[BandingProbe]]: corpus-proportional cell sizing is
+  * verified when pairVolume/vec stays flat from 1× to 10× (fixed-k
+  * sizing grows it ~10×, the e10 super-linearity round 13 caught).
+  *
+  * Usage: runMain graft.tools.IvfProbe <dir>[,<dir>...] — a spec
+  * `scaled10x:<srcDir>` synthesizes (or reuses — the marker fingerprint
+  * decides) the bench lane's 10× corpus, like ScaleProbe's.
+  */
+object IvfProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.create(32)
+    for (spec <- args(0).split(',').toSeq) {
+      val dir =
+        if (spec.startsWith("scaled10x:")) {
+          val src = spec.stripPrefix("scaled10x:")
+          val out = "/tmp/graft_scaled10x_" +
+            src.split('/').lastOption.getOrElse(src)
+          graft.SparkEntry.synthesizeScaled(spark, src, out, copies = 10)
+          out
+        } else spec
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val (indexed, cents) = graft.pipeline.Similarity.ivfIndex(
+        emb, "vec_id", "embedding", k = -1)
+      // coalesce: every aggregate below is NULL over an empty table —
+      // print zeros instead of an NPE (the BandingProbe lesson)
+      val occ = indexed.groupBy("cell").count().agg(
+        coalesce(sum("count"), lit(0L)).as("n"),
+        count(lit(1)).as("used"),
+        coalesce(max("count"), lit(0L)).as("max_m"),
+        coalesce(avg("count"), lit(0.0)).as("avg_m"),
+        coalesce(sum(col("count") * (col("count") - 1)), lit(0L))
+          .as("pair2")).head
+      val n = occ.getLong(0)
+      val pairs = occ.getLong(4) / 2
+      println(f"[ivf] $dir n=$n cells=${cents.length} " +
+        f"used=${occ.getLong(1)} avg=${occ.getDouble(3)}%.1f " +
+        f"max=${occ.getLong(2)} pairVolume=$pairs " +
+        f"(${pairs.toDouble / math.max(n, 1)}%.1f/vec)")
+    }
+    spark.stop()
+  }
+}

@@ -369,6 +369,16 @@ class MetricEngineSpec extends AnyFunSuite {
     // __name__ routes to the metric-name dictionary
     assert(e.labelValues("__name__", 10).collect().map(_.getString(0)).toSeq
       == Seq("hc_metric"))
+    // labelKeys (the /api/v1/labels no-selector arm) gets the same
+    // in-plan cap: sort + limit execute as TakeOrderedAndProject
+    val keys = e.labelKeys(2)
+    assert(keys.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      s"labelKeys limit did not push into the plan:\n${keys.queryExecution}")
+    val allKeys = (samples.flatMap(_.labels.keys) :+ "__name__")
+      .distinct.sorted
+    assert(keys.collect().map(_.getString(0)).toSeq == allKeys.take(2))
+    assert(e.labelKeys().collect().map(_.getString(0)).toSeq == allKeys)
   }
 
   test("regex matchers are exactly anchored end-to-end: a label value " +
@@ -464,6 +474,36 @@ class MetricEngineSpec extends AnyFunSuite {
         .map(r => r.getAs[Long]("bucket_ms") -> r.getAs[Double]("value"))
         .toMap
       assert(tail == Map(30000L -> 0.3), tail.toString)
+    } finally spark.conf.unset("graft.promql.rangeWindows")
+  }
+
+  test("sliding subqueries NEST past depth 2: a subquery-of-subquery " +
+      "recurses the inner context (each level its own epoch-aligned " +
+      "grid, lookback widening compounds)") {
+    import spark.implicits._
+    val e = engine()
+    e.write(Seq(
+      Sample("m", Map("h" -> "a"), 3000L, 1.0),
+      Sample("m", Map("h" -> "a"), 8000L, 4.0),
+      Sample("m", Map("h" -> "a"), 12000L, 9.0),
+      Sample("m", Map("h" -> "a"), 18000L, 11.0),
+      Sample("m", Map("h" -> "a"), 23000L, 2.0), // counter reset
+      Sample("m", Map("h" -> "a"), 27000L, 5.0)).toDF())
+    val q = "min_over_time(max_over_time(rate(m[10s])[10s:5s])[20s:10s])"
+    val range = TimeRange(22000L, 42000L)
+    spark.conf.set("graft.promql.rangeWindows", "sliding")
+    try {
+      // inner rate on the 5s grid ((t-10s, t], chained reset-aware):
+      //   5000→0.0, 10000→0.3, 15000→0.5, 20000→0.2, 25000→0.2 (reset),
+      //   30000→0.3, 35000→0.0
+      // mid max_over_time on the 10s grid over (T-10s, T] of those:
+      //   10000→0.3, 20000→0.5, 30000→0.3, 40000→0.0
+      // outer min_over_time at step 10s over (T-20s, T] of the mid points:
+      //   30000→min(0.5, 0.3)=0.3, 40000→min(0.3, 0.0)=0.0
+      val got = e.queryPromQL(q, range, Some(10000L)).collect()
+        .map(r => r.getAs[Long]("bucket_ms") -> r.getAs[Double]("value"))
+        .toMap
+      assert(got == Map(30000L -> 0.3, 40000L -> 0.0), got.toString)
     } finally spark.conf.unset("graft.promql.rangeWindows")
   }
 
