@@ -164,8 +164,7 @@ object Bench {
       if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0"))
         (Nil, 1.0)
       else {
-        val sf1Dir = s"/tmp/graft_scaled10x_$sfName"
-        SparkEntry.synthesizeScaled(spark, sfDir, sf1Dir, copies = 10)
+        val sf1Dir = SparkEntry.resolveScaledSpec(spark, s"scaled10x:$sfDir")
         SparkEntry.prewarm(spark, sf1Dir)
         val keep1 = spark.sparkContext.getPersistentRDDs.keySet
         val qmap = SparkEntry.queries
@@ -189,20 +188,24 @@ object Bench {
               // fails ONLY at 10× is exactly the blow-up this lane exists
               // to catch, and a near-zero plan-setup time would read as
               // "scales great".
-              val samples = (1 to 3).map { _ =>
+              // one failed sample already decides the -1 entry — stop
+              // sampling (a multi-minute 10×-only OOM would otherwise
+              // run 3 times for no information gain)
+              val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+              var failed = false
+              while (samples.length < 3 && !failed) {
                 val t0 = System.nanoTime()
                 try { fn(spark, sf1Dir).count()
-                  (System.nanoTime() - t0) / 1e9 }
+                  samples += (System.nanoTime() - t0) / 1e9 }
                 catch { case e: Throwable =>
                   System.err.println(s"[bench] sf1 lane $name FAILED: $e")
-                  -1.0 }
+                  failed = true }
               }
               spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
                 if (!keep1.contains(id)) rdd.unpersist(blocking = true)
               }
               System.gc()
-              name -> (if (samples.exists(_ < 0)) -1.0
-                       else samples.sorted.apply(1))
+              name -> (if (failed) -1.0 else samples.sorted.apply(1))
           }
         }
         val laneCanaryAfter = canaryWork.map { case (n, w) =>

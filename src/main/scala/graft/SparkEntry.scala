@@ -794,6 +794,24 @@ object SparkEntry {
       fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** The bench lane's canonical 10× corpus location for a source dir. */
+  def scaledDirFor(srcDir: String): String =
+    "/tmp/graft_scaled10x_" + srcDir.split('/').lastOption.getOrElse(srcDir)
+
+  /** Resolve a probe/lane dir spec: `scaled10x:<srcDir>` synthesizes (or
+    * reuses — the marker fingerprint decides) the bench lane's 10× corpus
+    * for that source at [[scaledDirFor]]'s canonical location and returns
+    * it; anything else passes through. ONE definition shared by Bench's
+    * lane and the ScaleProbe/IvfProbe triage tools, so a probe can never
+    * silently measure a different corpus than the lane it triages. */
+  def resolveScaledSpec(s: SparkSession, spec: String): String =
+    if (spec.startsWith("scaled10x:")) {
+      val src = spec.stripPrefix("scaled10x:")
+      val out = scaledDirFor(src)
+      synthesizeScaled(s, src, out, copies = 10)
+      out
+    } else spec
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
@@ -4599,10 +4617,14 @@ object SparkEntry {
         |GROUP BY uid""".stripMargin,
 
     // Multi-metric name-regex selection through the evaluator must equal
-    // a plain group-by over the raw event types.
+    // a group-by over the raw event types under the SAME anchored name
+    // regex — the filter must ride in the oracle too, or a future event
+    // type outside the alphabet would silently diverge the two sides.
     "p41_promql_name_regex" ->
       """SELECT event_type AS "__name__", round(sum(value), 2) AS value
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM events
+        |WHERE regexp_full_match(event_type, '(p|c|v|s|e).*')
+        |GROUP BY event_type""".stripMargin,
 
     // Late-arrival streaming ingest must converge to the same answer as
     // the raw-data replay.

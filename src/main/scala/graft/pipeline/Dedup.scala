@@ -380,9 +380,12 @@ object Dedup {
     val width = bits / blocks
     val r = blocks - maxDist
     val combos = (0 until blocks).combinations(r).toSeq
+    // blocks = 1 ⇒ width = 64 ⇒ the same `1L << 64 == 1` mod-64 shift
+    // hazard simpleBandKeys guards: the block IS the signature
+    val mask = if (width == 64) -1L else (1L << width) - 1
     def keyFor(c: Seq[Int]) = c.zipWithIndex.map { case (blk, pos) =>
       shiftleft(shiftright(col(sigCol), blk * width)
-        .bitwiseAND(lit((1L << width) - 1)), pos * width)
+        .bitwiseAND(lit(mask)), pos * width)
     }.reduce(_ bitwiseOR _)
     sig.select(col(idCol).as("id"), col(sigCol).as("sig"),
         explode(array(combos.zipWithIndex.map { case (c, i) =>
@@ -428,10 +431,16 @@ object Dedup {
     require(maxDist < bands,
       s"banded LSH is complete only for maxDist < bands ($maxDist >= $bands)")
     val width = bits / bands
+    // width = 64 (bands = 1, the maxDist = 0 exact-key case): Scala's
+    // `1L << 64` is 1 (shift counts mod 64), so the naive mask would be
+    // ZERO — every row lands in one bucket and the candidate equi-join
+    // degenerates into the full n² cross join this module exists to
+    // avoid. The key is the whole signature; mask with all-ones.
+    val mask = if (width == 64) -1L else (1L << width) - 1
     sig0.select(col(idCol).as("id"), col(sigCol).as("sig"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftright(col(sigCol), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+            .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
   }
 

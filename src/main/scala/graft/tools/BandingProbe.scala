@@ -31,7 +31,8 @@ object BandingProbe {
         else graft.pipeline.Dedup.simhash64(
           spark.read.parquet(s"$spec/documents.parquet"), "doc_id", "text"))
         .localCheckpoint()
-      val n = math.max(sig.count(), 1L) // guard the per-doc ratio at n=0
+      val n = sig.count()
+      val den = math.max(n, 1L).toDouble // guard per-doc ratios at n=0
       // coalesce: sum() over an EMPTY key frame is NULL (synth:0 / an
       // empty documents dir) — print 0 volume instead of an NPE
       def volume(keys: org.apache.spark.sql.DataFrame): Long =
@@ -44,9 +45,9 @@ object BandingProbe {
         sig, "doc_id", "simhash64", bits = 64, maxDist = 3, bands = 4))
       val c3 = volume(graft.pipeline.Dedup.comboBandKeys(
         sig, "doc_id", "simhash64", bits = 64, maxDist = 3, blocks = 8))
-      println(f"[banding] $spec n=$n d8_simple8x8=$d8 (${d8.toDouble / n}%.1f/doc) " +
-        f"dist3_simple4x16=$s3 (${s3.toDouble / n}%.1f/doc) " +
-        f"dist3_combo56x40=$c3 (${c3.toDouble / n}%.1f/doc)")
+      println(f"[banding] $spec n=$n d8_simple8x8=$d8 (${d8 / den}%.1f/doc) " +
+        f"dist3_simple4x16=$s3 (${s3 / den}%.1f/doc) " +
+        f"dist3_combo56x40=$c3 (${c3 / den}%.1f/doc)")
     }
     spark.stop()
   }

@@ -19,15 +19,11 @@ import org.apache.spark.sql.functions._
 object IvfProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.create(32)
-    for (spec <- args(0).split(',').toSeq) {
-      val dir =
-        if (spec.startsWith("scaled10x:")) {
-          val src = spec.stripPrefix("scaled10x:")
-          val out = "/tmp/graft_scaled10x_" +
-            src.split('/').lastOption.getOrElse(src)
-          graft.SparkEntry.synthesizeScaled(spark, src, out, copies = 10)
-          out
-        } else spec
+    for (spec <- args(0).split(',').toSeq) try {
+      // resolve through the shared definition (see ScaleProbe) and guard
+      // each spec: one bad dir must not abort the remaining specs or
+      // skip spark.stop()
+      val dir = graft.SparkEntry.resolveScaledSpec(spark, spec)
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val (indexed, cents) = graft.pipeline.Similarity.ivfIndex(
         emb, "vec_id", "embedding", k = -1)
@@ -46,6 +42,8 @@ object IvfProbe {
         f"used=${occ.getLong(1)} avg=${occ.getDouble(3)}%.1f " +
         f"max=${occ.getLong(2)} pairVolume=$pairs " +
         f"(${pairs.toDouble / math.max(n, 1)}%.1f/vec)")
+    } catch { case e: Throwable =>
+      println(s"[ivf] $spec FAILED: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -18,15 +18,9 @@ object ScaleProbe {
     val dirSpecs = args(0).split(',').toSeq
     val names = args(1).split(',').toSeq
     val spark = graft.GraftSession.create(32)
-    val dirs = dirSpecs.map { d =>
-      if (d.startsWith("scaled10x:")) {
-        val src = d.stripPrefix("scaled10x:")
-        val out = "/tmp/graft_scaled10x_" +
-          src.split('/').lastOption.getOrElse(src)
-        graft.SparkEntry.synthesizeScaled(spark, src, out, copies = 10)
-        out
-      } else d
-    }
+    // scaled10x: specs resolve through the ONE shared definition so the
+    // probe measures exactly the corpus the bench lane uses
+    val dirs = dirSpecs.map(d => graft.SparkEntry.resolveScaledSpec(spark, d))
     dirs.foreach(d =>
       try graft.SparkEntry.prewarm(spark, d)
       catch { case e: Throwable =>

@@ -391,6 +391,17 @@ class PipelineSpec extends AnyFunSuite {
       maxDist = 15, comboThreshold = 1L)) ==
       asSet(Dedup.hammingPairs64(sigs, "id", "sig",
         maxDist = 15, bands = 16)))
+    // maxDist = 0 -> bands = 1, the exact-key arm: width 64 means the
+    // band mask must be ALL-ONES ((1L << 64) - 1 is 0 under Scala's
+    // mod-64 shift — a zero mask put every row in one bucket and turned
+    // the candidate join into the full cross join). Output = the exact
+    // duplicates, via a genuine equi-join.
+    val exact0 = Dedup.autoHammingPairs64(sigs, "id", "sig", maxDist = 0)
+    val plan0 = exact0.queryExecution.executedPlan.toString
+    assert(!plan0.contains("CartesianProduct") &&
+      !plan0.contains("BroadcastNestedLoopJoin"),
+      s"maxDist=0 banding planned an all-pairs join:\n$plan0")
+    assert(asSet(exact0) == Set((2L, 102L, 0L)))
   }
 
   test("ivfAssign's two layouts are bit-identical: per-centroid literals " +
