@@ -112,7 +112,8 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("d7_simhash_pairs", "d8_simhash64_pairs", "e6_lsh_neardup",
         "rj1_range_pairs", "c4_semantic_dedup", "e10_knn_graph",
         "d13_repeated_spans", "d12_keepfirst_lines",
-        "d16_simhash_combo_pairs", "e13_lsh_multifamily", "e14_lsh_topk")) {
+        "d16_simhash_combo_pairs", "d17_auto_banding_pairs",
+        "e13_lsh_multifamily", "e14_lsh_topk")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
