@@ -329,8 +329,10 @@ object Similarity {
     * [[cosinePairs]]' bounded-candidate contract. One equi-join shuffle on
     * the bucket id; per-bucket pair counts are corpus-share-bounded, never
     * all-pairs. Recall is the standard LSH trade: raise `bits` to shrink
-    * buckets, union several independent hyperplane families to recover
-    * missed cross-bucket pairs.
+    * buckets (`bits = -1` sizes the code to the corpus automatically —
+    * [[autoLshBits]], constant expected occupancy at any n), union
+    * several independent hyperplane families to recover missed
+    * cross-bucket pairs.
     *
     * `maxBucket` is the skew guard (default uncapped = exact): a
     * degenerate bucket — a dense embedding cluster, all-zero vectors —
@@ -354,11 +356,36 @@ object Similarity {
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = 4,
       maxBucket: Int = Int.MaxValue, families: Int = 1): DataFrame = {
-    val perFamily = (0 until math.max(1, families)).map(
-      lshNearDupPairsFamily(vectors, idCol, vecCol, dim, threshold, bits,
+    val fams = math.max(1, families)
+    // bits = -1: corpus-proportional code length (round 14 — the
+    // [[ivfIndex]] k = -1 twin; one count job over the checkpointed
+    // input, which every family's join sides then reuse). Fixed bits go
+    // quadratic as a corpus grows — occupancy n/2^bits, candidates
+    // n²/2^bits — exactly the shape auto-sized IVF cells fixed for
+    // knnGraph; the recall a longer code costs is recovered the
+    // documented way (union more families).
+    val (vecs, b) =
+      if (bits > 0) (vectors, bits)
+      else {
+        val v = vectors.localCheckpoint()
+        (v, autoLshBits(v.count(), maxBits = math.min(24, 101 / fams)))
+      }
+    val perFamily = (0 until fams).map(
+      lshNearDupPairsFamily(vecs, idCol, vecCol, dim, threshold, b,
         maxBucket, _))
     if (perFamily.length == 1) perFamily.head
     else perFamily.reduce(_ unionByName _).distinct()
+  }
+
+  /** Corpus-proportional LSH code length: bits such that the EXPECTED
+    * bucket occupancy n/2^bits is ~250 (the same per-block pair-work
+    * budget as [[ivfIndex]]'s auto cell sizing), clamped to
+    * [4, maxBits] — maxBits defends the 101-plane supply when several
+    * families are stacked ((families)·bits ≤ 101). */
+  private[graft] def autoLshBits(n: Long, maxBits: Int = 24): Int = {
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / 250.0) / math.log(2.0)).toInt
+    math.max(4, math.min(maxBits, needed))
   }
 
   private def lshNearDupPairsFamily(vectors: DataFrame, idCol: String,

@@ -42,6 +42,22 @@ object IvfProbe {
         f"used=${occ.getLong(1)} avg=${occ.getDouble(3)}%.1f " +
         f"max=${occ.getLong(2)} pairVolume=$pairs " +
         f"(${pairs.toDouble / math.max(n, 1)}%.1f/vec)")
+      // Same measurement for the hyperplane-LSH pair stage: candidate
+      // volume at the fixed default code (bits=4, 16 buckets — grows
+      // n²/2^bits) vs the corpus-proportional code (bits = autoLshBits,
+      // constant expected occupancy) — evidence for lshNearDupPairs'
+      // bits = -1 arm, no join run.
+      def lshVolume(bits: Int): Long =
+        emb.select(graft.pipeline.Similarity
+            .lshBucket(col("embedding"), 64, bits).as("b"))
+          .groupBy("b").count()
+          .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
+          .head.getLong(0) / 2
+      val den = math.max(n, 1L).toDouble
+      val auto = graft.pipeline.Similarity.autoLshBits(n)
+      val (v4, vAuto) = (lshVolume(4), lshVolume(auto))
+      println(f"[lsh] $dir n=$n fixed4bits=$v4 (${v4 / den}%.1f/vec) " +
+        f"autoBits=$auto vol=$vAuto (${vAuto / den}%.1f/vec)")
     } catch { case e: Throwable =>
       println(s"[ivf] $spec FAILED: ${e.getMessage}")
     }

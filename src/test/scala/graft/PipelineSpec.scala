@@ -292,6 +292,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length) // cross-family de-dup holds
   }
 
+  test("lshNearDupPairs bits = -1 sizes the code to the corpus: the " +
+      "formula targets ~250/bucket with clamps, and the auto arm equals " +
+      "the manual arm at the bits it picks") {
+    // formula: clamp [4, maxBits], ceil(log2(n / 250)) in between
+    assert(Similarity.autoLshBits(0) == 4)
+    assert(Similarity.autoLshBits(40) == 4)
+    assert(Similarity.autoLshBits(4000) == 4)      // 16 buckets
+    assert(Similarity.autoLshBits(8001) == 6)      // ceil(log2(32.004))
+    assert(Similarity.autoLshBits(256000) == 10)
+    assert(Similarity.autoLshBits(Long.MaxValue) == 24)
+    assert(Similarity.autoLshBits(Long.MaxValue, maxBits = 12) == 12)
+    // small corpus clamps to 4 bits -> identical pair set to manual 4
+    val rnd = new scala.util.Random(47)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    def got(bits: Int) = Similarity.lshNearDupPairs(vecs, "vec_id",
+      "embedding", dim = 16, threshold = 0.2, bits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got(-1) == got(4))
+  }
+
   test("lshNearDupPairs maxBucket: an oversized bucket star-expands to " +
       "O(m) verified pairs and keeps exact-dup clusters connected") {
     // 8 exact duplicates (one giant bucket once hashed) + 2 duplicates
