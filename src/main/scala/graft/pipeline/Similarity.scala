@@ -86,17 +86,26 @@ object Similarity {
       vecCol: String, dim: Int, k: Int, bits: Int = 4,
       families: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cands = (0 until math.max(1, families)).map { f =>
-      val vb = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-        lshBucket(col(vecCol), dim, bits, f).as("bucket"))
+    val fams = math.max(1, families)
+    // bits = -1: corpus-proportional code, exactly lshNearDupPairs' arm —
+    // fixed bits make per-query candidate counts grow n/2^bits
+    val (vecs, b) =
+      if (bits > 0) (vectors, bits)
+      else {
+        val v = vectors.localCheckpoint()
+        (v, autoLshBits(v.count(), maxBits = math.min(24, 101 / fams)))
+      }
+    val cands = (0 until fams).map { f =>
+      val vb = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        lshBucket(col(vecCol), dim, b, f).as("bucket"))
       val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        lshBucket(col(vecCol), dim, bits, f).as("bucket")))
+        lshBucket(col(vecCol), dim, b, f).as("bucket")))
       vb.join(qb, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           round(cosine(col("qv"), col("nv")), 6).as("cos"))
     }.reduce(_ unionByName _)
     val scored = // a candidate found by several families scores identically
-      if (families > 1)
+      if (fams > 1)
         cands.groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
       else cands
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)

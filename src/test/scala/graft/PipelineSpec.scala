@@ -268,6 +268,13 @@ class PipelineSpec extends AnyFunSuite {
       assert(rs.map(_._1._2) == (1 to rs.length))
       val ordered = rs.map { case ((_, _), (id, cos)) => (-cos, id) }
       assert(ordered == ordered.sorted) }
+    // bits = -1 (corpus-proportional code): 42 vectors clamp to 4 bits,
+    // so the auto arm equals the manual arm exactly
+    def runAuto() = Similarity.lshTopK(vecs, queries, "vec_id",
+      "embedding", dim = 16, k = 3, bits = -1, families = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1),
+        r.getDouble(2))).toMap
+    assert(runAuto() == two)
   }
 
   test("hyperplanes are pairwise distinct through j=31; multi-family LSH " +
