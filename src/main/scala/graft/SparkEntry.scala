@@ -1109,6 +1109,34 @@ object SparkEntry {
           graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
         .withColumn("value", round(col("value"), 2))),
 
+    // Prometheus 3 UTF-8 metric names end to end (round 14): OTLP-style
+    // dotted names through the FULL engine (xxhash ids, meta tables,
+    // segmented SSTs), resolved by a name regex in the evaluator and
+    // grouped by __name__. Oracle = the expected aggregate as hand-
+    // written VALUES (the serving-fixture convention) — the hash matches
+    // only if dotted names survive ingest → dictionary → index → serve.
+    "p42_utf8_names" -> ((s, dir) => {
+      val eng = cachedServingEngine("p42") {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-p42").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        e.write(Seq(
+          graft.metric.Sample("svc.request.duration",
+            Map("job" -> "api"), 1000L, 4.0),
+          graft.metric.Sample("svc.request.duration",
+            Map("job" -> "api"), 2000L, 6.5),
+          graft.metric.Sample("svc.request.duration",
+            Map("job" -> "worker"), 1000L, 1.25),
+          graft.metric.Sample("svc.queue.depth",
+            Map("job" -> "api"), 1500L, 9.0)).toDF())
+        e
+      }
+      eng.queryPromQL(
+        """sum by (__name__, job) ({__name__=~"svc\\..*"})""",
+        graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+    }),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -4615,6 +4643,14 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS uid, round(sum(value), 2) AS value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY uid""".stripMargin,
+
+    // Dotted metric names through the full engine must come back exactly.
+    "p42_utf8_names" ->
+      """SELECT * FROM (VALUES
+        |  ('svc.request.duration', 'api', CAST(10.5 AS DOUBLE)),
+        |  ('svc.request.duration', 'worker', CAST(1.25 AS DOUBLE)),
+        |  ('svc.queue.depth', 'api', CAST(9.0 AS DOUBLE)))
+        |  AS t("__name__", job, value)""".stripMargin,
 
     // Multi-metric name-regex selection through the evaluator must equal
     // a group-by over the raw event types under the SAME anchored name

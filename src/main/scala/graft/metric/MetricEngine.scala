@@ -1688,6 +1688,15 @@ final class MetricEngine(spark: SparkSession, root: String,
         s"label '$l' collides with the evaluator's structural column " +
           "names (value/ts_ms/bucket_ms/tsid) — unsupported; rename the " +
           "label at ingest"))
+    // UTF-8 METRIC names flow as values and work end to end; label NAMES
+    // become flat column names here, where dots/spaces would break
+    // column resolution deep in the plan — fail fast with the documented
+    // data-model restriction (PROMQL.md Surface) instead.
+    labelCols.find(l => !l.matches("[a-zA-Z_][a-zA-Z0-9_]*")).foreach(l =>
+      throw new IllegalArgumentException(
+        s"label name '$l' is outside the classic charset " +
+          "[a-zA-Z_][a-zA-Z0-9_]* — unsupported by the evaluator's flat " +
+          "column frames; rename the label at ingest"))
     // Index-side matcher pushdown for one selector: every `=` matcher and
     // every POSITIVE regex matcher whose pattern cannot match "" bounds a
     // superset of the touchable series via the (tag_value, tsid) index

@@ -1077,26 +1077,44 @@ object PromQLParser {
           val ms = Seq.newBuilder[LabelMatcher]
           var done = peek match { case TPunct("}", _) => next(); true; case _ => false }
           while (!done) {
+            // Prometheus 3 UTF-8 selector syntax: label names may be
+            // quoted ({"label"="v"}), and a BARE quoted string element is
+            // the metric name ({"http.server.duration", job="api"}) —
+            // desugared to a __name__ Eq matcher, which the
+            // canonicalization below turns into the metric.
             val label = next() match {
               case TIdent(l, _) => l
+              case TStr(l, _) =>
+                peek match {
+                  case TPunct(",", _) | TPunct("}", _) =>
+                    ms += LabelMatcher("__name__", MatchOp.Eq, l)
+                    next() match {
+                      case TPunct("}", _) => done = true
+                      case _ => ()
+                    }
+                    null // element consumed — no operator follows
+                  case _ => l
+                }
               case t => throw PromQLParseException("expected label name", t.pos)
             }
-            val op = next() match {
-              case TPunct("=", _) => MatchOp.Eq
-              case TPunct("!=", _) => MatchOp.Ne
-              case TPunct("=~", _) => MatchOp.Re
-              case TPunct("!~", _) => MatchOp.Nre
-              case t => throw PromQLParseException("expected matcher operator", t.pos)
-            }
-            val value = next() match {
-              case TStr(v, _) => v
-              case t => throw PromQLParseException("expected quoted value", t.pos)
-            }
-            ms += LabelMatcher(label, op, value)
-            next() match {
-              case TPunct(",", _) => ()
-              case TPunct("}", _) => done = true
-              case t => throw PromQLParseException("expected ',' or '}'", t.pos)
+            if (label != null) {
+              val op = next() match {
+                case TPunct("=", _) => MatchOp.Eq
+                case TPunct("!=", _) => MatchOp.Ne
+                case TPunct("=~", _) => MatchOp.Re
+                case TPunct("!~", _) => MatchOp.Nre
+                case t => throw PromQLParseException("expected matcher operator", t.pos)
+              }
+              val value = next() match {
+                case TStr(v, _) => v
+                case t => throw PromQLParseException("expected quoted value", t.pos)
+              }
+              ms += LabelMatcher(label, op, value)
+              next() match {
+                case TPunct(",", _) => ()
+                case TPunct("}", _) => done = true
+                case t => throw PromQLParseException("expected ',' or '}'", t.pos)
+              }
             }
           }
           ms.result()

@@ -19,10 +19,21 @@ object PromQLPrinter {
 
   def print(e: Expr): String = e match {
     case Selector(metric, matchers, offsetMs) =>
+      // Prometheus 3 UTF-8 names: a metric that is not a classic
+      // identifier prints as a quoted name element inside the braces
+      // ({"http.server.duration", job="api"}) — the only spelling that
+      // parses back, keeping the print/parse round trip exact.
+      val quotedName = metric.nonEmpty &&
+        !metric.matches("[a-zA-Z_:][a-zA-Z0-9_:]*")
+      val items = (if (quotedName) Seq(str(metric)) else Nil) ++
+        matchers.map(printMatcher)
       val ms =
-        if (matchers.isEmpty) ""
-        else matchers.map(printMatcher).mkString("{", ",", "}")
-      val base = if (metric.isEmpty && ms.isEmpty) "{}" else s"$metric$ms"
+        if (items.isEmpty) ""
+        else items.mkString("{", ",", "}")
+      val base =
+        if (quotedName) ms
+        else if (metric.isEmpty && ms.isEmpty) "{}"
+        else s"$metric$ms"
       base + offsetSuffix(offsetMs)
 
     case RangeFn(fn, sel, w) => printRange(fn, s"${print(sel)}[${dur(w)}]")
@@ -90,7 +101,10 @@ object PromQLPrinter {
       case MatchOp.Re => "=~"
       case MatchOp.Nre => "!~"
     }
-    s"${m.label}$op${str(m.value)}"
+    // quoted label names (Prometheus 3 UTF-8 syntax) round-trip too
+    val l = if (m.label.matches("[a-zA-Z_][a-zA-Z0-9_]*")) m.label
+            else str(m.label)
+    s"$l$op${str(m.value)}"
   }
 
   private def printMatching(vm: VectorMatch): String = {

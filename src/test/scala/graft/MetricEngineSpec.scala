@@ -477,6 +477,44 @@ class MetricEngineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.promql.rangeWindows")
   }
 
+  test("UTF-8 metric names end to end: an OTLP-style dotted name ingests, " +
+      "serves through the quoted-selector syntax, and groups by __name__") {
+    import spark.implicits._
+    val e = engine()
+    e.write(Seq(
+      Sample("http.server.duration", Map("job" -> "api"), day, 4.0),
+      Sample("http.server.duration", Map("job" -> "api"), day + 1000, 6.0),
+      Sample("http.server.duration", Map("job" -> "worker"), day, 1.5),
+      Sample("plain_metric", Map("job" -> "api"), day, 9.0)).toDF())
+    val all = TimeRange(Long.MinValue, Long.MaxValue)
+    val got = e.queryPromQL(
+        """sum by (job) ({"http.server.duration"})""", all)
+      .collect().map(r => r.getAs[String]("job") -> r.getAs[Double]("value"))
+      .toMap
+    assert(got == Map("api" -> 10.0, "worker" -> 1.5))
+    // name regex across classic + dotted names via the evaluator
+    val byName = e.queryPromQL(
+        """sum by (__name__) ({__name__=~"http.*|plain.*"})""", all)
+      .collect()
+      .map(r => r.getAs[String]("__name__") -> r.getAs[Double]("value"))
+      .toMap
+    assert(byName == Map("http.server.duration" -> 11.5,
+      "plain_metric" -> 9.0))
+    // exotic label NAMES in exact matchers stay value-level (index
+    // semi-join fast path) — they work; no such label ingested -> empty
+    assert(e.queryPromQL(
+      """{"http.server.duration", "http.verb"="GET"}""", all)
+      .collect().isEmpty)
+    // but a shape that must BIND the label to a column (general path:
+    // non-index-exact matcher pulls it into the label frame) fails fast
+    // with the documented restriction, not an opaque plan error
+    val ex = intercept[IllegalArgumentException](
+      e.queryPromQL(
+        """sum by (job) ({"http.server.duration", "http.verb"!="GET"})""",
+        all))
+    assert(ex.getMessage.contains("classic charset"))
+  }
+
   test("sliding subqueries NEST past depth 2: a subquery-of-subquery " +
       "recurses the inner context (each level its own epoch-aligned " +
       "grid, lookback widening compounds)") {

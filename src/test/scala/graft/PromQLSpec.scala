@@ -37,6 +37,31 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQLParser.parse("up") == Selector("up", Nil))
   }
 
+  test("parser: Prometheus 3 UTF-8 selectors — a bare quoted element is " +
+      "the metric name, quoted label names parse, duplicates reject") {
+    assert(PromQLParser.parse("""{"http.server.duration"}""") ==
+      Selector("http.server.duration", Nil))
+    assert(PromQLParser.parse("""{"http.server.duration", job="api"}""") ==
+      Selector("http.server.duration",
+        Seq(LabelMatcher("job", MatchOp.Eq, "api"))))
+    // position is free (canonicalization lifts the single __name__ Eq)
+    assert(PromQLParser.parse("""{job="api", "metric name"}""") ==
+      Selector("metric name", Seq(LabelMatcher("job", MatchOp.Eq, "api"))))
+    // quoted LABEL names are accepted syntax ({"job"="api"} == job="api")
+    assert(PromQLParser.parse("""{"job"="api", "http.verb"!="GET"}""") ==
+      Selector("", Seq(LabelMatcher("job", MatchOp.Eq, "api"),
+        LabelMatcher("http.verb", MatchOp.Ne, "GET"))))
+    // escapes inside the quoted name
+    assert(PromQLParser.parse("""{"with \"quote\""}""") ==
+      Selector("with \"quote\"", Nil))
+    // a quoted name element next to a classic metric name is a duplicate
+    intercept[PromQLParseException](
+      PromQLParser.parse("""cpu{"other.name"}"""))
+    // two quoted name elements too
+    intercept[PromQLParseException](
+      PromQLParser.parse("""{"a", "b"}"""))
+  }
+
   test("parser: agg names are contextual keywords — sum{...} is a metric") {
     assert(PromQLParser.parse("""sum{a="b"}""") ==
       Selector("sum", Seq(LabelMatcher("a", MatchOp.Eq, "b"))))
@@ -1516,6 +1541,10 @@ class PromQLSpec extends AnyFunSuite {
       """cpu{host="h1"}""",
       """cpu{host!="h1",mode=~"user|sys",env!~""}""",
       """{__name__=~"cpu|mem",host="h1"}""",
+      """{"http.server.duration"}""",
+      """{"http.server.duration",job="api"}""",
+      """rate({"rpc/latency.ms",code=~"5.."}[5m])""",
+      """sum by (job) ({"service latency",job!=""})""",
       """job:cpu:sum5m""",
       """cpu offset 1h30m""",
       """cpu{a="quote\"s and \\ and\nnewline"}""",
