@@ -89,12 +89,7 @@ object Similarity {
     val fams = math.max(1, families)
     // bits = -1: corpus-proportional code, exactly lshNearDupPairs' arm —
     // fixed bits make per-query candidate counts grow n/2^bits
-    val (vecs, b) =
-      if (bits > 0) (vectors, bits)
-      else {
-        val v = vectors.localCheckpoint()
-        (v, autoLshBits(v.count(), maxBits = math.min(24, 101 / fams)))
-      }
+    val (vecs, b) = resolveAutoBits(vectors, bits, fams)
     val cands = (0 until fams).map { f =>
       val vb = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
         lshBucket(col(vecCol), dim, b, f).as("bucket"))
@@ -373,12 +368,7 @@ object Similarity {
     // n²/2^bits — exactly the shape auto-sized IVF cells fixed for
     // knnGraph; the recall a longer code costs is recovered the
     // documented way (union more families).
-    val (vecs, b) =
-      if (bits > 0) (vectors, bits)
-      else {
-        val v = vectors.localCheckpoint()
-        (v, autoLshBits(v.count(), maxBits = math.min(24, 101 / fams)))
-      }
+    val (vecs, b) = resolveAutoBits(vectors, bits, fams)
     val perFamily = (0 until fams).map(
       lshNearDupPairsFamily(vecs, idCol, vecCol, dim, threshold, b,
         maxBucket, _))
@@ -386,15 +376,31 @@ object Similarity {
     else perFamily.reduce(_ unionByName _).distinct()
   }
 
+  /** The shared `bits = -1` arm of [[lshNearDupPairs]] and [[lshTopK]]:
+    * one count job over the checkpointed corpus (which every family's
+    * join sides then reuse), code length from [[autoLshBits]] under the
+    * stacked-family plane budget. ONE definition so the two APIs can
+    * never diverge on the sizing formula. */
+  private def resolveAutoBits(vectors: DataFrame, bits: Int,
+      fams: Int): (DataFrame, Int) =
+    if (bits > 0) (vectors, bits)
+    else {
+      val v = vectors.localCheckpoint()
+      (v, autoLshBits(v.count(), maxBits = math.min(24, 101 / fams)))
+    }
+
   /** Corpus-proportional LSH code length: bits such that the EXPECTED
     * bucket occupancy n/2^bits is ~250 (the same per-block pair-work
     * budget as [[ivfIndex]]'s auto cell sizing), clamped to
-    * [4, maxBits] — maxBits defends the 101-plane supply when several
-    * families are stacked ((families)·bits ≤ 101). */
+    * [4, maxBits]. maxBits WINS over the lower clamp — it defends the
+    * 101-plane supply when many families are stacked
+    * ((families)·bits ≤ 101), so e.g. 26 families get 3-bit codes
+    * rather than an 'exhausted plane supply' error at plan build. */
   private[graft] def autoLshBits(n: Long, maxBits: Int = 24): Int = {
+    require(maxBits >= 1, s"maxBits must be positive, got $maxBits")
     val needed = math.ceil(
       math.log(math.max(n, 1L).toDouble / 250.0) / math.log(2.0)).toInt
-    math.max(4, math.min(maxBits, needed))
+    math.min(maxBits, math.max(4, needed))
   }
 
   private def lshNearDupPairsFamily(vectors: DataFrame, idCol: String,

@@ -1084,16 +1084,23 @@ object PromQLParser {
             // canonicalization below turns into the metric.
             val label = next() match {
               case TIdent(l, _) => l
-              case TStr(l, _) =>
+              case t0 @ TStr(l, _) =>
                 peek match {
                   case TPunct(",", _) | TPunct("}", _) =>
+                    // {""} must not canonicalize into a match-all
+                    // selector (Prometheus rejects the empty matcher)
+                    if (l.isEmpty) throw PromQLParseException(
+                      "empty metric name in selector", t0.pos)
                     ms += LabelMatcher("__name__", MatchOp.Eq, l)
                     next() match {
                       case TPunct("}", _) => done = true
                       case _ => ()
                     }
                     null // element consumed — no operator follows
-                  case _ => l
+                  case _ =>
+                    if (l.isEmpty) throw PromQLParseException(
+                      "empty label name in matcher", t0.pos)
+                    l
                 }
               case t => throw PromQLParseException("expected label name", t.pos)
             }
@@ -1120,10 +1127,13 @@ object PromQLParser {
           ms.result()
         case _ => Nil
       }
-      // canonicalize: an Eq __name__ matcher IS the metric name; other
-      // __name__ matcher ops stay as matchers (multi-metric selection)
+      // canonicalize: a NON-EMPTY Eq __name__ matcher IS the metric name;
+      // other __name__ matcher ops stay as matchers (multi-metric
+      // selection). __name__="" stays a matcher too — lifting it made
+      // {__name__=""} a silent match-ALL selector, where as a matcher it
+      // correctly matches nothing (no series has an empty name).
       val (nameEqs, rest) = matchers.partition(m =>
-        m.label == "__name__" && m.op == MatchOp.Eq)
+        m.label == "__name__" && m.op == MatchOp.Eq && m.value.nonEmpty)
       (metric, nameEqs) match {
         case ("", Seq(one)) => Selector(one.value, rest)
         case ("", Nil) =>

@@ -55,7 +55,10 @@ object IvfProbe {
           .head.getLong(0) / 2
       val den = math.max(n, 1L).toDouble
       val auto = graft.pipeline.Similarity.autoLshBits(n)
-      val (v4, vAuto) = (lshVolume(4), lshVolume(auto))
+      val v4 = lshVolume(4)
+      // below ~4k vectors auto clamps to 4 — reuse instead of re-running
+      // the identical aggregation job
+      val vAuto = if (auto == 4) v4 else lshVolume(auto)
       println(f"[lsh] $dir n=$n fixed4bits=$v4 (${v4 / den}%.1f/vec) " +
         f"autoBits=$auto vol=$vAuto (${vAuto / den}%.1f/vec)")
     } catch { case e: Throwable =>

@@ -310,6 +310,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.autoLshBits(256000) == 10)
     assert(Similarity.autoLshBits(Long.MaxValue) == 24)
     assert(Similarity.autoLshBits(Long.MaxValue, maxBits = 12) == 12)
+    // maxBits WINS over the lower clamp: the plane-supply budget under
+    // many stacked families (101/26 = 3) must not be overridden to 4,
+    // which would blow lshBucket's supply require at plan build
+    assert(Similarity.autoLshBits(40, maxBits = 3) == 3)
+    assert(Similarity.autoLshBits(Long.MaxValue, maxBits = 3) == 3)
     // small corpus clamps to 4 bits -> identical pair set to manual 4
     val rnd = new scala.util.Random(47)
     val vecs = (0L until 50L).map(i =>

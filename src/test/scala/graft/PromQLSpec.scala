@@ -60,6 +60,16 @@ class PromQLSpec extends AnyFunSuite {
     // two quoted name elements too
     intercept[PromQLParseException](
       PromQLParser.parse("""{"a", "b"}"""))
+    // empty quoted elements must not canonicalize into match-all
+    intercept[PromQLParseException](PromQLParser.parse("""{""}"""))
+    intercept[PromQLParseException](
+      PromQLParser.parse("""{"", job="api"}"""))
+    intercept[PromQLParseException](PromQLParser.parse("""{""="x"}"""))
+    // {__name__=""} stays a MATCHER (matches nothing — no series has an
+    // empty name), never a lifted match-all metric
+    assert(PromQLParser.parse("""{__name__="", job="api"}""") ==
+      Selector("", Seq(LabelMatcher("__name__", MatchOp.Eq, ""),
+        LabelMatcher("job", MatchOp.Eq, "api"))))
   }
 
   test("parser: agg names are contextual keywords — sum{...} is a metric") {
