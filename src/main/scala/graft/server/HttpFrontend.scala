@@ -396,9 +396,14 @@ final class HttpFrontend(
       val body = bodyOrErr.getOrElse(Array.emptyByteArray)
       // the gzip-expansion cap mirrors the compressed-body cap: a ~64 KB
       // bomb otherwise inflates past it unbounded (DecompressedTooLarge)
+      // graft.otlp.utf8Names=true switches to Prometheus 3's
+      // NoUTF8EscapingWithSuffixes translation (the config-file
+      // `otlp.translation_strategy` knob, as a session conf)
+      val utf8Names = spark.conf
+        .getOption("graft.otlp.utf8Names").contains("true")
       val decoded =
         try graft.streaming.Otlp.decodeAll(
-          graft.streaming.Otlp.unframe(body, maxWriteBodyBytes))
+          graft.streaming.Otlp.unframe(body, maxWriteBodyBytes), utf8Names)
         catch {
           case _: graft.streaming.Otlp.DecompressedTooLarge => null
           case scala.util.control.NonFatal(_) => null

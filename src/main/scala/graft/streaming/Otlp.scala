@@ -54,6 +54,12 @@ import graft.metric.Sample
   *    default "with suffixes" strategy. UNIT suffixing is NOT applied
   *    (documented deviation — unit text rides in metadata, not the name;
   *    a full UCUM unit map is out of scope).
+  *  - `utf8Names = true` switches to Prometheus 3's
+  *    `NoUTF8EscapingWithSuffixes` translation: metric AND label names
+  *    pass through verbatim (the engine stores and serves them — the
+  *    quoted PromQL selector syntax addresses them) while the `_total`
+  *    suffix rule stays. Keys inside a kvlist attribute VALUE still
+  *    sanitize — they stringify into a label value, not a label name.
   *  - timestamps truncate ns → ms (the engine's resolution).
   *
   * Wire primitives are shared with [[RemoteWrite]] — same varint /
@@ -74,11 +80,12 @@ object Otlp {
 
   /** Decode an ExportMetricsServiceRequest body into engine samples
     * (number points only — see [[decodeAll]] for histograms too). */
-  def decode(bytes: Array[Byte]): Seq[Sample] = decodeAll(bytes).samples
+  def decode(bytes: Array[Byte], utf8Names: Boolean = false): Seq[Sample] =
+    decodeAll(bytes, utf8Names).samples
 
   /** Decode an ExportMetricsServiceRequest body into samples AND native
     * histograms. */
-  def decodeAll(bytes: Array[Byte]): Decoded = {
+  def decodeAll(bytes: Array[Byte], utf8Names: Boolean = false): Decoded = {
     val out = mutable.ArrayBuffer.empty[Sample]
     val outH = mutable.ArrayBuffer.empty[RemoteWrite.HistogramSample]
     val outE = mutable.ArrayBuffer.empty[RemoteWrite.Exemplar]
@@ -89,7 +96,8 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (1, 2) =>
           val (len, p2) = lenAt(bytes, pos)
-          decodeResourceMetrics(bytes, p2, p2 + len, out, outH, outE)
+          decodeResourceMetrics(bytes, p2, p2 + len, out, outH, outE,
+            utf8Names)
           pos = p2 + len
         case (_, wt) => pos = skip(bytes, pos, wt.toInt)
       }
@@ -127,7 +135,8 @@ object Otlp {
   private def decodeResourceMetrics(b: Array[Byte], start: Int, end: Int,
       out: mutable.ArrayBuffer[Sample],
       outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample],
-      outE: mutable.ArrayBuffer[RemoteWrite.Exemplar]): Unit = {
+      outE: mutable.ArrayBuffer[RemoteWrite.Exemplar],
+      utf8: Boolean): Unit = {
     var pos = start
     var resourceAttrs = Map.empty[String, String]
     val scopeSpans = mutable.ArrayBuffer.empty[(Int, Int)]
@@ -137,7 +146,8 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (1, 2) => // resource
           val (len, p2) = lenAt(b, pos)
-          resourceAttrs = decodeAttrList(b, p2, p2 + len, fieldNum = 1)
+          resourceAttrs = decodeAttrList(b, p2, p2 + len, fieldNum = 1,
+            utf8)
           pos = p2 + len
         case (2, 2) => // scope_metrics — remember spans, decode after the
           // resource is known (proto field order is not guaranteed)
@@ -148,7 +158,7 @@ object Otlp {
       }
     }
     scopeSpans.foreach { case (s, e) =>
-      decodeScopeMetrics(b, s, e, resourceAttrs, out, outH, outE)
+      decodeScopeMetrics(b, s, e, resourceAttrs, out, outH, outE, utf8)
     }
   }
 
@@ -156,7 +166,8 @@ object Otlp {
       resourceAttrs: Map[String, String],
       out: mutable.ArrayBuffer[Sample],
       outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample],
-      outE: mutable.ArrayBuffer[RemoteWrite.Exemplar]): Unit = {
+      outE: mutable.ArrayBuffer[RemoteWrite.Exemplar],
+      utf8: Boolean): Unit = {
     var pos = start
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
@@ -164,7 +175,8 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (2, 2) => // metric
           val (len, p2) = lenAt(b, pos)
-          decodeMetric(b, p2, p2 + len, resourceAttrs, out, outH, outE)
+          decodeMetric(b, p2, p2 + len, resourceAttrs, out, outH, outE,
+            utf8)
           pos = p2 + len
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
@@ -175,7 +187,8 @@ object Otlp {
       resourceAttrs: Map[String, String],
       out: mutable.ArrayBuffer[Sample],
       outH: mutable.ArrayBuffer[RemoteWrite.HistogramSample],
-      outE: mutable.ArrayBuffer[RemoteWrite.Exemplar]): Unit = {
+      outE: mutable.ArrayBuffer[RemoteWrite.Exemplar],
+      utf8: Boolean): Unit = {
     var pos = start
     var name = ""
     val pointSpans = mutable.ArrayBuffer.empty[(Int, Int)]
@@ -262,7 +275,7 @@ object Otlp {
     // monotonic cumulative sums gain the Prometheus counter suffix —
     // the default OTLP→Prometheus translation (strategy "with suffixes");
     // a name already ending in _total is left alone (no double suffix)
-    val prom0 = sanitizeName(name)
+    val prom0 = if (utf8) name else sanitizeName(name)
     val prom =
       if (monotonic && !deltaSum && prom0.nonEmpty &&
           !prom0.endsWith("_total")) prom0 + "_total"
@@ -270,17 +283,17 @@ object Otlp {
     // a nameless metric would ingest an unaddressable "" series
     // (Prometheus rejects these at ingest) — skip like malformed points
     if (prom.nonEmpty && !deltaSum) pointSpans.foreach { case (s, e) =>
-      decodeNumberPoint(b, s, e).foreach { case (attrs, tsNano, value) =>
+      decodeNumberPoint(b, s, e, utf8).foreach { case (attrs, tsNano, value) =>
         out += Sample(prom, resourceAttrs ++ attrs, tsNano / 1000000L, value)
       }
     }
     if (prom.nonEmpty && !deltaHist) histSpans.foreach { case (s, e) =>
-      decodeFixedHistogramPoint(b, s, e).foreach { h =>
+      decodeFixedHistogramPoint(b, s, e, utf8).foreach { h =>
         outH += h.copy(name = prom, labels = resourceAttrs ++ h.labels)
       }
     }
     if (prom.nonEmpty && !deltaExp) expSpans.foreach { case (s, e) =>
-      decodeExponentialPoint(b, s, e).foreach { h =>
+      decodeExponentialPoint(b, s, e, utf8).foreach { h =>
         outH += h.copy(name = prom, labels = resourceAttrs ++ h.labels)
       }
     }
@@ -292,9 +305,10 @@ object Otlp {
     // (the series they'd attach to was never ingested).
     def emitExemplars(spans: Seq[(Int, Int)], exF: Int, attrF: Int): Unit =
       spans.foreach { case (s0, e0) =>
-        val (attrs, exSpans) = pointAttrsAndExemplars(b, s0, e0, exF, attrF)
+        val (attrs, exSpans) =
+          pointAttrsAndExemplars(b, s0, e0, exF, attrF, utf8)
         exSpans.foreach { case (xs, xe) =>
-          decodeOtlpExemplar(b, xs, xe).foreach { case (labels, tsNano, v) =>
+          decodeOtlpExemplar(b, xs, xe, utf8).foreach { case (labels, tsNano, v) =>
             outE += RemoteWrite.Exemplar(prom, resourceAttrs ++ attrs,
               labels, v, tsNano / 1000000L)
           }
@@ -310,7 +324,7 @@ object Otlp {
     // per reported quantile (the standard OTLP→Prometheus mapping; the
     // quantile label renders like Go strconv 'f', e.g. "0.99").
     if (prom.nonEmpty) summarySpans.foreach { case (s, e) =>
-      decodeSummaryPoint(b, s, e).foreach {
+      decodeSummaryPoint(b, s, e, utf8).foreach {
         case (attrs, tsNano, count, sum, quantiles) =>
           val tsMs = tsNano / 1000000L
           val base = resourceAttrs ++ attrs
@@ -356,7 +370,7 @@ object Otlp {
     * phantom 0.0 (a fake counter reset). Skip the point, not the
     * request. */
   private def decodeNumberPoint(b: Array[Byte], start: Int,
-      end: Int): Option[(Map[String, String], Long, Double)] = {
+      end: Int, utf8: Boolean): Option[(Map[String, String], Long, Double)] = {
     var pos = start
     var ts = 0L
     var value = 0.0
@@ -375,7 +389,7 @@ object Otlp {
           value = fixed64(b, pos).toDouble; sawValue = true; pos += 8
         case (7, 2) =>
           val (len, p2) = lenAt(b, pos)
-          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len, utf8)
           pos = p2 + len
         case (8, 0) => // flags
           val (v, p2) = varint(b, pos)
@@ -407,7 +421,7 @@ object Otlp {
     * (fixed64), positive=8, negative=9 (Buckets{offset=1 sint32,
     * bucket_counts=2 repeated uint64}), flags=10, zero_threshold=14. */
   private def decodeExponentialPoint(b: Array[Byte], start: Int,
-      end: Int): Option[RemoteWrite.HistogramSample] = {
+      end: Int, utf8: Boolean): Option[RemoteWrite.HistogramSample] = {
     var pos = start
     var ts = 0L; var count = 0L; var sum = 0.0; var scale = 0
     var zeroCount = 0L; var zeroTh = 0.0; var stale = false
@@ -420,7 +434,7 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (1, 2) =>
           val (len, p2) = lenAt(b, pos)
-          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len, utf8)
           pos = p2 + len
         case (3, 1) => ts = fixed64(b, pos); pos += 8
         case (4, 1) => count = fixed64(b, pos); pos += 8
@@ -507,7 +521,8 @@ object Otlp {
     * histogram 1/11). A second cheap walk over the point bytes — decode
     * order stays independent of proto field order. */
   private def pointAttrsAndExemplars(b: Array[Byte], start: Int, end: Int,
-      exF: Int, attrF: Int): (Map[String, String], Seq[(Int, Int)]) = {
+      exF: Int, attrF: Int,
+      utf8: Boolean): (Map[String, String], Seq[(Int, Int)]) = {
     var pos = start
     var attrs = Map.empty[String, String]
     val ex = mutable.ArrayBuffer.empty[(Int, Int)]
@@ -517,7 +532,7 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (f, 2) if f == attrF =>
           val (len, p2) = lenAt(b, pos)
-          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len, utf8)
           pos = p2 + len
         case (f, 2) if f == exF =>
           val (len, p2) = lenAt(b, pos)
@@ -534,7 +549,7 @@ object Otlp {
     * trace_id=5 (bytes → lowercase hex), as_int=6. Timeless or valueless
     * exemplars skip. */
   private def decodeOtlpExemplar(b: Array[Byte], start: Int,
-      end: Int): Option[(Map[String, String], Long, Double)] = {
+      end: Int, utf8: Boolean): Option[(Map[String, String], Long, Double)] = {
     var pos = start
     var ts = 0L; var v = 0.0; var saw = false
     var attrs = Map.empty[String, String]
@@ -547,7 +562,7 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (7, 2) =>
           val (len, p2) = lenAt(b, pos)
-          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len, utf8)
           pos = p2 + len
         case (2, 1) => ts = fixed64(b, pos); pos += 8
         case (3, 1) =>
@@ -576,7 +591,8 @@ object Otlp {
     * quantile_values=6 (ValueAtQuantile{ quantile=1, value=2 — both
     * double }), attributes=7, flags=8. Points with no timestamp or the
     * no-recorded-value staleness flag skip, like number points. */
-  private def decodeSummaryPoint(b: Array[Byte], start: Int, end: Int)
+  private def decodeSummaryPoint(b: Array[Byte], start: Int, end: Int,
+      utf8: Boolean)
       : Option[(Map[String, String], Long, Long, Double,
         Seq[(Double, Double)])] = {
     var pos = start
@@ -610,7 +626,7 @@ object Otlp {
           pos = p2 + len
         case (7, 2) =>
           val (len, p2) = lenAt(b, pos)
-          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len, utf8)
           pos = p2 + len
         case (8, 0) =>
           val (v, p2) = varint(b, pos)
@@ -639,7 +655,7 @@ object Otlp {
     * fixed64, packed), explicit_bounds=7 (repeated double, packed),
     * flags=10. */
   private def decodeFixedHistogramPoint(b: Array[Byte], start: Int,
-      end: Int): Option[RemoteWrite.HistogramSample] = {
+      end: Int, utf8: Boolean): Option[RemoteWrite.HistogramSample] = {
     var pos = start
     var ts = 0L; var count = 0L; var sum = 0.0; var stale = false
     var attrs = Map.empty[String, String]
@@ -651,7 +667,7 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (9, 2) =>
           val (len, p2) = lenAt(b, pos)
-          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len, utf8)
           pos = p2 + len
         case (3, 1) => ts = fixed64(b, pos); pos += 8
         case (4, 1) => count = fixed64(b, pos); pos += 8
@@ -692,7 +708,7 @@ object Otlp {
   /** A repeated-KeyValue list where each element is a `fieldNum`-tagged
     * length-delimited KeyValue (Resource.attributes = field 1). */
   private def decodeAttrList(b: Array[Byte], start: Int, end: Int,
-      fieldNum: Int): Map[String, String] = {
+      fieldNum: Int, utf8: Boolean): Map[String, String] = {
     var pos = start
     var attrs = Map.empty[String, String]
     while (pos < end) {
@@ -701,7 +717,7 @@ object Otlp {
       (tag >> 3, tag & 7) match {
         case (f, 2) if f == fieldNum =>
           val (len, p2) = lenAt(b, pos)
-          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len)
+          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len, utf8)
           pos = p2 + len
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
@@ -710,7 +726,7 @@ object Otlp {
   }
 
   private def decodeKeyValue(b: Array[Byte], start: Int,
-      end: Int): Map[String, String] = {
+      end: Int, utf8: Boolean): Map[String, String] = {
     var pos = start
     var key = ""
     var value = ""
@@ -729,7 +745,8 @@ object Otlp {
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
-    if (key.isEmpty) Map.empty else Map(sanitizeLabel(key) -> value)
+    if (key.isEmpty) Map.empty
+    else Map((if (utf8) key else sanitizeLabel(key)) -> value)
   }
 
   /** Attribute-name translation (Prometheus label charset — like
@@ -785,7 +802,7 @@ object Otlp {
             (t2 >> 3, t2 & 7) match {
               case (1, 2) =>
                 val (l2, q2) = lenAt(b, q)
-                decodeKeyValue(b, q2, q2 + l2).foreach { case (k, v) =>
+                decodeKeyValue(b, q2, q2 + l2, utf8 = false).foreach { case (k, v) =>
                   items += s"$k=$v" }
                 q = q2 + l2
               case (_, wt) => q = skip(b, q, wt.toInt)

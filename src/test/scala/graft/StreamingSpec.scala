@@ -131,6 +131,41 @@ class StreamingSpec extends AnyFunSuite {
       ("queue_depth", 7.0), ("temp", 8.0)), d.toString)
   }
 
+  test("OTLP NoUTF8EscapingWithSuffixes (utf8Names=true): dotted metric " +
+      "and attribute names pass through verbatim with the _total rule " +
+      "intact, and the ingested series serve via the quoted selector") {
+    import graft.streaming.Otlp
+    val ts = 1723680000000000000L
+    val body = Otlp.encode(Map("service.name" -> "api"), Seq(
+      Otlp.MetricSpec("http.server.req", Seq(
+        Otlp.Point(Map("http.method" -> "GET"), ts, 7.0)),
+        sum = true, monotonic = true),
+      Otlp.MetricSpec("queue.depth", Seq(Otlp.Point(Map.empty, ts, 3.5)))))
+    // default translation unchanged: sanitize, then suffix
+    val classic = Otlp.decode(body)
+    assert(classic.map(s => (s.name, s.labels)).toSet == Set(
+      ("http_server_req_total",
+        Map("service_name" -> "api", "http_method" -> "GET")),
+      ("queue_depth", Map("service_name" -> "api"))))
+    // UTF-8 mode: names verbatim; the suffix check runs on the RAW name
+    // (exactly Prometheus's NoUTF8EscapingWithSuffixes)
+    val utf8 = Otlp.decode(body, utf8Names = true)
+    assert(utf8.map(s => (s.name, s.labels)).toSet == Set(
+      ("http.server.req_total",
+        Map("service.name" -> "api", "http.method" -> "GET")),
+      ("queue.depth", Map("service.name" -> "api"))))
+    // end to end: UTF-8-decoded samples ingest and serve through the
+    // quoted selector syntax; the dotted label prunes via the index
+    val e = new MetricEngine(spark,
+      Files.createTempDirectory("graft-otlp-utf8").toString)
+    MetricStreamIngest.ingestDecoded(e, spark, utf8)
+    val got = e.queryPromQL(
+        """{"http.server.req_total", "http.method"="GET"}""",
+        graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(got == Seq(7.0))
+  }
+
   test("OTLP exemplars decode with trace/span hex labels and the " +
       "point's series labels; timeless ones and delta metrics' drop") {
     import graft.streaming.Otlp
