@@ -908,11 +908,24 @@ final class HttpFrontend(
         val lines = perSeries.toSeq
           .map { case (key, (ts, v)) =>
             val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
+            // Prometheus 3 UTF-8 exposition: a non-classic metric name
+            // moves INSIDE the braces as a quoted element, and
+            // non-classic label names quote — the only spellings a
+            // 3.x federating scraper parses back
+            val classicName = name.matches("[a-zA-Z_:][a-zA-Z0-9_:]*")
+            def lkey(k: String) =
+              if (k.matches("[a-zA-Z_][a-zA-Z0-9_]*")) k
+              else s""""${escLabel(k)}""""
+            val items =
+              (if (classicName) Nil else Seq(s""""${escLabel(name)}"""")) ++
+              labels.toSeq.sortBy(_._1).map { case (k, lv) =>
+                s"""${lkey(k)}="${escLabel(lv)}"""" }
             val labelStr =
-              if (labels.isEmpty) ""
-              else labels.toSeq.sortBy(_._1).map { case (k, lv) =>
-                s"""$k="${escLabel(lv)}"""" }.mkString("{", ",", "}")
-            (name, labelStr, s"$name$labelStr $v $ts")
+              if (items.isEmpty) "" else items.mkString("{", ",", "}")
+            val line =
+              if (classicName) s"$name$labelStr $v $ts"
+              else s"$labelStr $v $ts"
+            (name, labelStr, line)
           }
           .sortBy { case (name, labelStr, _) => (name, labelStr) }
           .map(_._3)

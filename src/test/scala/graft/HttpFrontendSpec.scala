@@ -907,6 +907,19 @@ class HttpFrontendSpec extends AnyFunSuite {
       val viaPost = postForm(port, "/federate", s"match[]=$mA")
       assert(viaPost.statusCode() == 200 &&
         viaPost.body().trim == s"""cpu{host="a"} 2.5 ${now - 30000}""")
+      // Prometheus 3 UTF-8 exposition: a dotted metric name federates as
+      // a quoted in-brace element (the only spelling a 3.x scraper
+      // parses back), addressed via the quoted match[] selector
+      val dotted = RemoteWrite.encode(Seq(graft.metric.Sample(
+        "http.req.total", Map("host" -> "a"), now - 5000, 3.25)))
+      assert(post(port, "/api/v1/write", dotted).statusCode() == 204)
+      val mDot = java.net.URLEncoder.encode(
+        """{"http.req.total"}""", "UTF-8")
+      val fedDot = get(port, s"/federate?match[]=$mDot")
+      assert(fedDot.statusCode() == 200, fedDot.body())
+      assert(fedDot.body().trim ==
+        s"""{"http.req.total",host="a"} 3.25 ${now - 5000}""",
+        fedDot.body())
     } finally fe.stop()
   }
 
