@@ -158,7 +158,8 @@ object Bench {
       "c4_semantic_dedup", "c6_incremental_dedup", "d3_lsh_pairs",
       "d6_dup_clusters", "d8_simhash64_pairs", "d11_winnow_pairs",
       "d16_simhash_combo_pairs", "e10_knn_graph",
-      "e12_pagerank", "t13_winnow", "t14_decontaminate", "t15_tfidf",
+      "e12_pagerank", "e15_lsh_neardup_auto", "t13_winnow",
+      "t14_decontaminate", "t15_tfidf",
       "ro1_rollup_day", "ro4_rollup_rate")
     val (sf1Results, sf1CanaryRatio): (Seq[(String, Double)], Double) =
       if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0"))

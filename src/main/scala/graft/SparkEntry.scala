@@ -2829,6 +2829,16 @@ object SparkEntry {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3, bits = 4, families = 2)),
 
+    // The corpus-proportional code-length arm (bits = -1, round 14): the
+    // deploy-time sizing for unknown corpora. NO SQL oracle — the picked
+    // bits depend on the corpus count, so the bucketing is not replayable
+    // as fixed SQL; the driver records the rows-only check, the property
+    // tests pin auto ≡ manual at the picked bits, and the bench 10× lane
+    // measures the scaling this arm exists for (fixed bits go n²/2^bits).
+    "e15_lsh_neardup_auto" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.3, bits = -1, families = 2)),
+
     // Symmetric int8 quantization: one row per (vector, dimension) + scale.
     "e7_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
