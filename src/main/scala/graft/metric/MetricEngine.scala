@@ -1692,7 +1692,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     // become flat column names here, where dots/spaces would break
     // column resolution deep in the plan — fail fast with the documented
     // data-model restriction (PROMQL.md Surface) instead.
-    labelCols.find(l => !l.matches("[a-zA-Z_][a-zA-Z0-9_]*")).foreach(l =>
+    labelCols.find(l => !graft.promql.PromQLPrinter.isClassicLabelName(l))
+      .foreach(l =>
       throw new IllegalArgumentException(
         s"label name '$l' is outside the classic charset " +
           "[a-zA-Z_][a-zA-Z0-9_]* — unsupported by the evaluator's flat " +

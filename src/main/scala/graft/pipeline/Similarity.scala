@@ -380,11 +380,16 @@ object Similarity {
     * one count job over the checkpointed corpus (which every family's
     * join sides then reuse), code length from [[autoLshBits]] under the
     * stacked-family plane budget. ONE definition so the two APIs can
-    * never diverge on the sizing formula. */
+    * never diverge on the sizing formula. Only the documented sentinel
+    * -1 selects the auto arm: any other non-positive `bits` is a caller
+    * bug (a config-plumbing 0 used to fail fast at plan build, and must
+    * not silently become corpus-sized codes plus an extra count job). */
   private def resolveAutoBits(vectors: DataFrame, bits: Int,
       fams: Int): (DataFrame, Int) =
     if (bits > 0) (vectors, bits)
     else {
+      require(bits == -1,
+        s"bits must be positive, or -1 for corpus-proportional sizing; got $bits")
       val v = vectors.localCheckpoint()
       (v, autoLshBits(v.count(), maxBits = math.min(24, 101 / fams)))
     }

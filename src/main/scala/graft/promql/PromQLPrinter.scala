@@ -17,14 +17,31 @@ import graft.metric.MetricAgg
   * own `promql.Expr.String()` does. */
 object PromQLPrinter {
 
+  /** Prometheus CLASSIC charset checks — the ONE definition shared by the
+    * printer's quoting decision, the federate emitter's exposition
+    * quoting/escaping ([[graft.server.HttpFrontend]]) and the evaluator's
+    * flat-schema label check ([[graft.metric.MetricEngine]]). These sites
+    * must agree exactly, or a name one layer spells bare fails to parse
+    * in another. Empty strings are NOT classic (no bare spelling). */
+  def isClassicMetricName(s: String): Boolean =
+    ClassicMetricRe.matcher(s).matches()
+
+  /** See [[isClassicMetricName]]; label names additionally exclude ':'. */
+  def isClassicLabelName(s: String): Boolean =
+    ClassicLabelRe.matcher(s).matches()
+
+  private val ClassicMetricRe =
+    java.util.regex.Pattern.compile("[a-zA-Z_:][a-zA-Z0-9_:]*")
+  private val ClassicLabelRe =
+    java.util.regex.Pattern.compile("[a-zA-Z_][a-zA-Z0-9_]*")
+
   def print(e: Expr): String = e match {
     case Selector(metric, matchers, offsetMs) =>
       // Prometheus 3 UTF-8 names: a metric that is not a classic
       // identifier prints as a quoted name element inside the braces
       // ({"http.server.duration", job="api"}) — the only spelling that
       // parses back, keeping the print/parse round trip exact.
-      val quotedName = metric.nonEmpty &&
-        !metric.matches("[a-zA-Z_:][a-zA-Z0-9_:]*")
+      val quotedName = metric.nonEmpty && !isClassicMetricName(metric)
       val items = (if (quotedName) Seq(str(metric)) else Nil) ++
         matchers.map(printMatcher)
       val ms =
@@ -102,8 +119,7 @@ object PromQLPrinter {
       case MatchOp.Nre => "!~"
     }
     // quoted label names (Prometheus 3 UTF-8 syntax) round-trip too
-    val l = if (m.label.matches("[a-zA-Z_][a-zA-Z0-9_]*")) m.label
-            else str(m.label)
+    val l = if (isClassicLabelName(m.label)) m.label else str(m.label)
     s"$l$op${str(m.value)}"
   }
 

@@ -902,20 +902,35 @@ final class HttpFrontend(
           case '\n' => "\\n"
           case c => c.toString
         }
+        // UTF-8 exposition is NEGOTIATED, exactly like Prometheus 3: the
+        // quoted-name syntax ({"svc.req.duration",job="api"}) is emitted
+        // only when the scraper's Accept header carries
+        // escaping=allow-utf-8 (echoed back in the Content-Type); any
+        // other client — Prom 2.x, or Prom 3 under legacy validation —
+        // gets version-0.0.4 lines with non-classic names/label keys
+        // UNDERSCORE-ESCAPED (Prometheus's default escaping scheme), so
+        // one dotted series can never break the whole scrape for an
+        // older federating server.
+        val allowUtf8 = Option(ex.getRequestHeaders.getFirst("Accept"))
+          .exists(_.replace(" ", "").contains("escaping=allow-utf-8"))
+        import graft.promql.PromQLPrinter.{isClassicMetricName, isClassicLabelName}
         // order by (name, labels) so one metric's lines stay a contiguous
         // group (exposition-format requirement — a full-line sort would
         // interleave 'cpu ...' / 'cpu_total ...' / 'cpu{...}')
         val lines = perSeries.toSeq
           .map { case (key, (ts, v)) =>
-            val (name, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
+            val (name0, labels) = graft.metric.MetricEngine.parseSeriesKey(key)
+            val name = if (allowUtf8 || isClassicMetricName(name0)) name0
+                       else graft.streaming.Otlp.sanitizeName(name0)
             // Prometheus 3 UTF-8 exposition: a non-classic metric name
             // moves INSIDE the braces as a quoted element, and
             // non-classic label names quote — the only spellings a
             // 3.x federating scraper parses back
-            val classicName = name.matches("[a-zA-Z_:][a-zA-Z0-9_:]*")
+            val classicName = isClassicMetricName(name)
             def lkey(k: String) =
-              if (k.matches("[a-zA-Z_][a-zA-Z0-9_]*")) k
-              else s""""${escLabel(k)}""""
+              if (isClassicLabelName(k)) k
+              else if (allowUtf8) s""""${escLabel(k)}""""
+              else graft.streaming.Otlp.sanitizeLabel(k)
             val items =
               (if (classicName) Nil else Seq(s""""${escLabel(name)}"""")) ++
               labels.toSeq.sortBy(_._1).map { case (k, lv) =>
@@ -930,7 +945,8 @@ final class HttpFrontend(
           .sortBy { case (name, labelStr, _) => (name, labelStr) }
           .map(_._3)
         respond(ex, 200, lines.mkString("", "\n", "\n"),
-          contentType = "text/plain; version=0.0.4; charset=utf-8")
+          contentType = "text/plain; version=0.0.4; charset=utf-8" +
+            (if (allowUtf8) "; escaping=allow-utf-8" else ""))
       }
     } catch {
       case e: ResultTooLarge => respond(ex, 422, s"federate failed: ${e.getMessage}")

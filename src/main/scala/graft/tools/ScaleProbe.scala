@@ -19,8 +19,16 @@ object ScaleProbe {
     val names = args(1).split(',').toSeq
     val spark = graft.GraftSession.create(32)
     // scaled10x: specs resolve through the ONE shared definition so the
-    // probe measures exactly the corpus the bench lane uses
-    val dirs = dirSpecs.map(d => graft.SparkEntry.resolveScaledSpec(spark, d))
+    // probe measures exactly the corpus the bench lane uses; one bad spec
+    // (missing source dir) must not abort the remaining specs or skip
+    // spark.stop(), same contract as the per-combo guards below
+    val dirs = dirSpecs.flatMap { d =>
+      try Some(graft.SparkEntry.resolveScaledSpec(spark, d))
+      catch { case e: Throwable =>
+        println(s"[probe] dir spec $d FAILED to resolve: ${e.getMessage}")
+        None
+      }
+    }
     dirs.foreach(d =>
       try graft.SparkEntry.prewarm(spark, d)
       catch { case e: Throwable =>

@@ -24,6 +24,11 @@ class HttpFrontendSpec extends AnyFunSuite {
     http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
       .GET().build(), HttpResponse.BodyHandlers.ofString())
 
+  private def getAccept(port: Int, path: String, accept: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Accept", accept).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
   private def post(port: Int, path: String, body: Array[Byte]): HttpResponse[String] =
     http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
       .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
@@ -907,19 +912,31 @@ class HttpFrontendSpec extends AnyFunSuite {
       val viaPost = postForm(port, "/federate", s"match[]=$mA")
       assert(viaPost.statusCode() == 200 &&
         viaPost.body().trim == s"""cpu{host="a"} 2.5 ${now - 30000}""")
-      // Prometheus 3 UTF-8 exposition: a dotted metric name federates as
-      // a quoted in-brace element (the only spelling a 3.x scraper
-      // parses back), addressed via the quoted match[] selector
+      // Prometheus 3 UTF-8 exposition is NEGOTIATED: a dotted metric name
+      // federates as a quoted in-brace element only when the scraper's
+      // Accept carries escaping=allow-utf-8 (echoed in the Content-Type);
+      // a legacy scraper gets the same series underscore-escaped in plain
+      // 0.0.4 syntax — one dotted series must never break a 2.x scrape
       val dotted = RemoteWrite.encode(Seq(graft.metric.Sample(
         "http.req.total", Map("host" -> "a"), now - 5000, 3.25)))
       assert(post(port, "/api/v1/write", dotted).statusCode() == 204)
       val mDot = java.net.URLEncoder.encode(
         """{"http.req.total"}""", "UTF-8")
-      val fedDot = get(port, s"/federate?match[]=$mDot")
+      val fedDot = getAccept(port, s"/federate?match[]=$mDot",
+        "text/plain;version=0.0.4;escaping=allow-utf-8")
       assert(fedDot.statusCode() == 200, fedDot.body())
       assert(fedDot.body().trim ==
         s"""{"http.req.total",host="a"} 3.25 ${now - 5000}""",
         fedDot.body())
+      assert(fedDot.headers().firstValue("Content-Type").orElse("")
+        .contains("escaping=allow-utf-8"))
+      val fedLegacy = get(port, s"/federate?match[]=$mDot")
+      assert(fedLegacy.statusCode() == 200, fedLegacy.body())
+      assert(fedLegacy.body().trim ==
+        s"""http_req_total{host="a"} 3.25 ${now - 5000}""",
+        fedLegacy.body())
+      assert(!fedLegacy.headers().firstValue("Content-Type").orElse("")
+        .contains("allow-utf-8"))
     } finally fe.stop()
   }
 
