@@ -157,7 +157,7 @@ object Bench {
     val sf1Lane = Seq("c2_embedding_dedup", "c3_minhash_dedup",
       "c4_semantic_dedup", "c6_incremental_dedup", "d3_lsh_pairs",
       "d6_dup_clusters", "d8_simhash64_pairs", "d11_winnow_pairs",
-      "d16_simhash_combo_pairs", "e10_knn_graph",
+      "d16_simhash_combo_pairs", "d18_cut_spans", "e10_knn_graph",
       "e12_pagerank", "e15_lsh_neardup_auto", "t13_winnow",
       "t14_decontaminate", "t15_tfidf",
       "ro1_rollup_day", "ro4_rollup_rate")

@@ -2642,6 +2642,14 @@ object SparkEntry {
     "d13_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 40)),
 
+    // Dedup: exact substring dedup, reassembly form — d13's merged spans
+    // CUT out of their documents and the survivors stitched back together
+    // (the text Lee et al. actually train on; corpus-first occurrences
+    // survive, so no content leaves the corpus).
+    "d18_cut_spans" -> ((s, dir) =>
+      Dedup.cutRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 40)),
+
     // Dedup: n-gram Jaccard verification over a bounded pair set.
     "d5_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
@@ -5436,6 +5444,51 @@ object SparkEntry {
         |  CAST(length(dd.text) AS BIGINT) AS n_chars,
         |  round(coalesce(a.dup_chars, 0) / length(dd.text), 4) AS dup_frac
         |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // d13's CTE chain extended one step: the gap segments between merged
+    // spans (lag(me) → ms, plus the [max(me), len+1) tail) string_agg back
+    // together in order — the reassembled deduplicated text.
+    "d18_cut_spans" ->
+      """WITH g AS (SELECT doc_id,
+        |    unnest(generate_series(1, length(text) - 39)) AS pos, text
+        |  FROM documents WHERE length(text) >= 40),
+        |h AS (SELECT doc_id, pos,
+        |    md5(substr(text, CAST(pos AS INTEGER), 40)) AS h FROM g),
+        |rn AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM h),
+        |d AS (SELECT doc_id, pos AS s, pos + 40 AS e FROM rn WHERE rn > 1),
+        |m AS (SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |        ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS newg
+        |  FROM d),
+        |grp AS (SELECT doc_id, s, e,
+        |    sum(newg) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |spans AS (SELECT doc_id, grp, min(s) AS ms, max(e) AS me
+        |  FROM grp GROUP BY 1, 2),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 1) AS ss,
+        |    ms AS se
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT doc_id, max(me) AS ss, NULL AS se FROM spans GROUP BY doc_id),
+        |stitched AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(dd.text, CAST(s.ss AS INTEGER),
+        |      CAST(coalesce(s.se, length(dd.text) + 1) - s.ss AS INTEGER)),
+        |      '' ORDER BY s.ss) AS clean
+        |  FROM segs s JOIN documents dd USING (doc_id) GROUP BY s.doc_id),
+        |cut AS (SELECT doc_id, CAST(sum(me - ms) AS BIGINT) AS cut_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT dd.doc_id, coalesce(st.clean, dd.text) AS clean_text,
+        |  CAST(coalesce(c.cut_chars, 0) AS BIGINT) AS cut_chars
+        |FROM documents dd LEFT JOIN stitched st USING (doc_id)
+        |  LEFT JOIN cut c USING (doc_id)""".stripMargin,
 
     // Keep-first replay: the globally-first occurrence is row_number = 1
     // ordered by (doc_id, line_no) within each line partition.

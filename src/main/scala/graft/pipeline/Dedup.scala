@@ -305,23 +305,46 @@ object Dedup {
     * turns quadratic (~10⁶ uniform 64-bit signatures). */
   private[graft] val ComboBandingThreshold = 1000000L
 
+  /** The [[ComboBandingThreshold]] crossover rescaled to the band-key
+    * width the simple scheme would actually use for this `maxDist`:
+    * saturation is a BUCKET-OCCUPANCY property (the measured crossover is
+    * ~15 docs per 16-bit bucket), so the corpus-size switch point scales
+    * with the key space 2^(64/bands), not a constant. maxDist 4–7 gives
+    * 8-bit simple keys (256 buckets) that saturate near 4k docs — three
+    * orders of magnitude before the 16-bit calibration point — while
+    * maxDist ≤ 1 gives ≥32-bit keys that never saturate in practice. */
+  private[graft] def comboBandingThresholdFor(maxDist: Int): Long = {
+    val bands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxDist).get
+    val keyBits = 64 / bands
+    if (keyBits >= 48) Long.MaxValue // 2^48 buckets: no realistic corpus saturates
+    else if (keyBits >= 16) ComboBandingThreshold << (keyBits - 16)
+    else ComboBandingThreshold >> (16 - keyBits)
+  }
+
   /** Hamming pairs with the banding scheme picked BY CORPUS SIZE (round
     * 14 — the [[combinationHammingPairs]] scaladoc's tuning knob,
     * automated): one count job over the checkpointed signature frame,
-    * then below `comboThreshold` docs simple banding with the fewest
+    * then below the threshold docs simple banding with the fewest
     * tables completeness allows (the next power-of-two band count above
     * `maxDist` — widest keys, one explode row per band); at or above it,
     * Manku combination banding (blocks = 8, C(8, 8−maxDist) tables of
     * multiplicatively wider keys). Output is IDENTICAL either way
     * (property-tested against brute force); only the candidate-join
-    * shape changes. maxDist ≥ 8 always takes the simple scheme
-    * (blocks = 8 combination banding requires maxDist < 8). */
+    * shape changes. The default `comboThreshold = -1` resolves to
+    * [[comboBandingThresholdFor]] — the measured crossover rescaled to
+    * this `maxDist`'s simple-key width, since saturation is a
+    * bucket-occupancy property, not a fixed corpus size. maxDist ≥ 7
+    * always takes the simple scheme (at maxDist = 7 the blocks = 8
+    * combination scheme IS simple banding — C(8,1) single-block keys —
+    * and maxDist ≥ 8 is outside its completeness bound). */
   def autoHammingPairs64(sig0: DataFrame, idCol: String, sigCol: String,
-      maxDist: Int = 3,
-      comboThreshold: Long = ComboBandingThreshold): DataFrame = {
+      maxDist: Int = 3, comboThreshold: Long = -1L): DataFrame = {
     require(maxDist >= 0 && maxDist < 64)
+    val threshold =
+      if (comboThreshold > 0L) comboThreshold
+      else comboBandingThresholdFor(maxDist)
     val sig = sig0.localCheckpoint()
-    if (maxDist >= 8 || sig.count() < comboThreshold) {
+    if (maxDist >= 7 || sig.count() < threshold) {
       val bands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxDist).get
       hammingPairsFromKeys(
         simpleBandKeys(sig, idCol, sigCol, bits = 64, maxDist = maxDist,
@@ -735,6 +758,32 @@ object Dedup {
     * sort-of-all-suffixes. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 40): DataFrame = {
+    val merged = mergedDupSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("me") - col("ms")).as("dup_chars"))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(merged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("n_chars"),
+        // empty documents have no chars to duplicate: dup_frac is 0.0, not
+        // a division by zero (which ANSI mode, Spark 4's default, THROWS on)
+        when(col("n_chars") > 0,
+          round(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** The shared span machinery of [[repeatedSpans]] and
+    * [[cutRepeatedSpans]]: per-doc MERGED duplicated intervals
+    * (idCol, ms, me) — half-open 1-indexed char spans whose every k-char
+    * window hash occurs anywhere earlier in the corpus (the corpus-first
+    * (doc, pos) occurrence is NOT duplicated, so one copy of any repeated
+    * substring always survives). One definition so the metric and the
+    * reassembly forms can never disagree on what counts as duplicated. */
+  private[graft] def mergedDupSpans(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val len = length(col(textCol))
     val grams = df
@@ -754,27 +803,60 @@ object Dedup {
     val w = Window.partitionBy(idCol).orderBy(col("s"), col("e"))
     val prevMax = max(col("e")).over(w.rowsBetween(
       Window.unboundedPreceding, -1))
-    val merged = dups
+    dups
       .withColumn("__new__",
         when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
       .withColumn("__grp__", sum("__new__").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("__grp__"))
       .agg(min("s").as("ms"), max("e").as("me"))
+      .select(col(idCol), col("ms"), col("me"))
+  }
+
+  /** Exact substring dedup, REASSEMBLY form (the output Lee et al. 2022
+    * actually train on, where [[repeatedSpans]] is the filter/metric
+    * twin — its scaladoc's "downstream substring stitch", now an
+    * operator): every merged duplicated span cuts out of its document and
+    * the surviving segments stitch back together in order. The
+    * corpus-first occurrence of any repeated substring survives (the
+    * same first-(doc, pos) rule as [[keepFirstLines]], at character
+    * granularity), so no content is lost from the corpus — later copies
+    * are what disappear. Emits (idCol, clean_text, cut_chars); documents
+    * with nothing duplicated pass through whole with cut_chars 0.
+    *
+    * Scale shape: [[mergedDupSpans]]'s linear window-hash frame plus one
+    * per-doc sorted-array fold — spans per doc are bounded by
+    * |text| / gap, collected AFTER interval union (never the raw
+    * per-position rows), and the stitch is one `aggregate` expression
+    * over (span array, text), no joins beyond the one doc-to-spans
+    * left join. */
+  def cutRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40): DataFrame = {
+    val spans = mergedDupSpans(df, idCol, textCol, k)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("me") - col("ms")).as("dup_chars"))
-    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
-      .join(merged, Seq(idCol), "left")
+      .agg(array_sort(collect_list(struct(col("ms"), col("me"))))
+        .as("__spans__"))
+    df.join(spans, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        col("n_chars"),
-        // empty documents have no chars to duplicate: dup_frac is 0.0, not
-        // a division by zero (which ANSI mode, Spark 4's default, THROWS on)
-        when(col("n_chars") > 0,
-          round(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"), 4))
-          .otherwise(lit(0.0)).as("dup_frac"))
+        when(col("__spans__").isNull, col(textCol)).otherwise(
+          // fold (out, cursor) over the sorted disjoint spans: emit the
+          // gap segment [cursor, ms), jump the cursor to me; finish with
+          // the tail segment [cursor, len+1). substr's 1-indexing matches
+          // the span convention; zero-length segments emit "".
+          aggregate(col("__spans__"),
+            struct(lit("").as("out"), lit(1).as("cur")),
+            (acc, sp) => struct(
+              concat(acc.getField("out"),
+                col(textCol).substr(acc.getField("cur"),
+                  sp.getField("ms") - acc.getField("cur"))).as("out"),
+              sp.getField("me").as("cur")),
+            acc => concat(acc.getField("out"),
+              col(textCol).substr(acc.getField("cur"),
+                length(col(textCol)) + 1 - acc.getField("cur")))))
+          .as("clean_text"),
+        coalesce(aggregate(col("__spans__"), lit(0L),
+          (acc, sp) => acc + (sp.getField("me") - sp.getField("ms"))),
+          lit(0L)).as("cut_chars"))
   }
 
   /** n-gram Jaccard similarity for candidate verification: character

@@ -418,12 +418,24 @@ class PipelineSpec extends AnyFunSuite {
       maxDist = 3)) == simple)
     assert(asSet(Dedup.autoHammingPairs64(sigs, "id", "sig",
       maxDist = 3, comboThreshold = 1L)) == simple)
-    // maxDist >= 8 routes to simple banding regardless of corpus size
-    // (blocks = 8 combination banding needs maxDist < 8)
+    // maxDist >= 7 routes to simple banding regardless of corpus size
+    // (at 7 the blocks = 8 combination scheme IS simple banding; >= 8 is
+    // outside its completeness bound)
     assert(asSet(Dedup.autoHammingPairs64(sigs, "id", "sig",
       maxDist = 15, comboThreshold = 1L)) ==
       asSet(Dedup.hammingPairs64(sigs, "id", "sig",
         maxDist = 15, bands = 16)))
+    // The auto threshold is bucket-occupancy-scaled, not a constant: the
+    // measured 16-bit-key crossover (~10^6 docs) rescales with the simple
+    // scheme's key space 2^(64/bands). maxDist 4..6 would use 8-bit keys
+    // (256 buckets) that saturate ~2^8 x sooner; maxDist <= 1 keys never
+    // saturate.
+    assert(Dedup.comboBandingThresholdFor(3) == 1000000L)
+    assert(Dedup.comboBandingThresholdFor(2) == 1000000L)
+    assert(Dedup.comboBandingThresholdFor(4) == 1000000L >> 8)
+    assert(Dedup.comboBandingThresholdFor(6) == 1000000L >> 8)
+    assert(Dedup.comboBandingThresholdFor(1) == 1000000L << 16) // 32-bit keys
+    assert(Dedup.comboBandingThresholdFor(0) == Long.MaxValue) // exact-key arm
     // maxDist = 0 -> bands = 1, the exact-key arm: width 64 means the
     // band mask must be ALL-ONES ((1L << 64) - 1 is 0 under Scala's
     // mod-64 shift — a zero mask put every row in one bucket and turned
@@ -800,6 +812,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L)._1 == 0L && out(3L)._2 == 0L)
     // 21 overlapping dup windows merge to ONE 30-char span at [11, 41)
     assert(out(2L) == ((1L, 30L, 50L, 0.6)))
+  }
+
+  test("cut repeated spans: later copies of a duplicated substring are cut " +
+      "and the survivors stitch back in order; first occurrences survive") {
+    val df = docs(
+      (10L, "abcdefgh"),    // first occurrence of everything
+      (20L, "xxabcdefyy"),  // interior copy of abcdef (3 dup windows merge)
+      (30L, "abcdefgh"),    // verbatim duplicate document
+      (40L, "zzzzzzzzzz"),  // INTRA-doc repetition: all windows hash alike
+      (50L, "qq"))          // shorter than k: passes through whole
+    val out = Dedup.cutRepeatedSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(10L) == (("abcdefgh", 0L)))
+    assert(out(20L) == (("xxyy", 6L)))     // span [3, 9) cut
+    assert(out(30L) == (("", 8L)))         // whole doc was a copy
+    assert(out(40L) == (("z", 9L)))        // first char survives, run cut
+    assert(out(50L) == (("qq", 0L)))
+    // the metric twin agrees on the duplicated mass, by construction
+    val metric = Dedup.repeatedSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.forall { case (id, (_, cut)) => metric(id) == cut })
   }
 
   test("URL canonicalization: case/port/fragment/tracking noise collapses; " +
