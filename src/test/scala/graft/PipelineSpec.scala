@@ -835,6 +835,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall { case (id, (_, cut)) => metric(id) == cut })
   }
 
+  test("property: cut repeated spans equals a driver-side reference " +
+      "implementation on random repeat-heavy corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 4
+    // two-letter alphabet forces organic repeats, intra- and cross-doc
+    val gen: Gen[List[String]] = for {
+      n <- Gen.choose(3, 8)
+      texts <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 30)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+      } yield cs.mkString)
+    } yield texts
+    def reference(corpus: Seq[(Long, String)]): Map[Long, (String, Long)] = {
+      // corpus-first (doc, pos) rule on the window STRINGS (md5 of equal
+      // windows is equal; no collisions at this scale)
+      val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      for ((id, t) <- corpus.sortBy(_._1); p <- 0 to t.length - k)
+        first.getOrElseUpdate(t.substring(p, p + k), (id, p))
+      corpus.map { case (id, t) =>
+        val dup = (0 to t.length - k)
+          .filter(p => first(t.substring(p, p + k)) != ((id, p)))
+          .map(p => (p, p + k))
+        // strict interval union, then stitch the gaps
+        val merged = dup.foldLeft(List.empty[(Int, Int)]) {
+          case ((ms, me) :: rest, (s, e)) if s <= me =>
+            (ms, math.max(me, e)) :: rest
+          case (acc, span) => span :: acc
+        }.reverse
+        val clean = new StringBuilder
+        var cur = 0
+        for ((ms, me) <- merged) { clean ++= t.substring(cur, ms); cur = me }
+        clean ++= t.substring(cur)
+        id -> (clean.toString, merged.map { case (s, e) => (e - s).toLong }.sum)
+      }.toMap
+    }
+    for (seedI <- 0L until 8L) {
+      val corpus = gen(Gen.Parameters.default, Seed(seedI)).get
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.cutRepeatedSpans(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", k = k)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(got == reference(corpus), s"seed=$seedI corpus=$corpus")
+    }
+  }
+
   test("URL canonicalization: case/port/fragment/tracking noise collapses; " +
       "registrable domain honors two-level zones") {
     import org.apache.spark.sql.functions.col
