@@ -2644,8 +2644,9 @@ object SparkEntry {
 
     // Dedup: exact substring dedup, reassembly form — d13's merged spans
     // CUT out of their documents and the survivors stitched back together
-    // (the text Lee et al. actually train on; corpus-first occurrences
-    // survive, so no content leaves the corpus).
+    // (the text Lee et al. actually train on; first-occurrence WINDOWS
+    // are never marked, though overlapping spans can still clip them —
+    // see the cutRepeatedSpans scaladoc).
     "d18_cut_spans" -> ((s, dir) =>
       Dedup.cutRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
         k = 40)),

@@ -313,9 +313,16 @@ object Dedup {
     * 8-bit simple keys (256 buckets) that saturate near 4k docs — three
     * orders of magnitude before the 16-bit calibration point — while
     * maxDist ≤ 1 gives ≥32-bit keys that never saturate in practice. */
+  /** The simple scheme's band count for a given radius: the fewest
+    * power-of-two bands completeness allows (pigeonhole: bands > maxDist)
+    * — ONE definition shared by [[autoHammingPairs64]]'s simple arm and
+    * [[comboBandingThresholdFor]], which is calibrated to exactly this
+    * arm's key width and silently mis-scales if the two ever diverge. */
+  private def simpleBandsFor(maxDist: Int): Int =
+    Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxDist).get
+
   private[graft] def comboBandingThresholdFor(maxDist: Int): Long = {
-    val bands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxDist).get
-    val keyBits = 64 / bands
+    val keyBits = 64 / simpleBandsFor(maxDist)
     if (keyBits >= 48) Long.MaxValue // 2^48 buckets: no realistic corpus saturates
     else if (keyBits >= 16) ComboBandingThreshold << (keyBits - 16)
     else ComboBandingThreshold >> (16 - keyBits)
@@ -342,10 +349,19 @@ object Dedup {
     require(maxDist >= 0 && maxDist < 64)
     val threshold =
       if (comboThreshold > 0L) comboThreshold
-      else comboBandingThresholdFor(maxDist)
+      else {
+        // only the documented sentinel selects auto-scaling: an unset
+        // config 0 (or any stray negative) must fail fast, not silently
+        // move the scheme switch point — same contract as the LSH
+        // bits = -1 arm in [[graft.pipeline.Similarity]]
+        require(comboThreshold == -1L,
+          "comboThreshold must be positive, or -1 for the " +
+            s"occupancy-scaled default; got $comboThreshold")
+        comboBandingThresholdFor(maxDist)
+      }
     val sig = sig0.localCheckpoint()
     if (maxDist >= 7 || sig.count() < threshold) {
-      val bands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxDist).get
+      val bands = simpleBandsFor(maxDist)
       hammingPairsFromKeys(
         simpleBandKeys(sig, idCol, sigCol, bits = 64, maxDist = maxDist,
           bands = bands), maxDist)
@@ -779,9 +795,11 @@ object Dedup {
     * [[cutRepeatedSpans]]: per-doc MERGED duplicated intervals
     * (idCol, ms, me) — half-open 1-indexed char spans whose every k-char
     * window hash occurs anywhere earlier in the corpus (the corpus-first
-    * (doc, pos) occurrence is NOT duplicated, so one copy of any repeated
-    * substring always survives). One definition so the metric and the
-    * reassembly forms can never disagree on what counts as duplicated. */
+    * (doc, pos) occurrence of each WINDOW is never itself marked — but a
+    * first-occurrence character can still fall inside a merged span
+    * opened by an overlapping non-first window, see [[cutRepeatedSpans]]).
+    * One definition so the metric and the reassembly forms can never
+    * disagree on what counts as duplicated. */
   private[graft] def mergedDupSpans(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -817,12 +835,19 @@ object Dedup {
     * actually train on, where [[repeatedSpans]] is the filter/metric
     * twin — its scaladoc's "downstream substring stitch", now an
     * operator): every merged duplicated span cuts out of its document and
-    * the surviving segments stitch back together in order. The
-    * corpus-first occurrence of any repeated substring survives (the
-    * same first-(doc, pos) rule as [[keepFirstLines]], at character
-    * granularity), so no content is lost from the corpus — later copies
-    * are what disappear. Emits (idCol, clean_text, cut_chars); documents
-    * with nothing duplicated pass through whole with cut_chars 0.
+    * the surviving segments stitch back together in order. The keep rule
+    * is WINDOW-granular: the corpus-first (doc, pos) occurrence of each
+    * k-window is never itself marked duplicated (the [[keepFirstLines]]
+    * rule at character granularity) — but strict no-content-loss does NOT
+    * follow, because a merged span opened by overlapping NON-first
+    * windows can cover a first occurrence's characters (e.g. k=4 over
+    * "bcdeX" / "abcde" / "abcdZ": "abcd"'s first occurrence loses b,c,d
+    * to "bcde"'s span and its other copy is cut outright, so "abcd"
+    * survives nowhere). Lee et al.'s suffix-array cutter shares this
+    * property; callers needing guaranteed retention should key on
+    * [[keepFirstLines]] (whole-line granularity keeps winners intact).
+    * Emits (idCol, clean_text, cut_chars); documents with nothing
+    * duplicated pass through whole with cut_chars 0.
     *
     * Scale shape: [[mergedDupSpans]]'s linear window-hash frame plus one
     * per-doc sorted-array fold — spans per doc are bounded by

@@ -833,6 +833,23 @@ class PipelineSpec extends AnyFunSuite {
     val metric = Dedup.repeatedSpans(df, "doc_id", "text", k = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out.forall { case (id, (_, cut)) => metric(id) == cut })
+    // the documented NON-guarantee (scaladoc counterexample): the keep
+    // rule is window-granular, so overlapping non-first windows can clip
+    // a first occurrence and a repeated substring can survive nowhere —
+    // "abcd" first occurs in doc 2 yet ends up cut from every document
+    val clip = Dedup.cutRepeatedSpans(
+        docs((1L, "bcdeX"), (2L, "abcde"), (3L, "abcdZ")),
+        "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(clip == Map(1L -> (("bcdeX", 0L)), 2L -> (("a", 4L)),
+      3L -> (("Z", 4L))))
+    // only the documented -1 sentinel selects the occupancy-scaled
+    // banding threshold; an unset-config 0 fails fast
+    val sigs0 = Seq((1L, 7L)).toDF("id", "sig")
+    intercept[IllegalArgumentException] {
+      Dedup.autoHammingPairs64(sigs0, "id", "sig", maxDist = 3,
+        comboThreshold = 0L)
+    }
   }
 
   test("property: cut repeated spans equals a driver-side reference " +
