@@ -36,14 +36,55 @@ object MetricStreamIngest {
       catch { case scala.util.control.NonFatal(_) => Nil })
   }
 
-  /** Start the ingest query: payload stream → engine tables. */
+  /** One decoded payload on the sink path: samples plus native-histogram
+    * rows already in [[MetricEngine.writeHistograms]] column shape. */
+  final case class HistRow(name: String, labels: Map[String, String],
+      timestamp: Long, count: Double, sum: Double, bucket_schema: Int,
+      zero_threshold: Double, zero_count: Double, pos_idx: Seq[Int],
+      pos_cnt: Seq[Double], neg_idx: Seq[Int], neg_cnt: Seq[Double],
+      custom_values: Seq[Double])
+  final case class DecodedPayload(samples: Seq[Sample], hists: Seq[HistRow])
+
+  /** Decode payloads keeping BOTH record kinds the sink stores: samples
+    * and native histograms. [[decodePayloads]] drops the histograms a
+    * remote-write 2.0 sender interleaves with its float samples — on the
+    * streaming path that was silent data loss (the HTTP edge ingests
+    * them); same per-payload poison-pill tolerance as [[decodePayloads]]. */
+  def decodeFull(payloads: Dataset[Array[Byte]]): Dataset[DecodedPayload] = {
+    import payloads.sparkSession.implicits._
+    payloads.map { p =>
+      try {
+        val (s, h) = RemoteWrite.decodeSamplesAndHistograms(p)
+        DecodedPayload(s, h.map(x => HistRow(x.name, x.labels, x.timestamp,
+          x.count, x.sum, x.schema, x.zeroThreshold, x.zeroCount,
+          x.positiveBuckets.map(_._1), x.positiveBuckets.map(_._2),
+          x.negativeBuckets.map(_._1), x.negativeBuckets.map(_._2),
+          x.customValues)))
+      } catch {
+        case scala.util.control.NonFatal(_) => DecodedPayload(Nil, Nil)
+      }
+    }
+  }
+
+  /** Start the ingest query: payload stream → engine tables (scalar
+    * samples AND native histograms — remote-write 2.0 interleaves both in
+    * one payload). The micro-batch persists across the two writes so the
+    * snappy+protobuf decode runs once per payload per trigger (the old
+    * isEmpty-then-write shape re-ran the decode plan for the check). */
   def start(engine: MetricEngine, payloads: Dataset[Array[Byte]],
       checkpointDir: String, triggerMs: Long = 500L): StreamingQuery =
-    decodePayloads(payloads).writeStream
+    decodeFull(payloads).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: Dataset[Sample], _: Long) =>
-        if (!batch.isEmpty) engine.write(batch.toDF())
+      .foreachBatch { (batch: Dataset[DecodedPayload], _: Long) =>
+        val b = batch.persist()
+        try {
+          import b.sparkSession.implicits._
+          val s = b.flatMap(_.samples)
+          if (!s.isEmpty) engine.write(s.toDF())
+          val h = b.flatMap(_.hists)
+          if (!h.isEmpty) engine.writeHistograms(h.toDF())
+        } finally b.unpersist()
       }
       .start()
 

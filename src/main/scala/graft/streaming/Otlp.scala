@@ -282,42 +282,53 @@ object Otlp {
       else prom0
     // a nameless metric would ingest an unaddressable "" series
     // (Prometheus rejects these at ingest) — skip like malformed points
+    // Per-span attrs of the points that actually INGESTED — captured from
+    // the first decode pass so (a) exemplars on skipped points
+    // (stale/timeless/valueless) drop with their point exactly like the
+    // delta-dropped case below, and (b) the exemplar pass never re-decodes
+    // attributes it already has (the old second walk re-parsed every
+    // point's attribute maps even when it carried zero exemplars).
+    val ingested = mutable.Map.empty[(Int, Int), Map[String, String]]
     if (prom.nonEmpty && !deltaSum) pointSpans.foreach { case (s, e) =>
       decodeNumberPoint(b, s, e, utf8).foreach { case (attrs, tsNano, value) =>
         out += Sample(prom, resourceAttrs ++ attrs, tsNano / 1000000L, value)
+        ingested((s, e)) = attrs
       }
     }
     if (prom.nonEmpty && !deltaHist) histSpans.foreach { case (s, e) =>
       decodeFixedHistogramPoint(b, s, e, utf8).foreach { h =>
         outH += h.copy(name = prom, labels = resourceAttrs ++ h.labels)
+        ingested((s, e)) = h.labels
       }
     }
     if (prom.nonEmpty && !deltaExp) expSpans.foreach { case (s, e) =>
       decodeExponentialPoint(b, s, e, utf8).foreach { h =>
         outH += h.copy(name = prom, labels = resourceAttrs ++ h.labels)
+        ingested((s, e)) = h.labels
       }
     }
     // Exemplars ride on number, histogram, and exponential-histogram
     // data points; they ingest with their point's series labels
     // (resource ++ point attributes), trace/span ids as
     // `trace_id`/`span_id` exemplar labels — the Prometheus OTLP
-    // translation. Delta-dropped metrics drop their exemplars with them
-    // (the series they'd attach to was never ingested).
-    def emitExemplars(spans: Seq[(Int, Int)], exF: Int, attrF: Int): Unit =
+    // translation. Dropped points (delta metrics, stale/timeless points)
+    // drop their exemplars with them — the series they'd attach to was
+    // never ingested.
+    def emitExemplars(spans: Seq[(Int, Int)], exF: Int): Unit =
       spans.foreach { case (s0, e0) =>
-        val (attrs, exSpans) =
-          pointAttrsAndExemplars(b, s0, e0, exF, attrF, utf8)
-        exSpans.foreach { case (xs, xe) =>
-          decodeOtlpExemplar(b, xs, xe, utf8).foreach { case (labels, tsNano, v) =>
-            outE += RemoteWrite.Exemplar(prom, resourceAttrs ++ attrs,
-              labels, v, tsNano / 1000000L)
+        ingested.get((s0, e0)).foreach { attrs =>
+          exemplarSpans(b, s0, e0, exF).foreach { case (xs, xe) =>
+            decodeOtlpExemplar(b, xs, xe, utf8).foreach { case (labels, tsNano, v) =>
+              outE += RemoteWrite.Exemplar(prom, resourceAttrs ++ attrs,
+                labels, v, tsNano / 1000000L)
+            }
           }
         }
       }
     if (prom.nonEmpty) {
-      if (!deltaSum) emitExemplars(pointSpans.toSeq, exF = 5, attrF = 7)
-      if (!deltaHist) emitExemplars(histSpans.toSeq, exF = 8, attrF = 9)
-      if (!deltaExp) emitExemplars(expSpans.toSeq, exF = 11, attrF = 1)
+      if (!deltaSum) emitExemplars(pointSpans.toSeq, exF = 5)
+      if (!deltaHist) emitExemplars(histSpans.toSeq, exF = 8)
+      if (!deltaExp) emitExemplars(expSpans.toSeq, exF = 11)
     }
     // Summaries translate to the classic Prometheus series triple —
     // `<name>_sum`, `<name>_count`, and one `<name>{quantile="q"}` series
@@ -515,32 +526,26 @@ object Otlp {
     merged.toSeq
   }
 
-  /** One data point's attributes + exemplar sub-spans, for any point
-    * kind (`attrF`/`exF` = that kind's attributes/exemplars field
-    * numbers: number 7/5, fixed-bucket histogram 9/8, exponential
-    * histogram 1/11). A second cheap walk over the point bytes — decode
-    * order stays independent of proto field order. */
-  private def pointAttrsAndExemplars(b: Array[Byte], start: Int, end: Int,
-      exF: Int, attrF: Int,
-      utf8: Boolean): (Map[String, String], Seq[(Int, Int)]) = {
+  /** One data point's exemplar sub-spans, for any point kind (`exF` =
+    * that kind's exemplars field number: number 5, fixed-bucket
+    * histogram 8, exponential histogram 11). A second cheap walk over
+    * the point bytes — spans only, zero allocation for points without
+    * exemplars (attributes come from the point's first decode pass). */
+  private def exemplarSpans(b: Array[Byte], start: Int, end: Int,
+      exF: Int): Seq[(Int, Int)] = {
     var pos = start
-    var attrs = Map.empty[String, String]
     val ex = mutable.ArrayBuffer.empty[(Int, Int)]
     while (pos < end) {
       val (tag, p1) = varint(b, pos)
       pos = p1
       (tag >> 3, tag & 7) match {
-        case (f, 2) if f == attrF =>
-          val (len, p2) = lenAt(b, pos)
-          attrs = attrs ++ decodeKeyValue(b, p2, p2 + len, utf8)
-          pos = p2 + len
         case (f, 2) if f == exF =>
           val (len, p2) = lenAt(b, pos)
           ex += ((p2, p2 + len)); pos = p2 + len
         case (_, wt) => pos = skip(b, pos, wt.toInt)
       }
     }
-    (attrs, ex.toSeq)
+    ex.toSeq
   }
 
   /** One OTLP Exemplar → (exemplar labels, time ns, value). Field

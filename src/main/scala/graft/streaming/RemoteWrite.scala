@@ -126,6 +126,21 @@ object RemoteWrite {
     else decodeImpl(un, collectExtras = false).samples
   }
 
+  /** [[decode]] plus the native histograms the payload carries — the
+    * STREAMING sink's decode ([[graft.streaming.MetricStreamIngest]]):
+    * histogram bodies are decoded either way (they share the TimeSeries
+    * record), so a sink that calls [[decode]] pays their cost and then
+    * silently LOSES them — the same payload POSTed to the HTTP edge
+    * ingests them via [[decodeRequest]]. Exemplars/metadata stay skipped
+    * at the wire level. */
+  def decodeSamplesAndHistograms(
+      bytes: Array[Byte]): (Seq[Sample], Seq[HistogramSample]) = {
+    val un = unframe(bytes)
+    val r = if (looksLikeV2(un)) decodeV2Impl(un, collectExtras = false)
+            else decodeImpl(un, collectExtras = false)
+    (r.samples, r.histograms)
+  }
+
   /** Full request decode: timeseries (labels + samples + exemplars)
     * and metric metadata records. Unknown fields are skipped. Accepts
     * snappy-framed or raw payloads (see [[unframe]]), remote-write 1.0
@@ -862,7 +877,12 @@ object RemoteWrite {
   }
 
   private[streaming] def fixed64Bytes(d: Double): Seq[Byte] = {
-    val bits = java.lang.Double.doubleToLongBits(d)
+    // RAW bits: doubleToLongBits canonicalizes every NaN payload, which
+    // destroys Prometheus staleness markers (IsStaleNaN is a BIT-equality
+    // check on 0x7ff0000000000002) in remote-read SAMPLES responses —
+    // and would make the SAMPLES and XOR-chunked paths return different
+    // bytes for the same stored data (XorChunk already writes raw bits).
+    val bits = java.lang.Double.doubleToRawLongBits(d)
     (0 until 8).map(i => ((bits >> (8 * i)) & 0xff).toByte)
   }
 

@@ -207,6 +207,11 @@ object XorChunk {
             leading = r.readBits(5).toInt
             var mbits = r.readBits(6).toInt
             if (mbits == 0) mbits = 64
+            // a corrupt window (leading + mbits > 64) would make trailing
+            // negative and the shift below wrap mod 64, XOR-ing garbage
+            // in silently — fail loudly like the codec's other guards
+            if (leading + mbits > 64)
+              sys.error(s"xor chunk: window leading=$leading mbits=$mbits exceeds 64 bits")
             trailing = 64 - leading - mbits
           }
           val mbits = 64 - leading - trailing

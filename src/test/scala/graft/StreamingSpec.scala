@@ -181,7 +181,12 @@ class StreamingSpec extends AnyFunSuite {
       Otlp.MetricSpec("delta.ctr", Seq(
         Otlp.Point(Map.empty, ts, 1.0, exemplars = Seq(
           Otlp.ExemplarSpec(Map.empty, ts, 9.0)))),
-        sum = true, deltaTemporality = true))))
+        sum = true, deltaTemporality = true),
+      // a SKIPPED point (staleness flag) drops its exemplars with it —
+      // the series the exemplar would attach to was never ingested
+      Otlp.MetricSpec("stale.gauge", Seq(
+        Otlp.Point(Map.empty, ts, 5.0, flags = 1L, exemplars = Seq(
+          Otlp.ExemplarSpec(Map.empty, ts, 3.0))))))))
     assert(d.samples.map(_.name) == Seq("req_total"))
     assert(d.exemplars.length == 1)
     val x = d.exemplars.head
@@ -969,6 +974,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(RemoteWrite.unframe(evil) sameElements evil)
   }
 
+  test("NaN payload bits survive the remote-write/read codec round trip: " +
+      "Prometheus staleness markers are a BIT-equality check") {
+    val staleBits = 0x7ff0000000000002L // Prometheus StaleNaN
+    val stale = java.lang.Double.longBitsToDouble(staleBits)
+    val s = Sample("up", Map("job" -> "x"), t0, stale)
+    for (enc <- Seq(RemoteWrite.encode(Seq(s)), RemoteWrite.encodeV2(Seq(s)))) {
+      val back = RemoteWrite.decode(enc)
+      assert(back.length == 1)
+      // doubleToLongBits would canonicalize to 0x7ff8... and a client's
+      // IsStaleNaN check would see a live NaN sample instead of staleness
+      assert(java.lang.Double.doubleToRawLongBits(back.head.value) == staleBits)
+    }
+  }
+
   test("one malformed payload in the ingest stream is dropped, not a " +
       "poison pill that kills the query") {
     import spark.implicits._
@@ -1005,9 +1024,26 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       stream.addData(RemoteWrite.encode(samples(5, offset = 5)))
       q.processAllAvailable()
+      // a remote-write 2.0 payload interleaving a float sample with a
+      // NATIVE HISTOGRAM: the sink must land BOTH record kinds (the old
+      // decode path paid the histogram decode and then dropped it)
+      stream.addData(RemoteWrite.encodeRequestV2(RemoteWrite.Request(
+        samples = Seq(Sample("mem_bytes",
+          Map("host" -> "h0"), t0 + 60000L, 42.0)),
+        exemplars = Nil, metadata = Nil,
+        histograms = Seq(RemoteWrite.HistogramSample(
+          "req_latency", Map("host" -> "h0"), t0, count = 3.0, sum = 6.0,
+          schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+          positiveBuckets = Seq((1, 2.0), (2, 1.0)),
+          negativeBuckets = Nil)))))
+      q.processAllAvailable()
     } finally q.stop()
-    assert(engine.data.scan().count() == 10)
-    assert(engine.series.scan().count() == 3) // 3 hosts
+    assert(engine.data.scan().count() == 11)
+    // 3 cpu hosts + mem_bytes + the histogram series
+    assert(engine.series.scan().count() == 5)
+    val hist = engine.histograms.scan()
+    assert(hist.count() == 1)
+    assert(hist.collect()(0).getAs[Double]("count") == 3.0)
     val total = engine.query(MetricQuery("cpu_seconds_total",
       labelFilters = Map("host" -> "h0"), agg = MetricAgg.Count)).collect()
     assert(total(0).getDouble(0) == 4.0) // i = 0,3,6,9
