@@ -65,9 +65,13 @@ final class Picker(cfg: CompactionConfig, segmentMs: Long,
     // whole-segment prefix preserves every pk's version order even when
     // the prefix boundary splits a bucketed batch (each pk lives in
     // exactly one file per batch).
-    val bySegment = candidates.groupBy(f =>
-      (TimeRange.truncate(f.timeRange.start, segmentMs),
-        if (updateMode == UpdateMode.Overwrite) f.bucket else -1))
+    // Append groups keep CLAIMED (compacting) files visible: the prefix
+    // walk below must stop at one, or a concurrent task's claim becomes an
+    // invisible hole the next pick silently skips over.
+    val bySegment = (if (updateMode == UpdateMode.Append) live else candidates)
+      .groupBy(f =>
+        (TimeRange.truncate(f.timeRange.start, segmentMs),
+          if (updateMode == UpdateMode.Overwrite) f.bucket else -1))
     val budget = (cfg.newSstMaxSize * cfg.sizeHeadroom).toLong
     val inputs = bySegment.toSeq.sortBy { case ((seg, b), _) => (-seg, b) }
       .iterator.map { case (_, segFiles) =>
@@ -89,14 +93,25 @@ final class Picker(cfg: CompactionConfig, segmentMs: Long,
         case UpdateMode.Append =>
           // Append concat collapses a group to min(__seq__): inputs MUST be a
           // seq-contiguous oldest-first prefix of the segment, else a skipped
-          // middle file would later concatenate out of order.
-          val sorted = segFiles.sortBy(_.id)
+          // middle file would later concatenate out of order. Two subtleties
+          // make this more than `sortBy(_.id)`:
+          //  - CONTENT order, not id order: a compaction output keeps its
+          //    inputs' oldest seq (contentSeqFloor) under a NEW larger id.
+          //    With [1,2,6,7, out(3..5)] sorted by id, the prefix [1,2,6,7]
+          //    would collapse seqs {1,2,6,7} AROUND the 3-5 held in the
+          //    output — permanent on-disk reordering. Sorting by
+          //    contentSeqFloor keeps the walk in content order.
+          //  - CLAIMED files are holes, not invisible: a concurrent task's
+          //    marked-compacting file (or a failed task's leftover claim)
+          //    must STOP the walk — everything past it is not a prefix.
+          val sorted = segFiles.sortBy(f => (f.contentSeqFloor, f.id))
           val picked = Seq.newBuilder[SstFile]
           var total = 0L
           var n = 0
           var stop = false
           sorted.foreach { f =>
-            if (!stop && n < cfg.inputSstMaxNum && total + f.sizeBytes <= budget) {
+            if (!stop && !f.compacting &&
+                n < cfg.inputSstMaxNum && total + f.sizeBytes <= budget) {
               picked += f; total += f.sizeBytes; n += 1
             } else stop = true
           }
@@ -236,7 +251,11 @@ final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
           Seq(SstFile(id, dest.toString, rows, sfs.size(dest), range,
             stats = sfs.parquetColumnStats(footer,
               (storage.schema.primaryKeys ++ storage.timestampColumn).distinct),
-            bucket = bucket))
+            bucket = bucket,
+            // the output's rows keep the inputs' seqs — record the oldest
+            // so the Append picker's content-order walk stays correct
+            // (ids alone would place this file AFTER newer raw writes)
+            seqFloor = task.inputs.map(_.contentSeqFloor).min))
         } else Nil
 
       val deletes = task.inputs ++ task.expired

@@ -40,10 +40,22 @@ final case class SstFile(
       * per-(segment, bucket) compaction is complete — no cross-bucket
       * merge is ever needed, which keeps one compaction task's input
       * bounded by a bucket, not a segment, at 100 TB. */
-    bucket: Int = -1) {
+    bucket: Int = -1,
+    /** Oldest `__seq__` this file's rows can carry, or -1 for "the file's
+      * own id" (every raw SST stamps its rows with its id). A compaction
+      * OUTPUT keeps its inputs' oldest seq under a NEW (larger) id, so id
+      * order stops being content order once outputs coexist with newer raw
+      * files — the Append picker must sort by THIS to keep its
+      * seq-contiguous-prefix invariant (see Picker). Persisted in the
+      * manifest; absent on legacy lines (→ -1 → id, correct for every
+      * file written before outputs carried the field). */
+    seqFloor: Long = -1L) {
   /** File is entirely expired under `ttlMs` as of `nowMs` (sst.rs:109-114). */
   def isExpired(nowMs: Long, ttlMs: Option[Long]): Boolean =
     ttlMs.exists(ttl => timeRange.end < nowMs - ttl)
+
+  /** The content-seq ordering key: `seqFloor` when recorded, else the id. */
+  def contentSeqFloor: Long = if (seqFloor >= 0L) seqFloor else id
 }
 
 /** Snapshot + delta log of SST adds/deletes, kept as JSON-lines files under
@@ -84,7 +96,35 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
   // Seq of the newest merged snapshot (0 = none/legacy); deltas at or below
   // it are already incorporated and must not replay.
   private var snapshotSeq = 0L
+  // When each path was last UNREFERENCED (a "del" record applied) — the
+  // staleness clock vacuum needs: an SST file's modification time is its
+  // CREATION time, so a month-old file unreferenced a minute ago would
+  // look ancient and lose its delete-grace window. In-process deletes
+  // stamp the wall clock; deltas replayed on load stamp the delta FILE's
+  // mtime (= when the unreference was committed), surviving restarts.
+  // Bounded: pruned opportunistically past UnrefAtCap (vacuum also clears
+  // entries it deletes).
+  private val unrefAt = mutable.Map.empty[String, Long]
+  private val UnrefAtCap = 65536
   load()
+
+  /** When `path` was last unreferenced, if known — max over everything
+    * observed this process (see `unrefAt`). */
+  def unreferencedAtMs(path: String): Option[Long] =
+    synchronized(unrefAt.get(path))
+
+  /** Forget a path's unreference time (its physical file is gone). */
+  def clearUnreferencedAt(path: String): Unit =
+    synchronized { unrefAt.remove(path); () }
+
+  private def noteUnreferenced(path: String, atMs: Long): Unit = {
+    unrefAt(path) = math.max(unrefAt.getOrElse(path, 0L), atMs)
+    if (unrefAt.size > UnrefAtCap) {
+      // drop the oldest half — entries this old are past any sane grace
+      val cutoff = unrefAt.values.toSeq.sorted.apply(unrefAt.size / 2)
+      unrefAt.filterInPlace((_, t) => t > cutoff)
+    }
+  }
 
   /** Largest SST id ever recorded — lets id allocation stay monotonic across
     * restarts (the reference's "mustn't go backwards" invariant, sst.rs:35-46). */
@@ -173,7 +213,8 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
         s""""${esc(c)}":[${fmtStat(mn)},${fmtStat(mx)}]"""
       }.mkString(""","stats":{""", ",", "}")
     val bucket = if (f.bucket >= 0) s""","bucket":${f.bucket}""" else ""
-    s"""{"op":"$op","id":${f.id},"path":"${esc(f.path)}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}$bucket$stats}"""
+    val seqFloor = if (f.seqFloor >= 0L) s""","seqFloor":${f.seqFloor}""" else ""
+    s"""{"op":"$op","id":${f.id},"path":"${esc(f.path)}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}$bucket$seqFloor$stats}"""
   }
 
   private def parse(line: String): (String, SstFile) = {
@@ -201,7 +242,8 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     }
     (str("op"), SstFile(num("id"), str("path"), num("numRows"),
       num("sizeBytes"), TimeRange(num("start"), num("end")),
-      stats = parseStats(line), bucket = numOpt("bucket", -1L).toInt))
+      stats = parseStats(line), bucket = numOpt("bucket", -1L).toInt,
+      seqFloor = numOpt("seqFloor", -1L)))
   }
 
   /** Parse the optional `"stats":{...}` object — a hand-rolled scanner like
@@ -248,11 +290,18 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     out.result()
   }
 
-  private def apply(p: HPath): Unit =
+  private def apply(p: HPath): Unit = {
+    // the delta file's mtime is when its unreferences were committed —
+    // the restart-surviving stamp for vacuum's staleness clock
+    lazy val committedAt =
+      try sfs.fs.getFileStatus(p).getModificationTime
+      catch { case scala.util.control.NonFatal(_) => System.currentTimeMillis() }
     for (line <- sfs.readLines(p) if line.nonEmpty) {
       val (op, f) = parse(line)
-      if (op == "add") files(f.id) = f else files.remove(f.id)
+      if (op == "add") files(f.id) = f
+      else { files.remove(f.id); noteUnreferenced(f.path, committedAt) }
     }
+  }
 
   private def load(): Unit = synchronized {
     val snaps = listSnapshots()
@@ -308,7 +357,10 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
           s"manifest delta backlog ($deltaCount) reached the hard limit " +
             s"($hardThreshold): snapshot merge is stalled; rejecting write")
     }
-    val delLines = deleteIds.flatMap(id => files.get(id)).map(fmt(_, "del"))
+    val deleting = deleteIds.flatMap(id => files.get(id))
+    val delLines = deleting.map(fmt(_, "del"))
+    val now = System.currentTimeMillis()
+    deleting.foreach(f => noteUnreferenced(f.path, now))
     // Mutate the cache BEFORE writing the delta: writeDelta may trigger a
     // snapshot merge, which serializes the cache and drops the delta files.
     adds.foreach(f => files(f.id) = f)
@@ -392,12 +444,31 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
 }
 
 object Manifest {
+  /** Newest schema descriptor under `root/manifest` WITHOUT constructing a
+    * Manifest (whose load() reads the snapshot and replays every delta) —
+    * [[graft.storage.TimeMergeStorage.open]] needs only the descriptor to
+    * build the storage, whose own Manifest then pays the one full load.
+    * The previous shape replayed the whole manifest twice per attach:
+    * at 10^6 entries that is an extra ~100 MB snapshot read and delta
+    * replay per open, doubling attach latency and object-store I/O. */
+  def readSchemaJson(root: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val sfs = StoreFs(root, conf)
+    val dir = sfs.path("manifest")
+    if (!sfs.exists(dir)) None
+    else sfs.list(dir)
+      .filter(p => p.getName.startsWith("schema-") && p.getName.endsWith(".json"))
+      .sortBy(p => p.getName.stripPrefix("schema-").stripSuffix(".json").toLong)
+      .lastOption
+      .map(p => sfs.readLines(p).mkString("\n"))
+  }
+
   // Field patterns compiled ONCE (companion, so they exist before the
   // constructor's load() replay runs) — parse() executes per manifest line,
   // and a 10^6-entry snapshot load compiling ~7 fresh
   // java.util.regex.Patterns per line would spend seconds on regex
   // compilation alone.
   private val numPatterns: Map[String, scala.util.matching.Regex] =
-    Seq("id", "numRows", "sizeBytes", "start", "end", "bucket")
+    Seq("id", "numRows", "sizeBytes", "start", "end", "bucket", "seqFloor")
       .map(k => k -> (s""""$k":(-?\\d+)""").r).toMap
 }

@@ -177,12 +177,18 @@ final class TimeMergeStorage(
             TimeRange.truncate(range.end - 1, segmentMs),
       s"write crosses segment boundary: $range at segment=${segmentMs}ms")
     val id = allocId()
-    val sorted = df
-      .sortWithinPartitions(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
+    val stamped = df
       .withColumn(SeqCol, lit(id))                        // types.rs:219-239
       .withColumn(ReservedCol, lit(null).cast("long"))
     val tmp = new HPath(dataDir, s"tmp-$id")
-    writeOptions(sorted.coalesce(1).write).mode("overwrite").parquet(tmp.toString)
+    // Sort AFTER coalesce(1) (same hazard note as Compactor.execute): a
+    // sort below the coalesce orders each pre-coalesce partition only,
+    // and their concatenation is not globally pk-sorted — the single
+    // output file must be (the merged read and the footer's
+    // sorting-columns stamp both assume per-file pk order).
+    writeOptions(stamped.coalesce(1)
+      .sortWithinPartitions(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
+      .write).mode("overwrite").parquet(tmp.toString)
     val part = partFiles(tmp).headOption
       .getOrElse(sys.error(s"no parquet part written under $tmp"))
     val dest = new HPath(dataDir, s"$id.parquet")
@@ -286,9 +292,20 @@ final class TimeMergeStorage(
         .withColumn(SeqCol, lit(batchId))
         .withColumn(ReservedCol, lit(null).cast("long"))
         .write).mode("overwrite").partitionBy(segCol).parquet(tmp.toString)
-    val ssts = storeFs.list(tmp)
+    val segDirs = storeFs.list(tmp)
       .filter(_.getName.startsWith(s"$segCol="))
       .sortBy(_.getName)
+    // Fail BEFORE any rename: a null-timestamp row lands in Hive's
+    // __HIVE_DEFAULT_PARTITION__ dir, which would otherwise throw a raw
+    // NumberFormatException AFTER earlier segments' parts were renamed
+    // into data/ — unmanifested orphans a change-stream tail has already
+    // emitted. (Cheaper than a pre-write null scan over the frame.)
+    val badSegs = segDirs.map(_.getName.stripPrefix(s"$segCol="))
+      .filter(s => scala.util.Try(s.toLong).isFailure)
+    require(badSegs.isEmpty,
+      s"writeSegmented: rows with a null/invalid $tsCol landed in " +
+        s"partition(s) ${badSegs.mkString(", ")}; timestamps must be non-null")
+    val ssts = segDirs
       .flatMap { dir =>
         val seg = dir.getName.stripPrefix(s"$segCol=").toLong
         val range = TimeRange(seg * segmentMs, (seg + 1) * segmentMs)
@@ -453,7 +470,13 @@ final class TimeMergeStorage(
       StructType((widened.map(n => schema.fullSchema(schema.fullSchema.fieldIndex(n))) :+
         schema.fullSchema(schema.fullSchema.fieldIndex(ReservedCol))).toArray)
     else
-      StructType(userCols.map(n => schema.userSchema(schema.userSchema.fieldIndex(n))).toArray)
+      // resolve from the FULL schema when a caller projects a builtin
+      // (e.g. __seq__, which the non-empty scan path returns verbatim) —
+      // the empty-range short-circuit must produce the same columns
+      StructType(userCols.map(n =>
+        if (schema.userSchema.fieldNames.contains(n))
+          schema.userSchema(schema.userSchema.fieldIndex(n))
+        else schema.fullSchema(schema.fullSchema.fieldIndex(n))).toArray)
   }
 
   /** Existence check through the store's FileSystem (tests and callers must
@@ -473,9 +496,11 @@ final class TimeMergeStorage(
     * must exceed any plausible write/commit latency AND the compaction
     * delete grace AND the longest running query (a reader may be scanning
     * a grace-parked file); the 24 h default dwarfs all three, matching
-    * Delta's retention-check spirit. Modification times come from the
-    * store's FileSystem — object stores report upload completion time,
-    * which is exactly the staleness signal needed. */
+    * Delta's retention-check spirit. Staleness anchors on the LATER of
+    * the file's modification time (object stores report upload
+    * completion) and the manifest's unreference time — mtime alone is the
+    * file's CREATION age, which would sweep a long-lived SST the moment a
+    * compaction unreferences it, defeating the grace window. */
   def vacuum(olderThanMs: Long = 24L * 3600 * 1000,
       nowMs: Long = System.currentTimeMillis()): Int = {
     require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
@@ -490,11 +515,21 @@ final class TimeMergeStorage(
       else storeFs.fs.listStatus(dataDir)
     statuses.foreach { st =>
       val p = st.getPath
-      if (!referenced.contains(p.toString) &&
-          st.getModificationTime <= nowMs - olderThanMs) {
+      // staleness anchors on the LATER of file mtime and the manifest's
+      // unreference time: mtime is the file's CREATION time, so an old
+      // SST unreferenced by a compaction seconds ago would otherwise be
+      // swept out from under the compactor's delete-grace window (and any
+      // in-flight reader still inside it)
+      val anchor = math.max(st.getModificationTime,
+        manifest.unreferencedAtMs(p.toString).getOrElse(Long.MinValue))
+      if (!referenced.contains(p.toString) && anchor <= nowMs - olderThanMs) {
         // tmp-* staging dirs need the recursive form; files don't care
-        try { if (storeFs.delete(p, recursive = true)) deleted += 1 }
-        catch { case scala.util.control.NonFatal(_) => () }
+        try {
+          if (storeFs.delete(p, recursive = true)) {
+            deleted += 1
+            manifest.clearUnreferencedAt(p.toString)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     deleted
@@ -529,7 +564,15 @@ final class TimeMergeStorage(
     * consumer controls — the ingest-layer shape; Delta's change feed
     * solves the same rewrite problem only with per-commit metadata this
     * layout does not carry. Idempotent-by-(pk, __seq__) consumers are
-    * safe unconditionally. */
+    * safe unconditionally.
+    *
+    * COMMIT CAVEAT: the stream tails RENAMED files, and the rename
+    * precedes the manifest commit — a write whose manifest update then
+    * fails (hard-threshold pushback) has already surfaced its rows here
+    * even though no scan of the table will ever return them; vacuum later
+    * removes the file (set `spark.sql.files.ignoreMissingFiles` on
+    * long-lived tailers). Treat the stream as AT-LEAST-ONCE relative to
+    * table state, the standard file-source contract. */
   def tailStream(maxFilesPerTrigger: Int = 100): DataFrame =
     spark.readStream
       .schema(schema.fullSchema)
@@ -566,12 +609,18 @@ object TimeMergeStorage {
     s"""{"segmentMs":$segmentMs,$tsField${base.stripPrefix("{")}"""
   }
 
+  // Both reads ANCHOR at the descriptor's fixed prefix ({"segmentMs":N,
+  // then optionally "timestampColumn":"..."), never scanning the whole
+  // line: a user StructField whose METADATA contains a key named
+  // "timestampColumn" (StructType.json embeds metadata verbatim) would
+  // otherwise satisfy an unanchored search and brick reopen of a table
+  // that has no timestamp column.
   def descriptorSegmentMs(json: String): Option[Long] =
-    """"segmentMs":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    """^\{"segmentMs":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
 
   def descriptorTimestampColumn(json: String): Option[String] =
-    """"timestampColumn":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
-      .map(m => unescTs(m.group(1)))
+    """^\{"segmentMs":\d+,"timestampColumn":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(json).map(m => unescTs(m.group(1)))
 
   /** Attach to an existing root with ZERO caller-side configuration —
     * schema, primary keys, update mode, segment duration, and timestamp
@@ -583,9 +632,11 @@ object TimeMergeStorage {
     * descriptor-aware build). */
   def open(spark: SparkSession, root: String,
       writeOptions: WriteOptions = WriteOptions()): TimeMergeStorage = {
-    val manifest = new Manifest(root,
-      conf = spark.sessionState.newHadoopConf())
-    val json = manifest.storedSchemaJson.getOrElse(sys.error(
+    // descriptor-only read: the constructor below builds the table's real
+    // Manifest — loading a second one here just to read schema-*.json
+    // would replay the whole snapshot+delta log twice per attach
+    val json = Manifest.readSchemaJson(root,
+      spark.sessionState.newHadoopConf()).getOrElse(sys.error(
       s"no table descriptor under $root/manifest — not a graft table " +
         "(or written by a pre-descriptor build; reopen it once with an " +
         "explicit schema to stamp one)"))

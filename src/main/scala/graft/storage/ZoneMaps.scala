@@ -37,13 +37,23 @@ object ZoneMaps {
     * conservative bounds. */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
-    case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
-    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
-    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: Long, y: Double) => dcmp(x.toDouble, y)
+    case (x: Double, y: Long) => dcmp(x, y.toDouble)
+    case (x: Double, y: Double) => dcmp(x, y)
     case (x: String, y: String) => Some(utf8Compare(x, y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
   }
+
+  /** Floating comparisons must follow SPARK SQL equality, not IEEE total
+    * order, or pruning turns unsound: Spark treats NaN = NaN and
+    * -0.0 = 0.0 as TRUE, while parquet stats EXCLUDE NaN and
+    * Double.compare orders -0.0 < 0.0 — a `col === NaN` literal (or an
+    * all--0.0 file probed with `=== 0.0`) would wrongly skip files whose
+    * rows match. NaN on either side abstains; signed zeros normalize. */
+  private def dcmp(x: Double, y: Double): Option[Int] =
+    if (x.isNaN || y.isNaN) None
+    else Some(java.lang.Double.compare(x + 0.0, y + 0.0))
 
   /** Unsigned UTF-8 byte comparison — the order Spark's UTF8String uses for
     * string predicates AND the order parquet's UTF8 column statistics are

@@ -879,11 +879,99 @@ class StorageSpec extends AnyFunSuite {
         ScanRequest(),
         ScanRequest(projection = Some(Seq("value"))),
         ScanRequest(keepBuiltins = true),
-        ScanRequest(projection = Some(Seq("value")), keepBuiltins = true))) {
+        ScanRequest(projection = Some(Seq("value")), keepBuiltins = true),
+        // a caller may project a BUILTIN by name (CDC-style __seq__ read);
+        // the non-empty path returns it verbatim, so the short-circuit
+        // must too instead of throwing on userSchema.fieldIndex
+        ScanRequest(projection = Some(Seq("value", "__seq__"))))) {
       assert(empty.scan(req).schema == full.scan(req).schema,
         s"schema drift for $req")
       assert(empty.scan(req).collect().isEmpty)
     }
+  }
+
+  test("write() globally pk-sorts a multi-partition batch: the single SST " +
+      "file is sorted, not a concat of per-partition runs") {
+    val s = mkStorage(tmpRoot())
+    val rows = (0 until 100).map(i => Row((i * 37) % 100, 0, i.toLong))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8), abSchema)
+    val sst = s.write(df, TimeRange(1, 10))
+    val pks = spark.read.parquet(sst.path)
+      .select("pk1").collect().map(_.getInt(0)).toSeq
+    assert(pks == pks.sorted, "single SST is not globally pk-sorted")
+  }
+
+  test("vacuum anchors staleness on UNREFERENCE time, not file creation " +
+      "time: an old SST unreferenced seconds ago keeps its grace window") {
+    val s = mkStorage(tmpRoot())
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 1L)))
+    writeBatch(s, TimeRange(1, 10), Seq((2, 2, 2L)))
+    val victim = s.manifest.allSsts().minBy(_.id)
+    // make the FILE look a month old, then unreference it NOW
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    s.storeFs.fs.setTimes(new org.apache.hadoop.fs.Path(victim.path), old, -1)
+    s.manifest.update(Nil, deleteIds = Seq(victim.id))
+    // a 1h threshold must NOT sweep it — unreferenced seconds ago
+    assert(s.vacuum(olderThanMs = 3600000L) == 0)
+    assert(s.storeFs.exists(victim.path))
+    // an hour past the unreference, it goes
+    assert(s.vacuum(olderThanMs = 3600000L,
+      nowMs = System.currentTimeMillis() + 7200000L) == 1)
+    assert(!s.storeFs.exists(victim.path))
+  }
+
+  test("zone-map float pruning follows Spark SQL equality: abstains on NaN " +
+      "and treats -0.0 = 0.0 (IEEE total order would skip matching files)") {
+    import ZoneMaps._
+    // all--0.0 file probed with === 0.0 must be KEPT (Spark: -0.0 = 0.0)
+    assert(mayMatch(Map("v" -> ((-0.0): Any, (-0.0): Any)),
+      Seq(Bound("v", "=", 0.0))))
+    assert(mayMatch(Map("v" -> ((0.0): Any, (0.0): Any)),
+      Seq(Bound("v", "=", -0.0))))
+    // NaN literal: parquet stats exclude NaN → abstain, never prune
+    assert(mayMatch(Map("v" -> ((1.0): Any, (1.0): Any)),
+      Seq(Bound("v", "=", Double.NaN))))
+    assert(mayMatch(Map("v" -> ((1.0): Any, (2.0): Any)),
+      Seq(Bound("v", ">", Double.NaN))))
+    // plain numeric pruning still prunes
+    assert(!mayMatch(Map("v" -> ((1.0): Any, (2.0): Any)),
+      Seq(Bound("v", ">", 5.0))))
+  }
+
+  test("append picker walks CONTENT-seq order (compaction outputs keep old " +
+      "seqs under new ids) and a claimed file is a hole that stops the walk") {
+    val cfg = CompactionConfig(inputSstMinNum = 2, inputSstMaxNum = 10,
+      newSstMaxSize = 9999)
+    val picker = new Picker(cfg, segmentMs = 1000L,
+      updateMode = UpdateMode.Append)
+    // raw 1,2; a prior compaction output (new id 101 holding seqs 3..5);
+    // raw 6,7 written after it — id order [1,2,6,7,101] is NOT content order
+    val files = Seq(
+      SstFile(1, "/f1", 1, 10, TimeRange(0, 10)),
+      SstFile(2, "/f2", 1, 10, TimeRange(0, 10)),
+      SstFile(101, "/out", 3, 30, TimeRange(0, 10), seqFloor = 3L),
+      SstFile(6, "/f6", 1, 10, TimeRange(0, 10)),
+      SstFile(7, "/f7", 1, 10, TimeRange(0, 10)))
+    val picked = picker.pick(files, nowMs = 5L).get.inputs.map(_.id)
+    assert(picked == Seq(1L, 2L, 101L, 6L, 7L), picked.toString)
+    // a concurrent task's claim on file 2 makes [1] the only prefix —
+    // below inputSstMinNum, so no task at all (never a pick AROUND the hole)
+    val claimed = files.map(f =>
+      if (f.id == 2L) f.copy(compacting = true) else f)
+    assert(picker.pick(claimed, nowMs = 5L).isEmpty)
+  }
+
+  test("manifest round-trips seqFloor; legacy lines default to id") {
+    val root = tmpRoot()
+    val m = new Manifest(root)
+    m.update(Seq(
+      SstFile(10, "/a", 1, 1, TimeRange(0, 10)),
+      SstFile(11, "/b", 1, 1, TimeRange(0, 10), seqFloor = 3L)))
+    val m2 = new Manifest(root)
+    val byId = m2.allSsts().map(f => f.id -> f).toMap
+    assert(byId(10L).contentSeqFloor == 10L) // unset → id
+    assert(byId(11L).seqFloor == 3L && byId(11L).contentSeqFloor == 3L)
   }
 
   test("compaction preserves the table's WriteOptions (codec survives the " +
