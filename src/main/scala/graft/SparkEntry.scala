@@ -4007,9 +4007,18 @@ object SparkEntry {
         |                    ELSE zcnt END) AS inc
         |    FROM (SELECT zcnt, lag(zcnt) OVER (ORDER BY ts_ms) AS prev
         |          FROM zeroes)),
+        |  cfield(ts_ms, c) AS (VALUES
+        |    (CAST(1000 AS BIGINT), CAST(10 AS DOUBLE)),
+        |    (CAST(2000 AS BIGINT), CAST(7 AS DOUBLE))),
         |  total AS (
-        |    SELECT (SELECT sum(inc) FROM incs) + (SELECT inc FROM zinc)
-        |      AS cnt),
+        |    -- the increase histogram's count rides the STORED count field
+        |    -- as its own reset-aware counter (NaN observations increment
+        |    -- count without landing in any bucket), not a bucket-mass sum
+        |    SELECT sum(CASE WHEN prev IS NULL THEN 0
+        |                    WHEN c >= prev THEN c - prev
+        |                    ELSE c END) AS cnt
+        |    FROM (SELECT c, lag(c) OVER (ORDER BY ts_ms) AS prev
+        |          FROM cfield)),
         |  allb AS (
         |    SELECT -2147483648 AS idx, CAST(0.0 AS DOUBLE) AS lo,
         |      0.001 AS hi, (SELECT inc FROM zinc) AS cnt
@@ -4068,13 +4077,21 @@ object SparkEntry {
         |    FROM (SELECT ts_ms, zcnt, lag(zcnt) OVER (ORDER BY ts_ms) AS prev
         |          FROM zeroes)
         |    GROUP BY bucket_ms),
+        |  cfield(ts_ms, c) AS (VALUES
+        |    (CAST(1000 AS BIGINT), CAST(3 AS DOUBLE)),
+        |    (CAST(1500 AS BIGINT), CAST(6 AS DOUBLE)),
+        |    (CAST(2500 AS BIGINT), CAST(3 AS DOUBLE)),
+        |    (CAST(3500 AS BIGINT), CAST(6 AS DOUBLE))),
         |  totals AS (
-        |    SELECT b.bucket_ms,
-        |      coalesce((SELECT sum(inc) FROM incs i
-        |                WHERE i.bucket_ms = b.bucket_ms), 0)
-        |        + coalesce(z.inc, 0) AS cnt
-        |    FROM (SELECT DISTINCT bucket_ms FROM incs) b
-        |    LEFT JOIN zincs z ON z.bucket_ms = b.bucket_ms),
+        |    -- count = the stored count field as its own reset-aware
+        |    -- counter per time bucket (see nh3's note)
+        |    SELECT CAST(floor(ts_ms / 2000) AS BIGINT) * 2000 AS bucket_ms,
+        |      sum(CASE WHEN prev IS NULL THEN 0
+        |               WHEN c >= prev THEN c - prev
+        |               ELSE c END) AS cnt
+        |    FROM (SELECT ts_ms, c, lag(c) OVER (ORDER BY ts_ms) AS prev
+        |          FROM cfield)
+        |    GROUP BY bucket_ms),
         |  allb AS (
         |    SELECT bucket_ms, -2147483648 AS idx, CAST(0.0 AS DOUBLE) AS lo,
         |      0.001 AS hi, inc AS cnt FROM zincs
@@ -4132,7 +4149,19 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT idx, power(4.0, idx - 1) AS lo, power(4.0, idx) AS hi,
         |      inc AS cnt FROM incs),
-        |  total AS (SELECT sum(cnt) AS cnt FROM allb),
+        |  cfield(ts_ms, c) AS (VALUES
+        |    (CAST(500 AS BIGINT), CAST(3 AS DOUBLE)),
+        |    (CAST(1500 AS BIGINT), CAST(6 AS DOUBLE)),
+        |    (CAST(2500 AS BIGINT), CAST(7 AS DOUBLE)),
+        |    (CAST(3500 AS BIGINT), CAST(11 AS DOUBLE))),
+        |  total AS (
+        |    -- count = the stored count field as its own reset-aware
+        |    -- counter (see nh3's note), not a bucket-mass sum
+        |    SELECT sum(CASE WHEN prev IS NULL THEN 0
+        |                    WHEN c >= prev THEN c - prev
+        |                    ELSE c END) AS cnt
+        |    FROM (SELECT c, lag(c) OVER (ORDER BY ts_ms) AS prev
+        |          FROM cfield)),
         |  walk AS (
         |    SELECT a.idx, a.lo, a.hi, a.cnt,
         |      sum(a.cnt) OVER (ORDER BY a.idx) - a.cnt AS cum_before,
@@ -4788,7 +4817,19 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT idx, power(2.0, idx - 1) AS lo, power(2.0, idx) AS hi,
         |      inc AS cnt FROM incs),
-        |  total AS (SELECT sum(cnt) AS cnt FROM allb),
+        |  cfield(ts_ms, c) AS (VALUES
+        |    (CAST(500 AS BIGINT), CAST(3 AS DOUBLE)),
+        |    (CAST(1500 AS BIGINT), CAST(6 AS DOUBLE)),
+        |    (CAST(2500 AS BIGINT), CAST(7 AS DOUBLE)),
+        |    (CAST(3500 AS BIGINT), CAST(11 AS DOUBLE))),
+        |  total AS (
+        |    -- count = the stored count field as its own reset-aware
+        |    -- counter (see nh3's note), not a bucket-mass sum
+        |    SELECT sum(CASE WHEN prev IS NULL THEN 0
+        |                    WHEN c >= prev THEN c - prev
+        |                    ELSE c END) AS cnt
+        |    FROM (SELECT c, lag(c) OVER (ORDER BY ts_ms) AS prev
+        |          FROM cfield)),
         |  walk AS (
         |    SELECT a.idx, a.lo, a.hi, a.cnt,
         |      sum(a.cnt) OVER (ORDER BY a.idx) - a.cnt AS cum_before,
@@ -4807,10 +4848,14 @@ object SparkEntry {
     // idx2 6 (appears 4, +2), count 10, rank 5 lands in (2,4].
     "ro8_rollup_hist_range" ->
       """SELECT * FROM (VALUES
+        |  -- count-field per-bucket increases: bucket 0 -> 3 (first 0,
+        |  -- then 6-3), rank 1.5 in (1,2] over idx1 inc 3;
+        |  -- bucket 2000 -> 5 (7-6 chained across the edge + 11-7),
+        |  -- rank 2.5: zero inc 1, idx1 inc 3 reaches it
         |  ('lat_ro7', 'api', CAST(0 AS BIGINT),
         |   1 + 1 * ((1.5 - 0) / 3)),
         |  ('lat_ro7', 'api', CAST(2000 AS BIGINT),
-        |   2 + 2 * ((CAST(5.0 AS DOUBLE) - 4) / 6))
+        |   1 + 1 * ((CAST(2.5 AS DOUBLE) - 1) / 3))
         |) AS t(__name__, job, bucket_ms, value)""".stripMargin,
 
     // Reset-aware increase replayed from raw samples: lag over each uid's

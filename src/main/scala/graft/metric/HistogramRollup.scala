@@ -69,7 +69,15 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
     StructField("l_neg_idx", ArrayType(IntegerType)),
     StructField("l_neg_cnt", ArrayType(DoubleType)),
     StructField("i_neg_idx", ArrayType(IntegerType)),
-    StructField("i_neg_cnt", ArrayType(DoubleType))))
+    StructField("i_neg_cnt", ArrayType(DoubleType)),
+    // round 14, appended LAST (legal widening for pre-existing rollup
+    // roots): the stored top-level COUNT rides the grid as its own
+    // first/last/within-increase partial triple, so the routed path
+    // reports the same count-field increase as the raw path (NaN
+    // observations live only in the count field). Legacy partials read
+    // back null here and the query side falls back to bucket mass.
+    StructField("f_count", DoubleType), StructField("l_count", DoubleType),
+    StructField("i_count", DoubleType)))
 
   /** The rollup's own time-merge store, next to the histograms table. */
   val store = new TimeMergeStorage(spark,
@@ -146,11 +154,11 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
           col("ts").as("ts_ms") +: histCols.map(col): _*))
         .select(col("series_key").as("__sk__"),
           col("bucket_schema"), col("zero_threshold"), col("custom_values"),
-          col("zero_count").as("i_zero"),
+          col("zero_count").as("i_zero"), col("count").as("i_count"),
           col("pos_idx").as("i_pos_idx"), col("pos_cnt").as("i_pos_cnt"),
           col("neg_idx").as("i_neg_idx"), col("neg_cnt").as("i_neg_cnt"))
-      val edge = struct(col("zero_count"), col("pos_idx"), col("pos_cnt"),
-        col("neg_idx"), col("neg_cnt"))
+      val edge = struct(col("zero_count"), col("count"), col("pos_idx"),
+        col("pos_cnt"), col("neg_idx"), col("neg_cnt"))
       val fl = conv
         .groupBy(col("metric_id"), col("tsid"), col("__bucket__"))
         .agg(min_by(edge, col("ts")).as("__f__"),
@@ -162,6 +170,8 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
           col("bucket_schema"), col("zero_threshold"), col("custom_values"),
           col("__f__.zero_count").as("f_zero"),
           col("__l__.zero_count").as("l_zero"), col("i_zero"),
+          col("__f__.count").as("f_count"),
+          col("__l__.count").as("l_count"), col("i_count"),
           col("__f__.pos_idx").as("f_pos_idx"),
           col("__f__.pos_cnt").as("f_pos_cnt"),
           col("__l__.pos_idx").as("l_pos_idx"),
@@ -303,7 +313,17 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
     val zeroArm = rows.select(col("series_key"), col("ts"),
       lit(0).as("kind"), lit(0).as("idx"),
       col("f_zero").as("f"), col("l_zero").as("l"), col("i_zero").as("i"))
-    val entries = zeroArm.unionByName(arm(1, "pos")).unionByName(arm(-1, "neg"))
+    // the count field rides the same boundary-chaining as any bucket
+    // (kind 2 — assembleHistograms picks it up as the output count);
+    // LEGACY partials (pre-count columns) carry nulls — emit no kind-2
+    // rows for them so the assembly falls back to bucket mass instead of
+    // reporting a zero count
+    val countArm = rows.select(col("series_key"), col("ts"),
+      lit(2).as("kind"), lit(0).as("idx"),
+      col("f_count").as("f"), col("l_count").as("l"), col("i_count").as("i"))
+      .filter(col("f").isNotNull || col("l").isNotNull || col("i").isNotNull)
+    val entries = zeroArm.unionByName(countArm)
+      .unionByName(arm(1, "pos")).unionByName(arm(-1, "neg"))
 
     // boundary delta per (series, kind, idx, bucket): reset-aware against
     // the series' previous IN-RANGE bucket's last sample (absent there →

@@ -252,18 +252,9 @@ final class MetricEngine(spark: SparkSession, root: String,
       case other => throw new IllegalArgumentException(
         s"histogram queries take a plain selector, got: $other")
     }
-    val matchers =
-      (if (sel.metric.nonEmpty)
-        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
-        sel.matchers
-    val histCols = Seq("count", "sum", "bucket_schema", "zero_threshold",
-      "zero_count", "pos_idx", "pos_cnt", "neg_idx", "neg_cnt",
-      "custom_values")
-    matchedSeriesScan(matchers, histograms, range,
-      col("series_key") +: col("ts").as("ts_ms") +: histCols.map(col),
-      StructType(StructField("series_key", StringType) +:
-        StructField("ts_ms", LongType) +:
-        histogramsSchema.fields.toSeq.filter(f => histCols.contains(f.name))))
+    // one projection/matcher-derivation definition with the instant
+    // serving paths (scanMatchedHistograms) — they must never drift
+    scanMatchedHistograms(selectorMatchers(sel), range)
   }
 
   /** `histogram_quantile(phi, selector)` over NATIVE histogram samples:
@@ -287,11 +278,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case other => throw new IllegalArgumentException(
         s"exemplar queries take a plain selector, got: $other")
     }
-    val matchers =
-      (if (sel.metric.nonEmpty)
-        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
-        sel.matchers
-    matchedSeriesScan(matchers, exemplars, range,
+    matchedSeriesScan(selectorMatchers(sel), exemplars, range,
       Seq(col("series_key"), col("ts").as("ts_ms"), col("value"), col("labels")),
       StructType(Seq(StructField("series_key", StringType),
         StructField("ts_ms", LongType), StructField("value", DoubleType),
@@ -312,11 +299,7 @@ final class MetricEngine(spark: SparkSession, root: String,
       case other => throw new IllegalArgumentException(
         s"federation takes a plain selector, got: $other")
     }
-    val matchers =
-      (if (sel.metric.nonEmpty)
-        Seq(LabelMatcher("__name__", MatchOp.Eq, sel.metric)) else Nil) ++
-        sel.matchers
-    val rows = matchedSeriesScan(matchers, data,
+    val rows = matchedSeriesScan(selectorMatchers(sel), data,
       TimeRange(nowMs - lookbackMs + 1, nowMs + 1),
       Seq(col("series_key"), col("ts").as("ts_ms"), col("value")),
       StructType(Seq(StructField("series_key", StringType),
@@ -1490,11 +1473,23 @@ final class MetricEngine(spark: SparkSession, root: String,
           .select("tag_key").distinct().orderBy("tag_key")
           .collect().map(_.getString(0)).toSeq
     }
+    // a label key named like a structural column (a label literally
+    // called "value", or a carried ts_ms) would emit DUPLICATE output
+    // columns whose fieldIndex resolution is arbitrary at the serving
+    // edge — fail fast with the engine's documented data-model
+    // restriction, like the evaluator and the native-histogram agg path
+    val reserved = Set("value", "__name__", "__labels__", "series_key") ++
+      extraCols
+    keys.find(reserved.contains).foreach(k =>
+      throw new IllegalArgumentException(
+        s"label '$k' collides with the serving layer's structural " +
+          "column names — rename the label at ingest"))
     // parse "name(\u0001key\u0002value)*" distributed -- no driver decode
     val parsed = quant.withColumn("__labels__",
       MetricEngine.seriesLabelsColumn(col("series_key")))
     val labelCols =
-      substring_index(col("series_key"), "\u0001", 1).as("__name__") +:
+      MetricEngine.unescPartCol(
+        substring_index(col("series_key"), "\u0001", 1)).as("__name__") +:
         keys.map(k => element_at(col("__labels__"), k).as(k))
     val carried = extraCols.filter(parsed.columns.contains).map(col)
     parsed.select((labelCols ++ carried) :+ col("value"): _*)
@@ -1836,13 +1831,44 @@ object MetricEngine {
     * Shared with the streaming layer so stateful-view keys and storage
     * tsids can never drift apart. */
   def seriesKeyColumn(name: Column, labels: Column): Column =
-    org.apache.spark.sql.functions.concat(name, labelsKeyColumn(labels))
+    org.apache.spark.sql.functions.concat(escPartCol(name), labelsKeyColumn(labels))
+
+  // --- series-key component escaping ---------------------------------
+  // \u0001/\u0002 are only unambiguous SEPARATORS if every component
+  // escapes them: Prometheus label VALUES (and UTF-8 metric/label names)
+  // may contain ANY character, so {a="1\u0001b\u00022"} would otherwise
+  // produce the same key as {a="1", b="2"} — two series silently merging
+  // into one tsid — and a bare \u0001 in a value would crash
+  // parseSeriesKey. Escape marker \u0000: the digit after it selects the
+  // original char (0→\u0000, 1→\u0001, 2→\u0002). Keys of ordinary data
+  // (no control chars) are byte-identical to the unescaped form, so
+  // existing tsids are unaffected.
+  private def escPartCol(c: Column): Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "\u0000", "\u00000"), "\u0001", "\u00001"), "\u0002", "\u00002")
+  }
+
+  private[graft] def unescPartCol(c: Column): Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "\u00001", "\u0001"), "\u00002", "\u0002"), "\u00000", "\u0000")
+  }
+
+  private[metric] def escPart(s: String): String =
+    s.replace("\u0000", "\u00000").replace("\u0001", "\u00001")
+      .replace("\u0002", "\u00002")
+
+  private[graft] def unescPart(s: String): String =
+    s.replace("\u00001", "\u0001").replace("\u00002", "\u0002")
+      .replace("\u00000", "\u0000")
 
   /** The labels part of the canonical key, as a column. */
   def labelsKeyColumn(labels: Column): Column = {
     import org.apache.spark.sql.functions._
     concat_ws("", transform(array_sort(map_entries(labels)),
-      e => concat(lit("\u0001"), e("key"), lit("\u0002"), e("value"))))
+      e => concat(lit("\u0001"), escPartCol(e("key")),
+        lit("\u0002"), escPartCol(e("value")))))
   }
 
   /** Scala mirror of [[labelsKeyColumn]] for typed `groupByKey` paths
@@ -1853,7 +1879,7 @@ object MetricEngine {
     * agreement. */
   def labelsKey(labels: Map[String, String]): String =
     labels.toSeq.sortWith((a, b) => utf8Lt(a._1, b._1))
-      .map { case (k, v) => s"\u0001$k\u0002$v" }.mkString
+      .map { case (k, v) => s"\u0001${escPart(k)}\u0002${escPart(v)}" }.mkString
 
   /** Invert [[seriesKeyColumn]]: canonical key → (name, labels). The
     * control-character separators make the split unambiguous for any
@@ -1862,9 +1888,9 @@ object MetricEngine {
     val parts = key.split('\u0001')
     val labels = parts.iterator.drop(1).map { p =>
       val i = p.indexOf('\u0002')
-      p.substring(0, i) -> p.substring(i + 1)
+      unescPart(p.substring(0, i)) -> unescPart(p.substring(i + 1))
     }.toMap
-    (parts.head, labels)
+    (unescPart(parts.head), labels)
   }
 
   /** Distributed mirror of [[parseSeriesKey]]'s labels half: decode a
@@ -1875,8 +1901,8 @@ object MetricEngine {
     import org.apache.spark.sql.functions._
     map_from_entries(transform(
       slice(split(seriesKey, "\u0001"), 2, 1000000),
-      e => struct(substring_index(e, "\u0002", 1),
-        substring_index(e, "\u0002", -1))))
+      e => struct(unescPartCol(substring_index(e, "\u0002", 1)),
+        unescPartCol(substring_index(e, "\u0002", -1)))))
   }
 
   private def utf8Lt(x: String, y: String): Boolean = {

@@ -179,6 +179,7 @@ object NativeHistograms {
       explode(expr(
         """concat(
           |  array(named_struct('kind', 0, 'idx', 0, 'cnt', zero_count)),
+          |  array(named_struct('kind', 2, 'idx', 0, 'cnt', count)),
           |  transform(arrays_zip(pos_idx, pos_cnt),
           |    z -> named_struct('kind', 1, 'idx', z.pos_idx, 'cnt', z.pos_cnt)),
           |  transform(arrays_zip(neg_idx, neg_cnt),
@@ -268,6 +269,7 @@ object NativeHistograms {
       explode(expr(
         """concat(
           |  array(named_struct('kind', 0, 'idx', 0, 'cnt', zero_count)),
+          |  array(named_struct('kind', 2, 'idx', 0, 'cnt', count)),
           |  transform(arrays_zip(pos_idx, pos_cnt),
           |    z -> named_struct('kind', 1, 'idx', z.pos_idx, 'cnt', z.pos_cnt)),
           |  transform(arrays_zip(neg_idx, neg_cnt),
@@ -309,8 +311,14 @@ object NativeHistograms {
           expr("transform(__a__, x -> x.inc)").as(cntName)): _*)
     val zero = incs.filter(col("kind") === 0)
       .groupBy(keyCols.map(col): _*).agg(sum(col("inc")).as("zero_count"))
+    // the stored top-level count participates as its own kind (2): NaN
+    // observations increment count WITHOUT landing in any bucket, so a
+    // bucket-sum recompute under-reports the observation rate
+    val cnt = incs.filter(col("kind") === 2)
+      .groupBy(keyCols.map(col): _*).agg(sum(col("inc")).as("__count_f__"))
     meta
       .join(zero, keyCols, "left")
+      .join(cnt, keyCols, "left")
       .join(sortedArrays(1, "pos_idx", "pos_cnt"), keyCols, "left")
       .join(sortedArrays(-1, "neg_idx", "neg_cnt"), keyCols, "left")
       .withColumn("zero_count", coalesce(col("zero_count"), lit(0.0)))
@@ -323,9 +331,13 @@ object NativeHistograms {
       .withColumn("neg_cnt",
         coalesce(col("neg_cnt"), expr("CAST(array() AS ARRAY<DOUBLE>)")))
       .withColumn("count",
-        col("zero_count") +
-          expr("aggregate(pos_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") +
-          expr("aggregate(neg_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+        // the count-field delta when present (includes NaN observations);
+        // the bucket-mass recompute only as a legacy fallback
+        coalesce(col("__count_f__"),
+          col("zero_count") +
+            expr("aggregate(pos_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") +
+            expr("aggregate(neg_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")))
+      .drop("__count_f__")
   }
 
   /** `histogram_fraction(lo, hi)` over histogram rows: the fraction of
@@ -334,19 +346,32 @@ object NativeHistograms {
     * `cnt x overlap([lo,hi], [b.lo,b.hi]) / width`; zero-width buckets
     * (the zero bucket at zeroThreshold 0) contribute fully when their
     * point lies inside the bounds. `lo > hi` yields 0; an empty histogram
-    * yields NaN (Prometheus conventions). Output: the input's identity
-    * columns + `value`. */
+    * yields NaN (Prometheus conventions). Infinite bounds work (`-Inf`/
+    * `Inf` — the canonical CDF shape); the infinite-width NHCB overflow
+    * bucket contributes fully only when the bounds cover both its
+    * endpoints (linear interpolation has zero mass at any finite point of
+    * an infinite bucket). Output: the input's identity columns +
+    * `value`. */
   def fraction(rows: DataFrame, lo: Double, hi: Double): DataFrame = {
     val idCols = histIdCols(rows)
+    // QUOTED literals: a bare interpolated -Infinity/Infinity/NaN token
+    // parses as a COLUMN reference and fails analysis — and
+    // histogram_fraction(-Inf, x, m) is the canonical CDF shape (the
+    // bucketsExpr below uses the same quoted form)
+    val loS = s"CAST('$lo' AS DOUBLE)"
+    val hiS = s"CAST('$hi' AS DOUBLE)"
     val overlap =
       s"""aggregate(__buckets__, CAST(0.0 AS DOUBLE), (acc, b) ->
          |  acc + b.cnt * (CASE
          |    WHEN b.hi <= b.lo THEN
-         |      IF(CAST($lo AS DOUBLE) <= b.lo AND b.lo <= CAST($hi AS DOUBLE),
+         |      IF($loS <= b.lo AND b.lo <= $hiS,
+         |         CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |    WHEN b.hi - b.lo = CAST('Infinity' AS DOUBLE) THEN
+         |      IF($loS <= b.lo AND $hiS >= b.hi,
          |         CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
          |    ELSE greatest(CAST(0.0 AS DOUBLE),
-         |      (least(CAST($hi AS DOUBLE), b.hi) -
-         |       greatest(CAST($lo AS DOUBLE), b.lo)) / (b.hi - b.lo))
+         |      least(CAST(1.0 AS DOUBLE),
+         |        (least($hiS, b.hi) - greatest($loS, b.lo)) / (b.hi - b.lo)))
          |  END))""".stripMargin
     rows
       .withColumn("__buckets__", expr(bucketsExpr))
@@ -358,26 +383,28 @@ object NativeHistograms {
   }
 
   /** `histogram_stddev` / `histogram_stdvar` over histogram rows —
-    * Prometheus's estimate (promql functions.go): each bucket's
-    * observations sit at its GEOMETRIC midpoint `sign·sqrt(hi·lo)` (0
-    * for any bucket straddling zero, so the zero bucket contributes 0),
-    * variance = Σ cnt·(mid − mean)² / count with mean = sum/count.
+    * Prometheus's estimate (promql functions.go): each STANDARD-schema
+    * bucket's observations sit at its GEOMETRIC midpoint `sign·sqrt(hi·lo)`
+    * (0 for any bucket straddling zero, so the zero bucket contributes 0);
+    * NHCB custom buckets (schema -53) use the ARITHMETIC midpoint
+    * `(lo+hi)/2` — Prometheus's custom-bucket rule (the geometric form is
+    * meaningless for bounds that may include 0 or negatives, and
+    * Prometheus switched custom buckets to the arithmetic mean).
+    * Variance = Σ cnt·(mid − mean)² / count with mean = sum/count.
     * Empty histogram → NaN. Output: identity columns + `value`. */
   def stdvar(rows: DataFrame, stddev: Boolean): DataFrame = {
     val idCols = histIdCols(rows)
+    val mid =
+      """(CASE WHEN bucket_schema = -53
+        |      THEN (b.lo + b.hi) / CAST(2.0 AS DOUBLE)
+        |      WHEN b.lo <= CAST(0.0 AS DOUBLE)
+        |        AND CAST(0.0 AS DOUBLE) <= b.hi THEN CAST(0.0 AS DOUBLE)
+        |      WHEN b.hi < CAST(0.0 AS DOUBLE)
+        |        THEN -sqrt(b.hi * b.lo)
+        |      ELSE sqrt(b.hi * b.lo) END)""".stripMargin
     val varExpr =
-      """aggregate(__buckets__, CAST(0.0 AS DOUBLE), (acc, b) ->
-        |  acc + b.cnt * (
-        |    (CASE WHEN b.lo <= CAST(0.0 AS DOUBLE)
-        |            AND CAST(0.0 AS DOUBLE) <= b.hi THEN CAST(0.0 AS DOUBLE)
-        |          WHEN b.hi < CAST(0.0 AS DOUBLE)
-        |            THEN -sqrt(b.hi * b.lo)
-        |          ELSE sqrt(b.hi * b.lo) END) - __mean__) *
-        |    ((CASE WHEN b.lo <= CAST(0.0 AS DOUBLE)
-        |            AND CAST(0.0 AS DOUBLE) <= b.hi THEN CAST(0.0 AS DOUBLE)
-        |          WHEN b.hi < CAST(0.0 AS DOUBLE)
-        |            THEN -sqrt(b.hi * b.lo)
-        |          ELSE sqrt(b.hi * b.lo) END) - __mean__))""".stripMargin
+      s"""aggregate(__buckets__, CAST(0.0 AS DOUBLE), (acc, b) ->
+         |  acc + b.cnt * ($mid - __mean__) * ($mid - __mean__))""".stripMargin
     val out = rows
       .withColumn("__buckets__", expr(bucketsExpr))
       .withColumn("__mean__", col("sum") / col("count"))

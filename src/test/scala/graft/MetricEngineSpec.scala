@@ -202,6 +202,9 @@ class MetricEngineSpec extends AnyFunSuite {
       Map("a" -> "1,b=2"),
       // U+10000 vs U+E000: UTF-16 sorts them opposite to UTF-8 byte order
       Map(new String(Character.toChars(0x10000)) -> "hi", "\uE000" -> "lo"),
+      // the SEPARATOR control chars themselves, in values and names \u2014
+      // escaped by both forms, identically
+      Map("a" -> "1\u0001b\u00022", "x\u0000y" -> "\u0000"),
       Map("job" -> "x", "host" -> "h0", "mode" -> "user"))
     val df = sets.zipWithIndex.map { case (m, i) => (i, m) }.toDF("i", "labels")
     val viaColumn = df.select(col("i"),
@@ -211,6 +214,26 @@ class MetricEngineSpec extends AnyFunSuite {
       assert(viaColumn(i) == graft.metric.MetricEngine.labelsKey(m),
         s"key drift for $m")
     }
+  }
+
+  test("series keys escape the separator control chars: a value containing " +
+      "\\u0001/\\u0002 can neither collide with a distinct label set nor " +
+      "crash the key parser") {
+    import graft.metric.MetricEngine.{labelsKey, parseSeriesKey}
+    // the classic injection: {a="1\u0001b\u00022"} vs {a="1", b="2"}
+    val packed = Map("a" -> "1\u0001b\u00022")
+    val split = Map("a" -> "1", "b" -> "2")
+    assert(labelsKey(packed) != labelsKey(split),
+      "distinct label sets produced one series key \u2014 tsid collision")
+    // parse round-trips every component, including bare \u0001 in values
+    for (labels <- Seq(packed, split, Map("v" -> "x\u0001y"),
+        Map("k\u0002" -> "\u0000\u0001\u0002"), Map.empty[String, String])) {
+      val key = "m" + labelsKey(labels)
+      assert(parseSeriesKey(key) == (("m", labels)), s"round trip: $labels")
+    }
+    // ordinary keys are byte-identical to the pre-escaping form: existing
+    // stored tsids are unaffected
+    assert(labelsKey(split) == "\u0001a\u00021\u0001b\u00022")
   }
 
   // Round-12 verdict task 1: the series-matcher walk must run distributed

@@ -97,6 +97,54 @@ class NativeHistogramsSpec extends AnyFunSuite {
       Seq.empty[Double]))
     assert(NativeHistograms.fraction(empty, 0.0, 1.0).collect().head
       .getAs[Double]("value").isNaN)
+    // INFINITE bounds are the canonical CDF shape — a bare interpolated
+    // Infinity token would parse as a column and fail analysis
+    assert(math.abs(f(Double.NegativeInfinity, 2.0) - 0.5) < 1e-12)
+    assert(math.abs(f(Double.NegativeInfinity, Double.PositiveInfinity)
+      - 1.0) < 1e-12)
+    assert(math.abs(f(2.0, Double.PositiveInfinity) - 0.5) < 1e-12)
+    // an INFINITE-WIDTH bucket (NHCB with no custom bounds → (0, +Inf])
+    // counts fully only when the bounds cover both its endpoints — a
+    // naive (hi-lo)/(Inf) interpolation would be NaN for an Inf bound
+    val nhcbInf = df(Row("s", 0L, 4.0, 9.0, -53, 0.0, 3.0,
+      Seq(1), Seq(1.0), Seq.empty[Int], Seq.empty[Double],
+      Seq.empty[Double])) // zero bucket 3 at 0; (0, Inf] = 1
+    def fn(lo: Double, hi: Double): Double =
+      NativeHistograms.fraction(nhcbInf, lo, hi).collect().head
+        .getAs[Double]("value")
+    assert(math.abs(fn(-1.0, Double.PositiveInfinity) - 1.0) < 1e-12)
+    assert(math.abs(fn(-1.0, 100.0) - 0.75) < 1e-12) // Inf bucket excluded
+  }
+
+  test("histogram_stddev/stdvar: geometric midpoints for standard " +
+      "schemas, ARITHMETIC midpoints for NHCB custom buckets") {
+    // schema 0, buckets (1,2]=3 at sqrt(2), (2,4]=5 at sqrt(8), zero=2
+    // at 0; count 10, sum chosen so mean = 1
+    val std = df(Row("s", 0L, 10.0, 10.0, 0, 0.001, 2.0,
+      Seq(1, 2), Seq(3.0, 5.0), Seq.empty[Int], Seq.empty[Double],
+      Seq.empty[Double]))
+    val expectedStd = (2.0 * 1.0 +
+      3.0 * math.pow(math.sqrt(2.0) - 1.0, 2) +
+      5.0 * math.pow(math.sqrt(8.0) - 1.0, 2)) / 10.0
+    val gotStd = NativeHistograms.stdvar(std, stddev = false).collect()
+      .head.getAs[Double]("value")
+    assert(math.abs(gotStd - expectedStd) < 1e-12, s"$gotStd vs $expectedStd")
+    // NHCB bounds [1, 10]: bucket0 (0,1] midpoint 0.5, bucket1 (1,10]
+    // midpoint 5.5 — Prometheus's custom-bucket ARITHMETIC rule (the
+    // geometric sqrt(10)≈3.16 would skew every OTLP fixed-bucket series)
+    val nhcb = df(Row("s", 0L, 4.0, 12.0, -53, 0.0, 0.0,
+      Seq(0, 1), Seq(2.0, 2.0), Seq.empty[Int], Seq.empty[Double],
+      Seq(1.0, 10.0))) // mean = 3
+    val expectedNhcb = (2.0 * math.pow(0.5 - 3.0, 2) +
+      2.0 * math.pow(5.5 - 3.0, 2)) / 4.0
+    val gotNhcb = NativeHistograms.stdvar(nhcb, stddev = false).collect()
+      .head.getAs[Double]("value")
+    assert(math.abs(gotNhcb - expectedNhcb) < 1e-12,
+      s"$gotNhcb vs $expectedNhcb")
+    // stddev = sqrt(stdvar)
+    val gotDev = NativeHistograms.stdvar(nhcb, stddev = true).collect()
+      .head.getAs[Double]("value")
+    assert(math.abs(gotDev - math.sqrt(expectedNhcb)) < 1e-12)
   }
 
   test("increase: sparse absence arithmetic without a dense fill — a " +
@@ -121,14 +169,30 @@ class NativeHistogramsSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Double]]("pos_cnt").toSeq ==
       Seq(3.0, 6.0)) // idx1: 0+0+3; idx2: 4+2
     assert(r.getAs[Double]("zero_count") == 0.0)
-    assert(r.getAs[Double]("count") == 9.0)
+    // count rides the STORED count field as its own reset-aware counter
+    // (6 → 5 is a reset → +5; 5 → 10 → +5 = 10), NOT a bucket-mass
+    // recompute (which would say 9 here): NaN observations increment
+    // count without landing in any bucket, and the count field is the
+    // only place their mass survives
+    assert(r.getAs[Double]("count") == 10.0)
     // bucketized: ts1 (bucket 0) is the overall-first sample → 0; ts2 and
-    // ts3 land in bucket 2000 (idx2 +4 then +2, idx1 +3) with the ts1→ts2
+    // ts3 land in bucket 2000 (count +5 reset, then +5) with the ts1→ts2
     // delta chained ACROSS the bucket boundary, attributed to the later
     // sample's bucket
     val bucketed = NativeHistograms.increase(rows, Some(2000L)).collect()
       .map(r => r.getAs[Long]("bucket_ms") -> r.getAs[Double]("count")).toMap
-    assert(bucketed == Map(0L -> 0.0, 2000L -> 9.0), bucketed.toString)
+    assert(bucketed == Map(0L -> 0.0, 2000L -> 10.0), bucketed.toString)
+    // a NaN-only observation window: count grows 6 → 8 with NO bucket
+    // change — the increase must report 2 observations, not 0
+    val nanRows = df(
+      Row("n", 1000L, 6.0, 9.0, 0, 0.001, 1.0,
+        Seq(1), Seq(5.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]),
+      Row("n", 2000L, 8.0, 9.0, 0, 0.001, 1.0,
+        Seq(1), Seq(5.0), Seq.empty[Int], Seq.empty[Double],
+        Seq.empty[Double]))
+    assert(NativeHistograms.increase(nanRows).collect()
+      .head.getAs[Double]("count") == 2.0)
   }
 
   test("sumHistograms: bucket-wise cross-series sum, widest zero " +

@@ -721,8 +721,11 @@ class StreamingSpec extends AnyFunSuite {
     // bucket-wise reset-aware increase across the window, then quantile.
     // Second sample: zero 2→1 (reset → +1), idx1 3→4 (+1), idx2 5→absent
     // (reset to 0 → +0), idx3 absent→2 (+2): increase hist
-    // {zero:1, (1,2]:1, (2,4]:0, (4,8]:2}, count 4, φ=0.5 → rank 2 →
-    // tops bucket (1,2] exactly → 2.0
+    // {zero:1, (1,2]:1, (2,4]:0, (4,8]:2}. COUNT rides the stored count
+    // field as its own reset-aware counter (10→7 is a reset → 7), so
+    // φ=0.5 → rank 3.5 → interpolates the (4,8] bucket at
+    // 4 + 4·(1.5/2) = 7.0 (the count-vs-bucket-mass divergence is the
+    // documented per-bucket reset dialect; see PROMQL.md)
     MetricStreamIngest.ingestHistograms(engine, spark, Seq(
       graft.streaming.RemoteWrite.HistogramSample(
         "rpc_latency", Map("job" -> "api"), t0 + 60000,
@@ -734,23 +737,23 @@ class StreamingSpec extends AnyFunSuite {
       t0 + 61000).collect()
     assert(viaRate.length == 1, viaRate.mkString(";"))
     assert(viaRate.head.getAs[String]("job") == "api")
-    assert(math.abs(viaRate.head.getAs[Double]("value") - 2.0) < 1e-9,
+    assert(math.abs(viaRate.head.getAs[Double]("value") - 7.0) < 1e-9,
       viaRate.head.toString)
     // increase spells the same quantile (scale-invariance)
     val viaInc = engine.instantPromQL(
       """histogram_quantile(0.5, increase(rpc_latency{job="api"}[2m]))""",
       t0 + 61000).collect()
-    assert(math.abs(viaInc.head.getAs[Double]("value") - 2.0) < 1e-9)
+    assert(math.abs(viaInc.head.getAs[Double]("value") - 7.0) < 1e-9)
     // RANGE query, rate shape: 1m tumbling buckets; the first bucket holds
     // only the overall-first sample (increase 0 → dropped); the second
-    // carries the chained deltas → 2.0
+    // carries the chained deltas → 7.0 (count-field rank 3.5, as above)
     val all = graft.storage.TimeRange(Long.MinValue, Long.MaxValue)
     val rangeRate = engine.queryPromQL(
       """histogram_quantile(0.5, rate(rpc_latency{job="api"}[1m]))""", all)
       .collect().map(r =>
         (r.getAs[Long]("bucket_ms"), r.getAs[Double]("value"))).toMap
     assert(rangeRate.size == 1 &&
-      math.abs(rangeRate(t0 + 60000) - 2.0) < 1e-9, rangeRate.toString)
+      math.abs(rangeRate(t0 + 60000) - 7.0) < 1e-9, rangeRate.toString)
     // RANGE query, gauge shape: newest histogram per step bucket —
     // bucket0 quantiles h1 (rank 5 → 2.0), bucket1 quantiles h2
     // (count 7, rank 3.5: zero cum 1, (1,2] cum 5 → 1 + 2.5/4 = 1.625)
@@ -773,25 +776,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(
       instV("""histogram_fraction(0, 2, rpc_latency{job="api"})""")
         - 5.0 / 7.0) < 1e-12)
-    // observation rate: count increase 4 over a 2m window → 4/120 per s
+    // observation rate: the COUNT-FIELD increase (10→7 is a reset → 7)
+    // over a 2m window → 7/120 per s — the count field is where NaN
+    // observations (and here the reset baseline) live; a bucket-mass
+    // recompute would say 4
     assert(math.abs(
       instV("""histogram_count(rate(rpc_latency{job="api"}[2m]))""")
-        - 4.0 / 120.0) < 1e-12)
+        - 7.0 / 120.0) < 1e-12)
     // aggregated shapes: sum by (job) then quantile — api's increase hist
-    // quantiles to 2.0 (as above; this engine has only the api series)
+    // quantiles to 7.0 (count-field rank 3.5, as above; this engine has
+    // only the api series)
     val aggRate = engine.instantPromQL(
       """histogram_quantile(0.5, sum by (job) (rate(rpc_latency[2m])))""",
       t0 + 61000).collect()
       .map(r => r.getAs[String]("job") -> r.getAs[Double]("value")).toMap
     assert(aggRate.keySet == Set("api") &&
-      math.abs(aggRate("api") - 2.0) < 1e-9, aggRate.toString)
+      math.abs(aggRate("api") - 7.0) < 1e-9, aggRate.toString)
     // ungrouped sum: one label-less value
     val aggAll = engine.instantPromQL(
       """histogram_quantile(0.5, sum(rate(rpc_latency{job="api"}[2m])))""",
       t0 + 61000).collect()
     assert(aggAll.length == 1 && aggAll.head.schema.fieldNames.toSeq ==
       Seq("value"))
-    assert(math.abs(aggAll.head.getAs[Double]("value") - 2.0) < 1e-9)
+    assert(math.abs(aggAll.head.getAs[Double]("value") - 7.0) < 1e-9)
     // sum of CURRENT histograms per group (newest per series): api → h2
     // (count 7, rank 3.5: zero cum 1, (1,2] cum 5 → 1 + 2.5/4 = 1.625)
     val aggCur = engine.instantPromQL(
@@ -806,7 +813,7 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("job"), r.getAs[Long]("bucket_ms")) ->
         r.getAs[Double]("value")).toMap
     assert(aggRange.keySet == Set(("api", t0 + 60000)), aggRange.toString)
-    assert(math.abs(aggRange(("api", t0 + 60000)) - 2.0) < 1e-9)
+    assert(math.abs(aggRange(("api", t0 + 60000)) - 7.0) < 1e-9)
     // stddev/stdvar: Prometheus's geometric-midpoint estimate on h2
     // (count 7, sum 18; zero→0, (1,2]→√2, (4,8]→√32; mean 18/7)
     val mean = 18.0 / 7.0
