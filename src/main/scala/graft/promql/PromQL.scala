@@ -1042,7 +1042,10 @@ object PromQLParser {
         next(); expect("("); expect(")")
         if (kw == "start") PromQLParser.AtStart else PromQLParser.AtEnd
       case _ => next() match {
-        case TNum(d, _) => (d * 1000).toLong
+        // round, never truncate: 1000.001 s is 1000000.999... as a
+        // double, and toLong would land the pin 1 ms early — breaking
+        // the printer's decimal-seconds round trip
+        case TNum(d, _) => math.round(d * 1000)
         case t => throw PromQLParseException(
           "expected a unix timestamp in seconds, start(), or end() after '@'",
           t.pos)
@@ -1077,12 +1080,19 @@ object PromQLParser {
           val ms = Seq.newBuilder[LabelMatcher]
           var done = peek match { case TPunct("}", _) => next(); true; case _ => false }
           while (!done) {
+            // Prometheus accepts a trailing comma ({a="b",}): a '}' right
+            // after ',' ends the list instead of erroring on a missing
+            // label name
+            peek match {
+              case TPunct("}", _) => next(); done = true
+              case _ => ()
+            }
             // Prometheus 3 UTF-8 selector syntax: label names may be
             // quoted ({"label"="v"}), and a BARE quoted string element is
             // the metric name ({"http.server.duration", job="api"}) —
             // desugared to a __name__ Eq matcher, which the
             // canonicalization below turns into the metric.
-            val label = next() match {
+            val label = if (done) null else next() match {
               case TIdent(l, _) => l
               case t0 @ TStr(l, _) =>
                 peek match {

@@ -128,7 +128,10 @@ final class PromQLContext(
       val r0 = range.filter(r =>
         r.start != Long.MinValue && r.end != Long.MaxValue).getOrElse(
         throw new IllegalArgumentException(
-          "absent_over_time needs an explicit bounded range"))
+          "absent_over_time needs an explicit bounded range — its grid IS " +
+            "the query range, so it is also not supported inside " +
+            "subqueries or @-pinned windows (which evaluate on nested, " +
+            "unbounded contexts)"))
       val aRows = select(sel.metric, sel.matchers, sel.offsetMs, range)
       val aTs = shifted(sel.offsetMs)
       // matcher-derived labels reconstruct exactly like absent() —
@@ -471,7 +474,15 @@ final class PromQLContext(
           "subquery inner expression has no timeline (fully aggregated / " +
             s"shape output: ${inner.columns.mkString(", ")})")
       val innerSeries = seriesCols.filter(inner.columns.contains)
-      val lblCols = inner.columns.toSeq.filterNot(c =>
+      // a stepped inner (e.g. topk under a stepped eval) carries BOTH
+      // ts_ms and bucket_ms; the non-chosen time column is a timeline,
+      // not a label — treating it as one duplicates the outer grouping's
+      // bucket_ms (AMBIGUOUS_REFERENCE at select). Drop it.
+      val inner1 =
+        if (tsName == "ts_ms" && inner.columns.contains("bucket_ms"))
+          inner.drop("bucket_ms")
+        else inner
+      val lblCols = inner1.columns.toSeq.filterNot(c =>
         c == tsName || c == "value" || innerSeries.contains(c))
       // per-step points are unique per (series, step bucket) after an
       // aggregated inner, so ts-only ordering is deterministic; a bare
@@ -480,7 +491,7 @@ final class PromQLContext(
       // sliding mode every output step T windows the inner points over
       // Prometheus's exact (T-w, T]
       val sub = new PromQLContext(
-        inner.withColumn("__sq__", lit("")), "__sq__", col(tsName), "value",
+        inner1.withColumn("__sq__", lit("")), "__sq__", col(tsName), "value",
         lblCols.map(l => l -> l).toMap,
         ordering = Seq(col(tsName)), seriesCols = innerSeries,
         slidingStep = slidingStep)
@@ -918,13 +929,19 @@ final class PromQLContext(
             s"(got: ${in.columns.mkString(", ")})")
       val groupCols = in.columns
         .filterNot(c => c == "value" || c == "le" || seriesCols.contains(c)).toSeq
+      // Prometheus's coalesceBuckets: input elements identical up to `le`
+      // (two hidden series whose projected labels collide) SUM per bucket
+      // before the walk — without this, the window below interleaves two
+      // series' cumulative counts at the same le and interpolates garbage
+      val merged = in.groupBy((groupCols :+ "le").map(col): _*)
+        .agg(sum(col("value")).as("value"))
       val leNum = when(col("le") === "+Inf", lit(Double.PositiveInfinity))
         .otherwise(col("le").cast("double"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCols.map(col): _*).orderBy(leNum)
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCols.map(col): _*)
-      val staged = in
+      val staged = merged
         .withColumn("__le__", leNum)
         .withColumn("__prev_le__", lag(leNum, 1).over(w))
         .withColumn("__prev_v__", lag(col("value"), 1, 0.0).over(w))
@@ -1159,7 +1176,11 @@ final class PromQLContext(
       matching: Option[VectorMatch], op: String): Seq[String] = {
     val lTime = Seq("bucket_ms", "ts_ms").filter(lf.columns.contains)
     val rTime = Seq("bucket_ms", "ts_ms").filter(rf.columns.contains)
-    if (lTime.nonEmpty && rTime.nonEmpty && lTime != rTime)
+    // match on the SHARED grain: a stepped topk keeps raw ts_ms alongside
+    // its bucket_ms, and `topk(3, m) / sum(m)` must join per bucket — an
+    // exact lTime == rTime test wrongly rejected that shape. Only a truly
+    // disjoint pair (raw-only vs bucket-only) has no common timeline.
+    if (lTime.nonEmpty && rTime.nonEmpty && lTime.intersect(rTime).isEmpty)
       throw new IllegalArgumentException(
         s"operands of '$op' carry different time grains " +
           s"(${lTime.mkString(",")} vs ${rTime.mkString(",")}): " +

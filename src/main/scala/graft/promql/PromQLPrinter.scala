@@ -55,6 +55,21 @@ object PromQLPrinter {
 
     case RangeFn(fn, sel, w) => printRange(fn, s"${print(sel)}[${dur(w)}]")
 
+    // the inverse of the instant-selector desugar (`m @ t` parses to
+    // last_over_time(m[lookback] @ t+1ms), Incl sentinels for
+    // start()/end()): printing the desugared RANGE spelling would lose
+    // the +1 on reparse — parseRangeVector never re-applies it — so a
+    // format_query round trip silently dropped the boundary sample.
+    // Exclusive AtStart/AtEnd (user-written range @) keep the range form.
+    case AtRange(RangeF.LastOverTime, sel, w, at)
+        if w == PromQLParser.LookbackMs && at != PromQLParser.AtStart &&
+          at != PromQLParser.AtEnd =>
+      val atTxt =
+        if (at == PromQLParser.AtStartIncl) "start()"
+        else if (at == PromQLParser.AtEndIncl) "end()"
+        else atText(at - 1)
+      s"${print(sel)} @ $atTxt"
+
     case AtRange(fn, sel, w, at) =>
       printRange(fn, s"${print(sel)}[${dur(w)}] @ ${atText(at)}")
 
@@ -88,6 +103,11 @@ object PromQLPrinter {
 
     case FnCall("time", _, _) => "time()"
 
+    // scalar bounds FIRST (the parser's required order) — the generic
+    // vector-first form below would print a string that fails to reparse
+    case FnCall("histogram_fraction", child, args) =>
+      s"histogram_fraction(${args.map(num).mkString(", ")}, ${print(child)})"
+
     case FnCall(name, child, args) =>
       (s"$name(${print(child)}" +: args.map(num)).mkString("", ", ", ")")
 
@@ -95,12 +115,11 @@ object PromQLPrinter {
       s"histogram_quantile(${num(q)}, ${print(child)})"
 
     case LabelFn(name, child, dst, args) =>
-      val strArgs = name match {
-        // dst holds the first sort label; none are synthesized
-        case "sort_by_label" | "sort_by_label_desc" => dst +: args
-        case _ => dst +: args // label_replace/label_join: dst first too
-      }
-      (s"$name(${print(child)}" +: strArgs.map(str)).mkString("", ", ", ")")
+      // every label function spells dst first, then the remaining string
+      // args (label_replace/label_join; for sort_by_label* dst holds the
+      // first sort label)
+      (s"$name(${print(child)}" +: (dst +: args).map(str))
+        .mkString("", ", ", ")")
   }
 
   /** Nested binary operands need parens (our parser is precedence-climbing;
@@ -210,9 +229,15 @@ object PromQLPrinter {
       .stripTrailingZeros().toPlainString()
 
   /** Numbers: integral values print without a fraction (the tokenizer
-    * reads either spelling into the same Double). */
+    * reads either spelling into the same Double). Non-finite values MUST
+    * print as the tokens the lexer recognizes — Java's "Infinity"/"NaN"
+    * spellings lex as identifiers and silently become metric selectors
+    * on reparse. */
   private def num(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    if (d.isNaN) "NaN"
+    else if (d == Double.PositiveInfinity) "Inf"
+    else if (d == Double.NegativeInfinity) "-Inf"
+    else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
   /** Double-quoted with the Go escape set the tokenizer understands. */

@@ -1309,6 +1309,52 @@ class PromQLSpec extends AnyFunSuite {
       assertThrows[PromQLParseException](PromQLParser.parse(bad))
   }
 
+  test("context: a stepped ParamAgg inner (topk) under a subquery keeps " +
+      "bucket_ms as a TIMELINE, not a label; topk/sum match on the " +
+      "shared grain") {
+    val ctx = ctxOf(Seq(
+      Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "b", "us", 10L, 5.0),
+      Row("cpu", "a", "us", H + 1, 3.0), Row("cpu", "b", "us", H + 2, 4.0)))
+    // stepped eval makes topk carry BOTH ts_ms and bucket_ms; treating
+    // bucket_ms as a label duplicated the outer grouping column and threw
+    // AMBIGUOUS_REFERENCE. hourly winners: b(5.0), b(4.0) → daily max 5.0
+    val got = ctx.sql("max_over_time(topk(1, cpu)[1d:1h])",
+        stepMs = Some(24 * H)).collect()
+      .map(r => (r.getString(r.fieldIndex("host")),
+        r.getAs[Double]("value"))).toSet
+    assert(got == Set(("b", 5.0)), got.toString)
+    // topk / sum at the same step: the shared grain (bucket_ms) matches;
+    // the exact lTime == rTime test wrongly rejected the raw ts_ms the
+    // topk side keeps. b's hourly shares: 5/6 and 4/7.
+    val ratio = ctx.sql("topk(1, cpu) / sum(cpu)", stepMs = Some(H))
+      .collect().map(r => (r.getAs[Long]("bucket_ms"),
+        math.rint(r.getAs[Double]("value") * 1e6) / 1e6)).toSet
+    assert(ratio == Set((0L, math.rint(5.0 / 6.0 * 1e6) / 1e6),
+      (H, math.rint(4.0 / 7.0 * 1e6) / 1e6)), ratio.toString)
+  }
+
+  test("context: histogram_quantile coalesces duplicate le-buckets " +
+      "(hidden series sharing projected labels SUM per bucket, " +
+      "Prometheus's coalesceBuckets)") {
+    // two hidden series (dc us/eu, dc NOT projected) with identical le
+    // labels: summed buckets le=1 -> 2+4=6, le=+Inf -> 10+10=20;
+    // q=0.5 rank 10 lands in (1, +Inf] -> clamps to max finite le = 1
+    val ctx2 = new graft.promql.PromQLContext(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("lat", "1", "us", 0L, 2.0), Row("lat", "1", "eu", 0L, 4.0),
+          Row("lat", "+Inf", "us", 0L, 10.0),
+          Row("lat", "+Inf", "eu", 0L, 10.0)), 2), samplesSchema),
+      "m", col("tms"), "v",
+      // le is projected; dc stays a hidden series column
+      Map("le" -> "host"), ordering = Seq(col("tms")),
+      seriesCols = Nil)
+    val got = ctx2.sql("histogram_quantile(0.5, lat)").collect()
+      .map(_.getAs[Double]("value")).toSeq
+    assert(got.length == 1 && math.abs(got.head - 1.0) < 1e-12,
+      s"expected the coalesced-bucket quantile 1.0, got $got")
+  }
+
   test("context: subquery re-evaluates the inner expr on the step timeline") {
     val ctx = ctxOf(Seq(
       Row("cpu", "a", "us", 0L, 1.0), Row("cpu", "a", "us", 10L, 5.0),
@@ -1615,6 +1661,22 @@ class PromQLSpec extends AnyFunSuite {
       """label_join(up, "dst", "-", "a", "b")""",
       """sort_by_label(cpu, "host", "mode")""",
       """sort_by_label_desc(cpu, "host")""",
+      // round-trip regression pins (round 14): non-finite literals must
+      // print as the lexer's Inf/NaN tokens (Java's "Infinity" lexes as
+      // an identifier = a metric selector); histogram_fraction prints its
+      // scalar bounds FIRST (the parser's required order); the
+      // instant-@ desugar prints back as the instant form (the range
+      // spelling loses the +1 ms on reparse); sub-second @ rounds
+      """cpu < Inf""", """cpu == -Inf""", """clamp_max(cpu, Inf)""",
+      """histogram_fraction(0, 0.2, lat)""",
+      """histogram_fraction(-Inf, 0.5, lat)""",
+      """cpu @ 1000""", """cpu @ 1000.001""",
+      """cpu @ start()""", """cpu @ end()""",
+      """cpu offset 5m @ 120""",
+      """last_over_time(cpu[10m] @ 120)""",
+      // trailing comma in a matcher list (Prometheus-legal)
+      """cpu{job="api",}""",
+      """{"http.server.duration",}""",
       // composites
       """sum by (uid) (rate(http_requests{job="x",code=~"5.."}[5m]))""",
       """histogram_quantile(0.9, sum by (le) (rate(lat_bucket[5m]))) > 2""",
