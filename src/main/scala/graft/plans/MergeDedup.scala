@@ -32,7 +32,13 @@ import graft.storage.UpdateMode
   *    `sort(pks)` (the reference's "sorted by time, old → latest" scan
   *    contract, storage.rs:82-84) is satisfied with zero extra work. This
   *    halves the shuffle count of `sortedScan` vs hash-agg-then-sort
-  *    (agg exchange + range exchange → one range exchange).
+  *    (agg exchange + range exchange → one range exchange). Caveat: for
+  *    FLOAT/DOUBLE pks the advertised ordering is over the NORMALIZED
+  *    expressions (-0.0/NaN canonicalization), which a downstream
+  *    `sort(rawPk)` does not semantically match — EnsureRequirements then
+  *    re-adds a range exchange. Integer/string/binary pks (every schema
+  *    the reference exercises) keep the single-exchange plan; a
+  *    float-pk table pays one extra exchange, never a wrong answer.
   *
   * Output rows stay sorted by pk; `outputOrdering` advertises it so Catalyst
   * removes downstream sorts.
@@ -50,6 +56,27 @@ final case class MergeDedup(
   // to strip columns the merge actually consumes (every column participates:
   // pks group, __seq__ orders, values merge). Declare them all.
   override def references: AttributeSet = AttributeSet(child.output)
+  // Append-mode merge REWRITES concat-typed value columns (a pk's chunks
+  // concatenate), so a child constraint like v = 'a' is false on the
+  // output (v may now be 'aa') — inheriting it would let PruneFilters
+  // drop a post-merge filter or InferFiltersFromConstraints plant a wrong
+  // join filter. Keep only constraints that never reference a rewritten
+  // column. Overwrite is safe: every output row IS one input row.
+  override protected lazy val validConstraints:
+      org.apache.spark.sql.catalyst.expressions.ExpressionSet = {
+    if (mode != UpdateMode.Append) child.constraints
+    else {
+      val rewritten = AttributeSet(child.output.filter(a =>
+        !pkNames.contains(a.name) && a.name != seqName &&
+          (a.dataType match {
+            case _: org.apache.spark.sql.types.StringType => true
+            case org.apache.spark.sql.types.BinaryType => true
+            case _: org.apache.spark.sql.types.ArrayType => true
+            case _ => false
+          })))
+      child.constraints.filter(_.references.intersect(rewritten).isEmpty)
+    }
+  }
   override protected def withNewChildInternal(newChild: LogicalPlan): MergeDedup =
     copy(child = newChild)
 }
@@ -148,6 +175,7 @@ final case class MergeDedupExec(
       case (a, i) if !pkNames.contains(a.name) && a.name != seqName &&
         (a.dataType.isInstanceOf[ArrayType] || a.dataType == BinaryType || a.dataType == StringType) => i
     }.toArray
+    val concatSet = concatIdx.toSet
     val keyExprs = normalizedPks
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, out)
@@ -169,14 +197,22 @@ final case class MergeDedupExec(
             acc = new Array[Any](out.length)
             var i = 0
             while (i < out.length) {
-              acc(i) = schema(i) match {
+              // only concat-merged columns accumulate past the first row —
+              // a string/binary PK (or __seq__) takes the plain copy path,
+              // not a per-run ArrayBuffer + re-concat of itself
+              acc(i) = if (!concatSet(i)) {
+                if (row.isNullAt(i)) null
+                else InternalRow.copyValue(row.get(i, schema(i)))
+              } else schema(i) match {
                 case BinaryType => scala.collection.mutable.ArrayBuffer(
                   if (row.isNullAt(i)) null else row.getBinary(i))
                 case StringType => scala.collection.mutable.ArrayBuffer(
                   if (row.isNullAt(i)) null else row.getUTF8String(i).clone())
-                case ArrayType(et, _) => scala.collection.mutable.ArrayBuffer(
+                case ArrayType(_, _) => scala.collection.mutable.ArrayBuffer(
                   if (row.isNullAt(i)) null else row.getArray(i).copy())
-                case dt => if (row.isNullAt(i)) null else InternalRow.copyValue(row.get(i, dt))
+                case dt =>
+                  if (row.isNullAt(i)) null
+                  else InternalRow.copyValue(row.get(i, dt))
               }
               i += 1
             }
@@ -207,7 +243,7 @@ final case class MergeDedupExec(
             val g = new GenericInternalRow(out.length)
             var i = 0
             while (i < out.length) {
-              val v = schema(i) match {
+              val v = if (!concatSet(i)) acc(i) else schema(i) match {
                 case BinaryType =>
                   val parts = acc(i).asInstanceOf[scala.collection.mutable.ArrayBuffer[Array[Byte]]]
                     .filter(_ != null)

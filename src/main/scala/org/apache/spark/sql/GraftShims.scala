@@ -146,6 +146,12 @@ object GraftShims {
     * (extensions are ignored by `getOrCreate` on an existing session). */
   def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
+    // extraStrategies is a plain var: an unsynchronized check-then-append
+    // from concurrent micro-batches (exactly nativeDedupMerge's use case)
+    // could lose a registration and fail planning nondeterministically
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 }

@@ -962,6 +962,33 @@ class StorageSpec extends AnyFunSuite {
     assert(picker.pick(claimed, nowMs = 5L).isEmpty)
   }
 
+  test("append-mode native merge drops child constraints on concat " +
+      "columns: a post-merge filter on the concatenated value survives " +
+      "optimization") {
+    import spark.implicits._
+    // two chunks of one pk, each 'a' — concat merges to "aa"; the child
+    // carries constraint v = 'a' from the pre-merge filter, which must
+    // NOT propagate to the merge output (PruneFilters would then remove
+    // the post-merge filter and return the "aa" row)
+    val df = Seq((1, "a", 1L), (1, "a", 2L), (2, "b", 3L))
+      .toDF("pk", "v", "__seq__")
+    val merged = graft.plans.MergeDedupOps.nativeDedupMerge(
+      df.filter(org.apache.spark.sql.functions.col("v") === "a"),
+      Seq("pk"), UpdateMode.Append, globalSort = false)
+    assert(merged.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "aa")))
+    assert(merged.filter(org.apache.spark.sql.functions.col("v") === "a")
+      .collect().isEmpty,
+      "post-merge filter on a concat column was optimized away")
+    // Overwrite keeps constraints (each output row IS an input row): the
+    // same shape prunes nothing and filters correctly
+    val ow = graft.plans.MergeDedupOps.nativeDedupMerge(
+      df.filter(org.apache.spark.sql.functions.col("v") === "a"),
+      Seq("pk"), UpdateMode.Overwrite, globalSort = false)
+    assert(ow.filter(org.apache.spark.sql.functions.col("v") === "a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("manifest round-trips seqFloor; legacy lines default to id") {
     val root = tmpRoot()
     val m = new Manifest(root)
