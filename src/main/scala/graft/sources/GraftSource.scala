@@ -79,8 +79,11 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    val exists = new Manifest(root,
-      conf = spark.sessionState.newHadoopConf()).storedSchemaJson.isDefined
+    // descriptor-only existence probe: constructing a Manifest replays the
+    // whole snapshot+delta log (and mkdirs the manifest dir as a side
+    // effect) just to ask isDefined
+    val exists = Manifest.readSchemaJson(root,
+      spark.sessionState.newHadoopConf()).isDefined
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         sys.error(s"graft table already exists at $root (mode ErrorIfExists)")
@@ -99,6 +102,11 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
 
 object DefaultSource {
 
+  /** Backtick-quote a raw column name for the Column API — `col("a.b")`
+    * re-parses the dot as struct access. */
+  private[sources] def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private[sources] def rootOf(parameters: Map[String, String]): String =
     parameters.get("root").orElse(parameters.get("path")).getOrElse(
       sys.error("the graft source needs a 'root' (or 'path') option"))
@@ -107,14 +115,12 @@ object DefaultSource {
     * sink micro-batches: resolve-or-create the store from options, evolve
     * the schema for widened frames, align/null-fill the batch, split per
     * segment, commit one (or `buckets`) sorted SSTs per touched segment.
-    * `validate` runs after store resolution but BEFORE any write — the
-    * sink uses it to reject output-mode/table-mode combinations. */
+    * (The sink validates output-mode/table-mode inline in addBatch, where
+    * it caches the resolved store across triggers.) */
   private[sources] def appendBatch(
       spark: org.apache.spark.sql.SparkSession,
-      parameters: Map[String, String], data: DataFrame,
-      validate: TimeMergeStorage => Unit = _ => ()): TimeMergeStorage = {
+      parameters: Map[String, String], data: DataFrame): TimeMergeStorage = {
     val store = resolveStore(spark, parameters, data)
-    validate(store)
     appendTo(store, parameters, data)
     store
   }
@@ -129,8 +135,8 @@ object DefaultSource {
       spark: org.apache.spark.sql.SparkSession,
       parameters: Map[String, String], data: DataFrame): TimeMergeStorage = {
     val root = rootOf(parameters)
-    val exists = new Manifest(root,
-      conf = spark.sessionState.newHadoopConf()).storedSchemaJson.isDefined
+    val exists = Manifest.readSchemaJson(root,
+      spark.sessionState.newHadoopConf()).isDefined
     val store =
       if (exists) {
         // schema evolution on the SQL edge: appending a frame with EXTRA
@@ -141,6 +147,18 @@ object DefaultSource {
         val base = TimeMergeStorage.open(spark, root)
         val extra = data.schema.fields
           .filterNot(f => base.schema.userSchema.fieldNames.contains(f.name))
+        // Spark's analyzer is case-INsensitive by default, but this match
+        // is exact: a batch column differing only in case ("Value" vs the
+        // table's "value") would otherwise "widen" the schema, null-fill
+        // the original column, and leave a table unreadable under the
+        // default resolver (ambiguous columns). Reject it loudly.
+        extra.map(_.name).find(n =>
+            base.schema.userSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
+          .foreach(n => sys.error(
+            s"append batch column '$n' differs only in CASE from an " +
+              "existing table column — rename it; case-colliding columns " +
+              "would make the table unreadable under Spark's default " +
+              "case-insensitive resolver"))
         if (extra.isEmpty) base
         else new TimeMergeStorage(spark, root,
           StorageSchema(
@@ -174,9 +192,10 @@ object DefaultSource {
     // align the batch to the table: reorder by name, null-fill ABSENT
     // nullable value columns (the complement of append-column widening —
     // an old producer keeps writing after the table evolved); primary
-    // keys and the timestamp column must be present
+    // keys and the timestamp column must be present. Names quote (qcol):
+    // a dotted table column must not re-parse as struct access.
     val aligned = data.select(store.schema.userSchema.fields.map { f =>
-      if (data.columns.contains(f.name)) col(f.name)
+      if (data.columns.contains(f.name)) qcol(f.name)
       else {
         require(f.nullable && !store.schema.primaryKeys.contains(f.name) &&
             !store.timestampColumn.contains(f.name),
@@ -184,7 +203,7 @@ object DefaultSource {
         lit(null).cast(f.dataType).as(f.name)
       }
     }.toIndexedSeq: _*)
-    val buckets = parameters.get("buckets").map(_.toInt).getOrElse(1)
+    val buckets = effectiveBuckets(store, parameters)
     def commit(df: DataFrame, range: TimeRange): Unit =
       if (buckets > 1) store.writeBucketed(df, range, buckets)
       else store.write(df, range)
@@ -194,22 +213,64 @@ object DefaultSource {
         // day's batch touches 1-2 segments), not its row count. A null
         // timestamp has no segment: reject it loudly here (Row.getLong
         // would NPE, and the row would otherwise silently miss every
-        // segment's range filter).
-        val segRows = aligned
-          .select(floor(col(ts) / lit(store.segmentMs)).cast("long").as("__seg__"))
-          .distinct().collect()
-        require(!segRows.exists(_.isNullAt(0)),
-          s"append batch contains null $ts values — a row without a " +
-            "timestamp has no segment; filter or default them before writing")
-        val segs = segRows.map(_.getLong(0)).sorted
-        segs.foreach { seg =>
-          val lo = seg * store.segmentMs
-          commit(aligned.filter(col(ts) >= lit(lo) &&
-            col(ts) < lit(lo + store.segmentMs)), TimeRange(lo, lo + store.segmentMs))
-        }
+        // segment's range filter). The batch PERSISTS across the probe +
+        // per-segment filters: a micro-batch whose lineage re-reads the
+        // source would otherwise re-execute once per touched segment.
+        val cached = aligned.persist()
+        try {
+          val segRows = cached
+            .select(TimeMergeStorage.segmentIdColumn(qcol(ts),
+              store.segmentMs).as("__seg__"))
+            .distinct().collect()
+          require(!segRows.exists(_.isNullAt(0)),
+            s"append batch contains null $ts values — a row without a " +
+              "timestamp has no segment; filter or default them before writing")
+          val segs = segRows.map(_.getLong(0)).sorted
+          segs.foreach { seg =>
+            val lo = seg * store.segmentMs
+            commit(cached.filter(qcol(ts) >= lit(lo) &&
+              qcol(ts) < lit(lo + store.segmentMs)),
+              TimeRange(lo, lo + store.segmentMs))
+          }
+        } finally cached.unpersist()
       case None =>
         // no timestamp column: the whole table lives in segment 0
         commit(aligned, TimeRange(0L, store.segmentMs))
+    }
+  }
+
+  /** The table's pk-hash bucket count. Bucket layout is a TABLE property
+    * ("a pk always hashes to the same bucket" is what makes
+    * per-(segment, bucket) compaction complete), so the first bucketed
+    * write PERSISTS it under manifest/buckets.txt and later writers must
+    * agree; INSERTs and optionless appends read it back. The fallback for
+    * pre-marker roots infers max(observed bucket)+1 — best effort only
+    * (an empty top bucket writes no file and under-counts), which is why
+    * the marker exists. */
+  private[sources] def effectiveBuckets(store: TimeMergeStorage,
+      parameters: Map[String, String]): Int = {
+    val markerPath = store.storeFs.path("manifest", "buckets.txt")
+    val persisted =
+      if (!store.storeFs.exists(markerPath)) None
+      else store.storeFs.readLines(markerPath).headOption
+        .map(_.trim.toInt).filter(_ > 0)
+    val declared = parameters.get("buckets").map(_.toInt)
+    (declared, persisted) match {
+      case (Some(d), Some(p)) =>
+        require(d == p, s"buckets=$d conflicts with the table's persisted " +
+          s"bucket layout ($p): the pk-hash layout is physical and cannot " +
+          "change without a rewrite")
+        d
+      case (Some(d), None) =>
+        if (d > 1) {
+          store.storeFs.mkdirs(store.storeFs.path("manifest"))
+          store.storeFs.writeLines(markerPath, Seq(d.toString))
+        }
+        d
+      case (None, Some(p)) => p
+      case (None, None) =>
+        store.manifest.allSsts().map(_.bucket).filter(_ >= 0)
+          .reduceOption(_ max _).map(_ + 1).getOrElse(1)
     }
   }
 }
@@ -266,6 +327,11 @@ final class GraftSink(
   // schema lacks (append-nullable widening re-opens + evolves the
   // descriptor); narrower batches null-fill inside appendTo as usual.
   private var cachedStore: Option[TimeMergeStorage] = None
+  // The compactor too: it owns the grace-deferred delete queue
+  // (deleteGraceMs), so a per-pass instance would abandon parked deletes
+  // to vacuum every tick; one long-lived instance drains them on later
+  // passes. Rebuilt with the store on schema evolution.
+  private var cachedCompactor: Option[graft.storage.Compactor] = None
 
   /** The cached store when it can absorb `batch` (every batch column
     * already in the table schema), else a fresh resolution (first batch,
@@ -329,9 +395,22 @@ final class GraftSink(
         // `ttlMs` = streaming retention: segments whose whole time range
         // is older than now - ttl are deleted wholesale by these same
         // passes (the reference's TTL expiry, applied at the SQL edge).
+        // deleteGraceMs: without it inline compaction physically deletes
+        // its inputs immediately and a concurrent reader of the same root
+        // hits FAILED_READ_FILE mid-query — the exact read-while-compact
+        // race CompactionConfig documents; serving deployments set it
+        // above their longest query
         val cfg = graft.storage.CompactionConfig(
-          ttlMs = parameters.get("ttlMs").map(_.toLong))
-        val compactor = new graft.storage.Compactor(store, cfg)
+          ttlMs = parameters.get("ttlMs").map(_.toLong),
+          deleteGraceMs = parameters.get("deleteGraceMs")
+            .map(_.toLong).getOrElse(0L))
+        val compactor = cachedCompactor
+          .filter(_.storage eq store)
+          .getOrElse {
+            val c = new graft.storage.Compactor(store, cfg)
+            cachedCompactor = Some(c)
+            c
+          }
         // drain: a backlog of micro-batch SSTs can need several passes
         var rounds = 0
         while (compactor.runOnce() && rounds < 8) rounds += 1
@@ -382,10 +461,10 @@ final case class GraftRelation(sqlContext: SQLContext,
     // pk-hash layout (an unbucketed SST would never merge with its
     // bucket-mates under per-(segment, bucket) compaction).
     val named = data.toDF(store.schema.userSchema.fieldNames.toIndexedSeq: _*)
-    val buckets = store.manifest.allSsts().map(_.bucket).filter(_ >= 0)
-      .reduceOption(_ max _).map(_ + 1)
-    DefaultSource.appendTo(store,
-      buckets.map(b => Map("buckets" -> b.toString)).getOrElse(Map.empty), named)
+    // bucket layout comes from the persisted marker (or, pre-marker, the
+    // best-effort manifest inference) inside appendTo — never re-derived
+    // here where an empty top bucket would under-count it
+    DefaultSource.appendTo(store, Map.empty, named)
   }
 
   /** Filters the store evaluates itself (everything translatable — pushed
@@ -466,20 +545,25 @@ final case class GraftRelation(sqlContext: SQLContext,
       if (hi == Long.MaxValue) Long.MaxValue else hi + 1))
   }
 
-  /** sources.Filter → Column, for the shapes the scan can evaluate. */
+  /** sources.Filter → Column, for the shapes the scan can evaluate.
+    * Attribute names QUOTE ([[DefaultSource.qcol]]): Spark hands filters
+    * the raw column name, and bare col("a.b") re-parses the dot as struct
+    * access — a pushed predicate on a dotted column would mis-resolve
+    * (silently wrong rows when a struct field shadows the name) even
+    * though unhandledFilters declared it handled. */
   private def translate(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
+    case EqualTo(a, v) => Some(DefaultSource.qcol(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(DefaultSource.qcol(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(DefaultSource.qcol(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(DefaultSource.qcol(a) >= lit(v))
+    case LessThan(a, v) => Some(DefaultSource.qcol(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(DefaultSource.qcol(a) <= lit(v))
+    case In(a, vs) => Some(DefaultSource.qcol(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(DefaultSource.qcol(a).isNull)
+    case IsNotNull(a) => Some(DefaultSource.qcol(a).isNotNull)
+    case StringStartsWith(a, v) => Some(DefaultSource.qcol(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(DefaultSource.qcol(a).endsWith(v))
+    case StringContains(a, v) => Some(DefaultSource.qcol(a).contains(v))
     case Not(child) => translate(child).map(!_)
     case And(l, r) =>
       for (lc <- translate(l); rc <- translate(r)) yield lc && rc

@@ -129,7 +129,7 @@ final class Picker(cfg: CompactionConfig, segmentMs: Long,
   * inputs+expired) BEFORE physical deletes — after the manifest update no
   * error may surface (reference executor.rs:155-253, commit-order comment at
   * executor.rs:218-219). */
-final class Compactor(storage: TimeMergeStorage, cfg: CompactionConfig) {
+final class Compactor(val storage: TimeMergeStorage, cfg: CompactionConfig) {
   import org.apache.spark.sql.functions._
 
   private val picker = new Picker(cfg, storage.segmentMs, storage.schema.updateMode)

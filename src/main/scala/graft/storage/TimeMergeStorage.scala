@@ -187,7 +187,7 @@ final class TimeMergeStorage(
     // output file must be (the merged read and the footer's
     // sorting-columns stamp both assume per-file pk order).
     writeOptions(stamped.coalesce(1)
-      .sortWithinPartitions(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
+      .sortWithinPartitions(schema.primaryKeys.map(c => TimeMergeStorage.qcol(c).asc_nulls_first): _*)
       .write).mode("overwrite").parquet(tmp.toString)
     val part = partFiles(tmp).headOption
       .getOrElse(sys.error(s"no parquet part written under $tmp"))
@@ -236,8 +236,8 @@ final class TimeMergeStorage(
     // hash-partition directly on the pk columns (repartition re-hashes its
     // expressions — deriving a bucket id first would collide buckets)
     writeOptions(
-      df.repartition(numBuckets, schema.primaryKeys.map(col): _*)
-        .sortWithinPartitions(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
+      df.repartition(numBuckets, schema.primaryKeys.map(TimeMergeStorage.qcol): _*)
+        .sortWithinPartitions(schema.primaryKeys.map(c => TimeMergeStorage.qcol(c).asc_nulls_first): _*)
         .withColumn(SeqCol, lit(batchId))
         .withColumn(ReservedCol, lit(null).cast("long"))
         .write).mode("overwrite").parquet(tmp.toString)
@@ -285,10 +285,11 @@ final class TimeMergeStorage(
     val batchId = allocId()
     val tmp = new HPath(dataDir, s"tmp-seg-$batchId")
     writeOptions(
-      df.withColumn(segCol, floor(col(tsCol) / lit(segmentMs)).cast("long"))
+      df.withColumn(segCol,
+          TimeMergeStorage.segmentIdColumn(TimeMergeStorage.qcol(tsCol), segmentMs))
         .repartition(col(segCol))
         .sortWithinPartitions(col(segCol).asc +:
-          schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
+          schema.primaryKeys.map(c => TimeMergeStorage.qcol(c).asc_nulls_first): _*)
         .withColumn(SeqCol, lit(batchId))
         .withColumn(ReservedCol, lit(null).cast("long"))
         .write).mode("overwrite").partitionBy(segCol).parquet(tmp.toString)
@@ -351,7 +352,7 @@ final class TimeMergeStorage(
       scanWith(req, merge = df => graft.plans.MergeDedupOps.nativeDedupMerge(
         df, schema.primaryKeys, schema.updateMode, globalSort = true))
     else
-      scan(req).sort(schema.primaryKeys.map(c => col(c).asc_nulls_first): _*)
+      scan(req).sort(schema.primaryKeys.map(c => TimeMergeStorage.qcol(c).asc_nulls_first): _*)
 
   /** Merge-on-read DELETE (beyond-ref; the reference's overwrite mode has
     * no delete marker): rows written with `tombstoneCol = true` are delete
@@ -377,7 +378,7 @@ final class TimeMergeStorage(
     }
     val kept = scan(wideReq).filter(!coalesce(col(tombstoneCol), lit(false)))
     req.projection match {
-      case Some(cols) => kept.select(cols.map(col): _*)
+      case Some(cols) => kept.select(cols.map(TimeMergeStorage.qcol): _*)
       case None => kept
     }
   }
@@ -435,15 +436,16 @@ final class TimeMergeStorage(
     var df = spark.read.schema(schema.fullSchema).parquet(ssts.map(_.path): _*)
     if (req.range.start != Long.MinValue || req.range.end != Long.MaxValue)
       timestampColumn.foreach { ts =>
-        df = df.filter(col(ts) >= lit(req.range.start) && col(ts) < lit(req.range.end))
+        df = df.filter(TimeMergeStorage.qcol(ts) >= lit(req.range.start) &&
+          TimeMergeStorage.qcol(ts) < lit(req.range.end))
       }
     preMerge.foreach(p => df = df.filter(p)) // pushed to parquet by Catalyst
-    df = merge(df.select(mergeCols.map(col): _*))
+    df = merge(df.select(mergeCols.map(TimeMergeStorage.qcol): _*))
     postMerge.foreach(p => df = df.filter(p))
     if (req.keepBuiltins)
-      df.select(widened.map(col): _*)
+      df.select(widened.map(TimeMergeStorage.qcol): _*)
         .withColumn(ReservedCol, lit(null).cast("long"))
-    else df.select(userCols.map(col): _*)
+    else df.select(userCols.map(TimeMergeStorage.qcol): _*)
   }
 
   /** The file list a scan will actually read: manifest time pruning, then
@@ -582,6 +584,24 @@ final class TimeMergeStorage(
 
 object TimeMergeStorage {
 
+  /** Backtick-quote a raw column name for the Column API: bare col("a.b")
+    * re-parses the dot as struct access, so every name-derived column in
+    * the scan/merge/write paths must quote or a user column literally
+    * named "a.b" breaks (or silently mis-resolves against a struct). */
+  def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** Exact long segment id — floor(ts / segmentMs) as a COLUMN. The
+    * float shape `floor(col / lit)` converts to double first and loses
+    * exactness past 2^53 (ns-epoch timestamps live there): a boundary
+    * row could round into the neighboring segment, where an exact-long
+    * commit range filter then silently drops it. Integer `div` truncates
+    * toward zero; negatives with a remainder adjust down to floor. */
+  def segmentIdColumn(ts: Column, segmentMs: Long): Column = {
+    val d = call_function("div", ts, lit(segmentMs))
+    when(ts >= 0 || ts % lit(segmentMs) === 0, d).otherwise(d - 1)
+  }
+
   /** Full table descriptor persisted in the manifest: the
     * [[StorageSchema.toJson]] payload plus the table-level physical config
     * (segment duration, timestamp column). Extra fields ride in front of
@@ -671,7 +691,7 @@ object MergeOps {
     require(seqTyped, s"dedupMerge input must carry $SeqCol")
     mode match {
       case UpdateMode.Overwrite =>
-        val packed = struct((valueCols :+ SeqCol).map(col): _*)
+        val packed = struct((valueCols :+ SeqCol).map(TimeMergeStorage.qcol): _*)
         // Order by (seq, orderable values): seq ties cannot occur ACROSS
         // files (ids are unique, sst.rs:39-46) but CAN occur within one
         // write batch — the value tiebreak makes the winner deterministic
@@ -680,10 +700,11 @@ object MergeOps {
         // out of the ordering, matching MergeDedupExec's required ordering.
         val ordering = struct(col(SeqCol) +: valueCols.filter(c =>
           org.apache.spark.sql.catalyst.expressions.RowOrdering
-            .isOrderable(df.schema(c).dataType)).map(col): _*)
-        df.groupBy(pks.map(col): _*)
+            .isOrderable(df.schema(c).dataType)).map(TimeMergeStorage.qcol): _*)
+        df.groupBy(pks.map(TimeMergeStorage.qcol): _*)
           .agg(max_by(packed, ordering).as("__m__"))
-          .select(pks.map(col) ++ (valueCols :+ SeqCol).map(c => col(s"__m__.$c").as(c)): _*)
+          .select(pks.map(TimeMergeStorage.qcol) ++ (valueCols :+ SeqCol)
+            .map(c => col("__m__").getField(c).as(c)): _*)
       case UpdateMode.Append =>
         // ONE sorted run per group, ordered by (seq, orderable v1..vK) — the
         // same full ordering MergeDedupExec sorts runs by, so the two paths
@@ -697,16 +718,16 @@ object MergeOps {
         // skips null buffers, operator.rs:69-89); a group whose chunks are
         // ALL null merges to null, not an empty value.
         import org.apache.spark.sql.catalyst.expressions.RowOrdering
-        val packed = struct((SeqCol +: valueCols).map(col): _*)
+        val packed = struct((SeqCol +: valueCols).map(TimeMergeStorage.qcol): _*)
         val sortCols = SeqCol +: valueCols.filter(c =>
           RowOrdering.isOrderable(df.schema(c).dataType))
         def key(x: Column) = struct(sortCols.map(n => x(n)): _*)
-        val merged = df.groupBy(pks.map(col): _*)
+        val merged = df.groupBy(pks.map(TimeMergeStorage.qcol): _*)
           .agg(array_sort(collect_list(packed), (l, r) =>
             when(key(l) < key(r), lit(-1)).when(key(l) > key(r), lit(1))
               .otherwise(lit(0))).as("__run__"))
         val first = col("__run__").getItem(0)
-        val outCols = pks.map(col) ++ (valueCols.map { c =>
+        val outCols = pks.map(TimeMergeStorage.qcol) ++ (valueCols.map { c =>
           def chunks = filter(transform(col("__run__"), x => x(c)), _.isNotNull)
           df.schema(c).dataType match {
             case BinaryType =>

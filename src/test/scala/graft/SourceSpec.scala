@@ -415,4 +415,63 @@ class SourceSpec extends AnyFunSuite {
     assert(store.manifest.allSsts().forall(_.bucket >= 0))
     assert(spark.read.format("graft").option("root", root).load().count() == 200)
   }
+
+  test("bucket layout is a persisted TABLE property: optionless appends " +
+      "keep it even when the top bucket was empty; a conflicting buckets " +
+      "option rejects") {
+    val root = tmpRoot()
+    // one row: only ONE of the 4 buckets gets a file — the old
+    // max(observed)+1 inference would silently re-hash later appends
+    df(Seq((1, 100L, 10L))).write.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .option("buckets", "4").mode(SaveMode.Append).save()
+    val store = TimeMergeStorage.open(spark, root)
+    assert(store.storeFs.readLines(
+      store.storeFs.path("manifest", "buckets.txt")) == Seq("4"))
+    // optionless append keeps the 4-bucket layout
+    df(Seq((2, 110L, 20L))).write.format("graft")
+      .option("root", root).mode(SaveMode.Append).save()
+    // a conflicting layout is physical — rejected, never silently mixed
+    val e = intercept[Exception] {
+      df(Seq((3, 120L, 30L))).write.format("graft")
+        .option("root", root).option("buckets", "2")
+        .mode(SaveMode.Append).save()
+    }
+    assert(e.getMessage.contains("persisted bucket layout"), e.getMessage)
+  }
+
+  test("a batch column differing only in CASE from a table column is " +
+      "rejected, not silently widened into an unreadable table") {
+    val root = tmpRoot()
+    df(Seq((1, 100L, 10L))).write.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .mode(SaveMode.Append).save()
+    val cased = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2, 110L, 20L)), 1),
+      StructType(Seq(StructField("pk", IntegerType),
+        StructField("tms", LongType), StructField("V", LongType))))
+    val e = intercept[Exception] {
+      cased.write.format("graft").option("root", root)
+        .mode(SaveMode.Append).save()
+    }
+    assert(e.getMessage.contains("differs only in CASE"), e.getMessage)
+  }
+
+  test("pushed filters on a DOTTED column name resolve the column, not a " +
+      "struct path") {
+    val root = tmpRoot()
+    val dotted = StructType(Seq(StructField("pk", IntegerType),
+      StructField("tms", LongType), StructField("a.b", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(Row(1, 100L, 5L), Row(2, 110L, 7L)), 1), dotted)
+      .write.format("graft")
+      .option("root", root).option("numPrimaryKeys", "1")
+      .option("segmentMs", "1000").option("timestampColumn", "tms")
+      .mode(SaveMode.Append).save()
+    val got = spark.read.format("graft").option("root", root).load()
+      .filter(col("`a.b`") === 7L).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(2), got.mkString(";"))
+  }
 }
