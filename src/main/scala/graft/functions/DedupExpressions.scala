@@ -65,16 +65,30 @@ object MinhashSig {
     false
   }
 
+  // Per-k seed-prefix tables, cached per JVM: compute() runs inside the
+  // whole-stage-codegen hot loop, and the prefixes depend only on k — the
+  // per-row rebuild allocated k byte arrays + k strings per document
+  // (the CdcCutBounds.powsCached pattern).
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k, kk => {
+      val p = new Array[Array[Byte]](kk)
+      var i = 0
+      while (i < kk) {
+        p(i) = (i.toString + "|").getBytes(StandardCharsets.UTF_8)
+        i += 1
+      }
+      p
+    })
+
   def compute(text: UTF8String, k: Int): ArrayData = {
     // SQL split(text, ' '): Java split with limit -1 (trailing "" kept);
     // a doc therefore always has >= 1 token, so mins are always populated.
     val toks = text.toString.split(" ", -1)
-    val prefixes = new Array[Array[Byte]](k)
+    val prefixes = prefixesFor(k)
     var i = 0
-    while (i < k) {
-      prefixes(i) = (i.toString + "|").getBytes(StandardCharsets.UTF_8)
-      i += 1
-    }
     val md = MessageDigest.getInstance("MD5") // digest() resets; reused
     val mins = new Array[Array[Byte]](k)
     val seen = new java.util.HashSet[String]()

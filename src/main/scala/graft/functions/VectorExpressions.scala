@@ -26,12 +26,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
-  /** Nullable even over non-null inputs: a LENGTH MISMATCH yields null —
-    * the same answer the composable `aggregate(zip_with(a, b, _*_), …)`
-    * form gives (zip_with null-pads the shorter side and the sum absorbs
-    * the null). Truncating to min(length) instead would hand downstream
-    * ANN a plausible partial similarity for a corrupt or wrong-model
-    * embedding and the data problem would never surface. */
+  /** Nullable even over non-null inputs: a LENGTH MISMATCH or a NULL
+    * ELEMENT yields null — the same answers the composable
+    * `aggregate(zip_with(a, b, _*_), …)` form gives (zip_with null-pads
+    * the shorter side / propagates element nulls and the sum absorbs
+    * them). Treating either as 0.0 instead would hand downstream ANN a
+    * plausible partial similarity for a corrupt, wrong-model, or
+    * partially-backfilled embedding and the data problem would never
+    * surface. */
   override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
@@ -61,6 +63,9 @@ case class FloatDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element must poison the result, not multiply as the 0.0
+      // its zeroed storage slot reads back as
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -84,6 +89,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |  int $n = $l.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ${get(l, left)} * ${get(r, right)};
          |  }
          |  ${ev.value} = $acc;

@@ -1603,6 +1603,19 @@ class PipelineSpec extends AnyFunSuite {
     val c = red(Seq((5000L, 12.0)))
     assert(agg.finish(agg.merge(agg.merge(a2, b2), c)) ==
       agg.finish(agg.merge(a2, agg.merge(b2, c))))
+    // NON-CONTIGUOUS grouping: merging the outer pair FIRST must not bake
+    // in a boundary spanning the middle partial (the collapsed-span buffer
+    // did: merge((P1,P3),P2) returned 12.5 where every contiguous order
+    // returned 10.0)
+    val p1 = red(Seq((1000L, 0.0), (2000L, 10.0)))
+    val p2 = red(Seq((3000L, 20.0), (4000L, 30.0)))
+    val p3 = red(Seq((5000L, 40.0)))
+    val expect = agg.finish(red(Seq((1000L, 0.0), (2000L, 10.0),
+      (3000L, 20.0), (4000L, 30.0), (5000L, 40.0))))
+    assert(expect == 40.0 / 4.0)
+    assert(agg.finish(agg.merge(agg.merge(p1, p3), p2)) == expect)
+    assert(agg.finish(agg.merge(agg.merge(p3, p1), p2)) == expect)
+    assert(agg.finish(agg.merge(p2, agg.merge(p1, p3))) == expect)
   }
 
   test("float_dot returns NULL on length-mismatched vectors (matches the " +
@@ -1620,6 +1633,13 @@ class PipelineSpec extends AnyFunSuite {
     val composable = df.select(aggregate(zip_with(col("a"), col("b"),
       (x, y) => x * y), lit(0.0), (acc, x) => acc + x)).collect()
     assert(composable(0).getDouble(0) == 11.0 && composable(1).isNullAt(0))
+    // a NULL ELEMENT (partially-backfilled embedding) poisons the result
+    // too — its zeroed storage slot must not multiply as 0.0
+    val withNull = Seq((Seq[java.lang.Double](1.0, null, 3.0),
+      Seq[java.lang.Double](1.0, 1.0, 1.0))).toDF("a", "b")
+    val gn = withNull.select(
+      VectorFunctions.floatDot(col("a"), col("b"))).collect()
+    assert(gn(0).isNullAt(0), "null element must yield null, not a partial dot")
   }
 
   test("CDC rolling hash computes the identical cut positions as the " +
