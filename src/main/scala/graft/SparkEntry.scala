@@ -5586,6 +5586,7 @@ object SparkEntry {
       """WITH tc AS (SELECT doc_id, t, count(*) AS c
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |        FROM documents)
+        |  WHERE length(t) > 0
         |  GROUP BY doc_id, t)
         |SELECT doc_id,
         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) + 0.0 AS entropy

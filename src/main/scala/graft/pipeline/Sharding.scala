@@ -29,6 +29,12 @@ object Sharding {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val valCol = "__graft_val__"
+    // the injected column must be NEW: withColumn REPLACES an existing
+    // column in place, and the row builder below assumes the value sits
+    // LAST — a caller frame already carrying this name would silently
+    // shift every column label after the replaced position
+    require(!df.columns.contains(valCol),
+      s"input already carries the internal column $valCol — rename it")
     val safeValue = coalesce(value.cast("long"), lit(0L))
     // ONE exchange total: range partitioning gives globally ordered
     // partitions (equal keys land together), the local sort is bounded per
@@ -90,6 +96,9 @@ object Sharding {
   def packByTokenBudget(df: DataFrame, textCol: String, tokenBudget: Long,
       orderCols: Seq[Column]): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
+    require(!df.columns.contains("n_tokens") && !df.columns.contains("shard"),
+      "input already carries n_tokens/shard — withColumn would silently " +
+        "REPLACE the caller's column; rename it first")
     val withTokens = df.withColumn("n_tokens",
       TextAnalysis.tokenCount(col(textCol)).cast("long"))
     withRunningTotal(withTokens, orderCols, col("n_tokens"), "__cum__")
@@ -140,6 +149,8 @@ object Sharding {
     * global-sort anti-pattern this module exists to avoid. */
   def shufflePositions(df: DataFrame, idCol: String, seed: String): DataFrame = {
     val keyCol = "__graft_shuf__"
+    require(!df.columns.contains(keyCol),
+      s"input already carries the internal column $keyCol — rename it")
     withRunningTotal(
       df.withColumn(keyCol, md5(concat(col(idCol).cast("string"), lit(seed)))),
       Seq(col(keyCol), col(idCol)), lit(1L), "__pos1__")

@@ -31,7 +31,11 @@ object Sketches {
     * (bucket, max_rho) for OCCUPIED buckets only — the merge-able sketch
     * state (union of corpora = max per bucket). */
   def hllRegisters(df: DataFrame, key: Column): DataFrame =
-    df.select(hllBucket(key).as("bucket"), hllRho(key).as("rho"))
+    // null keys have no hash: md5(null) is null, and a null (bucket, rho)
+    // row would count as an occupied register in hllEstimate while its
+    // null rho drops out of the power sum — estimate biased high
+    df.filter(key.isNotNull)
+      .select(hllBucket(key).as("bucket"), hllRho(key).as("rho"))
       .groupBy("bucket").agg(max("rho").as("max_rho"))
 
   /** Grouped HLL registers: an independent register set per value of
@@ -40,7 +44,8 @@ object Sketches {
     * 100 TB corpus with a bounded dimension keys a registers-sized shuffle,
     * never a distinct-sized one. */
   def hllRegistersBy(df: DataFrame, group: Column, key: Column): DataFrame =
-    df.select(group.as("group"), hllBucket(key).as("bucket"),
+    df.filter(key.isNotNull) // see hllRegisters
+      .select(group.as("group"), hllBucket(key).as("bucket"),
         hllRho(key).as("rho"))
       .groupBy("group", "bucket").agg(max("rho").as("max_rho"))
 
@@ -76,9 +81,14 @@ object Sketches {
       .select(col("n_used"), col("n_empty"),
         (lit(alpha * m.toDouble * m) / col("__sum__")).as("__raw__"))
       .select(col("n_used"), col("n_empty"),
-        round(when(col("__raw__") <= 2.5 * m && col("n_empty") > 0,
+        // an EMPTY registers frame makes sum() null, which would ripple a
+        // null estimate out of both when-branches — the correct answer is
+        // the linear-counting value m·ln(m/m) = 0
+        round(coalesce(
+          when(col("__raw__") <= 2.5 * m && col("n_empty") > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty")))
-          .otherwise(col("__raw__")), 3).as("estimate"))
+            .otherwise(col("__raw__")),
+          lit(0.0)), 3).as("estimate"))
   }
 
   /** Per-group HLL estimates from a [[hllRegistersBy]] frame — the same
@@ -129,6 +139,10 @@ object Sketches {
   def cmsCells(df: DataFrame, key: Column, depth: Int = 4,
       width: Int = 32): DataFrame = {
     require(width <= 256, "width > 256 needs more than one hash byte")
+    require(256 % width == 0,
+      s"width must divide 256 (got $width): the cell index is a uniform " +
+        "byte % width, and a non-divisor biases low cells (3/256 vs " +
+        "2/256 per cell at width 100), inflating estimates past the CMS bound")
     df.select(explode(cmsPositions(key, depth, width)).as("c"))
       .select(col("c.row_id"), col("c.pos"))
       .groupBy("row_id", "pos").agg(count(lit(1)).as("cnt"))
@@ -164,6 +178,10 @@ object Sketches {
   def bloomBuild(members: DataFrame, key: Column, numBits: Int = 8192,
       k: Int = 4): DataFrame = {
     require(numBits % 32 == 0 && numBits <= 65536, s"bad numBits $numBits")
+    require(65536 % numBits == 0,
+      s"numBits must divide 65536 (got $numBits): positions come from a " +
+        "uniform 16-bit hash % numBits, and a non-divisor biases low bits, " +
+        "raising the false-positive rate past the documented bound")
     members.select(explode(bloomPositions(key, numBits, k)).as("pos"))
       .select((col("pos") / 32).cast("long").as("word_idx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
@@ -313,7 +331,11 @@ object Sketches {
       .cast("long")
     val bottomK = udaf(new KmvAggregator(k),
       org.apache.spark.sql.Encoders.scalaLong)
-    df.select(group.as("group"), h.as("h"))
+    // null keys hash to null, which the primitive-Long aggregator input
+    // would decode as 0 — the smallest possible hash, a phantom minimum
+    // that permanently occupies the bottom-k and skews every estimate
+    df.filter(key.isNotNull)
+      .select(group.as("group"), h.as("h"))
       .groupBy("group").agg(bottomK(col("h")).as("hs"))
   }
 

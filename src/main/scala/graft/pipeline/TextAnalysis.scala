@@ -160,17 +160,21 @@ object TextAnalysis {
     val prefix = regexp_replace(lower(regexp_extract(noFrag, hostRe, 0)),
       ":(443|80)$", "")
     val joined = concat(prefix, regexp_replace(noFrag, hostRe, ""))
-    val noTrack = regexp_replace(joined,
-      "[?&](utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", "")
-    // Re-anchor the query string ONLY when stripping a leading '?utm_…='
-    // actually removed the '?': the FIRST remaining '&' becomes '?'
-    // ([^?&]* is the first-& anchor; a greedy [^?]* would rewrite the
-    // LAST one). An unconditional rewrite would corrupt URLs whose PATH
-    // legally contains '&' and never had a query string ('/a&b' and
-    // '/a?b' must stay distinct canonical keys).
-    val reanchored = when(joined.contains("?") && !noTrack.contains("?"),
-      regexp_replace(noTrack, "^([^?&]*)&", "$1?")).otherwise(noTrack)
-    regexp_replace(reanchored, "[?&]$", "")
+    // Strip tracking params WITHIN the query string only — the path is
+    // split off first because '&' is legal there: stripping '?utm_x=1'
+    // from '/a&b?utm_x=1&c=2' and then re-anchoring "the first &" would
+    // rewrite the PATH's '&' into '?', colliding with the genuinely
+    // different '/a?b&c=2' and splitting from its own tracking-free twin.
+    val path = regexp_extract(joined, "^([^?]*)", 1)
+    val query = regexp_extract(joined, "^[^?]*\\?(.*)$", 1)
+    // non-leading '&param=v' occurrences drop, then the (single possible)
+    // leading tracking param with its trailing '&'
+    val q1 = regexp_replace(query,
+      "&(utm_[a-zA-Z]+|gclid|fbclid)=[^&]*", "")
+    val q2 = regexp_replace(q1,
+      "^(utm_[a-zA-Z]+|gclid|fbclid)=[^&]*&?", "")
+    when(joined.contains("?") && q2 =!= "", concat(path, lit("?"), q2))
+      .otherwise(path)
   }
 
   /** Registrable domain of a URL (the per-site key for domain caps and
@@ -186,21 +190,18 @@ object TextAnalysis {
       .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
   }
 
-  /** Corpus vocabulary: the `k` most frequent tokens with their counts,
-    * ties broken by token string so the cut is deterministic. One explode
-    * feeding one hash aggregation (partial aggregation collapses per-token
-    * rows map-side), then a global top-k — TakeOrdered (per-partition heads
-    * merged on the driver), never a single-partition sort, so the shape
-    * holds at 100 TB where the distinct-token set still fits a driver merge
-    * of k-row heads. */
   /** Shannon entropy (bits) of the document's whitespace-token
     * distribution — the standard gibberish-vs-natural-text quality signal
-    * (low = repetitive, high = diverse). Computed as
+    * (low = repetitive, high = diverse). Empty tokens from repeated
+    * whitespace are EXCLUDED, matching [[unigramNll]]/[[bigramNll]] — the
+    * quality signals must agree on what a token is, or space-padded
+    * repetition reads as diversity here and degeneracy there. Computed as
     * `log2(n) - Σ c·log2(c) / n` so it needs only per-(doc, token) counts
     * and ONE further aggregation — two map-side-combinable shuffles total,
     * never a per-doc collect. */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(
         sum("c").as("__n__"),
@@ -273,6 +274,13 @@ object TextAnalysis {
         round(-avg(log2(p)), 4).as("nll_bits"))
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with their counts,
+    * ties broken by token string so the cut is deterministic. One explode
+    * feeding one hash aggregation (partial aggregation collapses per-token
+    * rows map-side), then a global top-k — TakeOrdered (per-partition heads
+    * merged on the driver), never a single-partition sort, so the shape
+    * holds at 100 TB where the distinct-token set still fits a driver merge
+    * of k-row heads. */
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
@@ -281,11 +289,15 @@ object TextAnalysis {
 
   /** Top-`k` characteristic terms per document by rarity-weighted term
     * frequency: `score = tf * N / df` — TF-IDF with the raw inverse
-    * document frequency in place of its log. The ranking per document is
-    * IDENTICAL to classic TF-IDF (log is monotone in N/df), and unlike
-    * `ln()`, the score is one exact-integer multiply and one IEEE divide,
-    * bit-identical across engines — a libm `ln` can differ in the last ulp
-    * and flip a rank.
+    * document frequency in place of its log. This is a DELIBERATE scheme
+    * choice, not a rank-preserving rewrite of the classic form: log is
+    * monotone, so ranks agree wherever tf is equal, but across DIFFERENT
+    * tf values the linear rarity weight favors rare terms more than
+    * `tf·log(N/df)` does (tf=1,df=2 can outrank tf=4,df=15 here and not
+    * classically). The trade bought: the score is one exact-integer
+    * multiply and one IEEE divide, bit-identical across engines — a libm
+    * `ln` can differ in the last ulp and flip a rank between Spark and an
+    * oracle engine.
     *
     * Shapes at 100 TB: (doc, term) tf is one shuffle with map-side partial
     * aggregation; df is a count window over the term partition of the SAME
@@ -472,7 +484,13 @@ object TextAnalysis {
     * [[tokenCount]]-budgeted packing downstream ([[graft.pipeline.Sharding]]).
     * For content-defined (shift-robust) boundaries use
     * [[graft.pipeline.Dedup.cdcChunks]] instead — this one is for fixed
-    * context windows, that one for dedup-stable chunk identity. */
+    * context windows, that one for dedup-stable chunk identity.
+    *
+    * NULL-text documents emit ZERO chunk rows (there is nothing to
+    * chunk) — per-chunk output, unlike the per-doc metric operators
+    * which keep the row with null metrics; callers that must account
+    * for every input document anti-join the output ids against the
+    * corpus. */
   def slidingChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0,

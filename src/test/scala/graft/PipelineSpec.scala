@@ -906,7 +906,12 @@ class PipelineSpec extends AnyFunSuite {
       (1L, "HTTPS://WWW.Example.COM:443/A/b?utm_source=x&q=1&fbclid=z#frag"),
       (2L, "https://www.example.com/A/b?q=1"),                // same page
       (3L, "http://Site.CO.UK:80/?utm_campaign=c"),
-      (4L, "https://a.b.example.org/path")).toDF("id", "url")
+      (4L, "https://a.b.example.org/path"),
+      // '&' is legal in a PATH: stripping the leading '?utm_x=1' must not
+      // rewrite the path's '&' into '?' (that would split this URL from
+      // its tracking-free twin AND collide it with /a?b&c=2)
+      (5L, "http://h/a&b?utm_x=1&c=2"),
+      (6L, "http://h/a&b?c=2")).toDF("id", "url")
     val out = urls.select(col("id"),
         TextAnalysis.canonicalizeUrl(col("url")).as("c"),
         TextAnalysis.registrableDomain(col("url")).as("d"))
@@ -916,6 +921,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L)._2 == "example.com")
     assert(out(3L) == (("http://site.co.uk/", "site.co.uk")))
     assert(out(4L)._2 == "example.org")
+    // the path-'&' + leading-tracking-param combination: the canonical
+    // form keeps the path intact and both twins share one key
+    assert(out(5L)._1 == "http://h/a&b?c=2", out(5L)._1)
+    assert(out(5L)._1 == out(6L)._1)
     // a literal '&' in a PATH (no query string anywhere) must survive —
     // '/a&b' and '/a?b' are different pages, never one dedup key; and
     // stripping a leading tracking param re-anchors the FIRST remaining
