@@ -33,6 +33,9 @@ object Graphs {
   def pageRank(edges: DataFrame, iterations: Int = 5, dampingPct: Int = 85,
       unit: Long = 1000000000000L, checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 1 && dampingPct >= 1 && dampingPct <= 99)
+    require(checkpointEvery >= 1,
+      "checkpointEvery must be >= 1 (use a value above `iterations` to " +
+        "never checkpoint)")
     // Materialize the edge plan ONCE before anything derives from it:
     // nodes (union+distinct reads it twice) and the degree join (twice
     // more) otherwise recompute a possibly-expensive upstream plan — an
@@ -50,7 +53,15 @@ object Graphs {
     for (i <- 1 to iterations) {
       val inflow = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"),
-          expr(s"rank * $dampingPct div 100 div __deg__").as("__c__"))
+          // the multiply widens through DECIMAL: a hub whose rank exceeds
+          // ~1.1e17 micro-units (a ~10^5-spoke star after one iteration)
+          // would overflow `rank * pct` in long — ANSI mode throws, and
+          // non-ANSI silently corrupts ranks. Floor-division semantics are
+          // unchanged, so results are bit-identical where long sufficed.
+          // (Total mass is ~n_nodes * unit; pick `unit` so that stays
+          // under 2^63 — the per-dst SUM is still a long.)
+          expr(s"CAST(rank AS DECIMAL(38,0)) * $dampingPct div 100 div __deg__")
+            .as("__c__"))
         .groupBy("id").agg(sum("__c__").as("__in__"))
       ranks = nodes.join(inflow, Seq("id"), "left")
         .select(col("id"),

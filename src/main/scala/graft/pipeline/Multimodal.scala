@@ -133,9 +133,13 @@ object Multimodal {
       col(idCol).cast("long").as("media_id"),
       col(binCol).as("payload"),
       struct(
+        // mime rides imageFormat's dispatch so every format the
+        // width/height decode understands (BMP/PNG/GIF/WebP) gets a
+        // consistent mime — the old two-format coalesce predated the
+        // GIF/WebP decoders and left their mime as the caller fallback
         coalesce(
-          when(isBmp(col(binCol)), lit("image/bmp")),
-          when(isPng(col(binCol)), lit("image/png")),
+          when(imageFormat(col(binCol)).isNotNull,
+            concat(lit("image/"), imageFormat(col(binCol)))),
           lit(mime)).as("mime"),
         length(col(binCol)).cast("long").as("n_bytes"),
         imageWidth(col(binCol)).as("width"),
@@ -179,34 +183,41 @@ object Multimodal {
   /** Decode one payload to its feature vector (see [[extractFeatures]]). */
   def decodeFeatures(payload: Array[Byte]): Array[Double] =
     if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M' && {
-      // corrupt headers can claim absurd dims — a row must actually fit
+      // corrupt headers can claim absurd dims — a row must actually fit,
+      // and the offset must be non-negative (a 0x80000000 offset field
+      // would otherwise pass the long sum and index negatively below)
       val w0 = leIntAt(payload, 18)
       val b0 = (u(payload(28)) | (u(payload(29)) << 8)) / 8
-      w0 > 0 && b0 > 0 &&
+      w0 > 0 && b0 > 0 && leIntAt(payload, 10) >= 0 &&
         leIntAt(payload, 10).toLong + ((b0.toLong * w0 + 3) / 4) * 4 <= payload.length
     }) {
       val dataOffset = leIntAt(payload, 10)
       val w = leIntAt(payload, 18)
       val hRaw = leIntAt(payload, 22)
-      val h = math.abs(hRaw)
+      val h = math.abs(hRaw.toLong)
       val bpp = (u(payload(28)) | (u(payload(29)) << 8))
       val bytesPerPx = bpp / 8
-      val rowSize = ((bytesPerPx * w + 3) / 4) * 4 // rows pad to 4 bytes
+      // LONG row arithmetic: an unvalidated height near 2^31 with int
+      // row*rowSize would wrap negative and crash; rows past the payload
+      // contribute nothing, so the walk stops at the first one instead
+      // of spinning bounds-checked no-ops for billions of declared rows
+      val rowSize = ((bytesPerPx.toLong * w + 3) / 4) * 4
       var sumAll = 0.0
       var sumC0 = 0.0
       var n = 0L
-      var row = 0
-      while (row < h) {
-        val base = dataOffset + row * rowSize
+      var row = 0L
+      var base = dataOffset.toLong
+      while (row < h && base < payload.length) {
         var x = 0
-        while (x < w * bytesPerPx && base + x < payload.length) {
-          val v = u(payload(base + x))
+        while (x < w * bytesPerPx.toLong && base + x < payload.length) {
+          val v = u(payload((base + x).toInt))
           sumAll += v
           if (x % bytesPerPx == 0) sumC0 += v // channel 0 = blue in BGR
           n += 1
           x += 1
         }
         row += 1
+        base += rowSize
       }
       val px = if (n == 0) 1.0 else n.toDouble
       Array(w.toDouble, h.toDouble, sumAll / px / 255.0,
@@ -322,12 +333,15 @@ object Multimodal {
     var bits = 0
     var rms = 0.0
     var frames = 0L
-    var off = 12
+    // LONG cursor: a declared size near 2^31 must walk PAST the payload
+    // end and stop, not wrap the int cursor negative and crash the
+    // bounds check ("torn/adversarial size field" is this walk's contract)
+    var off = 12L
     while (off + 8 <= payload.length) {
-      val cid = new String(payload, off, 4, "US-ASCII")
-      val size = leIntAt(payload, off + 4)
+      val cid = new String(payload, off.toInt, 4, "US-ASCII")
+      val size = leIntAt(payload, off.toInt + 4)
       if (size < 0) return (channels, rate, frames, rms) // torn/adversarial
-      val body = off + 8
+      val body = off.toInt + 8
       cid match {
         case "fmt " if body + 16 <= payload.length =>
           channels = u(payload(body + 2)) | (u(payload(body + 3)) << 8)
@@ -347,7 +361,7 @@ object Multimodal {
           if (n > 0) rms = math.sqrt(sumSq / n) / 32768.0
         case _ => ()
       }
-      off = body + size + (size & 1) // RIFF chunks pad to even
+      off = body.toLong + size + (size & 1) // RIFF chunks pad to even
     }
     (channels, rate, frames, rms)
   }
@@ -403,23 +417,25 @@ object Multimodal {
         payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'A' ||
         payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ')
       return (0, 0, 0L, 0.0)
-    var off = 12
+    // LONG cursors — see decodeAudio: declared sizes near 2^31 must not
+    // wrap the walk negative
+    var off = 12L
     while (off + 8 <= payload.length) {
-      val cid = new String(payload, off, 4, "US-ASCII")
-      val size = leIntAt(payload, off + 4)
+      val cid = new String(payload, off.toInt, 4, "US-ASCII")
+      val size = leIntAt(payload, off.toInt + 4)
       if (size < 0) return (0, 0, 0L, 0.0) // torn/adversarial size field
-      val body = off + 8
+      val body = off.toInt + 8
       if (cid == "LIST" && body + 4 <= payload.length &&
           new String(payload, body, 4, "US-ASCII") == "hdrl") {
-        var in = body + 4
+        var in = body + 4L
         // the declared list size is untrusted: clamp to the real payload
-        val end = math.min(body + size, payload.length)
+        val end = math.min(body.toLong + size, payload.length.toLong)
         while (in + 8 <= end) {
-          val sub = new String(payload, in, 4, "US-ASCII")
-          val subSize = leIntAt(payload, in + 4)
+          val sub = new String(payload, in.toInt, 4, "US-ASCII")
+          val subSize = leIntAt(payload, in.toInt + 4)
           if (subSize < 0) return (0, 0, 0L, 0.0)
           if (sub == "avih" && in + 8 + 40 <= payload.length) {
-            val base = in + 8
+            val base = in.toInt + 8
             val usPerFrame = leIntAt(payload, base)
             val frames = leIntAt(payload, base + 16).toLong
             val w = leIntAt(payload, base + 32)
@@ -427,10 +443,10 @@ object Multimodal {
             val fps = if (usPerFrame > 0) 1e6 / usPerFrame else 0.0
             return (w, h, frames, fps)
           }
-          in += 8 + subSize + (subSize & 1)
+          in += 8L + subSize + (subSize & 1)
         }
       }
-      off = body + size + (size & 1)
+      off = body.toLong + size + (size & 1)
     }
     (0, 0, 0L, 0.0)
   }
@@ -589,30 +605,32 @@ object Multimodal {
         payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ')
       return Nil
     val out = Seq.newBuilder[(Int, Long, Int)]
-    var off = 12
+    // LONG cursors — see decodeAudio: declared sizes near 2^31 must not
+    // wrap the walk negative
+    var off = 12L
     while (off + 8 <= payload.length) {
-      val cid = new String(payload, off, 4, "US-ASCII")
-      val size = leIntAt(payload, off + 4)
+      val cid = new String(payload, off.toInt, 4, "US-ASCII")
+      val size = leIntAt(payload, off.toInt + 4)
       if (size < 0) return out.result() // torn/adversarial size field
-      val body = off + 8
+      val body = off.toInt + 8
       if (cid == "LIST" && body + 4 <= payload.length &&
           new String(payload, body, 4, "US-ASCII") == "movi") {
-        var in = body + 4
+        var in = body + 4L
         var idx = 0
         // the declared list size is untrusted: clamp to the real payload
-        val end = math.min(body + size, payload.length)
+        val end = math.min(body.toLong + size, payload.length.toLong)
         while (in + 8 <= end) {
-          val sub = new String(payload, in, 4, "US-ASCII")
-          val subSize = leIntAt(payload, in + 4)
+          val sub = new String(payload, in.toInt, 4, "US-ASCII")
+          val subSize = leIntAt(payload, in.toInt + 4)
           if (subSize < 0) return out.result()
           if (sub == "00dc" || sub == "00db") {
-            if (idx % every == 0) out += ((idx, (in + 8).toLong, subSize))
+            if (idx % every == 0) out += ((idx, in + 8, subSize))
             idx += 1
           }
-          in += 8 + subSize + (subSize & 1) // odd chunks pad one byte
+          in += 8L + subSize + (subSize & 1) // odd chunks pad one byte
         }
       }
-      off = body + size + (size & 1)
+      off = body.toLong + size + (size & 1)
     }
     out.result()
   }
@@ -648,32 +666,36 @@ object Multimodal {
       return (0, 0, 0.0)
     val dataOffset = leIntAt(payload, 10)
     val w = leIntAt(payload, 18)
-    val h = math.abs(leIntAt(payload, 22))
+    val h = math.abs(leIntAt(payload, 22).toLong)
     val bytesPerPx = (u(payload(28)) | (u(payload(29)) << 8)) / 8
-    val rowSize = ((bytesPerPx * w + 3) / 4) * 4
+    // LONG arithmetic throughout: a crafted bpp*w can overflow an int
+    // rowSize negative (passing the fit guard), and a 0x80000000 offset
+    // or huge height would index negatively / spin billions of no-ops
+    val rowSize = ((bytesPerPx.toLong * w + 3) / 4) * 4
     // corrupt headers can claim absurd dims: a row must actually fit, or
     // the bounds-guarded loops would spin over millions of no-op indexes
-    if (w <= 0 || h <= 0 || bytesPerPx <= 0 ||
+    if (w <= 0 || h <= 0 || bytesPerPx <= 0 || dataOffset < 0 ||
         dataOffset.toLong + rowSize > payload.length) return (0, 0, 0.0)
-    val (w2, h2) = (w / 2, h / 2)
+    val (w2, h2) = (w / 2, (h / 2).min(Int.MaxValue.toLong).toInt)
     var sum = 0.0
     var cnt = 0L
     var ry = 0
-    while (ry < h2) {
-      val base = dataOffset + (2 * ry) * rowSize
+    var rowBase = dataOffset.toLong
+    while (ry < h2 && rowBase < payload.length) {
       var rx = 0
       while (rx < w2) {
         var c = 0
         while (c < bytesPerPx) {
-          val p = base + 2 * rx * bytesPerPx + c
-          if (p < payload.length) { sum += u(payload(p)); cnt += 1 }
+          val p = rowBase + 2L * rx * bytesPerPx + c
+          if (p < payload.length) { sum += u(payload(p.toInt)); cnt += 1 }
           c += 1
         }
         rx += 1
       }
       ry += 1
+      rowBase += 2L * rowSize
     }
-    (w2, h2, if (cnt == 0) 0.0 else sum / cnt / 255.0)
+    ((w / 2), h2, if (cnt == 0) 0.0 else sum / cnt / 255.0)
   }
 
   /** 64-bit difference hash (dHash) — the standard perceptual image
@@ -689,17 +711,19 @@ object Multimodal {
     if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return null
     val dataOffset = leIntAt(payload, 10)
     val w = leIntAt(payload, 18)
-    val h = math.abs(leIntAt(payload, 22))
+    val h = math.abs(leIntAt(payload, 22).toLong)
     val bytesPerPx = (u(payload(28)) | (u(payload(29)) << 8)) / 8
-    val rowSize = ((bytesPerPx * w + 3) / 4) * 4
-    if (w <= 0 || h <= 0 || bytesPerPx <= 0 ||
+    // LONG arithmetic — see resizeBmp: crafted headers must degrade to
+    // the documented null/zero-contribution, never a negative index
+    val rowSize = ((bytesPerPx.toLong * w + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || bytesPerPx <= 0 || dataOffset < 0 ||
         dataOffset.toLong + rowSize > payload.length) return null
-    def luma(fy: Int, fx: Int): Int = {
+    def luma(fy: Long, fx: Long): Int = {
       val p = dataOffset + fy * rowSize + fx * bytesPerPx
       var s = 0
       var c = 0
       while (c < bytesPerPx) {
-        if (p + c < payload.length) s += u(payload(p + c))
+        if (p + c < payload.length) s += u(payload((p + c).toInt))
         c += 1
       }
       s
@@ -710,7 +734,7 @@ object Multimodal {
       val fy = r * h / 8
       var c = 0
       while (c < 8) {
-        if (luma(fy, c * w / 9) < luma(fy, (c + 1) * w / 9))
+        if (luma(fy, c.toLong * w / 9) < luma(fy, (c + 1).toLong * w / 9))
           hash |= 1L << (r * 8 + c)
         c += 1
       }

@@ -514,6 +514,15 @@ class PipelineSpec extends AnyFunSuite {
     val pr2 = graft.pipeline.Graphs.pageRank(edges.repartition(7), 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pr2 == pr) // exact integer arithmetic: layout-independent
+    // a hub whose rank passes ~1.1e17 micro-units: `rank * pct` overflows
+    // a long (ANSI throws) — the decimal-widened multiply must survive
+    val star = ((1L to 100L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val big = graft.pipeline.Graphs.pageRank(star, iterations = 3,
+      unit = 2000000000000000L)
+    assert(big.count() == 101)
+    // checkpointEvery = 0 is a config error, not a division-by-zero crash
+    intercept[IllegalArgumentException](
+      graft.pipeline.Graphs.pageRank(edges, checkpointEvery = 0))
   }
 
   test("random projection: deterministic per seed, linear, and shaped " +
@@ -1400,6 +1409,46 @@ class PipelineSpec extends AnyFunSuite {
       assert(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF) == ((r0, g0, b0)),
         s"pixel(0,0) id=$id png=$png")
     }
+  }
+
+  test("crafted binary headers degrade to the documented zeros/null — " +
+      "never a negative index, an int overflow, or a multi-billion-row spin") {
+    import graft.pipeline.Multimodal
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmp(off: Int, w: Int, h: Int, bpp: Short): Array[Byte] = {
+      val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte)
+      b.position(10); b.putInt(off)
+      b.position(18); b.putInt(w); b.putInt(h)
+      b.position(28); b.putShort(bpp)
+      b.array()
+    }
+    // 0x80000000 data offset: long-sum guards alone pass it; must be null
+    assert(Multimodal.dHashBmp(bmp(Int.MinValue, 4, 4, 24)) == null)
+    assert(Multimodal.resizeBmp(bmp(Int.MinValue, 4, 4, 24)) == ((0, 0, 0.0)))
+    // int-overflowing rowSize (bpp 0xFFF8 over a wide image)
+    assert(Multimodal.dHashBmp(bmp(54, 300000, 4, 0xFFF8.toShort)) == null)
+    assert(Multimodal.resizeBmp(bmp(54, 300000, 4, 0xFFF8.toShort)) ==
+      ((0, 0, 0.0)))
+    // a claimed height of 2^31-1 with one real row: the walks must stop
+    // at the payload end, not iterate billions of bounds-checked no-ops
+    val tall = bmp(54, 2, Int.MaxValue, 24)
+    val t0 = System.nanoTime()
+    Multimodal.dHashBmp(tall)
+    Multimodal.decodeFeatures(tall)
+    Multimodal.resizeBmp(tall)
+    assert((System.nanoTime() - t0) < 5e9, "crafted-height decode spun")
+    // RIFF chunk declaring size 0x7FFFFFF0: the walk cursor must not wrap
+    def riff(kind: String): Array[Byte] = {
+      val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put(kind.getBytes("US-ASCII"))
+      b.put("junk".getBytes("US-ASCII")).putInt(0x7FFFFFF0)
+      b.array()
+    }
+    assert(Multimodal.decodeAudio(riff("WAVE")) == ((0, 0, 0L, 0.0)))
+    assert(Multimodal.decodeVideoMeta(riff("AVI ")) == ((0, 0, 0L, 0.0)))
+    assert(Multimodal.sampleFrames(riff("AVI "), 1) == Nil)
   }
 
   test("WAV audio decode: chunk walk + PCM samples match the formula, " +
