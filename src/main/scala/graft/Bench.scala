@@ -71,46 +71,10 @@ object Bench {
             .count().count(); ()
         }))
     }
-    // pre-suite canary pass — bracketed with the post-suite pass below
-    val canaryBefore = canaryWork.map { case (n, w) =>
-      val t = medianOf3(w); System.gc(); n -> t
-    }
-    // Streaming run-to-completion entries (bounded file-stream → memory
-    // sink) time Structured Streaming's micro-batch startup/teardown — a
-    // fixed multi-second overhead independent of data volume — not engine
-    // throughput. They stay correctness-gate-only unless named explicitly.
-    val streamingOnly = Set("sd1_stream_dedup", "sa1_promql_stream",
-      "sl1_live_last", "sc1_stream_chunks", "sr1_stream_rate",
-      "ss1_stream_sessions", "si1_stream_ingest", "si2_sink_ingest",
-      "sj1_stream_join", "sh1_stream_hll", "sq1_stream_quantiles",
-      "sj2_stream_enrich")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) =>
-        if (only.isEmpty) !streamingOnly(name) else only(name) }
-      .map { case (name, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      val samples = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // Steady-state hygiene (r3 post-mortem): prefix-sum and connected-
-      // components leave localCheckpoint blocks pinned until driver GC;
-      // across 66 queries × 3 runs the block manager churns and the
-      // late-alphabet queries time storage eviction instead of their plans
-      // (official r3: ttl1 6.85 s vs 0.33 s isolated). Drop every
-      // persistent RDD the query created, keep the one-time caches, and
-      // collect the driver-side garbage between queries — all untimed.
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!keep.contains(id)) rdd.unpersist(blocking = true)
-      }
-      System.gc()
-      name -> samples.sorted.apply(1) // median of 3
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // locale-pinned 2-decimal format: f"%.2f" renders "1,23" on
+    // comma-decimal locales, which breaks the JSON consumers
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
     // Canary anchors + ratio helper, hoisted above the 10× lane so the
     // lane can bracket itself with the same yardstick (round 14).
@@ -149,11 +113,15 @@ object Bench {
     // well above 10 is super-linear and gets a plan diff in SCALE.md.
     // Engine histogram/OTLP fixtures (nh*, ro7/ro8, otlp*) stay out —
     // their inputs are fixed wire-format fixtures, not dir tables. The
-    // lane sits INSIDE the suite's canary bracket AND carries its own
-    // bracket (sf1_canary_ratio): the r13 driver run showed multi-job
-    // lane entries inflated up to 17× by host contention DURING the lane
-    // while the suite-level canaries stayed ≈1 — a contended lane must be
-    // detectable on the artifact itself. Skip with SPARK_GRAFT_SF1=0.
+    // lane carries its own canary bracket (sf1_canary_ratio): the r13
+    // driver run showed multi-job lane entries inflated up to 17× by host
+    // contention DURING the lane while the suite-level canaries stayed ≈1
+    // — a contended lane must be detectable on the artifact itself.
+    // Round 15 (verdict task 2): the lane runs FIRST — before the
+    // 200-query suite — so suite-end heap/GC/block-manager state cannot
+    // skew it, and each entry publishes the min/median/max of its three
+    // samples (sf1_spread) so a bimodal entry is visible on the artifact
+    // instead of hiding behind its median. Skip with SPARK_GRAFT_SF1=0.
     val sf1Lane = Seq("c2_embedding_dedup", "c3_minhash_dedup",
       "c4_semantic_dedup", "c6_incremental_dedup", "d3_lsh_pairs",
       "d6_dup_clusters", "d8_simhash64_pairs", "d11_winnow_pairs",
@@ -161,7 +129,9 @@ object Bench {
       "e12_pagerank", "e15_lsh_neardup_auto", "t13_winnow",
       "t14_decontaminate", "t15_tfidf",
       "ro1_rollup_day", "ro4_rollup_rate")
-    val (sf1Results, sf1CanaryRatio): (Seq[(String, Double)], Double) =
+    // (min, median, max) of the three timed samples; (-1,-1,-1) = failed
+    val (sf1Results, sf1CanaryRatio):
+        (Seq[(String, (Double, Double, Double))], Double) =
       if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0"))
         (Nil, 1.0)
       else {
@@ -177,7 +147,7 @@ object Bench {
           qmap.get(name) match {
             case None =>
               System.err.println(s"[bench] sf1 lane $name: unknown query")
-              name -> -1.0
+              name -> (-1.0, -1.0, -1.0)
             case Some(fn) =>
               try fn(spark, sf1Dir).count() catch { case _: Throwable => () }
               // median of THREE timed samples (round 14): a single sample
@@ -206,17 +176,71 @@ object Bench {
                 if (!keep1.contains(id)) rdd.unpersist(blocking = true)
               }
               System.gc()
-              name -> (if (failed) -1.0 else samples.sorted.apply(1))
+              name -> (if (failed) (-1.0, -1.0, -1.0)
+                       else { val s = samples.sorted; (s(0), s(1), s(2)) })
           }
         }
         val laneCanaryAfter = canaryWork.map { case (n, w) =>
           val t = medianOf3(w); System.gc(); n -> t }
         val laneCanary = laneCanaryBefore.zip(laneCanaryAfter)
           .map { case ((n, b), (_, a)) => n -> ((b + a) / 2.0) }
+        // the lane's 10× tables are no longer needed; drop its one-time
+        // caches so the suite below starts from the same block-manager
+        // state a lane-less run would have
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!keep.contains(id)) rdd.unpersist(blocking = true)
+        }
+        System.gc()
         (lane, canaryRatioOf(laneCanary))
       }
+    val sf1Median: Seq[(String, Double)] =
+      sf1Results.map { case (k, (_, m, _)) => k -> m }
+
+    // pre-suite canary pass — bracketed with the post-suite pass below
+    val canaryBefore = canaryWork.map { case (n, w) =>
+      val t = medianOf3(w); System.gc(); n -> t
+    }
+    // Streaming run-to-completion entries (bounded file-stream → memory
+    // sink) time Structured Streaming's micro-batch startup/teardown — a
+    // fixed multi-second overhead independent of data volume — not engine
+    // throughput. They stay correctness-gate-only unless named explicitly.
+    val streamingOnly = Set("sd1_stream_dedup", "sa1_promql_stream",
+      "sl1_live_last", "sc1_stream_chunks", "sr1_stream_rate",
+      "ss1_stream_sessions", "si1_stream_ingest", "si2_sink_ingest",
+      "sj1_stream_join", "sh1_stream_hll", "sq1_stream_quantiles",
+      "sj2_stream_enrich")
+    val resultsSpread = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        if (only.isEmpty) !streamingOnly(name) else only(name) }
+      .map { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // Steady-state hygiene (r3 post-mortem): prefix-sum and connected-
+      // components leave localCheckpoint blocks pinned until driver GC;
+      // across 66 queries × 3 runs the block manager churns and the
+      // late-alphabet queries time storage eviction instead of their plans
+      // (official r3: ttl1 6.85 s vs 0.33 s isolated). Drop every
+      // persistent RDD the query created, keep the one-time caches, and
+      // collect the driver-side garbage between queries — all untimed.
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(blocking = true)
+      }
+      System.gc()
+      name -> { val s = samples.sorted; (s(0), s(1), s(2)) }
+    }
+    val results: Seq[(String, Double)] =
+      resultsSpread.map { case (k, (_, m, _)) => k -> m } // median of 3
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+
     val baseTimes = results.toMap
-    val sf1Scaling: Seq[(String, Double)] = sf1Results.flatMap {
+    val sf1Scaling: Seq[(String, Double)] = sf1Median.flatMap {
       case (k, v) if v >= 0 =>
         baseTimes.get(k).filter(_ > 0.001).map(b => k -> v / b)
       case _ => None // failed at 10× — surfaced via the -1 in `sf1`
@@ -262,12 +286,15 @@ object Bench {
         s""""buffers_kb":${meminfoKb("Buffers")},""" +
         s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
     }
-    // locale-pinned 2-decimal format: f"%.2f" renders "1,23" on
-    // comma-decimal locales, which breaks the JSON consumers
-    def fmt2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val sf1Json = sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
+    val sf1Json = sf1Median.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-entry sample spread (round 15): min/med/max of the three lane
+    // samples, so a bimodal entry (two fast samples + one contended) is
+    // visible on the artifact instead of hiding behind its median
+    def spreadJson(lo: Double, m: Double, hi: Double): String =
+      s"""{"min":${fmt2(lo)},"med":${fmt2(m)},"max":${fmt2(hi)}}"""
+    val sf1SpreadJson = sf1Results.map { case (k, (lo, m, hi)) =>
+      "\"" + k + "\":" + spreadJson(lo, m, hi) }.mkString("{", ",", "}")
     val sf1ScalingJson = sf1Scaling.map { case (k, v) =>
       "\"" + k + "\":" + fmt2(v) }.mkString("{", ",", "}")
     val line =
@@ -276,6 +303,7 @@ object Bench {
         s""""canary_ratio":$canaryRatio,""" +
         s""""normalized_total":$normalizedTotal,""" +
         s""""sf1":$sf1Json,"sf1_scaling":$sf1ScalingJson,""" +
+        s""""sf1_spread":$sf1SpreadJson,""" +
         s""""sf1_canary_ratio":$sf1CanaryRatio}"""
     println(line)
     // The driver's artifact capture keeps only the tail of stdout; at 160+
@@ -299,13 +327,21 @@ object Bench {
       pretty ++= results.map { case (k, v) =>
         s"""    "$k": ${v / canaryRatio}""" }.mkString(",\n")
       pretty ++= "\n  },\n"
+      pretty ++= s"""  "queries_spread": {\n"""
+      pretty ++= resultsSpread.map { case (k, (lo, m, hi)) =>
+        s"""    "$k": ${spreadJson(lo, m, hi)}""" }.mkString(",\n")
+      pretty ++= "\n  },\n"
       pretty ++= s"""  "sf1": {\n"""
-      pretty ++= sf1Results.map { case (k, v) => s"""    "$k": $v""" }
+      pretty ++= sf1Median.map { case (k, v) => s"""    "$k": $v""" }
         .mkString(",\n")
       pretty ++= "\n  },\n"
       pretty ++= s"""  "sf1_scaling": {\n"""
       pretty ++= sf1Scaling.map { case (k, v) =>
         s"""    "$k": ${fmt2(v)}""" }.mkString(",\n")
+      pretty ++= "\n  },\n"
+      pretty ++= s"""  "sf1_spread": {\n"""
+      pretty ++= sf1Results.map { case (k, (lo, m, hi)) =>
+        s"""    "$k": ${spreadJson(lo, m, hi)}""" }.mkString(",\n")
       pretty ++= "\n  },\n"
       pretty ++= s"""  "sf1_canary_ratio": $sf1CanaryRatio\n}\n"""
       java.nio.file.Files.write(

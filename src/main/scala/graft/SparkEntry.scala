@@ -2839,11 +2839,13 @@ object SparkEntry {
         dim = 64, threshold = 0.3, bits = 4, families = 2)),
 
     // The corpus-proportional code-length arm (bits = -1, round 14): the
-    // deploy-time sizing for unknown corpora. NO SQL oracle — the picked
-    // bits depend on the corpus count, so the bucketing is not replayable
-    // as fixed SQL; the driver records the rows-only check, the property
-    // tests pin auto ≡ manual at the picked bits, and the bench 10× lane
-    // measures the scaling this arm exists for (fixed bits go n²/2^bits).
+    // deploy-time sizing for unknown corpora. The picked bits depend on
+    // the corpus count in general, but autoLshBits is deterministic and
+    // resolves to 4 at BOTH verify scales (500 and 2000 vectors are under
+    // the 250-occupancy knee, so the lower clamp wins) — so the oracle
+    // replays the two-family 4-bit bucketing exactly like e13, and the
+    // bench 10× lane still measures the auto arm's scaling (at 10× it
+    // picks longer codes; fixed bits go n²/2^bits).
     "e15_lsh_neardup_auto" -> ((s, dir) =>
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3, bits = -1, families = 2)),
@@ -3207,9 +3209,14 @@ object SparkEntry {
     // min-label diameter; the bounded 2-hop closure (components exactly
     // preserved, spec-asserted) cuts the CC rounds ~4× — 9.5 s → 3.9 s at
     // sf0.1, where each round is local job-launch latency.
+    // bits = -1 (round 15): the corpus-proportional code length, so the
+    // shipped recipe stays linear as the corpus grows (fixed 4-bit codes
+    // are n²/16 in candidate volume — IvfProbe measured 695 vs 95
+    // candidates/vec at 10×). Oracle-invariant at fixture scale:
+    // autoLshBits(500) = autoLshBits(2000) = 4, the old literal.
     "c2_embedding_dedup" -> ((s, dir) => {
       val pairs = Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, threshold = 0.3)
+        "vec_id", "embedding", dim = 64, threshold = 0.3, bits = -1)
         .select(col("id_a"), col("id_b"))
       Dedup.duplicateClusters(Dedup.boundedTwoHopClosure(pairs))
         .select(col("id").as("vec_id"), col("cluster_id"),
@@ -6087,6 +6094,39 @@ object SparkEntry {
     // jj = family*4 + bit; bit weight 2^(jj%4)), pairs unioned across
     // families and de-duplicated.
     "e13_lsh_multifamily" ->
+      """WITH comp AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |dots AS (SELECT vec_id, jj,
+        |    sum(x * (((i * 73 + jj * 151 + i * jj * 37) % 101) - 50)) AS dot
+        |  FROM comp CROSS JOIN generate_series(0, 7) AS g(jj)
+        |  GROUP BY vec_id, jj),
+        |bk AS (SELECT vec_id, jj // 4 AS family,
+        |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** (jj % 4) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, jj // 4),
+        |e AS (SELECT b.family, b.bucket, x.vec_id, x.embedding
+        |  FROM embeddings x JOIN bk b USING (vec_id))
+        |SELECT DISTINCT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |      AS cos
+        |  FROM e a JOIN e b ON a.family = b.family AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+        |    AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0)
+        |WHERE cos >= 0.3""".stripMargin,
+
+    // The auto-bits arm replayed at the bits the sizing deterministically
+    // picks at fixture scale: autoLshBits(n) = 4 for every n ≤ 4000 (the
+    // lower clamp), so the two-family 4-bit derivation is EXACTLY e13's —
+    // same plane indices jj = family*4 + bit, same union + de-dup. A
+    // corpus big enough to pick different bits would need a different
+    // replay; at verify scale this one is exact.
+    "e15_lsh_neardup_auto" ->
       """WITH comp AS (SELECT vec_id,
         |    generate_subscripts(embedding, 1) - 1 AS i,
         |    CAST(unnest(embedding) AS DOUBLE) AS x

@@ -1401,7 +1401,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     val out = NativeHistograms.quantile(
       NativeHistograms.sumHistograms(df, keys), Seq(q))
     val shaped = if (bucketed) out.filter(!isnan(col("value"))) else out
-    shaped.select((keys0.map(col) :+ col("value")): _*)
+    shaped.select((keys0.map(MetricEngine.qcol) :+ col("value")): _*)
   }
 
   private def selectorMatchers(
@@ -1505,7 +1505,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     else {
       val idCols = df.columns.filter(c => c != "value" && c != "bucket_ms")
       val part =
-        if (idCols.isEmpty) Seq(lit(0)) else idCols.toSeq.map(col)
+        if (idCols.isEmpty) Seq(lit(0))
+        else idCols.toSeq.map(MetricEngine.qcol)
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(part: _*).orderBy(col("bucket_ms").desc)
       df.withColumn("__rn__", row_number().over(win))
@@ -1683,16 +1684,14 @@ final class MetricEngine(spark: SparkSession, root: String,
         s"label '$l' collides with the evaluator's structural column " +
           "names (value/ts_ms/bucket_ms/tsid) — unsupported; rename the " +
           "label at ingest"))
-    // UTF-8 METRIC names flow as values and work end to end; label NAMES
-    // become flat column names here, where dots/spaces would break
-    // column resolution deep in the plan — fail fast with the documented
-    // data-model restriction (PROMQL.md Surface) instead.
-    labelCols.find(l => !graft.promql.PromQLPrinter.isClassicLabelName(l))
-      .foreach(l =>
-      throw new IllegalArgumentException(
-        s"label name '$l' is outside the classic charset " +
-          "[a-zA-Z_][a-zA-Z0-9_]* — unsupported by the evaluator's flat " +
-          "column frames; rename the label at ingest"))
+    // UTF-8 label NAMES (round 15): the flat frames carry labels under
+    // POSITIONAL internal columns (__lbl_0, __lbl_1, … indexed into the
+    // sorted labelCols list) rather than name-derived ones, so a dotted
+    // OTLP attribute (`service.name`) used as a grouping label never
+    // becomes a Spark column name mid-plan; the labelMap hands the
+    // name→column binding to the evaluator, whose OUTPUT re-keys by the
+    // real (possibly UTF-8) label names.
+    def lblCol(l: String): String = s"__lbl_${labelCols.indexOf(l)}"
     // Index-side matcher pushdown for one selector: every `=` matcher and
     // every POSITIVE regex matcher whose pattern cannot match "" bounds a
     // superset of the touchable series via the (tag_value, tsid) index
@@ -1738,7 +1737,7 @@ final class MetricEngine(spark: SparkSession, root: String,
           .agg(map_from_entries(collect_list(
             struct(col("tag_key"), col("tag_value")))).as("__lbls__"))
         val joined = rows0.join(maybeBroadcast(lbls), keyCols, "left")
-        labelCols.foldLeft(joined)((r, l) => r.withColumn(s"__lbl_$l",
+        labelCols.foldLeft(joined)((r, l) => r.withColumn(lblCol(l),
           coalesce(col("__lbls__").getItem(l), lit("")))).drop("__lbls__")
       }
     val frames = if (!capped) someNames.map { case (m, mid) =>
@@ -1804,12 +1803,12 @@ final class MetricEngine(spark: SparkSession, root: String,
         StructType(Seq(StructField("__name__", StringType),
           StructField("tsid", LongType), StructField("ts", LongType),
           StructField("value", DoubleType)) ++
-          labelCols.map(l => StructField(s"__lbl_$l", StringType))))
+          labelCols.map(l => StructField(lblCol(l), StringType))))
     }
     // __name__ rides as a first-class label binding (to the metric column
     // itself) only when the query references it — grouping by (__name__)
     // and multi-metric selection then work without an index join.
-    val labelMap = labelCols.map(l => l -> s"__lbl_$l").toMap ++
+    val labelMap = labelCols.map(l => l -> lblCol(l)).toMap ++
       (if (nameReferenced) Map("__name__" -> "__name__") else Map.empty)
     new PromQLContext(samples, "__name__", col("ts"), "value", labelMap,
       ordering = Seq(col("ts"), col("tsid")), seriesCols = Seq("tsid"),
@@ -1818,6 +1817,19 @@ final class MetricEngine(spark: SparkSession, root: String,
 }
 
 object MetricEngine {
+
+  /** Backtick-quoted column reference for LABEL-derived column names
+    * (round 15): Prometheus 3 label names are arbitrary UTF-8 (OTLP
+    * ships dotted attributes like `service.name`), and bare
+    * `functions.col` PARSES its argument — a dotted bare name becomes a
+    * struct-field access that fails resolution. Quoting reads ONE
+    * literal name part; classic names resolve identically. Used
+    * wherever a grouping label or an output label column is referenced
+    * by name (the evaluator's flat frames carry labels positionally and
+    * don't need it). */
+  private[metric] def qcol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(
+      "`" + name.replace("`", "``") + "`")
 
   /** Every bucket-emitting range window in `e` — the grains a requested
     * step must agree with (windows own their buckets; tumbling rule).

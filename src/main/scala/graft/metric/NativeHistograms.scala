@@ -70,7 +70,7 @@ object NativeHistograms {
           .when(col("phi") > 1.0, lit(Double.PositiveInfinity))
           .otherwise(coalesce(expr(walk),
             expr("element_at(__buckets__, size(__buckets__)).hi"))))
-      .select((idCols.map(col) :+ col("phi") :+ col("value")): _*)
+      .select((idCols.map(MetricEngine.qcol) :+ col("phi") :+ col("value")): _*)
   }
 
   /** One row's (idx, cnt) arrays merged down `__d__` halvings: each
@@ -109,7 +109,7 @@ object NativeHistograms {
     * per-row array folds. */
   private[metric] def downscaleToCoarsest(rows: DataFrame,
       partitionCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(partitionCols.map(col): _*)
+    val w = Window.partitionBy(partitionCols.map(MetricEngine.qcol): _*)
     rows
       .withColumn("__tgt__", min(col("bucket_schema")).over(w))
       .withColumn("__mx__", max(col("bucket_schema")).over(w))
@@ -231,9 +231,9 @@ object NativeHistograms {
           // absent at the previous sample: drop-to-0 was a reset (0
           // contribution), this entry is the rise from 0
           .otherwise(col("cnt"))))
-      .groupBy((keyCols :+ "kind" :+ "idx").map(col): _*)
+      .groupBy((keyCols :+ "kind" :+ "idx").map(MetricEngine.qcol): _*)
       .agg(sum(col("__d__")).as("inc"))
-    val meta = withBucket(rows).groupBy(keyCols.map(col): _*).agg(
+    val meta = withBucket(rows).groupBy(keyCols.map(MetricEngine.qcol): _*).agg(
       max(col("ts_ms")).as("ts_ms"),
       // uniform after downscaleToCoarsest — min is exact, not a guess
       min(col("bucket_schema")).as("bucket_schema"),
@@ -265,7 +265,7 @@ object NativeHistograms {
   def sumHistograms(rows0: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "sumHistograms needs at least one key column")
     val rows = downscaleToCoarsest(rows0, keyCols)
-    val entries = rows.select(keyCols.map(col) :+
+    val entries = rows.select(keyCols.map(MetricEngine.qcol) :+
       explode(expr(
         """concat(
           |  array(named_struct('kind', 0, 'idx', 0, 'cnt', zero_count)),
@@ -275,11 +275,11 @@ object NativeHistograms {
           |  transform(arrays_zip(neg_idx, neg_cnt),
           |    z -> named_struct('kind', -1, 'idx', z.neg_idx, 'cnt', z.neg_cnt)))"""
           .stripMargin)).as("e"): _*)
-      .select(keyCols.map(col) :+ col("e.kind") :+ col("e.idx") :+
+      .select(keyCols.map(MetricEngine.qcol) :+ col("e.kind") :+ col("e.idx") :+
         col("e.cnt").as("inc"): _*)
-    val incs = entries.groupBy((keyCols :+ "kind" :+ "idx").map(col): _*)
+    val incs = entries.groupBy((keyCols :+ "kind" :+ "idx").map(MetricEngine.qcol): _*)
       .agg(sum(col("inc")).as("inc"))
-    val meta = rows.groupBy(keyCols.map(col): _*).agg(
+    val meta = rows.groupBy(keyCols.map(MetricEngine.qcol): _*).agg(
       max(col("ts_ms")).as("ts_ms"),
       // uniform after downscaleToCoarsest — min is exact, not a guess
       min(col("bucket_schema")).as("bucket_schema"),
@@ -303,19 +303,19 @@ object NativeHistograms {
       keyCols: Seq[String]): DataFrame = {
     def sortedArrays(kind: Int, idxName: String, cntName: String) =
       incs.filter(col("kind") === kind)
-        .groupBy(keyCols.map(col): _*)
+        .groupBy(keyCols.map(MetricEngine.qcol): _*)
         .agg(sort_array(collect_list(struct(col("idx"), col("inc"))))
           .as("__a__"))
-        .select((keyCols.map(col) :+
+        .select((keyCols.map(MetricEngine.qcol) :+
           expr("transform(__a__, x -> x.idx)").as(idxName) :+
           expr("transform(__a__, x -> x.inc)").as(cntName)): _*)
     val zero = incs.filter(col("kind") === 0)
-      .groupBy(keyCols.map(col): _*).agg(sum(col("inc")).as("zero_count"))
+      .groupBy(keyCols.map(MetricEngine.qcol): _*).agg(sum(col("inc")).as("zero_count"))
     // the stored top-level count participates as its own kind (2): NaN
     // observations increment count WITHOUT landing in any bucket, so a
     // bucket-sum recompute under-reports the observation rate
     val cnt = incs.filter(col("kind") === 2)
-      .groupBy(keyCols.map(col): _*).agg(sum(col("inc")).as("__count_f__"))
+      .groupBy(keyCols.map(MetricEngine.qcol): _*).agg(sum(col("inc")).as("__count_f__"))
     meta
       .join(zero, keyCols, "left")
       .join(cnt, keyCols, "left")
@@ -379,7 +379,7 @@ object NativeHistograms {
         when(col("count") <= 0.0, lit(Double.NaN))
           .when(lit(lo) > lit(hi), lit(0.0))
           .otherwise(expr(overlap) / col("count")))
-      .select((idCols.map(col) :+ col("value")): _*)
+      .select((idCols.map(MetricEngine.qcol) :+ col("value")): _*)
   }
 
   /** `histogram_stddev` / `histogram_stdvar` over histogram rows —
@@ -413,7 +413,7 @@ object NativeHistograms {
           .otherwise(expr(varExpr) / col("count")))
     val fin =
       if (stddev) out.withColumn("value", sqrt(col("value"))) else out
-    fin.select((idCols.map(col) :+ col("value")): _*)
+    fin.select((idCols.map(MetricEngine.qcol) :+ col("value")): _*)
   }
 
   /** Identity columns of a histogram frame = everything that is not a

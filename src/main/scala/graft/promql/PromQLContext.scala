@@ -81,6 +81,20 @@ final class PromQLContext(
 
   import PromQLContext._
 
+  /** Quote-safe shadow of `functions.col` for THIS class (round 15):
+    * PromQL label names are arbitrary UTF-8 (Prometheus 3 — OTLP ships
+    * dotted resource attributes like `service.name` as label names), and
+    * `functions.col` PARSES its argument, so a bare dotted column name
+    * resolves as a struct-field access and fails deep in the plan.
+    * Backtick-quoting makes the parser read ONE literal name part;
+    * classic names resolve identically, so every dynamic column
+    * reference in the evaluator routes through here. (Aliases,
+    * withColumn/drop/withColumnRenamed and using-join column lists take
+    * literal names and never parse — they stay bare.) */
+  private def col(name: String): Column =
+    org.apache.spark.sql.functions.col(
+      "`" + name.replace("`", "``") + "`")
+
   /** Label source columns normalized to STRING at the binding edge: PromQL
     * labels ARE strings (regex matchers, label_replace/label_join, and
     * Prometheus's data model all operate on text), and a numeric source

@@ -142,19 +142,25 @@ object PromQLPrinter {
     s"$l$op${str(m.value)}"
   }
 
+  /** A label name in a grouping/matching list: bare when classic, quoted
+    * (Prometheus 3 UTF-8 syntax) otherwise — the only spelling that
+    * parses back. Matchers use the same rule in [[printMatcher]]. */
+  private def lblName(l: String): String =
+    if (isClassicLabelName(l)) l else str(l)
+
   private def printMatching(vm: VectorMatch): String = {
     val kw = if (vm.on) "on" else "ignoring"
     val grp = vm.group.map { side =>
       val g = if (side == GroupSide.Left) "group_left" else "group_right"
       if (vm.include.isEmpty) s" $g"
-      else s" $g(${vm.include.mkString(", ")})"
+      else s" $g(${vm.include.map(lblName).mkString(", ")})"
     }.getOrElse("")
-    s" $kw(${vm.labels.mkString(", ")})$grp"
+    s" $kw(${vm.labels.map(lblName).mkString(", ")})$grp"
   }
 
   private def byClause(by: Seq[String], without: Boolean): String =
     if (by.isEmpty && !without) ""
-    else s" ${if (without) "without" else "by"} (${by.mkString(", ")}) "
+    else s" ${if (without) "without" else "by"} (${by.map(lblName).mkString(", ")}) "
 
   private def aggName(op: MetricAgg): String = op match {
     case MetricAgg.Sum => "sum"
