@@ -1137,6 +1137,36 @@ object SparkEntry {
         graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
     }),
 
+    // Prometheus 3 UTF-8 label NAMES through the evaluator (round 15):
+    // dotted OTLP resource attributes as GROUPING labels and quoted-name
+    // matchers — the general path binds them to positional flat columns
+    // (__lbl_0, …) and re-keys the output by the real names, so the
+    // result schema carries `service.name` literally. The hash matches
+    // only if quoted by-list parsing, the positional binding, the
+    // index-side matcher prune, and the quoted output references all
+    // line up.
+    "p43_promql_dotted_label" -> ((s, dir) => {
+      val eng = cachedServingEngine("p43") {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-p43").toString
+        val e = new graft.metric.MetricEngine(s, root)
+        e.write(Seq(
+          graft.metric.Sample("http_requests",
+            Map("service.name" -> "api", "host.name" -> "h1"), 1000L, 4.0),
+          graft.metric.Sample("http_requests",
+            Map("service.name" -> "api", "host.name" -> "h2"), 2000L, 6.5),
+          graft.metric.Sample("http_requests",
+            Map("service.name" -> "worker", "host.name" -> "h1"), 1000L, 1.25),
+          graft.metric.Sample("http_requests",
+            Map("service.name" -> "api", "host.name" -> "h1"), 3000L, 2.0)).toDF())
+        e
+      }
+      eng.queryPromQL(
+        """sum by ("service.name") (http_requests{"host.name"=~"h[0-9]"})""",
+        graft.storage.TimeRange(Long.MinValue, Long.MaxValue))
+    }),
+
     // PromQL reset-aware per-second rate over 1-day tumbling windows,
     // summed per series group.
     "p3_promql_rate" -> ((s, dir) =>
@@ -4706,6 +4736,15 @@ object SparkEntry {
         |  ('svc.request.duration', 'worker', CAST(1.25 AS DOUBLE)),
         |  ('svc.queue.depth', 'api', CAST(9.0 AS DOUBLE)))
         |  AS t("__name__", job, value)""".stripMargin,
+
+    // Dotted label NAMES as grouping keys through the evaluator: the
+    // output schema itself must carry the UTF-8 name (`service.name`
+    // literally as a column), with values summed per group.
+    "p43_promql_dotted_label" ->
+      """SELECT * FROM (VALUES
+        |  ('api', CAST(12.5 AS DOUBLE)),
+        |  ('worker', CAST(1.25 AS DOUBLE)))
+        |  AS t("service.name", value)""".stripMargin,
 
     // Multi-metric name-regex selection through the evaluator must equal
     // a group-by over the raw event types under the SAME anchored name

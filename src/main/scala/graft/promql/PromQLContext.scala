@@ -1002,7 +1002,10 @@ final class PromQLContext(
       // behaves as a label for downstream grouping/matching. dst may
       // overwrite an existing label but never a structural column.
       val in = eval(child, stepMs, range)
-      if (!dst.matches("[a-zA-Z_][a-zA-Z0-9_]*") || dst == "value" ||
+      // Prometheus 3 UTF-8 label names: any non-empty destination that
+      // does not collide with a structural output column (round 15 —
+      // the quoting shadow makes dotted dst columns safe downstream)
+      if (dst.isEmpty || dst == "value" ||
           dst == "bucket_ms" || dst == "ts_ms" ||
           dst == metricCol || seriesCols.contains(dst))
         throw new IllegalArgumentException(
@@ -1038,8 +1041,10 @@ final class PromQLContext(
       by.find(l => !in.columns.contains(l)).foreach(l =>
         throw new IllegalArgumentException(
           s"unknown grouping label '$l' (available: ${in.columns.mkString(", ")})"))
-      // the synthesized label must be a valid, non-colliding label name
-      if (!lbl.matches("[a-zA-Z_][a-zA-Z0-9_]*") || lbl == "value" ||
+      // the synthesized label must be a non-empty, non-colliding label
+      // name (any UTF-8 — Prometheus 3; the quoting shadow keeps dotted
+      // columns safe downstream)
+      if (lbl.isEmpty || lbl == "value" ||
           lbl == "bucket_ms" || lbl == "ts_ms" ||
           lbl == metricCol || seriesCols.contains(lbl))
         throw new IllegalArgumentException(

@@ -48,6 +48,35 @@ object FanoutProbe {
       val (rows, sec, jobs) = timed()
       println(f"[fanout] n=$n%5d rows=$rows ingest=$wSec%.1fs " +
         f"query=$sec%.2fs jobs=$jobs")
+      // COMPOSED worst case (round 15): the three caps at once — capped
+      // name regex (single-scan semi-join arm) × without(...) (the
+      // all-keys label resolution: one semi-joined tag-keys job) ×
+      // sliding range mode (per-step (T-w, T] windows). This is the
+      // shape a dashboard's "all recording rules" panel issues; each cap
+      // is pinned individually in MetricEngineSpec — this row measures
+      // their composition staying flat in N.
+      val qc = """sum without (host) (rate({__name__=~"fan_.*"}[10s]))"""
+      val crange = graft.storage.TimeRange(
+        1723680000000L, 1723680000000L + math.max(n, 10).toLong + 10000L)
+      def timedComposed(): (Long, Double, Int) = {
+        val group = s"fanout-c-$n-${System.nanoTime()}"
+        spark.conf.set("graft.promql.rangeWindows", "sliding")
+        spark.sparkContext.setJobGroup(group, "fanout composed probe")
+        val t0 = System.nanoTime()
+        val rows = try e.queryPromQL(qc, crange, Some(10000L)).count()
+          finally {
+            spark.sparkContext.clearJobGroup()
+            spark.conf.unset("graft.promql.rangeWindows")
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val jobs = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(group).length
+        (rows, sec, jobs)
+      }
+      timedComposed() // warmup
+      val (crows, csec, cjobs) = timedComposed()
+      println(f"[fanout] n=$n%5d composed(regex+without+sliding) " +
+        f"rows=$crows query=$csec%.2fs jobs=$cjobs")
     } catch { case e: Throwable =>
       println(s"[fanout] n=$n FAILED: ${e.getMessage}")
     }

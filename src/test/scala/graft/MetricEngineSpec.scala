@@ -374,6 +374,33 @@ class MetricEngineSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("host"), r.getAs[String]("zone"),
         r.getAs[Double]("value"))).toSet
     assert(byTwo == Set(("a", "z1", 0.0), ("b", "z2", 100.0)))
+    // COMPOSED worst case (round 15): capped name regex × without(...) ×
+    // sliding range mode — the three individually-pinned caps at once
+    // (the shape an "all recording rules" dashboard panel issues). The
+    // plan must stay the single-scan shape (no per-name Union) and its
+    // logical node count must stay small and FLAT in the matched-name
+    // count — pinned against the 3-name composition of the same query.
+    spark.conf.set("graft.promql.rangeWindows", "sliding")
+    try {
+      def composedNodes(re: String): (Int, String) = {
+        val df = e.queryPromQL(
+          s"""sum without (zone) (rate({__name__=~"$re"}[1s]))""",
+          TimeRange(day - 2000, day + 4000), Some(1000L))
+        val p = df.queryExecution.optimizedPlan
+        (p.collect { case n => n }.length, p.toString)
+      }
+      val (broadN, broadPlan) = composedNodes("ev_metric_.*")   // 40 names
+      val (narrowN, _) = composedNodes("ev_metric_0[0-2]")      // 3 names
+      assert(!broadPlan.contains("Union"),
+        s"composed broad-regex plan built a per-name union:\n$broadPlan")
+      // flat: the 40-name plan may not exceed the 3-name plan by more
+      // than the fixed semi-join scaffolding (narrow keeps 3 pruned
+      // branches, so it is the larger shape in node terms)
+      assert(broadN <= narrowN + 10,
+        s"composed plan grew with matched names: broad=$broadN narrow=$narrowN")
+      assert(broadN <= 60,
+        s"composed plan node count blew up: $broadN\n$broadPlan")
+    } finally spark.conf.unset("graft.promql.rangeWindows")
   }
 
   test("labelValues caps the discovery plan: sort + limit execute as " +
@@ -528,14 +555,67 @@ class MetricEngineSpec extends AnyFunSuite {
     assert(e.queryPromQL(
       """{"http.server.duration", "http.verb"="GET"}""", all)
       .collect().isEmpty)
-    // but a shape that must BIND the label to a column (general path:
-    // non-index-exact matcher pulls it into the label frame) fails fast
-    // with the documented restriction, not an opaque plan error
+    // a shape that must BIND the label to a flat column (general path:
+    // non-index-exact matcher pulls it into the label frame) WORKS too
+    // (round 15): the evaluator carries labels positionally, so the
+    // dotted name never becomes a parsed Spark column reference. The
+    // label was never ingested, so != "GET" matches the absent-label ""
+    // on every series of the metric.
+    val neg = e.queryPromQL(
+      """sum by (job) ({"http.server.duration", "http.verb"!="GET"})""",
+      all).collect()
+      .map(r => r.getAs[String]("job") -> r.getAs[Double]("value")).toMap
+    assert(neg == Map("api" -> 10.0, "worker" -> 1.5))
+  }
+
+  test("UTF-8 label NAMES through the evaluator (round 15): dotted OTLP " +
+      "attributes as grouping labels, quoted-name matchers, without(), " +
+      "and binary-op matching — output schema keyed by the real names") {
+    import spark.implicits._
+    val e = engine()
+    e.write(Seq(
+      Sample("req", Map("service.name" -> "api", "host.name" -> "h1"),
+        day, 4.0),
+      Sample("req", Map("service.name" -> "api", "host.name" -> "h2"),
+        day + 1000, 6.5),
+      Sample("req", Map("service.name" -> "worker", "host.name" -> "h1"),
+        day, 1.25),
+      Sample("cap", Map("service.name" -> "api"), day, 10.0),
+      Sample("cap", Map("service.name" -> "worker"), day, 5.0)).toDF())
+    val all = TimeRange(Long.MinValue, Long.MaxValue)
+    // quoted grouping label; output column IS the dotted name
+    val bySvc = e.queryPromQL(
+        """sum by ("service.name") (req{"host.name"=~"h[0-9]"})""", all)
+      .collect()
+      .map(r => r.getAs[String]("service.name") -> r.getAs[Double]("value"))
+      .toMap
+    assert(bySvc == Map("api" -> 10.5, "worker" -> 1.25))
+    // without() over dotted label names: drops host.name, keeps
+    // service.name as a real output column
+    val wo = e.queryPromQL("""sum without ("host.name") (req)""", all)
+    assert(wo.columns.contains("service.name"))
+    assert(wo.collect()
+      .map(r => r.getAs[String]("service.name") -> r.getAs[Double]("value"))
+      .toMap == Map("api" -> 10.5, "worker" -> 1.25))
+    // binary-operator matching ON a dotted label across two metrics
+    val ratio = e.queryPromQL(
+        """sum by ("service.name") (req) / on("service.name") sum by ("service.name") (cap)""",
+        all).collect()
+      .map(r => r.getAs[String]("service.name") -> r.getAs[Double]("value"))
+      .toMap
+    assert(ratio == Map("api" -> 1.05, "worker" -> 0.25))
+    // the structural-output collision still fails fast (a label named
+    // "value" cannot ride the flat result frames)
+    e.write(Seq(
+      Sample("vbad", Map("value" -> "x"), day, 1.0)).toDF())
     val ex = intercept[IllegalArgumentException](
-      e.queryPromQL(
-        """sum by (job) ({"http.server.duration", "http.verb"!="GET"})""",
-        all))
-    assert(ex.getMessage.contains("classic charset"))
+      e.queryPromQL("""sum by ("value") (vbad)""", all))
+    assert(ex.getMessage.contains("collide"))
+    // and on the general path (regex matcher forces the evaluator)
+    val ex2 = intercept[IllegalArgumentException](
+      e.queryPromQL("""sum by ("value") (vbad{"value"=~"x|y"})""", all))
+    assert(ex2.getMessage.contains("collide") ||
+      ex2.getMessage.contains("structural"))
   }
 
   test("sliding subqueries NEST past depth 2: a subquery-of-subquery " +

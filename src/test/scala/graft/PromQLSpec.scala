@@ -72,6 +72,35 @@ class PromQLSpec extends AnyFunSuite {
         LabelMatcher("job", MatchOp.Eq, "api"))))
   }
 
+  test("parser: Prometheus 3 quoted label names in grouping/matching " +
+      "lists — by/without/on/ignoring/group_left — and printer round trip") {
+    assert(PromQLParser.parse("""sum by ("service.name") (req)""") ==
+      Agg(MetricAgg.Sum, Seq("service.name"), Selector("req", Nil)))
+    assert(PromQLParser.parse("""sum without ("host.name", job) (req)""") ==
+      Agg(MetricAgg.Sum, Seq("host.name", "job"), Selector("req", Nil),
+        without = true))
+    val binop = PromQLParser.parse(
+      """a / on("service.name") group_left("host.name") b""")
+    binop match {
+      case BinOp("/", _, _, false, Some(vm)) =>
+        assert(vm.on && vm.labels == Seq("service.name"))
+        assert(vm.include == Seq("host.name"))
+      case other => fail(other.toString)
+    }
+    // empty quoted label names reject
+    intercept[PromQLParseException](
+      PromQLParser.parse("""sum by ("") (req)"""))
+    // printer quotes non-classic names in lists so the round trip is exact
+    for (q <- Seq("""sum by ("service.name") (req)""",
+        """sum without ("host.name",job) (req)""",
+        """a / on("service.name") group_left("host.name") b""",
+        """topk by ("svc.zone") (3, req)""")) {
+      val ast = PromQLParser.parse(q)
+      assert(PromQLParser.parse(PromQLPrinter.print(ast)) == ast,
+        s"round trip failed for $q -> ${PromQLPrinter.print(ast)}")
+    }
+  }
+
   test("parser: agg names are contextual keywords — sum{...} is a metric") {
     assert(PromQLParser.parse("""sum{a="b"}""") ==
       Selector("sum", Seq(LabelMatcher("a", MatchOp.Eq, "b"))))
@@ -698,10 +727,18 @@ class PromQLSpec extends AnyFunSuite {
     val over = ctx.sql("""sum by (v) (count_values("v", cpu))""").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(over == Map("1" -> 1.0, "3" -> 2.0))
-    // reserved / colliding / invalid label names are loud errors
-    for (bad <- Seq("value", "dc", "ts_ms", "0v"))
+    // reserved / colliding label names are loud errors
+    for (bad <- Seq("value", "dc", "ts_ms", ""))
       assertThrows[IllegalArgumentException](
         ctx.sql(s"""count_values("$bad", cpu)"""))
+    // non-classic names are LEGAL label names under Prometheus 3 UTF-8
+    // rules (round 15) — digit-leading, dotted, whatever: the synthesized
+    // column carries the name literally
+    val exotic = ctx.sql("""count_values("0.v", cpu)""")
+    assert(exotic.columns.contains("0.v"))
+    assert(exotic.collect()
+      .map(r => (r.getAs[String]("0.v"), r.getAs[Double]("value"))).toMap
+      == Map("1" -> 1.0, "3" -> 2.0))
   }
 
   test("engine: stddev/group fast path == general path; count_values") {
@@ -1149,6 +1186,14 @@ class PromQLSpec extends AnyFunSuite {
     // structural column collision is a loud error
     assertThrows[IllegalArgumentException](
       ctx.sql("""label_join(up, "value", "-", "host")""").collect())
+    // UTF-8 destination names work (Prometheus 3; round 15): a dotted
+    // dst synthesizes, groups via the quoted by-list, and the output
+    // column carries the dotted name literally
+    val dotted = ctx.sql(
+      """sum by ("svc.role") (label_replace(up, "svc.role", "$1", "host", "([a-z]+)[0-9]"))""")
+    assert(dotted.columns.contains("svc.role"))
+    assert(dotted.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      == Map("web" -> 1.0, "db" -> 2.0))
   }
 
   test("context: label_replace Go template semantics ($$, invalid refs, named)") {
