@@ -76,7 +76,16 @@ object Rate {
     * fragmentation; collapse uses the same boundary arithmetic finish
     * would). Genuinely overlapping segments (out-of-order duplicates)
     * merge by summing their partial increases without a boundary — the
-    * documented fallback. */
+    * documented fallback.
+    *
+    * STREAMING-CHECKPOINT compatibility: the round-14 associativity fix
+    * changed the buffer schema from a flat 6-field product to
+    * (segs: Seq[Seg], n) — a stateful streaming query whose state store
+    * holds the OLD encoding cannot restore it (state-store schema
+    * mismatch on upgrade). Restart such queries from a fresh checkpoint
+    * (the sinks here are replayable batch-converging lanes); if in-place
+    * upgrades ever matter, version the aggregator under a new class name
+    * instead of evolving the buffer. */
   class RateAggregator extends Aggregator[Sample, RateBuf, Double] {
     import RateAggregator.MaxSegs
     def zero: RateBuf = RateBuf(Nil, 0L)

@@ -931,18 +931,37 @@ final class HttpFrontend(
               if (isClassicLabelName(k)) k
               else if (allowUtf8) s""""${escLabel(k)}""""
               else graft.streaming.Otlp.sanitizeLabel(k)
+            // within ONE series, two label KEYS can sanitize to the same
+            // classic spelling ('a.b' and 'a_b' both -> 'a_b') — keep the
+            // first in sorted order; a line with duplicate label names
+            // would make the federating scraper reject the exposition
+            val seenKeys = scala.collection.mutable.Set.empty[String]
+            val labelItems = labels.toSeq.sortBy(_._1).flatMap {
+              case (k, lv) =>
+                val kk = lkey(k)
+                if (seenKeys.add(kk)) Some(s"""$kk="${escLabel(lv)}"""")
+                else None
+            }
             val items =
               (if (classicName) Nil else Seq(s""""${escLabel(name)}"""")) ++
-              labels.toSeq.sortBy(_._1).map { case (k, lv) =>
-                s"""${lkey(k)}="${escLabel(lv)}"""" }
+              labelItems
             val labelStr =
               if (items.isEmpty) "" else items.mkString("{", ",", "}")
             val line =
               if (classicName) s"$name$labelStr $v $ts"
               else s"$labelStr $v $ts"
-            (name, labelStr, line)
+            (name, labelStr, line, ts)
           }
-          .sortBy { case (name, labelStr, _) => (name, labelStr) }
+          // sanitizing can also collide two DISTINCT series ('a.b' vs
+          // 'a_b' metrics/labelsets) onto one escaped (name, labelset) —
+          // duplicate samples a federating Prometheus rejects or drops.
+          // Keep the newest sample per escaped identity (Prometheus's
+          // duplicate-series handling after escaping); under
+          // allow-utf-8 the quoted spellings stay distinct and this
+          // grouping is an exact no-op.
+          .groupBy { case (name, labelStr, _, _) => (name, labelStr) }
+          .values.map(_.maxBy(_._4)).toSeq
+          .sortBy { case (name, labelStr, _, _) => (name, labelStr) }
           .map(_._3)
         respond(ex, 200, lines.mkString("", "\n", "\n"),
           contentType = "text/plain; version=0.0.4; charset=utf-8" +

@@ -263,8 +263,27 @@ object DefaultSource {
         d
       case (Some(d), None) =>
         if (d > 1) {
+          // Exclusive create via stage-then-rename (round 15, advisor):
+          // two concurrent FIRST bucketed writers with different counts
+          // both saw no marker; a plain write is last-writer-wins and the
+          // loser's SSTs land under a conflicting pk-hash layout — the
+          // exact mixed-layout state the require() above guards against.
+          // Hadoop rename refuses an existing destination, so exactly one
+          // writer plants the marker; the loser re-reads and must agree.
           store.storeFs.mkdirs(store.storeFs.path("manifest"))
-          store.storeFs.writeLines(markerPath, Seq(d.toString))
+          val tmp = store.storeFs.path("manifest",
+            s"buckets-${java.util.UUID.randomUUID()}.tmp")
+          store.storeFs.writeLines(tmp, Seq(d.toString))
+          if (!store.storeFs.fs.rename(tmp, markerPath)) {
+            store.storeFs.delete(tmp)
+            val won = store.storeFs.readLines(markerPath).headOption
+              .map(_.trim.toInt).filter(_ > 0)
+            require(won.contains(d),
+              s"buckets=$d lost the first-writer race to a concurrent " +
+                s"writer's persisted layout (${won.getOrElse("?")}): the " +
+                "pk-hash layout is physical and cannot change without a " +
+                "rewrite")
+          }
         }
         d
       case (None, Some(p)) => p

@@ -217,6 +217,22 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     s"""{"op":"$op","id":${f.id},"path":"${esc(f.path)}","numRows":${f.numRows},"sizeBytes":${f.sizeBytes},"start":${f.timeRange.start},"end":${f.timeRange.end}$bucket$seqFloor$stats}"""
   }
 
+  // Scan to the first UNESCAPED closing quote (the old `[^"]*` regex
+  // stopped at an escaped one).
+  private def strField(line: String, k: String): String = {
+    val key = s""""$k":""""
+    val i = line.indexOf(key)
+    if (i < 0) sys.error(s"bad manifest line: $line")
+    var j = i + key.length
+    val b = new StringBuilder
+    while (j < line.length && line.charAt(j) != '"') {
+      if (line.charAt(j) == '\\' && j + 1 < line.length) {
+        b.append(line.charAt(j)).append(line.charAt(j + 1)); j += 2
+      } else { b.append(line.charAt(j)); j += 1 }
+    }
+    unesc(b.toString)
+  }
+
   private def parse(line: String): (String, SstFile) = {
     import Manifest.numPatterns
     def num(k: String): Long = numPatterns(k).findFirstMatchIn(line)
@@ -225,21 +241,7 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
     def numOpt(k: String, dflt: Long): Long =
       numPatterns(k).findFirstMatchIn(line)
         .map(_.group(1).toLong).getOrElse(dflt)
-    // Scan to the first UNESCAPED closing quote (the old `[^"]*` regex
-    // stopped at an escaped one).
-    def str(k: String): String = {
-      val key = s""""$k":""""
-      val i = line.indexOf(key)
-      if (i < 0) sys.error(s"bad manifest line: $line")
-      var j = i + key.length
-      val b = new StringBuilder
-      while (j < line.length && line.charAt(j) != '"') {
-        if (line.charAt(j) == '\\' && j + 1 < line.length) {
-          b.append(line.charAt(j)).append(line.charAt(j + 1)); j += 2
-        } else { b.append(line.charAt(j)); j += 1 }
-      }
-      unesc(b.toString)
-    }
+    def str(k: String): String = strField(line, k)
     (str("op"), SstFile(num("id"), str("path"), num("numRows"),
       num("sizeBytes"), TimeRange(num("start"), num("end")),
       stats = parseStats(line), bucket = numOpt("bucket", -1L).toInt,
@@ -297,9 +299,17 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
       try sfs.fs.getFileStatus(p).getModificationTime
       catch { case scala.util.control.NonFatal(_) => System.currentTimeMillis() }
     for (line <- sfs.readLines(p) if line.nonEmpty) {
-      val (op, f) = parse(line)
-      if (op == "add") files(f.id) = f
-      else { files.remove(f.id); noteUnreferenced(f.path, committedAt) }
+      // "unref" tombstones (snapshot-persisted unreference stamps) carry
+      // only path + at — branch before the full SstFile parse
+      if (line.contains(""""op":"unref"""")) {
+        val at = Manifest.numPatterns("at").findFirstMatchIn(line)
+          .map(_.group(1).toLong).getOrElse(committedAt)
+        noteUnreferenced(strField(line, "path"), at)
+      } else {
+        val (op, f) = parse(line)
+        if (op == "add") files(f.id) = f
+        else { files.remove(f.id); noteUnreferenced(f.path, committedAt) }
+      }
     }
   }
 
@@ -427,7 +437,16 @@ final class Manifest(root: String, mergeThreshold: Int = 50,
   def mergeSnapshot(): Unit = synchronized {
     if (deltaSeq > snapshotSeq) {
       val tmp = dir.suffix("/snapshot.tmp")
-      sfs.writeLines(tmp, files.values.map(fmt(_, "add")).toSeq)
+      // Persist the unreference stamps as "unref" tombstones (round 15,
+      // advisor): merging drops the 'del' deltas, so without these a
+      // restart right after a merge would lose vacuum's staleness clock
+      // and anchor on file mtime — an SST unreferenced just before the
+      // restart could be swept INSIDE its delete-grace window. Bounded by
+      // UnrefAtCap; entries for paths vacuum already deleted were cleared.
+      val unrefLines = unrefAt.toSeq.sortBy(_._1).map { case (path, at) =>
+        s"""{"op":"unref","path":"${esc(path)}","at":$at}"""
+      }
+      sfs.writeLines(tmp, files.values.map(fmt(_, "add")).toSeq ++ unrefLines)
       sfs.rename(tmp, dir.suffix(f"/snapshot-$deltaSeq%020d.jsonl"))
       snapshotSeq = deltaSeq
     }
@@ -469,6 +488,6 @@ object Manifest {
   // java.util.regex.Patterns per line would spend seconds on regex
   // compilation alone.
   private val numPatterns: Map[String, scala.util.matching.Regex] =
-    Seq("id", "numRows", "sizeBytes", "start", "end", "bucket", "seqFloor")
-      .map(k => k -> (s""""$k":(-?\\d+)""").r).toMap
+    Seq("id", "numRows", "sizeBytes", "start", "end", "bucket", "seqFloor",
+      "at").map(k => k -> (s""""$k":(-?\\d+)""").r).toMap
 }

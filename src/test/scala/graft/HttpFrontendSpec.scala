@@ -937,6 +937,27 @@ class HttpFrontendSpec extends AnyFunSuite {
         fedLegacy.body())
       assert(!fedLegacy.headers().firstValue("Content-Type").orElse("")
         .contains("allow-utf-8"))
+      // Underscore-escaping can COLLIDE distinct series (round 15,
+      // advisor): 'http.req.total' and 'http_req_total' both escape to
+      // 'http_req_total'. A legacy scrape must emit ONE line per escaped
+      // identity (the newest sample) — duplicate samples make a
+      // federating Prometheus reject the whole scrape. Under allow-utf-8
+      // the spellings stay distinct and BOTH series federate.
+      val classicTwin = RemoteWrite.encode(Seq(graft.metric.Sample(
+        "http_req_total", Map("host" -> "a"), now - 2000, 9.0)))
+      assert(post(port, "/api/v1/write", classicTwin).statusCode() == 204)
+      val mTwin = java.net.URLEncoder.encode(
+        """{__name__=~"http.req.total|http_req_total"}""", "UTF-8")
+      val legacyTwin = get(port, s"/federate?match[]=$mTwin")
+      val twinLines = legacyTwin.body().split("\n").toSeq
+        .filter(_.startsWith("http_req_total{"))
+      assert(twinLines == Seq(
+        s"""http_req_total{host="a"} 9.0 ${now - 2000}"""),
+        legacyTwin.body())
+      val utf8Twin = getAccept(port, s"/federate?match[]=$mTwin",
+        "text/plain;version=0.0.4;escaping=allow-utf-8")
+      val utf8Lines = utf8Twin.body().split("\n").toSeq.filter(_.nonEmpty)
+      assert(utf8Lines.size == 2, utf8Twin.body())
     } finally fe.stop()
   }
 

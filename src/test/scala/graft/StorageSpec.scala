@@ -921,6 +921,34 @@ class StorageSpec extends AnyFunSuite {
     assert(!s.storeFs.exists(victim.path))
   }
 
+  test("vacuum's unreference clock survives a snapshot merge + restart: " +
+      "'unref' tombstones persist in the snapshot, so a reopened manifest " +
+      "still honors the delete-grace window (round 15, advisor)") {
+    val root = tmpRoot()
+    val s = mkStorage(root)
+    writeBatch(s, TimeRange(1, 10), Seq((1, 1, 1L)))
+    writeBatch(s, TimeRange(1, 10), Seq((2, 2, 2L)))
+    val victim = s.manifest.allSsts().minBy(_.id)
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    s.storeFs.fs.setTimes(new org.apache.hadoop.fs.Path(victim.path), old, -1)
+    // unreference NOW, then merge the deltas away (the merge drops the
+    // 'del' record that used to carry the unreference time)...
+    s.manifest.update(Nil, deleteIds = Seq(victim.id))
+    s.manifest.mergeSnapshot()
+    // ...and RESTART: a fresh manifest replays only the snapshot
+    val s2 = mkStorage(root)
+    val at = s2.manifest.unreferencedAtMs(victim.path)
+    assert(at.exists(_ > old + 1000L),
+      s"unreference time lost across merge+restart: $at")
+    // the month-old mtime must NOT get it swept inside the grace window
+    assert(s2.vacuum(olderThanMs = 3600000L) == 0)
+    assert(s2.storeFs.exists(victim.path))
+    // past the grace (relative to the true unreference time), it goes
+    assert(s2.vacuum(olderThanMs = 3600000L,
+      nowMs = System.currentTimeMillis() + 7200000L) == 1)
+    assert(!s2.storeFs.exists(victim.path))
+  }
+
   test("zone-map float pruning follows Spark SQL equality: abstains on NaN " +
       "and treats -0.0 = 0.0 (IEEE total order would skip matching files)") {
     import ZoneMaps._
