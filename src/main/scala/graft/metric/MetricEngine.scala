@@ -1822,14 +1822,14 @@ object MetricEngine {
     * (round 15): Prometheus 3 label names are arbitrary UTF-8 (OTLP
     * ships dotted attributes like `service.name`), and bare
     * `functions.col` PARSES its argument — a dotted bare name becomes a
-    * struct-field access that fails resolution. Quoting reads ONE
-    * literal name part; classic names resolve identically. Used
-    * wherever a grouping label or an output label column is referenced
-    * by name (the evaluator's flat frames carry labels positionally and
-    * don't need it). */
+    * struct-field access that fails resolution. Used wherever a grouping
+    * label or an output label column is referenced by name (the
+    * evaluator's flat frames carry labels positionally and don't need
+    * it). ONE definition engine-wide — delegates to
+    * [[graft.storage.TimeMergeStorage.qcol]] so a future quoting-rule
+    * fix lands everywhere at once. */
   private[metric] def qcol(name: String): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.col(
-      "`" + name.replace("`", "``") + "`")
+    graft.storage.TimeMergeStorage.qcol(name)
 
   /** Every bucket-emitting range window in `e` — the grains a requested
     * step must agree with (windows own their buckets; tumbling rule).

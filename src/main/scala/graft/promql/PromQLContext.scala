@@ -90,10 +90,10 @@ final class PromQLContext(
     * classic names resolve identically, so every dynamic column
     * reference in the evaluator routes through here. (Aliases,
     * withColumn/drop/withColumnRenamed and using-join column lists take
-    * literal names and never parse — they stay bare.) */
+    * literal names and never parse — they stay bare.) Delegates to the
+    * engine-wide [[graft.storage.TimeMergeStorage.qcol]]. */
   private def col(name: String): Column =
-    org.apache.spark.sql.functions.col(
-      "`" + name.replace("`", "``") + "`")
+    graft.storage.TimeMergeStorage.qcol(name)
 
   /** Label source columns normalized to STRING at the binding edge: PromQL
     * labels ARE strings (regex matchers, label_replace/label_join, and

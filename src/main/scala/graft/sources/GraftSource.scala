@@ -103,9 +103,10 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
 object DefaultSource {
 
   /** Backtick-quote a raw column name for the Column API — `col("a.b")`
-    * re-parses the dot as struct access. */
+    * re-parses the dot as struct access. Delegates to the engine-wide
+    * [[graft.storage.TimeMergeStorage.qcol]]. */
   private[sources] def qcol(name: String): Column =
-    col("`" + name.replace("`", "``") + "`")
+    graft.storage.TimeMergeStorage.qcol(name)
 
   private[sources] def rootOf(parameters: Map[String, String]): String =
     parameters.get("root").orElse(parameters.get("path")).getOrElse(
@@ -263,27 +264,33 @@ object DefaultSource {
         d
       case (Some(d), None) =>
         if (d > 1) {
-          // Exclusive create via stage-then-rename (round 15, advisor):
-          // two concurrent FIRST bucketed writers with different counts
-          // both saw no marker; a plain write is last-writer-wins and the
-          // loser's SSTs land under a conflicting pk-hash layout — the
-          // exact mixed-layout state the require() above guards against.
-          // Hadoop rename refuses an existing destination, so exactly one
-          // writer plants the marker; the loser re-reads and must agree.
+          // Exclusive create (round 15, advisor): two concurrent FIRST
+          // bucketed writers with different counts both saw no marker; a
+          // plain write is last-writer-wins and the loser's SSTs land
+          // under a conflicting pk-hash layout — the exact mixed-layout
+          // state the require() above guards against. create(overwrite =
+          // false) refuses an existing marker (atomic on HDFS; a narrow
+          // check-then-create on local/object stores, where rename(2)
+          // OVERWRITES and offers no stronger primitive), so at most one
+          // writer plants the layout. The unconditional re-read below is
+          // the portable backstop: a writer whose declared count lost the
+          // race fails here, BEFORE committing any SST.
           store.storeFs.mkdirs(store.storeFs.path("manifest"))
-          val tmp = store.storeFs.path("manifest",
-            s"buckets-${java.util.UUID.randomUUID()}.tmp")
-          store.storeFs.writeLines(tmp, Seq(d.toString))
-          if (!store.storeFs.fs.rename(tmp, markerPath)) {
-            store.storeFs.delete(tmp)
-            val won = store.storeFs.readLines(markerPath).headOption
-              .map(_.trim.toInt).filter(_ > 0)
-            require(won.contains(d),
-              s"buckets=$d lost the first-writer race to a concurrent " +
-                s"writer's persisted layout (${won.getOrElse("?")}): the " +
-                "pk-hash layout is physical and cannot change without a " +
-                "rewrite")
+          try {
+            val out = store.storeFs.fs.create(markerPath, false)
+            try out.write((d.toString + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          } catch {
+            case _: java.io.IOException => () // lost the race — verified below
           }
+          val won = store.storeFs.readLines(markerPath).headOption
+            .map(_.trim.toInt).filter(_ > 0)
+          require(won.contains(d),
+            s"buckets=$d lost the first-writer race to a concurrent " +
+              s"writer's persisted layout (${won.getOrElse("?")}): the " +
+              "pk-hash layout is physical and cannot change without a " +
+              "rewrite")
         }
         d
       case (None, Some(p)) => p

@@ -155,7 +155,10 @@ object StreamAggregates {
     rows.withWatermark("ts_ts", watermark)
       .groupBy(byCols :+ window(col("ts_ts"), s"$stepMs milliseconds").as("w"): _*)
       .agg(agg.as("value"))
-      .select(by.sorted.map(col) ++
+      // qcol, not col: by-labels can be UTF-8 names (round 15 — quoted
+      // grouping syntax reaches this executor too) and bare col() would
+      // parse a dotted label as struct access
+      .select(by.sorted.map(graft.storage.TimeMergeStorage.qcol) ++
         Seq(unix_millis(col("w.start")).as("bucket_ms"), col("value")): _*)
   }
 

@@ -544,6 +544,38 @@ class StreamingSpec extends AnyFunSuite {
       ("h1", t0 - t0 % step, 3.0)))
   }
 
+  test("streaming PromQL groups by UTF-8 (dotted) label names like the " +
+      "batch evaluators (round 15: quoted by-list syntax reaches this " +
+      "executor too)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sample]
+    val step = 60000L
+    val q = StreamAggregates.promqlStream(stream.toDS(),
+      """sum by ("service.name") (req{"host.name"=~"h[01]"})""",
+      stepMs = step, watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pql_dotted").start()
+    try {
+      stream.addData(
+        Sample("req", Map("service.name" -> "api", "host.name" -> "h0"), t0, 2.0),
+        Sample("req", Map("service.name" -> "api", "host.name" -> "h1"), t0 + 1000, 7.0),
+        Sample("req", Map("service.name" -> "worker", "host.name" -> "h0"), t0 + 2000, 3.0),
+        Sample("req", Map("service.name" -> "api", "host.name" -> "h9"), t0, 99.0)) // filtered
+      q.processAllAvailable()
+      stream.addData(Sample("req",
+        Map("service.name" -> "api", "host.name" -> "h0"),
+        t0 + 3600 * 1000L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dotted = spark.sql("SELECT * FROM pql_dotted")
+    assert(dotted.columns.contains("service.name"))
+    val rows = dotted.collect()
+      .map(r => (r.getAs[String]("service.name"), r.getAs[Double]("value")))
+      .toSet
+    assert(rows == Set(("api", 9.0), ("worker", 3.0)))
+  }
+
   test("streaming PromQL groups absent by-labels as \"\" like the batch path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
