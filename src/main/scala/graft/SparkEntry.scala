@@ -781,8 +781,15 @@ object SparkEntry {
         if (sh == 0) col("embedding")
         else concat(slice(col("embedding"), sh + 1, 1000000),
           slice(col("embedding"), 1, sh))
+      // past 64 copies the dim-64 rotation space is exhausted — NEGATE
+      // the second revolution (cosine flips sign, so copy 64+c never
+      // fuses with copy c's near-dup family); output for c < 64 is
+      // bit-identical to the pre-round-15 scheme, so existing 10×
+      // corpora stay valid
+      val vec =
+        if ((c / 64) % 2 == 1) transform(shifted, x => -x) else shifted
       df.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
-        shifted.as("embedding"),
+        vec.as("embedding"),
         (col("label") + c * 100000).as("label"))
     }
     copiesOf("events") { (df, c) =>
@@ -794,9 +801,11 @@ object SparkEntry {
       fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** The bench lane's canonical 10× corpus location for a source dir. */
-  def scaledDirFor(srcDir: String): String =
-    "/tmp/graft_scaled10x_" + srcDir.split('/').lastOption.getOrElse(srcDir)
+  /** The canonical scaled-corpus location for a source dir and copy
+    * count (the bench lane uses copies = 10). */
+  def scaledDirFor(srcDir: String, copies: Int = 10): String =
+    s"/tmp/graft_scaled${copies}x_" +
+      srcDir.split('/').lastOption.getOrElse(srcDir)
 
   /** Resolve a probe/lane dir spec: `scaled10x:<srcDir>` synthesizes (or
     * reuses — the marker fingerprint decides) the bench lane's 10× corpus
@@ -804,13 +813,22 @@ object SparkEntry {
     * it; anything else passes through. ONE definition shared by Bench's
     * lane and the ScaleProbe/IvfProbe triage tools, so a probe can never
     * silently measure a different corpus than the lane it triages. */
-  def resolveScaledSpec(s: SparkSession, spec: String): String =
-    if (spec.startsWith("scaled10x:")) {
-      val src = spec.stripPrefix("scaled10x:")
-      val out = scaledDirFor(src)
-      synthesizeScaled(s, src, out, copies = 10)
-      out
-    } else spec
+  def resolveScaledSpec(s: SparkSession, spec: String): String = {
+    // scaled<N>x:<srcDir> — any copy count (the bench lane uses 10; the
+    // round-15 scale rehearsal drives 100)
+    val m = "^scaled(\\d+)x:(.+)$".r.findFirstMatchIn(spec)
+    m match {
+      case Some(g) =>
+        val copies = g.group(1).toInt
+        require(copies >= 1 && copies <= 1000,
+          s"scaled<N>x copy count out of range: $copies")
+        val src = g.group(2)
+        val out = scaledDirFor(src, copies)
+        synthesizeScaled(s, src, out, copies)
+        out
+      case None => spec
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
