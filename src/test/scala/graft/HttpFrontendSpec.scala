@@ -865,6 +865,38 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("OTLP utf8Names end to end over HTTP (round 15): dotted metric AND " +
+      "label names ingest verbatim, group via the quoted by-list on " +
+      "/api/v1/query, and the JSON metric object carries the dotted key") {
+    import graft.streaming.Otlp
+    val engine = new MetricEngine(spark,
+      Files.createTempDirectory("graft-http-otlp8").toString)
+    val fe = new HttpFrontend(spark, engine)
+    val port = fe.start()
+    spark.conf.set("graft.otlp.utf8Names", "true")
+    try {
+      val t0 = System.currentTimeMillis() - 60000
+      val body = Otlp.encode(
+        resourceAttrs = Map("service.name" -> "api"),
+        metrics = Seq(
+          Otlp.MetricSpec("http.server.duration", Seq(
+            Otlp.Point(Map("host.name" -> "h1"), t0 * 1000000L, 3.0),
+            Otlp.Point(Map("host.name" -> "h2"), (t0 + 1000) * 1000000L, 4.0)))))
+      assert(post(port, "/v1/metrics", body).statusCode() == 200)
+      val q = java.net.URLEncoder.encode(
+        """sum by ("service.name") ({"http.server.duration", "host.name"=~"h[0-9]"})""",
+        "UTF-8")
+      val iq = get(port,
+        s"/api/v1/query?query=$q&time=${(t0 + 2000) / 1000}")
+      assert(iq.statusCode() == 200, iq.body())
+      assert(iq.body().contains(""""service.name":"api""""), iq.body())
+      assert(iq.body().contains(""""7.0""""), iq.body())
+    } finally {
+      spark.conf.unset("graft.otlp.utf8Names")
+      fe.stop()
+    }
+  }
+
   test("federate serves the newest sample per matching series in the text " +
       "exposition format; overlapping match[] selectors dedup by series") {
     val engine = new MetricEngine(spark,

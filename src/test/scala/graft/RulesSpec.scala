@@ -57,6 +57,32 @@ class RulesSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("recording rule over UTF-8 label names (round 15): a dotted OTLP " +
+      "attribute groups via the quoted by-list, records under the rule " +
+      "name with the dotted label, and reads back grouped by it") {
+    val eng = new MetricEngine(spark,
+      Files.createTempDirectory("graft-rules-utf8").toString)
+    eng.write(spark.createDataFrame(Seq(
+      Sample("req", Map("service.name" -> "api", "host.name" -> "h1"),
+        t0 - 10000L, 4.0),
+      Sample("req", Map("service.name" -> "api", "host.name" -> "h2"),
+        t0 - 20000L, 6.5),
+      Sample("req", Map("service.name" -> "worker", "host.name" -> "h1"),
+        t0 - 10000L, 1.25))))
+    val re = new RuleEngine(spark, eng, Seq(RuleGroup("g", 60000L, Seq(
+      RecordingRule("svc:req:sum",
+        """sum by ("service.name") (req)""")))))
+    re.evalGroupOnce("g", t0)
+    val out = eng.instantPromQLLabeled("svc:req:sum", t0)
+    assert(out.columns.contains("service.name"))
+    assert(valuesByLabel(out, "service.name")
+      == Map("api" -> 10.5, "worker" -> 1.25))
+    // and the recorded series stay addressable by the dotted label
+    val filtered = eng.instantPromQLLabeled(
+      """svc:req:sum{"service.name"="api"}""", t0)
+    assert(valuesByLabel(filtered, "service.name") == Map("api" -> 10.5))
+  }
+
   test("rules in one group evaluate sequentially: a later rule sees an " +
       "earlier recording rule's output at the same evaluation time") {
     val eng = freshEngine()
