@@ -990,6 +990,24 @@ class HttpFrontendSpec extends AnyFunSuite {
         "text/plain;version=0.0.4;escaping=allow-utf-8")
       val utf8Lines = utf8Twin.body().split("\n").toSeq.filter(_.nonEmpty)
       assert(utf8Lines.size == 2, utf8Twin.body())
+      // label KEYS colliding WITHIN one series after escaping ('zone.x'
+      // and 'zone_x' both escape to 'zone_x'): the legacy line keeps the
+      // first sorted key only — duplicate label names in one exposition
+      // line are a scrape-rejecting parse error
+      val keyClash = RemoteWrite.encode(Seq(graft.metric.Sample(
+        "kc_metric", Map("zone.x" -> "a", "zone_x" -> "b"),
+        now - 1000, 1.5)))
+      assert(post(port, "/api/v1/write", keyClash).statusCode() == 204)
+      val mKc = java.net.URLEncoder.encode("kc_metric", "UTF-8")
+      val kcLegacy = get(port, s"/federate?match[]=$mKc").body().trim
+      assert(kcLegacy == s"""kc_metric{zone_x="a"} 1.5 ${now - 1000}""",
+        kcLegacy)
+      // under allow-utf-8 both keys survive (quoted spelling, distinct)
+      val kcUtf8 = getAccept(port, s"/federate?match[]=$mKc",
+        "text/plain;version=0.0.4;escaping=allow-utf-8").body().trim
+      assert(kcUtf8 ==
+        s"""kc_metric{"zone.x"="a",zone_x="b"} 1.5 ${now - 1000}""",
+        kcUtf8)
     } finally fe.stop()
   }
 

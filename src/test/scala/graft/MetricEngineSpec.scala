@@ -604,6 +604,19 @@ class MetricEngineSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("service.name") -> r.getAs[Double]("value"))
       .toMap
     assert(ratio == Map("api" -> 1.05, "worker" -> 0.25))
+    // adversarial names: backtick, escaped quote, space, dot in ONE
+    // label name — the quoting helper must escape backticks or the
+    // backtick-quoted reference itself would unbalance
+    val gnarly = "a`b\"c d.e"
+    e.write(Seq(
+      Sample("gn", Map(gnarly -> "x"), day, 2.0),
+      Sample("gn", Map(gnarly -> "y"), day, 3.0)).toDF())
+    val sel = "gn{\"a`b\\\"c d.e\"=~\"x|y\"}"
+    val gq = e.queryPromQL(s"""sum by ("a`b\\"c d.e") ($sel)""", all)
+    assert(gq.columns.contains(gnarly))
+    assert(gq.collect()
+      .map(r => r.getAs[String](gnarly) -> r.getAs[Double]("value")).toMap
+      == Map("x" -> 2.0, "y" -> 3.0))
     // the structural-output collision still fails fast (a label named
     // "value" cannot ride the flat result frames)
     e.write(Seq(
