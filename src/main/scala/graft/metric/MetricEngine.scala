@@ -1691,7 +1691,8 @@ final class MetricEngine(spark: SparkSession, root: String,
     // becomes a Spark column name mid-plan; the labelMap hands the
     // name→column binding to the evaluator, whose OUTPUT re-keys by the
     // real (possibly UTF-8) label names.
-    def lblCol(l: String): String = s"__lbl_${labelCols.indexOf(l)}"
+    val lblCol: Map[String, String] = labelCols.zipWithIndex
+      .map { case (l, i) => l -> s"__lbl_$i" }.toMap
     // Index-side matcher pushdown for one selector: every `=` matcher and
     // every POSITIVE regex matcher whose pattern cannot match "" bounds a
     // superset of the touchable series via the (tag_value, tsid) index
@@ -1808,7 +1809,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     // __name__ rides as a first-class label binding (to the metric column
     // itself) only when the query references it — grouping by (__name__)
     // and multi-metric selection then work without an index join.
-    val labelMap = labelCols.map(l => l -> lblCol(l)).toMap ++
+    val labelMap = lblCol ++
       (if (nameReferenced) Map("__name__" -> "__name__") else Map.empty)
     new PromQLContext(samples, "__name__", col("ts"), "value", labelMap,
       ordering = Seq(col("ts"), col("tsid")), seriesCols = Seq("tsid"),

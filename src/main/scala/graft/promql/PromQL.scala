@@ -596,27 +596,21 @@ object PromQLParser {
           next()
         case _ =>
           var done = false
+          def sep(): Unit = next() match {
+            case TPunct(",", _) => ()
+            case TPunct(")", _) => done = true
+            case t => throw PromQLParseException("expected ',' or ')'", t.pos)
+          }
           while (!done) next() match {
             // Prometheus 3 UTF-8 grouping syntax: label names in
             // by/without/on/ignoring/group_* lists may be quoted
             // (sum by ("service.name") (...)) — the spelling OTLP's
             // dotted resource attributes need.
-            case TIdent(l, _) =>
-              labels += l
-              next() match {
-                case TPunct(",", _) => ()
-                case TPunct(")", _) => done = true
-                case t => throw PromQLParseException("expected ',' or ')'", t.pos)
-              }
+            case TIdent(l, _) => labels += l; sep()
             case TStr(l, p) =>
               if (l.isEmpty)
                 throw PromQLParseException("empty label name in list", p)
-              labels += l
-              next() match {
-                case TPunct(",", _) => ()
-                case TPunct(")", _) => done = true
-                case t => throw PromQLParseException("expected ',' or ')'", t.pos)
-              }
+              labels += l; sep()
             case t => throw PromQLParseException("expected label name", t.pos)
           }
       }

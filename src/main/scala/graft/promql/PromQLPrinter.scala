@@ -138,8 +138,7 @@ object PromQLPrinter {
       case MatchOp.Nre => "!~"
     }
     // quoted label names (Prometheus 3 UTF-8 syntax) round-trip too
-    val l = if (isClassicLabelName(m.label)) m.label else str(m.label)
-    s"$l$op${str(m.value)}"
+    s"${lblName(m.label)}$op${str(m.value)}"
   }
 
   /** A label name in a grouping/matching list: bare when classic, quoted
