@@ -1740,4 +1740,33 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("synthesizeScaled past the dim-64 rotation space: the second " +
+      "revolution NEGATES vectors (round 15), so copy 64+c never fuses " +
+      "with copy c's near-dup family; copies < 64 stay bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val src = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-scaled65").toString
+    graft.SparkEntry.synthesizeScaled(spark, src, out, copies = 65)
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toList).toMap
+    // copy 0 is the source verbatim
+    val c0 = emb.filter(col("vec_id") < 10000000L).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toList)
+      .toMap
+    assert(c0 == base)
+    // copy 64 = shift 0, negated: exactly -1 x the source, elementwise
+    val c64 = emb.filter(col("vec_id") >= 64L * 10000000L &&
+        col("vec_id") < 65L * 10000000L).collect()
+      .map(r => (r.getAs[Long]("vec_id") - 64L * 10000000L) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toList).toMap
+    assert(c64.keySet == base.keySet)
+    c64.foreach { case (id, v) =>
+      assert(v == base(id).map(x => -x), s"vec $id is not the negation")
+    }
+  }
 }
