@@ -749,7 +749,7 @@ object SparkEntry {
     // the fingerprint sees only source path/size/mtime and copy count, so
     // a changed rotation/shift scheme would otherwise silently reuse a
     // stale /tmp corpus and mix old-scheme numerators into new ratios.
-    val schemeVersion = 2
+    val schemeVersion = 3 // round 15: revolutions past 26 copies reverse/swapcase
     val fingerprint = (s"src=$srcDir copies=$copies scheme=$schemeVersion" +:
       Seq("documents", "embeddings", "events").map(fp)).mkString("\n")
     if (java.nio.file.Files.exists(marker) &&
@@ -765,14 +765,26 @@ object SparkEntry {
       // rotate lowercase, uppercase AND digits — a lowercase-only alphabet
       // left numeric/uppercase tokens identical across copies, so
       // number-heavy documents could still fuse near-dup families across
-      // copies and under-state bucket growth
+      // copies and under-state bucket growth. Past the 26-rotation space
+      // (round 15 — the ≥100-copy rehearsal) each REVOLUTION k = c/26
+      // composes a structure-preserving transform that keeps cross-copy
+      // shingles disjoint: k=1 reverses, k=2 swaps case (lowercase maps
+      // to rotated UPPERCASE and vice versa), k=3 both — copies c and
+      // c+26 no longer fuse into one near-dup family. Copies < 26 are
+      // bit-identical to the old scheme (k=0), so the 10-copy bench lane
+      // corpus is unchanged in content.
       val upper = abc.toUpperCase
       val dig = "0123456789"
-      val rot = abc.drop(c % 26) + abc.take(c % 26) +
-        upper.drop(c % 26) + upper.take(c % 26) +
-        dig.drop(c % 10) + dig.take(c % 10)
+      val k = (c / 26) % 4
+      val lowerTgt = abc.drop(c % 26) + abc.take(c % 26)
+      val upperTgt = upper.drop(c % 26) + upper.take(c % 26)
+      val digTgt = dig.drop(c % 10) + dig.take(c % 10)
+      val rotated =
+        translate(col("text"), abc + upper + dig,
+          (if (k >= 2) upperTgt + lowerTgt else lowerTgt + upperTgt) + digTgt)
+      val txt = if (k % 2 == 1) reverse(rotated) else rotated
       df.select((col("doc_id") + c.toLong * 10000000L).as("doc_id"),
-        translate(col("text"), abc + upper + dig, rot).as("text"),
+        txt.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     copiesOf("embeddings") { (df, c) =>

@@ -1768,5 +1768,34 @@ class PipelineSpec extends AnyFunSuite {
     c64.foreach { case (id, v) =>
       assert(v == base(id).map(x => -x), s"vec $id is not the negation")
     }
+    // text side, past the 26-rotation space: copy 26 (k=1) REVERSES the
+    // rotated text, copy 52 (k=2) swaps case — cross-copy shingles stay
+    // disjoint instead of fusing copies c and c+26 into one family
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def copyTexts(c: Long): Map[Long, String] =
+      docs.filter(col("doc_id") >= c * 10000000L &&
+          col("doc_id") < (c + 1) * 10000000L).collect()
+        .map(r => (r.getAs[Long]("doc_id") - c * 10000000L) ->
+          r.getAs[String]("text")).toMap
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    val up = abc.toUpperCase
+    val dig = "0123456789"
+    def tr(t: String, from: String, to: String): String =
+      t.map(ch => { val i = from.indexOf(ch); if (i >= 0) to(i) else ch })
+    // copy 26: rotation 0, digit-rot 6, reversed
+    val c26 = copyTexts(26L)
+    srcDocs.foreach { case (id, t) =>
+      val expect = tr(t, dig, dig.drop(6) + dig.take(6)).reverse
+      assert(c26(id) == expect, s"doc $id copy 26 is not reverse+digit-rot")
+    }
+    // copy 52: rotation 0, digit-rot 2, case-swapped, forward
+    val c52 = copyTexts(52L)
+    srcDocs.foreach { case (id, t) =>
+      val expect = tr(t, abc + up + dig,
+        up + abc + dig.drop(2) + dig.take(2))
+      assert(c52(id) == expect, s"doc $id copy 52 is not swapcase+digit-rot")
+    }
   }
 }
