@@ -40,8 +40,12 @@ object PromQLPrinter {
       // Prometheus 3 UTF-8 names: a metric that is not a classic
       // identifier prints as a quoted name element inside the braces
       // ({"http.server.duration", job="api"}) — the only spelling that
-      // parses back, keeping the print/parse round trip exact.
-      val quotedName = metric.nonEmpty && !isClassicMetricName(metric)
+      // parses back, keeping the print/parse round trip exact. A LEADING
+      // colon is charset-classic but not bare-parseable (the lexer —
+      // like Prometheus's — reserves a leading ':' for the subquery step
+      // separator), so those quote too.
+      val quotedName = metric.nonEmpty &&
+        (!isClassicMetricName(metric) || metric.head == ':')
       val items = (if (quotedName) Seq(str(metric)) else Nil) ++
         matchers.map(printMatcher)
       val ms =

@@ -1737,6 +1737,89 @@ class PromQLSpec extends AnyFunSuite {
     }
   }
 
+  test("property round trip: random ASTs over arbitrary UTF-8 label and " +
+      "metric names survive print -> parse exactly (printer quoting is " +
+      "total, incl. backticks/quotes/backslashes/whitespace)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // char pool deliberately includes every character the quoting layers
+    // special-case: quote, backslash, backtick, dot, space, newline, tab,
+    // non-ASCII — plus ordinary letters/digits
+    val pool: Seq[Char] = "abzAZ09_.:-/ \u00e9\u65e5`\"\\\n\t".toSeq
+    val wildName: Gen[String] = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString))
+    // classic label names prefixed to dodge keywords and the Inf/NaN
+    // case-insensitive number lexing
+    val classicLabel: Gen[String] = Gen.listOfN(3,
+      Gen.oneOf('a' to 'z')).map("l_" + _.mkString)
+    val labelName: Gen[String] = Gen.frequency(
+      1 -> classicLabel, 2 -> wildName).suchThat(l =>
+      l.nonEmpty && l != "__name__")
+    val metricName: Gen[String] = Gen.frequency(
+      1 -> Gen.oneOf("cpu", "req", "job:cpu:sum5m"), 2 -> wildName)
+      .suchThat(_.nonEmpty)
+    val valueGen: Gen[String] = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString))
+    val matcherGen: Gen[LabelMatcher] = for {
+      l <- labelName
+      op <- Gen.oneOf(MatchOp.Eq, MatchOp.Ne, MatchOp.Re, MatchOp.Nre)
+      v <- valueGen
+    } yield LabelMatcher(l, op, v)
+    val selectorGen: Gen[Selector] = for {
+      m <- metricName
+      nm <- Gen.chooseNum(0, 3)
+      ms <- Gen.listOfN(nm, matcherGen)
+    } yield Selector(m, ms.distinctBy(_.label))
+    val aggGen: Gen[Expr] = for {
+      sel <- selectorGen
+      nb <- Gen.chooseNum(0, 3)
+      by <- Gen.listOfN(nb, labelName).map(_.distinct)
+      without <- Gen.oneOf(true, false)
+      op <- Gen.oneOf(MetricAgg.Sum, MetricAgg.Max, MetricAgg.Count)
+    } yield Agg(op, by,
+      sel, without = without && by.nonEmpty) // `without ()` does not parse
+    val paramAggGen: Gen[Expr] = for {
+      sel <- selectorGen
+      by <- Gen.listOfN(2, labelName).map(_.distinct)
+    } yield ParamAgg(ParamOp.TopK, 3.0, by, sel)
+    val binGen: Gen[Expr] = for {
+      a <- selectorGen
+      b <- selectorGen
+      on <- Gen.oneOf(true, false)
+      nl <- Gen.chooseNum(0, 2)
+      ls <- Gen.listOfN(nl, labelName).map(_.distinct)
+      ni <- Gen.chooseNum(0, 2)
+      inc <- Gen.listOfN(ni, labelName).map(_.distinct)
+      grouped <- Gen.oneOf(true, false)
+    } yield BinOp("/", a, b, bool = false,
+      Some(VectorMatch(on, ls,
+        group = if (grouped || inc.nonEmpty) Some(GroupSide.Left) else None,
+        include = if (grouped || inc.nonEmpty) inc else Nil)))
+    val lfGen: Gen[Expr] = for {
+      sel <- selectorGen
+      dst <- labelName
+      src <- labelName
+    } yield LabelFn("label_replace", sel, dst, Seq("$1", src, "(.+)"))
+    val exprGen: Gen[Expr] = Gen.frequency(
+      2 -> selectorGen, 2 -> aggGen, 1 -> paramAggGen, 1 -> binGen,
+      1 -> lfGen)
+    var checked = 0
+    for (i <- 0L until 2000L) {
+      exprGen.apply(Gen.Parameters.default, Seed(i * 7919 + 13)).foreach {
+        ast =>
+          checked += 1
+          val printed = PromQLPrinter.print(ast)
+          val back =
+            try PromQLParser.parse(printed)
+            catch { case e: Throwable =>
+              fail(s"re-parse failed for $ast printed as <$printed>: " +
+                e.getMessage) }
+          assert(back == ast, s"round trip changed $ast -> <$printed>")
+      }
+    }
+    assert(checked > 1000, s"generator starved: only $checked samples")
+  }
+
   test("parser fuzz: garbage and mutated queries only ever raise " +
       "PromQLParseException — never hangs, never leaks internal errors") {
     import graft.promql.{PromQLParser, PromQLParseException}
