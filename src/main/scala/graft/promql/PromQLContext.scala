@@ -1108,7 +1108,16 @@ final class PromQLContext(
         case MetricAgg.Min => min(col("value"))
         case MetricAgg.Max => max(col("value"))
         case MetricAgg.Avg => avg(col("value"))
-        case MetricAgg.Count => count(lit(1)).cast("double")
+        // empty-input guard: COUNT is the one aggregate whose zero value is
+        // non-null, so the ungrouped `.agg()` path would answer
+        // `count(no_such_metric)` with 0 where Prometheus returns an empty
+        // vector — null instead, matching every other aggregate's
+        // empty-input convention (the serving edge filters null-value rows
+        // into an empty result). Grouped paths never see an empty group,
+        // so there the guard is a no-op.
+        case MetricAgg.Count =>
+          when(count(lit(1)) === 0, lit(null).cast("double"))
+            .otherwise(count(lit(1)).cast("double"))
         case MetricAgg.Stddev => stddev_pop(col("value"))
         case MetricAgg.Stdvar => var_pop(col("value"))
         case MetricAgg.Group => max(lit(1.0))

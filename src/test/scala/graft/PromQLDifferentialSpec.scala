@@ -1,0 +1,344 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.promql._
+
+/** Differential fuzzing of the flat-frame instant evaluator: random small
+  * fixtures × random expressions from a restricted PromQL grammar, each
+  * evaluated BOTH through `PromQLContext.sqlInstant` and through a ~100-line
+  * pure-Scala reference interpreter written directly from the Prometheus
+  * evaluation rules (lookback = newest sample per series in (T-lb, T],
+  * matcher/agg/binop semantics per the spec). The two implementations share
+  * no code, so agreement over hundreds of random cases pins the evaluator's
+  * instant semantics far beyond the hand-written oracle rows.
+  *
+  * Grammar kept to shapes whose reference semantics are unambiguous:
+  * selectors with =/!=/=~/!~ matchers, vector∘scalar arithmetic and filter
+  * comparisons, sum/min/max/avg/count with by/without/ungrouped, arithmetic
+  * and set ops between two same-grouping aggregations.
+  */
+class PromQLDifferentialSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // ------------------------------------------------------------- fixture
+  private val schema = StructType(Seq(
+    StructField("__name__", StringType), StructField("host", StringType),
+    StructField("dc", StringType), StructField("tms", LongType),
+    StructField("v", DoubleType)))
+
+  private case class S(m: String, host: String, dc: String, ts: Long, v: Double)
+
+  private def ctxOf(fx: Seq[S]): PromQLContext = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        fx.map(s => Row(s.m, s.host, s.dc, s.ts, s.v)), 3), schema)
+    // metric column named __name__, exactly like the engine tier binds it,
+    // so `without` drops it per Prometheus aggregation semantics
+    new PromQLContext(df, "__name__", col("tms"), "v",
+      Map("host" -> "host", "dc" -> "dc"), ordering = Seq(col("tms")))
+  }
+
+  // ------------------------------------------- reference interpreter (pure)
+  private type Labels = Map[String, String]
+  private type Vec = Map[Labels, Double]
+
+  private sealed trait RE {
+    def text: String
+    /** (label names carried by the frame, instant vector at T) */
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec)
+  }
+
+  private def reMatches(re: String, v: String): Boolean =
+    java.util.regex.Pattern.matches("\\A(?:" + re + ")\\z", v)
+
+  private case class RSel(metric: String,
+      ms: Seq[(String, String, String)]) extends RE {
+    def text: String =
+      if (ms.isEmpty) metric
+      else metric + ms.map { case (l, op, v) => s"""$l$op"$v"""" }
+        .mkString("{", ", ", "}")
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      def ok(h: String, d: String): Boolean = ms.forall { case (l, op, v) =>
+        val x = if (l == "host") h else d
+        op match {
+          case "=" => x == v
+          case "!=" => x != v
+          case "=~" => reMatches(v, x)
+          case "!~" => !reMatches(v, x)
+        }
+      }
+      // the flat evaluator projects the metric column away from selector
+      // frames (the engine tier re-binds __name__ when a query references
+      // it) — selector identity here is the label columns alone
+      val vec = fx.filter(s => s.m == metric && s.ts > t - lb && s.ts <= t)
+        .groupBy(s => (s.host, s.dc))
+        .collect { case ((h, d), ss) if ok(h, d) =>
+          Map("host" -> h, "dc" -> d) -> ss.maxBy(_.ts).v
+        }
+      (Seq("host", "dc"), vec)
+    }
+  }
+
+  private def ieee(op: String, a: Double, b: Double): Double = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+  }
+  private def cmp(op: String, a: Double, b: Double): Boolean = op match {
+    case ">" => a > b
+    case "<" => a < b
+    case ">=" => a >= b
+    case "<=" => a <= b
+    case "==" => a == b
+    case "!=" => a != b
+  }
+
+  /** vector ∘ scalar arithmetic; `scalarLeft` = the literal is the lhs. */
+  private case class RVS(child: RE, op: String, k: Double,
+      scalarLeft: Boolean) extends RE {
+    def text: String =
+      if (scalarLeft) s"$k ${op} (${child.text})"
+      else s"(${child.text}) $op $k"
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      val (ls, v) = child.ref(fx, t, lb)
+      (ls, v.map { case (l, x) =>
+        l -> (if (scalarLeft) ieee(op, k, x) else ieee(op, x, k)) })
+    }
+  }
+
+  /** vector ∘ scalar comparison: row filter, or 0/1 indicator under bool. */
+  private case class RCmp(child: RE, op: String, k: Double,
+      bool: Boolean = false) extends RE {
+    def text: String = s"(${child.text}) $op${if (bool) " bool" else ""} $k"
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      val (ls, v) = child.ref(fx, t, lb)
+      if (bool) (ls, v.map { case (l, x) =>
+        l -> (if (cmp(op, x, k)) 1.0 else 0.0) })
+      else (ls, v.filter { case (_, x) => cmp(op, x, k) })
+    }
+  }
+
+  /** `fn_over_time(sel[w])`: fold of each series' samples in (T-w, T]. */
+  private case class ROT(fn: String, sel: RSel, w: Long) extends RE {
+    def text: String = s"${fn}_over_time(${sel.text}[${w / 1000}s])"
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      // the window reads its own range — the instant lookback is irrelevant
+      val (ls, _) = sel.ref(fx, t, lb)
+      def ok(h: String, d: String): Boolean = sel.ms.forall {
+        case (l, op, v) =>
+          val x = if (l == "host") h else d
+          op match {
+            case "=" => x == v
+            case "!=" => x != v
+            case "=~" => reMatches(v, x)
+            case "!~" => !reMatches(v, x)
+          }
+      }
+      val vec = fx
+        .filter(s => s.m == sel.metric && s.ts > t - w && s.ts <= t)
+        .groupBy(s => (s.host, s.dc))
+        .collect { case ((h, d), ss) if ok(h, d) =>
+          val xs = ss.map(_.v)
+          Map("host" -> h, "dc" -> d) -> (fn match {
+            case "sum" => xs.sum
+            case "min" => xs.min
+            case "max" => xs.max
+            case "avg" => xs.sum / xs.size
+            case "count" => xs.size.toDouble
+            case "last" => ss.maxBy(_.ts).v
+          })
+        }
+      (ls, vec)
+    }
+  }
+
+  private case class RAgg(agg: String, without: Boolean, g: Seq[String],
+      child: RE) extends RE {
+    def text: String = {
+      val cl = if (without) s" without (${g.mkString(", ")}) "
+        else if (g.nonEmpty) s" by (${g.mkString(", ")}) " else ""
+      s"$agg$cl(${child.text})"
+    }
+    def keysOf(childLabels: Seq[String]): Seq[String] =
+      if (without) childLabels.filterNot(g.contains).filterNot(_ == "__name__")
+      else g
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      val (ls, v) = child.ref(fx, t, lb)
+      val keys = keysOf(ls)
+      val grouped = v.groupBy { case (l, _) =>
+        keys.map(k => k -> l.getOrElse(k, "")).toMap }
+      val out = grouped.map { case (gl, rows) =>
+        val xs = rows.values.toSeq
+        gl -> (agg match {
+          case "sum" => xs.sum
+          case "min" => xs.min
+          case "max" => xs.max
+          case "avg" => xs.sum / xs.size
+          case "count" => xs.size.toDouble
+        })
+      }
+      (keys, out)
+    }
+  }
+
+  /** arith / set op between two aggregations carrying IDENTICAL key sets
+    * (the 1:1 matching shape — both sides unique per key by construction). */
+  private case class RBin(l: RAgg, op: String, r: RAgg) extends RE {
+    def text: String = s"(${l.text}) $op (${r.text})"
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      val (lls, lv) = l.ref(fx, t, lb)
+      val (_, rv) = r.ref(fx, t, lb)
+      op match {
+        case "and" => (lls, lv.filter { case (k, _) => rv.contains(k) })
+        case "unless" => (lls, lv.filterNot { case (k, _) => rv.contains(k) })
+        case "or" => (lls, rv ++ lv) // lhs wins on shared keys
+        case _ =>
+          (lls, lv.flatMap { case (k, a) =>
+            rv.get(k).map(b => k -> ieee(op, a, b)) })
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- generators
+  private def genExpr(rnd: scala.util.Random): RE = {
+    val metrics = Seq("cpu", "mem")
+    val aggs = Seq("sum", "min", "max", "avg", "count")
+    def sel(): RSel = {
+      val nm = rnd.nextInt(3)
+      val ms = (0 until nm).map { _ =>
+        val (lbl, values, res) =
+          if (rnd.nextBoolean()) ("host", Seq("a", "b", "c", "zz"),
+            Seq("a|b", "a.*", "[ab]", "z.*", ".*"))
+          else ("dc", Seq("us", "eu", "zz"), Seq("u.*", "us|eu", "e+u"))
+        rnd.nextInt(4) match {
+          case 0 => (lbl, "=", values(rnd.nextInt(values.size)))
+          case 1 => (lbl, "!=", values(rnd.nextInt(values.size)))
+          case 2 => (lbl, "=~", res(rnd.nextInt(res.size)))
+          case _ => (lbl, "!~", res(rnd.nextInt(res.size)))
+        }
+      }
+      // duplicate-label matcher pairs are legal PromQL (conjunction)
+      RSel(metrics(rnd.nextInt(metrics.size)), ms)
+    }
+    def ot(): ROT = ROT(
+      Seq("sum", "min", "max", "avg", "count", "last")(rnd.nextInt(6)),
+      sel(), Seq(120000L, 300000L)(rnd.nextInt(2)))
+    def vexpr(): RE = rnd.nextInt(6) match {
+      case 0 => sel()
+      case 1 =>
+        val ks = Seq(-2.0, -0.5, 0.5, 1.0, 2.0, 3.5)
+        RVS(if (rnd.nextBoolean()) sel() else ot(),
+          Seq("+", "-", "*", "/")(rnd.nextInt(4)),
+          ks(rnd.nextInt(ks.size)), scalarLeft = rnd.nextBoolean())
+      case 2 =>
+        val ks = Seq(-1.0, 0.0, 0.5, 2.0)
+        RCmp(sel(), Seq(">", "<", ">=", "<=", "==", "!=")(rnd.nextInt(6)),
+          ks(rnd.nextInt(ks.size)), bool = rnd.nextInt(3) == 0)
+      case 3 | 4 => ot()
+      case _ => sel()
+    }
+    def aexpr(g: Seq[String], without: Boolean): RAgg =
+      RAgg(aggs(rnd.nextInt(aggs.size)), without, g, vexpr())
+    rnd.nextInt(6) match {
+      case 0 | 1 => vexpr()
+      case 2 =>
+        val gs = Seq(Nil, Seq("host"), Seq("dc"), Seq("host", "dc"))
+        aexpr(gs(rnd.nextInt(gs.size)), without = false)
+      case 3 =>
+        val gs = Seq(Seq("host"), Seq("dc"))
+        aexpr(gs(rnd.nextInt(gs.size)), without = true)
+      case 4 =>
+        // same-grouping arithmetic: keys identical on both sides
+        val g = Seq(Seq("host"), Seq("dc"), Seq("host", "dc"))(rnd.nextInt(3))
+        RBin(aexpr(g, without = false),
+          Seq("+", "-", "*", "/")(rnd.nextInt(4)), aexpr(g, without = false))
+      case _ =>
+        val g = Seq(Seq("host"), Seq("dc"))(rnd.nextInt(2))
+        RBin(aexpr(g, without = false),
+          Seq("and", "or", "unless")(rnd.nextInt(3)), aexpr(g, without = false))
+    }
+  }
+
+  private def genFixture(rnd: scala.util.Random): Seq[S] = {
+    val n = 8 + rnd.nextInt(25)
+    val vs = Seq(-3.0, -0.5, 0.0, 0.5, 1.0, 2.0, 2.0, 7.5, 100.0)
+    (0 until n).map { _ =>
+      S(if (rnd.nextBoolean()) "cpu" else "mem",
+        Seq("a", "b", "c")(rnd.nextInt(3)),
+        if (rnd.nextBoolean()) "us" else "eu",
+        rnd.nextInt(10).toLong * 60000L,
+        vs(rnd.nextInt(vs.size)))
+    }.groupBy(s => (s.m, s.host, s.dc, s.ts)) // one sample per (series, ts)
+      .map(_._2.head).toSeq
+  }
+
+  // --------------------------------------------------------------- compare
+  private def canon(df: org.apache.spark.sql.DataFrame): Vec = {
+    val cols = df.columns
+    val out = scala.collection.mutable.Map.empty[Labels, Double]
+    df.collect().foreach { r =>
+      val vi = r.fieldIndex("value")
+      if (!r.isNullAt(vi)) {
+        val labels = cols.zipWithIndex.collect {
+          case (c, i) if c != "value" && c != "ts_ms" && c != "bucket_ms" =>
+            c -> (if (r.isNullAt(i)) "" else r.get(i).toString)
+        }.toMap
+        val v = r.get(vi) match {
+          case d: java.lang.Double => d.doubleValue()
+          case n: java.lang.Number => n.doubleValue()
+        }
+        assert(!out.contains(labels),
+          s"duplicate output series $labels in ${cols.mkString(",")}")
+        out(labels) = v
+      }
+    }
+    out.toMap
+  }
+
+  private def approx(a: Double, b: Double): Boolean =
+    (a.isNaN && b.isNaN) || a == b ||
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  private def assertSame(want: Vec, got: Vec, what: String): Unit = {
+    assert(want.keySet == got.keySet,
+      s"$what: series sets differ\n want ${want.keySet}\n got  ${got.keySet}")
+    want.foreach { case (k, w) =>
+      assert(approx(w, got(k)), s"$what: value at $k: want $w got ${got(k)}")
+    }
+  }
+
+  // ------------------------------------------------------------------ test
+  test("differential: 150 random (fixture, expression, T) cases agree with " +
+      "an independent reference interpreter on series sets and values") {
+    val rnd = new scala.util.Random(20260816L)
+    var ran = 0
+    for (case_ <- 1 to 150) {
+      val fx = genFixture(rnd)
+      val e = genExpr(rnd)
+      val t = rnd.nextInt(11).toLong * 60000L + rnd.nextInt(60000L.toInt)
+      val lb = Seq(120000L, 300000L, 3600000L)(rnd.nextInt(3))
+      val (_, want) = e.ref(fx, t, lb)
+      val got = canon(ctxOf(fx).sqlInstant(e.text, t, lookbackMs = lb))
+      assertSame(want, got, s"case $case_: ${e.text} @ $t lb=$lb")
+      ran += 1
+    }
+    assert(ran == 150)
+  }
+
+  test("ungrouped aggregation over an EMPTY vector is empty for every " +
+      "operator (Prometheus: count(no_such_metric) is an empty result, " +
+      "not 0) — after the serving edge's null filter") {
+    val fx = Seq(S("cpu", "a", "us", 60000L, 1.0))
+    val ctx = ctxOf(fx)
+    for (agg <- Seq("sum", "min", "max", "avg", "count", "group",
+        "stddev", "stdvar")) {
+      val got = canon(ctx.sqlInstant(s"""$agg(cpu{host="nope"})""", 120000L))
+      assert(got.isEmpty, s"$agg over empty: $got")
+    }
+  }
+}

@@ -1081,4 +1081,134 @@ class StorageSpec extends AnyFunSuite {
     assert(rows.length == 1, s"struct float pk split the group: ${rows.toSeq}")
     assert(rows.head.getAs[Long]("v") == 2L) // newest seq wins
   }
+
+  test("property: random add/del/merge/reload sequences track an in-memory " +
+      "model — live set, unref clock, and hostile paths/stats survive every " +
+      "replay shape (incl. snapshot-persisted unref tombstones)") {
+    val rnd = new scala.util.Random(20260816L)
+    // Strings that attack the JSONL layer: field-shadowing text, escape
+    // characters, the round-15 "unref" tombstone marker, unicode incl. a
+    // supplementary-plane pair.
+    val evil = Seq("\"op\":\"unref\"", "\"at\":42", "\"start\":999",
+      "back\\slash", "qu\"ote", "tab\there", "nl\nline", "π∆",
+      "😀", "{}", "a,b", "x")
+    def evilStr() = evil(rnd.nextInt(evil.size))
+    for (_ <- 1 to 5) {
+      val root = tmpRoot()
+      // small thresholds so auto soft-merges (and their tombstone writes)
+      // fire mid-sequence, not just on the explicit mergeSnapshot ops
+      val mergeThr = 2 + rnd.nextInt(7)
+      def reopen() = new Manifest(root, mergeThreshold = mergeThr,
+        hardThreshold = mergeThr + 40)
+      var m = reopen()
+      val model = scala.collection.mutable.LinkedHashMap.empty[Long, SstFile]
+      // path -> wall-clock lower bound of its last unreference
+      val deadAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var nextId = 1L
+      def checkState(where: String): Unit = {
+        val got = m.allSsts().map(_.copy(compacting = false)).sortBy(_.id)
+        val want = model.values.toSeq.sortBy(_.id)
+        assert(got == want,
+          s"[$where] live set diverged\n got: $got\nwant: $want")
+        assert(m.maxSstId == model.keys.maxOption.getOrElse(0L))
+        val now = System.currentTimeMillis()
+        deadAt.foreach { case (p, t0) =>
+          val at = m.unreferencedAtMs(p)
+          assert(at.isDefined, s"[$where] unref clock lost for $p")
+          // file-mtime replays can only round DOWN a second or two; a
+          // snapshot tombstone replays the exact stamp
+          assert(at.get >= t0 - 3000 && at.get <= now + 1000,
+            s"[$where] unref time for $p drifted: ${at.get} vs committed $t0")
+        }
+      }
+      for (step <- 1 to 40) {
+        rnd.nextInt(10) match {
+          case r if r <= 5 =>
+            val adds = (0 until 1 + rnd.nextInt(2)).map { _ =>
+              val id = nextId; nextId += 1
+              val s0 = rnd.nextInt(1000).toLong * 10
+              val stats: Map[String, (Any, Any)] =
+                if (rnd.nextBoolean())
+                  Map("v" -> (rnd.nextInt(100).toLong,
+                        (100L + rnd.nextInt(100)): Any),
+                    "s" -> (evilStr(), (evilStr(): Any)),
+                    "b" -> (false, (true: Any)))
+                else Map.empty
+              SstFile(id, s"data/f$id-${evilStr()}${evilStr()}.parquet",
+                numRows = rnd.nextInt(1000).toLong,
+                sizeBytes = rnd.nextInt(100000).toLong,
+                TimeRange(s0, s0 + 1 + rnd.nextInt(100)), stats = stats,
+                bucket = if (rnd.nextBoolean()) rnd.nextInt(8) else -1,
+                seqFloor = if (rnd.nextBoolean()) rnd.nextInt(50).toLong
+                           else -1L)
+            }
+            val delIds =
+              if (model.nonEmpty && rnd.nextBoolean())
+                Seq(model.keys.toSeq(rnd.nextInt(model.size))) else Nil
+            val t0 = System.currentTimeMillis()
+            m.update(adds, delIds)
+            delIds.foreach(id => deadAt(model(id).path) = t0)
+            adds.foreach(f => model(f.id) = f)
+            delIds.foreach(model.remove)
+          case 6 | 7 => m.mergeSnapshot()
+          case _ => m = reopen() // restart: full replay from disk
+        }
+        if (step % 8 == 0) checkState(s"step $step")
+      }
+      m.mergeSnapshot()
+      m = reopen() // the round-15 regression shape: merge THEN restart
+      checkState("final reload after merge")
+    }
+  }
+
+  test("property: picker invariants over random file sets — Append inputs " +
+      "are a claimed-free content-order PREFIX of one segment group; " +
+      "Overwrite inputs share one (segment, bucket) and respect the budget") {
+    val rnd = new scala.util.Random(8160L)
+    val segMs = 100L
+    for (trial <- 1 to 200) {
+      val cfg = CompactionConfig(
+        inputSstMinNum = 1 + rnd.nextInt(3),
+        inputSstMaxNum = 2 + rnd.nextInt(5),
+        newSstMaxSize = 50 + rnd.nextInt(200),
+        sizeHeadroom = 1.0 + rnd.nextInt(3) * 0.1)
+      val mode =
+        if (rnd.nextBoolean()) UpdateMode.Append else UpdateMode.Overwrite
+      val files = (1 to 3 + rnd.nextInt(12)).map { i =>
+        val seg = rnd.nextInt(3).toLong * segMs
+        SstFile(i.toLong, s"data/$i.parquet", 10, 10 + rnd.nextInt(100),
+          TimeRange(seg + rnd.nextInt(50), seg + 50 + rnd.nextInt(50)),
+          compacting = rnd.nextInt(4) == 0,
+          bucket = if (rnd.nextBoolean()) rnd.nextInt(3) else -1,
+          seqFloor = if (rnd.nextInt(3) == 0) rnd.nextInt(i).toLong else -1L)
+      }
+      val picked = new Picker(cfg, segMs, mode).pick(files, nowMs = 0L)
+        .map(_.inputs).getOrElse(Nil)
+      if (picked.nonEmpty) {
+        val budget = (cfg.newSstMaxSize * cfg.sizeHeadroom).toLong
+        assert(picked.size >= cfg.inputSstMinNum &&
+          picked.size <= cfg.inputSstMaxNum, s"[$trial] count ${picked.size}")
+        assert(picked.map(_.sizeBytes).sum <= budget, s"[$trial] over budget")
+        assert(picked.forall(!_.compacting), s"[$trial] picked a claimed file")
+        val segs = picked
+          .map(f => TimeRange.truncate(f.timeRange.start, segMs)).distinct
+        assert(segs.size == 1, s"[$trial] inputs span segments $segs")
+        mode match {
+          case UpdateMode.Overwrite =>
+            assert(picked.map(_.bucket).distinct.size == 1,
+              s"[$trial] Overwrite inputs mix buckets")
+          case UpdateMode.Append =>
+            // prefix property: in content order over the WHOLE segment
+            // group (claimed files included — they are holes that stop
+            // the walk), the picked set is exactly the first |picked|
+            val group = files.filter(f =>
+              TimeRange.truncate(f.timeRange.start, segMs) == segs.head)
+              .sortBy(f => (f.contentSeqFloor, f.id))
+            assert(group.take(picked.size).map(_.id) == picked.map(_.id),
+              s"[$trial] not a content-order prefix: picked " +
+                s"${picked.map(_.id)} of ${group.map(_.id)}")
+        }
+      }
+    }
+  }
 }
