@@ -55,14 +55,19 @@ class PromQLDifferentialSpec extends AnyFunSuite {
   private def reMatches(re: String, v: String): Boolean =
     java.util.regex.Pattern.matches("\\A(?:" + re + ")\\z", v)
 
+  /** Selector with an optional `offset` (shifts the read window back,
+    * per-selector on its own timeline — PROMQL.md deviation 6). */
   private case class RSel(metric: String,
-      ms: Seq[(String, String, String)]) extends RE {
-    def text: String =
-      if (ms.isEmpty) metric
-      else metric + ms.map { case (l, op, v) => s"""$l$op"$v"""" }
-        .mkString("{", ", ", "}")
-    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
-      def ok(h: String, d: String): Boolean = ms.forall { case (l, op, v) =>
+      ms: Seq[(String, String, String)], off: Long = 0L) extends RE {
+    def text: String = {
+      val base =
+        if (ms.isEmpty) metric
+        else metric + ms.map { case (l, op, v) => s"""$l$op"$v"""" }
+          .mkString("{", ", ", "}")
+      if (off == 0L) base else s"$base offset ${off / 1000}s"
+    }
+    def matches(h: String, d: String): Boolean = ms.forall {
+      case (l, op, v) =>
         val x = if (l == "host") h else d
         op match {
           case "=" => x == v
@@ -70,13 +75,15 @@ class PromQLDifferentialSpec extends AnyFunSuite {
           case "=~" => reMatches(v, x)
           case "!~" => !reMatches(v, x)
         }
-      }
+    }
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
       // the flat evaluator projects the metric column away from selector
       // frames (the engine tier re-binds __name__ when a query references
       // it) — selector identity here is the label columns alone
-      val vec = fx.filter(s => s.m == metric && s.ts > t - lb && s.ts <= t)
+      val te = t - off
+      val vec = fx.filter(s => s.m == metric && s.ts > te - lb && s.ts <= te)
         .groupBy(s => (s.host, s.dc))
-        .collect { case ((h, d), ss) if ok(h, d) =>
+        .collect { case ((h, d), ss) if matches(h, d) =>
           Map("host" -> h, "dc" -> d) -> ss.maxBy(_.ts).v
         }
       (Seq("host", "dc"), vec)
@@ -123,37 +130,37 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** A range selector's printed form: `base[w] offset o` (offset AFTER the
+    * brackets) — and its sample window (T-o-w, T-o]. */
+  private def rangeText(sel: RSel, w: Long): String =
+    RSel(sel.metric, sel.ms).text + s"[${w / 1000}s]" +
+      (if (sel.off == 0L) "" else s" offset ${sel.off / 1000}s")
+  private def windowSamples(fx: Seq[S], sel: RSel, t: Long,
+      w: Long): Map[(String, String), Seq[S]] = {
+    val te = t - sel.off
+    fx.filter(s => s.m == sel.metric && s.ts > te - w && s.ts <= te)
+      .groupBy(s => (s.host, s.dc))
+      .collect { case (k @ (h, d), ss) if sel.matches(h, d) =>
+        k -> ss.sortBy(_.ts) }
+  }
+
   /** `fn_over_time(sel[w])`: fold of each series' samples in (T-w, T]. */
   private case class ROT(fn: String, sel: RSel, w: Long) extends RE {
-    def text: String = s"${fn}_over_time(${sel.text}[${w / 1000}s])"
+    def text: String = s"${fn}_over_time(${rangeText(sel, w)})"
     def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
       // the window reads its own range — the instant lookback is irrelevant
-      val (ls, _) = sel.ref(fx, t, lb)
-      def ok(h: String, d: String): Boolean = sel.ms.forall {
-        case (l, op, v) =>
-          val x = if (l == "host") h else d
-          op match {
-            case "=" => x == v
-            case "!=" => x != v
-            case "=~" => reMatches(v, x)
-            case "!~" => !reMatches(v, x)
-          }
+      val vec = windowSamples(fx, sel, t, w).map { case ((h, d), ss) =>
+        val xs = ss.map(_.v)
+        Map("host" -> h, "dc" -> d) -> (fn match {
+          case "sum" => xs.sum
+          case "min" => xs.min
+          case "max" => xs.max
+          case "avg" => xs.sum / xs.size
+          case "count" => xs.size.toDouble
+          case "last" => ss.maxBy(_.ts).v
+        })
       }
-      val vec = fx
-        .filter(s => s.m == sel.metric && s.ts > t - w && s.ts <= t)
-        .groupBy(s => (s.host, s.dc))
-        .collect { case ((h, d), ss) if ok(h, d) =>
-          val xs = ss.map(_.v)
-          Map("host" -> h, "dc" -> d) -> (fn match {
-            case "sum" => xs.sum
-            case "min" => xs.min
-            case "max" => xs.max
-            case "avg" => xs.sum / xs.size
-            case "count" => xs.size.toDouble
-            case "last" => ss.maxBy(_.ts).v
-          })
-        }
-      (ls, vec)
+      (Seq("host", "dc"), vec)
     }
   }
 
@@ -204,6 +211,42 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** Counter/gauge range functions over `sel[w]` at the pinned instant
+    * window (T-w, T]: reset-aware non-extrapolated rate/increase chained
+    * from the first in-window sample, gauge delta, transition counts,
+    * two-newest-sample irate/idelta (>= 2 samples, nonzero interval). */
+  private case class RRange(fn: String, sel: RSel, w: Long) extends RE {
+    def text: String = s"$fn(${rangeText(sel, w)})"
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      val vec = windowSamples(fx, sel, t, w)
+        .flatMap { case ((h, d), ss) =>
+          val l = Map("host" -> h, "dc" -> d)
+          val pairs = ss.zip(ss.drop(1))
+          fn match {
+            case "rate" | "increase" =>
+              val inc = pairs.map { case (p, c) =>
+                if (c.v >= p.v) c.v - p.v else c.v }.sum
+              Some(l -> (if (fn == "rate") inc / (w / 1000.0) else inc))
+            case "delta" => Some(l -> (ss.last.v - ss.head.v))
+            case "resets" =>
+              Some(l -> pairs.count { case (p, c) => c.v < p.v }.toDouble)
+            case "changes" =>
+              Some(l -> pairs.count { case (p, c) => c.v != p.v }.toDouble)
+            case "irate" | "idelta" =>
+              if (ss.size < 2) None
+              else {
+                val Seq(p, c) = ss.takeRight(2)
+                if (c.ts <= p.ts) None
+                else if (fn == "idelta") Some(l -> (c.v - p.v))
+                else Some(l -> ((if (c.v >= p.v) c.v - p.v else c.v) /
+                  ((c.ts - p.ts) / 1000.0)))
+              }
+          }
+        }
+      (Seq("host", "dc"), vec)
+    }
+  }
+
   // ----------------------------------------------------------- generators
   private def genExpr(rnd: scala.util.Random): RE = {
     val metrics = Seq("cpu", "mem")
@@ -222,17 +265,24 @@ class PromQLDifferentialSpec extends AnyFunSuite {
           case _ => (lbl, "!~", res(rnd.nextInt(res.size)))
         }
       }
-      // duplicate-label matcher pairs are legal PromQL (conjunction)
-      RSel(metrics(rnd.nextInt(metrics.size)), ms)
+      // duplicate-label matcher pairs are legal PromQL (conjunction);
+      // occasional offsets exercise the per-selector shifted timeline
+      RSel(metrics(rnd.nextInt(metrics.size)), ms,
+        off = if (rnd.nextInt(4) == 0) Seq(60000L, 120000L)(rnd.nextInt(2))
+              else 0L)
     }
     def ot(): ROT = ROT(
       Seq("sum", "min", "max", "avg", "count", "last")(rnd.nextInt(6)),
       sel(), Seq(120000L, 300000L)(rnd.nextInt(2)))
-    def vexpr(): RE = rnd.nextInt(6) match {
+    def rng(): RRange = RRange(
+      Seq("rate", "increase", "delta", "resets", "changes", "irate",
+        "idelta")(rnd.nextInt(7)),
+      sel(), Seq(120000L, 300000L)(rnd.nextInt(2)))
+    def vexpr(): RE = rnd.nextInt(8) match {
       case 0 => sel()
       case 1 =>
         val ks = Seq(-2.0, -0.5, 0.5, 1.0, 2.0, 3.5)
-        RVS(if (rnd.nextBoolean()) sel() else ot(),
+        RVS(Seq(sel _, ot _, rng _)(rnd.nextInt(3))(),
           Seq("+", "-", "*", "/")(rnd.nextInt(4)),
           ks(rnd.nextInt(ks.size)), scalarLeft = rnd.nextBoolean())
       case 2 =>
@@ -240,6 +290,7 @@ class PromQLDifferentialSpec extends AnyFunSuite {
         RCmp(sel(), Seq(">", "<", ">=", "<=", "==", "!=")(rnd.nextInt(6)),
           ks(rnd.nextInt(ks.size)), bool = rnd.nextInt(3) == 0)
       case 3 | 4 => ot()
+      case 5 | 6 => rng()
       case _ => sel()
     }
     def aexpr(g: Seq[String], without: Boolean): RAgg =
