@@ -281,13 +281,19 @@ final class PromQLContext(
           val picked = rows
             .withColumn("__rn__", row_number().over(wN))
             .filter(col("__rn__") <= 2)
-            .withColumn("__t__", ts)
+            // NOT "__t__": Spark resolves column names case-INsensitively by
+            // default, so "__t__" would silently REPLACE the sliding grid
+            // column "__T__" — groups then collapse to the sample timestamp
+            // and the zero-interval guard empties the result (sliding-mode
+            // irate/idelta returned nothing; caught by the differential
+            // fuzzer).
+            .withColumn("__ts_i__", ts)
           val g = picked.groupBy(groupKeys: _*).agg(
             count(lit(1)).as("__n__"),
             max(when(col("__rn__") === 1, col(valueCol))).as("__v1__"),
             max(when(col("__rn__") === 2, col(valueCol))).as("__v2__"),
-            max(when(col("__rn__") === 1, col("__t__"))).as("__t1__"),
-            max(when(col("__rn__") === 2, col("__t__"))).as("__t2__"))
+            max(when(col("__rn__") === 1, col("__ts_i__"))).as("__t1__"),
+            max(when(col("__rn__") === 2, col("__ts_i__"))).as("__t2__"))
             .filter(col("__n__") >= 2)
           val v =
             if (fn == RangeF.Idelta) col("__v1__") - col("__v2__")

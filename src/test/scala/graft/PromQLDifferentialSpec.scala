@@ -248,7 +248,11 @@ class PromQLDifferentialSpec extends AnyFunSuite {
   }
 
   // ----------------------------------------------------------- generators
-  private def genExpr(rnd: scala.util.Random): RE = {
+  /** `rangeOnly = true` restricts every leaf to a windowed function, so the
+    * whole tree is well-defined per evaluation step T — the shape the
+    * sliding range-query differential drives over a step grid. */
+  private def genExpr(rnd: scala.util.Random,
+      rangeOnly: Boolean = false): RE = {
     val metrics = Seq("cpu", "mem")
     val aggs = Seq("sum", "min", "max", "avg", "count")
     def sel(): RSel = {
@@ -278,20 +282,22 @@ class PromQLDifferentialSpec extends AnyFunSuite {
       Seq("rate", "increase", "delta", "resets", "changes", "irate",
         "idelta")(rnd.nextInt(7)),
       sel(), Seq(120000L, 300000L)(rnd.nextInt(2)))
+    def leaf(): RE =
+      if (rangeOnly) { if (rnd.nextBoolean()) ot() else rng() } else sel()
     def vexpr(): RE = rnd.nextInt(8) match {
-      case 0 => sel()
+      case 0 => leaf()
       case 1 =>
         val ks = Seq(-2.0, -0.5, 0.5, 1.0, 2.0, 3.5)
-        RVS(Seq(sel _, ot _, rng _)(rnd.nextInt(3))(),
+        RVS(if (rangeOnly) leaf() else Seq(sel _, ot _, rng _)(rnd.nextInt(3))(),
           Seq("+", "-", "*", "/")(rnd.nextInt(4)),
           ks(rnd.nextInt(ks.size)), scalarLeft = rnd.nextBoolean())
       case 2 =>
         val ks = Seq(-1.0, 0.0, 0.5, 2.0)
-        RCmp(sel(), Seq(">", "<", ">=", "<=", "==", "!=")(rnd.nextInt(6)),
+        RCmp(leaf(), Seq(">", "<", ">=", "<=", "==", "!=")(rnd.nextInt(6)),
           ks(rnd.nextInt(ks.size)), bool = rnd.nextInt(3) == 0)
       case 3 | 4 => ot()
       case 5 | 6 => rng()
-      case _ => sel()
+      case _ => leaf()
     }
     def aexpr(g: Seq[String], without: Boolean): RAgg =
       RAgg(aggs(rnd.nextInt(aggs.size)), without, g, vexpr())
@@ -329,14 +335,16 @@ class PromQLDifferentialSpec extends AnyFunSuite {
   }
 
   // --------------------------------------------------------------- compare
-  private def canon(df: org.apache.spark.sql.DataFrame): Vec = {
+  private def canon(df: org.apache.spark.sql.DataFrame,
+      keepBucket: Boolean = false): Vec = {
     val cols = df.columns
     val out = scala.collection.mutable.Map.empty[Labels, Double]
     df.collect().foreach { r =>
       val vi = r.fieldIndex("value")
       if (!r.isNullAt(vi)) {
         val labels = cols.zipWithIndex.collect {
-          case (c, i) if c != "value" && c != "ts_ms" && c != "bucket_ms" =>
+          case (c, i) if c != "value" && c != "ts_ms" &&
+              (keepBucket || c != "bucket_ms") =>
             c -> (if (r.isNullAt(i)) "" else r.get(i).toString)
         }.toMap
         val v = r.get(vi) match {
@@ -379,6 +387,44 @@ class PromQLDifferentialSpec extends AnyFunSuite {
       ran += 1
     }
     assert(ran == 150)
+  }
+
+  test("differential: 80 stepped SLIDING range queries agree with the " +
+      "reference per-step evaluation over the epoch-aligned grid " +
+      "(windowed leaves, aggs, binops, offsets, unaligned ranges)") {
+    val rnd = new scala.util.Random(816L)
+    for (case_ <- 1 to 80) {
+      val fx = genFixture(rnd)
+      val e = genExpr(rnd, rangeOnly = true)
+      val step = Seq(60000L, 120000L)(rnd.nextInt(2))
+      val start = rnd.nextInt(300000).toLong + 1 // unaligned on purpose
+      val end = start + 120000L + rnd.nextInt(480000).toLong
+      val range = graft.storage.TimeRange(start, end)
+      // the reference: every epoch-aligned step T in [start, end), the
+      // instant window semantics at T, bucket_ms = T riding as a label
+      val firstT = -Math.floorDiv(-start, step) * step
+      val lastT = Math.floorDiv(end - 1, step) * step
+      val want: Vec = (firstT to lastT by step).flatMap { t =>
+        val (_, v) = e.ref(fx, t, 300000L)
+        v.map { case (l, x) => (l + ("bucket_ms" -> t.toString)) -> x }
+      }.toMap
+      // the engine: the MetricEngine driving protocol — widen the eval
+      // range by the expression's sliding lookback, fix the OUTPUT grid
+      // via slidingStep's range
+      val ast = PromQLParser.parse(e.text)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          fx.map(s => Row(s.m, s.host, s.dc, s.ts, s.v)), 3), schema)
+      val ctx = new PromQLContext(df, "__name__", col("tms"), "v",
+        Map("host" -> "host", "dc" -> "dc"), ordering = Seq(col("tms")),
+        slidingStep = Some((step, range)))
+      val evalRange = graft.storage.TimeRange(
+        start - PromQLContext.slidingLookback(ast) + 1, end)
+      val got = canon(ctx.sql(e.text, Some(step), Some(evalRange)),
+        keepBucket = true)
+      assertSame(want, got,
+        s"case $case_: ${e.text} step=$step range=[$start,$end)")
+    }
   }
 
   test("ungrouped aggregation over an EMPTY vector is empty for every " +
