@@ -144,11 +144,29 @@ class PromQLDifferentialSpec extends AnyFunSuite {
         k -> ss.sortBy(_.ts) }
   }
 
-  /** `fn_over_time(sel[w])`: fold of each series' samples in (T-w, T]. */
-  private case class ROT(fn: String, sel: RSel, w: Long) extends RE {
-    def text: String = s"${fn}_over_time(${rangeText(sel, w)})"
+  /** Prometheus `quantile` over raw values: rank h = q·(n-1), linear
+    * interpolation between the two bracketing sorted values. */
+  private def pquantile(xs0: Seq[Double], q: Double): Double = {
+    val xs = xs0.sorted
+    val h = (xs.size - 1) * q
+    val lo = math.floor(h).toInt
+    val hi = math.min(lo + 1, xs.size - 1)
+    xs(lo) * (1.0 - (h - lo)) + xs(hi) * (h - lo)
+  }
+
+  /** `fn_over_time(sel[w])`: fold of each series' samples in (T-w, T].
+    * `q` only applies to fn == "quantile". */
+  private case class ROT(fn: String, sel: RSel, w: Long,
+      q: Double = 0.5) extends RE {
+    def text: String =
+      if (fn == "quantile") s"quantile_over_time($q, ${rangeText(sel, w)})"
+      else s"${fn}_over_time(${rangeText(sel, w)})"
     def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
       // the window reads its own range — the instant lookback is irrelevant
+      def popVar(xs: Seq[Double]): Double = {
+        val m = xs.sum / xs.size
+        xs.map(x => (x - m) * (x - m)).sum / xs.size
+      }
       val vec = windowSamples(fx, sel, t, w).map { case ((h, d), ss) =>
         val xs = ss.map(_.v)
         Map("host" -> h, "dc" -> d) -> (fn match {
@@ -158,6 +176,13 @@ class PromQLDifferentialSpec extends AnyFunSuite {
           case "avg" => xs.sum / xs.size
           case "count" => xs.size.toDouble
           case "last" => ss.maxBy(_.ts).v
+          case "present" => 1.0
+          case "stdvar" => popVar(xs)
+          case "stddev" => math.sqrt(popVar(xs))
+          case "quantile" => pquantile(xs, q)
+          case "mad" => // median absolute deviation, both medians q(0.5)
+            val med = pquantile(xs, 0.5)
+            pquantile(xs.map(x => math.abs(x - med)), 0.5)
         })
       }
       (Seq("host", "dc"), vec)
@@ -215,14 +240,39 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     * window (T-w, T]: reset-aware non-extrapolated rate/increase chained
     * from the first in-window sample, gauge delta, transition counts,
     * two-newest-sample irate/idelta (>= 2 samples, nonzero interval). */
-  private case class RRange(fn: String, sel: RSel, w: Long) extends RE {
-    def text: String = s"$fn(${rangeText(sel, w)})"
+  /** `tsec` only applies to fn == "predict_linear" (range-query mode only:
+    * its horizon is the evaluation step T). */
+  private case class RRange(fn: String, sel: RSel, w: Long,
+      tsec: Long = 300L) extends RE {
+    def text: String =
+      if (fn == "predict_linear") s"predict_linear(${rangeText(sel, w)}, $tsec)"
+      else s"$fn(${rangeText(sel, w)})"
     def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      // least-squares fit on (query-timeline seconds, value); slope is
+      // shift-invariant, the intercept/prediction use the shifted x
+      def fit(ss: Seq[S]): Option[(Double, Double)] = { // (slope, intercept)
+        if (ss.size < 2) None
+        else {
+          val xs = ss.map(s => (s.ts + sel.off) / 1000.0)
+          val ys = ss.map(_.v)
+          val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+          val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+          if (sxx == 0.0) None
+          else {
+            val slope = xs.zip(ys).map { case (x, y) =>
+              (x - mx) * (y - my) }.sum / sxx
+            Some((slope, my - slope * mx))
+          }
+        }
+      }
       val vec = windowSamples(fx, sel, t, w)
         .flatMap { case ((h, d), ss) =>
           val l = Map("host" -> h, "dc" -> d)
           val pairs = ss.zip(ss.drop(1))
           fn match {
+            case "deriv" => fit(ss).map { case (sl, _) => l -> sl }
+            case "predict_linear" => fit(ss).map { case (sl, ic) =>
+              l -> (ic + sl * (t / 1000.0 + tsec)) }
             case "rate" | "increase" =>
               val inc = pairs.map { case (p, c) =>
                 if (c.v >= p.v) c.v - p.v else c.v }.sum
@@ -276,12 +326,17 @@ class PromQLDifferentialSpec extends AnyFunSuite {
               else 0L)
     }
     def ot(): ROT = ROT(
-      Seq("sum", "min", "max", "avg", "count", "last")(rnd.nextInt(6)),
-      sel(), Seq(120000L, 300000L)(rnd.nextInt(2)))
+      Seq("sum", "min", "max", "avg", "count", "last", "present",
+        "stddev", "stdvar", "mad", "quantile")(rnd.nextInt(11)),
+      sel(), Seq(120000L, 300000L)(rnd.nextInt(2)),
+      q = Seq(0.0, 0.25, 0.5, 0.9, 1.0)(rnd.nextInt(5)))
     def rng(): RRange = RRange(
-      Seq("rate", "increase", "delta", "resets", "changes", "irate",
-        "idelta")(rnd.nextInt(7)),
-      sel(), Seq(120000L, 300000L)(rnd.nextInt(2)))
+      // predict_linear's horizon is the evaluation step — range mode only
+      (Seq("rate", "increase", "delta", "resets", "changes", "irate",
+        "idelta", "deriv") ++ (if (rangeOnly) Seq("predict_linear") else Nil))
+        .apply(rnd.nextInt(if (rangeOnly) 9 else 8)),
+      sel(), Seq(120000L, 300000L)(rnd.nextInt(2)),
+      tsec = Seq(60L, 600L)(rnd.nextInt(2)))
     def leaf(): RE =
       if (rangeOnly) { if (rnd.nextBoolean()) ot() else rng() } else sel()
     def vexpr(): RE = rnd.nextInt(8) match {
