@@ -976,11 +976,20 @@ final class PromQLContext(
       val chosen = candidates
         .withColumn("__rn__", row_number().over(pick)).filter(col("__rn__") === 1)
       val loLe = coalesce(col("__prev_le__"), lit(0.0))
+      // In-bucket count can be ZERO exactly when the chosen bucket is the
+      // first one with rank = count = 0 (q = 0 into an empty first bucket,
+      // or an all-zero histogram): Go's 0/0 makes Prometheus answer NaN,
+      // but Spark 4's default ANSI division THROWS — guard it explicitly,
+      // the same hazard applyOp's `/` already guards (PROMQL.md #2).
+      // Any other chosen bucket has count > prev cumulative by the
+      // first-reaching-rank walk, so the denominator is positive there.
+      val inBucket = col("value") - col("__prev_v__")
       val quantile =
         when(col("__le__") === Double.PositiveInfinity, col("__max_fin_le__"))
           .when(col("__prev_le__").isNull && col("__le__") <= 0, col("__le__"))
+          .when(inBucket === 0.0, lit(Double.NaN))
           .otherwise(loLe + (col("__le__") - loLe) *
-            (col("__rank__") - col("__prev_v__")) / (col("value") - col("__prev_v__")))
+            (col("__rank__") - col("__prev_v__")) / inBucket)
       chosen.select(groupCols.map(col) :+ quantile.as("value"): _*)
 
     case LabelFn(name @ ("sort_by_label" | "sort_by_label_desc"),

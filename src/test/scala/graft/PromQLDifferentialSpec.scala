@@ -482,6 +482,57 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: histogram_quantile over random classic le-bucket " +
+      "layouts agrees with a direct bucketQuantile reference (interpolation, " +
+      "first-bucket-from-0, +Inf -> highest finite le, degenerate NaN)") {
+    // Prometheus bucketQuantile over cumulative (le, count) buckets
+    def bq(q: Double, bs0: Seq[(Double, Double)]): Double = {
+      val bs = bs0.sortBy(_._1)
+      val total = bs.map(_._2).max
+      val rank = q * total
+      val idx = bs.indexWhere(_._2 >= rank)
+      val (le, cum) = bs(idx)
+      if (le.isPosInfinity) bs.collect {
+        case (l, _) if !l.isPosInfinity => l }.max
+      else if (idx == 0 && le <= 0) le
+      else {
+        val (ple, pcum) = if (idx == 0) (0.0, 0.0) else bs(idx - 1)
+        ple + (le - ple) * (rank - pcum) / (cum - pcum)
+      }
+    }
+    val hqSchema = StructType(Seq(
+      StructField("__name__", StringType), StructField("host", StringType),
+      StructField("le", StringType), StructField("tms", LongType),
+      StructField("v", DoubleType)))
+    val rnd = new scala.util.Random(81606L)
+    val allLes = Seq(0.05, 0.1, 0.5, 1.0, 2.5, 5.0, 10.0)
+    for (case_ <- 1 to 120) {
+      val hosts = Seq("a", "b", "c").take(1 + rnd.nextInt(3))
+      val fx: Seq[(String, Double, Long, Double)] = hosts.flatMap { h =>
+        val les = rnd.shuffle(allLes).take(1 + rnd.nextInt(5)).sorted :+
+          Double.PositiveInfinity
+        val ts = Seq(60000L, 120000L)(rnd.nextInt(2))
+        // non-decreasing cumulative counts, first bucket possibly 0
+        var cum = 0.0
+        les.map { le => cum += rnd.nextInt(5); (h, le, ts, cum) }
+      }
+      val q = Seq(0.0, 0.1, 0.5, 0.9, 0.95, 1.0)(rnd.nextInt(6))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(fx.map { case (h, le, ts, c) =>
+          Row("reqs_bucket", h,
+            if (le.isPosInfinity) "+Inf" else le.toString, ts, c)
+        }, 2), hqSchema)
+      val ctx = new PromQLContext(df, "__name__", col("tms"), "v",
+        Map("host" -> "host", "le" -> "le"), ordering = Seq(col("tms")))
+      val got = canon(
+        ctx.sqlInstant(s"histogram_quantile($q, reqs_bucket)", 150000L))
+      val want: Vec = fx.groupBy(_._1).map { case (h, rows) =>
+        Map("host" -> h) -> bq(q, rows.map(r => (r._2, r._4)))
+      }
+      assertSame(want, got, s"case $case_: q=$q fx=$fx")
+    }
+  }
+
   test("ungrouped aggregation over an EMPTY vector is empty for every " +
       "operator (Prometheus: count(no_such_metric) is an empty result, " +
       "not 0) — after the serving edge's null filter") {
