@@ -407,7 +407,13 @@ object NativeHistograms {
          |  acc + b.cnt * ($mid - __mean__) * ($mid - __mean__))""".stripMargin
     val out = rows
       .withColumn("__buckets__", expr(bucketsExpr))
-      .withColumn("__mean__", col("sum") / col("count"))
+      // zero-observation histogram: guard the mean's division — ANSI mode
+      // (Spark 4's default) THROWS on /0, and this column is its own
+      // projection so the count<=0 guard on `value` below cannot
+      // short-circuit it; the NaN mean feeds only the unused branch
+      .withColumn("__mean__",
+        when(col("count") <= 0.0, lit(Double.NaN))
+          .otherwise(col("sum") / col("count")))
       .withColumn("value",
         when(col("count") <= 0.0, lit(Double.NaN))
           .otherwise(expr(varExpr) / col("count")))

@@ -145,6 +145,16 @@ class NativeHistogramsSpec extends AnyFunSuite {
     val gotDev = NativeHistograms.stdvar(nhcb, stddev = true).collect()
       .head.getAs[Double]("value")
     assert(math.abs(gotDev - math.sqrt(expectedNhcb)) < 1e-12)
+    // a ZERO-observation histogram (count 0 — a series that exists but has
+    // recorded nothing yet): the answer is NaN like histogram_quantile's
+    // empty case, and the mean's sum/count must not trip ANSI
+    // divide-by-zero on the way there
+    val empty = df(Row("s", 0L, 0.0, 0.0, 0, 0.001, 0.0,
+      Seq.empty[Int], Seq.empty[Double], Seq.empty[Int], Seq.empty[Double],
+      Seq.empty[Double]))
+    val gotEmpty = NativeHistograms.stdvar(empty, stddev = false).collect()
+      .head.getAs[Double]("value")
+    assert(gotEmpty.isNaN, s"zero-count stdvar: $gotEmpty")
   }
 
   test("increase: sparse absence arithmetic without a dense fill — a " +
