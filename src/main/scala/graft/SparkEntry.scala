@@ -1020,6 +1020,15 @@ object SparkEntry {
       promqlCtx(s, dir).sql("""-max by (uid) (purchase{uid=~"[1-3][0-9]"}) * 2""",
         stepMs = Some(86400000L))),
 
+    // PromQL '^' power + '%' modulo (round 15): ^ binds ABOVE % (and every
+    // other operator), so this is (max^2) % 7 — Go Pow/Mod semantics on
+    // the engine side, pow/fmod on the oracle side.
+    "p44_promql_power" -> ((s, dir) =>
+      promqlCtx(s, dir)
+        .sql("""max by (uid) (purchase{uid=~"[1-3][0-9]"}) ^ 2 % 7""",
+          stepMs = Some(86400000L))
+        .withColumn("value", round(col("value"), 4))),
+
     // PromQL absent_over_time: 1.0 for each day-bucket of January 2024 in
     // which uid 7 made no purchase — the missing-data alerting primitive,
     // a grid anti-join over the bounded range.
@@ -4481,6 +4490,17 @@ object SparkEntry {
         |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
         |    AS bucket_ms,
         |  (0 - max(value)) * 2 AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND regexp_full_match(user_id::VARCHAR, '[1-3][0-9]')
+        |GROUP BY uid, bucket_ms""".stripMargin,
+
+    // (max^2) % 7 — DuckDB pow/fmod replay of the engine's Go Pow/Mod.
+    "p44_promql_power" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  CAST(floor(epoch_ms(ts::TIMESTAMP) / 86400000) AS BIGINT) * 86400000
+        |    AS bucket_ms,
+        |  round(fmod(pow(max(value), 2), 7), 4) AS value
         |FROM events
         |WHERE event_type = 'purchase'
         |  AND regexp_full_match(user_id::VARCHAR, '[1-3][0-9]')

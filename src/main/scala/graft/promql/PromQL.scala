@@ -241,6 +241,13 @@ object PromQLParser {
   def isAtSentinel(at: Long): Boolean = Sentinels.contains(at)
 
   /** Whether `e` still carries an unresolved `@ start()`/`@ end()`. */
+  /** Go's `math.Pow` where it disagrees with `java.lang.Math.pow` — the
+    * IEEE 754-2008 special cases Prometheus inherits: `Pow(1, y) = 1` for
+    * ANY y (Java answers NaN for y = NaN or ±Inf) and `Pow(-1, ±Inf) = 1`
+    * (Java: NaN). Everything else matches Java exactly. */
+  def goPow(a: Double, b: Double): Double =
+    if (a == 1.0 || (a == -1.0 && b.isInfinity)) 1.0 else math.pow(a, b)
+
   def hasAtSentinel(e: Expr): Boolean = e match {
     case AtRange(_, _, _, at) => Sentinels.contains(at)
     case RangeFn(_, _, _) | _: Selector | NumLit(_) => false
@@ -485,7 +492,7 @@ object PromQLParser {
       } else if (s.startsWith("=~", i) || s.startsWith("!~", i) || s.startsWith("!=", i)
           || s.startsWith("==", i) || s.startsWith(">=", i) || s.startsWith("<=", i)) {
         out += TPunct(s.substring(i, i + 2), i); i += 2
-      } else if ("{}()[],=+-*/%<>:@".indexOf(c) >= 0) {
+      } else if ("{}()[],=+-*/%<>:@^".indexOf(c) >= 0) {
         out += TPunct(c.toString, i); i += 1
       } else throw PromQLParseException(s"unexpected character '$c'", i)
     }
@@ -522,8 +529,29 @@ object PromQLParser {
       Set("or"), Set("and", "unless"), CmpOps,
       Set("+", "-"), Set("*", "/", "%"))
 
+    /** `^` — Prometheus's power operator: binds TIGHTER than every other
+      * binary operator AND than unary minus (`-2^2` is `-(2^2)`), and is
+      * RIGHT-associative (`2^3^2` is `2^(3^2)`) — both via the recursive
+      * rhs. Literal^literal folds in place with Go's math.Pow edge rules
+      * (the evaluator rejects scalar-only expressions, but a folded
+      * constant participates as a scalar operand like any number). */
+    private def parsePower(): Expr = {
+      val l = parseAtom()
+      peek match {
+        case TPunct("^", _) =>
+          next()
+          val matching = parseMatchingOpt()
+          (l, parsePower()) match {
+            case (NumLit(a), NumLit(b)) if matching.isEmpty =>
+              NumLit(PromQLParser.goPow(a, b))
+            case (lh, rh) => BinOp("^", lh, rh, bool = false, matching)
+          }
+        case _ => l
+      }
+    }
+
     private def parseBinary(level: Int): Expr =
-      if (level == Precedence.length) parseAtom()
+      if (level == Precedence.length) parsePower()
       else {
         var l = parseBinary(level + 1)
         var more = true
@@ -655,15 +683,15 @@ object PromQLParser {
         parseFnCall()
       case TNum(d, _) => next(); NumLit(d)
       case TPunct("(", _) => next(); val e = parseExpr(); expect(")"); e
-      // unary +/- binds tighter than any binary operator (Prometheus: only
-      // '^' outranks unary; this dialect has no '^'), so the operand is one
-      // atom: `-a * b` is `(-a) * b`. Numeric literals fold in place;
-      // vectors desugar to `0 - e` — bit-identical to Prometheus, whose
-      // unary minus shares scalar-arithmetic semantics (name-dropping
-      // included).
+      // unary +/- binds tighter than any binary operator EXCEPT '^'
+      // (Prometheus: `-2^2` is `-(2^2)`, so the operand is one POWER
+      // expression): `-a * b` is `(-a) * b`, `-a ^ b` is `-(a ^ b)`.
+      // Numeric literals fold in place; vectors desugar to `0 - e` —
+      // bit-identical to Prometheus, whose unary minus shares
+      // scalar-arithmetic semantics (name-dropping included).
       case TPunct(op @ ("-" | "+"), _) =>
         next()
-        parseAtom() match {
+        parsePower() match {
           case NumLit(d) => NumLit(if (op == "-") -d else d)
           case e if op == "+" => e
           case e => BinOp("-", NumLit(0), e)

@@ -1268,6 +1268,14 @@ final class PromQLContext(
     case "%" =>
       // Go math.Mod: x % 0 = NaN (ANSI would throw)
       when(b === 0.0, lit(Double.NaN)).otherwise(a % b)
+    case "^" =>
+      // Go math.Pow (IEEE 754-2008): Pow(1, y) = 1 for ANY y and
+      // Pow(-1, ±Inf) = 1, where Java's Math.pow (Spark's `pow`) answers
+      // NaN — guard those two; everything else agrees (PromQLParser.goPow
+      // is the literal-folding twin of this column form)
+      when(a === 1.0 ||
+        (a === -1.0 && abs(b) === Double.PositiveInfinity), lit(1.0))
+        .otherwise(pow(a, b))
     case "atan2" => atan2(a, b)
     case "and" | "or" | "unless" => throw new IllegalArgumentException(
       s"set operator '$op' requires vector operands on both sides")

@@ -95,6 +95,9 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     case "-" => a - b
     case "*" => a * b
     case "/" => a / b
+    case "%" => a % b // Java % == Go math.Mod (x % 0 = NaN)
+    case "^" => // Go math.Pow edge rules (IEEE 754-2008)
+      if (a == 1.0 || (a == -1.0 && b.isInfinity)) 1.0 else math.pow(a, b)
   }
   private def cmp(op: String, a: Double, b: Double): Boolean = op match {
     case ">" => a > b
@@ -108,9 +111,11 @@ class PromQLDifferentialSpec extends AnyFunSuite {
   /** vector ∘ scalar arithmetic; `scalarLeft` = the literal is the lhs. */
   private case class RVS(child: RE, op: String, k: Double,
       scalarLeft: Boolean) extends RE {
+    // the scalar prints parenthesized: a bare negative literal under '^'
+    // would re-associate (-0.5 ^ x is -(0.5 ^ x) — '^' outranks unary)
     def text: String =
-      if (scalarLeft) s"$k ${op} (${child.text})"
-      else s"(${child.text}) $op $k"
+      if (scalarLeft) s"($k) ${op} (${child.text})"
+      else s"(${child.text}) $op ($k)"
     def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
       val (ls, v) = child.ref(fx, t, lb)
       (ls, v.map { case (l, x) =>
@@ -344,7 +349,7 @@ class PromQLDifferentialSpec extends AnyFunSuite {
       case 1 =>
         val ks = Seq(-2.0, -0.5, 0.5, 1.0, 2.0, 3.5)
         RVS(if (rangeOnly) leaf() else Seq(sel _, ot _, rng _)(rnd.nextInt(3))(),
-          Seq("+", "-", "*", "/")(rnd.nextInt(4)),
+          Seq("+", "-", "*", "/", "%", "^")(rnd.nextInt(6)),
           ks(rnd.nextInt(ks.size)), scalarLeft = rnd.nextBoolean())
       case 2 =>
         val ks = Seq(-1.0, 0.0, 0.5, 2.0)
@@ -368,7 +373,8 @@ class PromQLDifferentialSpec extends AnyFunSuite {
         // same-grouping arithmetic: keys identical on both sides
         val g = Seq(Seq("host"), Seq("dc"), Seq("host", "dc"))(rnd.nextInt(3))
         RBin(aexpr(g, without = false),
-          Seq("+", "-", "*", "/")(rnd.nextInt(4)), aexpr(g, without = false))
+          Seq("+", "-", "*", "/", "%", "^")(rnd.nextInt(6)),
+          aexpr(g, without = false))
       case _ =>
         val g = Seq(Seq("host"), Seq("dc"))(rnd.nextInt(2))
         RBin(aexpr(g, without = false),

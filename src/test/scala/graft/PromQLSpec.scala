@@ -18,6 +18,27 @@ class PromQLSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------ parser
 
+  test("parser: '^' power — right-associative, above every binop AND above " +
+      "unary minus; literal^literal folds with Go Pow edge rules") {
+    // right-assoc: 2^3^2 = 2^(3^2) = 512 (folds to a literal)
+    assert(PromQLParser.parse("cpu * 2^3^2") ==
+      BinOp("*", Selector("cpu", Nil), NumLit(512.0)))
+    // '^' outranks unary minus: -2^2 = -(2^2) = -4
+    assert(PromQLParser.parse("cpu + -2^2") ==
+      BinOp("+", Selector("cpu", Nil), NumLit(-4.0)))
+    // and outranks '*': cpu * 2^3 multiplies by 8, not (cpu*2)^3
+    assert(PromQLParser.parse("cpu * 2 ^ 3") ==
+      BinOp("*", Selector("cpu", Nil), NumLit(8.0)))
+    // vector operand stays a BinOp and round-trips through the printer
+    val vp = PromQLParser.parse("cpu ^ 2")
+    assert(vp == BinOp("^", Selector("cpu", Nil), NumLit(2.0)))
+    assert(PromQLParser.parse(PromQLPrinter.print(vp)) == vp)
+    // Go Pow edge rules at fold time: 1^NaN = 1 (Java's Math.pow says NaN)
+    assert(PromQLParser.goPow(1.0, Double.NaN) == 1.0)
+    assert(PromQLParser.goPow(-1.0, Double.PositiveInfinity) == 1.0)
+    assert(PromQLParser.goPow(2.0, 10.0) == 1024.0)
+  }
+
   test("parser: full shape with grouping, range fn, matchers, compound duration") {
     val ast = PromQLParser.parse(
       """sum by (dc) (rate(requests_total{env="prod", dc!~"eu.*", code=~"5\\d\\d"}[1h30m]))""")
@@ -1791,7 +1812,8 @@ class PromQLSpec extends AnyFunSuite {
       ni <- Gen.chooseNum(0, 2)
       inc <- Gen.listOfN(ni, labelName).map(_.distinct)
       grouped <- Gen.oneOf(true, false)
-    } yield BinOp("/", a, b, bool = false,
+      op <- Gen.oneOf("/", "^", "%", "+")
+    } yield BinOp(op, a, b, bool = false,
       Some(VectorMatch(on, ls,
         group = if (grouped || inc.nonEmpty) Some(GroupSide.Left) else None,
         include = if (grouped || inc.nonEmpty) inc else Nil)))
