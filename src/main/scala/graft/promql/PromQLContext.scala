@@ -953,10 +953,15 @@ final class PromQLContext(
       // (two hidden series whose projected labels collide) SUM per bucket
       // before the walk — without this, the window below interleaves two
       // series' cumulative counts at the same le and interpolates garbage
+      // try_cast, not cast: an UNPARSABLE le value (a mislabeled series)
+      // throws CAST_INVALID_INPUT under ANSI mode and fails the whole
+      // query — Prometheus instead SKIPS that bucket series (with a warn
+      // annotation), which the null-filter below reproduces
+      val leNum = when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+        .otherwise(org.apache.spark.sql.functions.expr("try_cast(le AS DOUBLE)"))
       val merged = in.groupBy((groupCols :+ "le").map(col): _*)
         .agg(sum(col("value")).as("value"))
-      val leNum = when(col("le") === "+Inf", lit(Double.PositiveInfinity))
-        .otherwise(col("le").cast("double"))
+        .filter(leNum.isNotNull)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCols.map(col): _*).orderBy(leNum)
       val wAll = org.apache.spark.sql.expressions.Window

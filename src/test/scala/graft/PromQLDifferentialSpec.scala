@@ -523,11 +523,18 @@ class PromQLDifferentialSpec extends AnyFunSuite {
         les.map { le => cum += rnd.nextInt(5); (h, le, ts, cum) }
       }
       val q = Seq(0.0, 0.1, 0.5, 0.9, 0.95, 1.0)(rnd.nextInt(6))
+      // a mislabeled bucket series (unparsable le) must be SKIPPED like
+      // Prometheus does, not fail the query via ANSI CAST_INVALID_INPUT —
+      // the reference never sees these rows
+      val garbage: Seq[Row] =
+        if (rnd.nextBoolean())
+          hosts.map(h => Row("reqs_bucket", h, "oops", 60000L, 999.0))
+        else Nil
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(fx.map { case (h, le, ts, c) =>
           Row("reqs_bucket", h,
             if (le.isPosInfinity) "+Inf" else le.toString, ts, c)
-        }, 2), hqSchema)
+        } ++ garbage, 2), hqSchema)
       val ctx = new PromQLContext(df, "__name__", col("tms"), "v",
         Map("host" -> "host", "le" -> "le"), ordering = Seq(col("tms")))
       val got = canon(
