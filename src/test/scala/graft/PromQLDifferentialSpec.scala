@@ -241,6 +241,25 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** Many-to-one matching: `many op on(oneKeys) group_left one` — the many
+    * side is grouped by BOTH labels, the one side by `oneKeys` only; every
+    * many row joins its unique one-side partner and keeps its full label
+    * set (Prometheus group_left). */
+  private case class RGroupBin(many: RAgg, op: String, one: RAgg) extends RE {
+    // explicit empty include list: a bare `group_left (expr)` reads the
+    // paren as the include-label list (same ambiguity as Prometheus)
+    def text: String =
+      s"(${many.text}) $op on(${one.g.mkString(", ")}) group_left() (${one.text})"
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      val (mls, mv) = many.ref(fx, t, lb)
+      val (_, ov) = one.ref(fx, t, lb)
+      (mls, mv.flatMap { case (k, a) =>
+        val ok = one.g.map(g => g -> k.getOrElse(g, "")).toMap
+        ov.get(ok).map(b => k -> ieee(op, a, b))
+      })
+    }
+  }
+
   /** Counter/gauge range functions over `sel[w]` at the pinned instant
     * window (T-w, T]: reset-aware non-extrapolated rate/increase chained
     * from the first in-window sample, gauge delta, transition counts,
@@ -361,7 +380,7 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     }
     def aexpr(g: Seq[String], without: Boolean): RAgg =
       RAgg(aggs(rnd.nextInt(aggs.size)), without, g, vexpr())
-    rnd.nextInt(6) match {
+    rnd.nextInt(7) match {
       case 0 | 1 => vexpr()
       case 2 =>
         val gs = Seq(Nil, Seq("host"), Seq("dc"), Seq("host", "dc"))
@@ -375,10 +394,17 @@ class PromQLDifferentialSpec extends AnyFunSuite {
         RBin(aexpr(g, without = false),
           Seq("+", "-", "*", "/", "%", "^")(rnd.nextInt(6)),
           aexpr(g, without = false))
-      case _ =>
+      case 5 =>
         val g = Seq(Seq("host"), Seq("dc"))(rnd.nextInt(2))
         RBin(aexpr(g, without = false),
           Seq("and", "or", "unless")(rnd.nextInt(3)), aexpr(g, without = false))
+      case _ =>
+        // many-to-one: many side keeps (host, dc), one side carries the
+        // on() key alone — the group_left join path
+        val oneG = Seq(Seq("host"), Seq("dc"))(rnd.nextInt(2))
+        RGroupBin(aexpr(Seq("host", "dc"), without = false),
+          Seq("+", "-", "*", "/")(rnd.nextInt(4)),
+          aexpr(oneG, without = false))
     }
   }
 
