@@ -321,6 +321,72 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** Go `Regexp.Expand` template semantics (what Prometheus label_replace
+    * uses), written directly from the Go rules: `$$` literal, `$name` /
+    * `${name}` longest alphanumeric run (so `$1y` is the MISSING group
+    * named "1y", not group 1 + "y"), invalid reference expands empty,
+    * a `$` starting no valid name stays literal. */
+  private def goExpand(tmpl: String, m: java.util.regex.Matcher): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < tmpl.length) {
+      val c = tmpl.charAt(i)
+      if (c == '$' && i + 1 < tmpl.length) {
+        if (tmpl.charAt(i + 1) == '$') { b += '$'; i += 2 }
+        else {
+          val braced = tmpl.charAt(i + 1) == '{'
+          var j = i + (if (braced) 2 else 1)
+          val st = j
+          while (j < tmpl.length &&
+              (tmpl.charAt(j).isLetterOrDigit || tmpl.charAt(j) == '_')) j += 1
+          val name = tmpl.substring(st, j)
+          if (braced && (j >= tmpl.length || tmpl.charAt(j) != '}')) {
+            b += '$'; i += 1
+          } else if (name.isEmpty) { b += '$'; i += 1 }
+          else {
+            if (name.forall(_.isDigit)) {
+              val n = name.toInt
+              if (n <= m.groupCount()) b ++= Option(m.group(n)).getOrElse("")
+            } // named groups are not generated — invalid => empty
+            i = j + (if (braced) 1 else 0)
+          }
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** `label_replace(v, dst, tmpl, src, regex)` over a selector child. */
+  private case class RLblReplace(child: RSel, dst: String, tmpl: String,
+      src: String, regex: String) extends RE {
+    def text: String = "label_replace(" + child.text + ", \"" + dst +
+      "\", \"" + tmpl + "\", \"" + src + "\", \"" + regex + "\")"
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      val (ls, v) = child.ref(fx, t, lb)
+      val pat = java.util.regex.Pattern.compile("\\A(?:" + regex + ")\\z")
+      val out = v.map { case (l, x) =>
+        val m = pat.matcher(l.getOrElse(src, ""))
+        val nd = if (m.matches()) goExpand(tmpl, m)
+                 else l.getOrElse(dst, "") // no match: row untouched
+        (l + (dst -> nd)) -> x
+      }
+      ((ls :+ dst).distinct, out)
+    }
+  }
+
+  /** `label_join(v, dst, sep, srcs...)` over a selector child. */
+  private case class RLblJoin(child: RSel, dst: String, sep: String,
+      srcs: Seq[String]) extends RE {
+    def text: String = "label_join(" + child.text + ", \"" + dst + "\", \"" +
+      sep + "\"" + srcs.map(s => ", \"" + s + "\"").mkString + ")"
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      val (ls, v) = child.ref(fx, t, lb)
+      val out = v.map { case (l, x) =>
+        (l + (dst -> srcs.map(s => l.getOrElse(s, "")).mkString(sep))) -> x
+      }
+      ((ls :+ dst).distinct, out)
+    }
+  }
+
   // ----------------------------------------------------------- generators
   /** `rangeOnly = true` restricts every leaf to a windowed function, so the
     * whole tree is well-defined per evaluation step T — the shape the
@@ -380,7 +446,7 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     }
     def aexpr(g: Seq[String], without: Boolean): RAgg =
       RAgg(aggs(rnd.nextInt(aggs.size)), without, g, vexpr())
-    rnd.nextInt(7) match {
+    rnd.nextInt(8) match {
       case 0 | 1 => vexpr()
       case 2 =>
         val gs = Seq(Nil, Seq("host"), Seq("dc"), Seq("host", "dc"))
@@ -398,13 +464,38 @@ class PromQLDifferentialSpec extends AnyFunSuite {
         val g = Seq(Seq("host"), Seq("dc"))(rnd.nextInt(2))
         RBin(aexpr(g, without = false),
           Seq("and", "or", "unless")(rnd.nextInt(3)), aexpr(g, without = false))
-      case _ =>
+      case 6 =>
         // many-to-one: many side keeps (host, dc), one side carries the
         // on() key alone — the group_left join path
         val oneG = Seq(Seq("host"), Seq("dc"))(rnd.nextInt(2))
         RGroupBin(aexpr(Seq("host", "dc"), without = false),
           Seq("+", "-", "*", "/")(rnd.nextInt(4)),
           aexpr(oneG, without = false))
+      case _ if rangeOnly => vexpr()
+      case _ =>
+        // label functions: Go-template expansion quirks ($1y is a MISSING
+        // named group, ${1}y is group 1 + "y") and multi-source joins;
+        // sometimes aggregated by the synthesized label downstream
+        val src = if (rnd.nextBoolean()) "host" else "dc"
+        val dstUsed = if (rnd.nextInt(3) == 0) "dc" else "lbl"
+        val lf: RE =
+          if (rnd.nextBoolean())
+            RLblReplace(sel(), dst = dstUsed,
+              tmpl = Seq("$1", "$2", "$1y", "x${1}y", "$$", "a$1-$2",
+                "$0", "$10", "lit")(rnd.nextInt(9)),
+              src = src,
+              regex = Seq("(.)(.*)", "([a-z])([a-z])?", "(z*)(.*)",
+                "u(.)", "(a|e)(.*)")(rnd.nextInt(5)))
+          else
+            RLblJoin(sel(), dst = dstUsed,
+              sep = Seq("-", "", "::")(rnd.nextInt(3)),
+              srcs = Seq(Seq("host", "dc"), Seq("dc"),
+                Seq("dc", "host", "dc"))(rnd.nextInt(3)))
+        if (rnd.nextInt(3) == 0)
+          RAgg(aggs(rnd.nextInt(aggs.size)), without = false,
+            // group by the synthesized label or an always-present one
+            Seq(if (rnd.nextBoolean()) dstUsed else "dc"), lf)
+        else lf
     }
   }
 
