@@ -901,22 +901,40 @@ final class PromQLContext(
         case "year" => year(vTime).cast("double")
         case "abs" => abs(v)
         case "sgn" => signum(v)
-        case "ceil" => ceil(v).cast("double")
-        case "floor" => floor(v).cast("double")
+        // Spark's ceil/floor(double) return LONG, so ±Inf collapses to
+        // ±Long.MaxValue (9.22e18) and NaN to 0 — Go keeps them: non-finite
+        // values pass through untouched (they are their own ceil/floor)
+        case "ceil" =>
+          when(isnan(v) || abs(v) === Double.PositiveInfinity, v)
+            .otherwise(ceil(v).cast("double"))
+        case "floor" =>
+          when(isnan(v) || abs(v) === Double.PositiveInfinity, v)
+            .otherwise(floor(v).cast("double"))
         case "sqrt" => sqrt(v)
         case "exp" => exp(v)
-        case "ln" => log(v)
-        case "log2" => log2(v)
-        case "log10" => log10(v)
+        // Go math.Log semantics: log(0) = -Inf, log(negative) = NaN,
+        // log(NaN) = NaN. Spark's log family returns NULL for any
+        // non-positive input, which would DROP the series from the result
+        // (the serving edge filters null-value rows) instead of answering.
+        case "ln" => goLog(v, log(v))
+        case "log2" => goLog(v, log2(v))
+        case "log10" => goLog(v, log10(v))
         case "round" =>
           // Prometheus rounds half UP to the nearest multiple:
           // floor(v/n + 0.5) * n — spelled out (not engine round()) so the
           // half-way rule is identical across engines/oracles
           val n = args.headOption.getOrElse(1.0)
           floor(v / lit(n) + lit(0.5)) * lit(n)
-        case "clamp" => least(greatest(v, lit(args(0))), lit(args(1)))
-        case "clamp_min" => greatest(v, lit(args(0)))
-        case "clamp_max" => least(v, lit(args(0)))
+        // Go Min/Max PROPAGATE NaN, Spark's least/greatest rank NaN largest
+        // (least(NaN, max) would answer max); and Prometheus funcClamp
+        // answers NaN outright when min > max
+        case "clamp" =>
+          if (args(0) > args(1)) lit(Double.NaN)
+          else when(isnan(v), lit(Double.NaN))
+            .otherwise(least(greatest(v, lit(args(0))), lit(args(1))))
+        case "clamp_min" => greatest(v, lit(args(0))) // NaN already wins
+        case "clamp_max" =>
+          when(isnan(v), lit(Double.NaN)).otherwise(least(v, lit(args(0))))
         case "sin" => sin(v)
         case "cos" => cos(v)
         case "tan" => tan(v)
@@ -1255,6 +1273,13 @@ final class PromQLContext(
 
   private def isCmp(op: String): Boolean =
     op == "==" || op == "!=" || op == ">" || op == ">=" || op == "<" || op == "<="
+
+  /** Wrap a Spark log-family column (which nulls on non-positive input)
+    * with Go's edges: log(0) = -Inf, log(negative) = NaN, NaN rides. */
+  private def goLog(v: Column, sparkLog: Column): Column =
+    when(v > 0.0, sparkLog)
+      .when(v === 0.0, lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.NaN)) // negative or NaN input
 
   private def applyOp(op: String, a: Column, b: Column): Column = op match {
     case "+" => a + b

@@ -355,6 +355,39 @@ class PromQLDifferentialSpec extends AnyFunSuite {
     b.toString
   }
 
+  /** Pointwise scalar function over a vector child, Go edge rules. */
+  private case class RFn(fn: String, child: RE,
+      args: Seq[Double] = Nil) extends RE {
+    def text: String =
+      if (args.isEmpty) s"$fn(${child.text})"
+      else s"$fn(${child.text}, ${args.mkString(", ")})"
+    def ref(fx: Seq[S], t: Long, lb: Long): (Seq[String], Vec) = {
+      val (ls, v) = child.ref(fx, t, lb)
+      def goLog(x: Double, l: Double): Double =
+        if (x > 0) l
+        else if (x == 0) Double.NegativeInfinity else Double.NaN
+      (ls, v.map { case (l, x) =>
+        l -> (fn match {
+          case "abs" => math.abs(x)
+          case "exp" => math.exp(x)
+          case "sqrt" => math.sqrt(x)
+          case "sgn" => math.signum(x)
+          case "ceil" => if (x.isNaN || x.isInfinity) x else math.ceil(x)
+          case "floor" => if (x.isNaN || x.isInfinity) x else math.floor(x)
+          case "ln" => goLog(x, math.log(x))
+          case "log2" => goLog(x, math.log(x) / math.log(2.0))
+          case "log10" => goLog(x, math.log10(x))
+          case "round" => math.floor(x / args.head + 0.5) * args.head
+          case "clamp_min" => math.max(x, args.head) // NaN wins in Go Max
+          case "clamp_max" => if (x.isNaN) x else math.min(x, args.head)
+          case "clamp" =>
+            if (args(0) > args(1) || x.isNaN) Double.NaN
+            else math.min(math.max(x, args(0)), args(1))
+        })
+      })
+    }
+  }
+
   /** `label_replace(v, dst, tmpl, src, regex)` over a selector child. */
   private case class RLblReplace(child: RSel, dst: String, tmpl: String,
       src: String, regex: String) extends RE {
@@ -429,7 +462,22 @@ class PromQLDifferentialSpec extends AnyFunSuite {
       tsec = Seq(60L, 600L)(rnd.nextInt(2)))
     def leaf(): RE =
       if (rangeOnly) { if (rnd.nextBoolean()) ot() else rng() } else sel()
-    def vexpr(): RE = rnd.nextInt(8) match {
+    def fnOf(child: RE): RFn = rnd.nextInt(13) match {
+      case 0 => RFn("abs", child)
+      case 1 => RFn("exp", child)
+      case 2 => RFn("sqrt", child)
+      case 3 => RFn("sgn", child)
+      case 4 => RFn("ceil", child)
+      case 5 => RFn("floor", child)
+      case 6 => RFn("ln", child)
+      case 7 => RFn("log2", child)
+      case 8 => RFn("log10", child)
+      case 9 => RFn("round", child, Seq(Seq(0.5, 2.0)(rnd.nextInt(2))))
+      case 10 => RFn("clamp_min", child, Seq(0.5))
+      case 11 => RFn("clamp_max", child, Seq(2.0))
+      case _ => RFn("clamp", child, Seq(-1.0, 2.0))
+    }
+    def vexpr(): RE = rnd.nextInt(9) match {
       case 0 => leaf()
       case 1 =>
         val ks = Seq(-2.0, -0.5, 0.5, 1.0, 2.0, 3.5)
@@ -442,6 +490,7 @@ class PromQLDifferentialSpec extends AnyFunSuite {
           ks(rnd.nextInt(ks.size)), bool = rnd.nextInt(3) == 0)
       case 3 | 4 => ot()
       case 5 | 6 => rng()
+      case 7 => fnOf(leaf())
       case _ => leaf()
     }
     def aexpr(g: Seq[String], without: Boolean): RAgg =
@@ -661,6 +710,44 @@ class PromQLDifferentialSpec extends AnyFunSuite {
       }
       assertSame(want, got, s"case $case_: q=$q fx=$fx")
     }
+  }
+
+  test("scalar-function Go edges: ln/log2/log10 of zero and negatives " +
+      "follow Go (-Inf / NaN, never a dropped row); clamp propagates NaN " +
+      "and answers NaN when min > max; ceil/floor keep infinities") {
+    val fx = Seq(
+      S("cpu", "a", "us", 60000L, 0.0),   // ln -> -Inf
+      S("cpu", "b", "us", 60000L, -2.0),  // ln -> NaN
+      S("cpu", "c", "us", 60000L, math.E))
+    val ctx = ctxOf(fx)
+    def at(e: String): Map[String, Double] =
+      canon(ctx.sqlInstant(e, 120000L)).map { case (l, v) => l("host") -> v }
+    val ln = at("ln(cpu)")
+    assert(ln.keySet == Set("a", "b", "c"), s"ln dropped rows: $ln")
+    assert(ln("a").isNegInfinity && ln("b").isNaN &&
+      math.abs(ln("c") - 1.0) < 1e-12, ln.toString)
+    val l2 = at("log2(cpu)")
+    assert(l2("a").isNegInfinity && l2("b").isNaN, l2.toString)
+    val l10 = at("log10(cpu)")
+    assert(l10("a").isNegInfinity && l10("b").isNaN, l10.toString)
+    // NaN reaches clamp via 0/0; Go Min/Max propagate it
+    val fx2 = Seq(S("cpu", "a", "us", 60000L, 0.0))
+    val c2 = ctxOf(fx2)
+    val nan = canon(c2.sqlInstant("clamp((cpu) / 0, 1, 5)", 120000L))
+    assert(nan.values.head.isNaN, s"clamp(NaN) must be NaN: $nan")
+    val nanMax = canon(c2.sqlInstant("clamp_max((cpu) / 0, 5)", 120000L))
+    assert(nanMax.values.head.isNaN, s"clamp_max(NaN) must be NaN: $nanMax")
+    // min > max is NaN (Prometheus funcClamp), not max
+    val bad = canon(ctxOf(fx).sqlInstant("clamp(cpu, 5, 1)", 120000L))
+    assert(bad.values.forall(_.isNaN), s"clamp(min>max) must be NaN: $bad")
+    // infinities survive ceil/floor (Go: ceil(+Inf) = +Inf)
+    val fx3 = Seq(S("cpu", "a", "us", 60000L, 2.0),
+      S("cpu", "b", "us", 60000L, -2.0))
+    val c3 = ctxOf(fx3)
+    val ce = canon(c3.sqlInstant("ceil((cpu) / 0)", 120000L))
+      .map { case (l, v) => l("host") -> v }
+    assert(ce("a").isPosInfinity && ce("b").isNegInfinity,
+      s"ceil(Inf) must stay Inf: $ce")
   }
 
   test("ungrouped aggregation over an EMPTY vector is empty for every " +
