@@ -3413,7 +3413,7 @@ object SparkEntry {
         graft.pipeline.Multimodal.withSyntheticImages(
           t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload", "application/octet-stream")
-      graft.pipeline.Multimodal.extractFeatures(media, targetPartitions = 8)
+      graft.pipeline.Multimodal.extractFeatures(media, targetPartitions = s.sparkContext.defaultParallelism)
         .select(col("media_id"), col("n_bytes"),
           element_at(col("feature"), 1).cast("int").as("w"),
           element_at(col("feature"), 2).cast("int").as("h"),
@@ -3453,7 +3453,7 @@ object SparkEntry {
         graft.pipeline.Multimodal.withSyntheticAudio(
           t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload", "audio/wav")
-      graft.pipeline.Multimodal.extractAudioFeatures(media, targetPartitions = 8)
+      graft.pipeline.Multimodal.extractAudioFeatures(media, targetPartitions = s.sparkContext.defaultParallelism)
         .select(col("media_id"), col("channels"), col("sample_rate"),
           col("frames"),
           round(col("rms"), 4).as("rms"),
@@ -3482,7 +3482,7 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id")
         .select(col("doc_id").cast("long").as("media_id"), col("payload"))
       graft.pipeline.Multimodal.sampleVideoFrames(media, every = 4,
-          targetPartitions = 8)
+          targetPartitions = s.sparkContext.defaultParallelism)
         .select(col("media_id"),
           col("frame_idx").cast("long").as("frame_idx"), col("offset"),
           col("n_bytes").cast("long").as("n_bytes"))
@@ -3496,7 +3496,7 @@ object SparkEntry {
         graft.pipeline.Multimodal.withSyntheticImages(
           t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload", "application/octet-stream")
-      graft.pipeline.Multimodal.resizeImages(media, targetPartitions = 8)
+      graft.pipeline.Multimodal.resizeImages(media, targetPartitions = s.sparkContext.defaultParallelism)
         .select(col("media_id"), col("rw").cast("long").as("rw"),
           col("rh").cast("long").as("rh"),
           round(col("mean"), 6).as("r_mean"))
@@ -3512,7 +3512,7 @@ object SparkEntry {
         graft.pipeline.Multimodal.withSyntheticImages(
           t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload", "application/octet-stream")
-      graft.pipeline.Multimodal.dHashImages(media, targetPartitions = 8)
+      graft.pipeline.Multimodal.dHashImages(media, targetPartitions = s.sparkContext.defaultParallelism)
         .select(col("media_id"), posexplode(array((0 until 8).map(r =>
           shiftright(col("dhash"), r * 8).bitwiseAND(lit(255L))): _*)))
         .select(col("media_id"), col("pos").cast("long").as("band"),
@@ -3531,7 +3531,7 @@ object SparkEntry {
         graft.pipeline.Multimodal.withSyntheticNearDupImages(
           t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload", "application/octet-stream")
-      val sig = graft.pipeline.Multimodal.dHashImages(media, targetPartitions = 8)
+      val sig = graft.pipeline.Multimodal.dHashImages(media, targetPartitions = s.sparkContext.defaultParallelism)
       Dedup.hammingPairs64(sig, "media_id", "dhash", maxDist = 7, bands = 8)
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
@@ -3546,7 +3546,7 @@ object SparkEntry {
         graft.pipeline.Multimodal.withSyntheticJpegs(
           t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload", "image/jpeg")
-      graft.pipeline.Multimodal.jpegMeta(media, targetPartitions = 8)
+      graft.pipeline.Multimodal.jpegMeta(media, targetPartitions = s.sparkContext.defaultParallelism)
         .select(col("media_id"), col("w").cast("long").as("w"),
           col("h").cast("long").as("h"),
           col("components").cast("long").as("components"),
@@ -3583,7 +3583,7 @@ object SparkEntry {
         graft.pipeline.Multimodal.withSyntheticNearDupImages(
           t(s, dir, "documents").filter(col("doc_id") < 1024), "doc_id"),
         "doc_id", "payload", "application/octet-stream")
-      val sig = graft.pipeline.Multimodal.dHashImages(media, targetPartitions = 8)
+      val sig = graft.pipeline.Multimodal.dHashImages(media, targetPartitions = s.sparkContext.defaultParallelism)
       val pairs = Dedup.hammingPairs64(sig, "media_id", "dhash",
           maxDist = 7, bands = 8)
         .select(col("id_a"), col("id_b"))
@@ -3636,7 +3636,7 @@ object SparkEntry {
         "doc_id", "payload", "application/octet-stream")
       val keep = media.filter(col("meta.mime") === "image/bmp" &&
         col("meta.width") >= 12)
-      graft.pipeline.Multimodal.resizeImages(keep, targetPartitions = 8)
+      graft.pipeline.Multimodal.resizeImages(keep, targetPartitions = s.sparkContext.defaultParallelism)
         .groupBy(col("rw").cast("long").as("rw"),
           col("rh").cast("long").as("rh"))
         .agg(count(lit(1)).as("n"),

@@ -254,6 +254,12 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
             engine.matchedSeriesFrame(mid, labelMs)), Seq("tsid"))
       }
     }
+    // (the pruned partials subtree is referenced by the probe, the
+    // entries explode, the meta aggregate and the per-bucket distinct —
+    // kept lazy rather than localCheckpoint()ed so the routed plan stays
+    // inspectable end to end (RollupSpec pins that it reads the rollup
+    // store); the round-15 single-pass restructure below already cut the
+    // subtree fan-out from ~15 references to 3)
     val rows = frames.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -293,50 +299,60 @@ class HistogramRollup(engine: MetricEngine, val gridMs: Long) {
           "buckets in the window') AS ARRAY<DOUBLE>) END"))
       .drop("__schemas__", "__cvs__")
 
-    // flatten the three partial sets into (series, bucket, kind, idx,
-    // f, l, i) entries — f/l null when the index was absent from the
-    // bucket's first/last sample
-    def arm(kind: Int, p: String) = rows.select(
-      col("series_key"), col("ts"), lit(kind).as("kind"),
+    // flatten the zero/count/pos/neg partial sets into (series, bucket,
+    // kind, idx, f, l, i) entries in ONE explode pass (f/l null when the
+    // index was absent from the bucket's first/last sample) — the old
+    // four-arm union re-read the partials frame once per arm. The count
+    // field rides the same boundary-chaining as any bucket (kind 2 —
+    // assembleHistograms picks it up as the output count); LEGACY
+    // partials (pre-count columns) carry all-null f/l/i — the filter()
+    // drops their kind-2 struct so the assembly falls back to bucket
+    // mass instead of reporting a zero count.
+    def armExpr(p: String) =
+      s"""transform(
+         |  array_sort(array_union(array_union(f_${p}_idx, l_${p}_idx),
+         |    i_${p}_idx)),
+         |  k -> named_struct('kind', ${if (p == "pos") 1 else -1}, 'idx', k,
+         |    'f', try_element_at(map_from_arrays(f_${p}_idx, f_${p}_cnt), k),
+         |    'l', try_element_at(map_from_arrays(l_${p}_idx, l_${p}_cnt), k),
+         |    'i', try_element_at(map_from_arrays(i_${p}_idx, i_${p}_cnt), k)))"""
+        .stripMargin
+    val entries = rows.select(col("series_key"), col("ts"),
       explode(expr(
-        s"""transform(
-           |  array_sort(array_union(array_union(f_${p}_idx, l_${p}_idx),
-           |    i_${p}_idx)),
-           |  k -> named_struct('idx', k,
-           |    'f', try_element_at(map_from_arrays(f_${p}_idx, f_${p}_cnt), k),
-           |    'l', try_element_at(map_from_arrays(l_${p}_idx, l_${p}_cnt), k),
-           |    'i', try_element_at(map_from_arrays(i_${p}_idx, i_${p}_cnt), k)))"""
-          .stripMargin)).as("e"))
-      .select(col("series_key"), col("ts"), col("kind"),
+        s"""concat(
+           |  array(named_struct('kind', 0, 'idx', 0,
+           |    'f', f_zero, 'l', l_zero, 'i', i_zero)),
+           |  filter(array(named_struct('kind', 2, 'idx', 0,
+           |    'f', f_count, 'l', l_count, 'i', i_count)),
+           |    x -> x.f IS NOT NULL OR x.l IS NOT NULL OR x.i IS NOT NULL),
+           |  ${armExpr("pos")},
+           |  ${armExpr("neg")})""".stripMargin)).as("e"))
+      .select(col("series_key"), col("ts"), col("e.kind").as("kind"),
         col("e.idx").as("idx"), col("e.f").as("f"), col("e.l").as("l"),
         col("e.i").as("i"))
-    val zeroArm = rows.select(col("series_key"), col("ts"),
-      lit(0).as("kind"), lit(0).as("idx"),
-      col("f_zero").as("f"), col("l_zero").as("l"), col("i_zero").as("i"))
-    // the count field rides the same boundary-chaining as any bucket
-    // (kind 2 — assembleHistograms picks it up as the output count);
-    // LEGACY partials (pre-count columns) carry nulls — emit no kind-2
-    // rows for them so the assembly falls back to bucket mass instead of
-    // reporting a zero count
-    val countArm = rows.select(col("series_key"), col("ts"),
-      lit(2).as("kind"), lit(0).as("idx"),
-      col("f_count").as("f"), col("l_count").as("l"), col("i_count").as("i"))
-      .filter(col("f").isNotNull || col("l").isNotNull || col("i").isNotNull)
-    val entries = zeroArm.unionByName(countArm)
-      .unionByName(arm(1, "pos")).unionByName(arm(-1, "neg"))
 
     // boundary delta per (series, kind, idx, bucket): reset-aware against
     // the series' previous IN-RANGE bucket's last sample (absent there →
-    // rise from 0); the series' first in-range bucket contributes 0
-    val order = org.apache.spark.sql.expressions.Window
+    // rise from 0); the series' first in-range bucket contributes 0.
+    // Both helpers are windows over the SAME series_key partitioning
+    // (the old shape joined a distinct+lag bucket frame AND a shifted
+    // copy of entries back in): the previous in-range bucket time is the
+    // max ts strictly below the current one, and the previous bucket's
+    // last-sample value for this (kind, idx) comes from one total order
+    // (kind, idx, ts) with the lagged row guarded to the same (kind,
+    // idx) AND to the immediately-previous bucket.
+    val wPrevTs = org.apache.spark.sql.expressions.Window
       .partitionBy(col("series_key")).orderBy(col("ts"))
-    val prevBucket = rows.select(col("series_key"), col("ts")).distinct()
-      .withColumn("__prev_ts__", lag(col("ts"), 1).over(order))
-    val prevL = entries.select(col("series_key"),
-      col("ts").as("__prev_ts__"), col("kind"), col("idx"),
-      col("l").as("__l_prev__"))
-    val cur = entries.join(prevBucket, Seq("series_key", "ts"))
-      .join(prevL, Seq("series_key", "__prev_ts__", "kind", "idx"), "left")
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key")).orderBy(col("kind"), col("idx"), col("ts"))
+    val sameBucket = lag(col("kind"), 1).over(wLag) === col("kind") &&
+      lag(col("idx"), 1).over(wLag) === col("idx")
+    val cur = entries
+      .withColumn("__prev_ts__", max(col("ts")).over(wPrevTs))
+      .withColumn("__l_prev__",
+        when(sameBucket && lag(col("ts"), 1).over(wLag) === col("__prev_ts__"),
+          lag(col("l"), 1).over(wLag)))
     val pl = coalesce(col("__l_prev__"), lit(0.0))
     val boundary = when(col("__prev_ts__").isNull || col("f").isNull, 0.0)
       .otherwise(when(col("f") >= pl, col("f") - pl).otherwise(col("f")))

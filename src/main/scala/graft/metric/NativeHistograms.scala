@@ -175,7 +175,14 @@ object NativeHistograms {
     // series across the WHOLE input — deltas chain across time buckets,
     // so one grid must hold throughout)
     val rows = downscaleToCoarsest(rows0, Seq("series_key"))
+    // the per-row meta columns ride the explode (constant per source row)
+    // so the whole evaluation is ONE pass over the input: the old shape
+    // re-computed the upstream scan subtree for a separate meta aggregate,
+    // a distinct+lag prev-sample frame joined back, and four filtered
+    // assembly branches — with AQE every exchange is its own query-stage
+    // job, so a 6-sample fixture paid ~400 Exchange nodes of plan
     val entries = rows.select(col("series_key"), col("ts_ms"),
+      col("bucket_schema"), col("zero_threshold"), col("custom_values"),
       explode(expr(
         """concat(
           |  array(named_struct('kind', 0, 'idx', 0, 'cnt', zero_count)),
@@ -185,7 +192,8 @@ object NativeHistograms {
           |  transform(arrays_zip(neg_idx, neg_cnt),
           |    z -> named_struct('kind', -1, 'idx', z.neg_idx, 'cnt', z.neg_cnt)))"""
           .stripMargin)).as("e"))
-      .select(col("series_key"), col("ts_ms"),
+      .select(col("series_key"), col("ts_ms"), col("bucket_schema"),
+        col("zero_threshold"), col("custom_values"),
         col("e.kind"), col("e.idx"), col("e.cnt"))
     // Absence handling WITHOUT a dense (ts × bucket) fill — a month range
     // at scrape resolution × dozens of buckets would materialize millions
@@ -200,13 +208,25 @@ object NativeHistograms {
     //   samples) → the full cnt; overall-first sample → 0.
     // Proven equivalent to the dense fill by the unchanged test
     // expectations (reset/absence cases are all hand-computed).
-    val sampleOrder = Window.partitionBy("series_key").orderBy("ts_ms")
-    val tsWithPrev = rows.select("series_key", "ts_ms").distinct()
-      .withColumn("__prev_sample_ts__", lag(col("ts_ms"), 1).over(sampleOrder))
-    val w = Window.partitionBy("series_key", "kind", "idx").orderBy("ts_ms")
-    val prev = lag(col("cnt"), 1).over(w)
-    val prevTs = lag(col("ts_ms"), 1).over(w)
-    val dense = entries.join(tsWithPrev, Seq("series_key", "ts_ms"))
+    //
+    // Both helper quantities come from windows over the SAME series_key
+    // partitioning (one exchange, two in-partition sorts) instead of the
+    // old distinct+lag+join round trip:
+    //  - the previous distinct sample time is the max ts strictly below
+    //    the current one (a range frame — duplicate ts rows per bucket
+    //    entry don't disturb it);
+    //  - the per-(kind, idx) lag comes from one total order (kind, idx,
+    //    ts) with the lagged row guarded to be the same (kind, idx).
+    val wPrevSample = Window.partitionBy("series_key").orderBy("ts_ms")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wLag = Window.partitionBy("series_key")
+      .orderBy("kind", "idx", "ts_ms")
+    val sameBucket = lag(col("kind"), 1).over(wLag) === col("kind") &&
+      lag(col("idx"), 1).over(wLag) === col("idx")
+    val prev = when(sameBucket, lag(col("cnt"), 1).over(wLag))
+    val prevTs = when(sameBucket, lag(col("ts_ms"), 1).over(wLag))
+    val dense = entries
+      .withColumn("__prev_sample_ts__", max(col("ts_ms")).over(wPrevSample))
     // grouping identity: the series alone (whole-window increase) or
     // (series, tumbling time bucket) for range evaluation — deltas chain
     // across the whole input either way, attributed to the later sample
@@ -232,23 +252,18 @@ object NativeHistograms {
           // contribution), this entry is the rise from 0
           .otherwise(col("cnt"))))
       .groupBy((keyCols :+ "kind" :+ "idx").map(MetricEngine.qcol): _*)
-      .agg(sum(col("__d__")).as("inc"))
-    val meta = withBucket(rows).groupBy(keyCols.map(MetricEngine.qcol): _*).agg(
-      max(col("ts_ms")).as("ts_ms"),
-      // uniform after downscaleToCoarsest — min is exact, not a guess
-      min(col("bucket_schema")).as("bucket_schema"),
-      max(col("zero_threshold")).as("zero_threshold"),
-      collect_set(col("custom_values")).as("__cvs__"))
-      // NHCB bucket indexes are positions into custom_values — a bounds
-      // change mid-window has no exact conversion (unlike standard
-      // schemas); reject instead of chaining incomparable indexes
-      .withColumn("custom_values", expr(
-        "CASE WHEN size(__cvs__) = 0 THEN CAST(array() AS ARRAY<DOUBLE>) " +
-          "WHEN size(__cvs__) = 1 THEN element_at(__cvs__, 1) " +
-          "ELSE CAST(raise_error('NHCB custom bucket bounds changed " +
-          "within the rate window') AS ARRAY<DOUBLE>) END"))
-      .drop("__cvs__")
-    assembleHistograms(incs, meta, keyCols)
+      .agg(sum(col("__d__")).as("inc"),
+        // meta partials (uniform after downscaleToCoarsest — min is
+        // exact, not a guess), re-aggregated per key group below
+        max(col("ts_ms")).as("__ts__"),
+        min(col("bucket_schema")).as("__bs__"),
+        max(col("zero_threshold")).as("__zt__"),
+        collect_set(col("custom_values")).as("__cvs__"))
+    // NHCB bucket indexes are positions into custom_values — a bounds
+    // change mid-window has no exact conversion (unlike standard
+    // schemas); reject instead of chaining incomparable indexes
+    assembleFromParts(incs, keyCols,
+      "NHCB custom bucket bounds changed within the rate window")
   }
 
   /** SUM of native histograms across series — the aggregation behind
@@ -265,7 +280,12 @@ object NativeHistograms {
   def sumHistograms(rows0: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "sumHistograms needs at least one key column")
     val rows = downscaleToCoarsest(rows0, keyCols)
-    val entries = rows.select(keyCols.map(MetricEngine.qcol) :+
+    // ONE pass: meta columns ride the explode (constant per source row)
+    // and re-aggregate with the bucket sums, instead of a second scan of
+    // the upstream subtree + per-kind assembly joins (see [[increase]])
+    val entries = rows.select(keyCols.map(MetricEngine.qcol) ++
+      Seq(col("ts_ms"), col("bucket_schema"), col("zero_threshold"),
+        col("custom_values")) :+
       explode(expr(
         """concat(
           |  array(named_struct('kind', 0, 'idx', 0, 'cnt', zero_count)),
@@ -275,61 +295,59 @@ object NativeHistograms {
           |  transform(arrays_zip(neg_idx, neg_cnt),
           |    z -> named_struct('kind', -1, 'idx', z.neg_idx, 'cnt', z.neg_cnt)))"""
           .stripMargin)).as("e"): _*)
-      .select(keyCols.map(MetricEngine.qcol) :+ col("e.kind") :+ col("e.idx") :+
-        col("e.cnt").as("inc"): _*)
-    val incs = entries.groupBy((keyCols :+ "kind" :+ "idx").map(MetricEngine.qcol): _*)
-      .agg(sum(col("inc")).as("inc"))
-    val meta = rows.groupBy(keyCols.map(MetricEngine.qcol): _*).agg(
-      max(col("ts_ms")).as("ts_ms"),
-      // uniform after downscaleToCoarsest — min is exact, not a guess
-      min(col("bucket_schema")).as("bucket_schema"),
-      max(col("zero_threshold")).as("zero_threshold"),
-      collect_set(col("custom_values")).as("__cvs__"))
-      // NHCB bucket indexes are positions into custom_values — bounds
-      // must be identical across the summed series or the sum is
-      // meaningless (standard schemas carry empty arrays, one set value)
-      .withColumn("custom_values", expr(
-        "CASE WHEN size(__cvs__) = 0 THEN CAST(array() AS ARRAY<DOUBLE>) " +
-          "WHEN size(__cvs__) = 1 THEN element_at(__cvs__, 1) " +
-          "ELSE CAST(raise_error('cannot sum NHCB histograms with " +
-          "different custom bucket bounds') AS ARRAY<DOUBLE>) END"))
-      .drop("__cvs__")
-    assembleHistograms(incs, meta, keyCols)
+      .select(keyCols.map(MetricEngine.qcol) ++
+        Seq(col("ts_ms"), col("bucket_schema"), col("zero_threshold"),
+          col("custom_values"), col("e.kind"), col("e.idx"),
+          col("e.cnt")): _*)
+    val incs = entries.groupBy((keyCols :+ "kind" :+ "idx")
+        .map(MetricEngine.qcol): _*)
+      .agg(sum(col("cnt")).as("inc"),
+        max(col("ts_ms")).as("__ts__"),
+        // uniform after downscaleToCoarsest — min is exact, not a guess
+        min(col("bucket_schema")).as("__bs__"),
+        max(col("zero_threshold")).as("__zt__"),
+        collect_set(col("custom_values")).as("__cvs__"))
+    // NHCB bucket indexes are positions into custom_values — bounds
+    // must be identical across the summed series or the sum is
+    // meaningless (standard schemas carry empty arrays, one set value)
+    assembleFromParts(incs, keyCols,
+      "cannot sum NHCB histograms with different custom bucket bounds")
   }
 
-  /** Rebuild histogram rows from per-(keys, kind, idx) counts + per-keys
-    * meta — the shared tail of [[increase]] and [[sumHistograms]]. */
-  private[metric] def assembleHistograms(incs: DataFrame, meta: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
-    def sortedArrays(kind: Int, idxName: String, cntName: String) =
-      incs.filter(col("kind") === kind)
-        .groupBy(keyCols.map(MetricEngine.qcol): _*)
-        .agg(sort_array(collect_list(struct(col("idx"), col("inc"))))
-          .as("__a__"))
-        .select((keyCols.map(MetricEngine.qcol) :+
-          expr("transform(__a__, x -> x.idx)").as(idxName) :+
-          expr("transform(__a__, x -> x.inc)").as(cntName)): _*)
-    val zero = incs.filter(col("kind") === 0)
-      .groupBy(keyCols.map(MetricEngine.qcol): _*).agg(sum(col("inc")).as("zero_count"))
-    // the stored top-level count participates as its own kind (2): NaN
-    // observations increment count WITHOUT landing in any bucket, so a
-    // bucket-sum recompute under-reports the observation rate
-    val cnt = incs.filter(col("kind") === 2)
-      .groupBy(keyCols.map(MetricEngine.qcol): _*).agg(sum(col("inc")).as("__count_f__"))
-    meta
-      .join(zero, keyCols, "left")
-      .join(cnt, keyCols, "left")
-      .join(sortedArrays(1, "pos_idx", "pos_cnt"), keyCols, "left")
-      .join(sortedArrays(-1, "neg_idx", "neg_cnt"), keyCols, "left")
-      .withColumn("zero_count", coalesce(col("zero_count"), lit(0.0)))
-      .withColumn("pos_idx",
-        coalesce(col("pos_idx"), expr("CAST(array() AS ARRAY<INT>)")))
-      .withColumn("pos_cnt",
-        coalesce(col("pos_cnt"), expr("CAST(array() AS ARRAY<DOUBLE>)")))
-      .withColumn("neg_idx",
-        coalesce(col("neg_idx"), expr("CAST(array() AS ARRAY<INT>)")))
-      .withColumn("neg_cnt",
-        coalesce(col("neg_cnt"), expr("CAST(array() AS ARRAY<DOUBLE>)")))
+  /** Final re-aggregation shared by [[increase]] and [[sumHistograms]]:
+    * per-(keys, kind, idx) sums + meta partials (`__ts__`/`__bs__`/
+    * `__zt__`/`__cvs__` columns) → one histogram row per key group, in a
+    * SINGLE conditional aggregation — no per-kind branches, no joins, no
+    * recompute of the upstream subtree. */
+  private def assembleFromParts(incs: DataFrame, keyCols: Seq[String],
+      nhcbError: String): DataFrame = {
+    val kc = keyCols.map(MetricEngine.qcol)
+    incs.groupBy(kc: _*).agg(
+        max(col("__ts__")).as("ts_ms"),
+        min(col("__bs__")).as("bucket_schema"),
+        max(col("__zt__")).as("zero_threshold"),
+        array_distinct(flatten(collect_list(col("__cvs__")))).as("__cvsu__"),
+        sum(when(col("kind") === 0, col("inc"))).as("zero_count"),
+        // the stored top-level count participates as its own kind (2):
+        // NaN observations increment count WITHOUT landing in any bucket,
+        // so a bucket-sum recompute under-reports the observation rate
+        sum(when(col("kind") === 2, col("inc"))).as("__count_f__"),
+        sort_array(collect_list(when(col("kind") === 1,
+          struct(col("idx"), col("inc"))))).as("__pa__"),
+        sort_array(collect_list(when(col("kind") === -1,
+          struct(col("idx"), col("inc"))))).as("__na__"))
+      .select(kc ++ Seq(col("ts_ms"), col("bucket_schema"),
+        col("zero_threshold"),
+        expr("CASE WHEN size(__cvsu__) = 0 THEN CAST(array() AS ARRAY<DOUBLE>) " +
+          "WHEN size(__cvsu__) = 1 THEN element_at(__cvsu__, 1) " +
+          s"ELSE CAST(raise_error('$nhcbError') AS ARRAY<DOUBLE>) END")
+          .as("custom_values"),
+        coalesce(col("zero_count"), lit(0.0)).as("zero_count"),
+        expr("transform(__pa__, x -> x.idx)").as("pos_idx"),
+        expr("transform(__pa__, x -> x.inc)").as("pos_cnt"),
+        expr("transform(__na__, x -> x.idx)").as("neg_idx"),
+        expr("transform(__na__, x -> x.inc)").as("neg_cnt"),
+        col("__count_f__")): _*)
       .withColumn("count",
         // the count-field delta when present (includes NaN observations);
         // the bucket-mass recompute only as a legacy fallback
@@ -338,6 +356,49 @@ object NativeHistograms {
             expr("aggregate(pos_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") +
             expr("aggregate(neg_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")))
       .drop("__count_f__")
+  }
+
+  /** Rebuild histogram rows from per-(keys, kind, idx) counts + per-keys
+    * meta — the [[graft.metric.HistogramRollup]] assembly tail (its incs
+    * come from grid partials, its meta carries validated-uniform schema).
+    * One conditional aggregation + ONE join — the old per-kind filtered
+    * branches re-computed the incs subtree four times and joined each. */
+  private[metric] def assembleHistograms(incs: DataFrame, meta: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val kc = keyCols.map(MetricEngine.qcol)
+    val parts = incs.groupBy(kc: _*).agg(
+      sum(when(col("kind") === 0, col("inc"))).as("zero_count"),
+      // the stored top-level count participates as its own kind (2): NaN
+      // observations increment count WITHOUT landing in any bucket, so a
+      // bucket-sum recompute under-reports the observation rate
+      sum(when(col("kind") === 2, col("inc"))).as("__count_f__"),
+      sort_array(collect_list(when(col("kind") === 1,
+        struct(col("idx"), col("inc"))))).as("__pa__"),
+      sort_array(collect_list(when(col("kind") === -1,
+        struct(col("idx"), col("inc"))))).as("__na__"))
+    meta
+      .join(parts, keyCols, "left")
+      .withColumn("zero_count", coalesce(col("zero_count"), lit(0.0)))
+      .withColumn("pos_idx", coalesce(
+        expr("transform(__pa__, x -> x.idx)"),
+        expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("pos_cnt", coalesce(
+        expr("transform(__pa__, x -> x.inc)"),
+        expr("CAST(array() AS ARRAY<DOUBLE>)")))
+      .withColumn("neg_idx", coalesce(
+        expr("transform(__na__, x -> x.idx)"),
+        expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("neg_cnt", coalesce(
+        expr("transform(__na__, x -> x.inc)"),
+        expr("CAST(array() AS ARRAY<DOUBLE>)")))
+      .withColumn("count",
+        // the count-field delta when present (includes NaN observations);
+        // the bucket-mass recompute only as a legacy fallback
+        coalesce(col("__count_f__"),
+          col("zero_count") +
+            expr("aggregate(pos_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") +
+            expr("aggregate(neg_cnt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")))
+      .drop("__count_f__", "__pa__", "__na__")
   }
 
   /** `histogram_fraction(lo, hi)` over histogram rows: the fraction of
