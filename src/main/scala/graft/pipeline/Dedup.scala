@@ -529,6 +529,20 @@ object Dedup {
     * Output is identical (property-tested): compression only accelerates
     * the same monotone fixpoint.
     *
+    * SMALL graphs (round 15): a candidate-pair graph whose symmetrized
+    * edge set fits one task (≤ `graft.pipeline.localCcMaxEdges`,
+    * default 2²⁰ ≈ 1M directed edges ≈ 50 MB of union-find state; 0
+    * disables) computes its components in a SINGLE min-root union-find
+    * pass over `coalesce(1)` instead of the iterative rounds — after
+    * LSH/banding blocking the duplicate graph is typically orders of
+    * magnitude smaller than the corpus, and each distributed round costs
+    * 2-3 query-stage jobs plus a driver sync (measured ~2.5 s of pure
+    * round overhead for a 2k-edge graph at 32 cores). Long ids only (the
+    * min-root order must match Spark's `least`); identical output by
+    * construction — the union-find root IS the component's minimum id,
+    * the same fixpoint the rounds converge to (property-tested). Above
+    * the cap, or for non-long ids, the iterative path runs unchanged.
+    *
     * @param pairs (id_a, id_b) undirected candidate edges
     * @return (id, cluster_id) for every node appearing in `pairs`
     */
@@ -541,6 +555,52 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
+    val localCap = pairs.sparkSession.conf
+      .getOption("graft.pipeline.localCcMaxEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(1L << 20)
+    if (edges.schema("src").dataType ==
+        org.apache.spark.sql.types.LongType && localCap > 0 &&
+        edges.count() <= localCap) {
+      // (the count materializes the edges cache — the job the fused init
+      // below would otherwise run)
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType)))
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(outSchema)
+      val local = edges.coalesce(1).mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.get(x).longValue()
+          while (p != x) { // path halving
+            val gp = parent.get(p).longValue()
+            parent.put(x, gp)
+            x = gp
+            p = parent.get(x).longValue()
+          }
+          x
+        }
+        def add(x: Long): Unit =
+          if (!parent.containsKey(x)) parent.put(x, x)
+        it.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          add(a); add(b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().iterator().asScala.map { id =>
+          org.apache.spark.sql.Row(id.longValue(), find(id.longValue()))
+        }
+      }(enc).localCheckpoint()
+      edges.unpersist()
+      return local
+    }
     // Periodic localCheckpoint truncates lineage — without it the plan tree
     // doubles every round and long chains OOM the driver on plan strings
     // alone (on a cluster, prefer reliable checkpointing to a configured

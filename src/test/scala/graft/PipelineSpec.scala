@@ -1135,13 +1135,43 @@ class PipelineSpec extends AnyFunSuite {
       assert(fast == naive, s"trial $trial")
     }
     // a 40-node chain has diameter 39: the compressed loop must converge
-    // well within an iteration budget the naive loop would blow through
+    // well within an iteration budget the naive loop would blow through.
+    // localCcMaxEdges = 0 forces the ITERATIVE path (the small-graph
+    // union-find arm would otherwise answer both exactly in one pass)
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(chain, maxIter = 12, compressPaths = true)
+    spark.conf.set("graft.pipeline.localCcMaxEdges", "0")
+    try {
+      val got = Dedup.duplicateClusters(chain, maxIter = 12, compressPaths = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 40 && got.values.forall(_ == 1L))
+      assertThrows[IllegalStateException](
+        Dedup.duplicateClusters(chain, maxIter = 12).collect())
+    } finally spark.conf.unset("graft.pipeline.localCcMaxEdges")
+  }
+
+  test("small-graph union-find clustering == iterative clustering") {
+    // the single-task arm must produce the exact (id -> min reachable id)
+    // assignment of the distributed rounds on random graphs and chains
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 40 + trial * 25
+      val pairs = (1 to n).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val local = Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set("graft.pipeline.localCcMaxEdges", "0")
+      val iterative =
+        try Dedup.duplicateClusters(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("graft.pipeline.localCcMaxEdges")
+      assert(local == iterative, s"trial $trial")
+    }
+    // a chain long past any iteration budget converges exactly in one pass
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain, maxIter = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 40 && got.values.forall(_ == 1L))
-    assertThrows[IllegalStateException](
-      Dedup.duplicateClusters(chain, maxIter = 12).collect())
+    assert(got.size == 300 && got.values.forall(_ == 1L))
   }
 
   test("duplicate clustering of an empty pair set returns an empty frame") {
