@@ -157,6 +157,10 @@ final class MetricEngine(spark: SparkSession, root: String,
           fresh.select(col("metric_id"), col("tsid"),
             col("series_key").cast(BinaryType).as("series_key")).distinct(),
           MetaRange)
+        // new metrics / label keys may exist now — drop the driver-side
+        // dictionary caches so the next lookup reloads
+        metricDictCache = null
+        tagKeysCache.clear()
       }
     } finally fresh.unpersist()
   }
@@ -613,11 +617,35 @@ final class MetricEngine(spark: SparkSession, root: String,
       .map(_.query(q, Some(tsids), tags))
   }
 
+  /** Driver-side metric dictionary cache (round 15): every PromQL query
+    * resolves 1-3 metric names, and each uncached lookup is its own
+    * collect job over the metrics meta table — pure per-query launch
+    * overhead on a dictionary that only changes when a NEW metric
+    * registers. null = not loaded; None = dictionary larger than the
+    * driver budget (fall back to per-name pruned lookups); Some(map) =
+    * the full name→id dictionary. Invalidated by [[registerSeriesMeta]]
+    * (the only metrics-table writer), so a lookup after ingest reloads. */
+  @volatile private var metricDictCache: Option[Map[String, Long]] = null
+  private val MetricDictCacheMax = 100000
+
   private[metric] def metricIdOf(name: String): Option[Long] = {
-    val rows = metrics.scan(ScanRequest(
-      predicates = Seq(col("metric_name") === name),
-      projection = Some(Seq("metric_id")))).limit(1).collect()
-    rows.headOption.map(_.getLong(0))
+    var c = metricDictCache
+    if (c == null) {
+      val rows = metrics.scan(ScanRequest(
+          projection = Some(Seq("metric_name", "metric_id"))))
+        .limit(MetricDictCacheMax + 1).collect()
+      c = if (rows.length > MetricDictCacheMax) None
+      else Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+      metricDictCache = c
+    }
+    c match {
+      case Some(dict) => dict.get(name)
+      case None =>
+        val rows = metrics.scan(ScanRequest(
+          predicates = Seq(col("metric_name") === name),
+          projection = Some(Seq("metric_id")))).limit(1).collect()
+        rows.headOption.map(_.getLong(0))
+    }
   }
 
   /** Step 2: probe the data table with the TSID set (broadcast semi-join),
@@ -1404,6 +1432,21 @@ final class MetricEngine(spark: SparkSession, root: String,
     shaped.select((keys0.map(MetricEngine.qcol) :+ col("value")): _*)
   }
 
+  /** Per-metric tag-KEY dictionary cache (round 15): the serving
+    * decoration of every exact-name result re-discovered the metric's
+    * label keys with its own scan+collect job; the key set only changes
+    * when a new series registers ([[registerSeriesMeta]] invalidates).
+    * Bounded by the number of queried metrics × their key counts. */
+  private val tagKeysCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
+
+  private def tagKeysOf(mid: Long): Seq[String] =
+    tagKeysCache.computeIfAbsent(mid, _ =>
+      tags.scan(ScanRequest(
+          predicates = Seq(col("metric_id") === mid),
+          projection = Some(Seq("tag_key"))))
+        .distinct().collect().map(_.getString(0)).toSeq)
+
   private def selectorMatchers(
       sel: graft.promql.Selector): Seq[graft.promql.LabelMatcher] = {
     import graft.promql._
@@ -1413,7 +1456,15 @@ final class MetricEngine(spark: SparkSession, root: String,
   }
 
   /** Histogram rows of the matched series within `range`, shaped like
-    * [[queryHistograms]] output (series_key + ts_ms + histogram cols). */
+    * [[queryHistograms]] output (series_key + ts_ms + histogram cols).
+    *
+    * localCheckpoint (round 15): every caller immediately probes
+    * `rows.isEmpty` to decide native-vs-classic routing and then
+    * evaluates the full expression over the same rows — without
+    * materialization the scan+series-join subtree runs once for the
+    * probe and again (entirely) for the result. The matched window rows
+    * are the query's own working set (the raw path reads them anyway);
+    * checkpoint blocks free when the frame is collected. */
   private def scanMatchedHistograms(
       matchers: Seq[graft.promql.LabelMatcher],
       range: TimeRange): DataFrame = {
@@ -1426,6 +1477,7 @@ final class MetricEngine(spark: SparkSession, root: String,
         StructField("ts_ms", LongType) +:
         MetricEngine.histogramsSchema.fields.toSeq
           .filter(f => histCols.contains(f.name))))
+      .localCheckpoint()
   }
 
   /** Decode the given label keys from `series_key` into COLUMNS (absent
@@ -1459,12 +1511,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     } match {
       case Some(name) =>
         if (!nameMs.forall(PromQLContext.matcherMatches(_, name))) Nil
-        else metricIdOf(name).toSeq.flatMap { mid =>
-          tags.scan(ScanRequest(
-              predicates = Seq(col("metric_id") === mid),
-              projection = Some(Seq("tag_key"))))
-            .distinct().collect().map(_.getString(0)).toSeq
-        }.distinct.sorted
+        else metricIdOf(name).toSeq.flatMap(tagKeysOf).distinct.sorted
       case None =>
         tags.scan(ScanRequest(
             projection = Some(Seq("metric_id", "tag_key"))))
