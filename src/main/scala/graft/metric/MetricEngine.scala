@@ -357,14 +357,23 @@ final class MetricEngine(spark: SparkSession, root: String,
         // independent of matched-name cardinality (the data pk leads
         // with metric_id, so the broadcast join filters right behind
         // the sorted scan).
-        val mids = matchedMetricIds(nameMs)
-        val some = mids.limit(NameUnionFanout + 1).collect().map(_.getLong(0))
+        val some: Seq[Long] = cachedMetricDict match {
+          case Some(dict) =>
+            // dictionary cached driver-side (round 15): zero-job matcher
+            // resolution, same anchored-regex semantics as the frame path
+            dict.toSeq.filter { case (n, _) =>
+              nameMs.forall(PromQLContext.matcherMatches(_, n)) }
+              .map(_._2).take(NameUnionFanout + 1)
+          case None => matchedMetricIds(nameMs)
+            .limit(NameUnionFanout + 1).collect().map(_.getLong(0)).toSeq
+        }
         if (some.isEmpty) empty
         else if (some.length <= NameUnionFanout)
           some.sorted.map(branch).reduce(_ unionByName _)
         else
           table.scan(ScanRequest(range = range))
-            .join(maybeBroadcast(matchedSeriesFrameAll(mids, labelMs)),
+            .join(maybeBroadcast(
+              matchedSeriesFrameAll(matchedMetricIds(nameMs), labelMs)),
               Seq("metric_id", "tsid"))
             .select(projection: _*)
     }
@@ -646,6 +655,15 @@ final class MetricEngine(spark: SparkSession, root: String,
           projection = Some(Seq("metric_id")))).limit(1).collect()
         rows.headOption.map(_.getLong(0))
     }
+  }
+
+  /** The loaded dictionary itself, when it fits the driver budget — the
+    * evaluator resolves name MATCHERS against it driver-side (≤ 100k
+    * regex probes) instead of launching a dictionary-scan job per query;
+    * None above the budget (callers keep their frame-based jobs). */
+  private[metric] def cachedMetricDict: Option[Map[String, Long]] = {
+    metricIdOf("") // force a load so the cache state is decided
+    metricDictCache
   }
 
   /** Step 2: probe the data table with the TSID set (broadcast semi-join),
@@ -1685,10 +1703,22 @@ final class MetricEngine(spark: SparkSession, root: String,
     // plan size and driver staging independent of matched-name
     // cardinality (round 14; the same shape as [[matchedSeriesScan]]'s
     // federation fix, reference docs/rfcs/20240827-metric-engine.md:121).
-    val someNames: Seq[(String, Long)] = metricFrame
-      .map(_.limit(NameUnionFanout + 1).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1))
-      .getOrElse(Nil)
+    val someNames: Seq[(String, Long)] =
+      if (selectorList.isEmpty) Nil
+      else cachedMetricDict match {
+        case Some(dict) =>
+          // dictionary cached driver-side (round 15): resolve the name
+          // matchers here — zero jobs; identical matcher semantics
+          // (matcherMatches is what `resolved` below re-checks with)
+          val matcherSets = selectorList.map(selNameMatchers)
+          dict.toSeq.filter { case (n, _) =>
+            matcherSets.exists(_.forall(PromQLContext.matcherMatches(_, n)))
+          }.sortBy(_._1).take(NameUnionFanout + 1)
+        case None => metricFrame
+          .map(_.limit(NameUnionFanout + 1).collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1))
+          .getOrElse(Nil)
+      }
     val capped = someNames.length > NameUnionFanout
     def matchesSel(sel: Selector, name: String): Boolean =
       selNameMatchers(sel).forall(PromQLContext.matcherMatches(_, name))
@@ -1708,6 +1738,13 @@ final class MetricEngine(spark: SparkSession, root: String,
     // output series by the FULL labelset, referenced or not).
     val allKeys: Set[String] =
       if ((!hasWithout(expr) && !allLabels) || someNames.isEmpty) Set.empty
+      else if (!capped && someNames.length == 1)
+        // single-metric shape (every recording rule, the labeled instant
+        // path): the cached per-metric key set — no job after first use.
+        // Multi-metric regexes keep the ONE semi-joined job below (a
+        // per-name tagKeysOf loop would re-create the round-13 job storm
+        // on a cold cache).
+        tagKeysOf(someNames.head._2).toSet
       else {
         // one semi-joined job for ALL referenced metrics — a per-name
         // loop here launched one tag-keys job per metric, which a

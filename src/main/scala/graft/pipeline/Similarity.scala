@@ -27,8 +27,17 @@ object Similarity {
   /** Cosine similarity; null (not NaN) for zero-norm inputs, so degenerate
     * vectors drop out of thresholds and rank windows instead of sorting
     * first (Spark orders NaN above every real double in DESC). */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
+
+  /** [[cosine]] with the norms precomputed by the caller — the quadratic
+    * pair stages project `norm(v)` ONCE per vector before their join so
+    * the per-pair work is a bare dot product (the norms are otherwise
+    * re-folded once per partner: 2 extra O(dim) folds per candidate).
+    * Same expression over the same values — bit-identical results. */
+  private[pipeline] def cosineWithNorms(a: Column, b: Column,
+      na: Column, nb: Column): Column = {
+    val denom = na * nb
     when(denom =!= 0.0, dot(a, b) / denom)
   }
 
@@ -249,14 +258,15 @@ object Similarity {
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = indexed.select(col("cell"), col(idCol).as("vec_id"),
-      col(vecCol).as("__qv__"))
+      col(vecCol).as("__qv__"), norm(col(vecCol)).as("__qn__"))
     val b = indexed.select(col("cell"), col(idCol).as("neighbor_id"),
-      col(vecCol).as("__nv__"))
+      col(vecCol).as("__nv__"), norm(col(vecCol)).as("__nn__"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
-        round(cosine(col("__qv__"), col("__nv__")), 6).as("cos"))
+        round(cosineWithNorms(col("__qv__"), col("__nv__"),
+          col("__qn__"), col("__nn__")), 6).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
@@ -411,15 +421,22 @@ object Similarity {
   private def lshNearDupPairsFamily(vectors: DataFrame, idCol: String,
       vecCol: String, dim: Int, threshold: Double, bits: Int,
       maxBucket: Int, family: Int): DataFrame = {
+    // norm projected ONCE per vector (bit-identical to the per-pair fold
+    // it replaces — see [[cosineWithNorms]]) so the bucket join's
+    // quadratic verify is one dot product per candidate
     val b = vectors.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), dim, bits, family).as("__bucket__"))
+      lshBucket(col(vecCol), dim, bits, family).as("__bucket__"),
+      norm(col(vecCol)).as("__n__"))
     val verified = (pairs: DataFrame) => pairs
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("cos"))
+        round(cosineWithNorms(col("va"), col("vb"),
+          col("__na__"), col("__nb__")), 4).as("cos"))
       .filter(col("cos") >= threshold)
     if (maxBucket == Int.MaxValue) {
-      val l = b.select(col("__bucket__"), col(idCol).as("id_a"), col(vecCol).as("va"))
-      val r = b.select(col("__bucket__"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      val l = b.select(col("__bucket__"), col(idCol).as("id_a"),
+        col(vecCol).as("va"), col("__n__").as("__na__"))
+      val r = b.select(col("__bucket__"), col(idCol).as("id_b"),
+        col(vecCol).as("vb"), col("__n__").as("__nb__"))
       verified(l.join(r, Seq("__bucket__")).filter(col("id_a") < col("id_b")))
     } else {
       val stats = b.groupBy("__bucket__")
@@ -430,21 +447,26 @@ object Similarity {
       // when the RDD is collected — same pattern as bandedHammingPairs)
       val sized = b.join(stats, Seq("__bucket__")).localCheckpoint()
       val small = sized.filter(col("__m__") <= maxBucket)
-      val l = small.select(col("__bucket__"), col(idCol).as("id_a"), col(vecCol).as("va"))
-      val r = small.select(col("__bucket__"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      val l = small.select(col("__bucket__"), col(idCol).as("id_a"),
+        col(vecCol).as("va"), col("__n__").as("__na__"))
+      val r = small.select(col("__bucket__"), col(idCol).as("id_b"),
+        col(vecCol).as("vb"), col("__n__").as("__nb__"))
       val allPairs = l.join(r, Seq("__bucket__")).filter(col("id_a") < col("id_b"))
       // star arm: hub vector fetched once per oversized bucket (hub = min
       // id, so id_a < id_b holds by construction)
       val hubVecs = sized.filter(col("__m__") > maxBucket &&
           col(idCol) === col("__hub__"))
-        .select(col("__bucket__"), col(vecCol).as("va"))
+        .select(col("__bucket__"), col(vecCol).as("va"),
+          col("__n__").as("__na__"))
       val starPairs = sized.filter(col("__m__") > maxBucket &&
           col(idCol) =!= col("__hub__"))
         .select(col("__bucket__"), col("__hub__").as("id_a"),
-          col(idCol).as("id_b"), col(vecCol).as("vb"))
+          col(idCol).as("id_b"), col(vecCol).as("vb"),
+          col("__n__").as("__nb__"))
         .join(hubVecs, Seq("__bucket__"))
       verified(allPairs.unionByName(starPairs.select(
-        col("__bucket__"), col("id_a"), col("va"), col("id_b"), col("vb"))))
+        col("__bucket__"), col("id_a"), col("va"), col("__na__"),
+        col("id_b"), col("vb"), col("__nb__"))))
     }
   }
 
