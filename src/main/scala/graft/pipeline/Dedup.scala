@@ -494,10 +494,24 @@ object Dedup {
     * The degree cap bounds the quadratic midpoint expansion (a hub of
     * degree m would emit m²/2 edges; hubs are already diameter-2 around
     * themselves, so closing them buys nothing) — added edges are at most
-    * `maxDegree`× the kept midpoints' edges per pass. */
+    * `maxDegree`× the kept midpoints' edges per pass.
+    *
+    * SMALL graphs (round 15): when the pair set is under the
+    * `graft.pipeline.localCcMaxEdges` cap (the same gate
+    * [[duplicateClusters]] uses for its single-task union-find arm), the
+    * passes are skipped and the input returns unchanged — the closure
+    * exists solely to cut the iterative clustering's round count, and a
+    * graph under the cap never runs those rounds. Components (the only
+    * downstream contract) are trivially preserved. */
   def boundedTwoHopClosure(pairs: DataFrame, passes: Int = 2,
       maxDegree: Int = 32): DataFrame = {
     var edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val localCap = pairs.sparkSession.conf
+      .getOption("graft.pipeline.localCcMaxEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(1L << 20)
+    // the union-find arm's cap counts SYMMETRIZED edges — compare 2×
+    if (localCap > 0 && 2L * edges.count() <= localCap) return edges
     (1 to passes).foreach { _ =>
       val sym = edges.select(explode(array(
           struct(col("id_a").as("src"), col("id_b").as("dst")),

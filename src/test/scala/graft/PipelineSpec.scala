@@ -1075,11 +1075,25 @@ class PipelineSpec extends AnyFunSuite {
     val closed = Dedup.duplicateClusters(Dedup.boundedTwoHopClosure(pairs))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(closed == direct)
-    // the closure actually shortened the chain: node 9 gains an edge closer
-    // to 1 than its original neighbor 8
-    val closedEdges = Dedup.boundedTwoHopClosure(pairs)
+    // under the local-CC cap the closure short-circuits (nothing to
+    // accelerate) — the input comes back unchanged
+    val gated = Dedup.boundedTwoHopClosure(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(closedEdges.exists { case (a, b) => b == 9L && a < 8L })
+    assert(gated == pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // forcing the iterative regime: the closure actually shortened the
+    // chain — node 9 gains an edge closer to 1 than its original
+    // neighbor 8 — and clusters still match the direct run
+    spark.conf.set("graft.pipeline.localCcMaxEdges", "0")
+    try {
+      val closedEdges = Dedup.boundedTwoHopClosure(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(closedEdges.exists { case (a, b) => b == 9L && a < 8L })
+      val closedForced =
+        Dedup.duplicateClusters(Dedup.boundedTwoHopClosure(pairs))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(closedForced == direct)
+    } finally spark.conf.unset("graft.pipeline.localCcMaxEdges")
   }
 
   test("duplicate clustering: components, keepers, chains") {
