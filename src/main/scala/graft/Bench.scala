@@ -130,10 +130,11 @@ object Bench {
       "t14_decontaminate", "t15_tfidf",
       "ro1_rollup_day", "ro4_rollup_rate")
     // (min, median, max) of the three timed samples; (-1,-1,-1) = failed
-    val (sf1Results, sf1CanaryRatio):
-        (Seq[(String, (Double, Double, Double))], Double) =
+    val (sf1Results, sf1Rerun, sf1CanaryRatio):
+        (Seq[(String, (Double, Double, Double))],
+         Seq[(String, (Double, Double, Double))], Double) =
       if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0"))
-        (Nil, 1.0)
+        (Nil, Nil, 1.0)
       else {
         val sf1Dir = SparkEntry.resolveScaledSpec(spark, s"scaled10x:$sfDir")
         SparkEntry.prewarm(spark, sf1Dir)
@@ -141,13 +142,13 @@ object Bench {
         val qmap = SparkEntry.queries
         val laneCanaryBefore = canaryWork.map { case (n, w) =>
           val t = medianOf3(w); System.gc(); n -> t }
-        val lane = sf1Lane.map { name =>
+        def measureEntry(name: String): (Double, Double, Double) =
           // a renamed/removed lane query records -1 like other lane
           // failures instead of aborting the whole bench run
           qmap.get(name) match {
             case None =>
               System.err.println(s"[bench] sf1 lane $name: unknown query")
-              name -> (-1.0, -1.0, -1.0)
+              (-1.0, -1.0, -1.0)
             case Some(fn) =>
               try fn(spark, sf1Dir).count() catch { case _: Throwable => () }
               // median of THREE timed samples (round 14): a single sample
@@ -176,9 +177,24 @@ object Bench {
                 if (!keep1.contains(id)) rdd.unpersist(blocking = true)
               }
               System.gc()
-              name -> (if (failed) (-1.0, -1.0, -1.0)
-                       else { val s = samples.sorted; (s(0), s(1), s(2)) })
+              if (failed) (-1.0, -1.0, -1.0)
+              else { val s = samples.sorted; (s(0), s(1), s(2)) }
           }
+        val lane = sf1Lane.map(name => name -> measureEntry(name))
+        // Isolated rerun of contended entries (round 16, verdict task 6):
+        // a within-entry max/min spread above 3× marks that capture as
+        // bimodal/contended (the r15 driver lane recorded c3 spread
+        // 33.5–130.9 s while the committed lane and the 8-core lane
+        // agreed at ≈8 s). Re-measure those entries once AFTER the whole
+        // lane — same warmup+3-samples protocol, no other lane entry's
+        // jobs or cleaner activity overlapping — and publish BOTH
+        // (sf1 keeps the in-lane medians; sf1_rerun shows what the same
+        // query does isolated, so a contended capture is diagnosable on
+        // the artifact itself).
+        val rerun = lane.collect {
+          case (n, (lo, _, hi)) if lo > 0 && hi / lo > 3.0 =>
+            System.err.println(s"[bench] sf1 lane $n spread ${fmt2(hi / lo)}× — isolated rerun")
+            n -> measureEntry(n)
         }
         val laneCanaryAfter = canaryWork.map { case (n, w) =>
           val t = medianOf3(w); System.gc(); n -> t }
@@ -191,7 +207,7 @@ object Bench {
           if (!keep.contains(id)) rdd.unpersist(blocking = true)
         }
         System.gc()
-        (lane, canaryRatioOf(laneCanary))
+        (lane, rerun, canaryRatioOf(laneCanary))
       }
     val sf1Median: Seq[(String, Double)] =
       sf1Results.map { case (k, (_, m, _)) => k -> m }
@@ -295,6 +311,8 @@ object Bench {
       s"""{"min":${fmt2(lo)},"med":${fmt2(m)},"max":${fmt2(hi)}}"""
     val sf1SpreadJson = sf1Results.map { case (k, (lo, m, hi)) =>
       "\"" + k + "\":" + spreadJson(lo, m, hi) }.mkString("{", ",", "}")
+    val sf1RerunJson = sf1Rerun.map { case (k, (lo, m, hi)) =>
+      "\"" + k + "\":" + spreadJson(lo, m, hi) }.mkString("{", ",", "}")
     val sf1ScalingJson = sf1Scaling.map { case (k, v) =>
       "\"" + k + "\":" + fmt2(v) }.mkString("{", ",", "}")
     val line =
@@ -304,6 +322,7 @@ object Bench {
         s""""normalized_total":$normalizedTotal,""" +
         s""""sf1":$sf1Json,"sf1_scaling":$sf1ScalingJson,""" +
         s""""sf1_spread":$sf1SpreadJson,""" +
+        s""""sf1_rerun":$sf1RerunJson,""" +
         s""""sf1_canary_ratio":$sf1CanaryRatio}"""
     println(line)
     // The driver's artifact capture keeps only the tail of stdout; at 160+
@@ -343,11 +362,44 @@ object Bench {
       pretty ++= sf1Results.map { case (k, (lo, m, hi)) =>
         s"""    "$k": ${spreadJson(lo, m, hi)}""" }.mkString(",\n")
       pretty ++= "\n  },\n"
+      pretty ++= s"""  "sf1_rerun": {\n"""
+      pretty ++= sf1Rerun.map { case (k, (lo, m, hi)) =>
+        s"""    "$k": ${spreadJson(lo, m, hi)}""" }.mkString(",\n")
+      pretty ++= "\n  },\n"
       pretty ++= s"""  "sf1_canary_ratio": $sf1CanaryRatio\n}\n"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         pretty.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // Driver-parseable COMPACT line, printed LAST (round 16, verdict task
+    // 1): the driver's artifact capture keeps only ~2 kB of stdout tail,
+    // and the full per-query line above outgrew it two rounds running
+    // (BENCH_r14/r15 both `parsed: null` — the line head with
+    // `"metric":"total"` was always cut off). 220 query names cannot fit
+    // 2 kB at any precision, so this line carries the totals plus
+    // per-FAMILY subtotals (prefix with trailing digits stripped:
+    // c3_minhash_dedup → "family:c", nh5 → "family:nh"), keyed
+    // `family:<fam>` so they can never collide with a real query name.
+    // The full per-query map still prints above AND persists in
+    // BENCH_DETAIL.json — reporting here is additions-only, nothing is
+    // dropped from either existing artifact.
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val famTotals = results
+      .groupBy { case (k, _) =>
+        k.split('_').head.reverse.dropWhile(_.isDigit).reverse }
+      .toSeq.sortBy(_._1)
+      .map { case (fam, qs) => fam -> qs.map(_._2).sum }
+    val famJson = famTotals.map { case (f, v) =>
+      "\"family:" + f + "\":" + fmt3(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+        s""""sf":"$sfDir","n_queries":${results.length},""" +
+        s""""canary_ratio":${fmt3(canaryRatio)},""" +
+        s""""normalized_total":${fmt3(normalizedTotal)},""" +
+        s""""sf1_canary_ratio":${fmt3(sf1CanaryRatio)},""" +
+        s""""queries":$famJson,""" +
+        s""""per_query_in":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

@@ -2440,10 +2440,24 @@ object SparkEntry {
         e
       }
       import s.implicits._
-      val rows = eng.instantPromQLLabeled(
-        """rpc_lat{quantile="0.99"}""", 1723680000000L)
+      // ONE labeled instant-evaluator pass for both selectors (round 16):
+      // the q99 and sum shapes previously ran two full evaluator passes
+      // (two contexts, two index/meta scans, two newest-per-series
+      // windows) over the same two-metric store. A combined anchored
+      // name-regex selector reads both metrics in one pass — per-series
+      // newest-sample semantics are per series, so filtering the combined
+      // result by (__name__, quantile) afterwards selects exactly the
+      // rows each original selector produced (rpc_lat{quantile="0.99"}
+      // filters a fixed series label; rpc_lat_sum carries no quantile
+      // label, decoded as ""). persist so the two output branches share
+      // one materialization instead of re-running the evaluator subtree.
+      val all = eng.instantPromQLLabeled(
+        """{__name__=~"rpc_lat|rpc_lat_sum"}""", 1723680000000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = all
+        .filter(col("__name__") === "rpc_lat" && col("quantile") === "0.99")
         .select(col("host"), col("value"))
-      val sums = eng.instantPromQLLabeled("rpc_lat_sum", 1723680000000L)
+      val sums = all.filter(col("__name__") === "rpc_lat_sum")
         .select(col("host"), col("value"))
       rows.withColumn("kind", lit("q99"))
         .unionByName(sums.withColumn("kind", lit("sum")))

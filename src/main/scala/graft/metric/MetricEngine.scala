@@ -633,21 +633,37 @@ final class MetricEngine(spark: SparkSession, root: String,
     * registers. null = not loaded; None = dictionary larger than the
     * driver budget (fall back to per-name pruned lookups); Some(map) =
     * the full name→id dictionary. Invalidated by [[registerSeriesMeta]]
-    * (the only metrics-table writer), so a lookup after ingest reloads. */
+    * (the only metrics-table writer), so a lookup after ingest reloads.
+    *
+    * Single-writer-per-root assumption (documented, round 16): these
+    * caches see only THIS instance's registerSeriesMeta. Metrics or tag
+    * keys written to the same storage root by another MetricEngine
+    * instance or process are invisible to name resolution until this
+    * instance restarts — multi-writer deployments must route ingest
+    * through one engine per root (the storage layer's own single-writer
+    * manifest contract already requires this). */
   @volatile private var metricDictCache: Option[Map[String, Long]] = null
   private val MetricDictCacheMax = 100000
 
-  private[metric] def metricIdOf(name: String): Option[Long] = {
-    var c = metricDictCache
-    if (c == null) {
+  /** Populate [[metricDictCache]] if unloaded — and nothing else: the
+    * load must not route through a per-name lookup, because once the
+    * dictionary exceeds the cap (cache = Some-wrapped None) a
+    * metricIdOf("") probe would launch a pointless metric_name=""
+    * scan+collect job per call, in exactly the >100k-metric regime the
+    * fallback targets (round 16, advisor fix). */
+  private def ensureDictLoaded(): Unit = {
+    if (metricDictCache == null) {
       val rows = metrics.scan(ScanRequest(
           projection = Some(Seq("metric_name", "metric_id"))))
         .limit(MetricDictCacheMax + 1).collect()
-      c = if (rows.length > MetricDictCacheMax) None
+      metricDictCache = if (rows.length > MetricDictCacheMax) None
       else Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
-      metricDictCache = c
     }
-    c match {
+  }
+
+  private[metric] def metricIdOf(name: String): Option[Long] = {
+    ensureDictLoaded()
+    metricDictCache match {
       case Some(dict) => dict.get(name)
       case None =>
         val rows = metrics.scan(ScanRequest(
@@ -662,7 +678,7 @@ final class MetricEngine(spark: SparkSession, root: String,
     * regex probes) instead of launching a dictionary-scan job per query;
     * None above the budget (callers keep their frame-based jobs). */
   private[metric] def cachedMetricDict: Option[Map[String, Long]] = {
-    metricIdOf("") // force a load so the cache state is decided
+    ensureDictLoaded()
     metricDictCache
   }
 
@@ -1476,13 +1492,19 @@ final class MetricEngine(spark: SparkSession, root: String,
   /** Histogram rows of the matched series within `range`, shaped like
     * [[queryHistograms]] output (series_key + ts_ms + histogram cols).
     *
-    * localCheckpoint (round 15): every caller immediately probes
-    * `rows.isEmpty` to decide native-vs-classic routing and then
-    * evaluates the full expression over the same rows — without
-    * materialization the scan+series-join subtree runs once for the
-    * probe and again (entirely) for the result. The matched window rows
-    * are the query's own working set (the raw path reads them anyway);
-    * checkpoint blocks free when the frame is collected. */
+    * persist (round 15 materialized via localCheckpoint; round 16 advisor
+    * fix): every caller immediately probes `rows.isEmpty` to decide
+    * native-vs-classic routing and then evaluates the full expression
+    * over the same rows — without a persist the scan+series-join subtree
+    * runs once for the probe and again (entirely) for the result.
+    * MEMORY_AND_DISK persist rather than localCheckpoint: lineage is
+    * KEPT, so an evicted or executor-lost block recomputes instead of
+    * failing the query (localCheckpoint truncates lineage unrecoverably
+    * under executor loss/dynamic allocation on a cluster), and blocks
+    * are evictable under storage pressure. Freeing is GC-driven either
+    * way (the ContextCleaner unpersists when the frame's RDD is
+    * collected); repeated histogram queries therefore pin at most their
+    * own matched-window rows — the query's working set — until driver GC. */
   private def scanMatchedHistograms(
       matchers: Seq[graft.promql.LabelMatcher],
       range: TimeRange): DataFrame = {
@@ -1495,7 +1517,7 @@ final class MetricEngine(spark: SparkSession, root: String,
         StructField("ts_ms", LongType) +:
         MetricEngine.histogramsSchema.fields.toSeq
           .filter(f => histCols.contains(f.name))))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Decode the given label keys from `series_key` into COLUMNS (absent
@@ -1738,13 +1760,14 @@ final class MetricEngine(spark: SparkSession, root: String,
     // output series by the FULL labelset, referenced or not).
     val allKeys: Set[String] =
       if ((!hasWithout(expr) && !allLabels) || someNames.isEmpty) Set.empty
-      else if (!capped && someNames.length == 1)
-        // single-metric shape (every recording rule, the labeled instant
-        // path): the cached per-metric key set — no job after first use.
-        // Multi-metric regexes keep the ONE semi-joined job below (a
-        // per-name tagKeysOf loop would re-create the round-13 job storm
-        // on a cold cache).
-        tagKeysOf(someNames.head._2).toSet
+      else if (!capped && someNames.length <= 4)
+        // few-metric shape (every recording rule, the labeled instant
+        // path, small unions like the OTLP summary triple): the cached
+        // per-metric key sets — no job after first use, at most 4 pruned
+        // jobs cold. Larger multi-metric sets keep the ONE semi-joined
+        // job below (a per-name tagKeysOf loop would re-create the
+        // round-13 job storm on a cold cache).
+        someNames.flatMap(n => tagKeysOf(n._2)).toSet
       else {
         // one semi-joined job for ALL referenced metrics — a per-name
         // loop here launched one tag-keys job per metric, which a

@@ -39,11 +39,17 @@ object Dedup {
       .select(col(idCol) +: (0 until numHashes).map(i =>
         element_at(col("__sig__"), i + 1).as(s"mh$i")): _*)
 
-  /** LSH banding over a minhash signature: band key = concat of the band's
-    * hashes. Emits (band, key, id); equal keys within a band are candidate
-    * near-duplicates. Single `posexplode` over an array of band keys — the
-    * signature aggregation is computed once, not once per band, and the
-    * downstream self-join's two sides share (and reuse) one exchange. */
+  /** LSH banding over a minhash signature: band key = the band's hashes,
+    * BINARY-packed (round 16: `concat(unhex(mh…))` — md5 hex strings are
+    * fixed 32 chars, so unhex is injective and concat boundaries cannot
+    * shift; key equality is bit-for-bit the string-concat equality this
+    * replaces, at half the bytes — 16 per hash instead of 33 with the
+    * separator. The band shuffle is the widest exchange of the minhash
+    * pipeline; §2.3 shuffle fewer bytes). Emits (band, key, id); equal
+    * keys within a band are candidate near-duplicates. Single
+    * `posexplode` over an array of band keys — the signature aggregation
+    * is computed once, not once per band, and the downstream self-join's
+    * two sides share (and reuse) one exchange. */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
     // a non-dividing bandSize would silently DROP the trailing hashes
     // (numHashes/bandSize truncates), quietly lowering recall below what
@@ -54,7 +60,7 @@ object Dedup {
         "would silently ignore the trailing minhashes)")
     val numBands = numHashes / bandSize
     val bandKeys = array((0 until numBands).map { b =>
-      concat_ws("|", (0 until bandSize).map(i => col(s"mh${b * bandSize + i}")): _*)
+      concat((0 until bandSize).map(i => unhex(col(s"mh${b * bandSize + i}"))): _*)
     }: _*)
     sig.select(col(idCol), posexplode(bandKeys).as(Seq("band", "band_key")))
       .select(col("band"), col("band_key"), col(idCol))
@@ -135,9 +141,12 @@ object Dedup {
       // when-chain keeps the match iff no earlier band also collided.
       // Exactly-once by construction — no distinct, no second shuffle; the
       // join stays one broadcast/co-partitioned exchange.
+      // binary-packed band keys (round 16): same injective unhex+concat
+      // as [[lshBands]] — identical equality semantics, half the bytes
+      // through the band exchange and the carried __k* columns
       val keyed = sig.select(col(idCol) +: (0 until numBands).map { b =>
-        concat_ws("|", (0 until bandSize).map(i =>
-          col(s"mh${b * bandSize + i}")): _*).as(s"__k$b") }: _*)
+        concat((0 until bandSize).map(i =>
+          unhex(col(s"mh${b * bandSize + i}"))): _*).as(s"__k$b") }: _*)
       val banded = keyed.select(
           (col(idCol) +: (0 until numBands).map(b => col(s"__k$b"))) :+
           posexplode(array((0 until numBands).map(b => col(s"__k$b")): _*))
@@ -175,9 +184,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (the uncapped maxBucket == Int.MaxValue case returned on the exact
     // path above — everything below serves the capped path only)
-    val bucketStats = bands.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("__m__"), min(col(idCol)).as("__hub__"))
-    val sized = bands.join(bucketStats, Seq("band", "band_key"))
+    // Bucket size + hub as WINDOW aggregates over the (band, band_key)
+    // partitioning the repartition above just established (round 16,
+    // §2.4): the groupBy+join this replaces re-read the cached band frame
+    // and paid a sort-merge self-join (two sorts + join stages) to attach
+    // __m__/__hub__ back onto the rows the aggregate came from; one
+    // WindowExec computes both per-bucket values in a single pass with
+    // zero additional exchange.
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key")
+    val sized = bands
+      .withColumn("__m__", count(lit(1)).over(bw))
+      .withColumn("__hub__", min(col(idCol)).over(bw))
     val pairJoin = {
       val small = sized.filter(col("__m__") <= maxBucket)
         .select(col("band"), col("band_key"), col(idCol))
@@ -510,8 +528,17 @@ object Dedup {
       .getOption("graft.pipeline.localCcMaxEdges")
       .flatMap(v => scala.util.Try(v.toLong).toOption)
       .getOrElse(1L << 20)
+    // Skip only when the union-find arm will actually fire downstream:
+    // that arm is LongType-only, so a non-long (string/UUID) id graph
+    // under the cap still runs the iterative rounds — skipping the
+    // closure there would leave a long chain's diameter uncut and risk
+    // blowing duplicateClusters' maxIter (round 16, advisor fix).
+    val idsAreLong =
+      edges.schema("id_a").dataType == org.apache.spark.sql.types.LongType &&
+      edges.schema("id_b").dataType == org.apache.spark.sql.types.LongType
     // the union-find arm's cap counts SYMMETRIZED edges — compare 2×
-    if (localCap > 0 && 2L * edges.count() <= localCap) return edges
+    if (idsAreLong && localCap > 0 && 2L * edges.count() <= localCap)
+      return edges
     (1 to passes).foreach { _ =>
       val sym = edges.select(explode(array(
           struct(col("id_a").as("src"), col("id_b").as("dst")),
@@ -668,20 +695,19 @@ object Dedup {
     // it cannot be assumed broadcastable). The checkpointed localCheckpoint
     // blocks make this count cheap.
     val smallGraph = labels.count() < (1L << 22)
-    var converged = false
-    var prevWasCheckpoint = true // the init frame is localCheckpoint()ed
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // One fused shuffle per round: neighbor labels and own label feed the
-      // same min-aggregate (vs join + groupBy + left-join = two exchanges).
-      val labelsByDst = labels.select(col("id").as("dst"), col("cluster_id").as("n_label"))
+    // One propagation round as a lazy transform: neighbor labels and own
+    // label feed the same min-aggregate (one fused shuffle — vs join +
+    // groupBy + left-join = two exchanges). Returns the next label frame
+    // plus any intra-round cache to free after the round's action.
+    def propagate(cur: DataFrame): (DataFrame, Seq[DataFrame]) = {
+      val labelsByDst = cur.select(col("id").as("dst"), col("cluster_id").as("n_label"))
       var step = edges
         .join(if (smallGraph) broadcast(labelsByDst) else labelsByDst, Seq("dst"))
         .select(col("src").as("id"), col("n_label").as("cluster_id"))
-        .union(labels)
+        .union(cur)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-      var intermediate: DataFrame = null
-      if (compressPaths) {
+      if (!compressPaths) (step, Nil)
+      else {
         // pointer jumping: follow the label's own label once. Sound because
         // label values ARE node ids and labels only decrease — label(label)
         // <= label always points within the component, so the min keeps the
@@ -690,7 +716,7 @@ object Dedup {
         // sides reference it, and without materialization the whole
         // propagate subtree would be planned (and its final aggregate
         // executed) twice per round.
-        intermediate = step.cache()
+        val intermediate = step.cache()
         val parent = intermediate.select(
           col("id").as("__pid__"), col("cluster_id").as("__pl__"))
         step = intermediate
@@ -699,20 +725,49 @@ object Dedup {
           .select(col("id"),
             least(col("cluster_id"), coalesce(col("__pl__"), col("cluster_id")))
               .as("cluster_id"))
+        (step, Seq(intermediate))
       }
-      val checkpointRound = (iter + 1) % checkpointEvery == 0
+    }
+    // Double-stepping (round 16): past the first `doubleStepAfter` rounds,
+    // TWO propagation rounds run between convergence checks — the rounds
+    // fuse into the check's one job (the mid frame is cache()d so the
+    // second round's two references compute it once), halving driver
+    // syncs/actions in exactly the regime the iterative path still owns
+    // (graphs above the union-find cap, 1M–100M+ edges; a long-diameter
+    // graph pays tens of rounds). Sound by monotonicity: labels only
+    // decrease, so sum(labels) after round k+2 equal to the last checked
+    // sum means NEITHER round changed anything — the same amortized
+    // argument the non-integral changed-count path already uses. Early
+    // rounds keep the per-round check (short-converging graphs measured
+    // slower under amortized checks: up to one dead full-shuffle round
+    // past convergence for no sync savings); the `iter + 2 <= maxIter`
+    // guard preserves exact did-not-converge-within-maxIter semantics.
+    val doubleStepAfter = 4
+    var converged = false
+    var prevWasCheckpoint = true // the init frame is localCheckpoint()ed
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val steps =
+        if (idIsIntegral && iter >= doubleStepAfter && iter + 2 <= maxIter) 2
+        else 1
+      var step = labels
+      var frees: Seq[DataFrame] = Nil
+      (1 to steps).foreach { s =>
+        val cur = if (s == 1) step else { val c = step.cache(); frees :+= c; c }
+        val (nxt, intra) = propagate(cur)
+        step = nxt
+        frees ++= intra
+      }
+      val checkpointRound = (iter + steps) % checkpointEvery < steps
       val next = if (checkpointRound) step.localCheckpoint() else step.cache()
       if (idIsIntegral) {
         // labelSum is the round's one action: it materializes the cache (or
         // reads the fresh checkpoint) and decides convergence in the same
-        // job. Checking EVERY round beats amortized checking here — sparse
-        // checks run up to k-1 dead propagation rounds (full shuffles) past
-        // convergence, which measured slower than the per-round job launch
-        // they save.
+        // job.
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
-      } else if (checkpointRound || iter + 1 == maxIter) {
+      } else if (checkpointRound || iter + steps >= maxIter) {
         // Amortized pointwise check (the join is too costly per round);
         // between checks no action runs, so the intermediate rounds fuse
         // into this one job. Sound by monotonicity: labels only decrease,
@@ -726,12 +781,13 @@ object Dedup {
       // unpersisting them would make any evicted downstream block
       // unrecoverable; the context cleaner frees them on GC instead.
       if (!prevWasCheckpoint) labels.unpersist()
-      // the compress round's propagate cache served its double read; evicted
-      // blocks recompute through lineage if next's cache later needs them
-      if (intermediate != null) intermediate.unpersist()
+      // intra-round caches (compress-round propagate frames, double-step
+      // mid frames) served their double read; evicted blocks recompute
+      // through lineage if next's cache later needs them
+      frees.foreach(_.unpersist())
       prevWasCheckpoint = checkpointRound
       labels = next
-      iter += 1
+      iter += steps
     }
     edges.unpersist()
     // Returning non-converged labels would split components and mark false

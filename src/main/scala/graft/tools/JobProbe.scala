@@ -22,6 +22,13 @@ object JobProbe {
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val input = new java.util.concurrent.atomic.AtomicLong
+    // memory-pressure signals (round 16, verdict task 8): spill bytes
+    // (any nonzero = an operator's buffer didn't fit execution memory)
+    // and the max per-stage peak execution memory — the first query that
+    // would spill at scale shows up on the artifact, not in an incident
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val peakExecMem = new java.util.concurrent.atomic.AtomicLong
     // per-job wall durations + a call-site tag, so a many-job composite
     // (iterative clustering) shows WHERE its job count is spent
     val jobStartMs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
@@ -43,9 +50,13 @@ object JobProbe {
       shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       input.addAndGet(m.inputMetrics.bytesRead)
+      memSpill.addAndGet(m.memoryBytesSpilled)
+      diskSpill.addAndGet(m.diskBytesSpilled)
+      peakExecMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
     }
     def reset(): Unit = {
-      Seq(jobs, stages, tasks, shufRead, shufWrite, input).foreach(_.set(0L))
+      Seq(jobs, stages, tasks, shufRead, shufWrite, input,
+        memSpill, diskSpill, peakExecMem).foreach(_.set(0L))
       jobStartMs.clear(); jobDurs.clear()
     }
   }
@@ -79,7 +90,10 @@ object JobProbe {
             f"tasks=${acc.tasks.get} " +
             f"shuf_read=${acc.shufRead.get / 1024}KiB " +
             f"shuf_write=${acc.shufWrite.get / 1024}KiB " +
-            f"input=${acc.input.get / 1024}KiB")
+            f"input=${acc.input.get / 1024}KiB " +
+            f"spill_mem=${acc.memSpill.get / 1024}KiB " +
+            f"spill_disk=${acc.diskSpill.get / 1024}KiB " +
+            f"peak_exec_mem=${acc.peakExecMem.get / 1024}KiB")
           if (sys.env.get("JOBPROBE_DETAIL").contains("1")) {
             import scala.jdk.CollectionConverters._
             acc.jobDurs.asScala.toSeq.sortBy(-_._1).take(15).foreach {
